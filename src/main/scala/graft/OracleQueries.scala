@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Relational
+
+/** Oracle-gated demonstrations of the SURVEY.md §2 operator inventory over
+  * the shared fixture tables (TESTDATA.md), paired 1:1 with DuckDB SQL in
+  * [[OracleQueries.sql]]. The reusable operator implementations live in
+  * `graft.operators`; this object only binds them to fixture columns.
+  *
+  * Determinism contract with the oracle:
+  *  - money sums go through DECIMAL(18,2)/(18,4) so aggregation is exact
+  *    integer arithmetic (order-independent), then cast to double;
+  *  - raw doubles are only passed through or compared, never re-summed;
+  *  - every LIMIT sits under a total ORDER BY.
+  */
+object OracleQueries {
+
+  private def dec2(c: String) = col(c).cast(DecimalType(18, 2))
+
+  /** l_extendedprice*(1-l_discount) is exactly a 4-dp decimal (2dp × 2dp);
+    * rounding the double product to DECIMAL(18,4) recovers it exactly on
+    * both engines. */
+  private def discPrice = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    .cast(DecimalType(18, 4))
+
+  // ---------------------------------------------------------------- queries
+
+  /** R2 — one-pass hash aggregate over the fact table (TPC-H Q1 shape). */
+  def r2GroupSum(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec2("l_extendedprice")).cast("double").as("sum_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("cnt"))
+
+  /** R4 — derived column + threshold filter + deterministic top-k. */
+  def r4TopK(s: SparkSession, d: String): DataFrame =
+    Relational.topKByThreshold(
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority"),
+      derived = ("price_share", col("o_totalprice") / lit(500000.0)),
+      threshold = lit(0.5),
+      k = 100,
+      order = Seq(desc("o_totalprice"), col("o_orderkey")))
+
+  /** R6 — N conditional count-if aggregates in one shuffle. */
+  def r6ConditionalCounts(s: SparkSession, d: String): DataFrame =
+    Relational.conditionalCounts(
+      Tables.orders(s, d), Seq("o_orderstatus"),
+      Seq(
+        "n_urgent" -> (col("o_orderpriority") === "1-URGENT"),
+        "n_high" -> (col("o_orderpriority") === "2-HIGH"),
+        "n_big" -> (col("o_totalprice") > 200000.0),
+        "n_total" -> lit(true)))
+
+  /** R7 — per-dimension sum with empty-group default 0. */
+  def r7SumDefault(s: SparkSession, d: String): DataFrame =
+    Relational.sumWithDefault(
+      dim = Tables.customer(s, d).select("c_custkey"),
+      fact = Tables.orders(s, d),
+      dimKey = "c_custkey", factKey = "o_custkey",
+      aggExpr = sum(dec2("o_totalprice")).cast("double"),
+      default = lit(0.0),
+      outName = "total_spend")
+
+  /** R9 — count-distinct per group. */
+  def r9CountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+           count(lit(1)).as("cnt"))
+
+  /** R10 — fixed-width histogram with per-bin caption stats. */
+  def r10Histogram(s: SparkSession, d: String): DataFrame =
+    Relational.histogram(Tables.orders(s, d), col("o_totalprice"), 50000.0)
+
+  /** R11 — integer bar-count with dense range fill. */
+  def r11IntBarCount(s: SparkSession, d: String): DataFrame =
+    Relational.intBarCount(Tables.part(s, d), col("p_size"))
+
+  /** R12 — workload roll-up ordered by count desc. */
+  def r12Rollup(s: SparkSession, d: String): DataFrame =
+    Relational.rollup(Tables.orders(s, d), "o_orderpriority",
+      dec2("o_totalprice"), "sum_price_dec")
+      .withColumn("total_price", col("sum_price_dec").cast("double"))
+      .drop("sum_price_dec")
+
+  /** Flagship multiway join: revenue per nation (broadcast dims ⨝ fact). */
+  def joinMultiway(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"),
+           count(lit(1)).as("cnt"))
+
+  // ----------------------------------------------------------------- oracle
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r2_group_sum" -> (r2GroupSum _),
+    "r4_topk_threshold" -> (r4TopK _),
+    "r6_conditional_counts" -> (r6ConditionalCounts _),
+    "r7_sum_default" -> (r7SumDefault _),
+    "r9_count_distinct" -> (r9CountDistinct _),
+    "r10_histogram" -> (r10Histogram _),
+    "r11_int_barcount" -> (r11IntBarCount _),
+    "r12_rollup" -> (r12Rollup _),
+    "join_multiway" -> (joinMultiway _))
+
+  val sql: Map[String, String] = Map(
+    "r2_group_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "r4_topk_threshold" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority,
+        |  o_totalprice / 500000.0 AS price_share
+        |FROM orders WHERE o_totalprice / 500000.0 >= 0.5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "r6_conditional_counts" ->
+      """SELECT o_orderstatus,
+        |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
+        |  COUNT(CASE WHEN o_totalprice > 200000.0 THEN 1 END) AS n_big,
+        |  COUNT(*) AS n_total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "r7_sum_default" ->
+      """SELECT c_custkey,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "r9_count_distinct" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS distinct_parts, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "r10_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS cnt, MIN(o_totalprice) AS bin_min, MAX(o_totalprice) AS bin_max
+        |FROM orders GROUP BY 1""".stripMargin,
+    "r11_int_barcount" ->
+      """WITH bounds AS (SELECT CAST(MIN(p_size) AS BIGINT) AS lo, CAST(MAX(p_size) AS BIGINT) AS hi FROM part),
+        |dense AS (SELECT UNNEST(generate_series(lo, hi)) AS value FROM bounds),
+        |counts AS (SELECT CAST(p_size AS BIGINT) AS value, COUNT(*) AS cnt FROM part GROUP BY 1)
+        |SELECT dense.value, COALESCE(counts.cnt, 0) AS cnt
+        |FROM dense LEFT JOIN counts ON dense.value = counts.value""".stripMargin,
+    "r12_rollup" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY cnt DESC, o_orderpriority""".stripMargin,
+    "join_multiway" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+}

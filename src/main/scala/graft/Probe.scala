@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only scratch main for inspecting fixture schemas/plans. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.001"
+    for (t <- Tables.names) {
+      val df = Tables.load(spark, d, t)
+      println(s"== $t  rows=${df.count()}")
+      println(df.schema.treeString)
+    }
+    Tables.events(spark, d).show(3, false)
+    Tables.embeddings(spark, d).show(2, false)
+    Tables.documents(spark, d).show(3, truncate = 60)
+    spark.stop()
+  }
+}

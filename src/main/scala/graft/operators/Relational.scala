@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational analytics operators (SURVEY.md §2.3 R2–R13, R19).
+  *
+  * Each is a reusable DataFrame transformer mirroring a computation the
+  * reference runs as a MongoDB aggregation + Python loop, re-expressed as a
+  * single declarative Spark plan so Catalyst gets pushdown/pruning and the
+  * whole workload runs in one shuffle instead of an N+1 client loop.
+  *
+  * Scale notes (100 TB): every operator here is a single `groupBy`/window
+  * over the fact table — one hash-partitioned shuffle on the grouping key;
+  * no driver-side collect; no cross joins. Skewed grouping keys are handled
+  * by AQE (enabled in Bench/Verify sessions).
+  */
+object Relational {
+
+  /** R2: hash aggregate — sum of `measures` per `keys` in ONE pass for all
+    * groups (reference does a per-query Mongo round-trip:
+    * code/python/stats.py:58-61). */
+  def groupSum(df: DataFrame, keys: Seq[String], measures: Seq[(String, Column)]): DataFrame = {
+    val aggs = measures.map { case (name, c) => sum(c).as(name) }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** R4: derived column + threshold filter + deterministic top-k
+    * (straggler chart, code/python/stats.py:41-56). `order` must be a total
+    * order for the result to be stable. */
+  def topKByThreshold(df: DataFrame, derived: (String, Column), threshold: Column,
+                      k: Int, order: Seq[Column]): DataFrame =
+    df.withColumn(derived._1, derived._2)
+      .filter(col(derived._1) >= threshold)
+      .orderBy(order: _*)
+      .limit(k)
+
+  /** R6: conditional counts — N count-if aggregates in one shuffle
+    * (reference runs 4 separate Mongo counts per query,
+    * code/python/stats.py:117-142). */
+  def conditionalCounts(df: DataFrame, keys: Seq[String], conds: Seq[(String, Column)]): DataFrame = {
+    val aggs = conds.map { case (name, c) => count(when(c, lit(1))).as(name) }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** R7: per-key aggregate with empty-group default (HDFS-scan bytes per
+    * query, code/python/stats.py:144-151): aggregate the fact side FIRST
+    * (shrinks the join input to one row per key), then left join + coalesce
+    * keeps dimension keys that have no fact rows. `aggExpr` is the full
+    * aggregate expression including any final cast. */
+  def sumWithDefault(dim: DataFrame, fact: DataFrame, dimKey: String, factKey: String,
+                     aggExpr: Column, default: Column, outName: String): DataFrame = {
+    val grouped = fact.groupBy(col(factKey)).agg(aggExpr.as(outName))
+    dim.join(grouped, col(dimKey) === col(factKey), "left")
+      .select(col(dimKey), coalesce(col(outName), default).as(outName))
+  }
+
+  /** R10: fixed-width histogram binning (code/python/plots.py:23-42).
+    * Bin id = floor(x / width); caption stats = min/max/count per bin.
+    * One shuffle on the bin id; the bin id is computed scan-side so the
+    * shuffle carries only (bin, partial agg). */
+  def histogram(df: DataFrame, x: Column, width: Double): DataFrame =
+    df.groupBy(floor(x / lit(width)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"), min(x).as("bin_min"), max(x).as("bin_max"))
+
+  /** R11: exact count per integer value with dense [min,max] range fill
+    * (code/python/plots.py:44-59). Range fill via sequence+explode on the
+    * 1-row global-bounds aggregate — no driver round trip. */
+  def intBarCount(df: DataFrame, x: Column): DataFrame = {
+    val counts = df.groupBy(x.cast("long").as("value")).agg(count(lit(1)).as("cnt"))
+    val bounds = df.agg(min(x.cast("long")).as("lo"), max(x.cast("long")).as("hi"))
+    val dense = bounds.select(explode(sequence(col("lo"), col("hi"))).as("value"))
+    dense.join(counts, Seq("value"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+  }
+
+  /** R12: workload roll-up by statement type (code/python/stats.py:407-419):
+    * group + sum + count, ordered by count desc (tiebreak on key for a
+    * total order). */
+  def rollup(df: DataFrame, key: String, measure: Column, measureName: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(sum(measure).as(measureName), count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col(key))
+
+  /** R13: cross-run matrix with zero padding — average a per-(entity,group)
+    * measure over ALL N entities, counting missing pairs as 0
+    * (code/python/stats.py:356-374). Closed form sum/N instead of the
+    * reference's dict-of-zeros: no crossJoin materialization. */
+  def paddedAverage(df: DataFrame, entityCount: Long, group: String, measure: Column): DataFrame =
+    df.groupBy(col(group))
+      .agg((sum(measure) / lit(entityCount.toDouble)).as("padded_avg"),
+           count(lit(1)).as("present_cnt"))
+
+  /** R19: concurrency sweep-line (code/python/stats.py:383-405).
+    * Input: one row per interval (cluster, start, end) in any units (longs).
+    * Output per cluster: max concurrency and time-weighted average
+    * concurrency over [min(start), max(end)].
+    *
+    * Spark shape: union of (+1 at start, −1 at end) events; running sum via
+    * a window partitioned by cluster ordered by (ts, delta); interval to the
+    * next event via lead(). One shuffle on cluster; within-cluster sort is
+    * the same O(n log n) the reference pays, but distributed per cluster.
+    * Ties: end events sort before start events at the same ts (delta asc),
+    * matching the reference's sort of (ts, delta) pairs where -1 < +1.
+    */
+  def sweepLine(intervals: DataFrame, cluster: String, start: String, end: String): DataFrame = {
+    val events = intervals.select(col(cluster), col(start).as("ts"), lit(1).as("delta"))
+      .unionByName(intervals.select(col(cluster), col(end).as("ts"), lit(-1).as("delta")))
+    val w = Window.partitionBy(col(cluster)).orderBy(col("ts"), col("delta"))
+    val stepped = events
+      .withColumn("conc", sum(col("delta")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("dur", col("next_ts") - col("ts"))
+    stepped.groupBy(col(cluster))
+      .agg(
+        max(col("conc")).as("max_concurrency"),
+        (sum(col("conc") * col("dur")) / sum(col("dur"))).as("avg_concurrency"))
+  }
+}

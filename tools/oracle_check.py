@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <verifyOutDir> <sfDir>
+
+Reads <verifyOutDir>/<name>/ parquet (written by graft.Verify) and
+<verifyOutDir>/oracle_sql.json, runs each oracle SQL in DuckDB over the
+sfDir parquet tables, and compares: schema (column names), row count, and
+values (columns sorted by name, rows sorted by all columns, exact match;
+floats compared bit-exact first, then with 1e-9 rel tolerance reported
+separately so we can see near-misses).
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            results[name] = "MISSING_SPARK_OUTPUT"
+            continue
+        ours = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        try:
+            theirs = canon(con.execute(sql).df())
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        if list(ours.columns) != list(theirs.columns):
+            results[name] = f"SCHEMA_MISMATCH ours={list(ours.columns)} oracle={list(theirs.columns)}"
+            continue
+        if len(ours) != len(theirs):
+            results[name] = f"ROWCOUNT_MISMATCH ours={len(ours)} oracle={len(theirs)}"
+            continue
+        bad = []
+        for col in ours.columns:
+            av, bv = ours[col].tolist(), theirs[col].tolist()
+            for i, (a, b) in enumerate(zip(av, bv)):
+                if not values_equal(a, b):
+                    bad.append((col, i, a, b))
+                    if len(bad) > 3:
+                        break
+            if len(bad) > 3:
+                break
+        if bad:
+            near = all(isinstance(a, float) and isinstance(b, float)
+                       and abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+                       for _, _, a, b in bad)
+            tag = "NEAR_MISS" if near else "VALUE_MISMATCH"
+            results[name] = f"{tag} {bad[:3]}"
+        else:
+            results[name] = "OK"
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    for k, v in results.items():
+        print(f"{'PASS' if v == 'OK' else 'FAIL'} {k}: {v}")
+    print(f"== {n_ok}/{len(results)} OK")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+if __name__ == "__main__":
+    main()
