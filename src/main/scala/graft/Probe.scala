@@ -13,6 +13,20 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("units")) {
+      // drive the P5-P7 expressions through a real distributed plan
+      import org.apache.spark.sql.functions._
+      import graft.functions.F
+      val df = spark.range(0, 1000000, 1, 8)
+        .select(
+          F.parse_time(concat(col("id").cast("string"), lit("us"))).as("ns"),
+          F.parse_size(concat(col("id").cast("string"), lit(" KB"))).as("bytes"),
+          F.parse_units(concat(col("id").cast("string"), lit("K"))).as("units"))
+      df.explain()
+      val agg = df.agg(sum("ns"), sum("bytes"), sum("units")).collect()(0)
+      println(s"UNITS_PROBE ns=${agg.getLong(0)} bytes=${agg.getLong(1)} units=${agg.getLong(2)}")
+      spark.stop(); return
+    }
     val d = "/root/testdata/sf0.001"
     for (t <- Tables.names) {
       val df = Tables.load(spark, d, t)

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the P5-P7 unit parsers — codegen'd calls
+  * to the static [[Units]] methods, so ingest projections stay inside
+  * whole-stage codegen (no UDF serialization, no codegen fences on the
+  * 100 TB ingest path).
+  */
+abstract class UnitParseExpression extends UnaryExpression {
+  def parserName: String // static method on graft.functions.Units
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    parse(input.asInstanceOf[UTF8String].toString)
+  protected def parse(s: String): Long
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Units.$parserName($c.toString())")
+}
+
+/** P5: pretty-printed size → bytes (profile_analyzer.py:341-360). */
+case class ParseSize(child: Expression) extends UnitParseExpression {
+  override def parserName: String = "parseSize"
+  override protected def parse(s: String): Long = Units.parseSize(s)
+  override protected def withNewChildInternal(c: Expression): ParseSize = copy(c)
+  override def prettyName: String = "parse_size"
+}
+
+/** P6a: pretty-printed number → units (profile_analyzer.py:362-380). */
+case class ParseUnits(child: Expression) extends UnitParseExpression {
+  override def parserName: String = "parseUnits"
+  override protected def parse(s: String): Long = Units.parseUnits(s)
+  override protected def withNewChildInternal(c: Expression): ParseUnits = copy(c)
+  override def prettyName: String = "parse_units"
+}
+
+/** P6b: pretty-printed time → ns (profile_analyzer.py:382-403). */
+case class ParseTime(child: Expression) extends UnitParseExpression {
+  override def parserName: String = "parseTime"
+  override protected def parse(s: String): Long = Units.parseTime(s)
+  override protected def withNewChildInternal(c: Expression): ParseTime = copy(c)
+  override def prettyName: String = "parse_time"
+}
+
+/** P7: reinterpret i64 bits as double (profile_analyzer.py:405-411). */
+case class CounterDouble(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects BIGINT, got ${child.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.longBitsToDouble(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.longBitsToDouble($c)")
+  override protected def withNewChildInternal(c: Expression): CounterDouble = copy(c)
+  override def prettyName: String = "counter_double"
+}
+
+/** Column-level API. */
+object F {
+  def parse_size(c: Column): Column =
+    Bridge.column(ParseSize(Bridge.expression(c)))
+  def parse_units(c: Column): Column =
+    Bridge.column(ParseUnits(Bridge.expression(c)))
+  def parse_time(c: Column): Column =
+    Bridge.column(ParseTime(Bridge.expression(c)))
+  def counter_double(c: Column): Column =
+    Bridge.column(CounterDouble(Bridge.expression(c)))
+}

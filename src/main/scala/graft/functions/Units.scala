@@ -1,0 +1,67 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+/** Impala pretty-print parsers (SURVEY.md §2.2 P5-P7).
+  *
+  * Semantics match the reference exactly (behavior, not code:
+  * code/python/profile_analyzer.py:341-411): each pretty-printed string is a
+  * concatenation of optional unit groups, summed in double arithmetic and
+  * truncated toward zero — "278.73 KB" → 285419, "2.85K" → 2850,
+  * "795.202us" → 795202, "-1.00 B" → -1, "0" → 0, "-1" → -1.
+  * Compound forms like "1h2m" or "1.5GB512MB" sum their groups.
+  *
+  * Kept as static JVM methods so both the Scala UDF wrappers and Catalyst
+  * codegen can call them without boxing detours.
+  */
+object Units {
+
+  private val sizeRe = Pattern.compile(
+    "^((?<GB>[0-9.]+) ?GB)?((?<MB>[0-9.]+) ?MB)?((?<KB>[0-9.]+) ?KB)?((?<B>-?[0-9.]+) ?B)?(0)?$")
+
+  private val numberRe = Pattern.compile(
+    "^((?<B>[0-9.]+)B)?((?<M>[0-9.]+)M)?((?<K>[0-9.]+)K)?(?<S>-?[0-9.]+)?$")
+
+  private val timeRe = Pattern.compile(
+    "^((?<h>[0-9.]+)h)?((?<m>[0-9.]+)m)?((?<s>[0-9.]+)s)?((?<ms>[0-9.]+)ms)?((?<us>[0-9.]+)us)?((?<ns>[0-9.]+)ns)?$")
+
+  private def grp(m: java.util.regex.Matcher, g: String): Double = {
+    val v = m.group(g)
+    if (v == null) 0.0 else v.toDouble
+  }
+
+  /** P5: "278.73 KB" → 285419 (profile_analyzer.py:341-360). */
+  def parseSize(s: String): Long = {
+    val m = sizeRe.matcher(s.trim)
+    if (!m.matches()) throw new IllegalArgumentException(s"unparseable size: '$s'")
+    (grp(m, "GB") * 1024d * 1024d * 1024d +
+      grp(m, "MB") * 1024d * 1024d +
+      grp(m, "KB") * 1024d +
+      grp(m, "B")).toLong
+  }
+
+  /** P6a: "2.85K" → 2850; B=1e9, M=1e6, K=1e3 (profile_analyzer.py:362-380). */
+  def parseUnits(s: String): Long = {
+    val m = numberRe.matcher(s.trim)
+    if (!m.matches()) throw new IllegalArgumentException(s"unparseable number: '$s'")
+    (grp(m, "B") * 1e9 + grp(m, "M") * 1e6 + grp(m, "K") * 1e3 + grp(m, "S")).toLong
+  }
+
+  /** P6b: "795.202us" → 795202 ns; h/m/s/ms/us/ns, compounds sum
+    * (profile_analyzer.py:382-403). */
+  def parseTime(s: String): Long = {
+    val m = timeRe.matcher(s.trim)
+    if (!m.matches()) throw new IllegalArgumentException(s"unparseable time: '$s'")
+    (grp(m, "h") * 3600e9 + grp(m, "m") * 60e9 + grp(m, "s") * 1e9 +
+      grp(m, "ms") * 1e6 + grp(m, "us") * 1e3 + grp(m, "ns")).toLong
+  }
+
+  /** P7: DOUBLE_VALUE counters carry doubles in i64 bits
+    * (profile_analyzer.py:405-411). */
+  def counterDouble(bits: Long): Double = java.lang.Double.longBitsToDouble(bits)
+
+  /** Counter value as double regardless of declared type. */
+  def counterValue(counterType: Int, value: Long): Double =
+    if (counterType == graft.model.CounterType.DoubleValue) counterDouble(value)
+    else value.toDouble
+}

@@ -1,0 +1,130 @@
+package graft.model
+
+/** Relational model of the reference's three document collections
+  * (SURVEY.md §1.2; reference: code/python/profile_analyzer.py:14-21,
+  * 293-336) plus the thrift runtime-profile tree (§1.1,
+  * code/python/RuntimeProfile.thrift:19-95).
+  *
+  * The reference stores dynamic-schema MongoDB documents; here the schema is
+  * fixed and explicit so the tables live as Parquet — columnar at rest,
+  * prunable and pushdown-friendly at 100 TB. Nullable/conditional document
+  * fields become Options.
+  */
+
+// ---------------------------------------------------------------------------
+// Ingest-side: thrift runtime-profile tree (RuntimeProfile.thrift:19-95)
+// ---------------------------------------------------------------------------
+
+object CounterType {
+  // RuntimeProfile.thrift:19-27
+  val Unit = 0
+  val UnitPerSecond = 1
+  val CpuTicks = 2
+  val Bytes = 3
+  val BytesPerSecond = 4
+  val TimeNs = 5
+  val DoubleValue = 6
+  val names: Map[Int, String] = Map(
+    0 -> "UNIT", 1 -> "UNIT_PER_SECOND", 2 -> "CPU_TICKS", 3 -> "BYTES",
+    4 -> "BYTES_PER_SECOND", 5 -> "TIME_NS", 6 -> "DOUBLE_VALUE")
+}
+
+/** RuntimeProfile.thrift:30-34. `value` holds raw i64 bits; DOUBLE_VALUE
+  * counters are reinterpreted via [[graft.functions.Units.counterDouble]]
+  * (profile_analyzer.py:405-411). */
+case class TCounter(name: String, counterType: Int, value: Long)
+
+/** RuntimeProfile.thrift:38-42; the two parallel lists zipped at ingest. */
+case class ProfileEvent(label: String, timestampNs: Long)
+
+/** RuntimeProfile.thrift:50-59 — parsed and carried, never analyzed by the
+  * reference (SURVEY.md §1.1). */
+case class TTimeSeriesCounter(name: String, counterType: Int, periodMs: Int,
+                              values: Seq[Long])
+
+/** RuntimeProfile.thrift:62-89. Tree shape implied by pre-order flattening +
+  * `numChildren` (RuntimeProfile.thrift:93-95). */
+case class ProfileNode(
+    name: String,
+    numChildren: Int,
+    counters: Seq[TCounter],
+    metadata: Long,
+    indent: Boolean,
+    infoStrings: Map[String, String],
+    infoStringsDisplayOrder: Seq[String],
+    childCountersMap: Map[String, Seq[String]],
+    eventSequences: Seq[(String, Seq[ProfileEvent])] = Seq.empty,
+    timeSeriesCounters: Seq[TTimeSeriesCounter] = Seq.empty)
+
+case class ProfileTree(nodes: Seq[ProfileNode])
+
+// ---------------------------------------------------------------------------
+// Stored model: the three tables (profile_analyzer.py:14-21)
+// ---------------------------------------------------------------------------
+
+/** One row per analyzed query (profile_analyzer.py:293-336; the `sql` struct
+  * is attached by the SQL-analysis pass, QueryAnalyzer.java:347-348 →
+  * [[graft.sqlstats]]). Timestamps: start/end in epoch µs, all durations in
+  * ns as Long (Spark TimestampType is µs; the reference does ns arithmetic
+  * on i64 — SURVEY.md §1.3). */
+case class QueryRow(
+    query_id: String,
+    tag: String,
+    query_type: String, // 'QUERY' | 'DDL' | 'DML' (profile_analyzer.py:29-37)
+    stmt: String,
+    runtime: Long,                // ns (profile_analyzer.py:319)
+    start_time: Long,             // epoch µs (profile_analyzer.py:320-325)
+    end_time: Long,               // epoch µs
+    plan_time: Long,              // ns = event_sequences[0].timestamps[1]
+    fragment_start_time: Long,    // ns = ts[3] - ts[1]
+    hosts: Seq[String],           // sorted host:port (profile_analyzer.py:284-290)
+    cluster: String,              // md5 of hosts (profile_analyzer.py:302)
+    num_hosts: Long,
+    num_hdfs_scans: Long,
+    num_tables: Long,
+    impala_version: Option[String],
+    impala_flag: Option[String],
+    impala_build: Option[String])
+
+/** One row per ExecSummary operator line (profile_analyzer.py:59-76,
+  * enriched 113-193, 250-270). Conditional Mongo fields → Options.
+  * `counters` values are raw i64 (DOUBLE_VALUE bits included);
+  * `counter_types` records each counter's TCounterType for reinterpretation.
+  */
+case class OperatorRow(
+    query_id: String,
+    id: Int,
+    name: String,                 // 'SCAN HDFS' | 'HASH JOIN' | ...
+    num_hosts: Long,
+    avg_time: Long,               // ns
+    max_time: Long,               // ns
+    num_rows: Long,
+    est_num_rows: Long,
+    peak_mem: Long,               // bytes
+    est_peak_mem: Long,           // bytes
+    detail: String,
+    fragment_id: Option[Int],
+    parent_id: Option[Int],       // plan-tree topology (profile_analyzer.py:119-134)
+    left_child_id: Option[Int],   // joins only; right child first in plan text
+    right_child_id: Option[Int],  //   (profile_analyzer.py:136-141)
+    table: Option[String],        // SCAN HDFS only (profile_analyzer.py:143-146)
+    join_type: Option[String],    // e.g. 'INNER JOIN' (profile_analyzer.py:147-155)
+    join_impl: Option[String],    // 'BROADCAST' | 'PARTITIONED'
+    agg_type: Option[String],     // 'PRE' | 'POST' (profile_analyzer.py:156-165)
+    cardinality: Option[Long],    // planner estimate; -1 if 'unavailable'
+    row_size: Option[Long],       // bytes (profile_analyzer.py:175-184)
+    size: Option[Long],           // HDFS scan bytes (profile_analyzer.py:186-193)
+    counters: Map[String, Seq[Long]],      // per-host vectors (profile_analyzer.py:250-270)
+    counter_types: Map[String, Int],
+    avg_counters: Map[String, Long],       // averaged-fragment scalars
+    info: Map[String, Seq[String]])
+
+/** One row per plan fragment (profile_analyzer.py:88-111, 220-248). */
+case class FragmentRow(
+    query_id: String,
+    id: Int,
+    exchange_id: Option[Int], // EXCHANGE this fragment's sink feeds; None = root
+    code_gen: Map[String, Seq[Long]],
+    avg_code_gen: Map[String, Long],
+    hdfs_table_sink: Map[String, Seq[Long]],
+    avg_hdfs_table_sink: Map[String, Long])

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Expression↔Column conversion `private[sql]`
+  * (org.apache.spark.sql.classic.ExpressionUtils). This bridge lives inside
+  * the sql package tree solely to re-export those two conversions for
+  * graft's native Catalyst expressions. No Spark internals are reimplemented
+  * here.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

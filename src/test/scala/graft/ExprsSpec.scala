@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** The P5-P7 Catalyst expressions evaluated through real DataFrame plans
+  * (both codegen and interpreted paths). */
+class ExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parse_size/parse_units/parse_time as columns") {
+    val df = Seq(
+      ("278.73 KB", "2.85K", "795.202us"),
+      ("0", "-1", "1h2m"),
+      ("-1.00 B", "42", "999ns")).toDF("sz", "un", "tm")
+    val rows = df.select(
+      F.parse_size($"sz").as("b"),
+      F.parse_units($"un").as("u"),
+      F.parse_time($"tm").as("t")).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      (285419L, 2850L, 795202L),
+      (0L, -1L, 3720000000000L),
+      (-1L, 42L, 999L)))
+  }
+
+  test("counter_double bit-reinterpret through a plan") {
+    val bits = java.lang.Double.doubleToLongBits(2.718281828)
+    val out = Seq(bits).toDF("v").select(F.counter_double($"v")).as[Double].head()
+    assert(out === 2.718281828)
+  }
+
+  test("null propagates") {
+    val out = Seq[(java.lang.String, java.lang.Long)](((null, null))).toDF("s", "v")
+      .select(F.parse_size($"s"), F.counter_double($"v")).collect()(0)
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("expressions stay inside WholeStageCodegen") {
+    // non-foldable input so the projection survives into the physical plan
+    val df = spark.range(3)
+      .select(F.parse_time(concat($"id".cast("string"), lit("us"))).as("ns"))
+    val hasCodegen = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegen, df.queryExecution.executedPlan.toString)
+    assert(df.as[Long].collect().toSeq === Seq(0L, 1000L, 2000L))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Units
+
+/** P5-P7 unit parsers vs the reference's documented semantics
+  * (profile_analyzer.py:341-411 docstring examples + special cases). */
+class UnitsSpec extends AnyFunSuite {
+
+  /** Deterministic property sweep (scalatestplus bridge isn't on the
+    * classpath, so plain seeded sampling instead of forAll). */
+  private def forSamples(lo: Long, hi: Long, n: Int = 300)(check: Long => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    (0 until n).foreach { _ =>
+      check(lo + (math.abs(rnd.nextLong()) % (hi - lo)))
+    }
+  }
+
+  test("parseSize docstring examples and special cases") {
+    assert(Units.parseSize("278.73 KB") === 285419L)
+    assert(Units.parseSize("0") === 0L)
+    assert(Units.parseSize("-1.00 B") === -1L)
+    assert(Units.parseSize("1.00 GB") === 1073741824L)
+    assert(Units.parseSize("2.00 MB") === 2097152L)
+    assert(Units.parseSize("17 B") === 17L)
+    // compound groups sum (regex allows e.g. "1.50 GB512.00 MB")
+    assert(Units.parseSize("1.00 GB512.00 MB") === 1073741824L + 536870912L)
+  }
+
+  test("parseUnits docstring examples and special cases") {
+    assert(Units.parseUnits("2.85K") === 2850L)
+    assert(Units.parseUnits("-1") === -1L)
+    assert(Units.parseUnits("1.50B") === 1500000000L)
+    assert(Units.parseUnits("3.25M") === 3250000L)
+    assert(Units.parseUnits("42") === 42L)
+  }
+
+  test("parseTime docstring examples and compounds") {
+    assert(Units.parseTime("795.202us") === 795202L)
+    assert(Units.parseTime("1s") === 1000000000L)
+    assert(Units.parseTime("2m") === 120000000000L)
+    assert(Units.parseTime("1h2m") === 3720000000000L)
+    assert(Units.parseTime("10ms") === 10000000L)
+    assert(Units.parseTime("1h2m3s4ms5us6ns") ===
+      3600e9.toLong + 120e9.toLong + 3e9.toLong + 4000000L + 5000L + 6L)
+    assert(Units.parseTime("999ns") === 999L)
+  }
+
+  test("counterDouble reinterprets i64 bits") {
+    val bits = java.lang.Double.doubleToLongBits(3.14159)
+    assert(Units.counterDouble(bits) === 3.14159)
+    assert(Units.counterValue(graft.model.CounterType.DoubleValue, bits) === 3.14159)
+    assert(Units.counterValue(graft.model.CounterType.Unit, 42L) === 42.0)
+  }
+
+  // Property: format-then-parse round trips (up to the 2-decimal print
+  // precision the Impala pretty-printer uses).
+  test("parseSize round-trips formatted byte counts within print precision") {
+    forSamples(0L, 1L << 40) { n =>
+      val pretty =
+        if (n >= (1L << 30)) f"${n / 1024.0 / 1024 / 1024}%.2f GB"
+        else if (n >= (1L << 20)) f"${n / 1024.0 / 1024}%.2f MB"
+        else if (n >= 1024) f"${n / 1024.0}%.2f KB"
+        else s"$n B"
+      val parsed = Units.parseSize(pretty)
+      val scale = if (n >= (1L << 30)) (1L << 30) else if (n >= (1L << 20)) (1L << 20)
+                  else if (n >= 1024) 1024L else 1L
+      // 2-dp print precision → at most scale/100 absolute error (+1 for trunc)
+      assert(math.abs(parsed - n) <= scale / 100 + 1)
+    }
+  }
+
+  test("parseTime round-trips formatted ns within print precision") {
+    forSamples(0L, 10L * 3600 * 1000000000L) { ns =>
+      val pretty =
+        if (ns >= 1000000000L) f"${ns / 1e9}%.3fs"
+        else if (ns >= 1000000L) f"${ns / 1e6}%.3fms"
+        else if (ns >= 1000L) f"${ns / 1e3}%.3fus"
+        else s"${ns}ns"
+      val parsed = Units.parseTime(pretty)
+      val scale = if (ns >= 1000000000L) 1000000L else if (ns >= 1000000L) 1000L
+                  else 1L
+      assert(math.abs(parsed - ns) <= scale / 2 + 1)
+    }
+  }
+
+  test("unparseable inputs throw") {
+    assertThrows[IllegalArgumentException](Units.parseSize("banana"))
+    assertThrows[IllegalArgumentException](Units.parseUnits("1.2.3.4X"))
+    assertThrows[IllegalArgumentException](Units.parseTime("12 parsecs"))
+  }
+}
