@@ -100,9 +100,95 @@ object OracleQueries {
       .agg(sum(discPrice).cast("double").as("revenue"),
            count(lit(1)).as("cnt"))
 
+  /** R1 — tag filter + IN-list predicate (stats.py:18-20 shape). */
+  def r1FilterIn(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY") && col("c_acctbal") > 0.0)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+
+  /** R3 — grand-total aggregate, no grouping key (stats.py:63-71 shape). */
+  def r3GrandTotal(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      sum(dec2("l_extendedprice")).cast("double").as("total_price"),
+      sum(col("l_quantity")).as("total_qty"),
+      min(col("l_shipdate")).as("first_ship"),
+      max(col("l_shipdate")).as("last_ship"),
+      count(lit(1)).as("cnt"))
+
+  /** R5 — share normalization + appended pseudo-row (stats.py:73-99 shape):
+    * per-group share of a windowed grand total, plus a literal 'ALL' row
+    * union'd on (the reference appends pseudo-operator rows the same way). */
+  def r5TimeShare(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("key"))
+      .agg(sum(dec2("o_totalprice")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    // divide as doubles: Spark's decimal division truncates scale differently
+    // from DuckDB's; double/double of identical inputs is bit-identical
+    val withShare = per.withColumn("share",
+      col("v").cast("double") / sum(col("v")).over(w).cast("double"))
+    val allRow = per.agg(sum(col("v")).as("v"))
+      .select(lit("ALL").as("key"), col("v"), lit(1.0).as("share"))
+    withShare.unionByName(allRow)
+      .select(col("key"), col("v").cast("double").as("total_price"), col("share"))
+  }
+
+  /** R8 — JSON scalar extraction (the fixture analogue of the reference's
+    * nested-struct projection; `props` is a JSON string column). */
+  def r8JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+
+  /** R14/R15 — aliased self-join on an adjacency key + guarded ratio
+    * (aggs.py:12-34 / joins.py:45-58 shape: child row looked up by id;
+    * here: next line number within the same order). */
+  def r14SelfJoinRatio(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+    val a = li.toDF("o", "n", "q1")
+    val b = li.toDF("o2", "n2", "q2")
+    a.join(b, col("o") === col("o2") && (col("n") + 1) === col("n2"))
+      .select(col("o").as("l_orderkey"), col("n").as("l_linenumber"),
+        when(col("q1") === 0.0, lit(1.0)).otherwise(col("q2") / col("q1")).as("ratio"))
+  }
+
+  /** R16-R18 — cost-model classify + dual roll-up (joins.py:5-68 shape):
+    * 3-way CASE classification, then count + sum per class. */
+  def r18Classify(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("class",
+        when(col("o_totalprice") > 300000.0, "large")
+          .when(col("o_orderstatus") === "F", "finished")
+          .otherwise("other"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(dec2("o_totalprice")).cast("double").as("total_price"))
+
+  /** R19 — concurrency sweep-line over event intervals
+    * (stats.py:383-405; Relational.sweepLine). Interval = [ts, ts + value
+    * seconds); everything at µs precision because DuckDB truncates the
+    * TIMESTAMP_NS column to µs. */
+  def r19SweepLine(s: SparkSession, d: String): DataFrame = {
+    // ts is a ns-epoch Long (~1.7e18) — bigger than 2^53, so integer DIV,
+    // never double division, to keep µs values exact.
+    val iv = Tables.events(s, d).select(
+      col("event_type"),
+      expr("ts DIV 1000").as("start_us"),
+      (expr("ts DIV 1000") + round(col("value") * 1e6).cast("long")).as("end_us"))
+    Relational.sweepLine(iv, "event_type", "start_us", "end_us")
+  }
+
   // ----------------------------------------------------------------- oracle
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_filter_in" -> (r1FilterIn _),
+    "r3_grand_total" -> (r3GrandTotal _),
+    "r5_time_share" -> (r5TimeShare _),
+    "r8_json_extract" -> (r8JsonExtract _),
+    "r14_selfjoin_ratio" -> (r14SelfJoinRatio _),
+    "r18_classify" -> (r18Classify _),
+    "r19_sweepline" -> (r19SweepLine _),
     "r2_group_sum" -> (r2GroupSum _),
     "r4_topk_threshold" -> (r4TopK _),
     "r6_conditional_counts" -> (r6ConditionalCounts _),
@@ -114,6 +200,59 @@ object OracleQueries {
     "join_multiway" -> (joinMultiway _))
 
   val sql: Map[String, String] = Map(
+    "r1_filter_in" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','MACHINERY') AND c_acctbal > 0.0""".stripMargin,
+    "r3_grand_total" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  SUM(l_quantity) AS total_qty,
+        |  MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+        |  COUNT(*) AS cnt
+        |FROM lineitem""".stripMargin,
+    "r5_time_share" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS key, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT key, CAST(v AS DOUBLE) AS total_price,
+        |  CAST(v AS DOUBLE) / CAST(SUM(v) OVER () AS DOUBLE) AS share
+        |FROM per
+        |UNION ALL
+        |SELECT 'ALL' AS key, CAST(SUM(v) AS DOUBLE) AS total_price, 1.0 AS share FROM per""".stripMargin,
+    "r8_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS cnt
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "r14_selfjoin_ratio" ->
+      """SELECT a.l_orderkey, a.l_linenumber,
+        |  CASE WHEN a.l_quantity = 0.0 THEN 1.0 ELSE b.l_quantity / a.l_quantity END AS ratio
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber""".stripMargin,
+    "r18_classify" ->
+      """SELECT CASE WHEN o_totalprice > 300000.0 THEN 'large'
+        |            WHEN o_orderstatus = 'F' THEN 'finished'
+        |            ELSE 'other' END AS class,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "r19_sweepline" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS s,
+        |         epoch_us(ts) + CAST(ROUND(value * 1000000, 0) AS BIGINT) AS e
+        |  FROM events),
+        |ev AS (
+        |  SELECT event_type, s AS ts, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT event_type, e AS ts, -1 AS delta FROM iv),
+        |st AS (
+        |  SELECT event_type, ts, delta,
+        |    CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY ts, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc,
+        |    LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts, delta) AS next_ts
+        |  FROM ev)
+        |SELECT event_type,
+        |  MAX(conc) AS max_concurrency,
+        |  CAST(SUM(conc * (next_ts - ts)) AS DOUBLE) / SUM(next_ts - ts) AS avg_concurrency
+        |FROM st GROUP BY event_type""".stripMargin,
     "r2_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
