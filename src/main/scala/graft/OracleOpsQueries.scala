@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Oracle-gated queries for the training-data-pipeline operators
+  * (dedup / text analysis) over the `documents` table. The DuckDB mirrors
+  * use the same md5-based 60-bit hash ([[TextAnalysis.hash60]]) so even
+  * MinHash/SimHash are exactly reproducible cross-engine.
+  */
+object OracleOpsQueries {
+  import TextAnalysis._
+
+  private val H60 = "CAST(('0x' || substr(md5(%s),1,15)) AS BIGINT)"
+  private def h60(e: String) = H60.format(e)
+
+  // ---------------------------------------------------------------- queries
+
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+      punctCount(col("text")).cast("long").as("n_punct"))
+
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val cols = qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
+  def textLangId(s: SparkSession, d: String): DataFrame = {
+    val scores = langScores(col("text")).map { case (n, c) => c.as(n) }
+    Tables.documents(s, d)
+      .select((col("doc_id") +: scores) :+ langId(col("text")).as("lang_pred"): _*)
+  }
+
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      fingerprint60(col("text")).as("fp60"))
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _))
+
+  // ----------------------------------------------------------------- oracle
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents)""".stripMargin
+
+  private val shinglesCte =
+    s"""$toksCte,
+       |shl AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(generate_series(1, len(t)-2),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [] END) AS shs
+       |  FROM toks),
+       |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl)""".stripMargin
+
+  private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def langScoreSql(markers: Seq[String]): String =
+    s"len(list_filter(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0), x -> list_contains(${markers.map(m => s"'$m'").mkString("[", ", ", "]")}, x)))"
+
+  private val simhashSumsSql = (0 until Dedup.SimhashBits)
+    .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+    .mkString(",\n    ")
+  private val simhashValueSql = (0 until Dedup.SimhashBits)
+    .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+    .mkString(" + ")
+
+  val sql: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '$bpeTokenRegex')) AS BIGINT) AS n_bpe,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct
+         |FROM toks""".stripMargin,
+    "text_quality" ->
+      s"""WITH $toksCte,
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars2,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, n_chars2, n_punct, n_stopwords,
+         |  CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars2, 1) AS DOUBLE) AS punct_ratio,
+         |  CAST(n_stopwords AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
+         |  (least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+         |   + least((CAST(n_stopwords AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 4.0, 1.0)
+         |   + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars2, 1) AS DOUBLE)) * 10.0, 1.0))) / 3.0 AS quality
+         |FROM feat""".stripMargin,
+    "text_langid" -> {
+      val scoreExprs = langMarkers.map { case (l, ms) =>
+        s"${langScoreSql(ms)} AS score_$l"
+      }.mkString(",\n    ")
+      val langs = (langMarkers.map(_._1) :+ "zh").sorted
+      val branches = langs.init.map { l =>
+        val conds = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    $scoreExprs,
+         |    CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS score_zh
+         |  FROM documents)
+         |SELECT doc_id, CAST(score_de AS BIGINT) AS score_de, CAST(score_en AS BIGINT) AS score_en,
+         |  CAST(score_es AS BIGINT) AS score_es, CAST(score_fr AS BIGINT) AS score_fr, score_zh,
+         |  CASE
+         |    $branches
+         |    ELSE '${langs.last}' END AS lang_pred
+         |FROM scored""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         |  ${h60("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp60
+         |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp,
+        |  MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+        |  COUNT(*) OVER (PARTITION BY fp) AS group_size,
+        |  CAST(doc_id != MIN(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup
+        |FROM f""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.id1, p.id2, p.common, c1.n AS n1, c2.n AS n2,
+         |  CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) AS jaccard
+         |FROM pairs p JOIN cnt c1 ON p.id1 = c1.doc_id JOIN cnt c2 ON p.id2 = c2.doc_id
+         |WHERE CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_minhash_lsh" -> {
+      val p = Dedup.MinhashP
+      val sigCols = (0 until 8).map(i =>
+        s"MIN((h * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $p) AS m$i").mkString(",\n    ")
+      val bucketRows = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS key FROM sig")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $shinglesCte,
+         |hh AS (SELECT doc_id, ${h60("shingle")} % $p AS h FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM hh GROUP BY doc_id),
+         |buckets AS (
+         |  $bucketRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |com AS (
+         |  SELECT c.id1, c.id2, count(*) AS common
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.id1
+         |  JOIN sh s2 ON s2.doc_id = c.id2 AND s1.shingle = s2.shingle
+         |  GROUP BY c.id1, c.id2)
+         |SELECT m.id1, m.id2,
+         |  CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) AS jaccard
+         |FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
+         |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin
+    },
+    "dedup_simhash" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |hh AS (SELECT doc_id, ${h60("token")} AS h FROM tok),
+         |sums AS (
+         |  SELECT doc_id,
+         |    $simhashSumsSql
+         |  FROM hh GROUP BY doc_id),
+         |sim AS (SELECT doc_id, CAST($simhashValueSql AS BIGINT) AS simhash FROM sums),
+         |buckets AS (
+         |  SELECT doc_id, simhash, 0 AS band, (simhash >> 0) & 32767 AS key FROM sim UNION ALL
+         |  SELECT doc_id, simhash, 1, (simhash >> 15) & 32767 FROM sim UNION ALL
+         |  SELECT doc_id, simhash, 2, (simhash >> 30) & 32767 FROM sim UNION ALL
+         |  SELECT doc_id, simhash, 3, (simhash >> 45) & 32767 FROM sim),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |    a.simhash AS sim1, b.simhash AS sim2
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(sim1, sim2)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sim1, sim2)) <= 3""".stripMargin)
+}

@@ -7,8 +7,8 @@ object SparkEntry {
     OracleQueries.joinMultiway(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    OracleQueries.queries
+    OracleQueries.queries ++ OracleOpsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = OracleQueries.sql
+  def oracleSql: Map[String, String] = OracleQueries.sql ++ OracleOpsQueries.sql
 }

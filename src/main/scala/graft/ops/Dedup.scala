@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextAnalysis._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. All are declarative DataFrame plans over
+  * the portable md5-based [[TextAnalysis.hash60]], so every variant is
+  * deterministic and (where practical) DuckDB-oracle-checkable.
+  *
+  * 100 TB design notes:
+  *  - candidate generation always goes through a bucket/band equi-join, so
+  *    the shuffle key is the band/bucket, never an all-pairs cross join;
+  *  - shingles are distinct-per-doc before the join (bounds fan-out by
+  *    document length, not token frequency);
+  *  - `maxShingleDocFreq` drops stop-shingles (present in > N docs) before
+  *    pairing — the skew/salting valve for hot n-grams at scale.
+  */
+object Dedup {
+
+  /** Exact dedup: fingerprint group → canonical id (min doc id) per group.
+    * One window over the fingerprint hash partition; at scale this is a
+    * single hash shuffle on the fingerprint. */
+  def exact(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    df.select(col(id), fingerprint(col(text)).as("fp"))
+      .withColumn("canonical_id", min(col(id)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", (col(id) =!= col("canonical_id")).cast("int"))
+      .select(col(id), col("fp"), col("canonical_id"), col("group_size"), col("is_dup"))
+  }
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val t = tokens(col(text))
+    val sh = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
+    ).otherwise(array())
+    df.select(col(id), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** N-gram Jaccard near-dup pairs: explode distinct shingles → equi-join on
+    * shingle → per-pair common count → |A∩B|/(|A|+|B|-|A∩B|) ≥ threshold.
+    * `maxShingleDocFreq`, if set, drops shingles shared by more than that
+    * many docs before pairing (skew control; changes results, so the
+    * oracle-gated query leaves it off). */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+                        threshold: Double,
+                        maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val sh = shingles(df, id, text, n).cache()
+    val shFiltered = maxShingleDocFreq match {
+      case Some(cap) =>
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      case None => sh
+    }
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val a = shFiltered.toDF("id1", "shingle")
+    val b = shFiltered.toDF("id2", "shingle")
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.toDF("id1", "n1"), "id1")
+      .join(counts.toDF("id2", "n2"), "id2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("common"), col("n1"), col("n2"), col("jaccard"))
+  }
+
+  /** MinHash parameters: k universal-hash permutations
+    * h_i(x) = (a_i * (hash60(x) mod P) + b_i) mod P over the prime P. */
+  val MinhashP = 1000000007L
+  def minhashA(i: Int): Long = Seq(131L, 1031L, 10007L, 100003L, 1000033L, 999983L, 31L, 271L)(i)
+  def minhashB(i: Int): Long = Seq(7L, 17L, 29L, 47L, 89L, 151L, 223L, 379L)(i)
+
+  /** Per-doc MinHash signature columns m0..m{k-1}. */
+  def minhashSignature(df: DataFrame, id: String, text: String, n: Int, k: Int): DataFrame = {
+    val sh = shingles(df, id, text, n)
+      .withColumn("h", hash60(col("shingle")) % MinhashP)
+    val aggs = (0 until k).map(i =>
+      min((col("h") * minhashA(i) + minhashB(i)) % MinhashP).as(s"m$i"))
+    sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: signatures → band keys (rows-per-band
+    * consecutive minhashes concatenated) → candidates = pairs sharing any
+    * band bucket → exact Jaccard verification on candidates only.
+    *
+    * At scale: candidates come from a groupable equi-join on (band_idx,
+    * band_key) — no O(N²); verification joins back to the shingle sets of
+    * the (much smaller) candidate pair set.
+    */
+  def minhashLshPairs(df: DataFrame, id: String, text: String,
+                      n: Int = 3, k: Int = 8, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val rows = k / bands
+    val sig = minhashSignature(df, id, text, n, k)
+    val bandCols = (0 until bands).map { bIdx =>
+      val key = concat_ws("_",
+        (0 until rows).map(r => col(s"m${bIdx * rows + r}")): _*)
+      struct(lit(bIdx).as("band"), key.as("key"))
+    }
+    val buckets = sig.select(col(id), explode(array(bandCols: _*)).as("b"))
+      .select(col(id), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = buckets.toDF("id1", "band", "key")
+      .join(buckets.toDF("id2", "band", "key"), Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    // exact verification on candidates
+    val sh = shingles(df, id, text, n)
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.toDF("id1", "shingle"), "id1")
+      .join(sh.toDF("id2", "shingle2"), "id2")
+      .filter(col("shingle") === col("shingle2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.toDF("id1", "n1"), "id1")
+      .join(counts.toDF("id2", "n2"), "id2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** 60-bit SimHash over whitespace tokens (frequency-weighted): for each
+    * bit b, sum +1/-1 over tokens by bit b of hash60(token); bit set iff
+    * sum > 0. Single groupBy with 60 conditional-sum aggregates — one
+    * shuffle, no explode of the bit dimension. */
+  val SimhashBits = 60
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id), explode(tokens(col(text))).as("t"))
+      .withColumn("h", hash60(col("t")))
+    val bitSums = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b"))
+    val sums = tok.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until SimhashBits).map(b =>
+      when(col(s"s$b") > 0L, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    sums.select(col(id), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs via band join (bands of 15 bits → any shared
+    * band is a candidate) + Hamming distance filter. */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val bandsN = 4
+    val bandBits = SimhashBits / bandsN // 15
+    val sim = simhash(df, id, text)
+    val bandCols = (0 until bandsN).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), i * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+    }
+    val buckets = sim.select(col(id), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .select(col(id), col("simhash"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = buckets.toDF("id1", "sim1", "band", "key")
+      .join(buckets.toDF("id2", "sim2", "band", "key"), Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "sim1", "sim2").distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+}

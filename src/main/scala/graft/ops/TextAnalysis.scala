@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` column algebra —
+  * codegen'd, no UDFs — so at 100 TB the whole pass is a single scan-side
+  * projection with no shuffle and no serialization fence.
+  */
+object TextAnalysis {
+
+  /** Portable deterministic 60-bit hash: first 15 hex digits of md5.
+    * Chosen because md5 is identical across engines (DuckDB:
+    * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), making hash-based
+    * operators (minhash/simhash/LSH) oracle-checkable. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword proxy: letter runs, digit runs, single symbols.
+    * The regex is RE2-compatible so the DuckDB oracle can mirror it. */
+  val bpeTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpeTokenRegex))
+
+  val punctRegex = """[.,;:!?'"()\[\]{}]"""
+  def punctCount(c: Column): Column = regexp_count(c, lit(punctRegex))
+
+  /** Common-English stopwords used by the quality score. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "was", "for", "on",
+    "with", "as", "at", "by", "it", "this", "that")
+
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(c), t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Quality features + a composite score in [0,1]:
+    * penalize very short docs, high punctuation density, zero stopwords. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nTok = tokenCount(text).cast("long")
+    val nChar = length(text).cast("long")
+    val nPunct = punctCount(text).cast("long")
+    val nStop = stopwordCount(text).cast("long")
+    val punctRatio = nPunct.cast("double") / greatest(nChar, lit(1L)).cast("double")
+    val stopRatio = nStop.cast("double") / greatest(nTok, lit(1L)).cast("double")
+    val lenScore = least(nTok.cast("double") / lit(64.0), lit(1.0))
+    val score = (lenScore + least(stopRatio * lit(4.0), lit(1.0)) +
+      (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0)))) / lit(3.0)
+    Seq(
+      "n_tokens" -> nTok, "n_chars2" -> nChar, "n_punct" -> nPunct,
+      "n_stopwords" -> nStop, "punct_ratio" -> punctRatio,
+      "stopword_ratio" -> stopRatio, "quality" -> score)
+  }
+
+  /** Language-marker stopword lists for the n-gram/stopword heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ein", "zu", "mit", "ist", "nicht", "von"),
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "was", "for", "on", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "un", "une", "du", "est", "pour"))
+
+  /** CJK codepoint count (zh marker). Unicode-range regex, RE2-compatible. */
+  def cjkCount(c: Column): Column = regexp_count(c, lit("[\\x{4E00}-\\x{9FFF}]"))
+
+  /** Heuristic language ID: stopword-hit scores per language + CJK count;
+    * argmax with alphabetical tie-break (deterministic, oracle-stable). */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val t = tokens(lower(text))
+    langMarkers.map { case (lang, markers) =>
+      s"score_$lang" -> size(filter(t, x => x.isin(markers.map(m => m: Any): _*))).cast("long")
+    } :+ ("score_zh" -> cjkCount(text).cast("long"))
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val langs = scores.map(_._1.stripPrefix("score_"))
+    val byName = scores.toMap
+    // alphabetical order = tie-break order; each branch wins all later ones
+    val branches = langs.sorted.map { l =>
+      val mine = byName(s"score_$l")
+      val cond = langs.sorted.filter(_ != l)
+        .map(o => mine >= byName(s"score_$o")).reduce(_ && _)
+      (cond, lit(l))
+    }
+    branches.init.foldRight(branches.last._2: Column) {
+      case ((cond, v), acc) => when(cond, v).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercased,
+    * whitespace collapsed) + its 60-bit long form. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+  def fingerprint(text: Column): Column = md5(normalized(text))
+  def fingerprint60(text: Column): Column = hash60(normalized(text))
+}
