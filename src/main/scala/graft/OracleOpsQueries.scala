@@ -55,7 +55,38 @@ object OracleOpsQueries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
 
+  def simBruteForce(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryId = 0L, k = 10)
+
+  def simKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.ops.Similarity.knnJoin(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+  }
+
+  def simLshTopK(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryId = 0L, k = 10, planes = 4)
+
+  def simCosinePairs(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.3, planes = 4)
+
+  def mmMeta(s: SparkSession, d: String): DataFrame = {
+    val media = graft.ops.Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+    media.select(
+      col("doc_id"), col("kind"),
+      length(col("content")).cast("long").as("n_bytes"),
+      substring(base64(col("content")), 1, 16).as("head_b64"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bruteforce_topk" -> (simBruteForce _),
+    "sim_knn_join" -> (simKnnJoin _),
+    "sim_lsh_topk" -> (simLshTopK _),
+    "sim_cosine_pairs" -> (simCosinePairs _),
+    "mm_meta" -> (mmMeta _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
@@ -95,7 +126,73 @@ object OracleOpsQueries {
     .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
     .mkString(" + ")
 
+  /** DuckDB mirrors of [[graft.ops.Similarity]]'s double arithmetic:
+    * list_reduce folds left like Spark's aggregate(), so doubles match
+    * bit-exactly. */
+  private val embCte =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val lshPlanes = 4
+  private val planesCte =
+    s"""planes AS (
+       |  SELECT p, list(r ORDER BY j) AS rv FROM (
+       |    SELECT pp.p AS p, jj.j AS j,
+       |      (CAST(('0x' || substr(md5('plane_' || CAST(pp.p AS VARCHAR) || '_' || CAST(jj.j AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0 AS r
+       |    FROM (SELECT unnest(generate_series(0, ${lshPlanes - 1})) AS p) pp,
+       |         (SELECT unnest(generate_series(0, 63)) AS j) jj) GROUP BY p)""".stripMargin
+
+  private val bucketsCte =
+    s"""$planesCte,
+       |$embCte,
+       |bits AS (
+       |  SELECT e.vec_id, pl.p,
+       |    CASE WHEN ${dotSql("v", "rv")} >= 0.0
+       |      THEN CAST(1 AS BIGINT) << pl.p ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM e, planes pl),
+       |bk AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      s"""WITH $embCte,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, ${cosSql("v", "qv")} AS cos
+         |FROM e, q WHERE vec_id != 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_knn_join" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (
+         |  SELECT q.query_id, e.vec_id, ${cosSql("v", "qv")} AS cos
+         |  FROM e, q WHERE e.vec_id != q.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM s)
+         |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 3""".stripMargin,
+    "sim_lsh_topk" ->
+      s"""WITH $bucketsCte,
+         |qb AS (
+         |  SELECT e.v AS qv, bk.bucket AS qbucket
+         |  FROM e JOIN bk ON e.vec_id = bk.vec_id WHERE e.vec_id = 0)
+         |SELECT e.vec_id, ${cosSql("v", "qv")} AS cos
+         |FROM e JOIN bk ON e.vec_id = bk.vec_id, qb
+         |WHERE e.vec_id != 0 AND bk.bucket = qb.qbucket
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_cosine_pairs" ->
+      s"""WITH $bucketsCte,
+         |bv AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2, ${cosSql("a.v", "b.v")} AS cos
+         |FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.3""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id, 'text/fake' AS kind,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  substr(to_base64(CAST(text AS BLOB)), 1, 16) AS head_b64
+        |FROM documents""".stripMargin,
     "text_tokens" ->
       s"""WITH $toksCte
          |SELECT doc_id,

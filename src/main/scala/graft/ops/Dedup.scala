@@ -56,7 +56,8 @@ object Dedup {
       case Some(cap) =>
         val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
-        sh.join(hot, Seq("shingle"), "left_anti")
+        // using-column joins reorder the join key first; restore (id, shingle)
+        sh.join(hot, Seq("shingle"), "left_anti").select(col(id), col("shingle"))
       case None => sh
     }
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in partition-local
+  * batches.
+  *
+  * The Spark-side plumbing (schema, batching, partitioning, output shape)
+  * is real and tested; the actual media decode is STUBBED with a
+  * deterministic fake — this container has no image/audio codecs, so
+  * [[fakeDecode]] derives metadata/features from the bytes' md5. Swapping in
+  * a real decoder means replacing ONLY `fakeDecode`'s body (same signature,
+  * same batch shape).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + source metadata. */
+  case class MediaRow(doc_id: Long, kind: String, content: Array[Byte])
+
+  /** Decoded output: typed metadata + fixed-width feature vector —
+    * the schema a real image decoder (resize + embed) would emit. */
+  case class DecodedMedia(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** STUB decoder: deterministic fake metadata/features from md5(bytes).
+    * A real implementation would decode the image here (per-batch, reusing
+    * codec state across the partition's rows). */
+  def fakeDecode(row: MediaRow): DecodedMedia = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(row.content)
+    def b(i: Int): Int = h(i) & 0xff
+    DecodedMedia(
+      doc_id = row.doc_id,
+      kind = row.kind,
+      n_bytes = row.content.length.toLong,
+      width = 16 * (1 + b(0) % 64),   // 16..1024
+      height = 16 * (1 + b(1) % 64),
+      channels = 1 + b(2) % 4,
+      features = Array.tabulate(FeatureDim)(i => (b(i) - 128) / 128.0f))
+  }
+
+  /** Binary "media" stand-in built from a text table (payload = utf-8
+    * bytes). At scale the payload column arrives from parquet/lance binary
+    * columns — the plumbing below is identical. */
+  def asMedia(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).cast("long").as("doc_id"), lit("text/fake").as("kind"),
+      encode(col(text), "UTF-8").as("content"))
+
+  /** Decode pass: partition-local batches through the (stubbed) decoder.
+    * `mapPartitions` keeps decoder state per partition — the Scala
+    * equivalent of `mapInPandas` batch processing; no shuffle. */
+  def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it => it.map(fakeDecode) }
+  }
+
+  /** Frame sampling for "video" payloads: every nth fixed-size byte chunk,
+    * exploded scan-side (pure column algebra, no UDF). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    val nFrames = floor(length(col("content")) / frameBytes).cast("int")
+    media
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+          i => i % everyNth === 0)))
+      .withColumn("frame",
+        expr(s"substring(content, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col("doc_id"), col("frame_idx"), col("frame"),
+        length(col("frame")).as("frame_bytes"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design (100 TB corpus, 1000 executors):
+  *  - the query side is always tiny (a vector or a small batch) → broadcast;
+  *    the corpus is scanned once, cosine computed scan-side in codegen'd
+  *    higher-order functions (zip_with + aggregate), no shuffle;
+  *  - global top-k goes through `orderBy(...).limit(k)` which Spark executes
+  *    as per-partition TakeOrdered + driver merge of k-row heaps — no full
+  *    sort, no full shuffle;
+  *  - the ANN path buckets the corpus by random-hyperplane LSH signature
+  *    (deterministic md5-seeded planes, so index build is reproducible and
+  *    oracle-checkable) and only scores the query's bucket.
+  *
+  * All arithmetic is double, strictly left-to-right (aggregate over
+  * zip_with), which DuckDB's `list_reduce` mirrors bit-exactly.
+  */
+object Similarity {
+
+  def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential-order dot product: fold left over the zipped arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k neighbors of one stored vector.
+    * The 1-row query side is broadcast; ordering is total (cos desc, id). */
+  def bruteForceTopK(emb: DataFrame, id: String, vec: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(id) === queryId)
+      .select(asDouble(col(vec)).as("qv"))
+    emb.filter(col(id) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(id), cosine(asDouble(col(vec)), col("qv")).as("cos"))
+      .orderBy(desc("cos"), col(id))
+      .limit(k)
+  }
+
+  /** Batched exact kNN join: top-k corpus neighbors for EACH query row.
+    * Queries broadcast; ranking via a window per query id (the per-query
+    * row_number<=k plan; the corpus is still scanned exactly once). */
+  def knnJoin(emb: DataFrame, id: String, vec: String,
+              queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
+    val joined = emb.crossJoin(broadcast(
+        queries.select(col(qid).as("query_id"), asDouble(col(qvec)).as("qv"))))
+      .filter(col(id) =!= col("query_id"))
+      .select(col("query_id"), col(id),
+        cosine(asDouble(col(vec)), col("qv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col(id))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------- LSH
+
+  /** Deterministic md5-based 60-bit hash of a string, computed driver-side
+    * (same value as [[TextAnalysis.hash60]] / the DuckDB mirror). */
+  def hash60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Hyperplane component r(p, j) in [-1, 1]: seeded by md5, identical in
+    * the DuckDB oracle — no RNG state anywhere. */
+  def planeComponent(p: Int, j: Int): Double =
+    (hash60Local(s"plane_${p}_$j") % 2001 - 1000) / 1000.0
+
+  /** The plane matrix as literal array columns (planes × dim doubles —
+    * compiled into the plan, nothing to broadcast or collect). */
+  private def planeLit(p: Int, dim: Int): Column =
+    array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
+
+  /** LSH bucket id: bit p set iff dot(v, plane_p) >= 0. */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      when(dot(asDouble(vec), planeLit(p, dim)) >= 0.0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN top-k: score only the corpus rows in the query's LSH bucket.
+    * ~corpus/2^planes candidates per query at uniform spread. */
+  def lshTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+              k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col(vec), planes, dim))
+    val q = bucketed.filter(col(id) === queryId)
+      .select(asDouble(col(vec)).as("qv"), col("bucket").as("qbucket"))
+    bucketed.filter(col(id) =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qbucket"))
+      .select(col(id), cosine(asDouble(col(vec)), col("qv")).as("cos"))
+      .orderBy(desc("cos"), col(id))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-dup pairs: candidates share an LSH bucket, then
+    * exact cosine >= threshold. Bucket equi-join keeps this O(bucket²)
+    * instead of O(N²). */
+  def cosinePairs(emb: DataFrame, id: String, vec: String, threshold: Double,
+                  planes: Int = 8, dim: Int = 64): DataFrame = {
+    val b = emb.select(col(id), asDouble(col(vec)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes, dim))
+    b.toDF("id1", "v1", "bucket")
+      .join(b.toDF("id2", "v2", "bucket"), Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+}

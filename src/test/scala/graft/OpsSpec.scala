@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup
+    (4L, "completely different words about spark catalyst execution plans")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "canonical_id", "group_size", "is_dup")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 1L, 2L, 0)))
+    assert(out(1) === ((2L, 1L, 2L, 1))) // dup of 1
+    assert(out(2)._2 === 3L && out(3)._2 === 4L)
+  }
+
+  test("ngram jaccard finds near-dup pair, skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // identical
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH recovers the same near-dup pairs as exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, k = 8, bands = 4, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash of identical docs is identical; hamming 0 pair found") {
+    val sims = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) === sims(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("hot-shingle frequency cap drops ubiquitous shingles") {
+    val all = Seq.tabulate(6)(i => (i.toLong, s"common shingle words here unique$i tail"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(all, "doc_id", "text", 3, 0.01,
+      maxShingleDocFreq = Some(2))
+    val uncapped = Dedup.ngramJaccardPairs(all, "doc_id", "text", 3, 0.01)
+    assert(capped.count() < uncapped.count())
+  }
+
+  test("brute-force topk finds the exactly-equal vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 2)
+      .as[(Long, Double)].collect()
+    assert(top(0) === ((1L, 1.0)))
+    assert(top(1)._1 === 2L && math.abs(top(1)._2) < 1e-15)
+  }
+
+  test("multimodal decode is deterministic and batch-shaped") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val out = Multimodal.decode(spark, media).collect().sortBy(_.doc_id)
+    assert(out.length === 4)
+    assert(out(0).n_bytes === docs.as[(Long, String)].collect()
+      .sortBy(_._1).head._2.getBytes("UTF-8").length)
+    // identical payloads decode identically (deterministic stub)
+    assert(out(0).width === out(1).width && out(0).features.toSeq === out(1).features.toSeq)
+    assert(out.forall(r => r.features.length === Multimodal.FeatureDim))
+    assert(out.forall(r => r.width >= 16 && r.width <= 1024 && r.channels >= 1 && r.channels <= 4))
+  }
+
+  test("frame sampling chunks binary content") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 10, everyNth = 2)
+    val rows = frames.filter(col("doc_id") === 1L)
+      .select("frame_idx", "frame_bytes").as[(Int, Int)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 % 2 == 0))
+    assert(rows.forall(_._2 <= 10))
+  }
+
+  test("hash60 matches between driver-side and Catalyst implementations") {
+    val fromCol = Seq("abc", "plane_3_5").toDF("s")
+      .select(TextAnalysis.hash60(col("s"))).as[Long].collect().toSeq
+    assert(fromCol === Seq(
+      Similarity.hash60Local("abc"), Similarity.hash60Local("plane_3_5")))
+  }
+}
