@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.ProfileIngest
+
+/** CLI entry: ingest a profile-dump directory into the three Parquet model
+  * tables and print a summary. `runMain graft.IngestDemo <inDir> <outDir>
+  * <tag>`. */
+object IngestDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(in, out, tag) = args
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = ProfileIngest.ingestToParquet(spark, in, out, tag)
+    println(s"INGEST queries=${t.queries.count()} operators=${t.operators.count()} " +
+      s"fragments=${t.fragments.count()} badLines=${ProfileIngest.badLineCount(spark, in)} " +
+      s"opViolations=${ProfileIngest.operatorConsistencyViolations(t.operators).count()}")
+    t.queries.select("query_id", "query_type", "num_hosts", "num_tables", "runtime").show(5, false)
+    spark.stop()
+  }
+}

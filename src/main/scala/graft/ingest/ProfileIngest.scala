@@ -1,0 +1,150 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ingest.ProfileParser.ParsedProfile
+
+/** S1-S3 ingest pipeline: profile dump text files → the three model tables.
+  *
+  * Reference shape: one OS process per input file, one mongod socket hop per
+  * row (driver.sh:5-7, analyze_profiles.py:14-21). Spark shape: ONE job —
+  * `spark.read.textFile` (splittable, parallel by HDFS block) → a typed
+  * `flatMap` doing base64 → zlib → thrift → parse per line → three Parquet
+  * tables. At 100 TB the decode+parse is embarrassingly parallel scan work;
+  * the only materialization is the persisted parsed dataset feeding the
+  * three table writes (columnar, partitioned by tag).
+  */
+object ProfileIngest {
+
+  case class ProfileTables(queries: DataFrame, operators: DataFrame, fragments: DataFrame)
+
+  /** Decode one dump line: `<ts> <qid> <base64(zlib(thrift))>`
+    * (analyze_profiles.py:16-17: `line.split(' ')[2]`). The stable query id
+    * is the md5 of the payload — deterministic, unlike the reference's
+    * auto-generated ObjectIds. */
+  /** Decode the payload to a tree + stable query id (throws on corrupt
+    * input). */
+  def decodeLine(line: String): (graft.model.ProfileTree, String) = {
+    val payload = line.split(" ")(2)
+    val bytes = java.util.Base64.getDecoder.decode(payload)
+    (ThriftCompact.parseTree(ThriftCompact.inflate(bytes)), ProfileParser.md5Hex(payload))
+  }
+
+  def parseLine(line: String, tag: String, strict: Boolean = false): Option[ParsedProfile] = {
+    try {
+      val (tree, qid) = decodeLine(line)
+      ProfileParser.parse(tree, tag, qid)
+    } catch {
+      case e: Exception if !strict =>
+        // corrupt line: reference would crash the whole file; we drop the
+        // line (count via `badLineCount` when auditing)
+        None
+    }
+  }
+
+  def parse(spark: SparkSession, inputPath: String, tag: String): Dataset[ParsedProfile] = {
+    import spark.implicits._
+    spark.read.textFile(inputPath).flatMap(l => parseLine(l, tag))
+  }
+
+  /** Lines that fail decode/parse with an error (NOT profiles merely gated
+    * out by state/type — those are valid inputs). */
+  def badLineCount(spark: SparkSession, inputPath: String): Long = {
+    import spark.implicits._
+    spark.read.textFile(inputPath).filter { l =>
+      l.trim.nonEmpty && (try { decodeLine(l); false } catch { case _: Exception => true })
+    }.count()
+  }
+
+  /** Split the parsed stream into the three tables. Caller persists `parsed`
+    * if materializing more than one of them from the same pass. */
+  def tables(parsed: Dataset[ParsedProfile]): ProfileTables = {
+    val queries = parsed.select(col("query.*"))
+    val operators = parsed.select(explode(col("operators")).as("op")).select(col("op.*"))
+    val fragments = parsed.select(explode(col("fragments")).as("f")).select(col("f.*"))
+    ProfileTables(queries, operators, fragments)
+  }
+
+  /** Full pipeline: parse once, write the three Parquet tables.
+    * MEMORY_AND_DISK persist replaces re-decoding the input three times;
+    * tables are written sorted by (query_id, id) within partitions — the
+    * moral replacement of the reference's unique b-tree index
+    * (profile_analyzer.py:15-21) for downstream merge-friendly access. */
+  def ingestToParquet(spark: SparkSession, inputPath: String, outDir: String,
+                      tag: String): ProfileTables = {
+    val parsed = parse(spark, inputPath, tag).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val t = tables(parsed)
+      t.queries.write.mode("append").parquet(s"$outDir/queries")
+      t.operators.sortWithinPartitions("query_id", "id")
+        .write.mode("append").parquet(s"$outDir/operators")
+      t.fragments.sortWithinPartitions("query_id", "id")
+        .write.mode("append").parquet(s"$outDir/fragments")
+    } finally parsed.unpersist()
+    ProfileTables(
+      spark.read.parquet(s"$outDir/queries"),
+      spark.read.parquet(s"$outDir/operators"),
+      spark.read.parquet(s"$outDir/fragments"))
+  }
+
+  // ------------------------------------------------------------ P12 checks
+
+  /** Python2 floor division on longs (sum/len in profile_analyzer.py:423
+    * floors toward -inf; SQL DIV truncates toward 0). (a - pmod(a,b)) is an
+    * exact multiple of b, so integral DIV of it equals floor(a/b) with full
+    * 64-bit precision (no double round-trip). */
+  private def floorDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    Bridge.column(IntegralDivide(Bridge.expression(a - pmod(a, b)), Bridge.expression(b)))
+  }
+
+  /** S7-style audit of averaged-vs-per-host counters
+    * (profile_analyzer.py:413-439): rows where the stored average differs
+    * from the integer mean of the per-host vector, skipping the two
+    * counters Impala excludes from averaging. Pure higher-order-function
+    * column algebra — no UDF, no collect. */
+  def operatorConsistencyViolations(operators: DataFrame): DataFrame =
+    operators
+      .select(col("query_id"), col("id"), col("name"),
+        explode(col("avg_counters")).as(Seq("counter", "avg_value")),
+        col("counters"))
+      .filter(!col("counter").isin("InactiveTotalTime", "AsyncTotalTime"))
+      .withColumn("host_values", element_at(col("counters"), col("counter")))
+      .filter(col("host_values").isNotNull && size(col("host_values")) > 0)
+      .withColumn("int_mean",
+        floorDiv(aggregate(col("host_values"), lit(0L), (a, x) => a + x),
+          size(col("host_values")).cast("long")))
+      .filter(col("avg_value") =!= col("int_mean"))
+
+  /** Same audit for fragment CodeGen / HdfsTableSink counter pairs
+    * (profile_analyzer.py:441-459). */
+  def fragmentConsistencyViolations(fragments: DataFrame): DataFrame = {
+    def check(avgCol: String, arrCol: String, label: String): DataFrame =
+      fragments
+        .select(col("query_id"), col("id"),
+          explode(col(avgCol)).as(Seq("counter", "avg_value")), col(arrCol))
+        .withColumn("host_values", element_at(col(arrCol), col("counter")))
+        .filter(col("host_values").isNotNull && size(col("host_values")) > 0)
+        .withColumn("int_mean",
+          floorDiv(aggregate(col("host_values"), lit(0L), (a, x) => a + x),
+            size(col("host_values")).cast("long")))
+        .filter(col("avg_value") =!= col("int_mean"))
+        .select(col("query_id"), col("id"), lit(label).as("section"),
+          col("counter"), col("avg_value"), col("int_mean"))
+    check("avg_code_gen", "code_gen", "CodeGen")
+      .unionByName(check("avg_hdfs_table_sink", "hdfs_table_sink", "HdfsTableSink"))
+  }
+
+  /** S7: cascade delete by tag via anti-joins (delete_queries_with_tag.py:4-9)
+    * — returns the retained tables (Parquet is immutable; rewrite). */
+  def deleteByTag(t: ProfileTables, tag: String): ProfileTables = {
+    val doomed = t.queries.filter(col("tag") === tag).select("query_id")
+    ProfileTables(
+      t.queries.filter(col("tag") =!= tag),
+      t.operators.join(doomed, Seq("query_id"), "left_anti"),
+      t.fragments.join(doomed, Seq("query_id"), "left_anti"))
+  }
+}

@@ -1,0 +1,335 @@
+package graft.ingest
+
+import java.util.regex.Pattern
+
+import graft.functions.Units
+import graft.model._
+
+/** Parses one decoded profile tree into the relational model — the Scala
+  * re-expression of the reference's stateful line parser
+  * (code/python/profile_analyzer.py:23-330). Pure function: runs inside the
+  * ingest `flatMap`, one call per profile, no shared state.
+  */
+object ProfileParser {
+
+  case class ParsedProfile(
+      query: QueryRow,
+      operators: Seq[OperatorRow],
+      fragments: Seq[FragmentRow])
+
+  // mutable builder mirroring the reference's per-operator dict
+  private final class OpBuilder(
+      val id: Int,
+      val name: String,
+      val numHosts: Long,
+      val avgTime: Long,
+      val maxTime: Long,
+      val numRows: Long,
+      val estNumRows: Long,
+      val peakMem: Long,
+      val estPeakMem: Long,
+      val detail: String) {
+    var fragmentId: Option[Int] = None
+    var parentId: Option[Int] = None
+    var leftChildId: Option[Int] = None
+    var rightChildId: Option[Int] = None
+    var table: Option[String] = None
+    var joinType: Option[String] = None
+    var joinImpl: Option[String] = None
+    var aggType: Option[String] = None
+    var cardinality: Option[Long] = None
+    var rowSize: Option[Long] = None
+    var size: Option[Long] = None
+    var counters = Map.empty[String, Vector[Long]]
+    var counterTypes = Map.empty[String, Int]
+    var avgCounters = Map.empty[String, Long]
+    var info = Map.empty[String, Vector[String]]
+  }
+
+  private final class FragBuilder(val id: Int) {
+    var exchangeId: Option[Int] = None
+    var codeGen = Map.empty[String, Vector[Long]]
+    var avgCodeGen = Map.empty[String, Long]
+    var hdfsTableSink = Map.empty[String, Vector[Long]]
+    var avgHdfsTableSink = Map.empty[String, Long]
+  }
+
+  // regexes lifted semantically from profile_analyzer.py:59-76, 83-111,
+  // 113-118, 175-193, 222-267, 284-286, 328-334
+  private val execSummaryRe = Pattern.compile(
+    """^[^0-9]*(?<id>[0-9]+):(?<name>[A-Z\- ]+?)\s+(?<numhosts>[0-9]+)\s+(?<avgtime>[0-9.hmsun]+)\s+(?<maxtime>[0-9.hmsun]+)\s+(?<numrows>[0-9.BMK]+)\s+(?<estnumrows>[0-9.\-BMK]+)\s+(?<peakmem>[0-9.]+( [GMKB]+)?)\s+(?<estpeakmem>[0-9.\-]+( [GMKB]+)?)\s+(?<detail>.*)$""")
+  private val fragmentRe = Pattern.compile("""^F(?<id>[0-9]+):PLAN FRAGMENT \[.+\]\s*$""")
+  private val sinkRe = Pattern.compile(
+    """^\s+DATASTREAM SINK \[FRAGMENT=F(?<fragmentid>[0-9]+), EXCHANGE=(?<exchangeid>[0-9]+), (?<detail>.*)\]\s*$""")
+  private val operatorRe = Pattern.compile(
+    """^\s+(?<indent>[|\- ]+)?(?<id>[0-9]+):(?<name>[A-Z\- ]+?)(\s+\[(?<detail>.+)\])?\s*$""")
+  private val tupleIdsRe = Pattern.compile(
+    """^\s+[| ]+tuple-ids=(?<tupleids>[0-9,N]+) row-size=(?<rowsize>[0-9.]+[GMKB]+) cardinality=(?<cardinality>[0-9]+|unavailable)\s*$""")
+  private val partitionsRe = Pattern.compile(
+    """^\s+partitions=(?<partitions>[0-9]+/[0-9]+) files=(?<files>[0-9]+) size=(?<size>[0-9.]+[GMKB]+)\s*$""")
+  private val coordFragRe = Pattern.compile("""^Coordinator Fragment F(?<id>[0-9]+)$""")
+  private val avgFragRe = Pattern.compile("""^Averaged Fragment F(?<id>[0-9]+)$""")
+  private val fragNodeRe = Pattern.compile("""^Fragment F(?<id>[0-9]+)$""")
+  private val opNodeRe = Pattern.compile("""^(?<name>.+_NODE) \(id=(?<id>[0-9]+)\)$""")
+  private val hostRe = Pattern.compile("""[^() ]+:[0-9]+""")
+  private val versionRe = Pattern.compile(
+    """^impalad version (?<version>[^ ]+) (?<flag>[^ ]+) \(build (?<build>[0-9a-zA-Z]+)\)$""")
+
+  /** Gate + dispatch (profile_analyzer.py:23-37). Returns None for
+    * non-FINISHED/OK profiles and unknown types. */
+  def parse(tree: ProfileTree, tag: String, queryId: String): Option[ParsedProfile] = {
+    val info = tree.nodes(1).infoStrings
+    if (info.getOrElse("Query State", "") != "FINISHED" ||
+        info.getOrElse("Query Status", "") != "OK") return None
+    info.getOrElse("Query Type", "") match {
+      case "QUERY" | "DML" => parseQuery(tree, tag, queryId)
+      case "DDL" => Some(parseDDL(tree, tag, queryId))
+      case _ => None
+    }
+  }
+
+  private def grp(m: java.util.regex.Matcher, g: String): String = m.group(g)
+
+  private def parseQuery(tree: ProfileTree, tag: String, queryId: String): Option[ParsedProfile] = {
+    val rootInfo = tree.nodes(1).infoStrings
+    // skip queries like 'GET_SCHEMAS' (profile_analyzer.py:51-53)
+    if (!rootInfo.contains("ExecSummary")) return None
+
+    // --- P2: ExecSummary regex extract (profile_analyzer.py:59-76)
+    val operators = scala.collection.mutable.LinkedHashMap.empty[Int, OpBuilder]
+    rootInfo("ExecSummary").split("\n").drop(3).foreach { line =>
+      val m = execSummaryRe.matcher(line)
+      if (m.matches()) {
+        val op = new OpBuilder(
+          id = grp(m, "id").toInt,
+          name = grp(m, "name"),
+          numHosts = grp(m, "numhosts").toLong,
+          avgTime = Units.parseTime(grp(m, "avgtime")),
+          maxTime = Units.parseTime(grp(m, "maxtime")),
+          numRows = Units.parseUnits(grp(m, "numrows")),
+          estNumRows = Units.parseUnits(grp(m, "estnumrows")),
+          peakMem = Units.parseSize(grp(m, "peakmem")),
+          estPeakMem = Units.parseSize(grp(m, "estpeakmem")),
+          detail = grp(m, "detail").trim)
+        operators(op.id) = op
+      }
+    }
+
+    // --- P3: stateful plan-text parse (profile_analyzer.py:78-193)
+    val fragments = scala.collection.mutable.LinkedHashMap.empty[Int, FragBuilder]
+    var fragment: FragBuilder = null
+    var currOperator: OpBuilder = null
+    var parentOperators = scala.collection.mutable.Map[Int, OpBuilder](0 -> null)
+    for (line <- rootInfo.getOrElse("Plan", "").split("\n")) {
+      val fm = fragmentRe.matcher(line)
+      val sm = sinkRe.matcher(line)
+      val om = operatorRe.matcher(line)
+      val tm = tupleIdsRe.matcher(line)
+      val pm = partitionsRe.matcher(line)
+      if (fm.matches()) {
+        fragment = new FragBuilder(grp(fm, "id").toInt)
+        fragments(fragment.id) = fragment
+        currOperator = null
+        parentOperators = scala.collection.mutable.Map(0 -> null)
+      } else if (sm.matches()) {
+        fragment.exchangeId = Some(grp(sm, "exchangeid").toInt)
+      } else if (om.matches()) {
+        currOperator = operators(grp(om, "id").toInt)
+        val indent = Option(om.group("indent"))
+        val parentOperator: OpBuilder = indent match {
+          case None => parentOperators(0)
+          case Some(ind) if ind.endsWith("--") =>
+            // branch child: parent is the deepest shallower indent
+            val pi = parentOperators.keys.filter(_ < ind.length)
+              .foldLeft(0)(math.max)
+            parentOperators(pi)
+          case Some(ind) =>
+            // continuation at same depth: parent registered at exactly this
+            // indent (profile_analyzer.py:128-130)
+            parentOperators(ind.length)
+        }
+        currOperator.fragmentId = Some(fragment.id)
+        currOperator.parentId = Option(parentOperator).map(_.id)
+        if (parentOperator != null &&
+            (parentOperator.name == "HASH JOIN" || parentOperator.name == "CROSS JOIN")) {
+          // right child appears first in plan text (profile_analyzer.py:136-141)
+          if (parentOperator.rightChildId.isEmpty)
+            parentOperator.rightChildId = Some(currOperator.id)
+          else
+            parentOperator.leftChildId = Some(currOperator.id)
+        }
+        val detail = Option(om.group("detail"))
+        grp(om, "name") match {
+          case "SCAN HDFS" =>
+            currOperator.table = detail.map(_.split("[ ,]")(0))
+          case "HASH JOIN" =>
+            val parts = detail.get.split(", ")
+            currOperator.joinType = Some(parts(0))
+            currOperator.joinImpl = Some(parts(1))
+          case "CROSS JOIN" =>
+            currOperator.joinImpl = detail
+          case "AGGREGATE" =>
+            detail match {
+              case None => currOperator.aggType = Some("PRE")
+              case Some(d) =>
+                require(d == "FINALIZE", s"POST agg detail must be FINALIZE, got '$d'")
+                currOperator.aggType = Some("POST")
+            }
+          case _ => ()
+        }
+        parentOperators(indent.map(_.length).getOrElse(0)) = currOperator
+      } else if (tm.matches()) {
+        val card = grp(tm, "cardinality")
+        currOperator.cardinality = Some(if (card == "unavailable") -1L else card.toLong)
+        currOperator.rowSize = Some(Units.parseSize(grp(tm, "rowsize")))
+      } else if (pm.matches()) {
+        currOperator.size = Some(Units.parseSize(grp(pm, "size")))
+      }
+    }
+
+    // --- P4: counter-section walk over profile nodes
+    // (profile_analyzer.py:195-270). Counter values stored raw (i64 bits);
+    // DOUBLE_VALUE reinterpretation happens at read time via counter_types.
+    var isAveragedFragment = false
+    var currFragment: FragBuilder = null
+    for (node <- tree.nodes) {
+      val cm = coordFragRe.matcher(node.name)
+      val am = avgFragRe.matcher(node.name)
+      val fm = fragNodeRe.matcher(node.name)
+      val om = opNodeRe.matcher(node.name)
+      if (cm.matches()) {
+        isAveragedFragment = false
+        currFragment = fragments(grp(cm, "id").toInt)
+      } else if (am.matches()) {
+        isAveragedFragment = true
+        currFragment = fragments(grp(am, "id").toInt)
+      } else if (fm.matches()) {
+        isAveragedFragment = false
+        currFragment = fragments(grp(fm, "id").toInt)
+      } else if (node.name == "CodeGen") {
+        if (isAveragedFragment)
+          currFragment.avgCodeGen = node.counters.map(c => c.name -> c.value).toMap
+        else node.counters.foreach { c =>
+          currFragment.codeGen = currFragment.codeGen.updated(c.name,
+            currFragment.codeGen.getOrElse(c.name, Vector.empty) :+ c.value)
+        }
+      } else if (node.name == "HdfsTableSink") {
+        if (isAveragedFragment)
+          currFragment.avgHdfsTableSink = node.counters.map(c => c.name -> c.value).toMap
+        else node.counters.foreach { c =>
+          currFragment.hdfsTableSink = currFragment.hdfsTableSink.updated(c.name,
+            currFragment.hdfsTableSink.getOrElse(c.name, Vector.empty) :+ c.value)
+        }
+      } else if (om.matches()) {
+        val op = operators(grp(om, "id").toInt)
+        if (isAveragedFragment) {
+          op.avgCounters = node.counters.map(c => c.name -> c.value).toMap
+          op.counterTypes ++= node.counters.map(c => c.name -> c.counterType)
+        } else {
+          node.infoStrings.foreach { case (k, v) =>
+            op.info = op.info.updated(k, op.info.getOrElse(k, Vector.empty) :+ v)
+          }
+          node.counters.foreach { c =>
+            op.counters = op.counters.updated(c.name,
+              op.counters.getOrElse(c.name, Vector.empty) :+ c.value)
+            op.counterTypes += (c.name -> c.counterType)
+          }
+        }
+      }
+    }
+
+    // --- P8: hosts (profile_analyzer.py:284-290)
+    val hosts: Seq[String] =
+      tree.nodes.lift(3).map(_.infoStrings).filter(_.contains("Per Node Peak Memory Usage")) match {
+        case Some(is) =>
+          val m = hostRe.matcher(is("Per Node Peak Memory Usage"))
+          val found = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (m.find()) found += m.group()
+          found.toSeq.sorted
+        case None => Seq(rootInfo("Coordinator")) // queries like 'SELECT 1'
+      }
+
+    val events = tree.nodes(1).eventSequences.head._2
+    val hdfsScans = operators.values.filter(_.name == "SCAN HDFS").toSeq
+    val base = baseQuery(tree, tag, queryId)
+    val query = base.copy(
+      plan_time = events(1).timestampNs,
+      fragment_start_time = events(3).timestampNs - events(1).timestampNs,
+      hosts = hosts,
+      cluster = md5Hex(hosts.mkString(" ")),
+      num_hosts = operators.values.map(_.numHosts).max,
+      num_hdfs_scans = hdfsScans.size.toLong,
+      num_tables = hdfsScans.flatMap(_.table).distinct.size.toLong)
+    require(query.hosts.size >= query.num_hosts,
+      s"hosts ${query.hosts.size} < num_hosts ${query.num_hosts}") // py:308
+
+    Some(ParsedProfile(query,
+      operators.values.map(toRow(queryId, _)).toSeq,
+      fragments.values.map(toRow(queryId, _)).toSeq))
+  }
+
+  private def parseDDL(tree: ProfileTree, tag: String, queryId: String): ParsedProfile = {
+    val hosts = Seq(tree.nodes(1).infoStrings("Coordinator"))
+    val query = baseQuery(tree, tag, queryId).copy(
+      hosts = hosts,
+      cluster = md5Hex(hosts.mkString(" ")),
+      num_hosts = hosts.size.toLong)
+    ParsedProfile(query, Seq.empty, Seq.empty)
+  }
+
+  /** Shared query fields (profile_analyzer.py:315-336). */
+  private def baseQuery(tree: ProfileTree, tag: String, queryId: String): QueryRow = {
+    val info = tree.nodes(1).infoStrings
+    val events = tree.nodes(1).eventSequences.head._2
+    val vm = versionRe.matcher(info.getOrElse("Impala Version", ""))
+    val (ver, flag, build) =
+      if (vm.matches()) (Some(grp(vm, "version")), Some(grp(vm, "flag")), Some(grp(vm, "build")))
+      else (None, None, None)
+    QueryRow(
+      query_id = queryId,
+      tag = tag,
+      query_type = info("Query Type"),
+      stmt = info("Sql Statement"),
+      runtime = events.last.timestampNs,
+      start_time = parseTimestampMicros(info("Start Time")),
+      end_time = parseTimestampMicros(info("End Time")),
+      plan_time = 0L, fragment_start_time = 0L,
+      hosts = Seq.empty, cluster = "", num_hosts = 0L,
+      num_hdfs_scans = 0L, num_tables = 0L,
+      impala_version = ver, impala_flag = flag, impala_build = build)
+  }
+
+  /** '%Y-%m-%d %H:%M:%S.%f000' → epoch µs. The reference converts via
+    * time.mktime in the machine's LOCAL zone (profile_analyzer.py:339) —
+    * we pin UTC so ingest is deterministic across clusters. */
+  def parseTimestampMicros(s: String): Long = {
+    require(s.endsWith("000"), s"timestamp must carry ns-padded micros: $s")
+    val trimmed = s.substring(0, s.length - 3) // strip the ns zero-pad
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val ldt = java.time.LocalDateTime.parse(trimmed, fmt)
+    val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  def md5Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def toRow(queryId: String, op: OpBuilder): OperatorRow = OperatorRow(
+    query_id = queryId, id = op.id, name = op.name, num_hosts = op.numHosts,
+    avg_time = op.avgTime, max_time = op.maxTime, num_rows = op.numRows,
+    est_num_rows = op.estNumRows, peak_mem = op.peakMem,
+    est_peak_mem = op.estPeakMem, detail = op.detail,
+    fragment_id = op.fragmentId, parent_id = op.parentId,
+    left_child_id = op.leftChildId, right_child_id = op.rightChildId,
+    table = op.table, join_type = op.joinType, join_impl = op.joinImpl,
+    agg_type = op.aggType, cardinality = op.cardinality, row_size = op.rowSize,
+    size = op.size, counters = op.counters, counter_types = op.counterTypes,
+    avg_counters = op.avgCounters, info = op.info)
+
+  private def toRow(queryId: String, f: FragBuilder): FragmentRow = FragmentRow(
+    query_id = queryId, id = f.id, exchange_id = f.exchangeId,
+    code_gen = f.codeGen, avg_code_gen = f.avgCodeGen,
+    hdfs_table_sink = f.hdfsTableSink, avg_hdfs_table_sink = f.avgHdfsTableSink)
+}

@@ -1,0 +1,260 @@
+package graft.ingest
+
+import graft.model._
+
+/** Minimal pure-Scala Thrift *compact protocol* reader for
+  * `TRuntimeProfileTree` (schema: reference
+  * code/python/RuntimeProfile.thrift:19-95). Implemented from the public
+  * Thrift compact-protocol spec; no libthrift dependency, so the ingest path
+  * ships inside the engine jar with zero extra classpath at executor scale.
+  *
+  * Only the wire features the profile schema uses are implemented:
+  * varint/zigzag ints, strings, structs, lists, sets, maps, bool fields.
+  */
+object ThriftCompact {
+
+  // compact-protocol wire type ids
+  final val STOP = 0
+  final val BOOL_TRUE = 1
+  final val BOOL_FALSE = 2
+  final val BYTE = 3
+  final val I16 = 4
+  final val I32 = 5
+  final val I64 = 6
+  final val DOUBLE = 7
+  final val BINARY = 8
+  final val LIST = 9
+  final val SET = 10
+  final val MAP = 11
+  final val STRUCT = 12
+
+  final class Reader(buf: Array[Byte]) {
+    private var pos = 0
+
+    def readByte(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
+
+    def readVarint(): Long = {
+      var result = 0L; var shift = 0; var b = 0
+      do {
+        b = readByte()
+        result |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      result
+    }
+
+    def readZigzag(): Long = { val n = readVarint(); (n >>> 1) ^ -(n & 1) }
+
+    def readString(): String = {
+      val len = readVarint().toInt
+      val s = new String(buf, pos, len, "UTF-8")
+      pos += len
+      s
+    }
+
+    def skip(tpe: Int): Unit = tpe match {
+      case BOOL_TRUE | BOOL_FALSE => ()
+      case BYTE => readByte()
+      case I16 | I32 | I64 => readZigzag()
+      case DOUBLE => pos += 8
+      case BINARY => val len = readVarint().toInt; pos += len
+      case LIST | SET =>
+        val (elemType, size) = readCollectionHeader()
+        (0 until size).foreach(_ => skip(elemType))
+      case MAP =>
+        val size = readVarint().toInt
+        if (size > 0) {
+          val kv = readByte()
+          val (kt, vt) = (kv >> 4, kv & 0x0f)
+          (0 until size).foreach { _ => skip(kt); skip(vt) }
+        }
+      case STRUCT =>
+        var last = 0
+        var cont = true
+        while (cont) {
+          val (fid, ft) = readFieldHeader(last)
+          if (ft == STOP) cont = false
+          else { last = fid; skip(ft) }
+        }
+      case other => throw new IllegalArgumentException(s"cannot skip type $other")
+    }
+
+    /** Returns (fieldId, wireType); wireType STOP terminates the struct. */
+    def readFieldHeader(lastFieldId: Int): (Int, Int) = {
+      val b = readByte()
+      if (b == STOP) return (0, STOP)
+      val delta = (b & 0xf0) >> 4
+      val tpe = b & 0x0f
+      val fid = if (delta == 0) readZigzag().toInt else lastFieldId + delta
+      (fid, tpe)
+    }
+
+    def readCollectionHeader(): (Int, Int) = {
+      val b = readByte()
+      val sizeNibble = (b & 0xf0) >> 4
+      val elemType = b & 0x0f
+      val size = if (sizeNibble == 15) readVarint().toInt else sizeNibble
+      (elemType, size)
+    }
+  }
+
+  // ------------------------------------------------------- schema decoding
+
+  private def readCounter(r: Reader): TCounter = {
+    var name = ""; var ct = 0; var value = 0L
+    var last = 0; var cont = true
+    while (cont) {
+      val (fid, ft) = r.readFieldHeader(last)
+      if (ft == STOP) cont = false
+      else {
+        fid match {
+          case 1 => name = r.readString()
+          case 2 => ct = r.readZigzag().toInt
+          case 3 => value = r.readZigzag()
+          case _ => r.skip(ft)
+        }
+        last = fid
+      }
+    }
+    TCounter(name, ct, value)
+  }
+
+  private def readEventSequence(r: Reader): (String, Seq[ProfileEvent]) = {
+    var name = ""; var ts = Seq.empty[Long]; var labels = Seq.empty[String]
+    var last = 0; var cont = true
+    while (cont) {
+      val (fid, ft) = r.readFieldHeader(last)
+      if (ft == STOP) cont = false
+      else {
+        fid match {
+          case 1 => name = r.readString()
+          case 2 =>
+            val (_, n) = r.readCollectionHeader()
+            ts = (0 until n).map(_ => r.readZigzag())
+          case 3 =>
+            val (_, n) = r.readCollectionHeader()
+            labels = (0 until n).map(_ => r.readString())
+          case _ => r.skip(ft)
+        }
+        last = fid
+      }
+    }
+    // zip; labels may be shorter/longer — pair by index like the reference's
+    // positional use (profile_analyzer.py:297-300 reads timestamps by index)
+    (name, ts.zipWithIndex.map { case (t, i) =>
+      ProfileEvent(if (i < labels.length) labels(i) else "", t)
+    })
+  }
+
+  private def readTimeSeries(r: Reader): TTimeSeriesCounter = {
+    var name = ""; var ct = 0; var period = 0; var values = Seq.empty[Long]
+    var last = 0; var cont = true
+    while (cont) {
+      val (fid, ft) = r.readFieldHeader(last)
+      if (ft == STOP) cont = false
+      else {
+        fid match {
+          case 1 => name = r.readString()
+          case 2 => ct = r.readZigzag().toInt
+          case 3 => period = r.readZigzag().toInt
+          case 4 =>
+            val (_, n) = r.readCollectionHeader()
+            values = (0 until n).map(_ => r.readZigzag())
+          case _ => r.skip(ft)
+        }
+        last = fid
+      }
+    }
+    TTimeSeriesCounter(name, ct, period, values)
+  }
+
+  private def readNode(r: Reader): ProfileNode = {
+    var name = ""; var numChildren = 0; var counters = Seq.empty[TCounter]
+    var metadata = 0L; var indent = false
+    var infoStrings = Map.empty[String, String]
+    var infoOrder = Seq.empty[String]
+    var childCounters = Map.empty[String, Seq[String]]
+    var events = Seq.empty[(String, Seq[ProfileEvent])]
+    var timeSeries = Seq.empty[TTimeSeriesCounter]
+    var last = 0; var cont = true
+    while (cont) {
+      val (fid, ft) = r.readFieldHeader(last)
+      if (ft == STOP) cont = false
+      else {
+        fid match {
+          case 1 => name = r.readString()
+          case 2 => numChildren = r.readZigzag().toInt
+          case 3 =>
+            val (_, n) = r.readCollectionHeader()
+            counters = (0 until n).map(_ => readCounter(r))
+          case 4 => metadata = r.readZigzag()
+          case 5 => indent = ft == BOOL_TRUE
+          case 6 =>
+            val n = r.readVarint().toInt
+            if (n > 0) { r.readByte() } // key/value type byte
+            infoStrings = (0 until n).map(_ => (r.readString(), r.readString())).toMap
+          case 7 =>
+            val (_, n) = r.readCollectionHeader()
+            infoOrder = (0 until n).map(_ => r.readString())
+          case 8 =>
+            val n = r.readVarint().toInt
+            if (n > 0) { r.readByte() }
+            childCounters = (0 until n).map { _ =>
+              val k = r.readString()
+              val (_, m) = r.readCollectionHeader()
+              (k, (0 until m).map(_ => r.readString()): Seq[String])
+            }.toMap
+          case 9 =>
+            val (_, n) = r.readCollectionHeader()
+            events = (0 until n).map(_ => readEventSequence(r))
+          case 10 =>
+            val (_, n) = r.readCollectionHeader()
+            timeSeries = (0 until n).map(_ => readTimeSeries(r))
+          case _ => r.skip(ft)
+        }
+        last = fid
+      }
+    }
+    ProfileNode(name, numChildren, counters, metadata, indent, infoStrings,
+      infoOrder, childCounters, events, timeSeries)
+  }
+
+  /** Parse a TRuntimeProfileTree from thrift-compact bytes. */
+  def parseTree(bytes: Array[Byte]): ProfileTree = {
+    val r = new Reader(bytes)
+    var nodes = Seq.empty[ProfileNode]
+    var last = 0; var cont = true
+    while (cont) {
+      val (fid, ft) = r.readFieldHeader(last)
+      if (ft == STOP) cont = false
+      else {
+        fid match {
+          case 1 =>
+            val (_, n) = r.readCollectionHeader()
+            nodes = (0 until n).map(_ => readNode(r))
+          case _ => r.skip(ft)
+        }
+        last = fid
+      }
+    }
+    ProfileTree(nodes)
+  }
+
+  /** zlib-inflate (profile dumps are base64(zlib(thrift)) per
+    * analyze_profiles.py:17). */
+  def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) {
+        throw new IllegalArgumentException("truncated zlib stream")
+      }
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+}

@@ -1,0 +1,12 @@
+package graft
+object GenDump {
+  def main(args: Array[String]): Unit = {
+    val lines = (0 until 50).map { i =>
+      ProfileFixtures.dumpLine(ProfileFixtures.queryProfile(s"select $i from t"), qid = s"q$i")
+    } ++ Seq(ProfileFixtures.dumpLine(ProfileFixtures.ddlProfile(), qid = "ddl"), "bad line zzz")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/tmp/graft_dump"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_dump/d.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    println("WROTE " + lines.size)
+  }
+}

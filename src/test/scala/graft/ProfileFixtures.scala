@@ -1,0 +1,272 @@
+package graft
+
+import graft.model._
+
+/** Test-only thrift-compact WRITER + synthetic profile fixtures
+  * (FIXTURES.md §B1: the reference's example `data/` dir is gitignored, so
+  * ingest correctness is tested against profiles we synthesize from the
+  * RuntimeProfile.thrift schema + the plan/summary text shapes the parser
+  * expects).
+  */
+object ProfileFixtures {
+
+  // ------------------------------------------------ compact-protocol writer
+
+  final class Writer {
+    private val out = new java.io.ByteArrayOutputStream()
+    def bytes: Array[Byte] = out.toByteArray
+
+    def writeByte(b: Int): Unit = out.write(b & 0xff)
+    def writeVarint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { writeByte(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      writeByte(v.toInt)
+    }
+    def writeZigzag(v: Long): Unit = writeVarint((v << 1) ^ (v >> 63))
+    def writeString(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); writeVarint(b.length.toLong); out.write(b)
+    }
+    /** long-form field header: type byte + zigzag field id. */
+    def fieldHeader(tpe: Int, id: Int): Unit = { writeByte(tpe); writeZigzag(id.toLong) }
+    def stop(): Unit = writeByte(0)
+    def collectionHeader(elemType: Int, size: Int): Unit =
+      if (size < 15) writeByte((size << 4) | elemType)
+      else { writeByte(0xf0 | elemType); writeVarint(size.toLong) }
+    def mapHeader(kt: Int, vt: Int, size: Int): Unit = {
+      writeVarint(size.toLong)
+      if (size > 0) writeByte((kt << 4) | vt)
+    }
+  }
+
+  import graft.ingest.ThriftCompact._
+
+  private def writeCounter(w: Writer, c: TCounter): Unit = {
+    w.fieldHeader(BINARY, 1); w.writeString(c.name)
+    w.fieldHeader(I32, 2); w.writeZigzag(c.counterType.toLong)
+    w.fieldHeader(I64, 3); w.writeZigzag(c.value)
+    w.stop()
+  }
+
+  private def writeEventSequence(w: Writer, name: String, events: Seq[ProfileEvent]): Unit = {
+    w.fieldHeader(BINARY, 1); w.writeString(name)
+    w.fieldHeader(LIST, 2); w.collectionHeader(I64, events.size)
+    events.foreach(e => w.writeZigzag(e.timestampNs))
+    w.fieldHeader(LIST, 3); w.collectionHeader(BINARY, events.size)
+    events.foreach(e => w.writeString(e.label))
+    w.stop()
+  }
+
+  private def writeNode(w: Writer, n: ProfileNode): Unit = {
+    w.fieldHeader(BINARY, 1); w.writeString(n.name)
+    w.fieldHeader(I32, 2); w.writeZigzag(n.numChildren.toLong)
+    w.fieldHeader(LIST, 3); w.collectionHeader(STRUCT, n.counters.size)
+    n.counters.foreach(writeCounter(w, _))
+    w.fieldHeader(I64, 4); w.writeZigzag(n.metadata)
+    w.fieldHeader(if (n.indent) BOOL_TRUE else BOOL_FALSE, 5)
+    w.fieldHeader(MAP, 6); w.mapHeader(BINARY, BINARY, n.infoStrings.size)
+    n.infoStrings.foreach { case (k, v) => w.writeString(k); w.writeString(v) }
+    w.fieldHeader(LIST, 7); w.collectionHeader(BINARY, n.infoStringsDisplayOrder.size)
+    n.infoStringsDisplayOrder.foreach(w.writeString)
+    w.fieldHeader(MAP, 8); w.mapHeader(BINARY, SET, n.childCountersMap.size)
+    n.childCountersMap.foreach { case (k, vs) =>
+      w.writeString(k); w.collectionHeader(BINARY, vs.size); vs.foreach(w.writeString)
+    }
+    if (n.eventSequences.nonEmpty) {
+      w.fieldHeader(LIST, 9); w.collectionHeader(STRUCT, n.eventSequences.size)
+      n.eventSequences.foreach { case (nm, evs) => writeEventSequence(w, nm, evs) }
+    }
+    if (n.timeSeriesCounters.nonEmpty) {
+      w.fieldHeader(LIST, 10); w.collectionHeader(STRUCT, n.timeSeriesCounters.size)
+      n.timeSeriesCounters.foreach { t =>
+        w.fieldHeader(BINARY, 1); w.writeString(t.name)
+        w.fieldHeader(I32, 2); w.writeZigzag(t.counterType.toLong)
+        w.fieldHeader(I32, 3); w.writeZigzag(t.periodMs.toLong)
+        w.fieldHeader(LIST, 4); w.collectionHeader(I64, t.values.size)
+        t.values.foreach(w.writeZigzag)
+        w.stop()
+      }
+    }
+    w.stop()
+  }
+
+  def serializeTree(tree: ProfileTree): Array[Byte] = {
+    val w = new Writer
+    w.fieldHeader(LIST, 1)
+    w.collectionHeader(STRUCT, tree.nodes.size)
+    tree.nodes.foreach(writeNode(w, _))
+    w.stop()
+    w.bytes
+  }
+
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** One dump line: `<ts> <qid> <base64(zlib(thrift)))>`. */
+  def dumpLine(tree: ProfileTree, ts: String = "1450000000", qid: String = "q"): String = {
+    val payload = java.util.Base64.getEncoder.encodeToString(deflate(serializeTree(tree)))
+    s"$ts $qid $payload"
+  }
+
+  // --------------------------------------------------------- query fixture
+
+  private def node(name: String,
+                   counters: Seq[TCounter] = Seq.empty,
+                   info: Map[String, String] = Map.empty,
+                   events: Seq[(String, Seq[ProfileEvent])] = Seq.empty): ProfileNode =
+    ProfileNode(name, 0, counters, 0L, indent = false, info, Seq.empty, Map.empty, events)
+
+  // 3 header lines — the reference skips split('\n')[3:] (py:59)
+  val execSummary: String =
+    """
+      |Operator              #Hosts  Avg Time  Max Time   #Rows  Est. #Rows   Peak Mem  Est. Peak Mem  Detail
+      |------------------------------------------------------------------------------------------------------
+      |08:EXCHANGE                1  10.000us  10.000us       5           5          0              0  UNPARTITIONED
+      |07:AGGREGATE               1   5.322ms   5.941ms       5           5    1.99 MB       10.00 MB  FINALIZE
+      |06:HASH JOIN               2  15.300ms  17.123ms     100         120    4.00 MB       16.00 MB  INNER JOIN, PARTITIONED
+      ||--04:HASH JOIN            2   8.120ms   9.456ms      50          60    2.00 MB        8.00 MB  INNER JOIN, BROADCAST
+      ||  |--03:EXCHANGE          2  39.689us  45.701us      10          10          0              0  BROADCAST
+      ||  01:SCAN HDFS            2  42.71ms  71.64ms   5.77K       5.50K   24.09 MB      480.00 MB  tpch.orders
+      |00:SCAN HDFS               2  542.71ms  671.64ms  573.77K     575.77K   64.09 MB      880.00 MB  tpch.lineitem""".stripMargin
+
+  val planText: String =
+    """F02:PLAN FRAGMENT [UNPARTITIONED]
+      |  08:EXCHANGE [UNPARTITIONED]
+      |     tuple-ids=3 row-size=16B cardinality=5
+      |F01:PLAN FRAGMENT [RANDOM]
+      |  DATASTREAM SINK [FRAGMENT=F02, EXCHANGE=8, UNPARTITIONED]
+      |  07:AGGREGATE [FINALIZE]
+      |  |  tuple-ids=3 row-size=16B cardinality=5
+      |  06:HASH JOIN [INNER JOIN, PARTITIONED]
+      |  |  tuple-ids=0,1,2 row-size=48B cardinality=100
+      |  |--04:HASH JOIN [INNER JOIN, BROADCAST]
+      |  |  |  tuple-ids=1,2 row-size=32B cardinality=50
+      |  |  |--03:EXCHANGE [BROADCAST]
+      |  |  |     tuple-ids=2 row-size=8B cardinality=10
+      |  |  01:SCAN HDFS [tpch.orders, RANDOM]
+      |  |     partitions=1/1 files=1 size=1.21MB
+      |  |     tuple-ids=1 row-size=24B cardinality=5770
+      |  00:SCAN HDFS [tpch.lineitem, RANDOM]
+      |     partitions=2/2 files=4 size=15.21MB
+      |     tuple-ids=0 row-size=24B cardinality=unavailable""".stripMargin
+
+  /** Per-host TotalTime vectors; averaged = floor mean except the planted
+    * violation on op 7 (avg off by one) to exercise the P12 audit. */
+  val perHostTotals: Map[Int, Seq[Long]] = Map(
+    7 -> Seq(5322000L, 5941000L),
+    6 -> Seq(15300000L, 17123000L),
+    4 -> Seq(8120000L, 9456000L),
+    3 -> Seq(39689L, 45701L),
+    1 -> Seq(42710000L, 71640000L),
+    0 -> Seq(542710000L, 671640000L))
+
+  def avgOf(vs: Seq[Long]): Long = {
+    val s = vs.sum; val n = vs.size
+    Math.floorDiv(s, n)
+  }
+
+  private def opNodeName(id: Int): String = {
+    val kind = Map(0 -> "HDFS_SCAN_NODE", 1 -> "HDFS_SCAN_NODE", 3 -> "EXCHANGE_NODE",
+      4 -> "HASH_JOIN_NODE", 6 -> "HASH_JOIN_NODE", 7 -> "AGGREGATION_NODE",
+      8 -> "EXCHANGE_NODE")(id)
+    s"$kind (id=$id)"
+  }
+
+  def queryProfile(stmt: String = "select 1",
+                   state: String = "FINISHED",
+                   status: String = "OK",
+                   queryType: String = "QUERY"): ProfileTree = {
+    val timeline = Seq(
+      ProfileEvent("Start execution", 1000L),
+      ProfileEvent("Planning finished", 60000000L),
+      ProfileEvent("Ready to start remote fragments", 61000000L),
+      ProfileEvent("Remote fragments started", 95000000L),
+      ProfileEvent("Rows available", 700000000L),
+      ProfileEvent("First row fetched", 710000000L),
+      ProfileEvent("Unregister query", 800000000L))
+    val summaryInfo = Map(
+      "Query State" -> state,
+      "Query Status" -> status,
+      "Query Type" -> queryType,
+      "Sql Statement" -> stmt,
+      "Start Time" -> "2015-12-14 10:11:12.123456000",
+      "End Time" -> "2015-12-14 10:11:13.523456000",
+      "Impala Version" -> "impalad version 2.3.0-cdh5.5.0 RELEASE (build 0c891d7)",
+      "Coordinator" -> "host1:22000",
+      "ExecSummary" -> execSummary,
+      "Plan" -> planText)
+    val dv = java.lang.Double.doubleToLongBits(0.75)
+    def opCounters(id: Int, host: Int): Seq[TCounter] = Seq(
+      TCounter("TotalTime", CounterType.TimeNs, perHostTotals(id)(host)),
+      TCounter("RowsReturned", CounterType.Unit, 100L * (id + 1) + host),
+      TCounter("LocalTime", CounterType.DoubleValue, dv))
+    def avgOpCounters(id: Int): Seq[TCounter] = Seq(
+      TCounter("TotalTime", CounterType.TimeNs,
+        avgOf(perHostTotals(id)) + (if (id == 7) 1L else 0L)), // planted violation
+      TCounter("RowsReturned", CounterType.Unit,
+        avgOf(Seq(100L * (id + 1), 100L * (id + 1) + 1))))
+    val nodes = Seq(
+      node("Query (id=abc123)"),
+      node("Summary", info = summaryInfo,
+        events = Seq("Query Timeline" -> timeline)),
+      node("ImpalaServer"),
+      node("Execution Profile abc123", info = Map(
+        "Per Node Peak Memory Usage" -> "host1:22000(128.00 MB) host2:22000(64.00 MB)")),
+      // averaged sections
+      node("Averaged Fragment F01"),
+      node("CodeGen", counters = Seq(TCounter("TotalTime", CounterType.TimeNs, 300000L))),
+      node(opNodeName(7), counters = avgOpCounters(7)),
+      node(opNodeName(6), counters = avgOpCounters(6)),
+      node(opNodeName(4), counters = avgOpCounters(4)),
+      node(opNodeName(3), counters = avgOpCounters(3)),
+      node(opNodeName(1), counters = avgOpCounters(1)),
+      node(opNodeName(0), counters = avgOpCounters(0)),
+      // per-host sections
+      node("Fragment F01"),
+      node("CodeGen", counters = Seq(TCounter("TotalTime", CounterType.TimeNs, 300000L))),
+      node("HdfsTableSink", counters = Seq(TCounter("BytesWritten", CounterType.Bytes, 1024L))),
+      node(opNodeName(7), counters = opCounters(7, 0),
+        info = Map("ExecOption" -> "Codegen Enabled")),
+      node(opNodeName(6), counters = opCounters(6, 0)),
+      node(opNodeName(4), counters = opCounters(4, 0)),
+      node(opNodeName(3), counters = opCounters(3, 0)),
+      node(opNodeName(1), counters = opCounters(1, 0)),
+      node(opNodeName(0), counters = opCounters(0, 0)),
+      node(opNodeName(7), counters = opCounters(7, 1)),
+      node(opNodeName(6), counters = opCounters(6, 1)),
+      node(opNodeName(4), counters = opCounters(4, 1)),
+      node(opNodeName(3), counters = opCounters(3, 1)),
+      node(opNodeName(1), counters = opCounters(1, 1)),
+      node(opNodeName(0), counters = opCounters(0, 1)),
+      node("Fragment F02"),
+      node("CodeGen", counters = Seq(TCounter("TotalTime", CounterType.TimeNs, 50000L))))
+    ProfileTree(nodes)
+  }
+
+  def ddlProfile(stmt: String = "create table t (x int)"): ProfileTree = {
+    val timeline = Seq(
+      ProfileEvent("Start execution", 1000L),
+      ProfileEvent("Planning finished", 2000000L),
+      ProfileEvent("Unregister query", 12000000L))
+    ProfileTree(Seq(
+      node("Query (id=ddl1)"),
+      node("Summary", info = Map(
+        "Query State" -> "FINISHED",
+        "Query Status" -> "OK",
+        "Query Type" -> "DDL",
+        "Sql Statement" -> stmt,
+        "Start Time" -> "2015-12-14 11:00:00.000001000",
+        "End Time" -> "2015-12-14 11:00:00.100001000",
+        "Impala Version" -> "impalad version 2.3.0-cdh5.5.0 RELEASE (build 0c891d7)",
+        "Coordinator" -> "host9:22000"),
+        events = Seq("Query Timeline" -> timeline)),
+      node("ImpalaServer"),
+      node("Execution Profile ddl1")))
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.{ProfileIngest, ProfileParser, ThriftCompact}
+
+/** End-to-end ingest: synthetic thrift-compact profile dumps → model
+  * tables, exercising S1-S3 + P1-P4 + P8-P12 (SURVEY.md §2.1-2.2). */
+class ProfileIngestSpec extends SparkSpec {
+  import ProfileFixtures._
+
+  private lazy val dumpFile: String = {
+    val dir = Files.createTempDirectory("graft-profiles")
+    val lines = Seq(
+      dumpLine(queryProfile("select l_returnflag, count(*) from tpch.lineitem group by 1")),
+      dumpLine(ddlProfile()),
+      dumpLine(queryProfile(state = "EXCEPTION")), // gated out
+      dumpLine(queryProfile(queryType = "UNKNOWN")), // gated out
+      "garbage line that fails base64")
+    Files.write(dir.resolve("profiles.txt"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    dir.resolve("profiles.txt").toString
+  }
+
+  test("thrift compact round-trip") {
+    val tree = queryProfile()
+    val parsed = ThriftCompact.parseTree(serializeTree(tree))
+    assert(parsed.nodes.size === tree.nodes.size)
+    assert(parsed.nodes(1).infoStrings === tree.nodes(1).infoStrings)
+    assert(parsed.nodes(1).eventSequences.head._2.map(_.timestampNs) ===
+      tree.nodes(1).eventSequences.head._2.map(_.timestampNs))
+    assert(parsed.nodes(6).counters === tree.nodes(6).counters)
+  }
+
+  test("zlib deflate/inflate round-trip") {
+    val data = "hello graft ingest".getBytes("UTF-8")
+    assert(ThriftCompact.inflate(deflate(data)).toSeq === data.toSeq)
+  }
+
+  test("ingest gates non-FINISHED and unknown types, drops corrupt lines") {
+    val parsed = ProfileIngest.parse(spark, dumpFile, "t1")
+    assert(parsed.count() === 2) // 1 QUERY + 1 DDL
+    assert(ProfileIngest.badLineCount(spark, dumpFile) === 1)
+  }
+
+  test("query row fields") {
+    val t = ProfileIngest.tables(ProfileIngest.parse(spark, dumpFile, "t1"))
+    val q = t.queries.filter(org.apache.spark.sql.functions.col("query_type") === "QUERY")
+      .collect()(0)
+    def f[T](n: String): T = q.getAs[T](n)
+    assert(f[String]("tag") === "t1")
+    assert(f[Long]("runtime") === 800000000L)
+    assert(f[Long]("plan_time") === 60000000L)
+    assert(f[Long]("fragment_start_time") === 95000000L - 60000000L)
+    assert(f[Seq[String]]("hosts") === Seq("host1:22000", "host2:22000"))
+    assert(f[String]("cluster") ===
+      ProfileParser.md5Hex("host1:22000 host2:22000"))
+    assert(f[Long]("num_hosts") === 2L)
+    assert(f[Long]("num_hdfs_scans") === 2L)
+    assert(f[Long]("num_tables") === 2L) // tpch.lineitem + tpch.orders
+    assert(f[String]("impala_version") === "2.3.0-cdh5.5.0")
+    assert(f[String]("impala_flag") === "RELEASE")
+    assert(f[String]("impala_build") === "0c891d7")
+    // 2015-12-14 10:11:12.123456 UTC
+    assert(f[Long]("start_time") === 1450087872123456L)
+    assert(f[Long]("end_time") - f[Long]("start_time") === 1400000L)
+  }
+
+  test("operator topology: indent parents, join children right-first") {
+    val t = ProfileIngest.tables(ProfileIngest.parse(spark, dumpFile, "t1"))
+    val ops = t.operators.collect().map { r =>
+      r.getAs[Int]("id") -> r
+    }.toMap
+    assert(ops.keySet === Set(0, 1, 3, 4, 6, 7, 8))
+    def pid(id: Int): Any = ops(id).getAs[Any]("parent_id")
+    assert(pid(8) === null) // F02 root
+    assert(pid(7) === null) // F01 root
+    assert(pid(6) === 7)
+    assert(pid(4) === 6)
+    assert(pid(3) === 4)
+    assert(pid(1) === 4)
+    assert(pid(0) === 6)
+    // right child first (profile_analyzer.py:136-141)
+    assert(ops(6).getAs[Int]("right_child_id") === 4)
+    assert(ops(6).getAs[Int]("left_child_id") === 0)
+    assert(ops(4).getAs[Int]("right_child_id") === 3)
+    assert(ops(4).getAs[Int]("left_child_id") === 1)
+    // details
+    assert(ops(0).getAs[String]("table") === "tpch.lineitem")
+    assert(ops(1).getAs[String]("table") === "tpch.orders")
+    assert(ops(6).getAs[String]("join_type") === "INNER JOIN")
+    assert(ops(6).getAs[String]("join_impl") === "PARTITIONED")
+    assert(ops(4).getAs[String]("join_impl") === "BROADCAST")
+    assert(ops(7).getAs[String]("agg_type") === "POST")
+    // plan-estimate lines
+    assert(ops(0).getAs[Long]("cardinality") === -1L) // 'unavailable'
+    assert(ops(1).getAs[Long]("cardinality") === 5770L)
+    assert(ops(0).getAs[Long]("size") === (15.21 * 1024 * 1024).toLong)
+    assert(ops(0).getAs[Long]("row_size") === 24L)
+    // fragments
+    assert(ops(8).getAs[Int]("fragment_id") === 2)
+    assert(ops(7).getAs[Int]("fragment_id") === 1)
+    // unit-parsed summary columns
+    assert(ops(0).getAs[Long]("num_rows") === 573770L)
+    assert(ops(0).getAs[Long]("avg_time") === 542710000L)
+    assert(ops(8).getAs[Long]("est_peak_mem") === 0L)
+  }
+
+  test("per-host counters and averaged counters") {
+    val t = ProfileIngest.tables(ProfileIngest.parse(spark, dumpFile, "t1"))
+    val op0 = t.operators.filter("id = 0").collect()(0)
+    val counters = op0.getAs[Map[String, Seq[Long]]]("counters")
+    assert(counters("TotalTime") === Seq(542710000L, 671640000L))
+    assert(counters("RowsReturned") === Seq(100L, 101L))
+    val avg = op0.getAs[Map[String, Long]]("avg_counters")
+    assert(avg("TotalTime") === (542710000L + 671640000L) / 2)
+    val types = op0.getAs[Map[String, Int]]("counter_types")
+    assert(types("LocalTime") === graft.model.CounterType.DoubleValue)
+    assert(graft.functions.Units.counterDouble(counters("LocalTime").head) === 0.75)
+    val info = op0.getAs[Map[String, Seq[String]]]("info")
+    assert(t.operators.filter("id = 7").collect()(0)
+      .getAs[Map[String, Seq[String]]]("info")("ExecOption") === Seq("Codegen Enabled"))
+  }
+
+  test("fragments: exchange ids and codegen/sink counters") {
+    val t = ProfileIngest.tables(ProfileIngest.parse(spark, dumpFile, "t1"))
+    val frags = t.fragments.collect().map(r => r.getAs[Int]("id") -> r).toMap
+    assert(frags.keySet === Set(1, 2))
+    assert(frags(1).getAs[Int]("exchange_id") === 8)
+    assert(frags(2).getAs[Any]("exchange_id") === null) // root fragment
+    assert(frags(1).getAs[Map[String, Seq[Long]]]("code_gen")("TotalTime") === Seq(300000L))
+    assert(frags(1).getAs[Map[String, Long]]("avg_code_gen")("TotalTime") === 300000L)
+    assert(frags(1).getAs[Map[String, Seq[Long]]]("hdfs_table_sink")("BytesWritten") === Seq(1024L))
+  }
+
+  test("P12 consistency audit finds exactly the planted violation") {
+    val t = ProfileIngest.tables(ProfileIngest.parse(spark, dumpFile, "t1"))
+    val v = ProfileIngest.operatorConsistencyViolations(t.operators).collect()
+    assert(v.length === 1)
+    assert(v(0).getAs[Int]("id") === 7)
+    assert(v(0).getAs[String]("counter") === "TotalTime")
+    assert(v(0).getAs[Long]("avg_value") === v(0).getAs[Long]("int_mean") + 1)
+    assert(ProfileIngest.fragmentConsistencyViolations(t.fragments).count() === 0)
+  }
+
+  test("DDL profile: hosts fall back to coordinator") {
+    val t = ProfileIngest.tables(ProfileIngest.parse(spark, dumpFile, "t1"))
+    val ddl = t.queries.filter("query_type = 'DDL'").collect()(0)
+    assert(ddl.getAs[Seq[String]]("hosts") === Seq("host9:22000"))
+    assert(ddl.getAs[Long]("num_hosts") === 1L)
+    assert(ddl.getAs[Long]("runtime") === 12000000L)
+  }
+
+  test("cascade delete by tag") {
+    val parsed = ProfileIngest.parse(spark, dumpFile, "t1")
+    val t = ProfileIngest.tables(parsed)
+    val kept = ProfileIngest.deleteByTag(t, "t1")
+    assert(kept.queries.count() === 0)
+    assert(kept.operators.count() === 0)
+    assert(kept.fragments.count() === 0)
+  }
+}
