@@ -22,6 +22,15 @@ object IngestDemo {
       s"fragments=${t.fragments.count()} badLines=${ProfileIngest.badLineCount(spark, in)} " +
       s"opViolations=${ProfileIngest.operatorConsistencyViolations(t.operators).count()}")
     t.queries.select("query_id", "query_type", "num_hosts", "num_tables", "runtime").show(5, false)
+    // drive the workload analytics over the ingested tables
+    import graft.analytics.WorkloadAnalytics._
+    joinAuditSummary(joinAudit(t.operators)).show(false)
+    queryConcurrency(t.queries).show(false)
+    operatorTimeBreakdown(t.queries, t.operators, t.fragments)
+      .groupBy("name").sum("sum_time").orderBy("name").show(false)
+    t.queries.limit(1).collect().headOption.foreach { q =>
+      println(planTree(t.operators, t.fragments, q.getAs[String]("query_id")))
+    }
     spark.stop()
   }
 }

@@ -90,6 +90,23 @@ object OracleQueries {
       .withColumn("total_price", col("sum_price_dec").cast("double"))
       .drop("sum_price_dec")
 
+  /** R13 — zero-padded cross-entity average (stats.py:356-374 closed form):
+    * mean per-supplier quantity per returnflag over ALL suppliers, counting
+    * suppliers with no rows as 0 — sum divided by the total entity count,
+    * not the group size. */
+  def r13PaddedAvg(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"), col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("v"))
+    val n = Tables.supplier(s, d).agg(count(lit(1)).as("n_supp"))
+    per.groupBy(col("l_returnflag"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("present_cnt"))
+      .crossJoin(broadcast(n))
+      .select(col("l_returnflag"),
+        (col("sv") / col("n_supp")).as("padded_avg_qty"),
+        col("present_cnt"))
+  }
+
   /** Flagship multiway join: revenue per nation (broadcast dims ⨝ fact). */
   def joinMultiway(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -197,6 +214,7 @@ object OracleQueries {
     "r10_histogram" -> (r10Histogram _),
     "r11_int_barcount" -> (r11IntBarCount _),
     "r12_rollup" -> (r12Rollup _),
+    "r13_padded_avg" -> (r13PaddedAvg _),
     "join_multiway" -> (joinMultiway _))
 
   val sql: Map[String, String] = Map(
@@ -295,6 +313,14 @@ object OracleQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY cnt DESC, o_orderpriority""".stripMargin,
+    "r13_padded_avg" ->
+      """WITH per AS (
+        |  SELECT l_suppkey, l_returnflag, SUM(l_quantity) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n_supp FROM supplier)
+        |SELECT l_returnflag, SUM(v) / n_supp AS padded_avg_qty,
+        |  COUNT(*) AS present_cnt
+        |FROM per, n GROUP BY l_returnflag, n_supp""".stripMargin,
     "join_multiway" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -1,0 +1,217 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's workload analytics re-expressed as whole-workload Spark
+  * plans (SURVEY.md §2.3). The reference loops queries client-side issuing
+  * one Mongo query per (query, metric) — an N+1 pattern; every function here
+  * computes the metric for ALL queries in one or two shuffles, so the same
+  * code runs on 60k-row fixtures and 100 TB workload archives.
+  */
+object WorkloadAnalytics {
+
+  /** R2+R3+R5 (stats.py:58-115): per-query time per operator name, plus the
+    * four pseudo-operators (Plan / Fragment Start / CodeGen /
+    * HdfsTableSink), with each row's share of the query's total.
+    * One groupBy on (query_id, name) + a broadcast-size union of per-query
+    * pseudo rows + one window for the denominator. */
+  def operatorTimeBreakdown(queries: DataFrame, operators: DataFrame,
+                            fragments: DataFrame): DataFrame = {
+    val opTimes = operators.groupBy(col("query_id"), col("name"))
+      .agg(sum(col("avg_time")).as("sum_time"))
+    val fragTimes = fragments.groupBy(col("query_id")).agg(
+      sum(element_at(col("avg_code_gen"), "TotalTime")).as("cg"),
+      sum(element_at(col("avg_hdfs_table_sink"), "TotalTime")).as("sink"))
+    val pseudo = queries
+      .join(fragTimes, Seq("query_id"), "left")
+      .select(col("query_id"),
+        col("plan_time"), col("fragment_start_time"),
+        coalesce(col("cg"), lit(0L)).as("cg"),
+        coalesce(col("sink"), lit(0L)).as("sink"))
+      .select(col("query_id"), explode(map(
+        lit("Plan"), col("plan_time"),
+        lit("Fragment Start"), col("fragment_start_time"),
+        lit("CodeGen"), col("cg"),
+        lit("HdfsTableSink"), col("sink"))).as(Seq("name", "sum_time")))
+    val all = opTimes.unionByName(pseudo)
+    val w = Window.partitionBy(col("query_id"))
+    all.withColumn("total_time", sum(col("sum_time")).over(w))
+      .withColumn("time_pct",
+        col("sum_time").cast("double") / col("total_time").cast("double"))
+  }
+
+  /** R4 (stats.py:41-56): per-operator straggler skew — (max-avg) time as a
+    * fraction of the query runtime, thresholded, ordered. */
+  def stragglers(queries: DataFrame, operators: DataFrame,
+                 threshold: Double = 0.01): DataFrame =
+    operators.join(queries.select(col("query_id"), col("runtime")), "query_id")
+      .withColumn("diff_time", col("max_time") - col("avg_time"))
+      .withColumn("diff_time_pct",
+        col("diff_time").cast("double") / col("runtime").cast("double"))
+      .filter(col("diff_time_pct") >= threshold)
+      .orderBy(desc("diff_time_pct"), col("query_id"), col("id"))
+      .select("query_id", "id", "name", "diff_time", "diff_time_pct")
+
+  /** R6+R7 (stats.py:117-151): per-query join-shape counts and HDFS scan
+    * bytes (0 when the query has no scans) — six Mongo round-trips per
+    * query collapsed into ONE conditional aggregate. */
+  def queryJoinStats(queries: DataFrame, operators: DataFrame): DataFrame = {
+    val isJoin = col("name").isin("HASH JOIN", "CROSS JOIN")
+    val perQuery = operators.groupBy(col("query_id")).agg(
+      count(when(isJoin, 1)).as("num_joins"),
+      count(when(isJoin && col("join_impl") === "BROADCAST", 1)).as("num_broadcast_joins"),
+      count(when(isJoin && col("join_impl") === "PARTITIONED", 1)).as("num_partitioned_joins"),
+      count(when(col("name") === "HASH JOIN" && col("join_type") === "INNER JOIN", 1))
+        .as("num_inner_joins"),
+      sum(when(col("name") === "SCAN HDFS", col("size"))).as("scan_bytes"))
+    queries.select("query_id", "num_tables", "num_hdfs_scans", "runtime")
+      .join(perQuery, Seq("query_id"), "left")
+      .na.fill(0L, Seq("num_joins", "num_broadcast_joins", "num_partitioned_joins",
+        "num_inner_joins", "scan_bytes"))
+      // stats.py:148: scan MB via integer division
+      .withColumn("scan_mb", expr("scan_bytes DIV 1048576"))
+  }
+
+  /** R13 (stats.py:108-115, 356-374): cross-query operator matrix — average
+    * time share per operator name over ALL N queries, counting a missing
+    * (query, op) pair as 0. Closed form sum/N (no crossJoin padding). */
+  def operatorTimeMatrix(breakdown: DataFrame, numQueries: Long): DataFrame = {
+    val total = breakdown.agg(sum(col("sum_time"))).head().getLong(0)
+    breakdown.groupBy(col("name")).agg(
+      (sum(col("time_pct")) / lit(numQueries.toDouble)).as("avg_time_pct"),
+      sum(col("sum_time")).as("sum_time"))
+      .withColumn("abs_time_pct",
+        col("sum_time").cast("double") / lit(total.toDouble))
+      .orderBy(desc("sum_time"))
+  }
+
+  /** R14 (aggs.py:12-34): pre-aggregation reduction ratio — each PRE
+    * AGGREGATE joined to its input child on (query_id, parent_id = id);
+    * ratio out/in with the reference's guards (#in < #out dropped,
+    * #in == 0 → 1.0). Self-equi-join on query_id — one shuffle. */
+  def preAggReduction(operators: DataFrame): DataFrame = {
+    val pre = operators
+      .filter(col("name") === "AGGREGATE" && col("agg_type") === "PRE")
+      .select(col("query_id"), col("id"),
+        (element_at(col("avg_counters"), "RowsReturned") * col("num_hosts")).as("out_rows"))
+    val children = operators.select(
+      col("query_id"), col("parent_id"),
+      (element_at(col("avg_counters"), "RowsReturned") * col("num_hosts")).as("in_rows"))
+    pre.join(children,
+        pre("query_id") === children("query_id") && pre("id") === children("parent_id"))
+      .select(pre("query_id"), pre("id"), col("in_rows"), col("out_rows"))
+      .filter(col("in_rows") >= col("out_rows")) // guard: #input < #output dropped
+      .withColumn("reduction",
+        when(col("in_rows") === 0L, lit(1.0))
+          .otherwise(col("out_rows").cast("double") / col("in_rows").cast("double")))
+  }
+
+  /** R15-R18 (joins.py): every HASH/CROSS JOIN with its child rows attached
+    * and the broadcast-vs-partitioned cost model applied.
+    * Classification precedence matches the reference's elif chain:
+    * wrong_impl, then wrong_left_right, else correct. */
+  def joinAudit(operators: DataFrame): DataFrame = {
+    val joins = operators
+      .filter(col("name").isin("HASH JOIN", "CROSS JOIN"))
+      .select(col("query_id"), col("id"), col("avg_time"), col("num_hosts"),
+        col("join_impl"), col("left_child_id"), col("right_child_id"))
+    val child = operators.select(col("query_id").as("c_qid"), col("id").as("c_id"),
+      (col("num_rows") * col("row_size")).as("c_bytes"))
+    val withLeft = joins.join(child,
+        col("query_id") === col("c_qid") && col("left_child_id") === col("c_id"))
+      .withColumnRenamed("c_bytes", "left_bytes").drop("c_qid", "c_id")
+    val withBoth = withLeft.join(
+        child.withColumnRenamed("c_bytes", "right_bytes"),
+        col("query_id") === col("c_qid") && col("right_child_id") === col("c_id"))
+      .drop("c_qid", "c_id")
+    val broadcastCost = least(col("left_bytes"), col("right_bytes")) * col("num_hosts")
+    val partitionedCost = col("left_bytes") + col("right_bytes")
+    val wrongImpl =
+      when(broadcastCost === partitionedCost, lit(false))
+        .when(broadcastCost < partitionedCost, col("join_impl") =!= "BROADCAST")
+        .otherwise(col("join_impl") =!= "PARTITIONED")
+    val wrongLeftRight =
+      col("join_impl") === "BROADCAST" && col("left_bytes") < col("right_bytes")
+    withBoth
+      .withColumn("broadcast_cost", broadcastCost)
+      .withColumn("partitioned_cost", partitionedCost)
+      .withColumn("class",
+        when(wrongImpl, "wrong_impl")
+          .when(wrongLeftRight, "wrong_left_right")
+          .otherwise("correct"))
+  }
+
+  /** R18 roll-up (joins.py:35-100): count and total time per class. */
+  def joinAuditSummary(audit: DataFrame): DataFrame =
+    audit.groupBy(col("class"))
+      .agg(count(lit(1)).as("num_joins"), sum(col("avg_time")).as("sum_time"))
+      .orderBy(col("class"))
+
+  /** R19 (stats.py:383-405): per-cluster query concurrency sweep-line with
+    * the reference's exact conventions: max clamps at >= 1, and the
+    * time-weighted average counts only intervals with concurrency > 0
+    * (busy time), ties resolved (ts, delta) ascending. */
+  def queryConcurrency(queries: DataFrame): DataFrame = {
+    val events = queries.select(col("cluster"), col("start_time").as("ts"), lit(1).as("delta"))
+      .unionByName(queries.select(col("cluster"), col("end_time").as("ts"), lit(-1).as("delta")))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("ts"), col("delta"))
+    val stepped = events
+      .withColumn("conc", sum(col("delta")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dur", lead(col("ts"), 1).over(w) - col("ts"))
+    stepped.groupBy(col("cluster")).agg(
+      greatest(max(col("conc")), lit(1L)).as("max_concurrency"),
+      (sum(when(col("conc") > 0, col("conc") * col("dur")))
+        .cast("double") /
+        sum(when(col("conc") > 0, col("dur"))).cast("double")).as("avg_concurrency"))
+  }
+
+  /** R12 (stats.py:407-419): workload roll-up by statement type (expects a
+    * `sql_type` column — attach via graft.sqlstats). */
+  def workloadRollup(queries: DataFrame): DataFrame =
+    queries.groupBy(col("sql_type"))
+      .agg(sum(col("runtime")).as("runtime"), count(lit(1)).as("count"))
+      .orderBy(desc("count"), col("sql_type"))
+
+  /** R20 + S9 (draw_plan.py): ASCII plan tree for one query. Per-query data
+    * is tiny (tens of rows) — collect + local recursion, exactly like the
+    * reference; the engine-scale path is the per-query *filter* that
+    * precedes the collect. Children ordered by id for determinism. */
+  def planTree(operators: DataFrame, fragments: DataFrame, queryId: String): String = {
+    val ops = operators.filter(col("query_id") === queryId)
+      .select("id", "name", "fragment_id", "parent_id").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+    val frags = fragments.filter(col("query_id") === queryId)
+      .select("id", "exchange_id").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+
+    val sb = new StringBuilder
+    def opChildren(fragId: Int, opId: Int): Seq[Either[Int, Int]] = {
+      val childOps = ops.filter(o => o._3.contains(fragId) && o._4.contains(opId))
+        .map(o => Left(o._1): Either[Int, Int]).sortBy(_.left.toOption)
+      val childFrags = frags.filter(_._2.contains(opId))
+        .map(f => Right(f._1): Either[Int, Int]).sortBy(_.toOption)
+      childOps ++ childFrags
+    }
+    def draw(node: Either[Int, Int], depth: Int): Unit = {
+      val pad = "  " * depth + (if (depth > 0) "+--" else "")
+      node match {
+        case Right(fid) =>
+          sb.append(s"${pad}F$fid\n")
+          ops.filter(o => o._3.contains(fid) && o._4.isEmpty)
+            .sortBy(_._1).foreach(o => draw(Left(o._1), depth + 1))
+        case Left(oid) =>
+          val op = ops.find(_._1 == oid).get
+          sb.append(s"$pad${op._1} ${op._2}\n")
+          opChildren(op._3.get, oid).foreach(draw(_, depth + 1))
+      }
+    }
+    frags.filter(_._2.isEmpty).map(_._1).sorted
+      .foreach(fid => draw(Right(fid), 0))
+    sb.result()
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.WorkloadAnalytics
+import graft.ingest.ProfileIngest
+
+/** Reference-semantics analytics (SURVEY §2.3) driven end-to-end over the
+  * ingested synthetic profile tables + hand-computed micro fixtures. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tables = {
+    val dir = Files.createTempDirectory("graft-analytics")
+    val lines = Seq(ProfileFixtures.dumpLine(ProfileFixtures.queryProfile("select 1")))
+    val f = dir.resolve("p.txt")
+    Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    ProfileIngest.tables(ProfileIngest.parse(spark, f.toString, "t1"))
+  }
+
+  test("R2/R3/R5 operator time breakdown with pseudo-operators") {
+    val bd = WorkloadAnalytics.operatorTimeBreakdown(
+      tables.queries, tables.operators, tables.fragments)
+    val byName = bd.collect().map(r => r.getAs[String]("name") ->
+      (r.getAs[Long]("sum_time"), r.getAs[Double]("time_pct"))).toMap
+    assert(byName("AGGREGATE")._1 === 5322000L)
+    // parseTime("8.120ms") = 8119999 (double-mult truncation, faithful to
+    // the reference's float arithmetic)
+    assert(byName("HASH JOIN")._1 ===
+      graft.functions.Units.parseTime("15.300ms") + graft.functions.Units.parseTime("8.120ms"))
+    assert(byName("EXCHANGE")._1 === 10000L + 39689L)
+    assert(byName("SCAN HDFS")._1 === 42710000L + 542710000L)
+    assert(byName("Plan")._1 === 60000000L)
+    assert(byName("Fragment Start")._1 === 35000000L)
+    assert(byName("CodeGen")._1 === 300000L)
+    assert(byName("HdfsTableSink")._1 === 0L)
+    val total = byName.values.map(_._1).sum
+    assert(math.abs(byName.values.map(_._2).sum - 1.0) < 1e-12)
+    assert(byName("SCAN HDFS")._2 === byName("SCAN HDFS")._1.toDouble / total)
+  }
+
+  test("R4 stragglers threshold + ordering") {
+    val s = WorkloadAnalytics.stragglers(tables.queries, tables.operators, 0.01)
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Double]("diff_time_pct")))
+    // runtime = 800000000ns; ops with (max-avg)/runtime >= 1%:
+    // op0: (671.64-542.71)ms / 800ms = 0.161; op1: 28.93/800 = 0.036
+    assert(s.map(_._1).toSeq === Seq(0, 1))
+    assert(math.abs(s(0)._2 - (671640000L - 542710000L).toDouble / 800000000L) < 1e-12)
+  }
+
+  test("R6/R7 per-query join stats") {
+    val js = WorkloadAnalytics.queryJoinStats(tables.queries, tables.operators).collect()(0)
+    assert(js.getAs[Long]("num_joins") === 2L)
+    assert(js.getAs[Long]("num_broadcast_joins") === 1L)
+    assert(js.getAs[Long]("num_partitioned_joins") === 1L)
+    assert(js.getAs[Long]("num_inner_joins") === 2L)
+    // op1's partitions line sits behind '|' bars, which the reference's
+    // `^\s+partitions=` regex does not match — only op0's size is captured
+    // (faithful quirk of profile_analyzer.py:186-188)
+    val expectedBytes = (15.21 * 1024 * 1024).toLong
+    assert(js.getAs[Long]("scan_bytes") === expectedBytes)
+    assert(js.getAs[Long]("scan_mb") === expectedBytes / 1048576)
+  }
+
+  test("R13 padded operator matrix") {
+    val bd = WorkloadAnalytics.operatorTimeBreakdown(
+      tables.queries, tables.operators, tables.fragments)
+    val m = WorkloadAnalytics.operatorTimeMatrix(bd, numQueries = 4)
+    val row = m.filter(col("name") === "SCAN HDFS").collect()(0)
+    // single query's pct padded over 4 queries = pct/4
+    val pct = bd.filter(col("name") === "SCAN HDFS").collect()(0).getAs[Double]("time_pct")
+    assert(math.abs(row.getAs[Double]("avg_time_pct") - pct / 4.0) < 1e-12)
+    assert(m.collect().map(_.getAs[Double]("abs_time_pct")).sum > 0.999)
+  }
+
+  test("R14 pre-agg reduction guards") {
+    val ops = Seq(
+      // (query_id, id, name, agg_type, parent_id, num_hosts, rows_returned)
+      ("q1", 1, "AGGREGATE", "PRE", None, 2L, 10L),
+      ("q1", 2, "EXCHANGE", null, Some(1), 2L, 100L),  // child: in=200 out=20
+      ("q1", 3, "AGGREGATE", "PRE", None, 2L, 0L),
+      ("q1", 4, "SCAN HDFS", null, Some(3), 2L, 0L),   // in=0 -> ratio 1.0
+      ("q1", 5, "AGGREGATE", "PRE", None, 2L, 50L),
+      ("q1", 6, "SCAN HDFS", null, Some(5), 2L, 10L)   // in<out -> dropped
+    ).map { case (q, id, n, at, pid, nh, rr) =>
+      (q, id, n, Option(at), pid, nh, Map("RowsReturned" -> rr))
+    }.toDF("query_id", "id", "name", "agg_type", "parent_id", "num_hosts", "avg_counters")
+    val red = WorkloadAnalytics.preAggReduction(ops)
+      .select("id", "reduction").as[(Int, Double)].collect().toMap
+    assert(red === Map(1 -> 0.1, 3 -> 1.0))
+  }
+
+  test("R15-R18 join audit cost model on ingested fixture") {
+    val audit = WorkloadAnalytics.joinAudit(tables.operators)
+      .select("id", "class").as[(Int, String)].collect().toMap
+    // join 6: left=op0 (573770*24B), right=op4 (50*32B), 2 hosts:
+    //   broadcast cost 3200 < partitioned 13772480, impl=PARTITIONED -> wrong
+    assert(audit(6) === "wrong_impl")
+    // join 4: left=op1 (5770*24), right=op3 (10*8): broadcast correct
+    assert(audit(4) === "correct")
+    val summary = WorkloadAnalytics.joinAuditSummary(WorkloadAnalytics.joinAudit(tables.operators))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(summary.keySet === Set("correct", "wrong_impl"))
+  }
+
+  test("R15-R18 wrong build side detection") {
+    val ops = Seq(
+      ("q1", 1, "HASH JOIN", Some("BROADCAST"), Some(2), Some(3), 2L, 0L, 0L, 1000L),
+      ("q1", 2, "SCAN HDFS", None, None, None, 2L, 10L, 8L, 0L),   // left: 80 bytes
+      ("q1", 3, "SCAN HDFS", None, None, None, 2L, 100L, 8L, 0L)   // right: 800 bytes
+    ).toDF("query_id", "id", "name", "join_impl", "left_child_id", "right_child_id",
+      "num_hosts", "num_rows", "row_size", "avg_time")
+    val audit = WorkloadAnalytics.joinAudit(ops)
+      .select("id", "class").as[(Int, String)].collect().toMap
+    // broadcast cost = min(80,800)*2 = 160 < 880 -> impl correct, but the
+    // smaller side is LEFT -> wrong_left_right (joins.py:22-30)
+    assert(audit(1) === "wrong_left_right")
+  }
+
+  test("R19 query concurrency matches the reference loop semantics") {
+    val qs = Seq(
+      ("c1", 0L, 10L), ("c1", 5L, 15L), ("c1", 20L, 30L),
+      ("c2", 0L, 100L)
+    ).toDF("cluster", "start_time", "end_time")
+    val out = WorkloadAnalytics.queryConcurrency(qs)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out("c1")._1 === 2L)
+    assert(math.abs(out("c1")._2 - 1.2) < 1e-12) // 30 conc-us over 25 busy us
+    assert(out("c2") === ((1L, 1.0)))
+  }
+
+  test("R20 plan tree render") {
+    val qid = tables.queries.select("query_id").as[String].collect()(0)
+    val tree = WorkloadAnalytics.planTree(tables.operators, tables.fragments, qid)
+    val expected =
+      """F2
+        |  +--8 EXCHANGE
+        |    +--F1
+        |      +--7 AGGREGATE
+        |        +--6 HASH JOIN
+        |          +--0 SCAN HDFS
+        |          +--4 HASH JOIN
+        |            +--1 SCAN HDFS
+        |            +--3 EXCHANGE
+        |""".stripMargin
+    assert(tree === expected)
+  }
+}
