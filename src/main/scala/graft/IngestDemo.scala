@@ -31,6 +31,11 @@ object IngestDemo {
     t.queries.limit(1).collect().headOption.foreach { q =>
       println(planTree(t.operators, t.fragments, q.getAs[String]("query_id")))
     }
+    // J1-J5: attach SQL features + parameterized-template dedup
+    val withSql = graft.sqlstats.SqlFeatures.attach(spark, t.queries)
+    withSql.groupBy("sql_type").count().show(false)
+    withSql.groupBy(org.apache.spark.sql.functions.col("sql.parameterized_stmt"))
+      .count().show(3, false)
     spark.stop()
   }
 }

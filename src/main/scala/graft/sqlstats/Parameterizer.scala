@@ -1,0 +1,136 @@
+package graft.sqlstats
+
+import org.apache.spark.sql.catalyst.analysis._
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types.{BooleanType, NullType, StringType}
+
+/** J4 (Parameterizer.java:14-208): query fingerprinting — rewrite the parsed
+  * statement so that all literals, column refs, table names and aliases
+  * become placeholders, then render a canonical template string. Queries
+  * differing only in constants/identifiers share a fingerprint.
+  *
+  * The reference mutates Impala's AST in place (via reflection into final
+  * fields) and calls its toSql(); Catalyst trees are immutable case classes,
+  * so this is a pure transform + a small canonical printer (Catalyst has no
+  * public plan-to-SQL renderer).
+  *
+  * Literal mapping mirrors Parameterizer.java:168-183: bool → FALSE,
+  * numeric → 1, everything else → '?'. Column refs and table refs → ?.
+  */
+object Parameterizer {
+
+  def parameterize(plan: LogicalPlan): LogicalPlan = {
+    val withExprs = plan.transformAllExpressionsWithSubqueries {
+      case l: Literal => l.dataType match {
+        case BooleanType => Literal(false)
+        case NullType => Literal(null)
+        case t if t.typeName.contains("interval") => l // keep interval shape
+        case StringType => Literal("?")
+        case _ => Literal(1)
+      }
+      case _: UnresolvedAttribute => UnresolvedAttribute(Seq("?"))
+      // NOTE: aliases are dropped in renderExpr, not here — a transform rule
+      // returning the child would prevent the rule from re-running on it
+      // (transformDown applies rules before descending, not after rewrite)
+    }
+    withExprs.transformWithSubqueries {
+      case r: UnresolvedRelation => UnresolvedRelation(Seq("?"))
+      case SubqueryAlias(_, child) => SubqueryAlias("?", child)
+    }
+  }
+
+  /** Canonical template text for a parameterized plan (stable across
+    * equivalent statements; the fingerprint key). */
+  def render(plan: LogicalPlan): String = plan match {
+    case w: UnresolvedWith =>
+      val ctes = w.cteRelations.map { c => s"? AS (${render(c._2.child)})" }
+      s"WITH ${ctes.mkString(", ")} ${render(w.child)}"
+    case g: GlobalLimit => s"${render(g.child)} LIMIT ?"
+    case l: LocalLimit => render(l.child)
+    case s: Sort =>
+      val dirs = s.order.map(o => s"${renderExpr(o.child)} ${o.direction.sql}")
+      s"${render(s.child)} ORDER BY ${dirs.mkString(", ")}"
+    case d: Distinct => render(d.child) match {
+      case sel if sel.startsWith("SELECT ") => "SELECT DISTINCT " + sel.stripPrefix("SELECT ")
+      case other => other
+    }
+    case u: Union => u.children.map(render).mkString(" UNION ALL ")
+    case h: UnresolvedHaving => s"${render(h.child)} HAVING ${renderExpr(h.havingCondition)}"
+    case a: Aggregate =>
+      val items = a.aggregateExpressions.map(renderExpr)
+      val grp = if (a.groupingExpressions.isEmpty) ""
+        else s" GROUP BY ${a.groupingExpressions.map(renderExpr).mkString(", ")}"
+      s"SELECT ${items.mkString(", ")} FROM ${renderFrom(a.child)}$grp"
+    case p: Project =>
+      s"SELECT ${p.projectList.map(renderExpr).mkString(", ")} FROM ${renderFrom(p.child)}"
+    case f: Filter => // WHERE under a bare select-without-project
+      s"${render(f.child)} WHERE ${renderExpr(f.condition)}"
+    case i: InsertIntoStatement =>
+      s"INSERT INTO ? ${render(i.query)}"
+    case other => renderFrom(other)
+  }
+
+  private def renderFrom(plan: LogicalPlan): String = plan match {
+    case f: Filter => s"${renderFrom(f.child)} WHERE ${renderExpr(f.condition)}"
+    case j: Join =>
+      val kind = j.joinType match {
+        case UsingJoin(tpe, cols) => s"${tpe.sql} JOIN USING(${cols.map(_ => "?").mkString(", ")})"
+        case t => s"${t.sql} JOIN"
+      }
+      val on = j.condition.map(c => s" ON ${renderExpr(c)}").getOrElse("")
+      s"${renderFrom(j.left)} $kind ${renderFrom(j.right)}$on"
+    case _: UnresolvedRelation => "?"
+    case sa: SubqueryAlias => sa.child match {
+      case _: UnresolvedRelation => "?"
+      case sub => s"(${render(sub)}) ?"
+    }
+    case _: OneRowRelation => "DUAL"
+    case other => s"(${render(other)})"
+  }
+
+  private def renderExpr(e: Expression): String = e match {
+    case UnresolvedAlias(child, _) => renderExpr(child)
+    case Alias(child, _) => renderExpr(child) // explicit labels dropped (J4)
+    case _: UnresolvedStar => "*"
+    case a: UnresolvedAttribute => a.name
+    case l: Literal if l.dataType == StringType && l.value != null => "'?'"
+    case l: Literal => String.valueOf(l.value)
+    case f: UnresolvedFunction =>
+      s"${f.nameParts.mkString(".").toLowerCase}(${f.arguments.map(renderExpr).mkString(", ")})"
+    case c: Cast => s"CAST(${renderExpr(c.child)} AS ${c.dataType.simpleString.toUpperCase})"
+    case And(l, r) => s"(${renderExpr(l)} AND ${renderExpr(r)})"
+    case Or(l, r) => s"(${renderExpr(l)} OR ${renderExpr(r)})"
+    case Not(c) => s"(NOT ${renderExpr(c)})"
+    case EqualTo(l, r) => s"${renderExpr(l)} = ${renderExpr(r)}"
+    case LessThan(l, r) => s"${renderExpr(l)} < ${renderExpr(r)}"
+    case LessThanOrEqual(l, r) => s"${renderExpr(l)} <= ${renderExpr(r)}"
+    case GreaterThan(l, r) => s"${renderExpr(l)} > ${renderExpr(r)}"
+    case GreaterThanOrEqual(l, r) => s"${renderExpr(l)} >= ${renderExpr(r)}"
+    case Add(l, r, _) => s"(${renderExpr(l)} + ${renderExpr(r)})"
+    case Subtract(l, r, _) => s"(${renderExpr(l)} - ${renderExpr(r)})"
+    case Multiply(l, r, _) => s"(${renderExpr(l)} * ${renderExpr(r)})"
+    case Divide(l, r, _) => s"(${renderExpr(l)} / ${renderExpr(r)})"
+    case In(v, list) => s"${renderExpr(v)} IN (${list.map(renderExpr).mkString(", ")})"
+    case InSubquery(vs, q) => s"${vs.map(renderExpr).mkString(", ")} IN (${render(q.plan)})"
+    case Exists(p, _, _, _, _) => s"EXISTS (${render(p)})"
+    case sq: ScalarSubquery => s"(${render(sq.plan)})"
+    case IsNull(c) => s"${renderExpr(c)} IS NULL"
+    case IsNotNull(c) => s"${renderExpr(c)} IS NOT NULL"
+    case Like(l, r, _) => s"${renderExpr(l)} LIKE ${renderExpr(r)}"
+    case w: WindowExpression => s"${renderExpr(w.windowFunction)} OVER (?)"
+    case c: CaseWhen =>
+      val branches = c.branches.map { case (p, v) =>
+        s"WHEN ${renderExpr(p)} THEN ${renderExpr(v)}"
+      }.mkString(" ")
+      val els = c.elseValue.map(v => s" ELSE ${renderExpr(v)}").getOrElse("")
+      s"CASE $branches$els END"
+    case other => other.children.map(renderExpr).mkString(
+      other.getClass.getSimpleName + "(", ", ", ")")
+  }
+
+  /** Parse + parameterize + render: the fingerprint template. */
+  def parameterizeSql(sql: String): String =
+    render(parameterize(SqlAnalyzer.parse(sql)))
+}

@@ -1,0 +1,160 @@
+package graft
+
+import graft.sqlstats.{Parameterizer, SqlFeatures}
+
+/** J1-J5: syntactic feature extraction + parameterization over a fixed
+  * corpus (SURVEY §5 test plan item 4). */
+class SqlStatsSpec extends SparkSpec {
+
+  test("simple select") {
+    val f = SqlFeatures.analyze("SELECT a, b FROM t WHERE a = 1 AND b < 2 LIMIT 10")
+    assert(f.sql_type === "SelectStmt")
+    assert(f.num_output_columns === 2)
+    assert(f.num_limits === 1)
+    assert(f.num_where_compound_predicates("AND") === 1)
+    assert(f.num_where_binary_predicates("EQ") === 1)
+    assert(f.num_where_binary_predicates("LT") === 1)
+    assert(f.num_where_binary_predicates("GT") === 0) // zero-seeded maps
+  }
+
+  test("star select") {
+    val f = SqlFeatures.analyze("SELECT * FROM t")
+    assert(f.num_output_columns === -1)
+  }
+
+  test("group by / order by / having") {
+    val f = SqlFeatures.analyze(
+      """SELECT a, count(*), sum(b + 1) FROM t
+        |GROUP BY a, c HAVING count(*) > 5 ORDER BY a DESC, b""".stripMargin)
+    assert(f.num_group_by_columns === 2)
+    assert(f.num_order_by_columns === 2)
+    assert(f.num_select_function_call_exprs === 2)
+    assert(f.num_select_arithmetic_exprs === 1)
+    assert(f.num_having_binary_predicates("GT") === 1)
+    assert(f.num_having_function_call_exprs === 1)
+  }
+
+  test("where-side features: like, in, between, exists, null, case, cast") {
+    val f = SqlFeatures.analyze(
+      """SELECT a FROM t WHERE
+        |  name LIKE 'x%' OR name RLIKE 'y.*'
+        |  OR a IN (1, 2, 3)
+        |  OR b BETWEEN 1 AND 10
+        |  OR c IS NULL OR d IS NOT NULL
+        |  OR CAST(e AS INT) = 1
+        |  OR CASE WHEN f > 0 THEN 1 ELSE 0 END = 1
+        |  OR length(g) > 2""".stripMargin)
+    assert(f.num_where_like_predicates("LIKE") === 1)
+    assert(f.num_where_like_predicates("RLIKE") === 1)
+    assert(f.num_where_in_predicates === 1)
+    assert(f.num_where_between_predicates === 1)
+    assert(f.num_where_is_null_predicates === 2)
+    assert(f.num_where_cast_exprs === 1)
+    assert(f.num_where_case_exprs === 1)
+    assert(f.num_where_function_call_exprs === 1)
+    // the BETWEEN rewrite's AND/GE/LE are NOT double-counted
+    assert(f.num_where_compound_predicates("OR") === 8)
+    assert(f.num_where_binary_predicates("GE") === 0)
+  }
+
+  test("subqueries: from, where, with, depth") {
+    val f = SqlFeatures.analyze(
+      """WITH v AS (SELECT x FROM u)
+        |SELECT a FROM (SELECT a FROM s WHERE a IN (SELECT z FROM zz)) sub
+        |WHERE EXISTS (SELECT 1 FROM w)""".stripMargin)
+    assert(f.num_with_subqueries === 1)
+    assert(f.num_from_subqueries === 1)
+    // EXISTS counts both exists and where-subquery; inner IN-subquery adds
+    // another where-subquery at the nested level
+    assert(f.num_where_exists_predicates === 1)
+    assert(f.num_where_subqueries === 2)
+    assert(f.max_depth_subqueries === 2) // outer (from+where) + inner (where)
+  }
+
+  test("union semantics: output columns from last operand, order/limit at union level") {
+    val f = SqlFeatures.analyze(
+      "SELECT a, b FROM t UNION ALL SELECT c, d FROM u ORDER BY 1 LIMIT 5")
+    assert(f.sql_type === "UnionStmt")
+    assert(f.num_output_columns === 2)
+    assert(f.num_order_by_columns === 1)
+    assert(f.num_limits === 1)
+  }
+
+  test("join features: on clause and using columns") {
+    val f = SqlFeatures.analyze(
+      """SELECT a FROM t JOIN u ON t.id = u.id AND t.x > u.y
+        |JOIN v USING (k1, k2)""".stripMargin)
+    assert(f.num_on_binary_predicates("EQ") === 1)
+    assert(f.num_on_binary_predicates("GT") === 1)
+    assert(f.num_on_compound_predicates("AND") === 1)
+    assert(f.num_using_columns === 2)
+  }
+
+  test("window and timestamp arithmetic") {
+    val f = SqlFeatures.analyze(
+      """SELECT rank() OVER (PARTITION BY a ORDER BY b), c
+        |FROM t WHERE ts > now() - INTERVAL 1 DAY""".stripMargin)
+    assert(f.num_select_analytic_exprs === 1)
+    assert(f.num_where_timestamp_arithmetic_exprs === 1)
+    assert(f.num_where_arithmetic_exprs === 0)
+  }
+
+  test("insert statement flattens nested select") {
+    val f = SqlFeatures.analyze(
+      "INSERT INTO target SELECT a, b FROM src WHERE a = 1")
+    assert(f.sql_type === "InsertStmt")
+    assert(f.nested_type === Some("SelectStmt"))
+    assert(f.insert_overwrite === Some(false))
+    assert(f.num_output_columns === 2)
+    assert(f.num_where_binary_predicates("EQ") === 1)
+  }
+
+  test("DDL records only the type (J5)") {
+    val f = SqlFeatures.analyze("CREATE TABLE t (x INT)")
+    assert(f.sql_type !== "SelectStmt")
+    assert(f.parameterized_stmt === None)
+    val bad = SqlFeatures.analyze("THIS IS NOT SQL AT ALL")
+    assert(bad.sql_type === "Unparseable")
+  }
+
+  test("parameterization: same template for literal/identifier changes") {
+    val t1 = Parameterizer.parameterizeSql(
+      "SELECT name, age FROM people WHERE age > 30 AND city = 'rome' LIMIT 10")
+    val t2 = Parameterizer.parameterizeSql(
+      "SELECT nome, eta FROM persone WHERE eta > 99 AND citta = 'oslo' LIMIT 99")
+    assert(t1 === t2)
+    val t3 = Parameterizer.parameterizeSql(
+      "SELECT name FROM people WHERE age > 30 OR city = 'rome'")
+    assert(t1 !== t3)
+  }
+
+  test("parameterization: select-list literals and aliases normalize") {
+    // regression: alias-stripping inside the transform skipped literal
+    // rewrite (transformDown doesn't re-apply rules to a rule's output)
+    val a = Parameterizer.parameterizeSql("SELECT 5 AS x, name FROM t")
+    val b = Parameterizer.parameterizeSql("SELECT 99 AS y, other FROM u")
+    assert(a === b)
+    assert(!a.contains("5") || a.contains("?"))
+  }
+
+  test("parameterization: joins and subqueries fingerprint structurally") {
+    val a = Parameterizer.parameterizeSql(
+      "SELECT x FROM t JOIN u ON t.id = u.id WHERE t.k IN (SELECT k FROM v WHERE n = 5)")
+    val b = Parameterizer.parameterizeSql(
+      "SELECT y FROM p JOIN q ON p.pk = q.fk WHERE p.c IN (SELECT c2 FROM w WHERE m = 9)")
+    assert(a === b)
+    assert(a.contains("IN (SELECT"))
+  }
+
+  test("attach joins features onto the queries table") {
+    import spark.implicits._
+    val queries = Seq(
+      ("q1", "SELECT a FROM t WHERE a = 1"),
+      ("q2", "INSERT INTO x SELECT b FROM u")
+    ).toDF("query_id", "stmt")
+    val out = SqlFeatures.attach(spark, queries)
+    val types = out.select("query_id", "sql_type").as[(String, String)].collect().toMap
+    assert(types === Map("q1" -> "SelectStmt", "q2" -> "InsertStmt"))
+    assert(out.select("sql.num_where_binary_predicates").count() === 2)
+  }
+}
