@@ -27,6 +27,25 @@ object Probe {
       println(s"UNITS_PROBE ns=${agg.getLong(0)} bytes=${agg.getLong(1)} units=${agg.getLong(2)}")
       spark.stop(); return
     }
+    if (args.headOption.contains("ml")) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val stmts = (0 until 15).map(i => (s"s$i", s"SELECT a FROM t WHERE a = $i")) ++
+        (0 until 15).map(i => (s"c$i",
+          s"SELECT a, count(*) FROM t JOIN u ON t.k = u.k WHERE b IN (1,2) GROUP BY a ORDER BY 2 LIMIT $i"))
+      val queries = stmts.toDF("query_id", "stmt").withColumn("num_tables", lit(1L))
+      val withSql = graft.sqlstats.SqlFeatures.attach(spark, queries)
+      val scaled = graft.ml.Clustering.assembleAndScale(
+        graft.ml.Clustering.featureColumns(withSql))
+      graft.ml.Clustering.elbow(scaled, Seq(1, 2, 3)).foreach { case (k, w, p) =>
+        println(f"ELBOW k=$k wcss=$w%.3f explained=$p%.1f%%")
+      }
+      graft.ml.Clustering.finalClusters(scaled, k = 2).show(false)
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      println("IVF_TOPK:")
+      graft.ops.Similarity.ivfTopK(spark, emb, "vec_id", "embedding", 0L, 5).show(false)
+      spark.stop(); return
+    }
     val d = "/root/testdata/sf0.001"
     for (t <- Tables.names) {
       val df = Tables.load(spark, d, t)

@@ -101,6 +101,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF ANN: KMeans coarse quantizer over the corpus (index build), then
+    * queries probe only the `nProbe` nearest inverted lists. The index is a
+    * one-off distributed fit; probing is a partition-pruned scan of
+    * ~nProbe/nLists of the corpus — the classic IVF trade at 100 TB (store
+    * the corpus bucketed/partitioned by list id so probes prune files).
+    * Returns top-k (vec_id, cos) for the query vector. */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+              id: String, vec: String, queryId: Long, k: Int,
+              nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = emb.select(col(id), asDouble(col(vec)).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("fv")
+      .setPredictionCol("list_id").fit(withVec)
+    val indexed = model.transform(withVec)
+    val centroids = model.clusterCenters
+    // probe lists = nProbe nearest centroids to the query vector
+    val qv = indexed.filter(col(id) === queryId).select("v").head().getSeq[Double](0)
+    val probeLists = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    indexed.filter(col("list_id").isin(probeLists.map(x => x: Any): _*))
+      .filter(col(id) =!= queryId)
+      .crossJoin(broadcast(indexed.filter(col(id) === queryId).select(col("v").as("qv"))))
+      .select(col(id), cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(desc("cos"), col(id))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup pairs: candidates share an LSH bucket, then
     * exact cosine >= threshold. Bucket equi-join keeps this O(bucket²)
     * instead of O(N²). */

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ml.Clustering
+import graft.sqlstats.SqlFeatures
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two clearly separated syntactic families
+  private lazy val queriesWithSql = {
+    val simple = (0 until 20).map(i => (s"s$i", s"SELECT a, b FROM t$i WHERE a = $i"))
+    val complex = (0 until 20).map(i =>
+      (s"c$i", s"""SELECT a, count(*), sum(b + c), max(d)
+                   |FROM big$i JOIN dim ON big$i.k = dim.k
+                   |WHERE a IN (1,2,3) AND b BETWEEN 1 AND 9 AND c LIKE 'x%'
+                   |GROUP BY a, b, c ORDER BY 2 DESC LIMIT 100""".stripMargin))
+    val df = (simple ++ complex).toDF("query_id", "stmt")
+      .withColumn("num_tables", org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.col("query_id").startsWith("c"), 2L).otherwise(1L))
+    SqlFeatures.attach(spark, df)
+  }
+
+  test("M1 feature assembly: 10 dims with per-family separation") {
+    val f = Clustering.featureColumns(queriesWithSql)
+    assert(f.columns.toSet === (Clustering.FeatureNames.toSet + "query_id"))
+    assert(f.count() === 40)
+    val byFamily = f.withColumn("fam",
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.col("query_id"), 1, 1))
+      .groupBy("fam").avg("f_predicates", "f_group_by")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byFamily("c")._1 > byFamily("s")._1) // complex family has more predicates
+    assert(byFamily("c")._2 === 3.0)
+    assert(byFamily("s")._2 === 0.0)
+  }
+
+  test("M2+M3+M4: scale, elbow improves with k, final clusters separate families") {
+    val scaled = Clustering.assembleAndScale(Clustering.featureColumns(queriesWithSql))
+    val elbow = Clustering.elbow(scaled, Seq(1, 2, 4))
+    // WCSS decreases with k; variance explained increases
+    assert(elbow.map(_._2).sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 })
+    assert(elbow.last._3 > elbow.head._3)
+    // k=2 on two well-separated families: variance explained is high
+    assert(elbow(1)._3 > 60.0)
+
+    val clusters = Clustering.finalClusters(scaled, k = 2)
+    val sizes = clusters.select("size").as[Long].collect().sorted
+    assert(sizes === Array(20L, 20L))
+    // cluster means are reported in UNSCALED units
+    val gb = clusters.select("avg_f_group_by").as[Double].collect().sorted
+    assert(gb === Array(0.0, 3.0))
+  }
+}

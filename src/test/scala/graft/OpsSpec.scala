@@ -70,6 +70,18 @@ class OpsSpec extends SparkSpec {
     assert(top(1)._1 === 2L && math.abs(top(1)._2) < 1e-15)
   }
 
+  test("IVF topk probes coarse lists and finds near neighbors") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, emb, "vec_id", "embedding",
+      queryId = 0L, k = 5, nLists = 4, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size === 5)
+    // approximate: with half the corpus probed, expect decent recall
+    assert(exact.intersect(ivf).nonEmpty)
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val out = Multimodal.decode(spark, media).collect().sortBy(_.doc_id)
