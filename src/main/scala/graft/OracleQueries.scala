@@ -196,9 +196,56 @@ object OracleQueries {
     Relational.sweepLine(iv, "event_type", "start_us", "end_us")
   }
 
+  /** As-of join: for each 'error' event, the most recent 'click' of the same
+    * user at-or-before it (graft.operators.AsOf: union + ordered window, no
+    * range-join explosion). µs precision to match DuckDB's truncation. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("ts_us"), col("event_type"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts_us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts_us", "value")
+    graft.operators.AsOf.asOfJoin(errors, clicks, "user_id", "ts_us", Seq("value"))
+  }
+
+  /** Semi/anti joins: customers with vs without orders per market segment. */
+  def semiAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select("o_custkey")
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
+    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full")
+      .na.fill(0L, Seq("n_with", "n_without"))
+  }
+
+  /** Rollup grouping sets with grouping id. */
+  def groupingRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(dec2("l_extendedprice")).cast("double").as("sum_price"))
+
+  /** Set operations: INTERSECT / EXCEPT with distinct semantics. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("key"))
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > 1000.0)
+      .select(col("c_custkey").as("key"))
+    big.intersect(rich).withColumn("op", lit("intersect"))
+      .unionByName(big.except(rich).withColumn("op", lit("except")))
+  }
+
   // ----------------------------------------------------------------- oracle
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (asofJoin _),
+    "semi_anti_join" -> (semiAntiJoin _),
+    "grouping_rollup" -> (groupingRollup _),
+    "set_ops" -> (setOps _),
     "r1_filter_in" -> (r1FilterIn _),
     "r3_grand_total" -> (r3GrandTotal _),
     "r5_time_share" -> (r5TimeShare _),
@@ -218,6 +265,34 @@ object OracleQueries {
     "join_multiway" -> (joinMultiway _))
 
   val sql: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |e AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, e.ts_us, c.value AS asof_value
+        |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us""".stripMargin,
+    "semi_anti_join" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment,
+        |    EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+        |  FROM customer)
+        |SELECT c_mktsegment,
+        |  COUNT(CASE WHEN has_orders THEN 1 END) AS n_with,
+        |  COUNT(CASE WHEN NOT has_orders THEN 1 END) AS n_without
+        |FROM j GROUP BY c_mktsegment""".stripMargin,
+    "grouping_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "set_ops" ->
+      """WITH big AS (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000.0),
+        |rich AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 1000.0)
+        |SELECT key, 'intersect' AS op FROM (SELECT key FROM big INTERSECT SELECT key FROM rich)
+        |UNION ALL
+        |SELECT key, 'except' AS op FROM (SELECT key FROM big EXCEPT SELECT key FROM rich)""".stripMargin,
     "r1_filter_in" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE c_mktsegment IN ('BUILDING','MACHINERY') AND c_acctbal > 0.0""".stripMargin,

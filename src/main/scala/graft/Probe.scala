@@ -27,6 +27,21 @@ object Probe {
       println(s"UNITS_PROBE ns=${agg.getLong(0)} bytes=${agg.getLong(1)} units=${agg.getLong(2)}")
       spark.stop(); return
     }
+    if (args.headOption.contains("stream")) {
+      // drive the streaming ingest path: watch dir -> parquet sink
+      val Array(_, inDir, outDir) = args
+      import org.apache.spark.sql.streaming.Trigger
+      val q = graft.streaming.Streams.profileStream(spark, inDir, "stream-tag")
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/data")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val n = spark.read.parquet(s"$outDir/data").count()
+      println(s"STREAM_INGESTED $n")
+      spark.stop(); return
+    }
     if (args.headOption.contains("ml")) {
       import spark.implicits._
       import org.apache.spark.sql.functions._

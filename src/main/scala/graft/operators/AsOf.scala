@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark lacks natively.
+  *
+  * Implementation: union the probe and quote sides tagged, sort within each
+  * key by (ts, tag) with quotes first at equal timestamps (inclusive
+  * semantics), and carry the latest quote payload forward with
+  * `last(_, ignoreNulls)` over an unbounded-preceding window. ONE shuffle on
+  * the key and a per-key sort — no range-join row explosion, no per-row
+  * subquery; at 100 TB this scales like any windowed aggregation and skew
+  * is handled by AQE on the shuffle.
+  */
+object AsOf {
+
+  /** For each row of `probe`, attach `payload` columns of the most recent
+    * `quote` row with the same `key` and quote.ts <= probe.ts (inclusive).
+    * Probe rows with no preceding quote are dropped (inner semantics). */
+  def asOfJoin(probe: DataFrame, quote: DataFrame, key: String, ts: String,
+               payload: Seq[String]): DataFrame = {
+    val probeCols = probe.columns
+    val p = probe
+      .withColumn("__tag", lit(1))
+      .select(Seq(col(key), col(ts), col("__tag"),
+        struct(probeCols.map(col): _*).as("__probe")) ++
+        payload.map(c => lit(null).cast(quote.schema(c).dataType).as(s"__q_$c")): _*)
+    val q = quote
+      .withColumn("__tag", lit(0))
+      .select(Seq(col(key), col(ts), col("__tag"),
+        lit(null).cast(p.schema("__probe").dataType).as("__probe")) ++
+        payload.map(c => col(c).as(s"__q_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = p.unionByName(q)
+      .select(col("__tag") +: col("__probe") +:
+        payload.map(c => last(col(s"__q_$c"), ignoreNulls = true).over(w).as(s"__last_$c")): _*)
+    carried.filter(col("__tag") === 1)
+      .filter(payload.map(c => col(s"__last_$c").isNotNull).reduce(_ && _))
+      .select(probeCols.map(c => col(s"__probe.$c")) ++
+        payload.map(c => col(s"__last_$c").as(s"asof_$c")): _*)
+  }
+}

@@ -33,14 +33,18 @@ object Dedup {
       .select(col(id), col("fp"), col("canonical_id"), col("group_size"), col("is_dup"))
   }
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * Tokenization is materialized into its own projection first — inlining
+    * `tokens(text)` into the shingle lambda would re-run the split per
+    * element_at (≈3×shingle-count per row; measured 40× slower at sf0.1). */
   def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
-    val t = tokens(col(text))
+    val t = col("__tokens")
     val sh = when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
     ).otherwise(array())
-    df.select(col(id), explode(array_distinct(sh)).as("shingle"))
+    df.select(col(id), tokens(col(text)).as("__tokens"))
+      .select(col(id), explode(array_distinct(sh)).as("shingle"))
   }
 
   /** N-gram Jaccard near-dup pairs: explode distinct shingles → equi-join on
@@ -104,7 +108,17 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rows = k / bands
-    val sig = minhashSignature(df, id, text, n, k)
+    // the shingle set feeds the signature, both verification sides and the
+    // per-doc counts; recompute is cheaper than persist here (measured at
+    // sf0.1) because Spark's ReuseExchange dedupes the identical groupBy
+    // shuffles while scan-side shingling pipelines into each consumer
+    val shCached = shingles(df, id, text, n)
+    val sig = {
+      val hh = shCached.withColumn("h", hash60(col("shingle")) % MinhashP)
+      val aggs = (0 until k).map(i =>
+        min((col("h") * minhashA(i) + minhashB(i)) % MinhashP).as(s"m$i"))
+      hh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    }
     val bandCols = (0 until bands).map { bIdx =>
       val key = concat_ws("_",
         (0 until rows).map(r => col(s"m${bIdx * rows + r}")): _*)
@@ -117,7 +131,7 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     // exact verification on candidates
-    val sh = shingles(df, id, text, n)
+    val sh = shCached
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.toDF("id1", "shingle"), "id1")

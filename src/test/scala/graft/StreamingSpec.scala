@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming profile ingest matches batch ingest") {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.write(dir.resolve("p1.txt"),
+      Seq(
+        ProfileFixtures.dumpLine(ProfileFixtures.queryProfile("select 1"), qid = "a"),
+        ProfileFixtures.dumpLine(ProfileFixtures.ddlProfile(), qid = "b")
+      ).mkString("\n").getBytes("UTF-8"))
+    val out = Files.createTempDirectory("graft-stream-out")
+    val q = Streams.profileStream(spark, dir.toString, "st")
+      .writeStream
+      .format("memory")
+      .queryName("profiles_stream")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", out.resolve("ckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT query.query_type FROM profiles_stream")
+      .as[String].collect().sorted
+    assert(rows.toSeq === Seq("DDL", "QUERY"))
+  }
+
+  test("watermarked windowed event rates") {
+    val ms = MemoryStream[(Long, Long, String, Double)](spark)
+    val base = 1700000000000000000L // ns epoch
+    val min = 60L * 1000000000L
+    ms.addData(
+      (1L, base + 1, "click", 1.0),
+      (2L, base + 2, "click", 2.0),
+      (3L, base + min + 1, "view", 3.0),
+      (4L, base + 20 * min, "click", 1.0)) // advances the watermark
+    val events = ms.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.eventRates(events)
+      .writeStream.format("memory").queryName("rates")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT event_type, cnt, sum_value FROM rates ORDER BY event_type")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rows.contains(("view", 1L, 3.0)))
+    assert(rows.exists(r => r._1 == "click" && r._2 === 2L)) // 1-min window pair
+  }
+
+  test("sessionize groups events by idle gap") {
+    val events = Seq(
+      Streams.SessionEvent(1L, 1000L, "a"),
+      Streams.SessionEvent(1L, 2000L, "b"),
+      Streams.SessionEvent(1L, 99999000L, "c"), // new session after gap
+      Streams.SessionEvent(2L, 500L, "d")
+    ).toDS()
+    val ms = MemoryStream[Streams.SessionEvent](spark)
+    ms.addData(events.collect().toSeq)
+    val q = Streams.sessionize(spark, ms.toDS(), gapNs = 10000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val closed = spark.sql("SELECT user_id, n_events FROM sessions")
+      .as[(Long, Int)].collect().toSet
+    // user 1's first session (2 events) closed when the gap appeared
+    assert(closed.contains((1L, 2)))
+  }
+}
