@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out utilities: bucketed co-located joins and salted skew
+  * aggregation — the two knobs the 100 TB plan needs that small-SF tests
+  * never force.
+  */
+object Scale {
+
+  /** Write both sides bucketed by the join key (sorted within buckets) as
+    * managed tables, so subsequent equi-joins on that key are co-located:
+    * no Exchange on either side of the SortMergeJoin. The 100 TB pattern
+    * for repeated fact-fact joins. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Bucket-join two managed bucketed tables on `key`; caller can verify
+    * the plan has no shuffle (see ScaleSpec). */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
+  /** Two-phase salted aggregation for skewed grouping keys: spread each hot
+    * key over `salts` sub-groups with a deterministic per-row salt, partial
+    * aggregate on (key, salt), then final-aggregate on key. Turns one
+    * straggler reducer into `salts` balanced ones; results identical to the
+    * direct groupBy for decomposable aggregates (sum/count/min/max).
+    *
+    * `saltBy` must vary within a key group (any high-cardinality column). */
+  def saltedSum(df: DataFrame, key: Seq[String], saltBy: Column, salts: Int,
+                sums: Seq[(String, Column)]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+    val partial = salted
+      .groupBy((key.map(col) :+ col("__salt")): _*)
+      .agg(sums.head._2.as(sums.head._1),
+        sums.tail.map { case (n, c) => c.as(n) }: _*)
+    partial.groupBy(key.map(col): _*)
+      .agg(sum(col(sums.head._1)).as(sums.head._1),
+        sums.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
+  }
+}

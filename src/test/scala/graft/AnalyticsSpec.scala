@@ -131,6 +131,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("c2") === ((1L, 1.0)))
   }
 
+  test("S8 chart-input tables") {
+    val charts = graft.analytics.ChartTables.all(tables)
+    assert(charts.size >= 13)
+    val joinsHist = charts("num_joins_hist").collect()
+    assert(joinsHist.map(_.getAs[Long]("cnt")).sum === 1L) // 1 query
+    val corr = charts("join_correctness").collect().map(_.getString(0)).toSet
+    assert(corr === Set("correct", "wrong_impl"))
+    // reference step rule: single int value -> step 1, one bin
+    assert(joinsHist.head.getAs[Long]("bin") === 0L)
+  }
+
   test("R20 plan tree render") {
     val qid = tables.queries.select("query_id").as[String].collect()(0)
     val tree = WorkloadAnalytics.planTree(tables.operators, tables.fragments, qid)

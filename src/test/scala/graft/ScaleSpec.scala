@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scale
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join is exchange-free on both sides") {
+    val d = "/root/testdata/sf0.001"
+    Scale.writeBucketed(Tables.lineitem(spark, d), "li_b", "l_orderkey", 8)
+    Scale.writeBucketed(
+      Tables.orders(spark, d).withColumnRenamed("o_orderkey", "l_orderkey"),
+      "ord_b", "l_orderkey", 8)
+    val joined = Scale.bucketedJoin(spark, "li_b", "ord_b", "l_orderkey")
+    val exchanges = joined.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, joined.queryExecution.executedPlan.toString)
+    assert(joined.count() === 6000L) // every lineitem matches its order
+  }
+
+  test("salted aggregation equals direct groupBy") {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("q"), count(lit(1)).as("c"))
+      .as[(String, Double, Long)].collect().toSet
+    val salted = Scale.saltedSum(li, Seq("l_returnflag"), col("l_orderkey"), 8,
+      Seq("q" -> sum(col("l_quantity")), "c" -> count(lit(1))))
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted === direct)
+  }
+}
