@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CounterDouble, HllSketchAgg, ParseSize, ParseTime, ParseUnits}
+
+/** SparkSessionExtensions wiring: registers the engine's native expressions
+  * as SQL functions, so `spark.sql("SELECT parse_size('1.00 GB')")` works
+  * anywhere the extension is installed:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("parse_size"), info("parse_size"),
+      (args: Seq[Expression]) => ParseSize(args.head)))
+    e.injectFunction((FunctionIdentifier("parse_units"), info("parse_units"),
+      (args: Seq[Expression]) => ParseUnits(args.head)))
+    e.injectFunction((FunctionIdentifier("parse_time"), info("parse_time"),
+      (args: Seq[Expression]) => ParseTime(args.head)))
+    e.injectFunction((FunctionIdentifier("counter_double"), info("counter_double"),
+      (args: Seq[Expression]) => CounterDouble(args.head)))
+    e.injectFunction((FunctionIdentifier("hll_count"), info("hll_count"),
+      (args: Seq[Expression]) => HllSketchAgg(args.head).toAggregateExpression()))
+  }
+}

@@ -5,6 +5,21 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only scratch main for inspecting fixture schemas/plans. */
 object Probe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("hll")) {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .createOrReplaceTempView("li")
+      s.sql("""SELECT l_returnflag, hll_count(l_partkey) AS approx_parts,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               parse_time('795.202us') AS t FROM li GROUP BY 1""").show(false)
+      s.stop(); return
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

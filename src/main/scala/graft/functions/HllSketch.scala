@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Custom aggregate demonstration: a from-scratch HyperLogLog distinct-count
+  * sketch as a `TypedImperativeAggregate` (mutable byte-register buffer,
+  * mergeable across partitions — the Spark-native shape for sketch
+  * aggregates at 100 TB: constant memory per group, partial-merge-final).
+  *
+  * Standard HLL (Flajolet et al., public algorithm): 2^p byte registers,
+  * register = max leading-zero rank of the hashed value's suffix; estimate
+  * via the harmonic mean with small-range linear counting correction.
+  */
+case class HllSketchAgg(
+    child: Expression,
+    precision: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val m = 1 << precision
+
+  // reuse Spark's 64-bit hash expression over the child for any input type
+  @transient private lazy val hasher = XxHash64(Seq(child), 42L)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = hasher.eval(input).asInstanceOf[Long]
+      val idx = (h >>> (64 - precision)).toInt
+      val suffix = h << precision
+      val rank = (if (suffix == 0) 64 - precision
+                  else java.lang.Long.numberOfLeadingZeros(suffix) + 1).min(64 - precision)
+      if (rank > (buf(idx) & 0xff)) buf(idx) = rank.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      val r = buf(i) & 0xff
+      sum += 1.0 / (1L << r)
+      if (r == 0) zeros += 1
+      i += 1
+    }
+    var est = alpha * m * m / sum
+    if (est <= 2.5 * m && zeros > 0) {
+      est = m * math.log(m.toDouble / zeros) // linear counting for small n
+    }
+    math.round(est)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllSketchAgg =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(offset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "hll_sketch_count"
+}
+
+object HllSketchAgg {
+  /** Column API: approximate COUNT(DISTINCT c) via the custom sketch. */
+  def hll_count(c: Column, precision: Int = 12): Column =
+    Bridge.column(HllSketchAgg(Bridge.expression(c), precision)
+      .toAggregateExpression())
+}

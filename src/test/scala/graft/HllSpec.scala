@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.HllSketchAgg.hll_count
+
+class HllSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hll sketch approximates distinct counts within rel error") {
+    val d = "/root/testdata/sf0.01"
+    val li = Tables.lineitem(spark, d)
+    val exact = li.select(countDistinct(col("l_partkey"))).as[Long].head()
+    val approx = li.select(hll_count(col("l_partkey"))).as[Long].head()
+    // p=12 -> ~1.6% standard error; allow 5%
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
+  test("hll merges across groups and partitions") {
+    val df = spark.range(0, 100000, 1, 8)
+      .select((col("id") % 7).as("g"), (col("id") % 5000).as("v"))
+    val rows = df.groupBy("g").agg(hll_count(col("v")).as("d"))
+      .as[(Long, Long)].collect()
+    assert(rows.length === 7)
+    rows.foreach { case (_, d) =>
+      assert(math.abs(d - 5000.0) / 5000.0 < 0.05, d)
+    }
+  }
+
+  test("hll small-cardinality linear counting is near-exact") {
+    val approx = spark.range(50).select(hll_count(col("id"))).as[Long].head()
+    assert(approx === 50L)
+  }
+
+  test("extensions register SQL functions") {
+    // getOrCreate() returns the shared session and ignores extensions —
+    // clear active/default so a new session object (same context) is built
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT parse_size('278.73 KB') AS b, parse_time('795.202us') AS t, parse_units('2.85K') AS u")
+        .collect()(0)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((285419L, 795202L, 2850L)))
+      val h = s2.sql("SELECT hll_count(id) FROM range(1000)").collect()(0).getLong(0)
+      assert(math.abs(h - 1000.0) / 1000.0 < 0.05)
+    } finally {
+      // shared SparkContext: restore the suite session as active/default
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}
