@@ -184,10 +184,12 @@ object OracleOpsQueries {
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "sim_cosine_pairs" ->
       s"""WITH $bucketsCte,
-         |bv AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id)
-         |SELECT a.vec_id AS id1, b.vec_id AS id2, ${cosSql("a.v", "b.v")} AS cos
+         |bv AS (SELECT e.vec_id, e.v, bk.bucket, sqrt(${dotSql("v", "v")}) AS nrm
+         |       FROM e JOIN bk ON e.vec_id = bk.vec_id)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
          |FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.v", "b.v")} >= 0.3""".stripMargin,
+         |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, 'text/fake' AS kind,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -55,7 +55,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                         threshold: Double,
                         maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    val sh = shingles(df, id, text, n).cache()
+    // no .cache(): a library function must not leak persisted blocks into
+    // the caller's session; ReuseExchange dedupes the identical shuffles
+    val sh = shingles(df, id, text, n)
     val shFiltered = maxShingleDocFreq match {
       case Some(cap) =>
         val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))

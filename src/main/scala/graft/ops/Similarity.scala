@@ -138,12 +138,16 @@ object Similarity {
     * instead of O(N²). */
   def cosinePairs(emb: DataFrame, id: String, vec: String, threshold: Double,
                   planes: Int = 8, dim: Int = 64): DataFrame = {
+    // precompute each row's norm scan-side: the pair join then does ONE dot
+    // product per candidate instead of three (same doubles — identical
+    // expression over identical inputs — so still oracle-exact)
     val b = emb.select(col(id), asDouble(col(vec)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, dim))
-    b.toDF("id1", "v1", "bucket")
-      .join(b.toDF("id2", "v2", "bucket"), Seq("bucket"))
+      .withColumn("nrm", norm(col("v")))
+    b.toDF("id1", "v1", "bucket", "n1")
+      .join(b.toDF("id2", "v2", "bucket", "n2"), Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
