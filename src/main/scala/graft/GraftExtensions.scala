@@ -31,5 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CounterDouble(args.head)))
     e.injectFunction((FunctionIdentifier("hll_count"), info("hll_count"),
       (args: Seq[Expression]) => HllSketchAgg(args.head).toAggregateExpression()))
+    // whole-operator extension: plans graft.plans.AsOfJoinPlan
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -20,6 +20,27 @@ object Probe {
                parse_time('795.202us') AS t FROM li GROUP BY 1""").show(false)
       s.stop(); return
     }
+    if (args.headOption.contains("asof")) {
+      import org.apache.spark.sql.functions._
+      val s = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      val ev = Tables.events(s, "/root/testdata/sf0.01").select(
+        col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_type"), col("value"))
+      val probes = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts_us")
+      val quotes = ev.filter(col("event_type") === "click").select("user_id", "ts_us", "value")
+      val native = graft.operators.AsOf.asOfJoinNative(s, probes, quotes, "user_id", "ts_us")
+        .select("event_id", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val windowed = graft.operators.AsOf.asOfJoin(probes, quotes, "user_id", "ts_us", Seq("value"))
+        .select("event_id", "asof_value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      println(s"ASOF_NATIVE rows=${native.size} matches_windowed=${native == windowed}")
+      s.stop(); return
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

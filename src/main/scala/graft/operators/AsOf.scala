@@ -16,6 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Physical-operator variant (graft.plans.AsOfJoinExec): build the custom
+    * logical node over the analyzed children; the injected strategy plans
+    * the per-partition streaming merge. Requires the session to carry
+    * [[graft.GraftExtensions]] (or pass an extended session); key/ts must be
+    * LongType columns present on both sides by these names. Output: all
+    * left columns ++ all right columns of the matched quote row. */
+  def asOfJoinNative(spark: org.apache.spark.sql.SparkSession,
+                     probe: DataFrame, quote: DataFrame,
+                     key: String, ts: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val lp = Bridge.analyzed(probe)
+    // re-alias every right column (fresh exprIds, same names): if both sides
+    // derive from one relation, DeduplicateRelations would otherwise remap
+    // the right subtree and leave this node's key/ts refs pointing at the
+    // LEFT side's attributes (the classic self-join trap)
+    val rp = Bridge.analyzed(quote.select(
+      quote.columns.map(c => quote(c).as(c)).toSeq: _*))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    Bridge.ofRows(spark, graft.plans.AsOfJoinPlan(lp, rp,
+      attr(lp, key), attr(rp, key), attr(lp, ts), attr(rp, ts)))
+  }
+
   /** For each row of `probe`, attach `payload` columns of the most recent
     * `quote` row with the same `key` and quote.ts <= probe.ts (inclusive).
     * Probe rows with no preceding quote are dropped (inner semantics). */

@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.JoinedRow
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator Catalyst extension exemplar (the (c) rung of the
+  * custom-operator ladder): the as-of join as a first-class plan node.
+  *
+  *  - [[AsOfJoinPlan]]: logical node (left row + the latest right row with
+  *    the same key and right.ts <= left.ts; inner semantics).
+  *  - [[AsOfJoinStrategy]]: planner strategy (injected via
+  *    [[graft.GraftExtensions]]).
+  *  - [[AsOfJoinExec]]: physical operator — declares hash distribution on
+  *    the key and (key, ts) ordering for BOTH children, so Spark inserts
+  *    exactly one shuffle+sort per side and the join itself is a streaming
+  *    per-partition merge: O(n) per partition, constant memory (one
+  *    buffered quote row), no range-join explosion. That IS the 100 TB
+  *    execution shape; AQE still handles key skew on the injected exchange.
+  *
+  * Exemplar scope: key and ts must be LongType (the engine's id/ns-epoch
+  * convention); the DataFrame-level `operators.AsOf.asOfJoin` stays the
+  * general-purpose implementation.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTsB = BindReferences.bindReference(leftTs, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTsB = BindReferences.bindReference(rightTs, right.output)
+    val outputAttrs = output
+    val childOutputs = left.output ++ right.output
+    left.execute().zipPartitions(right.execute()) { (probes, quotes) =>
+      val joiner = UnsafeProjection.create(outputAttrs, childOutputs)
+      val joined = new JoinedRow
+      val bufQuotes = quotes.buffered
+      var heldQuote: InternalRow = null
+      var heldKey = 0L
+      var heldTs = 0L
+      probes.flatMap { probe =>
+        val pk = lKeyB.eval(probe).asInstanceOf[Long]
+        val pt = lTsB.eval(probe).asInstanceOf[Long]
+        // advance the quote stream up to (pk, pt), holding the last match
+        var advancing = true
+        while (advancing && bufQuotes.hasNext) {
+          val q = bufQuotes.head
+          val qk = rKeyB.eval(q).asInstanceOf[Long]
+          val qt = rTsB.eval(q).asInstanceOf[Long]
+          if (qk < pk || (qk == pk && qt <= pt)) {
+            heldQuote = q.copy() // iterator rows are reused buffers
+            heldKey = qk
+            heldTs = qt
+            bufQuotes.next()
+          } else {
+            advancing = false
+          }
+        }
+        if (heldQuote != null && heldKey == pk && heldTs <= pt) {
+          Iterator.single(joiner(joined(probe, heldQuote)))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+/** The custom LogicalPlan + Strategy + physical AsOfJoinExec, planned via
+  * GraftExtensions, checked against the window-based implementation. */
+class AsOfNativeSpec extends SparkSpec {
+
+  private lazy val extSession: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-asof-native")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.setActiveSession(spark)
+    SparkSession.setDefaultSession(spark)
+    s
+  }
+
+  test("native as-of join matches the window implementation on real data") {
+    val s = extSession
+    val ev = Tables.events(s, "/root/testdata/sf0.001").select(
+      col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+      col("event_type"), col("value"))
+    val probes = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts_us")
+    val quotes = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("value"))
+    val native = AsOf.asOfJoinNative(s, probes, quotes, "user_id", "ts_us")
+      .select(col("event_id"), col("value").as("asof_value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val windowed = AsOf.asOfJoin(probes, quotes, "user_id", "ts_us", Seq("value"))
+      .select(col("event_id"), col("asof_value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(native.nonEmpty)
+    assert(native === windowed)
+  }
+
+  test("physical plan is the custom exec with one exchange+sort per side") {
+    val s = extSession
+    import s.implicits._
+    val probes = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "tag")
+    val quotes = Seq((1L, 9L, 1.0), (1L, 15L, 2.0), (3L, 1L, 9.9))
+      .toDF("k", "t", "v")
+    val df = AsOf.asOfJoinNative(s,
+      probes.select(col("k").as("key"), col("t").as("ts"), col("tag")),
+      quotes.select(col("k").as("key"), col("t").as("ts"), col("v")),
+      "key", "ts")
+    // AQE wraps the plan; the custom exec prints as "AsOfJoin"
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("AsOfJoin"), planStr)
+    val rows = df.select(col("tag"), col("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    // p1 (k=1,t=10) -> quote ts 9; p2 (k=1,t=20) -> quote ts 15; p3: no quote
+    assert(rows === Set(("p1", 1.0), ("p2", 2.0)))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+object GoldenGen {
+  val corpus: Seq[(String, String)] = Seq(
+    "g01" -> "SELECT * FROM t",
+    "g02" -> "SELECT a, b FROM t WHERE a = 1 AND b < 2 LIMIT 10",
+    "g03" -> "SELECT a, count(*) FROM t GROUP BY a HAVING count(*) > 5 ORDER BY a",
+    "g04" -> "SELECT name FROM people WHERE age BETWEEN 18 AND 65 AND city LIKE 'S%'",
+    "g05" -> "SELECT x FROM t JOIN u ON t.id = u.id JOIN v USING (k)",
+    "g06" -> "SELECT a FROM (SELECT a FROM s WHERE b > 0) sub WHERE EXISTS (SELECT 1 FROM w)",
+    "g07" -> "WITH c AS (SELECT x FROM u) SELECT x FROM c WHERE x IN (SELECT y FROM z)",
+    "g08" -> "SELECT a, b FROM t UNION ALL SELECT c, d FROM u ORDER BY 1 LIMIT 5",
+    "g09" -> "SELECT rank() OVER (PARTITION BY a ORDER BY b) FROM t",
+    "g10" -> "SELECT CASE WHEN a > 0 THEN 'p' ELSE 'n' END, CAST(b AS INT) FROM t",
+    "g11" -> "INSERT INTO tgt SELECT a, sum(b) FROM src GROUP BY a",
+    "g12" -> "INSERT OVERWRITE TABLE tgt SELECT * FROM src",
+    "g13" -> "SELECT a FROM t WHERE ts > now() - INTERVAL 3 HOUR",
+    "g14" -> "SELECT a + b * c - d / e FROM t WHERE NOT (a = 1 OR b = 2)",
+    "g15" -> "SELECT count(DISTINCT a), avg(b), min(c), max(d) FROM t",
+    "g16" -> "SELECT a FROM t WHERE c IS NULL OR d IS NOT NULL",
+    "g17" -> "CREATE TABLE t (x INT)",
+    "g18" -> "DROP TABLE t",
+    "g19" -> "SELECT t1.a FROM t t1 LEFT JOIN t t2 ON t1.id = t2.parent_id AND t2.n BETWEEN 1 AND 5",
+    "g20" -> "SELECT a FROM t WHERE x = (SELECT max(x) FROM t)")
+  def featLine(id: String, sql: String): String = {
+    val f = graft.sqlstats.SqlFeatures.analyze(sql)
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val fields = Seq(
+      "sql_type" -> q(f.sql_type),
+      "nested_type" -> f.nested_type.map(q).getOrElse("null"),
+      "parameterized_stmt" -> f.parameterized_stmt.map(q).getOrElse("null"),
+      "num_output_columns" -> f.num_output_columns.toString,
+      "num_from_subqueries" -> f.num_from_subqueries.toString,
+      "num_where_subqueries" -> f.num_where_subqueries.toString,
+      "num_with_subqueries" -> f.num_with_subqueries.toString,
+      "max_depth_subqueries" -> f.max_depth_subqueries.toString,
+      "num_group_by_columns" -> f.num_group_by_columns.toString,
+      "num_order_by_columns" -> f.num_order_by_columns.toString,
+      "num_limits" -> f.num_limits.toString,
+      "num_where_in" -> f.num_where_in_predicates.toString,
+      "num_where_between" -> f.num_where_between_predicates.toString,
+      "num_where_exists" -> f.num_where_exists_predicates.toString,
+      "num_where_is_null" -> f.num_where_is_null_predicates.toString,
+      "num_select_analytic" -> f.num_select_analytic_exprs.toString,
+      "num_select_case" -> f.num_select_case_exprs.toString,
+      "num_select_cast" -> f.num_select_cast_exprs.toString,
+      "num_select_fn" -> f.num_select_function_call_exprs.toString,
+      "num_using_columns" -> f.num_using_columns.toString,
+      "num_on_between" -> f.num_on_between_predicates.toString,
+      "where_binary" -> f.num_where_binary_predicates.toSeq.sorted
+        .map { case (k, v) => s"${'"'}$k${'"'}: $v" }.mkString("{", ", ", "}"),
+      "where_compound" -> f.num_where_compound_predicates.toSeq.sorted
+        .map { case (k, v) => s"${'"'}$k${'"'}: $v" }.mkString("{", ", ", "}"),
+      "num_ts_arith" -> f.num_where_timestamp_arithmetic_exprs.toString)
+    s"""  ${q(id)}: {${fields.map { case (k, v) => s"${q(k)}: $v" }.mkString(", ")}}"""
+  }
+  def main(args: Array[String]): Unit = {
+    val json = corpus.map { case (id, sql) => featLine(id, sql) }
+      .mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("src/test/resources/sql_golden.json"),
+      json.getBytes("UTF-8"))
+    println("GOLDEN_WRITTEN " + corpus.size)
+  }
+}

@@ -1,0 +1,18 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-output lock for J1 feature vectors + J4 templates (SURVEY §5 test
+  * plan item 4): re-analyze the fixed 20-statement corpus and compare to the
+  * committed snapshot byte-for-byte. Regenerate deliberately with
+  * `sbt "Test/runMain graft.GoldenGen"` when semantics change on purpose. */
+class GoldenSpec extends AnyFunSuite {
+  test("SQL feature extraction matches committed golden corpus") {
+    val expected = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource("/sql_golden.json").toURI)), "UTF-8")
+    val actual = GoldenGen.corpus.map { case (id, sql) => GoldenGen.featLine(id, sql) }
+      .mkString("{\n", ",\n", "\n}\n")
+    assert(actual === expected)
+  }
+}
