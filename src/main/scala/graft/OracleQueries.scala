@@ -229,6 +229,14 @@ object OracleQueries {
         count(lit(1)).as("cnt"),
         sum(dec2("l_extendedprice")).cast("double").as("sum_price"))
 
+  /** CUBE grouping sets (all 4 combinations) with grouping id. */
+  def groupingCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(dec2("o_totalprice")).cast("double").as("sum_price"))
+
   /** Set operations: INTERSECT / EXCEPT with distinct semantics. */
   def setOps(s: SparkSession, d: String): DataFrame = {
     val big = Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
@@ -267,6 +275,7 @@ object OracleQueries {
     "asof_join" -> (asofJoin _),
     "semi_anti_join" -> (semiAntiJoin _),
     "grouping_rollup" -> (groupingRollup _),
+    "grouping_cube" -> (groupingCube _),
     "set_ops" -> (setOps _),
     "r1_filter_in" -> (r1FilterIn _),
     "r3_grand_total" -> (r3GrandTotal _),
@@ -322,6 +331,12 @@ object OracleQueries {
         |  COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "grouping_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "set_ops" ->
       """WITH big AS (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000.0),
         |rich AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 1000.0)

@@ -61,6 +61,10 @@ object Probe {
       df.explain()
       val agg = df.agg(sum("ns"), sum("bytes"), sum("units")).collect()(0)
       println(s"UNITS_PROBE ns=${agg.getLong(0)} bytes=${agg.getLong(1)} units=${agg.getLong(2)}")
+      val rh = spark.range(0, 100000, 1, 8)
+        .select(F.rolling_hash(concat(lit("doc"), col("id").cast("string"))).as("h"))
+        .agg(countDistinct(col("h"))).collect()(0).getLong(0)
+      println(s"ROLLING_HASH distinct=$rh of 100000")
       spark.stop(); return
     }
     if (args.headOption.contains("stream")) {

@@ -64,6 +64,23 @@ case class CounterDouble(child: Expression) extends UnaryExpression {
   override def prettyName: String = "counter_double"
 }
 
+/** Rolling-hash document fingerprint (codegen'd; wrapping 64-bit polynomial
+  * over UTF-8 bytes — not oracle-checkable since DuckDB BIGINT overflow is
+  * checked, so this is the fast in-engine fingerprint; md5 is the portable
+  * one). */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Units.rollingHash(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Units.rollingHash($c.toString())")
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+  override def prettyName: String = "rolling_hash"
+}
+
 /** Column-level API. */
 object F {
   def parse_size(c: Column): Column =
@@ -74,4 +91,6 @@ object F {
     Bridge.column(ParseTime(Bridge.expression(c)))
   def counter_double(c: Column): Column =
     Bridge.column(CounterDouble(Bridge.expression(c)))
+  def rolling_hash(c: Column): Column =
+    Bridge.column(RollingHash(Bridge.expression(c)))
 }

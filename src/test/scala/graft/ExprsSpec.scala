@@ -29,6 +29,14 @@ class ExprsSpec extends SparkSpec {
     assert(out === 2.718281828)
   }
 
+  test("rolling_hash is deterministic, sensitive, codegen-evaluated") {
+    val out = Seq("abc", "abd", "abc").toDF("s")
+      .select(F.rolling_hash($"s")).as[Long].collect()
+    assert(out(0) === out(2))
+    assert(out(0) !== out(1))
+    assert(out(0) === graft.functions.Units.rollingHash("abc"))
+  }
+
   test("null propagates") {
     val out = Seq[(java.lang.String, java.lang.Long)](((null, null))).toDF("s", "v")
       .select(F.parse_size($"s"), F.counter_double($"v")).collect()(0)
