@@ -99,6 +99,15 @@ object Probe {
       val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       println("IVF_TOPK:")
       graft.ops.Similarity.ivfTopK(spark, emb, "vec_id", "embedding", 0L, 5).show(false)
+      val q = graft.ops.Similarity.quantizeInt8(Tables.embeddings(spark, "/root/testdata/sf0.01"), "embedding")
+      val deq = q.select(col("vec_id"),
+        graft.ops.Similarity.dequantize(col("q"), col("scale")).as("embedding"))
+      val ex = graft.ops.Similarity.bruteForceTopK(
+        Tables.embeddings(spark, "/root/testdata/sf0.01"), "vec_id", "embedding", 0L, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ap = graft.ops.Similarity.bruteForceTopK(deq, "vec_id", "embedding", 0L, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      println(s"QUANT_INT8 top10_overlap=${ex.intersect(ap).size}/10")
       spark.stop(); return
     }
     val d = "/root/testdata/sf0.001"

@@ -133,6 +133,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 symmetric quantization of an embedding column: per-vector scale =
+    * max(|x|)/127, elements rounded to [-127,127]. 4× smaller at rest and on
+    * the wire — the storage/shuffle lever for 100 TB embedding corpora;
+    * cosine on dequantized vectors stays within ~1% of full precision
+    * (see OpsSpec). Output: (… , q: array<tinyint>, scale: double). */
+  def quantizeInt8(emb: DataFrame, vec: String): DataFrame = {
+    val v = asDouble(col(vec))
+    val scale = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))) / lit(127.0)
+    emb.withColumn("scale", scale)
+      .withColumn("q", transform(v, x =>
+        round(x / col("scale")).cast("tinyint")))
+  }
+
+  /** Dequantized double vector from (q, scale). */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** Embedding-cosine near-dup pairs: candidates share an LSH bucket, then
     * exact cosine >= threshold. Bucket equi-join keeps this O(bucket²)
     * instead of O(N²). */

@@ -82,6 +82,35 @@ class OpsSpec extends SparkSpec {
     assert(exact.intersect(ivf).nonEmpty)
   }
 
+  test("int8 quantization keeps cosine within 1%") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Similarity.quantizeInt8(emb, "embedding")
+    val deq = q.select(col("vec_id"),
+      Similarity.dequantize(col("q"), col("scale")).as("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id", "cos").as[(Long, Double)].collect()
+    val approx = Similarity.bruteForceTopK(deq, "vec_id", "embedding", 0L, 10)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    val overlap = exact.count { case (id, _) => approx.contains(id) }
+    assert(overlap >= 8, s"top-10 overlap only $overlap")
+    exact.filter(e => approx.contains(e._1)).foreach { case (id, c) =>
+      assert(math.abs(approx(id) - c) < 0.01, s"vec $id: ${approx(id)} vs $c")
+    }
+  }
+
+  test("multimodal features feed similarity search end-to-end") {
+    // documents -> binary -> (stub) decode features -> kNN over features:
+    // the full training-data pipeline composition
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val feats = Multimodal.decode(spark, media)
+      .toDF().select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    val top = Similarity.bruteForceTopK(feats, "vec_id", "embedding",
+      queryId = feats.select("vec_id").as[Long].head(), k = 5)
+    assert(top.count() === 5)
+    assert(top.select("cos").as[Double].collect().forall(c => c >= -1.0 && c <= 1.0))
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val out = Multimodal.decode(spark, media).collect().sortBy(_.doc_id)
