@@ -33,10 +33,12 @@ object Multimodal {
   val FeatureDim = 16
 
   /** STUB decoder: deterministic fake metadata/features from md5(bytes).
-    * A real implementation would decode the image here (per-batch, reusing
-    * codec state across the partition's rows). */
-  def fakeDecode(row: MediaRow): DecodedMedia = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    * A real implementation would decode the image here. */
+  def fakeDecode(row: MediaRow): DecodedMedia =
+    fakeDecodeWith(java.security.MessageDigest.getInstance("MD5"), row)
+
+  private[ops] def fakeDecodeWith(md: java.security.MessageDigest, row: MediaRow): DecodedMedia = {
+    md.reset()
     val h = md.digest(row.content)
     def b(i: Int): Int = h(i) & 0xff
     DecodedMedia(
@@ -56,12 +58,20 @@ object Multimodal {
     df.select(col(id).cast("long").as("doc_id"), lit("text/fake").as("kind"),
       encode(col(text), "UTF-8").as("content"))
 
-  /** Decode pass: partition-local batches through the (stubbed) decoder.
-    * `mapPartitions` keeps decoder state per partition — the Scala
-    * equivalent of `mapInPandas` batch processing; no shuffle. */
-  def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+  /** Decode pass: partition-local BATCHES through the (stubbed) decoder —
+    * the Scala equivalent of `mapInPandas`: rows arrive in `batchSize`
+    * groups so a real decoder can amortize codec/model state per batch
+    * (and the md5 digest instance is reused across the batch here); no
+    * shuffle, output streams incrementally. */
+  def decode(spark: SparkSession, media: DataFrame,
+             batchSize: Int = 256): Dataset[DecodedMedia] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { it => it.map(fakeDecode) }
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-batch state
+        batch.map(row => fakeDecodeWith(md, row))
+      }
+    }
   }
 
   /** Frame sampling for "video" payloads: every nth fixed-size byte chunk,
