@@ -101,41 +101,64 @@ object ProfileIngest {
     Bridge.column(IntegralDivide(Bridge.expression(a - pmod(a, b)), Bridge.expression(b)))
   }
 
-  /** S7-style audit of averaged-vs-per-host counters
-    * (profile_analyzer.py:413-439): rows where the stored average differs
-    * from the integer mean of the per-host vector, skipping the two
-    * counters Impala excludes from averaging. Pure higher-order-function
-    * column algebra — no UDF, no collect. */
-  def operatorConsistencyViolations(operators: DataFrame): DataFrame =
-    operators
-      .select(col("query_id"), col("id"), col("name"),
-        explode(col("avg_counters")).as(Seq("counter", "avg_value")),
-        col("counters"))
-      .filter(!col("counter").isin("InactiveTotalTime", "AsyncTotalTime"))
-      .withColumn("host_values", element_at(col("counters"), col("counter")))
+  /** Shared core of the avg-vs-per-host audits. Counter-type aware: the
+    * reference reads every counter through getCounterValue
+    * (profile_analyzer.py:405-411), so DOUBLE_VALUE counters compare as
+    * doubles (float mean, left-fold like Python's sum) while integer
+    * counters use Python2 floor-mean. Inputs already carry
+    * (counter, avg_value, host_values, is_double). */
+  private def meanMismatch(exploded: DataFrame): DataFrame = {
+    import graft.functions.F
+    exploded
       .filter(col("host_values").isNotNull && size(col("host_values")) > 0)
       .withColumn("int_mean",
         floorDiv(aggregate(col("host_values"), lit(0L), (a, x) => a + x),
           size(col("host_values")).cast("long")))
-      .filter(col("avg_value") =!= col("int_mean"))
+      .withColumn("double_mean",
+        aggregate(col("host_values"), lit(0.0d),
+          (a, x) => a + F.counter_double(x)) / size(col("host_values")))
+      .filter(when(col("is_double"),
+          F.counter_double(col("avg_value")) =!= col("double_mean"))
+        .otherwise(col("avg_value") =!= col("int_mean")))
+  }
+
+  /** S7-style audit of averaged-vs-per-host counters
+    * (profile_analyzer.py:413-439): rows where the stored average differs
+    * from the mean of the per-host vector (integer floor-mean, or float
+    * mean for DOUBLE_VALUE counters), skipping the two counters Impala
+    * excludes from averaging. Pure higher-order-function column algebra —
+    * no UDF, no collect. */
+  def operatorConsistencyViolations(operators: DataFrame): DataFrame =
+    meanMismatch(operators
+      .select(col("query_id"), col("id"), col("name"),
+        explode(col("avg_counters")).as(Seq("counter", "avg_value")),
+        col("counters"), col("counter_types"))
+      .filter(!col("counter").isin("InactiveTotalTime", "AsyncTotalTime"))
+      .withColumn("host_values", element_at(col("counters"), col("counter")))
+      .withColumn("is_double",
+        coalesce(element_at(col("counter_types"), col("counter")) ===
+          graft.model.CounterType.DoubleValue, lit(false))))
+      .drop("counters", "counter_types")
 
   /** Same audit for fragment CodeGen / HdfsTableSink counter pairs
-    * (profile_analyzer.py:441-459). */
+    * (profile_analyzer.py:441-459), using the fragment-side counter-type
+    * maps. */
   def fragmentConsistencyViolations(fragments: DataFrame): DataFrame = {
-    def check(avgCol: String, arrCol: String, label: String): DataFrame =
-      fragments
+    def check(avgCol: String, arrCol: String, typesCol: String, label: String): DataFrame =
+      meanMismatch(fragments
         .select(col("query_id"), col("id"),
-          explode(col(avgCol)).as(Seq("counter", "avg_value")), col(arrCol))
+          explode(col(avgCol)).as(Seq("counter", "avg_value")),
+          col(arrCol), col(typesCol))
         .withColumn("host_values", element_at(col(arrCol), col("counter")))
-        .filter(col("host_values").isNotNull && size(col("host_values")) > 0)
-        .withColumn("int_mean",
-          floorDiv(aggregate(col("host_values"), lit(0L), (a, x) => a + x),
-            size(col("host_values")).cast("long")))
-        .filter(col("avg_value") =!= col("int_mean"))
+        .withColumn("is_double",
+          coalesce(element_at(col(typesCol), col("counter")) ===
+            graft.model.CounterType.DoubleValue, lit(false))))
         .select(col("query_id"), col("id"), lit(label).as("section"),
-          col("counter"), col("avg_value"), col("int_mean"))
-    check("avg_code_gen", "code_gen", "CodeGen")
-      .unionByName(check("avg_hdfs_table_sink", "hdfs_table_sink", "HdfsTableSink"))
+          col("counter"), col("avg_value"), col("int_mean"), col("double_mean"),
+          col("is_double"))
+    check("avg_code_gen", "code_gen", "code_gen_types", "CodeGen")
+      .unionByName(check("avg_hdfs_table_sink", "hdfs_table_sink",
+        "hdfs_table_sink_types", "HdfsTableSink"))
   }
 
   /** S7: cascade delete by tag via anti-joins (delete_queries_with_tag.py:4-9)

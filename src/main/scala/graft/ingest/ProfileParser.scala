@@ -50,8 +50,10 @@ object ProfileParser {
     var exchangeId: Option[Int] = None
     var codeGen = Map.empty[String, Vector[Long]]
     var avgCodeGen = Map.empty[String, Long]
+    var codeGenTypes = Map.empty[String, Int]
     var hdfsTableSink = Map.empty[String, Vector[Long]]
     var avgHdfsTableSink = Map.empty[String, Long]
+    var hdfsTableSinkTypes = Map.empty[String, Int]
   }
 
   // regexes lifted semantically from profile_analyzer.py:59-76, 83-111,
@@ -207,6 +209,7 @@ object ProfileParser {
         isAveragedFragment = false
         currFragment = fragments(grp(fm, "id").toInt)
       } else if (node.name == "CodeGen") {
+        currFragment.codeGenTypes ++= node.counters.map(c => c.name -> c.counterType)
         if (isAveragedFragment)
           currFragment.avgCodeGen = node.counters.map(c => c.name -> c.value).toMap
         else node.counters.foreach { c =>
@@ -214,6 +217,7 @@ object ProfileParser {
             currFragment.codeGen.getOrElse(c.name, Vector.empty) :+ c.value)
         }
       } else if (node.name == "HdfsTableSink") {
+        currFragment.hdfsTableSinkTypes ++= node.counters.map(c => c.name -> c.counterType)
         if (isAveragedFragment)
           currFragment.avgHdfsTableSink = node.counters.map(c => c.name -> c.value).toMap
         else node.counters.foreach { c =>
@@ -331,5 +335,7 @@ object ProfileParser {
   private def toRow(queryId: String, f: FragBuilder): FragmentRow = FragmentRow(
     query_id = queryId, id = f.id, exchange_id = f.exchangeId,
     code_gen = f.codeGen, avg_code_gen = f.avgCodeGen,
-    hdfs_table_sink = f.hdfsTableSink, avg_hdfs_table_sink = f.avgHdfsTableSink)
+    code_gen_types = f.codeGenTypes,
+    hdfs_table_sink = f.hdfsTableSink, avg_hdfs_table_sink = f.avgHdfsTableSink,
+    hdfs_table_sink_types = f.hdfsTableSinkTypes)
 }

@@ -52,6 +52,8 @@ object ThriftCompact {
       s
     }
 
+    /** Skip a value in FIELD position: bools are zero-width (the value
+      * lives in the field-header type nibble). */
     def skip(tpe: Int): Unit = tpe match {
       case BOOL_TRUE | BOOL_FALSE => ()
       case BYTE => readByte()
@@ -60,13 +62,13 @@ object ThriftCompact {
       case BINARY => val len = readVarint().toInt; pos += len
       case LIST | SET =>
         val (elemType, size) = readCollectionHeader()
-        (0 until size).foreach(_ => skip(elemType))
+        (0 until size).foreach(_ => skipElem(elemType))
       case MAP =>
         val size = readVarint().toInt
         if (size > 0) {
           val kv = readByte()
           val (kt, vt) = (kv >> 4, kv & 0x0f)
-          (0 until size).foreach { _ => skip(kt); skip(vt) }
+          (0 until size).foreach { _ => skipElem(kt); skipElem(vt) }
         }
       case STRUCT =>
         var last = 0
@@ -77,6 +79,14 @@ object ThriftCompact {
           else { last = fid; skip(ft) }
         }
       case other => throw new IllegalArgumentException(s"cannot skip type $other")
+    }
+
+    /** Skip a value in ELEMENT position (list/set/map): bools are one byte
+      * each on the wire, unlike zero-width bool fields — treating them as
+      * zero-width would silently desync the stream. */
+    def skipElem(tpe: Int): Unit = tpe match {
+      case BOOL_TRUE | BOOL_FALSE => readByte()
+      case _ => skip(tpe)
     }
 
     /** Returns (fieldId, wireType); wireType STOP terminates the struct. */

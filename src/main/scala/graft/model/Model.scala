@@ -119,12 +119,17 @@ case class OperatorRow(
     avg_counters: Map[String, Long],       // averaged-fragment scalars
     info: Map[String, Seq[String]])
 
-/** One row per plan fragment (profile_analyzer.py:88-111, 220-248). */
+/** One row per plan fragment (profile_analyzer.py:88-111, 220-248).
+  * Like [[OperatorRow]], counter values are raw i64 bits; the `*_types`
+  * maps record each counter's TCounterType so DOUBLE_VALUE counters
+  * (profile_analyzer.py:405-411) stay recoverable downstream. */
 case class FragmentRow(
     query_id: String,
     id: Int,
     exchange_id: Option[Int], // EXCHANGE this fragment's sink feeds; None = root
     code_gen: Map[String, Seq[Long]],
     avg_code_gen: Map[String, Long],
+    code_gen_types: Map[String, Int],
     hdfs_table_sink: Map[String, Seq[Long]],
-    avg_hdfs_table_sink: Map[String, Long])
+    avg_hdfs_table_sink: Map[String, Long],
+    hdfs_table_sink_types: Map[String, Int])

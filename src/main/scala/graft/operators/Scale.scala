@@ -29,18 +29,26 @@ object Scale {
     * key over `salts` sub-groups with a deterministic per-row salt, partial
     * aggregate on (key, salt), then final-aggregate on key. Turns one
     * straggler reducer into `salts` balanced ones; results identical to the
-    * direct groupBy for decomposable aggregates (sum/count/min/max).
+    * direct groupBy for any decomposable aggregate whose partial results
+    * re-combine with the supplied `combine` function — sum/count re-combine
+    * with `sum` (the default); pass `min`/`max` per measure for those.
     *
     * `saltBy` must vary within a key group (any high-cardinality column). */
-  def saltedSum(df: DataFrame, key: Seq[String], saltBy: Column, salts: Int,
-                sums: Seq[(String, Column)]): DataFrame = {
+  def saltedAgg(df: DataFrame, key: Seq[String], saltBy: Column, salts: Int,
+                aggs: Seq[(String, Column, Column => Column)]): DataFrame = {
     val salted = df.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
     val partial = salted
       .groupBy((key.map(col) :+ col("__salt")): _*)
-      .agg(sums.head._2.as(sums.head._1),
-        sums.tail.map { case (n, c) => c.as(n) }: _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c, _) => c.as(n) }: _*)
     partial.groupBy(key.map(col): _*)
-      .agg(sum(col(sums.head._1)).as(sums.head._1),
-        sums.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
+      .agg(aggs.head._3(col(aggs.head._1)).as(aggs.head._1),
+        aggs.tail.map { case (n, _, comb) => comb(col(n)).as(n) }: _*)
   }
+
+  /** [[saltedAgg]] specialized to sum-recombined partials (sum/count). */
+  def saltedSum(df: DataFrame, key: Seq[String], saltBy: Column, salts: Int,
+                sums: Seq[(String, Column)]): DataFrame =
+    saltedAgg(df, key, saltBy, salts,
+      sums.map { case (n, c) => (n, c, (p: Column) => sum(p)) })
 }

@@ -82,26 +82,40 @@ case class AsOfJoinExec(
       var heldKey = 0L
       var heldTs = 0L
       probes.flatMap { probe =>
-        val pk = lKeyB.eval(probe).asInstanceOf[Long]
-        val pt = lTsB.eval(probe).asInstanceOf[Long]
-        // advance the quote stream up to (pk, pt), holding the last match
-        var advancing = true
-        while (advancing && bufQuotes.hasNext) {
-          val q = bufQuotes.head
-          val qk = rKeyB.eval(q).asInstanceOf[Long]
-          val qt = rTsB.eval(q).asInstanceOf[Long]
-          if (qk < pk || (qk == pk && qt <= pt)) {
-            heldQuote = q.copy() // iterator rows are reused buffers
-            heldKey = qk
-            heldTs = qt
-            bufQuotes.next()
-          } else {
-            advancing = false
+        // eval to boxed values first: unboxing SQL NULL via asInstanceOf
+        // would silently turn it into key/ts 0. Inner-join convention:
+        // null key/ts rows on either side never match.
+        val pkRef = lKeyB.eval(probe)
+        val ptRef = lTsB.eval(probe)
+        if (pkRef == null || ptRef == null) Iterator.empty
+        else {
+          val pk = pkRef.asInstanceOf[Long]
+          val pt = ptRef.asInstanceOf[Long]
+          // advance the quote stream up to (pk, pt), holding the last match
+          var advancing = true
+          while (advancing && bufQuotes.hasNext) {
+            val q = bufQuotes.head
+            val qkRef = rKeyB.eval(q)
+            val qtRef = rTsB.eval(q)
+            if (qkRef == null || qtRef == null) {
+              bufQuotes.next() // null quote rows are never as-of candidates
+            } else {
+              val qk = qkRef.asInstanceOf[Long]
+              val qt = qtRef.asInstanceOf[Long]
+              if (qk < pk || (qk == pk && qt <= pt)) {
+                heldQuote = q.copy() // iterator rows are reused buffers
+                heldKey = qk
+                heldTs = qt
+                bufQuotes.next()
+              } else {
+                advancing = false
+              }
+            }
           }
+          if (heldQuote != null && heldKey == pk && heldTs <= pt) {
+            Iterator.single(joiner(joined(probe, heldQuote)))
+          } else Iterator.empty
         }
-        if (heldQuote != null && heldKey == pk && heldTs <= pt) {
-          Iterator.single(joiner(joined(probe, heldQuote)))
-        } else Iterator.empty
       }
     }
   }

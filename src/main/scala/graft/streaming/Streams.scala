@@ -40,35 +40,47 @@ object Streams {
         col("window.end").as("window_end"), col("event_type"),
         col("cnt"), col("sum_value"))
 
-  /** Per-user session state via flatMapGroupsWithState: emits a session row
-    * when a user is idle past `gapMs` (processing-time timeout). Custom
-    * stateful logic beyond windowed aggs — the
-    * KeyValueGroupedDataset.state API surface. */
+  /** Per-user session state via flatMapGroupsWithState. A session closes —
+    * and is emitted — when a LATER event for the same user arrives more
+    * than `gapNs` (event-time) after the session's last event, OR when the
+    * user goes idle for `idleFlush` of processing time: the state times out
+    * (ProcessingTimeTimeout) and the held session flushes, so each user's
+    * final session is not lost. Custom stateful logic beyond windowed
+    * aggs — the KeyValueGroupedDataset.state API surface. */
   case class SessionEvent(user_id: Long, ts: Long, event_type: String)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long, n_events: Int)
 
   def sessionize(spark: SparkSession, events: Dataset[SessionEvent],
-                 gapNs: Long): Dataset[SessionOut] = {
+                 gapNs: Long, idleFlush: String = "30 seconds"): Dataset[SessionOut] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts)
-          var st = state.getOption.getOrElse(
-            SessionState(Long.MinValue, Long.MinValue, 0))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            if (st.n == 0 || e.ts - st.last > gapNs) {
-              if (st.n > 0) closed += SessionOut(userId, st.start, st.last, st.n)
-              st = SessionState(e.ts, e.ts, 1)
-            } else {
-              st = st.copy(last = e.ts, n = st.n + 1)
+          if (state.hasTimedOut) {
+            // idle past idleFlush: emit the held session and clear state
+            val out = state.getOption.filter(_.n > 0)
+              .map(st => SessionOut(userId, st.start, st.last, st.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts)
+            var st = state.getOption.getOrElse(
+              SessionState(Long.MinValue, Long.MinValue, 0))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              if (st.n == 0 || e.ts - st.last > gapNs) {
+                if (st.n > 0) closed += SessionOut(userId, st.start, st.last, st.n)
+                st = SessionState(e.ts, e.ts, 1)
+              } else {
+                st = st.copy(last = e.ts, n = st.n + 1)
+              }
             }
+            state.update(st)
+            state.setTimeoutDuration(idleFlush)
+            closed.iterator
           }
-          state.update(st)
-          closed.iterator
       }
   }
 }
