@@ -255,10 +255,11 @@ object OracleOpsQueries {
         |FROM f""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT p.id1, p.id2, p.common, c1.n AS n1, c2.n AS n2,
          |  CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) AS jaccard
@@ -267,28 +268,28 @@ object OracleOpsQueries {
     "dedup_minhash_lsh" -> {
       val p = Dedup.MinhashP
       val sigCols = (0 until 8).map(i =>
-        s"MIN((h * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $p) AS m$i").mkString(",\n    ")
+        s"MIN(((h % $p) * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $p) AS m$i").mkString(",\n    ")
       val bucketRows = (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS key FROM sig")
         .mkString("\n  UNION ALL\n  ")
       s"""WITH $shinglesCte,
-         |hh AS (SELECT doc_id, ${h60("shingle")} % $p AS h FROM sh),
+         |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
          |sig AS (
          |  SELECT doc_id,
          |    $sigCols
-         |  FROM hh GROUP BY doc_id),
+         |  FROM shh GROUP BY doc_id),
          |buckets AS (
          |  $bucketRows),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |  FROM buckets a JOIN buckets b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
          |com AS (
          |  SELECT c.id1, c.id2, count(*) AS common
          |  FROM cand c
-         |  JOIN sh s1 ON s1.doc_id = c.id1
-         |  JOIN sh s2 ON s2.doc_id = c.id2 AND s1.shingle = s2.shingle
+         |  JOIN shh s1 ON s1.doc_id = c.id1
+         |  JOIN shh s2 ON s2.doc_id = c.id2 AND s1.h = s2.h
          |  GROUP BY c.id1, c.id2)
          |SELECT m.id1, m.id2,
          |  CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) AS jaccard

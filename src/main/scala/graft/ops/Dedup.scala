@@ -47,29 +47,42 @@ object Dedup {
       .select(col(id), explode(array_distinct(sh)).as("shingle"))
   }
 
+  /** Distinct shingles hashed to 60-bit longs: (id, h). All downstream
+    * joins/groupBys key on the 8-byte long, not the shingle string — at
+    * 100 TB that shrinks the candidate-join shuffle by the full shingle
+    * width and makes key compares branchless. Both engines (Spark + the
+    * DuckDB oracle) hash with the same md5-derived [[TextAnalysis.hash60]],
+    * so collision behavior is identical. */
+  def hashedShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    shingles(df, id, text, n).select(col(id), hash60(col("shingle")).as("h"))
+
   /** N-gram Jaccard near-dup pairs: explode distinct shingles → equi-join on
-    * shingle → per-pair common count → |A∩B|/(|A|+|B|-|A∩B|) ≥ threshold.
-    * `maxShingleDocFreq`, if set, drops shingles shared by more than that
-    * many docs before pairing (skew control; changes results, so the
-    * oracle-gated query leaves it off). */
+    * the shingle hash → per-pair common count → |A∩B|/(|A|+|B|-|A∩B|) ≥
+    * threshold. `maxShingleDocFreq`, if set, drops shingles shared by more
+    * than that many docs before pairing (skew control; changes results, so
+    * the oracle-gated query leaves it off). */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                         threshold: Double,
                         maxShingleDocFreq: Option[Int] = None): DataFrame = {
     // no .cache(): a library function must not leak persisted blocks into
-    // the caller's session; ReuseExchange dedupes the identical shuffles
-    val sh = shingles(df, id, text, n)
+    // the caller's session. The explicit repartition on the join key
+    // materializes the expensive scan→tokenize→shingle→md5 chain into ONE
+    // shuffle write that ReuseExchange shares across both join sides and
+    // the counts aggregate (which re-shuffles the 16-byte (id,h) rows by
+    // id instead of re-scanning the documents).
+    val sh = hashedShingles(df, id, text, n).repartition(col("h"))
     val shFiltered = maxShingleDocFreq match {
       case Some(cap) =>
-        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("shingle")
-        // using-column joins reorder the join key first; restore (id, shingle)
-        sh.join(hot, Seq("shingle"), "left_anti").select(col(id), col("shingle"))
+        val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("h")
+        // using-column joins reorder the join key first; restore (id, h)
+        sh.join(hot, Seq("h"), "left_anti").select(col(id), col("h"))
       case None => sh
     }
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val a = shFiltered.toDF("id1", "shingle")
-    val b = shFiltered.toDF("id2", "shingle")
-    val common = a.join(b, Seq("shingle"))
+    val a = shFiltered.toDF("id1", "h")
+    val b = shFiltered.toDF("id2", "h")
+    val common = a.join(b, Seq("h"))
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("common"))
@@ -110,39 +123,36 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rows = k / bands
-    // the shingle set feeds the signature, both verification sides and the
-    // per-doc counts; recompute is cheaper than persist here (measured at
-    // sf0.1) because Spark's ReuseExchange dedupes the identical groupBy
-    // shuffles while scan-side shingling pipelines into each consumer
-    val shCached = shingles(df, id, text, n)
-    val sig = {
-      val hh = shCached.withColumn("h", hash60(col("shingle")) % MinhashP)
-      val aggs = (0 until k).map(i =>
-        min((col("h") * minhashA(i) + minhashB(i)) % MinhashP).as(s"m$i"))
-      hh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
-    }
+    // ONE aggregation pass builds everything per doc: the k minhashes (over
+    // h mod P), the shingle count, and the 60-bit shingle-hash set for
+    // exact verification. The scan+shingle+md5 work happens once; the
+    // single groupBy(id) shuffle is shared by every consumer below
+    // (ReuseExchange), vs. 3-4 re-scans in the naive shape.
+    val hh = hashedShingles(df, id, text, n)
+      .withColumn("hp", col("h") % MinhashP)
+    val sigAggs = (0 until k).map(i =>
+      min((col("hp") * minhashA(i) + minhashB(i)) % MinhashP).as(s"m$i"))
+    val perDoc = hh.groupBy(col(id)).agg(sigAggs.head,
+      (sigAggs.tail :+ count(lit(1)).as("n_sh") :+ collect_list(col("h")).as("hs")): _*)
     val bandCols = (0 until bands).map { bIdx =>
       val key = concat_ws("_",
         (0 until rows).map(r => col(s"m${bIdx * rows + r}")): _*)
       struct(lit(bIdx).as("band"), key.as("key"))
     }
-    val buckets = sig.select(col(id), explode(array(bandCols: _*)).as("b"))
+    val buckets = perDoc.select(col(id), explode(array(bandCols: _*)).as("b"))
       .select(col(id), col("b.band").as("band"), col("b.key").as("key"))
     val cand = buckets.toDF("id1", "band", "key")
       .join(buckets.toDF("id2", "band", "key"), Seq("band", "key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    // exact verification on candidates
-    val sh = shCached
-    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val common = cand
-      .join(sh.toDF("id1", "shingle"), "id1")
-      .join(sh.toDF("id2", "shingle2"), "id2")
-      .filter(col("shingle") === col("shingle2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
-    common
-      .join(counts.toDF("id1", "n1"), "id1")
-      .join(counts.toDF("id2", "n2"), "id2")
+    // exact verification on candidates: set intersection of the per-doc
+    // hash sets (distinct per doc), O(|A|+|B|) per pair — no re-explode,
+    // no second shuffle of the full shingle table
+    val docSets = perDoc.select(col(id), col("n_sh"), col("hs"))
+    cand
+      .join(docSets.toDF("id1", "n1", "hs1"), "id1")
+      .join(docSets.toDF("id2", "n2", "hs2"), "id2")
+      .withColumn("common", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
