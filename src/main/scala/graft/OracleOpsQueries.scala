@@ -81,7 +81,19 @@ object OracleOpsQueries {
       substring(base64(col("content")), 1, 16).as("head_b64"))
   }
 
+  /** Int8 quantization summarized to scalars (scale, element sum, squared
+    * norm, saturation count): array contents exercised end-to-end while the
+    * compared columns stay scalar. max() is order-exact, so `scale` and the
+    * integer aggregates are bit-identical cross-engine. */
+  def simQuantizeInt8(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.quantizeInt8(Tables.embeddings(s, d), "embedding")
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long") * x.cast("long")).as("q_l2"),
+        size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_quantize_int8" -> (simQuantizeInt8 _),
     "sim_bruteforce_topk" -> (simBruteForce _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_lsh_topk" -> (simLshTopK _),
@@ -156,6 +168,17 @@ object OracleOpsQueries {
        |bk AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "sim_quantize_int8" ->
+      s"""WITH $embCte,
+         |s AS (SELECT vec_id, v,
+         |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         |q AS (SELECT vec_id, scale,
+         |        list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS q FROM s)
+         |SELECT vec_id, scale,
+         |  list_reduce(q, (a, b) -> a + b) AS q_sum,
+         |  list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS q_l2,
+         |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+         |FROM q""".stripMargin,
     "sim_bruteforce_topk" ->
       s"""WITH $embCte,
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

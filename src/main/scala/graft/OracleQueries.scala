@@ -139,11 +139,15 @@ object OracleQueries {
     val per = Tables.orders(s, d)
       .groupBy(col("o_orderpriority").as("key"))
       .agg(sum(dec2("o_totalprice")).as("v"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    // the denominator joins back as a broadcast scalar (not a global
+    // window: even over the tiny grouped table, WindowExec would force a
+    // single partition and warn).
     // divide as doubles: Spark's decimal division truncates scale differently
     // from DuckDB's; double/double of identical inputs is bit-identical
-    val withShare = per.withColumn("share",
-      col("v").cast("double") / sum(col("v")).over(w).cast("double"))
+    val total = per.agg(sum(col("v")).as("__tv"))
+    val withShare = per.crossJoin(broadcast(total))
+      .withColumn("share", col("v").cast("double") / col("__tv").cast("double"))
+      .drop("__tv")
     val allRow = per.agg(sum(col("v")).as("v"))
       .select(lit("ALL").as("key"), col("v"), lit(1.0).as("share"))
     withShare.unionByName(allRow)
@@ -270,9 +274,92 @@ object OracleQueries {
 
   // ----------------------------------------------------------------- oracle
 
+  /** As-of join through the NATIVE whole-operator path
+    * (graft.plans.AsOfJoinPlan/Strategy/Exec): same semantics and oracle as
+    * `asof_join`, but planned as the custom physical streaming merge —
+    * oracle-gating the Catalyst extension itself, not just the windowed
+    * DataFrame formulation. */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("ts_us"), col("event_type"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts_us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts_us", "value")
+    graft.operators.AsOf.asOfJoinNative(s, errors, clicks, "user_id", "ts_us")
+      .toDF("event_id", "user_id", "ts_us", "q_user", "q_ts", "asof_value")
+      .select("event_id", "user_id", "ts_us", "asof_value")
+  }
+
+  /** Window-function suite: ranking, offset, distribution and running-sum
+    * windows in one pass (one shuffle on the partition key). Total ordering
+    * (o_totalprice, o_orderkey) makes every function deterministic. */
+  def windowSuite(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rk"),
+      dense_rank().over(w).as("drk"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+      lead(col("o_orderkey"), 1).over(w).as("next_key"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("prk"),
+      cume_dist().over(w).as("cd"),
+      sum(dec2("o_totalprice")).over(wRun).cast("double").as("run_total"))
+  }
+
+  /** Correlated scalar subqueries (Catalyst decorrelation): parts priced
+    * above their brand's average retail price. The comparison is done in
+    * exact decimal arithmetic (price × count > sum) so the row set is
+    * bit-identical across engines — no float-mean boundary rows. */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("v_part")
+    s.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM v_part p
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM v_part p2 WHERE p2.p_brand = p.p_brand)
+        |    > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+        |       FROM v_part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles per group. l_quantity holds small
+    * integers, so the quarter-fraction interpolation is exactly
+    * representable — both engines produce the same doubles. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        max(col("l_quantity")).as("mx"))
+
+  /** Salted two-phase aggregation (the skew valve) oracle-gated against the
+    * direct GROUP BY: decimal partials re-combine with sum, the max measure
+    * with max — exercising the per-measure combiner. */
+  def saltedSum(s: SparkSession, d: String): DataFrame =
+    graft.operators.Scale.saltedAgg(
+      Tables.lineitem(s, d), Seq("l_returnflag"), col("l_orderkey"), salts = 16,
+      Seq(
+        ("sum_qty", sum(dec2("l_quantity")), (p: org.apache.spark.sql.Column) => sum(p)),
+        ("n", count(lit(1)), (p: org.apache.spark.sql.Column) => sum(p)),
+        ("max_price", max(col("l_extendedprice")), (p: org.apache.spark.sql.Column) => max(p))))
+      .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
+        col("n"), col("max_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_api_q3" -> (sqlApiQ3 _),
     "asof_join" -> (asofJoin _),
+    "asof_join_native" -> (asofJoinNative _),
+    "window_suite" -> (windowSuite _),
+    "scalar_subquery" -> (scalarSubquery _),
+    "percentiles" -> (percentiles _),
+    "salted_sum" -> (saltedSum _),
     "semi_anti_join" -> (semiAntiJoin _),
     "grouping_rollup" -> (groupingRollup _),
     "grouping_cube" -> (groupingCube _),
@@ -316,6 +403,48 @@ object OracleQueries {
         |c AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'click')
         |SELECT e.event_id, e.user_id, e.ts_us, c.value AS asof_value
         |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us""".stripMargin,
+    "asof_join_native" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |e AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, e.ts_us, c.value AS asof_value
+        |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us""".stripMargin,
+    "window_suite" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rk,
+        |  dense_rank() OVER w AS drk,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS prk,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "scalar_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |    > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+        |       FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
+    "percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  MAX(l_quantity) AS mx
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "salted_sum" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "semi_anti_join" ->
       """WITH j AS (
         |  SELECT c_mktsegment,

@@ -26,6 +26,12 @@ object AsOf {
                      probe: DataFrame, quote: DataFrame,
                      key: String, ts: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
+    // make the operator plannable on ANY session (the driver's Verify/Bench
+    // build a plain one): experimental.extraStrategies is mutable post-
+    // getOrCreate, unlike SparkSessionExtensions
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     val lp = Bridge.analyzed(probe)
     // re-alias every right column (fresh exprIds, same names): if both sides
     // derive from one relation, DeduplicateRelations would otherwise remap

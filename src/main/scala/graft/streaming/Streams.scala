@@ -51,6 +51,24 @@ object Streams {
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long, n_events: Int)
 
+  /** Stream-static enrichment join: the unbounded event stream joins a
+    * bounded dimension table. Spark broadcasts/rescans the static side per
+    * micro-batch — no state store, no watermark needed; the 100 TB shape
+    * for attaching dimensions to a firehose. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, key)
+
+  /** Streaming exact dedup on a fingerprint column with bounded state:
+    * dropDuplicatesWithinWatermark keeps each key only until the watermark
+    * passes `lateness`, so state is O(keys-per-lateness-window) instead of
+    * O(all keys ever) — the only viable exact-dedup shape on an unbounded
+    * stream. Input needs an `event_time` timestamp column. */
+  def streamingDedup(events: DataFrame, fingerprintCol: String,
+                     lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark(fingerprintCol)
+
   def sessionize(spark: SparkSession, events: Dataset[SessionEvent],
                  gapNs: Long, idleFlush: String = "30 seconds"): Dataset[SessionOut] = {
     import spark.implicits._

@@ -53,6 +53,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => r._1 == "click" && r._2 === 2L)) // 1-min window pair
   }
 
+  test("stream-static enrichment join attaches dimension rows") {
+    val ms = MemoryStream[(Long, Double)](spark)
+    ms.addData((1L, 10.0), (2L, 20.0), (1L, 30.0))
+    val events = ms.toDF.toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Streams.enrich(events, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT user_id, value, tier FROM enriched")
+      .as[(Long, Double, String)].collect().toSet
+    assert(rows === Set((1L, 10.0, "gold"), (2L, 20.0, "silver"), (1L, 30.0, "gold")))
+  }
+
+  test("streaming dedup drops repeated fingerprints within the watermark") {
+    val ms = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val t0 = 1700000000000L
+    ms.addData(
+      ("fpA", new java.sql.Timestamp(t0)),
+      ("fpA", new java.sql.Timestamp(t0 + 1000)), // dup within watermark
+      ("fpB", new java.sql.Timestamp(t0 + 2000)))
+    val events = ms.toDF.toDF("fp", "event_time")
+    val q = Streams.streamingDedup(events, "fp")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val fps = spark.sql("SELECT fp FROM deduped").as[String].collect().toSeq
+    assert(fps.sorted === Seq("fpA", "fpB"))
+  }
+
   test("sessionize groups events by idle gap") {
     val events = Seq(
       Streams.SessionEvent(1L, 1000L, "a"),
