@@ -352,10 +352,44 @@ object OracleQueries {
       .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
         col("n"), col("max_price"))
 
+  /** Range join: equi-join on the key plus a bounded time-interval
+    * predicate — for each error event, clicks by the same user within the
+    * preceding second. The equi-key keeps the shuffle hash-partitioned
+    * (never a cross product); the range predicate applies post-join, so
+    * fan-out is bounded by per-user events-per-second, not table size. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("ts_us"), col("event_type"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+    errors.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("ts_us") - lit(1000000L) &&
+        col("c_ts") <= col("ts_us"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_recent_clicks"), max(col("c_ts")).as("last_click_us"))
+  }
+
+  /** Pivot (wide aggregation): one row per return flag, one measure column
+    * per line status. Spark's groupBy().pivot() plans the same single
+    * shuffle as N conditional aggregates. */
+  def pivotWide(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("O", "F"))
+      .agg(sum(dec2("l_quantity")))
+      .select(col("l_returnflag"),
+        coalesce(col("O").cast("double"), lit(0.0)).as("qty_o"),
+        coalesce(col("F").cast("double"), lit(0.0)).as("qty_f"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_api_q3" -> (sqlApiQ3 _),
     "asof_join" -> (asofJoin _),
     "asof_join_native" -> (asofJoinNative _),
+    "range_join" -> (rangeJoin _),
+    "pivot_wide" -> (pivotWide _),
     "window_suite" -> (windowSuite _),
     "scalar_subquery" -> (scalarSubquery _),
     "percentiles" -> (percentiles _),
@@ -410,6 +444,23 @@ object OracleQueries {
         |c AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'click')
         |SELECT e.event_id, e.user_id, e.ts_us, c.value AS asof_value
         |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us""".stripMargin,
+    "range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |e AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+        |c AS (SELECT user_id AS c_user, ts_us AS c_ts FROM ev WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id,
+        |  COUNT(*) AS n_recent_clicks, MAX(c.c_ts) AS last_click_us
+        |FROM e JOIN c ON e.user_id = c.c_user
+        |  AND c.c_ts >= e.ts_us - 1000000 AND c.c_ts <= e.ts_us
+        |GROUP BY e.event_id, e.user_id""".stripMargin,
+    "pivot_wide" ->
+      """SELECT l_returnflag,
+        |  CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_o,
+        |  CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_f
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "window_suite" ->
       """SELECT o_orderkey, o_orderpriority,
         |  row_number() OVER w AS rn,

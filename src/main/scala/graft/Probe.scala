@@ -49,6 +49,15 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("explain")) {
+      // print the formatted physical plan of named SparkEntry queries:
+      //   runMain graft.Probe explain <query> [query...]
+      args.drop(1).foreach { name =>
+        println(s"========== $name ==========")
+        SparkEntry.queries(name)(spark, "/root/testdata/sf0.01").explain("formatted")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("units")) {
       // drive the P5-P7 expressions through a real distributed plan
       import org.apache.spark.sql.functions._
