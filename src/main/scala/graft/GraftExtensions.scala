@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HllSketchAgg(args.head).toAggregateExpression()))
     // whole-operator extension: plans graft.plans.AsOfJoinPlan
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // runs inside the operator-optimization fixed point, so pushed
+    // probe-side filters keep flowing down to the parquet scan
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

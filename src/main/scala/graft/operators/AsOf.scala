@@ -32,6 +32,12 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // plain-session fallback for the filter-pushdown rule too; in the
+    // experimental batch it still prunes rows before the probe-side
+    // shuffle (scan-level pushdown additionally needs GraftExtensions)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
     val lp = Bridge.analyzed(probe)
     // re-alias every right column (fresh exprIds, same names): if both sides
     // derive from one relation, DeduplicateRelations would otherwise remap

@@ -39,6 +39,36 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: push probe-side filters through [[AsOfJoinPlan]].
+  *
+  * Catalyst's PushDownPredicates only knows built-in nodes, so a custom
+  * logical operator silently fences off pushdown — filters written above
+  * the as-of join would otherwise run after the shuffle+sort of BOTH
+  * sides. Probe-side conjuncts commute with the join (each probe row
+  * matches independently of other probe rows), so they can prune the
+  * probe shuffle and, when the rule runs inside the operator-optimization
+  * batch (GraftExtensions), continue down to the parquet scan. Quote-side
+  * predicates do NOT commute (dropping quote rows changes which quote is
+  * "latest") and stay above the join.
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, a: AsOfJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(c => c.deterministic && c.references.subsetOf(a.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>

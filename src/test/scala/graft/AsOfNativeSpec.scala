@@ -44,6 +44,41 @@ class AsOfNativeSpec extends SparkSpec {
     assert(native === windowed)
   }
 
+  test("probe-side filters push through the as-of join; quote-side stay above") {
+    val s = extSession
+    val ev = Tables.events(s, "/root/testdata/sf0.001").select(
+      col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+      col("event_type"), col("value"))
+    val probes = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts_us")
+    val quotes = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("value"))
+    val joined = AsOf.asOfJoinNative(s, probes, quotes, "user_id", "ts_us")
+      .toDF("event_id", "user_id", "ts_us", "q_user", "q_ts", "asof_value")
+    val filtered = joined.filter(col("event_id") % 2 === 0 && col("asof_value") > 0.0)
+    // the probe-side conjunct lands below the AsOfJoinPlan (prunes the
+    // probe shuffle); the quote-side conjunct must NOT move (it would
+    // change which quote row is "latest")
+    import graft.plans.AsOfJoinPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val optimized = filtered.queryExecution.optimizedPlan
+    val node = optimized.collectFirst { case a: AsOfJoinPlan => a }.get
+    assert(node.left.collectFirst { case f: Filter => f }.isDefined ||
+      // at sf0.001 the filter may fold into the scan entirely
+      node.left.find(_.toString.contains("event_id")).isDefined, optimized.toString)
+    assert(optimized.collectFirst { case f @ Filter(_, _: AsOfJoinPlan) => f }.isDefined,
+      "quote-side predicate must stay above the join:\n" + optimized)
+    // semantics unchanged vs filtering the windowed implementation's output
+    val expected = AsOf.asOfJoin(probes, quotes, "user_id", "ts_us", Seq("value"))
+      .filter(col("event_id") % 2 === 0 && col("asof_value") > 0.0)
+      .select("event_id", "asof_value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val actual = filtered.select("event_id", "asof_value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(actual === expected)
+    assert(actual.nonEmpty)
+  }
+
   test("physical plan is the custom exec with one exchange+sort per side") {
     val s = extSession
     import s.implicits._
