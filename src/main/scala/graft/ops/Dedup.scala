@@ -139,8 +139,13 @@ object Dedup {
         (0 until rows).map(r => col(s"m${bIdx * rows + r}")): _*)
       struct(lit(bIdx).as("band"), key.as("key"))
     }
+    // repartition on the join key: both self-join sides become the SAME
+    // shuffle subplan, so ReuseExchange materializes the signature pipeline
+    // once instead of running it per side (the right side would otherwise
+    // be planned as a broadcast with its own full recompute)
     val buckets = perDoc.select(col(id), explode(array(bandCols: _*)).as("b"))
       .select(col(id), col("b.band").as("band"), col("b.key").as("key"))
+      .repartition(col("band"), col("key"))
     val cand = buckets.toDF("id1", "band", "key")
       .join(buckets.toDF("id2", "band", "key"), Seq("band", "key"))
       .filter(col("id1") < col("id2"))
@@ -186,8 +191,12 @@ object Dedup {
       struct(lit(i).as("band"),
         shiftright(col("simhash"), i * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
     }
+    // repartition on the join key so ReuseExchange shares ONE run of the
+    // token-explode + 60-aggregate pipeline across both self-join sides
+    // (a broadcast right side would recompute it end-to-end)
     val buckets = sim.select(col(id), col("simhash"), explode(array(bandCols: _*)).as("b"))
       .select(col(id), col("simhash"), col("b.band").as("band"), col("b.key").as("key"))
+      .repartition(col("band"), col("key"))
     val cand = buckets.toDF("id1", "sim1", "band", "key")
       .join(buckets.toDF("id2", "sim2", "band", "key"), Seq("band", "key"))
       .filter(col("id1") < col("id2"))
