@@ -158,9 +158,13 @@ object Similarity {
     // precompute each row's norm scan-side: the pair join then does ONE dot
     // product per candidate instead of three (same doubles — identical
     // expression over identical inputs — so still oracle-exact)
+    // repartition on the bucket join key: both self-join sides share one
+    // shuffle (ReuseExchange), so the 2^planes dot products per row for
+    // the LSH bucket + the norm compute run once, not per side
     val b = emb.select(col(id), asDouble(col(vec)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, dim))
       .withColumn("nrm", norm(col("v")))
+      .repartition(col("bucket"))
     b.toDF("id1", "v1", "bucket", "n1")
       .join(b.toDF("id2", "v2", "bucket", "n2"), Seq("bucket"))
       .filter(col("id1") < col("id2"))
