@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+/** Source/sink breadth beyond Parquet (SURVEY.md §2.1): the same tables
+  * round-trip through CSV and JSON-lines sinks with schemas preserved —
+  * the interchange formats a training-data pipeline meets at its edges.
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("CSV and JSON sinks round-trip the documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text") // text carries arbitrary punctuation/quotes
+    val dir = Files.createTempDirectory("graft-sources").toString
+
+    docs.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"")
+      .csv(s"$dir/csv")
+    docs.write.mode("overwrite").json(s"$dir/json")
+
+    // explicit schema on read: inference must never be trusted in a
+    // pipeline (it type-flips on partial data); multiLine handles quoted
+    // embedded newlines
+    val csvBack = spark.read
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .schema(docs.schema).csv(s"$dir/csv")
+    val jsonBack = spark.read.schema(docs.schema).json(s"$dir/json")
+
+    val expected = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(csvBack.schema === docs.schema)
+    assert(jsonBack.schema === docs.schema)
+    assert(csvBack.collect().map(r => (r.getLong(0), r.getString(1))).toSet === expected)
+    assert(jsonBack.collect().map(r => (r.getLong(0), r.getString(1))).toSet === expected)
+  }
+
+  test("ORC sink round-trips the model tables' nested maps") {
+    val t = ProfileIngest2Tables()
+    val dir = Files.createTempDirectory("graft-orc").toString
+    t.write.mode("overwrite").orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    // ORC widens container nullability flags; names + types must survive
+    assert(back.schema.map(f => (f.name, f.dataType.sql)) ===
+      t.schema.map(f => (f.name, f.dataType.sql)))
+    assert(back.count() === t.count())
+  }
+
+  /** A small operators table (nested maps/arrays) from the shared profile
+    * fixture dump. */
+  private def ProfileIngest2Tables() = {
+    val dir = Files.createTempDirectory("graft-orc-src")
+    Files.write(dir.resolve("p.txt"),
+      ProfileFixtures.dumpLine(ProfileFixtures.queryProfile("select 1"), qid = "x")
+        .getBytes("UTF-8"))
+    graft.ingest.ProfileIngest.tables(
+      graft.ingest.ProfileIngest.parse(spark, dir.toString, "orc")).operators
+  }
+}
