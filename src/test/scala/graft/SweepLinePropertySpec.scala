@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Relational
+
+/** SURVEY.md §5 test plan item: the distributed sweep-line (R19, window
+  * functions over a shuffled event union) checked against a sequential
+  * brute-force reference on randomized interval sets. The risk being
+  * tested is the distributed formulation itself — partitioning and
+  * tie-ordering — so the reference is deliberately single-threaded Scala
+  * with the same (ts, delta) sort convention (-1 before +1 at equal ts:
+  * back-to-back intervals don't overlap).
+  */
+class SweepLinePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributed sweep-line matches sequential reference on random intervals") {
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val n = 50 + rnd.nextInt(150)
+      val rows = (0 until n).map { _ =>
+        val cluster = s"c${rnd.nextInt(4)}"
+        val s = rnd.nextInt(1000).toLong
+        val e = s + 1 + rnd.nextInt(200)
+        (cluster, s, e)
+      }
+      val df = rows.toDF("cluster", "start_ts", "end_ts").repartition(8)
+      val got = Relational.sweepLine(df, "cluster", "start_ts", "end_ts")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+      val expected = rows.groupBy(_._1).map { case (c, iv) =>
+        val events = iv.flatMap { case (_, s, e) => Seq((s, 1), (e, -1)) }
+          .sortBy(x => (x._1, x._2))
+        val concs = events.scanLeft(0)((a, ev) => a + ev._2).drop(1)
+        val durs = events.map(_._1).sliding(2).map(p => p(1) - p(0)).toSeq
+        val num = concs.zip(durs).map { case (c0, d) => c0.toLong * d }.sum
+        val den = durs.sum
+        c -> ((concs.max.toLong, num.toDouble / den.toDouble))
+      }
+      assert(got.keySet === expected.keySet, s"trial $trial clusters")
+      expected.foreach { case (c, (mx, avg)) =>
+        assert(got(c)._1 === mx, s"trial $trial cluster $c max")
+        assert(math.abs(got(c)._2 - avg) < 1e-9, s"trial $trial cluster $c avg")
+      }
+    }
+  }
+}
