@@ -52,6 +52,14 @@ object OracleOpsQueries {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
 
+  /** Near-dup clusters: connected components (min doc id per component)
+    * over the MinHash+LSH pair graph; singleton docs keep their own id. */
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").select("id1", "id2")
+    Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+  }
+
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
 
@@ -106,6 +114,7 @@ object OracleOpsQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_components" -> (dedupComponents _),
     "dedup_simhash" -> (dedupSimhash _))
 
   // ----------------------------------------------------------------- oracle
@@ -166,6 +175,36 @@ object OracleOpsQueries {
        |      THEN CAST(1 AS BIGINT) << pl.p ELSE CAST(0 AS BIGINT) END AS bit
        |  FROM e, planes pl),
        |bk AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)""".stripMargin
+
+  /** MinHash+LSH CTE chain up to (com, cnt) — shared by the pair query and
+    * the connected-components query. */
+  private val minhashCtes: String = {
+    val p = Dedup.MinhashP
+    val sigCols = (0 until 8).map(i =>
+      s"MIN(((h % $p) * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $p) AS m$i").mkString(",\n    ")
+    val bucketRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS key FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$shinglesCte,
+       |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM shh GROUP BY doc_id),
+       |buckets AS (
+       |  $bucketRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+       |com AS (
+       |  SELECT c.id1, c.id2, count(*) AS common
+       |  FROM cand c
+       |  JOIN shh s1 ON s1.doc_id = c.id1
+       |  JOIN shh s2 ON s2.doc_id = c.id2 AND s1.h = s2.h
+       |  GROUP BY c.id1, c.id2)""".stripMargin
+  }
 
   val sql: Map[String, String] = Map(
     "sim_quantize_int8" ->
@@ -288,37 +327,27 @@ object OracleOpsQueries {
          |  CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) AS jaccard
          |FROM pairs p JOIN cnt c1 ON p.id1 = c1.doc_id JOIN cnt c2 ON p.id2 = c2.doc_id
          |WHERE CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) >= 0.5""".stripMargin,
-    "dedup_minhash_lsh" -> {
-      val p = Dedup.MinhashP
-      val sigCols = (0 until 8).map(i =>
-        s"MIN(((h % $p) * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $p) AS m$i").mkString(",\n    ")
-      val bucketRows = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS key FROM sig")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH $shinglesCte,
-         |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
-         |sig AS (
-         |  SELECT doc_id,
-         |    $sigCols
-         |  FROM shh GROUP BY doc_id),
-         |buckets AS (
-         |  $bucketRows),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-         |com AS (
-         |  SELECT c.id1, c.id2, count(*) AS common
-         |  FROM cand c
-         |  JOIN shh s1 ON s1.doc_id = c.id1
-         |  JOIN shh s2 ON s2.doc_id = c.id2 AND s1.h = s2.h
-         |  GROUP BY c.id1, c.id2)
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashCtes
          |SELECT m.id1, m.id2,
          |  CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) AS jaccard
          |FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
-         |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin
-    },
+         |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |mh AS (
+         |  SELECT m.id1, m.id2
+         |  FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
+         |  WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM mh
+         |  UNION ALL
+         |  SELECT id2, id1 FROM mh),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),

@@ -164,6 +164,55 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Near-dup clustering: connected components over an undirected pair
+    * graph by iterative min-label propagation — every node repeatedly
+    * adopts the smallest component label among itself and its neighbors
+    * until a fixpoint. Each iteration is one equi-join + groupBy (two
+    * shuffles) and the loop runs O(max component diameter) times — near-dup
+    * graphs are star-like, so typically 2-4 iterations. Deterministic:
+    * the fixpoint is exactly min(doc id) per component, independent of
+    * execution order. localCheckpoint truncates the per-iteration lineage
+    * (no exponential plan growth). For adversarial high-diameter graphs at
+    * 100 TB, swap the propagation step for the large-star/small-star
+    * rounds of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" (SoCC'14) — same join shape, fewer rounds. */
+  def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    // propagate only over nodes that appear in a pair — singletons never
+    // enter the loop (in a near-dup workload that is almost every doc)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id").cast("long"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    // labels only ever decrease, so sum(comp) is strictly decreasing until
+    // the fixpoint — an O(1)-row convergence probe instead of a self-join
+    def compSum(df: DataFrame): Long = // coalesce: sum over 0 rows is NULL
+      df.agg(coalesce(sum(col("comp")), lit(0L))).first().getLong(0)
+    var prevSum = compSum(labels)
+    while (!converged && iter < maxIter) {
+      val neighMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("dst_comp")).as("neigh_comp"))
+      labels = labels
+        .join(neighMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("neigh_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val curSum = compSum(labels)
+      converged = curSum == prevSum
+      prevSum = curSum
+      iter += 1
+    }
+    ids.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol).cast("long")).as("component"))
+  }
+
   /** 60-bit SimHash over whitespace tokens (frequency-weighted): for each
     * bit b, sum +1/-1 over tokens by bit b of hash60(token); bit set iff
     * sum > 0. Single groupBy with 60 conditional-sum aggregates — one

@@ -7,6 +7,21 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("connectedComponents: chain collapses to min label, singleton keeps its id") {
+    // 1-2, 2-3 chain (diameter 2, needs >1 propagation round); 4-5 pair; 6 alone
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val comp = graft.ops.Dedup.connectedComponents(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // empty pair graph: every node is its own singleton component
+    val lone = graft.ops.Dedup.connectedComponents(
+      Seq(7L, 8L).toDF("doc_id"), "doc_id",
+      Seq.empty[(Long, Long)].toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lone === Map(7L -> 7L, 8L -> 8L))
+  }
+
   private def docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog again and again"),
     (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
