@@ -20,7 +20,17 @@ object GoldenGen {
     "g17" -> "CREATE TABLE t (x INT)",
     "g18" -> "DROP TABLE t",
     "g19" -> "SELECT t1.a FROM t t1 LEFT JOIN t t2 ON t1.id = t2.parent_id AND t2.n BETWEEN 1 AND 5",
-    "g20" -> "SELECT a FROM t WHERE x = (SELECT max(x) FROM t)")
+    "g20" -> "SELECT a FROM t WHERE x = (SELECT max(x) FROM t)",
+    // round-2 hardening: deeper nesting / rollup / regex / scalar-subquery
+    // in the select list / offset windows
+    "g21" -> ("WITH a AS (SELECT x FROM t), b AS (SELECT x FROM a WHERE x > 0) " +
+      "SELECT b.x, (SELECT min(y) FROM u WHERE u.x = b.x) FROM b ORDER BY 1 DESC LIMIT 3"),
+    "g22" -> "SELECT a, sum(b) FROM t GROUP BY ROLLUP(a)",
+    "g23" -> "SELECT a FROM t WHERE c RLIKE '^a.*' AND d NOT LIKE '%x'",
+    "g24" -> ("SELECT a FROM t WHERE a IN (SELECT b FROM u WHERE b IN " +
+      "(SELECT c FROM v WHERE c > 0))"),
+    "g25" -> ("SELECT a, lead(b, 1) OVER (ORDER BY c), lag(b, 2) OVER (ORDER BY c), " +
+      "CASE a WHEN 1 THEN 'x' END FROM t WHERE ts >= now() - INTERVAL 1 DAY"))
   def featLine(id: String, sql: String): String = {
     val f = graft.sqlstats.SqlFeatures.analyze(sql)
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
