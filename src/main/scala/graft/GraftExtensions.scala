@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CounterDouble(args.head)))
     e.injectFunction((FunctionIdentifier("hll_count"), info("hll_count"),
       (args: Seq[Expression]) => HllSketchAgg(args.head).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
+      (args: Seq[Expression]) => graft.functions.DotProduct(args(0), args(1))))
     // whole-operator extension: plans graft.plans.AsOfJoinPlan
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // runs inside the operator-optimization fixed point, so pushed

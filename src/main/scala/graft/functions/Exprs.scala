@@ -81,8 +81,50 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_hash"
 }
 
+/** Codegen'd dot product over two array<double> columns — the hot inner
+  * loop of every similarity operator. Replaces the
+  * `aggregate(zip_with(a, b, *), 0.0, +)` higher-order-function chain,
+  * which allocates a zipped array per row and evaluates lambdas outside
+  * whole-stage codegen. The accumulation is the same left fold
+  * (((0+x0)+x1)+...), so results stay bit-identical to the HOF form and
+  * the DuckDB oracle's list_reduce. Arrays shorter than the other side
+  * contribute min(len) terms; null ELEMENTS are not expected (embedding
+  * vectors are dense). */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<DOUBLE> args, got $l, $r")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+object VecOps {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+          b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
 /** Column-level API. */
 object F {
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def parse_size(c: Column): Column =
     Bridge.column(ParseSize(Bridge.expression(c)))
   def parse_units(c: Column): Column =

@@ -24,9 +24,12 @@ object Similarity {
 
   def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-order dot product: fold left over the zipped arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-order dot product — the codegen'd native expression
+    * ([[graft.functions.DotProduct]]): same left fold as
+    * `aggregate(zip_with(a, b, *), 0.0, +)` (bit-identical results, and
+    * still mirrored exactly by DuckDB's list_reduce) without the per-row
+    * zipped-array allocation or the HOF codegen fence. */
+  def dot(a: Column, b: Column): Column = graft.functions.F.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

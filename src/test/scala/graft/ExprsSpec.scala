@@ -37,6 +37,25 @@ class ExprsSpec extends SparkSpec {
     assert(out(0) === graft.functions.Units.rollingHash("abc"))
   }
 
+  test("dot_product is bit-identical to the aggregate/zip_with fold") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextDouble() * 2 - 1),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = vecs.toDF("id", "a", "b")
+    val rows = df.select(
+      F.dot_product($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("hof"),
+      F.dot_product($"a", lit(null).cast("array<double>")).as("nul"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // exact, not approximate
+      assert(r.isNullAt(2))
+    }
+  }
+
   test("null propagates") {
     val out = Seq[(java.lang.String, java.lang.Long)](((null, null))).toDF("s", "v")
       .select(F.parse_size($"s"), F.counter_double($"v")).collect()(0)
