@@ -35,8 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.DotProduct(args(0), args(1))))
     // whole-operator extension: plans graft.plans.AsOfJoinPlan
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    // runs inside the operator-optimization fixed point, so pushed
-    // probe-side filters keep flowing down to the parquet scan
+    // run inside the operator-optimization fixed point, so pushed
+    // probe-side filters / pruned columns keep flowing down to the scan
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    e.injectOptimizerRule(_ => graft.plans.PruneColumnsThroughAsOfJoin)
   }
 }

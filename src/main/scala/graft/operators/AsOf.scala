@@ -35,9 +35,11 @@ object AsOf {
     // plain-session fallback for the filter-pushdown rule too; in the
     // experimental batch it still prunes rows before the probe-side
     // shuffle (scan-level pushdown additionally needs GraftExtensions)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushFilterThroughAsOfJoin))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
+    val rules = Seq(graft.plans.PushFilterThroughAsOfJoin,
+      graft.plans.PruneColumnsThroughAsOfJoin)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations ++
+        rules.filterNot(spark.experimental.extraOptimizations.contains)
     val lp = Bridge.analyzed(probe)
     // re-alias every right column (fresh exprIds, same names): if both sides
     // derive from one relation, DeduplicateRelations would otherwise remap

@@ -69,6 +69,37 @@ object PushFilterThroughAsOfJoin
   }
 }
 
+/** Optimizer rule: prune unused columns through [[AsOfJoinPlan]].
+  *
+  * The ColumnPruning counterpart of [[PushFilterThroughAsOfJoin]]: a
+  * Project above the custom node keeps only some of `left.output ++
+  * right.output`, but Catalyst cannot push the pruning through an unknown
+  * operator, so both children would scan and shuffle every column. This
+  * rule inserts child Projects keeping the referenced columns plus the
+  * join's own key/ts refs; the standard rules then push those Projects
+  * into the scans (narrow ReadSchema — at 100 TB the difference between
+  * shuffling 2 columns and shuffling all of them).
+  */
+object PruneColumnsThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projList, a: AsOfJoinPlan) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        a.leftKey.references ++ a.rightKey.references ++
+        a.leftTs.references ++ a.rightTs.references
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(needed.contains)
+        if (keep.length == child.output.length) child else Project(keep, child)
+      }
+      val (nl, nr) = (prune(a.left), prune(a.right))
+      if ((nl eq a.left) && (nr eq a.right)) p
+      else p.copy(child = a.copy(left = nl, right = nr))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>

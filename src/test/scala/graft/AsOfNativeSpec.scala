@@ -79,6 +79,28 @@ class AsOfNativeSpec extends SparkSpec {
     assert(actual.nonEmpty)
   }
 
+  test("unused columns prune through the as-of join to the scan") {
+    val s = extSession
+    val ev = Tables.events(s, "/root/testdata/sf0.001").select(
+      col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+      col("event_type"), col("value"))
+    val probes = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts_us")
+    val quotes = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("value"))
+    // select only the probe's event_id: the quote side's `value` column is
+    // dead and must vanish from the right child's output
+    val slim = AsOf.asOfJoinNative(s, probes, quotes, "user_id", "ts_us")
+      .toDF("event_id", "user_id", "ts_us", "q_user", "q_ts", "asof_value")
+      .select("event_id")
+    import graft.plans.AsOfJoinPlan
+    val node = slim.queryExecution.optimizedPlan
+      .collectFirst { case a: AsOfJoinPlan => a }.get
+    assert(!node.right.output.map(_.name).contains("value"), node.right.toString)
+    assert(node.left.output.map(_.name).toSet === Set("event_id", "user_id", "ts_us"))
+    assert(slim.count() > 0)
+  }
+
   test("physical plan is the custom exec with one exchange+sort per side") {
     val s = extSession
     import s.implicits._
