@@ -74,6 +74,28 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(doc_id: Long, kind: String, content: Array[Byte],
+                          orig_bytes: Long)
+
+  /** Resize pass: deterministic even-stride downsample of the payload to at
+    * most `targetBytes` (payloads already smaller pass through). The byte-
+    * level stand-in for an image resampler — same partition-local batch
+    * shape as [[decode]]; a real implementation replaces only the
+    * per-row body. No shuffle; output streams incrementally. */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetBytes: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val n = r.content.length
+        val out =
+          if (n <= targetBytes) r.content
+          else Array.tabulate(targetBytes)(i => r.content((i.toLong * n / targetBytes).toInt))
+        ResizedMedia(r.doc_id, r.kind, out, n.toLong)
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: every nth fixed-size byte chunk,
     * exploded scan-side (pure column algebra, no UDF). */
   def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {

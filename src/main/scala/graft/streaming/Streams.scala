@@ -58,6 +58,20 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, key)
 
+  /** Stream-stream interval join: for each left event, right events with
+    * the same key within the trailing `within` window. Both sides are
+    * watermarked, so Spark can bound the join state store — without the
+    * watermarks a stream-stream join would buffer both streams forever.
+    * Both inputs need `key` and a `time` timestamp column. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   time: String, within: String = "1 second",
+                   lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(time, lateness).alias("l")
+    val r = right.withWatermark(time, lateness).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$time >= l.$time - INTERVAL $within AND r.$time <= l.$time"))
+  }
+
   /** Streaming exact dedup on a fingerprint column with bounded state:
     * dropDuplicatesWithinWatermark keeps each key only until the watermark
     * passes `lateness`, so state is O(keys-per-lateness-window) instead of

@@ -138,6 +138,20 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => r.width >= 16 && r.width <= 1024 && r.channels >= 1 && r.channels <= 4))
   }
 
+  test("resize downsamples payloads deterministically and composes with decode") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val resized = Multimodal.resize(spark, media, targetBytes = 16)
+    val rows = resized.collect().sortBy(_.doc_id)
+    assert(rows.forall(r => r.content.length <= 16))
+    assert(rows.forall(r => r.orig_bytes >= r.content.length))
+    // identical payloads resize identically
+    assert(rows(0).content.toSeq === rows(1).content.toSeq)
+    // the resized payload feeds the decode stage unchanged (pipeline shape)
+    val decoded = Multimodal.decode(spark,
+      resized.toDF().select(col("doc_id"), col("kind"), col("content")))
+    assert(decoded.count() === 4)
+  }
+
   test("frame sampling chunks binary content") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(media, frameBytes = 10, everyNth = 2)

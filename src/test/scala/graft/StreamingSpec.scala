@@ -69,6 +69,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, 10.0, "gold"), (2L, 20.0, "silver"), (1L, 30.0, "gold")))
   }
 
+  test("stream-stream interval join matches events within the window") {
+    val t0 = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(t0 + ms)
+    val errs = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    errs.addData((1L, ts(1000), "e1"), (2L, ts(5000), "e2"))
+    clicks.addData(
+      (1L, ts(500), "c1"),   // within 1s before e1 -> match
+      (1L, ts(3000), "c2"),  // after e1 -> no match
+      (2L, ts(4900), "c3"),  // within 1s before e2 -> match
+      (2L, ts(1000), "c4"))  // too early for e2 -> no match
+    val q = Streams.intervalJoin(
+        errs.toDF.toDF("user_id", "event_time", "etag"),
+        clicks.toDF.toDF("user_id", "event_time", "ctag"),
+        "user_id", "event_time")
+      .writeStream.format("memory").queryName("correlated")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val pairs = spark.sql("SELECT etag, ctag FROM correlated")
+      .as[(String, String)].collect().toSet
+    assert(pairs === Set(("e1", "c1"), ("e2", "c3")))
+  }
+
   test("streaming dedup drops repeated fingerprints within the watermark") {
     val ms = MemoryStream[(String, java.sql.Timestamp)](spark)
     val t0 = 1700000000000L
