@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
 import TextAnalysis._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
-  * Jaccard, MinHash+LSH, SimHash. All are declarative DataFrame plans over
-  * the portable md5-based [[TextAnalysis.hash60]], so every variant is
-  * deterministic and (where practical) DuckDB-oracle-checkable.
+  * Jaccard, MinHash+LSH (Broder, "On the resemblance and containment of
+  * documents", 1997), SimHash (Charikar, "Similarity estimation techniques
+  * from rounding algorithms", STOC'02), and near-dup connected components.
+  * All are declarative DataFrame plans over the portable md5-based
+  * [[TextAnalysis.hash60]], so every variant is deterministic and (where
+  * practical) DuckDB-oracle-checkable.
   *
   * 100 TB design notes:
   *  - candidate generation always goes through a bucket/band equi-join, so

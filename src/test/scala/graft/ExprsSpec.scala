@@ -70,5 +70,14 @@ class ExprsSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
     assert(hasCodegen, df.queryExecution.executedPlan.toString)
     assert(df.as[Long].collect().toSeq === Seq(0L, 1000L, 2000L))
+
+    // dot_product too (array inputs could silently fall back to interpreted)
+    val vd = spark.range(3)
+      .select(array($"id".cast("double"), lit(2.0)).as("a"))
+      .select(F.dot_product($"a", $"a").as("d"))
+    val dpCodegen = vd.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(dpCodegen, vd.queryExecution.executedPlan.toString)
+    assert(vd.as[Double].collect().toSeq === Seq(4.0, 5.0, 8.0))
   }
 }
