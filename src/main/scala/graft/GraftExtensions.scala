@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HllSketchAgg(args.head).toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
       (args: Seq[Expression]) => graft.functions.DotProduct(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("top_k"), info("top_k"),
+      (args: Seq[Expression]) => graft.functions.TopKAgg(args(0), args(1),
+        args(2).eval().asInstanceOf[Int]).toAggregateExpression()))
     // whole-operator extension: plans graft.plans.AsOfJoinPlan
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // run inside the operator-optimization fixed point, so pushed

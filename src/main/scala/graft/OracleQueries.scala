@@ -384,12 +384,32 @@ object OracleQueries {
         coalesce(col("O").cast("double"), lit(0.0)).as("qty_o"),
         coalesce(col("F").cast("double"), lit(0.0)).as("qty_f"))
 
+  /** Per-key top-k via the bounded-heap custom aggregate
+    * ([[graft.functions.TopKAgg]]): one partial-aggregatable pass shipping
+    * k rows per group through the shuffle, vs. the window formulation's
+    * full per-partition sort — oracle-gated against the ROW_NUMBER()
+    * equivalent. Ids are unique (orderkey*10+linenumber), so the
+    * (score desc, id asc) ordering is total on both engines. */
+  def topkPerKey(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TopKAgg.top_k
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("key"),
+        col("l_extendedprice").as("score"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+      .groupBy("key")
+      .agg(top_k(col("score"), col("id"), 5).as("top"))
+      .select(col("key"), posexplode(col("top")))
+      .select(col("key"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").as("score"), col("col.id").as("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_api_q3" -> (sqlApiQ3 _),
     "asof_join" -> (asofJoin _),
     "asof_join_native" -> (asofJoinNative _),
     "range_join" -> (rangeJoin _),
     "pivot_wide" -> (pivotWide _),
+    "topk_per_key" -> (topkPerKey _),
     "window_suite" -> (windowSuite _),
     "scalar_subquery" -> (scalarSubquery _),
     "percentiles" -> (percentiles _),
@@ -444,6 +464,14 @@ object OracleQueries {
         |c AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'click')
         |SELECT e.event_id, e.user_id, e.ts_us, c.value AS asof_value
         |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us""".stripMargin,
+    "topk_per_key" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS key, l_extendedprice AS score,
+        |    l_orderkey * 10 + l_linenumber AS id,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber ASC) AS rank
+        |  FROM lineitem)
+        |SELECT key, rank, score, id FROM r WHERE rank <= 5""".stripMargin,
     "range_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),

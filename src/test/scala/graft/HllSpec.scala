@@ -7,6 +7,24 @@ import graft.functions.HllSketchAgg.hll_count
 
 class HllSpec extends SparkSpec {
   import spark.implicits._
+  import graft.functions.TopKAgg.top_k
+
+  test("top_k keeps the best k per group across partitions, ties break to smaller id") {
+    val rows = (1L to 1000L).map(i => ("g" + (i % 3), (i % 10).toDouble, i))
+    val df = rows.toDF("key", "score", "id").repartition(8)
+    val got = df.groupBy("key").agg(top_k(col("score"), col("id"), 4).as("top"))
+      .select(col("key"), explode(col("top")).as("t"))
+      .select(col("key"), col("t.score"), col("t.id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // sequential reference with identical total ordering
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+      g.map { case (_, s, i) => (k, s, i) }
+        .sortBy { case (_, s, i) => (-s, i) }.take(4)
+    }
+    assert(got.toSet === expected.toSet)
+    assert(got.length === expected.length)
+  }
+  import spark.implicits._
 
   test("hll sketch approximates distinct counts within rel error") {
     val d = "/root/testdata/sf0.01"
