@@ -49,8 +49,12 @@ object Similarity {
   }
 
   /** Batched exact kNN join: top-k corpus neighbors for EACH query row.
-    * Queries broadcast; ranking via a window per query id (the per-query
-    * row_number<=k plan; the corpus is still scanned exactly once). */
+    * Queries broadcast; ranking via the bounded-heap
+    * [[graft.functions.TopKAgg]] — map-side k-row heaps per query id, so
+    * the shuffle ships k rows per query instead of every scored (query,
+    * corpus) pair feeding a per-partition window sort. Same total
+    * ordering (cos desc, id asc) as the window formulation, so results
+    * are identical. */
   def knnJoin(emb: DataFrame, id: String, vec: String,
               queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
     val joined = emb.crossJoin(broadcast(
@@ -58,9 +62,11 @@ object Similarity {
       .filter(col(id) =!= col("query_id"))
       .select(col("query_id"), col(id),
         cosine(asDouble(col(vec)), col("qv")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col(id))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    joined.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k(col("cos"), col(id), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as(id), col("col.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   // ------------------------------------------------------------------- LSH
