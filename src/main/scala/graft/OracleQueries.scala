@@ -403,6 +403,31 @@ object OracleQueries {
         col("col.score").as("score"), col("col.id").as("id"))
   }
 
+  /** Batch sessionization (gaps-and-islands): a new session starts when a
+    * user's inter-event gap exceeds 60s; sessions = running sum of
+    * session-start flags. The batch mirror of
+    * [[graft.streaming.Streams.sessionize]] — same event-time gap
+    * semantics, one window pass + one aggregation. Equal-timestamp ties
+    * land in the same session regardless of intra-tie order, so the
+    * result is deterministic. */
+  def sessionizeBatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 60L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val flagged = ev.withColumn("new_session",
+      when(lag(col("ts_us"), 1).over(w).isNull ||
+        col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+    flagged
+      .withColumn("session_idx", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_us")).as("session_start"),
+        max(col("ts_us")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_api_q3" -> (sqlApiQ3 _),
     "asof_join" -> (asofJoin _),
@@ -410,6 +435,7 @@ object OracleQueries {
     "range_join" -> (rangeJoin _),
     "pivot_wide" -> (pivotWide _),
     "topk_per_key" -> (topkPerKey _),
+    "sessionize_batch" -> (sessionizeBatch _),
     "window_suite" -> (windowSuite _),
     "scalar_subquery" -> (scalarSubquery _),
     "percentiles" -> (percentiles _),
@@ -464,6 +490,23 @@ object OracleQueries {
         |c AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'click')
         |SELECT e.event_id, e.user_id, e.ts_us, c.value AS asof_value
         |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us""".stripMargin,
+    "sessionize_batch" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 60000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |sessions AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |  MIN(ts_us) AS session_start, MAX(ts_us) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
     "topk_per_key" ->
       """WITH r AS (
         |  SELECT l_returnflag AS key, l_extendedprice AS score,
