@@ -100,12 +100,90 @@ object PruneColumnsThroughAsOfJoin
   }
 }
 
+/** Cost-based physical selection for the as-of join, mirroring Spark's own
+  * equi-join strategy: a quote side whose estimated size fits under
+  * `spark.sql.autoBroadcastJoinThreshold` plans as
+  * [[AsOfJoinBroadcastExec]] (quote side broadcast, probe side streams
+  * with ZERO exchanges — no shuffle, no sort); otherwise the shuffled
+  * streaming merge [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+      val autoBroadcast = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val rightSize = r.stats.sizeInBytes
+      if (autoBroadcast > 0 && rightSize >= 0 && rightSize <= autoBroadcast)
+        AsOfJoinBroadcastExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
     case _ => Nil
   }
+}
+
+/** Broadcast as-of join: the quote side is collected, grouped by key and
+  * sorted by ts on the driver, then broadcast; each probe partition does a
+  * per-row binary search for the latest quote with ts <= probe.ts. The
+  * probe side keeps its incoming partitioning — for a small quote table
+  * this is the 100 TB shape: zero exchanges, zero sorts, one scan. */
+case class AsOfJoinBroadcastExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTsB = BindReferences.bindReference(rightTs, right.output)
+    // build key -> quotes sorted by ts (ascending); last match wins, same
+    // convention as the streaming merge
+    val grouped: Map[Long, Array[(Long, InternalRow)]] =
+      right.executeCollect().flatMap { row =>
+        val k = rKeyB.eval(row)
+        val t = rTsB.eval(row)
+        if (k == null || t == null) None
+        else Some((k.asInstanceOf[Long], (t.asInstanceOf[Long], row.copy())))
+      }.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.map(_._2).sortBy(_._1)
+      }
+    val bc = sparkContext.broadcast(grouped)
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTsB = BindReferences.bindReference(leftTs, left.output)
+    val outputAttrs = output
+    val childOutputs = left.output ++ right.output
+    left.execute().mapPartitions { probes =>
+      val joiner = UnsafeProjection.create(outputAttrs, childOutputs)
+      val joined = new JoinedRow
+      val quotes = bc.value
+      probes.flatMap { probe =>
+        val pkRef = lKeyB.eval(probe)
+        val ptRef = lTsB.eval(probe)
+        if (pkRef == null || ptRef == null) Iterator.empty
+        else quotes.get(pkRef.asInstanceOf[Long]) match {
+          case None => Iterator.empty
+          case Some(arr) =>
+            val pt = ptRef.asInstanceOf[Long]
+            // binary search: index of the last quote with ts <= pt
+            var lo = 0
+            var hi = arr.length - 1
+            var found = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (arr(mid)._1 <= pt) { found = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (found < 0) Iterator.empty
+            else Iterator.single(joiner(joined(probe, arr(found)._2)))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinBroadcastExec =
+    copy(left = newLeft, right = newRight)
 }
 
 case class AsOfJoinExec(

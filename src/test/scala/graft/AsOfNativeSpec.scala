@@ -101,6 +101,38 @@ class AsOfNativeSpec extends SparkSpec {
     assert(slim.count() > 0)
   }
 
+  test("strategy picks broadcast exec for a small quote side, merge exec when disabled") {
+    val s = extSession
+    val ev = Tables.events(s, "/root/testdata/sf0.001").select(
+      col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+      col("event_type"), col("value"))
+    val probes = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts_us")
+    val quotes = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("value"))
+    def run() = AsOf.asOfJoinNative(s, probes, quotes, "user_id", "ts_us")
+      .toDF("event_id", "user_id", "ts_us", "q_user", "q_ts", "asof_value")
+
+    // small quote side: broadcast variant, zero exchanges and sorts
+    val bPlan = run().queryExecution.executedPlan.toString
+    assert(bPlan.contains("AsOfJoinBroadcast"), bPlan)
+    assert(!bPlan.contains("Exchange") && !bPlan.contains("Sort "), bPlan)
+    val broadcastRows = run().select("event_id", "asof_value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+    // broadcast disabled: the shuffled streaming merge plans instead
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val mPlan = run().queryExecution.executedPlan.toString
+      assert(mPlan.contains("AsOfJoin") && !mPlan.contains("AsOfJoinBroadcast"), mPlan)
+      val mergeRows = run().select("event_id", "asof_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(mergeRows === broadcastRows)
+      assert(mergeRows.nonEmpty)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("physical plan is the custom exec with one exchange+sort per side") {
     val s = extSession
     import s.implicits._
