@@ -36,6 +36,15 @@ case class TopKAgg(
 
   require(k > 0, "top_k requires k > 0")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (score.dataType, id.dataType) match {
+      case (DoubleType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (s, i) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (DOUBLE score, BIGINT id), got ($s, $i)")
+    }
+
   // worst-first ordering (min score; among equal scores the LARGER id is
   // worse), so `head` is always the next candidate for eviction
   private def worstFirst: Ordering[(Double, Long)] =
