@@ -34,6 +34,18 @@ case class AsOfJoinPlan(
     leftTs: Expression,
     rightTs: Expression) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
+
+  /** The stats visitor's fallback for unknown binary nodes multiplies the
+    * children's sizes (cartesian worst case), which would make everything
+    * ABOVE this node look enormous and veto legitimate broadcast choices.
+    * An as-of join emits at most one row per probe row, so the honest
+    * bound is additive: probe size + quote size (output rows are wider by
+    * the quote payload). */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes,
+      rowCount = left.stats.rowCount)
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)

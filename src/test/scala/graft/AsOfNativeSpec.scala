@@ -101,6 +101,20 @@ class AsOfNativeSpec extends SparkSpec {
     assert(slim.count() > 0)
   }
 
+  test("as-of join stats are additive, not the cartesian fallback") {
+    val s = extSession
+    import s.implicits._
+    val probes = (1L to 100L).map(i => (i, i, s"p$i")).toDF("key", "ts", "tag")
+    val quotes = (1L to 100L).map(i => (i, i, i.toDouble)).toDF("key", "ts", "v")
+    val df = AsOf.asOfJoinNative(s, probes, quotes, "key", "ts")
+    val node = df.queryExecution.optimizedPlan
+      .collectFirst { case a: graft.plans.AsOfJoinPlan => a }.get
+    assert(node.stats.sizeInBytes ===
+      node.left.stats.sizeInBytes + node.right.stats.sizeInBytes)
+    assert(node.stats.sizeInBytes <
+      node.left.stats.sizeInBytes * node.right.stats.sizeInBytes)
+  }
+
   test("strategy picks broadcast exec for a small quote side, merge exec when disabled") {
     val s = extSession
     val ev = Tables.events(s, "/root/testdata/sf0.001").select(
