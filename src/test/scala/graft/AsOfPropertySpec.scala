@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+/** Randomized cross-check of every as-of join implementation — the
+  * window-based DataFrame formulation, the custom shuffled streaming
+  * merge, and the broadcast binary-search variant — against an O(n·m)
+  * sequential brute force. Quote (key, ts) pairs are unique per trial so
+  * the expected value is single-valued.
+  */
+class AsOfPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed, merge and broadcast as-of joins all match brute force") {
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { trial =>
+      val probes = (1L to 200L).map { pid =>
+        (pid, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong)
+      } // (probe_id, key, ts)
+      val quotes = rnd.shuffle((0 until 20).flatMap(k =>
+          rnd.shuffle((0 until 1000).toList).take(40).map(t => (k.toLong, t.toLong))))
+        .map { case (k, t) => (k, t, rnd.nextDouble()) } // unique (key, ts)
+
+      val expected = probes.flatMap { case (pid, k, t) =>
+        val candidates = quotes.filter(q => q._1 == k && q._2 <= t)
+        if (candidates.isEmpty) None
+        else Some(pid -> candidates.maxBy(_._2)._3)
+      }.toMap
+
+      val pdf = probes.toDF("probe_id", "key", "ts").repartition(7)
+      val qdf = quotes.toDF("key", "ts", "v").repartition(5)
+
+      val windowed = AsOf.asOfJoin(pdf, qdf, "key", "ts", Seq("v"))
+        .select("probe_id", "asof_v")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(windowed === expected, s"trial $trial windowed")
+
+      def native() = AsOf.asOfJoinNative(spark, pdf, qdf, "key", "ts")
+        .toDF("probe_id", "key", "ts", "qk", "qt", "v")
+        .select("probe_id", "v")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // small quote side -> broadcast path
+      assert(native() === expected, s"trial $trial broadcast")
+      // force the shuffled streaming merge
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert(native() === expected, s"trial $trial merge")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+}
