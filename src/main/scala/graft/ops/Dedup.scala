@@ -210,6 +210,12 @@ object Dedup {
       prevSum = curSum
       iter += 1
     }
+    // silent truncation would return WRONG components (e.g. a path graph of
+    // diameter > maxIter); fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations; " +
+        "raise maxIter or use star-contraction rounds for high-diameter graphs")
     ids.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),

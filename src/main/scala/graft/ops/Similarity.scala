@@ -146,7 +146,9 @@ object Similarity {
     * max(|x|)/127, elements rounded to [-127,127]. 4× smaller at rest and on
     * the wire — the storage/shuffle lever for 100 TB embedding corpora;
     * cosine on dequantized vectors stays within ~1% of full precision
-    * (see OpsSpec). Output: (… , q: array<tinyint>, scale: double). */
+    * (see OpsSpec). Output: (… , q: array<tinyint>, scale: double).
+    * Precondition: vectors must be non-zero — an all-zero vector has
+    * scale 0 and quantizes to nulls (0/0 = NaN); filter such rows first. */
   def quantizeInt8(emb: DataFrame, vec: String): DataFrame = {
     val v = asDouble(col(vec))
     val scale = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))) / lit(127.0)
