@@ -71,13 +71,16 @@ object ProfileIngest {
     * MEMORY_AND_DISK persist replaces re-decoding the input three times;
     * tables are written sorted by (query_id, id) within partitions — the
     * moral replacement of the reference's unique b-tree index
-    * (profile_analyzer.py:15-21) for downstream merge-friendly access. */
+    * (profile_analyzer.py:15-21) for downstream merge-friendly access.
+    * `queries` is hive-partitioned by `tag`: every reference analytic
+    * filters on tag first (stats.py:18-20, joins.py:43, ...), so at 100 TB
+    * the scan prunes whole partitions instead of reading-and-filtering. */
   def ingestToParquet(spark: SparkSession, inputPath: String, outDir: String,
                       tag: String): ProfileTables = {
     val parsed = parse(spark, inputPath, tag).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val t = tables(parsed)
-      t.queries.write.mode("append").parquet(s"$outDir/queries")
+      t.queries.write.mode("append").partitionBy("tag").parquet(s"$outDir/queries")
       t.operators.sortWithinPartitions("query_id", "id")
         .write.mode("append").parquet(s"$outDir/operators")
       t.fragments.sortWithinPartitions("query_id", "id")

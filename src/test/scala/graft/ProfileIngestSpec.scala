@@ -143,6 +143,17 @@ class ProfileIngestSpec extends SparkSpec {
     assert(ProfileIngest.fragmentConsistencyViolations(t.fragments).count() === 0)
   }
 
+  test("ingestToParquet partitions queries by tag; tag filters prune partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest-part").toString
+    val t = ProfileIngest.ingestToParquet(spark, dumpFile, out, "tagA")
+    assert(t.queries.filter("tag = 'tagA'").count() > 0)
+    // hive partition layout on disk + partition filter in the plan
+    assert(new java.io.File(s"$out/queries/tag=tagA").exists())
+    val plan = t.queries.filter(org.apache.spark.sql.functions.col("tag") === "tagA")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(tag"), plan)
+  }
+
   test("DDL profile: hosts fall back to coordinator") {
     val t = ProfileIngest.tables(ProfileIngest.parse(spark, dumpFile, "t1"))
     val ddl = t.queries.filter("query_type = 'DDL'").collect()(0)
