@@ -154,6 +154,17 @@ class ProfileIngestSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(tag"), plan)
   }
 
+  test("re-ingesting the same dump is a no-op (unique-index semantics)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest-idem").toString
+    val first = ProfileIngest.ingestToParquet(spark, dumpFile, out, "t1")
+    val (q1, o1, f1) = (first.queries.count(), first.operators.count(), first.fragments.count())
+    assert(q1 > 0 && o1 > 0 && f1 > 0)
+    val second = ProfileIngest.ingestToParquet(spark, dumpFile, out, "t1")
+    assert(second.queries.count() === q1)
+    assert(second.operators.count() === o1)
+    assert(second.fragments.count() === f1)
+  }
+
   test("DDL profile: hosts fall back to coordinator") {
     val t = ProfileIngest.tables(ProfileIngest.parse(spark, dumpFile, "t1"))
     val ddl = t.queries.filter("query_type = 'DDL'").collect()(0)
