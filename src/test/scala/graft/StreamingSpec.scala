@@ -69,6 +69,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, 10.0, "gold"), (2L, 20.0, "silver"), (1L, 30.0, "gold")))
   }
 
+  test("late events beyond the watermark are dropped from finalized windows") {
+    val ms = MemoryStream[(Long, Long, String, Double)](spark)
+    val base = 1700000000000000000L // ns epoch
+    val min = 60L * 1000000000L
+    val q = Streams.eventRates(
+        ms.toDF.toDF("event_id", "ts", "event_type", "value"), lateness = "2 minutes")
+      .writeStream.format("memory").queryName("late_rates")
+      .outputMode("append") // append emits a window only once it finalizes
+      .start()
+    try {
+      // window W0 = [base, base+1min); the +30min event advances the
+      // watermark far past W0 + 2min lateness, finalizing W0
+      ms.addData((1L, base + 1, "click", 1.0), (2L, base + 30 * min, "click", 1.0))
+      q.processAllAvailable()
+      val w0 = () => spark.sql(
+        "SELECT cnt FROM late_rates WHERE event_type = 'click' ORDER BY window_start LIMIT 1")
+        .collect().map(_.getLong(0)).toSeq
+      assert(w0() === Seq(1L))
+      // a late event targeting W0 must be dropped, not re-open the window
+      ms.addData((3L, base + 2, "click", 99.0))
+      q.processAllAvailable()
+      assert(w0() === Seq(1L))
+      assert(spark.sql("SELECT sum(cnt) FROM late_rates").collect()(0).getLong(0) === 1L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches events within the window") {
     val t0 = 1700000000000L
     def ts(ms: Long) = new java.sql.Timestamp(t0 + ms)
