@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-shape regression guards: the properties that make the headline
+  * queries scale — pushdown, broadcast choice, map-side partial
+  * aggregation — pinned against the executed plans so a refactor that
+  * silently loses one fails CI, not the 100 TB run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("r1_filter_in pushes its predicates into the parquet scan") {
+    val p = plan("r1_filter_in")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("In(") || p.contains("EqualTo("), p)
+  }
+
+  test("join_multiway broadcasts the small dimension sides") {
+    val p = plan("join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("r2_group_sum partial-aggregates before the shuffle") {
+    val p = plan("r2_group_sum")
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0, p)
+    // plan strings print top-down: the FINAL aggregate appears first, the
+    // exchange next, and the partial aggregate below (after) it
+    assert(p.lastIndexOf("HashAggregate") > firstExchange,
+      "expected a partial HashAggregate below the Exchange:\n" + p)
+  }
+
+  test("topk_per_key ships k rows per group: ObjectHashAggregate, no Sort below the exchange") {
+    val p = plan("topk_per_key")
+    assert(p.contains("ObjectHashAggregate"), p)
+    val exchange = p.indexOf("Exchange")
+    val sortBelow = p.indexOf("Sort ", exchange)
+    assert(sortBelow < 0, "no per-partition sort should feed the top-k shuffle:\n" + p)
+  }
+
+  test("queries stay inside whole-stage codegen") {
+    // the '*(N)' prefix marks codegen spans; AQE only materializes the
+    // final (codegen'd) plan after execution, so run the query first
+    Seq("r2_group_sum", "text_quality", "sim_bruteforce_topk").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // count() would plan a different query; run THIS one
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q has no WholeStageCodegen span:\n$p")
+    }
+  }
+}
