@@ -251,6 +251,38 @@ object OracleQueries {
       .unionByName(big.except(rich).withColumn("op", lit("except")))
   }
 
+  /** Multiset set operations (EXCEPT ALL / INTERSECT ALL): bag semantics,
+    * duplicates preserved by multiplicity — distinct from [[setOps]]'s
+    * set-semantics variants. */
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.lineitem(s, d).select(col("l_orderkey").as("key"))
+    val b = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey").as("key"))
+    a.intersectAll(b).groupBy(lit("intersect_all").as("op"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("key")).as("n_keys"))
+      .unionByName(
+        a.exceptAll(b).groupBy(lit("except_all").as("op"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("key")).as("n_keys")))
+  }
+
+  /** NULL semantics: NULL as a grouping key, null-safe equality (<=>),
+    * and explicit NULLS FIRST ordering — the areas where engines
+    * habitually disagree, pinned against the oracle. */
+  def nullSemantics(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+      .withColumn("prio_or_null",
+        when(col("o_orderpriority") === "1-URGENT", lit(null: String))
+          .otherwise(col("o_orderpriority")))
+    o.groupBy(col("prio_or_null"))
+      .agg(count(lit(1)).as("n"),
+        count(col("prio_or_null")).as("n_nonnull"), // count(col) skips nulls
+        sum(when(col("prio_or_null") <=> lit(null: String), 1L).otherwise(0L))
+          .as("n_nullsafe_eq"))
+      .withColumn("rank_nulls_first",
+        row_number().over(Window.orderBy(col("prio_or_null").asc_nulls_first)))
+  }
+
   /** The spark.sql(...) surface: TPC-H Q3-shaped query over temp views —
     * same engine, SQL text instead of the DataFrame DSL. */
   def sqlApiQ3(s: SparkSession, d: String): DataFrame = {
@@ -436,6 +468,8 @@ object OracleQueries {
     "pivot_wide" -> (pivotWide _),
     "topk_per_key" -> (topkPerKey _),
     "sessionize_batch" -> (sessionizeBatch _),
+    "set_ops_all" -> (setOpsAll _),
+    "null_semantics" -> (nullSemantics _),
     "window_suite" -> (windowSuite _),
     "scalar_subquery" -> (scalarSubquery _),
     "percentiles" -> (percentiles _),
@@ -490,6 +524,28 @@ object OracleQueries {
         |c AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'click')
         |SELECT e.event_id, e.user_id, e.ts_us, c.value AS asof_value
         |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us""".stripMargin,
+    "set_ops_all" ->
+      """WITH a AS (SELECT l_orderkey AS key FROM lineitem),
+        |b AS (SELECT o_orderkey AS key FROM orders WHERE o_totalprice > 100000.0),
+        |ia AS (SELECT key FROM a INTERSECT ALL SELECT key FROM b),
+        |ea AS (SELECT key FROM a EXCEPT ALL SELECT key FROM b)
+        |SELECT 'intersect_all' AS op, count(*) AS n, count(DISTINCT key) AS n_keys FROM ia
+        |UNION ALL
+        |SELECT 'except_all', count(*), count(DISTINCT key) FROM ea""".stripMargin,
+    "null_semantics" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+        |              ELSE o_orderpriority END AS prio_or_null
+        |  FROM orders),
+        |g AS (
+        |  SELECT prio_or_null, count(*) AS n,
+        |    count(prio_or_null) AS n_nonnull,
+        |    SUM(CASE WHEN prio_or_null IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+        |      AS n_nullsafe_eq
+        |  FROM o GROUP BY prio_or_null)
+        |SELECT prio_or_null, n, n_nonnull, n_nullsafe_eq,
+        |  row_number() OVER (ORDER BY prio_or_null ASC NULLS FIRST) AS rank_nulls_first
+        |FROM g""".stripMargin,
     "sessionize_batch" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
