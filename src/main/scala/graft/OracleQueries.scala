@@ -283,6 +283,20 @@ object OracleQueries {
         row_number().over(Window.orderBy(col("prio_or_null").asc_nulls_first)))
   }
 
+  /** Array-function surface: per-group array aggregation, descending sort,
+    * slice, and a left-fold sum over the slice — deterministic because the
+    * sort fixes the multiset order before the fold (and DuckDB's
+    * list_reduce folds left exactly like Spark's aggregate). */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(collect_list(col("l_quantity")).as("qs"))
+      .select(col("l_returnflag"),
+        size(col("qs")).cast("long").as("n_all"),
+        aggregate(slice(sort_array(col("qs"), asc = false), 1, 5),
+          lit(0.0), (a, x) => a + x).as("top5_sum"),
+        element_at(sort_array(col("qs"), asc = false), 1).as("top1"))
+
   /** The spark.sql(...) surface: TPC-H Q3-shaped query over temp views —
     * same engine, SQL text instead of the DataFrame DSL. */
   def sqlApiQ3(s: SparkSession, d: String): DataFrame = {
@@ -470,6 +484,7 @@ object OracleQueries {
     "sessionize_batch" -> (sessionizeBatch _),
     "set_ops_all" -> (setOpsAll _),
     "null_semantics" -> (nullSemantics _),
+    "array_funcs" -> (arrayFuncs _),
     "window_suite" -> (windowSuite _),
     "scalar_subquery" -> (scalarSubquery _),
     "percentiles" -> (percentiles _),
@@ -524,6 +539,15 @@ object OracleQueries {
         |c AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'click')
         |SELECT e.event_id, e.user_id, e.ts_us, c.value AS asof_value
         |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us""".stripMargin,
+    "array_funcs" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, list(l_quantity) AS qs FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST(len(qs) AS BIGINT) AS n_all,
+        |  list_reduce(list_prepend(0.0, list_sort(qs, 'DESC')[1:5]), (a, b) -> a + b)
+        |    AS top5_sum,
+        |  list_sort(qs, 'DESC')[1] AS top1
+        |FROM g""".stripMargin,
     "set_ops_all" ->
       """WITH a AS (SELECT l_orderkey AS key FROM lineitem),
         |b AS (SELECT o_orderkey AS key FROM orders WHERE o_totalprice > 100000.0),
