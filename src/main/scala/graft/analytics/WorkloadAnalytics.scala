@@ -195,7 +195,7 @@ object WorkloadAnalytics {
         .map(o => Left(o._1): Either[Int, Int]).sortBy(_.left.toOption)
       val childFrags = frags.filter(_._2.contains(opId))
         .map(f => Right(f._1): Either[Int, Int]).sortBy(_.toOption)
-      childOps ++ childFrags
+      (childOps ++ childFrags).toSeq
     }
     def draw(node: Either[Int, Int], depth: Int): Unit = {
       val pad = "  " * depth + (if (depth > 0) "+--" else "")

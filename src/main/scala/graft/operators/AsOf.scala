@@ -63,7 +63,7 @@ object AsOf {
     val p = probe
       .withColumn("__tag", lit(1))
       .select(Seq(col(key), col(ts), col("__tag"),
-        struct(probeCols.map(col): _*).as("__probe")) ++
+        struct(probeCols.toSeq.map(col): _*).as("__probe")) ++
         payload.map(c => lit(null).cast(quote.schema(c).dataType).as(s"__q_$c")): _*)
     val q = quote
       .withColumn("__tag", lit(0))
@@ -78,7 +78,7 @@ object AsOf {
         payload.map(c => last(col(s"__q_$c"), ignoreNulls = true).over(w).as(s"__last_$c")): _*)
     carried.filter(col("__tag") === 1)
       .filter(payload.map(c => col(s"__last_$c").isNotNull).reduce(_ && _))
-      .select(probeCols.map(c => col(s"__probe.$c")) ++
+      .select(probeCols.toSeq.map(c => col(s"__probe.$c")) ++
         payload.map(c => col(s"__last_$c").as(s"asof_$c")): _*)
   }
 }

@@ -134,7 +134,7 @@ object Similarity {
         val d = c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
         (i, d)
       }.sortBy(_._2).take(nProbe).map(_._1)
-    indexed.filter(col("list_id").isin(probeLists.map(x => x: Any): _*))
+    indexed.filter(col("list_id").isin(probeLists.toSeq.map(x => x: Any): _*))
       .filter(col(id) =!= queryId)
       .crossJoin(broadcast(indexed.filter(col(id) === queryId).select(col("v").as("qv"))))
       .select(col(id), cosine(col("v"), col("qv")).as("cos"))
