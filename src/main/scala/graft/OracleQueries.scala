@@ -279,6 +279,8 @@ object OracleQueries {
         count(col("prio_or_null")).as("n_nonnull"), // count(col) skips nulls
         sum(when(col("prio_or_null") <=> lit(null: String), 1L).otherwise(0L))
           .as("n_nullsafe_eq"))
+      // a global rank needs a single-partition window by definition; its
+      // input here is the 5-row grouped aggregate, not the fact table
       .withColumn("rank_nulls_first",
         row_number().over(Window.orderBy(col("prio_or_null").asc_nulls_first)))
   }

@@ -101,6 +101,19 @@ class AsOfNativeSpec extends SparkSpec {
     assert(slim.count() > 0)
   }
 
+  test("round-2 functions resolve through the SQL registry") {
+    val s = extSession
+    val dp = s.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dp === 11.0)
+    val top = s.sql(
+      """SELECT top_k(CAST(v AS DOUBLE), id, 2) AS t
+        |FROM VALUES (1.0, 10L), (3.0, 30L), (2.0, 20L) AS tab(v, id)""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(top === Seq((3.0, 30L), (2.0, 20L)))
+  }
+
   test("as-of join stats are additive, not the cartesian fallback") {
     val s = extSession
     import s.implicits._
