@@ -59,6 +59,37 @@ object TextAnalysis {
       "stopword_ratio" -> stopRatio, "quality" -> score)
   }
 
+  /** zlib compression ratio (deflated bytes / raw bytes): the classic
+    * repetition-quality signal from large-corpus filters — boilerplate and
+    * highly repetitive documents compress far below natural prose. Runs as
+    * a partition-local batch with ONE reused Deflater per partition (the
+    * same shape as the multimodal decode stage — allocation-free per row,
+    * no shuffle). Empty docs report ratio 1.0. */
+  def compressionRatio(spark: org.apache.spark.sql.SparkSession,
+                       df: org.apache.spark.sql.DataFrame,
+                       id: String, text: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(text))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater()
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (docId, t) =>
+          val raw = Option(t).getOrElse("").getBytes("UTF-8")
+          if (raw.isEmpty) (docId, 0L, 0L, 1.0)
+          else {
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var compressed = 0L
+            while (!deflater.finished()) compressed += deflater.deflate(buf)
+            (docId, raw.length.toLong, compressed, compressed.toDouble / raw.length)
+          }
+        }
+      }
+      .toDF(id, "raw_bytes", "deflate_bytes", "compression_ratio")
+  }
+
   /** Language-marker stopword lists for the n-gram/stopword heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ein", "zu", "mit", "ist", "nicht", "von"),

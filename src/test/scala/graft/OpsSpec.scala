@@ -7,6 +7,19 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("compression ratio separates repetitive from varied text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "The quick brown fox jumps over one lazy dog while seventeen distinct words wander."),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(spark, df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < out(2L)) // repetition compresses harder
+    assert(out(3L) === 1.0)
+    assert(out.values.forall(r => r > 0.0 && r <= 1.5))
+  }
+
   test("connectedComponents: chain collapses to min label, singleton keeps its id") {
     // 1-2, 2-3 chain (diameter 2, needs >1 propagation round); 4-5 pair; 6 alone
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
