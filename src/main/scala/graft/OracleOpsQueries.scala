@@ -60,6 +60,9 @@ object OracleOpsQueries {
     Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
   }
 
+  def dedupParagraph(s: SparkSession, d: String): DataFrame =
+    Dedup.paragraphDedup(Tables.documents(s, d), "doc_id", "text")
+
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
 
@@ -115,6 +118,7 @@ object OracleOpsQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_paragraph" -> (dedupParagraph _),
     "dedup_simhash" -> (dedupSimhash _))
 
   // ----------------------------------------------------------------- oracle
@@ -348,6 +352,27 @@ object OracleOpsQueries {
          |  UNION
          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH px AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\.\s+') AS ps FROM documents),
+        |u AS (
+        |  SELECT doc_id, (x).pos AS pos, (x).para AS para FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ps)),
+        |      i -> struct_pack(pos := i, para := ps[i]))) AS x
+        |    FROM px)
+        |  WHERE len(trim(para)) > 0),
+        |f AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+        |  FROM u)
+        |SELECT doc_id, count(*) AS n_paras,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(length(COALESCE(
+        |    string_agg(para, '. ' ORDER BY pos) FILTER (WHERE rn = 1), '')) AS BIGINT)
+        |    AS clean_len,
+        |  COALESCE(string_agg(para, '. ' ORDER BY pos) FILTER (WHERE rn = 1), '')
+        |    AS clean_text
+        |FROM f GROUP BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),

@@ -98,6 +98,35 @@ object Dedup {
       .select(col("id1"), col("id2"), col("common"), col("n1"), col("n2"), col("jaccard"))
   }
 
+  /** Paragraph-level exact dedup with in-place cleaning (the C4/Dolma
+    * pattern): split each document into sentence-ish units, keep only the
+    * globally-FIRST occurrence of each unit (ordered by doc id, then
+    * position), and reconstruct the cleaned text in original order.
+    * One shuffle on the unit fingerprint for the first-occurrence window,
+    * one on the doc id for reassembly — no pairwise comparisons at all,
+    * which is why corpus pipelines run this pass before any near-dup. */
+  def paragraphDedup(df: DataFrame, id: String, text: String): DataFrame = {
+    val units = df
+      .select(col(id), posexplode(split(col(text), "\\.\\s+")).as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+    val w = Window.partitionBy(col("fp")).orderBy(col(id), col("pos"))
+    val flagged = units
+      .withColumn("fp", md5(col("para")))
+      .withColumn("is_first", (row_number().over(w) === 1).cast("int"))
+    flagged.groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("is_first")).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("is_first") === 1,
+              struct(col("pos"), col("para"))))),
+            s => s.getField("para")),
+          ". ").as("clean_text"))
+      .select(col(id), col("n_paras"), col("n_kept"),
+        length(col("clean_text")).cast("long").as("clean_len"), col("clean_text"))
+  }
+
   /** MinHash parameters: k universal-hash permutations
     * h_i(x) = (a_i * (hash60(x) mod P) + b_i) mod P over the prime P. */
   val MinhashP = 1000000007L
