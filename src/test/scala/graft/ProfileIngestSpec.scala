@@ -22,6 +22,34 @@ class ProfileIngestSpec extends SparkSpec {
     dir.resolve("profiles.txt").toString
   }
 
+  test("skipping unknown fields with bool collections keeps the stream in sync") {
+    // struct: field 99 = list<bool> (unknown, must skip 3 one-byte elems),
+    // field 100 = map<bool,bool> (unknown), field 1 = known string
+    val w = new Writer
+    w.fieldHeader(ThriftCompact.LIST, 99)
+    w.collectionHeader(ThriftCompact.BOOL_TRUE, 3)
+    w.writeByte(1); w.writeByte(2); w.writeByte(1) // one byte per bool elem
+    w.fieldHeader(ThriftCompact.MAP, 100)
+    w.mapHeader(ThriftCompact.BOOL_TRUE, ThriftCompact.BOOL_FALSE, 2)
+    w.writeByte(1); w.writeByte(2); w.writeByte(2); w.writeByte(1)
+    w.fieldHeader(ThriftCompact.BINARY, 1)
+    w.writeString("sync")
+    w.stop()
+    val r = new ThriftCompact.Reader(w.bytes)
+    var last = 0
+    var seen: Option[String] = None
+    var cont = true
+    while (cont) {
+      val (fid, ft) = r.readFieldHeader(last)
+      if (ft == ThriftCompact.STOP) cont = false
+      else {
+        if (fid == 1) seen = Some(r.readString()) else r.skip(ft)
+        last = fid
+      }
+    }
+    assert(seen === Some("sync")) // desync would corrupt or throw here
+  }
+
   test("thrift compact round-trip") {
     val tree = queryProfile()
     val parsed = ThriftCompact.parseTree(serializeTree(tree))
