@@ -566,8 +566,8 @@ object OracleQueries {
         |g AS (
         |  SELECT prio_or_null, count(*) AS n,
         |    count(prio_or_null) AS n_nonnull,
-        |    SUM(CASE WHEN prio_or_null IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
-        |      AS n_nullsafe_eq
+        |    CAST(SUM(CASE WHEN prio_or_null IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_nullsafe_eq
         |  FROM o GROUP BY prio_or_null)
         |SELECT prio_or_null, n, n_nonnull, n_nullsafe_eq,
         |  row_number() OVER (ORDER BY prio_or_null ASC NULLS FIRST) AS rank_nulls_first
@@ -582,8 +582,8 @@ object OracleQueries {
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
         |sessions AS (
         |  SELECT user_id, ts_us,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |  FROM flagged)
         |SELECT user_id, session_idx,
         |  MIN(ts_us) AS session_start, MAX(ts_us) AS session_end,
