@@ -57,6 +57,10 @@ object Parameterizer {
       case other => other
     }
     case u: Union => u.children.map(render).mkString(" UNION ALL ")
+    case i: Intersect =>
+      s"${render(i.left)} INTERSECT${if (i.isAll) " ALL" else ""} ${render(i.right)}"
+    case e: Except =>
+      s"${render(e.left)} EXCEPT${if (e.isAll) " ALL" else ""} ${render(e.right)}"
     case h: UnresolvedHaving => s"${render(h.child)} HAVING ${renderExpr(h.havingCondition)}"
     case a: Aggregate =>
       val items = a.aggregateExpressions.map(renderExpr)
@@ -69,10 +73,10 @@ object Parameterizer {
       s"${render(f.child)} WHERE ${renderExpr(f.condition)}"
     case i: InsertIntoStatement =>
       s"INSERT INTO ? ${render(i.query)}"
-    case other => renderFrom(other)
+    case other => renderFrom(other, fromRender = true)
   }
 
-  private def renderFrom(plan: LogicalPlan): String = plan match {
+  private def renderFrom(plan: LogicalPlan, fromRender: Boolean = false): String = plan match {
     case f: Filter => s"${renderFrom(f.child)} WHERE ${renderExpr(f.condition)}"
     case j: Join =>
       val kind = j.joinType match {
@@ -87,6 +91,9 @@ object Parameterizer {
       case sub => s"(${render(sub)}) ?"
     }
     case _: OneRowRelation => "DUAL"
+    // A node `render` just bounced here is one neither renderer knows; emit a
+    // terminal placeholder instead of bouncing back (StackOverflow otherwise).
+    case other if fromRender => s"${other.nodeName}(?)"
     case other => s"(${render(other)})"
   }
 

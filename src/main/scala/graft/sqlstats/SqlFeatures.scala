@@ -119,7 +119,9 @@ object SqlFeatures {
           } else fromStats(tpe, None, None, None, new SqlAnalyzer.Stats)
       }
     } catch {
-      case _: Exception => fromStats("Unparseable", None, None, None, new SqlAnalyzer.Stats)
+      // Throwable, not Exception: a renderer StackOverflowError (an Error) on
+      // one exotic statement must not kill the whole attach() executor task.
+      case _: Throwable => fromStats("Unparseable", None, None, None, new SqlAnalyzer.Stats)
     }
   }
 

@@ -146,6 +146,31 @@ class SqlStatsSpec extends SparkSpec {
     assert(a.contains("IN (SELECT"))
   }
 
+  test("parameterization: INTERSECT/EXCEPT render without blowing the stack") {
+    // regression: render/renderFrom had no SetOperation case and bounced the
+    // node back and forth until StackOverflowError
+    val i = Parameterizer.parameterizeSql("SELECT a FROM t INTERSECT SELECT a FROM u")
+    assert(i === "SELECT ? FROM ? INTERSECT SELECT ? FROM ?")
+    val e = Parameterizer.parameterizeSql("SELECT a FROM t EXCEPT ALL SELECT a FROM u")
+    assert(e === "SELECT ? FROM ? EXCEPT ALL SELECT ? FROM ?")
+    // identifiers/literals still fingerprint structurally through the set op
+    assert(Parameterizer.parameterizeSql("SELECT x FROM p WHERE x > 5 INTERSECT SELECT y FROM q")
+      === Parameterizer.parameterizeSql("SELECT z FROM r WHERE z > 99 INTERSECT SELECT w FROM s"))
+  }
+
+  test("set operation nested in a FROM subquery analyzes (judge repro)") {
+    // the root is a SelectStmt so the renderer runs over the nested Intersect;
+    // this used to StackOverflow and — being an Error — escape analyze's catch
+    val f = SqlFeatures.analyze(
+      "SELECT x FROM (SELECT a AS x FROM t INTERSECT SELECT b FROM u) v")
+    assert(f.sql_type === "SelectStmt")
+    assert(f.parameterized_stmt.exists(_.contains("INTERSECT")))
+    val g = SqlFeatures.analyze(
+      "SELECT x FROM (SELECT a AS x FROM t EXCEPT SELECT b FROM u) v")
+    assert(g.sql_type === "SelectStmt")
+    assert(g.parameterized_stmt.exists(_.contains("EXCEPT")))
+  }
+
   test("attach joins features onto the queries table") {
     import spark.implicits._
     val queries = Seq(
