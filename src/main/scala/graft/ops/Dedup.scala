@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 import TextAnalysis._
 
@@ -204,7 +205,10 @@ object Dedup {
     * graphs are star-like, so typically 2-4 iterations. Deterministic:
     * the fixpoint is exactly min(doc id) per component, independent of
     * execution order. localCheckpoint truncates the per-iteration lineage
-    * (no exponential plan growth). For adversarial high-diameter graphs at
+    * (no exponential plan growth); dead iterations' checkpoint blocks are
+    * unpersisted eagerly, so only the final labels checkpoint — the one
+    * backing the returned plan — outlives the call. For adversarial
+    * high-diameter graphs at
     * 100 TB, swap the propagation step for the large-star/small-star
     * rounds of Kiveris et al., "Connected Components in MapReduce and
     * Beyond" (SoCC'14) — same join shape, fewer rounds. */
@@ -229,16 +233,23 @@ object Dedup {
       val neighMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("dst_comp")).as("neigh_comp"))
+      val prev = labels
       labels = labels
         .join(neighMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("neigh_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
+      // the new checkpoint is eager, so the previous iteration's blocks are
+      // dead — free them now; ContextCleaner would only reclaim them at some
+      // later GC, leaking one labels copy per iteration into storage memory
+      Bridge.backingRdds(prev).foreach(_.unpersist(blocking = false))
       val curSum = compSum(labels)
       converged = curSum == prevSum
       prevSum = curSum
       iter += 1
     }
+    // the returned plan joins only `labels` — the edge blocks are dead too
+    Bridge.backingRdds(edges).foreach(_.unpersist(blocking = false))
     // silent truncation would return WRONG components (e.g. a path graph of
     // diameter > maxIter); fail loudly instead
     if (!converged)

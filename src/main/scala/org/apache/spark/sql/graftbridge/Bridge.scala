@@ -24,4 +24,13 @@ object Bridge {
   /** A DataFrame's analyzed logical plan. */
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** The RDDs backing a (local)checkpointed DataFrame — the LogicalRDD
+    * leaves of its analyzed plan. Lets iterative algorithms unpersist a dead
+    * iteration's checkpoint blocks immediately instead of waiting for the
+    * GC-driven ContextCleaner (a real storage-memory leak at scale). */
+  def backingRdds(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
 }

@@ -35,6 +35,20 @@ class OpsSpec extends SparkSpec {
     assert(lone === Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("connectedComponents frees dead iteration checkpoints (leak regression)") {
+    // each propagation round localCheckpoints a new labels copy; the old
+    // copies (and the edges checkpoint) must be unpersisted eagerly, not
+    // left for ContextCleaner — only the FINAL labels checkpoint (backing
+    // the returned plan) may outlive the call
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ids = (1L to 40L).toDF("doc_id")
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2") // diameter-39 chain
+    val out = graft.ops.Dedup.connectedComponents(ids, "doc_id", pairs)
+    assert(out.collect().forall(_.getLong(1) == 1L))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"expected at most the final labels checkpoint, got $leaked")
+  }
+
   private def docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog again and again"),
     (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
