@@ -80,6 +80,13 @@ object OracleOpsQueries {
     graft.ops.Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryId = 0L, k = 10, planes = 4)
 
+  /** IVF ANN with pinned (first-8-ids) centroids — fully DuckDB-mirrored,
+    * so the index build, list assignment, probe selection and pruned scan
+    * are all correctness-gated (the KMeans variant stays spec-gated). */
+  def simIvfTopK(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.ivfTopKPinned(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryId = 0L, k = 10, nLists = 8, nProbe = 2)
+
   def simCosinePairs(s: SparkSession, d: String): DataFrame =
     graft.ops.Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, planes = 4)
@@ -108,6 +115,7 @@ object OracleOpsQueries {
     "sim_bruteforce_topk" -> (simBruteForce _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_lsh_topk" -> (simLshTopK _),
+    "sim_ivf_topk" -> (simIvfTopK _),
     "sim_cosine_pairs" -> (simCosinePairs _),
     "mm_meta" -> (mmMeta _),
     "text_tokens" -> (textTokens _),
@@ -248,6 +256,25 @@ object OracleOpsQueries {
          |FROM e JOIN bk ON e.vec_id = bk.vec_id, qb
          |WHERE e.vec_id != 0 AND bk.bucket = qb.qbucket
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH $embCte,
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |d AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    list_reduce(list_transform(generate_series(1, 64),
+         |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y) AS dist
+         |  FROM e, cents c),
+         |asn AS (
+         |  SELECT vec_id, v, cid AS list_id FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d) WHERE rn = 1),
+         |probe AS (SELECT cid FROM d WHERE vec_id = 0 ORDER BY dist, cid LIMIT 2),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT a.vec_id, ${cosSql("a.v", "qv")} AS cos
+         |FROM asn a JOIN probe p ON a.list_id = p.cid, q
+         |WHERE a.vec_id != 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
     "sim_cosine_pairs" ->
       s"""WITH $bucketsCte,
          |bv AS (SELECT e.vec_id, e.v, bk.bucket, sqrt(${dotSql("v", "v")}) AS nrm

@@ -142,6 +142,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic IVF for cross-engine gating: centroids are PINNED to the
+    * embeddings of the `nLists` smallest vector ids instead of a KMeans fit,
+    * so DuckDB can mirror the whole index bit-exactly. Exercises the same
+    * IVF plumbing as [[ivfTopK]] — scan-side argmin assignment to a coarse
+    * centroid, query probes the `nProbe` nearest inverted lists, scoring
+    * scans only the probed fraction — with zero extra shuffles: the
+    * centroids are a tiny sanctioned driver-side collect (like the as-of
+    * broadcast build side) compiled into literal arrays, so assignment is
+    * pure scan-side column algebra. Use [[ivfTopK]] (KMeans) when recall
+    * per probed list matters; this variant is for verifying the machinery.
+    *
+    * Determinism of ties: assignment takes the min (sqdist, centroid idx)
+    * struct; probing sorts by (sqdist, centroid idx). All distances are
+    * strict left folds over doubles, mirrored by DuckDB's list_reduce. */
+  def ivfTopKPinned(emb: DataFrame, id: String, vec: String, queryId: Long,
+                    k: Int, nLists: Int = 8, nProbe: Int = 2): DataFrame = {
+    val e = emb.select(col(id), asDouble(col(vec)).as("v"))
+    val cents: Array[Seq[Double]] = e.filter(col(id) < nLists)
+      .orderBy(col(id)).collect().map(_.getSeq[Double](1))
+    def sqdistTo(c: Seq[Double]): Column =
+      aggregate(zip_with(col("v"), array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x)
+    val distStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqdistTo(c).as("d"), lit(i).as("i"))
+    }.toSeq: _*)
+    val assigned = e.withColumn("list_id", array_min(distStructs).getField("i"))
+    // probe lists: nProbe nearest centroids to the query vector, computed
+    // driver-side over the nLists already-collected centroids
+    val qv = e.filter(col(id) === queryId).head().getSeq[Double](1)
+    def sqdLocal(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val probe = cents.zipWithIndex.map { case (c, i) => (sqdLocal(qv, c), i) }
+      .sortBy(identity).take(nProbe).map(_._2)
+    assigned.filter(col("list_id").isin(probe.map(x => x: Any).toSeq: _*))
+      .filter(col(id) =!= queryId)
+      .crossJoin(broadcast(e.filter(col(id) === queryId).select(col("v").as("qv"))))
+      .select(col(id), cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(desc("cos"), col(id))
+      .limit(k)
+  }
+
   /** Int8 symmetric quantization of an embedding column: per-vector scale =
     * max(|x|)/127, elements rounded to [-127,127]. 4× smaller at rest and on
     * the wire — the storage/shuffle lever for 100 TB embedding corpora;
