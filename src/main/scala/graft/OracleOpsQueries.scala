@@ -49,6 +49,15 @@ object OracleOpsQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, threshold = 0.5)
 
+  /** The hot-shingle skew valve — the thing that makes ngram dedup survive
+    * 100× data — gated on its own: shingles present in > 3 docs are dropped
+    * before pairing. Denominators stay UNfiltered (see
+    * [[Dedup.ngramJaccardPairs]]), so the cap only removes evidence of
+    * overlap, never shrinks a document. */
+  def dedupNgramCapped(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleDocFreq = Some(3))
+
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
 
@@ -124,6 +133,7 @@ object OracleOpsQueries {
     "text_fingerprint" -> (textFingerprint _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_ngram_capped" -> (dedupNgramCapped _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_components" -> (dedupComponents _),
     "dedup_paragraph" -> (dedupParagraph _),
@@ -353,6 +363,20 @@ object OracleOpsQueries {
          |pairs AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
          |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.id1, p.id2, p.common, c1.n AS n1, c2.n AS n2,
+         |  CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) AS jaccard
+         |FROM pairs p JOIN cnt c1 ON p.id1 = c1.doc_id JOIN cnt c2 ON p.id2 = c2.doc_id
+         |WHERE CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_ngram_capped" ->
+      s"""WITH $shinglesCte,
+         |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+         |freq AS (SELECT h, count(*) AS df FROM shh GROUP BY h),
+         |shf AS (SELECT s.doc_id, s.h FROM shh s JOIN freq f ON s.h = f.h WHERE f.df <= 3),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+         |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT p.id1, p.id2, p.common, c1.n AS n1, c2.n AS n2,
          |  CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) AS jaccard

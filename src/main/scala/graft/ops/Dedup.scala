@@ -63,8 +63,16 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs: explode distinct shingles → equi-join on
     * the shingle hash → per-pair common count → |A∩B|/(|A|+|B|-|A∩B|) ≥
     * threshold. `maxShingleDocFreq`, if set, drops shingles shared by more
-    * than that many docs before pairing (skew control; changes results, so
-    * the oracle-gated query leaves it off). */
+    * than that many docs before pairing — the skew valve for hot n-grams at
+    * scale (both variants are oracle-gated: `dedup_ngram_jaccard` uncapped,
+    * `dedup_ngram_capped` with the cap on).
+    *
+    * Denominator convention under the cap: |A|/|B| stay the UNfiltered
+    * per-doc shingle counts while `common` counts only surviving shingles —
+    * the cap removes *evidence of overlap* (pushing borderline pairs below
+    * the threshold) but never shrinks a document. Since j = f(common) with
+    * f increasing, the capped jaccard is a strict lower bound on the
+    * uncapped one — capping only ever drops pairs, never invents them. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                         threshold: Double,
                         maxShingleDocFreq: Option[Int] = None): DataFrame = {
