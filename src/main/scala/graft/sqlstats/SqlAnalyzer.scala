@@ -330,5 +330,29 @@ object SqlAnalyzer {
     case other => other.getClass.getSimpleName
   }
 
-  def parse(sql: String): LogicalPlan = CatalystSqlParser.parsePlan(sql)
+  /** Impala-dialect tolerance. The reference parses with Impala's own
+    * frontend (QueryAnalyzer.java:335-337), which accepts Impala plan hints
+    * natively; Catalyst's ANSI parser rejects them, which would collapse a
+    * meaningful fraction of a real Impala workload to `Unparseable`. Strip
+    * the hint surface before parsing — hints never change statement
+    * semantics, only physical planning, so the feature vector is unaffected:
+    *  - bracket hints after JOIN / INSERT target: `[broadcast]`, `[shuffle]`,
+    *    `[noshuffle]`, `[clustered]`, `[sortby(...)]`, `[schedule_*]`
+    *  - comment hints, both Impala's `/* +broadcast */` and `/*+ shuffle */`
+    *  - `SELECT STRAIGHT_JOIN` — Impala's join-order pin keyword
+    * Known limitation: a hint-shaped token inside a string literal is also
+    * stripped; harmless downstream because literals are parameterized away.
+    */
+  private val BracketHint =
+    "(?i)\\[\\s*(broadcast|shuffle|noshuffle|clustered|noclustered|schedule_\\w+|sortby\\s*\\([^)]*\\))\\s*\\]".r
+  private val CommentHint = "(?s)/\\*\\s*\\+.*?\\*/".r
+  private val StraightJoin = "(?i)\\bSTRAIGHT_JOIN\\b".r
+
+  def stripImpalaHints(sql: String): String =
+    StraightJoin.replaceAllIn(
+      BracketHint.replaceAllIn(
+        CommentHint.replaceAllIn(sql, " "), " "), " ")
+
+  def parse(sql: String): LogicalPlan =
+    CatalystSqlParser.parsePlan(stripImpalaHints(sql))
 }

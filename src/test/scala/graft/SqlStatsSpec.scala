@@ -171,6 +171,26 @@ class SqlStatsSpec extends SparkSpec {
     assert(g.parameterized_stmt.exists(_.contains("EXCEPT")))
   }
 
+  test("Impala dialect: plan hints and STRAIGHT_JOIN produce full feature vectors") {
+    // the reference parses with Impala's own frontend, so hinted statements
+    // must not collapse to Unparseable (QueryAnalyzer.java:335-337)
+    val f = SqlFeatures.analyze(
+      "SELECT STRAIGHT_JOIN a FROM t JOIN [broadcast] u ON t.id = u.id WHERE a = 1")
+    assert(f.sql_type === "SelectStmt")
+    assert(f.num_on_binary_predicates("EQ") === 1)
+    assert(f.num_where_binary_predicates("EQ") === 1)
+    val g = SqlFeatures.analyze(
+      "SELECT a FROM t JOIN /* +shuffle */ u ON t.id = u.id JOIN [SORTBY(x, y)] v ON u.k = v.k")
+    assert(g.sql_type === "SelectStmt")
+    assert(g.num_on_binary_predicates("EQ") === 2)
+    val h = SqlFeatures.analyze("INSERT INTO tgt [shuffle] SELECT x FROM src")
+    assert(h.sql_type === "InsertStmt")
+    assert(h.nested_type === Some("SelectStmt"))
+    // hinted statements share a fingerprint with their unhinted form
+    assert(Parameterizer.parameterizeSql("SELECT a FROM t JOIN [broadcast] u ON t.id = u.id")
+      === Parameterizer.parameterizeSql("SELECT a FROM t JOIN u ON t.id = u.id"))
+  }
+
   test("attach joins features onto the queries table") {
     import spark.implicits._
     val queries = Seq(
