@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.Streams
@@ -138,6 +139,52 @@ class StreamingSpec extends SparkSpec {
     assert(fps.sorted === Seq("fpA", "fpB"))
   }
 
+  test("streaming sessionize emits exactly the batch sessions (equivalence)") {
+    // closes the loop the scaladocs claim: Streams.sessionize and
+    // OracleQueries.sessionizeBatch implement the SAME event-time gap
+    // semantics. Timestamps are µs-truncated then rescaled to ns so both
+    // engines compare gaps in the same integer domain (batch works on
+    // ts DIV 1000); one sentinel event per user lands 3 gaps past the
+    // global max so every real session closes via the gap rule — the
+    // sentinel sessions themselves stay open in state (their production
+    // exit is the ProcessingTimeTimeout flush, spec'd separately) and are
+    // excluded by filtering on the sentinel timestamp.
+    val dir = "/root/testdata/sf0.001"
+    val batch = OracleQueries.sessionizeBatch(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val gapNs = 60L * 1000L * 1000L * 1000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), (expr("ts DIV 1000") * 1000).as("ts"))
+      .as[(Long, Long)].collect()
+    val sentinelTs = ev.map(_._2).max + 3 * gapNs
+    val ms = MemoryStream[Streams.SessionEvent](spark)
+    ms.addData(ev.map { case (u, t) => Streams.SessionEvent(u, t, "e") }.toSeq)
+    ms.addData(ev.map(_._1).distinct.map(u =>
+      Streams.SessionEvent(u, sentinelTs, "sentinel")).toSeq)
+    // idleFlush pinned past the test lifetime (the path under test is the
+    // gap rule). NOTE: with a registered processing-time timeout the engine
+    // keeps scheduling batches, so neither AvailableNow termination nor
+    // processAllAvailable() ever latches — poll the sink for the expected
+    // session count, then stop the query explicitly.
+    val q = Streams.sessionize(spark, ms.toDS(), gapNs = gapNs, idleFlush = "1 hour")
+      .writeStream.format("memory").queryName("sess_equiv")
+      .outputMode("append")
+      .start()
+    val sel =
+      s"SELECT user_id, start_ns, end_ns, n_events FROM sess_equiv WHERE start_ns < $sentinelTs"
+    val streamed = try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (spark.sql(sel).count() < batch.size && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      spark.sql(sel)
+        .as[(Long, Long, Long, Int)].collect()
+        .map { case (u, s, e, n) => (u, s / 1000, e / 1000, n.toLong) }.toSet
+    } finally q.stop()
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sessionize groups events by idle gap") {
     val events = Seq(
       Streams.SessionEvent(1L, 1000L, "a"),
@@ -147,14 +194,20 @@ class StreamingSpec extends SparkSpec {
     ).toDS()
     val ms = MemoryStream[Streams.SessionEvent](spark)
     ms.addData(events.collect().toSeq)
-    val q = Streams.sessionize(spark, ms.toDS(), gapNs = 10000L)
+    // poll-then-stop: a registered processing-time timeout keeps the engine
+    // scheduling batches, so AvailableNow termination never comes
+    val q = Streams.sessionize(spark, ms.toDS(), gapNs = 10000L, idleFlush = "1 hour")
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
-    val closed = spark.sql("SELECT user_id, n_events FROM sessions")
-      .as[(Long, Int)].collect().toSet
+    val closed = try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.sql("SELECT 1 FROM sessions").count() < 1 &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      spark.sql("SELECT user_id, n_events FROM sessions")
+        .as[(Long, Int)].collect().toSet
+    } finally q.stop()
     // user 1's first session (2 events) closed when the gap appeared
     assert(closed.contains((1L, 2)))
   }
