@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * batches.
   *
   * The Spark-side plumbing (schema, batching, partitioning, output shape)
-  * is real and tested; the actual media decode is STUBBED with a
-  * deterministic fake — this container has no image/audio codecs, so
-  * [[fakeDecode]] derives metadata/features from the bytes' md5. Swapping in
-  * a real decoder means replacing ONLY `fakeDecode`'s body (same signature,
-  * same batch shape).
+  * is real and tested. IMAGE payloads (`kind` starting with `image/`) are
+  * decoded for real via [[imageDecode]] — javax.imageio ships in the JDK, so PNG / BMP
+  * / GIF / JPEG metadata and a luminance-grid feature vector need no
+  * external codecs. Audio/video and undecodable payloads fall back to the
+  * deterministic [[fakeDecode]] STUB (this container has no such codecs);
+  * swapping in a real one means replacing only `fakeDecode`'s body (same
+  * signature, same batch shape).
   */
 object Multimodal {
 
@@ -51,6 +53,60 @@ object Multimodal {
       features = Array.tabulate(FeatureDim)(i => (b(i) - 128) / 128.0f))
   }
 
+  /** REAL image decode via javax.imageio: width/height/channels from the
+    * decoded raster, features = 4×4 mean-luminance grid (BT.601 integer
+    * weights) scaled to [-1, 1] — deterministic for identical pixels, like
+    * a tiny patch embedding. Returns None when ImageIO has no reader for
+    * the payload (corrupt bytes, unsupported codec) so callers can fall
+    * back rather than kill the task. */
+  def imageDecode(row: MediaRow): Option[DecodedMedia] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.content))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val grid = 4 // grid² == FeatureDim
+      val feats = new Array[Float](FeatureDim)
+      var gy = 0
+      while (gy < grid) {
+        var gx = 0
+        while (gx < grid) {
+          val x0 = gx * w / grid
+          val x1 = math.min(math.max((gx + 1) * w / grid, x0 + 1), w)
+          val y0 = gy * h / grid
+          val y1 = math.min(math.max((gy + 1) * h / grid, y0 + 1), h)
+          var sum = 0L
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          feats(gy * grid + gx) = if (n == 0) 0f else sum.toFloat / n / 127.5f - 1f
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(DecodedMedia(row.doc_id, row.kind, row.content.length.toLong,
+        w, h, img.getColorModel.getNumComponents, feats))
+    }
+  }
+
+  /** Per-row dispatch: real ImageIO decode for image payloads, md5 fake for
+    * everything else (and for image bytes no reader understands). */
+  private[ops] def decodeRow(md: java.security.MessageDigest, row: MediaRow): DecodedMedia =
+    if (row.kind.startsWith("image/")) imageDecode(row).getOrElse(fakeDecodeWith(md, row))
+    else fakeDecodeWith(md, row)
+
   /** Binary "media" stand-in built from a text table (payload = utf-8
     * bytes). At scale the payload column arrives from parquet/lance binary
     * columns — the plumbing below is identical. */
@@ -58,18 +114,19 @@ object Multimodal {
     df.select(col(id).cast("long").as("doc_id"), lit("text/fake").as("kind"),
       encode(col(text), "UTF-8").as("content"))
 
-  /** Decode pass: partition-local BATCHES through the (stubbed) decoder —
-    * the Scala equivalent of `mapInPandas`: rows arrive in `batchSize`
-    * groups so a real decoder can amortize codec/model state per batch
-    * (and the md5 digest instance is reused across the batch here); no
-    * shuffle, output streams incrementally. */
+  /** Decode pass: partition-local BATCHES through the decoder — the Scala
+    * equivalent of `mapInPandas`: rows arrive in `batchSize` groups so a
+    * real decoder can amortize codec/model state per batch (the md5 digest
+    * instance is reused across the batch here); no shuffle, output streams
+    * incrementally. Image payloads decode for real ([[imageDecode]]);
+    * others go through the deterministic fake. */
   def decode(spark: SparkSession, media: DataFrame,
              batchSize: Int = 256): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val md = java.security.MessageDigest.getInstance("MD5") // per-batch state
-        batch.map(row => fakeDecodeWith(md, row))
+        batch.map(row => decodeRow(md, row))
       }
     }
   }

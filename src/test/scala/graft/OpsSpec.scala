@@ -165,6 +165,39 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => r.width >= 16 && r.width <= 1024 && r.channels >= 1 && r.channels <= 4))
   }
 
+  test("real image payloads decode via javax.imageio inside the Spark plumbing") {
+    import java.awt.image.BufferedImage
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) // left half dark, right half light
+        img.setRGB(x, y, if (x < w / 2) 0x101010 else 0xF0F0F0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", encode("png", 8, 5)),
+      Multimodal.MediaRow(2L, "image/bmp", encode("bmp", 32, 16)),
+      Multimodal.MediaRow(3L, "image/png", Array[Byte](1, 2, 3)), // corrupt -> fake fallback
+      Multimodal.MediaRow(4L, "text/fake", "hello".getBytes("UTF-8"))
+    ).toDS().toDF()
+    val out = Multimodal.decode(spark, rows).collect().sortBy(_.doc_id)
+    // real decoded metadata, not the md5 fake
+    assert(out(0).width === 8 && out(0).height === 5 && out(0).channels === 3)
+    assert(out(1).width === 32 && out(1).height === 16 && out(1).channels === 3)
+    // luminance-grid features: left cells dark (< 0), right cells light (> 0)
+    for (img <- Seq(out(0), out(1)); row <- 0 until 4) {
+      assert(img.features(row * 4) < 0f && img.features(row * 4 + 3) > 0f)
+    }
+    // same pixels, different codec/size -> same grid SIGN structure
+    assert(out(0).features.map(f => f > 0f).toSeq === out(1).features.map(f => f > 0f).toSeq)
+    // corrupt image bytes fall back to the deterministic fake, not a crash
+    assert(out(2).features.length === Multimodal.FeatureDim)
+    // decode is deterministic end-to-end
+    val again = Multimodal.decode(spark, rows).collect().sortBy(_.doc_id)
+    assert(out.map(_.features.toSeq).toSeq === again.map(_.features.toSeq).toSeq)
+  }
+
   test("resize downsamples payloads deterministically and composes with decode") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val resized = Multimodal.resize(spark, media, targetBytes = 16)
