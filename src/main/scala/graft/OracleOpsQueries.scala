@@ -45,6 +45,11 @@ object OracleOpsQueries {
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
 
+  /** Same semantics via groupBy+rejoin — gated with the SAME oracle SQL as
+    * dedup_exact and benched head-to-head (see [[Dedup.exactViaAgg]]). */
+  def dedupExactAgg(s: SparkSession, d: String): DataFrame =
+    Dedup.exactViaAgg(Tables.documents(s, d), "doc_id", "text")
+
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, threshold = 0.5)
@@ -132,6 +137,7 @@ object OracleOpsQueries {
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_exact_agg" -> (dedupExactAgg _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_ngram_capped" -> (dedupNgramCapped _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -227,6 +233,16 @@ object OracleOpsQueries {
        |  JOIN shh s2 ON s2.doc_id = c.id2 AND s1.h = s2.h
        |  GROUP BY c.id1, c.id2)""".stripMargin
   }
+
+  private val dedupExactSql =
+    """WITH f AS (
+      |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents)
+      |SELECT doc_id, fp,
+      |  MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+      |  COUNT(*) OVER (PARTITION BY fp) AS group_size,
+      |  CAST(doc_id != MIN(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup
+      |FROM f""".stripMargin
 
   val sql: Map[String, String] = Map(
     "sim_quantize_int8" ->
@@ -347,15 +363,9 @@ object OracleOpsQueries {
          |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
          |  ${h60("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp60
          |FROM documents""".stripMargin,
-    "dedup_exact" ->
-      """WITH f AS (
-        |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-        |  FROM documents)
-        |SELECT doc_id, fp,
-        |  MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
-        |  COUNT(*) OVER (PARTITION BY fp) AS group_size,
-        |  CAST(doc_id != MIN(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup
-        |FROM f""".stripMargin,
+    "dedup_exact" -> dedupExactSql,
+    // identical semantics, different physical shape — same oracle
+    "dedup_exact_agg" -> dedupExactSql,
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),

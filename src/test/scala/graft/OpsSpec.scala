@@ -35,6 +35,14 @@ class OpsSpec extends SparkSpec {
     assert(lone === Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("exactViaAgg output equals the window-based exact dedup") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Dedup.exact(docs, "doc_id", "text").collect().map(_.toSeq).toSet
+    val b = Dedup.exactViaAgg(docs, "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("connectedComponents frees dead iteration checkpoints (leak regression)") {
     // each propagation round localCheckpoints a new labels copy; the old
     // copies (and the edges checkpoint) must be unpersisted eagerly, not
