@@ -185,6 +185,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("sessionize flushes a user's final session via processing-time timeout") {
+    // no later event ever arrives for user 9 — the ONLY exit for the held
+    // session is the ProcessingTimeTimeout flush (the round-1 advice fix)
+    val ms = MemoryStream[Streams.SessionEvent](spark)
+    ms.addData(
+      Streams.SessionEvent(9L, 1000L, "a"),
+      Streams.SessionEvent(9L, 2000L, "b"))
+    val q = Streams.sessionize(spark, ms.toDS(), gapNs = 10000L, idleFlush = "2 seconds")
+      .writeStream.format("memory").queryName("sessions_flush")
+      .outputMode("append")
+      .start()
+    val rows = try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.sql("SELECT 1 FROM sessions_flush").count() < 1 &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      spark.sql("SELECT user_id, start_ns, end_ns, n_events FROM sessions_flush")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    } finally q.stop()
+    assert(rows === Set((9L, 1000L, 2000L, 2)))
+  }
+
   test("sessionize groups events by idle gap") {
     val events = Seq(
       Streams.SessionEvent(1L, 1000L, "a"),
