@@ -74,6 +74,15 @@ object OracleOpsQueries {
     Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
   }
 
+  /** Same pair graph through star contraction (Kiveris SoCC'14) — the
+    * O(log n)-round high-diameter scale path, gated on the SAME oracle as
+    * the min-label propagation variant. */
+  def dedupComponentsStar(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").select("id1", "id2")
+    Dedup.connectedComponentsStar(docs.select("doc_id"), "doc_id", pairs)
+  }
+
   def dedupParagraph(s: SparkSession, d: String): DataFrame =
     Dedup.paragraphDedup(Tables.documents(s, d), "doc_id", "text")
 
@@ -142,6 +151,7 @@ object OracleOpsQueries {
     "dedup_ngram_capped" -> (dedupNgramCapped _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_simhash" -> (dedupSimhash _))
 
@@ -399,6 +409,22 @@ object OracleOpsQueries {
          |FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
          |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_components" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |mh AS (
+         |  SELECT m.id1, m.id2
+         |  FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
+         |  WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM mh
+         |  UNION ALL
+         |  SELECT id2, id1 FROM mh),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin,
+    // star contraction computes the identical labeling — same oracle
+    "dedup_components_star" ->
       s"""WITH RECURSIVE $minhashCtes,
          |mh AS (
          |  SELECT m.id1, m.id2

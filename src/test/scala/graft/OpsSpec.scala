@@ -57,6 +57,38 @@ class OpsSpec extends SparkSpec {
     assert(leaked.size <= 1, s"expected at most the final labels checkpoint, got $leaked")
   }
 
+  test("star-contraction components match union-find on random graphs and long paths") {
+    // local union-find ground truth (min id per component)
+    def truth(n: Long, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (1L to n).map(i => i -> find(i)).toMap
+    }
+    def run(n: Long, pairs: Seq[(Long, Long)], maxIter: Int = 30): Map[Long, Long] =
+      graft.ops.Dedup.connectedComponentsStar(
+        (1L to n).toDF("doc_id"), "doc_id", pairs.toDF("id1", "id2"), maxIter)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seeded random graphs: sparse (forest-ish), denser, and with dup edges
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60L
+      val m = trial * 40
+      val pairs = Seq.fill(m)((rnd.nextLong(n) + 1, rnd.nextLong(n) + 1))
+        .filter(p => p._1 != p._2)
+      assert(run(n, pairs) === truth(n, pairs), s"trial $trial")
+    }
+    // diameter-120 path: min-label propagation would need 120 rounds;
+    // star contraction converges within the 30-round default (O(log n))
+    val path = (1L until 120L).map(i => (i, i + 1))
+    assert(run(120L, path) === truth(120L, path))
+    // empty graph: all singletons
+    assert(run(5L, Seq.empty) === (1L to 5L).map(i => i -> i).toMap)
+  }
+
   private def docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog again and again"),
     (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
