@@ -48,8 +48,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total sums SUCCESSFUL queries only — a thrown query keeps its negative
+    // per-query marker above but must not shrink the headline number
+    val total = results.collect { case (_, v) if v > 0 => v }.sum
+    val failed = results.count(_._2 <= 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

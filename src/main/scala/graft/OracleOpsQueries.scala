@@ -50,6 +50,13 @@ object OracleOpsQueries {
   def dedupExactAgg(s: SparkSession, d: String): DataFrame =
     Dedup.exactViaAgg(Tables.documents(s, d), "doc_id", "text")
 
+  /** Takes the DEFAULT configuration — which is capped at
+    * [[Dedup.DefaultMaxShingleDocFreq]] (1024). The oracle SQL computes the
+    * uncapped jaccard; the two agree at the gate SF because the corpus has
+    * fewer documents than the cap, so the cap cannot trigger — i.e. this row
+    * green proves the default (capped) PLAN produces uncapped answers on
+    * cap-free data, and `dedup_ngram_capped` below proves the cap filter
+    * itself. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, threshold = 0.5)

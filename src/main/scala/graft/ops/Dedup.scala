@@ -25,6 +25,14 @@ import TextAnalysis._
   */
 object Dedup {
 
+  /** Default hot-shingle document-frequency cap for [[ngramJaccardPairs]]:
+    * pair-join fan-out per shingle is bounded by cap², so 1024 caps any one
+    * shingle at ≤ ~0.5 M candidate rows regardless of corpus size. Small
+    * corpora (fewer docs than the cap) are unaffected — which is also why
+    * the `dedup_ngram_jaccard` oracle, whose DuckDB SQL computes the
+    * uncapped jaccard, stays bit-identical at the gate SF. */
+  val DefaultMaxShingleDocFreq: Option[Int] = Some(1024)
+
   /** Exact dedup: fingerprint group → canonical id (min doc id) per group.
     * One window over the fingerprint hash partition; at scale this is a
     * single hash shuffle on the fingerprint. */
@@ -84,10 +92,23 @@ object Dedup {
 
   /** N-gram Jaccard near-dup pairs: explode distinct shingles → equi-join on
     * the shingle hash → per-pair common count → |A∩B|/(|A|+|B|-|A∩B|) ≥
-    * threshold. `maxShingleDocFreq`, if set, drops shingles shared by more
-    * than that many docs before pairing — the skew valve for hot n-grams at
-    * scale (both variants are oracle-gated: `dedup_ngram_jaccard` uncapped,
-    * `dedup_ngram_capped` with the cap on).
+    * threshold. `maxShingleDocFreq` drops shingles shared by more than that
+    * many docs before pairing — the skew valve for hot n-grams at scale.
+    * A shingle present in d documents fans out to d·(d−1)/2 candidate rows
+    * in the pair join, so an UNcapped run over a real corpus (boilerplate
+    * shingles with d in the millions) is quadratic in the hottest key. The
+    * cap is therefore ON by default ([[DefaultMaxShingleDocFreq]]); pass
+    * `maxShingleDocFreq = None` to explicitly opt out for corpora known to
+    * have no hot shingles. Both configurations are oracle-gated
+    * (`dedup_ngram_jaccard` on the default, `dedup_ngram_capped` with a
+    * tight cap).
+    *
+    * Choosing the cap: the per-shingle candidate fan-out is bounded by
+    * cap², so the default 1024 bounds any one shingle to ≤ ~0.5 M pairs —
+    * large enough that genuinely near-duplicate evidence (shared RARE
+    * shingles) survives, small enough that no single key can dominate a
+    * stage. Tighten toward ~100 for web-scale corpora with heavy
+    * boilerplate; loosen only with evidence from a doc-frequency histogram.
     *
     * Denominator convention under the cap: |A|/|B| stay the UNfiltered
     * per-doc shingle counts while `common` counts only surviving shingles —
@@ -97,7 +118,7 @@ object Dedup {
     * uncapped one — capping only ever drops pairs, never invents them. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                         threshold: Double,
-                        maxShingleDocFreq: Option[Int] = None): DataFrame = {
+                        maxShingleDocFreq: Option[Int] = Dedup.DefaultMaxShingleDocFreq): DataFrame = {
     // no .cache(): a library function must not leak persisted blocks into
     // the caller's session. The explicit repartition on the join key
     // materializes the expensive scan→tokenize→shingle→md5 chain into ONE

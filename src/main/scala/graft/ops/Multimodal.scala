@@ -57,12 +57,11 @@ object Multimodal {
     * decoded raster, features = 4×4 mean-luminance grid (BT.601 integer
     * weights) scaled to [-1, 1] — deterministic for identical pixels, like
     * a tiny patch embedding. Returns None when ImageIO has no reader for
-    * the payload (corrupt bytes, unsupported codec) so callers can fall
-    * back rather than kill the task. */
-  def imageDecode(row: MediaRow): Option[DecodedMedia] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.content))
-      catch { case _: java.io.IOException => null }
+    * the payload (corrupt bytes, unsupported codec) or when the decoder
+    * throws on a malformed payload, so callers can fall back rather than
+    * kill the task. */
+  def imageDecode(row: MediaRow): Option[DecodedMedia] = try {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.content))
     if (img == null) None
     else {
       val w = img.getWidth
@@ -99,6 +98,11 @@ object Multimodal {
       Some(DecodedMedia(row.doc_id, row.kind, row.content.length.toLong,
         w, h, img.getColorModel.getNumComponents, feats))
     }
+  } catch {
+    // ImageIO.read throws RuntimeExceptions (CMMException, IAE, AIOOBE, …)
+    // on malformed/truncated payloads, not just IOException — one bad blob
+    // must degrade to the fake-decode fallback, never kill the Spark task
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** Per-row dispatch: real ImageIO decode for image payloads, md5 fake for
