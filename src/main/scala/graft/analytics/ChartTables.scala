@@ -20,7 +20,10 @@ object ChartTables {
     val bounds = df.agg(min(x).as("lo"), max(x).as("hi"))
     val step =
       if (integerSteps) greatest(lit(1L), ((col("hi") - col("lo")) / 10L).cast("long"))
-      else (col("hi") - col("lo")) / lit(10.0)
+      // degenerate all-equal measure: any positive step puts every row in
+      // bin 0 (ANSI mode would throw on the /0 otherwise)
+      else when(col("hi") === col("lo"), lit(1.0))
+        .otherwise((col("hi") - col("lo")) / lit(10.0))
     df.crossJoin(broadcast(bounds))
       .groupBy(floor((x - col("lo")) / step).cast("long").as("bin"),
         (col("lo") + floor((x - col("lo")) / step) * step).as("bin_lo"))

@@ -38,8 +38,11 @@ object WorkloadAnalytics {
     val all = opTimes.unionByName(pseudo)
     val w = Window.partitionBy(col("query_id"))
     all.withColumn("total_time", sum(col("sum_time")).over(w))
+      // a zero-total query (e.g. an instant DDL) gets NULL share, not a
+      // crash — Spark 4 ANSI mode throws on x/0
       .withColumn("time_pct",
-        col("sum_time").cast("double") / col("total_time").cast("double"))
+        when(col("total_time") =!= 0,
+          col("sum_time").cast("double") / col("total_time").cast("double")))
   }
 
   /** R4 (stats.py:41-56): per-operator straggler skew — (max-avg) time as a
@@ -78,12 +81,14 @@ object WorkloadAnalytics {
     * time share per operator name over ALL N queries, counting a missing
     * (query, op) pair as 0. Closed form sum/N (no crossJoin padding). */
   def operatorTimeMatrix(breakdown: DataFrame, numQueries: Long): DataFrame = {
-    val total = breakdown.agg(sum(col("sum_time"))).head().getLong(0)
+    // coalesce: sum over an empty breakdown is NULL, not 0
+    val total = breakdown.agg(coalesce(sum(col("sum_time")), lit(0L))).head().getLong(0)
     breakdown.groupBy(col("name")).agg(
       (sum(col("time_pct")) / lit(numQueries.toDouble)).as("avg_time_pct"),
       sum(col("sum_time")).as("sum_time"))
       .withColumn("abs_time_pct",
-        col("sum_time").cast("double") / lit(total.toDouble))
+        if (total == 0L) lit(null).cast("double")
+        else col("sum_time").cast("double") / lit(total.toDouble))
       .orderBy(desc("sum_time"))
   }
 

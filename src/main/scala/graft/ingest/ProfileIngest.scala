@@ -82,22 +82,31 @@ object ProfileIngest {
       val t = tables(parsed)
       // the reference's unique (query_id, id) index rejects duplicate
       // inserts (profile_analyzer.py:15-21); query_id is the payload md5,
-      // so re-ingesting the same profile — within the batch or across
-      // runs — must be a no-op, not a row duplication
+      // so re-ingesting the same profile UNDER THE SAME TAG — within the
+      // batch or across runs — must be a no-op, not a row duplication. The
+      // same payload under a NEW tag is a new logical queries row (the tag
+      // is the workload label analytics pivot on), but its operators and
+      // fragments are content-addressed by query_id: identical payload →
+      // identical rows, so ONE global copy serves every tag (no per-tag
+      // duplication of the big tables — that is the 100 TB storage story).
       val existing =
-        try Some(spark.read.parquet(s"$outDir/queries").select("query_id"))
+        try Some(spark.read.parquet(s"$outDir/queries").select("query_id", "tag"))
         catch { case _: Exception => None } // first ingest into outDir
       val batchQ = t.queries.dropDuplicates("query_id")
       val freshQ = existing.fold(batchQ)(ex =>
-        batchQ.join(ex, Seq("query_id"), "left_anti"))
-      val freshIds = freshQ.select("query_id")
+        batchQ.join(ex.filter(col("tag") === tag).drop("tag"),
+          Seq("query_id"), "left_anti"))
+      // operators/fragments: append only for query_ids no tag has ingested
+      val globallyFresh = existing.fold(batchQ)(ex =>
+        batchQ.join(ex.select("query_id"), Seq("query_id"), "left_anti"))
+        .select("query_id")
       freshQ.write.mode("append").partitionBy("tag").parquet(s"$outDir/queries")
       t.operators.dropDuplicates("query_id", "id")
-        .join(freshIds, Seq("query_id"), "left_semi")
+        .join(globallyFresh, Seq("query_id"), "left_semi")
         .sortWithinPartitions("query_id", "id")
         .write.mode("append").parquet(s"$outDir/operators")
       t.fragments.dropDuplicates("query_id", "id")
-        .join(freshIds, Seq("query_id"), "left_semi")
+        .join(globallyFresh, Seq("query_id"), "left_semi")
         .sortWithinPartitions("query_id", "id")
         .write.mode("append").parquet(s"$outDir/fragments")
     } finally parsed.unpersist()

@@ -68,26 +68,43 @@ object Clustering {
   }
 
   /** M3 (clustering.py:67-81): elbow sweep — WCSS (KMeans training cost)
-    * per k, plus BSS/TSS% variance explained. Returns (k, wcss, pct). */
-  def elbow(scaled: DataFrame, ks: Seq[Int], seed: Long = 42L): Seq[(Int, Double, Double)] = {
-    val n = scaled.count().toDouble
-    // TSS = sum of squared distances to the global centroid; with
-    // standardized features the global centroid is 0, so TSS = sum of
-    // squared norms = n * dim (up to sampling-variance normalization).
-    val dim = FeatureNames.length
-    val tss = {
-      import org.apache.spark.ml.linalg.Vector
-      scaled.select("features").rdd
-        .map(_.getAs[Vector](0).toArray.map(x => x * x).sum).sum()
-    }
-    ks.map { k =>
-      // spark.ml requires k >= 2; for k=1 the single centroid is the global
-      // mean (origin after standardization), so WCSS = TSS exactly
-      val wcss = if (k == 1) tss else
-        new KMeans().setK(k).setMaxIter(500).setSeed(seed)
-          .setFeaturesCol("features").fit(scaled).summary.trainingCost
-      (k, wcss, (tss - wcss) / tss * 100.0)
-    }
+    * per k, plus BSS/TSS% variance explained. Returns (k, wcss, pct).
+    *
+    * The K fits are INDEPENDENT jobs over the same input, so they run
+    * concurrently (`fitParallelism` driver threads — Spark's scheduler
+    * interleaves their stages across the executors; sequential fits would
+    * serialize the ~|ks| jobs of the reference workflow). The input is
+    * persisted once and shared by every fit; we only unpersist what we
+    * persisted, so a caller-cached input is left alone. */
+  def elbow(scaled: DataFrame, ks: Seq[Int], seed: Long = 42L,
+            fitParallelism: Int = 4): Seq[(Int, Double, Double)] = {
+    val ownPersist = scaled.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownPersist) scaled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // TSS = sum of squared distances to the global centroid; with
+      // standardized features the global centroid is 0, so TSS = sum of
+      // squared norms = n * dim (up to sampling-variance normalization).
+      val tss = {
+        import org.apache.spark.ml.linalg.Vector
+        scaled.select("features").rdd
+          .map(_.getAs[Vector](0).toArray.map(x => x * x).sum).sum()
+      }
+      def wcssOf(k: Int): Double =
+        // spark.ml requires k >= 2; for k=1 the single centroid is the global
+        // mean (origin after standardization), so WCSS = TSS exactly
+        if (k == 1) tss else
+          new KMeans().setK(k).setMaxIter(500).setSeed(seed)
+            .setFeaturesCol("features").fit(scaled).summary.trainingCost
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(fitParallelism, ks.size)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val wcsss =
+        try Await.result(Future.sequence(ks.map(k => Future(k -> wcssOf(k)))), Duration.Inf)
+        finally pool.shutdown()
+      wcsss.map { case (k, wcss) => (k, wcss, (tss - wcss) / tss * 100.0) }
+    } finally if (ownPersist) { scaled.unpersist(); () }
   }
 
   /** M4 (clustering.py:83-92): final clustering at K — per-cluster size and

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end run of the driver.sh-equivalent chain (VERDICT r3 item 2):
+  * synthetic profile dump → ingest → SQL features → chart tables →
+  * clustering, all from one [[Pipeline.run]] call, asserting every artifact
+  * the reference workflow produces exists and is non-empty. */
+class PipelineSpec extends SparkSpec {
+  import ProfileFixtures._
+
+  private lazy val dumpDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipeline_dump")
+    // varied Select statements so clustering has >1 distinct feature vector,
+    // plus a DDL (feature pass must not choke) and a corrupt line (dropped)
+    val lines = Seq(
+      dumpLine(queryProfile("select l_returnflag, count(*) from tpch.lineitem group by 1"), qid = "q1"),
+      dumpLine(queryProfile("select * from t where a in (1,2,3) order by b limit 10"), qid = "q2"),
+      dumpLine(queryProfile("select a, sum(b) from t join u on t.id = u.id " +
+        "where c between 1 and 9 group by a having sum(b) > 5"), qid = "q3"),
+      dumpLine(queryProfile("select case when x > 0 then 1 else 0 end from " +
+        "(select max(x) as x from t) s"), qid = "q4"),
+      dumpLine(queryProfile("select 1"), qid = "q5"),
+      dumpLine(ddlProfile(), qid = "ddl1"),
+      "corrupt line zzz")
+    java.nio.file.Files.write(dir.resolve("dump.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    dir.toString
+  }
+
+  test("Pipeline.run chains ingest -> sqlstats -> charts -> clustering end-to-end") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pipeline_out").toString
+    val s = Pipeline.run(spark, "tagP", dumpDir, out, elbowKs = 1 to 4, finalK = 3)
+
+    // stage 1: model tables on disk, gated rows only (DDL passes the gate
+    // as a QUERY-typed profile? no — ddlProfile is DDL, still ingested)
+    assert(s.nQueries === 6 && s.nOperators > 0 && s.nFragments > 0)
+    assert(spark.read.parquet(s"$out/model/queries").count() === 6)
+    assert(spark.read.parquet(s"$out/model/operators").count() === s.nOperators)
+    assert(spark.read.parquet(s"$out/model/fragments").count() === s.nFragments)
+
+    // stage 2: SQL features attached and persisted
+    val withSql = spark.read.parquet(s"$out/queries_with_sql")
+    assert(withSql.count() === 6)
+    assert(withSql.filter(col("sql.sql_type") === "SelectStmt").count() === 5)
+
+    // stage 3: every chart-input table written and readable; the headline
+    // ones non-empty (pre_agg_reduction_hist etc. are legitimately empty
+    // for a workload with no such operators)
+    assert(s.chartTables.nonEmpty)
+    s.chartTables.foreach { name =>
+      spark.read.parquet(s"$out/charts/$name").schema // readable
+    }
+    Seq("num_joins_hist", "runtime_seconds", "operator_time_matrix",
+      "concurrency", "query_type_rollup").foreach { name =>
+      assert(s.chartTables.contains(name), s"chart $name missing")
+      assert(spark.read.parquet(s"$out/charts/$name").count() > 0, s"chart $name empty")
+    }
+
+    // stage 4: clustering artifacts
+    val elbow = spark.read.parquet(s"$out/clusters/elbow")
+    assert(elbow.count() === s.elbowKs.size.toLong && s.elbowKs.nonEmpty)
+    // WCSS is monotonically non-increasing in k (same seed, nested capacity)
+    val wcss = elbow.orderBy("k").select("wcss").collect().map(_.getDouble(0))
+    assert(wcss.zip(wcss.tail).forall { case (a, b) => b <= a + 1e-6 })
+    val fin = spark.read.parquet(s"$out/clusters/final")
+    assert(s.finalK.contains(3) && fin.count() > 0)
+    // cluster sizes account for every Select/Union query
+    assert(fin.agg(sum("size")).head.getLong(0) === s.nSelectLike)
+  }
+
+  test("Pipeline tags are isolated: a second tag's run does not leak into the first") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pipeline_out2").toString
+    val first = Pipeline.run(spark, "tagA", dumpDir, out, elbowKs = Seq(1, 2), finalK = 2)
+    // same dump, different tag: ingest appends new (tag, query_id) rows;
+    // analytics/clustering for tagB must see only tagB's queries
+    val second = Pipeline.run(spark, "tagB", dumpDir, out, elbowKs = Seq(1, 2), finalK = 2)
+    assert(first.nQueries === 6 && second.nQueries === 6)
+    val q = spark.read.parquet(s"$out/model/queries")
+    assert(q.count() === 12)
+    assert(q.filter(col("tag") === "tagA").count() === 6)
+  }
+}
