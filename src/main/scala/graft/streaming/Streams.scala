@@ -46,7 +46,11 @@ object Streams {
     * user goes idle for `idleFlush` of processing time: the state times out
     * (ProcessingTimeTimeout) and the held session flushes, so each user's
     * final session is not lost. Custom stateful logic beyond windowed
-    * aggs — the KeyValueGroupedDataset.state API surface. */
+    * aggs — the KeyValueGroupedDataset.state API surface.
+    *
+    * Wall-clock idleness is the LIVE-traffic semantics; for a backfill or
+    * replay (event time ≠ wall clock) use [[sessionizeEventTime]], which
+    * flushes on watermark advance instead. */
   case class SessionEvent(user_id: Long, ts: Long, event_type: String)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long, n_events: Int)
@@ -82,6 +86,61 @@ object Streams {
     events
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(fingerprintCol)
+
+  /** Event-time variant of [[sessionize]] — the backfill/replay shape. The
+    * processing-time variant closes a user's FINAL session on wall-clock
+    * idleness, which is wrong for a replayed stream where event time and
+    * wall clock are unrelated: a backfill replaying a year of events in an
+    * hour would flush sessions mid-replay. Here the final flush is an
+    * EventTimeTimeout at (last event + gapNs) in EVENT time: the session
+    * closes exactly when the WATERMARK passes the point where the gap rule
+    * would have closed it had another event arrived — so batch and
+    * streaming agree on every session, including each user's last, with no
+    * wall-clock dependence. `lateness` is the watermark delay for
+    * out-of-order input. */
+  def sessionizeEventTime(spark: SparkSession, events: Dataset[SessionEvent],
+                          gapNs: Long,
+                          lateness: String = "0 seconds"): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = math.max(1L, gapNs / 1000000L)
+    // the watermark column rides along in the plan; the encoder resolves
+    // SessionEvent's fields by name and ignores it
+    val watermarked = events
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", lateness)
+      .as[SessionEvent]
+    watermarked.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no newer event: final flush
+            val out = state.getOption.filter(_.n > 0)
+              .map(st => SessionOut(userId, st.start, st.last, st.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts)
+            var st = state.getOption.getOrElse(
+              SessionState(Long.MinValue, Long.MinValue, 0))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              if (st.n == 0 || e.ts - st.last > gapNs) {
+                if (st.n > 0) closed += SessionOut(userId, st.start, st.last, st.n)
+                st = SessionState(e.ts, e.ts, 1)
+              } else {
+                st = st.copy(last = e.ts, n = st.n + 1)
+              }
+            }
+            state.update(st)
+            // flush when the watermark passes last + gap; a timeout at or
+            // before the current watermark is illegal, so clamp just past it
+            state.setTimeoutTimestamp(
+              math.max(st.last / 1000000L + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.iterator
+          }
+      }
+  }
 
   def sessionize(spark: SparkSession, events: Dataset[SessionEvent],
                  gapNs: Long, idleFlush: String = "30 seconds"): Dataset[SessionOut] = {

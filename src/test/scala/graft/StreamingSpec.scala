@@ -207,6 +207,72 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((9L, 1000L, 2000L, 2)))
   }
 
+  test("event-time sessionize flushes the final session from watermark advance alone") {
+    // VERDICT r3 item 4: user 9 gets NO further events — the final session
+    // must flush because an unrelated user's event advances the WATERMARK
+    // past last + gap, not because wall-clock time passed.
+    val base = 1700000000000000000L // ns epoch
+    val gapNs = 10L * 1000000000L   // 10 s
+    val ms = MemoryStream[Streams.SessionEvent](spark)
+    val q = Streams.sessionizeEventTime(spark, ms.toDS(), gapNs = gapNs)
+      .writeStream.format("memory").queryName("sess_evt")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(
+        Streams.SessionEvent(9L, base + 1000000000L, "a"),
+        Streams.SessionEvent(9L, base + 2000000000L, "b"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT 1 FROM sess_evt").count() === 0) // nothing closed yet
+      // unrelated user far in the future -> watermark jumps past 9's gap
+      ms.addData(Streams.SessionEvent(8L, base + 3600L * 1000000000L, "x"))
+      q.processAllAvailable()
+      // the timeout fires in the no-data batch after the watermark advances;
+      // poll briefly rather than assuming one extra batch
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.sql("SELECT 1 FROM sess_evt").count() < 1 &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val rows = spark.sql("SELECT user_id, start_ns, end_ns, n_events FROM sess_evt")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(rows === Set((9L, base + 1000000000L, base + 2000000000L, 2)))
+    } finally q.stop()
+  }
+
+  test("event-time sessionize emits exactly the batch sessions (equivalence)") {
+    // the event-time twin of the processing-time equivalence spec above —
+    // but WITHOUT per-user sentinels: one far-future event from a synthetic
+    // user advances the watermark, and every real user's FINAL session
+    // flushes via EventTimeTimeout with no further events for that user.
+    val dir = "/root/testdata/sf0.001"
+    val batch = OracleQueries.sessionizeBatch(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val gapNs = 60L * 1000L * 1000L * 1000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), (expr("ts DIV 1000") * 1000).as("ts"))
+      .as[(Long, Long)].collect()
+    val ms = MemoryStream[Streams.SessionEvent](spark)
+    ms.addData(ev.map { case (u, t) => Streams.SessionEvent(u, t, "e") }.toSeq)
+    ms.addData(Seq(Streams.SessionEvent(-1L,
+      ev.map(_._2).max + 3 * gapNs, "advance")))
+    val q = Streams.sessionizeEventTime(spark, ms.toDS(), gapNs = gapNs)
+      .writeStream.format("memory").queryName("sess_evt_equiv")
+      .outputMode("append")
+      .start()
+    val sel = "SELECT user_id, start_ns, end_ns, n_events FROM sess_evt_equiv WHERE user_id >= 0"
+    val streamed = try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (spark.sql(sel).count() < batch.size && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      spark.sql(sel)
+        .as[(Long, Long, Long, Int)].collect()
+        .map { case (u, s, e, n) => (u, s / 1000, e / 1000, n.toLong) }.toSet
+    } finally q.stop()
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sessionize groups events by idle gap") {
     val events = Seq(
       Streams.SessionEvent(1L, 1000L, "a"),
