@@ -110,37 +110,102 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF ANN: KMeans coarse quantizer over the corpus (index build), then
-    * queries probe only the `nProbe` nearest inverted lists. The index is a
-    * one-off distributed fit; probing is a partition-pruned scan of
-    * ~nProbe/nLists of the corpus — the classic IVF trade at 100 TB (store
-    * the corpus bucketed/partitioned by list id so probes prune files).
-    * Returns top-k (vec_id, cos) for the query vector. */
-  def ivfTopK(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
-              id: String, vec: String, queryId: Long, k: Int,
-              nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+  // ------------------------------------------------------------------- IVF
+
+  /** A built IVF index: the coarse-quantizer centroids (tiny, driver-side —
+    * like the pinned-centroid collect, a sanctioned O(nLists·dim)
+    * materialization) and the assigned corpus `(id, v, list_id)`. Build
+    * once with [[ivfBuild]], persist with [[ivfWrite]] (partitioned by
+    * `list_id` so probes prune whole partition directories), reopen with
+    * [[ivfLoad]], and query with [[ivfProbe]]/[[ivfProbeById]]. */
+  case class IvfIndex(centroids: Array[Array[Double]], corpus: DataFrame, id: String) {
+    def nLists: Int = centroids.length
+    /** The `nProbe` list ids nearest (squared L2) to a query vector,
+      * ties broken by list id — driver-side over the tiny centroid set. */
+    def probeLists(qv: Seq[Double], nProbe: Int): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv).foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) }, i)
+      }.sortBy(identity).take(nProbe).map(_._2).toSeq
+  }
+
+  /** IVF index BUILD: one distributed KMeans fit over the corpus (the
+    * coarse quantizer), then a scan-side assignment of every vector to its
+    * nearest centroid's inverted list. Separate from probing so the
+    * expensive fit runs once per corpus, not once per query — at 100 TB the
+    * build is a batch job and probes are interactive. */
+  def ivfBuild(emb: DataFrame, id: String, vec: String,
+               nLists: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = emb.select(col(id), asDouble(col(vec)).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
     val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("fv")
       .setPredictionCol("list_id").fit(withVec)
-    val indexed = model.transform(withVec)
-    val centroids = model.clusterCenters
-    // probe lists = nProbe nearest centroids to the query vector
-    val qv = indexed.filter(col(id) === queryId).select("v").head().getSeq[Double](0)
-    val probeLists = centroids.zipWithIndex
-      .map { case (c, i) =>
-        val d = c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
-        (i, d)
-      }.sortBy(_._2).take(nProbe).map(_._1)
-    indexed.filter(col("list_id").isin(probeLists.toSeq.map(x => x: Any): _*))
-      .filter(col(id) =!= queryId)
-      .crossJoin(broadcast(indexed.filter(col(id) === queryId).select(col("v").as("qv"))))
-      .select(col(id), cosine(col("v"), col("qv")).as("cos"))
-      .orderBy(desc("cos"), col(id))
+    IvfIndex(model.clusterCenters.map(_.toArray),
+      model.transform(withVec).select(col(id), col("v"), col("list_id")), id)
+  }
+
+  /** Persist a built index: the corpus Hive-partitioned by `list_id` —
+    * THE layout that makes [[ivfProbe]] over a loaded index a
+    * partition-pruned scan reading ~nProbe/nLists of the files
+    * (ScaleSpec asserts the PartitionFilters land in the scan) — plus the
+    * centroid table. */
+  def ivfWrite(index: IvfIndex, path: String): Unit = {
+    index.corpus.write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$path/corpus")
+    val spark = index.corpus.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reopen a persisted index for probing. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String,
+              id: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").collect().map(_.getSeq[Double](1).toArray)
+    IvfIndex(cents, spark.read.parquet(s"$path/corpus"), id)
+  }
+
+  /** IVF PROBE: top-k neighbors of an arbitrary query vector — scores only
+    * the `nProbe` nearest inverted lists. Over a loaded index the
+    * `list_id` filter is a partition filter: non-probed lists are never
+    * read from disk. The query vector is compiled into the plan as a
+    * literal array (nothing to broadcast). */
+  def ivfProbe(index: IvfIndex, qv: Seq[Double], k: Int,
+               nProbe: Int = 2): DataFrame = {
+    val probe = index.probeLists(qv, nProbe)
+    index.corpus.filter(col("list_id").isin(probe.map(x => x: Any): _*))
+      .select(col(index.id),
+        cosine(col("v"), array(qv.map(lit): _*)).as("cos"))
+      .orderBy(desc("cos"), col(index.id))
       .limit(k)
   }
+
+  /** [[ivfProbe]] by the id of a stored vector (excluded from its own
+    * result, matching [[bruteForceTopK]]). */
+  def ivfProbeById(index: IvfIndex, queryId: Long, k: Int,
+                   nProbe: Int = 2): DataFrame = {
+    val qv = index.corpus.filter(col(index.id) === queryId)
+      .select("v").head().getSeq[Double](0)
+    val probe = index.probeLists(qv, nProbe)
+    index.corpus.filter(col("list_id").isin(probe.map(x => x: Any): _*))
+      .filter(col(index.id) =!= queryId)
+      .select(col(index.id),
+        cosine(col("v"), array(qv.map(lit): _*)).as("cos"))
+      .orderBy(desc("cos"), col(index.id))
+      .limit(k)
+  }
+
+  /** One-shot convenience: build + probe in a single call. Prefer
+    * [[ivfBuild]]/[[ivfWrite]]/[[ivfProbe]] when more than one query hits
+    * the same corpus — this refits the quantizer per call. */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+              id: String, vec: String, queryId: Long, k: Int,
+              nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame =
+    ivfProbeById(ivfBuild(emb, id, vec, nLists, seed), queryId, k, nProbe)
 
   /** Deterministic IVF for cross-engine gating: centroids are PINNED to the
     * embeddings of the `nLists` smallest vector ids instead of a KMeans fit,

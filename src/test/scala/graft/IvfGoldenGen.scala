@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Golden generator for the KMeans IVF path (VERDICT r3 item 3): KMeans is
+  * not DuckDB-expressible, so — like the J1/J4 SQL goldens — the gate is a
+  * committed snapshot at sf0.01: the per-list assignment histogram plus
+  * top-5 probes for three query ids. Deterministic given the fixed seed,
+  * fixed input files, and the shared test-session config (local[4],
+  * 4 shuffle partitions). Regenerate deliberately with
+  * `sbt "Test/runMain graft.IvfGoldenGen"` when semantics change. */
+object IvfGoldenGen {
+  val SfDir = "/root/testdata/sf0.01"
+  val NLists = 8
+  val NProbe = 2
+  val K = 5
+  val QueryIds = Seq(0L, 1L, 2L)
+
+  def render(): String = {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val index = Similarity.ivfBuild(
+      Tables.embeddings(spark, SfDir), "vec_id", "embedding", nLists = NLists)
+    val hist = index.corpus.groupBy("list_id").count()
+      .orderBy("list_id").as[(Int, Long)].collect()
+      .map { case (l, c) => s"""    "$l": $c""" }.mkString("{\n", ",\n", "\n  }")
+    val probes = QueryIds.map { qid =>
+      val rows = Similarity.ivfProbeById(index, qid, K, NProbe)
+        .as[(Long, Double)].collect()
+        .map { case (id, cos) => s"""    {"id": $id, "cos": ${"%.9f".format(cos)}}""" }
+      s"""  "q$qid": [\n${rows.mkString(",\n")}\n  ]"""
+    }
+    s"""{\n  "hist": $hist,\n${probes.mkString(",\n")}\n}\n"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("src/test/resources/ivf_golden.json"),
+      render().getBytes("UTF-8"))
+    println("IVF_GOLDEN_WRITTEN")
+  }
+}

@@ -1,0 +1,13 @@
+package graft
+
+/** Locks the KMeans IVF build+probe output to the committed sf0.01 golden
+  * (the correctness gate for the one similarity path the DuckDB oracle
+  * cannot mirror — see IvfGoldenGen for regeneration). */
+class IvfGoldenSpec extends SparkSpec {
+  test("KMeans IVF build + probe matches committed sf0.01 golden") {
+    val expected = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource("/ivf_golden.json").toURI)), "UTF-8")
+    assert(IvfGoldenGen.render() === expected)
+  }
+}
