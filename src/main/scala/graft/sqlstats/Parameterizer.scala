@@ -91,6 +91,14 @@ object Parameterizer {
       case sub => s"(${render(sub)}) ?"
     }
     case _: OneRowRelation => "DUAL"
+    // lateral shapes keep their inner template (two laterals with different
+    // subquery structure must not share a fingerprint)
+    case lj: LateralJoin =>
+      val on = lj.condition.map(c => s" ON ${renderExpr(c)}").getOrElse("")
+      s"${renderFrom(lj.left)} ${lj.joinType.sql} JOIN LATERAL (${render(lj.right.plan)})$on"
+    case g: Generate =>
+      val outer = if (g.outer) " OUTER" else ""
+      s"${renderFrom(g.child)} LATERAL VIEW$outer ${renderExpr(g.generator)} ? AS ?"
     // A node `render` just bounced here is one neither renderer knows; emit a
     // terminal placeholder instead of bouncing back (StackOverflow otherwise).
     case other if fromRender => s"${other.nodeName}(?)"
@@ -106,6 +114,8 @@ object Parameterizer {
     case l: Literal => String.valueOf(l.value)
     case f: UnresolvedFunction =>
       s"${f.nameParts.mkString(".").toLowerCase}(${f.arguments.map(renderExpr).mkString(", ")})"
+    case g: UnresolvedGenerator =>
+      s"${g.name.funcName.toLowerCase}(${g.children.map(renderExpr).mkString(", ")})"
     case c: Cast => s"CAST(${renderExpr(c.child)} AS ${c.dataType.simpleString.toUpperCase})"
     case And(l, r) => s"(${renderExpr(l)} AND ${renderExpr(r)})"
     case Or(l, r) => s"(${renderExpr(l)} OR ${renderExpr(r)})"

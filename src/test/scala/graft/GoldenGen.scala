@@ -30,7 +30,13 @@ object GoldenGen {
     "g24" -> ("SELECT a FROM t WHERE a IN (SELECT b FROM u WHERE b IN " +
       "(SELECT c FROM v WHERE c > 0))"),
     "g25" -> ("SELECT a, lead(b, 1) OVER (ORDER BY c), lag(b, 2) OVER (ORDER BY c), " +
-      "CASE a WHEN 1 THEN 'x' END FROM t WHERE ts >= now() - INTERVAL 1 DAY"))
+      "CASE a WHEN 1 THEN 'x' END FROM t WHERE ts >= now() - INTERVAL 1 DAY"),
+    // round-3 hardening (VERDICT item 7): lateral subqueries, lateral
+    // views, and EXISTS variants through the parameterizer catch-alls
+    "g26" -> "SELECT a, b FROM t JOIN LATERAL (SELECT b FROM u WHERE u.id = t.id) l",
+    "g27" -> "SELECT a, e FROM t LATERAL VIEW explode(arr) x AS e WHERE e > 3",
+    "g28" -> ("SELECT a FROM t WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.id = t.id) " +
+      "AND EXISTS (SELECT 1 FROM v WHERE v.k IN (SELECT k FROM w))"))
   def featLine(id: String, sql: String): String = {
     val f = graft.sqlstats.SqlFeatures.analyze(sql)
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -43,6 +43,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(sortBelow < 0, "no per-partition sort should feed the top-k shuffle:\n" + p)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    // VERDICT r3 item 5: the 100 TB skew story, plan-evidenced. Default
+    // skew thresholds (256 MB) never trigger on test data, so they are
+    // lowered — the MECHANISM under test (AQE detecting a hot partition
+    // and splitting it) is config-independent; production keeps defaults.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // ~83% of the left side lands on key 0 — one hot shuffle partition
+      val left = spark.range(0, 60000).select(
+        when(col("id") < 50000, 0L).otherwise(col("id") % 37 + 1).as("k"),
+        concat(lit("payload_payload_payload_payload_"), col("id")).as("p"))
+      val right = spark.range(0, 38).select(
+        col("id").as("k"), concat(lit("dim_"), col("id")).as("d"))
+      val joined = left.join(right, "k")
+      // the final adaptive plan only exists after execution; collect THIS
+      // df (count() would plan a different query)
+      assert(joined.collect().length === 60000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE did not mark the hot partition as skewed:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("queries stay inside whole-stage codegen") {
     // the '*(N)' prefix marks codegen spans; AQE only materializes the
     // final (codegen'd) plan after execution, so run the query first
