@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.ChartTables
+import graft.analytics.{ChartRender, ChartTables}
 import graft.ingest.ProfileIngest
 import graft.ml.Clustering
 import graft.sqlstats.SqlFeatures
@@ -66,10 +66,12 @@ object Pipeline {
     withSql.write.mode("overwrite").parquet(s"$outDir/queries_with_sql")
     val withSqlBack = spark.read.parquet(s"$outDir/queries_with_sql")
 
-    // 3. chart-input tables (S8 scope): everything the reference's
-    // aggs/joins/stats figures need
+    // 3. chart-input tables (S8): everything the reference's
+    // aggs/joins/stats figures need, plus rendered SVG figures (the
+    // matplotlib-PNG equivalent, reference code/python/plots.py:7-85)
     val charts = ChartTables.all(t, Some(withSqlBack))
     ChartTables.writeAll(t, s"$outDir/charts", Some(withSqlBack))
+    ChartRender.renderAll(charts, s"$outDir/figures")
 
     // 4. clustering (M1-M4) over Select/Union statements
     val feats = Clustering.featureColumns(withSqlBack)

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{ChartRender, ChartTables}
+
+/** SVG figure rendering (S8): structure, determinism, honest truncation. */
+class ChartRenderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("svgBarChart emits one bar per value with baseline and gridlines") {
+    val svg = ChartRender.svgBarChart("t", Seq("a", "b", "c"), Seq(1.0, 2.0, 3.0))
+    assert(svg.startsWith("<svg "))
+    assert(svg.endsWith("</svg>\n"))
+    assert("""class="bar"""".r.findAllIn(svg).length === 3)
+    assert(svg.contains(">t</text>"))
+    // deterministic
+    assert(ChartRender.svgBarChart("t", Seq("a", "b", "c"), Seq(1.0, 2.0, 3.0)) === svg)
+  }
+
+  test("negative values draw from the zero baseline, not the chart floor") {
+    val svg = ChartRender.svgBarChart("neg", Seq("a", "b"), Seq(-2.0, 4.0))
+    val bars = """<rect class="bar" x="[0-9.]+" y="([0-9.]+)"""".r
+      .findAllMatchIn(svg).map(_.group(1).toDouble).toSeq
+    assert(bars.length === 2)
+    // the positive bar's top sits above the negative bar's top (SVG y grows down)
+    assert(bars(1) < bars(0))
+  }
+
+  test("renderTable truncates wide tables with an explicit title, renders all charts") {
+    val wide = (0 until 100).map(i => (s"k$i", i.toLong)).toDF("k", "cnt")
+    val svg = ChartRender.renderTable("wide", wide)
+    assert(svg.contains(s"wide (first ${ChartRender.maxBars} of 100)"))
+    assert("""class="bar"""".r.findAllIn(svg).length === ChartRender.maxBars)
+
+    // end-to-end over real chart tables from an ingested fixture
+    val lines = Seq(ProfileFixtures.dumpLine(ProfileFixtures.queryProfile("select 1")))
+    val f = java.nio.file.Files.createTempFile("graft_chart_dump", ".txt")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    val t = graft.ingest.ProfileIngest.tables(
+      graft.ingest.ProfileIngest.parse(spark, f.toString, "ct"))
+    val cached = t.copy(queries = t.queries.cache(), operators = t.operators.cache(),
+      fragments = t.fragments.cache())
+    val out = java.nio.file.Files.createTempDirectory("graft_figures").toString
+    val paths = ChartRender.renderAll(ChartTables.all(cached), out)
+    assert(paths.nonEmpty)
+    paths.foreach { p =>
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      assert(s.startsWith("<svg "), s"$p is not an svg")
+      assert(s.contains("</svg>"), s"$p is truncated")
+    }
+    cached.queries.unpersist(); cached.operators.unpersist(); cached.fragments.unpersist()
+  }
+}
