@@ -42,6 +42,29 @@ object OracleOpsQueries {
       fingerprint(col("text")).as("fp"),
       fingerprint60(col("text")).as("fp60"))
 
+  /** The synthetic documents carry no PII, so the gate CONSTRUCTS a
+    * deterministic email + long number per row (mirrored in the oracle
+    * SQL) — the redaction regexes are then exercised on every row instead
+    * of vacuously matching nothing. */
+  def textRedact(s: SparkSession, d: String): DataFrame = {
+    val synth = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), (col("doc_id") % 100).cast("string"),
+      lit("@mail.example.com ref "), (col("doc_id") + 1234567890L).cast("string"),
+      lit(" tail"))
+    val cols = redactColumns(synth).map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+
+  def datasetSplit(s: SparkSession, d: String): DataFrame =
+    graft.ops.Splits.assignSplit(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("bucket"), col("split"),
+        (graft.ops.Splits.hashBucket(col("doc_id"), "sample") < 100)
+          .cast("int").as("in_10pct_sample"))
+
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
 
@@ -152,6 +175,9 @@ object OracleOpsQueries {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_redact" -> (textRedact _),
+    "text_repetition" -> (textRepetition _),
+    "dataset_split" -> (datasetSplit _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_agg" -> (dedupExactAgg _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -380,6 +406,67 @@ object OracleOpsQueries {
          |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
          |  ${h60("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp60
          |FROM documents""".stripMargin,
+    "text_redact" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) || ' contact user' || CAST(doc_id % 100 AS VARCHAR)
+         |      || '@mail.example.com ref ' || CAST(doc_id + 1234567890 AS VARCHAR)
+         |      || ' tail' AS t
+         |  FROM documents),
+         |r1 AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '${TextAnalysis.emailRegex}')) AS BIGINT) AS n_emails,
+         |    regexp_replace(t, '${TextAnalysis.emailRegex}', '<EMAIL>', 'g') AS t1
+         |  FROM s)
+         |SELECT doc_id, n_emails,
+         |  CAST(len(regexp_extract_all(t1, '${TextAnalysis.longNumberRegex}')) AS BIGINT) AS n_long_numbers,
+         |  regexp_replace(t1, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g') AS redacted,
+         |  CAST(length(regexp_replace(t1, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+         |FROM r1""".stripMargin,
+    "text_repetition" ->
+      s"""WITH $toksCte,
+         |tk AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(t)) AS BIGINT) AS n_types
+         |  FROM toks),
+         |g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |    THEN list_transform(generate_series(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i + 1])
+         |    ELSE [] END) AS gram
+         |  FROM toks),
+         |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+         |    CAST(COUNT(*) AS BIGINT) AS n_distinct_2grams,
+         |    CAST(MAX(c) AS BIGINT) AS top_2gram_count
+         |  FROM gc GROUP BY doc_id)
+         |SELECT tk.doc_id, tk.n_tokens, tk.n_types,
+         |  CASE WHEN tk.n_tokens > 0
+         |    THEN CAST(tk.n_types AS DOUBLE) / CAST(tk.n_tokens AS DOUBLE)
+         |    ELSE 0.0 END AS type_token_ratio,
+         |  COALESCE(agg.n_2grams, 0) AS n_2grams,
+         |  COALESCE(agg.n_distinct_2grams, 0) AS n_distinct_2grams,
+         |  COALESCE(agg.top_2gram_count, 0) AS top_2gram_count,
+         |  CASE WHEN COALESCE(agg.n_2grams, 0) > 0
+         |    THEN 1.0 - CAST(agg.n_distinct_2grams AS DOUBLE) / CAST(agg.n_2grams AS DOUBLE)
+         |    ELSE 0.0 END AS dup_2gram_frac,
+         |  CASE WHEN COALESCE(agg.n_2grams, 0) > 0
+         |    THEN CAST(agg.top_2gram_count AS DOUBLE) / CAST(agg.n_2grams AS DOUBLE)
+         |    ELSE 0.0 END AS top_2gram_share
+         |FROM tk LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "dataset_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    ${h60("'split_' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+         |    ${h60("'sample_' || CAST(doc_id AS VARCHAR)")} % 1000 AS sbucket
+         |  FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 900 THEN 'train'
+         |       WHEN bucket < 950 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(CASE WHEN sbucket < 100 THEN 1 ELSE 0 END AS INT) AS in_10pct_sample
+         |FROM b""".stripMargin,
     "dedup_exact" -> dedupExactSql,
     // identical semantics, different physical shape — same oracle
     "dedup_exact_agg" -> dedupExactSql,

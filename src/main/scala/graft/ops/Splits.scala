@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling for training pipelines.
+  *
+  * Assignment is a pure function of (salt, row id) via the portable
+  * md5-based [[TextAnalysis.hash60]] — no RNG state, no shuffle, stable
+  * across runs/engines/cluster sizes. That is the property a 100 TB
+  * pipeline needs: re-running the split on a grown corpus never moves an
+  * existing row between train and test (no leakage), and the DuckDB
+  * oracle reproduces every bucket bit-exactly. Everything here is
+  * scan-side column algebra: splitting 100 TB costs one projection.
+  */
+object Splits {
+
+  /** Stable bucket in [0, buckets) for a row id. Different `salt`s give
+    * independent assignments (split vs sample vs shard). hash60 is a
+    * non-negative 60-bit value, so `%` and `pmod` agree. */
+  def hashBucket(id: Column, salt: String, buckets: Int = 1000): Column =
+    pmod(TextAnalysis.hash60(concat_ws("_", lit(salt), id.cast("string"))),
+      lit(buckets.toLong))
+
+  /** Train/val/test assignment by permille thresholds (default 900/50/50). */
+  def splitLabel(bucket: Column, trainPermille: Int = 900,
+                 valPermille: Int = 50): Column =
+    when(bucket < trainPermille, "train")
+      .when(bucket < trainPermille + valPermille, "val")
+      .otherwise("test")
+
+  /** Attach (bucket, split) columns. */
+  def assignSplit(df: DataFrame, id: String, salt: String = "split",
+                  trainPermille: Int = 900, valPermille: Int = 50): DataFrame = {
+    val b = hashBucket(col(id), salt)
+    df.withColumn("bucket", b)
+      .withColumn("split", splitLabel(b, trainPermille, valPermille))
+  }
+
+  /** Deterministic ~permille/1000 sample — the repeatable alternative to
+    * `df.sample` (whose output depends on partitioning): membership is
+    * per-row stable under repartition, growth, and replay. */
+  def sampleByHash(df: DataFrame, id: String, permille: Int,
+                   salt: String = "sample"): DataFrame =
+    df.filter(hashBucket(col(id), salt) < permille)
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -123,6 +123,71 @@ object TextAnalysis {
     branches.init.foldRight(branches.last._2: Column) {
       case ((cond, v), acc) => when(cond, v).otherwise(acc)
     }
+  }
+
+  // ------------------------------------------------------------- redaction
+
+  /** PII-style redaction regexes. Both are RE2-compatible (no lookaround,
+    * no backrefs) so the DuckDB oracle applies the IDENTICAL pattern; both
+    * engines use leftmost matching with global replace, so outputs agree
+    * byte-for-byte. */
+  val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumberRegex = "[0-9]{7,}"
+
+  /** Redaction pass: count then replace emails, then count then replace
+    * long digit runs ON THE EMAIL-REDACTED text (so digits inside an
+    * address are not double-counted). Pure scan-side column algebra —
+    * redacting 100 TB is one projection, no shuffle. */
+  def redactColumns(text: Column): Seq[(String, Column)] = {
+    val nEmails = regexp_count(text, lit(emailRegex)).cast("long")
+    val emailRed = regexp_replace(text, emailRegex, "<EMAIL>")
+    val nNums = regexp_count(emailRed, lit(longNumberRegex)).cast("long")
+    val red = regexp_replace(emailRed, longNumberRegex, "<NUM>")
+    Seq("n_emails" -> nEmails, "n_long_numbers" -> nNums,
+      "redacted" -> red, "redacted_len" -> length(red).cast("long"))
+  }
+
+  // ------------------------------------------------------------ repetition
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 use duplicate
+    * line/n-gram fractions as quality filters): per document, the
+    * type-token ratio plus word-2-gram duplication stats — fraction of
+    * repeated 2-grams and the share held by the single most frequent one.
+    * Shape at scale: one scan-side projection, one explode, one partial-agg
+    * shuffle on (doc, gram), one tiny re-agg by doc — never any cross-
+    * document pairing. `explode_outer` keeps sub-2-token docs in the
+    * output with zeroed signals. */
+  def repetitionSignals(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = col("__tokens")
+    val grams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array())
+    val exploded = df
+      .select(col(id), tokens(col(text)).as("__tokens"))
+      .select(col(id),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_types"),
+        explode_outer(grams).as("gram"))
+    exploded
+      .groupBy(col(id), col("n_tokens"), col("n_types"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(id), col("n_tokens"), col("n_types"))
+      .agg(
+        coalesce(sum(when(col("gram").isNotNull, col("c"))), lit(0L)).as("n_2grams"),
+        count(when(col("gram").isNotNull, 1)).as("n_distinct_2grams"),
+        coalesce(max(when(col("gram").isNotNull, col("c"))), lit(0L)).as("top_2gram_count"))
+      .select(col(id), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0,
+          col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(0.0).as("type_token_ratio"),
+        col("n_2grams"), col("n_distinct_2grams"), col("top_2gram_count"),
+        when(col("n_2grams") > 0,
+          lit(1.0) - col("n_distinct_2grams").cast("double") / col("n_2grams").cast("double"))
+          .otherwise(0.0).as("dup_2gram_frac"),
+        when(col("n_2grams") > 0,
+          col("top_2gram_count").cast("double") / col("n_2grams").cast("double"))
+          .otherwise(0.0).as("top_2gram_share"))
   }
 
   /** Document fingerprint: md5 of the normalized text (lowercased,

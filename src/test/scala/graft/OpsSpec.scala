@@ -271,6 +271,57 @@ class OpsSpec extends SparkSpec {
     assert(key(byDefault) === key(uncapped))
   }
 
+  test("redaction replaces every email and long number, leaves short numbers") {
+    val rows = Seq(
+      (1L, "mail a@b.co and c.d+x%y@e-f.org twice, num 1234567 yes, 123456 no"),
+      (2L, "nothing to redact here"),
+      (3L, "edge 999999 06 12345678901234 end")
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id") +:
+        TextAnalysis.redactColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, Long)].collect()
+    assert(out(0)._2 === 2L && out(0)._3 === 1L) // 2 emails, 1 long number
+    assert(out(0)._4 === "mail <EMAIL> and <EMAIL> twice, num <NUM> yes, 123456 no")
+    assert(out(1)._2 === 0L && out(1)._3 === 0L && out(1)._4 === "nothing to redact here")
+    assert(out(2)._3 === 1L) // only the 14-digit run; 999999 (6) stays
+    assert(out(2)._4 === "edge 999999 06 <NUM> end")
+  }
+
+  test("hash split is deterministic, partition-invariant, and near the asked proportions") {
+    val ids = (0L until 2000L).toDF("id")
+    val a = graft.ops.Splits.assignSplit(ids, "id")
+      .select("id", "bucket", "split").as[(Long, Long, String)].collect().toSet
+    val b = graft.ops.Splits.assignSplit(ids.repartition(13), "id")
+      .select("id", "bucket", "split").as[(Long, Long, String)].collect().toSet
+    assert(a === b) // membership never depends on physical layout
+    val bySplit = a.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(math.abs(bySplit("train") - 1800) < 100, bySplit.toString)
+    assert(math.abs(bySplit("val") - 100) < 50 && math.abs(bySplit("test") - 100) < 50)
+    // different salts give (near-)independent assignments
+    val sample = graft.ops.Splits.sampleByHash(ids, "id", permille = 100).count()
+    assert(math.abs(sample - 200) < 80)
+  }
+
+  test("repetition signals separate repetitive from varied docs") {
+    val rows = Seq(
+      (1L, "spam spam spam spam spam spam"),  // one 2-gram repeated 5x
+      (2L, "all words here are fully distinct tokens"),
+      (3L, "one"),                            // no 2-grams at all
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Double]("dup_2gram_frac") === 0.8) // 1 distinct of 5
+    assert(byId(1L).getAs[Double]("top_2gram_share") === 1.0)
+    assert(byId(2L).getAs[Double]("dup_2gram_frac") === 0.0)
+    assert(byId(2L).getAs[Double]("type_token_ratio") === 1.0)
+    assert(byId(3L).getAs[Long]("n_2grams") === 0L)
+    assert(byId(3L).getAs[Double]("dup_2gram_frac") === 0.0)
+    assert(byId(4L).getAs[Long]("n_tokens") === 0L) // empty doc survives
+  }
+
   test("resize downsamples payloads deterministically and composes with decode") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val resized = Multimodal.resize(spark, media, targetBytes = 16)

@@ -1,0 +1,19 @@
+package graft
+
+/** Dev probe: exchange/codegen summary for named gate queries.
+  * `sbt "Test/runMain graft.PlanProbe [query ...]"` */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkTestSession.spark
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("dataset_split", "text_redact", "text_repetition")
+    names.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val nEx = "Exchange".r.findAllIn(p).length
+      println(s"PLANPROBE $q: exchanges=$nEx codegen=${p.contains("*(")}")
+    }
+    spark.stop()
+  }
+}
