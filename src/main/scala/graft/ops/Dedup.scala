@@ -128,10 +128,13 @@ object Dedup {
     val sh = hashedShingles(df, id, text, n).repartition(col("h"))
     val shFiltered = maxShingleDocFreq match {
       case Some(cap) =>
-        val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("h")
-        // using-column joins reorder the join key first; restore (id, h)
-        sh.join(hot, Seq("h"), "left_anti").select(col(id), col("h"))
+        // doc-frequency via a window over the EXISTING hash-partitioning on
+        // h: one per-partition sort, no aggregate build, no anti-join (a
+        // groupBy+left_anti formulation costs an extra SMJ sort pass per
+        // join side; measured slower at sf0.1)
+        val w = Window.partitionBy(col("h"))
+        sh.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= cap).select(col(id), col("h"))
       case None => sh
     }
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))

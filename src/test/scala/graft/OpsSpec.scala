@@ -264,8 +264,9 @@ class OpsSpec extends SparkSpec {
     val byDefault = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
     val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
       maxShingleDocFreq = None)
-    assert(byDefault.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
-    assert(!uncapped.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
+    // the cap filter is a doc-frequency window over the shingle hash
+    assert(byDefault.queryExecution.optimizedPlan.toString.contains("Window"))
+    assert(!uncapped.queryExecution.optimizedPlan.toString.contains("Window"))
     val key = (df: org.apache.spark.sql.DataFrame) =>
       df.select("id1", "id2", "common").as[(Long, Long, Long)].collect().toSet
     assert(key(byDefault) === key(uncapped))
