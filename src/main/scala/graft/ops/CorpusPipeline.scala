@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-cleaning composition — the order large
+  * training-data pipelines (C4, Gopher/MassiveText, Dolma) actually run, as
+  * ONE declarative chain over the library's operators:
+  *
+  *  1. paragraph dedup (cheapest, shrinks everything downstream);
+  *  2. exact dedup on the CLEANED text (paragraph removal creates new
+  *     exact duplicates — order matters);
+  *  3. near-dup clustering: MinHash+LSH pairs → connected components →
+  *     keep one representative (min doc id) per cluster;
+  *  4. quality/language filtering (pure scan-side column algebra);
+  *  5. redaction + deterministic train/val/test split on the survivors.
+  *
+  * Every stage is a DataFrame transform: Catalyst sees the whole chain, so
+  * column pruning flows through and nothing materializes between stages
+  * unless the caller persists. Stage costs at scale: two shuffles
+  * (paragraph), one (exact), band-join + O(log n) rounds (near-dup), zero
+  * (filter/redact/split).
+  */
+object CorpusPipeline {
+
+  /** Per-stage row counts for audit/reporting (computed from the returned
+    * frames by [[clean]]'s caller — counting forces the plan, so the
+    * library itself never does). */
+  case class Stages(
+      cleaned: DataFrame,       // after paragraph dedup (doc_id, clean_text, …)
+      exactDeduped: DataFrame,  // exact-dup representatives only
+      nearDeduped: DataFrame,   // near-dup cluster representatives only
+      corpus: DataFrame)        // filtered + redacted + split final corpus
+
+  /** Run the full chain. `minQuality`/`lang` gate stage 4 (pass `None` to
+    * keep every language). */
+  def clean(spark: SparkSession, docs: DataFrame, id: String, text: String,
+            minQuality: Double = 0.3, lang: Option[String] = Some("en"),
+            trainPermille: Int = 900, valPermille: Int = 50): Stages = {
+    // 1. paragraph dedup: global first-occurrence keeps one copy of every
+    // repeated paragraph; reconstruct cleaned text
+    val cleaned = Dedup.paragraphDedup(docs, id, text)
+      .select(col(id), col("clean_text"))
+
+    // 2. exact dedup on cleaned text: keep the canonical (min-id) doc
+    val exact = Dedup.exact(cleaned, id, "clean_text")
+      .filter(col("is_dup") === 0).select(col(id))
+    val exactDeduped = cleaned.join(exact, Seq(id), "left_semi")
+
+    // 3. near-dup components over MinHash+LSH candidate pairs; keep each
+    // component's min-id representative
+    val pairs = Dedup.minhashLshPairs(exactDeduped, id, "clean_text")
+      .select("id1", "id2")
+    val comps = Dedup.connectedComponentsStar(
+      exactDeduped.select(col(id)), id, pairs)
+    val reps = comps.filter(col(id) === col("component")).select(col(id))
+    val nearDeduped = exactDeduped.join(reps, Seq(id), "left_semi")
+
+    // 4. quality + language gate (scan-side)
+    val quality = TextAnalysis.qualityColumns(col("clean_text"))
+      .toMap.apply("quality")
+    val gated = nearDeduped
+      .withColumn("quality", quality)
+      .withColumn("lang", TextAnalysis.langId(col("clean_text")))
+      .filter(col("quality") >= minQuality)
+    val filtered = lang.fold(gated)(l => gated.filter(col("lang") === l))
+
+    // 5. redact, then split deterministically
+    val redacted = filtered.select(
+      (col(id) +: col("quality") +: col("lang") +:
+        TextAnalysis.redactColumns(col("clean_text")).map { case (n, c) => c.as(n) }): _*)
+    val corpus = Splits.assignSplit(redacted, id,
+      trainPermille = trainPermille, valPermille = valPermille)
+
+    Stages(cleaned, exactDeduped, nearDeduped, corpus)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.CorpusPipeline
+
+/** End-to-end corpus cleaning over the sf0.001 documents: each stage only
+  * shrinks the corpus, dedup invariants hold, and the final corpus carries
+  * quality/lang/redaction/split columns. */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clean() chains paragraph -> exact -> near-dup -> filter -> split") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val s = CorpusPipeline.clean(spark, docs, "doc_id", "text",
+      minQuality = 0.0, lang = None) // keep filters open: test the plumbing
+    val n0 = docs.count()
+    val n1 = s.cleaned.count()
+    val n2 = s.exactDeduped.count()
+    val n3 = s.nearDeduped.count()
+    val n4 = s.corpus.count()
+    assert(n1 === n0)                   // paragraph dedup rewrites, never drops docs
+    assert(n2 <= n1 && n3 <= n2 && n4 === n3) // open filters: nothing lost at stage 4/5
+    assert(n4 > 0)
+
+    // exact-dedup invariant: no two surviving docs share a fingerprint
+    val fps = s.exactDeduped
+      .select(graft.ops.TextAnalysis.fingerprint(col("clean_text")).as("fp"))
+    assert(fps.count() === fps.distinct().count())
+
+    // final corpus schema carries every downstream column
+    val cols = s.corpus.columns.toSet
+    Seq("doc_id", "quality", "lang", "redacted", "bucket", "split")
+      .foreach(c => assert(cols.contains(c), s"missing $c"))
+    // split labels are exhaustive
+    val splits = s.corpus.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("quality and language gates actually drop documents") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away. " * 8),
+      (2L, "!!! ??? ,,, ;;; :::"), // punctuation soup -> low quality
+      (3L, "der die und das ein zu mit ist nicht von der die und das ein zu")
+    ).toDF("doc_id", "text")
+    val s = CorpusPipeline.clean(spark, docs, "doc_id", "text",
+      minQuality = 0.3, lang = Some("en"))
+    val kept = s.corpus.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L)) // 2 fails quality, 3 is German
+  }
+}

@@ -43,6 +43,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(sortBelow < 0, "no per-partition sort should feed the top-k shuffle:\n" + p)
   }
 
+  test("dataset_split and text_redact are shuffle-free scan-side projections") {
+    Seq("dataset_split", "text_redact").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"$q must not shuffle:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     // VERDICT r3 item 5: the 100 TB skew story, plan-evidenced. Default
     // skew thresholds (256 MB) never trigger on test data, so they are
