@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-capacity context windows
+  * ("packs") so each pack's total token count fits `maxTokens` — the step
+  * between a cleaned corpus and an LLM training shard (packed batches waste
+  * no pad tokens).
+  *
+  * Distributed shape: documents are hash-bucketed by id ([[Splits]]-style
+  * md5, so placement is deterministic and independent of the input's
+  * physical layout), then packed per bucket with a first-fit greedy walk in
+  * ascending id order. Pack ids are globally unique
+  * (bucket << 40 | local index). Global bin-packing optimality is NOT
+  * claimed: with documents much smaller than the window (the normal case
+  * after length filtering) greedy waste is bounded and tiny, and the
+  * alternative — a global sort by length — is exactly the kind of
+  * all-to-all bottleneck a 100 TB pipeline cannot afford. A document
+  * longer than `maxTokens` gets a pack of its own, flagged `oversize`
+  * (callers chunk or drop those upstream).
+  */
+object Packing {
+
+  val MaxPacksPerBucket: Long = 1L << 40
+
+  /** Pack `(id, n_tokens)` rows. Output: (id, n_tokens, pack_id, pack_pos,
+    * oversize) — one row per document; `pack_fill` is derivable by
+    * grouping on pack_id and is left to callers. */
+  def packSequences(spark: SparkSession, docs: DataFrame, id: String,
+                    nTokens: String, maxTokens: Int,
+                    buckets: Int = 256): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    import spark.implicits._
+    docs
+      .select(col(id).cast("long"), col(nTokens).cast("long"))
+      .repartition(buckets, Splits.hashBucket(col(id), "pack", buckets))
+      .sortWithinPartitions(col(id))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val bucket = org.apache.spark.TaskContext.getPartitionId().toLong
+        var packIdx = -1L
+        var fill = -1L // -1 = no open pack (never add to fill directly: a
+                       // huge n could overflow fill + n if fill were MaxValue)
+        it.map { case (docId, n) =>
+          val oversize = n > maxTokens // short-circuits the fill check below,
+                                       // so fill + n never overflows
+          if (oversize || fill < 0 || fill + n > maxTokens) {
+            packIdx += 1
+            fill = 0L
+          }
+          val pos = fill
+          fill = if (oversize) -1L else fill + n // oversize packs close immediately
+          (docId, n, bucket * MaxPacksPerBucket + packIdx, pos, oversize)
+        }
+      }
+      .toDF(id, nTokens, "pack_id", "pack_pos", "oversize")
+  }
+
+  /** Per-pack summary: documents, token fill, waste vs capacity. */
+  def packStats(packed: DataFrame, nTokens: String, maxTokens: Int): DataFrame =
+    packed.groupBy(col("pack_id")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(nTokens)).as("fill_tokens"),
+      max(col("oversize").cast("int")).as("has_oversize"))
+      .withColumn("waste_tokens",
+        when(col("has_oversize") === 1, lit(0L))
+          .otherwise(lit(maxTokens.toLong) - col("fill_tokens")))
+}

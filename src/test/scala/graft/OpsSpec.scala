@@ -323,6 +323,43 @@ class OpsSpec extends SparkSpec {
     assert(byId(4L).getAs[Long]("n_tokens") === 0L) // empty doc survives
   }
 
+  test("sequence packing fits every pack under capacity, deterministically") {
+    import graft.ops.Packing
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 500L).map(i => (i, 10L + rnd.nextInt(900)))
+      .toDF("doc_id", "n_tokens")
+    val packed = Packing.packSequences(spark, docs, "doc_id", "n_tokens",
+      maxTokens = 2048, buckets = 8)
+    val rows = packed.collect()
+    assert(rows.length === 500) // every doc assigned exactly once
+    assert(rows.map(_.getLong(0)).toSet.size === 500)
+    // capacity invariant per pack (no oversize docs in this corpus)
+    val stats = Packing.packStats(packed, "n_tokens", 2048).collect()
+    assert(stats.forall(_.getLong(2) <= 2048L),
+      stats.filter(_.getLong(2) > 2048L).mkString(","))
+    // decent fill: greedy should waste well under half the capacity overall
+    val fill = stats.map(_.getLong(2)).sum.toDouble / (stats.length * 2048.0)
+    assert(fill > 0.5, s"fill factor $fill")
+    // deterministic and independent of the input's physical layout
+    val again = Packing.packSequences(spark, docs.repartition(17), "doc_id",
+      "n_tokens", maxTokens = 2048, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(again === rows.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet)
+  }
+
+  test("oversize documents get flagged singleton packs") {
+    import graft.ops.Packing
+    val docs = Seq((1L, 100L), (2L, 5000L), (3L, 200L)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packSequences(spark, docs, "doc_id", "n_tokens",
+      maxTokens = 1024, buckets = 2)
+    val byId = packed.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getAs[Boolean]("oversize"))
+    // the oversize doc shares its pack with nobody
+    val overPack = byId(2L).getLong(2)
+    assert(packed.filter(col("pack_id") === overPack).count() === 1)
+    assert(!byId(1L).getAs[Boolean]("oversize") && !byId(3L).getAs[Boolean]("oversize"))
+  }
+
   test("resize downsamples payloads deterministically and composes with decode") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val resized = Multimodal.resize(spark, media, targetBytes = 16)
