@@ -159,6 +159,11 @@ object TextAnalysis {
     * output with zeroed signals. */
   def repetitionSignals(df: DataFrame, id: String, text: String): DataFrame = {
     val t = col("__tokens")
+    // grams ship through the (doc, gram) shuffle as strings: hashing each
+    // gram to hash60 first was benchmarked (sf0.1) and LOST — ~1.5M md5
+    // evaluations cost more than the narrower shuffle saves at local
+    // scale; revisit only if network shuffle width dominates on a real
+    // cluster
     val grams = when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1), i =>
         concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
