@@ -215,6 +215,15 @@ object Dedup {
     // exact verification. The scan+shingle+md5 work happens once; the
     // single groupBy(id) shuffle is shared by every consumer below
     // (ReuseExchange), vs. 3-4 re-scans in the naive shape.
+    // NEGATIVE RESULT (measured, do not retry): computing the k minhashes
+    // scan-side as array algebra over the per-doc shingle array —
+    // array_min(transform(hs, h => (h*a+b) % P)) × k, then repartition(id)
+    // instead of explode+groupBy — is ~6× SLOWER at sf0.1 (12.9 s vs
+    // 2.05 s). Higher-order functions are interpreted (no codegen) and each
+    // of the k transforms allocates an intermediate array per row, while
+    // the exploded shape keeps the k min() aggregates inside whole-stage
+    // codegen with map-side partial aggregation absorbing the per-shingle
+    // rows before the shuffle.
     val hh = hashedShingles(df, id, text, n)
       .withColumn("hp", col("h") % MinhashP)
     val sigAggs = (0 until k).map(i =>
