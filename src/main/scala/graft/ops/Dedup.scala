@@ -337,9 +337,11 @@ object Dedup {
     * collected. The fixpoint is a star forest whose centers are the
     * component minima, so results are deterministic and identical to
     * [[connectedComponents]]. Convergence is detected by an edge-set
-    * signature (count + sum of xxhash64) — a 64-bit probabilistic equality
-    * with per-round collision odds ~2^-64. Same checkpoint discipline as
-    * the propagation loop: each round's blocks are freed eagerly. */
+    * signature (count + bit_xor of the full 64-bit xxhash64) — a
+    * probabilistic equality whose per-round collision odds are ~2^-64
+    * (two DIFFERENT distinct-edge sets xor-collide only through hash
+    * collisions). Same checkpoint discipline as the propagation loop:
+    * each round's blocks are freed eagerly. */
   def connectedComponentsStar(ids: DataFrame, idCol: String, pairs: DataFrame,
                               maxIter: Int = 30): DataFrame = {
     def ckptSwap(next: DataFrame, prev: Option[DataFrame]): DataFrame = {
@@ -348,10 +350,13 @@ object Dedup {
       out
     }
     def signature(e: DataFrame): (Long, Long) = {
-      // hashes reduced mod 1e9+7 before summing so the ANSI-mode long sum
-      // can't overflow (|terms| < 2^30, safe for ~2^33 edges)
+      // bit_xor keeps the FULL 64 bits (xor can't overflow, so no mod is
+      // needed) — summing the hashes mod 1e9+7 would shrink the space to
+      // ~2^30 and give ~1e-9 per-round false-convergence odds; xor of
+      // distinct-edge hashes collides only at ~2^-64. Order-independent,
+      // so the aggregate is deterministic across partitionings.
       val r = e.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")) % lit(1000000007L)), lit(0L))).first()
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
       (r.getLong(0), r.getLong(1))
     }
     var edges = ckptSwap(

@@ -340,18 +340,66 @@ object SqlAnalyzer {
     *    `[noshuffle]`, `[clustered]`, `[sortby(...)]`, `[schedule_*]`
     *  - comment hints, both Impala's `/* +broadcast */` and `/*+ shuffle */`
     *  - `SELECT STRAIGHT_JOIN` — Impala's join-order pin keyword
-    * Known limitation: a hint-shaped token inside a string literal is also
-    * stripped; harmless downstream because literals are parameterized away.
+    * Stripping is quote-aware: the statement is scanned once and the
+    * replacements run only on regions outside string literals / quoted
+    * identifiers ('…' with backslash escapes, "…", `…`), so a literal that
+    * CONTAINS a hint-shaped token — including an unterminated slash-star-plus
+    * opener, which a quote-blind regex would strip through the next real
+    * comment close, corrupting the statement's quoting — passes through
+    * byte-identical. A block comment or `-- …` line comment is one
+    * outside-quotes region (a quote inside a comment does not open a
+    * literal).
+    * Residual limitation: an UNquoted identifier literally named
+    * `straight_join` is still eaten; quote it.
     */
   private val BracketHint =
     "(?i)\\[\\s*(broadcast|shuffle|noshuffle|clustered|noclustered|schedule_\\w+|sortby\\s*\\([^)]*\\))\\s*\\]".r
   private val CommentHint = "(?s)/\\*\\s*\\+.*?\\*/".r
   private val StraightJoin = "(?i)\\bSTRAIGHT_JOIN\\b".r
 
+  /** Apply `f` to the regions of `sql` outside quoted literals and quoted
+    * identifiers, re-assembling with quoted content untouched. Comments are
+    * part of the outside-quotes stream (so CommentHint can match them and
+    * quotes inside them are inert). Doubled-quote escaping ('it''s') needs
+    * no special case: the scanner closes and reopens the literal, which
+    * reassembles byte-identically. */
+  private def mapOutsideQuotes(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+          out.append(sql.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        val stop = if (end < 0) sql.length else end + 2
+        // substring, not append(s, i, stop): Scala's StringBuilder lacks the
+        // 3-arg CharSequence overload and silently auto-tuples into append(Any)
+        seg.append(sql.substring(i, stop)); i = stop - 1
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val end = sql.indexOf('\n', i)
+        val stop = if (end < 0) sql.length else end
+        seg.append(sql.substring(i, stop)); i = stop - 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        out.append(f(seg.toString)); seg.setLength(0)
+        out.append(c); quote = c
+      } else seg.append(c)
+      i += 1
+    }
+    out.append(f(seg.toString))
+    out.toString
+  }
+
   def stripImpalaHints(sql: String): String =
-    StraightJoin.replaceAllIn(
-      BracketHint.replaceAllIn(
-        CommentHint.replaceAllIn(sql, " "), " "), " ")
+    mapOutsideQuotes(sql)(s =>
+      StraightJoin.replaceAllIn(
+        BracketHint.replaceAllIn(
+          CommentHint.replaceAllIn(s, " "), " "), " "))
 
   def parse(sql: String): LogicalPlan =
     CatalystSqlParser.parsePlan(stripImpalaHints(sql))

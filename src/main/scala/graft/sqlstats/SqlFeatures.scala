@@ -119,9 +119,13 @@ object SqlFeatures {
           } else fromStats(tpe, None, None, None, new SqlAnalyzer.Stats)
       }
     } catch {
-      // Throwable, not Exception: a renderer StackOverflowError (an Error) on
-      // one exotic statement must not kill the whole attach() executor task.
-      case _: Throwable => fromStats("Unparseable", None, None, None, new SqlAnalyzer.Stats)
+      // NonFatal plus StackOverflowError: a renderer StackOverflowError (an
+      // Error, but a recoverable one) on one exotic statement must not kill
+      // the whole attach() executor task. Genuinely fatal errors — OOM,
+      // InterruptedException — must propagate, or Spark can neither fail
+      // fast nor cancel the task.
+      case e if scala.util.control.NonFatal(e) || e.isInstanceOf[StackOverflowError] =>
+        fromStats("Unparseable", None, None, None, new SqlAnalyzer.Stats)
     }
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sqlstats.{Parameterizer, SqlFeatures}
+import graft.sqlstats.{Parameterizer, SqlAnalyzer, SqlFeatures}
 
 /** J1-J5: syntactic feature extraction + parameterization over a fixed
   * corpus (SURVEY §5 test plan item 4). */
@@ -189,6 +189,32 @@ class SqlStatsSpec extends SparkSpec {
     // hinted statements share a fingerprint with their unhinted form
     assert(Parameterizer.parameterizeSql("SELECT a FROM t JOIN [broadcast] u ON t.id = u.id")
       === Parameterizer.parameterizeSql("SELECT a FROM t JOIN u ON t.id = u.id"))
+  }
+
+  test("hint stripping is quote-aware: literals containing hint tokens survive") {
+    // an unterminated /*+ inside a literal must NOT strip through the next
+    // real */ (that would corrupt the statement's quoting)
+    assert(SqlAnalyzer.stripImpalaHints(
+      "SELECT '/*+ broken' AS s FROM t WHERE x = 'done */'")
+      === "SELECT '/*+ broken' AS s FROM t WHERE x = 'done */'")
+    // hint-shaped tokens inside literals and quoted identifiers pass through
+    assert(SqlAnalyzer.stripImpalaHints("SELECT 'use [shuffle] here' FROM t")
+      === "SELECT 'use [shuffle] here' FROM t")
+    assert(SqlAnalyzer.stripImpalaHints("SELECT `straight_join` FROM t")
+      === "SELECT `straight_join` FROM t")
+    assert(SqlAnalyzer.stripImpalaHints("SELECT 'no straight_join here' FROM t")
+      === "SELECT 'no straight_join here' FROM t")
+    // a quote INSIDE a comment hint is inert — the whole hint still strips
+    assert(SqlAnalyzer.stripImpalaHints("SELECT /*+ it's a hint */ a FROM t")
+      === "SELECT   a FROM t")
+    // backslash-escaped quote doesn't close the literal early
+    assert(SqlAnalyzer.stripImpalaHints("SELECT 'a\\'[shuffle]' FROM t")
+      === "SELECT 'a\\'[shuffle]' FROM t")
+    // real hints outside quotes still strip, literals beside them intact
+    val f = SqlFeatures.analyze(
+      "SELECT STRAIGHT_JOIN a FROM t JOIN [broadcast] u ON t.id = u.id WHERE s = '[shuffle]'")
+    assert(f.sql_type === "SelectStmt")
+    assert(f.num_where_binary_predicates("EQ") === 1)
   }
 
   test("attach joins features onto the queries table") {
