@@ -116,6 +116,20 @@ object OracleOpsQueries {
   def dedupParagraph(s: SparkSession, d: String): DataFrame =
     Dedup.paragraphDedup(Tables.documents(s, d), "doc_id", "text")
 
+  /** Span-level exact-substring dedup signals (Lee et al. ACL'22 shape):
+    * per-doc count and interval-union coverage of 5-token windows that
+    * occur in ≥ 2 distinct documents. */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    Dedup.substringSpans(Tables.documents(s, d), "doc_id", "text", w = 5)
+
+  /** Exact 10-per-stratum deterministic sample, stratified by length
+    * centile bucket (min(len/100, 9)) — the eval-slice construction path. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val stratum = least(floor(length(col("text")) / lit(100)), lit(9)).cast("long")
+    graft.ops.Splits.stratifiedSample(Tables.documents(s, d), "doc_id",
+      stratum, k = 10, salt = "strat")
+  }
+
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
 
@@ -186,7 +200,9 @@ object OracleOpsQueries {
     "dedup_components" -> (dedupComponents _),
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_paragraph" -> (dedupParagraph _),
-    "dedup_simhash" -> (dedupSimhash _))
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_substring" -> (dedupSubstring _),
+    "sample_stratified" -> (sampleStratified _))
 
   // ----------------------------------------------------------------- oracle
 
@@ -574,5 +590,54 @@ object OracleOpsQueries {
          |  FROM buckets a JOIN buckets b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
          |SELECT id1, id2, CAST(bit_count(xor(sim1, sim2)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(sim1, sim2)) <= 3""".stripMargin)
+         |FROM cand WHERE bit_count(xor(sim1, sim2)) <= 3""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH $toksCte,
+         |wl AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(t) >= 5
+         |      THEN list_transform(generate_series(1, len(t) - 4),
+         |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+         |      ELSE [] END AS ws
+         |  FROM toks),
+         |wp AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+         |      i -> struct_pack(pos := i - 1, win := ws[i]))) AS u
+         |  FROM wl),
+         |wh AS (SELECT doc_id, u.pos AS pos, ${h60("u.win")} AS h FROM wp),
+         |dup AS (SELECT h, (min(doc_id) <> max(doc_id)) AS is_dup FROM wh GROUP BY h),
+         |fl AS (SELECT w2.doc_id, w2.pos, d.is_dup FROM wh w2 JOIN dup d USING (h)),
+         |cnt AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+         |  FROM fl GROUP BY doc_id),
+         |cov AS (
+         |  SELECT doc_id, pos,
+         |    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+         |  FROM fl WHERE is_dup),
+         |cv AS (
+         |  SELECT doc_id,
+         |    CAST(sum((pos + 4) - greatest(pos - 1, COALESCE(pe, -1))) AS BIGINT) AS dup_tokens
+         |  FROM cov GROUP BY doc_id)
+         |SELECT wl.doc_id, wl.n_tokens,
+         |  COALESCE(cnt.n_windows, 0) AS n_windows,
+         |  COALESCE(cnt.n_dup_windows, 0) AS n_dup_windows,
+         |  COALESCE(cv.dup_tokens, 0) AS dup_tokens,
+         |  CASE WHEN wl.n_tokens > 0
+         |    THEN CAST(COALESCE(cv.dup_tokens, 0) AS DOUBLE) / CAST(wl.n_tokens AS DOUBLE)
+         |    ELSE 0.0 END AS dup_token_frac
+         |FROM wl LEFT JOIN cnt USING (doc_id) LEFT JOIN cv USING (doc_id)""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    least(CAST(floor(len(text) / 100) AS BIGINT), 9) AS stratum,
+         |    ${h60("'strat_' || CAST(doc_id AS VARCHAR)")} AS rk
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, stratum,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY rk, doc_id) AS BIGINT)
+         |      AS "rank"
+         |  FROM s)
+         |SELECT doc_id, stratum, "rank" FROM r WHERE "rank" <= 10""".stripMargin)
 }

@@ -182,6 +182,65 @@ object Dedup {
         length(col("clean_text")).cast("long").as("clean_len"), col("clean_text"))
   }
 
+  /** Exact substring-span dedup signals (the Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22 pass, re-expressed
+    * over token windows): every length-`w` rolling token window is hashed,
+    * a window content is *duplicated* if it occurs in ≥ 2 distinct
+    * documents, and each document reports how much of it is covered by
+    * duplicated spans. Returns one row per input document:
+    * (id, n_tokens, n_windows, n_dup_windows, dup_tokens, dup_token_frac)
+    * where dup_tokens is the size of the UNION of the duplicated windows'
+    * [pos, pos+w-1] intervals (overlaps not double-counted; interval union
+    * via the running-max sweep, same trick as the R19 sweep-line).
+    *
+    * Shape at scale: windows keep their position, so there is no
+    * distinct-per-doc reduction, but every step is linear — one shuffle on
+    * the window hash shared (ReuseExchange) by the doc-frequency aggregate
+    * and the flag join-back (each window row joins exactly one flag row —
+    * hot boilerplate windows fan IN to the aggregate, never out), then
+    * per-doc aggregation/window on the doc id. Nothing pairwise: unlike
+    * [[ngramJaccardPairs]] this never materializes document PAIRS, which is
+    * why corpus pipelines run span-level dedup at full scale and reserve
+    * pair generation for candidate subsets. */
+  def substringSpans(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
+    require(w >= 1, "window length must be >= 1")
+    val t = col("__tokens")
+    val winArr = when(size(t) >= w,
+      transform(sequence(lit(1), size(t) - (w - 1)), i =>
+        concat_ws(" ", (0 until w).map(k => element_at(t, i + k)): _*)))
+      .otherwise(array())
+    val wins = df.select(col(id), tokens(col(text)).as("__tokens"))
+      .select(col(id), posexplode(winArr).as(Seq("pos", "win")))
+      .select(col(id), col("pos"), hash60(col("win")).as("h"))
+      .repartition(col("h"))
+    val dupFlags = wins.groupBy(col("h"))
+      .agg((min(col(id)) =!= max(col(id))).as("is_dup"))
+    val flagged = wins.join(dupFlags, Seq("h"))
+    val counts = flagged.groupBy(col(id)).agg(
+      count(lit(1)).as("n_windows"),
+      sum(col("is_dup").cast("long")).as("n_dup_windows"))
+    // interval union over duplicated spans: ordered by pos, a span's new
+    // coverage is its end minus max(own start - 1, furthest end so far)
+    val prevEnd = max(col("pos") + lit(w - 1)).over(
+      Window.partitionBy(col(id)).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val dupCov = flagged.filter(col("is_dup"))
+      .withColumn("pe", prevEnd)
+      .withColumn("new_cov",
+        (col("pos") + lit(w - 1)) - greatest(col("pos") - 1, coalesce(col("pe"), lit(-1))))
+      .groupBy(col(id)).agg(sum(col("new_cov")).cast("long").as("dup_tokens"))
+    df.select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))
+      .join(counts, Seq(id), "left")
+      .join(dupCov, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("dup_token_frac"))
+  }
+
   /** MinHash parameters: k universal-hash permutations
     * h_i(x) = (a_i * (hash60(x) mod P) + b_i) mod P over the prime P. */
   val MinhashP = 1000000007L

@@ -43,4 +43,30 @@ object Splits {
   def sampleByHash(df: DataFrame, id: String, permille: Int,
                    salt: String = "sample"): DataFrame =
     df.filter(hashBucket(col(id), salt) < permille)
+
+  /** Exact k-per-stratum deterministic sample: rank rows inside each
+    * stratum by the salted 60-bit id hash (ties impossible — (hash, id) is
+    * a total order) and keep the first k. Unlike [[sampleByHash]] this
+    * guarantees EXACT per-stratum counts — the eval-set/benchmark-slice
+    * construction path, where "about 10k per language" isn't acceptable.
+    *
+    * Shape: one shuffle on the stratum + a per-stratum external sort (the
+    * window's row_number). The sort is the price of exactness: a bounded
+    * k-row heap ([[graft.functions.TopKAgg]]) would avoid it but scores
+    * through Double, and a 60-bit hash does not fit a 53-bit mantissa —
+    * the heap's order would silently diverge from exact BIGINT ordering.
+    * At 100 TB with huge strata, either accept the spillable sort (it
+    * parallelizes across strata) or use [[sampleByHash]] when approximate
+    * counts suffice. Returns (id, stratum, rank), rank in [1, k]. */
+  def stratifiedSample(df: DataFrame, id: String, stratum: Column, k: Int,
+                       salt: String = "strat"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("__rk"), col(id))
+    df.select(col(id), stratum.as("stratum"))
+      .withColumn("__rk",
+        TextAnalysis.hash60(concat_ws("_", lit(salt), col(id).cast("string"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(id), col("stratum"), col("rank"))
+  }
 }

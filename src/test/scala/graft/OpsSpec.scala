@@ -35,6 +35,49 @@ class OpsSpec extends SparkSpec {
     assert(lone === Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("substringSpans: interval union of duplicated windows, overlaps counted once") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),        // shares the 6-token run a..f with doc 2
+      (2L, "x x a b c d e f zz"),     // run sits at positions 2..7
+      (3L, "q r s t u v")             // fully unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(df, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // doc 1: 8 tokens, 4 windows; dup windows "a b c d e"(0), "b c d e f"(1)
+    // cover [0,5] = 6 tokens, NOT 10 — the overlap must not double-count
+    assert(out(1L) === ((8L, 4L, 2L, 6L, 6.0 / 8.0)))
+    // doc 2: 9 tokens, 5 windows; dup at pos 2,3 cover [2,7] = 6 tokens
+    assert(out(2L) === ((9L, 5L, 2L, 6L, 6.0 / 9.0)))
+    // doc 3: nothing shared
+    assert(out(3L) === ((6L, 2L, 0L, 0L, 0.0)))
+    // doc shorter than the window still appears, all-zero
+    val tiny = Dedup.substringSpans(
+      Seq((9L, "only three tokens"), (10L, "only three tokens")).toDF("doc_id", "text"),
+      "doc_id", "text", w = 5).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tiny === Map(9L -> 0L, 10L -> 0L))
+  }
+
+  test("stratifiedSample: exact k per stratum, deterministic, rank contiguous") {
+    val df = (1L to 100L).map(i => (i, i % 3)).toDF("doc_id", "grp")
+    val s1 = graft.ops.Splits.stratifiedSample(df, "doc_id", col("grp"), k = 5)
+    val rows = s1.collect()
+    // exactly 5 per stratum, ranks 1..5
+    val byStratum = rows.groupBy(_.getLong(1))
+    assert(byStratum.keySet === Set(0L, 1L, 2L))
+    byStratum.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq === (1L to 5L))
+    }
+    // stratum column is consistent with the input grouping
+    rows.foreach(r => assert(r.getLong(0) % 3 === r.getLong(1)))
+    // deterministic: a rerun picks the same rows in the same order
+    val s2 = graft.ops.Splits.stratifiedSample(df, "doc_id", col("grp"), k = 5)
+    assert(s1.collect().map(_.toSeq).toSet === s2.collect().map(_.toSeq).toSet)
+    // a different salt draws a different sample
+    val s3 = graft.ops.Splits.stratifiedSample(df, "doc_id", col("grp"), k = 5, salt = "other")
+    assert(s3.collect().map(_.toSeq).toSet !== s1.collect().map(_.toSeq).toSet)
+  }
+
   test("exactViaAgg output equals the window-based exact dedup") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Dedup.exact(docs, "doc_id", "text").collect().map(_.toSeq).toSet
