@@ -194,14 +194,21 @@ object Dedup {
     * via the running-max sweep, same trick as the R19 sweep-line).
     *
     * Shape at scale: windows keep their position, so there is no
-    * distinct-per-doc reduction, but every step is linear — one shuffle on
-    * the window hash shared (ReuseExchange) by the doc-frequency aggregate
-    * and the flag join-back (each window row joins exactly one flag row —
-    * hot boilerplate windows fan IN to the aggregate, never out), then
-    * per-doc aggregation/window on the doc id. Nothing pairwise: unlike
-    * [[ngramJaccardPairs]] this never materializes document PAIRS, which is
-    * why corpus pipelines run span-level dedup at full scale and reserve
-    * pair generation for candidate subsets. */
+    * distinct-per-doc reduction, but every step is linear and the window
+    * pipeline (tokenize → explode → md5) runs ONCE — exactly two full-data
+    * shuffles. The duplicate flag is two window aggregates over the
+    * existing hash partitioning (Window.partitionBy over repartition'd
+    * data adds no exchange, only a per-partition sort — the same trick as
+    * the ngram doc-frequency cap; an agg + join-back formulation plans the
+    * small side as a broadcast whose subtree RE-RUNS the whole window
+    * pipeline, and column pruning gives each consumer branch a different
+    * projection so ReuseExchange never fires — measured: 5 scans instead
+    * of 2). Counts and interval-union coverage then fold into ONE per-doc
+    * pass: the running-max window and the final aggregate share the doc-id
+    * exchange. Nothing pairwise: unlike [[ngramJaccardPairs]] this never
+    * materializes document PAIRS, which is why corpus pipelines run
+    * span-level dedup at full scale and reserve pair generation for
+    * candidate subsets. */
   def substringSpans(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
     require(w >= 1, "window length must be >= 1")
     val t = col("__tokens")
@@ -213,25 +220,28 @@ object Dedup {
       .select(col(id), posexplode(winArr).as(Seq("pos", "win")))
       .select(col(id), col("pos"), hash60(col("win")).as("h"))
       .repartition(col("h"))
-    val dupFlags = wins.groupBy(col("h"))
-      .agg((min(col(id)) =!= max(col(id))).as("is_dup"))
-    val flagged = wins.join(dupFlags, Seq("h"))
-    val counts = flagged.groupBy(col(id)).agg(
-      count(lit(1)).as("n_windows"),
-      sum(col("is_dup").cast("long")).as("n_dup_windows"))
-    // interval union over duplicated spans: ordered by pos, a span's new
-    // coverage is its end minus max(own start - 1, furthest end so far)
-    val prevEnd = max(col("pos") + lit(w - 1)).over(
+    val wh = Window.partitionBy(col("h"))
+    val flagged = wins.withColumn("is_dup",
+      min(col(id)).over(wh) =!= max(col(id)).over(wh))
+    // interval union over duplicated spans: ordered by pos, a dup span's
+    // new coverage is its end minus max(own start - 1, furthest dup end so
+    // far). The running max skips non-dup rows via when(), so one window
+    // over ALL rows serves both the dup coverage and (with the aggregate
+    // below) the plain counts.
+    val prevEnd = max(when(col("is_dup"), col("pos") + lit(w - 1))).over(
       Window.partitionBy(col(id)).orderBy(col("pos"))
         .rowsBetween(Window.unboundedPreceding, -1))
-    val dupCov = flagged.filter(col("is_dup"))
-      .withColumn("pe", prevEnd)
+    val perDoc = flagged
       .withColumn("new_cov",
-        (col("pos") + lit(w - 1)) - greatest(col("pos") - 1, coalesce(col("pe"), lit(-1))))
-      .groupBy(col(id)).agg(sum(col("new_cov")).cast("long").as("dup_tokens"))
+        when(col("is_dup"),
+          (col("pos") + lit(w - 1)) - greatest(col("pos") - 1, coalesce(prevEnd, lit(-1))))
+          .otherwise(lit(0)))
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_windows"),
+        sum(col("is_dup").cast("long")).as("n_dup_windows"),
+        sum(col("new_cov")).cast("long").as("dup_tokens"))
     df.select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))
-      .join(counts, Seq(id), "left")
-      .join(dupCov, Seq(id), "left")
+      .join(perDoc, Seq(id), "left")
       .select(col(id), col("n_tokens"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
