@@ -65,6 +65,19 @@ object OracleOpsQueries {
         (graft.ops.Splits.hashBucket(col("doc_id"), "sample") < 100)
           .cast("int").as("in_10pct_sample"))
 
+  /** Token-budget mixture construction: per length-centile stratum, keep
+    * the salted-hash-ordered document prefix until that stratum's budget is
+    * exhausted (boundary doc kept, see
+    * [[graft.ops.Splits.tokenBudgetSample]]). Budgets are per-stratum —
+    * (stratum + 1) × 300 tokens — and tight enough at sf0.01 that every
+    * stratum's cutoff actually fires (non-vacuous gate: 120/500 docs kept). */
+  def corpusBudgetMix(s: SparkSession, d: String): DataFrame = {
+    val stratum = least(floor(length(col("text")) / lit(100)), lit(9)).cast("long")
+    graft.ops.Splits.tokenBudgetSample(Tables.documents(s, d), "doc_id",
+      stratum, TextAnalysis.tokenCount(col("text")),
+      (stratum + lit(1)) * lit(300L), salt = "mix")
+  }
+
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
 
@@ -202,7 +215,8 @@ object OracleOpsQueries {
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_substring" -> (dedupSubstring _),
-    "sample_stratified" -> (sampleStratified _))
+    "sample_stratified" -> (sampleStratified _),
+    "corpus_budget_mix" -> (corpusBudgetMix _))
 
   // ----------------------------------------------------------------- oracle
 
@@ -639,5 +653,20 @@ object OracleOpsQueries {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY rk, doc_id) AS BIGINT)
          |      AS "rank"
          |  FROM s)
-         |SELECT doc_id, stratum, "rank" FROM r WHERE "rank" <= 10""".stripMargin)
+         |SELECT doc_id, stratum, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
+    "corpus_budget_mix" ->
+      s"""WITH $toksCte,
+         |s AS (
+         |  SELECT doc_id,
+         |    least(CAST(floor(len(text) / 100) AS BIGINT), 9) AS stratum,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    ${h60("'mix_' || CAST(doc_id AS VARCHAR)")} AS rk
+         |  FROM toks),
+         |c AS (
+         |  SELECT doc_id, stratum, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM s)
+         |SELECT doc_id, stratum, n_tokens, cum_before + n_tokens AS cum_tokens
+         |FROM c WHERE cum_before < (stratum + 1) * 300""".stripMargin)
 }

@@ -69,4 +69,44 @@ object Splits {
       .filter(col("rank") <= k)
       .select(col(id), col("stratum"), col("rank"))
   }
+
+  /** Token-budget corpus mix (the Pile/Dolma mixture-construction pass):
+    * within each stratum (domain/source/language), order documents by the
+    * salted id hash and keep the prefix whose cumulative token count stays
+    * under that stratum's budget. `budgetTokens` is a per-row Column so
+    * per-domain budgets (mixing weight × total token budget) can be a
+    * literal, a `when` ladder, or a column joined from a weights table.
+    *
+    * Boundary convention: a document is kept iff the tokens BEFORE it fit
+    * (`cum_before < budget`), so the last kept document may overshoot the
+    * budget by part of itself — this guarantees progress even when a
+    * single document exceeds the whole budget, and never undershoots by
+    * more than one document. Exact integer arithmetic end-to-end.
+    *
+    * Determinism: the mix is a pure function of (salt, ids, budgets) for a
+    * GIVEN corpus snapshot. Unlike [[assignSplit]], membership is NOT
+    * stable under corpus growth — a new document can hash into the prefix
+    * and push the boundary document out; pin mixes to a snapshot.
+    *
+    * Shape: one shuffle on the stratum + a per-stratum running sum (same
+    * spillable-sort trade as [[stratifiedSample]], and the same 60-bit
+    * exactness reason to prefer the window over a Double-scored heap).
+    * Returns (id, stratum, n_tokens, cum_tokens) for kept rows, where
+    * cum_tokens includes the row itself. */
+  def tokenBudgetSample(df: DataFrame, id: String, stratum: Column,
+                        nTokens: Column, budgetTokens: Column,
+                        salt: String = "mix"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("__rk"), col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(id), stratum.as("stratum"),
+        nTokens.cast("long").as("n_tokens"),
+        budgetTokens.cast("long").as("__budget"))
+      .withColumn("__rk",
+        TextAnalysis.hash60(concat_ws("_", lit(salt), col(id).cast("string"))))
+      .withColumn("__cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("__cum_before") < col("__budget"))
+      .select(col(id), col("stratum"), col("n_tokens"),
+        (col("__cum_before") + col("n_tokens")).as("cum_tokens"))
+  }
 }

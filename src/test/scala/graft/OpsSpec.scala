@@ -78,6 +78,31 @@ class OpsSpec extends SparkSpec {
     assert(s3.collect().map(_.toSeq).toSet !== s1.collect().map(_.toSeq).toSet)
   }
 
+  test("tokenBudgetSample: hash-ordered prefix per stratum, boundary doc kept") {
+    val df = (1L to 60L).map(i => (i, i % 2, 10L)).toDF("doc_id", "grp", "nt")
+    val out = graft.ops.Splits.tokenBudgetSample(
+      df, "doc_id", col("grp"), col("nt"), lit(95L)).collect()
+    val byStratum = out.groupBy(_.getLong(1))
+    assert(byStratum.keySet === Set(0L, 1L))
+    byStratum.foreach { case (_, rs) =>
+      // 10-token docs against a 95 budget: 9 fit fully, the 10th starts at
+      // cum_before=90 < 95 and overshoots — boundary doc is KEPT
+      assert(rs.length === 10)
+      assert(rs.map(_.getLong(3)).max === 100L) // cum_tokens of the boundary doc
+    }
+    // determinism + budget monotonicity: a bigger budget keeps a superset
+    val small = out.map(_.getLong(0)).toSet
+    val big = graft.ops.Splits.tokenBudgetSample(
+      df, "doc_id", col("grp"), col("nt"), lit(200L)).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    // a document larger than the whole budget is still taken if it is the
+    // stratum's hash-first doc (progress guarantee)
+    val one = graft.ops.Splits.tokenBudgetSample(
+      Seq((1L, 0L, 500L)).toDF("doc_id", "grp", "nt"),
+      "doc_id", col("grp"), col("nt"), lit(5L)).collect()
+    assert(one.map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((1L, 500L)))
+  }
+
   test("exactViaAgg output equals the window-based exact dedup") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Dedup.exact(docs, "doc_id", "text").collect().map(_.toSeq).toSet
