@@ -12,14 +12,23 @@ import org.apache.spark.sql.functions._
   *     exact duplicates — order matters);
   *  3. near-dup clustering: MinHash+LSH pairs → connected components →
   *     keep one representative (min doc id) per cluster;
-  *  4. quality/language filtering (pure scan-side column algebra);
+  *  4. quality/language filtering (pure scan-side column algebra), plus an
+  *     optional cross-doc duplicated-span gate ([[Dedup.substringSpans]]) —
+  *     the Lee-et-al-style pass that catches documents which are mostly
+  *     stitched from text appearing elsewhere even when no single pairwise
+  *     jaccard fires;
   *  5. redaction + deterministic train/val/test split on the survivors.
   *
   * Every stage is a DataFrame transform: Catalyst sees the whole chain, so
   * column pruning flows through and nothing materializes between stages
   * unless the caller persists. Stage costs at scale: two shuffles
   * (paragraph), one (exact), band-join + O(log n) rounds (near-dup), zero
-  * (filter/redact/split).
+  * (filter/redact/split), two (span gate, when enabled).
+  *
+  * Mixture construction ([[Splits.tokenBudgetSample]]) deliberately stays
+  * OUT of [[clean]]: mixes are per-snapshot decisions (budgets move with
+  * the token-count audit), so compose them on the cleaned corpus via
+  * [[mixByLang]] when needed.
   */
 object CorpusPipeline {
 
@@ -33,10 +42,14 @@ object CorpusPipeline {
       corpus: DataFrame)        // filtered + redacted + split final corpus
 
   /** Run the full chain. `minQuality`/`lang` gate stage 4 (pass `None` to
-    * keep every language). */
+    * keep every language); `maxDupSpanFrac` additionally drops documents
+    * whose cross-doc duplicated-span coverage ([[Dedup.substringSpans]]
+    * with `spanWindow` tokens) exceeds the fraction — `None` (default)
+    * skips the pass and its two shuffles entirely. */
   def clean(spark: SparkSession, docs: DataFrame, id: String, text: String,
             minQuality: Double = 0.3, lang: Option[String] = Some("en"),
-            trainPermille: Int = 900, valPermille: Int = 50): Stages = {
+            trainPermille: Int = 900, valPermille: Int = 50,
+            maxDupSpanFrac: Option[Double] = None, spanWindow: Int = 5): Stages = {
     // 1. paragraph dedup: global first-occurrence keeps one copy of every
     // repeated paragraph; reconstruct cleaned text
     val cleaned = Dedup.paragraphDedup(docs, id, text)
@@ -63,7 +76,15 @@ object CorpusPipeline {
       .withColumn("quality", quality)
       .withColumn("lang", TextAnalysis.langId(col("clean_text")))
       .filter(col("quality") >= minQuality)
-    val filtered = lang.fold(gated)(l => gated.filter(col("lang") === l))
+    val langFiltered = lang.fold(gated)(l => gated.filter(col("lang") === l))
+    // optional cross-doc span gate: drop docs mostly covered by text that
+    // also appears in other documents (left_semi on the survivors, so the
+    // span stats run over the already-shrunk corpus)
+    val filtered = maxDupSpanFrac.fold(langFiltered) { maxFrac =>
+      val ok = Dedup.substringSpans(langFiltered, id, "clean_text", spanWindow)
+        .filter(col("dup_token_frac") <= maxFrac).select(col(id))
+      langFiltered.join(ok, Seq(id), "left_semi")
+    }
 
     // 5. redact, then split deterministically
     val redacted = filtered.select(
@@ -73,5 +94,21 @@ object CorpusPipeline {
       trainPermille = trainPermille, valPermille = valPermille)
 
     Stages(cleaned, exactDeduped, nearDeduped, corpus)
+  }
+
+  /** Mixture construction over a cleaned corpus (any frame carrying a
+    * `lang` column): per-language token budgets applied via
+    * [[Splits.tokenBudgetSample]] with `lang` as the stratum. Languages
+    * absent from `budgets` are dropped — a mix is an explicit allowlist.
+    * Output keeps every corpus column plus (n_tokens, cum_tokens). */
+  def mixByLang(corpus: DataFrame, id: String, textCol: String,
+                budgets: Map[String, Long], salt: String = "mix"): DataFrame = {
+    require(budgets.nonEmpty, "a mix needs at least one language budget")
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (l, b)) =>
+      when(col("lang") === l, lit(b)).otherwise(acc) }
+    val kept = Splits.tokenBudgetSample(
+      corpus.filter(col("lang").isin(budgets.keys.toSeq.map(x => x: Any): _*)),
+      id, col("lang"), TextAnalysis.tokenCount(col(textCol)), budgetCol, salt)
+    corpus.join(kept.select(col(id), col("n_tokens"), col("cum_tokens")), Seq(id))
   }
 }

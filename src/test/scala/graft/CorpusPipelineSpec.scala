@@ -37,6 +37,41 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
 
+  test("span gate drops documents stitched from cross-doc duplicated text") {
+    // doc 1 and 2 share a 6-token run (span coverage 6/12 = 0.5 each) but
+    // their 3-gram jaccard is only ~0.25 — below the near-dup threshold,
+    // so ONLY the span gate can catch them
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, shared + " uno dos tres cuatro cinco seis"),
+      (2L, shared + " eins zwei drei vier funf sechs"),
+      (3L, "completely different words entirely unrelated content here also present now twelve")
+    ).toDF("doc_id", "text")
+    val open = CorpusPipeline.clean(spark, docs, "doc_id", "text",
+      minQuality = 0.0, lang = None)
+    assert(open.corpus.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    val gatedS = CorpusPipeline.clean(spark, docs, "doc_id", "text",
+      minQuality = 0.0, lang = None, maxDupSpanFrac = Some(0.4))
+    assert(gatedS.corpus.select("doc_id").as[Long].collect().toSet === Set(3L))
+  }
+
+  test("mixByLang applies per-language token budgets as an allowlist") {
+    val corpus = (1L to 6L).map(i => (i, "en", "one two three four")) ++
+      (7L to 9L).map(i => (i, "de", "eins zwei drei vier")) ++
+      Seq((10L, "fr", "un deux trois quatre"))
+    val df = corpus.toDF("doc_id", "lang", "redacted")
+    val mixed = CorpusPipeline.mixByLang(df, "doc_id", "redacted",
+      Map("en" -> 10L, "de" -> 5L))
+    val byLang = mixed.collect().groupBy(_.getString(1))
+    // 4-token docs: en budget 10 keeps 3 (cum_before 0,4,8 < 10);
+    // de budget 5 keeps 2; fr is not in the mix at all
+    assert(byLang.keySet === Set("en", "de"))
+    assert(byLang("en").length === 3)
+    assert(byLang("de").length === 2)
+    // corpus columns survive and the token accounting is attached
+    assert(mixed.columns.toSet === Set("doc_id", "lang", "redacted", "n_tokens", "cum_tokens"))
+  }
+
   test("quality and language gates actually drop documents") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away. " * 8),
