@@ -54,6 +54,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dedup_substring runs the window pipeline once: 2 scans, 2 shuffles") {
+    // regression guard for the 5-scan formulation: an agg + join-back dup
+    // flag plans the aggregate as a broadcast whose subtree re-runs the
+    // whole tokenize/explode/md5 pipeline, and column pruning gives each
+    // consumer branch a different projection so ReuseExchange never fires
+    // string-count, not collect(): AdaptiveSparkPlanExec hides its subtree
+    // from collect until execution
+    val p = plan("dedup_substring")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(scans === 2, s"expected 2 scans (windows + token counts):\n$p")
+    assert(shuffles === 2, s"expected 2 shuffles (hash, doc id):\n$p")
+  }
+
+  test("sample_stratified and corpus_budget_mix are single-shuffle window plans") {
+    Seq("sample_stratified", "corpus_budget_mix").foreach { q =>
+      val p = plan(q)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(shuffles === 1, s"$q must shuffle once (on the stratum):\n$p")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     // VERDICT r3 item 5: the 100 TB skew story, plan-evidenced. Default
     // skew thresholds (256 MB) never trigger on test data, so they are
