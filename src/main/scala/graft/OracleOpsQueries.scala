@@ -106,8 +106,21 @@ object OracleOpsQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, threshold = 0.5, maxShingleDocFreq = Some(3))
 
+  /** Takes the DEFAULT configuration — capped at
+    * [[Dedup.DefaultMaxBandBucketSize]] (1024), which cannot trigger at
+    * the gate SF (≤ 500 docs per bucket), so the capped PLAN must still
+    * produce the uncapped oracle's answers — same proof structure as
+    * `dedup_ngram_jaccard`. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
+
+  /** The LSH hot-bucket valve gated on its own: band buckets holding > 2
+    * docs are dropped before pairing. The sf0.01 corpus has a 3-doc
+    * near-dup cluster (docs sharing band buckets of size 3), so the cap
+    * actually fires and the result differs from the uncapped run. */
+  def dedupMinhashCapped(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      maxBandBucketSize = Some(2))
 
   /** Near-dup clusters: connected components (min doc id per component)
     * over the MinHash+LSH pair graph; singleton docs keep their own id. */
@@ -210,6 +223,7 @@ object OracleOpsQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_ngram_capped" -> (dedupNgramCapped _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_capped" -> (dedupMinhashCapped _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_paragraph" -> (dedupParagraph _),
@@ -279,21 +293,33 @@ object OracleOpsQueries {
 
   /** MinHash+LSH CTE chain up to (com, cnt) — shared by the pair query and
     * the connected-components query. */
-  private val minhashCtes: String = {
+  private def minhashCtes(bucketCap: Option[Int] = None): String = {
     val p = Dedup.MinhashP
     val sigCols = (0 until 8).map(i =>
       s"MIN(((h % $p) * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $p) AS m$i").mkString(",\n    ")
     val bucketRows = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS key FROM sig")
       .mkString("\n  UNION ALL\n  ")
+    // mirror of maxBandBucketSize: drop over-full band buckets before pairing
+    val bucketsCtes = bucketCap match {
+      case Some(cap) =>
+        s"""buckets0 AS (
+           |  $bucketRows),
+           |buckets AS (
+           |  SELECT doc_id, band, key FROM (
+           |    SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bs
+           |    FROM buckets0) WHERE bs <= $cap)""".stripMargin
+      case None =>
+        s"""buckets AS (
+           |  $bucketRows)""".stripMargin
+    }
     s"""$shinglesCte,
        |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |    $sigCols
        |  FROM shh GROUP BY doc_id),
-       |buckets AS (
-       |  $bucketRows),
+       |$bucketsCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM buckets a JOIN buckets b
@@ -527,13 +553,19 @@ object OracleOpsQueries {
          |FROM pairs p JOIN cnt c1 ON p.id1 = c1.doc_id JOIN cnt c2 ON p.id2 = c2.doc_id
          |WHERE CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH $minhashCtes
+      s"""WITH ${minhashCtes()}
+         |SELECT m.id1, m.id2,
+         |  CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) AS jaccard
+         |FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
+         |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_minhash_capped" ->
+      s"""WITH ${minhashCtes(Some(2))}
          |SELECT m.id1, m.id2,
          |  CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) AS jaccard
          |FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
          |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_components" ->
-      s"""WITH RECURSIVE $minhashCtes,
+      s"""WITH RECURSIVE ${minhashCtes()},
          |mh AS (
          |  SELECT m.id1, m.id2
          |  FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
@@ -549,7 +581,7 @@ object OracleOpsQueries {
          |SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin,
     // star contraction computes the identical labeling — same oracle
     "dedup_components_star" ->
-      s"""WITH RECURSIVE $minhashCtes,
+      s"""WITH RECURSIVE ${minhashCtes()},
          |mh AS (
          |  SELECT m.id1, m.id2
          |  FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id

@@ -33,6 +33,19 @@ object Dedup {
     * uncapped jaccard, stays bit-identical at the gate SF. */
   val DefaultMaxShingleDocFreq: Option[Int] = Some(1024)
 
+  /** Default band-bucket size cap for [[minhashLshPairs]] and
+    * [[simhashPairs]] — the same skew valve as [[DefaultMaxShingleDocFreq]]
+    * but for the LSH candidate joins: a band bucket holding d documents
+    * fans out to d·(d−1)/2 candidate rows, and a mass-duplicated page (the
+    * classic web-corpus failure) puts ALL its copies in the SAME bucket of
+    * every band. 1024 bounds any one bucket at ≤ ~0.5 M candidate rows.
+    * Dropping an over-full bucket only removes candidate EVIDENCE — a pair
+    * can still surface through any other band where the two docs share a
+    * smaller bucket — so the capped pair set is a subset of the uncapped
+    * one; it never invents pairs. Corpora with massive exact-duplicate
+    * groups should run [[exact]] first (that is what fills buckets). */
+  val DefaultMaxBandBucketSize: Option[Int] = Some(1024)
+
   /** Exact dedup: fingerprint group → canonical id (min doc id) per group.
     * One window over the fingerprint hash partition; at scale this is a
     * single hash shuffle on the fingerprint. */
@@ -272,11 +285,18 @@ object Dedup {
     *
     * At scale: candidates come from a groupable equi-join on (band_idx,
     * band_key) — no O(N²); verification joins back to the shingle sets of
-    * the (much smaller) candidate pair set.
+    * the (much smaller) candidate pair set. `maxBandBucketSize` (ON by
+    * default, [[DefaultMaxBandBucketSize]]) drops over-full band buckets
+    * before pairing — the hot-bucket valve for mass-duplicated content;
+    * capped output is a subset of uncapped (see the constant's scaladoc).
+    * Both configurations are oracle-gated: `dedup_minhash_lsh` proves the
+    * default (capped) plan produces uncapped answers on cap-free data,
+    * `dedup_minhash_capped` proves the cap filter itself.
     */
   def minhashLshPairs(df: DataFrame, id: String, text: String,
                       n: Int = 3, k: Int = 8, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rows = k / bands
     // ONE aggregation pass builds everything per doc: the k minhashes (over
@@ -308,9 +328,18 @@ object Dedup {
     // shuffle subplan, so ReuseExchange materializes the signature pipeline
     // once instead of running it per side (the right side would otherwise
     // be planned as a broadcast with its own full recompute)
-    val buckets = perDoc.select(col(id), explode(array(bandCols: _*)).as("b"))
+    val buckets0 = perDoc.select(col(id), explode(array(bandCols: _*)).as("b"))
       .select(col(id), col("b.band").as("band"), col("b.key").as("key"))
       .repartition(col("band"), col("key"))
+    // bucket-size cap via a window over the EXISTING (band, key)
+    // partitioning — no extra exchange, same trick as the ngram cap
+    val buckets = maxBandBucketSize match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("band"), col("key"))
+        buckets0.withColumn("__bs", count(lit(1)).over(w))
+          .filter(col("__bs") <= cap).select(col(id), col("band"), col("key"))
+      case None => buckets0
+    }
     val cand = buckets.toDF("id1", "band", "key")
       .join(buckets.toDF("id2", "band", "key"), Seq("band", "key"))
       .filter(col("id1") < col("id2"))
@@ -485,9 +514,13 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs via band join (bands of 15 bits → any shared
-    * band is a candidate) + Hamming distance filter. */
+    * band is a candidate) + Hamming distance filter. `maxBandBucketSize`
+    * is the same hot-bucket valve as in [[minhashLshPairs]] (identical
+    * docs share ALL bands, so mass duplication concentrates in single
+    * buckets); capped output ⊆ uncapped, both oracle-gated. */
   def simhashPairs(df: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
     val bandsN = 4
     val bandBits = SimhashBits / bandsN // 15
     val sim = simhash(df, id, text)
@@ -498,9 +531,17 @@ object Dedup {
     // repartition on the join key so ReuseExchange shares ONE run of the
     // token-explode + 60-aggregate pipeline across both self-join sides
     // (a broadcast right side would recompute it end-to-end)
-    val buckets = sim.select(col(id), col("simhash"), explode(array(bandCols: _*)).as("b"))
+    val buckets0 = sim.select(col(id), col("simhash"), explode(array(bandCols: _*)).as("b"))
       .select(col(id), col("simhash"), col("b.band").as("band"), col("b.key").as("key"))
       .repartition(col("band"), col("key"))
+    val buckets = maxBandBucketSize match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("band"), col("key"))
+        buckets0.withColumn("__bs", count(lit(1)).over(w))
+          .filter(col("__bs") <= cap)
+          .select(col(id), col("simhash"), col("band"), col("key"))
+      case None => buckets0
+    }
     val cand = buckets.toDF("id1", "sim1", "band", "key")
       .join(buckets.toDF("id2", "sim2", "band", "key"), Seq("band", "key"))
       .filter(col("id1") < col("id2"))

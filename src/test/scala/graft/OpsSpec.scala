@@ -103,6 +103,32 @@ class OpsSpec extends SparkSpec {
     assert(one.map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((1L, 500L)))
   }
 
+  test("LSH band-bucket cap: over-full buckets drop, capped pairs are a subset") {
+    // three identical docs share EVERY band bucket (size 3); two other docs
+    // are near-dups of each other only (bucket size 2)
+    val trio = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val pair = "completely different content for the second cluster of documents right here"
+    val docs = Seq(
+      (1L, trio), (2L, trio), (3L, trio),
+      (4L, pair), (5L, pair)
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBandBucketSize = None)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    // cap 2: the trio's size-3 buckets all drop; the size-2 bucket pair stays
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBandBucketSize = Some(2))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((4L, 5L)))
+    assert(capped.subsetOf(uncapped)) // the cap never invents pairs
+    // same valve on the simhash band join
+    val su = Dedup.simhashPairs(docs, "doc_id", "text", maxBandBucketSize = None)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(su === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    val sc = Dedup.simhashPairs(docs, "doc_id", "text", maxBandBucketSize = Some(2))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sc === Set((4L, 5L)))
+  }
+
   test("exactViaAgg output equals the window-based exact dedup") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Dedup.exact(docs, "doc_id", "text").collect().map(_.toSeq).toSet
