@@ -59,6 +59,21 @@ object OracleOpsQueries {
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
+  /** C4 cleaning-rule signals. Like `text_redact`, the boilerplate flags
+    * and the short-unit rule would be vacuous on the synthetic corpus (no
+    * "lorem ipsum"/braces, no short sentences), so the gate plants
+    * deterministic boilerplate on every 7th/11th doc and a 2-word trailing
+    * unit on every 5th, in BOTH engines; the unit/alpha fractions run on
+    * the real text. */
+  def textC4(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(" lorem ipsum dolor")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" enable javascript {now}")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(". ok go")).otherwise(lit("")))
+    val cols = TextAnalysis.c4Signals(planted).map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
   def datasetSplit(s: SparkSession, d: String): DataFrame =
     graft.ops.Splits.assignSplit(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), col("bucket"), col("split"),
@@ -217,6 +232,7 @@ object OracleOpsQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_redact" -> (textRedact _),
     "text_repetition" -> (textRepetition _),
+    "text_c4" -> (textC4 _),
     "dataset_split" -> (datasetSplit _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_agg" -> (dedupExactAgg _),
@@ -479,6 +495,39 @@ object OracleOpsQueries {
          |  regexp_replace(t1, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g') AS redacted,
          |  CAST(length(regexp_replace(t1, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
          |FROM r1""".stripMargin,
+    "text_c4" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || (CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor' ELSE '' END)
+        |         || (CASE WHEN doc_id % 11 = 0 THEN ' enable javascript {now}' ELSE '' END)
+        |         || (CASE WHEN doc_id % 5 = 0 THEN '. ok go' ELSE '' END) AS pt
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, pt,
+        |    list_filter(list_transform(regexp_split_to_array(pt, '\.\s+'), x -> trim(x)),
+        |                x -> len(x) > 0) AS units,
+        |    list_filter(regexp_split_to_array(trim(pt), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM p),
+        |m AS (
+        |  SELECT doc_id, pt,
+        |    CAST(len(units) AS BIGINT) AS n_units,
+        |    CAST(len(list_filter(units,
+        |      s2 -> len(list_filter(regexp_split_to_array(s2, '\s+'), t2 -> len(t2) > 0)) < 3))
+        |      AS BIGINT) AS n_units_short,
+        |    CAST(len(toks) AS BIGINT) AS n_toks,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS BIGINT) AS n_alpha
+        |  FROM u)
+        |SELECT doc_id, n_units, n_units_short,
+        |  CASE WHEN n_units > 0
+        |    THEN CAST(n_units_short AS DOUBLE) / CAST(n_units AS DOUBLE) ELSE 0.0 END
+        |    AS short_unit_frac,
+        |  CAST(CASE WHEN contains(lower(pt), 'lorem ipsum') THEN 1 ELSE 0 END AS INT) AS has_lorem,
+        |  CAST(CASE WHEN contains(lower(pt), 'javascript') THEN 1 ELSE 0 END AS INT) AS has_javascript,
+        |  CAST(CASE WHEN contains(pt, '{') THEN 1 ELSE 0 END AS INT) AS has_brace,
+        |  CASE WHEN n_toks > 0
+        |    THEN CAST(n_alpha AS DOUBLE) / CAST(n_toks AS DOUBLE) ELSE 0.0 END
+        |    AS alpha_token_frac
+        |FROM m""".stripMargin,
     "text_repetition" ->
       s"""WITH $toksCte,
          |tk AS (

@@ -59,6 +59,40 @@ object TextAnalysis {
       "stopword_ratio" -> stopRatio, "quality" -> score)
   }
 
+  /** C4-style heuristic rule signals (Raffel et al., "Exploring the Limits
+    * of Transfer Learning with a Unified Text-to-Text Transformer", JMLR'20
+    * §2.2 — the C4 cleaning rules), re-expressed over sentence-ish units
+    * (the same `". "` split as [[Dedup.paragraphDedup]], since the corpus
+    * model is one doc per row rather than newline-delimited pages):
+    * counts/fractions of units that are too short (< 3 words — C4's
+    * drop-short-lines rule; the terminal-punctuation rule is meaningless
+    * here because the sentence split itself consumes the punctuation),
+    * plus the C4 boilerplate flags (lorem ipsum,
+    * javascript, curly brace) and the alphabetic-token fraction. Pure
+    * scan-side column algebra — zero shuffles, zero UDFs; a filter built
+    * on these costs one projection at 100 TB. */
+  def c4Signals(text: Column): Seq[(String, Column)] = {
+    val units = filter(
+      transform(split(text, "\\.\\s+"), u => trim(u)), u => length(u) > 0)
+    val nUnits = size(units).cast("long")
+    val short = size(filter(units,
+      u => size(filter(split(u, "\\s+"), t => length(t) > 0)) < 3)).cast("long")
+    val lowered = lower(text)
+    val toks = tokens(text)
+    val nAlpha = size(filter(toks, t => t.rlike("^[A-Za-z]+$"))).cast("long")
+    val nTok = size(toks).cast("long")
+    Seq(
+      "n_units" -> nUnits,
+      "n_units_short" -> short,
+      "short_unit_frac" ->
+        when(nUnits > 0, short.cast("double") / nUnits.cast("double")).otherwise(lit(0.0)),
+      "has_lorem" -> contains(lowered, lit("lorem ipsum")).cast("int"),
+      "has_javascript" -> contains(lowered, lit("javascript")).cast("int"),
+      "has_brace" -> contains(text, lit("{")).cast("int"),
+      "alpha_token_frac" ->
+        when(nTok > 0, nAlpha.cast("double") / nTok.cast("double")).otherwise(lit(0.0)))
+  }
+
   /** zlib compression ratio (deflated bytes / raw bytes): the classic
     * repetition-quality signal from large-corpus filters — boilerplate and
     * highly repetitive documents compress far below natural prose. Runs as

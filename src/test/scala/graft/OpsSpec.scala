@@ -129,6 +129,24 @@ class OpsSpec extends SparkSpec {
     assert(sc === Set((4L, 5L)))
   }
 
+  test("c4Signals: short-unit rule, boilerplate flags, alpha fraction") {
+    val df = Seq(
+      (1L, "This is a proper sentence with enough words. Another good long sentence follows here. Ok go"),
+      (2L, "Enable JavaScript to view {content} with lorem ipsum filler"),
+      (3L, "numbers 123 mixed a1b2 words only")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +:
+      TextAnalysis.c4Signals(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 3 units, one short ("Ok go" = 2 words)
+    assert(out(1L).getLong(1) === 3L && out(1L).getLong(2) === 1L)
+    assert(out(1L).getInt(4) === 0 && out(1L).getInt(5) === 0 && out(1L).getInt(6) === 0)
+    // doc 2: all three boilerplate flags fire (case-insensitive javascript)
+    assert(out(2L).getInt(4) === 1 && out(2L).getInt(5) === 1 && out(2L).getInt(6) === 1)
+    // doc 3: 6 tokens, 4 purely alphabetic (numbers/mixed/words/only)
+    assert(out(3L).getDouble(7) === 4.0 / 6.0)
+  }
+
   test("exactViaAgg output equals the window-based exact dedup") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Dedup.exact(docs, "doc_id", "text").collect().map(_.toSeq).toSet
