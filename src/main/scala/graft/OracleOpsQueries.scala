@@ -93,6 +93,17 @@ object OracleOpsQueries {
       (stratum + lit(1)) * lit(300L), salt = "mix")
   }
 
+  /** The full corpus-cleaning composition as a rows-only gated query (no
+    * DuckDB mirror: every individual stage is already oracle-gated above,
+    * and a monolithic SQL restatement of the chain would prove nothing new
+    * — the driver records rows>0 + schema instead). Filters held open and
+    * the cross-doc span gate ON at a loose threshold, so the whole
+    * paragraph → exact → near-dup → span-gate → redact → split surface
+    * executes and is timed per round. */
+  def corpusCleanE2e(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusPipeline.clean(s, Tables.documents(s, d), "doc_id", "text",
+      minQuality = 0.0, lang = None, maxDupSpanFrac = Some(0.95)).corpus
+
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
 
@@ -246,7 +257,8 @@ object OracleOpsQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_substring" -> (dedupSubstring _),
     "sample_stratified" -> (sampleStratified _),
-    "corpus_budget_mix" -> (corpusBudgetMix _))
+    "corpus_budget_mix" -> (corpusBudgetMix _),
+    "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
 
