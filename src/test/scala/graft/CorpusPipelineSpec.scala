@@ -72,6 +72,17 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(mixed.columns.toSet === Set("doc_id", "lang", "redacted", "n_tokens", "cum_tokens"))
   }
 
+  test("persistStages materializes stages without changing results") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val lazyS = CorpusPipeline.clean(spark, docs, "doc_id", "text",
+      minQuality = 0.0, lang = None, maxDupSpanFrac = Some(0.95))
+    val eager = CorpusPipeline.clean(spark, docs, "doc_id", "text",
+      minQuality = 0.0, lang = None, maxDupSpanFrac = Some(0.95),
+      persistStages = true)
+    assert(lazyS.corpus.collect().map(_.toSeq).toSet
+      === eager.corpus.collect().map(_.toSeq).toSet)
+  }
+
   test("quality and language gates actually drop documents") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away. " * 8),
