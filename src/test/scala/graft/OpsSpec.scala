@@ -147,6 +147,40 @@ class OpsSpec extends SparkSpec {
     assert(out(3L).getDouble(7) === 4.0 / 6.0)
   }
 
+  test("substringSpans matches a sequential reference on random corpora") {
+    // the risks are the windowed interval-union and the cross-doc dup flag
+    // under real partitioning, so the reference is deliberately plain Scala
+    val rnd = new scala.util.Random(7)
+    (0 until 4).foreach { trial =>
+      val w = 2 + rnd.nextInt(2) // 2 or 3
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      val corpus = (1L to (20L + rnd.nextInt(20))).map { i =>
+        val n = rnd.nextInt(12) // 0..11 tokens — includes sub-window docs
+        i -> (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val df = corpus.toDF("doc_id", "text").repartition(8)
+      val got = Dedup.substringSpans(df, "doc_id", "text", w)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+      val toks = corpus.map { case (i, t) =>
+        i -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val wins = toks.map { case (i, ts) =>
+        i -> (if (ts.length >= w) ts.sliding(w).map(_.mkString(" ")).toVector
+              else Vector.empty) }
+      val docsPerWin = wins.toSeq.flatMap { case (i, ws) => ws.distinct.map(_ -> i) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+      corpus.foreach { case (i, _) =>
+        val ws = wins(i)
+        val dupPos = ws.zipWithIndex.collect {
+          case (win, p) if docsPerWin(win) >= 2 => p }
+        val covered = dupPos.flatMap(p => p until (p + w)).distinct.size.toLong
+        val exp = (toks(i).length.toLong, ws.length.toLong, dupPos.length.toLong, covered)
+        assert(got(i) === exp, s"trial $trial doc $i w=$w")
+      }
+    }
+  }
+
   test("exactViaAgg output equals the window-based exact dedup") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Dedup.exact(docs, "doc_id", "text").collect().map(_.toSeq).toSet
