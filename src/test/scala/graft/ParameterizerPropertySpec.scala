@@ -76,6 +76,25 @@ class ParameterizerPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hint stripping is idempotent and quote-preserving over the corpus") {
+    // the quote-aware scanner must be a fixpoint (a second pass finds no
+    // hints and must not disturb quoting), and statements with no hints
+    // outside quotes must pass through byte-identical
+    val withLiterals = Seq(
+      "SELECT 'a /*+ b' AS x, \"c [shuffle] d\" FROM t WHERE y = 'straight_join */'",
+      "SELECT `straight_join`, 'it''s fine' FROM t -- [broadcast] in a comment hint? no: bracket",
+      "SELECT a FROM t WHERE s = '-- not a comment' AND u = '/* nope */'")
+    (GoldenGen.corpus.map(_._2) ++ withLiterals).foreach { sql =>
+      val once = graft.sqlstats.SqlAnalyzer.stripImpalaHints(sql)
+      assert(graft.sqlstats.SqlAnalyzer.stripImpalaHints(once) === once,
+        s"not idempotent: $sql")
+    }
+    withLiterals.takeRight(1).foreach { sql =>
+      assert(graft.sqlstats.SqlAnalyzer.stripImpalaHints(sql) === sql,
+        "literal-only statement must be untouched")
+    }
+  }
+
   test("golden corpus templates are stable under re-parameterization") {
     // parameterizing an already-parameterized template must be a fixpoint
     // for the placeholder character set (a structural sanity check that
