@@ -400,6 +400,22 @@ object OracleQueries {
       .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
         col("n"), col("max_price"))
 
+  /** Salted skew join ([[graft.operators.Scale.saltedJoin]]): the big side
+    * salted, the small side replicated 8×, joined on (key, salt) — gated
+    * against the PLAIN join's SQL because the salt must be invisible in
+    * the results. Aggregated to integer-exact measures per customer
+    * bucket so the compare stays bit-stable. */
+  def saltedJoinQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    graft.operators.Scale.saltedJoin(li, ord, Seq("l_orderkey"),
+        col("l_linenumber"), salts = 8)
+      .groupBy(pmod(col("o_custkey"), lit(100L)).as("cust_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_linenumber")).cast("long").as("sum_ln"))
+  }
+
   /** Range join: equi-join on the key plus a bounded time-interval
     * predicate — for each error event, clicks by the same user within the
     * preceding second. The equi-key keeps the shuffle hash-partitioned
@@ -491,6 +507,7 @@ object OracleQueries {
     "scalar_subquery" -> (scalarSubquery _),
     "percentiles" -> (percentiles _),
     "salted_sum" -> (saltedSum _),
+    "salted_join" -> (saltedJoinQ _),
     "semi_anti_join" -> (semiAntiJoin _),
     "grouping_rollup" -> (groupingRollup _),
     "grouping_cube" -> (groupingCube _),
@@ -649,6 +666,12 @@ object OracleQueries {
         |  COUNT(*) AS n,
         |  MAX(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "salted_join" ->
+      """SELECT o_custkey % 100 AS cust_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "semi_anti_join" ->
       """WITH j AS (
         |  SELECT c_mktsegment,

@@ -51,4 +51,30 @@ object Scale {
                 sums: Seq[(String, Column)]): DataFrame =
     saltedAgg(df, key, saltBy, salts,
       sums.map { case (n, c) => (n, c, (p: Column) => sum(p)) })
+
+  /** Salted equi-join for skewed join keys — the manual valve when AQE's
+    * runtime skew split can't help (e.g. the skewed side feeds a
+    * co-partitioned downstream op, or the planner picked SMJ before stats
+    * existed). The big (skewed) side gets a deterministic per-row salt in
+    * [0, salts); the small side is replicated `salts` times via an inline
+    * explode; both join on (key, salt), spreading each hot key over
+    * `salts` reducers. Results are EXACTLY the rows of the plain join —
+    * every big-side row meets every matching small-side row exactly once,
+    * for any join-key multiplicity on either side — at the cost of
+    * shuffling the small side `salts`×. Inner and left_outer are
+    * supported (right/full would need the salt on the other side).
+    *
+    * `saltBy` must vary within a key group (any high-cardinality big-side
+    * column); at 100 TB pick `salts` ≈ hot-key rows / healthy-partition
+    * rows. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: Seq[String],
+                 saltBy: Column, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer" || joinType == "left",
+      s"saltedJoin supports inner/left joins, got $joinType")
+    val bigS = big.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS, key :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -60,4 +60,22 @@ class ScaleSpec extends SparkSpec {
       .as[(String, Double, Long)].collect().toSet
     assert(salted === direct)
   }
+
+  test("salted join equals plain join, including multiplicity and left rows") {
+    // duplicate keys on BOTH sides (2×3 fan-out per key) and a big-side key
+    // with no match — exactly the cases where salting could drop or
+    // duplicate rows if the replication were wrong
+    val big = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("k", "bv").withColumn("rid", monotonically_increasing_id())
+    val small = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)).toDF("k", "sv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "bv", "sv").collect()
+        .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .groupBy(identity).map { case (k2, v) => k2 -> v.size }
+    Seq("inner", "left").foreach { jt =>
+      val plain = canon(big.join(small, Seq("k"), jt))
+      val salted = canon(Scale.saltedJoin(big, small, Seq("k"), col("rid"), 4, jt))
+      assert(salted === plain, s"join type $jt")
+    }
+  }
 }
