@@ -206,6 +206,12 @@ object OracleOpsQueries {
     graft.ops.Similarity.ivfTopKPinned(Tables.embeddings(s, d), "vec_id", "embedding",
       queryId = 0L, k = 10, nLists = 8, nProbe = 2)
 
+  /** Random-projection dimensionality reduction (64 → 4) with the same
+    * md5-seeded planes as the LSH bucketer; bit-exact dot products. */
+  def simProject(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.projectDims(Tables.embeddings(s, d), "vec_id",
+      "embedding", outDims = 4)
+
   def simCosinePairs(s: SparkSession, d: String): DataFrame =
     graft.ops.Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, planes = 4)
@@ -236,6 +242,7 @@ object OracleOpsQueries {
     "sim_lsh_topk" -> (simLshTopK _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "sim_cosine_pairs" -> (simCosinePairs _),
+    "sim_project" -> (simProject _),
     "mm_meta" -> (mmMeta _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -383,6 +390,18 @@ object OracleOpsQueries {
          |  list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS q_l2,
          |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
          |FROM q""".stripMargin,
+    "sim_project" ->
+      s"""WITH $embCte,
+         |$planesCte,
+         |pr AS (
+         |  SELECT e.vec_id, pl.p, ${dotSql("e.v", "pl.rv")} AS d
+         |  FROM e CROSS JOIN planes pl)
+         |SELECT vec_id,
+         |  MAX(CASE WHEN p = 0 THEN d END) AS p0,
+         |  MAX(CASE WHEN p = 1 THEN d END) AS p1,
+         |  MAX(CASE WHEN p = 2 THEN d END) AS p2,
+         |  MAX(CASE WHEN p = 3 THEN d END) AS p3
+         |FROM pr GROUP BY vec_id""".stripMargin,
     "sim_bruteforce_topk" ->
       s"""WITH $embCte,
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

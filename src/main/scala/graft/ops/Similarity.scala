@@ -89,6 +89,24 @@ object Similarity {
   private def planeLit(p: Int, dim: Int): Column =
     array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
 
+  /** Johnson–Lindenstrauss-style random-projection dimensionality
+    * reduction: out_p = ⟨v, plane_p⟩ with the SAME md5-seeded
+    * deterministic planes whose sign bits form the LSH buckets — the
+    * continuous projection underneath [[lshBucket]]. Shrinking 64 dims to
+    * `outDims` cuts ANN shuffle and storage by the dim ratio while
+    * approximately preserving distances (the JL lemma); downstream
+    * brute-force/kNN over the projected vectors is the same column
+    * algebra. Plane components are integer/1000 rationals and the dot
+    * product is the codegen'd left-fold [[graft.functions.DotProduct]],
+    * so the projection is bit-exact against the DuckDB mirror. Scan-side,
+    * zero shuffles. */
+  def projectDims(emb: DataFrame, id: String, vec: String, outDims: Int,
+                  dim: Int = 64): DataFrame = {
+    val cols = (0 until outDims).map(p =>
+      dot(asDouble(col(vec)), planeLit(p, dim)).as(s"p$p"))
+    emb.select(col(id) +: cols: _*)
+  }
+
   /** LSH bucket id: bit p set iff dot(v, plane_p) >= 0. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>

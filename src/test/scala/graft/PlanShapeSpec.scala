@@ -43,8 +43,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(sortBelow < 0, "no per-partition sort should feed the top-k shuffle:\n" + p)
   }
 
-  test("dataset_split and text_redact are shuffle-free scan-side projections") {
-    Seq("dataset_split", "text_redact").foreach { q =>
+  test("dataset_split, text_redact, text_c4, sim_project are shuffle-free scan-side projections") {
+    Seq("dataset_split", "text_redact", "text_c4", "sim_project").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       val exchanges = df.queryExecution.executedPlan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
