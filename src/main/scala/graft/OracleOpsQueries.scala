@@ -212,6 +212,14 @@ object OracleOpsQueries {
     graft.ops.Similarity.projectDims(Tables.embeddings(s, d), "vec_id",
       "embedding", outDims = 4)
 
+  /** Two-stage ANN: coarse top-30 by cosine in the 4-dim projected space,
+    * exact re-rank of those candidates to top-10 in full 64-dim space —
+    * the standard coarse-search + exact-re-rank composition over
+    * [[graft.ops.Similarity.projectDims]]. */
+  def simProjectedTopK(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.projectedTopK(Tables.embeddings(s, d), "vec_id",
+      "embedding", queryId = 0L, k = 10, candidateFactor = 3)
+
   def simCosinePairs(s: SparkSession, d: String): DataFrame =
     graft.ops.Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, planes = 4)
@@ -243,6 +251,7 @@ object OracleOpsQueries {
     "sim_ivf_topk" -> (simIvfTopK _),
     "sim_cosine_pairs" -> (simCosinePairs _),
     "sim_project" -> (simProject _),
+    "sim_projected_topk" -> (simProjectedTopK _),
     "mm_meta" -> (mmMeta _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -302,10 +311,12 @@ object OracleOpsQueries {
     * bit-exactly. */
   private val embCte =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
-  private def dotSql(a: String, b: String) =
-    s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (x, y) -> x + y)"
-  private def cosSql(a: String, b: String) =
-    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  private def dotSqlN(a: String, b: String, n: Int) =
+    s"list_reduce(list_transform(generate_series(1, $n), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def cosSqlN(a: String, b: String, n: Int) =
+    s"${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)}))"
+  private def dotSql(a: String, b: String) = dotSqlN(a, b, 64)
+  private def cosSql(a: String, b: String) = cosSqlN(a, b, 64)
 
   private val lshPlanes = 4
   private val planesCte =
@@ -402,6 +413,22 @@ object OracleOpsQueries {
          |  MAX(CASE WHEN p = 2 THEN d END) AS p2,
          |  MAX(CASE WHEN p = 3 THEN d END) AS p3
          |FROM pr GROUP BY vec_id""".stripMargin,
+    "sim_projected_topk" ->
+      s"""WITH $embCte,
+         |$planesCte,
+         |pr AS (
+         |  SELECT e.vec_id, pl.p, ${dotSql("e.v", "pl.rv")} AS d
+         |  FROM e CROSS JOIN planes pl),
+         |pv AS (SELECT vec_id, list(d ORDER BY p) AS pvec FROM pr GROUP BY vec_id),
+         |q1 AS (SELECT pvec AS qpv FROM pv WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, ${cosSqlN("pvec", "qpv", 4)} AS pcos
+         |  FROM pv, q1 WHERE vec_id != 0
+         |  ORDER BY pcos DESC, vec_id LIMIT 30),
+         |qf AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT c.vec_id, ${cosSql("e.v", "qv")} AS cos
+         |FROM cand c JOIN e ON e.vec_id = c.vec_id, qf
+         |ORDER BY cos DESC, c.vec_id LIMIT 10""".stripMargin,
     "sim_bruteforce_topk" ->
       s"""WITH $embCte,
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -107,6 +107,35 @@ object Similarity {
     emb.select(col(id) +: cols: _*)
   }
 
+  /** Two-stage ANN over the random projection: rank ALL corpus rows by
+    * cosine in the `outDims`-dim projected space (cheap — dim-ratio fewer
+    * multiplies and bytes), keep `k × candidateFactor` candidates, then
+    * re-rank ONLY those by exact full-dimension cosine. The standard
+    * coarse-search + exact-re-rank pattern: at 100 TB stage 1 scans the
+    * small projected columns (or a materialized projection table) and
+    * stage 2 touches full vectors for a few dozen rows. Deterministic
+    * ties (score desc, id) at both stages keep it oracle-exact. */
+  def projectedTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+                    k: Int, candidateFactor: Int = 3, outDims: Int = 4,
+                    dim: Int = 64): DataFrame = {
+    val proj = projectDims(emb, id, vec, outDims, dim)
+    val pCols = array((0 until outDims).map(p => col(s"p$p")): _*)
+    val projArr = proj.select(col(id), pCols.as("pv"))
+    val q1 = projArr.filter(col(id) === queryId).select(col("pv").as("qpv"))
+    val cand = projArr.filter(col(id) =!= queryId)
+      .crossJoin(broadcast(q1))
+      .select(col(id), cosine(col("pv"), col("qpv")).as("pcos"))
+      .orderBy(desc("pcos"), col(id))
+      .limit(k * candidateFactor)
+    val qFull = emb.filter(col(id) === queryId)
+      .select(asDouble(col(vec)).as("qv"))
+    cand.join(emb.select(col(id), col(vec)), Seq(id))
+      .crossJoin(broadcast(qFull))
+      .select(col(id), cosine(asDouble(col(vec)), col("qv")).as("cos"))
+      .orderBy(desc("cos"), col(id))
+      .limit(k)
+  }
+
   /** LSH bucket id: bit p set iff dot(v, plane_p) >= 0. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
