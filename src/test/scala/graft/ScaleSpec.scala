@@ -77,5 +77,16 @@ class ScaleSpec extends SparkSpec {
       val salted = canon(Scale.saltedJoin(big, small, Seq("k"), col("rid"), 4, jt))
       assert(salted === plain, s"join type $jt")
     }
+    // the point of the salt: when the small side is too big to broadcast,
+    // the shuffle key must be (k, __salt) so a hot k spreads over salts
+    // reducers — assert the exchange actually carries the salt
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Scale.saltedJoin(big, small, Seq("k"), col("rid"), 4)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("hashpartitioning(k#") && p.contains("__salt#"),
+        s"expected a (k, __salt) shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 }
