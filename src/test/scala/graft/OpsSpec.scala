@@ -530,6 +530,38 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(_._2 <= 10))
   }
 
+  test("ANN paths recover most of the exact top-10 (recall evidence)") {
+    // the oracle gates prove each ANN computes ITS algorithm exactly; this
+    // proves the algorithms are good — candidate pruning must still find
+    // most of the true neighbors. Deterministic data + exact arithmetic,
+    // so the recalls are fixed numbers, not flaky statistics.
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10))
+    assert(exact.size === 10)
+    // measured on the clustered sf0.01 embeddings (query 0):
+    //   ivf(8 lists, 2 probes)            = 10/10  (clusters = its home turf)
+    //   projected(factor 12, 16 dims)     =  8/10
+    //   lsh planes 1/2/3/4 = 7/6/2/1 of 10 (each plane halves the scanned
+    //   corpus — the classic recall-vs-cost dial; single-bucket probing at
+    //   4 planes is the speed extreme)
+    // floors sit below measured values so only real quality loss fails
+    val rIvf = (ids(Similarity.ivfTopKPinned(emb, "vec_id", "embedding", 0L, 10,
+      nLists = 8, nProbe = 2)) & exact).size
+    assert(rIvf >= 9, s"ivf recall@10 = $rIvf/10")
+    val rProj = (ids(Similarity.projectedTopK(emb, "vec_id", "embedding", 0L, 10,
+      candidateFactor = 12, outDims = 16)) & exact).size
+    assert(rProj >= 6, s"projected recall@10 = $rProj/10")
+    val rLsh2 = (ids(Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10,
+      planes = 2)) & exact).size
+    val rLsh4 = (ids(Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10,
+      planes = 4)) & exact).size
+    assert(rLsh2 >= 4, s"lsh(2 planes) recall@10 = $rLsh2/10")
+    assert(rLsh2 >= rLsh4, "more buckets must not raise recall")
+  }
+
   test("hash60 matches between driver-side and Catalyst implementations") {
     val fromCol = Seq("abc", "plane_3_5").toDF("s")
       .select(TextAnalysis.hash60(col("s"))).as[Long].collect().toSeq
