@@ -199,6 +199,14 @@ object OracleOpsQueries {
     graft.ops.Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryId = 0L, k = 10, planes = 4)
 
+  /** Multi-probe LSH: additionally scans every bucket within Hamming
+    * distance 1 of the query's bucket — the standard recall fix for
+    * hyperplane LSH (neighbors of a vector near a plane land one bit
+    * away). */
+  def simLshMultiprobe(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryId = 0L, k = 10, planes = 4, probeHamming = 1)
+
   /** IVF ANN with pinned (first-8-ids) centroids — fully DuckDB-mirrored,
     * so the index build, list assignment, probe selection and pruned scan
     * are all correctness-gated (the KMeans variant stays spec-gated). */
@@ -248,6 +256,7 @@ object OracleOpsQueries {
     "sim_bruteforce_topk" -> (simBruteForce _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_lsh_topk" -> (simLshTopK _),
+    "sim_lsh_multiprobe" -> (simLshMultiprobe _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "sim_cosine_pairs" -> (simCosinePairs _),
     "sim_project" -> (simProject _),
@@ -454,6 +463,15 @@ object OracleOpsQueries {
          |SELECT e.vec_id, ${cosSql("v", "qv")} AS cos
          |FROM e JOIN bk ON e.vec_id = bk.vec_id, qb
          |WHERE e.vec_id != 0 AND bk.bucket = qb.qbucket
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_lsh_multiprobe" ->
+      s"""WITH $bucketsCte,
+         |qb AS (
+         |  SELECT e.v AS qv, bk.bucket AS qbucket
+         |  FROM e JOIN bk ON e.vec_id = bk.vec_id WHERE e.vec_id = 0)
+         |SELECT e.vec_id, ${cosSql("v", "qv")} AS cos
+         |FROM e JOIN bk ON e.vec_id = bk.vec_id, qb
+         |WHERE e.vec_id != 0 AND bit_count(xor(bk.bucket, qb.qbucket)) <= 1
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH $embCte,

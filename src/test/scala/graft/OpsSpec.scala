@@ -560,6 +560,11 @@ class OpsSpec extends SparkSpec {
       planes = 4)) & exact).size
     assert(rLsh2 >= 4, s"lsh(2 planes) recall@10 = $rLsh2/10")
     assert(rLsh2 >= rLsh4, "more buckets must not raise recall")
+    // multi-probe at H=1 recovers most of what the plane splits lost,
+    // scanning 5/16 of the corpus instead of 1/16
+    val rMp = (ids(Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10,
+      planes = 4, probeHamming = 1)) & exact).size
+    assert(rMp >= rLsh4 + 3, s"multiprobe recall@10 = $rMp/10 vs single $rLsh4/10")
   }
 
   test("hash60 matches between driver-side and Catalyst implementations") {
