@@ -168,6 +168,31 @@ object OracleOpsQueries {
   def dedupParagraph(s: SparkSession, d: String): DataFrame =
     Dedup.paragraphDedup(Tables.documents(s, d), "doc_id", "text")
 
+  /** Benchmark decontamination: eval set = every 29th doc, train = the
+    * rest; per train doc, how many of its distinct 3-gram shingles occur
+    * anywhere in the eval set. The synthetic docs draw from a shared small
+    * vocabulary, so the overlap is non-vacuous at sf0.01 (most train docs
+    * share at least one shingle with the 18-doc eval slice — OpsSpec
+    * asserts both flag values occur). */
+  def dedupContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.ngramContamination(
+      docs.filter(col("doc_id") % 29 =!= 0),
+      docs.filter(col("doc_id") % 29 === 0), "doc_id", "text", n = 3)
+  }
+
+  /** SemDeDup over the embeddings table with pinned centroids (vec_id < 8
+    * as the 8 cluster centers — same oracle-mirroring trick as
+    * sim_ivf_topk): a vector is a semantic duplicate if some smaller
+    * vec_id in its cluster has cosine ≥ 0.3 to it. 0.3 (the
+    * sim_cosine_pairs threshold) is non-vacuous on the synthetic
+    * embeddings — 189 of 500 vectors flag as dups — while the max
+    * within-cluster cosine is 0.493, so a production-style 0.9 would
+    * never fire. */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.semDedupPinned(Tables.embeddings(s, d),
+      "vec_id", "embedding", nLists = 8, threshold = 0.3)
+
   /** Span-level exact-substring dedup signals (Lee et al. ACL'22 shape):
     * per-doc count and interval-union coverage of 5-token windows that
     * occur in ≥ 2 distinct documents. */
@@ -279,6 +304,8 @@ object OracleOpsQueries {
     "dedup_components" -> (dedupComponents _),
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_paragraph" -> (dedupParagraph _),
+    "dedup_contamination" -> (dedupContamination _),
+    "sim_sem_dedup" -> (semDedup _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_substring" -> (dedupSubstring _),
     "sample_stratified" -> (sampleStratified _),
@@ -741,6 +768,42 @@ object OracleOpsQueries {
         |  COALESCE(string_agg(para, '. ' ORDER BY pos) FILTER (WHERE rn = 1), '')
         |    AS clean_text
         |FROM f GROUP BY doc_id""".stripMargin,
+    "dedup_contamination" ->
+      s"""WITH $shinglesCte,
+         |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+         |ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 29 = 0),
+         |tr AS (SELECT doc_id, h FROM shh WHERE doc_id % 29 != 0),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+         |ov AS (SELECT tr.doc_id, count(*) AS n_cont
+         |       FROM tr JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
+         |SELECT c.doc_id, c.n_sh,
+         |  COALESCE(o.n_cont, 0) AS n_contaminated,
+         |  CAST(COALESCE(o.n_cont, 0) AS DOUBLE) / CAST(c.n_sh AS DOUBLE)
+         |    AS contaminated_frac,
+         |  CAST(COALESCE(o.n_cont, 0) > 0 AS INT) AS is_contaminated
+         |FROM cnt c LEFT JOIN ov o ON c.doc_id = o.doc_id""".stripMargin,
+    "sim_sem_dedup" ->
+      s"""WITH $embCte,
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |d AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    list_reduce(list_transform(generate_series(1, 64),
+         |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y) AS dist
+         |  FROM e, cents c),
+         |asn AS (
+         |  SELECT vec_id, v, cid AS list_id FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d) WHERE rn = 1),
+         |bv AS (SELECT vec_id, v, list_id, sqrt(${dotSql("v", "v")}) AS nrm FROM asn),
+         |dups AS (
+         |  SELECT b.vec_id AS id2, MIN(a.vec_id) AS dup_of
+         |  FROM bv a JOIN bv b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3
+         |  GROUP BY b.vec_id)
+         |SELECT a.vec_id, CAST(a.list_id AS INT) AS list_id,
+         |  CAST(d.dup_of IS NOT NULL AS INT) AS is_dup, d.dup_of
+         |FROM asn a LEFT JOIN dups d ON a.vec_id = d.id2""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),

@@ -166,6 +166,40 @@ object Dedup {
       .select(col("id1"), col("id2"), col("common"), col("n1"), col("n2"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: flag training documents whose n-grams
+    * overlap an evaluation set (the GPT-3 appendix-C / PaLM 13-gram pass,
+    * over the same word shingles as [[ngramJaccardPairs]]). Returns one row
+    * per TRAIN document: (id, n_sh, n_contaminated, contaminated_frac,
+    * is_contaminated) where n_contaminated counts the train doc's distinct
+    * shingles that occur anywhere in the eval corpus.
+    *
+    * Shape at scale: the eval side collapses to its DISTINCT shingle-hash
+    * set — for a benchmark suite that is a few million 8-byte longs even at
+    * 100 TB of train data — and is broadcast, so the overlap probe is a
+    * map-side left-semi join on the train shingle stream: ONE shuffle total
+    * (the per-doc groupBy), zero shuffles of train data against eval data.
+    * Pass `broadcastEval = false` if the eval corpus is itself huge (the
+    * semi join then shuffles both sides on the hash). */
+  def ngramContamination(train: DataFrame, eval: DataFrame, id: String,
+                         text: String, n: Int,
+                         broadcastEval: Boolean = true): DataFrame = {
+    val trainSh = hashedShingles(train, id, text, n)
+    val evalSh0 = hashedShingles(eval, id, text, n).select(col("h")).distinct()
+    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
+    // hashedShingles is distinct-per-doc, so the semi join keeps at most
+    // one row per (id, shingle) and the count below is the overlap size
+    val overlap = trainSh.join(evalSh, Seq("h"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_contaminated"))
+    trainSh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+      .join(overlap, Seq(id), "left")
+      .select(col(id), col("n_sh"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_sh").cast("double")).as("contaminated_frac"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0L).cast("int")
+          .as("is_contaminated"))
+  }
+
   /** Paragraph-level exact dedup with in-place cleaning (the C4/Dolma
     * pattern): split each document into sentence-ish units, keep only the
     * globally-FIRST occurrence of each unit (ordered by doc id, then

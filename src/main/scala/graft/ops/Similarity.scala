@@ -358,4 +358,56 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023): cluster
+    * the embeddings, then mark as duplicate every document whose cosine to a
+    * SMALLER-id document in the SAME cluster reaches `threshold` — the
+    * min-id doc of each semantic group survives, deterministically. Output:
+    * one row per vector (id, list_id, is_dup, dup_of) with dup_of = the
+    * smallest qualifying partner (null for kept rows).
+    *
+    * This pinned-centroid variant reuses the [[ivfTopKPinned]] trick —
+    * centroids are the embeddings of the `nLists` smallest ids, collected
+    * driver-side (tiny, sanctioned) and compiled into scan-side argmin
+    * column algebra — so DuckDB mirrors the whole pipeline bit-exactly.
+    * Production would swap the pinned centroids for a KMeans fit
+    * ([[ivfBuild]]); everything downstream is identical.
+    *
+    * Shape at scale: clustering is THE SemDeDup trick — the pair join keys
+    * on list_id, so comparisons are O(Σ cluster²) not O(N²), and the
+    * cluster count is chosen to bound cluster size (the paper uses ~11k
+    * clusters for 233M docs). The repartition on list_id lets ReuseExchange
+    * share one materialization of the assign+norm pipeline across both
+    * self-join sides. A pathologically hot cluster is the same failure mode
+    * as a hot LSH bucket — raise nLists (real KMeans splits dense regions
+    * by construction) the way [[Dedup.DefaultMaxBandBucketSize]] caps
+    * band buckets. */
+  def semDedupPinned(emb: DataFrame, id: String, vec: String,
+                     nLists: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val e = emb.select(col(id), asDouble(col(vec)).as("v"))
+    val cents: Array[Seq[Double]] = e.filter(col(id) < nLists)
+      .orderBy(col(id)).collect().map(_.getSeq[Double](1))
+    def sqdistTo(c: Seq[Double]): Column =
+      aggregate(zip_with(col("v"), array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x)
+    val distStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqdistTo(c).as("d"), lit(i).as("i"))
+    }.toSeq: _*)
+    val assigned = e
+      .withColumn("list_id", array_min(distStructs).getField("i"))
+      .withColumn("nrm", norm(col("v")))
+      .repartition(col("list_id"))
+    val dups = assigned.select(col(id).as("id1"), col("v").as("v1"),
+        col("list_id"), col("nrm").as("n1"))
+      .join(assigned.select(col(id).as("id2"), col("v").as("v2"),
+        col("list_id"), col("nrm").as("n2")), Seq("list_id"))
+      .filter(col("id1") < col("id2"))
+      .filter(dot(col("v1"), col("v2")) / (col("n1") * col("n2")) >= threshold)
+      .groupBy(col("id2")).agg(min(col("id1")).as("dup_of"))
+    assigned.select(col(id), col("list_id"))
+      .join(dups.withColumnRenamed("id2", id), Seq(id), "left")
+      .select(col(id), col("list_id"),
+        col("dup_of").isNotNull.cast("int").as("is_dup"), col("dup_of"))
+  }
 }

@@ -567,6 +567,49 @@ class OpsSpec extends SparkSpec {
     assert(rMp >= rLsh4 + 3, s"multiprobe recall@10 = $rMp/10 vs single $rLsh4/10")
   }
 
+  test("ngram contamination flags exactly the train docs sharing eval shingles") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps high"),   // shares "the quick brown" etc.
+      (11L, "entirely different words appear here now"),
+      (12L, "short")                             // < n tokens: no shingles, no row
+    ).toDF("doc_id", "text")
+    val eval = Seq((1L, "the quick brown fox runs")).toDF("doc_id", "text")
+    val out = Dedup.ngramContamination(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(4)))).toMap
+    // doc 10: shingles {the quick brown, quick brown fox, brown fox jumps,
+    // fox jumps high}; eval has the first two → 2 of 4 contaminated
+    assert(out(10L) === ((4L, 2L, 1)))
+    assert(out(11L) === ((4L, 0L, 0)))
+    assert(!out.contains(12L)) // shingle-free doc has no denominator
+    // the eval shingle set must reach the train stream as a broadcast
+    // semi-join — the 100 TB shape (no shuffle of train against eval)
+    val plan = Dedup.ngramContamination(train, eval, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "expected broadcast left-semi eval probe:\n" + plan)
+  }
+
+  test("semDedupPinned keeps the min-id representative per semantic group") {
+    // 2 well-separated directions in 64-d; ids 0/1 pin the centroids.
+    def vec(axis: Int, mag: Double): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(axis) = mag.toFloat; a
+    }
+    val emb = Seq(
+      (0L, vec(0, 1.0)), (1L, vec(1, 1.0)),        // centroids
+      (2L, vec(0, 2.0)),                            // cluster 0, cos=1 to id 0
+      (3L, vec(1, 0.5)),                            // cluster 1, cos=1 to id 1
+      (4L, vec(2, 1.0))                             // orthogonal to both: no dup
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupPinned(emb, "vec_id", "embedding",
+        nLists = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), Option(r.get(3))))).toMap
+    assert(out(0L) === ((0, None)))            // min id of its group survives
+    assert(out(1L) === ((0, None)))
+    assert(out(2L) === ((1, Some(0L))))        // dup of 0 within cluster 0
+    assert(out(3L) === ((1, Some(1L))))        // dup of 1 within cluster 1
+    assert(out(4L)._1 === 0)                   // orthogonal: kept
+  }
+
   test("hash60 matches between driver-side and Catalyst implementations") {
     val fromCol = Seq("abc", "plane_3_5").toDF("s")
       .select(TextAnalysis.hash60(col("s"))).as[Long].collect().toSeq
