@@ -55,15 +55,18 @@ object CorpusPipeline {
     // SEVERAL downstream subtrees (near-dup pair generation, component ids,
     // two semi-joins, the span gate, the final select). Inside one plan
     // Catalyst recomputes each occurrence — eager localCheckpoint
-    // materializes the stage once instead. Off by default, for two reasons:
-    // a library must not leak persisted blocks, and MEASURED at sf0.1 the
-    // lazy plan is FASTER end-to-end (8.0 vs 8.9 s) — the checkpoint
+    // materializes the stage once instead. Off by default: a library must
+    // not leak persisted blocks (they live until the returned frames are
+    // garbage-collected or the session ends), and which mode is FASTER
+    // depends on how many consumers the chain fans out to. MEASURED at
+    // sf0.1: span gate OFF → lazy wins (8.0 vs 8.9 s; the checkpoint
     // materializes full-width rows and fences off column pruning, so each
-    // consumer reads wide checkpointed rows instead of recomputing a
-    // narrow pruned subtree. Turn on only when stages are re-consumed
-    // across several ACTIONS (interactive use, stage-count auditing) where
-    // recompute-per-action dominates; blocks live until the returned
-    // frames are garbage-collected (ContextCleaner) or the session ends.
+    // consumer reads wide rows instead of recomputing a narrow pruned
+    // subtree). Span gate ON → persist wins (6.1 vs 8.0 s; the gate's
+    // left_semi doubles the langFiltered subtree, tipping total recompute
+    // past the pruning loss). Rule of thumb: enable it when maxDupSpanFrac
+    // is set or when stages are re-consumed across several ACTIONS
+    // (interactive use, stage-count auditing).
     def stage(df: DataFrame): DataFrame =
       if (persistStages) df.localCheckpoint(true) else df
 
