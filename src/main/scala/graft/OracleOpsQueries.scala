@@ -80,6 +80,13 @@ object OracleOpsQueries {
         (graft.ops.Splits.hashBucket(col("doc_id"), "sample") < 100)
           .cast("int").as("in_10pct_sample"))
 
+  /** Training-shard addresses over the documents table: 16 shards, salted
+    * hash-ordered positions within each — the deterministic global-shuffle
+    * write layout ([[graft.ops.Splits.assignShards]]). */
+  def corpusShard(s: SparkSession, d: String): DataFrame =
+    graft.ops.Splits.assignShards(
+      Tables.documents(s, d).select(col("doc_id")), "doc_id", nShards = 16)
+
   /** Token-budget mixture construction: per length-centile stratum, keep
     * the salted-hash-ordered document prefix until that stratum's budget is
     * exhausted (boundary doc kept, see
@@ -298,6 +305,7 @@ object OracleOpsQueries {
     "text_repetition" -> (textRepetition _),
     "text_c4" -> (textC4 _),
     "dataset_split" -> (datasetSplit _),
+    "corpus_shard" -> (corpusShard _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_agg" -> (dedupExactAgg _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -677,6 +685,16 @@ object OracleOpsQueries {
          |       WHEN bucket < 950 THEN 'val'
          |       ELSE 'test' END AS split,
          |  CAST(CASE WHEN sbucket < 100 THEN 1 ELSE 0 END AS INT) AS in_10pct_sample
+         |FROM b""".stripMargin,
+    "corpus_shard" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    ${h60("'shard_' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         |    ${h60("'shard_pos_' || CAST(doc_id AS VARCHAR)")} AS rk
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) - 1
+         |    AS BIGINT) AS pos
          |FROM b""".stripMargin,
     "dedup_exact" -> dedupExactSql,
     // identical semantics, different physical shape — same oracle

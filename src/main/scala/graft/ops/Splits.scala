@@ -70,6 +70,31 @@ object Splits {
       .select(col(id), col("stratum"), col("rank"))
   }
 
+  /** Deterministic training-shard assignment — the write step of a corpus
+    * pipeline: shard = salted hash bucket in [0, nShards), pos = the row's
+    * dense rank inside its shard ordered by a second salted hash (ties
+    * impossible — (hash, id) is a total order). Together they give every
+    * document a stable (shard, position) training address; writing is then
+    * `assignShards(...).write.partitionBy("shard")` with nShards sized so
+    * one shard ≈ one training file. Because the within-shard order is a
+    * salted hash, concatenating shard files yields a globally shuffled
+    * training order WITHOUT any global sort — one shuffle on the shard key
+    * + a per-shard spillable sort, the same shape at 100 TB.
+    *
+    * Like [[tokenBudgetSample]] (and unlike [[assignSplit]]), `pos` is not
+    * stable under corpus growth — a new document shifts later positions in
+    * its shard; pin shard layouts to a snapshot. */
+  def assignShards(df: DataFrame, id: String, nShards: Int,
+                   salt: String = "shard"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__rk"), col(id))
+    df.withColumn("shard", hashBucket(col(id), salt, nShards))
+      .withColumn("__rk",
+        TextAnalysis.hash60(concat_ws("_", lit(salt + "_pos"), col(id).cast("string"))))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__rk")
+  }
+
   /** Token-budget corpus mix (the Pile/Dolma mixture-construction pass):
     * within each stratum (domain/source/language), order documents by the
     * salted id hash and keep the prefix whose cumulative token count stays

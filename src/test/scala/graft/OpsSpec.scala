@@ -589,6 +589,53 @@ class OpsSpec extends SparkSpec {
       "expected broadcast left-semi eval probe:\n" + plan)
   }
 
+  test("ngramContamination matches a sequential reference on random corpora") {
+    // risks: the distinct-per-doc shingle semantics through the semi join,
+    // and zero-overlap / shingle-free docs through the left join
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { trial =>
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+      def mkCorpus(base: Long, count: Int) = (base until base + count).map { i =>
+        val n = rnd.nextInt(8) // 0..7 tokens — includes shingle-free docs
+        i -> (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val train = mkCorpus(100L, 15 + rnd.nextInt(10))
+      val eval = mkCorpus(900L, 3 + rnd.nextInt(3))
+      val got = Dedup.ngramContamination(
+          train.toDF("doc_id", "text").repartition(8),
+          eval.toDF("doc_id", "text").repartition(4), "doc_id", "text", n = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+      def shingles(t: String) = {
+        val ts = t.split("\\s+").filter(_.nonEmpty).toSeq
+        if (ts.length >= 2) ts.sliding(2).map(_.mkString(" ")).toSet else Set.empty[String]
+      }
+      val evalSet = eval.flatMap { case (_, t) => shingles(t) }.toSet
+      train.foreach { case (i, t) =>
+        val sh = shingles(t)
+        if (sh.isEmpty) assert(!got.contains(i), s"trial $trial doc $i")
+        else assert(got(i) === ((sh.size.toLong, sh.count(evalSet).toLong)),
+          s"trial $trial doc $i")
+      }
+    }
+  }
+
+  test("assignShards: full coverage, dense per-shard positions, partition-invariant") {
+    val docs = (0L until 200L).toDF("doc_id")
+    val a = graft.ops.Splits.assignShards(docs.repartition(16), "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.length === 200)
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions are exactly 0..size-1 within every shard
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq, s"shard $s")
+    }
+    // same addresses regardless of input partitioning
+    val b = graft.ops.Splits.assignShards(docs.coalesce(1), "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+  }
+
   test("semDedupPinned keeps the min-id representative per semantic group") {
     // 2 well-separated directions in 64-d; ids 0/1 pin the centroids.
     def vec(axis: Int, mag: Double): Array[Float] = {

@@ -76,6 +76,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim_sem_dedup reuses the assignment exchange across the self-join sides") {
+    // the repartition(list_id) makes both pair-join sides the same shuffle
+    // subplan; without exchange reuse the centroid-argmin assignment (8
+    // 64-dim sqdist folds per row) would run once per side. AQE applies
+    // the reuse at stage materialization, so execute before reading the
+    // plan (the initial plan still shows two distinct Exchanges).
+    val df = SparkEntry.queries("sim_sem_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p).nonEmpty,
+      s"expected the self-join to reuse the assignment exchange:\n$p")
+  }
+
+  test("corpus_shard is a single-shuffle window plan") {
+    val p = plan("corpus_shard")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1, s"corpus_shard must shuffle once (on shard):\n$p")
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     // VERDICT r3 item 5: the 100 TB skew story, plan-evidenced. Default
     // skew thresholds (256 MB) never trigger on test data, so they are
