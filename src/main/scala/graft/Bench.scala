@@ -31,6 +31,13 @@ object Bench {
     def sweep(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // two GCs with a pause: the first queues dead broadcasts/checkpoints
+      // onto the ContextCleaner's reference queue, the pause lets the
+      // async cleaner drain it, the second collects what the cleanup
+      // itself released — otherwise the NEXT query's timed region runs
+      // concurrently with the previous query's deferred cleanup
+      System.gc()
+      Thread.sleep(250)
       System.gc()
     }
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {

@@ -620,6 +620,18 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ngramContamination: shuffled-semi path (broadcastEval=false) equals broadcast path") {
+    // the huge-eval-corpus escape hatch must be a pure plan change
+    val train = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "aa bb cc"))
+      .toDF("doc_id", "text")
+    val eval = Seq((9L, "aa bb cc zz")).toDF("doc_id", "text")
+    def run(b: Boolean) = Dedup.ngramContamination(
+        train, eval, "doc_id", "text", n = 2, broadcastEval = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4))).toSet
+    assert(run(true) === run(false))
+    assert(run(true) === Set((1L, 3L, 2L, 1), (2L, 3L, 0L, 0), (3L, 2L, 2L, 1)))
+  }
+
   test("assignShards: full coverage, dense per-shard positions, partition-invariant") {
     val docs = (0L until 200L).toDF("doc_id")
     val a = graft.ops.Splits.assignShards(docs.repartition(16), "doc_id", nShards = 8)
