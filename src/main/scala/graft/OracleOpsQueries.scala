@@ -178,6 +178,33 @@ object OracleOpsQueries {
   def dedupParagraph(s: SparkSession, d: String): DataFrame =
     Dedup.paragraphDedup(Tables.documents(s, d), "doc_id", "text")
 
+  /** Incremental exact dedup — the daily-increment ingest decision. The
+    * batch is a planted re-crawl (the synthetic corpus has no natural
+    * cross-batch duplicates): every 7th doc re-ingested verbatim under a
+    * new id (+10000) and every 7k+3 doc re-ingested with a fresh suffix
+    * (+20000), mirrored in the oracle SQL — so both outcomes occur:
+    * re-crawls resolve to a corpus_dup_of and are dropped, suffixed docs
+    * are new and kept. */
+  def dedupIncrementalExact(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    val batch = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(col("text"), lit(" fresh suffix")).as("text")))
+    Dedup.incrementalExact(batch, base, "doc_id", "text")
+  }
+
+  /** Incremental MinHash near-dup: batch = odd ids vs corpus = even ids —
+    * 12 of the 25 sf0.01 near-dup pairs cross parity, so the gate is
+    * non-vacuous without planting. */
+  def dedupIncrementalMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalMinhashPairs(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+  }
+
   /** Benchmark decontamination: eval set = every 29th doc, train = the
     * rest; per train doc, how many of its distinct 3-gram shingles occur
     * anywhere in the eval set. The synthetic docs draw from a shared small
@@ -316,6 +343,8 @@ object OracleOpsQueries {
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_contamination" -> (dedupContamination _),
+    "dedup_incremental_exact" -> (dedupIncrementalExact _),
+    "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "sim_sem_dedup" -> (semDedup _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_substring" -> (dedupSubstring _),
@@ -384,9 +413,11 @@ object OracleOpsQueries {
        |  FROM e, planes pl),
        |bk AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)""".stripMargin
 
-  /** MinHash+LSH CTE chain up to (com, cnt) — shared by the pair query and
-    * the connected-components query. */
-  private def minhashCtes(bucketCap: Option[Int] = None): String = {
+  /** MinHash+LSH CTE chain up to (com, cnt) — shared by the pair query,
+    * the connected-components query, and (with a cross-side `candCond`)
+    * the incremental variant. */
+  private def minhashCtes(bucketCap: Option[Int] = None,
+                          candCond: String = "a.doc_id < b.doc_id"): String = {
     val p = Dedup.MinhashP
     val sigCols = (0 until 8).map(i =>
       s"MIN(((h % $p) * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $p) AS m$i").mkString(",\n    ")
@@ -416,7 +447,7 @@ object OracleOpsQueries {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM buckets a JOIN buckets b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.key = b.key AND ($candCond)),
        |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
        |com AS (
        |  SELECT c.id1, c.id2, count(*) AS common
@@ -789,6 +820,31 @@ object OracleOpsQueries {
         |  COALESCE(string_agg(para, '. ' ORDER BY pos) FILTER (WHERE rn = 1), '')
         |    AS clean_text
         |FROM f GROUP BY doc_id""".stripMargin,
+    "dedup_incremental_exact" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text || ' fresh suffix' AS text
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |bf AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM batch),
+        |cf AS (
+        |  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |    MIN(doc_id) AS corpus_dup_of
+        |  FROM documents GROUP BY 1)
+        |SELECT bf.doc_id, bf.fp,
+        |  MIN(bf.doc_id) OVER (PARTITION BY bf.fp) AS batch_canonical_id,
+        |  cf.corpus_dup_of,
+        |  CAST(cf.corpus_dup_of IS NULL
+        |       AND bf.doc_id = MIN(bf.doc_id) OVER (PARTITION BY bf.fp) AS INT) AS keep
+        |FROM bf LEFT JOIN cf ON bf.fp = cf.fp""".stripMargin,
+    "dedup_incremental_minhash" ->
+      s"""WITH ${minhashCtes(candCond = "a.doc_id % 2 = 1 AND b.doc_id % 2 = 0")}
+         |SELECT m.id1, m.id2,
+         |  CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) AS jaccard
+         |FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
+         |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_contamination" ->
       s"""WITH $shinglesCte,
          |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),

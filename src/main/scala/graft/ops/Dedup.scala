@@ -332,64 +332,138 @@ object Dedup {
                       threshold: Double = 0.5,
                       maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
-    val rows = k / bands
-    // ONE aggregation pass builds everything per doc: the k minhashes (over
-    // h mod P), the shingle count, and the 60-bit shingle-hash set for
-    // exact verification. The scan+shingle+md5 work happens once; the
-    // single groupBy(id) shuffle is shared by every consumer below
-    // (ReuseExchange), vs. 3-4 re-scans in the naive shape.
-    // NEGATIVE RESULT (measured, do not retry): computing the k minhashes
-    // scan-side as array algebra over the per-doc shingle array —
-    // array_min(transform(hs, h => (h*a+b) % P)) × k, then repartition(id)
-    // instead of explode+groupBy — is ~6× SLOWER at sf0.1 (12.9 s vs
-    // 2.05 s). Higher-order functions are interpreted (no codegen) and each
-    // of the k transforms allocates an intermediate array per row, while
-    // the exploded shape keeps the k min() aggregates inside whole-stage
-    // codegen with map-side partial aggregation absorbing the per-shingle
-    // rows before the shuffle.
+    val perDoc = minhashPerDoc(df, id, text, n, k)
+    val buckets = bandBuckets(perDoc, id, k, bands, maxBandBucketSize)
+    val cand = buckets.toDF("id1", "band", "key")
+      .join(buckets.toDF("id2", "band", "key"), Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    verifyJaccard(cand, perDoc, id, threshold)
+  }
+
+  /** ONE aggregation pass builds everything per doc: the k minhashes (over
+    * h mod P), the shingle count, and the 60-bit shingle-hash set for
+    * exact verification. The scan+shingle+md5 work happens once; the
+    * single groupBy(id) shuffle is shared by every consumer
+    * (ReuseExchange), vs. 3-4 re-scans in the naive shape.
+    * NEGATIVE RESULT (measured, do not retry): computing the k minhashes
+    * scan-side as array algebra over the per-doc shingle array —
+    * array_min(transform(hs, h => (h*a+b) % P)) × k, then repartition(id)
+    * instead of explode+groupBy — is ~6× SLOWER at sf0.1 (12.9 s vs
+    * 2.05 s). Higher-order functions are interpreted (no codegen) and each
+    * of the k transforms allocates an intermediate array per row, while
+    * the exploded shape keeps the k min() aggregates inside whole-stage
+    * codegen with map-side partial aggregation absorbing the per-shingle
+    * rows before the shuffle. Output: (id, m0..m{k-1}, n_sh, hs). */
+  private def minhashPerDoc(df: DataFrame, id: String, text: String,
+                            n: Int, k: Int): DataFrame = {
     val hh = hashedShingles(df, id, text, n)
       .withColumn("hp", col("h") % MinhashP)
     val sigAggs = (0 until k).map(i =>
       min((col("hp") * minhashA(i) + minhashB(i)) % MinhashP).as(s"m$i"))
-    val perDoc = hh.groupBy(col(id)).agg(sigAggs.head,
+    hh.groupBy(col(id)).agg(sigAggs.head,
       (sigAggs.tail :+ count(lit(1)).as("n_sh") :+ collect_list(col("h")).as("hs")): _*)
+  }
+
+  /** Band-key rows (id, band, key) from a [[minhashPerDoc]] frame.
+    * Repartitioned on the join key: both sides of a bucket join over the
+    * SAME input become one shuffle subplan, so ReuseExchange materializes
+    * the signature pipeline once instead of running it per side (a
+    * broadcast right side would recompute it end-to-end). The bucket-size
+    * cap is a window over the EXISTING (band, key) partitioning — no extra
+    * exchange, same trick as the ngram doc-frequency cap. */
+  private def bandBuckets(perDoc: DataFrame, id: String, k: Int, bands: Int,
+                          maxBandBucketSize: Option[Int]): DataFrame = {
+    val rows = k / bands
     val bandCols = (0 until bands).map { bIdx =>
       val key = concat_ws("_",
         (0 until rows).map(r => col(s"m${bIdx * rows + r}")): _*)
       struct(lit(bIdx).as("band"), key.as("key"))
     }
-    // repartition on the join key: both self-join sides become the SAME
-    // shuffle subplan, so ReuseExchange materializes the signature pipeline
-    // once instead of running it per side (the right side would otherwise
-    // be planned as a broadcast with its own full recompute)
     val buckets0 = perDoc.select(col(id), explode(array(bandCols: _*)).as("b"))
       .select(col(id), col("b.band").as("band"), col("b.key").as("key"))
       .repartition(col("band"), col("key"))
-    // bucket-size cap via a window over the EXISTING (band, key)
-    // partitioning — no extra exchange, same trick as the ngram cap
-    val buckets = maxBandBucketSize match {
+    maxBandBucketSize match {
       case Some(cap) =>
         val w = Window.partitionBy(col("band"), col("key"))
         buckets0.withColumn("__bs", count(lit(1)).over(w))
           .filter(col("__bs") <= cap).select(col(id), col("band"), col("key"))
       case None => buckets0
     }
-    val cand = buckets.toDF("id1", "band", "key")
-      .join(buckets.toDF("id2", "band", "key"), Seq("band", "key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    // exact verification on candidates: set intersection of the per-doc
-    // hash sets (distinct per doc), O(|A|+|B|) per pair — no re-explode,
-    // no second shuffle of the full shingle table
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the per-doc
+    * hash sets (distinct per doc): set intersection is O(|A|+|B|) per
+    * pair — no re-explode, no second shuffle of the full shingle table.
+    * `left`/`right` supply the (n_sh, hs) payloads for id1/id2. */
+  private def verifyJaccard(cand: DataFrame, perDoc: DataFrame, id: String,
+                            threshold: Double,
+                            rightPerDoc: Option[DataFrame] = None): DataFrame = {
     val docSets = perDoc.select(col(id), col("n_sh"), col("hs"))
+    val rightSets = rightPerDoc.getOrElse(perDoc)
+      .select(col(id), col("n_sh"), col("hs"))
     cand
       .join(docSets.toDF("id1", "n1", "hs1"), "id1")
-      .join(docSets.toDF("id2", "n2", "hs2"), "id2")
+      .join(rightSets.toDF("id2", "n2", "hs2"), "id2")
       .withColumn("common", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+  }
+
+  /** Incremental exact dedup — the daily-increment production pattern:
+    * flag each BATCH document against the already-ingested corpus and
+    * against the batch itself. Output one row per batch doc:
+    * (id, fp, batch_canonical_id, corpus_dup_of, keep) where
+    * corpus_dup_of = min corpus id sharing the fingerprint (null if the
+    * content is new), batch_canonical_id = min batch id sharing it, and
+    * keep = 1 iff the doc is the batch canonical AND unseen in the corpus
+    * — exactly the rows an idempotent ingest appends.
+    *
+    * Shape at scale: the corpus side collapses to one (fp → min id) row
+    * per distinct fingerprint via a map-side-combined aggregate; the batch
+    * takes one window shuffle; they meet in a join keyed on fp. A
+    * production system persists the corpus fingerprint index (bucketed by
+    * fp — [[graft.operators.Scale.writeBucketed]]) so each increment
+    * re-shuffles only the batch, not the 100 TB corpus. */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame,
+                       id: String, text: String): DataFrame = {
+    val bf = batch.select(col(id), fingerprint(col(text)).as("fp"))
+    val cf = corpus.select(col(id), fingerprint(col(text)).as("fp"))
+      .groupBy(col("fp")).agg(min(col(id)).as("corpus_dup_of"))
+    val w = Window.partitionBy(col("fp"))
+    bf.withColumn("batch_canonical_id", min(col(id)).over(w))
+      .join(cf, Seq("fp"), "left")
+      .withColumn("keep",
+        (col("corpus_dup_of").isNull && (col(id) === col("batch_canonical_id")))
+          .cast("int"))
+      .select(col(id), col("fp"), col("batch_canonical_id"),
+        col("corpus_dup_of"), col("keep"))
+  }
+
+  /** Incremental MinHash+LSH near-dup: candidate pairs are (batch doc,
+    * corpus doc) sharing a band bucket — the batch never self-pairs and
+    * the corpus never re-pairs against itself, so an increment costs
+    * O(batch buckets ⋈ corpus buckets), not another full-corpus pass.
+    * Returns (id1 = batch id, id2 = corpus id, jaccard ≥ threshold).
+    * Production persists the corpus band-bucket table (partitioned by
+    * (band, key)) and the per-doc signature payloads; each increment then
+    * shuffles only the batch side. Same hot-bucket cap as
+    * [[minhashLshPairs]], applied per side. */
+  def incrementalMinhashPairs(batch: DataFrame, corpus: DataFrame,
+                              id: String, text: String,
+                              n: Int = 3, k: Int = 8, bands: Int = 4,
+                              threshold: Double = 0.5,
+                              maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val pb = minhashPerDoc(batch, id, text, n, k)
+    val pc = minhashPerDoc(corpus, id, text, n, k)
+    val cand = bandBuckets(pb, id, k, bands, maxBandBucketSize).toDF("id1", "band", "key")
+      .join(bandBuckets(pc, id, k, bands, maxBandBucketSize).toDF("id2", "band", "key"),
+        Seq("band", "key"))
+      .select("id1", "id2").distinct()
+    verifyJaccard(cand, pb, id, threshold, rightPerDoc = Some(pc))
   }
 
   /** Near-dup clustering: connected components over an undirected pair

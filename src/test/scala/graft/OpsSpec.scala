@@ -620,6 +620,48 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalExact: corpus dup dropped, batch dup keeps one, fresh doc kept") {
+    val corpus = Seq((1L, "known content here"), (2L, "other corpus text"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "known content here"),   // re-crawl of corpus doc 1
+      (11L, "brand new content"),    // fresh, duplicated inside the batch
+      (12L, "brand new content"),
+      (13L, "entirely novel words")  // fresh, unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), Option(r.get(3)), r.getInt(4)))).toMap
+    assert(out(10L) === ((10L, Some(1L), 0)))  // known: dropped
+    assert(out(11L) === ((11L, None, 1)))      // batch canonical: kept
+    assert(out(12L) === ((11L, None, 0)))      // batch dup: dropped
+    assert(out(13L) === ((13L, None, 1)))
+  }
+
+  test("incrementalMinhashPairs equals the cross-side restriction of the full pair set") {
+    val mk = (i: Long, t: String) => (i, t)
+    val a = Seq( // batch: near-dups of corpus docs + one unrelated
+      mk(11L, "the quick brown fox jumps over the lazy dog today"),
+      mk(13L, "completely unrelated text about spark planning here now"),
+      mk(15L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val b = Seq(
+      mk(2L, "the quick brown fox jumps over the lazy dog yesterday"),
+      mk(4L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      mk(6L, "nothing like anything else in either side at all"))
+      .toDF("doc_id", "text")
+    val inc = Dedup.incrementalMinhashPairs(a, b, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLshPairs(a.unionByName(b), "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossFull = full.collect {
+      case (x, y) if (x % 2 == 0) != (y % 2 == 0) =>
+        if (y % 2 == 1) (y, x) else (x, y) // orient batch(odd) -> corpus(even)
+    }
+    assert(inc === crossFull)
+    assert(inc.nonEmpty, "gate must be non-vacuous")
+  }
+
   test("ngramContamination: shuffled-semi path (broadcastEval=false) equals broadcast path") {
     // the huge-eval-corpus escape hatch must be a pure plan change
     val train = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "aa bb cc"))
