@@ -394,8 +394,21 @@ object Similarity {
     val distStructs = array(cents.zipWithIndex.map { case (c, i) =>
       struct(sqdistTo(c).as("d"), lit(i).as("i"))
     }.toSeq: _*)
-    val assigned = e
-      .withColumn("list_id", array_min(distStructs).getField("i"))
+    val assigned = e.withColumn("list_id", array_min(distStructs).getField("i"))
+    semDedupAssigned(assigned, id, threshold)
+  }
+
+  /** SemDeDup core over an already-clustered corpus `(id, v, list_id)` —
+    * the shape [[IvfIndex.corpus]] provides, so the production path is
+    * `semDedupIndexed(ivfBuild(...), threshold)`: the coarse quantizer is
+    * fit once per corpus (a batch job at 100 TB) and the dedup pass is a
+    * within-list pair join over it, partition-pruned when the index was
+    * [[ivfWrite]]-persisted. Pair semantics identical to
+    * [[semDedupPinned]] (which gates this exact code path through the
+    * DuckDB oracle with pinned centroids). */
+  def semDedupAssigned(assigned0: DataFrame, id: String,
+                       threshold: Double): DataFrame = {
+    val assigned = assigned0
       .withColumn("nrm", norm(col("v")))
       .repartition(col("list_id"))
     val dups = assigned.select(col(id).as("id1"), col("v").as("v1"),
@@ -410,4 +423,9 @@ object Similarity {
       .select(col(id), col("list_id"),
         col("dup_of").isNotNull.cast("int").as("is_dup"), col("dup_of"))
   }
+
+  /** [[semDedupAssigned]] over a built (or loaded) IVF index — the
+    * KMeans-clustered production variant of [[semDedupPinned]]. */
+  def semDedupIndexed(index: IvfIndex, threshold: Double): DataFrame =
+    semDedupAssigned(index.corpus, index.id, threshold)
 }

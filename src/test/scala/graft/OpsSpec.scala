@@ -711,6 +711,41 @@ class OpsSpec extends SparkSpec {
     assert(out(4L)._1 === 0)                   // orthogonal: kept
   }
 
+  test("semDedupIndexed over a KMeans IVF index satisfies the SemDeDup invariants") {
+    // KMeans cluster ids are fit-dependent, so assert semantics, not ids:
+    // every dup points at a smaller same-list doc with cos >= threshold,
+    // and every kept doc has NO smaller same-list doc above threshold.
+    def vec(axis: Int, mag: Double): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(axis) = mag.toFloat; a
+    }
+    val emb = Seq(
+      (0L, vec(0, 1.0)), (1L, vec(1, 1.0)), (2L, vec(0, 2.0)),
+      (3L, vec(1, 0.5)), (4L, vec(2, 1.0)), (5L, vec(0, 3.0))
+    ).toDF("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nLists = 3)
+    val out = Similarity.semDedupIndexed(idx, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), Option(r.get(3)))).toList
+    assert(out.map(_._1).sorted === (0L to 5L).toList)
+    val lists = out.map(r => r._1 -> r._2).toMap
+    val vecs = Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 2, 5L -> 0) // axis
+    def cos(a: Long, b: Long) = if (vecs(a) == vecs(b)) 1.0 else 0.0
+    out.foreach { case (i, list, isDup, dupOf) =>
+      if (isDup == 1) {
+        val d = dupOf.get.asInstanceOf[Long]
+        assert(d < i && lists(d) === list && cos(i, d) >= 0.9, s"doc $i")
+      } else {
+        assert(dupOf.isEmpty)
+        val smaller = out.collect { case (j, l, _, _) if j < i && l == list => j }
+        assert(smaller.forall(j => cos(i, j) < 0.9), s"doc $i kept wrongly")
+      }
+    }
+    // non-vacuous: KMeans co-locates at least one colinear pair (which
+    // exact pairs depends on the fit — L2 clusters by magnitude too, e.g.
+    // {(0,2.0),(0,3.0)} can split from (0,1.0) — the invariants above are
+    // the contract)
+    assert(out.exists(_._3 == 1), "expected at least one semantic dup")
+  }
+
   test("hash60 matches between driver-side and Catalyst implementations") {
     val fromCol = Seq("abc", "plane_3_5").toDF("s")
       .select(TextAnalysis.hash60(col("s"))).as[Long].collect().toSeq
