@@ -87,6 +87,30 @@ object Streams {
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
+  /** Streaming incremental exact dedup — the streaming face of
+    * [[graft.ops.Dedup.incrementalExact]]: a document stream is checked
+    * against a STATIC corpus fingerprint index (stream-static left_anti
+    * join — the static side is re-scanned/broadcast per micro-batch, no
+    * state store) and then against ITSELF within the watermark horizon
+    * (dropDuplicatesWithinWatermark — bounded state). The output is
+    * exactly the rows an idempotent streaming ingest appends.
+    *
+    * Semantics vs the batch op: batch keeps the MIN batch id per
+    * fingerprint; an unbounded stream has no min — FIRST ARRIVAL wins —
+    * and a re-crawl arriving beyond the watermark horizon is only caught
+    * if it is in the corpus index. Production therefore folds each
+    * increment window into the index ([[graft.ops.Dedup.incrementalExact]]
+    * 's corpus aggregate, persisted bucketed by fp) between windows.
+    * `corpusIndex` needs a `fp` column; `docs` needs `textCol` and an
+    * `event_time` timestamp. */
+  def incrementalDedupStream(docs: DataFrame, corpusIndex: DataFrame,
+                             textCol: String,
+                             lateness: String = "10 minutes"): DataFrame =
+    docs.withColumn("fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .join(corpusIndex.select(col("fp")), Seq("fp"), "left_anti")
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Event-time variant of [[sessionize]] — the backfill/replay shape. The
     * processing-time variant closes a user's FINAL session on wall-clock
     * idleness, which is wrong for a replayed stream where event time and

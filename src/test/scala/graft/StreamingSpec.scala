@@ -139,6 +139,36 @@ class StreamingSpec extends SparkSpec {
     assert(fps.sorted === Seq("fpA", "fpB"))
   }
 
+  test("streaming incremental dedup keeps the batch op's fingerprint set (equivalence)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((1L, "known content here"), (2L, "other corpus text"))
+      .toDF("doc_id", "text")
+    val batchRows = Seq(
+      (10L, "known content here"),  // in corpus: dropped by the anti join
+      (11L, "brand new content"),   // fresh, duplicated in-stream
+      (12L, "brand new content"),
+      (13L, "entirely novel words"))
+    // the same index the batch op builds: one row per distinct corpus fp
+    val index = corpus
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val t0 = 1700000000000L
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    ms.addData(batchRows.zipWithIndex.map { case ((i, t), k) =>
+      (i, t, new java.sql.Timestamp(t0 + k * 1000)) }: _*)
+    val q = Streams.incrementalDedupStream(
+        ms.toDF.toDF("doc_id", "text", "event_time"), index, "text")
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT fp FROM inc_dedup").as[String].collect().toSet
+    // batch reference: the kept rows of Dedup.incrementalExact
+    val batchKept = graft.ops.Dedup.incrementalExact(
+        batchRows.toDF("doc_id", "text"), corpus, "doc_id", "text")
+      .filter(col("keep") === 1).select("fp").as[String].collect().toSet
+    assert(streamed === batchKept)
+    assert(streamed.size === 2) // {brand new content, entirely novel words}
+  }
+
   test("streaming sessionize emits exactly the batch sessions (equivalence)") {
     // closes the loop the scaladocs claim: Streams.sessionize and
     // OracleQueries.sessionizeBatch implement the SAME event-time gap
