@@ -395,7 +395,8 @@ object Dedup {
   /** Exact Jaccard verification of candidate pairs against the per-doc
     * hash sets (distinct per doc): set intersection is O(|A|+|B|) per
     * pair — no re-explode, no second shuffle of the full shingle table.
-    * `left`/`right` supply the (n_sh, hs) payloads for id1/id2. */
+    * `perDoc` supplies the (n_sh, hs) payload for id1; `rightPerDoc` the
+    * one for id2 (defaults to `perDoc` for self-join pair sets). */
   private def verifyJaccard(cand: DataFrame, perDoc: DataFrame, id: String,
                             threshold: Double,
                             rightPerDoc: Option[DataFrame] = None): DataFrame = {
@@ -449,8 +450,17 @@ object Dedup {
     * Returns (id1 = batch id, id2 = corpus id, jaccard ≥ threshold).
     * Production persists the corpus band-bucket table (partitioned by
     * (band, key)) and the per-doc signature payloads; each increment then
-    * shuffles only the batch side. Same hot-bucket cap as
-    * [[minhashLshPairs]], applied per side. */
+    * shuffles only the batch side.
+    *
+    * Hot-bucket cap semantics: the cap applies PER SIDE, which bounds a
+    * bucket's cross fan-out at cap² — the same bound the self-join cap
+    * gives [[minhashLshPairs]]. Consequence: on data where a cap FIRES,
+    * incremental output is not exactly the cross-side restriction of a
+    * full [[minhashLshPairs]] run over the union (the union bucket can
+    * exceed the cap while each side stays under it); on cap-free data the
+    * two agree exactly (OpsSpec pins that equivalence). A pipeline
+    * validating increments against periodic full re-runs should compare
+    * uncapped or at matched per-side caps. */
   def incrementalMinhashPairs(batch: DataFrame, corpus: DataFrame,
                               id: String, text: String,
                               n: Int = 3, k: Int = 8, bands: Int = 4,

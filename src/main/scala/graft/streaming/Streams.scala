@@ -106,10 +106,10 @@ object Streams {
   def incrementalDedupStream(docs: DataFrame, corpusIndex: DataFrame,
                              textCol: String,
                              lateness: String = "10 minutes"): DataFrame =
-    docs.withColumn("fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
-      .join(corpusIndex.select(col("fp")), Seq("fp"), "left_anti")
-      .withWatermark("event_time", lateness)
-      .dropDuplicatesWithinWatermark("fp")
+    streamingDedup(
+      docs.withColumn("fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+        .join(corpusIndex.select(col("fp")), Seq("fp"), "left_anti"),
+      "fp", lateness)
 
   /** Event-time variant of [[sessionize]] — the backfill/replay shape. The
     * processing-time variant closes a user's FINAL session on wall-clock

@@ -638,7 +638,10 @@ class OpsSpec extends SparkSpec {
     assert(out(13L) === ((13L, None, 1)))
   }
 
-  test("incrementalMinhashPairs equals the cross-side restriction of the full pair set") {
+  test("incrementalMinhashPairs equals the cross-side restriction of the full pair set (cap-free)") {
+    // this equivalence is the CAP-FREE contract: with a firing bucket cap
+    // the per-side caps and the union cap diverge by design (bounding
+    // increment cost) — see the incrementalMinhashPairs scaladoc
     val mk = (i: Long, t: String) => (i, t)
     val a = Seq( // batch: near-dups of corpus docs + one unrelated
       mk(11L, "the quick brown fox jumps over the lazy dog today"),
