@@ -638,6 +638,31 @@ class OpsSpec extends SparkSpec {
     assert(out(13L) === ((13L, None, 1)))
   }
 
+  test("incrementalExact matches a sequential reference on random corpora") {
+    val rnd = new scala.util.Random(23)
+    (0 until 3).foreach { trial =>
+      // tiny vocab of whole texts → guaranteed collisions in all three
+      // relations: corpus-vs-batch, batch-internal, and both at once
+      val texts = Vector("alpha beta", "gamma delta", "epsilon", "zeta eta", "theta")
+      def pick() = texts(rnd.nextInt(texts.size))
+      val corpus = (1L to (5L + rnd.nextInt(5))).map(i => i -> pick())
+      val batch = (100L to (100L + 8 + rnd.nextInt(6))).map(i => i -> pick())
+      val got = Dedup.incrementalExact(
+          batch.toDF("doc_id", "text").repartition(8),
+          corpus.toDF("doc_id", "text").repartition(4), "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4)))).toMap
+      val corpusMin = corpus.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).min }
+      val batchMin = batch.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).min }
+      batch.foreach { case (i, t) =>
+        val cd = corpusMin.get(t)
+        val bc = batchMin(t)
+        val keep = if (cd.isEmpty && i == bc) 1 else 0
+        assert(got(i) === ((bc, cd, keep)), s"trial $trial doc $i")
+      }
+    }
+  }
+
   test("incrementalMinhashPairs equals the cross-side restriction of the full pair set (cap-free)") {
     // this equivalence is the CAP-FREE contract: with a firing bucket cap
     // the per-side caps and the union cap diverge by design (bounding

@@ -89,6 +89,18 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the self-join to reuse the assignment exchange:\n$p")
   }
 
+  test("dedup_incremental_exact: two fp shuffles, corpus min partial-aggregated, join adds none") {
+    // corpus collapses to (fp -> min id) with a map-side partial min before
+    // its ONE shuffle; the batch window takes the other; the left join then
+    // reuses both fp-partitionings — an increment costs exactly two
+    // exchanges regardless of corpus size
+    val p = plan("dedup_incremental_exact")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 2, s"expected 2 fp shuffles (window + corpus agg):\n$p")
+    assert("partial_min".r.findAllIn(p).nonEmpty,
+      s"corpus min must partial-aggregate map-side:\n$p")
+  }
+
   test("corpus_shard is a single-shuffle window plan") {
     val p = plan("corpus_shard")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
