@@ -739,6 +739,41 @@ class OpsSpec extends SparkSpec {
     assert(out(4L)._1 === 0)                   // orthogonal: kept
   }
 
+  test("semDedup capture-rate evidence: within-cluster share of true dup pairs rises with threshold") {
+    // The SemDeDup trade: only within-cluster pairs are examined (O(Σc²)
+    // work), so cross-cluster near-dups are missed — and the closer a pair
+    // is to identical, the likelier it shares a cluster. Measured on the
+    // sf0.01 embeddings with the 8 pinned centroids (deterministic):
+    // capture 279/990 = 28% of cos≥0.30 pairs, 7/14 = 50% of cos≥0.45
+    // pairs. Real corpora dedup at ≥0.9 where dups are near-colinear and
+    // capture approaches 1; the floors below pin the measured trend.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // threshold 2.0 is unreachable for cosine: yields the pure cluster
+    // assignment (no pair passes) without duplicating the argmin code
+    val lists = Similarity.semDedupPinned(emb, "vec_id", "embedding",
+      nLists = 8, threshold = 2.0).select(col("vec_id"), col("list_id"))
+    val e = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val rows = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      .join(e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2")),
+        col("id1") < col("id2"))
+      .withColumn("cos", Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= 0.30)
+      .join(lists.toDF("id1", "l1"), "id1")
+      .join(lists.toDF("id2", "l2"), "id2")
+      .select(col("cos"), (col("l1") === col("l2")).as("same"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    def capture(t: Double): Double = {
+      val at = rows.filter(_._1 >= t)
+      at.count(_._2).toDouble / at.length
+    }
+    assert(rows.length === 990, "ground-truth pair count moved — fixtures changed?")
+    assert(capture(0.30) >= 0.27, s"capture@0.30 = ${capture(0.30)}")
+    assert(capture(0.45) >= 0.49, s"capture@0.45 = ${capture(0.45)}")
+    assert(capture(0.45) > capture(0.30), "capture must rise with threshold")
+  }
+
   test("semDedupIndexed over a KMeans IVF index satisfies the SemDeDup invariants") {
     // KMeans cluster ids are fit-dependent, so assert semantics, not ids:
     // every dup points at a smaller same-list doc with cos >= threshold,
