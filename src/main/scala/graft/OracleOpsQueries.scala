@@ -218,6 +218,17 @@ object OracleOpsQueries {
       docs.filter(col("doc_id") % 29 === 0), "doc_id", "text", n = 3)
   }
 
+  /** The huge-eval-corpus escape hatch (shuffled semi join instead of
+    * broadcast) gated on the SAME oracle SQL — the dedup_exact_agg proof
+    * pattern: a pure plan change must not move a single value. */
+  def dedupContaminationShuffled(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.ngramContamination(
+      docs.filter(col("doc_id") % 29 =!= 0),
+      docs.filter(col("doc_id") % 29 === 0), "doc_id", "text", n = 3,
+      broadcastEval = false)
+  }
+
   /** SemDeDup over the embeddings table with pinned centroids (vec_id < 8
     * as the 8 cluster centers — same oracle-mirroring trick as
     * sim_ivf_topk): a vector is a semantic duplicate if some smaller
@@ -343,6 +354,7 @@ object OracleOpsQueries {
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_contamination" -> (dedupContamination _),
+    "dedup_contamination_shuffled" -> (dedupContaminationShuffled _),
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "sim_sem_dedup" -> (semDedup _),
@@ -456,6 +468,22 @@ object OracleOpsQueries {
        |  JOIN shh s2 ON s2.doc_id = c.id2 AND s1.h = s2.h
        |  GROUP BY c.id1, c.id2)""".stripMargin
   }
+
+  /** Shared by dedup_contamination and its shuffled-semi plan variant. */
+  private val contaminationSql =
+    s"""WITH $shinglesCte,
+       |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+       |ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 29 = 0),
+       |tr AS (SELECT doc_id, h FROM shh WHERE doc_id % 29 != 0),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+       |ov AS (SELECT tr.doc_id, count(*) AS n_cont
+       |       FROM tr JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
+       |SELECT c.doc_id, c.n_sh,
+       |  COALESCE(o.n_cont, 0) AS n_contaminated,
+       |  CAST(COALESCE(o.n_cont, 0) AS DOUBLE) / CAST(c.n_sh AS DOUBLE)
+       |    AS contaminated_frac,
+       |  CAST(COALESCE(o.n_cont, 0) > 0 AS INT) AS is_contaminated
+       |FROM cnt c LEFT JOIN ov o ON c.doc_id = o.doc_id""".stripMargin
 
   private val dedupExactSql =
     """WITH f AS (
@@ -845,20 +873,8 @@ object OracleOpsQueries {
          |  CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) AS jaccard
          |FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
          |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin,
-    "dedup_contamination" ->
-      s"""WITH $shinglesCte,
-         |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
-         |ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 29 = 0),
-         |tr AS (SELECT doc_id, h FROM shh WHERE doc_id % 29 != 0),
-         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
-         |ov AS (SELECT tr.doc_id, count(*) AS n_cont
-         |       FROM tr JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
-         |SELECT c.doc_id, c.n_sh,
-         |  COALESCE(o.n_cont, 0) AS n_contaminated,
-         |  CAST(COALESCE(o.n_cont, 0) AS DOUBLE) / CAST(c.n_sh AS DOUBLE)
-         |    AS contaminated_frac,
-         |  CAST(COALESCE(o.n_cont, 0) > 0 AS INT) AS is_contaminated
-         |FROM cnt c LEFT JOIN ov o ON c.doc_id = o.doc_id""".stripMargin,
+    "dedup_contamination" -> contaminationSql,
+    "dedup_contamination_shuffled" -> contaminationSql,
     "sim_sem_dedup" ->
       s"""WITH $embCte,
          |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
