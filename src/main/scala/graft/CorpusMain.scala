@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CorpusPipeline, Splits}
+
+/** The one-command corpus pipeline — the training-data counterpart of
+  * [[Pipeline]] (which drives the reference's profile workflow): read a
+  * documents table, run the full cleaning chain, lay the survivors out as
+  * training shards, and write everything partitioned for downstream
+  * training jobs.
+  *
+  *  1. clean  — [[CorpusPipeline.clean]]: paragraph dedup → exact dedup →
+  *              near-dup components → quality/language gate → optional
+  *              cross-doc span gate → redaction → deterministic split;
+  *  2. shard  — [[Splits.assignShards]] over the kept rows: stable
+  *              (shard, position) training addresses;
+  *  3. write  — `outDir/corpus` partitioned by (split, shard) so a
+  *              training job reads `split=train/shard=K/` directories
+  *              directly, plus `outDir/stats` with per-split/lang counts.
+  *
+  * Usage: `sbt "runMain graft.CorpusMain <inParquet> <outDir>"` — `in` is
+  * any parquet with (doc_id, text). The chain is one declarative plan per
+  * output; at 100 TB every stage is the shuffle budget documented on the
+  * operator itself, and the final write is the only materialization.
+  */
+object CorpusMain {
+
+  case class CorpusSummary(outDir: String, nIn: Long, nKept: Long,
+                           nShards: Int, splits: Map[String, Long])
+
+  def run(spark: SparkSession, in: DataFrame, outDir: String,
+          nShards: Int = 64, minQuality: Double = 0.0,
+          lang: Option[String] = None,
+          maxDupSpanFrac: Option[Double] = Some(0.95)): CorpusSummary = {
+    val stages = CorpusPipeline.clean(spark, in, "doc_id", "text",
+      minQuality = minQuality, lang = lang, maxDupSpanFrac = maxDupSpanFrac,
+      persistStages = true) // several output actions below re-consume stages
+    val sharded = Splits.assignShards(stages.corpus, "doc_id", nShards)
+    sharded.write.mode("overwrite").partitionBy("split", "shard")
+      .parquet(s"$outDir/corpus")
+    val stats = sharded.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails") + col("n_long_numbers")).as("n_redactions"),
+        sum(col("redacted_len")).as("n_chars"))
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+    val splitCounts = sharded.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    CorpusSummary(outDir, in.count(), splitCounts.values.sum, nShards, splitCounts)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(in, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = run(spark, spark.read.parquet(in), outDir)
+    println(s"CORPUS in=${s.nIn} kept=${s.nKept} shards=${s.nShards} " +
+      s.splits.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
+    spark.stop()
+  }
+}

@@ -69,6 +69,31 @@ class PipelineSpec extends SparkSpec {
     assert(fin.agg(sum("size")).head.getLong(0) === s.nSelectLike)
   }
 
+  test("CorpusMain.run cleans, shards, and writes a training-ready corpus layout") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val s = CorpusMain.run(spark, docs, out, nShards = 4)
+    assert(s.nIn > 0 && s.nKept > 0 && s.nKept <= s.nIn)
+    assert(s.splits.keySet.subsetOf(Set("train", "val", "test")))
+    assert(s.splits.values.sum === s.nKept)
+    // the written layout is the training contract: split/shard directories,
+    // redacted text present, shard ids within range
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() === s.nKept)
+    assert(corpus.columns.contains("redacted") && corpus.columns.contains("pos"))
+    // partition-column read-back infers int, not the written long — cast
+    val shards = corpus.select(col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(shards.forall(sh => sh >= 0 && sh < 4))
+    val trainDir = new java.io.File(s"$out/corpus/split=train")
+    assert(trainDir.isDirectory && trainDir.list().exists(_.startsWith("shard=")))
+    val stats = spark.read.parquet(s"$out/stats")
+    assert(stats.count() > 0)
+    assert(stats.agg(org.apache.spark.sql.functions.sum(col("n_docs")))
+      .head().getLong(0) === s.nKept)
+  }
+
   test("Pipeline tags are isolated: a second tag's run does not leak into the first") {
     val out = java.nio.file.Files.createTempDirectory("graft_pipeline_out2").toString
     val first = Pipeline.run(spark, "tagA", dumpDir, out, elbowKs = Seq(1, 2), finalK = 2)
