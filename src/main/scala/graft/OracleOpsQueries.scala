@@ -205,6 +205,47 @@ object OracleOpsQueries {
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
   }
 
+  /** Cross-split leakage audit — the QA step that justifies hash-splitting:
+    * near-dup pairs (MinHash+LSH, the `dedup_minhash_lsh` pair set) joined
+    * against the `dataset_split` assignment, rolled up by unordered split
+    * pair. A (test, train) row is leakage: a test doc whose near-duplicate
+    * sits in train inflates eval. Non-vacuous at sf0.01: 3 test–train and
+    * 2 train–val pairs among the 25. Shape: the pair set is band-join
+    * bounded and the split join is two broadcasts of a 2-column
+    * projection — nothing quadratic. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").select("id1", "id2")
+    val splits = graft.ops.Splits.assignSplit(docs, "doc_id")
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.toDF("id1", "s1"), "id1")
+      .join(splits.toDF("id2", "s2"), "id2")
+      .groupBy(least(col("s1"), col("s2")).as("split_a"),
+        greatest(col("s1"), col("s2")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Shingle document-frequency histogram — the evidence for CHOOSING the
+    * [[Dedup.DefaultMaxShingleDocFreq]] cap: per log2(df) bucket, how many
+    * distinct shingles, how many occurrence rows they account for, and the
+    * candidate-pair fan-out (Σ df²) they would contribute to the uncapped
+    * pair join. Integer log2 via bit-smearing (set all bits below the MSB,
+    * then bit_count − 1) — identical integer arithmetic in both engines,
+    * no float log at bucket boundaries. */
+  def shingleDfHistogram(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.hashedShingles(Tables.documents(s, d), "doc_id", "text", 3)
+    val df0 = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val smeared = Seq(1, 2, 4, 8, 16, 32).foldLeft(col("df")) {
+      (acc, k) => acc.bitwiseOR(shiftright(acc, k))
+    }
+    df0.withColumn("df_log2", (bit_count(smeared) - 1).cast("long"))
+      .groupBy(col("df_log2"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_occurrences"),
+        sum(col("df") * col("df")).as("pair_fanout"))
+  }
+
   /** Benchmark decontamination: eval set = every 29th doc, train = the
     * rest; per train doc, how many of its distinct 3-gram shingles occur
     * anywhere in the eval set. The synthetic docs draw from a shared small
@@ -355,6 +396,8 @@ object OracleOpsQueries {
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_contamination" -> (dedupContamination _),
     "dedup_contamination_shuffled" -> (dedupContaminationShuffled _),
+    "split_leakage" -> (splitLeakage _),
+    "shingle_df_histogram" -> (shingleDfHistogram _),
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "sim_sem_dedup" -> (semDedup _),
@@ -875,6 +918,37 @@ object OracleOpsQueries {
          |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_contamination" -> contaminationSql,
     "dedup_contamination_shuffled" -> contaminationSql,
+    "split_leakage" ->
+      s"""WITH ${minhashCtes()},
+         |jp AS (
+         |  SELECT m.id1, m.id2
+         |  FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
+         |  WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          ${h60("'split_' || CAST(doc_id AS VARCHAR)")} % 1000 AS b
+         |        FROM documents))
+         |SELECT least(a.split, b.split) AS split_a,
+         |  greatest(a.split, b.split) AS split_b, count(*) AS n_pairs
+         |FROM jp JOIN sp a ON jp.id1 = a.doc_id JOIN sp b ON jp.id2 = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    "shingle_df_histogram" ->
+      s"""WITH $shinglesCte,
+         |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+         |dfs AS (SELECT h, count(*) AS df FROM shh GROUP BY h),
+         |sm1 AS (SELECT df, df | (df >> 1) AS x FROM dfs),
+         |sm2 AS (SELECT df, x | (x >> 2) AS x FROM sm1),
+         |sm3 AS (SELECT df, x | (x >> 4) AS x FROM sm2),
+         |sm4 AS (SELECT df, x | (x >> 8) AS x FROM sm3),
+         |sm5 AS (SELECT df, x | (x >> 16) AS x FROM sm4),
+         |sm6 AS (SELECT df, x | (x >> 32) AS x FROM sm5)
+         |SELECT CAST(bit_count(x) - 1 AS BIGINT) AS df_log2,
+         |  count(*) AS n_shingles,
+         |  CAST(SUM(df) AS BIGINT) AS n_occurrences,
+         |  CAST(SUM(df * df) AS BIGINT) AS pair_fanout
+         |FROM sm6 GROUP BY 1""".stripMargin,
     "sim_sem_dedup" ->
       s"""WITH $embCte,
          |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
