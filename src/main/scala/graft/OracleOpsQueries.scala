@@ -205,6 +205,21 @@ object OracleOpsQueries {
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
   }
 
+  /** Near-dup cluster-size distribution — the dedup report a corpus run
+    * ends with: connected components over the MinHash pair graph, rolled
+    * up to (cluster_size, n_clusters, n_docs). Singletons dominate by
+    * design (size 1 = unique docs); the tail is the duplication mass.
+    * Non-vacuous at sf0.01: a 4-doc and several smaller families. */
+  def dedupClusterSizes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").select("id1", "id2")
+    Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"))
+  }
+
   /** Cross-split leakage audit — the QA step that justifies hash-splitting:
     * near-dup pairs (MinHash+LSH, the `dedup_minhash_lsh` pair set) joined
     * against the `dataset_split` assignment, rolled up by unordered split
@@ -398,6 +413,7 @@ object OracleOpsQueries {
     "dedup_contamination_shuffled" -> (dedupContaminationShuffled _),
     "split_leakage" -> (splitLeakage _),
     "shingle_df_histogram" -> (shingleDfHistogram _),
+    "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "sim_sem_dedup" -> (semDedup _),
@@ -918,6 +934,25 @@ object OracleOpsQueries {
          |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_contamination" -> contaminationSql,
     "dedup_contamination_shuffled" -> contaminationSql,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |mh AS (
+         |  SELECT m.id1, m.id2
+         |  FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
+         |  WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM mh
+         |  UNION ALL
+         |  SELECT id2, id1 FROM mh),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+         |szs AS (SELECT component, count(*) AS sz FROM labels GROUP BY component)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM szs GROUP BY sz""".stripMargin,
     "split_leakage" ->
       s"""WITH ${minhashCtes()},
          |jp AS (
