@@ -397,6 +397,8 @@ object OracleOpsQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_redact" -> (textRedact _),
     "text_repetition" -> (textRepetition _),
+    "text_repetition_scan" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.repetitionSignalsScanSide(Tables.documents(s, d), "doc_id", "text")),
     "text_c4" -> (textC4 _),
     "dataset_split" -> (datasetSplit _),
     "corpus_shard" -> (corpusShard _),
@@ -527,6 +529,42 @@ object OracleOpsQueries {
        |  JOIN shh s2 ON s2.doc_id = c.id2 AND s1.h = s2.h
        |  GROUP BY c.id1, c.id2)""".stripMargin
   }
+
+  /** Shared by text_repetition (exploded two-shuffle plan) and
+    * text_repetition_scan (scan-side array-fold plan) — identical output
+    * by construction, the dedup_exact_agg proof pattern. */
+  private val repetitionSql =
+    s"""WITH $toksCte,
+       |tk AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(t)) AS BIGINT) AS n_types
+       |  FROM toks),
+       |g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+       |    THEN list_transform(generate_series(1, len(t) - 1),
+       |           i -> t[i] || ' ' || t[i + 1])
+       |    ELSE [] END) AS gram
+       |  FROM toks),
+       |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct_2grams,
+       |    CAST(MAX(c) AS BIGINT) AS top_2gram_count
+       |  FROM gc GROUP BY doc_id)
+       |SELECT tk.doc_id, tk.n_tokens, tk.n_types,
+       |  CASE WHEN tk.n_tokens > 0
+       |    THEN CAST(tk.n_types AS DOUBLE) / CAST(tk.n_tokens AS DOUBLE)
+       |    ELSE 0.0 END AS type_token_ratio,
+       |  COALESCE(agg.n_2grams, 0) AS n_2grams,
+       |  COALESCE(agg.n_distinct_2grams, 0) AS n_distinct_2grams,
+       |  COALESCE(agg.top_2gram_count, 0) AS top_2gram_count,
+       |  CASE WHEN COALESCE(agg.n_2grams, 0) > 0
+       |    THEN 1.0 - CAST(agg.n_distinct_2grams AS DOUBLE) / CAST(agg.n_2grams AS DOUBLE)
+       |    ELSE 0.0 END AS dup_2gram_frac,
+       |  CASE WHEN COALESCE(agg.n_2grams, 0) > 0
+       |    THEN CAST(agg.top_2gram_count AS DOUBLE) / CAST(agg.n_2grams AS DOUBLE)
+       |    ELSE 0.0 END AS top_2gram_share
+       |FROM tk LEFT JOIN agg USING (doc_id)""".stripMargin
 
   /** Shared by dedup_contamination and its shuffled-semi plan variant. */
   private val contaminationSql =
@@ -760,38 +798,8 @@ object OracleOpsQueries {
         |    THEN CAST(n_alpha AS DOUBLE) / CAST(n_toks AS DOUBLE) ELSE 0.0 END
         |    AS alpha_token_frac
         |FROM m""".stripMargin,
-    "text_repetition" ->
-      s"""WITH $toksCte,
-         |tk AS (
-         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_distinct(t)) AS BIGINT) AS n_types
-         |  FROM toks),
-         |g AS (
-         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
-         |    THEN list_transform(generate_series(1, len(t) - 1),
-         |           i -> t[i] || ' ' || t[i + 1])
-         |    ELSE [] END) AS gram
-         |  FROM toks),
-         |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
-         |agg AS (
-         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
-         |    CAST(COUNT(*) AS BIGINT) AS n_distinct_2grams,
-         |    CAST(MAX(c) AS BIGINT) AS top_2gram_count
-         |  FROM gc GROUP BY doc_id)
-         |SELECT tk.doc_id, tk.n_tokens, tk.n_types,
-         |  CASE WHEN tk.n_tokens > 0
-         |    THEN CAST(tk.n_types AS DOUBLE) / CAST(tk.n_tokens AS DOUBLE)
-         |    ELSE 0.0 END AS type_token_ratio,
-         |  COALESCE(agg.n_2grams, 0) AS n_2grams,
-         |  COALESCE(agg.n_distinct_2grams, 0) AS n_distinct_2grams,
-         |  COALESCE(agg.top_2gram_count, 0) AS top_2gram_count,
-         |  CASE WHEN COALESCE(agg.n_2grams, 0) > 0
-         |    THEN 1.0 - CAST(agg.n_distinct_2grams AS DOUBLE) / CAST(agg.n_2grams AS DOUBLE)
-         |    ELSE 0.0 END AS dup_2gram_frac,
-         |  CASE WHEN COALESCE(agg.n_2grams, 0) > 0
-         |    THEN CAST(agg.top_2gram_count AS DOUBLE) / CAST(agg.n_2grams AS DOUBLE)
-         |    ELSE 0.0 END AS top_2gram_share
-         |FROM tk LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "text_repetition" -> repetitionSql,
+    "text_repetition_scan" -> repetitionSql,
     "dataset_split" ->
       s"""WITH b AS (
          |  SELECT doc_id,

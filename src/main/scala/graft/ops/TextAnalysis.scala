@@ -191,13 +191,68 @@ object TextAnalysis {
     * shuffle on (doc, gram), one tiny re-agg by doc — never any cross-
     * document pairing. `explode_outer` keeps sub-2-token docs in the
     * output with zeroed signals. */
+  /** [[repetitionSignals]] computed entirely scan-side: the per-gram
+    * counting collapses into per-doc array algebra — n_2grams =
+    * size(grams), distinct via array_distinct, and the top gram count as
+    * the longest equal-run in the SORTED gram array (one fold). Zero
+    * shuffles vs the exploded shape's two. The HOF-are-interpreted caveat
+    * (see the minhash negative result) cuts the other way here: one sort +
+    * one fold over a ~50-element array per doc replaces two full shuffles
+    * of the exploded gram rows. Benchmarked head-to-head at sf0.1 under
+    * the same oracle (`text_repetition` vs `text_repetition_scan`).
+    * Output identical to [[repetitionSignals]] (same oracle SQL gates
+    * both). MEASURED at sf0.1: 0.27 s vs 3.23 s — 12× faster; the fixed
+    * cost of two exchanges dominates the exploded shape at per-doc array
+    * sizes this small, so THIS is the preferred variant for typical web
+    * documents. The exploded shape remains for degenerate corpora (single
+    * documents with millions of tokens, where one row's array sort/fold
+    * cannot parallelize but exploded rows spread across the cluster). */
+  def repetitionSignalsScanSide(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = col("__tokens")
+    val grams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array())
+    val g = col("__grams")
+    val top = aggregate(array_sort(g),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.select(col(id), tokens(col(text)).as("__tokens"))
+      .withColumn("__grams", grams)
+      .select(col(id),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_types"),
+        size(g).cast("long").as("n_2grams"),
+        size(array_distinct(g)).cast("long").as("n_distinct_2grams"),
+        top.as("top_2gram_count"))
+      .select(col(id), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0,
+          col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(0.0).as("type_token_ratio"),
+        col("n_2grams"), col("n_distinct_2grams"), col("top_2gram_count"),
+        when(col("n_2grams") > 0,
+          lit(1.0) - col("n_distinct_2grams").cast("double") / col("n_2grams").cast("double"))
+          .otherwise(0.0).as("dup_2gram_frac"),
+        when(col("n_2grams") > 0,
+          col("top_2gram_count").cast("double") / col("n_2grams").cast("double"))
+          .otherwise(0.0).as("top_2gram_share"))
+  }
+
   def repetitionSignals(df: DataFrame, id: String, text: String): DataFrame = {
     val t = col("__tokens")
     // grams ship through the (doc, gram) shuffle as strings: hashing each
     // gram to hash60 first was benchmarked (sf0.1) and LOST — ~1.5M md5
     // evaluations cost more than the narrower shuffle saves at local
     // scale; revisit only if network shuffle width dominates on a real
-    // cluster
+    // cluster. See [[repetitionSignalsScanSide]]: for typical per-doc
+    // array sizes the zero-shuffle variant beats this shape 12× — prefer
+    // it unless documents are degenerately long.
     val grams = when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1), i =>
         concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
