@@ -618,7 +618,14 @@ object Dedup {
   /** 60-bit SimHash over whitespace tokens (frequency-weighted): for each
     * bit b, sum +1/-1 over tokens by bit b of hash60(token); bit set iff
     * sum > 0. Single groupBy with 60 conditional-sum aggregates — one
-    * shuffle, no explode of the bit dimension. */
+    * shuffle, no explode of the bit dimension.
+    * NEGATIVE RESULT (measured sf0.1, do not retry): a zero-shuffle
+    * scan-side variant — hash tokens once into a per-doc array, then 60
+    * static per-bit aggregate() folds — is 1.5× SLOWER (0.72 s vs
+    * 0.47 s). Unlike repetitionSignalsScanSide (array_sort + ONE fold,
+    * 12× win), 60 interpreted folds per row lose to the codegen'd
+    * exploded aggregation with map-side combine — the HOF tax scales with
+    * the number of folds, not the shuffle it avoids. */
   val SimhashBits = 60
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
     val tok = df.select(col(id), explode(tokens(col(text))).as("t"))
