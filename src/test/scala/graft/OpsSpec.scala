@@ -467,6 +467,10 @@ class OpsSpec extends SparkSpec {
     assert(byId(3L).getAs[Long]("n_2grams") === 0L)
     assert(byId(3L).getAs[Double]("dup_2gram_frac") === 0.0)
     assert(byId(4L).getAs[Long]("n_tokens") === 0L) // empty doc survives
+    // the zero-shuffle variant is row-identical, including the edge docs
+    val scan = TextAnalysis.repetitionSignalsScanSide(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(scan.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
   test("sequence packing fits every pack under capacity, deterministically") {
