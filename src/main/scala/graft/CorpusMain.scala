@@ -34,24 +34,39 @@ object CorpusMain {
           nShards: Int = 64, minQuality: Double = 0.0,
           lang: Option[String] = None,
           maxDupSpanFrac: Option[Double] = Some(0.95)): CorpusSummary = {
+    import org.apache.spark.sql.graftbridge.Bridge
     val stages = CorpusPipeline.clean(spark, in, "doc_id", "text",
       minQuality = minQuality, lang = lang, maxDupSpanFrac = maxDupSpanFrac,
       persistStages = true) // several output actions below re-consume stages
+    // checkpoint the sharded frame too: without it, the corpus write, the
+    // stats write, and the summary counts would each re-run the
+    // post-checkpoint tail (span gate's two shuffles + redaction + the
+    // shard window) — 3× the most expensive un-checkpointed stages
     val sharded = Splits.assignShards(stages.corpus, "doc_id", nShards)
-    sharded.write.mode("overwrite").partitionBy("split", "shard")
-      .parquet(s"$outDir/corpus")
-    val stats = sharded.groupBy(col("split"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_emails") + col("n_long_numbers")).as("n_redactions"),
-        sum(col("redacted_len")).as("n_chars"))
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
-    val splitCounts = sharded.groupBy(col("split")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    CorpusSummary(outDir, in.count(), splitCounts.values.sum, nShards, splitCounts)
+      .localCheckpoint(true)
+    try {
+      sharded.write.mode("overwrite").partitionBy("split", "shard")
+        .parquet(s"$outDir/corpus")
+      val stats = sharded.groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_emails") + col("n_long_numbers")).as("n_redactions"),
+          sum(col("redacted_len")).as("n_chars"))
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+      val splitCounts = sharded.groupBy(col("split")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      CorpusSummary(outDir, in.count(), splitCounts.values.sum, nShards, splitCounts)
+    } finally {
+      // every output action is done — free the stage checkpoints instead
+      // of leaking them into the caller's session until GC (the leak
+      // CorpusPipeline.clean's scaladoc warns library code about)
+      Seq(stages.cleaned, stages.exactDeduped, stages.nearDeduped, sharded)
+        .foreach(df => Bridge.backingRdds(df).foreach(_.unpersist(blocking = false)))
+    }
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(in, outDir) = args.take(2)
+    require(args.length == 2, "usage: CorpusMain <inParquet> <outDir>")
+    val Array(in, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,9 +76,10 @@ object CorpusMain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val s = run(spark, spark.read.parquet(in), outDir)
-    println(s"CORPUS in=${s.nIn} kept=${s.nKept} shards=${s.nShards} " +
-      s.splits.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
-    spark.stop()
+    try {
+      val s = run(spark, spark.read.parquet(in), outDir)
+      println(s"CORPUS in=${s.nIn} kept=${s.nKept} shards=${s.nShards} " +
+        s.splits.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
+    } finally spark.stop()
   }
 }

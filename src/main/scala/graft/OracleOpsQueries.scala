@@ -209,7 +209,8 @@ object OracleOpsQueries {
     * ends with: connected components over the MinHash pair graph, rolled
     * up to (cluster_size, n_clusters, n_docs). Singletons dominate by
     * design (size 1 = unique docs); the tail is the duplication mass.
-    * Non-vacuous at sf0.01: a 4-doc and several smaller families. */
+    * Non-vacuous at sf0.01: 453 singletons, 22 two-doc families, one
+    * three-doc family. */
   def dedupClusterSizes(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").select("id1", "id2")

@@ -183,14 +183,16 @@ object TextAnalysis {
 
   // ------------------------------------------------------------ repetition
 
-  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 use duplicate
-    * line/n-gram fractions as quality filters): per document, the
-    * type-token ratio plus word-2-gram duplication stats — fraction of
-    * repeated 2-grams and the share held by the single most frequent one.
-    * Shape at scale: one scan-side projection, one explode, one partial-agg
-    * shuffle on (doc, gram), one tiny re-agg by doc — never any cross-
-    * document pairing. `explode_outer` keeps sub-2-token docs in the
-    * output with zeroed signals. */
+  /** Word-2-gram array for a token-array column — shared by BOTH
+    * repetition variants: the two must stay bit-identical for the shared
+    * `text_repetition` oracle SQL and the OpsSpec row-identity assertion
+    * to keep holding. */
+  private def grams2(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array())
+
   /** [[repetitionSignals]] computed entirely scan-side: the per-gram
     * counting collapses into per-doc array algebra — n_2grams =
     * size(grams), distinct via array_distinct, and the top gram count as
@@ -209,10 +211,7 @@ object TextAnalysis {
     * cannot parallelize but exploded rows spread across the cluster). */
   def repetitionSignalsScanSide(df: DataFrame, id: String, text: String): DataFrame = {
     val t = col("__tokens")
-    val grams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array())
+    val grams = grams2(t)
     val g = col("__grams")
     val top = aggregate(array_sort(g),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
@@ -244,19 +243,25 @@ object TextAnalysis {
           .otherwise(0.0).as("top_2gram_share"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 use duplicate
+    * line/n-gram fractions as quality filters): per document, the
+    * type-token ratio plus word-2-gram duplication stats — fraction of
+    * repeated 2-grams and the share held by the single most frequent one.
+    * Shape at scale: one scan-side projection, one explode, one partial-agg
+    * shuffle on (doc, gram), one tiny re-agg by doc — never any cross-
+    * document pairing. `explode_outer` keeps sub-2-token docs in the
+    * output with zeroed signals. Prefer [[repetitionSignalsScanSide]]
+    * (zero shuffles, measured 12× faster) unless documents are
+    * degenerately long — a single million-token doc's array sort/fold
+    * cannot parallelize, while exploded rows spread across the cluster. */
   def repetitionSignals(df: DataFrame, id: String, text: String): DataFrame = {
     val t = col("__tokens")
     // grams ship through the (doc, gram) shuffle as strings: hashing each
     // gram to hash60 first was benchmarked (sf0.1) and LOST — ~1.5M md5
     // evaluations cost more than the narrower shuffle saves at local
     // scale; revisit only if network shuffle width dominates on a real
-    // cluster. See [[repetitionSignalsScanSide]]: for typical per-doc
-    // array sizes the zero-shuffle variant beats this shape 12× — prefer
-    // it unless documents are degenerately long.
-    val grams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array())
+    // cluster
+    val grams = grams2(t)
     val exploded = df
       .select(col(id), tokens(col(text)).as("__tokens"))
       .select(col(id),
