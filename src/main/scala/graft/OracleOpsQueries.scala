@@ -100,14 +100,16 @@ object OracleOpsQueries {
       (stratum + lit(1)) * lit(300L), salt = "mix")
   }
 
-  /** The full corpus-cleaning composition as a rows-only gated query (no
-    * DuckDB mirror: every individual stage is already oracle-gated above,
-    * and a monolithic SQL restatement of the chain would prove nothing new
-    * — the driver records rows>0 + schema instead). Filters held open and
-    * the cross-doc span gate ON at a loose threshold, so the whole
-    * paragraph → exact → near-dup → span-gate → redact → split surface
-    * executes and is timed per round. persistStages = true because the
-    * span gate is ON (see the [[graft.ops.CorpusPipeline.clean]] note:
+  /** The full corpus-cleaning composition, oracle-gated end to end: the
+    * DuckDB mirror chains the SAME stage CTEs that gate each operator
+    * individually (paragraph first-occurrence → exact fingerprint →
+    * MinHash bands → recursive-CTE components → quality/lang columns →
+    * substring-span gate → redaction → hash split) into one statement —
+    * proving stage ORDER (e.g. exact dedup runs on paragraph-CLEANED
+    * text), the one thing the per-stage gates cannot. Filters held open
+    * and the cross-doc span gate ON at a loose threshold, so the whole
+    * surface executes and is timed per round. persistStages = true because
+    * the span gate is ON (see the [[graft.ops.CorpusPipeline.clean]] note:
     * measured 6.1 s vs 8.0 s lazy at sf0.1 with the gate enabled). */
   def corpusCleanE2e(s: SparkSession, d: String): DataFrame =
     graft.ops.CorpusPipeline.clean(s, Tables.documents(s, d), "doc_id", "text",
@@ -428,14 +430,17 @@ object OracleOpsQueries {
 
   // ----------------------------------------------------------------- oracle
 
-  private val toksCte =
-    """toks AS (
-      |  SELECT doc_id, text,
-      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS t
-      |  FROM documents)""".stripMargin
+  /** Tokenize CTE over any (doc_id, text) relation — `documents` for the
+    * standalone gates, a cleaned-stage CTE for the composed e2e oracle. */
+  private def toksCteFrom(rel: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM $rel)""".stripMargin
+  private val toksCte = toksCteFrom("documents")
 
-  private val shinglesCte =
-    s"""$toksCte,
+  private def shinglesCteFrom(rel: String): String =
+    s"""${toksCteFrom(rel)},
        |shl AS (
        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
        |    THEN list_transform(generate_series(1, len(t)-2),
@@ -443,11 +448,33 @@ object OracleOpsQueries {
        |    ELSE [] END) AS shs
        |  FROM toks),
        |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl)""".stripMargin
+  private val shinglesCte = shinglesCteFrom("documents")
 
   private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   private def langScoreSql(markers: Seq[String]): String =
     s"len(list_filter(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0), x -> list_contains(${markers.map(m => s"'$m'").mkString("[", ", ", "]")}, x)))"
+
+  /** All per-language score expressions (marker stopword hits + CJK count)
+    * over a `text` column in scope — shared by text_langid and the e2e
+    * oracle's language stage. */
+  private val langScoreExprsSql: String =
+    (langMarkers.map { case (l, ms) => s"${langScoreSql(ms)} AS score_$l" } :+
+      s"CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS score_zh")
+      .mkString(",\n    ")
+
+  /** Argmax-with-alphabetical-tie-break CASE over score_* columns —
+    * the exact mirror of [[TextAnalysis.langId]]. */
+  private val langCaseSql: String = {
+    val langs = (langMarkers.map(_._1) :+ "zh").sorted
+    val branches = langs.init.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"""CASE
+       |    $branches
+       |    ELSE '${langs.last}' END""".stripMargin
+  }
 
   private val simhashSumsSql = (0 until Dedup.SimhashBits)
     .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -488,10 +515,16 @@ object OracleOpsQueries {
        |bk AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)""".stripMargin
 
   /** MinHash+LSH CTE chain up to (com, cnt) — shared by the pair query,
-    * the connected-components query, and (with a cross-side `candCond`)
-    * the incremental variant. */
-  private def minhashCtes(bucketCap: Option[Int] = None,
-                          candCond: String = "a.doc_id < b.doc_id"): String = {
+    * the connected-components query, (with a cross-side `candCond`) the
+    * incremental variant, and (with `rel` pointing at a cleaned-stage CTE)
+    * the composed corpus_clean_e2e oracle. `capSide`: extra expression the
+    * bucket-size count window partitions by — mirrors the PER-SIDE cap of
+    * [[Dedup.incrementalMinhashPairs]] (each side's bucket is capped
+    * independently, so the union bucket may exceed the cap). */
+  private def minhashCtesFrom(rel: String,
+                              bucketCap: Option[Int] = None,
+                              candCond: String = "a.doc_id < b.doc_id",
+                              capSide: Option[String] = None): String = {
     val p = Dedup.MinhashP
     val sigCols = (0 until 8).map(i =>
       s"MIN(((h % $p) * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $p) AS m$i").mkString(",\n    ")
@@ -501,17 +534,18 @@ object OracleOpsQueries {
     // mirror of maxBandBucketSize: drop over-full band buckets before pairing
     val bucketsCtes = bucketCap match {
       case Some(cap) =>
+        val part = (Seq("band", "key") ++ capSide).mkString(", ")
         s"""buckets0 AS (
            |  $bucketRows),
            |buckets AS (
            |  SELECT doc_id, band, key FROM (
-           |    SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bs
+           |    SELECT doc_id, band, key, count(*) OVER (PARTITION BY $part) AS bs
            |    FROM buckets0) WHERE bs <= $cap)""".stripMargin
       case None =>
         s"""buckets AS (
            |  $bucketRows)""".stripMargin
     }
-    s"""$shinglesCte,
+    s"""${shinglesCteFrom(rel)},
        |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
        |sig AS (
        |  SELECT doc_id,
@@ -530,6 +564,11 @@ object OracleOpsQueries {
        |  JOIN shh s2 ON s2.doc_id = c.id2 AND s1.h = s2.h
        |  GROUP BY c.id1, c.id2)""".stripMargin
   }
+
+  private def minhashCtes(bucketCap: Option[Int] = None,
+                          candCond: String = "a.doc_id < b.doc_id",
+                          capSide: Option[String] = None): String =
+    minhashCtesFrom("documents", bucketCap, candCond, capSide)
 
   /** Shared by text_repetition (exploded two-shuffle plan) and
     * text_repetition_scan (scan-side array-fold plan) — identical output
@@ -593,7 +632,137 @@ object OracleOpsQueries {
       |  CAST(doc_id != MIN(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup
       |FROM f""".stripMargin
 
+  /** Composed mirror of [[graft.ops.CorpusPipeline.clean]] with the
+    * corpus_clean_e2e parameters (minQuality = 0.0, lang = None,
+    * maxDupSpanFrac = 0.95, spanWindow = 5): each stage is the SAME CTE
+    * chain that gates the operator standalone (dedup_paragraph →
+    * dedup_exact → dedup_minhash_lsh → dedup_components recursive CTE →
+    * text_quality → text_langid → dedup_substring → text_redact →
+    * dataset_split), re-pointed at the previous stage's output — so a
+    * green row proves the COMPOSITION (stage order), not just the stages. */
+  private val corpusCleanE2eSql =
+    s"""WITH RECURSIVE
+       |px AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\.\\s+') AS ps FROM documents),
+       |pu AS (
+       |  SELECT doc_id, (x).pos AS pos, (x).para AS para FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ps)),
+       |      i -> struct_pack(pos := i, para := ps[i]))) AS x
+       |    FROM px)
+       |  WHERE len(trim(para)) > 0),
+       |pf AS (
+       |  SELECT doc_id, pos, para,
+       |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+       |  FROM pu),
+       |pd AS (
+       |  SELECT doc_id,
+       |    COALESCE(string_agg(para, '. ' ORDER BY pos) FILTER (WHERE rn = 1), '')
+       |      AS clean_text
+       |  FROM pf GROUP BY doc_id),
+       |ef AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(trim(lower(clean_text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM pd),
+       |ek AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS canon FROM ef)
+       |  WHERE doc_id = canon),
+       |ed AS (
+       |  SELECT pd.doc_id, pd.clean_text AS text FROM pd JOIN ek USING (doc_id)),
+       |${minhashCtesFrom("ed", bucketCap = Dedup.DefaultMaxBandBucketSize)},
+       |mh AS (
+       |  SELECT m.id1, m.id2
+       |  FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
+       |  WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM mh
+       |  UNION ALL
+       |  SELECT id2, id1 FROM mh),
+       |reach(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM ed
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       |lbl AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+       |nd AS (
+       |  SELECT ed.doc_id, ed.text FROM ed
+       |  JOIN (SELECT doc_id FROM lbl WHERE doc_id = component) reps USING (doc_id)),
+       |qt AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM nd),
+       |qf AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars2,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+       |  FROM qt),
+       |ql AS (
+       |  SELECT doc_id, text,
+       |    (least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+       |     + least((CAST(n_stopwords AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 4.0, 1.0)
+       |     + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars2, 1) AS DOUBLE)) * 10.0, 1.0))) / 3.0 AS quality
+       |  FROM qf),
+       |lsc AS (
+       |  SELECT doc_id, text, quality,
+       |    $langScoreExprsSql
+       |  FROM ql),
+       |g AS (
+       |  SELECT doc_id, text, quality,
+       |    $langCaseSql AS lang
+       |  FROM lsc WHERE quality >= 0.0),
+       |st AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM g),
+       |swl AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(t) >= 5
+       |      THEN list_transform(generate_series(1, len(t) - 4),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+       |      ELSE [] END AS ws
+       |  FROM st),
+       |swp AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+       |      i -> struct_pack(pos := i - 1, win := ws[i]))) AS uu
+       |  FROM swl),
+       |swh AS (SELECT doc_id, uu.pos AS pos, ${h60("uu.win")} AS h FROM swp),
+       |sdup AS (SELECT h, (min(doc_id) <> max(doc_id)) AS is_dup FROM swh GROUP BY h),
+       |sfl AS (SELECT w2.doc_id, w2.pos, d.is_dup FROM swh w2 JOIN sdup d USING (h)),
+       |scov AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |  FROM sfl WHERE is_dup),
+       |scv AS (
+       |  SELECT doc_id,
+       |    CAST(sum((pos + 4) - greatest(pos - 1, COALESCE(pe, -1))) AS BIGINT) AS dup_tokens
+       |  FROM scov GROUP BY doc_id),
+       |ok AS (
+       |  SELECT swl.doc_id
+       |  FROM swl LEFT JOIN scv USING (doc_id)
+       |  WHERE (CASE WHEN swl.n_tokens > 0
+       |    THEN CAST(COALESCE(scv.dup_tokens, 0) AS DOUBLE) / CAST(swl.n_tokens AS DOUBLE)
+       |    ELSE 0.0 END) <= 0.95),
+       |sg AS (SELECT g.doc_id, g.text, g.quality, g.lang FROM g JOIN ok USING (doc_id)),
+       |r1 AS (
+       |  SELECT doc_id, quality, lang,
+       |    CAST(len(regexp_extract_all(text, '${TextAnalysis.emailRegex}')) AS BIGINT) AS n_emails,
+       |    regexp_replace(text, '${TextAnalysis.emailRegex}', '<EMAIL>', 'g') AS t1,
+       |    ${h60("'split_' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+       |  FROM sg)
+       |SELECT doc_id, quality, lang, n_emails,
+       |  CAST(len(regexp_extract_all(t1, '${TextAnalysis.longNumberRegex}')) AS BIGINT) AS n_long_numbers,
+       |  regexp_replace(t1, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g') AS redacted,
+       |  CAST(length(regexp_replace(t1, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g')) AS BIGINT) AS redacted_len,
+       |  bucket,
+       |  CASE WHEN bucket < 900 THEN 'train'
+       |       WHEN bucket < 950 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM r1""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "corpus_clean_e2e" -> corpusCleanE2eSql,
     "sim_quantize_int8" ->
       s"""WITH $embCte,
          |s AS (SELECT vec_id, v,
@@ -723,27 +892,15 @@ object OracleOpsQueries {
          |   + least((CAST(n_stopwords AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 4.0, 1.0)
          |   + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars2, 1) AS DOUBLE)) * 10.0, 1.0))) / 3.0 AS quality
          |FROM feat""".stripMargin,
-    "text_langid" -> {
-      val scoreExprs = langMarkers.map { case (l, ms) =>
-        s"${langScoreSql(ms)} AS score_$l"
-      }.mkString(",\n    ")
-      val langs = (langMarkers.map(_._1) :+ "zh").sorted
-      val branches = langs.init.map { l =>
-        val conds = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString("\n    ")
+    "text_langid" ->
       s"""WITH scored AS (
          |  SELECT doc_id,
-         |    $scoreExprs,
-         |    CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS score_zh
+         |    $langScoreExprsSql
          |  FROM documents)
          |SELECT doc_id, CAST(score_de AS BIGINT) AS score_de, CAST(score_en AS BIGINT) AS score_en,
          |  CAST(score_es AS BIGINT) AS score_es, CAST(score_fr AS BIGINT) AS score_fr, score_zh,
-         |  CASE
-         |    $branches
-         |    ELSE '${langs.last}' END AS lang_pred
-         |FROM scored""".stripMargin
-    },
+         |  $langCaseSql AS lang_pred
+         |FROM scored""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
@@ -935,16 +1092,24 @@ object OracleOpsQueries {
         |  CAST(cf.corpus_dup_of IS NULL
         |       AND bf.doc_id = MIN(bf.doc_id) OVER (PARTITION BY bf.fp) AS INT) AS keep
         |FROM bf LEFT JOIN cf ON bf.fp = cf.fp""".stripMargin,
+    // bucketCap + capSide mirror the Scala default exactly: the per-side
+    // band-bucket cap (1024) partitions the size count by batch/corpus side
+    // (doc_id parity here), so the gate stays honest even if a hot bucket
+    // appears at a larger SF.
     "dedup_incremental_minhash" ->
-      s"""WITH ${minhashCtes(candCond = "a.doc_id % 2 = 1 AND b.doc_id % 2 = 0")}
+      s"""WITH ${minhashCtes(bucketCap = Dedup.DefaultMaxBandBucketSize,
+                             candCond = "a.doc_id % 2 = 1 AND b.doc_id % 2 = 0",
+                             capSide = Some("doc_id % 2"))}
          |SELECT m.id1, m.id2,
          |  CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) AS jaccard
          |FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
          |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_contamination" -> contaminationSql,
     "dedup_contamination_shuffled" -> contaminationSql,
+    // bucketCap mirrors the Scala default (self-join cap semantics match
+    // 1:1 here, unlike the per-side incremental case above)
     "dedup_cluster_sizes" ->
-      s"""WITH RECURSIVE ${minhashCtes()},
+      s"""WITH RECURSIVE ${minhashCtes(bucketCap = Dedup.DefaultMaxBandBucketSize)},
          |mh AS (
          |  SELECT m.id1, m.id2
          |  FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
@@ -963,7 +1128,7 @@ object OracleOpsQueries {
          |  CAST(SUM(sz) AS BIGINT) AS n_docs
          |FROM szs GROUP BY sz""".stripMargin,
     "split_leakage" ->
-      s"""WITH ${minhashCtes()},
+      s"""WITH ${minhashCtes(bucketCap = Dedup.DefaultMaxBandBucketSize)},
          |jp AS (
          |  SELECT m.id1, m.id2
          |  FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
@@ -1095,9 +1260,10 @@ object OracleOpsQueries {
          |  FROM toks),
          |c AS (
          |  SELECT doc_id, stratum, n_tokens,
-         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY rk, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
          |  FROM s)
-         |SELECT doc_id, stratum, n_tokens, cum_before + n_tokens AS cum_tokens
+         |SELECT doc_id, stratum, n_tokens,
+         |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_before < (stratum + 1) * 300""".stripMargin)
 }

@@ -5,10 +5,12 @@ Usage: python3 tools/oracle_check.py <verifyOutDir> <sfDir>
 
 Reads <verifyOutDir>/<name>/ parquet (written by graft.Verify) and
 <verifyOutDir>/oracle_sql.json, runs each oracle SQL in DuckDB over the
-sfDir parquet tables, and compares: schema (column names), row count, and
-values (columns sorted by name, rows sorted by all columns, exact match;
-floats compared bit-exact first, then with 1e-9 rel tolerance reported
-separately so we can see near-misses).
+sfDir parquet tables, and compares: schema (column names), DTYPE KIND
+(int vs float vs bool vs string — the driver's hash is type-sensitive,
+so 120 == 120.0 must FAIL here too, e.g. DuckDB HUGEINT materializing
+as float64), row count, and values (columns sorted by name, rows sorted
+by all columns, exact match; floats compared bit-exact first, then with
+1e-9 rel tolerance reported separately so we can see near-misses).
 """
 import sys, json, glob, math
 import duckdb
@@ -23,10 +25,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def dtype_kind(dt) -> str:
+    """Canonical type family. The driver hashes values type-sensitively, so
+    an int64 Spark column vs a float64 oracle column (DuckDB HUGEINT via
+    pandas) must be a mismatch even when every value compares ==."""
+    k = getattr(dt, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "obj"
+
 def values_equal(a, b):
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
+    # dtype-strict: a bare int on one side and a float on the other is a
+    # driver hash mismatch even when numerically equal (120 vs 120.0).
+    a_f, b_f = isinstance(a, float), isinstance(b, float)
+    if a_f != b_f and (isinstance(a, (int, float)) and isinstance(b, (int, float))):
+        return False
+    if a_f and b_f:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
@@ -56,6 +78,13 @@ def main():
             continue
         if len(ours) != len(theirs):
             results[name] = f"ROWCOUNT_MISMATCH ours={len(ours)} oracle={len(theirs)}"
+            continue
+        kinds_ours = [dtype_kind(ours[c].dtype) for c in ours.columns]
+        kinds_theirs = [dtype_kind(theirs[c].dtype) for c in theirs.columns]
+        if kinds_ours != kinds_theirs:
+            diff = [(c, ko, kt) for c, ko, kt in
+                    zip(ours.columns, kinds_ours, kinds_theirs) if ko != kt]
+            results[name] = f"DTYPE_MISMATCH {diff}"
             continue
         bad = []
         for col in ours.columns:
