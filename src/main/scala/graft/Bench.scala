@@ -59,7 +59,19 @@ object Bench {
     // per-query marker above but must not shrink the headline number
     val total = results.collect { case (_, v) if v > 0 => v }.sum
     val failed = results.count(_._2 <= 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // The per-query map (one line per run, ~3 KB for 78 queries) goes on an
+    // EARLIER line; the LAST stdout line is a short summary so a bounded
+    // tail-capture always gets an intact JSON object (round 4's single
+    // giant line was truncated mid-object and parsed as null). The summary
+    // keeps the headline keys only; per-query timings live in the
+    // "per_query" line above it and in SPARK_GRAFT_BENCH_OUT (if set).
+    val full =
+      s"""{"metric":"per_query","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
+    }
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,28 +44,71 @@ object Splits {
                    salt: String = "sample"): DataFrame =
     df.filter(hashBucket(col(id), salt) < permille)
 
+  /** Number of rank-hash histogram buckets for the two-phase cutoff in
+    * [[stratifiedSample]] / [[tokenBudgetSample]]. Must be a power of two
+    * ≤ 2^60 (buckets are the hash's top bits, so bucket order IS hash
+    * order). 4096 turns a 10-language mix over 100 TB from 10 window
+    * tasks into ~40k, while the phase-1 histogram stays tiny
+    * (strata × 4096 rows). */
+  val DefaultHistBuckets = 4096
+
+  /** Top-bits histogram bucket of the salted rank hash: monotone in
+    * `__rk`, so global (rk, id) order equals (bucket, rk, id) order and a
+    * per-stratum prefix is "all buckets below the threshold bucket + a
+    * prefix of the threshold bucket". */
+  private def histBucket(rk: Column, nBuckets: Int): Column = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "histogram bucket count must be a power of two")
+    shiftright(rk, 60 - java.lang.Long.numberOfTrailingZeros(nBuckets.toLong))
+  }
+
   /** Exact k-per-stratum deterministic sample: rank rows inside each
     * stratum by the salted 60-bit id hash (ties impossible — (hash, id) is
     * a total order) and keep the first k. Unlike [[sampleByHash]] this
     * guarantees EXACT per-stratum counts — the eval-set/benchmark-slice
     * construction path, where "about 10k per language" isn't acceptable.
     *
-    * Shape: one shuffle on the stratum + a per-stratum external sort (the
-    * window's row_number). The sort is the price of exactness: a bounded
-    * k-row heap ([[graft.functions.TopKAgg]]) would avoid it but scores
-    * through Double, and a 60-bit hash does not fit a 53-bit mantissa —
-    * the heap's order would silently diverge from exact BIGINT ordering.
-    * At 100 TB with huge strata, either accept the spillable sort (it
-    * parallelizes across strata) or use [[sampleByHash]] when approximate
-    * counts suffice. Returns (id, stratum, rank), rank in [1, k]. */
+    * Shape — two-phase cutoff, safe for LOW-cardinality strata (a
+    * language mix has ~5-30 strata; a monolithic per-stratum window would
+    * make the stratum count the maximum parallelism, one multi-TB sort
+    * task per language at 100 TB):
+    *  1. histogram: count rows per (stratum, top-bits hash bucket) — a
+    *     map-side-combined aggregate into strata × [[DefaultHistBuckets]]
+    *     rows; a tiny per-stratum running sum over it locates each
+    *     bucket's starting rank offset and prunes every bucket whose
+    *     offset is already ≥ k (those can never contribute a rank ≤ k);
+    *  2. exact ranks: join the offsets back (the join's (stratum, bucket)
+    *     clustering is reused by the window — still ONE full-data
+    *     shuffle, now keyed on (stratum, bucket)) and row_number within
+    *     each (stratum, bucket), offset by the bucket's start.
+    * Parallelism is strata × buckets instead of strata, and rows past
+    * the threshold bucket never reach the sort. A bounded k-row heap
+    * ([[graft.functions.TopKAgg]]) would avoid sorting entirely but
+    * scores through Double, and a 60-bit hash does not fit a 53-bit
+    * mantissa — the heap's order would silently diverge from exact
+    * BIGINT ordering. Returns (id, stratum, rank), rank in [1, k]. */
   def stratifiedSample(df: DataFrame, id: String, stratum: Column, k: Int,
-                       salt: String = "strat"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(col("__rk"), col(id))
-    df.select(col(id), stratum.as("stratum"))
+                       salt: String = "strat",
+                       nHistBuckets: Int = DefaultHistBuckets): DataFrame = {
+    val base = df.select(col(id), stratum.as("stratum"))
       .withColumn("__rk",
         TextAnalysis.hash60(concat_ws("_", lit(salt), col(id).cast("string"))))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__b", histBucket(col("__rk"), nHistBuckets))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("stratum"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wb), lit(0L)))
+      .filter(col("__off") < k)
+      .select(col("stratum"), col("__b"), col("__off"))
+    val ww = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"), col("__b")).orderBy(col("__rk"), col(id))
+    // null-safe on the stratum: a NULL stratum is a legal partition group
+    // under the window semantics and must not fall out of the equi-join
+    base.join(offsets.toDF("__s2", "__b2", "__off"),
+        col("stratum") <=> col("__s2") && col("__b") === col("__b2"))
+      .withColumn("rank", (col("__off") + row_number().over(ww)).cast("long"))
       .filter(col("rank") <= k)
       .select(col(id), col("stratum"), col("rank"))
   }
@@ -113,23 +156,46 @@ object Splits {
     * stable under corpus growth — a new document can hash into the prefix
     * and push the boundary document out; pin mixes to a snapshot.
     *
-    * Shape: one shuffle on the stratum + a per-stratum running sum (same
-    * spillable-sort trade as [[stratifiedSample]], and the same 60-bit
-    * exactness reason to prefer the window over a Double-scored heap).
-    * Returns (id, stratum, n_tokens, cum_tokens) for kept rows, where
-    * cum_tokens includes the row itself. */
+    * Shape — the same two-phase cutoff as [[stratifiedSample]] (see its
+    * scaladoc for why low-cardinality strata demand it): phase 1 sums
+    * n_tokens per (stratum, hash bucket) and prunes every bucket whose
+    * starting token offset already meets the stratum's LARGEST row budget
+    * (rows there can never satisfy `cum_before < budget`); phase 2 joins
+    * the offsets back and computes the exact running sum within each
+    * (stratum, bucket), shifted by the bucket's start — one full-data
+    * shuffle on (stratum, bucket), parallelism strata × buckets.
+    * Requires n_tokens ≥ 0 (token counts are; a negative count would
+    * break the monotonicity the bucket pruning relies on). The same
+    * 60-bit exactness reason as [[stratifiedSample]] rules out a
+    * Double-scored heap. Returns (id, stratum, n_tokens, cum_tokens) for
+    * kept rows, where cum_tokens includes the row itself. */
   def tokenBudgetSample(df: DataFrame, id: String, stratum: Column,
                         nTokens: Column, budgetTokens: Column,
-                        salt: String = "mix"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(col("__rk"), col(id))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.select(col(id), stratum.as("stratum"),
+                        salt: String = "mix",
+                        nHistBuckets: Int = DefaultHistBuckets): DataFrame = {
+    val base = df.select(col(id), stratum.as("stratum"),
         nTokens.cast("long").as("n_tokens"),
         budgetTokens.cast("long").as("__budget"))
       .withColumn("__rk",
         TextAnalysis.hash60(concat_ws("_", lit(salt), col(id).cast("string"))))
-      .withColumn("__cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("__b", histBucket(col("__rk"), nHistBuckets))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ws = org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+    val offsets = base.groupBy(col("stratum"), col("__b"))
+      .agg(sum(col("n_tokens")).as("__t"), max(col("__budget")).as("__mb"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wb), lit(0L)))
+      .withColumn("__maxb", max(col("__mb")).over(ws))
+      .filter(col("__off") < col("__maxb"))
+      .select(col("stratum"), col("__b"), col("__off"))
+    val ww = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"), col("__b")).orderBy(col("__rk"), col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.join(offsets.toDF("__s2", "__b2", "__off"),
+        col("stratum") <=> col("__s2") && col("__b") === col("__b2"))
+      .withColumn("__cum_before",
+        col("__off") + coalesce(sum(col("n_tokens")).over(ww), lit(0L)))
       .filter(col("__cum_before") < col("__budget"))
       .select(col(id), col("stratum"), col("n_tokens"),
         (col("__cum_before") + col("n_tokens")).as("cum_tokens"))

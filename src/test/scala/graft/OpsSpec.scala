@@ -103,6 +103,54 @@ class OpsSpec extends SparkSpec {
     assert(one.map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((1L, 500L)))
   }
 
+  test("two-phase cutoff equals the monolithic window; big window keyed on (stratum, bucket)") {
+    import org.apache.spark.sql.expressions.Window
+    // 2 strata × 400 rows with nHistBuckets = 8 forces real multi-bucket
+    // offsets (the gate SF never exercises more than one bucket at 4096)
+    val df = (1L to 400L).map(i => (i, i % 2, (i % 7) + 1)).toDF("doc_id", "grp", "nt")
+
+    // monolithic reference: the pre-round-5 single window per stratum
+    val wAll = Window.partitionBy(col("stratum")).orderBy(col("__rk"), col("doc_id"))
+    val refStrat = df.select(col("doc_id"), col("grp").as("stratum"))
+      .withColumn("__rk", TextAnalysis.hash60(
+        concat_ws("_", lit("strat"), col("doc_id").cast("string"))))
+      .withColumn("rank", row_number().over(wAll).cast("long"))
+      .filter(col("rank") <= 25)
+      .select("doc_id", "stratum", "rank")
+    val twoPhase = graft.ops.Splits.stratifiedSample(
+      df, "doc_id", col("grp"), k = 25, nHistBuckets = 8)
+    assert(twoPhase.collect().map(_.toSeq).toSet === refStrat.collect().map(_.toSeq).toSet)
+
+    val wCum = Window.partitionBy(col("stratum")).orderBy(col("__rk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val refMix = df.select(col("doc_id"), col("grp").as("stratum"),
+        col("nt").cast("long").as("n_tokens"))
+      .withColumn("__rk", TextAnalysis.hash60(
+        concat_ws("_", lit("mix"), col("doc_id").cast("string"))))
+      .withColumn("__cb", coalesce(sum(col("n_tokens")).over(wCum), lit(0L)))
+      .filter(col("__cb") < 300L)
+      .select(col("doc_id"), col("stratum"), col("n_tokens"),
+        (col("__cb") + col("n_tokens")).as("cum_tokens"))
+    val mix2 = graft.ops.Splits.tokenBudgetSample(
+      df, "doc_id", col("grp"), col("nt"), lit(300L), nHistBuckets = 8)
+    assert(mix2.collect().map(_.toSeq).toSet === refMix.collect().map(_.toSeq).toSet)
+
+    // plan shape: the full-data running-sum window partitions by
+    // (stratum, bucket) — with low-cardinality strata, parallelism is
+    // strata × buckets, no longer one task per stratum
+    val p = mix2.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(stratum#\\d+L?, __b#".r.findFirstIn(p).nonEmpty,
+      s"phase-2 window must partition by (stratum, __b):\n$p")
+
+    // a NULL stratum is a legal window partition group and must survive
+    // the two-phase join
+    val withNull = Seq((1L, Some(0L), 5L), (2L, None, 5L), (3L, None, 5L))
+      .toDF("doc_id", "grp", "nt")
+    val nullKept = graft.ops.Splits.tokenBudgetSample(
+      withNull, "doc_id", col("grp"), col("nt"), lit(100L)).collect()
+    assert(nullKept.length === 3)
+  }
+
   test("LSH band-bucket cap: over-full buckets drop, capped pairs are a subset") {
     // three identical docs share EVERY band bucket (size 3); two other docs
     // are near-dups of each other only (bucket size 2)
