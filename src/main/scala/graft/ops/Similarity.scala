@@ -242,7 +242,16 @@ object Similarity {
     * the `nProbe` nearest inverted lists. Over a loaded index the
     * `list_id` filter is a partition filter: non-probed lists are never
     * read from disk. The query vector is compiled into the plan as a
-    * literal array (nothing to broadcast). */
+    * literal array (nothing to broadcast).
+    *
+    * MEASURED recall@10 vs [[bruteForceTopK]] (IvfRecallSpec re-measures
+    * each run), sf0.1 embeddings (5000 × 64), nLists = 16, 10 queries:
+    * nProbe=1 → 0.22, 2 → 0.46, 4 → 0.62, 16 → 1.00. The synthetic
+    * embeddings are near-uniform (no cluster structure for the coarse
+    * quantizer to exploit), so this is a WORST-case curve — real
+    * embedding corpora sit far above it at the same scan fraction; at
+    * nProbe = nLists the probe is exactly brute force (same cosine/tie
+    * ordering). */
   def ivfProbe(index: IvfIndex, qv: Seq[Double], k: Int,
                nProbe: Int = 2): DataFrame = {
     val probe = index.probeLists(qv, nProbe)

@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.Similarity
+
+/** Measured recall@10 evidence for the KMeans IVF path (VERDICT r4 item 6)
+  * — the companion to the LSH multiprobe recall measurement: how much of
+  * the exact [[Similarity.bruteForceTopK]] top-10 does [[Similarity
+  * .ivfProbeById]] recover as nProbe grows, at sf0.1 (5000 vectors,
+  * nLists = 16). The measured numbers live in the [[Similarity.ivfProbe]]
+  * scaladoc; this spec re-measures them each run so the documented curve
+  * cannot silently drift.
+  */
+class IvfRecallSpec extends SparkSpec {
+  test("IVF recall@10 vs brute force rises with nProbe and hits 1.0 at nProbe = nLists") {
+    val sfDir = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, sfDir)
+    val nLists = 16
+    val k = 10
+    val queryIds = (0L until 10L).toSeq
+    val index = Similarity.ivfBuild(emb, "vec_id", "embedding", nLists = nLists)
+
+    val truth: Map[Long, Set[Long]] = queryIds.map { q =>
+      q -> Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+
+    def recallAt(nProbe: Int): Double = {
+      val per = queryIds.map { q =>
+        val got = Similarity.ivfProbeById(index, q, k, nProbe)
+          .collect().map(_.getLong(0)).toSet
+        (got intersect truth(q)).size.toDouble / k
+      }
+      per.sum / per.size
+    }
+
+    val curve = Seq(1, 2, 4, nLists).map(p => p -> recallAt(p))
+    info(s"IVF recall@10, nLists=$nLists, 10 queries at sf0.1: " +
+      curve.map { case (p, r) => s"nProbe=$p -> ${"%.2f".format(r)}" }.mkString(", "))
+
+    // probing more lists can only add candidates under the same total
+    // ordering, so recall is non-decreasing in nProbe
+    curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(a <= b) }
+    // probing every list IS brute force (same cosine/tie ordering)
+    assert(curve.last._2 === 1.0)
+    // a 1/16 scan must already beat random chance by a wide margin
+    assert(curve.head._2 > 0.2, s"nProbe=1 recall ${curve.head._2}")
+  }
+}

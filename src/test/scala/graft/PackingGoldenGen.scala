@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Packing, TextAnalysis}
+
+/** Golden generator for sequence packing (VERDICT r4 item 7): the
+  * first-fit layout is deterministic (md5 hash-bucketing + ascending-id
+  * walk, independent of input partitioning) but not DuckDB-expressible
+  * (per-partition running state), so — like ivf_golden.json — the gate is
+  * a committed sf0.01 snapshot: summary stats, the md5 digest of EVERY
+  * row's full assignment, and the first 20 rows for debuggability.
+  * maxTokens = 96 is chosen against the sf0.01 token distribution
+  * (10..99, mean 54) so all three behaviors occur: multi-doc packs,
+  * single-doc packs, and oversize docs (> 96 tokens) in own flagged
+  * packs. Regenerate deliberately with
+  * `sbt "Test/runMain graft.PackingGoldenGen"` when semantics change. */
+object PackingGoldenGen {
+  val SfDir = "/root/testdata/sf0.01"
+  val MaxTokens = 96
+  val Buckets = 8
+
+  def render(): String = {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val packed = Packing.packSequences(
+        spark, docs, "doc_id", "n_tokens", MaxTokens, Buckets)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val lines = packed.map { case (id, n, pack, pos, os) =>
+      s"$id:$n:$pack:$pos:${if (os) 1 else 0}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val nPacks = packed.map(_._3).distinct.length
+    val nOversize = packed.count(_._5)
+    val fill = packed.map(_._2).sum
+    val head = packed.take(20).map { case (id, n, pack, pos, os) =>
+      s"""    {"id": $id, "n": $n, "pack": $pack, "pos": $pos, "oversize": ${os}}"""
+    }.mkString(",\n")
+    s"""{
+       |  "max_tokens": $MaxTokens,
+       |  "buckets": $Buckets,
+       |  "n_docs": ${packed.length},
+       |  "n_packs": $nPacks,
+       |  "n_oversize": $nOversize,
+       |  "fill_tokens": $fill,
+       |  "rows_md5": "$digest",
+       |  "head": [
+       |$head
+       |  ]
+       |}
+       |""".stripMargin
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("src/test/resources/packing_golden.json"),
+      render().getBytes("UTF-8"))
+    println("PACKING_GOLDEN_WRITTEN")
+  }
+}

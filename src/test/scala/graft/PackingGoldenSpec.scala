@@ -1,0 +1,14 @@
+package graft
+
+/** Locks the sequence-packing layout to the committed sf0.01 golden — the
+  * drift gate for the one ops-surface operator with per-partition
+  * imperative state (see PackingGoldenGen for regeneration; OpsSpec holds
+  * the capacity/fill/determinism invariants). */
+class PackingGoldenSpec extends SparkSpec {
+  test("first-fit packing layout matches committed sf0.01 golden") {
+    val expected = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource("/packing_golden.json").toURI)), "UTF-8")
+    assert(PackingGoldenGen.render() === expected)
+  }
+}
