@@ -169,7 +169,12 @@ object Dedup {
   /** Benchmark decontamination: flag training documents whose n-grams
     * overlap an evaluation set (the GPT-3 appendix-C / PaLM 13-gram pass,
     * over the same word shingles as [[ngramJaccardPairs]]). Returns one row
-    * per TRAIN document: (id, n_sh, n_contaminated, contaminated_frac,
+    * per TRAIN document THAT HAS AT LEAST ONE SHINGLE — a doc with fewer
+    * than `n` tokens yields no shingles and is absent from the output
+    * (trivially uncontaminated at this n). A decontamination filter must
+    * therefore LEFT-join these flags (treating missing as clean), never
+    * inner-join — an inner join would silently drop every short document.
+    * Columns: (id, n_sh, n_contaminated, contaminated_frac,
     * is_contaminated) where n_contaminated counts the train doc's distinct
     * shingles that occur anywhere in the eval corpus.
     *
@@ -460,7 +465,13 @@ object Dedup {
     * exceed the cap while each side stays under it); on cap-free data the
     * two agree exactly (OpsSpec pins that equivalence). A pipeline
     * validating increments against periodic full re-runs should compare
-    * uncapped or at matched per-side caps. */
+    * uncapped or at matched per-side caps.
+    *
+    * Id spaces: batch and corpus ids are ASSUMED disjoint (they are
+    * different ingest generations); the candidate set still guards
+    * `id1 =!= id2` so a violated assumption yields at worst a missing
+    * cross-pair for the colliding id, never a degenerate (x, x, 1.0)
+    * self-pair. */
   def incrementalMinhashPairs(batch: DataFrame, corpus: DataFrame,
                               id: String, text: String,
                               n: Int = 3, k: Int = 8, bands: Int = 4,
@@ -472,6 +483,7 @@ object Dedup {
     val cand = bandBuckets(pb, id, k, bands, maxBandBucketSize).toDF("id1", "band", "key")
       .join(bandBuckets(pc, id, k, bands, maxBandBucketSize).toDF("id2", "band", "key"),
         Seq("band", "key"))
+      .filter(col("id1") =!= col("id2"))
       .select("id1", "id2").distinct()
     verifyJaccard(cand, pb, id, threshold, rightPerDoc = Some(pc))
   }

@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions._
   * is real and tested. IMAGE payloads (`kind` starting with `image/`) are
   * decoded for real via [[imageDecode]] — javax.imageio ships in the JDK, so PNG / BMP
   * / GIF / JPEG metadata and a luminance-grid feature vector need no
-  * external codecs. Audio/video and undecodable payloads fall back to the
-  * deterministic [[fakeDecode]] STUB (this container has no such codecs);
+  * external codecs. Audio/video HEADER metadata is also real — pure-JVM
+  * byte parsing, no codecs needed: [[wavDecode]] walks the RIFF chunk
+  * list (format/channels/rate/bits/samples/duration) and [[mp4Decode]]
+  * walks the ISO-BMFF box tree (brand, mvhd timescale/duration, track
+  * count, tkhd dimensions). Only audio/video SAMPLE/feature extraction
+  * falls back to the deterministic [[fakeDecode]] STUB (decoding PCM
+  * frames or video frames needs codecs this container doesn't ship);
   * swapping in a real one means replacing only `fakeDecode`'s body (same
   * signature, same batch shape).
   */
@@ -110,6 +115,137 @@ object Multimodal {
   private[ops] def decodeRow(md: java.security.MessageDigest, row: MediaRow): DecodedMedia =
     if (row.kind.startsWith("image/")) imageDecode(row).getOrElse(fakeDecodeWith(md, row))
     else fakeDecodeWith(md, row)
+
+  // -------------------------------------------- audio/video header parsing
+
+  /** Parsed WAV/RIFF header metadata. `format` is "pcm" for format tag 1,
+    * "fmt_N" otherwise; `n_samples` counts per-channel frames (data bytes /
+    * block align). */
+  case class AudioMeta(doc_id: Long, format: String, channels: Int,
+                       sample_rate: Int, bits_per_sample: Int,
+                       n_samples: Long, duration_ms: Long)
+
+  /** REAL WAV/RIFF header parse — pure JVM byte walking, no codecs: checks
+    * the RIFF/WAVE magic, then scans the word-aligned chunk list for
+    * `fmt ` (format tag, channels, sample rate, bits) and `data` (payload
+    * size → frame count → duration). Returns None for anything that is
+    * not well-formed RIFF/WAVE with a fmt chunk, so callers can fall back
+    * rather than kill the task. */
+  def wavDecode(row: MediaRow): Option[AudioMeta] = try {
+    val b = row.content
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // tag, channels, rate, bits
+      var blockAlign = 0
+      var dataBytes = -1L
+      while (off + 8 <= b.length) {
+        val id = tag(off)
+        val sz = u32(off + 4)
+        if (id == "fmt " && off + 24 <= b.length) {
+          fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+          blockAlign = u16(off + 20)
+        } else if (id == "data") dataBytes = sz
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      fmt.map { case (f, ch, rate, bits) =>
+        val ba = if (blockAlign > 0) blockAlign else math.max(1, ch * bits / 8)
+        val n = if (dataBytes >= 0) dataBytes / ba else 0L
+        AudioMeta(row.doc_id, if (f == 1) "pcm" else s"fmt_$f", ch, rate, bits,
+          n, if (rate > 0) n * 1000L / rate else 0L)
+      }
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Parsed MP4 (ISO-BMFF) header metadata from the box tree — no sample
+    * data touched. `duration_ms` converts mvhd duration by its timescale. */
+  case class VideoMeta(doc_id: Long, major_brand: String, timescale: Long,
+                       duration_ms: Long, n_tracks: Int, width: Int, height: Int)
+
+  /** REAL MP4/ISO-BMFF header parse — pure JVM, no codecs: requires a
+    * leading `ftyp` box (major brand), then walks top-level boxes; inside
+    * `moov` it reads `mvhd` (timescale + duration, version 0 and 1),
+    * counts `trak` children, and takes the first `tkhd`'s 16.16
+    * fixed-point width/height. 64-bit extended box sizes (size == 1) and
+    * to-end boxes (size == 0) terminate the walk conservatively. Returns
+    * None unless ftyp and moov/mvhd parse. */
+  def mp4Decode(row: MediaRow): Option[VideoMeta] = try {
+    val b = row.content
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (b.length < 8 || tag(4) != "ftyp") None
+    else {
+      val brand = tag(8)
+      var timescale = -1L
+      var durationMs = -1L
+      var nTracks = 0
+      var width = 0
+      var height = 0
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        var off = from
+        var ok = true
+        while (ok && off + 8 <= to) {
+          val sz = u32(off)
+          val id = tag(off + 4)
+          if (sz < 8 || off + sz > to) ok = false // extended/to-end/corrupt
+          else {
+            val body = off + 8
+            id match {
+              case "moov" if depth == 0 => walk(body, off + sz.toInt, 1)
+              case "trak" if depth == 1 =>
+                nTracks += 1
+                if (width == 0) walk(body, off + sz.toInt, 2)
+              case "mvhd" if depth == 1 =>
+                val v = b(body) & 0xff
+                if (v == 1 && body + 32 <= to) {
+                  timescale = u32(body + 20)
+                  val d = u64(body + 24)
+                  durationMs = if (timescale > 0) d * 1000L / timescale else -1L
+                } else if (v == 0 && body + 20 <= to) {
+                  timescale = u32(body + 12)
+                  val d = u32(body + 16)
+                  durationMs = if (timescale > 0) d * 1000L / timescale else -1L
+                }
+              case "tkhd" if depth == 2 =>
+                // width/height are the box's trailing 16.16 fixed-point words
+                val end = off + sz.toInt
+                if (end - 8 >= body) {
+                  width = (u32(end - 8) >> 16).toInt
+                  height = (u32(end - 4) >> 16).toInt
+                }
+              case _ => ()
+            }
+            off += sz.toInt
+          }
+        }
+      }
+      walk(0, b.length, 0)
+      if (timescale < 0) None
+      else Some(VideoMeta(row.doc_id, brand, timescale, durationMs,
+        nTracks, width, height))
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Header-metadata pass over audio payloads — same partition-local
+    * streaming shape as [[decode]]; rows that are not parseable WAV are
+    * dropped (a production pipeline left-joins the result back to keep
+    * them visible). */
+  def decodeWavMeta(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap(wavDecode))
+  }
+
+  /** Header-metadata pass over video payloads — see [[decodeWavMeta]]. */
+  def decodeMp4Meta(spark: SparkSession, media: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap(mp4Decode))
+  }
 
   /** Binary "media" stand-in built from a text table (payload = utf-8
     * bytes). At scale the payload column arrives from parquet/lance binary

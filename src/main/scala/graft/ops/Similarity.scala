@@ -304,6 +304,11 @@ object Similarity {
     val e = emb.select(col(id), asDouble(col(vec)).as("v"))
     val cents: Array[Seq[Double]] = e.filter(col(id) < nLists)
       .orderBy(col(id)).collect().map(_.getSeq[Double](1))
+    // same sparse-id hazard as semDedupPinned: a short centroid pin would
+    // silently shrink the index instead of failing
+    require(cents.length == nLists,
+      s"ivfTopKPinned pins centroids to ids < $nLists but found only " +
+        s"${cents.length} such ids — the id space must contain 0..${nLists - 1}")
     def sqdistTo(c: Seq[Double]): Column =
       aggregate(zip_with(col("v"), array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x)
@@ -397,6 +402,13 @@ object Similarity {
     val e = emb.select(col(id), asDouble(col(vec)).as("v"))
     val cents: Array[Seq[Double]] = e.filter(col(id) < nLists)
       .orderBy(col(id)).collect().map(_.getSeq[Double](1))
+    // the pin assumes ids 0..nLists-1 exist; with a sparse or non-zero-based
+    // id space the centroid array comes back short and array_min over an
+    // empty/short struct array would SILENTLY return all is_dup = 0 —
+    // fail loudly instead
+    require(cents.length == nLists,
+      s"semDedupPinned pins centroids to ids < $nLists but found only " +
+        s"${cents.length} such ids — the id space must contain 0..${nLists - 1}")
     def sqdistTo(c: Seq[Double]): Column =
       aggregate(zip_with(col("v"), array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x)

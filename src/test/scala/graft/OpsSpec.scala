@@ -451,6 +451,46 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("WAV/MP4 header metadata decodes for real from committed fixtures") {
+    def resource(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(getClass.getResource(name).toURI))
+
+    // tiny.wav: PCM, 1 channel, 8000 Hz, 16-bit, 16 frames => 2 ms
+    val wav = Multimodal.wavDecode(
+      Multimodal.MediaRow(1L, "audio/wav", resource("/tiny.wav"))).get
+    assert(wav === Multimodal.AudioMeta(1L, "pcm", 1, 8000, 16, 16L, 2L))
+
+    // tiny.mp4: ftyp isom + moov{mvhd timescale 1000 duration 2500,
+    // trak{tkhd 320x240}} => 2500 ms, 1 track
+    val mp4 = Multimodal.mp4Decode(
+      Multimodal.MediaRow(2L, "video/mp4", resource("/tiny.mp4"))).get
+    assert(mp4 === Multimodal.VideoMeta(2L, "isom", 1000L, 2500L, 1, 320, 240))
+
+    // garbage and wrong-container payloads parse to None, never throw
+    val junk = Seq(Array.empty[Byte], "RIFFxxxx".getBytes("US-ASCII"),
+      resource("/tiny.mp4").take(12), Array.fill[Byte](64)(0x5A))
+    junk.foreach { b =>
+      assert(Multimodal.wavDecode(Multimodal.MediaRow(9L, "audio/wav", b)).isEmpty)
+      assert(Multimodal.mp4Decode(Multimodal.MediaRow(9L, "video/mp4", b)).isEmpty)
+    }
+    // a WAV is not an MP4 and vice versa
+    assert(Multimodal.mp4Decode(Multimodal.MediaRow(3L, "video/mp4", resource("/tiny.wav"))).isEmpty)
+    assert(Multimodal.wavDecode(Multimodal.MediaRow(3L, "audio/wav", resource("/tiny.mp4"))).isEmpty)
+
+    // the Dataset passes run the same parse inside the Spark plumbing and
+    // drop unparseable rows
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", resource("/tiny.wav")),
+      Multimodal.MediaRow(2L, "video/mp4", resource("/tiny.mp4")),
+      Multimodal.MediaRow(3L, "audio/wav", Array[Byte](1, 2, 3))
+    ).toDS().toDF()
+    assert(Multimodal.decodeWavMeta(spark, media).collect().toSeq ===
+      Seq(Multimodal.AudioMeta(1L, "pcm", 1, 8000, 16, 16L, 2L)))
+    assert(Multimodal.decodeMp4Meta(spark, media).collect().toSeq ===
+      Seq(Multimodal.VideoMeta(2L, "isom", 1000L, 2500L, 1, 320, 240)))
+  }
+
   test("default ngram jaccard plan is the capped plan and matches uncapped on cap-free data") {
     // VERDICT r3 item 1: the skew cap is now the DEFAULT. On a corpus with
     // fewer docs than the cap the answers are identical, but the PLAN must

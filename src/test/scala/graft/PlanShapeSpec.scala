@@ -68,11 +68,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles === 2, s"expected 2 shuffles (hash, doc id):\n$p")
   }
 
-  test("sample_stratified and corpus_budget_mix are single-shuffle window plans") {
+  test("sample_stratified and corpus_budget_mix: one full-data shuffle, keyed (stratum, bucket)") {
+    // two-phase cutoff shape: the FULL-DATA path still shuffles exactly
+    // once, but on (stratum, __b) so low-cardinality strata don't cap
+    // parallelism; the two extra exchanges sit on the strata × buckets
+    // histogram (a partial-agg'd aggregate + its per-stratum running sum),
+    // which is O(strata × 4096) rows regardless of data size, and the
+    // offsets come back to the big side as a broadcast
     Seq("sample_stratified", "corpus_budget_mix").foreach { q =>
       val p = plan(q)
       val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
-      assert(shuffles === 1, s"$q must shuffle once (on the stratum):\n$p")
+      assert(shuffles === 3, s"$q: 1 full-data + 2 tiny histogram shuffles:\n$p")
+      assert("windowspecdefinition\\(stratum#\\d+L?, __b#".r.findFirstIn(p).nonEmpty,
+        s"$q: the full-data window must partition by (stratum, __b):\n$p")
+      assert("hashpartitioning\\(stratum#\\d+L?, __b#".r.findFirstIn(p).nonEmpty,
+        s"$q: the full-data exchange must key on (stratum, __b):\n$p")
     }
   }
 
