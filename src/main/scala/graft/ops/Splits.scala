@@ -82,7 +82,15 @@ object Splits {
     *     shuffle, now keyed on (stratum, bucket)) and row_number within
     *     each (stratum, bucket), offset by the bucket's start.
     * Parallelism is strata × buckets instead of strata, and rows past
-    * the threshold bucket never reach the sort. A bounded k-row heap
+    * the threshold bucket never reach the sort.
+    *
+    * Cost of the shape: the histogram is a SECOND scan of the input
+    * (same trade Spark's own orderBy makes for range-boundary sampling).
+    * MEASURED at sf0.1: sample_stratified 0.31 s → 0.79 s,
+    * corpus_budget_mix 0.36 s → 0.86 s — a ~0.5 s constant at toy scale
+    * that buys the asymptotic win: the old single-window shape serialized
+    * each stratum through ONE task's sort, this one never sorts more
+    * than a bucket. A bounded k-row heap
     * ([[graft.functions.TopKAgg]]) would avoid sorting entirely but
     * scores through Double, and a 60-bit hash does not fit a 53-bit
     * mantissa — the heap's order would silently diverge from exact
