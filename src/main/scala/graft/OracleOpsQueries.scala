@@ -59,6 +59,25 @@ object OracleOpsQueries {
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
+  /** Corpus-frequency signals (rare/hapax/mean-df) with minDf = 3. The
+    * synthetic corpus draws from a shared small vocabulary where every
+    * token has df ≥ 3 (measured: n_rare = 0 on raw text — a vacuous
+    * gate), so like `text_redact`/`text_c4` the gate PLANTS deterministic
+    * low-df tokens in BOTH engines: a unique `zq<id>` hapax on every 13th
+    * doc (df = 1) and a `pt<k>` token shared by consecutive 17th-doc
+    * pairs (df = 2) — both rare branches and the df = 2 vs df = 1
+    * distinction actually fire. */
+  def textRareTokens(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" zq"), col("doc_id").cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        concat(lit(" pt"), floor(col("doc_id") / 34).cast("string"))).otherwise(lit("")))
+    TextAnalysis.corpusFrequencySignals(
+      Tables.documents(s, d).select(col("doc_id"), planted.as("text")),
+      "doc_id", "text")
+  }
+
   /** C4 cleaning-rule signals. Like `text_redact`, the boilerplate flags
     * and the short-unit rule would be vacuous on the synthetic corpus (no
     * "lorem ipsum"/braces, no short sentences), so the gate plants
@@ -400,6 +419,7 @@ object OracleOpsQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_redact" -> (textRedact _),
     "text_repetition" -> (textRepetition _),
+    "text_rare_tokens" -> (textRareTokens _),
     "text_repetition_scan" -> ((s: SparkSession, d: String) =>
       TextAnalysis.repetitionSignalsScanSide(Tables.documents(s, d), "doc_id", "text")),
     "text_c4" -> (textC4 _),
@@ -958,6 +978,39 @@ object OracleOpsQueries {
         |FROM m""".stripMargin,
     "text_repetition" -> repetitionSql,
     "text_repetition_scan" -> repetitionSql,
+    "text_rare_tokens" ->
+      s"""WITH pl AS (
+         |  SELECT doc_id,
+         |    text || (CASE WHEN doc_id % 13 = 0 THEN ' zq' || CAST(doc_id AS VARCHAR) ELSE '' END)
+         |         || (CASE WHEN doc_id % 17 = 0 THEN ' pt' || CAST(doc_id // 34 AS VARCHAR) ELSE '' END) AS text
+         |  FROM documents),
+         |${toksCteFrom("pl")},
+         |tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |th AS (SELECT doc_id, ${h60("tok")} AS h FROM tk),
+         |dfq AS (
+         |  SELECT h, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, h FROM th) GROUP BY h),
+         |sc AS (SELECT th.doc_id, f.df FROM th JOIN dfq f USING (h)),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |    CAST(SUM(df) AS BIGINT) AS sum_df
+         |  FROM sc GROUP BY doc_id),
+         |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+         |SELECT base.doc_id, base.n_tokens,
+         |  COALESCE(agg.n_rare, 0) AS n_rare,
+         |  CASE WHEN base.n_tokens > 0
+         |    THEN CAST(COALESCE(agg.n_rare, 0) AS DOUBLE) / CAST(base.n_tokens AS DOUBLE)
+         |    ELSE 0.0 END AS rare_frac,
+         |  COALESCE(agg.n_hapax, 0) AS n_hapax,
+         |  CASE WHEN base.n_tokens > 0
+         |    THEN CAST(COALESCE(agg.n_hapax, 0) AS DOUBLE) / CAST(base.n_tokens AS DOUBLE)
+         |    ELSE 0.0 END AS hapax_frac,
+         |  CASE WHEN base.n_tokens > 0
+         |    THEN CAST(COALESCE(agg.sum_df, 0) AS DOUBLE) / CAST(base.n_tokens AS DOUBLE)
+         |    ELSE 0.0 END AS mean_token_df
+         |FROM base LEFT JOIN agg USING (doc_id)""".stripMargin,
     "dataset_split" ->
       s"""WITH b AS (
          |  SELECT doc_id,

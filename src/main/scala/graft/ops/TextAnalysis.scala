@@ -289,6 +289,54 @@ object TextAnalysis {
           .otherwise(0.0).as("top_2gram_share"))
   }
 
+  /** Corpus-frequency token signals — the CCNet/Dolma-style frequency
+    * filter family without the log-perplexity float hazard: per document,
+    * how "ordinary" its vocabulary is against the corpus itself.
+    * Returns (id, n_tokens, n_rare, rare_frac, n_hapax, hapax_frac,
+    * mean_token_df) where a token is RARE if its corpus document
+    * frequency (number of DISTINCT docs containing it) is < `minDf`, a
+    * hapax appears in exactly one document, and mean_token_df averages
+    * the per-occurrence df. High rare_frac ≈ OOV-heavy/garbled text; a
+    * near-zero rare_frac with low mean df spread flags boilerplate.
+    * All counts are exact integers (the one double is a final division),
+    * so the DuckDB oracle matches bit-exactly — the reason this scores
+    * frequency rather than an ln-based LM likelihood (libm vs JVM `log`
+    * differ in final ULPs).
+    *
+    * Shape at scale: one distinct-per-doc explode → groupBy(token) builds
+    * the df table (map-side combined), one groupBy(doc) re-aggregates
+    * scored occurrences — two full shuffles, zero UDFs, and the df table
+    * joins back BY HASH (the token string never ships through the second
+    * shuffle). Skew-safe: the df aggregate absorbs hot tokens map-side;
+    * the join fans out one row per occurrence, same as the scan. */
+  def corpusFrequencySignals(df: DataFrame, id: String, text: String,
+                             minDf: Int = 3): DataFrame = {
+    val tok = df.select(col(id), explode(tokens(col(text))).as("tok"))
+      .select(col(id), hash60(col("tok")).as("h"))
+    val docFreq = tok.select(col(id), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val scored = tok.join(docFreq, Seq("h"))
+    df.select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))
+      .join(
+        scored.groupBy(col(id)).agg(
+          sum((col("df") < minDf).cast("long")).as("n_rare"),
+          sum((col("df") === 1).cast("long")).as("n_hapax"),
+          sum(col("df")).as("sum_df")),
+        Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(col("n_tokens") > 0,
+          coalesce(col("n_rare"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("rare_frac"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        when(col("n_tokens") > 0,
+          coalesce(col("n_hapax"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("hapax_frac"),
+        when(col("n_tokens") > 0,
+          coalesce(col("sum_df"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("mean_token_df"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercased,
     * whitespace collapsed) + its 60-bit long form. */
   def normalized(text: Column): Column =

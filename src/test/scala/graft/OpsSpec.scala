@@ -58,6 +58,27 @@ class OpsSpec extends SparkSpec {
     assert(tiny === Map(9L -> 0L, 10L -> 0L))
   }
 
+  test("corpusFrequencySignals: rare/hapax counts per occurrence against corpus df") {
+    val df = Seq(
+      (1L, "apple banana apple"),   // apple df=1 (hapax, 2 occurrences), banana df=2
+      (2L, "banana cherry"),
+      (3L, "cherry durian unique"), // durian/unique hapax
+      (4L, "")                      // tokenless doc still reported, zeroed
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusFrequencySignals(df, "doc_id", "text", minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(out(1L) === ((3L, 3L, 1.0, 2L, 2.0 / 3.0, 4.0 / 3.0)))
+    assert(out(2L) === ((2L, 2L, 1.0, 0L, 0.0, 2.0)))
+    assert(out(3L) === ((3L, 3L, 1.0, 2L, 2.0 / 3.0, 4.0 / 3.0)))
+    assert(out(4L) === ((0L, 0L, 0.0, 0L, 0.0, 0.0)))
+    // with minDf = 2, only the hapaxes are rare
+    val loose = TextAnalysis.corpusFrequencySignals(df, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose === Map(1L -> 2L, 2L -> 0L, 3L -> 2L, 4L -> 0L))
+  }
+
   test("stratifiedSample: exact k per stratum, deterministic, rank contiguous") {
     val df = (1L to 100L).map(i => (i, i % 3)).toDF("doc_id", "grp")
     val s1 = graft.ops.Splits.stratifiedSample(df, "doc_id", col("grp"), k = 5)
