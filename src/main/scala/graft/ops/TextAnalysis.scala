@@ -311,6 +311,15 @@ object TextAnalysis {
     * the join fans out one row per occurrence, same as the scan. */
   def corpusFrequencySignals(df: DataFrame, id: String, text: String,
                              minDf: Int = 3): DataFrame = {
+    // NEGATIVE RESULT (measured sf0.1 steady-state, do not retry): adding
+    // .repartition(col("h")) here so ReuseExchange shares one run of the
+    // tokenize/explode/md5 pipeline across the df subtree and the scoring
+    // join (the ngramJaccardPairs trick) is 1.3× SLOWER (0.59 s vs
+    // 0.44 s) — per-token md5 over whitespace tokens is cheap enough that
+    // re-running the scan costs less than materializing every occurrence
+    // through an extra full exchange. The trick pays only when the
+    // re-computed pipeline is expensive per row (shingling) or feeds 3+
+    // consumers.
     val tok = df.select(col(id), explode(tokens(col(text))).as("tok"))
       .select(col(id), hash60(col("tok")).as("h"))
     val docFreq = tok.select(col(id), col("h")).distinct()
