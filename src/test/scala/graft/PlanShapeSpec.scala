@@ -111,6 +111,19 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus min must partial-aggregate map-side:\n$p")
   }
 
+  test("text_rare_tokens: three partial-agg'd shuffles, token strings never shuffled") {
+    // distinct (id,h) -> df count by h -> per-doc re-agg; every exchange
+    // carries the 8-byte hash, never the token string, and each aggregate
+    // partial-combines map-side (hot tokens absorbed before the shuffle)
+    val p = plan("text_rare_tokens")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 3, s"expected 3 hash-keyed shuffles:\n$p")
+    assert("partial_sum".r.findAllIn(p).nonEmpty && "partial_count".r.findAllIn(p).nonEmpty,
+      s"aggregates must partial-combine map-side:\n$p")
+    assert(!"hashpartitioning\\([^)]*tok".r.findFirstIn(p).isDefined,
+      s"the token string must not be a shuffle key:\n$p")
+  }
+
   test("corpus_shard is a single-shuffle window plan") {
     val p = plan("corpus_shard")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
