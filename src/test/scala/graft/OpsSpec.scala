@@ -156,6 +156,12 @@ class OpsSpec extends SparkSpec {
       df, "doc_id", col("grp"), col("nt"), lit(300L), nHistBuckets = 8)
     assert(mix2.collect().map(_.toSeq).toSet === refMix.collect().map(_.toSeq).toSet)
 
+    // partition-invariant: the cutoff is a pure function of (salt, ids),
+    // independent of the input's physical layout
+    val mixRepart = graft.ops.Splits.tokenBudgetSample(
+      df.repartition(7), "doc_id", col("grp"), col("nt"), lit(300L), nHistBuckets = 8)
+    assert(mixRepart.collect().map(_.toSeq).toSet === refMix.collect().map(_.toSeq).toSet)
+
     // plan shape: the full-data running-sum window partitions by
     // (stratum, bucket) — with low-cardinality strata, parallelism is
     // strata × buckets, no longer one task per stratum
