@@ -142,16 +142,26 @@ object Multimodal {
       var fmt: Option[(Int, Int, Int, Int)] = None // tag, channels, rate, bits
       var blockAlign = 0
       var dataBytes = -1L
-      while (off + 8 <= b.length) {
+      var malformed = false
+      while (!malformed && off + 8 <= b.length) {
         val id = tag(off)
         val sz = u32(off + 4)
-        if (id == "fmt " && off + 24 <= b.length) {
-          fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
-          blockAlign = u16(off + 20)
-        } else if (id == "data") dataBytes = sz
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        // sz is unsigned 32-bit: a size whose .toInt is negative (or huge)
+        // would make the advance non-positive and spin this loop forever —
+        // treat it as malformed, never trust it
+        if (sz > Int.MaxValue - 16) malformed = true
+        else {
+          // field reads bounded by the chunk's OWN declared size (a
+          // truncated fmt chunk must not read the next chunk's bytes)
+          if (id == "fmt " && sz >= 16 && off + 24 <= b.length) {
+            fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+            blockAlign = u16(off + 20)
+          } else if (id == "data") dataBytes = sz
+          off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        }
       }
-      fmt.map { case (f, ch, rate, bits) =>
+      if (malformed) None
+      else fmt.map { case (f, ch, rate, bits) =>
         val ba = if (blockAlign > 0) blockAlign else math.max(1, ch * bits / 8)
         val n = if (dataBytes >= 0) dataBytes / ba else 0L
         AudioMeta(row.doc_id, if (f == 1) "pcm" else s"fmt_$f", ch, rate, bits,
@@ -196,28 +206,33 @@ object Multimodal {
           if (sz < 8 || off + sz > to) ok = false // extended/to-end/corrupt
           else {
             val body = off + 8
+            val boxEnd = off + sz.toInt // field reads bounded by the box's
+                                        // OWN size, not the parent's end —
+                                        // a short mvhd/tkhd must yield
+                                        // nothing, not the next box's bytes
             id match {
-              case "moov" if depth == 0 => walk(body, off + sz.toInt, 1)
+              case "moov" if depth == 0 => walk(body, boxEnd, 1)
               case "trak" if depth == 1 =>
                 nTracks += 1
-                if (width == 0) walk(body, off + sz.toInt, 2)
+                if (width == 0) walk(body, boxEnd, 2)
               case "mvhd" if depth == 1 =>
                 val v = b(body) & 0xff
-                if (v == 1 && body + 32 <= to) {
+                if (v == 1 && body + 32 <= boxEnd) {
                   timescale = u32(body + 20)
                   val d = u64(body + 24)
                   durationMs = if (timescale > 0) d * 1000L / timescale else -1L
-                } else if (v == 0 && body + 20 <= to) {
+                } else if (v == 0 && body + 20 <= boxEnd) {
                   timescale = u32(body + 12)
                   val d = u32(body + 16)
                   durationMs = if (timescale > 0) d * 1000L / timescale else -1L
                 }
               case "tkhd" if depth == 2 =>
-                // width/height are the box's trailing 16.16 fixed-point words
-                val end = off + sz.toInt
-                if (end - 8 >= body) {
-                  width = (u32(end - 8) >> 16).toInt
-                  height = (u32(end - 4) >> 16).toInt
+                // width/height are the box's trailing 16.16 fixed-point
+                // words; a full v0 tkhd is 92 bytes — require at least the
+                // fixed header + matrix so the trailing words are real
+                if (boxEnd - body >= 80) {
+                  width = (u32(boxEnd - 8) >> 16).toInt
+                  height = (u32(boxEnd - 4) >> 16).toInt
                 }
               case _ => ()
             }
@@ -233,18 +248,23 @@ object Multimodal {
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Header-metadata pass over audio payloads — same partition-local
-    * streaming shape as [[decode]]; rows that are not parseable WAV are
-    * dropped (a production pipeline left-joins the result back to keep
-    * them visible). */
+    * streaming shape as [[decode]]. Only audio-kind rows (`kind` starting with `audio/`) are parsed (the
+    * kind filter is a pushable scan predicate, like [[decode]]'s image
+    * dispatch — other modalities must not pay a RIFF walk, and a
+    * mislabeled payload that happens to carry RIFF magic must not leak in
+    * as audio); rows that are not parseable WAV are dropped (a production
+    * pipeline left-joins the result back to keep them visible). */
   def decodeWavMeta(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.flatMap(wavDecode))
+    media.filter(col("kind").startsWith("audio/"))
+      .as[MediaRow].mapPartitions(_.flatMap(wavDecode))
   }
 
-  /** Header-metadata pass over video payloads — see [[decodeWavMeta]]. */
+  /** Header-metadata pass over video-kind payloads — see [[decodeWavMeta]]. */
   def decodeMp4Meta(spark: SparkSession, media: DataFrame): Dataset[VideoMeta] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.flatMap(mp4Decode))
+    media.filter(col("kind").startsWith("video/"))
+      .as[MediaRow].mapPartitions(_.flatMap(mp4Decode))
   }
 
   /** Binary "media" stand-in built from a text table (payload = utf-8

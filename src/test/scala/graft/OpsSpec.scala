@@ -495,8 +495,19 @@ class OpsSpec extends SparkSpec {
     assert(mp4 === Multimodal.VideoMeta(2L, "isom", 1000L, 2500L, 1, 320, 240))
 
     // garbage and wrong-container payloads parse to None, never throw
+    // (and never hang: the 0xFFFFFFF8 chunk size would make the naive
+    // advance zero — the unsigned-size guard must bail out as malformed)
+    val spinner = "RIFF".getBytes("US-ASCII") ++ Array[Byte](100, 0, 0, 0) ++
+      "WAVEjunk".getBytes("US-ASCII") ++
+      Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++
+      Array.fill[Byte](16)(0)
+    // a truncated fmt chunk (declared size 2) must not read the following
+    // chunk's bytes as format fields — parses to None, not garbage metadata
+    val truncFmt = "RIFF".getBytes("US-ASCII") ++ Array[Byte](40, 0, 0, 0) ++
+      "WAVEfmt ".getBytes("US-ASCII") ++ Array[Byte](2, 0, 0, 0, 1, 0) ++
+      "data".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4)
     val junk = Seq(Array.empty[Byte], "RIFFxxxx".getBytes("US-ASCII"),
-      resource("/tiny.mp4").take(12), Array.fill[Byte](64)(0x5A))
+      resource("/tiny.mp4").take(12), Array.fill[Byte](64)(0x5A), spinner, truncFmt)
     junk.foreach { b =>
       assert(Multimodal.wavDecode(Multimodal.MediaRow(9L, "audio/wav", b)).isEmpty)
       assert(Multimodal.mp4Decode(Multimodal.MediaRow(9L, "video/mp4", b)).isEmpty)
