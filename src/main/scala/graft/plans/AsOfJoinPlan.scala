@@ -33,6 +33,17 @@ case class AsOfJoinPlan(
     rightKey: Expression,
     leftTs: Expression,
     rightTs: Expression) extends BinaryNode {
+  // fail at construction, not as an executor-side ClassCastException three
+  // stages later: the exemplar's contract is LongType key/ts (checked only
+  // when the expressions are resolved — optimizer copies stay legal)
+  {
+    val exprs = Seq(leftKey, rightKey, leftTs, rightTs)
+    require(!exprs.forall(_.resolved) ||
+        exprs.forall(_.dataType == org.apache.spark.sql.types.LongType),
+      s"AsOfJoinPlan requires LongType key/ts columns, got " +
+        exprs.filter(_.resolved).map(e => s"$e: ${e.dataType.simpleString}").mkString(", "))
+  }
+
   override def output: Seq[Attribute] = left.output ++ right.output
 
   /** The stats visitor's fallback for unknown binary nodes multiplies the
@@ -71,8 +82,15 @@ object PushFilterThroughAsOfJoin
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, a: AsOfJoinPlan) =>
-      val (push, keep) = splitConjunctivePredicates(cond)
-        .partition(c => c.deterministic && c.references.subsetOf(a.left.outputSet))
+      // span, not partition, on determinism — Catalyst's own
+      // PushPredicateThroughNonJoin convention: a deterministic conjunct
+      // must not hop over a PRECEDING non-deterministic one (rand() would
+      // see a pre-filtered stream; under ANSI a short-circuited error
+      // conjunct would start evaluating on rows it never saw)
+      val (candidates, rest) = splitConjunctivePredicates(cond).span(_.deterministic)
+      val (push, keepDet) =
+        candidates.partition(_.references.subsetOf(a.left.outputSet))
+      val keep = keepDet ++ rest
       if (push.isEmpty) f
       else {
         val pushed = a.copy(left = Filter(push.reduce(And), a.left))
@@ -131,6 +149,22 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Deterministic tie-break for duplicate (key, ts) quote rows: the
+  * unsigned-lexicographic max of the rows' serialized bytes wins. Any
+  * total order would do — what matters is that the broadcast and merge
+  * variants pick the SAME row, so a plan change (autoBroadcastJoinThreshold
+  * crossing) can never move a value. Unique (key, ts) quotes are still the
+  * contract for exact cross-engine (DuckDB ASOF) equality — DuckDB's own
+  * tie pick is implementation-defined. */
+private[plans] object AsOfTies {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+  def cmp(a: InternalRow, b: InternalRow): Int = (a, b) match {
+    case (ua: UnsafeRow, ub: UnsafeRow) =>
+      java.util.Arrays.compareUnsigned(ua.getBytes, ub.getBytes)
+    case _ => 0 // non-UnsafeRow inputs: keep the incumbent
+  }
+}
+
 /** Broadcast as-of join: the quote side is collected, grouped by key and
   * sorted by ts on the driver, then broadcast; each probe partition does a
   * per-row binary search for the latest quote with ts <= probe.ts. The
@@ -146,19 +180,44 @@ case class AsOfJoinBroadcastExec(
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  // the probe side streams through untouched, so its partitioning and
+  // ordering survive — without declaring them EnsureRequirements would
+  // re-shuffle/re-sort above the zero-exchange path this exec exists for
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override protected def doExecute(): RDD[InternalRow] = {
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
     val rTsB = BindReferences.bindReference(rightTs, right.output)
+    val collected = right.executeCollect()
+    // the strategy gates on the LOGICAL size estimate, which can badly
+    // underestimate; fail actionably instead of letting the driver OOM
+    // inside an opaque Map build
+    require(collected.length <= AsOfJoinBroadcastExec.MaxBroadcastRows,
+      s"as-of broadcast side has ${collected.length} rows " +
+        s"(> ${AsOfJoinBroadcastExec.MaxBroadcastRows}): the size estimate " +
+        "that selected the broadcast variant was too low — lower " +
+        "spark.sql.autoBroadcastJoinThreshold (or set -1) to force the " +
+        "shuffled streaming merge")
     // build key -> quotes sorted by ts (ascending); last match wins, same
-    // convention as the streaming merge
+    // convention as the streaming merge. Equal-ts runs collapse to the
+    // AsOfTies byte-max row — the same winner the merge variant holds.
     val grouped: Map[Long, Array[(Long, InternalRow)]] =
-      right.executeCollect().flatMap { row =>
+      collected.flatMap { row =>
         val k = rKeyB.eval(row)
         val t = rTsB.eval(row)
         if (k == null || t == null) None
         else Some((k.asInstanceOf[Long], (t.asInstanceOf[Long], row.copy())))
       }.groupBy(_._1).map { case (k, rows) =>
-        k -> rows.map(_._2).sortBy(_._1)
+        val sorted = rows.map(_._2).sortBy(_._1)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)](sorted.length)
+        sorted.foreach { e =>
+          if (out.nonEmpty && out.last._1 == e._1) {
+            if (AsOfTies.cmp(e._2, out.last._2) > 0) out(out.length - 1) = e
+          } else out += e
+        }
+        k -> out.toArray
       }
     val bc = sparkContext.broadcast(grouped)
     val lKeyB = BindReferences.bindReference(leftKey, left.output)
@@ -198,6 +257,14 @@ case class AsOfJoinBroadcastExec(
     copy(left = newLeft, right = newRight)
 }
 
+object AsOfJoinBroadcastExec {
+  /** Hard cap on driver-collected quote rows — the actionable-failure
+    * backstop for stats underestimates (BroadcastExchangeExec has the same
+    * class of guard; 8M rows ≈ low-GB boxed map, survivable while clearly
+    * beyond any sane broadcast side). */
+  val MaxBroadcastRows: Int = 8 << 20
+}
+
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -214,6 +281,14 @@ case class AsOfJoinExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  // output rows are the probe rows (widened), still clustered by the key
+  // the children were shuffled on — declaring it lets a downstream
+  // groupBy(key) reuse this exchange instead of inserting a second one
+  // (the docstring's one-shuffle-per-side contract would otherwise be
+  // silently violated above the join)
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
@@ -254,9 +329,16 @@ case class AsOfJoinExec(
               val qk = qkRef.asInstanceOf[Long]
               val qt = qtRef.asInstanceOf[Long]
               if (qk < pk || (qk == pk && qt <= pt)) {
-                heldQuote = q.copy() // iterator rows are reused buffers
-                heldKey = qk
-                heldTs = qt
+                // duplicate (key, ts) quotes: hold the AsOfTies byte-max
+                // row, not whichever the partition sort happened to order
+                // last — keeps this variant identical to the broadcast one
+                val replace = heldQuote == null || qk != heldKey ||
+                  qt != heldTs || AsOfTies.cmp(q, heldQuote) > 0
+                if (replace) {
+                  heldQuote = q.copy() // iterator rows are reused buffers
+                  heldKey = qk
+                  heldTs = qt
+                }
                 bufQuotes.next()
               } else {
                 advancing = false

@@ -160,6 +160,86 @@ class AsOfNativeSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("duplicate (key, ts) quotes: broadcast and merge variants pick the same row") {
+    val s = extSession
+    import s.implicits._
+    val probes = Seq((1L, 10L, "p1"), (2L, 10L, "p2")).toDF("key", "ts", "tag")
+    // three quotes tied at exactly (1, 10) with different payloads, plus a
+    // tied pair on key 2 — the byte-max tie contract must make BOTH
+    // physical variants deterministic and identical
+    val quotes = Seq((1L, 10L, 7.0), (1L, 10L, 3.0), (1L, 10L, 5.0),
+      (2L, 10L, 1.0), (2L, 10L, 2.0)).toDF("key", "ts", "v")
+    def run() = AsOf.asOfJoinNative(s, probes, quotes.repartition(3), "key", "ts")
+      .toDF("key", "ts", "tag", "q_key", "q_ts", "v")
+      .select("tag", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val broadcastRows = run()
+    val mergeRows = try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      run()
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(broadcastRows === mergeRows)
+    assert(broadcastRows.map(_._1) === Set("p1", "p2"))
+    // stable across reruns (not dependent on partition/collect order)
+    assert(run() === broadcastRows)
+  }
+
+  test("non-Long key/ts fails at plan construction, not mid-execution") {
+    val s = extSession
+    import s.implicits._
+    val probes = Seq((1, 10L, "p")).toDF("key", "ts", "tag") // Int key
+    val quotes = Seq((1, 5L, 1.0)).toDF("key", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asOfJoinNative(s, probes, quotes, "key", "ts")
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
+
+  test("deterministic conjuncts do not hop over a preceding non-deterministic one") {
+    val s = extSession
+    import s.implicits._
+    val probes = Seq((1L, 10L, "p1"), (2L, 10L, "p2")).toDF("key", "ts", "tag")
+    val quotes = Seq((1L, 5L, 1.0), (2L, 5L, 2.0)).toDF("key", "ts", "v")
+    val joined = AsOf.asOfJoinNative(s, probes, quotes, "key", "ts")
+      .toDF("key", "ts", "tag", "q_key", "q_ts", "v")
+    import graft.plans.AsOfJoinPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // rand() FIRST: the following probe conjunct must NOT push (Catalyst's
+    // span convention — pushing would change which rows rand() evaluates on)
+    val blocked = joined.filter(rand(42) < 2.0 && col("key") > 0L)
+      .queryExecution.optimizedPlan
+    val nodeB = blocked.collectFirst { case a: AsOfJoinPlan => a }.get
+    assert(nodeB.left.collectFirst { case f: LFilter => f }.isEmpty, blocked.toString)
+    // rand() LAST: the preceding probe conjunct still pushes
+    val pushed = joined.filter(col("key") > 0L && rand(42) < 2.0)
+      .queryExecution.optimizedPlan
+    val nodeP = pushed.collectFirst { case a: AsOfJoinPlan => a }.get
+    assert(nodeP.left.collectFirst { case f: LFilter => f }.isDefined ||
+      nodeP.left.find(_.toString.contains("key")).isDefined, pushed.toString)
+  }
+
+  test("downstream groupBy on the join key reuses the join's partitioning") {
+    val s = extSession
+    import s.implicits._
+    val probes = (1L to 200L).map(i => (i % 10, i, s"p$i")).toDF("key", "ts", "tag")
+    val quotes = (1L to 200L).map(i => (i % 10, i, i.toDouble)).toDF("key", "ts", "v")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val agg = AsOf.asOfJoinNative(s, probes, quotes, "key", "ts")
+        .toDF("key", "ts", "tag", "q_key", "q_ts", "v")
+        .groupBy("key").agg(sum("v"))
+      agg.collect()
+      // AQE prints the final plan AND the initial plan — count only the final
+      val p = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      // one exchange per join side, NONE for the aggregate — the join's
+      // declared outputPartitioning makes the groupBy exchange-free
+      assert(exchanges === 2, p)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("physical plan is the custom exec with one exchange+sort per side") {
     val s = extSession
     import s.implicits._
