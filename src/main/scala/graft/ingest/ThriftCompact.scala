@@ -28,14 +28,28 @@ object ThriftCompact {
   final val MAP = 11
   final val STRUCT = 12
 
+  /** Maximum container/struct nesting the generic skip will follow —
+    * the profile schema nests ≤ 3 deep; a crafted payload of repeated
+    * struct-field bytes must hit this bound (IllegalArgumentException,
+    * caught by the drop-corrupt-lines ingest) rather than recurse into a
+    * StackOverflowError, which is an Error and would escape the
+    * `case e: Exception` catch and kill the Spark task. */
+  final val MaxSkipDepth = 64
+
   final class Reader(buf: Array[Byte]) {
     private var pos = 0
+
+    private def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed thrift-compact at $pos: $msg")
 
     def readByte(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
 
     def readVarint(): Long = {
       var result = 0L; var shift = 0; var b = 0
       do {
+        // Java shifts are mod 64: an over-long varint would silently wrap
+        // and OR garbage into the LOW bits — wrong values, not an error
+        if (shift >= 64) bad("varint longer than 10 bytes")
         b = readByte()
         result |= (b & 0x7fL) << shift
         shift += 7
@@ -45,38 +59,64 @@ object ThriftCompact {
 
     def readZigzag(): Long = { val n = readVarint(); (n >>> 1) ^ -(n & 1) }
 
-    def readString(): String = {
+    /** Validated non-negative length that fits in the remaining buffer —
+      * a negative length (varint → Int overflow) would move the cursor
+      * BACKWARD in skip(BINARY) and loop the parser forever; an
+      * over-large one would desync silently. */
+    private def readLen(): Int = {
       val len = readVarint().toInt
+      if (len < 0 || pos + len > buf.length) bad(s"bad length $len")
+      len
+    }
+
+    /** Validated collection/map size: negative (overflowed) sizes must
+      * fail, not read zero elements and desync the stream into a garbage
+      * but structurally "valid" parse. Every element is ≥ 1 byte on the
+      * wire, so a size beyond the remaining bytes is also malformed. */
+    private def checkSize(size: Int): Int = {
+      if (size < 0 || size > buf.length - pos) bad(s"bad collection size $size")
+      size
+    }
+
+    def readString(): String = {
+      val len = readLen()
       val s = new String(buf, pos, len, "UTF-8")
       pos += len
       s
     }
 
+    def readMapSize(): Int = checkSize(readVarint().toInt)
+
     /** Skip a value in FIELD position: bools are zero-width (the value
       * lives in the field-header type nibble). */
-    def skip(tpe: Int): Unit = tpe match {
+    def skip(tpe: Int, depth: Int = 0): Unit = tpe match {
       case BOOL_TRUE | BOOL_FALSE => ()
       case BYTE => readByte()
       case I16 | I32 | I64 => readZigzag()
       case DOUBLE => pos += 8
-      case BINARY => val len = readVarint().toInt; pos += len
+      case BINARY => pos += readLen()
       case LIST | SET =>
+        if (depth >= MaxSkipDepth) bad("nesting too deep")
         val (elemType, size) = readCollectionHeader()
-        (0 until size).foreach(_ => skipElem(elemType))
+        (0 until size).foreach(_ => skipElem(elemType, depth + 1))
       case MAP =>
-        val size = readVarint().toInt
+        if (depth >= MaxSkipDepth) bad("nesting too deep")
+        val size = readMapSize()
         if (size > 0) {
           val kv = readByte()
           val (kt, vt) = (kv >> 4, kv & 0x0f)
-          (0 until size).foreach { _ => skipElem(kt); skipElem(vt) }
+          (0 until size).foreach { _ =>
+            skipElem(kt, depth + 1); skipElem(vt, depth + 1)
+          }
         }
       case STRUCT =>
+        if (depth >= MaxSkipDepth) bad("nesting too deep")
         var last = 0
         var cont = true
         while (cont) {
           val (fid, ft) = readFieldHeader(last)
           if (ft == STOP) cont = false
-          else { last = fid; skip(ft) }
+          else { last = fid; skip(ft, depth + 1) }
         }
       case other => throw new IllegalArgumentException(s"cannot skip type $other")
     }
@@ -84,9 +124,9 @@ object ThriftCompact {
     /** Skip a value in ELEMENT position (list/set/map): bools are one byte
       * each on the wire, unlike zero-width bool fields — treating them as
       * zero-width would silently desync the stream. */
-    def skipElem(tpe: Int): Unit = tpe match {
+    def skipElem(tpe: Int, depth: Int = 0): Unit = tpe match {
       case BOOL_TRUE | BOOL_FALSE => readByte()
-      case _ => skip(tpe)
+      case _ => skip(tpe, depth)
     }
 
     /** Returns (fieldId, wireType); wireType STOP terminates the struct. */
@@ -103,27 +143,33 @@ object ThriftCompact {
       val b = readByte()
       val sizeNibble = (b & 0xf0) >> 4
       val elemType = b & 0x0f
-      val size = if (sizeNibble == 15) readVarint().toInt else sizeNibble
+      val size = if (sizeNibble == 15) checkSize(readVarint().toInt) else sizeNibble
       (elemType, size)
     }
   }
 
   // ------------------------------------------------------- schema decoding
 
-  private def readCounter(r: Reader): TCounter = {
-    var name = ""; var ct = 0; var value = 0L
+  /** The field-header/STOP/last-id walk every struct reader shares: calls
+    * `onField(fieldId, wireType)` for each field until STOP. Keeps the
+    * `last = fid` delta bookkeeping correct in exactly one place. */
+  private def readStructFields(r: Reader)(onField: (Int, Int) => Unit): Unit = {
     var last = 0; var cont = true
     while (cont) {
       val (fid, ft) = r.readFieldHeader(last)
       if (ft == STOP) cont = false
-      else {
-        fid match {
-          case 1 => name = r.readString()
-          case 2 => ct = r.readZigzag().toInt
-          case 3 => value = r.readZigzag()
-          case _ => r.skip(ft)
-        }
-        last = fid
+      else { onField(fid, ft); last = fid }
+    }
+  }
+
+  private def readCounter(r: Reader): TCounter = {
+    var name = ""; var ct = 0; var value = 0L
+    readStructFields(r) { (fid, ft) =>
+      fid match {
+        case 1 => name = r.readString()
+        case 2 => ct = r.readZigzag().toInt
+        case 3 => value = r.readZigzag()
+        case _ => r.skip(ft)
       }
     }
     TCounter(name, ct, value)
@@ -131,22 +177,16 @@ object ThriftCompact {
 
   private def readEventSequence(r: Reader): (String, Seq[ProfileEvent]) = {
     var name = ""; var ts = Seq.empty[Long]; var labels = Seq.empty[String]
-    var last = 0; var cont = true
-    while (cont) {
-      val (fid, ft) = r.readFieldHeader(last)
-      if (ft == STOP) cont = false
-      else {
-        fid match {
-          case 1 => name = r.readString()
-          case 2 =>
-            val (_, n) = r.readCollectionHeader()
-            ts = (0 until n).map(_ => r.readZigzag())
-          case 3 =>
-            val (_, n) = r.readCollectionHeader()
-            labels = (0 until n).map(_ => r.readString())
-          case _ => r.skip(ft)
-        }
-        last = fid
+    readStructFields(r) { (fid, ft) =>
+      fid match {
+        case 1 => name = r.readString()
+        case 2 =>
+          val (_, n) = r.readCollectionHeader()
+          ts = (0 until n).map(_ => r.readZigzag())
+        case 3 =>
+          val (_, n) = r.readCollectionHeader()
+          labels = (0 until n).map(_ => r.readString())
+        case _ => r.skip(ft)
       }
     }
     // zip; labels may be shorter/longer — pair by index like the reference's
@@ -158,21 +198,15 @@ object ThriftCompact {
 
   private def readTimeSeries(r: Reader): TTimeSeriesCounter = {
     var name = ""; var ct = 0; var period = 0; var values = Seq.empty[Long]
-    var last = 0; var cont = true
-    while (cont) {
-      val (fid, ft) = r.readFieldHeader(last)
-      if (ft == STOP) cont = false
-      else {
-        fid match {
-          case 1 => name = r.readString()
-          case 2 => ct = r.readZigzag().toInt
-          case 3 => period = r.readZigzag().toInt
-          case 4 =>
-            val (_, n) = r.readCollectionHeader()
-            values = (0 until n).map(_ => r.readZigzag())
-          case _ => r.skip(ft)
-        }
-        last = fid
+    readStructFields(r) { (fid, ft) =>
+      fid match {
+        case 1 => name = r.readString()
+        case 2 => ct = r.readZigzag().toInt
+        case 3 => period = r.readZigzag().toInt
+        case 4 =>
+          val (_, n) = r.readCollectionHeader()
+          values = (0 until n).map(_ => r.readZigzag())
+        case _ => r.skip(ft)
       }
     }
     TTimeSeriesCounter(name, ct, period, values)
@@ -186,43 +220,37 @@ object ThriftCompact {
     var childCounters = Map.empty[String, Seq[String]]
     var events = Seq.empty[(String, Seq[ProfileEvent])]
     var timeSeries = Seq.empty[TTimeSeriesCounter]
-    var last = 0; var cont = true
-    while (cont) {
-      val (fid, ft) = r.readFieldHeader(last)
-      if (ft == STOP) cont = false
-      else {
-        fid match {
-          case 1 => name = r.readString()
-          case 2 => numChildren = r.readZigzag().toInt
-          case 3 =>
-            val (_, n) = r.readCollectionHeader()
-            counters = (0 until n).map(_ => readCounter(r))
-          case 4 => metadata = r.readZigzag()
-          case 5 => indent = ft == BOOL_TRUE
-          case 6 =>
-            val n = r.readVarint().toInt
-            if (n > 0) { r.readByte() } // key/value type byte
-            infoStrings = (0 until n).map(_ => (r.readString(), r.readString())).toMap
-          case 7 =>
-            val (_, n) = r.readCollectionHeader()
-            infoOrder = (0 until n).map(_ => r.readString())
-          case 8 =>
-            val n = r.readVarint().toInt
-            if (n > 0) { r.readByte() }
-            childCounters = (0 until n).map { _ =>
-              val k = r.readString()
-              val (_, m) = r.readCollectionHeader()
-              (k, (0 until m).map(_ => r.readString()): Seq[String])
-            }.toMap
-          case 9 =>
-            val (_, n) = r.readCollectionHeader()
-            events = (0 until n).map(_ => readEventSequence(r))
-          case 10 =>
-            val (_, n) = r.readCollectionHeader()
-            timeSeries = (0 until n).map(_ => readTimeSeries(r))
-          case _ => r.skip(ft)
-        }
-        last = fid
+    readStructFields(r) { (fid, ft) =>
+      fid match {
+        case 1 => name = r.readString()
+        case 2 => numChildren = r.readZigzag().toInt
+        case 3 =>
+          val (_, n) = r.readCollectionHeader()
+          counters = (0 until n).map(_ => readCounter(r))
+        case 4 => metadata = r.readZigzag()
+        case 5 => indent = ft == BOOL_TRUE
+        case 6 =>
+          val n = r.readMapSize()
+          if (n > 0) { r.readByte() } // key/value type byte
+          infoStrings = (0 until n).map(_ => (r.readString(), r.readString())).toMap
+        case 7 =>
+          val (_, n) = r.readCollectionHeader()
+          infoOrder = (0 until n).map(_ => r.readString())
+        case 8 =>
+          val n = r.readMapSize()
+          if (n > 0) { r.readByte() }
+          childCounters = (0 until n).map { _ =>
+            val k = r.readString()
+            val (_, m) = r.readCollectionHeader()
+            (k, (0 until m).map(_ => r.readString()): Seq[String])
+          }.toMap
+        case 9 =>
+          val (_, n) = r.readCollectionHeader()
+          events = (0 until n).map(_ => readEventSequence(r))
+        case 10 =>
+          val (_, n) = r.readCollectionHeader()
+          timeSeries = (0 until n).map(_ => readTimeSeries(r))
+        case _ => r.skip(ft)
       }
     }
     ProfileNode(name, numChildren, counters, metadata, indent, infoStrings,
@@ -233,38 +261,50 @@ object ThriftCompact {
   def parseTree(bytes: Array[Byte]): ProfileTree = {
     val r = new Reader(bytes)
     var nodes = Seq.empty[ProfileNode]
-    var last = 0; var cont = true
-    while (cont) {
-      val (fid, ft) = r.readFieldHeader(last)
-      if (ft == STOP) cont = false
-      else {
-        fid match {
-          case 1 =>
-            val (_, n) = r.readCollectionHeader()
-            nodes = (0 until n).map(_ => readNode(r))
-          case _ => r.skip(ft)
-        }
-        last = fid
+    readStructFields(r) { (fid, ft) =>
+      fid match {
+        case 1 =>
+          val (_, n) = r.readCollectionHeader()
+          nodes = (0 until n).map(_ => readNode(r))
+        case _ => r.skip(ft)
       }
     }
     ProfileTree(nodes)
   }
 
+  /** Decompressed-size ceiling for [[inflate]]: zlib ratios beyond 1000:1
+    * exist, so an unbounded inflate of a ~1 MB line could balloon to
+    * gigabytes and OOM the executor (an Error the drop-corrupt-lines
+    * catch cannot absorb). No real profile line approaches 256 MB. */
+  final val MaxInflatedBytes: Int = 256 << 20
+
   /** zlib-inflate (profile dumps are base64(zlib(thrift)) per
-    * analyze_profiles.py:17). */
+    * analyze_profiles.py:17). Malformed input fails with
+    * IllegalArgumentException/DataFormatException (Exceptions — the
+    * ingest drops the line), never a hang or an Error: streams demanding
+    * a preset dictionary (FDICT) are rejected (inflate() would otherwise
+    * return 0 forever), output is capped at [[MaxInflatedBytes]], and the
+    * native Inflater is released in a finally. */
   def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(data.length * 4)
-    val buf = new Array[Byte](8192)
-    while (!inf.finished()) {
-      val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput()) {
-        throw new IllegalArgumentException("truncated zlib stream")
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          if (inf.needsDictionary())
+            throw new IllegalArgumentException("zlib stream requires a preset dictionary")
+          if (inf.needsInput())
+            throw new IllegalArgumentException("truncated zlib stream")
+        }
+        if (out.size().toLong + n > MaxInflatedBytes)
+          throw new IllegalArgumentException(
+            s"inflated payload exceeds $MaxInflatedBytes bytes (zlib bomb?)")
+        out.write(buf, 0, n)
       }
-      out.write(buf, 0, n)
-    }
-    inf.end()
-    out.toByteArray
+      out.toByteArray
+    } finally inf.end()
   }
 }

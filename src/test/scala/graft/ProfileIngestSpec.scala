@@ -50,6 +50,32 @@ class ProfileIngestSpec extends SparkSpec {
     assert(seen === Some("sync")) // desync would corrupt or throw here
   }
 
+  test("adversarial thrift payloads fail fast with Exceptions, never hang or Error") {
+    def mustFail(bytes: Array[Byte]): Unit = {
+      val e = intercept[Exception] { ThriftCompact.parseTree(bytes) }
+      assert(e.isInstanceOf[Exception]) // not StackOverflowError/OOM
+    }
+    // negative BINARY skip length (varint 4294967290 -> toInt -6): would
+    // move the cursor BACKWARD and loop forever without the length guard
+    mustFail(Array(0x18, 0xFA, 0xFF, 0xFF, 0xFF, 0x0F).map(_.toByte))
+    // 100k nested struct headers (0x1C = delta 1, type STRUCT): unbounded
+    // recursion would StackOverflowError — an Error that escapes the
+    // ingest's drop-corrupt-lines catch
+    mustFail(Array.fill(100000)(0x1C.toByte))
+    // over-long varint (11 continuation bytes): Java shifts mod 64 would
+    // silently wrap into a wrong value
+    mustFail(Array(0x15.toByte) ++ Array.fill(11)(0xFF.toByte))
+    // negative long-form collection size: would read zero elements and
+    // desync the stream into a structurally-valid garbage parse
+    mustFail(Array(0x19, 0xF8, 0xFA, 0xFF, 0xFF, 0xFF, 0x0F).map(_.toByte))
+
+    // zlib stream with the FDICT bit set (0x78BB % 31 == 0, valid header):
+    // inflate() returns 0 with needsDictionary — the old loop spun forever
+    val fdict = Array(0x78, 0xBB, 0x01, 0x02, 0x03, 0x04, 0x00).map(_.toByte)
+    val e = intercept[IllegalArgumentException] { ThriftCompact.inflate(fdict) }
+    assert(e.getMessage.contains("dictionary"))
+  }
+
   test("thrift compact round-trip") {
     val tree = queryProfile()
     val parsed = ThriftCompact.parseTree(serializeTree(tree))
