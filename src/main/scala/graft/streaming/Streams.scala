@@ -58,22 +58,34 @@ object Streams {
   /** Stream-static enrichment join: the unbounded event stream joins a
     * bounded dimension table. Spark broadcasts/rescans the static side per
     * micro-batch — no state store, no watermark needed; the 100 TB shape
-    * for attaching dimensions to a firehose. */
+    * for attaching dimensions to a firehose. LEFT join: an event with no
+    * dimension row (new entity, late dim load) keeps flowing with null
+    * dimension columns — an enrichment stage must never silently drop
+    * events; filter on the dim columns downstream if inner semantics are
+    * wanted. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(dim, key)
+    events.join(dim, Seq(key), "left")
 
   /** Stream-stream interval join: for each left event, right events with
     * the same key within the trailing `within` window. Both sides are
     * watermarked, so Spark can bound the join state store — without the
     * watermarks a stream-stream join would buffer both streams forever.
-    * Both inputs need `key` and a `time` timestamp column. */
+    * Both inputs need `key` and a `time` timestamp column; the RIGHT
+    * side's pair comes back renamed (`r_<key>`, `r_<time>`) so the output
+    * has no ambiguous duplicate columns — `out.select(key)` and
+    * `groupBy(key)` just work. Identifiers go through the Column API
+    * (no SQL-text splicing), so reserved-word or spaced names are fine. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    time: String, within: String = "1 second",
                    lateness: String = "10 minutes"): DataFrame = {
-    val l = left.withWatermark(time, lateness).alias("l")
-    val r = right.withWatermark(time, lateness).alias("r")
-    l.join(r, expr(
-      s"l.$key = r.$key AND r.$time >= l.$time - INTERVAL $within AND r.$time <= l.$time"))
+    val l = left.withWatermark(time, lateness)
+    val r = right
+      .withColumnRenamed(key, s"r_$key")
+      .withColumnRenamed(time, s"r_$time")
+      .withWatermark(s"r_$time", lateness)
+    val win = expr(s"INTERVAL $within")
+    l.join(r, col(key) === col(s"r_$key") &&
+      col(s"r_$time") >= col(time) - win && col(s"r_$time") <= col(time))
   }
 
   /** Streaming exact dedup on a fingerprint column with bounded state:
@@ -111,6 +123,40 @@ object Streams {
         .join(corpusIndex.select(col("fp")), Seq("fp"), "left_anti"),
       "fp", lateness)
 
+  /** One micro-batch of a user's events folded into the open-session
+    * state — shared by BOTH sessionize variants so their semantics cannot
+    * diverge. Events sort within the batch; across batches an out-of-order
+    * event (older than the open session's `last`) merges by EXTENDING the
+    * session downward when it lies within `gapNs` of its span — session-
+    * window union semantics, so `start <= last` always holds and no event
+    * is lost — and an event older than `start - gapNs` (which the batch
+    * reference would have merged into an ALREADY-EMITTED earlier session
+    * that bounded per-key state cannot reopen) is emitted as its own
+    * single-event straggler session. Exact batch equivalence therefore
+    * holds when out-of-orderness is bounded by the watermark `lateness`
+    * (the event-time variant drops anything later) or stays within one
+    * gap of the open session. */
+  private def foldSessions(userId: Long, rows: Iterator[SessionEvent],
+                           prior: Option[SessionState], gapNs: Long)
+      : (Seq[SessionOut], SessionState) = {
+    val sorted = rows.toSeq.sortBy(_.ts)
+    var st = prior.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0))
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    sorted.foreach { e =>
+      if (st.n == 0) {
+        st = SessionState(e.ts, e.ts, 1)
+      } else if (e.ts - st.last > gapNs) {
+        closed += SessionOut(userId, st.start, st.last, st.n)
+        st = SessionState(e.ts, e.ts, 1)
+      } else if (e.ts < st.start - gapNs) {
+        closed += SessionOut(userId, e.ts, e.ts, 1)
+      } else {
+        st = SessionState(math.min(st.start, e.ts), math.max(st.last, e.ts), st.n + 1)
+      }
+    }
+    (closed.toSeq, st)
+  }
+
   /** Event-time variant of [[sessionize]] — the backfill/replay shape. The
     * processing-time variant closes a user's FINAL session on wall-clock
     * idleness, which is wrong for a replayed stream where event time and
@@ -121,7 +167,13 @@ object Streams {
     * would have closed it had another event arrived — so batch and
     * streaming agree on every session, including each user's last, with no
     * wall-clock dependence. `lateness` is the watermark delay for
-    * out-of-order input. */
+    * out-of-order input.
+    *
+    * Gap-domain caveat: this compares raw NANOSECOND timestamps while
+    * [[graft.OracleQueries.sessionizeBatch]] compares µs-truncated ones
+    * (its DuckDB oracle works at µs), so exact equivalence holds for
+    * µs-aligned inputs (the equivalence spec truncates; sub-µs events at
+    * an exact gap boundary can split here and merge there). */
   def sessionizeEventTime(spark: SparkSession, events: Dataset[SessionEvent],
                           gapNs: Long,
                           lateness: String = "0 seconds"): Dataset[SessionOut] = {
@@ -144,23 +196,19 @@ object Streams {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts)
-            var st = state.getOption.getOrElse(
-              SessionState(Long.MinValue, Long.MinValue, 0))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            sorted.foreach { e =>
-              if (st.n == 0 || e.ts - st.last > gapNs) {
-                if (st.n > 0) closed += SessionOut(userId, st.start, st.last, st.n)
-                st = SessionState(e.ts, e.ts, 1)
-              } else {
-                st = st.copy(last = e.ts, n = st.n + 1)
-              }
-            }
+            val (closed, st) = foldSessions(userId, rows, state.getOption, gapNs)
             state.update(st)
-            // flush when the watermark passes last + gap; a timeout at or
-            // before the current watermark is illegal, so clamp just past it
+            // flush when the watermark passes last + gap. Both terms are
+            // ms-FLOORED (last and gapMs), which could fire up to ~2 ms
+            // BEFORE last + gapNs and split a session the ns-exact gap
+            // rule would keep open — the +2 ms slack makes the timeout
+            // land at/after the exact boundary (firing late is safe: the
+            // arrival-time gap check uses exact ns, so a delayed flush
+            // can never merge what batch would split). A timeout at or
+            // before the current watermark is illegal, so clamp past it.
             state.setTimeoutTimestamp(
-              math.max(st.last / 1000000L + gapMs, state.getCurrentWatermarkMs() + 1))
+              math.max(st.last / 1000000L + gapMs + 2,
+                state.getCurrentWatermarkMs() + 1))
             closed.iterator
           }
       }
@@ -180,18 +228,7 @@ object Streams {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts)
-            var st = state.getOption.getOrElse(
-              SessionState(Long.MinValue, Long.MinValue, 0))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            sorted.foreach { e =>
-              if (st.n == 0 || e.ts - st.last > gapNs) {
-                if (st.n > 0) closed += SessionOut(userId, st.start, st.last, st.n)
-                st = SessionState(e.ts, e.ts, 1)
-              } else {
-                st = st.copy(last = e.ts, n = st.n + 1)
-              }
-            }
+            val (closed, st) = foldSessions(userId, rows, state.getOption, gapNs)
             state.update(st)
             state.setTimeoutDuration(idleFlush)
             closed.iterator

@@ -237,6 +237,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((9L, 1000L, 2000L, 2)))
   }
 
+  test("cross-batch out-of-order events extend the session or emit stragglers, never corrupt it") {
+    // batch 2 delivers events OLDER than batch 1's open session: one within
+    // the gap (must extend start downward — session-window union) and one
+    // beyond start - gap (must emit as its own straggler, not drag `last`
+    // backwards into a negative-duration session)
+    val s = 1000000000L // 1 s in ns
+    val gapNs = 60 * s
+    val ms = MemoryStream[Streams.SessionEvent](spark)
+    val q = Streams.sessionize(spark, ms.toDS(), gapNs = gapNs, idleFlush = "2 seconds")
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append")
+      .start()
+    // processAllAvailable() HANGS under ProcessingTimeTimeout (the state
+    // timeouts keep scheduling batches, so the no-new-data signal never
+    // stabilizes) — poll query progress for input consumption instead,
+    // like the other processing-time tests poll the sink
+    def waitConsumed(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (q.recentProgress.map(_.numInputRows).sum < n &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+    }
+    val rows = try {
+      ms.addData(Streams.SessionEvent(1L, 300 * s, "a"))
+      waitConsumed(1)
+      ms.addData(
+        Streams.SessionEvent(1L, 100 * s, "straggler"), // < start - gap
+        Streams.SessionEvent(1L, 290 * s, "merge"))     // within gap of [300,300]
+      waitConsumed(3)
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.sql("SELECT 1 FROM sessions_ooo").count() < 2 &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      spark.sql("SELECT user_id, start_ns, end_ns, n_events FROM sessions_ooo")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    } finally q.stop()
+    assert(rows === Set((1L, 100 * s, 100 * s, 1), (1L, 290 * s, 300 * s, 2)))
+    rows.foreach { case (_, st, en, _) => assert(st <= en) }
+  }
+
   test("event-time sessionize flushes the final session from watermark advance alone") {
     // VERDICT r3 item 4: user 9 gets NO further events — the final session
     // must flush because an unrelated user's event advances the WATERMARK
