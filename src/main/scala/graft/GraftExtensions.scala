@@ -20,22 +20,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
+  /** Arity check at analysis time: without it, extra SQL arguments were
+    * silently DROPPED (`dot_product(a, b, c)` computed dot(a, b)) and
+    * missing ones surfaced as a raw IndexOutOfBoundsException. */
+  private def exactly(name: String, n: Int, args: Seq[Expression]): Seq[Expression] = {
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects exactly $n argument(s), got ${args.length}")
+    args
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("parse_size"), info("parse_size"),
-      (args: Seq[Expression]) => ParseSize(args.head)))
+      (args: Seq[Expression]) => ParseSize(exactly("parse_size", 1, args).head)))
     e.injectFunction((FunctionIdentifier("parse_units"), info("parse_units"),
-      (args: Seq[Expression]) => ParseUnits(args.head)))
+      (args: Seq[Expression]) => ParseUnits(exactly("parse_units", 1, args).head)))
     e.injectFunction((FunctionIdentifier("parse_time"), info("parse_time"),
-      (args: Seq[Expression]) => ParseTime(args.head)))
+      (args: Seq[Expression]) => ParseTime(exactly("parse_time", 1, args).head)))
     e.injectFunction((FunctionIdentifier("counter_double"), info("counter_double"),
-      (args: Seq[Expression]) => CounterDouble(args.head)))
+      (args: Seq[Expression]) => CounterDouble(exactly("counter_double", 1, args).head)))
     e.injectFunction((FunctionIdentifier("hll_count"), info("hll_count"),
-      (args: Seq[Expression]) => HllSketchAgg(args.head).toAggregateExpression()))
+      (args: Seq[Expression]) =>
+        HllSketchAgg(exactly("hll_count", 1, args).head).toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
-      (args: Seq[Expression]) => graft.functions.DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        val a = exactly("dot_product", 2, args)
+        graft.functions.DotProduct(a(0), a(1))
+      }))
     e.injectFunction((FunctionIdentifier("top_k"), info("top_k"),
-      (args: Seq[Expression]) => graft.functions.TopKAgg(args(0), args(1),
-        args(2).eval().asInstanceOf[Int]).toAggregateExpression()))
+      (args: Seq[Expression]) => {
+        val a = exactly("top_k", 3, args)
+        graft.functions.TopKAgg(a(0), a(1),
+          a(2).eval().asInstanceOf[Int]).toAggregateExpression()
+      }))
     // whole-operator extension: plans graft.plans.AsOfJoinPlan
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // run inside the operator-optimization fixed point, so pushed

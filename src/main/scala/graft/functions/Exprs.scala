@@ -15,13 +15,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 abstract class UnitParseExpression extends UnaryExpression {
   def parserName: String // static method on graft.functions.Units
+  // the interpreted path derives from the SAME name the codegen string
+  // splices, so a parserName/parse copy-paste drift between the two
+  // execution paths is impossible by construction
+  private lazy val parseFn: String => Long = parserName match {
+    case "parseSize" => Units.parseSize
+    case "parseUnits" => Units.parseUnits
+    case "parseTime" => Units.parseTime
+  }
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    parse(input.asInstanceOf[UTF8String].toString)
-  protected def parse(s: String): Long
+    parseFn(input.asInstanceOf[UTF8String].toString)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Units.$parserName($c.toString())")
 }
@@ -29,7 +36,6 @@ abstract class UnitParseExpression extends UnaryExpression {
 /** P5: pretty-printed size → bytes (profile_analyzer.py:341-360). */
 case class ParseSize(child: Expression) extends UnitParseExpression {
   override def parserName: String = "parseSize"
-  override protected def parse(s: String): Long = Units.parseSize(s)
   override protected def withNewChildInternal(c: Expression): ParseSize = copy(c)
   override def prettyName: String = "parse_size"
 }
@@ -37,7 +43,6 @@ case class ParseSize(child: Expression) extends UnitParseExpression {
 /** P6a: pretty-printed number → units (profile_analyzer.py:362-380). */
 case class ParseUnits(child: Expression) extends UnitParseExpression {
   override def parserName: String = "parseUnits"
-  override protected def parse(s: String): Long = Units.parseUnits(s)
   override protected def withNewChildInternal(c: Expression): ParseUnits = copy(c)
   override def prettyName: String = "parse_units"
 }
@@ -45,21 +50,23 @@ case class ParseUnits(child: Expression) extends UnitParseExpression {
 /** P6b: pretty-printed time → ns (profile_analyzer.py:382-403). */
 case class ParseTime(child: Expression) extends UnitParseExpression {
   override def parserName: String = "parseTime"
-  override protected def parse(s: String): Long = Units.parseTime(s)
   override protected def withNewChildInternal(c: Expression): ParseTime = copy(c)
   override def prettyName: String = "parse_time"
 }
 
-/** P7: reinterpret i64 bits as double (profile_analyzer.py:405-411). */
+/** P7: reinterpret i64 bits as double (profile_analyzer.py:405-411).
+  * Both paths route through [[Units.counterDouble]] — the canonical P7
+  * reinterpretation [[Units.counterValue]] also uses — so a semantics
+  * change there can never silently leave this expression behind. */
 case class CounterDouble(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects BIGINT, got ${child.dataType}")
   override def dataType: DataType = DoubleType
   override def nullSafeEval(input: Any): Any =
-    java.lang.Double.longBitsToDouble(input.asInstanceOf[Long])
+    Units.counterDouble(input.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"java.lang.Double.longBitsToDouble($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Units.counterDouble($c)")
   override protected def withNewChildInternal(c: Expression): CounterDouble = copy(c)
   override def prettyName: String = "counter_double"
 }
@@ -73,10 +80,15 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
   override def dataType: DataType = LongType
+  // hash the UTF8String's backing bytes directly: the toString round-trip
+  // (decode + re-encode) costs two copies per document AND replaces any
+  // invalid UTF-8 sequence with U+FFFD, which would make DISTINCT
+  // malformed documents collide to one fingerprint — collision-faithful
+  // and one copy this way. Values are unchanged for valid UTF-8.
   override def nullSafeEval(input: Any): Any =
-    Units.rollingHash(input.asInstanceOf[UTF8String].toString)
+    Units.rollingHash(input.asInstanceOf[UTF8String].getBytes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Units.rollingHash($c.toString())")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Units.rollingHash($c.getBytes())")
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
   override def prettyName: String = "rolling_hash"
 }
@@ -86,10 +98,13 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   * `aggregate(zip_with(a, b, *), 0.0, +)` higher-order-function chain,
   * which allocates a zipped array per row and evaluates lambdas outside
   * whole-stage codegen. The accumulation is the same left fold
-  * (((0+x0)+x1)+...), so results stay bit-identical to the HOF form and
-  * the DuckDB oracle's list_reduce. Arrays shorter than the other side
-  * contribute min(len) terms; null ELEMENTS are not expected (embedding
-  * vectors are dense). */
+  * (((0+x0)+x1)+...), AND the degenerate cases keep the HOF/DuckDB
+  * semantics exactly: a length mismatch or a null element yields NULL
+  * (zip_with pads the shorter side with null and x*null → null; DuckDB
+  * list_zip pads the same way) — a truncated min-length partial sum
+  * would silently rank a wrong similarity into top-k results. The
+  * per-element null test is skipped entirely when BOTH schemas say
+  * containsNull = false. */
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types.ArrayType
@@ -100,24 +115,51 @@ case class DotProduct(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<DOUBLE> args, got $l, $r")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private lazy val checkNulls: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
     VecOps.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], checkNulls)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dotBoxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.VecOps.dot($a, $b, $checkNulls);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
   override def prettyName: String = "dot_product"
 }
 
 object VecOps {
+  /** Boxed null on length mismatch or (when `checkNulls`) a null element —
+    * the exact semantics of the HOF form and the DuckDB mirror (see
+    * [[DotProduct]]); boxing is once per ROW, amortized over the
+    * 2·dim-flop loop. */
   def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
-          b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+          b: org.apache.spark.sql.catalyst.util.ArrayData,
+          checkNulls: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    if (checkNulls) {
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        i += 1
+      }
+    }
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 }
 

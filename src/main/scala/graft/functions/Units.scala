@@ -67,11 +67,11 @@ object Units {
 
   /** 64-bit polynomial rolling hash over UTF-8 bytes (wrapping arithmetic),
     * for document fingerprinting where md5 is overkill: h = 31h + b. */
-  def rollingHash(s: String): Long = {
+  def rollingHash(bytes: Array[Byte]): Long = {
     var h = 1125899906842597L
-    val bytes = s.getBytes("UTF-8")
     var i = 0
     while (i < bytes.length) { h = 31L * h + (bytes(i) & 0xff); i += 1 }
     h
   }
+  def rollingHash(s: String): Long = rollingHash(s.getBytes("UTF-8"))
 }

@@ -56,6 +56,33 @@ class ExprsSpec extends SparkSpec {
     }
   }
 
+  test("dot_product degenerate cases match the HOF form: mismatch/null-element -> NULL") {
+    // zip_with pads the shorter array with null and x*null -> null, so the
+    // HOF form (and the DuckDB list_zip mirror) returns NULL on a length
+    // mismatch or a null element — a min-length partial sum would silently
+    // rank a wrong similarity into top-k results
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)),       // length mismatch
+      (2L, Seq(1.0, 2.0), Seq(4.0, 5.0))              // clean
+    ).toDF("id", "a", "b")
+    val rows = df.select($"id",
+      F.dot_product($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2)) // both NULL on mismatch
+    assert(rows(1).getDouble(1) === 14.0)
+    assert(rows(1).getDouble(1) === rows(1).getDouble(2))
+
+    // null ELEMENT -> NULL, same as the HOF form
+    val withNull = Seq((1L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 3.0)))
+      .toDF("id", "a", "b")
+      .select(F.dot_product($"a".cast("array<double>"), $"b".cast("array<double>")).as("d"),
+        aggregate(zip_with($"a".cast("array<double>"), $"b".cast("array<double>"),
+          (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()(0)
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+  }
+
   test("null propagates") {
     val out = Seq[(java.lang.String, java.lang.Long)](((null, null))).toDF("s", "v")
       .select(F.parse_size($"s"), F.counter_double($"v")).collect()(0)
