@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * between a cleaned corpus and an LLM training shard (packed batches waste
   * no pad tokens).
   *
-  * Distributed shape: documents are hash-bucketed by id ([[Splits]]-style
-  * md5, so placement is deterministic and independent of the input's
-  * physical layout), then packed per bucket with a first-fit greedy walk in
+  * Distributed shape: documents are hash-partitioned by id (Murmur3 via
+  * `repartition(n, col(id))` — a pure function of the id VALUE, so
+  * placement is deterministic and independent of the input's physical
+  * layout), then packed per bucket with a first-fit greedy walk in
   * ascending id order. Pack ids are globally unique
   * (bucket << 40 | local index). Global bin-packing optimality is NOT
   * claimed: with documents much smaller than the window (the normal case
@@ -19,7 +20,11 @@ import org.apache.spark.sql.functions._
   * all-to-all bottleneck a 100 TB pipeline cannot afford. A document
   * longer than `maxTokens` gets a pack of its own, flagged `oversize`
   * (callers chunk or drop those upstream).
-  */
+  *
+  * Preconditions (validated): ids must be NUMERIC (cast to long — unlike
+  * the [[Splits]] ops, which hash ids as strings) and non-null; token
+  * counts must be ≥ 0 (a negative count would collide with the internal
+  * no-open-pack sentinel and silently corrupt the layout). */
 object Packing {
 
   val MaxPacksPerBucket: Long = 1L << 40
@@ -34,7 +39,12 @@ object Packing {
     import spark.implicits._
     docs
       .select(col(id).cast("long"), col(nTokens).cast("long"))
-      .repartition(buckets, Splits.hashBucket(col(id), "pack", buckets))
+      // Murmur3 on the id value directly — hashing a [[Splits.hashBucket]]
+      // md5 bucket here would be re-hashed by repartition anyway (partition
+      // = pmod(murmur3(expr), n)), paying an md5 per row for WORSE balance
+      // (256 md5 buckets murmur3-scattered into 256 partitions leave ~37%
+      // empty and ~4x skew on the fullest)
+      .repartition(buckets, col(id))
       .sortWithinPartitions(col(id))
       .as[(Long, Long)]
       .mapPartitions { it =>
@@ -43,6 +53,10 @@ object Packing {
         var fill = -1L // -1 = no open pack (never add to fill directly: a
                        // huge n could overflow fill + n if fill were MaxValue)
         it.map { case (docId, n) =>
+          // a negative count would collide with the fill sentinel below and
+          // silently corrupt the layout — fail loudly instead
+          if (n < 0) throw new IllegalArgumentException(
+            s"packSequences requires n_tokens >= 0, got $n for id $docId")
           val oversize = n > maxTokens // short-circuits the fill check below,
                                        // so fill + n never overflows
           if (oversize || fill < 0 || fill + n > maxTokens) {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting and sampling for training pipelines.
@@ -12,15 +13,23 @@ import org.apache.spark.sql.functions._
   * existing row between train and test (no leakage), and the DuckDB
   * oracle reproduces every bucket bit-exactly. Everything here is
   * scan-side column algebra: splitting 100 TB costs one projection.
+  *
+  * Ids must be NON-NULL: concat_ws skips null arguments, so every
+  * null-id row would hash to the bare salt — one shared bucket/split
+  * (systematic leakage) and order-dependent ranks among the collapsed
+  * ties. Corpus ids are non-null by construction; filter or synthesize
+  * ids upstream if yours are not.
   */
 object Splits {
 
   /** Stable bucket in [0, buckets) for a row id. Different `salt`s give
     * independent assignments (split vs sample vs shard). hash60 is a
     * non-negative 60-bit value, so `%` and `pmod` agree. */
-  def hashBucket(id: Column, salt: String, buckets: Int = 1000): Column =
+  def hashBucket(id: Column, salt: String, buckets: Int = 1000): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     pmod(TextAnalysis.hash60(concat_ws("_", lit(salt), id.cast("string"))),
       lit(buckets.toLong))
+  }
 
   /** Train/val/test assignment by permille thresholds (default 900/50/50). */
   def splitLabel(bucket: Column, trainPermille: Int = 900,
@@ -62,6 +71,34 @@ object Splits {
     shiftright(rk, 60 - java.lang.Long.numberOfTrailingZeros(nBuckets.toLong))
   }
 
+  /** The shared two-phase scaffold behind [[stratifiedSample]] and
+    * [[tokenBudgetSample]]: attach the salted rank hash and its top-bits
+    * bucket, aggregate `measures` (whose first alias must be `__t`, the
+    * offset measure) per (stratum, bucket), compute each bucket's
+    * EXCLUSIVE running offset `__off`, drop prunable buckets via `prune`,
+    * and null-safe-join the offsets back (a NULL stratum is a legal
+    * window partition group and must not fall out of the equi-join).
+    * The returned frame carries the base columns + `__off`, clustered on
+    * (stratum, __b) — exactly what the caller's exact window requires, so
+    * the full data still shuffles ONCE. */
+  private def twoPhaseOffsets(base0: DataFrame, id: String, salt: String,
+                              nHistBuckets: Int, measures: Seq[Column],
+                              prune: DataFrame => DataFrame): DataFrame = {
+    val base = base0
+      .withColumn("__rk",
+        TextAnalysis.hash60(concat_ws("_", lit(salt), col(id).cast("string"))))
+      .withColumn("__b", histBucket(col("__rk"), nHistBuckets))
+    val wb = Window.partitionBy(col("stratum")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = prune(
+      base.groupBy(col("stratum"), col("__b"))
+        .agg(measures.head, measures.tail: _*)
+        .withColumn("__off", coalesce(sum(col("__t")).over(wb), lit(0L))))
+      .select(col("stratum"), col("__b"), col("__off"))
+    base.join(offsets.toDF("__s2", "__b2", "__off"),
+      col("stratum") <=> col("__s2") && col("__b") === col("__b2"))
+  }
+
   /** Exact k-per-stratum deterministic sample: rank rows inside each
     * stratum by the salted 60-bit id hash (ties impossible — (hash, id) is
     * a total order) and keep the first k. Unlike [[sampleByHash]] this
@@ -98,24 +135,12 @@ object Splits {
   def stratifiedSample(df: DataFrame, id: String, stratum: Column, k: Int,
                        salt: String = "strat",
                        nHistBuckets: Int = DefaultHistBuckets): DataFrame = {
-    val base = df.select(col(id), stratum.as("stratum"))
-      .withColumn("__rk",
-        TextAnalysis.hash60(concat_ws("_", lit(salt), col(id).cast("string"))))
-      .withColumn("__b", histBucket(col("__rk"), nHistBuckets))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(col("__b"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("stratum"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(wb), lit(0L)))
-      .filter(col("__off") < k)
-      .select(col("stratum"), col("__b"), col("__off"))
-    val ww = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum"), col("__b")).orderBy(col("__rk"), col(id))
-    // null-safe on the stratum: a NULL stratum is a legal partition group
-    // under the window semantics and must not fall out of the equi-join
-    base.join(offsets.toDF("__s2", "__b2", "__off"),
-        col("stratum") <=> col("__s2") && col("__b") === col("__b2"))
+    val ww = Window.partitionBy(col("stratum"), col("__b"))
+      .orderBy(col("__rk"), col(id))
+    twoPhaseOffsets(df.select(col(id), stratum.as("stratum")), id, salt,
+        nHistBuckets,
+        measures = Seq(count(lit(1)).as("__t")),
+        prune = _.filter(col("__off") < k))
       .withColumn("rank", (col("__off") + row_number().over(ww)).cast("long"))
       .filter(col("rank") <= k)
       .select(col(id), col("stratum"), col("rank"))
@@ -137,12 +162,16 @@ object Splits {
     * its shard; pin shard layouts to a snapshot. */
   def assignShards(df: DataFrame, id: String, nShards: Int,
                    salt: String = "shard"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("__rk"), col(id))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__rk"), col(id))
+    // pos via a LONG running count, not row_number(): row_number's
+    // accumulator is IntegerType, so a shard beyond 2^31 rows (100 TB with
+    // few shards) would throw under ANSI or wrap negative without it —
+    // same window, same exchange/sort, long-safe
     df.withColumn("shard", hashBucket(col(id), salt, nShards))
       .withColumn("__rk",
         TextAnalysis.hash60(concat_ws("_", lit(salt + "_pos"), col(id).cast("string"))))
-      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("pos",
+        sum(lit(1L)).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
       .drop("__rk")
   }
 
@@ -181,27 +210,21 @@ object Splits {
                         nTokens: Column, budgetTokens: Column,
                         salt: String = "mix",
                         nHistBuckets: Int = DefaultHistBuckets): DataFrame = {
-    val base = df.select(col(id), stratum.as("stratum"),
-        nTokens.cast("long").as("n_tokens"),
-        budgetTokens.cast("long").as("__budget"))
-      .withColumn("__rk",
-        TextAnalysis.hash60(concat_ws("_", lit(salt), col(id).cast("string"))))
-      .withColumn("__b", histBucket(col("__rk"), nHistBuckets))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(col("__b"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val ws = org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
-    val offsets = base.groupBy(col("stratum"), col("__b"))
-      .agg(sum(col("n_tokens")).as("__t"), max(col("__budget")).as("__mb"))
-      .withColumn("__off", coalesce(sum(col("__t")).over(wb), lit(0L)))
-      .withColumn("__maxb", max(col("__mb")).over(ws))
-      .filter(col("__off") < col("__maxb"))
-      .select(col("stratum"), col("__b"), col("__off"))
-    val ww = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum"), col("__b")).orderBy(col("__rk"), col(id))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    base.join(offsets.toDF("__s2", "__b2", "__off"),
-        col("stratum") <=> col("__s2") && col("__b") === col("__b2"))
+    val ws = Window.partitionBy(col("stratum"))
+    val ww = Window.partitionBy(col("stratum"), col("__b"))
+      .orderBy(col("__rk"), col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    twoPhaseOffsets(
+        df.select(col(id), stratum.as("stratum"),
+          nTokens.cast("long").as("n_tokens"),
+          budgetTokens.cast("long").as("__budget")),
+        id, salt, nHistBuckets,
+        measures = Seq(sum(col("n_tokens")).as("__t"),
+          max(col("__budget")).as("__mb")),
+        // a bucket can hold kept rows only if its starting token offset is
+        // below the stratum's LARGEST row budget
+        prune = h => h.withColumn("__maxb", max(col("__mb")).over(ws))
+          .filter(col("__off") < col("__maxb")))
       .withColumn("__cum_before",
         col("__off") + coalesce(sum(col("n_tokens")).over(ww), lit(0L)))
       .filter(col("__cum_before") < col("__budget"))
