@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** M1-M4 (SURVEY.md §2.5; reference code/python/clustering.py): workload
@@ -101,9 +101,21 @@ object Clustering {
         math.max(1, math.min(fitParallelism, ks.size)))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val wcsss =
+        // shutdownNow, not shutdown: when one fit fails, Await.result
+        // rethrows immediately but plain shutdown would let the remaining
+        // |ks|-1 queued fits keep running on non-daemon threads AFTER the
+        // outer finally unpersists their shared input (each would then
+        // recompute it from source). shutdownNow drops the queue and
+        // interrupts; on success all futures are already complete and it
+        // is equivalent to shutdown.
         try Await.result(Future.sequence(ks.map(k => Future(k -> wcssOf(k)))), Duration.Inf)
-        finally pool.shutdown()
-      wcsss.map { case (k, wcss) => (k, wcss, (tss - wcss) / tss * 100.0) }
+        finally { pool.shutdownNow(); () }
+      // tss = 0 on degenerate input (every feature vector identical ->
+      // standardized to the origin): wcss is 0 too and 0/0 would emit NaN
+      // into the elbow table — report 100% explained instead
+      wcsss.map { case (k, wcss) =>
+        (k, wcss, if (tss == 0.0) 100.0 else (tss - wcss) / tss * 100.0)
+      }
     } finally if (ownPersist) { scaled.unpersist(); () }
   }
 

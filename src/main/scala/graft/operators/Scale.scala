@@ -36,6 +36,12 @@ object Scale {
     * `saltBy` must vary within a key group (any high-cardinality column). */
   def saltedAgg(df: DataFrame, key: Seq[String], saltBy: Column, salts: Int,
                 aggs: Seq[(String, Column, Column => Column)]): DataFrame = {
+    // salts = 0 would not error: pmod(x, 0) is null without ANSI, silently
+    // collapsing every key into one (key, null) group — fail at call time
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column — rename it before salting")
     val salted = df.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
     val partial = salted
       .groupBy((key.map(col) :+ col("__salt")): _*)
@@ -72,6 +78,11 @@ object Scale {
                  joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left_outer" || joinType == "left",
       s"saltedJoin supports inner/left joins, got $joinType")
+    // salts = 0: pmod null on the big side vs sequence(0,-1) = [0,-1] on
+    // the small — an inner join silently returns ZERO rows; fail instead
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "input already has a __salt column — rename it before salting")
     val bigS = big.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
