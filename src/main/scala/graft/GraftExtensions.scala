@@ -50,8 +50,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("top_k"), info("top_k"),
       (args: Seq[Expression]) => {
         val a = exactly("top_k", 3, args)
-        graft.functions.TopKAgg(a(0), a(1),
-          a(2).eval().asInstanceOf[Int]).toAggregateExpression()
+        // k must be an integer LITERAL: a bare eval().asInstanceOf[Int]
+        // ClassCastException'd on BIGINT literals, leaked analyzer
+        // UnsupportedOperationException on non-foldable expressions, and
+        // silently unboxed NULL to k = 0
+        val k = a(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v match {
+            case i: java.lang.Integer => i.intValue
+            case l: java.lang.Long
+              if l >= 1 && l <= Int.MaxValue => l.intValue
+            case s: java.lang.Short => s.intValue
+            case other => throw new IllegalArgumentException(
+              s"top_k's k must be a positive integer literal, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"top_k's k must be a literal, got ${other.sql}")
+        }
+        graft.functions.TopKAgg(a(0), a(1), k).toAggregateExpression()
       }))
     // whole-operator extension: plans graft.plans.AsOfJoinPlan
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -23,21 +23,36 @@ case class HllSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] {
 
+  // p < 4 voids the alpha constants' validity (and p <= 0 shifts mod 64
+  // into array-index crashes); p > 18 is a 256 KB register array per
+  // group — the standard HLL parameter range, validated at construction
+  require(precision >= 4 && precision <= 18,
+    s"hll precision must be in [4, 18], got $precision")
+
   private val m = 1 << precision
 
-  // reuse Spark's 64-bit hash expression over the child for any input type
+  // reuse Spark's hash TYPE CHECK (maps are rejected — their hash would
+  // depend on physical entry order, counting equal maps as distinct)
   @transient private lazy val hasher = XxHash64(Seq(child), 42L)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    hasher.checkInputDataTypes()
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
   override def update(buf: Array[Byte], input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = hasher.eval(input).asInstanceOf[Long]
+      // hash the already-evaluated value — XxHash64(...).eval(input) would
+      // re-evaluate the child subtree a second time per row
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(v, child.dataType, 42L)
       val idx = (h >>> (64 - precision)).toInt
       val suffix = h << precision
-      val rank = (if (suffix == 0) 64 - precision
-                  else java.lang.Long.numberOfLeadingZeros(suffix) + 1).min(64 - precision)
+      // standard HLL rank: leading zeros of the (64-p)-bit suffix + 1; an
+      // all-zero suffix is the maximal rank (64-p)+1 (the previous clamp
+      // to 64-p was a ~2^-(64-p) bias per distinct value)
+      val rank = if (suffix == 0) 64 - precision + 1
+                 else java.lang.Long.numberOfLeadingZeros(suffix) + 1
       if (rank > (buf(idx) & 0xff)) buf(idx) = rank.toByte
     }
     buf

@@ -23,6 +23,14 @@ import org.apache.spark.sql.types._
   *
   * Ordering is total and deterministic: higher score wins, ties break
   * toward the smaller id (ids are assumed unique within the aggregation).
+  * Degenerate doubles follow Spark SQL's ordering so results stay
+  * arrival-order-independent and identical to the window formulation:
+  * NaN ranks above every other score (java.lang.Double.compare — a
+  * primitive `>` would make NaN entries both unevictable and unable to
+  * enter, leaving the answer dependent on row order), and -0.0 is
+  * normalized to 0.0 on entry (Spark's UnsafeRow does the same; a
+  * primitive `==` tie test would otherwise contradict the total order
+  * used for final ranking).
   * Output: `array<struct<score double, id bigint>>`, best first — exactly
   * the rows the window formulation would keep, in rank order.
   */
@@ -45,20 +53,25 @@ case class TopKAgg(
           s"$prettyName expects (DOUBLE score, BIGINT id), got ($s, $i)")
     }
 
-  // worst-first ordering (min score; among equal scores the LARGER id is
-  // worse), so `head` is always the next candidate for eviction
-  private def worstFirst: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+  /** +1 when `a` ranks strictly better than `b`: higher score first
+    * (Double.compare — NaN greatest, like Spark's ordering), smaller id
+    * first among equal scores. The SAME comparator drives eviction,
+    * merge, and the final sort, so they can never contradict. */
+  private def cmp(a: (Double, Long), b: (Double, Long)): Int = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+  }
+
+  // worst element ranks greatest, so `head` is the eviction candidate
+  private def worstFirst: Ordering[(Double, Long)] = (x, y) => cmp(y, x)
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty(worstFirst)
 
-  private def offer(buf: mutable.PriorityQueue[(Double, Long)], s: Double, i: Long): Unit = {
+  private def offer(buf: mutable.PriorityQueue[(Double, Long)], s0: Double, i: Long): Unit = {
+    val s = if (s0 == 0.0) 0.0 else s0 // normalize -0.0 like UnsafeRow
     if (buf.size < k) buf.enqueue((s, i))
-    else {
-      val (ws, wi) = buf.head
-      if (s > ws || (s == ws && i < wi)) { buf.dequeue(); buf.enqueue((s, i)) }
-    }
+    else if (cmp((s, i), buf.head) > 0) { buf.dequeue(); buf.enqueue((s, i)) }
   }
 
   override def update(buf: mutable.PriorityQueue[(Double, Long)],
@@ -76,7 +89,7 @@ case class TopKAgg(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortBy { case (s, i) => (-s, i) } // best first
+    val sorted = buf.toArray.sorted(worstFirst) // ascending worseness = best first
     new GenericArrayData(sorted.map { case (s, i) => InternalRow(s, i) })
   }
 

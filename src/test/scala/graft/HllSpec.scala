@@ -24,6 +24,28 @@ class HllSpec extends SparkSpec {
     assert(got.toSet === expected.toSet)
     assert(got.length === expected.length)
   }
+  test("top_k degenerate doubles are arrival-order-independent (NaN greatest, -0.0 == 0.0)") {
+    // a primitive > / == heap would make a NaN entry both unevictable and
+    // unable to enter — the answer would depend on partition order
+    val rows = Seq(
+      ("g", Double.NaN, 1L), ("g", 5.0, 2L), ("g", 3.0, 3L),
+      ("g", -0.0, 4L), ("g", 0.0, 5L))
+    def run(order: Seq[(String, Double, Long)], parts: Int) =
+      order.toDF("key", "score", "id").repartition(parts)
+        .groupBy("key").agg(top_k(col("score"), col("id"), 3).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.id")).collect().map(_.getLong(0)).toSeq
+    val a = run(rows, 1)
+    val b = run(rows.reverse, 4)
+    // Spark's ordering ranks NaN above every double, so the window
+    // formulation keeps (NaN,1),(5.0,2),(3.0,3) in that order
+    assert(a === Seq(1L, 2L, 3L))
+    assert(b === a)
+    // -0.0 ties 0.0 exactly (smaller id wins), matching Spark's normalize
+    val z = run(Seq(("g", -0.0, 9L), ("g", 0.0, 4L), ("g", 0.0, 7L)), 2)
+    assert(z === Seq(4L, 7L, 9L))
+  }
+
   import spark.implicits._
 
   test("hll sketch approximates distinct counts within rel error") {
