@@ -92,6 +92,15 @@ object ProfileParser {
 
   private def grp(m: java.util.regex.Matcher, g: String): String = m.group(g)
 
+  /** Backtracking guard: several row regexes above pair lazy/greedy
+    * classes with overlapping `\s+` separators, which is QUADRATIC in line
+    * length on non-matching input — fine for real exec-summary/plan rows
+    * (≤ a few hundred chars) but a crafted multi-MB line inside a profile
+    * would pin a parser task for hours. No legitimate row approaches the
+    * cap, so over-long lines are skipped like any other non-matching row. */
+  private final val MaxParsedLineLength = 10000
+  private def boundedLine(line: String): Boolean = line.length <= MaxParsedLineLength
+
   private def parseQuery(tree: ProfileTree, tag: String, queryId: String): Option[ParsedProfile] = {
     val rootInfo = tree.nodes(1).infoStrings
     // skip queries like 'GET_SCHEMAS' (profile_analyzer.py:51-53)
@@ -99,7 +108,7 @@ object ProfileParser {
 
     // --- P2: ExecSummary regex extract (profile_analyzer.py:59-76)
     val operators = scala.collection.mutable.LinkedHashMap.empty[Int, OpBuilder]
-    rootInfo("ExecSummary").split("\n").drop(3).foreach { line =>
+    rootInfo("ExecSummary").split("\n").drop(3).withFilter(boundedLine).foreach { line =>
       val m = execSummaryRe.matcher(line)
       if (m.matches()) {
         val op = new OpBuilder(
@@ -122,7 +131,7 @@ object ProfileParser {
     var fragment: FragBuilder = null
     var currOperator: OpBuilder = null
     var parentOperators = scala.collection.mutable.Map[Int, OpBuilder](0 -> null)
-    for (line <- rootInfo.getOrElse("Plan", "").split("\n")) {
+    for (line <- rootInfo.getOrElse("Plan", "").split("\n") if boundedLine(line)) {
       val fm = fragmentRe.matcher(line)
       val sm = sinkRe.matcher(line)
       val om = operatorRe.matcher(line)

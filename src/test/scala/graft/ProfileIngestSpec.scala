@@ -76,6 +76,26 @@ class ProfileIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("dictionary"))
   }
 
+  test("multi-MB crafted exec-summary/plan lines are skipped, not backtracked") {
+    // the row regexes pair lazy classes with \s+ separators — quadratic on
+    // a non-matching line, so a crafted ~1.4MB line would pin the parser
+    // for hours without the length guard; with it the line is skipped like
+    // any other non-matching row and the rest of the profile parses as-is
+    val base = ProfileFixtures.queryProfile()
+    val huge = "0:" + ("A " * 700000)
+    val n1 = base.nodes(1)
+    val polluted = n1.copy(infoStrings = n1.infoStrings +
+      ("ExecSummary" -> (n1.infoStrings("ExecSummary") + "\n" + huge)) +
+      ("Plan" -> (n1.infoStrings("Plan") + "\n  " + huge)))
+    val tree = base.copy(nodes = base.nodes.updated(1, polluted))
+    val t0 = System.nanoTime()
+    val parsed = ProfileParser.parse(tree, "t", "q")
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(dt < 30.0, s"parser took $dt s — the backtracking guard failed")
+    assert(parsed === ProfileParser.parse(base, "t", "q"))
+    assert(parsed.isDefined)
+  }
+
   test("thrift compact round-trip") {
     val tree = queryProfile()
     val parsed = ThriftCompact.parseTree(serializeTree(tree))
