@@ -49,12 +49,20 @@ object ProfileIngest {
     spark.read.textFile(inputPath).flatMap(l => parseLine(l, tag))
   }
 
-  /** Lines that fail decode/parse with an error (NOT profiles merely gated
-    * out by state/type — those are valid inputs). */
+  /** Lines that fail decode OR parse with an error (NOT profiles merely
+    * gated out by state/type — `parse` returning None is a valid input).
+    * Runs the same decode+parse path [[parseLine]] swallows, so a line
+    * that decodes fine but throws inside the parser (bad exec-summary
+    * arithmetic, missing plan operators, host-count mismatches) counts as
+    * bad instead of vanishing from both the tables AND the audit. */
   def badLineCount(spark: SparkSession, inputPath: String): Long = {
     import spark.implicits._
     spark.read.textFile(inputPath).filter { l =>
-      l.trim.nonEmpty && (try { decodeLine(l); false } catch { case _: Exception => true })
+      l.trim.nonEmpty && (try {
+        val (tree, qid) = decodeLine(l)
+        ProfileParser.parse(tree, "audit", qid)
+        false
+      } catch { case _: Exception => true })
     }.count()
   }
 
@@ -89,26 +97,40 @@ object ProfileIngest {
       // fragments are content-addressed by query_id: identical payload →
       // identical rows, so ONE global copy serves every tag (no per-tag
       // duplication of the big tables — that is the 100 TB storage story).
-      val existing =
-        try Some(spark.read.parquet(s"$outDir/queries").select("query_id", "tag"))
-        catch { case _: Exception => None } // first ingest into outDir
+      // explicit existence check, not a catch-all: swallowing a TRANSIENT
+      // read failure (FS hiccup, corrupt footer) as "first ingest" would
+      // silently disable the anti-join dedup and re-append every row —
+      // real read errors must propagate
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def existingIds(table: String, cols: String*): Option[DataFrame] = {
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/$table")
+        if (fs.exists(p)) Some(spark.read.parquet(p.toString).select(cols.head, cols.tail: _*))
+        else None
+      }
       val batchQ = t.queries.dropDuplicates("query_id")
-      val freshQ = existing.fold(batchQ)(ex =>
-        batchQ.join(ex.filter(col("tag") === tag).drop("tag"),
-          Seq("query_id"), "left_anti"))
-      // operators/fragments: append only for query_ids no tag has ingested
-      val globallyFresh = existing.fold(batchQ)(ex =>
-        batchQ.join(ex.select("query_id"), Seq("query_id"), "left_anti"))
-        .select("query_id")
-      freshQ.write.mode("append").partitionBy("tag").parquet(s"$outDir/queries")
+      // CRASH-SAFETY: each table's freshness derives from THAT TABLE's own
+      // content, so a run that dies between writes is repaired by simply
+      // re-running — no cross-table marker to get out of sync. (Deriving
+      // all three from `queries` — the previous shape — meant a crash
+      // after the queries write permanently locked those query_ids out of
+      // operators/fragments: the re-run saw them "already ingested".)
+      // The per-table anti-join is a single pruned-column distinct scan.
+      def freshFor(table: String): DataFrame =
+        existingIds(table, "query_id").fold(batchQ.select("query_id"))(ex =>
+          batchQ.select("query_id").join(ex.distinct(), Seq("query_id"), "left_anti"))
       t.operators.dropDuplicates("query_id", "id")
-        .join(globallyFresh, Seq("query_id"), "left_semi")
+        .join(freshFor("operators"), Seq("query_id"), "left_semi")
         .sortWithinPartitions("query_id", "id")
         .write.mode("append").parquet(s"$outDir/operators")
       t.fragments.dropDuplicates("query_id", "id")
-        .join(globallyFresh, Seq("query_id"), "left_semi")
+        .join(freshFor("fragments"), Seq("query_id"), "left_semi")
         .sortWithinPartitions("query_id", "id")
         .write.mode("append").parquet(s"$outDir/fragments")
+      val freshQ = existingIds("queries", "query_id", "tag").fold(batchQ)(ex =>
+        batchQ.join(ex.filter(col("tag") === tag).drop("tag"),
+          Seq("query_id"), "left_anti"))
+      freshQ.write.mode("append").partitionBy("tag").parquet(s"$outDir/queries")
     } finally parsed.unpersist()
     ProfileTables(
       spark.read.parquet(s"$outDir/queries"),
@@ -138,9 +160,15 @@ object ProfileIngest {
     import graft.functions.F
     exploded
       .filter(col("host_values").isNotNull && size(col("host_values")) > 0)
+      // int_mean only for integer counters: a DOUBLE_VALUE row's
+      // host_values are IEEE-754 bit patterns (~4.6e18 for 2.0), whose
+      // Long sum overflows — ArithmeticException under ANSI, garbage
+      // without. when() evaluates the branch conditionally, so the
+      // overflowing sum never runs for double rows.
       .withColumn("int_mean",
-        floorDiv(aggregate(col("host_values"), lit(0L), (a, x) => a + x),
-          size(col("host_values")).cast("long")))
+        when(!col("is_double"),
+          floorDiv(aggregate(col("host_values"), lit(0L), (a, x) => a + x),
+            size(col("host_values")).cast("long"))))
       .withColumn("double_mean",
         aggregate(col("host_values"), lit(0.0d),
           (a, x) => a + F.counter_double(x)) / size(col("host_values")))
@@ -161,9 +189,13 @@ object ProfileIngest {
         explode(col("avg_counters")).as(Seq("counter", "avg_value")),
         col("counters"), col("counter_types"))
       .filter(!col("counter").isin("InactiveTotalTime", "AsyncTotalTime"))
-      .withColumn("host_values", element_at(col("counters"), col("counter")))
+      // try_element_at: under Spark 4's default ANSI mode a plain
+      // element_at THROWS on a missing key — an averaged counter with no
+      // per-host vector must skip the row (the isNotNull filter above),
+      // not kill the audit job
+      .withColumn("host_values", try_element_at(col("counters"), col("counter")))
       .withColumn("is_double",
-        coalesce(element_at(col("counter_types"), col("counter")) ===
+        coalesce(try_element_at(col("counter_types"), col("counter")) ===
           graft.model.CounterType.DoubleValue, lit(false))))
       .drop("counters", "counter_types")
 
@@ -176,9 +208,13 @@ object ProfileIngest {
         .select(col("query_id"), col("id"),
           explode(col(avgCol)).as(Seq("counter", "avg_value")),
           col(arrCol), col(typesCol))
-        .withColumn("host_values", element_at(col(arrCol), col("counter")))
+        // same exclusion as the operator-side audit: Impala legitimately
+        // averages these two differently, so they would be permanent
+        // spurious violations in any profile emitting them here
+        .filter(!col("counter").isin("InactiveTotalTime", "AsyncTotalTime"))
+        .withColumn("host_values", try_element_at(col(arrCol), col("counter")))
         .withColumn("is_double",
-          coalesce(element_at(col(typesCol), col("counter")) ===
+          coalesce(try_element_at(col(typesCol), col("counter")) ===
             graft.model.CounterType.DoubleValue, lit(false))))
         .select(col("query_id"), col("id"), lit(label).as("section"),
           col("counter"), col("avg_value"), col("int_mean"), col("double_mean"),
@@ -189,9 +225,15 @@ object ProfileIngest {
   }
 
   /** S7: cascade delete by tag via anti-joins (delete_queries_with_tag.py:4-9)
-    * — returns the retained tables (Parquet is immutable; rewrite). */
+    * — returns the retained tables (Parquet is immutable; rewrite).
+    * Operators/fragments are content-addressed and SHARED across tags (see
+    * [[ingestToParquet]]), so only query_ids no OTHER tag still references
+    * are doomed — dropping the shared copy while another tag's queries row
+    * lives would orphan that tag's analytics. */
   def deleteByTag(t: ProfileTables, tag: String): ProfileTables = {
     val doomed = t.queries.filter(col("tag") === tag).select("query_id")
+      .join(t.queries.filter(col("tag") =!= tag).select("query_id"),
+        Seq("query_id"), "left_anti")
     ProfileTables(
       t.queries.filter(col("tag") =!= tag),
       t.operators.join(doomed, Seq("query_id"), "left_anti"),

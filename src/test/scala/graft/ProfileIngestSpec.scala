@@ -255,4 +255,22 @@ class ProfileIngestSpec extends SparkSpec {
     assert(kept.operators.count() === 0)
     assert(kept.fragments.count() === 0)
   }
+
+  test("cascade delete keeps shared operators/fragments referenced by another tag") {
+    // operators/fragments are content-addressed: ONE copy serves every tag
+    // that ingested the same payload. Deleting tagA must NOT drop the copy
+    // while tagB's queries rows still reference it — that would orphan
+    // tagB's per-operator analytics.
+    val t1 = ProfileIngest.tables(ProfileIngest.parse(spark, dumpFile, "t1"))
+    val t2q = ProfileIngest.tables(ProfileIngest.parse(spark, dumpFile, "t2")).queries
+    val shared = ProfileIngest.ProfileTables(
+      t1.queries.unionByName(t2q), t1.operators, t1.fragments)
+    val kept = ProfileIngest.deleteByTag(shared, "t1")
+    assert(kept.queries.select("tag").distinct().collect().map(_.getString(0)).toSeq === Seq("t2"))
+    assert(kept.operators.count() === t1.operators.count()) // shared copy survives
+    assert(kept.fragments.count() === t1.fragments.count())
+    // deleting the LAST tag then drops the shared copy
+    val empty = ProfileIngest.deleteByTag(kept, "t2")
+    assert(empty.queries.count() === 0 && empty.operators.count() === 0)
+  }
 }
