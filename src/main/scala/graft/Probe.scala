@@ -107,7 +107,7 @@ object Probe {
       graft.ml.Clustering.finalClusters(scaled, k = 2).show(false)
       val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       println("IVF_TOPK:")
-      graft.ops.Similarity.ivfTopK(spark, emb, "vec_id", "embedding", 0L, 5).show(false)
+      graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 5).show(false)
       val q = graft.ops.Similarity.quantizeInt8(Tables.embeddings(spark, "/root/testdata/sf0.01"), "embedding")
       val deq = q.select(col("vec_id"),
         graft.ops.Similarity.dequantize(col("q"), col("scale")).as("embedding"))

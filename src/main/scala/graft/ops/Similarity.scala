@@ -33,10 +33,21 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** NULL (excluded from every top-k) when either vector has zero norm —
+    * a bare division would THROW under Spark 4's default ANSI mode the
+    * moment one all-zero embedding appears in a corpus, killing the whole
+    * similarity query; cosine to a zero vector is undefined anyway. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d =!= 0.0, dot(a, b) / d)
+  }
 
   /** Exact brute-force top-k neighbors of one stored vector.
-    * The 1-row query side is broadcast; ordering is total (cos desc, id). */
+    * The 1-row query side is broadcast; ordering is total (cos desc, id).
+    * A `queryId` absent from `emb` yields an EMPTY result (the query side
+    * filters to zero rows) — same contract as [[projectedTopK]]/[[lshTopK]];
+    * the pinned/IVF by-id variants fail loudly instead because they must
+    * collect the query vector anyway. */
   def bruteForceTopK(emb: DataFrame, id: String, vec: String,
                      queryId: Long, k: Int): DataFrame = {
     val q = emb.filter(col(id) === queryId)
@@ -54,14 +65,26 @@ object Similarity {
     * the shuffle ships k rows per query instead of every scored (query,
     * corpus) pair feeding a per-partition window sort. Same total
     * ordering (cos desc, id asc) as the window formulation, so results
-    * are identical. */
+    * are identical.
+    *
+    * Norms are precomputed per corpus row and per query (scan-side) so
+    * each scored pair costs ONE dot product instead of three — the same
+    * doubles (the division shape is unchanged), same trick as
+    * [[cosinePairs]]. Self-exclusion contract: a corpus row whose id
+    * EQUALS the query row's id is excluded (the corpus-subset query case
+    * every in-repo caller uses); pass disjoint id spaces if queries are
+    * external and collisions are meaningful. */
   def knnJoin(emb: DataFrame, id: String, vec: String,
               queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
-    val joined = emb.crossJoin(broadcast(
-        queries.select(col(qid).as("query_id"), asDouble(col(qvec)).as("qv"))))
+    val corpus = emb.select(col(id), asDouble(col(vec)).as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
+    val joined = corpus.crossJoin(broadcast(
+        queries.select(col(qid).as("query_id"), asDouble(col(qvec)).as("qv"))
+          .withColumn("__qn", norm(col("qv")))))
       .filter(col(id) =!= col("query_id"))
       .select(col("query_id"), col(id),
-        cosine(asDouble(col(vec)), col("qv")).as("cos"))
+        when(col("__nrm") * col("__qn") =!= 0.0,
+          dot(col("__v"), col("qv")) / (col("__nrm") * col("__qn"))).as("cos"))
     joined.groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.top_k(col("cos"), col(id), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -191,10 +214,17 @@ object Similarity {
     def nLists: Int = centroids.length
     /** The `nProbe` list ids nearest (squared L2) to a query vector,
       * ties broken by list id — driver-side over the tiny centroid set. */
-    def probeLists(qv: Seq[Double], nProbe: Int): Seq[Int] =
+    def probeLists(qv: Seq[Double], nProbe: Int): Seq[Int] = {
+      // zip would silently TRUNCATE on a dimension mismatch — the probe
+      // would pick lists from a partial distance and the downstream
+      // cosine's length guard would then null every score, returning k
+      // arbitrary ids as "neighbors"; fail loudly instead
+      require(centroids.isEmpty || centroids.head.length == qv.length,
+        s"query dim ${qv.length} != index dim ${centroids.head.length}")
       centroids.zipWithIndex.map { case (c, i) =>
         (c.zip(qv).foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) }, i)
       }.sortBy(identity).take(nProbe).map(_._2).toSeq
+    }
   }
 
   /** IVF index BUILD: one distributed KMeans fit over the corpus (the
@@ -253,24 +283,26 @@ object Similarity {
     * nProbe = nLists the probe is exactly brute force (same cosine/tie
     * ordering). */
   def ivfProbe(index: IvfIndex, qv: Seq[Double], k: Int,
-               nProbe: Int = 2): DataFrame = {
-    val probe = index.probeLists(qv, nProbe)
-    index.corpus.filter(col("list_id").isin(probe.map(x => x: Any): _*))
-      .select(col(index.id),
-        cosine(col("v"), array(qv.map(lit): _*)).as("cos"))
-      .orderBy(desc("cos"), col(index.id))
-      .limit(k)
-  }
+               nProbe: Int = 2): DataFrame =
+    ivfScore(index, qv, k, nProbe, excludeId = None)
 
   /** [[ivfProbe]] by the id of a stored vector (excluded from its own
-    * result, matching [[bruteForceTopK]]). */
+    * result, matching [[bruteForceTopK]]); throws if the id is absent. */
   def ivfProbeById(index: IvfIndex, queryId: Long, k: Int,
                    nProbe: Int = 2): DataFrame = {
     val qv = index.corpus.filter(col(index.id) === queryId)
       .select("v").head().getSeq[Double](0)
+    ivfScore(index, qv, k, nProbe, excludeId = Some(queryId))
+  }
+
+  /** The ONE probe/score/order/limit pipeline both probe entry points
+    * share, so scoring or tie-break changes can never diverge between
+    * them. */
+  private def ivfScore(index: IvfIndex, qv: Seq[Double], k: Int,
+                       nProbe: Int, excludeId: Option[Long]): DataFrame = {
     val probe = index.probeLists(qv, nProbe)
-    index.corpus.filter(col("list_id").isin(probe.map(x => x: Any): _*))
-      .filter(col(index.id) =!= queryId)
+    val base = index.corpus.filter(col("list_id").isin(probe.map(x => x: Any): _*))
+    excludeId.fold(base)(q => base.filter(col(index.id) =!= q))
       .select(col(index.id),
         cosine(col("v"), array(qv.map(lit): _*)).as("cos"))
       .orderBy(desc("cos"), col(index.id))
@@ -280,7 +312,7 @@ object Similarity {
   /** One-shot convenience: build + probe in a single call. Prefer
     * [[ivfBuild]]/[[ivfWrite]]/[[ivfProbe]] when more than one query hits
     * the same corpus — this refits the quantizer per call. */
-  def ivfTopK(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+  def ivfTopK(emb: DataFrame,
               id: String, vec: String, queryId: Long, k: Int,
               nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame =
     ivfProbeById(ivfBuild(emb, id, vec, nLists, seed), queryId, k, nProbe)
@@ -325,8 +357,10 @@ object Similarity {
       .sortBy(identity).take(nProbe).map(_._2)
     assigned.filter(col("list_id").isin(probe.map(x => x: Any).toSeq: _*))
       .filter(col(id) =!= queryId)
-      .crossJoin(broadcast(e.filter(col(id) === queryId).select(col("v").as("qv"))))
-      .select(col(id), cosine(col("v"), col("qv")).as("cos"))
+      // qv is already collected above — compile it into a literal array
+      // like ivfProbe does; a broadcast of e.filter(...) here would scan
+      // the corpus a second time just to re-fetch the same row
+      .select(col(id), cosine(col("v"), array(qv.map(lit): _*)).as("cos"))
       .orderBy(desc("cos"), col(id))
       .limit(k)
   }
@@ -335,9 +369,11 @@ object Similarity {
     * max(|x|)/127, elements rounded to [-127,127]. 4× smaller at rest and on
     * the wire — the storage/shuffle lever for 100 TB embedding corpora;
     * cosine on dequantized vectors stays within ~1% of full precision
-    * (see OpsSpec). Output: (… , q: array<tinyint>, scale: double).
+    * (see OpsSpec). Output: (… , q: array<tinyint>, scale: double) —
+    * overwriting any pre-existing `q`/`scale` columns on the input.
     * Precondition: vectors must be non-zero — an all-zero vector has
-    * scale 0 and quantizes to nulls (0/0 = NaN); filter such rows first. */
+    * scale 0, and 0/0 THROWS under Spark 4's default ANSI mode (yields
+    * NaN→null tinyints with ANSI off); filter such rows first. */
   def quantizeInt8(emb: DataFrame, vec: String): DataFrame = {
     val v = asDouble(col(vec))
     val scale = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))) / lit(127.0)

@@ -378,7 +378,7 @@ class OpsSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 5)
       .select("vec_id").as[Long].collect().toSet
-    val ivf = Similarity.ivfTopK(spark, emb, "vec_id", "embedding",
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
       queryId = 0L, k = 5, nLists = 4, nProbe = 2)
       .select("vec_id").as[Long].collect().toSet
     assert(ivf.size === 5)
