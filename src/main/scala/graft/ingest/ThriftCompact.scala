@@ -62,20 +62,27 @@ object ThriftCompact {
     /** Validated non-negative length that fits in the remaining buffer —
       * a negative length (varint → Int overflow) would move the cursor
       * BACKWARD in skip(BINARY) and loop the parser forever; an
-      * over-large one would desync silently. */
+      * over-large one would desync silently. Validation happens in the
+      * LONG domain before any truncation: a crafted 2^32+5 would
+      * `.toInt`-truncate to an innocent 5 and desync, and a length near
+      * Int.MaxValue would overflow `pos + len` past the bound — so the
+      * raw varint is compared against `buf.length - pos` (never
+      * overflows) and only then narrowed. */
     private def readLen(): Int = {
-      val len = readVarint().toInt
-      if (len < 0 || pos + len > buf.length) bad(s"bad length $len")
-      len
+      val len = readVarint()
+      if (len < 0L || len > (buf.length - pos).toLong) bad(s"bad length $len")
+      len.toInt
     }
 
     /** Validated collection/map size: negative (overflowed) sizes must
       * fail, not read zero elements and desync the stream into a garbage
       * but structurally "valid" parse. Every element is ≥ 1 byte on the
-      * wire, so a size beyond the remaining bytes is also malformed. */
-    private def checkSize(size: Int): Int = {
-      if (size < 0 || size > buf.length - pos) bad(s"bad collection size $size")
-      size
+      * wire, so a size beyond the remaining bytes is also malformed.
+      * Takes the RAW Long varint (see [[readLen]] — truncating first
+      * would let 2^32+k masquerade as k). */
+    private def checkSize(size: Long): Int = {
+      if (size < 0L || size > (buf.length - pos).toLong) bad(s"bad collection size $size")
+      size.toInt
     }
 
     def readString(): String = {
@@ -85,7 +92,7 @@ object ThriftCompact {
       s
     }
 
-    def readMapSize(): Int = checkSize(readVarint().toInt)
+    def readMapSize(): Int = checkSize(readVarint())
 
     /** Skip a value in FIELD position: bools are zero-width (the value
       * lives in the field-header type nibble). */
@@ -143,7 +150,7 @@ object ThriftCompact {
       val b = readByte()
       val sizeNibble = (b & 0xf0) >> 4
       val elemType = b & 0x0f
-      val size = if (sizeNibble == 15) checkSize(readVarint().toInt) else sizeNibble
+      val size = if (sizeNibble == 15) checkSize(readVarint()) else sizeNibble
       (elemType, size)
     }
   }

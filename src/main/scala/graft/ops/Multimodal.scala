@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   * byte parsing, no codecs needed: [[wavDecode]] walks the RIFF chunk
   * list (format/channels/rate/bits/samples/duration) and [[mp4Decode]]
   * walks the ISO-BMFF box tree (brand, mvhd timescale/duration, track
-  * count, tkhd dimensions). Only audio/video SAMPLE/feature extraction
-  * falls back to the deterministic [[fakeDecode]] STUB (decoding PCM
-  * frames or video frames needs codecs this container doesn't ship);
-  * swapping in a real one means replacing only `fakeDecode`'s body (same
-  * signature, same batch shape).
+  * count, tkhd dimensions, stts/stsz frame count). Audio SAMPLE decode is
+  * also real for PCM16 WAV — no codec needed, the data chunk IS the
+  * waveform: [[wavDecode]] computes RMS/peak/clipping from the sample
+  * words and [[wavEnvelope]] a segment-RMS feature vector. The one
+  * remaining synthetic piece is video frame CONTENT (needs codecs this
+  * container doesn't ship): video rows get real header dims with
+  * [[fakeDecode]] features, unknown kinds fall back to [[fakeDecode]]
+  * entirely (same signature, same batch shape as a real decoder).
   */
 object Multimodal {
 
@@ -110,28 +113,52 @@ object Multimodal {
     case scala.util.control.NonFatal(_) => None
   }
 
-  /** Per-row dispatch: real ImageIO decode for image payloads, md5 fake for
-    * everything else (and for image bytes no reader understands). */
+  /** Per-row dispatch: real ImageIO decode for image payloads, real PCM16
+    * RMS-envelope decode for audio payloads ([[wavEnvelope]]), real header
+    * dims + fake content features for video (frame CONTENT needs codecs
+    * this container doesn't ship — the one remaining synthetic piece), md5
+    * fake for unknown kinds and for bytes no real path understands. */
   private[ops] def decodeRow(md: java.security.MessageDigest, row: MediaRow): DecodedMedia =
     if (row.kind.startsWith("image/")) imageDecode(row).getOrElse(fakeDecodeWith(md, row))
+    else if (row.kind.startsWith("audio/")) wavEnvelope(row).getOrElse(fakeDecodeWith(md, row))
+    else if (row.kind.startsWith("video/"))
+      mp4Decode(row).map { v =>
+        fakeDecodeWith(md, row).copy(
+          width = v.width, height = v.height, channels = v.n_tracks)
+      }.getOrElse(fakeDecodeWith(md, row))
     else fakeDecodeWith(md, row)
 
   // -------------------------------------------- audio/video header parsing
 
-  /** Parsed WAV/RIFF header metadata. `format` is "pcm" for format tag 1,
-    * "fmt_N" otherwise; `n_samples` counts per-channel frames (data bytes /
-    * block align). */
+  /** Parsed WAV/RIFF metadata + PCM16 waveform stats. `format` is "pcm"
+    * for format tag 1, "fmt_N" otherwise; `n_samples` counts per-channel
+    * frames (data bytes / block align). `rms`/`peak` are full-scale
+    * normalized amplitudes in [0, 1] (raw int16 / 32768) computed from the
+    * REAL sample bytes; `clip_frac` is the fraction of samples at full
+    * scale (|x| ≥ 32767). All three are 0.0 for non-PCM16 payloads (no
+    * codec in a pure-JVM engine) and for an empty/absent data chunk. */
   case class AudioMeta(doc_id: Long, format: String, channels: Int,
                        sample_rate: Int, bits_per_sample: Int,
-                       n_samples: Long, duration_ms: Long)
+                       n_samples: Long, duration_ms: Long,
+                       rms: Double, peak: Double, clip_frac: Double)
 
-  /** REAL WAV/RIFF header parse — pure JVM byte walking, no codecs: checks
-    * the RIFF/WAVE magic, then scans the word-aligned chunk list for
-    * `fmt ` (format tag, channels, sample rate, bits) and `data` (payload
-    * size → frame count → duration). Returns None for anything that is
-    * not well-formed RIFF/WAVE with a fmt chunk, so callers can fall back
-    * rather than kill the task. */
-  def wavDecode(row: MediaRow): Option[AudioMeta] = try {
+  /** REAL WAV/RIFF parse — pure JVM byte walking, no codecs: checks the
+    * RIFF/WAVE magic, then scans the word-aligned chunk list for `fmt `
+    * (format tag, channels, sample rate, bits) and `data` (payload size →
+    * frame count → duration). For PCM16 it then decodes the sample words
+    * themselves into waveform stats (RMS / peak amplitude, clipping
+    * fraction) — real content features, not header echoes. A data chunk
+    * whose DECLARED size overruns the buffer (truncated upload) is clamped
+    * to the bytes actually present, so frame count / duration / stats
+    * describe real data, never the header's claim. Returns None for
+    * anything that is not well-formed RIFF/WAVE with a fmt chunk, so
+    * callers can fall back rather than kill the task. */
+  def wavDecode(row: MediaRow): Option[AudioMeta] = wavParse(row).map(_._1)
+
+  /** Full parse: metadata plus the data chunk's (offset, clamped byte
+    * count) so sample-level consumers ([[wavEnvelope]]) don't re-walk the
+    * chunk list. (-1, -1) when no data chunk was found. */
+  private def wavParse(row: MediaRow): Option[(AudioMeta, Int, Long)] = try {
     val b = row.content
     def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
@@ -142,6 +169,7 @@ object Multimodal {
       var fmt: Option[(Int, Int, Int, Int)] = None // tag, channels, rate, bits
       var blockAlign = 0
       var dataBytes = -1L
+      var dataOff = -1
       var malformed = false
       while (!malformed && off + 8 <= b.length) {
         val id = tag(off)
@@ -156,7 +184,12 @@ object Multimodal {
           if (id == "fmt " && sz >= 16 && off + 24 <= b.length) {
             fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
             blockAlign = u16(off + 20)
-          } else if (id == "data") dataBytes = sz
+          } else if (id == "data") {
+            // clamp to bytes actually present — a truncated payload must
+            // not overstate n_samples/duration from the declared size
+            dataBytes = math.min(sz, (b.length - off - 8).toLong)
+            dataOff = off + 8
+          }
           off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
         }
       }
@@ -164,24 +197,85 @@ object Multimodal {
       else fmt.map { case (f, ch, rate, bits) =>
         val ba = if (blockAlign > 0) blockAlign else math.max(1, ch * bits / 8)
         val n = if (dataBytes >= 0) dataBytes / ba else 0L
-        AudioMeta(row.doc_id, if (f == 1) "pcm" else s"fmt_$f", ch, rate, bits,
-          n, if (rate > 0) n * 1000L / rate else 0L)
+        var rms = 0.0; var peak = 0.0; var clip = 0.0
+        if (f == 1 && bits == 16 && dataOff >= 0 && dataBytes >= 2) {
+          val nS = (dataBytes / 2).toInt
+          var sumSq = 0L // ≤ 32768² per sample → overflows Long only past 8.6e9 samples, beyond a 2 GiB payload
+          var maxAbs = 0
+          var nClip = 0
+          var i = 0
+          while (i < nS) {
+            val o = dataOff + 2 * i
+            val x = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+            val a = if (x < 0) -x else x // -32768 negates safely in Int
+            sumSq += x.toLong * x
+            if (a > maxAbs) maxAbs = a
+            if (a >= 32767) nClip += 1
+            i += 1
+          }
+          rms = math.sqrt(sumSq.toDouble / nS) / 32768.0
+          peak = maxAbs / 32768.0
+          clip = nClip.toDouble / nS
+        }
+        (AudioMeta(row.doc_id, if (f == 1) "pcm" else s"fmt_$f", ch, rate, bits,
+          n, if (rate > 0) n * 1000L / rate else 0L, rms, peak, clip),
+          dataOff, dataBytes)
       }
     }
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL audio content decode for the generic [[decode]] pass: a PCM16
+    * WAV payload becomes a [[FeatureDim]]-segment RMS envelope (full-scale
+    * normalized, like a coarse loudness contour), width = frame count,
+    * height = sample rate. None for non-WAV / non-PCM16 payloads so
+    * callers fall back. */
+  def wavEnvelope(row: MediaRow): Option[DecodedMedia] =
+    wavParse(row).collect {
+      case (m, dataOff, dataBytes)
+          if m.format == "pcm" && m.bits_per_sample == 16 && dataBytes >= 2 =>
+        val b = row.content
+        val nS = (dataBytes / 2).toInt
+        val feats = new Array[Float](FeatureDim)
+        var seg = 0
+        while (seg < FeatureDim) {
+          val s0 = (seg.toLong * nS / FeatureDim).toInt
+          val s1 = math.max(((seg + 1).toLong * nS / FeatureDim).toInt, s0 + 1)
+          val end = math.min(s1, nS)
+          var sumSq = 0L
+          var i = s0
+          while (i < end) {
+            val o = dataOff + 2 * i
+            val x = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+            sumSq += x.toLong * x
+            i += 1
+          }
+          feats(seg) =
+            if (end <= s0) 0f
+            else (math.sqrt(sumSq.toDouble / (end - s0)) / 32768.0).toFloat
+          seg += 1
+        }
+        DecodedMedia(row.doc_id, row.kind, b.length.toLong,
+          m.n_samples.min(Int.MaxValue).toInt, m.sample_rate, m.channels, feats)
+    }
+
   /** Parsed MP4 (ISO-BMFF) header metadata from the box tree — no sample
-    * data touched. `duration_ms` converts mvhd duration by its timescale. */
+    * data touched. `duration_ms` converts mvhd duration by its timescale;
+    * `n_frames` is the sample count from the first track's sample table
+    * (`stsz` entry count, falling back to the sum of `stts` run lengths),
+    * 0 when no sample table is present. */
   case class VideoMeta(doc_id: Long, major_brand: String, timescale: Long,
-                       duration_ms: Long, n_tracks: Int, width: Int, height: Int)
+                       duration_ms: Long, n_tracks: Int, width: Int, height: Int,
+                       n_frames: Long)
 
   /** REAL MP4/ISO-BMFF header parse — pure JVM, no codecs: requires a
     * leading `ftyp` box (major brand), then walks top-level boxes; inside
     * `moov` it reads `mvhd` (timescale + duration, version 0 and 1),
-    * counts `trak` children, and takes the first `tkhd`'s 16.16
-    * fixed-point width/height. 64-bit extended box sizes (size == 1) and
-    * to-end boxes (size == 0) terminate the walk conservatively. Returns
-    * None unless ftyp and moov/mvhd parse. */
+    * counts `trak` children, takes the first `tkhd`'s 16.16 fixed-point
+    * width/height, and descends `trak/mdia/minf/stbl` to count frames from
+    * the first track's `stsz` (or `stts` when stsz is absent). 64-bit
+    * extended box sizes (size == 1) and to-end boxes (size == 0) terminate
+    * the walk conservatively. Returns None unless ftyp and moov/mvhd
+    * parse. */
   def mp4Decode(row: MediaRow): Option[VideoMeta] = try {
     val b = row.content
     def u32(o: Int): Long =
@@ -197,6 +291,12 @@ object Multimodal {
       var nTracks = 0
       var width = 0
       var height = 0
+      // first track's sample counts; -1 = not yet seen. Kept separate
+      // because stts usually PRECEDES stsz inside stbl — a shared
+      // first-wins cell would make the documented stsz preference dead code
+      var stszFrames = -1L
+      var sttsFrames = -1L
+      def nFrames: Long = if (stszFrames >= 0) stszFrames else sttsFrames
       def walk(from: Int, to: Int, depth: Int): Unit = {
         var off = from
         var ok = true
@@ -214,7 +314,7 @@ object Multimodal {
               case "moov" if depth == 0 => walk(body, boxEnd, 1)
               case "trak" if depth == 1 =>
                 nTracks += 1
-                if (width == 0) walk(body, boxEnd, 2)
+                if (width == 0 || nFrames < 0) walk(body, boxEnd, 2)
               case "mvhd" if depth == 1 =>
                 val v = b(body) & 0xff
                 if (v == 1 && body + 32 <= boxEnd) {
@@ -234,6 +334,26 @@ object Multimodal {
                   width = (u32(boxEnd - 8) >> 16).toInt
                   height = (u32(boxEnd - 4) >> 16).toInt
                 }
+              // sample-table descent: trak → mdia → minf → stbl → stsz/stts
+              case "mdia" if depth == 2 => walk(body, boxEnd, 3)
+              case "minf" if depth == 3 => walk(body, boxEnd, 4)
+              case "stbl" if depth == 4 => walk(body, boxEnd, 5)
+              case "stsz" if depth == 5 && stszFrames < 0 =>
+                // fullbox: version/flags(4) + sample_size(4) + sample_count(4)
+                if (body + 12 <= boxEnd) stszFrames = u32(body + 8)
+              case "stts" if depth == 5 && sttsFrames < 0 =>
+                // fullbox: version/flags(4) + entry_count(4) + (count, delta)*
+                if (body + 8 <= boxEnd) {
+                  val entries = u32(body + 4)
+                  // trust entry_count only as far as the box's own bytes —
+                  // a crafted count must not read past boxEnd
+                  if (body + 8 + entries * 8 <= boxEnd) {
+                    var total = 0L
+                    var e = 0
+                    while (e < entries) { total += u32(body + 8 + e * 8); e += 1 }
+                    sttsFrames = total
+                  }
+                }
               case _ => ()
             }
             off += sz.toInt
@@ -243,7 +363,7 @@ object Multimodal {
       walk(0, b.length, 0)
       if (timescale < 0) None
       else Some(VideoMeta(row.doc_id, brand, timescale, durationMs,
-        nTracks, width, height))
+        nTracks, width, height, math.max(nFrames, 0L)))
     }
   } catch { case scala.util.control.NonFatal(_) => None }
 

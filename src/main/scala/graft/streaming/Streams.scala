@@ -78,6 +78,12 @@ object Streams {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    time: String, within: String = "1 second",
                    lateness: String = "10 minutes"): DataFrame = {
+    // the rename below would otherwise produce DUPLICATE r_* columns and
+    // fail later with an opaque ambiguous-reference error — fail here with
+    // the fix in the message instead (same shape as saltedAgg's __salt guard)
+    require(!right.columns.contains(s"r_$key") && !right.columns.contains(s"r_$time"),
+      s"right stream already has a column named r_$key or r_$time " +
+        s"(reserved for the renamed join pair) — rename or drop it before intervalJoin")
     val l = left.withWatermark(time, lateness)
     val r = right
       .withColumnRenamed(key, s"r_$key")

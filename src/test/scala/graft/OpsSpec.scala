@@ -483,16 +483,47 @@ class OpsSpec extends SparkSpec {
       java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(getClass.getResource(name).toURI))
 
-    // tiny.wav: PCM, 1 channel, 8000 Hz, 16-bit, 16 frames => 2 ms
+    // tiny.wav: PCM, 1 channel, 8000 Hz, 16-bit, 16 frames => 2 ms. The
+    // sample words are the KNOWN bytes 0,1,…,15 — so the waveform stats
+    // are exact closed forms: sum of squares 0²+…+15² = 1240 over 16
+    // samples, peak |x| = 15, nothing at full scale.
     val wav = Multimodal.wavDecode(
       Multimodal.MediaRow(1L, "audio/wav", resource("/tiny.wav"))).get
-    assert(wav === Multimodal.AudioMeta(1L, "pcm", 1, 8000, 16, 16L, 2L))
+    assert(wav === Multimodal.AudioMeta(1L, "pcm", 1, 8000, 16, 16L, 2L,
+      math.sqrt(1240.0 / 16) / 32768.0, 15.0 / 32768.0, 0.0))
 
     // tiny.mp4: ftyp isom + moov{mvhd timescale 1000 duration 2500,
-    // trak{tkhd 320x240}} => 2500 ms, 1 track
+    // trak{tkhd 320x240, mdia/minf/stbl{stts 3×100+2×200, stsz count 5}}}
+    // => 2500 ms, 1 track, 5 frames (stsz preferred over the stts sum)
     val mp4 = Multimodal.mp4Decode(
       Multimodal.MediaRow(2L, "video/mp4", resource("/tiny.mp4"))).get
-    assert(mp4 === Multimodal.VideoMeta(2L, "isom", 1000L, 2500L, 1, 320, 240))
+    assert(mp4 === Multimodal.VideoMeta(2L, "isom", 1000L, 2500L, 1, 320, 240, 5L))
+
+    // a truncated data chunk (declares 32 bytes, carries 8) must clamp to
+    // the bytes PRESENT: 4 frames / stats over 4 samples, never the
+    // header's claim (samples 0..3 => sumSq 14, peak 3)
+    val truncated = resource("/tiny.wav").take(44 + 8)
+    val twav = Multimodal.wavDecode(
+      Multimodal.MediaRow(4L, "audio/wav", truncated)).get
+    assert(twav === Multimodal.AudioMeta(4L, "pcm", 1, 8000, 16, 4L, 0L,
+      math.sqrt(14.0 / 4) / 32768.0, 3.0 / 32768.0, 0.0))
+
+    // full-scale samples count as clipped: +32767, -32768, -32767, 0
+    def le16(xs: Short*): Array[Byte] =
+      xs.flatMap(x => Seq((x & 0xff).toByte, ((x >> 8) & 0xff).toByte)).toArray
+    val clipWav = resource("/tiny.wav").take(40) ++
+      Array[Byte](8, 0, 0, 0) ++ le16(32767, -32768, -32767, 0)
+    val cwav = Multimodal.wavDecode(
+      Multimodal.MediaRow(5L, "audio/wav", clipWav)).get
+    assert(cwav.clip_frac === 0.75)
+    assert(cwav.peak === 1.0)
+
+    // the generic decode pass gives audio rows a REAL RMS envelope: 16
+    // segments over 16 known samples = one sample each, |x|/32768
+    val env = Multimodal.wavEnvelope(
+      Multimodal.MediaRow(1L, "audio/wav", resource("/tiny.wav"))).get
+    assert(env.width === 16 && env.height === 8000 && env.channels === 1)
+    assert(env.features.toSeq === (0 until 16).map(i => (i / 32768.0).toFloat))
 
     // garbage and wrong-container payloads parse to None, never throw
     // (and never hang: the 0xFFFFFFF8 chunk size would make the naive
@@ -524,9 +555,10 @@ class OpsSpec extends SparkSpec {
       Multimodal.MediaRow(3L, "audio/wav", Array[Byte](1, 2, 3))
     ).toDS().toDF()
     assert(Multimodal.decodeWavMeta(spark, media).collect().toSeq ===
-      Seq(Multimodal.AudioMeta(1L, "pcm", 1, 8000, 16, 16L, 2L)))
+      Seq(Multimodal.AudioMeta(1L, "pcm", 1, 8000, 16, 16L, 2L,
+        math.sqrt(1240.0 / 16) / 32768.0, 15.0 / 32768.0, 0.0)))
     assert(Multimodal.decodeMp4Meta(spark, media).collect().toSeq ===
-      Seq(Multimodal.VideoMeta(2L, "isom", 1000L, 2500L, 1, 320, 240)))
+      Seq(Multimodal.VideoMeta(2L, "isom", 1000L, 2500L, 1, 320, 240, 5L)))
   }
 
   test("default ngram jaccard plan is the capped plan and matches uncapped on cap-free data") {

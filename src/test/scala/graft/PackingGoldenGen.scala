@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Packing, TextAnalysis}
 
 /** Golden generator for sequence packing (VERDICT r4 item 7): the
-  * first-fit layout is deterministic (md5 hash-bucketing + ascending-id
-  * walk, independent of input partitioning) but not DuckDB-expressible
+  * first-fit layout is deterministic (Murmur3 hash-partitioning via
+  * `repartition(n, col(id))` + ascending-id walk, independent of input
+  * partitioning) but not DuckDB-expressible
   * (per-partition running state), so — like ivf_golden.json — the gate is
   * a committed sf0.01 snapshot: summary stats, the md5 digest of EVERY
   * row's full assignment, and the first 20 rows for debuggability.

@@ -68,6 +68,14 @@ class ProfileIngestSpec extends SparkSpec {
     // negative long-form collection size: would read zero elements and
     // desync the stream into a structurally-valid garbage parse
     mustFail(Array(0x19, 0xF8, 0xFA, 0xFF, 0xFF, 0xFF, 0x0F).map(_.toByte))
+    // 64-bit BINARY length 2^32+5: truncating to Int BEFORE validating
+    // would yield an innocent-looking 5 and "successfully" parse garbage —
+    // the length must be rejected in the Long domain
+    mustFail(Array(0x18, 0x85, 0x80, 0x80, 0x80, 0x10).map(_.toByte) ++
+      "abcde".getBytes("US-ASCII") :+ 0x00.toByte)
+    // same attack on a long-form collection size (2^32+2 -> toInt 2)
+    mustFail(Array(0x19, 0xF8, 0x82, 0x80, 0x80, 0x80, 0x10).map(_.toByte) ++
+      Array[Byte](0x01, 0x61, 0x01, 0x62, 0x00))
 
     // zlib stream with the FDICT bit set (0x78BB % 31 == 0, valid header):
     // inflate() returns 0 with needsDictionary — the old loop spun forever

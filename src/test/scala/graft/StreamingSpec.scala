@@ -119,6 +119,16 @@ class StreamingSpec extends SparkSpec {
     val pairs = spark.sql("SELECT etag, ctag FROM correlated")
       .as[(String, String)].collect().toSet
     assert(pairs === Set(("e1", "c1"), ("e2", "c3")))
+
+    // a right stream already carrying the reserved r_* names would yield
+    // duplicate columns and a later ambiguous-reference error — must fail
+    // up front with an actionable message instead
+    val clash = clicks.toDF.toDF("user_id", "event_time", "r_user_id")
+    val e = intercept[IllegalArgumentException] {
+      Streams.intervalJoin(errs.toDF.toDF("user_id", "event_time", "etag"),
+        clash, "user_id", "event_time")
+    }
+    assert(e.getMessage.contains("r_user_id"))
   }
 
   test("streaming dedup drops repeated fingerprints within the watermark") {
