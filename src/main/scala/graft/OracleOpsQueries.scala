@@ -346,6 +346,14 @@ object OracleOpsQueries {
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
   }
 
+  /** Same query through the no-broadcast escape hatch — the big-query-side
+    * shape MUST give bit-identical answers to the broadcast plan. */
+  def simKnnJoinShuffled(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.ops.Similarity.knnJoinShuffled(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+  }
+
   def simLshTopK(s: SparkSession, d: String): DataFrame =
     graft.ops.Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryId = 0L, k = 10, planes = 4)
@@ -406,6 +414,7 @@ object OracleOpsQueries {
     "sim_quantize_int8" -> (simQuantizeInt8 _),
     "sim_bruteforce_topk" -> (simBruteForce _),
     "sim_knn_join" -> (simKnnJoin _),
+    "sim_knn_join_shuffled" -> (simKnnJoinShuffled _),
     "sim_lsh_topk" -> (simLshTopK _),
     "sim_lsh_multiprobe" -> (simLshMultiprobe _),
     "sim_ivf_topk" -> (simIvfTopK _),
@@ -829,6 +838,19 @@ object OracleOpsQueries {
          |FROM e, q WHERE vec_id != 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "sim_knn_join" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (
+         |  SELECT q.query_id, e.vec_id, ${cosSql("v", "qv")} AS cos
+         |  FROM e, q WHERE e.vec_id != q.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM s)
+         |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 3""".stripMargin,
+    // the shuffled hatch answers the SAME question — one oracle text, two
+    // physical plans (broadcast vs bucket-replicated shuffle join)
+    "sim_knn_join_shuffled" ->
       s"""WITH $embCte,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
          |s AS (

@@ -73,7 +73,11 @@ object Similarity {
     * [[cosinePairs]]. Self-exclusion contract: a corpus row whose id
     * EQUALS the query row's id is excluded (the corpus-subset query case
     * every in-repo caller uses); pass disjoint id spaces if queries are
-    * external and collisions are meaningful. */
+    * external and collisions are meaningful.
+    *
+    * PRECONDITION: the query side must fit a broadcast (eval-sized
+    * batches). For query sets too big to broadcast use
+    * [[knnJoinShuffled]] — identical results, no broadcast. */
   def knnJoin(emb: DataFrame, id: String, vec: String,
               queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
     val corpus = emb.select(col(id), asDouble(col(vec)).as("__v"))
@@ -81,6 +85,43 @@ object Similarity {
     val joined = corpus.crossJoin(broadcast(
         queries.select(col(qid).as("query_id"), asDouble(col(qvec)).as("qv"))
           .withColumn("__qn", norm(col("qv")))))
+      .filter(col(id) =!= col("query_id"))
+      .select(col("query_id"), col(id),
+        when(col("__nrm") * col("__qn") =!= 0.0,
+          dot(col("__v"), col("qv")) / (col("__nrm") * col("__qn"))).as("cos"))
+    joined.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k(col("cos"), col(id), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as(id), col("col.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Shuffled escape hatch for [[knnJoin]] when the QUERY side is too big
+    * to broadcast (millions of query rows would blow the driver/executor
+    * broadcast memory wall). Exact kNN is inherently all-pairs, so the
+    * cartesian is kept but distributed WITHOUT a broadcast: the corpus is
+    * hash-bucketed on its id into `buckets` groups (one shuffle, each row
+    * lands in exactly one bucket) and each query row is replicated to
+    * every bucket via a scan-side `explode(sequence(...))` — a shuffled
+    * SHUFFLE_HASH equi-join on the bucket id then meets every (query,
+    * corpus) pair exactly once. Replication cost is queries × buckets
+    * rows of (id, vector), spread across the cluster by the shuffle
+    * instead of materialized per-executor like a broadcast; `buckets`
+    * bounds the corpus-side task grain the same way the partition count
+    * does for any shuffle. Scoring, self-exclusion, TopKAgg ranking, and
+    * the output schema are IDENTICAL to [[knnJoin]] — both are gated on
+    * the same oracle SQL (sim_knn_join / sim_knn_join_shuffled), the same
+    * pattern as `dedupContamination`'s `broadcastEval=false` hatch. */
+  def knnJoinShuffled(emb: DataFrame, id: String, vec: String,
+                      queries: DataFrame, qid: String, qvec: String, k: Int,
+                      buckets: Int = 32): DataFrame = {
+    val corpus = emb.select(col(id), asDouble(col(vec)).as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
+      .withColumn("__bkt", pmod(hash(col(id)), lit(buckets)))
+    val q = queries.select(col(qid).as("query_id"), asDouble(col(qvec)).as("qv"))
+      .withColumn("__qn", norm(col("qv")))
+      .withColumn("__bkt", explode(sequence(lit(0), lit(buckets - 1))))
+    val joined = corpus.hint("SHUFFLE_HASH").join(q, "__bkt")
       .filter(col(id) =!= col("query_id"))
       .select(col("query_id"), col(id),
         when(col("__nrm") * col("__qn") =!= 0.0,

@@ -43,6 +43,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(sortBelow < 0, "no per-partition sort should feed the top-k shuffle:\n" + p)
   }
 
+  test("sim_knn_join_shuffled scores pairs through a shuffle join, never a broadcast") {
+    // the escape hatch exists precisely because the query side may not fit
+    // a broadcast — a plan that silently re-introduces one defeats it
+    val p = plan("sim_knn_join_shuffled")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+  }
+
   test("dataset_split, text_redact, text_c4, sim_project are shuffle-free scan-side projections") {
     Seq("dataset_split", "text_redact", "text_c4", "sim_project").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
