@@ -106,6 +106,19 @@ object OracleOpsQueries {
     graft.ops.Splits.assignShards(
       Tables.documents(s, d).select(col("doc_id")), "doc_id", nShards = 16)
 
+  /** Sequence packing under the HARD gate: the full per-document layout
+    * (pack id, position, oversize flag) against a DuckDB recursive-CTE
+    * mirror of the same first-fit walk. 16 buckets over 500 sf0.01 docs
+    * put ~30 docs in each bucket, so multi-doc packs, pack rollovers, and
+    * oversize singletons (n > 96) all occur — the walk is exercised
+    * deeply, not one-doc-per-bucket vacuously. */
+  def corpusPack(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.ops.Packing.packSequences(s, docs, "doc_id", "n_tokens",
+      maxTokens = 96, buckets = 16)
+  }
+
   /** Token-budget mixture construction: per length-centile stratum, keep
     * the salted-hash-ordered document prefix until that stratum's budget is
     * exhausted (boundary doc kept, see
@@ -434,6 +447,7 @@ object OracleOpsQueries {
     "text_c4" -> (textC4 _),
     "dataset_split" -> (datasetSplit _),
     "corpus_shard" -> (corpusShard _),
+    "corpus_pack" -> (corpusPack _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_agg" -> (dedupExactAgg _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1055,6 +1069,41 @@ object OracleOpsQueries {
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) - 1
          |    AS BIGINT) AS pos
          |FROM b""".stripMargin,
+    // the first-fit walk is sequential WITHIN a bucket, so the mirror is a
+    // recursive CTE stepping one row per iteration per bucket (DuckDB
+    // advances every bucket's frontier each round — depth = largest
+    // bucket, ~40 rows at sf0.01/16 buckets, same trick as the
+    // dedup_components min-label recursion). State carried: open pack
+    // index + fill, -1 fill = no open pack, exactly the Scala walk.
+    "corpus_pack" ->
+      s"""WITH RECURSIVE $toksCte,
+         |d AS (
+         |  SELECT doc_id, n_tokens, bkt,
+         |    ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY doc_id) AS rn
+         |  FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |          ${h60("'pack_' || CAST(doc_id AS VARCHAR)")} % 16 AS bkt
+         |        FROM toks) z),
+         |walk AS (
+         |  SELECT bkt, doc_id, n_tokens, rn,
+         |    CAST(0 AS BIGINT) AS pack_idx,
+         |    CAST(CASE WHEN n_tokens > 96 THEN -1 ELSE n_tokens END AS BIGINT) AS fill,
+         |    n_tokens > 96 AS oversize,
+         |    CAST(0 AS BIGINT) AS pack_pos
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.bkt, d.doc_id, d.n_tokens, d.rn,
+         |    CASE WHEN d.n_tokens > 96 OR w.fill < 0 OR w.fill + d.n_tokens > 96
+         |         THEN w.pack_idx + 1 ELSE w.pack_idx END,
+         |    CAST(CASE WHEN d.n_tokens > 96 THEN -1
+         |         WHEN w.fill < 0 OR w.fill + d.n_tokens > 96 THEN d.n_tokens
+         |         ELSE w.fill + d.n_tokens END AS BIGINT),
+         |    d.n_tokens > 96,
+         |    CASE WHEN d.n_tokens > 96 OR w.fill < 0 OR w.fill + d.n_tokens > 96
+         |         THEN CAST(0 AS BIGINT) ELSE w.fill END
+         |  FROM walk w JOIN d ON d.bkt = w.bkt AND d.rn = w.rn + 1)
+         |SELECT doc_id, n_tokens, bkt * 1099511627776 + pack_idx AS pack_id,
+         |  pack_pos, oversize
+         |FROM walk""".stripMargin,
     "dedup_exact" -> dedupExactSql,
     // identical semantics, different physical shape — same oracle
     "dedup_exact_agg" -> dedupExactSql,

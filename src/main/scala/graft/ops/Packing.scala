@@ -8,11 +8,18 @@ import org.apache.spark.sql.functions._
   * between a cleaned corpus and an LLM training shard (packed batches waste
   * no pad tokens).
   *
-  * Distributed shape: documents are hash-partitioned by id (Murmur3 via
-  * `repartition(n, col(id))` — a pure function of the id VALUE, so
-  * placement is deterministic and independent of the input's physical
-  * layout), then packed per bucket with a first-fit greedy walk in
-  * ascending id order. Pack ids are globally unique
+  * Distributed shape: documents are assigned a LOGICAL bucket by the
+  * portable md5 [[Splits.hashBucket]] (salt "pack") — a pure function of
+  * the id VALUE, identical in any engine, so the layout is reproducible
+  * off-Spark and DuckDB-oracle-checkable (the corpus_pack gate mirrors
+  * the whole walk as a recursive CTE). Physical placement shuffles on the
+  * bucket but does NOT pin one bucket per partition: with buckets >
+  * shuffle partitions each task walks several buckets back to back
+  * (state resets on the bucket boundary), which keeps placement balanced
+  * — the measured objection to md5 bucketing (murmur3-scattering 256
+  * buckets into exactly 256 partitions left ~37% empty, ~4× skew) only
+  * applies when the two counts coincide. Within a bucket the walk is
+  * first-fit greedy in ascending id order. Pack ids are globally unique
   * (bucket << 40 | local index). Global bin-packing optimality is NOT
   * claimed: with documents much smaller than the window (the normal case
   * after length filtering) greedy waste is bounded and tiny, and the
@@ -38,25 +45,30 @@ object Packing {
     require(maxTokens > 0, "maxTokens must be positive")
     import spark.implicits._
     docs
-      .select(col(id).cast("long"), col(nTokens).cast("long"))
-      // Murmur3 on the id value directly — hashing a [[Splits.hashBucket]]
-      // md5 bucket here would be re-hashed by repartition anyway (partition
-      // = pmod(murmur3(expr), n)), paying an md5 per row for WORSE balance
-      // (256 md5 buckets murmur3-scattered into 256 partitions leave ~37%
-      // empty and ~4x skew on the fullest)
-      .repartition(buckets, col(id))
-      .sortWithinPartitions(col(id))
-      .as[(Long, Long)]
+      .select(col(id).cast("long"), col(nTokens).cast("long"),
+        // hash the LONG id (not the raw column) so the bucket is a pure
+        // function of the canonical id value — "042" and 42 must bucket
+        // together, and the DuckDB mirror hashes the BIGINT's string form
+        Splits.hashBucket(col(id).cast("long"), "pack", buckets).as("__bkt"))
+      // shuffle groups each logical bucket onto ONE task, but the task
+      // count stays spark.sql.shuffle.partitions — several buckets per
+      // task keep placement balanced while the walk below resets state on
+      // every bucket boundary, so the LAYOUT depends only on (id, bucket),
+      // never on physical partitioning
+      .repartition(col("__bkt"))
+      .sortWithinPartitions(col("__bkt"), col(id))
+      .as[(Long, Long, Long)]
       .mapPartitions { it =>
-        val bucket = org.apache.spark.TaskContext.getPartitionId().toLong
+        var curBkt = -1L
         var packIdx = -1L
         var fill = -1L // -1 = no open pack (never add to fill directly: a
                        // huge n could overflow fill + n if fill were MaxValue)
-        it.map { case (docId, n) =>
+        it.map { case (docId, n, bkt) =>
           // a negative count would collide with the fill sentinel below and
           // silently corrupt the layout — fail loudly instead
           if (n < 0) throw new IllegalArgumentException(
             s"packSequences requires n_tokens >= 0, got $n for id $docId")
+          if (bkt != curBkt) { curBkt = bkt; packIdx = -1L; fill = -1L }
           val oversize = n > maxTokens // short-circuits the fill check below,
                                        // so fill + n never overflows
           if (oversize || fill < 0 || fill + n > maxTokens) {
@@ -65,7 +77,7 @@ object Packing {
           }
           val pos = fill
           fill = if (oversize) -1L else fill + n // oversize packs close immediately
-          (docId, n, bucket * MaxPacksPerBucket + packIdx, pos, oversize)
+          (docId, n, bkt * MaxPacksPerBucket + packIdx, pos, oversize)
         }
       }
       .toDF(id, nTokens, "pack_id", "pack_pos", "oversize")
