@@ -1,0 +1,46 @@
+package graft
+
+/** Systematic ANSI-semantics sweep (VERDICT r5 item 6): every oracle
+  * query runs under BOTH `spark.sql.ansi.enabled` settings and must
+  * return identical rows.
+  *
+  * Spark 4 defaults ANSI ON, so the driver's correctness gate already
+  * exercises that mode — but round 5 caught several ANSI hazards ad hoc
+  * (cosine division, audit casts), each found only when a query happened
+  * to trip it. This spec makes the check systematic and bidirectional: a
+  * future operator that overflows/mis-casts only under ANSI fails here
+  * before the driver sees it, and one that silently RELIES on an ANSI
+  * runtime error for its semantics (so it would drift on an ANSI-off
+  * cluster) fails the same assertion. No exclusions: as of round 6 all
+  * queries agree between modes, so any future disagreement is a bug or a
+  * deliberate, documented change to this list.
+  */
+class AnsiSuiteSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every oracle query returns identical rows under ANSI on and off") {
+    // row multiset keyed by rendered row — array columns render
+    // element-wise, and ANSI mode cannot change column TYPES (analysis is
+    // mode-independent), only runtime values/errors, which this catches
+    def rows(name: String): Map[String, Int] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .groupBy(_.toString).view.mapValues(_.length).toMap
+
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        val loose = rows(name)
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        val ansi =
+          try rows(name)
+          catch {
+            case e: Exception =>
+              fail(s"$name threw under ANSI mode: ${e.getMessage}", e)
+          }
+        assert(ansi === loose, s"$name: rows differ between ANSI on and off")
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", before)
+  }
+}
