@@ -179,6 +179,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 2) // {brand new content, entirely novel words}
   }
 
+  test("streaming incremental dedup matches the DuckDB oracle's kept set") {
+    // VERDICT r5 item 7: the equivalence above anchors streaming to the
+    // BATCH op; this anchors it to the same EXTERNAL truth the driver
+    // gate uses — streaming_inc_dedup_golden.json is the keep=1
+    // fingerprint set produced by DuckDB running the
+    // dedup_incremental_exact oracle SQL over sf0.001 (same planted
+    // re-crawl batch: %7==0 verbatim under +10000, %7==3 suffixed under
+    // +20000; 143 batch rows, 71 kept). Rows stream in ascending doc_id
+    // order, within the watermark, so first-arrival == min-id and the
+    // streaming kept set must equal the oracle's exactly.
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          expr("concat(text, ' fresh suffix')").as("text")))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val index = docs
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val t0 = 1700000000000L
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    ms.addData(batch.zipWithIndex.map { case ((i, t), k) =>
+      (i, t, new java.sql.Timestamp(t0 + k * 1000)) }: _*)
+    val q = Streams.incrementalDedupStream(
+        ms.toDF.toDF("doc_id", "text", "event_time"), index, "text")
+      .writeStream.format("memory").queryName("inc_dedup_oracle")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT fp FROM inc_dedup_oracle")
+      .as[String].collect().toSet
+    val goldenJson = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource("/streaming_inc_dedup_golden.json").toURI)), "UTF-8")
+    // kept_fps are the only 32-hex strings in the golden
+    val oracleKept = "\"([0-9a-f]{32})\"".r
+      .findAllMatchIn(goldenJson).map(_.group(1)).toSet
+    assert(oracleKept.size === 71, "golden fixture corrupt or regenerated wrong")
+    assert(streamed === oracleKept)
+  }
+
   test("streaming sessionize emits exactly the batch sessions (equivalence)") {
     // closes the loop the scaladocs claim: Streams.sessionize and
     // OracleQueries.sessionizeBatch implement the SAME event-time gap
