@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Generate an sf1-equivalent (10x sf0.1) documents corpus for local scale
+benching (VERDICT r5 item 5). Deterministic — a pure transformation of the
+driver's seed-42 sf0.1 table, no RNG:
+
+  copy 0:    sf0.1 documents verbatim (doc_id unchanged)
+  copy k>0:  doc_id + k*5000; every whitespace token gets a "_c<k>" suffix
+
+The token salt makes cross-copy shingle/minhash similarity ZERO, so the
+near-dup structure of the corpus scales linearly (each copy contributes
+the same within-copy dup pairs; no artificial 10-doc cross-copy clusters
+that would make pair counts grow quadratically and fake a superlinear
+workload). Length distribution, language mix, and doc count all scale
+10x, which is what the five scale-critical ops key on.
+
+Usage: python3 tools/gen_scale_corpus.py [outdir]   (default /tmp/graft_sf1)
+"""
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+COPIES = 10
+ROWS_PER_COPY = 5000
+
+out = (sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1") + "/documents.parquet"
+import os
+os.makedirs(os.path.dirname(out), exist_ok=True)
+
+parts = []
+for k in range(COPIES):
+    if k == 0:
+        parts.append(f"SELECT doc_id, text, lang, source, n_chars FROM src")
+    else:
+        parts.append(
+            f"SELECT doc_id + {k * ROWS_PER_COPY} AS doc_id, "
+            f"regexp_replace(text, '(\\S+)', '\\1_c{k}', 'g') AS text, "
+            f"lang, source, "
+            f"CAST(len(regexp_replace(text, '(\\S+)', '\\1_c{k}', 'g')) AS BIGINT) AS n_chars "
+            f"FROM src")
+union = " UNION ALL ".join(parts)
+
+con = duckdb.connect()
+con.sql(f"CREATE VIEW src AS SELECT * FROM '{SRC}'")
+con.sql(f"COPY ({union}) TO '{out}' (FORMAT PARQUET)")
+n = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+print(f"wrote {out}: {n} docs")
