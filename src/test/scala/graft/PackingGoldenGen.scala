@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Packing, TextAnalysis}
 
 /** Golden generator for sequence packing (VERDICT r4 item 7): the
-  * first-fit layout is deterministic (Murmur3 hash-partitioning via
-  * `repartition(n, col(id))` + ascending-id walk, independent of input
-  * partitioning) but not DuckDB-expressible
-  * (per-partition running state), so — like ivf_golden.json — the gate is
-  * a committed sf0.01 snapshot: summary stats, the md5 digest of EVERY
+  * first-fit layout is deterministic (portable md5 `Splits.hashBucket`
+  * buckets, salt "pack", + ascending-id walk — independent of input
+  * partitioning AND of Spark's partitioner since round 6) and since
+  * round 6 ALSO oracle-gated (corpus_pack, recursive-CTE mirror); this
+  * golden stays as the drift gate at the golden's own (buckets=8)
+  * configuration: summary stats, the md5 digest of EVERY
   * row's full assignment, and the first 20 rows for debuggability.
   * maxTokens = 96 is chosen against the sf0.01 token distribution
   * (10..99, mean 54) so all three behaviors occur: multi-doc packs,
