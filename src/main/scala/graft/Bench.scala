@@ -67,7 +67,11 @@ object Bench {
     val results = selected.map { case (name, _) =>
       val ts = passes.map(_(name))
       val oks = ts.filter(_ > 0)
-      name -> (if (oks.nonEmpty) oks.min else ts.head)
+      // min only over an all-green query: a query that threw in ANY pass
+      // keeps a negative marker — load noise makes queries slow, never
+      // makes them throw, so min-of-passes must not launder an
+      // intermittent failure into a clean timing with failed=0
+      name -> (if (oks.size == ts.size) oks.min else ts.filterNot(_ > 0).head)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -665,6 +665,20 @@ object OracleOpsQueries {
        |  CAST(COALESCE(o.n_cont, 0) > 0 AS INT) AS is_contaminated
        |FROM cnt c LEFT JOIN ov o ON c.doc_id = o.doc_id""".stripMargin
 
+  /** One text for BOTH kNN variants (broadcast and shuffled) — a single
+    * binding makes oracle divergence between the two plans impossible. */
+  private lazy val knnJoinSql =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |s AS (
+       |  SELECT q.query_id, e.vec_id, ${cosSql("v", "qv")} AS cos
+       |  FROM e, q WHERE e.vec_id != q.query_id),
+       |r AS (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM s)
+       |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 3""".stripMargin
+
   private val dedupExactSql =
     """WITH f AS (
       |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
@@ -851,30 +865,11 @@ object OracleOpsQueries {
          |SELECT vec_id, ${cosSql("v", "qv")} AS cos
          |FROM e, q WHERE vec_id != 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
-    "sim_knn_join" ->
-      s"""WITH $embCte,
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-         |s AS (
-         |  SELECT q.query_id, e.vec_id, ${cosSql("v", "qv")} AS cos
-         |  FROM e, q WHERE e.vec_id != q.query_id),
-         |r AS (
-         |  SELECT query_id, vec_id, cos,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-         |  FROM s)
-         |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 3""".stripMargin,
-    // the shuffled hatch answers the SAME question — one oracle text, two
-    // physical plans (broadcast vs bucket-replicated shuffle join)
-    "sim_knn_join_shuffled" ->
-      s"""WITH $embCte,
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-         |s AS (
-         |  SELECT q.query_id, e.vec_id, ${cosSql("v", "qv")} AS cos
-         |  FROM e, q WHERE e.vec_id != q.query_id),
-         |r AS (
-         |  SELECT query_id, vec_id, cos,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-         |  FROM s)
-         |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 3""".stripMargin,
+    "sim_knn_join" -> knnJoinSql,
+    // the shuffled hatch answers the SAME question — one shared oracle
+    // text (divergence impossible), two physical plans (broadcast vs
+    // bucket-replicated shuffle join), same pattern as dedup_exact_agg
+    "sim_knn_join_shuffled" -> knnJoinSql,
     "sim_lsh_topk" ->
       s"""WITH $bucketsCte,
          |qb AS (

@@ -115,6 +115,11 @@ object Similarity {
   def knnJoinShuffled(emb: DataFrame, id: String, vec: String,
                       queries: DataFrame, qid: String, qvec: String, k: Int,
                       buckets: Int = 32): DataFrame = {
+    // buckets <= 0 would not error: pmod(x, 0) is null ANSI-off and
+    // sequence(0, -1) counts DOWN, so the join would silently match
+    // nothing and return an empty result a caller cannot tell from an
+    // empty corpus
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val corpus = emb.select(col(id), asDouble(col(vec)).as("__v"))
       .withColumn("__nrm", norm(col("__v")))
       .withColumn("__bkt", pmod(hash(col(id)), lit(buckets)))

@@ -19,26 +19,33 @@ class AnsiSuiteSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("every oracle query returns identical rows under ANSI on and off") {
-    // row multiset keyed by rendered row — array columns render
-    // element-wise, and ANSI mode cannot change column TYPES (analysis is
-    // mode-independent), only runtime values/errors, which this catches
-    def rows(name: String): Map[String, Int] =
-      SparkEntry.queries(name)(spark, sf).collect()
-        .groupBy(_.toString).view.mapValues(_.length).toMap
+  test("every oracle query returns identical schema and rows under ANSI on and off") {
+    // schema compared FIRST and explicitly: ANSI mode swaps the analyzer's
+    // TypeCoercion ruleset for AnsiTypeCoercion, so a column's TYPE can
+    // drift between modes even when the rendered values agree ("1" vs 1 —
+    // exactly the int-vs-float class the driver's dtype-sensitive hash
+    // red-flags). Rows then compare as a rendered multiset (array columns
+    // render element-wise; no query returns raw binary).
+    def run(name: String): (String, Map[String, Int]) = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      (df.schema.catalogString,
+        df.collect().groupBy(_.toString).view.mapValues(_.length).toMap)
+    }
 
     val before = spark.conf.get("spark.sql.ansi.enabled")
     try {
       SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
         spark.conf.set("spark.sql.ansi.enabled", "false")
-        val loose = rows(name)
+        val (looseSchema, loose) = run(name)
         spark.conf.set("spark.sql.ansi.enabled", "true")
-        val ansi =
-          try rows(name)
+        val (ansiSchema, ansi) =
+          try run(name)
           catch {
             case e: Exception =>
               fail(s"$name threw under ANSI mode: ${e.getMessage}", e)
           }
+        assert(ansiSchema === looseSchema,
+          s"$name: schema drifts between ANSI on and off")
         assert(ansi === loose, s"$name: rows differ between ANSI on and off")
       }
     } finally spark.conf.set("spark.sql.ansi.enabled", before)

@@ -208,7 +208,9 @@ class StreamingSpec extends SparkSpec {
         ms.toDF.toDF("doc_id", "text", "event_time"), index, "text")
       .writeStream.format("memory").queryName("inc_dedup_oracle")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    // assert the return value: a timeout would otherwise read a
+    // partially-filled sink and fail with a confusing sets-differ diff
+    assert(q.awaitTermination(60000), "streaming query did not finish in 60s")
     val streamed = spark.sql("SELECT fp FROM inc_dedup_oracle")
       .as[String].collect().toSet
     val goldenJson = new String(

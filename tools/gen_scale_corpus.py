@@ -33,11 +33,10 @@ for k in range(COPIES):
         parts.append(f"SELECT doc_id, text, lang, source, n_chars FROM src")
     else:
         parts.append(
-            f"SELECT doc_id + {k * ROWS_PER_COPY} AS doc_id, "
-            f"regexp_replace(text, '(\\S+)', '\\1_c{k}', 'g') AS text, "
-            f"lang, source, "
-            f"CAST(len(regexp_replace(text, '(\\S+)', '\\1_c{k}', 'g')) AS BIGINT) AS n_chars "
-            f"FROM src")
+            f"SELECT doc_id + {k * ROWS_PER_COPY} AS doc_id, salted AS text, "
+            f"lang, source, CAST(len(salted) AS BIGINT) AS n_chars "
+            f"FROM (SELECT *, regexp_replace(text, '(\\S+)', '\\1_c{k}', 'g') AS salted "
+            f"      FROM src)")
 union = " UNION ALL ".join(parts)
 
 con = duckdb.connect()
