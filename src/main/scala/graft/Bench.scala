@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Pure per-query aggregation of repeated timed passes (spec'd in
+    * UnitsSpec): min over passes when EVERY pass succeeded, else the
+    * first failure marker — min-of-passes defuses additive load noise but
+    * must never launder an intermittent failure into a clean timing. */
+  def aggregatePasses(names: Seq[String],
+                      passes: Seq[Map[String, Double]]): Seq[(String, Double)] =
+    names.map { name =>
+      val ts = passes.map(_(name))
+      val oks = ts.filter(_ > 0)
+      name -> (if (oks.size == ts.size) oks.min else ts.filterNot(_ > 0).head)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -64,15 +76,7 @@ object Bench {
     // unloaded truth, and a second full pass already doubles bench
     // wall-clock.
     val passes = Seq(timedPass().toMap, timedPass().toMap)
-    val results = selected.map { case (name, _) =>
-      val ts = passes.map(_(name))
-      val oks = ts.filter(_ > 0)
-      // min only over an all-green query: a query that threw in ANY pass
-      // keeps a negative marker — load noise makes queries slow, never
-      // makes them throw, so min-of-passes must not launder an
-      // intermittent failure into a clean timing with failed=0
-      name -> (if (oks.size == ts.size) oks.min else ts.filterNot(_ > 0).head)
-    }
+    val results = aggregatePasses(selected.map(_._1), passes)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — a thrown query keeps its negative

@@ -90,4 +90,15 @@ class UnitsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Units.parseUnits("1.2.3.4X"))
     assertThrows[IllegalArgumentException](Units.parseTime("12 parsecs"))
   }
+
+  test("bench pass aggregation: min when all green, failure marker survives any red pass") {
+    val passes = Seq(
+      Map("a" -> 2.0, "b" -> -1.5, "c" -> 3.0, "d" -> -0.4),
+      Map("a" -> 1.2, "b" -> 1.0, "c" -> -0.7, "d" -> -0.6))
+    assert(Bench.aggregatePasses(Seq("a", "b", "c", "d"), passes) === Seq(
+      "a" -> 1.2,  // both green: min defuses the load-noise pass
+      "b" -> -1.5, // threw in pass 1: NOT laundered by the green pass 2
+      "c" -> -0.7, // threw in pass 2: same, marker from the failing pass
+      "d" -> -0.4))// threw in both: first marker
+  }
 }

@@ -13,14 +13,15 @@ that would make pair counts grow quadratically and fake a superlinear
 workload). Length distribution, language mix, and doc count all scale
 10x, which is what the five scale-critical ops key on.
 
-Usage: python3 tools/gen_scale_corpus.py [outdir]   (default /tmp/graft_sf1)
+Usage: python3 tools/gen_scale_corpus.py [outdir] [copies]
+       (defaults /tmp/graft_sf1, 10; copies=100 gives an sf10-equivalent)
 """
 import sys
 
 import duckdb
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 ROWS_PER_COPY = 5000
 
 out = (sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1") + "/documents.parquet"
