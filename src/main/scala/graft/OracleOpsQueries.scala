@@ -320,6 +320,17 @@ object OracleOpsQueries {
       broadcastEval = false)
   }
 
+  /** The Bloom-prefiltered variant — codegen'd probe culls the train
+    * shingle stream before the exact shuffled confirm — gated on the SAME
+    * oracle SQL: false positives are confirmed away, false negatives are
+    * impossible (probe replays the build's hash), so not a value moves. */
+  def dedupContaminationBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.ngramContaminationBloom(
+      docs.filter(col("doc_id") % 29 =!= 0),
+      docs.filter(col("doc_id") % 29 === 0), "doc_id", "text", n = 3)
+  }
+
   /** SemDeDup over the embeddings table with pinned centroids (vec_id < 8
     * as the 8 cluster centers — same oracle-mirroring trick as
     * sim_ivf_topk): a vector is a semantic duplicate if some smaller
@@ -459,6 +470,7 @@ object OracleOpsQueries {
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_contamination" -> (dedupContamination _),
     "dedup_contamination_shuffled" -> (dedupContaminationShuffled _),
+    "dedup_contamination_bloom" -> (dedupContaminationBloom _),
     "split_leakage" -> (splitLeakage _),
     "shingle_df_histogram" -> (shingleDfHistogram _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
@@ -1225,6 +1237,7 @@ object OracleOpsQueries {
          |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_contamination" -> contaminationSql,
     "dedup_contamination_shuffled" -> contaminationSql,
+    "dedup_contamination_bloom" -> contaminationSql,
     // bucketCap mirrors the Scala default (self-join cap semantics match
     // 1:1 here, unlike the per-side incremental case above)
     "dedup_cluster_sizes" ->

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A Bloom filter expressed entirely in Spark column algebra — build is a
+  * distributed bit-OR aggregation, membership is a codegen'd projection
+  * over two small array LITERALS (the bit words and a 64-entry power-of-two
+  * mask table), so probing never leaves whole-stage codegen and never
+  * serializes a UDF. (No reference counterpart — the reference has no
+  * sketch/probabilistic layer at all; design follows Bloom CACM'70 and the
+  * standard k = m/n·ln2 analysis.)
+  *
+  * Why not Spark's built-in `DataFrameStatFunctions.bloomFilter`: that
+  * returns a driver-side sketch whose probe requires a UDF (a codegen
+  * fence on the 100 TB scan), and its seeding is not expressible in DuckDB
+  * for oracle parity. Here both build and probe use the SAME
+  * `xxhash64(seed_i, h)` column expression, so a false NEGATIVE is
+  * impossible by construction — the probe replays exactly the hash the
+  * build inserted.
+  *
+  * 100 TB design: the filter is `m/64` longs regardless of input size —
+  * `bitsFor` gives ~16 bits/element (FPR ≈ 0.6% at k = 3), so even a
+  * 100 M-element benchmark-shingle set broadcasts as ~200 MB of longs
+  * where the raw distinct-hash set would be gigabytes; at the typical
+  * few-million-shingle eval suite it is a few MB. The build's collect is
+  * bounded by FILTER size (m/64 words after the bit_or aggregation), never
+  * by data size.
+  */
+object Bloom {
+
+  /** 64-entry mask table: masks(b) = 1L << b (index 63 = Long.MinValue).
+    * Bit tests go through `get(masksLit, b)` instead of a variable-shift,
+    * keeping the probe in the pure-functions DSL (Spark's `shiftleft`/
+    * `shiftright` DSL wrappers only take constant shift amounts). */
+  private val masks: Seq[Long] = (0 until 64).map(b => 1L << b)
+
+  /** Smallest power-of-two bit count giving ≥ `bitsPerElem` bits per
+    * element (power-of-two so `pmod` never biases the top bucket). */
+  def bitsLog2For(n: Long, bitsPerElem: Int = 16): Int = {
+    require(n >= 0, s"negative element count: $n")
+    val want = math.max(64L, n * bitsPerElem)
+    var b = 6
+    while ((1L << b) < want && b < 34) b += 1
+    b // capped at 2^34 bits = 2 GiB of longs — beyond that, shard the filter
+  }
+
+  /** The k probe positions for hash column `h`: pmod(xxhash64(i, h), m).
+    * Seeding by PREPENDING the probe index as a column makes the k hashes
+    * independent while staying a single codegen'd xxhash64 call each. */
+  private def positions(h: Column, bitsLog2: Int, k: Int): Seq[Column] = {
+    require(bitsLog2 >= 6 && bitsLog2 <= 34, s"bitsLog2 out of range: $bitsLog2")
+    require(k >= 1 && k <= 16, s"k out of range: $k")
+    val m = 1L << bitsLog2
+    (0 until k).map(i => pmod(xxhash64(lit(i), h), lit(m)))
+  }
+
+  /** Build the filter over the LONG hash column `hCol`: one explode of k
+    * positions per row, one bit_or aggregation keyed by word index, one
+    * collect of at most m/64 (word, bits) rows. Returns the dense word
+    * array (index = bit position / 64). */
+  def build(hashes: DataFrame, hCol: String, bitsLog2: Int, k: Int = 3): Array[Long] = {
+    val masksLit = typedlit(masks)
+    val words = hashes
+      .select(explode(array(positions(col(hCol), bitsLog2, k): _*)).as("p"))
+      .select(shiftright(col("p"), 6).as("w"),
+        get(masksLit, col("p").bitwiseAND(lit(63L)).cast("int")).as("bit"))
+      .groupBy(col("w")).agg(bit_or(col("bit")).as("bits"))
+      .collect()
+    val arr = new Array[Long](1 << (bitsLog2 - 6))
+    words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe for the LONG hash column `h` against a built filter:
+    * k word-lookup-AND-mask tests, all conjunctive, all codegen'd. False
+    * positives at the configured FPR; false negatives never (same
+    * positions expression as [[build]]). */
+  def mightContain(h: Column, words: Array[Long], bitsLog2: Int, k: Int = 3): Column = {
+    require(words.length == 1 << (bitsLog2 - 6),
+      s"filter has ${words.length} words, bitsLog2=$bitsLog2 needs ${1 << (bitsLog2 - 6)}")
+    val wordsLit = typedlit(words.toSeq)
+    val masksLit = typedlit(masks)
+    positions(h, bitsLog2, k).map { p =>
+      get(wordsLit, shiftright(p, 6).cast("int"))
+        .bitwiseAND(get(masksLit, p.bitwiseAND(lit(63L)).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+}

@@ -195,6 +195,15 @@ object Dedup {
     // one row per (id, shingle) and the count below is the overlap size
     val overlap = trainSh.join(evalSh, Seq("h"), "left_semi")
       .groupBy(col(id)).agg(count(lit(1)).as("n_contaminated"))
+    contaminationFlags(trainSh, id, overlap)
+  }
+
+  /** Shared output shape of the contamination family: per-doc totals from
+    * the UNFILTERED train shingles left-joined with the overlap counts, so
+    * every variant reports identical (n_sh, n_contaminated, frac, flag)
+    * rows whenever its overlap set is exact. */
+  private def contaminationFlags(trainSh: DataFrame, id: String,
+                                 overlap: DataFrame): DataFrame =
     trainSh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
       .join(overlap, Seq(id), "left")
       .select(col(id), col("n_sh"),
@@ -203,6 +212,34 @@ object Dedup {
           col("n_sh").cast("double")).as("contaminated_frac"),
         (coalesce(col("n_contaminated"), lit(0L)) > 0L).cast("int")
           .as("is_contaminated"))
+
+  /** [[ngramContamination]] with a Bloom PREFILTER on the train shingle
+    * stream, for eval corpora too big to broadcast raw: the eval shingle
+    * set is summarized as a [[Bloom]] bit array (~2 bytes/shingle instead
+    * of 8+ for the exact hash set), the train side keeps only shingles the
+    * filter might contain, and the surviving sliver is confirmed by the
+    * exact SHUFFLED semi join — so Bloom false positives are eliminated
+    * and the output is bit-identical to [[ngramContamination]] (gated on
+    * the same oracle SQL).
+    *
+    * 100 TB shape: the only full-train-side work is the codegen'd probe in
+    * the scan projection; the exact confirm join shuffles just the probe
+    * survivors (≈ true overlap + 0.6% FPR of train shingles), where the
+    * `broadcastEval = false` escape hatch of [[ngramContamination]] would
+    * shuffle EVERY train shingle. The filter build costs one pass over the
+    * (small-by-assumption-relative-to-train) eval side plus a collect
+    * bounded by filter size, not eval size. */
+  def ngramContaminationBloom(train: DataFrame, eval: DataFrame, id: String,
+                              text: String, n: Int,
+                              bitsPerElem: Int = 16, k: Int = 3): DataFrame = {
+    val trainSh = hashedShingles(train, id, text, n)
+    val evalSh = hashedShingles(eval, id, text, n).select(col("h")).distinct()
+    val bitsLog2 = Bloom.bitsLog2For(evalSh.count(), bitsPerElem)
+    val words = Bloom.build(evalSh, "h", bitsLog2, k)
+    val candidates = trainSh.filter(Bloom.mightContain(col("h"), words, bitsLog2, k))
+    val overlap = candidates.join(evalSh, Seq("h"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_contaminated"))
+    contaminationFlags(trainSh, id, overlap)
   }
 
   /** Paragraph-level exact dedup with in-place cleaning (the C4/Dolma

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Bloom, Dedup}
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom filter: zero false negatives, FPR within bound, sizing sane") {
+    val n = 2000
+    val inserted = (0 until n).map(i => i.toLong * 2654435761L + 17L)
+    val df = inserted.toDF("h")
+    val bitsLog2 = Bloom.bitsLog2For(n.toLong)
+    assert((1L << bitsLog2) >= n * 16L && (1L << bitsLog2) < n * 64L)
+    val words = Bloom.build(df, "h", bitsLog2)
+
+    // every inserted hash must probe true — a single false negative breaks
+    // the exactness argument of the contamination variant
+    val misses = df.filter(!Bloom.mightContain(col("h"), words, bitsLog2)).count()
+    assert(misses === 0L)
+
+    // fresh values (disjoint generator line) should pass at ~the configured
+    // FPR (~0.6% at 16 bits/elem, k=3); 5% is a generous flake-proof bound
+    val fresh = (0 until 20000).map(i => i.toLong * 7046029254386353L + 999983L)
+      .toDF("h")
+    val fp = fresh.filter(Bloom.mightContain(col("h"), words, bitsLog2)).count()
+    assert(fp < 1000L, s"false-positive rate too high: $fp / 20000")
+  }
+
+  test("bloom probe is a codegen'd scan-side filter (no UDF, no extra exchange)") {
+    // spark.range (a real scan) — a LocalRelation would be pre-evaluated by
+    // the optimizer and leave no Filter in the physical plan to inspect
+    val df = spark.range(100).select(col("id").as("h"))
+    val words = Bloom.build(df.limit(10), "h", 10)
+    val probed = df.filter(Bloom.mightContain(col("h"), words, 10))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), "probe should be inlined column algebra:\n" + plan)
+    assert(!plan.contains("Exchange"), "probe must not add an exchange:\n" + plan)
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"),
+      "probe must not be a UDF:\n" + plan)
+  }
+
+  test("bloom-prefiltered contamination is bit-identical to the exact path") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.filter(col("doc_id") % 29 =!= 0)
+    val eval = docs.filter(col("doc_id") % 29 === 0)
+    val exact = Dedup.ngramContamination(train, eval, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Dedup.ngramContaminationBloom(train, eval, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom === exact)
+    assert(exact.exists(_.getInt(4) == 1) && exact.exists(_.getInt(4) == 0),
+      "fixture should exercise both flag values")
+  }
+}
