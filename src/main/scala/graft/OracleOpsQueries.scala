@@ -212,6 +212,17 @@ object OracleOpsQueries {
   def dedupParagraph(s: SparkSession, d: String): DataFrame =
     Dedup.paragraphDedup(Tables.documents(s, d), "doc_id", "text")
 
+  /** Keep-best selection over the same minhash component labeling as
+    * dedup_components: the keeper is the highest-quality doc per cluster
+    * (min id on ties), the production policy min-id dedup approximates. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").select("id1", "id2")
+    val comps = Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+    val quality = qualityColumns(col("text")).toMap.apply("quality")
+    Dedup.keepBest(docs, "doc_id", comps, quality)
+  }
+
   /** Incremental exact dedup — the daily-increment ingest decision. The
     * batch is a planted re-crawl (the synthetic corpus has no natural
     * cross-batch duplicates): every 7th doc re-ingested verbatim under a
@@ -468,6 +479,7 @@ object OracleOpsQueries {
     "dedup_components" -> (dedupComponents _),
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_paragraph" -> (dedupParagraph _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_contamination" -> (dedupContamination _),
     "dedup_contamination_shuffled" -> (dedupContaminationShuffled _),
     "dedup_contamination_bloom" -> (dedupContaminationBloom _),
@@ -1183,6 +1195,42 @@ object OracleOpsQueries {
          |  UNION
          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin,
+    // keep-best: same labeling CTE as dedup_components, keeper = argmax
+    // (score, -doc_id) via a row_number window — double comparisons are
+    // safe across engines because the score doubles themselves are
+    // hash-gated bit-identical by text_quality
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |mh AS (
+         |  SELECT m.id1, m.id2
+         |  FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
+         |  WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM mh
+         |  UNION ALL
+         |  SELECT id2, id1 FROM mh),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+         |ql AS (
+         |  SELECT doc_id,
+         |    (least(CAST(len(t) AS DOUBLE) / 64.0, 1.0)
+         |     + least((CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS DOUBLE)
+         |              / CAST(greatest(len(t), 1) AS DOUBLE)) * 4.0, 1.0)
+         |     + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS DOUBLE)
+         |                     / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0, 1.0))) / 3.0 AS score
+         |  FROM toks),
+         |sc AS (SELECT l.doc_id, l.component, q.score FROM lbl l JOIN ql q USING (doc_id)),
+         |best AS (
+         |  SELECT component, doc_id AS keep_id FROM (
+         |    SELECT component, doc_id,
+         |      row_number() OVER (PARTITION BY component ORDER BY score DESC, doc_id ASC) AS rn
+         |    FROM sc) WHERE rn = 1)
+         |SELECT s.doc_id, s.component, s.score, b.keep_id,
+         |  CAST(s.doc_id = b.keep_id AS INT) AS is_kept
+         |FROM sc s JOIN best b USING (component)""".stripMargin,
     "dedup_paragraph" ->
       """WITH px AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\.\s+') AS ps FROM documents),

@@ -590,6 +590,30 @@ object Dedup {
         coalesce(col("comp"), col(idCol).cast("long")).as("component"))
   }
 
+  /** Near-dup SELECTION policy over a component labeling: keep the single
+    * best-scoring document per component (ties broken to the smallest id,
+    * so the min-id policy is the score≡constant special case). Production
+    * dedup keeps the highest-QUALITY copy, not the first-crawled one —
+    * min-id keeps whichever mirror happened to be ingested first.
+    * Output: one row per labeled doc with (id, component, score, keep_id,
+    * is_kept); filter `is_kept = 1` for the surviving corpus.
+    *
+    * Shape: one join of the score projection with the labeling, then ONE
+    * unordered window over the component — the argmax is a max over
+    * (score, −id) structs, so there is no per-partition sort and the
+    * shuffle key is the component (already the labeling's key, so under
+    * AQE the exchange is typically reused). */
+  def keepBest(docs: DataFrame, id: String, components: DataFrame,
+               score: Column): DataFrame = {
+    val scored = docs.select(col(id), score.as("score")).join(components, Seq(id))
+    val w = Window.partitionBy(col("component"))
+    val best = max(struct(col("score"), (-col(id)).as("tie"), col(id).as("bid"))).over(w)
+    scored
+      .withColumn("keep_id", best.getField("bid"))
+      .select(col(id), col("component"), col("score"), col("keep_id"),
+        (col(id) === col("keep_id")).cast("int").as("is_kept"))
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the high-diameter companion to

@@ -971,6 +971,22 @@ class OpsSpec extends SparkSpec {
     assert(out.exists(_._3 == 1), "expected at least one semantic dup")
   }
 
+  test("keepBest keeps the argmax-score doc per component, min id on ties") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9),  // component 1: 2 and 3 tie → keep 2
+      (4L, 0.5),                        // singleton: keeps itself
+      (5L, 0.1), (6L, 0.8)              // component 5: keep 6 (beats min id)
+    ).toDF("doc_id", "q")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "component")
+    val out = Dedup.keepBest(docs, "doc_id", comps, col("q"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getInt(4)))).toMap
+    assert(out === Map(
+      1L -> ((2L, 0)), 2L -> ((2L, 1)), 3L -> ((2L, 0)),
+      4L -> ((4L, 1)),
+      5L -> ((6L, 0)), 6L -> ((6L, 1))))
+  }
+
   test("hash60 matches between driver-side and Catalyst implementations") {
     val fromCol = Seq("abc", "plane_3_5").toDF("s")
       .select(TextAnalysis.hash60(col("s"))).as[Long].collect().toSeq
