@@ -67,6 +67,15 @@ object OracleOpsQueries {
     * doc (df = 1) and a `pt<k>` token shared by consecutive 17th-doc
     * pairs (df = 2) — both rare branches and the df = 2 vs df = 1
     * distinction actually fire. */
+  /** minDf = 4 keeps the gate non-vacuous at sf0.01 (615 hot shingles;
+    * max df there is 7) — production runs pass a df in the thousands. */
+  def textBoilerplateNgrams(s: SparkSession, d: String): DataFrame =
+    Dedup.boilerplateShingles(Tables.documents(s, d), "doc_id", "text",
+      n = 3, minDf = 4L)
+
+  def textQualityHistogram(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityHistogram(Tables.documents(s, d), "text")
+
   def textRareTokens(s: SparkSession, d: String): DataFrame = {
     val planted = concat(col("text"),
       when(col("doc_id") % 13 === 0,
@@ -211,6 +220,9 @@ object OracleOpsQueries {
 
   def dedupParagraph(s: SparkSession, d: String): DataFrame =
     Dedup.paragraphDedup(Tables.documents(s, d), "doc_id", "text")
+
+  def dedupParagraphInDoc(s: SparkSession, d: String): DataFrame =
+    Dedup.paragraphDedupInDoc(Tables.documents(s, d), "doc_id", "text")
 
   /** Keep-best selection over the same minhash component labeling as
     * dedup_components: the keeper is the highest-quality doc per cluster
@@ -464,6 +476,8 @@ object OracleOpsQueries {
     "text_redact" -> (textRedact _),
     "text_repetition" -> (textRepetition _),
     "text_rare_tokens" -> (textRareTokens _),
+    "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
+    "text_quality_histogram" -> (textQualityHistogram _),
     "text_repetition_scan" -> ((s: SparkSession, d: String) =>
       TextAnalysis.repetitionSignalsScanSide(Tables.documents(s, d), "doc_id", "text")),
     "text_c4" -> (textC4 _),
@@ -479,6 +493,7 @@ object OracleOpsQueries {
     "dedup_components" -> (dedupComponents _),
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_paragraph" -> (dedupParagraph _),
+    "dedup_paragraph_indoc" -> (dedupParagraphInDoc _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_contamination" -> (dedupContamination _),
     "dedup_contamination_shuffled" -> (dedupContaminationShuffled _),
@@ -1033,6 +1048,29 @@ object OracleOpsQueries {
         |FROM m""".stripMargin,
     "text_repetition" -> repetitionSql,
     "text_repetition_scan" -> repetitionSql,
+    "text_boilerplate_ngrams" ->
+      s"""WITH $shinglesCte
+         |SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |FROM sh GROUP BY shingle HAVING count(*) >= 4""".stripMargin,
+    // cumulative SUM over BIGINT is HUGEINT in DuckDB → cast back (the
+    // dtype-strict gate treats int64 vs float64/object as a mismatch)
+    "text_quality_histogram" ->
+      s"""WITH $toksCte,
+         |ql AS (
+         |  SELECT doc_id,
+         |    (least(CAST(len(t) AS DOUBLE) / 64.0, 1.0)
+         |     + least((CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS DOUBLE)
+         |              / CAST(greatest(len(t), 1) AS DOUBLE)) * 4.0, 1.0)
+         |     + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS DOUBLE)
+         |                     / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0, 1.0))) / 3.0 AS quality
+         |  FROM toks),
+         |b AS (
+         |  SELECT CAST(floor(quality * 20.0) AS BIGINT) AS bucket, count(*) AS n_docs
+         |  FROM ql GROUP BY 1)
+         |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_docs) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs
+         |FROM b""".stripMargin,
     "text_rare_tokens" ->
       s"""WITH pl AS (
          |  SELECT doc_id,
@@ -1252,6 +1290,21 @@ object OracleOpsQueries {
         |  COALESCE(string_agg(para, '. ' ORDER BY pos) FILTER (WHERE rn = 1), '')
         |    AS clean_text
         |FROM f GROUP BY doc_id""".stripMargin,
+    // in-doc variant: first-occurrence-index equality over the trimmed
+    // paragraph list (1-based in DuckDB, 0-based+1 in Spark)
+    "dedup_paragraph_indoc" ->
+      """WITH px AS (
+        |  SELECT doc_id, list_filter(
+        |    list_transform(regexp_split_to_array(text, '\.\s+'), p -> trim(p)),
+        |    p -> len(p) > 0) AS ps
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ps) AS BIGINT) AS n_paras,
+        |  CAST(len(list_filter(ps, (p, i) -> list_position(ps, p) = i)) AS BIGINT)
+        |    AS n_kept,
+        |  array_to_string(list_filter(ps, (p, i) -> list_position(ps, p) = i), '. ')
+        |    AS clean_text
+        |FROM px""".stripMargin,
     "dedup_incremental_exact" ->
       """WITH batch AS (
         |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0

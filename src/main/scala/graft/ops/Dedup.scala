@@ -94,6 +94,20 @@ object Dedup {
       .select(col(id), explode(array_distinct(sh)).as("shingle"))
   }
 
+  /** Corpus-wide boilerplate shingle mining: the distinct-per-doc n-gram
+    * shingles whose document frequency is ≥ `minDf` — the actual STRINGS
+    * (unlike [[hashedShingles]]' longs), because the point is a human- or
+    * rule-readable boilerplate list (navigation bars, cookie banners,
+    * license headers) to feed removal rules and to choose
+    * [[DefaultMaxShingleDocFreq]] with evidence. One hash shuffle with
+    * map-side partial counts; the df ≥ minDf filter bounds the result to
+    * the hot tail, so the output is small regardless of corpus size. */
+  def boilerplateShingles(df: DataFrame, id: String, text: String, n: Int,
+                          minDf: Long): DataFrame =
+    shingles(df, id, text, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
   /** Distinct shingles hashed to 60-bit longs: (id, h). All downstream
     * joins/groupBys key on the 8-byte long, not the shingle string — at
     * 100 TB that shrinks the candidate-join shuffle by the full shingle
@@ -269,6 +283,29 @@ object Dedup {
           ". ").as("clean_text"))
       .select(col(id), col("n_paras"), col("n_kept"),
         length(col("clean_text")).cast("long").as("clean_len"), col("clean_text"))
+  }
+
+  /** WITHIN-document paragraph dedup (repetition removal): drop repeated
+    * paragraphs inside each doc, keep first-occurrence order, reconstruct
+    * the text. The in-doc complement of [[paragraphDedup]] (which dedups
+    * across the corpus): boilerplate pages repeat their own navigation/
+    * footer blocks, and this pass removes those without any cross-doc
+    * state — pure scan-side column algebra, ZERO shuffles, so at 100 TB it
+    * costs one projection. The kept-set test is first-occurrence-index
+    * equality (`array_position(ps, p) = i+1`), O(paras²) per doc — paras
+    * is bounded by doc length, and one in-memory array pass per row beats
+    * any explode + window formulation (which would shuffle every
+    * paragraph). Paragraphs are trim-normalized before comparison. */
+  def paragraphDedupInDoc(df: DataFrame, id: String, text: String): DataFrame = {
+    // materialize the array once — inlining the split into the lambdas
+    // would re-evaluate it per element (measured 3-4x loss elsewhere)
+    val withParas = df.withColumn("ps",
+      filter(transform(split(col(text), "\\.\\s+"), p => trim(p)), p => length(p) > 0))
+    val kept = filter(col("ps"), (p, i) => array_position(col("ps"), p) === i + 1)
+    withParas.select(col(id),
+      size(col("ps")).cast("long").as("n_paras"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, ". ").as("clean_text"))
   }
 
   /** Exact substring-span dedup signals (the Lee et al., "Deduplicating

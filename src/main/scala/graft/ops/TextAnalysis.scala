@@ -346,6 +346,25 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("mean_token_df"))
   }
 
+  /** Quality-score distribution: per 0.05-wide score bucket, doc counts
+    * plus a running cumulative — the evidence query for CHOOSING a quality
+    * threshold (what fraction of the corpus does `quality >= t` keep?),
+    * the same role [[graft.OracleOpsQueries.shingleDfHistogram]] plays for
+    * the shingle-df cap. Bucketing is floor(q·20) on the bit-identical
+    * quality doubles, so both engines agree at bucket boundaries. One
+    * map-side-combined aggregation down to ≤ 21 rows; the cumulative
+    * window sorts only those 21 rows (a deliberate single-partition sort
+    * of a constant-size result, not a data-scale one). */
+  def qualityHistogram(df: DataFrame, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityColumns(col(text)).toMap.apply("quality")
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(floor(q * lit(20.0)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercased,
     * whitespace collapsed) + its 60-bit long form. */
   def normalized(text: Column): Column =

@@ -987,6 +987,41 @@ class OpsSpec extends SparkSpec {
       5L -> ((6L, 0)), 6L -> ((6L, 1))))
   }
 
+  test("in-doc paragraph dedup removes repeats, keeps first-occurrence order, no shuffle") {
+    val docs = Seq(
+      (1L, "a b. c d. a b. e f"),   // repeat of "a b" dropped
+      (2L, "x y.  x y . x y"),      // trim-normalized repeats collapse to one
+      (3L, "only one para"),
+      (4L, "")                      // no paragraphs at all — row kept, empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupInDoc(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((4L, 3L, "a b. c d. e f")))
+    assert(out(2L) === ((3L, 1L, "x y")))
+    assert(out(3L) === ((1L, 1L, "only one para")))
+    assert(out(4L) === ((0L, 0L, "")))
+    val plan = Dedup.paragraphDedupInDoc(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "in-doc dedup must be scan-side:\n" + plan)
+  }
+
+  test("boilerplate shingles and quality histogram: invariants and plan shape") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bp = Dedup.boilerplateShingles(docs, "doc_id", "text", n = 3, minDf = 2L)
+    assert(bp.agg(min(col("df"))).first().getLong(0) >= 2L)
+    // distinct-per-doc semantics: df can never exceed the doc count
+    assert(bp.agg(max(col("df"))).first().getLong(0) <= docs.count())
+    val hist = TextAnalysis.qualityHistogram(docs, "text").orderBy("bucket").collect()
+    assert(hist.map(_.getLong(1)).sum === docs.count())
+    assert(hist.last.getLong(2) === docs.count(), "cumulative must end at total")
+    assert(hist.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 20L))
+    // one aggregation exchange each; histogram's window sorts ≤21 rows AFTER
+    // the aggregation, so the scan-side cost is a single shuffle
+    val bpPlan = bp.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(bpPlan).length == 1, bpPlan)
+  }
+
   test("hash60 matches between driver-side and Catalyst implementations") {
     val fromCol = Seq("abc", "plane_3_5").toDF("s")
       .select(TextAnalysis.hash60(col("s"))).as[Long].collect().toSeq
