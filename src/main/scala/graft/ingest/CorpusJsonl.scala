@@ -1,0 +1,55 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL corpus reader — the interchange format raw web-scrape corpora
+  * actually arrive in (one JSON object per line, schema-on-read). The
+  * parquet `documents` table is the EFFICIENT layout; this is the ingest
+  * edge that produces it.
+  *
+  * 100 TB design:
+  *  - the schema is EXPLICIT — schema inference would cost a full extra
+  *    pass over the corpus before the first real job, and a skewed sample
+  *    could silently widen/narrow a column mid-pipeline;
+  *  - line-delimited JSON is splittable, so a 100 TB directory parallelizes
+  *    by file block exactly like text ingest (no multiline mode, which
+  *    forces whole-file tasks);
+  *  - PERMISSIVE parsing with a corrupt-record column: a malformed line
+  *    becomes a quarantine row instead of failing the stage (FAILFAST) or
+  *    vanishing (DROPMALFORMED — silent data loss at scale is how corpus
+  *    bugs ship). Callers get (clean, quarantine) and decide the
+  *    drop/alert policy; counts stay auditable.
+  */
+object CorpusJsonl {
+
+  private val Corrupt = "_corrupt_record"
+
+  /** documents-table schema + the corrupt-record capture column. */
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField(Corrupt, StringType)))
+
+  /** Read a JSONL path into (clean, quarantine): clean rows parsed fully
+    * with a present doc_id (the primary key every downstream op joins on);
+    * quarantine rows carry the raw offending line for audit/repair. The
+    * two frames share one scan subtree — Spark caches the parsed batch, so
+    * materializing both costs one read. */
+  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Corrupt)
+      .json(path)
+    val clean = raw.filter(col(Corrupt).isNull && col("doc_id").isNotNull)
+      .drop(Corrupt)
+    val quarantine = raw.filter(col(Corrupt).isNotNull || col("doc_id").isNull)
+      .select(col(Corrupt).as("raw_line"), col("doc_id"))
+    (clean, quarantine)
+  }
+}

@@ -7,6 +7,7 @@ import java.nio.file.Files
   * the interchange formats a training-data pipeline meets at its edges.
   */
 class SourcesSpec extends SparkSpec {
+  import spark.implicits._
 
   test("CSV and JSON sinks round-trip the documents table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -44,6 +45,50 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema.map(f => (f.name, f.dataType.sql)) ===
       t.schema.map(f => (f.name, f.dataType.sql)))
     assert(back.count() === t.count())
+  }
+
+  test("CorpusJsonl quarantines malformed and key-less lines, keeps clean rows") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    Files.write(java.nio.file.Paths.get(dir, "part0.jsonl"), Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0", "n_chars": 11}""",
+      """{"doc_id": 2, "text": "ok", "lang": "de", "source": "s1", "n_chars": 2}""",
+      """{"doc_id": 3, "text": "truncated json...""",           // malformed
+      """{"text": "no primary key", "lang": "en"}"""            // parses, no doc_id
+    ).mkString("\n").getBytes("UTF-8"))
+    val (clean, quarantine) = graft.ingest.CorpusJsonl.read(spark, dir)
+    assert(clean.select("doc_id").as[Long].collect().sorted === Array(1L, 2L))
+    assert(!clean.columns.contains("_corrupt_record"))
+    val q = quarantine.collect()
+    assert(q.length === 2)
+    // the malformed line's raw text is preserved for audit
+    assert(q.exists(r => Option(r.getString(0)).exists(_.contains("truncated json"))))
+    // total is auditable: clean + quarantine = input lines
+    assert(clean.count() + quarantine.count() === 4L)
+  }
+
+  test("scan-side cleaning ops run unchanged on a file STREAM (batch ≡ streaming)") {
+    import org.apache.spark.sql.functions.col
+    // the stateless prefix of the corpus pipeline (in-doc paragraph dedup +
+    // quality columns) must be streaming-composable: pure projections, no
+    // accidental window/sort that would make readStream reject the plan
+    // stage into a directory — the file-stream source rejects a bare file
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(src, "documents.parquet"))
+    val docs = spark.read.parquet(src)
+    def cleanOps(df: org.apache.spark.sql.DataFrame) = {
+      val q = graft.ops.TextAnalysis.qualityColumns(col("text")).toMap.apply("quality")
+      graft.ops.Dedup.paragraphDedupInDoc(df.withColumn("quality", q), "doc_id", "text")
+    }
+    val batch = cleanOps(docs).collect().map(_.toSeq).toSet
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val qy = cleanOps(stream).writeStream.format("memory")
+      .queryName("clean_stream").start()
+    try {
+      qy.processAllAvailable()
+      val streamed = spark.table("clean_stream").collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally qy.stop()
   }
 
   /** A small operators table (nested maps/arrays) from the shared profile
