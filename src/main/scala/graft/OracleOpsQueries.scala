@@ -87,6 +87,21 @@ object OracleOpsQueries {
       "doc_id", "text")
   }
 
+  /** Bigram-LM quality score, self-scoring regime (LM trained on the
+    * whole corpus). All fixed-point integer arithmetic → exact oracle. */
+  def textLmBigram(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmBigramScore(Tables.documents(s, d), "doc_id", "text")
+
+  /** Bigram-LM score, cross-scoring regime — the actual CCNet setup:
+    * LM trained on a reference slice (here `lang = 'en'`, 218 of 500 docs
+    * at sf0.01), every doc scored against it. Non-English docs surface
+    * real OOV bigrams, so the OOV branch of the op is gate-covered. */
+  def textLmBigramCross(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.lmBigramScore(docs, "doc_id", "text",
+      train = Some(docs.filter(col("lang") === "en")))
+  }
+
   /** C4 cleaning-rule signals. Like `text_redact`, the boilerplate flags
     * and the short-unit rule would be vacuous on the synthetic corpus (no
     * "lorem ipsum"/braces, no short sentences), so the gate plants
@@ -476,6 +491,8 @@ object OracleOpsQueries {
     "text_redact" -> (textRedact _),
     "text_repetition" -> (textRepetition _),
     "text_rare_tokens" -> (textRareTokens _),
+    "text_lm_bigram" -> (textLmBigram _),
+    "text_lm_bigram_cross" -> (textLmBigramCross _),
     "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
     "text_quality_histogram" -> (textQualityHistogram _),
     "text_repetition_scan" -> ((s: SparkSession, d: String) =>
@@ -520,6 +537,44 @@ object OracleOpsQueries {
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
        |  FROM $rel)""".stripMargin
   private val toksCte = toksCteFrom("documents")
+
+  /** DuckDB mirror of [[TextAnalysis.lmBigramScore]] at scale = 10⁴.
+    * `trainJoin` restricts which docs' bigram occurrences train the LM
+    * ("" = self-scoring on the whole corpus). w1 is recovered from the
+    * bigram string by split_part — safe because tokens can't contain
+    * whitespace. All arithmetic is BIGINT (// is DuckDB integral
+    * division; SUMs re-cast from HUGEINT) so the hash is dtype-exact. */
+  private def lmBigramSql(trainJoin: String): String =
+    s"""WITH $toksCte,
+       |bgl AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= 2
+       |    THEN list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+       |    ELSE [] END AS l
+       |  FROM toks),
+       |bg AS (SELECT doc_id, unnest(l) AS s FROM bgl),
+       |bgh AS (SELECT doc_id, ${h60("split_part(s, ' ', 1)")} AS h1,
+       |               ${h60("s")} AS h12 FROM bg),
+       |tr AS (SELECT bgh.doc_id, h1, h12 FROM bgh $trainJoin),
+       |cb AS (SELECT h12, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY h12),
+       |cp AS (SELECT h1, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY h1),
+       |agg AS (
+       |  SELECT b.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN cb.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_bigrams,
+       |    CAST(SUM(COALESCE((cb.c12 * 10000) // cp.c1, 0)) AS BIGINT) AS sum_score
+       |  FROM bgh b LEFT JOIN cb USING (h12) LEFT JOIN cp USING (h1)
+       |  GROUP BY b.doc_id)
+       |SELECT docs.doc_id,
+       |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(agg.n_oov_bigrams, 0) AS n_oov_bigrams,
+       |  CASE WHEN COALESCE(agg.n_bigrams, 0) > 0
+       |    THEN CAST(agg.n_oov_bigrams AS DOUBLE) / CAST(agg.n_bigrams AS DOUBLE)
+       |    ELSE 0.0 END AS oov_frac,
+       |  COALESCE(agg.sum_score, 0) AS sum_score,
+       |  CASE WHEN COALESCE(agg.n_bigrams, 0) > 0
+       |    THEN CAST(agg.sum_score AS DOUBLE) / CAST(agg.n_bigrams AS DOUBLE)
+       |    ELSE 0.0 END AS lm_score
+       |FROM documents docs LEFT JOIN agg USING (doc_id)""".stripMargin
 
   private def shinglesCteFrom(rel: String): String =
     s"""${toksCteFrom(rel)},
@@ -1104,6 +1159,9 @@ object OracleOpsQueries {
          |    THEN CAST(COALESCE(agg.sum_df, 0) AS DOUBLE) / CAST(base.n_tokens AS DOUBLE)
          |    ELSE 0.0 END AS mean_token_df
          |FROM base LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "text_lm_bigram" -> lmBigramSql(trainJoin = ""),
+    "text_lm_bigram_cross" ->
+      lmBigramSql(trainJoin = "JOIN documents d USING (doc_id) WHERE d.lang = 'en'"),
     "dataset_split" ->
       s"""WITH b AS (
          |  SELECT doc_id,

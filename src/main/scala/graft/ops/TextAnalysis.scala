@@ -371,4 +371,83 @@ object TextAnalysis {
     regexp_replace(trim(lower(text)), "\\s+", " ")
   def fingerprint(text: Column): Column = md5(normalized(text))
   def fingerprint60(text: Column): Column = hash60(normalized(text))
+
+  /** Per-occurrence bigram extraction: (id, h1 = hash of the first word,
+    * h12 = hash of the bigram), one row per bigram POSITION (not
+    * distinct — a language model counts occurrences). Tokens are
+    * materialized into their own projection first, same reason as
+    * [[Dedup.shingles]] (inlining the split into the lambda re-runs it
+    * per element_at). Strings leave the plan at the scan: only the two
+    * 60-bit hashes ship through the downstream shuffles. */
+  private[ops] def bigramOccurrences(df: DataFrame, id: String,
+                                     text: String): DataFrame = {
+    val t = col("__tokens")
+    val bgs = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        struct(element_at(t, i).as("w1"),
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("bg")))
+    ).otherwise(array())
+    df.select(col(id), tokens(col(text)).as("__tokens"))
+      .select(col(id), explode(bgs).as("b"))
+      .select(col(id), hash60(col("b.w1")).as("h1"), hash60(col("b.bg")).as("h12"))
+  }
+
+  /** Bigram language-model quality score — the CCNet "perplexity filter"
+    * shape without the float hazard: score each document by the average
+    * conditional probability of its bigrams under a count-based LM
+    * trained on `train` (default: the corpus itself, the self-scoring
+    * regime; pass a clean reference slice for the real CCNet setup).
+    *
+    * P(w2|w1) is kept in exact FIXED-POINT integer arithmetic:
+    * floor(c12 · scale / c1) per occurrence, summed per document —
+    * libm `ln` and JVM `Math.log` differ in final ULPs, so a log-space
+    * perplexity would never hash-match a cross-engine oracle (same
+    * reasoning as [[corpusFrequencySignals]]); the fixed-point mean
+    * conditional probability is a monotone-equivalent ranking signal for
+    * a filter threshold, which is the only thing the filter consumes.
+    * A bigram absent from the train LM (impossible when self-scoring,
+    * expected when cross-scoring) contributes 0 and is counted in
+    * `n_oov_bigrams` — the add-zero analogue of infinite perplexity.
+    *
+    * Returns (id, n_bigrams, n_oov_bigrams, oov_frac, sum_score,
+    * lm_score) with lm_score = sum_score/n_bigrams in [0, scale].
+    *
+    * Shape at scale: one scan-side bigram explode per side, two
+    * map-side-combined count aggregations build the LM (c12 by bigram
+    * hash, c1 by prefix hash — hot function words absorb map-side), two
+    * hash joins score occurrences (only 60-bit longs shuffle, never
+    * strings), one groupBy(doc) re-aggregates. No UDFs, no windows, no
+    * driver state; the LM stays distributed (never collected), so a
+    * 100 TB train corpus works. Overflow bound: c12 · scale must fit in
+    * Int64 — at the default scale 10⁴ that allows ~9·10¹⁴ occurrences of
+    * ONE bigram, comfortably past a 100 TB corpus (~2·10¹³ tokens). */
+  def lmBigramScore(df: DataFrame, id: String, text: String,
+                    train: Option[DataFrame] = None,
+                    scale: Long = 10000L): DataFrame = {
+    val docBg = bigramOccurrences(df, id, text)
+    val trainBg = train.map(bigramOccurrences(_, id, text)).getOrElse(docBg)
+    val c12 = trainBg.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
+    val c1 = trainBg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val scored = docBg
+      .join(c12, Seq("h12"), "left")
+      .join(c1, Seq("h1"), "left")
+      .select(col(id),
+        coalesce(expr(s"(c12 * ${scale}L) div c1"), lit(0L)).as("score"),
+        col("c12").isNull.cast("long").as("oov"))
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("n_oov_bigrams"),
+        sum(col("score")).as("sum_score"))
+    df.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov_bigrams"), lit(0L)).as("n_oov_bigrams"),
+        when(col("n_bigrams") > 0,
+          col("n_oov_bigrams").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(0.0).as("oov_frac"),
+        coalesce(col("sum_score"), lit(0L)).as("sum_score"),
+        when(col("n_bigrams") > 0,
+          col("sum_score").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(0.0).as("lm_score"))
+  }
 }

@@ -1022,6 +1022,33 @@ class OpsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(bpPlan).length == 1, bpPlan)
   }
 
+  test("lmBigramScore: fixed-point bigram LM, self- and cross-scoring") {
+    val df = Seq(
+      (1L, "a b a b"), // bigrams (a b),(b a),(a b)
+      (2L, "a b c"),   // bigrams (a b),(b c)
+      (3L, "x"),       // < 2 tokens → no bigrams, still reported
+      (4L, "")
+    ).toDF("doc_id", "text")
+    // self-scoring: c12 = {(a b):3,(b a):1,(b c):1}, c1 = {a:3, b:2}
+    val self = TextAnalysis.lmBigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(self(1L) === ((3L, 0L, 0.0, 25000L, 25000.0 / 3.0)))
+    assert(self(2L) === ((2L, 0L, 0.0, 15000L, 7500.0)))
+    assert(self(3L) === ((0L, 0L, 0.0, 0L, 0.0)))
+    assert(self(4L) === ((0L, 0L, 0.0, 0L, 0.0)))
+    // cross-scoring on doc 1's LM only: (b c) is OOV and contributes 0
+    val cross = TextAnalysis.lmBigramScore(df, "doc_id", "text",
+        train = Some(df.filter(col("doc_id") === 1L)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(cross(1L) === ((3L, 0L, 0.0, 30000L, 10000.0)))
+    assert(cross(2L) === ((2L, 1L, 0.5, 10000L, 5000.0)))
+    assert(cross(3L) === ((0L, 0L, 0.0, 0L, 0.0)))
+  }
+
   test("hash60 matches between driver-side and Catalyst implementations") {
     val fromCol = Seq("abc", "plane_3_5").toDF("s")
       .select(TextAnalysis.hash60(col("s"))).as[Long].collect().toSeq
