@@ -156,6 +156,19 @@ object OracleOpsQueries {
       (stratum + lit(1)) * lit(300L), salt = "mix")
   }
 
+  /** Quality-ordered token-budget curation: per language, keep the
+    * highest-quality docs until the language's token budget (en gets
+    * 5000 tokens, every other language 2000 — both budgets bind at
+    * sf0.01, so the kept/dropped boundary is exercised in every
+    * stratum). Scores are the same quality doubles the `text_quality`
+    * gate proves bit-identical cross-engine. */
+  def corpusQualityBudget(s: SparkSession, d: String): DataFrame = {
+    val quality = qualityColumns(col("text")).toMap.apply("quality")
+    graft.ops.Splits.qualityBudgetSample(Tables.documents(s, d), "doc_id",
+      col("lang"), quality, TextAnalysis.tokenCount(col("text")),
+      when(col("lang") === "en", lit(5000L)).otherwise(lit(2000L)))
+  }
+
   /** The full corpus-cleaning composition, oracle-gated end to end: the
     * DuckDB mirror chains the SAME stage CTEs that gate each operator
     * individually (paragraph first-occurrence → exact fingerprint →
@@ -525,6 +538,7 @@ object OracleOpsQueries {
     "dedup_substring" -> (dedupSubstring _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_budget_mix" -> (corpusBudgetMix _),
+    "corpus_quality_budget" -> (corpusQualityBudget _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -1556,5 +1570,29 @@ object OracleOpsQueries {
          |  FROM s)
          |SELECT doc_id, stratum, n_tokens,
          |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
-         |FROM c WHERE cum_before < (stratum + 1) * 300""".stripMargin)
+         |FROM c WHERE cum_before < (stratum + 1) * 300""".stripMargin,
+    "corpus_quality_budget" ->
+      s"""WITH $toksCte,
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars2,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+         |  FROM toks),
+         |s AS (
+         |  SELECT f.doc_id, d.lang AS stratum, f.n_tokens,
+         |    (least(CAST(f.n_tokens AS DOUBLE) / 64.0, 1.0)
+         |     + least((CAST(f.n_stopwords AS DOUBLE) / CAST(greatest(f.n_tokens, 1) AS DOUBLE)) * 4.0, 1.0)
+         |     + (1.0 - least((CAST(f.n_punct AS DOUBLE) / CAST(greatest(f.n_chars2, 1) AS DOUBLE)) * 10.0, 1.0))) / 3.0 AS score,
+         |    CASE WHEN d.lang = 'en' THEN 5000 ELSE 2000 END AS budget
+         |  FROM feat f JOIN documents d USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, stratum, score, n_tokens, budget,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM s)
+         |SELECT doc_id, stratum, score, n_tokens,
+         |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_before < budget""".stripMargin)
 }

@@ -83,11 +83,22 @@ object Splits {
     * the full data still shuffles ONCE. */
   private def twoPhaseOffsets(base0: DataFrame, id: String, salt: String,
                               nHistBuckets: Int, measures: Seq[Column],
-                              prune: DataFrame => DataFrame): DataFrame = {
-    val base = base0
-      .withColumn("__rk",
-        TextAnalysis.hash60(concat_ws("_", lit(salt), col(id).cast("string"))))
-      .withColumn("__b", histBucket(col("__rk"), nHistBuckets))
+                              prune: DataFrame => DataFrame): DataFrame =
+    offsetsJoin(
+      base0
+        .withColumn("__rk",
+          TextAnalysis.hash60(concat_ws("_", lit(salt), col(id).cast("string"))))
+        .withColumn("__b", histBucket(col("__rk"), nHistBuckets)),
+      measures, prune)
+
+  /** The order-agnostic half of the two-phase scaffold: given a base that
+    * already carries its histogram bucket `__b` (any column MONOTONE in
+    * the caller's intended sort order), aggregate the measures per
+    * (stratum, bucket), compute exclusive running offsets, prune, and
+    * join back. Extracted so the hash-ordered samplers and the
+    * score-ordered curation ops share one implementation. */
+  private def offsetsJoin(base: DataFrame, measures: Seq[Column],
+                          prune: DataFrame => DataFrame): DataFrame = {
     val wb = Window.partitionBy(col("stratum")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = prune(
@@ -229,6 +240,63 @@ object Splits {
         col("__off") + coalesce(sum(col("n_tokens")).over(ww), lit(0L)))
       .filter(col("__cum_before") < col("__budget"))
       .select(col(id), col("stratum"), col("n_tokens"),
+        (col("__cum_before") + col("n_tokens")).as("cum_tokens"))
+  }
+
+  /** Quality-ordered token-budget curation — the data-curation step of a
+    * training pipeline: within each stratum keep the HIGHEST-scoring
+    * documents first until the stratum's token budget is met (the
+    * quality-ranked counterpart of [[tokenBudgetSample]]'s hash-ordered
+    * mix; same kept-iff-`cum_before < budget` boundary convention).
+    * With `nTokens = lit(1)` and budget k this degenerates to exact
+    * global/per-stratum top-k by score — one op covers both selection
+    * shapes.
+    *
+    * Designed for scores in [0, 1] (quality/`lm_score`-scale ratios):
+    * the histogram bucket is `nBuckets-1 − min(floor(score·nBuckets),
+    * nBuckets-1)` — monotone NON-INCREASING in score for any finite
+    * double (the cap only merges the top bucket, which weakens pruning,
+    * never correctness), so global (score DESC, id) order equals
+    * (bucket ASC, score DESC, id) order and the two-phase offsets are
+    * exact. Scores outside [0, 1] stay correct but degrade to one
+    * bucket per side; NaN is rejected by the cast-stable window sort
+    * anyway — pass a real score. Ties break on id, so the kept set is
+    * deterministic cross-engine (score doubles must be bit-identical,
+    * which the quality/LM columns are — their gates hash-match).
+    *
+    * Shape at scale: identical to [[tokenBudgetSample]] — phase 1 is a
+    * map-side-combined (stratum × bucket) token histogram whose running
+    * sum prunes every bucket starting past the stratum's largest budget
+    * (high-quality buckets survive, the long low-quality tail never
+    * reaches a sort); phase 2 is ONE full-data shuffle keyed
+    * (stratum, bucket) and a per-bucket window — parallelism
+    * strata × buckets, never one task per stratum. Returns
+    * (id, stratum, score, n_tokens, cum_tokens) for kept rows. */
+  def qualityBudgetSample(df: DataFrame, id: String, stratum: Column,
+                          score: Column, nTokens: Column,
+                          budgetTokens: Column,
+                          nHistBuckets: Int = DefaultHistBuckets): DataFrame = {
+    val ws = Window.partitionBy(col("stratum"))
+    val ww = Window.partitionBy(col("stratum"), col("__b"))
+      .orderBy(col("score").desc, col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = df.select(col(id), stratum.as("stratum"),
+        score.cast("double").as("score"),
+        nTokens.cast("long").as("n_tokens"),
+        budgetTokens.cast("long").as("__budget"))
+      .withColumn("__b",
+        lit(nHistBuckets - 1L) -
+          least(floor(col("score") * nHistBuckets).cast("long"),
+            lit(nHistBuckets - 1L)))
+    offsetsJoin(base,
+        measures = Seq(sum(col("n_tokens")).as("__t"),
+          max(col("__budget")).as("__mb")),
+        prune = h => h.withColumn("__maxb", max(col("__mb")).over(ws))
+          .filter(col("__off") < col("__maxb")))
+      .withColumn("__cum_before",
+        col("__off") + coalesce(sum(col("n_tokens")).over(ww), lit(0L)))
+      .filter(col("__cum_before") < col("__budget"))
+      .select(col(id), col("stratum"), col("score"), col("n_tokens"),
         (col("__cum_before") + col("n_tokens")).as("cum_tokens"))
   }
 }

@@ -412,22 +412,30 @@ object TextAnalysis {
     * Returns (id, n_bigrams, n_oov_bigrams, oov_frac, sum_score,
     * lm_score) with lm_score = sum_score/n_bigrams in [0, scale].
     *
-    * Shape at scale: one scan-side bigram explode per side, two
-    * map-side-combined count aggregations build the LM (c12 by bigram
-    * hash, c1 by prefix hash — hot function words absorb map-side), two
-    * hash joins score occurrences (only 60-bit longs shuffle, never
-    * strings), one groupBy(doc) re-aggregates. No UDFs, no windows, no
-    * driver state; the LM stays distributed (never collected), so a
-    * 100 TB train corpus works. Overflow bound: c12 · scale must fit in
-    * Int64 — at the default scale 10⁴ that allows ~9·10¹⁴ occurrences of
-    * ONE bigram, comfortably past a 100 TB corpus (~2·10¹³ tokens). */
+    * Shape at scale: one scan-side bigram explode per side; the LM is
+    * ONE map-side-combined count aggregation keyed (h1, h12) — hot
+    * function-word bigrams absorb map-side — and the prefix totals
+    * re-aggregate that ALREADY-REDUCED table (c1(h1) = Σ_h12 c12, a
+    * vocabulary²-sized input, not a corpus-sized one), so the train side
+    * is scanned once, not twice. Two hash joins score occurrences (only
+    * 60-bit longs shuffle, never strings), one groupBy(doc)
+    * re-aggregates. No UDFs, no windows, no driver state; the LM stays
+    * distributed (never collected), so a 100 TB train corpus works.
+    * Overflow bound: c12 · scale must fit in Int64 — at the default
+    * scale 10⁴ that allows ~9·10¹⁴ occurrences of ONE bigram,
+    * comfortably past a 100 TB corpus (~2·10¹³ tokens). */
   def lmBigramScore(df: DataFrame, id: String, text: String,
                     train: Option[DataFrame] = None,
                     scale: Long = 10000L): DataFrame = {
     val docBg = bigramOccurrences(df, id, text)
     val trainBg = train.map(bigramOccurrences(_, id, text)).getOrElse(docBg)
-    val c12 = trainBg.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
-    val c1 = trainBg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    // one corpus-sized aggregation keyed (h1, h12); both LM marginals are
+    // tiny re-aggregations of the reduced pair table, and each marginal
+    // groups by ITS key alone so the semantics (and any 60-bit-collision
+    // behavior) exactly match counting occurrences by that key directly
+    val pairs = trainBg.groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("__c"))
+    val c12 = pairs.groupBy(col("h12")).agg(sum(col("__c")).as("c12"))
+    val c1 = pairs.groupBy(col("h1")).agg(sum(col("__c")).as("c1"))
     val scored = docBg
       .join(c12, Seq("h12"), "left")
       .join(c1, Seq("h1"), "left")

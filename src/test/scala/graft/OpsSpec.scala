@@ -124,6 +124,50 @@ class OpsSpec extends SparkSpec {
     assert(one.map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((1L, 500L)))
   }
 
+  test("qualityBudgetSample: highest scores first, boundary kept, top-k degenerate") {
+    import org.apache.spark.sql.expressions.Window
+    // scores i/100 ∈ [0.01, 1.0]; multi-bucket at nHistBuckets = 8
+    val df = (1L to 100L).map(i => (i, i % 2, i / 100.0, 10L))
+      .toDF("doc_id", "grp", "q", "nt")
+    val out = graft.ops.Splits.qualityBudgetSample(
+      df, "doc_id", col("grp"), col("q"), col("nt"), lit(95L), nHistBuckets = 8)
+      .collect()
+    // 10-token docs, budget 95 → exactly the TOP-10 scores per stratum kept
+    val byStratum = out.groupBy(_.getLong(1))
+    assert(byStratum.keySet === Set(0L, 1L))
+    assert(byStratum(0L).map(_.getLong(0)).sorted.toSeq === (82L to 100L by 2).toSeq)
+    assert(byStratum(1L).map(_.getLong(0)).sorted.toSeq === (81L to 99L by 2).toSeq)
+    // cum_tokens walks down the score order: the BEST doc has cum = 10
+    assert(out.filter(_.getLong(0) == 100L).head.getLong(4) === 10L)
+    // equals the monolithic descending window on any physical layout
+    val wCum = Window.partitionBy(col("stratum")).orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = df.select(col("doc_id"), col("grp").as("stratum"),
+        col("q").cast("double").as("score"), col("nt").cast("long").as("n_tokens"))
+      .withColumn("__cb", coalesce(sum(col("n_tokens")).over(wCum), lit(0L)))
+      .filter(col("__cb") < 95L)
+      .select(col("doc_id"), col("stratum"), col("score"), col("n_tokens"),
+        (col("__cb") + col("n_tokens")).as("cum_tokens"))
+    assert(out.map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    val repart = graft.ops.Splits.qualityBudgetSample(
+      df.repartition(7), "doc_id", col("grp"), col("q"), col("nt"), lit(95L),
+      nHistBuckets = 8)
+    assert(repart.collect().map(_.toSeq).toSet === out.map(_.toSeq).toSet)
+    // nTokens = 1, budget = k ⇒ exact per-stratum top-k by score
+    val topk = graft.ops.Splits.qualityBudgetSample(
+      df, "doc_id", col("grp"), col("q"), lit(1L), lit(3L), nHistBuckets = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+    assert(topk.toSet === Set((0L, 100L), (0L, 98L), (0L, 96L),
+      (1L, 99L), (1L, 97L), (1L, 95L)))
+    // tie scores break on id: equal-score docs keep the smallest ids
+    val ties = Seq((1L, 0L, 0.5, 1L), (2L, 0L, 0.5, 1L), (3L, 0L, 0.5, 1L))
+      .toDF("doc_id", "grp", "q", "nt")
+    val keptTies = graft.ops.Splits.qualityBudgetSample(
+      ties, "doc_id", col("grp"), col("q"), col("nt"), lit(2L))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptTies === Seq(1L, 2L))
+  }
+
   test("two-phase cutoff equals the monolithic window; big window keyed on (stratum, bucket)") {
     import org.apache.spark.sql.expressions.Window
     // 2 strata × 400 rows with nHistBuckets = 8 forces real multi-bucket
