@@ -569,14 +569,15 @@ object OracleOpsQueries {
        |bgh AS (SELECT doc_id, ${h60("split_part(s, ' ', 1)")} AS h1,
        |               ${h60("s")} AS h12 FROM bg),
        |tr AS (SELECT bgh.doc_id, h1, h12 FROM bgh $trainJoin),
-       |cb AS (SELECT h12, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY h12),
-       |cp AS (SELECT h1, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY h1),
+       |pc AS (SELECT h1, h12, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY h1, h12),
+       |lm AS (SELECT h1, h12, c12,
+       |         CAST(SUM(c12) OVER (PARTITION BY h1) AS BIGINT) AS c1 FROM pc),
        |agg AS (
        |  SELECT b.doc_id,
        |    CAST(count(*) AS BIGINT) AS n_bigrams,
-       |    CAST(SUM(CASE WHEN cb.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_bigrams,
-       |    CAST(SUM(COALESCE((cb.c12 * 10000) // cp.c1, 0)) AS BIGINT) AS sum_score
-       |  FROM bgh b LEFT JOIN cb USING (h12) LEFT JOIN cp USING (h1)
+       |    CAST(SUM(CASE WHEN lm.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_bigrams,
+       |    CAST(SUM(COALESCE((lm.c12 * 10000) // lm.c1, 0)) AS BIGINT) AS sum_score
+       |  FROM bgh b LEFT JOIN lm USING (h1, h12)
        |  GROUP BY b.doc_id)
        |SELECT docs.doc_id,
        |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,

@@ -414,31 +414,34 @@ object TextAnalysis {
     *
     * Shape at scale: one scan-side bigram explode per side; the LM is
     * ONE map-side-combined count aggregation keyed (h1, h12) — hot
-    * function-word bigrams absorb map-side — and the prefix totals
-    * re-aggregate that ALREADY-REDUCED table (c1(h1) = Σ_h12 c12, a
-    * vocabulary²-sized input, not a corpus-sized one), so the train side
-    * is scanned once, not twice. Two hash joins score occurrences (only
-    * 60-bit longs shuffle, never strings), one groupBy(doc)
-    * re-aggregates. No UDFs, no windows, no driver state; the LM stays
-    * distributed (never collected), so a 100 TB train corpus works.
-    * Overflow bound: c12 · scale must fit in Int64 — at the default
-    * scale 10⁴ that allows ~9·10¹⁴ occurrences of ONE bigram,
-    * comfortably past a 100 TB corpus (~2·10¹³ tokens). */
+    * function-word bigrams absorb map-side — and the prefix totals come
+    * from an unordered window (`sum over partitionBy(h1)`) on that
+    * ALREADY-REDUCED table (vocabulary²-sized, not corpus-sized), so the
+    * train side is scanned exactly once BY CONSTRUCTION — a separate
+    * `groupBy(h1)` marginal would duplicate the whole pair subtree in
+    * the tree-shaped plan and hope for exchange reuse, which the
+    * tokenizer lambdas defeat (measured: AQE materializes both copies).
+    * One pair-keyed hash join scores occurrences (only 60-bit longs
+    * shuffle, never strings), one groupBy(doc) re-aggregates. No UDFs,
+    * no driver state; the LM stays distributed (never collected), so a
+    * 100 TB train corpus works. Overflow bound: c12 · scale must fit in
+    * Int64 — at the default scale 10⁴ that allows ~9·10¹⁴ occurrences of
+    * ONE bigram, comfortably past a 100 TB corpus (~2·10¹³ tokens). */
   def lmBigramScore(df: DataFrame, id: String, text: String,
                     train: Option[DataFrame] = None,
                     scale: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docBg = bigramOccurrences(df, id, text)
     val trainBg = train.map(bigramOccurrences(_, id, text)).getOrElse(docBg)
-    // one corpus-sized aggregation keyed (h1, h12); both LM marginals are
-    // tiny re-aggregations of the reduced pair table, and each marginal
-    // groups by ITS key alone so the semantics (and any 60-bit-collision
-    // behavior) exactly match counting occurrences by that key directly
-    val pairs = trainBg.groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("__c"))
-    val c12 = pairs.groupBy(col("h12")).agg(sum(col("__c")).as("c12"))
-    val c1 = pairs.groupBy(col("h1")).agg(sum(col("__c")).as("c1"))
+    // the LM is keyed by the (h1, h12) PAIR end to end — c12 is the pair
+    // count and the scoring join matches on both hashes — so the oracle
+    // mirror has identical semantics at any scale, 60-bit collisions
+    // included (a single-key c12 would diverge from the pair join the
+    // moment two prefixes collide into one bigram hash)
+    val lm = trainBg.groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("h1"))))
     val scored = docBg
-      .join(c12, Seq("h12"), "left")
-      .join(c1, Seq("h1"), "left")
+      .join(lm, Seq("h1", "h12"), "left")
       .select(col(id),
         coalesce(expr(s"(c12 * ${scale}L) div c1"), lit(0L)).as("score"),
         col("c12").isNull.cast("long").as("oov"))

@@ -83,7 +83,7 @@ class PlanShapeSpec extends SparkSpec {
     // histogram (a partial-agg'd aggregate + its per-stratum running sum),
     // which is O(strata × 4096) rows regardless of data size, and the
     // offsets come back to the big side as a broadcast
-    Seq("sample_stratified", "corpus_budget_mix").foreach { q =>
+    Seq("sample_stratified", "corpus_budget_mix", "corpus_quality_budget").foreach { q =>
       val p = plan(q)
       val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(shuffles === 3, s"$q: 1 full-data + 2 tiny histogram shuffles:\n$p")
@@ -130,6 +130,31 @@ class PlanShapeSpec extends SparkSpec {
       s"aggregates must partial-combine map-side:\n$p")
     assert(!"hashpartitioning\\([^)]*tok".r.findFirstIn(p).isDefined,
       s"the token string must not be a shuffle key:\n$p")
+  }
+
+  test("text_lm_bigram: one train scan builds the LM; bigram strings never shuffled") {
+    // the train side is scanned ONCE into a (h1, h12) pair count; the c1
+    // marginal is an unordered window over that reduced table, not a
+    // second aggregation over a duplicated corpus subtree (the tokenizer
+    // lambdas defeat exchange-reuse canonicalization — measured: a
+    // groupBy-based c1 materialized the pair shuffle twice). No exchange
+    // ever carries a bigram STRING — only the two 60-bit hashes — and the
+    // pair aggregate partial-combines map-side (hot function-word bigrams
+    // absorb before the shuffle).
+    val p = plan("text_lm_bigram")
+    assert("partial_count".r.findAllIn(p).nonEmpty,
+      s"the pair aggregate must partial-combine map-side:\n$p")
+    assert(!"hashpartitioning\\([^)]*\\bb\\b".r.findFirstIn(p).isDefined &&
+      !"hashpartitioning\\([^)]*w1".r.findFirstIn(p).isDefined,
+      s"bigram strings must not be shuffle keys:\n$p")
+    assert("hashpartitioning\\(h1#\\d+L, h12#\\d+L".r.findFirstIn(p).isDefined,
+      s"pair aggregation must key (h1, h12):\n$p")
+    // structural single-scan guarantee: self-scoring needs exactly 3
+    // parquet scans in the static plan — the score-side explode, the
+    // train-side explode, and the doc-id base for tokenless docs — with
+    // no fourth copy hiding behind a hoped-for ReuseExchange
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 3, s"expected 3 scans (score, train, doc-id base):\n$p")
   }
 
   test("corpus_shard is a single-shuffle window plan") {
