@@ -169,6 +169,26 @@ object OracleOpsQueries {
       when(col("lang") === "en", lit(5000L)).otherwise(lit(2000L)))
   }
 
+  /** LM-scored curation, composed end to end: score every doc against
+    * the `lang='en'`-trained bigram LM ([[textLmBigramCross]]'s exact
+    * setup), normalize the fixed-point score back to [0, 1], and keep
+    * the best docs per language under a token budget
+    * ([[Splits.qualityBudgetSample]]). Gates the COMPOSITION — the
+    * curation consumes the LM column, so a drift in either op moves the
+    * kept set. Budgets (en 4000, else 1500) bind in every stratum at
+    * sf0.01. */
+  def corpusLmBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lm = TextAnalysis.lmBigramScore(docs, "doc_id", "text",
+      train = Some(docs.filter(col("lang") === "en")))
+    val scored = docs.join(
+      lm.select(col("doc_id"), (col("lm_score") / lit(10000.0)).as("lm01")),
+      Seq("doc_id"))
+    graft.ops.Splits.qualityBudgetSample(scored, "doc_id", col("lang"),
+      col("lm01"), TextAnalysis.tokenCount(col("text")),
+      when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L)))
+  }
+
   /** The full corpus-cleaning composition, oracle-gated end to end: the
     * DuckDB mirror chains the SAME stage CTEs that gate each operator
     * individually (paragraph first-occurrence → exact fingerprint →
@@ -539,6 +559,7 @@ object OracleOpsQueries {
     "sample_stratified" -> (sampleStratified _),
     "corpus_budget_mix" -> (corpusBudgetMix _),
     "corpus_quality_budget" -> (corpusQualityBudget _),
+    "corpus_lm_budget" -> (corpusLmBudget _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -558,8 +579,12 @@ object OracleOpsQueries {
     * bigram string by split_part — safe because tokens can't contain
     * whitespace. All arithmetic is BIGINT (// is DuckDB integral
     * division; SUMs re-cast from HUGEINT) so the hash is dtype-exact. */
-  private def lmBigramSql(trainJoin: String): String =
-    s"""WITH $toksCte,
+  /** The CTE chain shared by the standalone LM gates and the composed
+    * curation gate: tokens → per-position bigrams → pair-keyed LM counts
+    * (c12 by (h1, h12), c1 as a window marginal — the exact mirror of
+    * the Spark plan) → per-doc fixed-point aggregates. */
+  private def lmBigramCtes(trainJoin: String): String =
+    s"""$toksCte,
        |bgl AS (
        |  SELECT doc_id, CASE WHEN len(t) >= 2
        |    THEN list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
@@ -578,7 +603,10 @@ object OracleOpsQueries {
        |    CAST(SUM(CASE WHEN lm.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_bigrams,
        |    CAST(SUM(COALESCE((lm.c12 * 10000) // lm.c1, 0)) AS BIGINT) AS sum_score
        |  FROM bgh b LEFT JOIN lm USING (h1, h12)
-       |  GROUP BY b.doc_id)
+       |  GROUP BY b.doc_id)""".stripMargin
+
+  private def lmBigramSql(trainJoin: String): String =
+    s"""WITH ${lmBigramCtes(trainJoin)}
        |SELECT docs.doc_id,
        |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
        |  COALESCE(agg.n_oov_bigrams, 0) AS n_oov_bigrams,
@@ -1593,6 +1621,26 @@ object OracleOpsQueries {
          |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY score DESC, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
          |  FROM s)
+         |SELECT doc_id, stratum, score, n_tokens,
+         |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_before < budget""".stripMargin,
+    "corpus_lm_budget" ->
+      s"""WITH ${lmBigramCtes("JOIN documents d USING (doc_id) WHERE d.lang = 'en'")},
+         |sc AS (
+         |  SELECT docs.doc_id, docs.lang AS stratum,
+         |    (CASE WHEN COALESCE(agg.n_bigrams, 0) > 0
+         |       THEN CAST(agg.sum_score AS DOUBLE) / CAST(agg.n_bigrams AS DOUBLE)
+         |       ELSE 0.0 END) / 10000.0 AS score,
+         |    CAST(len(tk.t) AS BIGINT) AS n_tokens,
+         |    CASE WHEN docs.lang = 'en' THEN 4000 ELSE 1500 END AS budget
+         |  FROM documents docs
+         |  LEFT JOIN agg USING (doc_id)
+         |  JOIN toks tk USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, stratum, score, n_tokens, budget,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM sc)
          |SELECT doc_id, stratum, score, n_tokens,
          |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_before < budget""".stripMargin)
