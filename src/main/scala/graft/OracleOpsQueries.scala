@@ -176,7 +176,15 @@ object OracleOpsQueries {
     * ([[Splits.qualityBudgetSample]]). Gates the COMPOSITION — the
     * curation consumes the LM column, so a drift in either op moves the
     * kept set. Budgets (en 4000, else 1500) bind in every stratum at
-    * sf0.01. */
+    * sf0.01.
+    *
+    * Scale note (measured sf0.1→sf10-equivalent: 3.8→45.6 s, decade
+    * exponents 0.68/0.40): the curation's two-phase histogram is a
+    * second pass over ITS INPUT, which here is the whole LM-scoring
+    * pipeline — so the LM executes twice. Tolerable here (the LM pair
+    * table is vocabulary-bounded, and the gate wants one declarative
+    * chain); a production 100 TB run persists/checkpoints the scored
+    * frame first, making the histogram pass a cheap re-scan. */
   def corpusLmBudget(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val lm = TextAnalysis.lmBigramScore(docs, "doc_id", "text",
@@ -414,6 +422,12 @@ object OracleOpsQueries {
     graft.ops.Similarity.semDedupPinned(Tables.embeddings(s, d),
       "vec_id", "embedding", nLists = 8, threshold = 0.3)
 
+  /** Prototypicality: per-embedding assigned cluster + sqdist/cosine to
+    * its centroid (the Sorscher-et-al pruning metric). */
+  def simCentroidDist(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.centroidDistPinned(Tables.embeddings(s, d),
+      "vec_id", "embedding", nLists = 8)
+
   /** Span-level exact-substring dedup signals (Lee et al. ACL'22 shape):
     * per-doc count and interval-union coverage of 5-token windows that
     * occur in ≥ 2 distinct documents. */
@@ -554,6 +568,7 @@ object OracleOpsQueries {
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "sim_sem_dedup" -> (semDedup _),
+    "sim_centroid_dist" -> (simCentroidDist _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_substring" -> (dedupSubstring _),
     "sample_stratified" -> (sampleStratified _),
@@ -1514,6 +1529,23 @@ object OracleOpsQueries {
          |SELECT a.vec_id, CAST(a.list_id AS INT) AS list_id,
          |  CAST(d.dup_of IS NOT NULL AS INT) AS is_dup, d.dup_of
          |FROM asn a LEFT JOIN dups d ON a.vec_id = d.id2""".stripMargin,
+    "sim_centroid_dist" ->
+      s"""WITH $embCte,
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |d AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    list_reduce(list_transform(generate_series(1, 64),
+         |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y) AS dist
+         |  FROM e, cents c),
+         |asn AS (
+         |  SELECT vec_id, v, cid AS list_id, dist FROM (
+         |    SELECT vec_id, v, cid, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d) WHERE rn = 1)
+         |SELECT a.vec_id, CAST(a.list_id AS INT) AS list_id, a.dist AS sqdist,
+         |  ${dotSql("a.v", "c.cv")}
+         |    / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("c.cv", "c.cv")})) AS cos_c
+         |FROM asn a JOIN cents c ON a.list_id = c.cid""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),

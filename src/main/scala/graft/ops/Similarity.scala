@@ -482,6 +482,17 @@ object Similarity {
   def semDedupPinned(emb: DataFrame, id: String, vec: String,
                      nLists: Int = 8, threshold: Double = 0.5): DataFrame = {
     val e = emb.select(col(id), asDouble(col(vec)).as("v"))
+    val assigned = e.withColumn("list_id",
+      array_min(pinnedDistStructs(e, id, nLists)).getField("i"))
+    semDedupAssigned(assigned, id, threshold)
+  }
+
+  /** Scan-side (sqdist, index) structs to the pinned centroids (the
+    * embeddings with id < nLists) — `array_min(...)` over them is the
+    * argmin assignment, shared by [[semDedupPinned]] and
+    * [[centroidDistPinned]]. */
+  private def pinnedDistStructs(e: DataFrame, id: String,
+                                nLists: Int): Column = {
     val cents: Array[Seq[Double]] = e.filter(col(id) < nLists)
       .orderBy(col(id)).collect().map(_.getSeq[Double](1))
     // the pin assumes ids 0..nLists-1 exist; with a sparse or non-zero-based
@@ -489,16 +500,43 @@ object Similarity {
     // empty/short struct array would SILENTLY return all is_dup = 0 —
     // fail loudly instead
     require(cents.length == nLists,
-      s"semDedupPinned pins centroids to ids < $nLists but found only " +
+      s"pinned centroids require ids < $nLists but found only " +
         s"${cents.length} such ids — the id space must contain 0..${nLists - 1}")
     def sqdistTo(c: Seq[Double]): Column =
       aggregate(zip_with(col("v"), array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x)
-    val distStructs = array(cents.zipWithIndex.map { case (c, i) =>
+    array(cents.zipWithIndex.map { case (c, i) =>
       struct(sqdistTo(c).as("d"), lit(i).as("i"))
     }.toSeq: _*)
-    val assigned = e.withColumn("list_id", array_min(distStructs).getField("i"))
-    semDedupAssigned(assigned, id, threshold)
+  }
+
+  /** Prototypicality signal (the pruning metric of Sorscher et al.,
+    * "Beyond neural scaling laws", 2022, and SemDeDup's §4 extreme-point
+    * analysis): each embedding's assigned cluster, its squared distance
+    * to the centroid, and its cosine to the centroid. Low cosine = an
+    * outlier in its cluster (candidate for quality pruning); very high
+    * cosine = redundantly prototypical (candidate for diversity
+    * pruning). Pinned-centroid variant for the oracle — production swaps
+    * in [[ivfBuild]]'s KMeans centroids, everything downstream is the
+    * same column algebra.
+    *
+    * Shape at scale: the argmin and sqdist are scan-side column algebra
+    * (no shuffle); the centroid vectors come back via a BROADCAST join
+    * on list_id (nLists rows). Precondition: non-zero vectors (a zero
+    * norm makes the cosine division THROW under ANSI, same as
+    * [[quantizeInt8]]). */
+  def centroidDistPinned(emb: DataFrame, id: String, vec: String,
+                         nLists: Int = 8): DataFrame = {
+    val e = emb.select(col(id), asDouble(col(vec)).as("v"))
+    val m = array_min(pinnedDistStructs(e, id, nLists))
+    val cdf = e.filter(col(id) < nLists)
+      .select(col(id).cast("int").as("list_id"), col("v").as("cv"),
+        norm(col("v")).as("cnrm"))
+    e.withColumn("list_id", m.getField("i"))
+      .withColumn("sqdist", m.getField("d"))
+      .join(broadcast(cdf), Seq("list_id"))
+      .select(col(id), col("list_id"), col("sqdist"),
+        (dot(col("v"), col("cv")) / (norm(col("v")) * col("cnrm"))).as("cos_c"))
   }
 
   /** SemDeDup core over an already-clustered corpus `(id, v, list_id)` —
