@@ -379,18 +379,43 @@ object TextAnalysis {
     * [[Dedup.shingles]] (inlining the split into the lambda re-runs it
     * per element_at). Strings leave the plan at the scan: only the two
     * 60-bit hashes ship through the downstream shuffles. */
-  private[ops] def bigramOccurrences(df: DataFrame, id: String,
-                                     text: String): DataFrame = {
+  private[graft] def bigramOccurrences(df: DataFrame, id: String,
+                                       text: String,
+                                       keep: Seq[String] = Nil): DataFrame = {
     val t = col("__tokens")
     val bgs = when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1), i =>
         struct(element_at(t, i).as("w1"),
           concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("bg")))
     ).otherwise(array())
-    df.select(col(id), tokens(col(text)).as("__tokens"))
-      .select(col(id), explode(bgs).as("b"))
-      .select(col(id), hash60(col("b.w1")).as("h1"), hash60(col("b.bg")).as("h12"))
+    val kept = keep.map(col)
+    df.select(col(id) +: tokens(col(text)).as("__tokens") +: kept: _*)
+      .select(col(id) +: explode(bgs).as("b") +: kept: _*)
+      .select(col(id) +: hash60(col("b.w1")).as("h1") +:
+        hash60(col("b.bg")).as("h12") +: kept: _*)
   }
+
+  /** The trained bigram LM as a table: (h1, h12, c12, c1) — pair counts
+    * plus the prefix marginal via an unordered window over the REDUCED
+    * pair table (see [[lmBigramScore]] for why not a second groupBy).
+    * This is the persistable artifact of the train-once/score-many
+    * production path: write it out bucketed by (h1, h12) and every later
+    * scoring job — batch [[lmBigramScore]] or streaming
+    * [[graft.streaming.Streams.lmScoreStream]] — joins it without
+    * re-touching the train corpus. */
+  def lmPairTable(train: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bigramOccurrences(train, id, text)
+      .groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("h1"))))
+  }
+
+  /** Per-occurrence fixed-point score + OOV marker against a joined LM —
+    * shared by the batch and streaming scorers so their arithmetic cannot
+    * diverge. Expects nullable c12/c1 from a LEFT join. */
+  private[graft] def lmOccurrenceScore(scale: Long): (Column, Column) = (
+    coalesce(expr(s"(c12 * ${scale}L) div c1"), lit(0L)),
+    col("c12").isNull.cast("long"))
 
   /** Bigram language-model quality score — the CCNet "perplexity filter"
     * shape without the float hazard: score each document by the average
@@ -430,21 +455,17 @@ object TextAnalysis {
   def lmBigramScore(df: DataFrame, id: String, text: String,
                     train: Option[DataFrame] = None,
                     scale: Long = 10000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docBg = bigramOccurrences(df, id, text)
-    val trainBg = train.map(bigramOccurrences(_, id, text)).getOrElse(docBg)
     // the LM is keyed by the (h1, h12) PAIR end to end — c12 is the pair
     // count and the scoring join matches on both hashes — so the oracle
     // mirror has identical semantics at any scale, 60-bit collisions
     // included (a single-key c12 would diverge from the pair join the
     // moment two prefixes collide into one bigram hash)
-    val lm = trainBg.groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("c12"))
-      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("h1"))))
+    val lm = lmPairTable(train.getOrElse(df), id, text)
+    val (occScore, occOov) = lmOccurrenceScore(scale)
     val scored = docBg
       .join(lm, Seq("h1", "h12"), "left")
-      .select(col(id),
-        coalesce(expr(s"(c12 * ${scale}L) div c1"), lit(0L)).as("score"),
-        col("c12").isNull.cast("long").as("oov"))
+      .select(col(id), occScore.as("score"), occOov.as("oov"))
       .groupBy(col(id)).agg(
         count(lit(1)).as("n_bigrams"),
         sum(col("oov")).as("n_oov_bigrams"),

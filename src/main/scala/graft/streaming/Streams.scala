@@ -129,6 +129,51 @@ object Streams {
         .join(corpusIndex.select(col("fp")), Seq("fp"), "left_anti"),
       "fp", lateness)
 
+  /** Streaming LM scoring — the streaming face of
+    * [[graft.ops.TextAnalysis.lmBigramScore]]: a document stream is
+    * scored against a STATIC pre-trained LM pair table
+    * ([[graft.ops.TextAnalysis.lmPairTable]], typically persisted by a
+    * batch train job). Per micro-batch the stream explodes into bigram
+    * occurrences (stateless projection), joins the static LM
+    * (stream-static LEFT join — re-scanned/broadcast per batch, no state
+    * store), and re-aggregates per (event-time window, doc) — the ONLY
+    * stateful step, watermark-bounded, and since every bigram of a doc
+    * carries its document's single event_time, each doc lands in exactly
+    * one group. Append mode emits a doc's final score once the watermark
+    * passes its window.
+    *
+    * Semantics vs batch: identical fixed-point arithmetic (the
+    * per-occurrence scoring expression is SHARED code), but docs with
+    * < 2 tokens produce no bigrams and are NOT emitted (the batch op
+    * reports them zeroed via its base left join — a stream cannot
+    * left-join against itself statelessly); filter or union them
+    * upstream if the zero rows matter. `docs` needs `idCol`, `textCol`,
+    * and an `event_time` timestamp. */
+  def lmScoreStream(docs: DataFrame, lm: DataFrame, idCol: String,
+                    textCol: String, scale: Long = 10000L,
+                    windowDur: String = "1 minute",
+                    lateness: String = "10 minutes"): DataFrame = {
+    val (occScore, occOov) = graft.ops.TextAnalysis.lmOccurrenceScore(scale)
+    graft.ops.TextAnalysis
+      .bigramOccurrences(docs, idCol, textCol, keep = Seq("event_time"))
+      .withWatermark("event_time", lateness)
+      .join(lm, Seq("h1", "h12"), "left")
+      .select(col(idCol), col("event_time"),
+        occScore.as("score"), occOov.as("oov"))
+      .groupBy(window(col("event_time"), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("n_oov_bigrams"),
+        sum(col("score")).as("sum_score"))
+      .select(col(idCol), col("n_bigrams"), col("n_oov_bigrams"),
+        when(col("n_bigrams") > 0,
+          col("n_oov_bigrams").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(0.0).as("oov_frac"),
+        col("sum_score"),
+        when(col("n_bigrams") > 0,
+          col("sum_score").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(0.0).as("lm_score"))
+  }
+
   /** One micro-batch of a user's events folded into the open-session
     * state — shared by BOTH sessionize variants so their semantics cannot
     * diverge. Events sort within the batch; across batches an out-of-order

@@ -179,6 +179,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 2) // {brand new content, entirely novel words}
   }
 
+  test("streaming LM scoring equals the batch scorer (static pair-table LM)") {
+    import org.apache.spark.sql.functions.lit
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val lm = graft.ops.TextAnalysis.lmPairTable(docs, "doc_id", "text")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val t0 = 1700000000000L
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val q = Streams.lmScoreStream(
+        ms.toDF.toDF("doc_id", "text", "event_time"), lm, "doc_id", "text")
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("append").start()
+    try {
+      // all docs land in one event-time window...
+      ms.addData(rows.map { case (i, t) => (i, t, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      // ...and a 2-bigram flush doc two hours later advances the watermark
+      // past it, closing the window so append mode emits the scores (the
+      // flush doc's own window stays open and is never emitted)
+      ms.addData((-1L, "zzflush zzflush zzflush",
+        new java.sql.Timestamp(t0 + 7200L * 1000)))
+      q.processAllAvailable()
+      val streamed = spark.table("lm_stream")
+        .collect().map(_.toSeq).toSet
+      // batch reference: same LM (self-trained on the SAME docs — the
+      // flush doc is not in the train side), zero-bigram docs excluded
+      // (the documented streaming-semantics difference)
+      val batch = graft.ops.TextAnalysis.lmBigramScore(docs, "doc_id", "text")
+        .filter(col("n_bigrams") > 0)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup matches the DuckDB oracle's kept set") {
     // VERDICT r5 item 7: the equivalence above anchors streaming to the
     // BATCH op; this anchors it to the same EXTERNAL truth the driver
