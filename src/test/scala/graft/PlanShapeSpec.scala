@@ -157,6 +157,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans === 3, s"expected 3 scans (score, train, doc-id base):\n$p")
   }
 
+  test("sim_centroid_dist is shuffle-free: scan-side argmin + broadcast centroid join") {
+    // the argmin over pinned centroids is compiled into the scan
+    // projection; the only exchange is the nLists-row centroid broadcast —
+    // at 100 TB the whole signal is a map-only pass over the embeddings
+    val p = plan("sim_centroid_dist")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      s"sim_centroid_dist must not shuffle:\n$p")
+    assert("BroadcastExchange".r.findFirstIn(p).isDefined,
+      s"centroid vectors must come back via a broadcast join:\n$p")
+  }
+
   test("corpus_shard is a single-shuffle window plan") {
     val p = plan("corpus_shard")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
