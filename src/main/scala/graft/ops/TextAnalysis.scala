@@ -410,6 +410,23 @@ object TextAnalysis {
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("h1"))))
   }
 
+  /** Incremental LM update: fold a NEW batch's pair counts into an
+    * existing [[lmPairTable]] without re-touching the old train corpus —
+    * the LM analogue of [[Dedup.incrementalExact]]'s persisted
+    * fingerprint index. Counts are additive, so the merge is a union +
+    * re-sum keyed (h1, h12) (both inputs are already vocabulary²-sized,
+    * so this is an index-sized job, not a corpus-sized one), and the
+    * prefix marginal recomputes exactly as [[lmPairTable]] builds it —
+    * spec'd equal to training on the concatenated corpora. Merge is
+    * associative/commutative: fold daily batches in any order. */
+  def lmPairTableMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    a.select(col("h1"), col("h12"), col("c12"))
+      .unionByName(b.select(col("h1"), col("h12"), col("c12")))
+      .groupBy(col("h1"), col("h12")).agg(sum(col("c12")).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("h1"))))
+  }
+
   /** Per-occurrence fixed-point score + OOV marker against a joined LM —
     * shared by the batch and streaming scorers so their arithmetic cannot
     * diverge. Expects nullable c12/c1 from a LEFT join. */
@@ -454,17 +471,24 @@ object TextAnalysis {
     * ONE bigram, comfortably past a 100 TB corpus (~2·10¹³ tokens). */
   def lmBigramScore(df: DataFrame, id: String, text: String,
                     train: Option[DataFrame] = None,
-                    scale: Long = 10000L): DataFrame = {
-    val docBg = bigramOccurrences(df, id, text)
+                    scale: Long = 10000L): DataFrame =
     // the LM is keyed by the (h1, h12) PAIR end to end — c12 is the pair
     // count and the scoring join matches on both hashes — so the oracle
     // mirror has identical semantics at any scale, 60-bit collisions
     // included (a single-key c12 would diverge from the pair join the
     // moment two prefixes collide into one bigram hash)
-    val lm = lmPairTable(train.getOrElse(df), id, text)
+    lmScoreAgainst(df, id, text, lmPairTable(train.getOrElse(df), id, text),
+      scale)
+
+  /** Score a corpus against a PRE-BUILT (possibly [[lmPairTableMerge]]d
+    * or parquet-loaded) LM — the batch face of the train-once/score-many
+    * path; [[lmBigramScore]] is this plus an inline [[lmPairTable]]. */
+  def lmScoreAgainst(df: DataFrame, id: String, text: String,
+                     lm: DataFrame, scale: Long = 10000L): DataFrame = {
     val (occScore, occOov) = lmOccurrenceScore(scale)
-    val scored = docBg
-      .join(lm, Seq("h1", "h12"), "left")
+    val scored = bigramOccurrences(df, id, text)
+      .join(lm.select(col("h1"), col("h12"), col("c12"), col("c1")),
+        Seq("h1", "h12"), "left")
       .select(col(id), occScore.as("score"), occOov.as("oov"))
       .groupBy(col(id)).agg(
         count(lit(1)).as("n_bigrams"),

@@ -1093,6 +1093,25 @@ class OpsSpec extends SparkSpec {
     assert(cross(3L) === ((0L, 0L, 0.0, 0L, 0.0)))
   }
 
+  test("lmPairTableMerge equals training on the concatenated corpus") {
+    val a = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val b = Seq((3L, "a b"), (4L, "c d c d")).toDF("doc_id", "text")
+    val merged = TextAnalysis.lmPairTableMerge(
+      TextAnalysis.lmPairTable(a, "doc_id", "text"),
+      TextAnalysis.lmPairTable(b, "doc_id", "text"))
+    val full = TextAnalysis.lmPairTable(a.unionByName(b), "doc_id", "text")
+    assert(merged.collect().map(_.toSeq).toSet ===
+      full.collect().map(_.toSeq).toSet)
+    // scoring through the merged LM == scoring with the concatenated train
+    val docs = a.unionByName(b)
+    val viaMerged = TextAnalysis.lmScoreAgainst(docs, "doc_id", "text", merged)
+      .collect().map(_.toSeq).toSet
+    val viaFull = TextAnalysis.lmBigramScore(docs, "doc_id", "text",
+        train = Some(docs))
+      .collect().map(_.toSeq).toSet
+    assert(viaMerged === viaFull)
+  }
+
   test("hash60 matches between driver-side and Catalyst implementations") {
     val fromCol = Seq("abc", "plane_3_5").toDF("s")
       .select(TextAnalysis.hash60(col("s"))).as[Long].collect().toSeq
