@@ -153,6 +153,11 @@ object Streams {
                     textCol: String, scale: Long = 10000L,
                     windowDur: String = "1 minute",
                     lateness: String = "10 minutes"): DataFrame = {
+    // fail here with the fix in the message, not later with an opaque
+    // unresolved-column error from the watermark (intervalJoin's pattern)
+    require(docs.columns.contains("event_time"),
+      "lmScoreStream needs an event_time timestamp column on the document " +
+        "stream (the watermark that bounds the per-doc aggregation state)")
     val (occScore, occOov) = graft.ops.TextAnalysis.lmOccurrenceScore(scale)
     graft.ops.TextAnalysis
       .bigramOccurrences(docs, idCol, textCol, keep = Seq("event_time"))
