@@ -588,6 +588,30 @@ object OracleOpsQueries {
        |  FROM $rel)""".stripMargin
   private val toksCte = toksCteFrom("documents")
 
+  /** The quality-score formula as a SQL expression template — ONE source
+    * of truth for the oracles that embed it, so a tweak to the score
+    * cannot silently desynchronize one gate from the Spark op. */
+  private def qualityExprSql(nt: String, nsw: String, np: String,
+                             nc: String): String =
+    s"""(least(CAST($nt AS DOUBLE) / 64.0, 1.0)
+       |     + least((CAST($nsw AS DOUBLE) / CAST(greatest($nt, 1) AS DOUBLE)) * 4.0, 1.0)
+       |     + (1.0 - least((CAST($np AS DOUBLE) / CAST(greatest($nc, 1) AS DOUBLE)) * 10.0, 1.0))) / 3.0""".stripMargin
+
+  /** The descending-score token-budget window + kept-set select shared by
+    * every curation oracle (`corpus_quality_budget`, `corpus_lm_budget`)
+    * — the SQL mirror of [[graft.ops.Splits.qualityBudgetSample]]'s
+    * boundary convention, factored so the convention lives once. Expects
+    * `srcCte` to expose (doc_id, stratum, score, n_tokens, budget). */
+  private def budgetCurationSql(srcCte: String): String =
+    s"""c AS (
+       |  SELECT doc_id, stratum, score, n_tokens, budget,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM $srcCte)
+       |SELECT doc_id, stratum, score, n_tokens,
+       |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum_before < budget""".stripMargin
+
   /** DuckDB mirror of [[TextAnalysis.lmBigramScore]] at scale = 10⁴.
     * `trainJoin` restricts which docs' bigram occurrences train the LM
     * ("" = self-scoring on the whole corpus). w1 is recovered from the
@@ -1091,9 +1115,7 @@ object OracleOpsQueries {
          |SELECT doc_id, n_tokens, n_chars2, n_punct, n_stopwords,
          |  CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars2, 1) AS DOUBLE) AS punct_ratio,
          |  CAST(n_stopwords AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
-         |  (least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
-         |   + least((CAST(n_stopwords AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 4.0, 1.0)
-         |   + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars2, 1) AS DOUBLE)) * 10.0, 1.0))) / 3.0 AS quality
+         |  ${qualityExprSql("n_tokens", "n_stopwords", "n_punct", "n_chars2")} AS quality
          |FROM feat""".stripMargin,
     "text_langid" ->
       s"""WITH scored AS (
@@ -1643,19 +1665,10 @@ object OracleOpsQueries {
          |  FROM toks),
          |s AS (
          |  SELECT f.doc_id, d.lang AS stratum, f.n_tokens,
-         |    (least(CAST(f.n_tokens AS DOUBLE) / 64.0, 1.0)
-         |     + least((CAST(f.n_stopwords AS DOUBLE) / CAST(greatest(f.n_tokens, 1) AS DOUBLE)) * 4.0, 1.0)
-         |     + (1.0 - least((CAST(f.n_punct AS DOUBLE) / CAST(greatest(f.n_chars2, 1) AS DOUBLE)) * 10.0, 1.0))) / 3.0 AS score,
+         |    ${qualityExprSql("f.n_tokens", "f.n_stopwords", "f.n_punct", "f.n_chars2")} AS score,
          |    CASE WHEN d.lang = 'en' THEN 5000 ELSE 2000 END AS budget
          |  FROM feat f JOIN documents d USING (doc_id)),
-         |c AS (
-         |  SELECT doc_id, stratum, score, n_tokens, budget,
-         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY score DESC, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-         |  FROM s)
-         |SELECT doc_id, stratum, score, n_tokens,
-         |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
-         |FROM c WHERE cum_before < budget""".stripMargin,
+         |${budgetCurationSql("s")}""".stripMargin,
     "corpus_lm_budget" ->
       s"""WITH ${lmBigramCtes("JOIN documents d USING (doc_id) WHERE d.lang = 'en'")},
          |sc AS (
@@ -1668,12 +1681,5 @@ object OracleOpsQueries {
          |  FROM documents docs
          |  LEFT JOIN agg USING (doc_id)
          |  JOIN toks tk USING (doc_id)),
-         |c AS (
-         |  SELECT doc_id, stratum, score, n_tokens, budget,
-         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY score DESC, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-         |  FROM sc)
-         |SELECT doc_id, stratum, score, n_tokens,
-         |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
-         |FROM c WHERE cum_before < budget""".stripMargin)
+         |${budgetCurationSql("sc")}""".stripMargin)
 }

@@ -37,9 +37,14 @@ object CorpusJsonl {
 
   /** Read a JSONL path into (clean, quarantine): clean rows parsed fully
     * with a present doc_id (the primary key every downstream op joins on);
-    * quarantine rows carry the raw offending line for audit/repair. The
-    * two frames share one scan subtree — Spark caches the parsed batch, so
-    * materializing both costs one read. */
+    * quarantine rows carry the offending line's CONTENT for audit/repair —
+    * the raw text for malformed lines (PERMISSIVE's corrupt-record
+    * capture), and a re-serialized rendering of the parsed fields for
+    * lines that parse but lack the key (the corrupt column is NULL for
+    * those, and the raw bytes are gone after parsing — re-serializing is
+    * the audit trail that survives). The two frames are independent lazy
+    * plans over the same scan; a caller materializing both pays two
+    * parses — persist the parsed frame first if that matters. */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val raw = spark.read
       .schema(schema)
@@ -48,8 +53,11 @@ object CorpusJsonl {
       .json(path)
     val clean = raw.filter(col(Corrupt).isNull && col("doc_id").isNotNull)
       .drop(Corrupt)
+    val parsedFields = schema.fieldNames.filterNot(_ == Corrupt).map(col)
     val quarantine = raw.filter(col(Corrupt).isNotNull || col("doc_id").isNull)
-      .select(col(Corrupt).as("raw_line"), col("doc_id"))
+      .select(
+        coalesce(col(Corrupt), to_json(struct(parsedFields: _*))).as("raw_line"),
+        col("doc_id"))
     (clean, quarantine)
   }
 }

@@ -483,16 +483,18 @@ object Similarity {
                      nLists: Int = 8, threshold: Double = 0.5): DataFrame = {
     val e = emb.select(col(id), asDouble(col(vec)).as("v"))
     val assigned = e.withColumn("list_id",
-      array_min(pinnedDistStructs(e, id, nLists)).getField("i"))
+      array_min(pinnedDistStructs(e, id, nLists)._2).getField("i"))
     semDedupAssigned(assigned, id, threshold)
   }
 
-  /** Scan-side (sqdist, index) structs to the pinned centroids (the
-    * embeddings with id < nLists) — `array_min(...)` over them is the
-    * argmin assignment, shared by [[semDedupPinned]] and
-    * [[centroidDistPinned]]. */
+  /** Collected pinned-centroid vectors plus the scan-side (sqdist, index)
+    * structs to them (the embeddings with id < nLists) — `array_min(...)`
+    * over the structs is the argmin assignment, shared by
+    * [[semDedupPinned]] and [[centroidDistPinned]]; the vectors come back
+    * too so callers needing them (the centroid broadcast side) reuse the
+    * one collect instead of re-scanning the table. */
   private def pinnedDistStructs(e: DataFrame, id: String,
-                                nLists: Int): Column = {
+                                nLists: Int): (Array[Seq[Double]], Column) = {
     val cents: Array[Seq[Double]] = e.filter(col(id) < nLists)
       .orderBy(col(id)).collect().map(_.getSeq[Double](1))
     // the pin assumes ids 0..nLists-1 exist; with a sparse or non-zero-based
@@ -505,9 +507,9 @@ object Similarity {
     def sqdistTo(c: Seq[Double]): Column =
       aggregate(zip_with(col("v"), array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x)
-    array(cents.zipWithIndex.map { case (c, i) =>
+    (cents, array(cents.zipWithIndex.map { case (c, i) =>
       struct(sqdistTo(c).as("d"), lit(i).as("i"))
-    }.toSeq: _*)
+    }.toSeq: _*))
   }
 
   /** Prototypicality signal (the pruning metric of Sorscher et al.,
@@ -528,10 +530,16 @@ object Similarity {
   def centroidDistPinned(emb: DataFrame, id: String, vec: String,
                          nLists: Int = 8): DataFrame = {
     val e = emb.select(col(id), asDouble(col(vec)).as("v"))
-    val m = array_min(pinnedDistStructs(e, id, nLists))
-    val cdf = e.filter(col(id) < nLists)
-      .select(col(id).cast("int").as("list_id"), col("v").as("cv"),
-        norm(col("v")).as("cnrm"))
+    val (cents, distStructs) = pinnedDistStructs(e, id, nLists)
+    val m = array_min(distStructs)
+    // the centroid vectors are ALREADY on the driver (the pin collect) —
+    // build the broadcast side as a local relation instead of re-scanning
+    // the full embeddings table a second time just to filter nLists rows
+    import e.sparkSession.implicits._
+    val cdf = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("list_id", "cv")
+      .withColumn("cv", col("cv").cast("array<double>"))
+      .withColumn("cnrm", norm(col("cv")))
     e.withColumn("list_id", m.getField("i"))
       .withColumn("sqdist", m.getField("d"))
       .join(broadcast(cdf), Seq("list_id"))

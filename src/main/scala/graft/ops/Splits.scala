@@ -280,8 +280,17 @@ object Splits {
     val ww = Window.partitionBy(col("stratum"), col("__b"))
       .orderBy(col("score").desc, col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // a NULL score would SILENTLY corrupt the kept set: the NULL bucket
+    // sorts first in the offsets window (inflating every real bucket's
+    // __off by the null rows' token mass) while the non-null-safe __b
+    // join-back then drops those rows — wrong selection, no error. Fail
+    // per-row instead; the when-branch is codegen'd and costs ~nothing.
+    val checkedScore = when(score.isNull,
+      raise_error(lit("qualityBudgetSample: score column contains NULLs — " +
+        "filter them or coalesce to a sentinel before curating")))
+      .otherwise(score.cast("double"))
     val base = df.select(col(id), stratum.as("stratum"),
-        score.cast("double").as("score"),
+        checkedScore.as("score"),
         nTokens.cast("long").as("n_tokens"),
         budgetTokens.cast("long").as("__budget"))
       .withColumn("__b",

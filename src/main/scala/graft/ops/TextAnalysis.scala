@@ -434,6 +434,21 @@ object TextAnalysis {
     coalesce(expr(s"(c12 * ${scale}L) div c1"), lit(0L)),
     col("c12").isNull.cast("long"))
 
+  /** Per-document derived columns over NON-NULL (n_bigrams,
+    * n_oov_bigrams, sum_score) aggregates — shared by the batch and
+    * streaming scorers for the same cannot-diverge reason as
+    * [[lmOccurrenceScore]] (the sessionize variants set the precedent:
+    * shared finalization, shared semantics). */
+  private[graft] def lmDocColumns: Seq[Column] = Seq(
+    col("n_bigrams"), col("n_oov_bigrams"),
+    when(col("n_bigrams") > 0,
+      col("n_oov_bigrams").cast("double") / col("n_bigrams").cast("double"))
+      .otherwise(0.0).as("oov_frac"),
+    col("sum_score"),
+    when(col("n_bigrams") > 0,
+      col("sum_score").cast("double") / col("n_bigrams").cast("double"))
+      .otherwise(0.0).as("lm_score"))
+
   /** Bigram language-model quality score — the CCNet "perplexity filter"
     * shape without the float hazard: score each document by the average
     * conditional probability of its bigrams under a count-based LM
@@ -498,12 +513,7 @@ object TextAnalysis {
       .select(col(id),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_oov_bigrams"), lit(0L)).as("n_oov_bigrams"),
-        when(col("n_bigrams") > 0,
-          col("n_oov_bigrams").cast("double") / col("n_bigrams").cast("double"))
-          .otherwise(0.0).as("oov_frac"),
-        coalesce(col("sum_score"), lit(0L)).as("sum_score"),
-        when(col("n_bigrams") > 0,
-          col("sum_score").cast("double") / col("n_bigrams").cast("double"))
-          .otherwise(0.0).as("lm_score"))
+        coalesce(col("sum_score"), lit(0L)).as("sum_score"))
+      .select(col(id) +: lmDocColumns: _*)
   }
 }

@@ -162,21 +162,19 @@ object Streams {
     graft.ops.TextAnalysis
       .bigramOccurrences(docs, idCol, textCol, keep = Seq("event_time"))
       .withWatermark("event_time", lateness)
-      .join(lm, Seq("h1", "h12"), "left")
+      // project the LM to exactly its four columns — a persisted/merged LM
+      // may carry bookkeeping columns (partition cols, an event_time of its
+      // own) that would otherwise collide ambiguously after the join; the
+      // batch scorer makes the same defensive projection
+      .join(lm.select(col("h1"), col("h12"), col("c12"), col("c1")),
+        Seq("h1", "h12"), "left")
       .select(col(idCol), col("event_time"),
         occScore.as("score"), occOov.as("oov"))
       .groupBy(window(col("event_time"), windowDur), col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("oov")).as("n_oov_bigrams"),
         sum(col("score")).as("sum_score"))
-      .select(col(idCol), col("n_bigrams"), col("n_oov_bigrams"),
-        when(col("n_bigrams") > 0,
-          col("n_oov_bigrams").cast("double") / col("n_bigrams").cast("double"))
-          .otherwise(0.0).as("oov_frac"),
-        col("sum_score"),
-        when(col("n_bigrams") > 0,
-          col("sum_score").cast("double") / col("n_bigrams").cast("double"))
-          .otherwise(0.0).as("lm_score"))
+      .select(col(idCol) +: graft.ops.TextAnalysis.lmDocColumns: _*)
   }
 
   /** One micro-batch of a user's events folded into the open-session

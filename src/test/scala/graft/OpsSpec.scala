@@ -166,6 +166,16 @@ class OpsSpec extends SparkSpec {
       ties, "doc_id", col("grp"), col("q"), col("nt"), lit(2L))
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(keptTies === Seq(1L, 2L))
+    // a NULL score must fail loudly, not silently corrupt the kept set
+    val nulled = Seq((1L, 0L, Some(0.5), 1L), (2L, 0L, None, 1L))
+      .toDF("doc_id", "grp", "q", "nt")
+    val ex = intercept[Exception] {
+      graft.ops.Splits.qualityBudgetSample(
+        nulled, "doc_id", col("grp"), col("q"), col("nt"), lit(2L)).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("score column contains NULLs")), chain.mkString(" | "))
   }
 
   test("two-phase cutoff equals the monolithic window; big window keyed on (stratum, bucket)") {

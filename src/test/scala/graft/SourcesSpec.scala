@@ -62,6 +62,9 @@ class SourcesSpec extends SparkSpec {
     assert(q.length === 2)
     // the malformed line's raw text is preserved for audit
     assert(q.exists(r => Option(r.getString(0)).exists(_.contains("truncated json"))))
+    // a parseable-but-keyless line keeps its CONTENT too (re-serialized —
+    // the raw bytes are gone after parsing, but the audit trail survives)
+    assert(q.exists(r => Option(r.getString(0)).exists(_.contains("no primary key"))))
     // total is auditable: clean + quarantine = input lines
     assert(clean.count() + quarantine.count() === 4L)
   }
