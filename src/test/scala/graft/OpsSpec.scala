@@ -1120,6 +1120,14 @@ class OpsSpec extends SparkSpec {
         train = Some(docs))
       .collect().map(_.toSeq).toSet
     assert(viaMerged === viaFull)
+    // the persisted-LM claim: a parquet round trip preserves the LM
+    // exactly (types included), so train-once/score-many works across jobs
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    merged.write.mode("overwrite").parquet(dir)
+    val viaLoaded = TextAnalysis.lmScoreAgainst(docs, "doc_id", "text",
+        spark.read.parquet(dir))
+      .collect().map(_.toSeq).toSet
+    assert(viaLoaded === viaFull)
   }
 
   test("hash60 matches between driver-side and Catalyst implementations") {
