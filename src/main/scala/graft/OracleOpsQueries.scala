@@ -87,6 +87,23 @@ object OracleOpsQueries {
       "doc_id", "text")
   }
 
+  /** Unicode NFC normalization gate ([[graft.functions.NfcNormalize]],
+    * codegen'd; DuckDB mirror = `nfc_normalize`, the same UAX #15
+    * mapping). The synthetic corpus is ASCII (NFC = identity — a vacuous
+    * gate), so like `text_redact`/`text_c4` it PLANTS a decomposed
+    * sequence (e + combining acute U+0301) on every 7th doc in BOTH
+    * engines: the composed/decomposed char counts, the changed flag, and
+    * the NFC fingerprint all actually fire. */
+  def textNfc(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(" cafe\u0301")).otherwise(lit("")))
+    Tables.documents(s, d).select(col("doc_id"),
+      length(planted).cast("long").as("n_chars_raw"),
+      length(TextAnalysis.nfcNormalize(planted)).cast("long").as("n_chars_nfc"),
+      (TextAnalysis.nfcNormalize(planted) =!= planted).cast("int").as("changed"),
+      TextAnalysis.fingerprintNfc(planted).as("fp_nfc"))
+  }
+
   /** Bigram-LM quality score, self-scoring regime (LM trained on the
     * whole corpus). All fixed-point integer arithmetic → exact oracle. */
   def textLmBigram(s: SparkSession, d: String): DataFrame =
@@ -538,6 +555,7 @@ object OracleOpsQueries {
     "text_redact" -> (textRedact _),
     "text_repetition" -> (textRepetition _),
     "text_rare_tokens" -> (textRareTokens _),
+    "text_nfc" -> (textNfc _),
     "text_lm_bigram" -> (textLmBigram _),
     "text_lm_bigram_cross" -> (textLmBigramCross _),
     "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
@@ -1239,6 +1257,17 @@ object OracleOpsQueries {
          |    THEN CAST(COALESCE(agg.sum_df, 0) AS DOUBLE) / CAST(base.n_tokens AS DOUBLE)
          |    ELSE 0.0 END AS mean_token_df
          |FROM base LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "text_nfc" ->
+      s"""WITH pl AS (
+         |  SELECT doc_id,
+         |    text || (CASE WHEN doc_id % 7 = 0 THEN ' cafe' || chr(769) ELSE '' END) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(t) AS BIGINT) AS n_chars_raw,
+         |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
+         |  CAST(nfc_normalize(t) != t AS INT) AS changed,
+         |  md5(regexp_replace(trim(lower(nfc_normalize(t))), '\\s+', ' ', 'g')) AS fp_nfc
+         |FROM pl""".stripMargin,
     "text_lm_bigram" -> lmBigramSql(trainJoin = ""),
     "text_lm_bigram_cross" ->
       lmBigramSql(trainJoin = "JOIN documents d USING (doc_id) WHERE d.lang = 'en'"),

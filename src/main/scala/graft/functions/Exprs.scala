@@ -93,6 +93,28 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_hash"
 }
 
+/** Unicode NFC normalization (UAX #15) as a codegen'd expression — the
+  * canonicalization a corpus pipeline must run BEFORE fingerprinting or
+  * shingling multilingual text, or visually identical documents (é as
+  * U+00E9 vs e+U+0301) land in different dedup groups. Oracle-checkable:
+  * DuckDB's `nfc_normalize` implements the same UAX #15 mapping. Both
+  * paths route through [[Units.nfc]], so interpreted and codegen'd
+  * execution cannot drift. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Units.nfc(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Units.nfc($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** Codegen'd dot product over two array<double> columns — the hot inner
   * loop of every similarity operator. Replaces the
   * `aggregate(zip_with(a, b, *), 0.0, +)` higher-order-function chain,
@@ -177,4 +199,6 @@ object F {
     Bridge.column(CounterDouble(Bridge.expression(c)))
   def rolling_hash(c: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(c)))
+  def nfc_normalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
 }

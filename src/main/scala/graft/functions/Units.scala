@@ -74,4 +74,9 @@ object Units {
     h
   }
   def rollingHash(s: String): Long = rollingHash(s.getBytes("UTF-8"))
+
+  /** Unicode NFC normalization (UAX #15) — both execution paths of
+    * [[graft.functions.NfcNormalize]] route through here. */
+  def nfc(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
 }

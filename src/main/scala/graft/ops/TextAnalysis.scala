@@ -372,6 +372,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = md5(normalized(text))
   def fingerprint60(text: Column): Column = hash60(normalized(text))
 
+  /** Unicode NFC normalization (codegen'd [[graft.functions.NfcNormalize]]
+    * expression) and the unicode-robust fingerprint built on it: without
+    * NFC first, visually identical multilingual documents (é composed
+    * vs decomposed) produce DIFFERENT fingerprints and silently escape
+    * exact dedup. */
+  def nfcNormalize(text: Column): Column = graft.functions.F.nfc_normalize(text)
+  def fingerprintNfc(text: Column): Column = md5(normalized(nfcNormalize(text)))
+
   /** Per-occurrence bigram extraction: (id, h1 = hash of the first word,
     * h12 = hash of the bigram), one row per bigram POSITION (not
     * distinct — a language model counts occurrences). Tokens are

@@ -83,6 +83,34 @@ class ExprsSpec extends SparkSpec {
     assert(withNull.isNullAt(0) && withNull.isNullAt(1))
   }
 
+  test("nfc_normalize composes decomposed sequences, identity on ASCII, codegen'd") {
+    val decomposed = "cafe\u0301" // e + combining acute, 5 UTF-16 units
+    val composed = "caf\u00e9"    // precomposed, 4 UTF-16 units
+    // non-foldable input (concat) so the expression survives constant
+    // folding and actually executes through codegen
+    val df = Seq((decomposed, 1L), ("plain ascii", 2L), (composed, 3L))
+      .toDF("s", "i")
+      .select($"i", F.nfc_normalize(concat($"s", lit(""))).as("n"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === composed)
+    assert(out(1L).length === 4)
+    assert(out(2L) === "plain ascii") // NFC identity on ASCII
+    assert(out(3L) === composed)      // already-composed unchanged
+    // codegen and interpreted paths agree (both route through Units.nfc)
+    assert(graft.functions.Units.nfc(decomposed) === composed)
+    // a range-backed plan defeats ConvertToLocalRelation, so the
+    // expression demonstrably runs inside WholeStageCodegen
+    val ranged = spark.range(2)
+      .select(F.nfc_normalize(concat(lit(decomposed), $"id".cast("string"))).as("n"))
+    val hasCodegen = ranged.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegen, ranged.queryExecution.executedPlan.toString)
+    assert(ranged.as[String].collect().toSeq === Seq(composed + "0", composed + "1"))
+    // null propagates
+    val n = Seq[java.lang.String](null).toDF("s").select(F.nfc_normalize($"s")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("null propagates") {
     val out = Seq[(java.lang.String, java.lang.Long)](((null, null))).toDF("s", "v")
       .select(F.parse_size($"s"), F.counter_double($"v")).collect()(0)
