@@ -433,6 +433,55 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize: decode via ImageIO, scale the longer side down to
+    * `maxDim` (never upscale) with bilinear Graphics2D, re-encode as PNG
+    * (ImageIO's PNG writer is deterministic — no timestamps — so identical
+    * payloads resize to identical bytes). None when ImageIO has no reader
+    * or the decoder throws on a malformed payload, mirroring
+    * [[imageDecode]]'s never-kill-the-task contract. */
+  def imageResize(row: MediaRow, maxDim: Int): Option[ResizedMedia] = try {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.content))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      if (math.max(w, h) <= maxDim)
+        Some(ResizedMedia(row.doc_id, row.kind, row.content, row.content.length.toLong))
+      else {
+        val scale = maxDim.toDouble / math.max(w, h)
+        val nw = math.max(1, math.round(w * scale).toInt)
+        val nh = math.max(1, math.round(h * scale).toInt)
+        val dst = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+        g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", baos)
+        Some(ResizedMedia(row.doc_id, row.kind, baos.toByteArray,
+          row.content.length.toLong))
+      }
+    }
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** Image-aware resize pass: REAL pixel resampling ([[imageResize]]) for
+    * image payloads, passthrough for everything else and for payloads
+    * ImageIO cannot decode — an enrichment stage must never lose the
+    * payload. Same partition-local no-shuffle shape as [[decode]];
+    * [[resize]] stays as the byte-budget variant for opaque payloads. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   maxDim: Int = 256): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      (if (r.kind.startsWith("image")) imageResize(r, maxDim) else None)
+        .getOrElse(ResizedMedia(r.doc_id, r.kind, r.content, r.content.length.toLong))
+    })
+  }
+
   /** Frame sampling for "video" payloads: every nth fixed-size byte chunk,
     * exploded scan-side (pure column algebra, no UDF). */
   def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {

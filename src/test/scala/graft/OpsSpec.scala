@@ -514,6 +514,40 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.features.toSeq).toSeq === again.map(_.features.toSeq).toSeq)
   }
 
+  test("resizeImages: real pixel resample for images, passthrough otherwise") {
+    import java.awt.image.BufferedImage
+    def encode(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x101010 else 0xF0F0F0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", encode(64, 48)),  // downscaled
+      Multimodal.MediaRow(2L, "image/png", encode(12, 8)),   // under maxDim: passthrough
+      Multimodal.MediaRow(3L, "image/png", Array[Byte](9, 9)), // corrupt: passthrough
+      Multimodal.MediaRow(4L, "audio/wav", "notanimage".getBytes("UTF-8"))
+    ).toDS().toDF()
+    val out = Multimodal.resizeImages(spark, rows, maxDim = 16).collect().sortBy(_.doc_id)
+    // the big image really resampled: decode the output PNG and check dims
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).content))
+    assert(resized.getWidth === 16 && resized.getHeight === 12) // aspect kept
+    assert(out(0).orig_bytes === rows.collect()(0).getAs[Array[Byte]]("content").length.toLong)
+    // pixel structure survives the resample: left dark, right light
+    val lum = (x: Int) => resized.getRGB(x, 6) & 0xff
+    assert(lum(1) < 0x40 && lum(14) > 0xB0)
+    // small/corrupt/non-image payloads pass through byte-identically
+    assert(out(1).content.toSeq === rows.collect()(1).getAs[Array[Byte]]("content").toSeq)
+    assert(out(2).content.toSeq === Seq[Byte](9, 9))
+    assert(out(3).content.toSeq === "notanimage".getBytes("UTF-8").toSeq)
+    // deterministic: identical payloads resize to identical bytes
+    val again = Multimodal.resizeImages(spark, rows, maxDim = 16).collect().sortBy(_.doc_id)
+    assert(out.map(_.content.toSeq).toSeq === again.map(_.content.toSeq).toSeq)
+  }
+
   test("imageDecode never throws on adversarial payloads — falls back to None") {
     // ADVICE r3: ImageIO.read raises RuntimeExceptions (CMMException, IAE,
     // AIOOBE) on some real-world malformed payloads, not just IOException.
