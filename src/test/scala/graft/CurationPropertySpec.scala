@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two-phase quality-budget curation checked against a sequential
+  * brute-force reference on randomized corpora. The risk being tested is
+  * the two-phase formulation itself — bucket monotonicity of the
+  * descending-score histogram, offset arithmetic, and the (stratum,
+  * bucket) join-back — so the reference is deliberately plain Scala with
+  * the same (score DESC, id) convention. Scores round to 2 decimals so
+  * ties (the id tie-break path) occur in every trial, and every trial
+  * runs with a tiny bucket count AND a shuffled physical layout so
+  * multi-bucket offsets and layout-invariance are both exercised.
+  */
+class CurationPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-phase curation matches a sequential reference on random corpora") {
+    val rnd = new scala.util.Random(1234)
+    (0 until 5).foreach { trial =>
+      val n = 80 + rnd.nextInt(200)
+      val nStrata = 1 + rnd.nextInt(4)
+      val rows = (1 to n).map { i =>
+        (i.toLong, rnd.nextInt(nStrata).toLong,
+          math.floor(rnd.nextDouble() * 100) / 100.0, // 2dp -> forced ties
+          1L + rnd.nextInt(20))
+      }
+      val budget = 20L + rnd.nextInt(400)
+      val df = rows.toDF("doc_id", "grp", "q", "nt").repartition(7)
+      val got = graft.ops.Splits.qualityBudgetSample(
+          df, "doc_id", col("grp"), col("q"), col("nt"), lit(budget),
+          nHistBuckets = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+        .toSet
+
+      // sequential reference: per stratum walk (score DESC, id ASC),
+      // keep while tokens-before < budget (boundary doc kept)
+      val expected = rows.groupBy(_._2).flatMap { case (g, docs) =>
+        var cum = 0L
+        docs.sortBy { case (id, _, q, _) => (-q, id) }.flatMap {
+          case (id, _, q, nt) =>
+            val keep = cum < budget
+            cum += nt
+            if (keep) Some((id, g, q, nt, cum)) else None
+        }
+      }.toSet
+      assert(got === expected, s"trial $trial (n=$n strata=$nStrata budget=$budget)")
+    }
+  }
+}
