@@ -109,6 +109,12 @@ object OracleOpsQueries {
   def textLmBigram(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmBigramScore(Tables.documents(s, d), "doc_id", "text")
 
+  /** Trigram-LM score, self-scoring — the same fixed-point machinery one
+    * order up (P(w3|w1 w2), a two-word conditioning prefix), gating the
+    * generalized n-gram path. */
+  def textLmTrigram(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmBigramScore(Tables.documents(s, d), "doc_id", "text", n = 3)
+
   /** Bigram-LM score, cross-scoring regime — the actual CCNet setup:
     * LM trained on a reference slice (here `lang = 'en'`, 218 of 500 docs
     * at sf0.01), every doc scored against it. Non-English docs surface
@@ -557,6 +563,7 @@ object OracleOpsQueries {
     "text_rare_tokens" -> (textRareTokens _),
     "text_nfc" -> (textNfc _),
     "text_lm_bigram" -> (textLmBigram _),
+    "text_lm_trigram" -> (textLmTrigram _),
     "text_lm_bigram_cross" -> (textLmBigramCross _),
     "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
     "text_quality_histogram" -> (textQualityHistogram _),
@@ -637,18 +644,21 @@ object OracleOpsQueries {
     * whitespace. All arithmetic is BIGINT (// is DuckDB integral
     * division; SUMs re-cast from HUGEINT) so the hash is dtype-exact. */
   /** The CTE chain shared by the standalone LM gates and the composed
-    * curation gate: tokens → per-position bigrams → pair-keyed LM counts
+    * curation gate: tokens → per-position n-grams → pair-keyed LM counts
     * (c12 by (h1, h12), c1 as a window marginal — the exact mirror of
-    * the Spark plan) → per-doc fixed-point aggregates. */
-  private def lmBigramCtes(trainJoin: String): String =
+    * the Spark plan) → per-doc fixed-point aggregates. The conditioning
+    * prefix is the n-gram minus its last token (tokens cannot contain
+    * whitespace, so stripping ` [^ ]+$` is exact for every order). */
+  private def lmNgramCtes(n: Int, trainJoin: String): String = {
+    val gram = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
     s"""$toksCte,
        |bgl AS (
-       |  SELECT doc_id, CASE WHEN len(t) >= 2
-       |    THEN list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+       |  SELECT doc_id, CASE WHEN len(t) >= $n
+       |    THEN list_transform(generate_series(1, len(t)-${n - 1}), i -> $gram)
        |    ELSE [] END AS l
        |  FROM toks),
        |bg AS (SELECT doc_id, unnest(l) AS s FROM bgl),
-       |bgh AS (SELECT doc_id, ${h60("split_part(s, ' ', 1)")} AS h1,
+       |bgh AS (SELECT doc_id, ${h60("regexp_replace(s, ' [^ ]+$', '')")} AS h1,
        |               ${h60("s")} AS h12 FROM bg),
        |tr AS (SELECT bgh.doc_id, h1, h12 FROM bgh $trainJoin),
        |pc AS (SELECT h1, h12, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY h1, h12),
@@ -661,9 +671,10 @@ object OracleOpsQueries {
        |    CAST(SUM(COALESCE((lm.c12 * 10000) // lm.c1, 0)) AS BIGINT) AS sum_score
        |  FROM bgh b LEFT JOIN lm USING (h1, h12)
        |  GROUP BY b.doc_id)""".stripMargin
+  }
 
-  private def lmBigramSql(trainJoin: String): String =
-    s"""WITH ${lmBigramCtes(trainJoin)}
+  private def lmNgramSql(n: Int, trainJoin: String): String =
+    s"""WITH ${lmNgramCtes(n, trainJoin)}
        |SELECT docs.doc_id,
        |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
        |  COALESCE(agg.n_oov_bigrams, 0) AS n_oov_bigrams,
@@ -1268,9 +1279,10 @@ object OracleOpsQueries {
          |  CAST(nfc_normalize(t) != t AS INT) AS changed,
          |  md5(regexp_replace(trim(lower(nfc_normalize(t))), '\\s+', ' ', 'g')) AS fp_nfc
          |FROM pl""".stripMargin,
-    "text_lm_bigram" -> lmBigramSql(trainJoin = ""),
+    "text_lm_bigram" -> lmNgramSql(2, trainJoin = ""),
+    "text_lm_trigram" -> lmNgramSql(3, trainJoin = ""),
     "text_lm_bigram_cross" ->
-      lmBigramSql(trainJoin = "JOIN documents d USING (doc_id) WHERE d.lang = 'en'"),
+      lmNgramSql(2, trainJoin = "JOIN documents d USING (doc_id) WHERE d.lang = 'en'"),
     "dataset_split" ->
       s"""WITH b AS (
          |  SELECT doc_id,
@@ -1699,7 +1711,7 @@ object OracleOpsQueries {
          |  FROM feat f JOIN documents d USING (doc_id)),
          |${budgetCurationSql("s")}""".stripMargin,
     "corpus_lm_budget" ->
-      s"""WITH ${lmBigramCtes("JOIN documents d USING (doc_id) WHERE d.lang = 'en'")},
+      s"""WITH ${lmNgramCtes(2, "JOIN documents d USING (doc_id) WHERE d.lang = 'en'")},
          |sc AS (
          |  SELECT docs.doc_id, docs.lang AS stratum,
          |    (CASE WHEN COALESCE(agg.n_bigrams, 0) > 0

@@ -389,16 +389,26 @@ object TextAnalysis {
     * 60-bit hashes ship through the downstream shuffles. */
   private[graft] def bigramOccurrences(df: DataFrame, id: String,
                                        text: String,
-                                       keep: Seq[String] = Nil): DataFrame = {
+                                       keep: Seq[String] = Nil): DataFrame =
+    ngramOccurrences(df, id, text, 2, keep)
+
+  /** Generalized per-occurrence n-gram extraction: h1 hashes the (n−1)-word
+    * PREFIX (the LM conditioning context), h12 the full n-gram. n = 2 is
+    * the bigram case ([[bigramOccurrences]]). */
+  private[graft] def ngramOccurrences(df: DataFrame, id: String,
+                                      text: String, n: Int,
+                                      keep: Seq[String] = Nil): DataFrame = {
+    require(n >= 2, s"an n-gram LM needs n >= 2, got $n")
     val t = col("__tokens")
-    val bgs = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1), i =>
-        struct(element_at(t, i).as("w1"),
-          concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("bg")))
+    val gs = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)), i =>
+        struct(
+          concat_ws(" ", (0 until n - 1).map(k => element_at(t, i + k)): _*).as("w1"),
+          concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*).as("bg")))
     ).otherwise(array())
     val kept = keep.map(col)
     df.select(col(id) +: tokens(col(text)).as("__tokens") +: kept: _*)
-      .select(col(id) +: explode(bgs).as("b") +: kept: _*)
+      .select(col(id) +: explode(gs).as("b") +: kept: _*)
       .select(col(id) +: hash60(col("b.w1")).as("h1") +:
         hash60(col("b.bg")).as("h12") +: kept: _*)
   }
@@ -411,9 +421,10 @@ object TextAnalysis {
     * scoring job — batch [[lmBigramScore]] or streaming
     * [[graft.streaming.Streams.lmScoreStream]] — joins it without
     * re-touching the train corpus. */
-  def lmPairTable(train: DataFrame, id: String, text: String): DataFrame = {
+  def lmPairTable(train: DataFrame, id: String, text: String,
+                  n: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    bigramOccurrences(train, id, text)
+    ngramOccurrences(train, id, text, n)
       .groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("c12"))
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("h1"))))
   }
@@ -494,22 +505,27 @@ object TextAnalysis {
     * ONE bigram, comfortably past a 100 TB corpus (~2·10¹³ tokens). */
   def lmBigramScore(df: DataFrame, id: String, text: String,
                     train: Option[DataFrame] = None,
-                    scale: Long = 10000L): DataFrame =
+                    scale: Long = 10000L, n: Int = 2): DataFrame =
     // the LM is keyed by the (h1, h12) PAIR end to end — c12 is the pair
     // count and the scoring join matches on both hashes — so the oracle
     // mirror has identical semantics at any scale, 60-bit collisions
     // included (a single-key c12 would diverge from the pair join the
-    // moment two prefixes collide into one bigram hash)
-    lmScoreAgainst(df, id, text, lmPairTable(train.getOrElse(df), id, text),
-      scale)
+    // moment two prefixes collide into one bigram hash). `n` raises the
+    // LM order (n = 3 → trigram P(w3|w1 w2), the same machinery with a
+    // two-word conditioning prefix — the CCNet direction; the data
+    // sparsity/OOV trade is the caller's).
+    lmScoreAgainst(df, id, text,
+      lmPairTable(train.getOrElse(df), id, text, n), scale, n)
 
   /** Score a corpus against a PRE-BUILT (possibly [[lmPairTableMerge]]d
     * or parquet-loaded) LM — the batch face of the train-once/score-many
-    * path; [[lmBigramScore]] is this plus an inline [[lmPairTable]]. */
+    * path; [[lmBigramScore]] is this plus an inline [[lmPairTable]].
+    * `n` must match the order the LM was trained with. */
   def lmScoreAgainst(df: DataFrame, id: String, text: String,
-                     lm: DataFrame, scale: Long = 10000L): DataFrame = {
+                     lm: DataFrame, scale: Long = 10000L,
+                     n: Int = 2): DataFrame = {
     val (occScore, occOov) = lmOccurrenceScore(scale)
-    val scored = bigramOccurrences(df, id, text)
+    val scored = ngramOccurrences(df, id, text, n)
       .join(lm.select(col("h1"), col("h12"), col("c12"), col("c1")),
         Seq("h1", "h12"), "left")
       .select(col(id), occScore.as("score"), occOov.as("oov"))

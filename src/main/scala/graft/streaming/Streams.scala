@@ -152,7 +152,8 @@ object Streams {
   def lmScoreStream(docs: DataFrame, lm: DataFrame, idCol: String,
                     textCol: String, scale: Long = 10000L,
                     windowDur: String = "1 minute",
-                    lateness: String = "10 minutes"): DataFrame = {
+                    lateness: String = "10 minutes",
+                    n: Int = 2): DataFrame = {
     // fail here with the fix in the message, not later with an opaque
     // unresolved-column error from the watermark (intervalJoin's pattern)
     require(docs.columns.contains("event_time"),
@@ -160,7 +161,7 @@ object Streams {
         "stream (the watermark that bounds the per-doc aggregation state)")
     val (occScore, occOov) = graft.ops.TextAnalysis.lmOccurrenceScore(scale)
     graft.ops.TextAnalysis
-      .bigramOccurrences(docs, idCol, textCol, keep = Seq("event_time"))
+      .ngramOccurrences(docs, idCol, textCol, n, keep = Seq("event_time"))
       .withWatermark("event_time", lateness)
       // project the LM to exactly its four columns — a persisted/merged LM
       // may carry bookkeeping columns (partition cols, an event_time of its

@@ -1135,6 +1135,15 @@ class OpsSpec extends SparkSpec {
     assert(cross(1L) === ((3L, 0L, 0.0, 30000L, 10000.0)))
     assert(cross(2L) === ((2L, 1L, 0.5, 10000L, 5000.0)))
     assert(cross(3L) === ((0L, 0L, 0.0, 0L, 0.0)))
+    // trigram order (n = 3): pairs {(a b a):1,(b a b):1,(a b c):1},
+    // prefix totals {"a b":2, "b a":1} → doc1 = 5000+10000, doc2 = 5000
+    val tri = TextAnalysis.lmBigramScore(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(tri(1L) === ((2L, 15000L, 7500.0)))
+    assert(tri(2L) === ((1L, 5000L, 5000.0)))
+    assert(tri(3L) === ((0L, 0L, 0.0)))
   }
 
   test("lmPairTableMerge equals training on the concatenated corpus") {
