@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided fixture tables (TESTDATA.md).
   *
@@ -25,7 +27,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** The events stream table, with `ts` ALWAYS a ns-epoch Long.
+    *
+    * The fixture has shipped `ts` in two physical encodings: parquet
+    * TIMESTAMP(NANOS) (readable only as a ns Long via
+    * `spark.sql.legacy.parquet.nanosAsLong`, which every entry point sets)
+    * and parquet TIMESTAMP(MICROS) (read as a timestamp type). Every
+    * downstream operator does exact integer arithmetic on ns longs (the
+    * values exceed the 2^53 double mantissa), so this loader is the single
+    * normalization point: timestamp encodings are converted with
+    * `unix_micros` — exact, no float — ×1000 back to ns. The cast to
+    * session-local timestamp is a no-op for TIMESTAMP and pins NTZ readings
+    * to UTC (all entry points set spark.sql.session.timeZone=UTC). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

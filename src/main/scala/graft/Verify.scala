@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-      // read it as ns-epoch Long (matches the reference's ns-as-i64 model).
+      // If events.parquet carries TIMESTAMP(NANOS) — which Spark's reader
+      // otherwise rejects — read it as a ns-epoch Long (the reference's
+      // ns-as-i64 model). Tables.events normalizes either encoding to ns.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
