@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-drift defense for the events fixture (round-7 regression).
+  *
+  * The driver's testdata has shipped `events.ts` in two different parquet
+  * physical encodings across rounds: TIMESTAMP(NANOS) — which Spark reads
+  * as a ns-epoch Long under `spark.sql.legacy.parquet.nanosAsLong` — and
+  * TIMESTAMP(MICROS), which reads as a timestamp type. Round 6's fixture
+  * regen silently switched encodings and every events consumer threw at
+  * analysis time (`ts DIV 1000` on a timestamp), dropping five green
+  * queries from the correctness record. [[Tables.events]] now normalizes
+  * both encodings to the ns-epoch-Long contract; this spec pins that
+  * behavior against locally written fixtures of BOTH encodings so a future
+  * regen (or a third encoding) fails loudly here instead of silently in
+  * the driver.
+  */
+class EventsSchemaSpec extends SparkSpec {
+
+  // 2024-01-15T12:00:00.123456Z and one second later: instants whose µs
+  // part is non-zero, so a lossy double path would be caught.
+  private val micros = Seq(1705320000123456L, 1705320001123456L)
+
+  private def writeDir(): String =
+    Files.createTempDirectory("graft-events-schema").toString
+
+  private def baseRows(tsCol: (Long, Int) => Any): Seq[Row] =
+    micros.zipWithIndex.map { case (us, i) =>
+      Row(i.toLong, tsCol(us, i), 7L + i, "click", 1.5, """{"k":1}""")
+    }
+
+  private def schemaWith(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", tsType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  test("Tables.events passes a ns-epoch Long ts through untouched") {
+    val dir = writeDir()
+    val rows = baseRows((us, _) => us * 1000L) // ns longs at rest
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        schemaWith(LongType))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.events(spark, dir)
+    assert(got.schema("ts").dataType === LongType)
+    assert(got.select("ts").orderBy("ts").collect().map(_.getLong(0)).toSeq
+      === micros.map(_ * 1000L))
+  }
+
+  test("Tables.events converts a TIMESTAMP(MICROS) ts to exact ns longs") {
+    val dir = writeDir()
+    // java.sql.Timestamp carries nanos; build from µs exactly.
+    val rows = baseRows { (us, _) =>
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        schemaWith(TimestampType))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // Spark writes TimestampType as parquet TIMESTAMP(MICROS) by default —
+    // assert that premise so the fixture can't silently test the wrong path.
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType !== LongType)
+    val got = Tables.events(spark, dir)
+    assert(got.schema("ts").dataType === LongType)
+    assert(got.select("ts").orderBy("ts").collect().map(_.getLong(0)).toSeq
+      === micros.map(_ * 1000L))
+  }
+
+  test("both encodings feed r19SweepLine identically") {
+    // End-to-end: the downstream µs arithmetic (`ts DIV 1000`) must see
+    // the same values either way; sweepLine output is the sharpest probe
+    // because it mixes ts with value-seconds interval arithmetic.
+    val longDir = writeDir(); val tsDir = writeDir()
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        baseRows((us, _) => us * 1000L), 1), schemaWith(LongType))
+      .write.mode("overwrite").parquet(s"$longDir/events.parquet")
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        baseRows { (us, _) =>
+          val t = new Timestamp(us / 1000000L * 1000L)
+          t.setNanos(((us % 1000000L) * 1000L).toInt)
+          t
+        }, 1), schemaWith(TimestampType))
+      .write.mode("overwrite").parquet(s"$tsDir/events.parquet")
+    val a = OracleQueries.r19SweepLine(spark, longDir).orderBy("event_type").collect()
+    val b = OracleQueries.r19SweepLine(spark, tsDir).orderBy("event_type").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+  }
+}
