@@ -179,6 +179,45 @@ object OracleOpsQueries {
       (stratum + lit(1)) * lit(300L), salt = "mix")
   }
 
+  /** Token-window chunking: 16-token windows, stride 12 (25% overlap) —
+    * sized so the sf0.01 docs (~52 tokens) yield 3-5 chunks each, with
+    * single-chunk short docs and a short final chunk both occurring
+    * (non-vacuous boundary coverage). */
+  def corpusChunk(s: SparkSession, d: String): DataFrame =
+    graft.ops.Chunking.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+      chunkTokens = 16, stride = 12)
+
+  /** Temperature-weighted mixture: √-scaled per-SOURCE budgets over a
+    * 10k-token total ([[graft.ops.Splits.sqrtTemperatureBudgets]] — exact
+    * integer split), then the standard hash-ordered budget mix. 20 sources
+    * of ~1300 tokens each at sf0.01 → ~500-token budgets, so every
+    * stratum's cutoff binds. */
+  def corpusMixTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+    val budgets = graft.ops.Splits.sqrtTemperatureBudgets(
+      docs, col("source"), col("__nt"), totalBudget = 10000L)
+    val joined = docs.join(broadcast(budgets.toDF("__s4", "budget")),
+      col("source") === col("__s4"))
+    graft.ops.Splits.tokenBudgetSample(joined, "doc_id", col("source"),
+      col("__nt"), col("budget"), salt = "tmix")
+  }
+
+  /** Epoch up-sampling per language, budgets chosen so every code path
+    * fires at sf0.01 (lang token totals: en 11757, de 3549, es 3958,
+    * fr 3758, zh 4143): en 6000 trims in epoch 0, de 5000 trims in
+    * epoch 1, es 9000 hits the maxEpochs=2 cap with both epochs fully
+    * kept, fr 7600 caps, zh 7600 trims in epoch 1. */
+  def corpusUpsampleEpochs(s: SparkSession, d: String): DataFrame = {
+    val budget = when(col("lang") === "en", 6000L)
+      .when(col("lang") === "de", 5000L)
+      .when(col("lang") === "es", 9000L)
+      .otherwise(7600L)
+    graft.ops.Splits.epochUpsample(Tables.documents(s, d), "doc_id",
+      col("lang"), TextAnalysis.tokenCount(col("text")), budget,
+      salt = "epoch", maxEpochs = 2)
+  }
+
   /** Quality-ordered token-budget curation: per language, keep the
     * highest-quality docs until the language's token budget (en gets
     * 5000 tokens, every other language 2000 — both budgets bind at
@@ -600,6 +639,9 @@ object OracleOpsQueries {
     "corpus_budget_mix" -> (corpusBudgetMix _),
     "corpus_quality_budget" -> (corpusQualityBudget _),
     "corpus_lm_budget" -> (corpusLmBudget _),
+    "corpus_chunk" -> (corpusChunk _),
+    "corpus_mix_temperature" -> (corpusMixTemperature _),
+    "corpus_upsample_epochs" -> (corpusUpsampleEpochs _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -1695,6 +1737,75 @@ object OracleOpsQueries {
          |SELECT doc_id, stratum, n_tokens,
          |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_before < (stratum + 1) * 300""".stripMargin,
+    "corpus_chunk" ->
+      s"""WITH $toksCte,
+         |k AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |    CASE WHEN len(t) <= 16 THEN CAST(1 AS BIGINT)
+         |         ELSE (CAST(len(t) AS BIGINT) - 16 + 11) // 12 + 1 END AS nk
+         |  FROM toks WHERE len(t) > 0),
+         |e AS (
+         |  SELECT doc_id, t, n,
+         |    unnest(generate_series(0, nk - 1)) AS chunk_id
+         |  FROM k)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(chunk_id * 12 AS BIGINT) AS start_tok,
+         |  CAST(least(16, n - chunk_id * 12) AS BIGINT) AS n_tok,
+         |  array_to_string(list_slice(t, chunk_id * 12 + 1, chunk_id * 12 + 16), ' ') AS chunk_text
+         |FROM e""".stripMargin,
+    "corpus_mix_temperature" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source AS stratum,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT stratum, CAST(SUM(n_tokens) AS BIGINT) AS T FROM tok GROUP BY stratum),
+         |wts AS (SELECT stratum, CAST(floor(sqrt(CAST(T AS DOUBLE))) AS BIGINT) AS sw FROM tot),
+         |den AS (SELECT CAST(SUM(sw) AS BIGINT) AS den FROM wts),
+         |bud AS (
+         |  SELECT stratum,
+         |    CASE WHEN den <= 0 THEN CAST(0 AS BIGINT)
+         |         ELSE (10000 // den) * sw + ((10000 % den) * sw) // den END AS budget
+         |  FROM wts, den),
+         |base AS (
+         |  SELECT tok.doc_id, tok.stratum, tok.n_tokens, bud.budget,
+         |    ${h60("'tmix_' || CAST(tok.doc_id AS VARCHAR)")} AS rk
+         |  FROM tok JOIN bud USING (stratum)),
+         |c AS (
+         |  SELECT doc_id, stratum, n_tokens, budget,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM base)
+         |SELECT doc_id, stratum, n_tokens,
+         |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_before < budget""".stripMargin,
+    "corpus_upsample_epochs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang AS stratum,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT stratum, CAST(SUM(n_tokens) AS BIGINT) AS T FROM tok GROUP BY stratum),
+         |base AS (
+         |  SELECT doc_id, stratum, n_tokens,
+         |    CAST(CASE stratum WHEN 'en' THEN 6000 WHEN 'de' THEN 5000
+         |         WHEN 'es' THEN 9000 ELSE 7600 END AS BIGINT) AS budget,
+         |    ${h60("'epoch_' || CAST(doc_id AS VARCHAR)")} AS rk
+         |  FROM tok),
+         |c AS (
+         |  SELECT doc_id, stratum, n_tokens, budget,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM base),
+         |j AS (
+         |  SELECT c.doc_id, c.stratum, c.n_tokens, c.budget, c.cum_before, tot.T
+         |  FROM c JOIN tot USING (stratum)
+         |  WHERE c.budget > 0 AND tot.T > 0),
+         |e AS (
+         |  SELECT doc_id, stratum, n_tokens, budget, cum_before, T,
+         |    unnest(generate_series(0, least((budget + T - 1) // T, 2) - 1)) AS epoch
+         |  FROM j)
+         |SELECT doc_id, stratum, CAST(epoch AS BIGINT) AS epoch, n_tokens,
+         |  CAST(epoch * T + cum_before + n_tokens AS BIGINT) AS cum_tokens
+         |FROM e WHERE epoch * T + cum_before < budget""".stripMargin,
     "corpus_quality_budget" ->
       s"""WITH $toksCte,
          |feat AS (

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Token-window document chunking — the context-window construction pass of
+  * a training/RAG pipeline: each document becomes a sequence of
+  * fixed-size, optionally overlapping token windows.
+  *
+  * Convention (the standard sliding-window one):
+  *   - chunk k covers tokens `[k·stride, k·stride + chunkTokens)` of the
+  *     whitespace token array ([[TextAnalysis.tokens]] — the same split
+  *     every other text gate uses, so chunk token counts reconcile with
+  *     `text_tokens`);
+  *   - a document with `n ≤ chunkTokens` tokens yields exactly one chunk;
+  *     otherwise `⌈(n − chunkTokens) / stride⌉ + 1` chunks, so the last
+  *     chunk always reaches the final token and only the last may be
+  *     short. Documents with zero tokens yield no chunks (there is no
+  *     window to emit).
+  *
+  * Scale shape: pure scan-side column algebra — tokenize once, explode a
+  * `sequence(0, k−1)` of chunk ids, slice the materialized token array.
+  * ZERO shuffles for any corpus size; output volume is
+  * `≈ n_tokens / stride` rows per document (the overlap factor
+  * `chunkTokens / stride` is the only amplification, chosen by the
+  * caller). The token array is materialized ONCE per row before the
+  * explode — the per-chunk `slice` references it, so tokenization is not
+  * re-evaluated per chunk (same trap as the per-element lambda inlining
+  * measured 3-4× in TextAnalysis).
+  */
+object Chunking {
+
+  /** Chunk `df(text)` into token windows. Returns
+    * (id, chunk_id, start_tok, n_tok, chunk_text), where `chunk_text` is
+    * the window's tokens re-joined with single spaces (normalized
+    * whitespace — chunk consumers tokenize again by the same rule, so the
+    * round trip is lossless at the token level). */
+  def chunkByTokens(df: DataFrame, id: String, text: String,
+                    chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    // ⌈(n − chunkTokens) / stride⌉ + 1 via integer arithmetic:
+    // (n − chunkTokens + stride − 1) DIV stride + 1 (n > chunkTokens ⇒
+    // the numerator is positive, so floor-div == truncation here and the
+    // DuckDB mirror's `//` agrees).
+    val nChunks =
+      when(col("__n") <= chunkTokens, lit(1L))
+        .otherwise(
+          expr(s"(__n - $chunkTokens + $stride - 1) DIV $stride") + lit(1L))
+    df.select(col(id), TextAnalysis.tokens(col(text)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1L)))
+      .select(col(id), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(chunkTokens.toLong),
+          col("__n") - col("chunk_id") * stride).as("n_tok"),
+        array_join(
+          slice(col("__t"), (col("chunk_id") * stride + 1L).cast("int"),
+            lit(chunkTokens)),
+          " ").as("chunk_text"))
+  }
+}

@@ -243,6 +243,90 @@ object Splits {
         (col("__cum_before") + col("n_tokens")).as("cum_tokens"))
   }
 
+  /** Temperature-weighted (α = 1/2) per-stratum token budgets — the
+    * mixture-reweighting step of multi-domain corpus construction: small
+    * domains get MORE than their proportional share (weight ∝ √tokens,
+    * the classic temperature-sampling rebalance), and the budgets then
+    * feed [[tokenBudgetSample]] / [[epochUpsample]].
+    *
+    * Exactness (the reason α is fixed at 1/2): per-stratum weight is
+    * `s_i = ⌊√T_i⌋` — BIGINT→double conversion is exact below 2^53 and
+    * IEEE-754 `sqrt` is correctly rounded, so both engines floor the SAME
+    * double — and the budget split is pure integer arithmetic,
+    * `⌊B·s_i/Σs⌋` computed as `(B DIV Σs)·s_i + ((B mod Σs)·s_i) DIV Σs`
+    * so no intermediate exceeds ~Σs·max(s) ≪ 2^63 even when B is a
+    * 100 TB-scale token count. A general α would need `pow`, whose
+    * last-ulp behavior is NOT pinned by IEEE and can differ across
+    * engines — the budgets would drift off the oracle at floor
+    * boundaries.
+    *
+    * Scale shape: one map-side-combined aggregate to strata rows, then a
+    * window over that TINY frame (single task over ~#strata rows — the
+    * full data is never reshuffled). Returns (stratum, budget); join it
+    * back broadcast. Strata whose `s_i = 0` (empty domains) get budget 0.
+    */
+  def sqrtTemperatureBudgets(df: DataFrame, stratum: Column, nTokens: Column,
+                             totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be ≥ 0, got $totalBudget")
+    df.select(stratum.as("stratum"), nTokens.cast("long").as("__nt"))
+      .groupBy(col("stratum")).agg(sum(col("__nt")).as("__T"))
+      .withColumn("__s", floor(sqrt(col("__T").cast("double"))).cast("long"))
+      .withColumn("__den", sum(col("__s")).over(Window.partitionBy()))
+      .select(col("stratum"),
+        when(col("__den") <= 0, lit(0L)).otherwise(expr(
+          s"(${totalBudget}L DIV __den) * __s" +
+            s" + ((${totalBudget}L % __den) * __s) DIV __den")).as("budget"))
+  }
+
+  /** Epoch up-sampling — the data-repetition pass for budgets LARGER than
+    * a stratum's corpus: every document repeats once per full epoch and
+    * the final partial epoch is trimmed by the same hash-ordered
+    * prefix-cumsum convention as [[tokenBudgetSample]] (kept iff
+    * `epoch·T + cum_before < budget`), so epoch 0 reproduces
+    * tokenBudgetSample exactly and later epochs replay the identical
+    * hash order. Returns (id, stratum, epoch, n_tokens, cum_tokens) with
+    * `cum_tokens` GLOBAL across epochs — a stable training address.
+    *
+    * `maxEpochs` (default 16) caps repetition: data beyond a few epochs
+    * stops helping and starts hurting (Muennighoff et al. 2023,
+    * arXiv:2305.16264, find ~4 epochs ≈ fresh data, rapidly diminishing
+    * after), and the cap also bounds the explode factor so a degenerate
+    * budget (tokens ≫ corpus) cannot amplify output unboundedly.
+    *
+    * Scale shape: the [[tokenBudgetSample]] two-phase scaffold minus the
+    * bucket pruning (every document appears in every full epoch, so
+    * nothing can be pruned): ONE full-data shuffle keyed
+    * (stratum, bucket), a per-bucket window, a broadcast join of the
+    * strata-sized totals frame, then a scan-side explode of at most
+    * `min(⌈budget/T⌉, maxEpochs)` epoch ids per row. */
+  def epochUpsample(df: DataFrame, id: String, stratum: Column,
+                    nTokens: Column, budgetTokens: Column,
+                    salt: String = "epoch", maxEpochs: Int = 16,
+                    nHistBuckets: Int = DefaultHistBuckets): DataFrame = {
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val ww = Window.partitionBy(col("stratum"), col("__b"))
+      .orderBy(col("__rk"), col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base0 = df.select(col(id), stratum.as("stratum"),
+      nTokens.cast("long").as("n_tokens"),
+      budgetTokens.cast("long").as("__budget"))
+    val totals = base0.groupBy(col("stratum")).agg(sum(col("n_tokens")).as("__T"))
+    twoPhaseOffsets(base0, id, salt, nHistBuckets,
+        measures = Seq(sum(col("n_tokens")).as("__t")),
+        prune = identity)
+      .withColumn("__cum_before",
+        col("__off") + coalesce(sum(col("n_tokens")).over(ww), lit(0L)))
+      .join(broadcast(totals.toDF("__s3", "__T")), col("stratum") <=> col("__s3"))
+      .filter(col("__budget") > 0 && col("__T") > 0)
+      .withColumn("__epochs",
+        least(expr("(__budget + __T - 1) DIV __T"), lit(maxEpochs.toLong)))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__epochs") - 1L)))
+      .filter(col("epoch") * col("__T") + col("__cum_before") < col("__budget"))
+      .select(col(id), col("stratum"), col("epoch"), col("n_tokens"),
+        (col("epoch") * col("__T") + col("__cum_before") + col("n_tokens"))
+          .as("cum_tokens"))
+  }
+
   /** Quality-ordered token-budget curation — the data-curation step of a
     * training pipeline: within each stratum keep the HIGHEST-scoring
     * documents first until the stratum's token budget is met (the

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Chunking, Splits, TextAnalysis}
+
+/** Properties of the round-7 corpus-construction ops: token-window
+  * chunking, √-temperature budgets, and epoch up-sampling. The DuckDB
+  * oracles gate exact values; these specs pin the ALGEBRAIC contracts a
+  * hash-match can't express (coverage, reconstruction, budget
+  * conservation, sequential-walk equivalence). */
+class CorpusMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f g h i j k l m", "en", "s0"),   // 13 tokens
+    (2L, "aa bb cc", "en", "s0"),                    // 3 tokens (single chunk)
+    (3L, Seq.tabulate(25)(i => s"w$i").mkString(" "), "de", "s1"), // 25 tokens
+    (4L, "one two three four five six seven", "de", "s1"),
+    (5L, "p q r s t u v w", "fr", "s2"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("chunking covers every token exactly once at stride == chunkTokens") {
+    val chunks = Chunking.chunkByTokens(docs, "doc_id", "text",
+      chunkTokens = 4, stride = 4).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    val tokenCounts = docs
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    tokenCounts.foreach { case (id, n) =>
+      val cs = byDoc(id).sortBy(_.getLong(1))
+      // chunk ids are dense from 0; starts advance by stride; n_tok sums to n
+      assert(cs.map(_.getLong(1)).toSeq === cs.indices.map(_.toLong))
+      assert(cs.map(_.getLong(2)).toSeq === cs.indices.map(_ * 4L))
+      assert(cs.map(_.getLong(3)).sum === n)
+      // non-overlapping chunks reconstruct the document's token stream
+      val rebuilt = cs.map(_.getString(4)).mkString(" ")
+      assert(rebuilt.split("\\s+").count(_.nonEmpty).toLong === n)
+    }
+  }
+
+  test("overlapping chunks agree with the token array slice convention") {
+    val chunks = Chunking.chunkByTokens(docs, "doc_id", "text",
+      chunkTokens = 6, stride = 4).collect()
+    val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text"))).as[(Long, Seq[String])]
+      .collect().toMap
+    chunks.foreach { r =>
+      val (id, start, nTok, textChunk) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4))
+      val expected = toks(id).slice(start.toInt, start.toInt + 6)
+      assert(textChunk === expected.mkString(" "))
+      assert(nTok === expected.length.toLong)
+      assert(nTok > 0, "no empty chunks may be emitted")
+    }
+    // last chunk of doc 3 (25 tokens, 6/4) starts at 20 — short final
+    // chunks occur, and no chunk starts at/past the token count
+    assert(chunks.filter(_.getLong(0) == 3L).map(_.getLong(2)).max === 20L)
+  }
+
+  test("sqrt temperature budgets: exact integer split, conservative total") {
+    val df = Seq(
+      ("big", 90000L), ("big", 10000L),   // T=100000, s=316
+      ("mid", 2500L),                     // T=2500,   s=50
+      ("tiny", 100L))                     // T=100,    s=10
+      .toDF("dom", "nt")
+    val b = Splits.sqrtTemperatureBudgets(df, col("dom"), col("nt"), 9400L)
+      .as[(String, Long)].collect().toMap
+    // den = 376; exact floors of 9400*s/376 = 25*s
+    assert(b === Map("big" -> 7900L, "mid" -> 1250L, "tiny" -> 250L))
+    assert(b.values.sum <= 9400L)
+    // temperature flattening: tiny's share (250/9400) is far above its
+    // proportional token share (100/102600)
+    assert(b("tiny").toDouble / 9400 > 100.0 / 102600 * 10)
+  }
+
+  test("epoch upsample equals a sequential budget walk, and epoch 0 equals tokenBudgetSample") {
+    val budget = when(col("lang") === "en", lit(40L)).otherwise(lit(90L))
+    val got = Splits.epochUpsample(docs, "doc_id", col("lang"),
+        TextAnalysis.tokenCount(col("text")), budget,
+        salt = "ep", maxEpochs = 3)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+
+    // sequential reference: per stratum, docs in (hash, id) order, walk
+    // epochs 0..min(ceil(B/T), 3)-1 keeping while epoch*T + cum < B
+    val rows = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        graft.ops.TextAnalysis.hash60(
+          concat_ws("_", lit("ep"), col("doc_id").cast("string"))))
+      .as[(Long, String, Long, Long)].collect()
+    val expected = rows.groupBy(_._2).flatMap { case (lang, ds) =>
+      val b = if (lang == "en") 40L else 90L
+      val ordered = ds.sortBy(r => (r._4, r._1))
+      val t = ordered.map(_._3).sum
+      val epochs = math.min((b + t - 1) / t, 3L)
+      (0L until epochs).flatMap { e =>
+        var cum = e * t
+        ordered.flatMap { r =>
+          val keep = cum < b
+          val out = if (keep) Some((r._1, lang, e, r._3, cum + r._3)) else None
+          cum += r._3
+          out
+        }
+      }
+    }.toSet
+    assert(got === expected)
+    assert(got.exists(_._3 > 0), "multi-epoch coverage must fire")
+
+    val epoch0 = got.filter(_._3 == 0L).map(r => (r._1, r._2, r._4, r._5))
+    val tbs = Splits.tokenBudgetSample(docs, "doc_id", col("lang"),
+        TextAnalysis.tokenCount(col("text")), budget, salt = "ep")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(epoch0 === tbs)
+  }
+}
