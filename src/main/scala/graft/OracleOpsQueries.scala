@@ -125,6 +125,18 @@ object OracleOpsQueries {
       train = Some(docs.filter(col("lang") === "en")))
   }
 
+  /** DSIR importance weight against the `lang = 'en'` target domain: the
+    * en-trained LM is the numerator regime (same training slice as
+    * [[textLmBigramCross]]), the whole-corpus self-trained LM the
+    * denominator — non-English docs surface OOV-heavy target scores, so
+    * weights range across orders of magnitude and the ratio's smoothing
+    * branch is exercised (non-vacuous gate). */
+  def textDsirWeight(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.dsirWeight(docs, "doc_id", "text",
+      targetTrain = docs.filter(col("lang") === "en"))
+  }
+
   /** C4 cleaning-rule signals. Like `text_redact`, the boilerplate flags
     * and the short-unit rule would be vacuous on the synthetic corpus (no
     * "lorem ipsum"/braces, no short sentences), so the gate plants
@@ -604,6 +616,7 @@ object OracleOpsQueries {
     "text_lm_bigram" -> (textLmBigram _),
     "text_lm_trigram" -> (textLmTrigram _),
     "text_lm_bigram_cross" -> (textLmBigramCross _),
+    "text_dsir_weight" -> (textDsirWeight _),
     "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
     "text_quality_histogram" -> (textQualityHistogram _),
     "text_repetition_scan" -> ((s: SparkSession, d: String) =>
@@ -691,29 +704,37 @@ object OracleOpsQueries {
     * the Spark plan) → per-doc fixed-point aggregates. The conditioning
     * prefix is the n-gram minus its last token (tokens cannot contain
     * whitespace, so stripping ` [^ ]+$` is exact for every order). */
-  private def lmNgramCtes(n: Int, trainJoin: String): String = {
+  /** One LM chain AFTER the shared `toks` CTE, with every CTE name
+    * suffixed by `sfx` so two chains (e.g. target-trained and
+    * raw-trained, for the DSIR ratio) can coexist in one WITH. The `tr`
+    * CTE aliases its source back to `bgh`, so `trainJoin` fragments keep
+    * referencing `bgh.doc_id` regardless of suffix. */
+  private def lmChainCtes(n: Int, trainJoin: String, sfx: String): String = {
     val gram = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
-    s"""$toksCte,
-       |bgl AS (
+    s"""bgl$sfx AS (
        |  SELECT doc_id, CASE WHEN len(t) >= $n
        |    THEN list_transform(generate_series(1, len(t)-${n - 1}), i -> $gram)
        |    ELSE [] END AS l
        |  FROM toks),
-       |bg AS (SELECT doc_id, unnest(l) AS s FROM bgl),
-       |bgh AS (SELECT doc_id, ${h60("regexp_replace(s, ' [^ ]+$', '')")} AS h1,
-       |               ${h60("s")} AS h12 FROM bg),
-       |tr AS (SELECT bgh.doc_id, h1, h12 FROM bgh $trainJoin),
-       |pc AS (SELECT h1, h12, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY h1, h12),
-       |lm AS (SELECT h1, h12, c12,
-       |         CAST(SUM(c12) OVER (PARTITION BY h1) AS BIGINT) AS c1 FROM pc),
-       |agg AS (
+       |bg$sfx AS (SELECT doc_id, unnest(l) AS s FROM bgl$sfx),
+       |bgh$sfx AS (SELECT doc_id, ${h60("regexp_replace(s, ' [^ ]+$', '')")} AS h1,
+       |               ${h60("s")} AS h12 FROM bg$sfx),
+       |tr$sfx AS (SELECT bgh.doc_id, h1, h12 FROM bgh$sfx bgh $trainJoin),
+       |pc$sfx AS (SELECT h1, h12, CAST(count(*) AS BIGINT) AS c12 FROM tr$sfx GROUP BY h1, h12),
+       |lm$sfx AS (SELECT h1, h12, c12,
+       |         CAST(SUM(c12) OVER (PARTITION BY h1) AS BIGINT) AS c1 FROM pc$sfx),
+       |agg$sfx AS (
        |  SELECT b.doc_id,
        |    CAST(count(*) AS BIGINT) AS n_bigrams,
        |    CAST(SUM(CASE WHEN lm.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_bigrams,
        |    CAST(SUM(COALESCE((lm.c12 * 10000) // lm.c1, 0)) AS BIGINT) AS sum_score
-       |  FROM bgh b LEFT JOIN lm USING (h1, h12)
+       |  FROM bgh$sfx b LEFT JOIN lm$sfx lm USING (h1, h12)
        |  GROUP BY b.doc_id)""".stripMargin
   }
+
+  private def lmNgramCtes(n: Int, trainJoin: String): String =
+    s"""$toksCte,
+       |${lmChainCtes(n, trainJoin, "")}""".stripMargin
 
   private def lmNgramSql(n: Int, trainJoin: String): String =
     s"""WITH ${lmNgramCtes(n, trainJoin)}
@@ -1325,6 +1346,19 @@ object OracleOpsQueries {
     "text_lm_trigram" -> lmNgramSql(3, trainJoin = ""),
     "text_lm_bigram_cross" ->
       lmNgramSql(2, trainJoin = "JOIN documents d USING (doc_id) WHERE d.lang = 'en'"),
+    "text_dsir_weight" ->
+      s"""WITH $toksCte,
+         |${lmChainCtes(2, "JOIN documents d USING (doc_id) WHERE d.lang = 'en'", "_t")},
+         |${lmChainCtes(2, "", "_r")}
+         |SELECT docs.doc_id,
+         |  COALESCE(at.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(at.sum_score, 0) AS sum_score_target,
+         |  COALESCE(ar.sum_score, 0) AS sum_score_raw,
+         |  CAST(COALESCE(at.sum_score, 0) + 1 AS DOUBLE)
+         |    / CAST(COALESCE(ar.sum_score, 0) + 1 AS DOUBLE) AS dsir_weight
+         |FROM documents docs
+         |LEFT JOIN agg_t at USING (doc_id)
+         |LEFT JOIN agg_r ar USING (doc_id)""".stripMargin,
     "dataset_split" ->
       s"""WITH b AS (
          |  SELECT doc_id,

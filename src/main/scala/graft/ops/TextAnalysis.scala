@@ -540,4 +540,41 @@ object TextAnalysis {
         coalesce(col("sum_score"), lit(0L)).as("sum_score"))
       .select(col(id) +: lmDocColumns: _*)
   }
+
+  /** DSIR-style importance weight (Xie et al. 2023, arXiv:2302.03169 —
+    * Data Selection via Importance Resampling): the ratio of a document's
+    * likelihood under a TARGET-domain n-gram LM to its likelihood under
+    * the RAW-corpus LM. Documents that look more like the target domain
+    * than like average raw data get weight > 1 and are preferentially
+    * sampled into the training mix.
+    *
+    * This engine's portable analogue scores both regimes with the same
+    * fixed-point pair-table LM as [[lmBigramScore]] (exact BIGINT sums,
+    * hash-reproducible in DuckDB) and takes
+    * `(sum_score_target + 1) / (sum_score_raw + 1)` as a DOUBLE — a
+    * ratio of two exact integers, so it is bit-identical cross-engine
+    * (the +1 add-one smoothing keeps all-OOV documents finite). Per-doc
+    * sums stay far below 2^53, so the double conversion is exact.
+    *
+    * Scale shape: exactly two LM pipelines (each = one n-gram shuffle +
+    * one pair-count shuffle; the raw pipeline's train scan is the corpus
+    * itself) joined on id — at production scale, persist the two LM pair
+    * tables once ([[lmPairTable]] + parquet) and score many batches via
+    * [[lmScoreAgainst]], which drops the marginal cost to one scoring
+    * join per regime. Returns (id, n_bigrams, sum_score_target,
+    * sum_score_raw, dsir_weight). */
+  def dsirWeight(df: DataFrame, id: String, text: String,
+                 targetTrain: DataFrame, scale: Long = 10000L,
+                 n: Int = 2): DataFrame = {
+    val t = lmBigramScore(df, id, text, Some(targetTrain), scale, n)
+      .select(col(id), col("n_bigrams"),
+        col("sum_score").as("sum_score_target"))
+    val r = lmBigramScore(df, id, text, None, scale, n)
+      .select(col(id), col("sum_score").as("sum_score_raw"))
+    t.join(r, Seq(id))
+      .select(col(id), col("n_bigrams"), col("sum_score_target"),
+        col("sum_score_raw"),
+        ((col("sum_score_target") + 1L).cast("double") /
+          (col("sum_score_raw") + 1L).cast("double")).as("dsir_weight"))
+  }
 }

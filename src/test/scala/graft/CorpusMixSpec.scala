@@ -74,6 +74,35 @@ class CorpusMixSpec extends SparkSpec {
     assert(b("tiny").toDouble / 9400 > 100.0 / 102600 * 10)
   }
 
+  test("dsir weight favors target-domain documents and smooths all-OOV docs") {
+    // target domain = the 'en' docs; raw = everything. Shared vocabulary
+    // WITHIN each language, disjoint across — en docs should score higher
+    // under the en LM than under the mixed raw LM, de docs lower.
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat on the hat", "en"),
+      (3L, "the dog sat on the mat", "en"),
+      (4L, "der hund sitzt auf der matte", "de"),
+      (5L, "der hund sitzt auf dem hut", "de"),
+      (6L, "zzz qqq", "xx")) // bigram 'zzz qqq' is unique → OOV under en LM
+      .toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.dsirWeight(corpus, "doc_id", "text",
+        targetTrain = corpus.filter(col("lang") === "en"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(w.size === 6)
+    w.values.foreach { case (_, _, st, sr, dw) =>
+      assert(dw > 0.0)
+      assert(dw === (st + 1).toDouble / (sr + 1).toDouble)
+    }
+    // every en doc outweighs every de doc; the unique-bigram doc scores 0
+    // under the en LM (pure OOV) but nonzero under raw (it trains itself)
+    val en = Seq(1L, 2L, 3L).map(w(_)._5)
+    val de = Seq(4L, 5L).map(w(_)._5)
+    assert(en.min > de.max)
+    assert(w(6L)._3 === 0L && w(6L)._4 > 0L)
+  }
+
   test("epoch upsample equals a sequential budget walk, and epoch 0 equals tokenBudgetSample") {
     val budget = when(col("lang") === "en", lit(40L)).otherwise(lit(90L))
     val got = Splits.epochUpsample(docs, "doc_id", col("lang"),
