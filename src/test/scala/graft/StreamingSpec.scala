@@ -179,6 +179,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 2) // {brand new content, entirely novel words}
   }
 
+  test("streaming chunking equals batch chunking (stateless scan-side op)") {
+    // Chunking is pure column algebra (no aggregation, no state), so the
+    // SAME DataFrame transform must run unchanged on an unbounded stream —
+    // this pins that contract: a future chunking change that introduces a
+    // shuffle/agg would break append-mode streaming here before any user
+    // hits "Non-time-based windows are not supported" in production.
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "one two"),
+      (3L, Seq.tabulate(17)(i => s"t$i").mkString(" ")))
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData(docs: _*)
+    val q = graft.ops.Chunking.chunkByTokens(
+        ms.toDF.toDF("doc_id", "text"), "doc_id", "text",
+        chunkTokens = 4, stride = 3)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT * FROM chunk_stream")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val batch = graft.ops.Chunking.chunkByTokens(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        chunkTokens = 4, stride = 3)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.map(_._1) === Set(1L, 2L, 3L))
+  }
+
   test("streaming LM scoring equals the batch scorer (static pair-table LM)") {
     import org.apache.spark.sql.functions.lit
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
