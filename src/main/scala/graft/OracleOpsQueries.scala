@@ -205,8 +205,13 @@ object OracleOpsQueries {
     * of ~1300 tokens each at sf0.01 → ~500-token budgets, so every
     * stratum's cutoff binds. */
   def corpusMixTemperature(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint the NARROW (id, stratum, n_tokens) projection: three
+    // consumers (budget totals + the two-phase's histogram and exact
+    // passes) would each re-tokenize the full corpus otherwise — the
+    // checkpoint tokenizes once and replays 24 bytes/row
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .localCheckpoint(true)
     val budgets = graft.ops.Splits.sqrtTemperatureBudgets(
       docs, col("source"), col("__nt"), totalBudget = 10000L)
     val joined = docs.join(broadcast(budgets.toDF("__s4", "budget")),
@@ -225,9 +230,13 @@ object OracleOpsQueries {
       .when(col("lang") === "de", 5000L)
       .when(col("lang") === "es", 9000L)
       .otherwise(7600L)
-    graft.ops.Splits.epochUpsample(Tables.documents(s, d), "doc_id",
-      col("lang"), TextAnalysis.tokenCount(col("text")), budget,
-      salt = "epoch", maxEpochs = 2)
+    // same narrow-checkpoint rationale as corpusMixTemperature: totals +
+    // two-phase histogram + exact pass = three tokenizations otherwise
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .localCheckpoint(true)
+    graft.ops.Splits.epochUpsample(docs, "doc_id",
+      col("lang"), col("__nt"), budget, salt = "epoch", maxEpochs = 2)
   }
 
   /** Quality-ordered token-budget curation: per language, keep the
