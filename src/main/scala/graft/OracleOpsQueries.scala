@@ -186,9 +186,12 @@ object OracleOpsQueries {
     * stratum's cutoff actually fires (non-vacuous gate: 120/500 docs kept). */
   def corpusBudgetMix(s: SparkSession, d: String): DataFrame = {
     val stratum = least(floor(length(col("text")) / lit(100)), lit(9)).cast("long")
-    graft.ops.Splits.tokenBudgetSample(Tables.documents(s, d), "doc_id",
-      stratum, TextAnalysis.tokenCount(col("text")),
-      (stratum + lit(1)) * lit(300L), salt = "mix")
+    // narrow checkpoint: tokenize once for the two-phase's two passes
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+        stratum.as("__st"), TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .localCheckpoint(true)
+    graft.ops.Splits.tokenBudgetSample(docs, "doc_id",
+      col("__st"), col("__nt"), (col("__st") + lit(1)) * lit(300L), salt = "mix")
   }
 
   /** Token-window chunking: 16-token windows, stride 12 (25% overlap) —
@@ -247,8 +250,13 @@ object OracleOpsQueries {
     * gate proves bit-identical cross-engine. */
   def corpusQualityBudget(s: SparkSession, d: String): DataFrame = {
     val quality = qualityColumns(col("text")).toMap.apply("quality")
-    graft.ops.Splits.qualityBudgetSample(Tables.documents(s, d), "doc_id",
-      col("lang"), quality, TextAnalysis.tokenCount(col("text")),
+    // narrow checkpoint: the regex-heavy quality score + tokenization run
+    // once, not once per two-phase pass
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        quality.as("__q"), TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .localCheckpoint(true)
+    graft.ops.Splits.qualityBudgetSample(docs, "doc_id",
+      col("lang"), col("__q"), col("__nt"),
       when(col("lang") === "en", lit(5000L)).otherwise(lit(2000L)))
   }
 
@@ -272,11 +280,20 @@ object OracleOpsQueries {
     val docs = Tables.documents(s, d)
     val lm = TextAnalysis.lmBigramScore(docs, "doc_id", "text",
       train = Some(docs.filter(col("lang") === "en")))
+    // narrow checkpoint: the curation two-phase consumes its input twice
+    // (histogram + exact pass), which would execute the ENTIRE LM
+    // pipeline — train + score — once per pass. Materializing the scored
+    // (id, lang, score, n_tokens) frame runs the LM once and replays
+    // ~32 bytes/row (this is the "persist the scored frame before
+    // curating" pattern the scale table prescribes for production).
     val scored = docs.join(
-      lm.select(col("doc_id"), (col("lm_score") / lit(10000.0)).as("lm01")),
-      Seq("doc_id"))
+        lm.select(col("doc_id"), (col("lm_score") / lit(10000.0)).as("lm01")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("lm01"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .localCheckpoint(true)
     graft.ops.Splits.qualityBudgetSample(scored, "doc_id", col("lang"),
-      col("lm01"), TextAnalysis.tokenCount(col("text")),
+      col("lm01"), col("__nt"),
       when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L)))
   }
 

@@ -9,6 +9,27 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Repartition up to the session's default parallelism when the
+    * upstream plan has FEWER partitions — the small-input/few-files case
+    * where a scan-stage-heavy pipeline (explode + hashing, tokenization)
+    * would otherwise serialize on one or two tasks: a single-row-group
+    * parquet file is ONE split no matter what `maxPartitionBytes` says,
+    * and AQE only rebalances AFTER a shuffle, never a scan stage.
+    * Measured on the sf10-equivalent corpus (one 5-row-group file,
+    * 32 cores): the LM-scored-frame build dropped 23.3 → 5.0 s once its
+    * explode ran 32-wide. At production scale input splits outnumber
+    * cores and this is a NO-OP — the partition probe reads plan metadata
+    * only, it never launches a job; the repartition, when it does fire,
+    * shuffles the NARROW pre-explode rows (shuffle cost is bounded by
+    * the input, not the exploded output). */
+  def balanceToCores(df: DataFrame): DataFrame = {
+    // streaming frames have no static partition count to probe (`.rdd`
+    // throws) and micro-batch sizing is the source's job — pass through
+    if (df.isStreaming) return df
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
+
   /** Write both sides bucketed by the join key (sorted within buckets) as
     * managed tables, so subsequent equi-joins on that key are co-located:
     * no Exchange on either side of the SortMergeJoin. The 100 TB pattern

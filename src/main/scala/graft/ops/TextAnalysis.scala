@@ -400,17 +400,32 @@ object TextAnalysis {
                                       keep: Seq[String] = Nil): DataFrame = {
     require(n >= 2, s"an n-gram LM needs n >= 2, got $n")
     val t = col("__tokens")
+    // Shape note (measured at the 500k-doc scale): build ONLY the n-gram
+    // string per position — one interpreted concat_ws per gram — and
+    // recover the conditioning prefix AFTER the explode with codegen'd
+    // `substring_index(bg, " ", n-1)` (tokens cannot contain whitespace,
+    // so the first n-1 space-separated fields ARE the prefix; same string
+    // the old (w1, bg) struct carried, so hashes and oracle mirrors are
+    // unchanged). The previous struct-array variant paid TWO interpreted
+    // concats + a CreateNamedStruct per gram inside the HOF lambda
+    // (higher-order functions never enter whole-stage codegen); an
+    // explode-positions variant was measured WORSE (the generator then
+    // carries the full token array per output row). This shape measured
+    // 33.9 → 23.3 s on the sf10 LM-scored frame.
     val gs = when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)), i =>
-        struct(
-          concat_ws(" ", (0 until n - 1).map(k => element_at(t, i + k)): _*).as("w1"),
-          concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*).as("bg")))
-    ).otherwise(array())
+        concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
+      .otherwise(array())
     val kept = keep.map(col)
-    df.select(col(id) +: tokens(col(text)).as("__tokens") +: kept: _*)
-      .select(col(id) +: explode(gs).as("b") +: kept: _*)
-      .select(col(id) +: hash60(col("b.w1")).as("h1") +:
-        hash60(col("b.bg")).as("h12") +: kept: _*)
+    // few-splits inputs would run the whole explode+hash stage on one
+    // task — balance BEFORE tokenization so the shuffle (when it fires at
+    // all) carries raw narrow rows, not token arrays
+    graft.operators.Scale.balanceToCores(df)
+      .select(col(id) +: tokens(col(text)).as("__tokens") +: kept: _*)
+      .select(col(id) +: explode(gs).as("__bg") +: kept: _*)
+      .select(col(id) +:
+        hash60(substring_index(col("__bg"), " ", n - 1)).as("h1") +:
+        hash60(col("__bg")).as("h12") +: kept: _*)
   }
 
   /** The trained bigram LM as a table: (h1, h12, c12, c1) — pair counts
