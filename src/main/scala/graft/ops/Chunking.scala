@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: pure scan-side column algebra — tokenize once, explode a
   * `sequence(0, k−1)` of chunk ids, slice the materialized token array.
-  * ZERO shuffles for any corpus size; output volume is
+  * ZERO shuffles at production split counts (the one exception:
+  * [[graft.operators.Scale.balanceToCores]] pays a narrow shuffle when
+  * the input has fewer splits than cores, so small inputs still use the
+  * whole machine); output volume is
   * `≈ n_tokens / stride` rows per document (the overlap factor
   * `chunkTokens / stride` is the only amplification, chosen by the
   * caller). The token array is materialized ONCE per row before the
@@ -48,7 +51,11 @@ object Chunking {
       when(col("__n") <= chunkTokens, lit(1L))
         .otherwise(
           expr(s"(__n - $chunkTokens + $stride - 1) DIV $stride") + lit(1L))
-    df.select(col(id), TextAnalysis.tokens(col(text)).as("__t"))
+    // shuffle-free at production split counts; on few-splits inputs
+    // (single-row-group files) balanceToCores pays one narrow shuffle so
+    // the explode runs as wide as the cores (streaming passes through)
+    graft.operators.Scale.balanceToCores(df)
+      .select(col(id), TextAnalysis.tokens(col(text)).as("__t"))
       .withColumn("__n", size(col("__t")).cast("long"))
       .filter(col("__n") > 0)
       .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1L)))

@@ -90,7 +90,11 @@ object Dedup {
       transform(sequence(lit(1), size(t) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
     ).otherwise(array())
-    df.select(col(id), tokens(col(text)).as("__tokens"))
+    // few-splits inputs (single-row-group fixture files) would run the
+    // whole tokenize+shingle explode on one task — balance first (no-op
+    // when input splits already cover the cores)
+    graft.operators.Scale.balanceToCores(df)
+      .select(col(id), tokens(col(text)).as("__tokens"))
       .select(col(id), explode(array_distinct(sh)).as("shingle"))
   }
 
@@ -264,7 +268,7 @@ object Dedup {
     * one on the doc id for reassembly — no pairwise comparisons at all,
     * which is why corpus pipelines run this pass before any near-dup. */
   def paragraphDedup(df: DataFrame, id: String, text: String): DataFrame = {
-    val units = df
+    val units = graft.operators.Scale.balanceToCores(df)
       .select(col(id), posexplode(split(col(text), "\\.\\s+")).as(Seq("pos", "para")))
       .filter(length(trim(col("para"))) > 0)
     val w = Window.partitionBy(col("fp")).orderBy(col(id), col("pos"))
@@ -342,7 +346,8 @@ object Dedup {
       transform(sequence(lit(1), size(t) - (w - 1)), i =>
         concat_ws(" ", (0 until w).map(k => element_at(t, i + k)): _*)))
       .otherwise(array())
-    val wins = df.select(col(id), tokens(col(text)).as("__tokens"))
+    val wins = graft.operators.Scale.balanceToCores(df)
+      .select(col(id), tokens(col(text)).as("__tokens"))
       .select(col(id), posexplode(winArr).as(Seq("pos", "win")))
       .select(col(id), col("pos"), hash60(col("win")).as("h"))
       .repartition(col("h"))

@@ -262,7 +262,7 @@ object TextAnalysis {
     // scale; revisit only if network shuffle width dominates on a real
     // cluster
     val grams = grams2(t)
-    val exploded = df
+    val exploded = graft.operators.Scale.balanceToCores(df)
       .select(col(id), tokens(col(text)).as("__tokens"))
       .select(col(id),
         size(t).cast("long").as("n_tokens"),

@@ -1104,10 +1104,13 @@ class OpsSpec extends SparkSpec {
     assert(hist.map(_.getLong(1)).sum === docs.count())
     assert(hist.last.getLong(2) === docs.count(), "cumulative must end at total")
     assert(hist.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 20L))
-    // one aggregation exchange each; histogram's window sorts ≤21 rows AFTER
-    // the aggregation, so the scan-side cost is a single shuffle
+    // one aggregation HASH exchange; histogram's window sorts ≤21 rows
+    // AFTER the aggregation, so the scan-side cost is a single shuffle.
+    // (A RoundRobin exchange may additionally appear when balanceToCores
+    // widens a few-splits input — that one carries pre-explode rows and
+    // is deliberate, so only hash exchanges are counted here.)
     val bpPlan = bp.queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(bpPlan).length == 1, bpPlan)
+    assert("Exchange hashpartitioning".r.findAllIn(bpPlan).length == 1, bpPlan)
   }
 
   test("lmBigramScore: fixed-point bigram LM, self- and cross-scoring") {
