@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Tripwire for driver-fixture schema drift.
+  *
+  * The round-7 regression (events.ts regenerated as TIMESTAMP(MICROS)
+  * after rounds of TIMESTAMP(NANOS)) showed the fixtures are NOT a stable
+  * contract: a regen can silently change physical encodings and queries
+  * then vanish from the correctness record instead of failing loudly.
+  * This spec pins what the library actually ASSUMES about each table —
+  * names and the logical types the operators do arithmetic on, AFTER the
+  * `Tables` loaders' normalization — so the next drift fails here with
+  * the table and column named, not three layers down in an analysis
+  * exception. Deliberately NOT byte-level: anything a loader can
+  * normalize (timestamp encodings) is asserted post-normalization,
+  * because that is the real contract.
+  */
+class FixtureSchemaSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def kinds(name: String): Map[String, DataType] =
+    (name match {
+      case "events" => Tables.events(spark, sf)
+      case other    => Tables.load(spark, sf, other)
+    }).schema.fields.map(f => f.name -> f.dataType).toMap
+
+  test("events: ts is a ns-epoch long after normalization") {
+    val e = kinds("events")
+    assert(e("ts") === LongType,
+      "Tables.events must normalize any on-disk encoding to ns-epoch Long")
+    assert(e("event_id") === LongType && e("user_id") === LongType)
+    assert(e("event_type") === StringType && e("props") === StringType)
+    assert(e("value") === DoubleType)
+  }
+
+  test("documents: the text-pipeline columns keep their types") {
+    val d = kinds("documents")
+    assert(d("doc_id") === LongType)
+    assert(d("text") === StringType && d("lang") === StringType &&
+      d("source") === StringType)
+    assert(d("n_chars") === LongType)
+  }
+
+  test("embeddings: vector column element type is what the dot products assume") {
+    val e = kinds("embeddings")
+    assert(e("vec_id") === LongType)
+    e("embedding") match {
+      case ArrayType(et, _) =>
+        // Similarity casts elements to double and the DuckDB oracles
+        // mirror that exact cast — a float64 regen would change the
+        // cast-to-double VALUES and break every sim_* hash. Fail here
+        // with the drift named instead.
+        assert(et === FloatType,
+          s"embedding element drifted to $et: sim_* oracles assume " +
+            "float32-at-rest (cast-to-double values would all move)")
+      case other => fail(s"embedding is not an array: $other")
+    }
+  }
+
+  test("tpch tables: join/aggregate key columns keep integral types") {
+    val li = kinds("lineitem")
+    assert(li("l_orderkey") === LongType && li("l_linenumber") === IntegerType)
+    assert(li("l_quantity") === DoubleType && li("l_extendedprice") === DoubleType)
+    val o = kinds("orders")
+    assert(o("o_orderkey") === LongType && o("o_custkey") === LongType)
+    assert(o("o_totalprice") === DoubleType)
+    val c = kinds("customer")
+    assert(c("c_custkey") === LongType && c("c_mktsegment") === StringType)
+    assert(kinds("region")("r_regionkey") === IntegerType)
+    assert(kinds("nation")("n_nationkey") === IntegerType)
+    assert(kinds("supplier")("s_suppkey") === LongType)
+    assert(kinds("part")("p_partkey") === LongType)
+  }
+}
