@@ -137,6 +137,19 @@ object OracleOpsQueries {
       targetTrain = docs.filter(col("lang") === "en"))
   }
 
+  /** Binary unigram classifier: positive class = every 3rd `en` doc,
+    * negative = every 3rd non-`en` doc (disjoint labeled slices, ~1/3 of
+    * the corpus trains, ALL docs score — so both in-train and unseen docs
+    * gate, and non-`en` docs exercise the OOV-zero branch against the
+    * positive class). */
+  def textClassifyUnigram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val labeled = docs.filter(col("doc_id") % 3 === 0)
+    TextAnalysis.unigramClassify(docs, "doc_id", "text",
+      trainPos = labeled.filter(col("lang") === "en"),
+      trainNeg = labeled.filter(col("lang") =!= "en"))
+  }
+
   /** C4 cleaning-rule signals. Like `text_redact`, the boilerplate flags
     * and the short-unit rule would be vacuous on the synthetic corpus (no
     * "lorem ipsum"/braces, no short sentences), so the gate plants
@@ -643,6 +656,7 @@ object OracleOpsQueries {
     "text_lm_trigram" -> (textLmTrigram _),
     "text_lm_bigram_cross" -> (textLmBigramCross _),
     "text_dsir_weight" -> (textDsirWeight _),
+    "text_classify_unigram" -> (textClassifyUnigram _),
     "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
     "text_quality_histogram" -> (textQualityHistogram _),
     "text_repetition_scan" -> ((s: SparkSession, d: String) =>
@@ -1372,6 +1386,38 @@ object OracleOpsQueries {
     "text_lm_trigram" -> lmNgramSql(3, trainJoin = ""),
     "text_lm_bigram_cross" ->
       lmNgramSql(2, trainJoin = "JOIN documents d USING (doc_id) WHERE d.lang = 'en'"),
+    "text_classify_unigram" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, lang, ${h60("tok")} AS h FROM tk),
+         |cp AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS cp FROM th
+         |  WHERE doc_id % 3 = 0 AND lang = 'en' GROUP BY h),
+         |cn AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS cn FROM th
+         |  WHERE doc_id % 3 = 0 AND lang != 'en' GROUP BY h),
+         |counts AS (
+         |  SELECT COALESCE(cp.h, cn.h) AS h,
+         |    COALESCE(cp.cp, 0) AS cp, COALESCE(cn.cn, 0) AS cn
+         |  FROM cp FULL JOIN cn ON cp.h = cn.h),
+         |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn FROM counts),
+         |sc AS (
+         |  SELECT th.doc_id,
+         |    CASE WHEN tot.tp > 0 THEN (COALESCE(counts.cp, 0) * 10000) // tot.tp ELSE 0 END AS sp,
+         |    CASE WHEN tot.tn > 0 THEN (COALESCE(counts.cn, 0) * 10000) // tot.tn ELSE 0 END AS sn
+         |  FROM th LEFT JOIN counts USING (h), tot),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(sp) AS BIGINT) AS score_pos, CAST(SUM(sn) AS BIGINT) AS score_neg
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(agg.n_tokens, 0) AS n_tokens,
+         |  COALESCE(agg.score_pos, 0) AS score_pos,
+         |  COALESCE(agg.score_neg, 0) AS score_neg,
+         |  CAST(COALESCE(agg.score_pos, 0) >= COALESCE(agg.score_neg, 0) AS INT) AS pred
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "text_dsir_weight" ->
       s"""WITH $toksCte,
          |${lmChainCtes(2, "JOIN documents d USING (doc_id) WHERE d.lang = 'en'", "_t")},

@@ -556,6 +556,67 @@ object TextAnalysis {
       .select(col(id) +: lmDocColumns: _*)
   }
 
+  /** Binary unigram class-affinity scorer — the engine's portable
+    * analogue of the fastText-style quality/domain classifier every major
+    * pipeline runs (CCNet, GPT-3's WebText-vs-crawl filter, Llama's
+    * wiki-reference classifier): train per-class hashed-token counts from
+    * two labeled slices, score every document per class, predict the
+    * larger side.
+    *
+    * Honest model note: the per-doc score is the SUM of fixed-point
+    * per-token class likelihoods `⌊count_c(tok) · scale / total_c⌋` — a
+    * LINEAR class-affinity (arithmetic mean of likelihoods, times token
+    * count), NOT true Naive Bayes (which sums log-likelihoods, weighting
+    * rare discriminative tokens far more). True NB log-sums are not
+    * engine-portable in fixed point (`ln` last-ulp behavior is not pinned
+    * by IEEE), so this scorer deliberately trades NB's discrimination for
+    * bit-exact cross-engine reproducibility; on corpora whose classes
+    * differ in common-token distribution (the production case for
+    * quality filtering) the linear score separates fine. OOV tokens
+    * score 0 for that class; ties predict positive (deterministic).
+    *
+    * Scale shape: one explode+count per training slice (vocabulary-sized
+    * results), ONE full-data explode on the scoring side joined against
+    * the count table by 8-byte hash, then a per-doc re-aggregate — two
+    * corpus-wide shuffles total, both keyed on the hash. The per-class
+    * totals are 1-row aggregates broadcast into the score expression.
+    * Train-once/score-many: persist `counts` like an [[lmPairTable]].
+    * Returns (id, n_tokens, score_pos, score_neg, pred). */
+  def unigramClassify(df: DataFrame, id: String, text: String,
+                 trainPos: DataFrame, trainNeg: DataFrame,
+                 scale: Long = 10000L): DataFrame = {
+    def occ(d: DataFrame): DataFrame =
+      graft.operators.Scale.balanceToCores(d)
+        .select(col(id), explode(tokens(col(text))).as("__tok"))
+        .select(col(id), hash60(col("__tok")).as("h"))
+    def classCounts(d: DataFrame, as: String): DataFrame =
+      occ(d).groupBy(col("h")).agg(count(lit(1)).as(as))
+    val counts = classCounts(trainPos, "cp")
+      .join(classCounts(trainNeg, "cn"), Seq("h"), "full")
+      .na.fill(0L, Seq("cp", "cn"))
+    val totals = counts.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"))
+    val scored = occ(df)
+      .join(counts, Seq("h"), "left")
+      .na.fill(0L, Seq("cp", "cn"))
+      .crossJoin(broadcast(totals))
+      .select(col(id),
+        when(col("tp") > 0, expr(s"(cp * ${scale}L) DIV tp"))
+          .otherwise(lit(0L)).as("sp"),
+        when(col("tn") > 0, expr(s"(cn * ${scale}L) DIV tn"))
+          .otherwise(lit(0L)).as("sn"))
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("sp")).as("score_pos"),
+        sum(col("sn")).as("score_neg"))
+    df.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_pos"), lit(0L)).as("score_pos"),
+        coalesce(col("score_neg"), lit(0L)).as("score_neg"),
+        (coalesce(col("score_pos"), lit(0L)) >=
+          coalesce(col("score_neg"), lit(0L))).cast("int").as("pred"))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, arXiv:2302.03169 —
     * Data Selection via Importance Resampling): the ratio of a document's
     * likelihood under a TARGET-domain n-gram LM to its likelihood under

@@ -74,6 +74,36 @@ class CorpusMixSpec extends SparkSpec {
     assert(b("tiny").toDouble / 9400 > 100.0 / 102600 * 10)
   }
 
+  test("unigram classifier separates classes with disjoint common vocabulary") {
+    val corpus = Seq(
+      (1L, "good clean prose with the usual words", 1),
+      (2L, "more good clean prose words here too", 1),
+      (3L, "spam spam buy now spam click spam", 0),
+      (4L, "click buy spam now now buy", 0),
+      (5L, "good prose with the usual words and spam", -1), // unlabeled, mixed
+      (6L, "qqq zzz", -1))                       // fully OOV for both classes
+      .toDF("doc_id", "text", "label")
+    val out = TextAnalysis.unigramClassify(corpus, "doc_id", "text",
+        trainPos = corpus.filter(col("label") === 1),
+        trainNeg = corpus.filter(col("label") === 0))
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size === 6)
+    // training members classify correctly; OOV doc scores (0, 0) and the
+    // documented tie rule predicts positive
+    assert(Seq(1L, 2L).forall(out(_)._5 === 1))
+    assert(Seq(3L, 4L).forall(out(_)._5 === 0))
+    assert(out(6L)._3 === 0L && out(6L)._4 === 0L && out(6L)._5 === 1)
+    // the mixed unlabeled doc leans positive (six pos-vocab tokens out-
+    // mass one hot neg token: 6426 vs 3846 at scale 10⁴) — held-out
+    // scoring works, not just train-set recall. Note the linear scorer's
+    // documented character: ONE concentrated neg token ("spam", rate
+    // 5/13) nearly offsets six diluted pos tokens
+    assert(out(5L)._5 === 1 && out(5L)._3 > 0L && out(5L)._4 > 0L)
+    // n_tokens counts every token including OOV
+    assert(out(6L)._2 === 2L)
+  }
+
   test("dsir weight favors target-domain documents and smooths all-OOV docs") {
     // target domain = the 'en' docs; raw = everything. Shared vocabulary
     // WITHIN each language, disjoint across — en docs should score higher
