@@ -51,7 +51,10 @@ object Dedup {
     * single hash shuffle on the fingerprint. */
   def exact(df: DataFrame, id: String, text: String): DataFrame = {
     val w = Window.partitionBy(col("fp"))
-    df.select(col(id), fingerprint(col(text)).as("fp"))
+    // fingerprinting (regex normalize + md5) is the scan-side cost — widen
+    // few-splits inputs before it, not after
+    graft.operators.Scale.balanceToCores(df)
+      .select(col(id), fingerprint(col(text)).as("fp"))
       .withColumn("canonical_id", min(col(id)).over(w))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("is_dup", (col(id) =!= col("canonical_id")).cast("int"))
@@ -72,7 +75,8 @@ object Dedup {
     * shuffle costs ~2×, so [[exact]] is the default; keep this shape for
     * skewed-duplicate corpora). */
   def exactViaAgg(df: DataFrame, id: String, text: String): DataFrame = {
-    val sh = df.select(col(id), fingerprint(col(text)).as("fp"))
+    val sh = graft.operators.Scale.balanceToCores(df)
+      .select(col(id), fingerprint(col(text)).as("fp"))
     val groups = sh.groupBy(col("fp"))
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("group_size"))
     sh.join(groups, Seq("fp"))
