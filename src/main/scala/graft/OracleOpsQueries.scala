@@ -150,6 +150,32 @@ object OracleOpsQueries {
       trainNeg = labeled.filter(col("lang") =!= "en"))
   }
 
+  /** Classifier-scored curation, composed end to end: the supervised
+    * unigram filter ([[textClassifyUnigram]]'s exact setup) scores every
+    * doc, the positive-affinity share `score_pos / (score_pos +
+    * score_neg + 1)` — an exact BIGINT ratio in [0, 1) — becomes the
+    * curation score, and the per-language token budgets keep the most
+    * target-like docs first. The full "train filter → score corpus →
+    * select under budget" loop of a production pipeline as one gate. */
+  def corpusClassifierBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val labeled = docs.filter(col("doc_id") % 3 === 0)
+    val cls = TextAnalysis.unigramClassify(docs, "doc_id", "text",
+      trainPos = labeled.filter(col("lang") === "en"),
+      trainNeg = labeled.filter(col("lang") =!= "en"))
+    // narrow checkpoint: same rationale as corpusLmBudget — the curation
+    // two-phase would otherwise run the whole train+score chain twice
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(cls.select(col("doc_id"), col("n_tokens"),
+        (col("score_pos").cast("double") /
+          (col("score_pos") + col("score_neg") + lit(1L)).cast("double"))
+          .as("cls01")), Seq("doc_id"))
+      .localCheckpoint(true)
+    graft.ops.Splits.qualityBudgetSample(scored, "doc_id", col("lang"),
+      col("cls01"), col("n_tokens"),
+      when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L)))
+  }
+
   /** C4 cleaning-rule signals. Like `text_redact`, the boilerplate flags
     * and the short-unit rule would be vacuous on the synthetic corpus (no
     * "lorem ipsum"/braces, no short sentences), so the gate plants
@@ -657,6 +683,7 @@ object OracleOpsQueries {
     "text_lm_bigram_cross" -> (textLmBigramCross _),
     "text_dsir_weight" -> (textDsirWeight _),
     "text_classify_unigram" -> (textClassifyUnigram _),
+    "corpus_classifier_budget" -> (corpusClassifierBudget _),
     "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
     "text_quality_histogram" -> (textQualityHistogram _),
     "text_repetition_scan" -> ((s: SparkSession, d: String) =>
@@ -716,6 +743,38 @@ object OracleOpsQueries {
     s"""(least(CAST($nt AS DOUBLE) / 64.0, 1.0)
        |     + least((CAST($nsw AS DOUBLE) / CAST(greatest($nt, 1) AS DOUBLE)) * 4.0, 1.0)
        |     + (1.0 - least((CAST($np AS DOUBLE) / CAST(greatest($nc, 1) AS DOUBLE)) * 10.0, 1.0))) / 3.0""".stripMargin
+
+  /** DuckDB mirror of [[TextAnalysis.unigramClassify]]'s training + scoring
+    * chain (labels = every 3rd doc, positive class `lang = 'en'`) at
+    * scale = 10⁴ — shared by the standalone classifier gate and the
+    * composed classifier-curation gate. Exposes `aggc` with
+    * (doc_id, n_tokens, score_pos, score_neg). */
+  private val classifierCtes: String =
+    s"""tk AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, lang, ${h60("tok")} AS h FROM tk),
+       |cp AS (
+       |  SELECT h, CAST(count(*) AS BIGINT) AS cp FROM th
+       |  WHERE doc_id % 3 = 0 AND lang = 'en' GROUP BY h),
+       |cn AS (
+       |  SELECT h, CAST(count(*) AS BIGINT) AS cn FROM th
+       |  WHERE doc_id % 3 = 0 AND lang != 'en' GROUP BY h),
+       |counts AS (
+       |  SELECT COALESCE(cp.h, cn.h) AS h,
+       |    COALESCE(cp.cp, 0) AS cp, COALESCE(cn.cn, 0) AS cn
+       |  FROM cp FULL JOIN cn ON cp.h = cn.h),
+       |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn FROM counts),
+       |scc AS (
+       |  SELECT th.doc_id,
+       |    CASE WHEN tot.tp > 0 THEN (COALESCE(counts.cp, 0) * 10000) // tot.tp ELSE 0 END AS sp,
+       |    CASE WHEN tot.tn > 0 THEN (COALESCE(counts.cn, 0) * 10000) // tot.tn ELSE 0 END AS sn
+       |  FROM th LEFT JOIN counts USING (h), tot),
+       |aggc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(sp) AS BIGINT) AS score_pos, CAST(SUM(sn) AS BIGINT) AS score_neg
+       |  FROM scc GROUP BY doc_id)""".stripMargin
 
   /** The descending-score token-budget window + kept-set select shared by
     * every curation oracle (`corpus_quality_budget`, `corpus_lm_budget`)
@@ -1387,37 +1446,23 @@ object OracleOpsQueries {
     "text_lm_bigram_cross" ->
       lmNgramSql(2, trainJoin = "JOIN documents d USING (doc_id) WHERE d.lang = 'en'"),
     "text_classify_unigram" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, lang,
-         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS tok
-         |  FROM documents),
-         |th AS (SELECT doc_id, lang, ${h60("tok")} AS h FROM tk),
-         |cp AS (
-         |  SELECT h, CAST(count(*) AS BIGINT) AS cp FROM th
-         |  WHERE doc_id % 3 = 0 AND lang = 'en' GROUP BY h),
-         |cn AS (
-         |  SELECT h, CAST(count(*) AS BIGINT) AS cn FROM th
-         |  WHERE doc_id % 3 = 0 AND lang != 'en' GROUP BY h),
-         |counts AS (
-         |  SELECT COALESCE(cp.h, cn.h) AS h,
-         |    COALESCE(cp.cp, 0) AS cp, COALESCE(cn.cn, 0) AS cn
-         |  FROM cp FULL JOIN cn ON cp.h = cn.h),
-         |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn FROM counts),
-         |sc AS (
-         |  SELECT th.doc_id,
-         |    CASE WHEN tot.tp > 0 THEN (COALESCE(counts.cp, 0) * 10000) // tot.tp ELSE 0 END AS sp,
-         |    CASE WHEN tot.tn > 0 THEN (COALESCE(counts.cn, 0) * 10000) // tot.tn ELSE 0 END AS sn
-         |  FROM th LEFT JOIN counts USING (h), tot),
-         |agg AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |    CAST(SUM(sp) AS BIGINT) AS score_pos, CAST(SUM(sn) AS BIGINT) AS score_neg
-         |  FROM sc GROUP BY doc_id)
+      s"""WITH $classifierCtes
          |SELECT d.doc_id,
-         |  COALESCE(agg.n_tokens, 0) AS n_tokens,
-         |  COALESCE(agg.score_pos, 0) AS score_pos,
-         |  COALESCE(agg.score_neg, 0) AS score_neg,
-         |  CAST(COALESCE(agg.score_pos, 0) >= COALESCE(agg.score_neg, 0) AS INT) AS pred
-         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+         |  COALESCE(aggc.n_tokens, 0) AS n_tokens,
+         |  COALESCE(aggc.score_pos, 0) AS score_pos,
+         |  COALESCE(aggc.score_neg, 0) AS score_neg,
+         |  CAST(COALESCE(aggc.score_pos, 0) >= COALESCE(aggc.score_neg, 0) AS INT) AS pred
+         |FROM documents d LEFT JOIN aggc USING (doc_id)""".stripMargin,
+    "corpus_classifier_budget" ->
+      s"""WITH $classifierCtes,
+         |sc AS (
+         |  SELECT d.doc_id, d.lang AS stratum,
+         |    CAST(COALESCE(aggc.score_pos, 0) AS DOUBLE)
+         |      / CAST(COALESCE(aggc.score_pos, 0) + COALESCE(aggc.score_neg, 0) + 1 AS DOUBLE) AS score,
+         |    COALESCE(aggc.n_tokens, 0) AS n_tokens,
+         |    CASE WHEN d.lang = 'en' THEN 4000 ELSE 1500 END AS budget
+         |  FROM documents d LEFT JOIN aggc USING (doc_id)),
+         |${budgetCurationSql("sc")}""".stripMargin,
     "text_dsir_weight" ->
       s"""WITH $toksCte,
          |${lmChainCtes(2, "JOIN documents d USING (doc_id) WHERE d.lang = 'en'", "_t")},
