@@ -52,18 +52,45 @@ object Bench {
       Thread.sleep(250)
       System.gc()
     }
+    // Watchdog: one wedged query must not stall the whole bench (the
+    // driver's round artifact depends on the summary line PRINTING). Each
+    // query runs under its own job group with a hard wall-clock budget;
+    // on breach the group's Spark jobs are cancelled and the query is
+    // recorded as failed (negative timing), exactly like a throw. 300 s
+    // is ~100× the slowest healthy query at sf0.1 — a breach means
+    // wedged, not slow. SPARK_GRAFT_QUERY_TIMEOUT_S overrides.
+    val queryTimeoutS =
+      sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_S").map(_.toLong).getOrElse(300L)
+    def runCounted(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
+      import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
+      val group = s"bench-$name"
+      val task = new FutureTask[Unit](() => {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try fn(spark, sfDir).count(): Unit
+        finally spark.sparkContext.clearJobGroup()
+      })
+      val t = new Thread(task, s"bench-query-$name"); t.setDaemon(true); t.start()
+      try { task.get(queryTimeoutS, TimeUnit.SECONDS); true }
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          task.cancel(true)
+          false
+        case _: Throwable => false
+      }
+    }
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
-      selected.foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      selected.foreach { case (name, fn) =>
+        runCounted(name, fn): Unit // guarded: a wedged warmup must not stall the bench
         sweep()
       }
     }
     def timedPass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       sweep() // each query starts from a clean cache/storage state
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = runCounted(name, fn)
       val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt) // negative timing = query threw
+      name -> (if (ok) dt else -dt) // negative timing = query threw or timed out
     }
     // Noise defense: the timed sweep runs TWICE and each query reports the
     // MIN of its passes. This VM's background load has produced a 1.6×
