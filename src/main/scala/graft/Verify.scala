@@ -22,12 +22,41 @@ object Verify {
     // optional subset filter for local iteration (same contract as Bench);
     // the driver never sets it, so the driver's run always dumps everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Same watchdog as Bench: one wedged query must not stall the
+    // CORRECTNESS gate — every other query's green row depends on this
+    // loop finishing and oracle_sql.json being written.
+    val queryTimeoutS =
+      sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_S").map(_.toLong).getOrElse(600L)
     only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
+      val group = s"verify-$name"
+      val task = new FutureTask[Unit](() => {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
+      })
+      val t = new Thread(task, s"verify-$name"); t.setDaemon(true); t.start()
+      try task.get(queryTimeoutS, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          task.cancel(true)
+          // wait for the cancelled write to actually DIE before cleanup —
+          // deleting while the commit protocol is still flushing would
+          // race and the dir could reappear complete-looking
+          t.join(30000)
+          // a partially-written parquet dir would read as TRUNCATED output
+          // (a wrong red row); a missing dir reads as absent — strictly
+          // better for a cancelled query
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(s"$outDir/$name"))
+          System.err.println(s"[verify] $name timed out after ${queryTimeoutS}s (cancelled, output removed)")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getCause}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
