@@ -150,6 +150,16 @@ object OracleOpsQueries {
       trainNeg = labeled.filter(col("lang") =!= "en"))
   }
 
+  /** Per-language quantile normalization of quality — cross-domain score
+    * calibration (histogram-CDF grained; see
+    * [[TextAnalysis.qualityQuantileNormalize]]). Five language strata
+    * with different length/punctuation mixes at sf0.01, so per-stratum
+    * CDFs genuinely differ and the same raw quality maps to different
+    * qnorm per language (non-vacuous). */
+  def textQualityQnorm(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityQuantileNormalize(Tables.documents(s, d),
+      "doc_id", "text", col("lang"))
+
   /** Classifier-scored curation, composed end to end: the supervised
     * unigram filter ([[textClassifyUnigram]]'s exact setup) scores every
     * doc, the positive-affinity share `score_pos / (score_pos +
@@ -684,6 +694,7 @@ object OracleOpsQueries {
     "text_dsir_weight" -> (textDsirWeight _),
     "text_classify_unigram" -> (textClassifyUnigram _),
     "corpus_classifier_budget" -> (corpusClassifierBudget _),
+    "text_quality_qnorm" -> (textQualityQnorm _),
     "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
     "text_quality_histogram" -> (textQualityHistogram _),
     "text_repetition_scan" -> ((s: SparkSession, d: String) =>
@@ -1453,6 +1464,30 @@ object OracleOpsQueries {
          |  COALESCE(aggc.score_neg, 0) AS score_neg,
          |  CAST(COALESCE(aggc.score_pos, 0) >= COALESCE(aggc.score_neg, 0) AS INT) AS pred
          |FROM documents d LEFT JOIN aggc USING (doc_id)""".stripMargin,
+    "text_quality_qnorm" ->
+      s"""WITH $toksCte,
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars2,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+         |  FROM toks),
+         |b AS (
+         |  SELECT f.doc_id, d.lang AS stratum,
+         |    ${qualityExprSql("f.n_tokens", "f.n_stopwords", "f.n_punct", "f.n_chars2")} AS quality,
+         |    CAST(floor(${qualityExprSql("f.n_tokens", "f.n_stopwords", "f.n_punct", "f.n_chars2")} * 20.0) AS BIGINT) AS bucket
+         |  FROM feat f JOIN documents d USING (doc_id)),
+         |h AS (SELECT stratum, bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY stratum, bucket),
+         |c AS (
+         |  SELECT stratum, bucket,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY stratum ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum,
+         |    CAST(SUM(n) OVER (PARTITION BY stratum) AS BIGINT) AS tot
+         |  FROM h)
+         |SELECT b.doc_id, b.stratum, b.quality, b.bucket,
+         |  CAST(c.cum AS DOUBLE) / CAST(c.tot AS DOUBLE) AS qnorm
+         |FROM b JOIN c USING (stratum, bucket)""".stripMargin,
     "corpus_classifier_budget" ->
       s"""WITH $classifierCtes,
          |sc AS (

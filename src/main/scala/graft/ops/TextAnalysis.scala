@@ -556,6 +556,47 @@ object TextAnalysis {
       .select(col(id) +: lmDocColumns: _*)
   }
 
+  /** Per-stratum quantile normalization of the quality score — the
+    * cross-domain calibration step of multi-source curation: a raw
+    * quality of 0.6 means different things in web crawl vs reference
+    * text, so budget selection over MIXED strata should rank by each
+    * document's position WITHIN its own stratum's distribution, not by
+    * the raw score. `qnorm` is the stratum's empirical CDF evaluated at
+    * the document's 1/20-wide quality bucket (the same binning as
+    * [[qualityHistogram]]): `rows strictly below my bucket / stratum
+    * rows` — an exact BIGINT ratio, engine-reproducible, monotone in the
+    * raw score at bucket granularity.
+    *
+    * Deliberately HISTOGRAM-grained rather than exact `percent_rank`:
+    * an exact per-stratum rank is one monolithic sort per stratum (the
+    * low-cardinality-strata serialization the two-phase samplers exist
+    * to avoid), while the bucket CDF is a map-side-combined
+    * (stratum × 21)-row aggregate, two windows over that TINY frame, and
+    * a broadcast join back — no corpus-wide sort at any scale. Bucket
+    * granularity (5 percentile-points of raw score) is what budget
+    * curation actually consumes; feed `qnorm` straight into
+    * [[graft.ops.Splits.qualityBudgetSample]].
+    * Returns (id, stratum, quality, bucket, qnorm). */
+  def qualityQuantileNormalize(df: DataFrame, id: String, text: String,
+                               stratum: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityColumns(col(text)).toMap.apply("quality")
+    val base = df.select(col(id), stratum.as("stratum"), q.as("quality"))
+      .withColumn("bucket", floor(col("quality") * 20).cast("long"))
+    val wb = Window.partitionBy(col("__s")).orderBy(col("__b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ws = Window.partitionBy(col("__s"))
+    val cdf = base.groupBy(col("stratum").as("__s"), col("bucket").as("__b2"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__cum", coalesce(sum(col("__n")).over(wb), lit(0L)))
+      .withColumn("__tot", sum(col("__n")).over(ws))
+      .select(col("__s"), col("__b2"), col("__cum"), col("__tot"))
+    base.join(broadcast(cdf),
+        col("stratum") <=> col("__s") && col("bucket") === col("__b2"))
+      .select(col(id), col("stratum"), col("quality"), col("bucket"),
+        (col("__cum").cast("double") / col("__tot").cast("double")).as("qnorm"))
+  }
+
   /** Binary unigram class-affinity scorer — the engine's portable
     * analogue of the fastText-style quality/domain classifier every major
     * pipeline runs (CCNet, GPT-3's WebText-vs-crawl filter, Llama's

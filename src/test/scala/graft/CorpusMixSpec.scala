@@ -74,6 +74,35 @@ class CorpusMixSpec extends SparkSpec {
     assert(b("tiny").toDouble / 9400 > 100.0 / 102600 * 10)
   }
 
+  test("quantile normalization is the within-stratum bucket CDF") {
+    // stratum A: short low-quality docs; stratum B: longer, stopword-rich
+    // docs — same raw score lands at different qnorm per stratum
+    val corpus = (
+      (1 to 8).map(i => (i.toLong, "x y", "A")) ++                    // low quality
+      (9 to 10).map(i => (i.toLong, "the cat sat on the mat and it was good", "A")) ++
+      (11 to 18).map(i => (i.toLong, "the cat sat on the mat and it was good", "B")) ++
+      (19 to 20).map(i => (i.toLong, "x y", "B"))
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.qualityQuantileNormalize(corpus, "doc_id", "text",
+        col("lang"))
+      .as[(Long, String, Double, Long, Double)].collect()
+    assert(out.length === 20)
+    out.foreach { case (_, _, q, b, qn) =>
+      assert(qn >= 0.0 && qn < 1.0)
+      assert(b === math.floor(q * 20).toLong)
+    }
+    // within each stratum the lowest bucket sits at CDF 0, and the higher
+    // bucket's qnorm equals the fraction of rows strictly below it
+    val byKey = out.groupBy(r => (r._2, r._4)).view.mapValues(_.head._5).toMap
+    assert(byKey(("A", out.filter(_._2 == "A").map(_._4).min)) === 0.0)
+    val hiA = out.filter(_._2 == "A").map(_._4).max
+    val hiB = out.filter(_._2 == "B").map(_._4).max
+    assert(byKey(("A", hiA)) === 0.8) // 8 of 10 A-rows below the good docs
+    assert(byKey(("B", hiB)) === 0.2) // only 2 of 10 B-rows below them
+    // same raw quality, different calibrated rank across strata
+    assert(byKey(("A", hiA)) !== byKey(("B", hiB)))
+  }
+
   test("unigram classifier separates classes with disjoint common vocabulary") {
     val corpus = Seq(
       (1L, "good clean prose with the usual words", 1),
