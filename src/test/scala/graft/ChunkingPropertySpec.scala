@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Chunking
+
+/** Randomized check of the chunking convention against a sequential
+  * reference (same style as SweepLinePropertySpec: seeded trials, a
+  * deliberately single-threaded Scala mirror of the documented
+  * convention). The risk under test is the DISTRIBUTED formulation —
+  * the chunk-count arithmetic, the explode, the slice bounds — so the
+  * reference recomputes chunks with plain collections code. */
+class ChunkingPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def referenceChunks(toks: Vector[String], c: Int, s: Int)
+      : Seq[(Long, Long, Long, String)] = {
+    val n = toks.length
+    if (n == 0) Seq.empty
+    else {
+      val k = if (n <= c) 1L else ((n - c + s - 1) / s + 1).toLong
+      (0L until k).map { i =>
+        val start = (i * s).toInt
+        val slice = toks.slice(start, start + c)
+        (i, start.toLong, slice.length.toLong, slice.mkString(" "))
+      }
+    }
+  }
+
+  test("distributed chunking matches the sequential convention on random inputs") {
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { trial =>
+      val c = 1 + rnd.nextInt(12)
+      val s = 1 + rnd.nextInt(c) // stride in [1, chunkTokens]
+      val docs = (0 until 40).map { id =>
+        // token counts biased toward the edges: 0, 1, c-1, c, c+1, n≫c
+        val n = rnd.nextInt(6) match {
+          case 0 => 0
+          case 1 => 1
+          case 2 => math.max(0, c - 1)
+          case 3 => c
+          case 4 => c + 1
+          case _ => rnd.nextInt(5 * c + 10)
+        }
+        (id.toLong, Vector.tabulate(n)(j => s"t${id}_$j"))
+      }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text").repartition(8)
+      val got = Chunking.chunkByTokens(df, "doc_id", "text", c, s)
+        .as[(Long, Long, Long, Long, String)].collect()
+        .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+      val expected = docs.flatMap { case (id, ts) =>
+        referenceChunks(ts, c, s).map { case (k, st, nt, txt) => (id, k, st, nt, txt) }
+      }.toSet
+      assert(got === expected, s"trial=$trial chunkTokens=$c stride=$s")
+      // documented invariants: every token index is covered by some chunk,
+      // and the final chunk always reaches the last token
+      docs.filter(_._2.nonEmpty).foreach { case (id, ts) =>
+        val chunks = got.filter(_._1 == id)
+        val covered = chunks.flatMap(ch => ch._3 until (ch._3 + ch._4)).toSet
+        assert(covered === (0L until ts.length.toLong).toSet)
+      }
+    }
+  }
+}
