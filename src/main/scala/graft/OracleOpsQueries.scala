@@ -156,9 +156,16 @@ object OracleOpsQueries {
     * with different length/punctuation mixes at sf0.01, so per-stratum
     * CDFs genuinely differ and the same raw quality maps to different
     * qnorm per language (non-vacuous). */
-  def textQualityQnorm(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.qualityQuantileNormalize(Tables.documents(s, d),
-      "doc_id", "text", col("lang"))
+  def textQualityQnorm(s: SparkSession, d: String): DataFrame = {
+    // score once into a narrow checkpoint, then calibrate — the pattern
+    // the op's scaladoc prescribes (the normalizer reads its input twice)
+    val quality = qualityColumns(col("text")).toMap.apply("quality")
+    val scored = graft.operators.Scale.balanceToCores(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), quality.as("__q"))
+      .localCheckpoint(true)
+    TextAnalysis.quantileNormalizeScores(scored, "doc_id", col("lang"), col("__q"))
+      .withColumnRenamed("score", "quality")
+  }
 
   /** Classifier-scored curation, composed end to end: the supervised
     * unigram filter ([[textClassifyUnigram]]'s exact setup) scores every
