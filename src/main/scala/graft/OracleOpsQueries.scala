@@ -298,6 +298,27 @@ object OracleOpsQueries {
       col("lang"), col("__nt"), budget, salt = "epoch", maxEpochs = 2)
   }
 
+  /** Temperature reweighting composed with epoch up-sampling — the real
+    * production flow: √-temperature budgets hand small domains MORE than
+    * their corpus holds, so they replay extra epochs while the big
+    * domain truncates. B = 43000 over the sf0.01 language totals gives:
+    * en budget 13118 > T_en = 11757 → trims inside epoch 1; de budget
+    * 7166 just above 2·T_de = 7098 → wants 3 epochs, capped at 2 with
+    * both kept whole (the cap binds); es/fr/zh budgets land between T
+    * and 2T → trim inside epoch 1 — every branch of the composition
+    * fires (constants validated against the measured totals). */
+  def corpusTemperatureEpochs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .localCheckpoint(true)
+    val budgets = graft.ops.Splits.sqrtTemperatureBudgets(
+      docs, col("lang"), col("__nt"), totalBudget = 43000L)
+    val joined = docs.join(broadcast(budgets.toDF("__s4", "budget")),
+      col("lang") === col("__s4"))
+    graft.ops.Splits.epochUpsample(joined, "doc_id", col("lang"),
+      col("__nt"), col("budget"), salt = "tepoch", maxEpochs = 2)
+  }
+
   /** Quality-ordered token-budget curation: per language, keep the
     * highest-quality docs until the language's token budget (en gets
     * 5000 tokens, every other language 2000 — both budgets bind at
@@ -740,6 +761,7 @@ object OracleOpsQueries {
     "corpus_chunk" -> (corpusChunk _),
     "corpus_mix_temperature" -> (corpusMixTemperature _),
     "corpus_upsample_epochs" -> (corpusUpsampleEpochs _),
+    "corpus_temperature_epochs" -> (corpusTemperatureEpochs _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -1983,6 +2005,39 @@ object OracleOpsQueries {
          |         WHEN 'es' THEN 9000 ELSE 7600 END AS BIGINT) AS budget,
          |    ${h60("'epoch_' || CAST(doc_id AS VARCHAR)")} AS rk
          |  FROM tok),
+         |c AS (
+         |  SELECT doc_id, stratum, n_tokens, budget,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM base),
+         |j AS (
+         |  SELECT c.doc_id, c.stratum, c.n_tokens, c.budget, c.cum_before, tot.T
+         |  FROM c JOIN tot USING (stratum)
+         |  WHERE c.budget > 0 AND tot.T > 0),
+         |e AS (
+         |  SELECT doc_id, stratum, n_tokens, budget, cum_before, T,
+         |    unnest(generate_series(0, least((budget + T - 1) // T, 2) - 1)) AS epoch
+         |  FROM j)
+         |SELECT doc_id, stratum, CAST(epoch AS BIGINT) AS epoch, n_tokens,
+         |  CAST(epoch * T + cum_before + n_tokens AS BIGINT) AS cum_tokens
+         |FROM e WHERE epoch * T + cum_before < budget""".stripMargin,
+    "corpus_temperature_epochs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang AS stratum,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT stratum, CAST(SUM(n_tokens) AS BIGINT) AS T FROM tok GROUP BY stratum),
+         |wts AS (SELECT stratum, CAST(floor(sqrt(CAST(T AS DOUBLE))) AS BIGINT) AS sw FROM tot),
+         |den AS (SELECT CAST(SUM(sw) AS BIGINT) AS den FROM wts),
+         |bud AS (
+         |  SELECT stratum,
+         |    CASE WHEN den <= 0 THEN CAST(0 AS BIGINT)
+         |         ELSE (43000 // den) * sw + ((43000 % den) * sw) // den END AS budget
+         |  FROM wts, den),
+         |base AS (
+         |  SELECT tok.doc_id, tok.stratum, tok.n_tokens, bud.budget,
+         |    ${h60("'tepoch_' || CAST(tok.doc_id AS VARCHAR)")} AS rk
+         |  FROM tok JOIN bud USING (stratum)),
          |c AS (
          |  SELECT doc_id, stratum, n_tokens, budget,
          |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY rk, doc_id
