@@ -62,10 +62,12 @@ object Bench {
     val queryTimeoutS =
       sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_S").map(_.toLong).getOrElse(300L)
     def runCounted(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
-      import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
+      import java.util.concurrent.{CountDownLatch, FutureTask, TimeUnit, TimeoutException}
       val group = s"bench-$name"
+      val registered = new CountDownLatch(1)
       val task = new FutureTask[Unit](() => {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        registered.countDown()
         try fn(spark, sfDir).count(): Unit
         finally spark.sparkContext.clearJobGroup()
       })
@@ -73,8 +75,18 @@ object Bench {
       try { task.get(queryTimeoutS, TimeUnit.SECONDS); true }
       catch {
         case _: TimeoutException =>
+          // the group must EXIST before the cancel — a timeout that fires
+          // before the worker ran setJobGroup would otherwise cancel
+          // nothing and the query would keep running under the radar
+          registered.await(5, TimeUnit.SECONDS)
           spark.sparkContext.cancelJobGroup(group)
           task.cancel(true)
+          // wait for the cancelled worker to actually DIE — a wedged
+          // query's still-draining tasks would otherwise overlap the next
+          // timed query and inflate its measured minimum
+          t.join(30000)
+          if (t.isAlive)
+            System.err.println(s"[bench] $name worker still draining after cancel — subsequent timings may be inflated")
           false
         case _: Throwable => false
       }

@@ -29,10 +29,12 @@ object Verify {
       sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_S").map(_.toLong).getOrElse(600L)
     only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap).foreach { case (name, fn) =>
-      import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
+      import java.util.concurrent.{CountDownLatch, FutureTask, TimeUnit, TimeoutException}
       val group = s"verify-$name"
+      val registered = new CountDownLatch(1)
       val task = new FutureTask[Unit](() => {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        registered.countDown()
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         finally spark.sparkContext.clearJobGroup()
@@ -41,22 +43,34 @@ object Verify {
       try task.get(queryTimeoutS, TimeUnit.SECONDS)
       catch {
         case _: TimeoutException =>
+          // the group must exist before the cancel (set-before-cancel race)
+          registered.await(5, TimeUnit.SECONDS)
           spark.sparkContext.cancelJobGroup(group)
           task.cancel(true)
           // wait for the cancelled write to actually DIE before cleanup —
           // deleting while the commit protocol is still flushing would
           // race and the dir could reappear complete-looking
           t.join(30000)
-          // a partially-written parquet dir would read as TRUNCATED output
-          // (a wrong red row); a missing dir reads as absent — strictly
-          // better for a cancelled query
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          if (t.isAlive) {
+            // non-interruptible IO still in flight: deleting NOW would race
+            // the write and a partial dir could reappear complete-looking —
+            // skip the delete (the row reads red either way; racing it
+            // could make the truncation non-obvious)
+            System.err.println(s"[verify] $name timed out after ${queryTimeoutS}s; writer still alive after 30s — output left in place")
+          } else {
+            // a partially-written parquet dir would read as TRUNCATED
+            // output (a wrong red row); a missing dir reads as absent —
+            // strictly better for a cancelled query
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+            }
+            rm(new java.io.File(s"$outDir/$name"))
+            System.err.println(s"[verify] $name timed out after ${queryTimeoutS}s (cancelled, output removed)")
           }
-          rm(new java.io.File(s"$outDir/$name"))
-          System.err.println(s"[verify] $name timed out after ${queryTimeoutS}s (cancelled, output removed)")
         case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getCause}")
+          // getCause is null for non-ExecutionException throwables — fall
+          // back to the throwable itself, never print "null"
+          System.err.println(s"[verify] $name failed: ${Option(e.getCause).getOrElse(e)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -21,11 +21,27 @@ object Scale {
     * cores and this is a NO-OP — the partition probe reads plan metadata
     * only, it never launches a job; the repartition, when it does fire,
     * shuffles the NARROW pre-explode rows (shuffle cost is bounded by
-    * the input, not the exploded output). */
+    * the input, not the exploded output).
+    *
+    * The probe is gated on the physical plan being EXCHANGE-free (and
+    * free of plan subqueries): with AQE enabled, `Dataset.rdd` on a plan
+    * containing exchanges forces `getFinalPhysicalPlan`, which eagerly
+    * materializes the upstream shuffle stages — real Spark jobs whose
+    * results are discarded, so the upstream would run TWICE once the
+    * returned frame executes. A plan that already shuffles doesn't need
+    * this valve anyway (AQE coalesces/rebalances post-shuffle at
+    * runtime), so skipping it loses nothing. */
   def balanceToCores(df: DataFrame): DataFrame = {
     // streaming frames have no static partition count to probe (`.rdd`
     // throws) and micro-batch sizing is the source's job — pass through
     if (df.isStreaming) return df
+    val plan = df.queryExecution.sparkPlan
+    val hasExchange = plan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case p => p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    }
+    if (hasExchange) return df
     val dp = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
   }

@@ -605,8 +605,16 @@ object TextAnalysis {
                               score: Column, nBuckets: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // a NULL (or NaN) score would yield a NULL (or garbage) bucket and the
+    // plain === join-back below would silently DROP the row — the same
+    // corruption hazard qualityBudgetSample fails fast on. Fail per-row;
+    // the when-branch is codegen'd and costs ~nothing.
+    val checked = when(score.isNull || isnan(score.cast("double")),
+      raise_error(lit("quantileNormalizeScores: score column contains " +
+        "NULL/NaN — filter or coalesce to a sentinel before normalizing")))
+      .otherwise(score.cast("double"))
     val base = df.select(col(id), stratum.as("stratum"),
-        score.cast("double").as("score"))
+        checked.as("score"))
       .withColumn("bucket", floor(col("score") * nBuckets).cast("long"))
     val wb = Window.partitionBy(col("__s")).orderBy(col("__b2"))
       .rowsBetween(Window.unboundedPreceding, -1)
