@@ -25,6 +25,35 @@ object OracleOpsQueries {
       bpeTokenCount(col("text")).cast("long").as("n_bpe"),
       punctCount(col("text")).cast("long").as("n_punct"))
 
+  /** CJK-planted text shared by the CJK-mode gates: every 5th doc gains a
+    * 10-ideograph Chinese clause, every 9th a 5-codepoint Japanese one
+    * (katakana + kanji, including the U+30FC long-vowel mark). The same
+    * UTF-8 literals are embedded in the oracle SQL (non-ASCII passes
+    * through the JSON dump intact). */
+  private def plantedCjk = concat(col("text"),
+    when(col("doc_id") % 5 === 0, lit(" 机器学习提高数据质量")).otherwise(lit("")),
+    when(col("doc_id") % 9 === 0, lit(" データ処理")).otherwise(lit("")))
+
+  /** Whitespace vs codepoint-class token counts on planted-CJK text: the
+    * whitespace split sees each planted clause as ONE token; CJK mode
+    * counts one per codepoint — the silent degradation the fallback
+    * tokenizer closes, made visible as a counted difference. */
+  def textTokensCjk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      tokenCount(plantedCjk).cast("long").as("n_tokens_ws"),
+      size(tokensCjk(plantedCjk)).cast("long").as("n_tokens_cjk"),
+      regexp_count(plantedCjk, lit(s"[$cjkClass]")).cast("long").as("n_cjk_chars"))
+
+  /** Token-window chunking in CJK mode over the planted corpus — same
+    * window geometry as [[corpusChunk]]; planted docs yield MORE chunks
+    * because every ideograph counts toward the window instead of the
+    * whole clause collapsing into one "token". */
+  def corpusChunkCjk(s: SparkSession, d: String): DataFrame =
+    graft.ops.Chunking.chunkByTokens(
+      Tables.documents(s, d).select(col("doc_id"), plantedCjk.as("text")),
+      "doc_id", "text", chunkTokens = 16, stride = 12,
+      tokenMode = TextAnalysis.TokenMode.Cjk)
+
   def textQuality(s: SparkSession, d: String): DataFrame = {
     val cols = qualityColumns(col("text")).map { case (n, c) => c.as(n) }
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
@@ -709,6 +738,8 @@ object OracleOpsQueries {
     "sim_projected_topk" -> (simProjectedTopK _),
     "mm_meta" -> (mmMeta _),
     "text_tokens" -> (textTokens _),
+    "text_tokens_cjk" -> (textTokensCjk _),
+    "corpus_chunk_cjk" -> (corpusChunkCjk _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -774,6 +805,17 @@ object OracleOpsQueries {
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
        |  FROM $rel)""".stripMargin
   private val toksCte = toksCteFrom("documents")
+
+  /** DuckDB mirror of [[plantedCjk]] — exposes `pl(doc_id, text)`. No
+    * continuation line may START with `||`: this fragment is interpolated
+    * into outer stripMargin'd strings, whose stripMargin would eat the
+    * first pipe. */
+  private val cjkPlantSql =
+    """pl AS (
+      |  SELECT doc_id,
+      |    text || (CASE WHEN doc_id % 5 = 0 THEN ' 机器学习提高数据质量' ELSE '' END) ||
+      |      (CASE WHEN doc_id % 9 = 0 THEN ' データ処理' ELSE '' END) AS text
+      |  FROM documents)""".stripMargin
 
   /** The quality-score formula as a SQL expression template — ONE source
     * of truth for the oracles that embed it, so a tweak to the score
@@ -1334,6 +1376,30 @@ object OracleOpsQueries {
          |  CAST(len(regexp_extract_all(text, '$bpeTokenRegex')) AS BIGINT) AS n_bpe,
          |  CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct
          |FROM toks""".stripMargin,
+    "text_tokens_cjk" ->
+      s"""WITH $cjkPlantSql
+         |SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens_ws,
+         |  CAST(len(regexp_extract_all(text, '$cjkTokenRegex')) AS BIGINT) AS n_tokens_cjk,
+         |  CAST(len(regexp_extract_all(text, '[$cjkClass]')) AS BIGINT) AS n_cjk_chars
+         |FROM pl""".stripMargin,
+    "corpus_chunk_cjk" ->
+      s"""WITH $cjkPlantSql,
+         |toks AS (SELECT doc_id, regexp_extract_all(text, '$cjkTokenRegex') AS t FROM pl),
+         |k AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |    CASE WHEN len(t) <= 16 THEN CAST(1 AS BIGINT)
+         |         ELSE (CAST(len(t) AS BIGINT) - 16 + 11) // 12 + 1 END AS nk
+         |  FROM toks WHERE len(t) > 0),
+         |e AS (
+         |  SELECT doc_id, t, n,
+         |    unnest(generate_series(0, nk - 1)) AS chunk_id
+         |  FROM k)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(chunk_id * 12 AS BIGINT) AS start_tok,
+         |  CAST(least(16, n - chunk_id * 12) AS BIGINT) AS n_tok,
+         |  array_to_string(list_slice(t, chunk_id * 12 + 1, chunk_id * 12 + 16), ' ') AS chunk_text
+         |FROM e""".stripMargin,
     "text_quality" ->
       s"""WITH $toksCte,
          |feat AS (

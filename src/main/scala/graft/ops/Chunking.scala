@@ -37,9 +37,16 @@ object Chunking {
     * (id, chunk_id, start_tok, n_tok, chunk_text), where `chunk_text` is
     * the window's tokens re-joined with single spaces (normalized
     * whitespace — chunk consumers tokenize again by the same rule, so the
-    * round trip is lossless at the token level). */
+    * round trip is lossless at the token level). `tokenMode` selects the
+    * tokenizer: [[TextAnalysis.TokenMode.Cjk]] makes CJK codepoints
+    * single tokens, so an unsegmented-script document actually windows
+    * instead of collapsing to one giant "token" (the space re-join keeps
+    * the chunk→re-tokenize round trip lossless in BOTH modes — a CJK
+    * char re-tokenizes to itself whether or not a space precedes it). */
   def chunkByTokens(df: DataFrame, id: String, text: String,
-                    chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+                    chunkTokens: Int = 64, stride: Int = 48,
+                    tokenMode: TextAnalysis.TokenMode =
+                      TextAnalysis.TokenMode.Whitespace): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(stride > 0 && stride <= chunkTokens,
       s"stride must be in [1, chunkTokens], got $stride")
@@ -55,7 +62,7 @@ object Chunking {
     // (single-row-group files) balanceToCores pays one narrow shuffle so
     // the explode runs as wide as the cores (streaming passes through)
     graft.operators.Scale.balanceToCores(df)
-      .select(col(id), TextAnalysis.tokens(col(text)).as("__t"))
+      .select(col(id), TextAnalysis.tokens(col(text), tokenMode).as("__t"))
       .withColumn("__n", size(col("__t")).cast("long"))
       .filter(col("__n") > 0)
       .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1L)))

@@ -25,6 +25,45 @@ object TextAnalysis {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Tokenizer mode — every token-consuming operator (chunking, LM
+    * scoring, budgets, repetition) takes one so multilingual corpora can
+    * opt into the unsegmented-script fallback without perturbing the
+    * bit-stable whitespace gates. */
+  sealed trait TokenMode
+  object TokenMode {
+    /** Whitespace split — the historical default. A Chinese/Japanese
+      * document is ONE token under this mode. */
+    case object Whitespace extends TokenMode
+    /** Codepoint-class fallback for unsegmented scripts: each CJK
+      * ideograph / kana codepoint is its own token, everything else is
+      * whitespace-split — the standard character-level degradation when
+      * no segmenter is available (identical to Whitespace on text with
+      * no CJK codepoints). */
+    case object Cjk extends TokenMode
+  }
+
+  /** Unsegmented-script codepoint ranges treated as single-char tokens:
+    * hiragana/katakana (3040–30FF), CJK ext A (3400–4DBF), CJK unified
+    * (4E00–9FFF), CJK compatibility (F900–FAFF). RE2-compatible hex
+    * escapes, so the DuckDB oracle applies the IDENTICAL class. */
+  val cjkClass = "\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}"
+
+  /** One CJK codepoint OR one maximal run of non-space non-CJK chars —
+    * alternation order matters: the single-char branch must win so a CJK
+    * run tokenizes per character. */
+  val cjkTokenRegex = s"[$cjkClass]|[^\\s$cjkClass]+"
+
+  /** Codepoint-class tokens: CJK chars as single tokens, other runs
+    * whitespace-split. On CJK-free text this IS the whitespace split
+    * (property-spec'd), so mixed corpora can use it corpus-wide. */
+  def tokensCjk(c: Column): Column =
+    regexp_extract_all(c, lit(cjkTokenRegex), lit(0))
+
+  def tokens(c: Column, mode: TokenMode): Column = mode match {
+    case TokenMode.Whitespace => tokens(c)
+    case TokenMode.Cjk => tokensCjk(c)
+  }
+
   /** BPE-ish subword proxy: letter runs, digit runs, single symbols.
     * The regex is RE2-compatible so the DuckDB oracle can mirror it. */
   val bpeTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"

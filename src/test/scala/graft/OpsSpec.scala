@@ -1182,4 +1182,40 @@ class OpsSpec extends SparkSpec {
     assert(fromCol === Seq(
       Similarity.hash60Local("abc"), Similarity.hash60Local("plane_3_5")))
   }
+
+  test("cjk tokenizer: per-codepoint on CJK, identical to whitespace split elsewhere") {
+    // CJK-free corpus: the codepoint-class mode IS the whitespace split —
+    // a mixed corpus can adopt it corpus-wide without perturbing results
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+        TextAnalysis.tokens(col("text")).as("ws"),
+        TextAnalysis.tokensCjk(col("text")).as("cjk"))
+      .filter(not(col("ws") <=> col("cjk"))).count()
+    assert(diff === 0L)
+    // unsegmented text: one token per codepoint, mixed runs split correctly
+    val mixed = Seq(
+      (1L, "机器学习"),                       // 4 han chars → 4 tokens
+      (2L, "データ処理 and text"),            // 5 CJK + 2 latin words
+      (3L, "GPT-4是大模型"),                  // latin run, then 4 han
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = mixed.select(col("doc_id"), TextAnalysis.tokensCjk(col("text")))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("机", "器", "学", "习"))
+    assert(got(2L) === Seq("デ", "ー", "タ", "処", "理", "and", "text"))
+    assert(got(3L) === Seq("GPT-4", "是", "大", "模", "型"))
+    assert(got(4L) === Seq.empty)
+    // chunking in CJK mode: an unsegmented doc of 30 chars windows into
+    // 3 chunks (16/12 geometry) instead of collapsing to ONE 1-token chunk
+    val long = Seq((9L, "零一二三四五六七八九" * 3)).toDF("doc_id", "text")
+    val chunks = graft.ops.Chunking.chunkByTokens(long, "doc_id", "text",
+        chunkTokens = 16, stride = 12,
+        tokenMode = TextAnalysis.TokenMode.Cjk)
+      .orderBy("chunk_id").collect()
+    assert(chunks.length === 3)
+    assert(chunks.map(_.getAs[Long]("n_tok")).toSeq === Seq(16L, 16L, 6L))
+    val wsChunks = graft.ops.Chunking.chunkByTokens(long, "doc_id", "text",
+      chunkTokens = 16, stride = 12)
+    assert(wsChunks.count() === 1L) // the degradation the mode closes
+  }
 }
