@@ -196,6 +196,20 @@ object OracleOpsQueries {
       .withColumnRenamed("score", "quality")
   }
 
+  /** EXACT per-language percent_rank calibration
+    * ([[TextAnalysis.quantileNormalizeScoresExact]]) — sub-bucket
+    * resolution where the histogram variant is 1/20-grained; the oracle
+    * is DuckDB's own `percent_rank()`, so the two-phase decomposition is
+    * checked against the engine-native monolithic definition. */
+  def textQualityQnormExact(s: SparkSession, d: String): DataFrame = {
+    val quality = qualityColumns(col("text")).toMap.apply("quality")
+    val scored = graft.operators.Scale.balanceToCores(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), quality.as("__q"))
+      .localCheckpoint(true)
+    TextAnalysis.quantileNormalizeScoresExact(scored, "doc_id", col("lang"), col("__q"))
+      .withColumnRenamed("score", "quality")
+  }
+
   /** Classifier-scored curation, composed end to end: the supervised
     * unigram filter ([[textClassifyUnigram]]'s exact setup) scores every
     * doc, the positive-affinity share `score_pos / (score_pos +
@@ -754,6 +768,7 @@ object OracleOpsQueries {
     "text_classify_unigram" -> (textClassifyUnigram _),
     "corpus_classifier_budget" -> (corpusClassifierBudget _),
     "text_quality_qnorm" -> (textQualityQnorm _),
+    "text_quality_qnorm_exact" -> (textQualityQnormExact _),
     "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
     "text_quality_histogram" -> (textQualityHistogram _),
     "text_repetition_scan" -> ((s: SparkSession, d: String) =>
@@ -1583,6 +1598,22 @@ object OracleOpsQueries {
          |SELECT b.doc_id, b.stratum, b.quality, b.bucket,
          |  CAST(c.cum AS DOUBLE) / CAST(c.tot AS DOUBLE) AS qnorm
          |FROM b JOIN c USING (stratum, bucket)""".stripMargin,
+    "text_quality_qnorm_exact" ->
+      s"""WITH $toksCte,
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars2,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+         |  FROM toks),
+         |b AS (
+         |  SELECT f.doc_id, d.lang AS stratum,
+         |    ${qualityExprSql("f.n_tokens", "f.n_stopwords", "f.n_punct", "f.n_chars2")} AS quality
+         |  FROM feat f JOIN documents d USING (doc_id))
+         |SELECT doc_id, stratum, quality,
+         |  percent_rank() OVER (PARTITION BY stratum ORDER BY quality) AS qnorm
+         |FROM b""".stripMargin,
     "corpus_classifier_budget" ->
       s"""WITH $classifierCtes,
          |sc AS (

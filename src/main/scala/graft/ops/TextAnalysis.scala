@@ -669,6 +669,55 @@ object TextAnalysis {
         (col("__cum").cast("double") / col("__tot").cast("double")).as("qnorm"))
   }
 
+  /** EXACT per-stratum quantile normalization: `qnorm` is the stratum's
+    * true `percent_rank` — (rows strictly below my score) / (stratum
+    * rows − 1), ties sharing a rank — WITHOUT the monolithic per-stratum
+    * sort that makes naive exact ranking serialize on low-cardinality
+    * strata. [[quantileNormalizeScores]] is bucket-grained by design;
+    * this variant delivers sub-bucket calibration on the same two-phase
+    * scaffold the samplers use ([[graft.ops.Splits.stratifiedSample]]):
+    * bucket scores by floor(score·nBuckets), count per (stratum, bucket)
+    * into a (strata × buckets)-row frame, window THAT tiny frame for each
+    * bucket's exclusive offset and the stratum total, broadcast-join the
+    * offsets back, and rank within (stratum, bucket) windows only —
+    * the full-data sort is per-bucket (parallelism strata × buckets),
+    * never per-stratum. Ties cannot straddle buckets (equal scores bin
+    * equally), so global strictly-below count = bucket offset +
+    * within-bucket rank − 1 exactly. Scores must be non-NULL/non-NaN in
+    * [0, 1] (same contract and fail-fast as the histogram variant);
+    * single-row strata get qnorm 0.0 (the ANSI percent_rank convention).
+    * Returns (id, stratum, score, qnorm). */
+  def quantileNormalizeScoresExact(df: DataFrame, id: String, stratum: Column,
+                                   score: Column, nBuckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val checked = when(score.isNull || isnan(score.cast("double")),
+      raise_error(lit("quantileNormalizeScoresExact: score column contains " +
+        "NULL/NaN — filter or coalesce to a sentinel before normalizing")))
+      .otherwise(score.cast("double"))
+    val base = df.select(col(id), stratum.as("stratum"), checked.as("score"))
+      .withColumn("__b", floor(col("score") * nBuckets).cast("long"))
+    val wb = Window.partitionBy(col("__s")).orderBy(col("__b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ws = Window.partitionBy(col("__s"))
+    val offsets = base.groupBy(col("stratum").as("__s"), col("__b").as("__b2"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wb), lit(0L)))
+      .withColumn("__tot", sum(col("__n")).over(ws))
+      .select(col("__s"), col("__b2"), col("__off"), col("__tot"))
+    // ties share a rank — rank() over score alone (NO id tiebreak) is the
+    // point: percent_rank of a tie group is its first row's
+    val ww = Window.partitionBy(col("stratum"), col("__b")).orderBy(col("score"))
+    base.join(broadcast(offsets),
+        col("stratum") <=> col("__s") && col("__b") === col("__b2"))
+      .withColumn("__rk", rank().over(ww))
+      .select(col(id), col("stratum"), col("score"),
+        when(col("__tot") > 1L,
+          (col("__off") + col("__rk") - lit(1L)).cast("double") /
+            (col("__tot") - lit(1L)).cast("double"))
+          .otherwise(lit(0.0)).as("qnorm"))
+  }
+
   /** Binary unigram class-affinity scorer — the engine's portable
     * analogue of the fastText-style quality/domain classifier every major
     * pipeline runs (CCNet, GPT-3's WebText-vs-crawl filter, Llama's

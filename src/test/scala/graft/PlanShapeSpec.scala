@@ -94,6 +94,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text_quality_qnorm_exact ranks inside (stratum, bucket) windows, never one sort per stratum") {
+    // exact percent_rank on the two-phase scaffold: the only full-data
+    // window must partition by (stratum, __b) — a windowspecdefinition on
+    // the bare stratum over the FULL data would be the one-task-per-
+    // stratum sort the decomposition exists to avoid (the bare-stratum
+    // windows that DO appear sit on the strata × buckets offsets frame,
+    // whose input exchange is fed by a partial aggregate, not raw rows) —
+    // and nothing may collapse to a single partition
+    val p = plan("text_quality_qnorm_exact")
+    assert("windowspecdefinition\\(stratum#\\d+, __b#".r.findFirstIn(p).nonEmpty,
+      s"full-data rank must window on (stratum, __b):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition exchange anywhere in the plan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the offsets frame must come back as a broadcast:\n$p")
+  }
+
   test("sim_sem_dedup reuses the assignment exchange across the self-join sides") {
     // the repartition(list_id) makes both pair-join sides the same shuffle
     // subplan; without exchange reuse the centroid-argmin assignment (8
