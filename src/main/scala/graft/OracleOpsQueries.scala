@@ -683,6 +683,16 @@ object OracleOpsQueries {
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
   }
 
+  /** The auto-selected shape — whichever plan the cost rule picks must
+    * still answer the shared kNN oracle (at sf sizes the query side is
+    * tiny, so this resolves to the broadcast shape; PlanShapeSpec pins
+    * the flip under a lowered threshold). */
+  def simKnnJoinAuto(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.ops.Similarity.knnJoinAuto(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+  }
+
   def simLshTopK(s: SparkSession, d: String): DataFrame =
     graft.ops.Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryId = 0L, k = 10, planes = 4)
@@ -744,6 +754,7 @@ object OracleOpsQueries {
     "sim_bruteforce_topk" -> (simBruteForce _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_knn_join_shuffled" -> (simKnnJoinShuffled _),
+    "sim_knn_join_auto" -> (simKnnJoinAuto _),
     "sim_lsh_topk" -> (simLshTopK _),
     "sim_lsh_multiprobe" -> (simLshMultiprobe _),
     "sim_ivf_topk" -> (simIvfTopK _),
@@ -1334,6 +1345,7 @@ object OracleOpsQueries {
     // text (divergence impossible), two physical plans (broadcast vs
     // bucket-replicated shuffle join), same pattern as dedup_exact_agg
     "sim_knn_join_shuffled" -> knnJoinSql,
+    "sim_knn_join_auto" -> knnJoinSql,
     "sim_lsh_topk" ->
       s"""WITH $bucketsCte,
          |qb AS (

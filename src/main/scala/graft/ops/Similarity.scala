@@ -138,6 +138,34 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Cost-based shape selection between [[knnJoin]] (broadcast) and
+    * [[knnJoinShuffled]] (bucket-replicated shuffle): estimate the query
+    * side from Catalyst's own plan statistics
+    * (`optimizedPlan.stats.sizeInBytes` — CBO/file-size based, no job
+    * launched) and broadcast only when it fits under the session's
+    * `spark.sql.autoBroadcastJoinThreshold`, the SAME size-vs-threshold
+    * decision Spark's planner makes for equi-joins (and that
+    * [[graft.plans.AsOfJoinStrategy]] makes for as-of joins) — applied
+    * here because the broadcast in [[knnJoin]] is hand-placed, so the
+    * planner never gets to veto it. Threshold ≤ 0 (broadcast disabled)
+    * always picks the shuffled shape. Both shapes are gated on the same
+    * oracle, so the choice can never change answers, only plans. */
+  def knnJoinAuto(emb: DataFrame, id: String, vec: String,
+                  queries: DataFrame, qid: String, qvec: String, k: Int,
+                  buckets: Int = 32): DataFrame = {
+    val raw = queries.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // the conf surfaces either a plain (possibly negative = disabled)
+    // byte count or a size string like "10MB"; byteStringAsBytes rejects
+    // negatives, so try the numeric form first
+    val threshold = scala.util.Try(raw.trim.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+    val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && est <= threshold)
+      knnJoin(emb, id, vec, queries, qid, qvec, k)
+    else
+      knnJoinShuffled(emb, id, vec, queries, qid, qvec, k, buckets)
+  }
+
   // ------------------------------------------------------------------- LSH
 
   /** Deterministic md5-based 60-bit hash of a string, computed driver-side

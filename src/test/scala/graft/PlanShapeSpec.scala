@@ -51,6 +51,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastExchange"), p)
   }
 
+  test("knnJoinAuto flips broadcast → shuffled with the threshold config") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    def autoPlan(): String = graft.ops.Similarity
+      .knnJoinAuto(emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10MB") // tiny query side → broadcast shape
+      val broad = autoPlan()
+      assert(broad.contains("BroadcastExchange"), broad)
+      assert(!broad.contains("ShuffledHashJoin"), broad)
+      spark.conf.set(key, "-1")  // broadcast disabled → shuffled shape
+      val shuf = autoPlan()
+      assert(shuf.contains("ShuffledHashJoin"), shuf)
+      assert(!shuf.contains("BroadcastExchange"), shuf)
+      // both shapes answer the shared oracle — the driver gate holds the
+      // values; here pin result EQUALITY across the flip
+      spark.conf.set(key, "10MB")
+      val a = graft.ops.Similarity
+        .knnJoinAuto(emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .collect().map(_.toSeq).toSet
+      spark.conf.set(key, "-1")
+      val b = graft.ops.Similarity
+        .knnJoinAuto(emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .collect().map(_.toSeq).toSet
+      assert(a === b)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("dataset_split, text_redact, text_c4, sim_project are shuffle-free scan-side projections") {
     Seq("dataset_split", "text_redact", "text_c4", "sim_project").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
