@@ -98,6 +98,33 @@ object OracleOpsQueries {
     * distinction actually fire. */
   /** minDf = 4 keeps the gate non-vacuous at sf0.01 (615 hot shingles;
     * max df there is 7) — production runs pass a df in the thousands. */
+  /** Pinned per-class pHash values of the synthetic image fixtures
+    * (jitter 0) — regenerate with `sbt "Test/runMain graft.PhashGoldenGen"`
+    * after any deliberate hash/fixture change; OpsSpec asserts the REAL
+    * decode+DCT pipeline still produces exactly these. */
+  private[graft] val phashGolden: Seq[Long] = Seq(
+    282604620362585L, 3311520526927L, 281483769552503L, 283695676659029L,
+    283674001024017L, 281483567051871L, 2224878065519L, 1108102155615L)
+
+  /** Image near-dup dedup gate: deterministic synthetic PNGs (8 pattern
+    * classes × 5 brightness variants over doc_id < 40), REAL ImageIO
+    * decode + 32×32 DCT pHash on the Spark side
+    * ([[graft.ops.Multimodal.pHash64]]), banded Hamming join
+    * ([[Dedup.phashPairs]]). DuckDB can't decode PNGs, so the oracle pins
+    * the per-class hashes ([[phashGolden]] — brightness variants provably
+    * share them) and mirrors the band join + Hamming filter exactly: if
+    * the decode, DCT, quantization, or banding drifts, the computed
+    * hashes stop matching the pinned values and the row goes red.
+    * Same-class pairs sit at Hamming 0, cross-class ≥ 10 (measured), so
+    * maxHamming 4 separates cleanly. */
+  def dedupImagePhash(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 40)
+    val media = graft.ops.Multimodal.syntheticImages(s, ids, "doc_id")
+    val hashes = graft.ops.Multimodal.phashTable(s, media)
+    Dedup.phashPairs(hashes, "doc_id", "phash", maxHamming = 4)
+  }
+
   def textBoilerplateNgrams(s: SparkSession, d: String): DataFrame =
     Dedup.boilerplateShingles(Tables.documents(s, d), "doc_id", "text",
       n = 3, minDf = 4L)
@@ -810,6 +837,7 @@ object OracleOpsQueries {
     "sim_sem_dedup" -> (semDedup _),
     "sim_centroid_dist" -> (simCentroidDist _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_image_phash" -> (dedupImagePhash _),
     "dedup_substring" -> (dedupSubstring _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_budget_mix" -> (corpusBudgetMix _),
@@ -1996,6 +2024,23 @@ object OracleOpsQueries {
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
          |SELECT id1, id2, CAST(bit_count(xor(sim1, sim2)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(sim1, sim2)) <= 3""".stripMargin,
+    "dedup_image_phash" ->
+      s"""WITH ph(cls, h) AS (VALUES ${phashGolden.zipWithIndex
+                .map { case (h, i) => s"($i, ${h})" }.mkString(", ")}),
+         |hv AS (
+         |  SELECT doc_id, CAST(h AS BIGINT) AS h
+         |  FROM documents JOIN ph ON doc_id % 8 = cls
+         |  WHERE doc_id < 40),
+         |b AS (
+         |  SELECT doc_id, h, band, (h >> (band * 16)) & 65535 AS key
+         |  FROM hv, (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+         |    a.h AS h1, b2.h AS h2
+         |  FROM b a JOIN b b2
+         |    ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= 4""".stripMargin,
     "dedup_substring" ->
       s"""WITH $toksCte,
          |wl AS (

@@ -795,4 +795,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
   }
+
+  /** Image near-dup pairs over a precomputed 64-bit perceptual-hash table
+    * ([[Multimodal.phashTable]]) — the standard image-dedup pass of a
+    * multimodal training pipeline, banded exactly like [[simhashPairs]]:
+    * 4 bands of 16 bits, any shared band is a candidate, Hamming filter
+    * after. Same hot-bucket valve (identical images share ALL bands, so
+    * mass duplication concentrates in single buckets); capped output ⊆
+    * uncapped. The hash column is input, not computed here, so the join
+    * works for ANY 64-bit perceptual hash (DCT pHash, average hash, …)
+    * and the candidate generation never materializes all pairs. */
+  def phashPairs(hashes: DataFrame, id: String, hash: String,
+                 maxHamming: Int = 6,
+                 maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
+    val bandsN = 4
+    val bandBits = 16
+    val bandCols = (0 until bandsN).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col(hash), i * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+    }
+    // repartition on the join key so ReuseExchange shares ONE run of the
+    // upstream hash pipeline (usually an image decode) across both
+    // self-join sides — the same trick as simhashPairs
+    val buckets0 = hashes
+      .select(col(id), col(hash).as("__ph"), explode(array(bandCols: _*)).as("b"))
+      .select(col(id), col("__ph"), col("b.band").as("band"), col("b.key").as("key"))
+      .repartition(col("band"), col("key"))
+    val buckets = maxBandBucketSize match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("band"), col("key"))
+        buckets0.withColumn("__bs", count(lit(1)).over(w))
+          .filter(col("__bs") <= cap)
+          .select(col(id), col("__ph"), col("band"), col("key"))
+      case None => buckets0
+    }
+    val cand = buckets.toDF("id1", "ph1", "band", "key")
+      .join(buckets.toDF("id2", "ph2", "band", "key"), Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "ph1", "ph2").distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ph1").bitwiseXOR(col("ph2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
 }

@@ -482,6 +482,192 @@ object Multimodal {
     })
   }
 
+  // ------------------------------------------------------- perceptual hash
+
+  /** 64-bit DCT perceptual hash (pHash): area-mean luminance resample to
+    * 32×32, 2D DCT-II, bit i (i = v·8+u over the top-left 8×8
+    * coefficient block) set iff coef > median-of-64. Invariant to global
+    * brightness offsets that don't clamp (only the DC coefficient moves,
+    * and it stays the maximum, so the median order statistics are
+    * unchanged) and robust to resizing/re-encoding (the 32×32 resample
+    * normalizes resolution). All trig goes through StrictMath (fdlibm —
+    * exactly specified, unlike Math which is only 1-ulp-bounded), so the
+    * hash is bit-reproducible across JVMs/platforms — the property that
+    * lets the oracle pin per-fixture hash values. */
+  def pHash64(img: java.awt.image.BufferedImage): Long = {
+    val n = 32
+    val w = img.getWidth
+    val h = img.getHeight
+    val g = Array.ofDim[Double](n, n)
+    var gy = 0
+    while (gy < n) {
+      var gx = 0
+      while (gx < n) {
+        val x0 = gx * w / n
+        val x1 = math.min(math.max((gx + 1) * w / n, x0 + 1), w)
+        val y0 = gy * h / n
+        val y1 = math.min(math.max((gy + 1) * h / n, y0 + 1), h)
+        var sum = 0L
+        var cnt = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        g(gy)(gx) = if (cnt == 0) 0.0 else sum.toDouble / cnt
+        gx += 1
+      }
+      gy += 1
+    }
+    // cosine basis for the 8 lowest frequencies over 32 samples
+    val basis = Array.tabulate(8, n)((u, x) =>
+      StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * n)))
+    val coefs = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < n) {
+          var x = 0
+          while (x < n) {
+            s += g(y)(x) * basis(u)(x) * basis(v)(y)
+            x += 1
+          }
+          y += 1
+        }
+        // coarse quantization (unit = 64 raw-coefficient units ≈ 1/16 of
+        // a typical informative coefficient of an 8-bit luminance grid):
+        // the "zero" coefficients of smooth images are float dust
+        // (~1e-12) plus resampling leakage (tens of units after a
+        // resize/re-encode) that would otherwise reorder around the
+        // median and flip bits — rounding to a unit far above both keeps
+        // the median compare bit-stable under brightness shifts and
+        // re-encodes while leaving real structure (thousands of units)
+        // intact
+        coefs(v * 8 + u) = math.rint(s / 128.0)
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = coefs.sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (coefs(i) > median) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** pHash of an encoded image payload — decode via the existing ImageIO
+    * path, hash the pixels. None when the payload doesn't decode (same
+    * never-kill-the-task contract as [[imageDecode]]). */
+  def imagePhash(row: MediaRow): Option[Long] = try {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.content))
+    if (img == null) None else Some(pHash64(img))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** pHash pass over a media frame: (doc_id, phash), undecodable payloads
+    * dropped. Partition-local, no shuffle — the hash table then feeds
+    * [[Dedup.phashPairs]]' banded Hamming join. */
+  def phashTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.flatMap(r => imagePhash(r).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "phash")
+  }
+
+  /** Deterministic synthetic image fixture: a 64×64 grayscale PNG whose
+    * PATTERN depends only on `cls % 8` and whose brightness is offset by
+    * 3·jitter. The pattern is a dense LOW-frequency cosine mixture — 15
+    * components at 0–3 cycles per axis (all inside [[pHash64]]'s 8×8
+    * coefficient block after the 32×32 resample) with a deterministic
+    * per-(class, component) ±6 amplitude — so each class occupies a
+    * distinct sign pattern across the hash's informative bits. Pixel
+    * values stay within [22, 214] for jitter ≤ 4, so the offset never
+    * clamps and the hash is provably invariant to it (a non-clamping
+    * constant shift only moves the DC coefficient): fixtures in the same
+    * class have DIFFERENT bytes but the SAME hash — which is what lets
+    * the DuckDB oracle pin one hash per class while Spark computes each
+    * from real pixels. */
+  def syntheticImageBytes(cls: Int, jitter: Int): Array[Byte] = {
+    val n = 64
+    val m = 32
+    val c = ((cls % 8) + 8) % 8
+    // md5 the (class, component) triple for the sign — arithmetic mixes
+    // (c·31 + …, Fibonacci hashing) were both measured to leave
+    // neighboring classes with near-identical sign vectors (cross-class
+    // hamming 2); md5 gives genuinely independent bits
+    val mdSign = java.security.MessageDigest.getInstance("MD5")
+    // 32×32 target pattern, built directly in pHash's resample domain:
+    // the image replicates each pattern cell as a 2×2 pixel block, so the
+    // area-mean resample recovers the pattern EXACTLY and each cosine
+    // component lands on precisely one DCT slot (u, v) — odd frequencies
+    // included, no harmonics. 27 components (u + v ≤ 6), amplitude ±4:
+    // worst-case |sum| = 108, so pixels stay in [4, 232] and the
+    // brightness jitter never clamps.
+    val f = Array.ofDim[Double](m, m)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if ((u != 0 || v != 0) && u + v <= 6) {
+          val h = mdSign.digest(s"phash_sign_${c}_${u}_${v}".getBytes("UTF-8"))
+          val amp = if ((h(0) & 1) == 1) 4.0 else -4.0
+          var gy = 0
+          while (gy < m) {
+            var gx = 0
+            while (gx < m) {
+              f(gy)(gx) += amp *
+                StrictMath.cos((2 * gx + 1) * u * StrictMath.PI / (2.0 * m)) *
+                StrictMath.cos((2 * gy + 1) * v * StrictMath.PI / (2.0 * m))
+              gx += 1
+            }
+            gy += 1
+          }
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val img = new java.awt.image.BufferedImage(n, n,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        val p = (112 + math.rint(f(y / 2)(x / 2))).toInt + 3 * jitter
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Synthetic image payloads for an id frame: class = id % 8, jitter =
+    * (id / 8) % 5 — five brightness variants per pattern class, so
+    * same-class fixtures are near-dups with distinct bytes. */
+  def syntheticImages(spark: SparkSession, ids: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(id).cast("long")).as[Long]
+      .map(docId => MediaRow(docId, "image/png",
+        syntheticImageBytes((docId % 8).toInt, ((docId / 8) % 5).toInt)))
+      .toDF()
+  }
+
   /** Frame sampling for "video" payloads: every nth fixed-size byte chunk,
     * exploded scan-side (pure column algebra, no UDF). */
   def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {

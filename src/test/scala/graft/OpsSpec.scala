@@ -1183,6 +1183,37 @@ class OpsSpec extends SparkSpec {
       Similarity.hash60Local("abc"), Similarity.hash60Local("plane_3_5")))
   }
 
+  test("image pHash: pinned goldens, brightness invariance, resized re-encode joins its original") {
+    // golden pin: the oracle's VALUES table must track the REAL
+    // decode + DCT pipeline — any drift in either goes red here first
+    val computed = (0 until 8).map(c => Multimodal.imagePhash(
+      Multimodal.MediaRow(c.toLong, "image/png",
+        Multimodal.syntheticImageBytes(c, 0))).get)
+    assert(computed === OracleOpsQueries.phashGolden)
+    // brightness variants: different bytes, same hash (the invariance the
+    // oracle's one-hash-per-class pin rests on)
+    for (c <- Seq(0, 5); j <- 1 until 5) {
+      val varBytes = Multimodal.syntheticImageBytes(c, j)
+      assert(!java.util.Arrays.equals(varBytes, Multimodal.syntheticImageBytes(c, 0)))
+      assert(Multimodal.imagePhash(
+        Multimodal.MediaRow(0L, "image/png", varBytes)).get === computed(c))
+    }
+    // a bilinear-resized, re-encoded copy of a fixture lands in the same
+    // component under the banded Hamming join; a different class doesn't
+    val resized = Multimodal.imageResize(
+      Multimodal.MediaRow(0L, "image/png",
+        Multimodal.syntheticImageBytes(0, 0)), 48).get.content
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image/png", Multimodal.syntheticImageBytes(0, 0)),
+      Multimodal.MediaRow(100L, "image/png", resized),
+      Multimodal.MediaRow(3L, "image/png", Multimodal.syntheticImageBytes(3, 0))
+    ).toDF()
+    val pairs = Dedup.phashPairs(
+        Multimodal.phashTable(spark, media), "doc_id", "phash", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 100L)))
+  }
+
   test("cjk tokenizer: per-codepoint on CJK, identical to whitespace split elsewhere") {
     // CJK-free corpus: the codepoint-class mode IS the whitespace split —
     // a mixed corpus can adopt it corpus-wide without perturbing results

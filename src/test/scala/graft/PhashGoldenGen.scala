@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.Multimodal
+
+/** Prints the 8 per-class pHash values of the synthetic image fixtures
+  * (jitter 0) — the goldens pinned in
+  * [[OracleOpsQueries.phashGolden]] and verified by OpsSpec. Re-run after
+  * any deliberate change to [[Multimodal.pHash64]] or
+  * [[Multimodal.syntheticImageBytes]]:
+  * `sbt "Test/runMain graft.PhashGoldenGen"`. */
+object PhashGoldenGen {
+  def main(args: Array[String]): Unit = {
+    val h0 = (0 until 8).map { cls =>
+      val row = Multimodal.MediaRow(cls.toLong, "image/png",
+        Multimodal.syntheticImageBytes(cls, 0))
+      val h = Multimodal.imagePhash(row).get
+      println(s"$cls -> ${h}L")
+      h
+    }
+    // gen-time sanity: brightness jitter must not move the hash at all,
+    // distinct classes must sit far outside the candidate threshold
+    for (cls <- 0 until 8; j <- 1 until 5) {
+      val h = Multimodal.imagePhash(Multimodal.MediaRow(0L, "image/png",
+        Multimodal.syntheticImageBytes(cls, j))).get
+      require(h == h0(cls), s"class $cls jitter $j moved the hash")
+    }
+    val minCross = (for (a <- 0 until 8; b <- a + 1 until 8)
+      yield java.lang.Long.bitCount(h0(a) ^ h0(b))).min
+    println(s"min cross-class hamming = $minCross")
+    // resize robustness: a 64→48 bilinear re-encode should stay within
+    // the near-dup threshold of the original
+    val maxResize = (0 until 8).map { cls =>
+      val row = Multimodal.MediaRow(cls.toLong, "image/png",
+        Multimodal.syntheticImageBytes(cls, 0))
+      val resized = Multimodal.imageResize(row, 48).get
+      java.lang.Long.bitCount(h0(cls) ^
+        Multimodal.imagePhash(Multimodal.MediaRow(cls.toLong, "image/png",
+          resized.content)).get)
+    }.max
+    println(s"max resize hamming = $maxResize")
+  }
+}
