@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   * count, tkhd dimensions, stts/stsz frame count). Audio SAMPLE decode is
   * also real for PCM16 WAV — no codec needed, the data chunk IS the
   * waveform: [[wavDecode]] computes RMS/peak/clipping from the sample
-  * words and [[wavEnvelope]] a segment-RMS feature vector. The one
-  * remaining synthetic piece is video frame CONTENT (needs codecs this
-  * container doesn't ship): video rows get real header dims with
-  * [[fakeDecode]] features, unknown kinds fall back to [[fakeDecode]]
-  * entirely (same signature, same batch shape as a real decoder).
+  * words and [[wavEnvelope]] a segment-RMS feature vector. Video frame
+  * CONTENT is real for MJPEG-in-MP4 ([[mjpegFrames]] — each sample IS a
+  * JPEG, decoded by the same ImageIO path); codec-bound formats
+  * (H.264/HEVC/AV1 genuinely need codecs this container doesn't ship)
+  * keep real header dims with [[fakeDecode]] features, and unknown kinds
+  * fall back to [[fakeDecode]] entirely (same signature, same batch
+  * shape as a real decoder).
   */
 object Multimodal {
 
@@ -114,17 +116,22 @@ object Multimodal {
   }
 
   /** Per-row dispatch: real ImageIO decode for image payloads, real PCM16
-    * RMS-envelope decode for audio payloads ([[wavEnvelope]]), real header
-    * dims + fake content features for video (frame CONTENT needs codecs
-    * this container doesn't ship — the one remaining synthetic piece), md5
-    * fake for unknown kinds and for bytes no real path understands. */
+    * RMS-envelope decode for audio payloads ([[wavEnvelope]]), and for
+    * video real header dims plus — when the codec is MJPEG — the FIRST
+    * frame's real pixel features ([[mjpegFrames]]); codec-bound video
+    * formats (H.264/HEVC/…) keep fake content features under real header
+    * dims, and unknown kinds / undecodable bytes fall back to the md5
+    * fake entirely. */
   private[ops] def decodeRow(md: java.security.MessageDigest, row: MediaRow): DecodedMedia =
     if (row.kind.startsWith("image/")) imageDecode(row).getOrElse(fakeDecodeWith(md, row))
     else if (row.kind.startsWith("audio/")) wavEnvelope(row).getOrElse(fakeDecodeWith(md, row))
     else if (row.kind.startsWith("video/"))
       mp4Decode(row).map { v =>
-        fakeDecodeWith(md, row).copy(
-          width = v.width, height = v.height, channels = v.n_tracks)
+        val base = mjpegFrames(row).flatMap(_.headOption) match {
+          case Some(f) => fakeDecodeWith(md, row).copy(features = f.features)
+          case None => fakeDecodeWith(md, row)
+        }
+        base.copy(width = v.width, height = v.height, channels = v.n_tracks)
       }.getOrElse(fakeDecodeWith(md, row))
     else fakeDecodeWith(md, row)
 
@@ -366,6 +373,158 @@ object Multimodal {
         nTracks, width, height, math.max(nFrames, 0L)))
     }
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ------------------------------------------------- MJPEG frame content
+
+  /** First-track sample layout of an MP4: codec fourcc (from `stsd`),
+    * tkhd dimensions, and per-sample (offset, size) byte ranges expanded
+    * from `stsz` (sizes) × `stsc` (samples per chunk) × `stco`/`co64`
+    * (chunk offsets) — the walk [[mp4Decode]] does for COUNTS, extended
+    * to locations. Every table read is bounded by its box's own declared
+    * size and the expansion clamps to bytes actually present, mirroring
+    * the truncation discipline of the header parsers. None unless ftyp
+    * parses and all four tables are present and in-bounds. */
+  private[ops] def mp4SampleTable(row: MediaRow): Option[(String, Int, Int, Seq[(Long, Long)])] = try {
+    val b = row.content
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (b.length < 8 || tag(4) != "ftyp") None
+    else {
+      var codec = ""
+      var width = 0
+      var height = 0
+      var sizes: Array[Long] = null
+      var chunkOffs: Array[Long] = null
+      var stsc: Array[(Long, Long)] = null // (first_chunk 1-based, samples_per_chunk)
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        var off = from
+        var ok = true
+        while (ok && off + 8 <= to) {
+          val sz = u32(off)
+          val id = tag(off + 4)
+          if (sz < 8 || off + sz > to) ok = false
+          else {
+            val body = off + 8
+            val boxEnd = off + sz.toInt
+            id match {
+              case "moov" if depth == 0 => walk(body, boxEnd, 1)
+              case "trak" if depth == 1 =>
+                if (sizes == null) walk(body, boxEnd, 2) // first track only
+              case "tkhd" if depth == 2 =>
+                if (boxEnd - body >= 80) {
+                  width = (u32(boxEnd - 8) >> 16).toInt
+                  height = (u32(boxEnd - 4) >> 16).toInt
+                }
+              case "mdia" if depth == 2 => walk(body, boxEnd, 3)
+              case "minf" if depth == 3 => walk(body, boxEnd, 4)
+              case "stbl" if depth == 4 => walk(body, boxEnd, 5)
+              case "stsd" if depth == 5 =>
+                // fullbox: version/flags(4) + entry_count(4), then the
+                // first sample entry: size(4) + format fourcc(4)
+                if (body + 16 <= boxEnd && u32(body + 4) >= 1) codec = tag(body + 12)
+              case "stsz" if depth == 5 && sizes == null =>
+                // fullbox: version/flags(4) + sample_size(4) + count(4)
+                if (body + 12 <= boxEnd) {
+                  val uniform = u32(body + 4)
+                  val cnt = u32(body + 8)
+                  if (cnt >= 0 && cnt <= 1000000) {
+                    if (uniform > 0) sizes = Array.fill(cnt.toInt)(uniform)
+                    else if (body + 12 + cnt * 4 <= boxEnd)
+                      sizes = Array.tabulate(cnt.toInt)(i => u32(body + 12 + i * 4))
+                  }
+                }
+              case "stsc" if depth == 5 && stsc == null =>
+                if (body + 8 <= boxEnd) {
+                  val cnt = u32(body + 4)
+                  if (cnt >= 0 && cnt <= 1000000 && body + 8 + cnt * 12 <= boxEnd)
+                    stsc = Array.tabulate(cnt.toInt)(i =>
+                      (u32(body + 8 + i * 12), u32(body + 12 + i * 12)))
+                }
+              case "stco" if depth == 5 && chunkOffs == null =>
+                if (body + 8 <= boxEnd) {
+                  val cnt = u32(body + 4)
+                  if (cnt >= 0 && cnt <= 1000000 && body + 8 + cnt * 4 <= boxEnd)
+                    chunkOffs = Array.tabulate(cnt.toInt)(i => u32(body + 8 + i * 4))
+                }
+              case "co64" if depth == 5 && chunkOffs == null =>
+                if (body + 8 <= boxEnd) {
+                  val cnt = u32(body + 4)
+                  if (cnt >= 0 && cnt <= 1000000 && body + 8 + cnt * 8 <= boxEnd)
+                    chunkOffs = Array.tabulate(cnt.toInt)(i => u64(body + 8 + i * 8))
+                }
+              case _ => ()
+            }
+            off += sz.toInt
+          }
+        }
+      }
+      walk(0, b.length, 0)
+      if (codec.isEmpty || sizes == null || chunkOffs == null || stsc == null ||
+          stsc.isEmpty) None
+      else {
+        // expand chunk layout to per-sample ranges: for chunk c (1-based),
+        // samples-per-chunk = the LAST stsc entry with first_chunk <= c
+        val out = Seq.newBuilder[(Long, Long)]
+        var si = 0
+        var ci = 0
+        while (ci < chunkOffs.length && si < sizes.length) {
+          val spc = stsc.takeWhile(_._1 <= ci + 1).lastOption.map(_._2).getOrElse(0L)
+          var off = chunkOffs(ci)
+          var k = 0L
+          while (k < spc && si < sizes.length) {
+            out += ((off, sizes(si)))
+            off += sizes(si)
+            si += 1
+            k += 1
+          }
+          ci += 1
+        }
+        Some((codec, width, height, out.result()))
+      }
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One decoded video frame: real pixel-derived dims + luminance-grid
+    * features, same feature contract as [[DecodedMedia]]. */
+  case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+                        n_bytes: Long, features: Array[Float])
+
+  /** MJPEG sample-entry fourccs whose frames ARE JPEGs — decodable by the
+    * JDK's own ImageIO reader, no external codec. */
+  val MjpegCodecs: Set[String] = Set("jpeg", "mjpa", "mjpb", "AVDJ")
+
+  /** REAL video frame CONTENT decode for MJPEG-in-MP4: each sample byte
+    * range from [[mp4SampleTable]] is a complete JPEG, routed through the
+    * same ImageIO path as still images ([[imageDecode]]) for real
+    * per-frame dims + luminance-grid features. None for non-MP4 payloads
+    * and non-MJPEG codecs (H.264/HEVC/AV1 frames genuinely need codecs
+    * this container doesn't ship — those stay header-only with
+    * [[fakeDecode]] features); individual frames that fail to decode or
+    * overrun the payload (truncated upload) are skipped, not fatal. */
+  def mjpegFrames(row: MediaRow): Option[Seq[VideoFrame]] =
+    mp4SampleTable(row).collect {
+      case (codec, _, _, samples) if MjpegCodecs(codec) =>
+        samples.zipWithIndex.flatMap { case ((off, sz), i) =>
+          if (off >= 0 && sz > 0 && off + sz <= row.content.length && off + sz <= Int.MaxValue)
+            imageDecode(MediaRow(row.doc_id, "image/jpeg",
+                java.util.Arrays.copyOfRange(row.content, off.toInt, (off + sz).toInt)))
+              .map(d => VideoFrame(row.doc_id, i, d.width, d.height, sz, d.features))
+          else None
+        }
+    }
+
+  /** Frame-content pass over video payloads: one row per decodable MJPEG
+    * frame, same partition-local no-shuffle shape as [[decode]]. Non-MJPEG
+    * video rows contribute nothing here (their header metadata still
+    * flows through [[decodeMp4Meta]]). */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.filter(col("kind").startsWith("video/"))
+      .as[MediaRow].mapPartitions(_.flatMap(r => mjpegFrames(r).getOrElse(Seq.empty)))
+  }
 
   /** Header-metadata pass over audio payloads — same partition-local
     * streaming shape as [[decode]]. Only audio-kind rows (`kind` starting with `audio/`) are parsed (the

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Multimodal
+
+/** Builds the committed `tiny_mjpeg.mp4` test resource: a minimal
+  * ISO-BMFF container whose single track is MJPEG — three 16×16
+  * solid-gray JPEG samples (levels 64, 128, 192) in one mdat chunk, with
+  * a complete stsd/stts/stsc/stsz/stco sample table. Prints the decoded
+  * gray level of each committed frame so OpsSpec can pin exact feature
+  * values. Re-run only on a deliberate fixture change:
+  * `sbt "Test/runMain graft.MjpegFixtureGen"`. */
+object MjpegFixtureGen {
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def box(tag: String, body: Array[Byte]): Array[Byte] =
+    be32(body.length + 8L) ++ tag.getBytes("US-ASCII") ++ body
+
+  def solidJpeg(level: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(level, level, level))
+    g.fillRect(0, 0, 16, 16)
+    g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  def build(): Array[Byte] = {
+    val frames = Seq(64, 128, 192).map(solidJpeg)
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    val mdat = box("mdat", frames.reduce(_ ++ _))
+    val dataStart = ftyp.length + 8L // mdat body offset in the file
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(600) ++ be32(300) ++ // timescale 600, duration 300 → 500 ms
+      be32(0x00010000L) ++ be16(0x0100) ++ Array.fill[Byte](10)(0) ++
+      (Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+        .flatMap(be32).toArray) ++ Array.fill[Byte](24)(0) ++ be32(2))
+    val tkhd = box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++
+      be32(0) ++ be32(300) ++ Array.fill[Byte](8)(0) ++
+      be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+      (Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+        .flatMap(be32).toArray) ++
+      be32(16L << 16) ++ be32(16L << 16)) // 16×16 in 16.16 fixed point
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      box("jpeg", Array.fill[Byte](8)(0))) // minimal sample entry: fourcc is all the walk reads
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(3) ++ be32(100))
+    val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(3) ++ be32(1))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(3) ++
+      frames.flatMap(f => be32(f.length.toLong)).toArray)
+    val stco = box("stco", be32(0) ++ be32(1) ++ be32(dataStart))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  def main(args: Array[String]): Unit = {
+    val bytes = build()
+    val out = java.nio.file.Paths.get("src/test/resources/tiny_mjpeg.mp4")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, bytes)
+    println(s"wrote ${bytes.length} bytes to $out")
+    // pin material: what the committed JPEG bytes decode back to
+    Multimodal.mjpegFrames(Multimodal.MediaRow(1L, "video/mp4", bytes)) match {
+      case Some(fs) => fs.foreach(f => println(
+        s"frame ${f.frame_idx}: ${f.width}x${f.height} bytes=${f.n_bytes} " +
+          s"gray=${math.round((f.features(0) + 1f) * 127.5f)} " +
+          s"uniform=${f.features.distinct.length == 1}"))
+      case None => println("PARSE FAILED")
+    }
+  }
+}

@@ -649,6 +649,44 @@ class OpsSpec extends SparkSpec {
       Seq(Multimodal.VideoMeta(2L, "isom", 1000L, 2500L, 1, 320, 240, 5L)))
   }
 
+  test("MJPEG frame CONTENT decodes for real from the committed fixture") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(getClass.getResource("/tiny_mjpeg.mp4").toURI))
+    // tiny_mjpeg.mp4: ftyp isom + mdat{3 16×16 solid-gray JPEGs at levels
+    // 64/128/192} + moov{mvhd ts 600 dur 300, trak{tkhd 16×16,
+    // stbl{stsd jpeg, stts, stsc 1×3, stsz 3 sizes, stco}}}. Solid JPEGs
+    // decode back to their EXACT gray level, so the 4×4 luminance grid is
+    // a closed form: all 16 features = v/127.5 − 1.
+    val frames = Multimodal.mjpegFrames(
+      Multimodal.MediaRow(7L, "video/mp4", bytes)).get
+    assert(frames.map(_.frame_idx) === Seq(0, 1, 2))
+    assert(frames.forall(f => f.width === 16 && f.height === 16 && f.n_bytes > 0))
+    frames.zip(Seq(64, 128, 192)).foreach { case (f, v) =>
+      assert(f.features.toSeq === Seq.fill(16)(v / 127.5f - 1f),
+        s"frame ${f.frame_idx} at gray $v")
+    }
+    // header walk still agrees: 600-scale 300 duration = 500 ms, 3 frames
+    assert(Multimodal.mp4Decode(Multimodal.MediaRow(7L, "video/mp4", bytes)).get
+      === Multimodal.VideoMeta(7L, "isom", 600L, 500L, 1, 16, 16, 3L))
+    // the generic decode pass now carries the FIRST frame's REAL features
+    // for MJPEG video (header dims, real content)
+    val viaDecode = Multimodal.decode(spark,
+      Seq(Multimodal.MediaRow(7L, "video/mp4", bytes)).toDF()).collect().head
+    assert(viaDecode.width === 16 && viaDecode.height === 16)
+    assert(viaDecode.features.toSeq === Seq.fill(16)(64 / 127.5f - 1f))
+    // the frame pass inside the Spark plumbing: one row per frame, and a
+    // codec-bound payload (the header-only tiny.mp4 has no sample data)
+    // contributes nothing rather than failing
+    val headerOnly = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(getClass.getResource("/tiny.mp4").toURI))
+    val media = Seq(
+      Multimodal.MediaRow(7L, "video/mp4", bytes),
+      Multimodal.MediaRow(8L, "video/mp4", headerOnly),
+      Multimodal.MediaRow(9L, "video/mp4", Array[Byte](1, 2, 3))).toDF()
+    val rows = Multimodal.decodeVideoFrames(spark, media).collect()
+    assert(rows.length === 3 && rows.forall(_.doc_id === 7L))
+  }
+
   test("default ngram jaccard plan is the capped plan and matches uncapped on cap-free data") {
     // VERDICT r3 item 1: the skew cap is now the DEFAULT. On a corpus with
     // fewer docs than the cap the answers are identical, but the PLAN must
