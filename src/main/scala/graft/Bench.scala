@@ -133,7 +133,13 @@ object Bench {
     // durable per-query artifact: regression analysis must not depend on
     // the driver's bounded stdout tail-capture surviving (round 4's map
     // was truncated mid-line)
-    val outPaths = Seq("target/bench_per_query.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    // bench_history/latest.json is committed-tree-adjacent so each round's
+    // per-query map survives as bench_history/r<N>.json (renamed at the
+    // start of the next round) — regression analysis must not depend on
+    // the driver's bounded stdout tail-capture (round 7 kept only 55/101
+    // queries in both rounds' tails)
+    val outPaths = Seq("target/bench_per_query.json", "bench_history/latest.json") ++
+      sys.env.get("SPARK_GRAFT_BENCH_OUT")
     outPaths.foreach { p =>
       try {
         val path = java.nio.file.Paths.get(p)
