@@ -640,29 +640,51 @@ object TextAnalysis {
     * join side) — materialize a narrow (id, stratum, score) frame first
     * when the score is expensive. Returns
     * (id, stratum, score, bucket, qnorm). */
-  def quantileNormalizeScores(df: DataFrame, id: String, stratum: Column,
-                              score: Column, nBuckets: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    // a NULL (or NaN) score would yield a NULL (or garbage) bucket and the
-    // plain === join-back below would silently DROP the row — the same
-    // corruption hazard qualityBudgetSample fails fast on. Fail per-row;
-    // the when-branch is codegen'd and costs ~nothing.
-    val checked = when(score.isNull || isnan(score.cast("double")),
-      raise_error(lit("quantileNormalizeScores: score column contains " +
+  /** The per-row fail-fast both calibration variants apply: a NULL (or
+    * NaN) score would yield a NULL (or garbage) bucket and a plain ===
+    * join-back would silently DROP the row — the same corruption hazard
+    * qualityBudgetSample fails fast on. The when-branch is codegen'd and
+    * costs ~nothing. */
+  private def checkedScore(score: Column, who: String): Column =
+    when(score.isNull || isnan(score.cast("double")),
+      raise_error(lit(s"$who: score column contains " +
         "NULL/NaN — filter or coalesce to a sentinel before normalizing")))
       .otherwise(score.cast("double"))
-    val base = df.select(col(id), stratum.as("stratum"),
-        checked.as("score"))
-      .withColumn("bucket", floor(col("score") * nBuckets).cast("long"))
-    val wb = Window.partitionBy(col("__s")).orderBy(col("__b2"))
+
+  /** The persistable CDF artifact of [[quantileNormalizeScores]]:
+    * (stratum, bucket, cum_below, total) per OCCUPIED (stratum, bucket) —
+    * a (strata × nBuckets)-row table. Batch-build once (one map-side-
+    * combined aggregate + two windows over the tiny result), write to
+    * parquet, then score any later batch ([[quantileNormalizeScores]]
+    * builds it inline) or stream
+    * ([[graft.streaming.Streams.qnormScoreStream]]) against it — the
+    * train-once/score-forever face of the calibration op, exactly like
+    * [[lmPairTable]] for LM scoring. */
+  def scoreCdfTable(df: DataFrame, stratum: Column, score: Column,
+                    nBuckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val wb = Window.partitionBy(col("stratum")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ws = Window.partitionBy(col("__s"))
-    val cdf = base.groupBy(col("stratum").as("__s"), col("bucket").as("__b2"))
+    val ws = Window.partitionBy(col("stratum"))
+    df.select(stratum.as("stratum"),
+        checkedScore(score, "scoreCdfTable").as("score"))
+      .withColumn("bucket", floor(col("score") * nBuckets).cast("long"))
+      .groupBy(col("stratum"), col("bucket"))
       .agg(count(lit(1)).as("__n"))
-      .withColumn("__cum", coalesce(sum(col("__n")).over(wb), lit(0L)))
-      .withColumn("__tot", sum(col("__n")).over(ws))
-      .select(col("__s"), col("__b2"), col("__cum"), col("__tot"))
+      .withColumn("cum_below", coalesce(sum(col("__n")).over(wb), lit(0L)))
+      .withColumn("total", sum(col("__n")).over(ws))
+      .select(col("stratum"), col("bucket"), col("cum_below"), col("total"))
+  }
+
+  def quantileNormalizeScores(df: DataFrame, id: String, stratum: Column,
+                              score: Column, nBuckets: Int = 20): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val base = df.select(col(id), stratum.as("stratum"),
+        checkedScore(score, "quantileNormalizeScores").as("score"))
+      .withColumn("bucket", floor(col("score") * nBuckets).cast("long"))
+    val cdf = scoreCdfTable(df, stratum, score, nBuckets)
+      .toDF("__s", "__b2", "__cum", "__tot")
     base.join(broadcast(cdf),
         col("stratum") <=> col("__s") && col("bucket") === col("__b2"))
       .select(col(id), col("stratum"), col("score"), col("bucket"),

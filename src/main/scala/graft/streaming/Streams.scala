@@ -178,6 +178,45 @@ object Streams {
       .select(col(idCol) +: graft.ops.TextAnalysis.lmDocColumns: _*)
   }
 
+  /** Streaming quantile calibration — the streaming face of
+    * [[graft.ops.TextAnalysis.quantileNormalizeScores]]: normalize a
+    * scored document stream against a STATIC, batch-built per-stratum
+    * CDF table ([[graft.ops.TextAnalysis.scoreCdfTable]], typically
+    * persisted to parquet by a train job). Completely STATELESS: per
+    * micro-batch this is one scan-side projection (score → bucket, with
+    * the same NULL/NaN fail-fast as the batch op) plus a stream-static
+    * LEFT join against the tiny CDF — no watermark, no state store,
+    * append mode — completing the train-once/score-forever calibration
+    * story the way [[lmScoreStream]] does for LM scoring.
+    *
+    * Semantics vs batch: identical arithmetic on buckets the CDF has
+    * seen (the division is the same exact-integer ratio). A stream score
+    * landing in a bucket the training corpus never occupied emits
+    * `qnorm` NULL — visible, not silently dropped (the batch op cannot
+    * hit this case because it joins its own histogram); callers clamp or
+    * filter by policy. `docs` needs `idCol`, a `stratum` column, and a
+    * `score` column. */
+  def qnormScoreStream(docs: DataFrame, cdf: DataFrame, idCol: String,
+                       stratum: String, score: String,
+                       nBuckets: Int = 20): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val checked = when(col(score).isNull || isnan(col(score).cast("double")),
+      raise_error(lit("qnormScoreStream: score column contains NULL/NaN — " +
+        "filter or coalesce to a sentinel before normalizing")))
+      .otherwise(col(score).cast("double"))
+    docs.select(col(idCol), col(stratum).as("stratum"),
+        checked.as("score"))
+      .withColumn("bucket", floor(col("score") * nBuckets).cast("long"))
+      // project the CDF to exactly its four columns (a persisted table may
+      // carry partition columns), same defensive projection as the LM join
+      .join(cdf.select(col("stratum").as("__s"), col("bucket").as("__b2"),
+          col("cum_below"), col("total")),
+        col("stratum") <=> col("__s") && col("bucket") === col("__b2"),
+        "left")
+      .select(col(idCol), col("stratum"), col("score"), col("bucket"),
+        (col("cum_below").cast("double") / col("total").cast("double")).as("qnorm"))
+  }
+
   /** One micro-batch of a user's events folded into the open-session
     * state — shared by BOTH sessionize variants so their semantics cannot
     * diverge. Events sort within the batch; across batches an out-of-order

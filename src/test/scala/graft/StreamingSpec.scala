@@ -461,6 +461,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming quantile calibration against a persisted CDF matches the batch op") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = graft.ops.TextAnalysis.qualityColumns(col("text")).toMap.apply("quality")
+    val scored = docs.select(col("doc_id"), col("lang"), q.as("score"))
+    val batch = graft.ops.TextAnalysis
+      .quantileNormalizeScores(scored, "doc_id", col("lang"), col("score"))
+      .select("doc_id", "qnorm").as[(Long, Double)].collect().toMap
+    // persist the CDF like a train job would, reload, score a stream of
+    // the same docs — plus one row in a stratum the CDF never saw
+    val dir = Files.createTempDirectory("graft-cdf")
+    graft.ops.TextAnalysis.scoreCdfTable(scored, col("lang"), col("score"))
+      .write.mode("overwrite").parquet(dir.resolve("cdf").toString)
+    val cdf = spark.read.parquet(dir.resolve("cdf").toString)
+    val ms = MemoryStream[(Long, String, Double)](spark)
+    ms.addData(scored.as[(Long, String, Double)].collect().toSeq :+
+      ((999999L, "zz", 0.5)))
+    val qy = Streams.qnormScoreStream(
+        ms.toDF.toDF("doc_id", "lang", "score"), cdf, "doc_id", "lang", "score")
+      .writeStream.format("memory").queryName("qnorm_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    qy.awaitTermination(60000)
+    val got = spark.sql("SELECT doc_id, qnorm FROM qnorm_stream")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got.view.filterKeys(_ != 999999L).toMap ===
+      batch.view.mapValues(Option(_)).toMap)
+    // unseen (stratum, bucket): a VISIBLE null, never a dropped row
+    assert(got(999999L) === None)
+  }
+
   test("sessionize groups events by idle gap") {
     val events = Seq(
       Streams.SessionEvent(1L, 1000L, "a"),
