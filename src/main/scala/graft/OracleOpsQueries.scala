@@ -269,6 +269,31 @@ object OracleOpsQueries {
     * deterministic boilerplate on every 7th/11th doc and a 2-word trailing
     * unit on every 5th, in BOTH engines; the unit/alpha fractions run on
     * the real text. */
+  /** Gopher rule-set gate ([[TextAnalysis.gopherSignals]]). The synthetic
+    * docs are single-line symbol-free prose, so — like `text_c4` — the
+    * gate PLANTS deterministic rule triggers, mirrored byte-for-byte in
+    * the oracle SQL: bullet lines (mod 3; mod 9 pushes past the 0.9
+    * line-fraction cap), a trailing-ellipsis line (mod 5), `#`/`...`
+    * symbols (mod 7), digit-only words (mod 11, diluting the alphabetic
+    * fraction), and required stopwords (mod 13). Word-count and
+    * stopword rules also fire both ways on the unplanted text (doc
+    * lengths straddle the 50-word minimum). */
+  def textGopher(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit("\n- first bullet item\n- second bullet item")).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        lit("\n- filler bullet" * 17)).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("\nthis trailing line just stops...")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" ## ## ... ## ##")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit(" 101 202 303 404 505 606 707 808 909 111")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" to be of and that")).otherwise(lit("")))
+    val cols = TextAnalysis.gopherSignals(planted).map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
   def textC4(s: SparkSession, d: String): DataFrame = {
     val planted = concat(col("text"),
       when(col("doc_id") % 7 === 0, lit(" lorem ipsum dolor")).otherwise(lit("")),
@@ -812,6 +837,7 @@ object OracleOpsQueries {
     "text_repetition_scan" -> ((s: SparkSession, d: String) =>
       TextAnalysis.repetitionSignalsScanSide(Tables.documents(s, d), "doc_id", "text")),
     "text_c4" -> (textC4 _),
+    "text_gopher" -> (textGopher _),
     "dataset_split" -> (datasetSplit _),
     "corpus_shard" -> (corpusShard _),
     "corpus_pack" -> (corpusPack _),
@@ -1533,6 +1559,67 @@ object OracleOpsQueries {
         |    THEN CAST(n_alpha AS DOUBLE) / CAST(n_toks AS DOUBLE) ELSE 0.0 END
         |    AS alpha_token_frac
         |FROM m""".stripMargin,
+    "text_gopher" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- first bullet item' || chr(10) || '- second bullet item' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 9 = 0 THEN repeat(chr(10) || '- filler bullet', 17) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'this trailing line just stops...' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ' ## ## ... ## ##' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN ' 101 202 303 404 505 606 707 808 909 111' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN ' to be of and that' ELSE '' END) AS pt
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, pt,
+        |    list_filter(regexp_split_to_array(trim(pt), '\s+'), x -> len(x) > 0) AS toks,
+        |    list_filter(list_transform(regexp_split_to_array(pt, '\n'), x -> trim(x)),
+        |                x -> len(x) > 0) AS lns
+        |  FROM p),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) > 0
+        |      THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |      ELSE 0.0 END AS mean_word_len,
+        |    CAST(len(regexp_extract_all(pt, '#')) + len(regexp_extract_all(pt, '\.\.\.')) AS BIGINT) AS n_symbols,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lns, l -> starts_with(l, '•') OR starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(lns, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |                         w -> list_contains(toks, w))) AS BIGINT) AS n_required_stopwords
+        |  FROM u),
+        |sg AS (
+        |  SELECT doc_id, n_words, mean_word_len,
+        |    CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS symbol_word_ratio,
+        |    n_lines,
+        |    CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_line_frac,
+        |    CASE WHEN n_lines > 0 THEN CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_line_frac,
+        |    CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
+        |    n_required_stopwords
+        |  FROM m),
+        |r AS (
+        |  SELECT *,
+        |    CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS rule_word_count,
+        |    CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS rule_mean_word_len,
+        |    CASE WHEN symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END AS rule_symbol_ratio,
+        |    CASE WHEN bullet_line_frac <= 0.9 THEN 1 ELSE 0 END AS rule_bullet_lines,
+        |    CASE WHEN ellipsis_line_frac <= 0.3 THEN 1 ELSE 0 END AS rule_ellipsis_lines,
+        |    CASE WHEN alpha_word_frac >= 0.8 THEN 1 ELSE 0 END AS rule_alpha_words,
+        |    CASE WHEN n_required_stopwords >= 2 THEN 1 ELSE 0 END AS rule_stopwords
+        |  FROM sg)
+        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, n_lines,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_required_stopwords,
+        |  CAST(rule_word_count AS INT) AS rule_word_count,
+        |  CAST(rule_mean_word_len AS INT) AS rule_mean_word_len,
+        |  CAST(rule_symbol_ratio AS INT) AS rule_symbol_ratio,
+        |  CAST(rule_bullet_lines AS INT) AS rule_bullet_lines,
+        |  CAST(rule_ellipsis_lines AS INT) AS rule_ellipsis_lines,
+        |  CAST(rule_alpha_words AS INT) AS rule_alpha_words,
+        |  CAST(rule_stopwords AS INT) AS rule_stopwords,
+        |  CAST(rule_word_count * rule_mean_word_len * rule_symbol_ratio * rule_bullet_lines
+        |       * rule_ellipsis_lines * rule_alpha_words * rule_stopwords AS INT) AS gopher_pass
+        |FROM r""".stripMargin,
     "text_repetition" -> repetitionSql,
     "text_repetition_scan" -> repetitionSql,
     "text_boilerplate_ngrams" ->

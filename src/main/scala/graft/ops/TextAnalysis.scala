@@ -132,6 +132,89 @@ object TextAnalysis {
         when(nTok > 0, nAlpha.cast("double") / nTok.cast("double")).otherwise(lit(0.0)))
   }
 
+  /** The required-stopword list of the Gopher quality rules (Rae et al.,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", 2021, §A1.1): a document must contain at least
+    * [[GopherMinRequiredStopwords]] DISTINCT words from this list. */
+  val gopherRequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMaxSymbolWordRatio = 0.1
+  val GopherMaxBulletLineFrac = 0.9
+  val GopherMaxEllipsisLineFrac = 0.3
+  val GopherMinAlphaWordFrac = 0.8
+  val GopherMinRequiredStopwords = 2L
+
+  /** Gopher-style quality rule signals (Rae et al. 2021, §A1.1 — the
+    * MassiveText filtering heuristics), the rule set most large-corpus
+    * pipelines run alongside the C4 rules ([[c4Signals]]): word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio (`#` and
+    * `...`), fraction of lines starting with a bullet / ending with an
+    * ellipsis, fraction of words with at least one alphabetic character,
+    * and the required-stopword minimum. Emits every raw signal, one
+    * boolean per rule, and the conjunction `gopher_pass` — keeping the
+    * per-rule flags is deliberate: at 100 TB you audit WHICH rule
+    * rejected how much before you commit to a filter. Pure scan-side
+    * column algebra — zero shuffles, zero UDFs; thresholds are the
+    * paper's defaults. */
+  def gopherSignals(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val sumLen = coalesce(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")), lit(0L))
+    val meanLen = when(nWords > 0,
+      sumLen.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val nSymbols = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast("long")
+    val symbolRatio = when(nWords > 0,
+      nSymbols.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => l.startsWith("•") || l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val nEllipsis = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val bulletFrac = when(nLines > 0,
+      nBullet.cast("double") / nLines.cast("double")).otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0,
+      nEllipsis.cast("double") / nLines.cast("double")).otherwise(lit(0.0))
+    val nAlphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val alphaFrac = when(nWords > 0,
+      nAlphaWords.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val nReqStop = size(filter(
+      array(gopherRequiredStopwords.map(lit): _*),
+      w => array_contains(toks, w))).cast("long")
+    val rWords = nWords >= GopherMinWords && nWords <= GopherMaxWords
+    val rMeanLen = meanLen >= GopherMinMeanWordLen && meanLen <= GopherMaxMeanWordLen
+    val rSymbol = symbolRatio <= GopherMaxSymbolWordRatio
+    val rBullet = bulletFrac <= GopherMaxBulletLineFrac
+    val rEllipsis = ellipsisFrac <= GopherMaxEllipsisLineFrac
+    val rAlpha = alphaFrac >= GopherMinAlphaWordFrac
+    val rStop = nReqStop >= GopherMinRequiredStopwords
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "symbol_word_ratio" -> symbolRatio,
+      "n_lines" -> nLines,
+      "bullet_line_frac" -> bulletFrac,
+      "ellipsis_line_frac" -> ellipsisFrac,
+      "alpha_word_frac" -> alphaFrac,
+      "n_required_stopwords" -> nReqStop,
+      "rule_word_count" -> rWords.cast("int"),
+      "rule_mean_word_len" -> rMeanLen.cast("int"),
+      "rule_symbol_ratio" -> rSymbol.cast("int"),
+      "rule_bullet_lines" -> rBullet.cast("int"),
+      "rule_ellipsis_lines" -> rEllipsis.cast("int"),
+      "rule_alpha_words" -> rAlpha.cast("int"),
+      "rule_stopwords" -> rStop.cast("int"),
+      "gopher_pass" -> (rWords && rMeanLen && rSymbol && rBullet &&
+        rEllipsis && rAlpha && rStop).cast("int"))
+  }
+
   /** zlib compression ratio (deflated bytes / raw bytes): the classic
     * repetition-quality signal from large-corpus filters — boilerplate and
     * highly repetitive documents compress far below natural prose. Runs as

@@ -276,6 +276,33 @@ class OpsSpec extends SparkSpec {
     assert(out(3L).getDouble(7) === 4.0 / 6.0)
   }
 
+  test("gopherSignals: each rule fires on its designed trigger") {
+    val longGood = (("the data " * 30) + "to be of and that have with").trim // 67 words, stopword-rich
+    val df = Seq(
+      (1L, longGood),                                   // passes everything
+      (2L, "short doc with the and of"),                // fails word count only-ish
+      (3L, longGood + " ## ## ## ## ## ## ## ## ## ##"), // symbol ratio 10/77 > 0.1
+      (4L, "- b1\n- b2\n- b3\n- b4\n- b5\n- b6\n- b7\n- b8\n- b9\n- b10\nplain"),
+      (5L, longGood + "\nend one...\nend two..."),       // 2/3 lines end '...'
+      (6L, ("9 " * 30).trim + " " + (("word " * 30).trim) + " the of") // 30/62 digit words
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +:
+      TextAnalysis.gopherSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def rule(id: Long, name: String): Int =
+      out(id).getInt(out(id).fieldIndex(name))
+    assert(rule(1L, "gopher_pass") === 1)
+    assert(rule(2L, "rule_word_count") === 0 && rule(2L, "rule_stopwords") === 1)
+    assert(rule(3L, "rule_symbol_ratio") === 0 && rule(3L, "rule_word_count") === 1)
+    assert(rule(4L, "rule_bullet_lines") === 0) // 10/11 bullet lines > 0.9
+    assert(rule(5L, "rule_ellipsis_lines") === 0)
+    assert(rule(6L, "rule_alpha_words") === 0) // 30 digit words of 62 -> 0.516
+    // every failing doc also reports gopher_pass = 0
+    Seq(2L, 3L, 4L, 5L, 6L).foreach(id => assert(rule(id, "gopher_pass") === 0))
+    // raw signals sanity: doc 1 mean word length in [3,10], 67 words
+    assert(out(1L).getLong(out(1L).fieldIndex("n_words")) === 67L)
+  }
+
   test("substringSpans matches a sequential reference on random corpora") {
     // the risks are the windowed interval-union and the cross-doc dup flag
     // under real partitioning, so the reference is deliberately plain Scala
