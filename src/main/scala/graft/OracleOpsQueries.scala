@@ -125,6 +125,34 @@ object OracleOpsQueries {
     Dedup.phashPairs(hashes, "doc_id", "phash", maxHamming = 4)
   }
 
+  /** Pinned per-class audio fingerprints of the synthetic WAV fixtures
+    * (jitter 0) — regenerate with `sbt "Test/runMain graft.AudioFpGoldenGen"`
+    * after any deliberate fingerprint/fixture change; OpsSpec asserts the
+    * REAL RIFF-parse + energy-contour pipeline still produces exactly
+    * these. */
+  private[graft] val audioFpGolden: Seq[Long] = Seq(
+    -6509719248320941742L, -8455179229300314934L, -7670920535909953372L,
+    5560438477692955685L, -7902509849918481738L, 3795633543003330193L,
+    -6145071354617910734L, -6152684371641142648L)
+  /** Audio near-dup dedup gate — the audio analogue of
+    * `dedup_image_phash`: deterministic synthetic PCM16 WAVs (8
+    * energy-contour classes × 5 re-encodings over doc_id < 40), REAL
+    * RIFF/WAVE parse + integer energy-contour fingerprint on the Spark
+    * side ([[graft.ops.Multimodal.audioFingerprint64]]), banded Hamming
+    * join ([[Dedup.phashPairs]] — hash-agnostic). DuckDB can't parse WAV,
+    * so the oracle pins the per-class hashes ([[audioFpGolden]] —
+    * re-encodings provably share them) and mirrors the band join +
+    * Hamming filter exactly. Same-class pairs sit at Hamming 0,
+    * cross-class ≥ 22 (gen-measured), so maxHamming 4 separates
+    * cleanly. */
+  def dedupAudioFingerprint(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 40)
+    val media = graft.ops.Multimodal.syntheticWavs(s, ids, "doc_id")
+    val hashes = graft.ops.Multimodal.audioFingerprintTable(s, media)
+    Dedup.phashPairs(hashes, "doc_id", "afp", maxHamming = 4)
+  }
+
   def textBoilerplateNgrams(s: SparkSession, d: String): DataFrame =
     Dedup.boilerplateShingles(Tables.documents(s, d), "doc_id", "text",
       n = 3, minDf = 4L)
@@ -864,6 +892,7 @@ object OracleOpsQueries {
     "sim_centroid_dist" -> (simCentroidDist _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_image_phash" -> (dedupImagePhash _),
+    "dedup_audio_fingerprint" -> (dedupAudioFingerprint _),
     "dedup_substring" -> (dedupSubstring _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_budget_mix" -> (corpusBudgetMix _),
@@ -2113,6 +2142,23 @@ object OracleOpsQueries {
          |FROM cand WHERE bit_count(xor(sim1, sim2)) <= 3""".stripMargin,
     "dedup_image_phash" ->
       s"""WITH ph(cls, h) AS (VALUES ${phashGolden.zipWithIndex
+                .map { case (h, i) => s"($i, ${h})" }.mkString(", ")}),
+         |hv AS (
+         |  SELECT doc_id, CAST(h AS BIGINT) AS h
+         |  FROM documents JOIN ph ON doc_id % 8 = cls
+         |  WHERE doc_id < 40),
+         |b AS (
+         |  SELECT doc_id, h, band, (h >> (band * 16)) & 65535 AS key
+         |  FROM hv, (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+         |    a.h AS h1, b2.h AS h2
+         |  FROM b a JOIN b b2
+         |    ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= 4""".stripMargin,
+    "dedup_audio_fingerprint" ->
+      s"""WITH ph(cls, h) AS (VALUES ${audioFpGolden.zipWithIndex
                 .map { case (h, i) => s"($i, ${h})" }.mkString(", ")}),
          |hv AS (
          |  SELECT doc_id, CAST(h AS BIGINT) AS h

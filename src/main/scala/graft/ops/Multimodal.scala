@@ -827,6 +827,118 @@ object Multimodal {
       .toDF()
   }
 
+  /** Number of energy segments behind [[audioFingerprint64]] — 65 segment
+    * energies yield 64 consecutive-delta sign bits. */
+  val AudioFpSegments = 65
+
+  /** 64-bit audio fingerprint of a PCM16 WAV payload: the waveform is cut
+    * into [[AudioFpSegments]] equal segments, each segment's energy is the
+    * EXACT integer sum of squared sample words, and bit i is set iff
+    * E(i+1) > E(i) — the energy-contour sign signature (the shape behind
+    * Haitsma-Kalker '02-style fingerprints, collapsed to the time axis
+    * since no FFT is available in-JVM). All-integer arithmetic makes the
+    * hash exactly invariant to polarity inversion (energies unchanged)
+    * and to exact power-of-two amplitude scaling (every energy multiplies
+    * by scale², strict inequalities preserved) — the invariances the gate
+    * fixtures exercise. None for non-WAV / non-PCM16 payloads. */
+  def audioFingerprint64(row: MediaRow): Option[Long] =
+    wavParse(row).collect {
+      case (m, dataOff, dataBytes)
+          if m.format == "pcm" && m.bits_per_sample == 16 &&
+            dataBytes / 2 >= AudioFpSegments =>
+        val b = row.content
+        val nS = (dataBytes / 2).toInt
+        val e = new Array[Long](AudioFpSegments)
+        var seg = 0
+        while (seg < AudioFpSegments) {
+          val s0 = (seg.toLong * nS / AudioFpSegments).toInt
+          val s1 = math.min((((seg + 1).toLong * nS) / AudioFpSegments).toInt, nS)
+          var sumSq = 0L
+          var i = s0
+          while (i < s1) {
+            val o = dataOff + 2 * i
+            val x = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toLong
+            sumSq += x * x
+            i += 1
+          }
+          e(seg) = sumSq
+          seg += 1
+        }
+        var h = 0L
+        var bit = 0
+        while (bit < 64) {
+          if (e(bit + 1) > e(bit)) h |= (1L << bit)
+          bit += 1
+        }
+        h
+    }
+
+  /** Audio-fingerprint pass over a media frame: (doc_id, afp), payloads
+    * that are not fingerprintable PCM16 WAV dropped. Partition-local, no
+    * shuffle — the table then feeds [[Dedup.phashPairs]]' banded Hamming
+    * join (which is hash-agnostic: any 64-bit perceptual hash). */
+  def audioFingerprintTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.flatMap(r => audioFingerprint64(r).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "afp")
+  }
+
+  /** Deterministic synthetic WAV fixture: mono PCM16 at 16 kHz,
+    * [[AudioFpSegments]] segments of 64 samples, each segment a ±a(i)
+    * square wave whose amplitude level a(i) ∈ {128, 256, …, 1024} depends
+    * only on `cls % 8` and the segment index (first md5 byte of
+    * "wav_<cls>_<i>") — so each class has a distinct energy-contour sign
+    * pattern. `jitter` ∈ 0..4 re-encodes WITHOUT moving the fingerprint:
+    * amplitude scale 1/2/4 (exact power of two — max sample 4096, never
+    * clamps) crossed with polarity inversion, both provably
+    * fingerprint-invariant (see [[audioFingerprint64]]): same-class
+    * fixtures have DIFFERENT bytes but the SAME hash, which is what lets
+    * the DuckDB oracle pin one hash per class while Spark computes each
+    * from real sample words. */
+  def syntheticWavBytes(cls: Int, jitter: Int): Array[Byte] = {
+    val segLen = 64
+    val nS = AudioFpSegments * segLen
+    val scale = 1 << (jitter % 3)
+    val sign = if (jitter >= 3) -1 else 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val samples = new Array[Short](nS)
+    var seg = 0
+    while (seg < AudioFpSegments) {
+      val d = md.digest(s"wav_${cls % 8}_$seg".getBytes("UTF-8"))
+      val amp = (((d(0) & 0xff) % 8) + 1) * 128 * scale * sign
+      var i = 0
+      while (i < segLen) {
+        samples(seg * segLen + i) = (if (i % 2 == 0) amp else -amp).toShort
+        i += 1
+      }
+      seg += 1
+    }
+    val dataBytes = nS * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(16000 * 2)
+      .putShort(2).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Synthetic WAV payloads for an id frame: class = id % 8, jitter =
+    * (id / 8) % 5 — five re-encodings per energy-contour class, so
+    * same-class fixtures are near-dups with distinct bytes (the audio
+    * analogue of [[syntheticImages]]). */
+  def syntheticWavs(spark: SparkSession, ids: DataFrame, id: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(id).cast("long")).as[Long]
+      .map(docId => MediaRow(docId, "audio/wav",
+        syntheticWavBytes((docId % 8).toInt, ((docId / 8) % 5).toInt)))
+      .toDF()
+  }
+
   /** Frame sampling for "video" payloads: every nth fixed-size byte chunk,
     * exploded scan-side (pure column algebra, no UDF). */
   def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {

@@ -1,0 +1,33 @@
+package graft
+
+import graft.ops.Multimodal
+
+/** Prints the 8 per-class audio fingerprints of the synthetic WAV
+  * fixtures (jitter 0) — the goldens pinned in
+  * [[OracleOpsQueries.audioFpGolden]] and verified by OpsSpec. Re-run
+  * after any deliberate change to [[Multimodal.audioFingerprint64]] or
+  * [[Multimodal.syntheticWavBytes]]:
+  * `sbt "Test/runMain graft.AudioFpGoldenGen"`. */
+object AudioFpGoldenGen {
+  def main(args: Array[String]): Unit = {
+    val h0 = (0 until 8).map { cls =>
+      val row = Multimodal.MediaRow(cls.toLong, "audio/wav",
+        Multimodal.syntheticWavBytes(cls, 0))
+      val h = Multimodal.audioFingerprint64(row).get
+      println(s"$cls -> ${h}L")
+      h
+    }
+    // gen-time sanity: every re-encoding (amplitude scale × polarity)
+    // must leave the hash EXACTLY unchanged; distinct classes must sit
+    // far outside the candidate threshold
+    for (cls <- 0 until 8; j <- 1 until 5) {
+      val h = Multimodal.audioFingerprint64(Multimodal.MediaRow(0L, "audio/wav",
+        Multimodal.syntheticWavBytes(cls, j))).get
+      require(h == h0(cls), s"class $cls jitter $j moved the hash")
+    }
+    val minCross = (for (a <- 0 until 8; b <- a + 1 until 8)
+      yield java.lang.Long.bitCount(h0(a) ^ h0(b))).min
+    println(s"min cross-class hamming = $minCross")
+    require(minCross > 8, s"classes too close: $minCross")
+  }
+}

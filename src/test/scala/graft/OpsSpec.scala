@@ -1279,6 +1279,37 @@ class OpsSpec extends SparkSpec {
     assert(pairs === Set((0L, 100L)))
   }
 
+  test("audio fingerprint: pinned goldens, re-encode invariance, banded join pairs same class only") {
+    // golden pin: the oracle's VALUES table must track the REAL
+    // RIFF-parse + energy-contour pipeline — drift in either goes red here
+    val computed = (0 until 8).map(c => Multimodal.audioFingerprint64(
+      Multimodal.MediaRow(c.toLong, "audio/wav",
+        Multimodal.syntheticWavBytes(c, 0))).get)
+    assert(computed === OracleOpsQueries.audioFpGolden)
+    // re-encodings (amplitude ×2/×4, polarity inversion): different bytes,
+    // same hash — the invariance the oracle's one-hash-per-class pin rests on
+    for (c <- Seq(0, 6); j <- 1 until 5) {
+      val varBytes = Multimodal.syntheticWavBytes(c, j)
+      assert(!java.util.Arrays.equals(varBytes, Multimodal.syntheticWavBytes(c, 0)))
+      assert(Multimodal.audioFingerprint64(
+        Multimodal.MediaRow(0L, "audio/wav", varBytes)).get === computed(c))
+    }
+    // non-WAV and too-short payloads are dropped, not crashed
+    assert(Multimodal.audioFingerprint64(
+      Multimodal.MediaRow(9L, "audio/wav", "notawav".getBytes("UTF-8"))).isEmpty)
+    // banded Hamming join: a rescaled copy pairs with its original
+    // (Hamming 0), distinct classes never pair at maxHamming 4
+    val media = Seq(
+      Multimodal.MediaRow(0L, "audio/wav", Multimodal.syntheticWavBytes(0, 0)),
+      Multimodal.MediaRow(100L, "audio/wav", Multimodal.syntheticWavBytes(0, 3)),
+      Multimodal.MediaRow(3L, "audio/wav", Multimodal.syntheticWavBytes(3, 0))
+    ).toDF()
+    val pairs = Dedup.phashPairs(
+        Multimodal.audioFingerprintTable(spark, media), "doc_id", "afp", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 100L)))
+  }
+
   test("cjk tokenizer: per-codepoint on CJK, identical to whitespace split elsewhere") {
     // CJK-free corpus: the codepoint-class mode IS the whitespace split —
     // a mixed corpus can adopt it corpus-wide without perturbing results
