@@ -153,6 +153,15 @@ object OracleOpsQueries {
     Dedup.phashPairs(hashes, "doc_id", "afp", maxHamming = 4)
   }
 
+  /** BPE stage-1 gate: the corpus word histogram — the ONE distributed
+    * pass of tokenizer training ([[graft.ops.Bpe.wordHistogram]]); the
+    * driver-side merge loop and the scan-side encode are spec-gated
+    * (BpeSpec: hand-computed ACL'16 merges, round-trip property, local
+    * reference equality) since iterative merge learning is not
+    * SQL-expressible under the oracle contract. */
+  def textBpeWordHist(s: SparkSession, d: String): DataFrame =
+    graft.ops.Bpe.wordHistogram(Tables.documents(s, d), "doc_id", "text")
+
   def textBoilerplateNgrams(s: SparkSession, d: String): DataFrame =
     Dedup.boilerplateShingles(Tables.documents(s, d), "doc_id", "text",
       n = 3, minDf = 4L)
@@ -866,6 +875,7 @@ object OracleOpsQueries {
       TextAnalysis.repetitionSignalsScanSide(Tables.documents(s, d), "doc_id", "text")),
     "text_c4" -> (textC4 _),
     "text_gopher" -> (textGopher _),
+    "text_bpe_word_hist" -> (textBpeWordHist _),
     "dataset_split" -> (datasetSplit _),
     "corpus_shard" -> (corpusShard _),
     "corpus_pack" -> (corpusPack _),
@@ -1649,6 +1659,11 @@ object OracleOpsQueries {
         |  CAST(rule_word_count * rule_mean_word_len * rule_symbol_ratio * rule_bullet_lines
         |       * rule_ellipsis_lines * rule_alpha_words * rule_stopwords AS INT) AS gopher_pass
         |FROM r""".stripMargin,
+    "text_bpe_word_hist" ->
+      s"""WITH $toksCte
+         |SELECT t2.word, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest(t) AS word FROM toks) t2
+         |GROUP BY t2.word""".stripMargin,
     "text_repetition" -> repetitionSql,
     "text_repetition_scan" -> repetitionSql,
     "text_boilerplate_ngrams" ->

@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and application (Sennrich et al.,
+  * "Neural Machine Translation of Rare Words with Subword Units", ACL'16 —
+  * the merge-learning loop every GPT/Llama-family tokenizer descends
+  * from), structured the way a 100 TB corpus forces:
+  *
+  *   1. [[wordHistogram]] — the ONLY pass that touches the corpus: one
+  *      hash-shuffle word count (map-side combined by Spark's partial
+  *      aggregation). 100 TB of text collapses to its distinct word
+  *      forms here.
+  *   2. [[train]] — merge learning over the TOP-CAPPED histogram on the
+  *      driver. This is deliberate, not a shortcut: each of the k merge
+  *      rounds depends on the previous merge's output, so the loop is
+  *      inherently sequential in rank; running it over a size-capped
+  *      histogram (vocabCap distinct forms, each a short symbol seq)
+  *      bounds the state to tens of MB regardless of corpus size —
+  *      sequential-by-nature beats 32k useless shuffle rounds. The cap
+  *      drops only hapax-tail mass, which BPE counts barely see.
+  *   3. [[encode]] — distributed application: the learned ranks broadcast
+  *      in the task closure, one partition-local pass with a per-partition
+  *      word→tokens memo (natural text repeats words heavily, so the memo
+  *      turns the merge loop into a dictionary hit). No shuffle.
+  *
+  * Reference behavior surface: the reference's workload analyzer has no
+  * tokenizer training; this is part of the training-data-pipeline layer
+  * the brief adds on top (SURVEY.md §2 LLM-ops).
+  */
+object Bpe {
+
+  /** End-of-word marker appended to each word's last symbol so merges
+    * never cross word boundaries and suffix units stay distinct from
+    * infix units (the ACL'16 convention). */
+  val EndOfWord = "</w>"
+
+  /** Distributed word histogram — the one corpus-wide pass. One shuffle
+    * on the word, partial-aggregated map-side; `balanceToCores` guards
+    * the few-splits case like the dedup family's explode roots. */
+  def wordHistogram(df: DataFrame, id: String, text: String,
+                    mode: TextAnalysis.TokenMode = TextAnalysis.TokenMode.Whitespace): DataFrame =
+    graft.operators.Scale.balanceToCores(df)
+      .select(explode(TextAnalysis.tokens(col(text), mode)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** One learned merge: rank-ordered pair of adjacent symbols. */
+  case class Merge(rank: Int, left: String, right: String)
+
+  /** Classic BPE merge learning over a (word, n) histogram, driver-side
+    * by design (see the object scaladoc). `vocabCap` bounds driver state:
+    * the top-`vocabCap` word forms by count (count-desc, then word — a
+    * total order, so the cap is deterministic) are collected; pass
+    * Int.MaxValue to disable. Ties in pair counts break on the pair's
+    * (left, right) lexicographic order — byte-stable across runs and
+    * engines. Stops early when no pair occurs twice. */
+  def train(hist: DataFrame, numMerges: Int,
+            vocabCap: Int = 1 << 20): Seq[Merge] = {
+    val top = hist
+      .select(col("word").cast("string"), col("n").cast("long"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // word → mutable symbol seq (chars, last carries the end marker)
+    var words: Array[(Array[String], Long)] = top.map { case (w, n) =>
+      val syms = w.map(_.toString).toArray
+      if (syms.nonEmpty) syms(syms.length - 1) += EndOfWord
+      (syms, n)
+    }
+    val merges = Vector.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      val best = pairCounts.filter(_._2 >= 2)
+      if (best.isEmpty) done = true
+      else {
+        val ((l, r), _) = best.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += Merge(rank, l, r)
+        val lr = l + r
+        words = words.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += lr; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The learned merges as a small DataFrame (rank, left, right) — the
+    * persistable artifact (write once, broadcast to every later encode
+    * job, exactly like the LM pair tables and IVF centroids). */
+  def mergesTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right")
+  }
+
+  /** Encode ONE word under a rank map — the GPT-2-style greedy loop:
+    * repeatedly merge the lowest-rank adjacent pair present. O(len²·log)
+    * worst case on a pathological word, O(len·merges-hit) on prose. */
+  private[graft] def encodeWord(word: String,
+                              ranks: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    if (syms.isEmpty) return syms
+    syms(syms.length - 1) += EndOfWord
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) continue = false
+      else {
+        val merged = syms(bestIdx) + syms(bestIdx + 1)
+        val out = new Array[String](syms.length - 1)
+        System.arraycopy(syms, 0, out, 0, bestIdx)
+        out(bestIdx) = merged
+        System.arraycopy(syms, bestIdx + 2, out, bestIdx + 1,
+          syms.length - bestIdx - 2)
+        syms = out
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Distributed BPE application: (doc_id, bpe_tokens) with the learned
+    * ranks shipped in the closure (a few MB for a 32k vocab) and a
+    * per-partition word→tokens memo — on natural text nearly every word
+    * is a memo hit, so the pass costs one scan, zero shuffles.
+    * `mapPartitions` is the right tool here (per-partition mutable memo +
+    * an inherently iterative per-word loop — not expressible as column
+    * algebra without losing the memo). */
+  def encode(df: DataFrame, id: String, text: String, merges: Seq[Merge],
+             mode: TextAnalysis.TokenMode = TextAnalysis.TokenMode.Whitespace): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val tokenized = df.select(col(id).cast("long"),
+      TextAnalysis.tokens(col(text), mode))
+    tokenized.as[(Long, Seq[String])].mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+      it.map { case (docId, words) =>
+        val out = words.iterator.flatMap(w =>
+          memo.getOrElseUpdate(w, encodeWord(w, ranks))).toSeq
+        (docId, out)
+      }
+    }.toDF(id, "bpe_tokens")
+  }
+
+  /** Per-document subword statistics under a trained tokenizer — the
+    * fertility audit (subwords per word) run before committing a vocab:
+    * high fertility on a language means the tokenizer under-serves it. */
+  def fertility(df: DataFrame, id: String, text: String, merges: Seq[Merge],
+                mode: TextAnalysis.TokenMode = TextAnalysis.TokenMode.Whitespace): DataFrame = {
+    val enc = encode(df, id, text, merges, mode)
+    val words = df.select(col(id).cast("long").as(id),
+      size(TextAnalysis.tokens(col(text), mode)).cast("long").as("n_words"))
+    words.join(enc, Seq(id))
+      .select(col(id), col("n_words"),
+        size(col("bpe_tokens")).cast("long").as("n_subwords"),
+        when(col("n_words") > 0,
+          size(col("bpe_tokens")).cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("fertility"))
+  }
+}

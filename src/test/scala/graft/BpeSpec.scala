@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train reproduces the hand-computed merges of the classic example") {
+    // Sennrich ACL'16 §3.2 worked example: {low:5, lower:2, newest:6,
+    // widest:3}. Hand-derived merge sequence with the end-of-word marker
+    // and (count desc, pair asc) tie-break:
+    //   rank 0: (e,s)      — 9 occurrences (ties (s,t</w>), wins lexically)
+    //   rank 1: (es,t</w>) — 9
+    //   rank 2: (l,o)      — 7
+    //   rank 3: (e,w)      — 6 (ties (n,e) and (w,est</w>), wins lexically)
+    val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "n")
+    val merges = Bpe.train(hist, numMerges = 4)
+    assert(merges.map(m => (m.left, m.right)) === Seq(
+      ("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")))
+    assert(merges.map(_.rank) === Seq(0, 1, 2, 3))
+    // encoding an UNSEEN word composes learned units greedily by rank
+    assert(Bpe.encodeWord("lowest", merges.map(m => (m.left, m.right) -> m.rank).toMap)
+      .toSeq === Seq("lo", "w", "est</w>"))
+  }
+
+  test("encode round-trips: concatenated subwords reconstruct every word") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "deltoid", "ee", "x")
+    val docs = (1L to 30L).map { i =>
+      i -> (0 until rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordHistogram(docs, "doc_id", "text"), numMerges = 20)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    val ref = docs.as[(Long, String)].collect().toMap
+    ref.foreach { case (id, text) =>
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      val rebuilt = enc(id).mkString.split(java.util.regex.Pattern.quote(Bpe.EndOfWord))
+        .filter(_.nonEmpty)
+      assert(rebuilt.toSeq === words.toSeq, s"doc $id")
+      // every word ends exactly one marker-terminated subword run
+      assert(enc(id).count(_.endsWith(Bpe.EndOfWord)) === words.length)
+    }
+  }
+
+  test("train is stable under vocab cap and stops when no pair repeats") {
+    val hist = Seq(("ab", 3L), ("cd", 1L)).toDF("word", "n")
+    // (a,b</w>) occurs 3 times -> merged; then nothing repeats
+    val merges = Bpe.train(hist, numMerges = 10)
+    assert(merges.map(m => (m.left, m.right)) === Seq(("a", "b</w>")))
+    // a cap of 1 keeps only the top word form (count desc): same result
+    val capped = Bpe.train(hist, numMerges = 10, vocabCap = 1)
+    assert(capped.map(m => (m.left, m.right)) === Seq(("a", "b</w>")))
+  }
+
+  test("distributed encode and fertility match a local reference on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.train(
+      Bpe.wordHistogram(docs, "doc_id", "text"), numMerges = 64)
+    assert(merges.size === 64) // corpus is repetitive enough to sustain 64 merges
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    val local = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toMap
+    local.foreach { case (id, text) =>
+      val expect = text.trim.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => Bpe.encodeWord(w, ranks)).toSeq
+      assert(enc(id) === expect, s"doc $id")
+    }
+    // fertility: subwords per word, >= 1 whenever words exist; merges
+    // learned ON this corpus must compress it below the char-level bound
+    val fert = Bpe.fertility(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, Double)].collect()
+    fert.foreach { case (id, nw, ns, f) =>
+      if (nw > 0) {
+        assert(ns >= nw, s"doc $id")
+        assert(f === ns.toDouble / nw, s"doc $id")
+        val nChars = local(id).trim.split("\\s+").filter(_.nonEmpty).map(_.length).sum
+        assert(ns < math.max(nChars, 1L) || nChars == 0, s"doc $id not compressed")
+      } else assert(ns === 0L && f === 0.0)
+    }
+  }
+}
