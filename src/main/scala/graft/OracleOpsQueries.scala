@@ -782,6 +782,24 @@ object OracleOpsQueries {
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
   }
 
+  /** Hard-negative mining gate: queries = vec_id < 5, k = 3 hardest
+    * out-of-class negatives each ([[graft.ops.Similarity.hardNegatives]]).
+    * The embeddings fixture carries a `label` column, so "positive" =
+    * same label — the supervision a dense-retrieval fine-tune has. */
+  def simHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.ops.Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 3)
+  }
+
+  /** Contrastive triplets gate: hardest same-label positive + 3 hardest
+    * out-of-class negatives per query ([[graft.ops.Similarity.miningTriplets]]). */
+  def simMiningTriplets(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.ops.Similarity.miningTriplets(emb, "vec_id", "embedding", "label",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 3)
+  }
+
   def simLshTopK(s: SparkSession, d: String): DataFrame =
     graft.ops.Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryId = 0L, k = 10, planes = 4)
@@ -842,6 +860,8 @@ object OracleOpsQueries {
     "sim_quantize_int8" -> (simQuantizeInt8 _),
     "sim_bruteforce_topk" -> (simBruteForce _),
     "sim_knn_join" -> (simKnnJoin _),
+    "sim_hard_negatives" -> (simHardNegatives _),
+    "sim_mining_triplets" -> (simMiningTriplets _),
     "sim_knn_join_shuffled" -> (simKnnJoinShuffled _),
     "sim_knn_join_auto" -> (simKnnJoinAuto _),
     "sim_lsh_topk" -> (simLshTopK _),
@@ -1247,6 +1267,45 @@ object OracleOpsQueries {
        |  FROM s)
        |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 3""".stripMargin
 
+  /** Labeled-embedding CTE + mirrors of the mining ops: cosine via the
+    * same left-fold as [[embCte]]'s consumers, rank via the same
+    * (cos desc, id) total order as the kNN oracles. */
+  private val embLabeledCte =
+    "el AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  private lazy val hardNegativesSql =
+    s"""WITH $embLabeledCte,
+       |q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM el WHERE vec_id < 5),
+       |s AS (
+       |  SELECT q.query_id, el.vec_id, ${cosSql("v", "qv")} AS cos
+       |  FROM el, q WHERE el.vec_id != q.query_id AND el.label != q.ql),
+       |r AS (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM s)
+       |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 3""".stripMargin
+
+  private lazy val miningTripletsSql =
+    s"""WITH $embLabeledCte,
+       |q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM el WHERE vec_id < 5),
+       |s AS (
+       |  SELECT q.query_id, el.vec_id, el.label = q.ql AS same_label,
+       |    ${cosSql("v", "qv")} AS cos
+       |  FROM el, q WHERE el.vec_id != q.query_id),
+       |pos AS (
+       |  SELECT query_id, vec_id AS pos_id, cos AS pos_cos FROM (
+       |    SELECT query_id, vec_id, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |    FROM s WHERE same_label) WHERE rk = 1),
+       |neg AS (
+       |  SELECT query_id, vec_id AS neg_id, cos AS neg_cos,
+       |    CAST(rk AS INT) AS neg_rank FROM (
+       |    SELECT query_id, vec_id, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |    FROM s WHERE NOT same_label) WHERE rk <= 3)
+       |SELECT pos.query_id, pos_id, pos_cos, neg_id, neg_cos, neg_rank
+       |FROM pos JOIN neg ON pos.query_id = neg.query_id""".stripMargin
+
   private val dedupExactSql =
     """WITH f AS (
       |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
@@ -1434,6 +1493,8 @@ object OracleOpsQueries {
          |FROM e, q WHERE vec_id != 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "sim_knn_join" -> knnJoinSql,
+    "sim_hard_negatives" -> hardNegativesSql,
+    "sim_mining_triplets" -> miningTripletsSql,
     // the shuffled hatch answers the SAME question — one shared oracle
     // text (divergence impossible), two physical plans (broadcast vs
     // bucket-replicated shuffle join), same pattern as dedup_exact_agg

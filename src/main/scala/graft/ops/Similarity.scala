@@ -166,6 +166,78 @@ object Similarity {
       knnJoinShuffled(emb, id, vec, queries, qid, qvec, k, buckets)
   }
 
+  /** Hard-negative mining for dense-retrieval training data (the
+    * DPR/ANCE recipe — Karpukhin et al. EMNLP'20, Xiong et al. ICLR'21):
+    * for each query vector, the top-k most-similar corpus vectors whose
+    * `label` DIFFERS from the query's — the negatives that sit closest
+    * to the decision boundary, which is what contrastive training needs
+    * (random negatives are too easy to carry gradient). Same broadcast +
+    * bounded-heap shape as [[knnJoin]] — the label predicate lands
+    * BEFORE the heap, so mismatched pairs never enter the aggregate —
+    * and the same total order (cos desc, id), so the output is
+    * deterministic and oracle-checkable. At 100 TB the corpus side
+    * streams map-side exactly like knnJoin; swap in the
+    * [[knnJoinShuffled]] bucket replication if the query batch outgrows
+    * a broadcast. */
+  def hardNegatives(emb: DataFrame, id: String, vec: String, label: String,
+                    queries: DataFrame, qid: String, qvec: String,
+                    qlabel: String, k: Int): DataFrame = {
+    val corpus = emb.select(col(id), col(label).as("__cl"),
+        asDouble(col(vec)).as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
+    val joined = corpus.crossJoin(broadcast(
+        queries.select(col(qid).as("query_id"), col(qlabel).as("__ql"),
+            asDouble(col(qvec)).as("qv"))
+          .withColumn("__qn", norm(col("qv")))))
+      .filter(col(id) =!= col("query_id") && col("__cl") =!= col("__ql"))
+      .select(col("query_id"), col(id),
+        when(col("__nrm") * col("__qn") =!= 0.0,
+          dot(col("__v"), col("qv")) / (col("__nrm") * col("__qn"))).as("cos"))
+    joined.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k(col("cos"), col(id), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as(id), col("col.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Contrastive training triplets: each query paired with its hardest
+    * in-class positive (the same-label neighbor most likely to be a true
+    * match) and its k hardest out-of-class negatives
+    * ([[hardNegatives]]) — the (anchor, positive, negatives) rows a
+    * retrieval fine-tune consumes directly. Queries with no same-label
+    * neighbor are dropped (no positive exists to anchor the triplet). */
+  def miningTriplets(emb: DataFrame, id: String, vec: String, label: String,
+                     queries: DataFrame, qid: String, qvec: String,
+                     qlabel: String, k: Int): DataFrame = {
+    val corpus = emb.select(col(id), col(label).as("__cl"),
+        asDouble(col(vec)).as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
+    val qside = broadcast(
+      queries.select(col(qid).as("query_id"), col(qlabel).as("__ql"),
+          asDouble(col(qvec)).as("qv"))
+        .withColumn("__qn", norm(col("qv"))))
+    val scored = corpus.crossJoin(qside)
+      .filter(col(id) =!= col("query_id"))
+      .select(col("query_id"), col(id), col("__cl") === col("__ql"),
+        when(col("__nrm") * col("__qn") =!= 0.0,
+          dot(col("__v"), col("qv")) / (col("__nrm") * col("__qn"))).as("cos"))
+      .toDF("query_id", id, "same_label", "cos")
+    val pos = scored.filter(col("same_label"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k(col("cos"), col(id), 1).as("top"))
+      .select(col("query_id"), col("top")(0)("id").as("pos_id"),
+        col("top")(0)("score").as("pos_cos"))
+    val neg = scored.filter(!col("same_label"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k(col("cos"), col(id), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neg_id"),
+        col("col.score").as("neg_cos"), (col("pos") + 1).cast("int").as("neg_rank"))
+    pos.join(neg, Seq("query_id"))
+      .select(col("query_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"), col("neg_rank"))
+  }
+
   // ------------------------------------------------------------------- LSH
 
   /** Deterministic md5-based 60-bit hash of a string, computed driver-side

@@ -1279,6 +1279,46 @@ class OpsSpec extends SparkSpec {
     assert(pairs === Set((0L, 100L)))
   }
 
+  test("hard-negative mining: negatives cross labels, triplet positives share them") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val q = emb.filter(col("vec_id") < 4)
+    val negs = graft.ops.Similarity.hardNegatives(
+        emb, "vec_id", "embedding", "label", q, "vec_id", "embedding", "label", k = 3)
+      .collect()
+    assert(negs.length === 4 * 3)
+    negs.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      assert(labels(nid) !== labels(qid), s"negative $nid shares label with query $qid")
+      assert(nid !== qid)
+    }
+    // ranks are 1..k with cos non-increasing within a query
+    negs.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq === Seq(1, 2, 3))
+      assert(byRank.map(_.getDouble(2)).toSeq.sliding(2).forall(s => s.head >= s.last))
+    }
+    val trips = graft.ops.Similarity.miningTriplets(
+        emb, "vec_id", "embedding", "label", q, "vec_id", "embedding", "label", k = 3)
+      .collect()
+    trips.foreach { r =>
+      val (qid, pid, nid) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(labels(pid) === labels(qid))
+      assert(labels(nid) !== labels(qid))
+      assert(pid !== qid)
+    }
+    // the positive is the TOP same-label neighbor: its cos must beat every
+    // other same-label candidate (checked via brute force on one query)
+    val hood = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = emb.count().toInt).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val bestSame = hood.filter { case (id2, _) => labels(id2) == labels(0L) }
+      .maxBy(_._2)
+    val t0 = trips.filter(_.getLong(0) == 0L)
+    assert(t0.nonEmpty && t0.head.getLong(1) === bestSame._1)
+  }
+
   test("audio fingerprint: pinned goldens, re-encode invariance, banded join pairs same class only") {
     // golden pin: the oracle's VALUES table must track the REAL
     // RIFF-parse + energy-contour pipeline — drift in either goes red here
