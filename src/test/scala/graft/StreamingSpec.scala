@@ -208,6 +208,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._1) === Set(1L, 2L, 3L))
   }
 
+  test("streaming gopher signals and BPE encode equal their batch ops (stateless)") {
+    // Both ops are shuffle-free by design (gopher: scan-side column
+    // algebra; BPE encode: partition-local merge loop under broadcast
+    // ranks), so the SAME transform must run unchanged on an unbounded
+    // stream — the contract that makes "train once, score the firehose"
+    // work for the tokenizer exactly like the LM / CDF scorers.
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the data flows to be of and that have with more words here"),
+      (2L, "- bullet\n- bullet\nplain tail..."),
+      (3L, "aa bb aa bb aa"))
+    val merges = graft.ops.Bpe.train(
+      graft.ops.Bpe.wordHistogram(docs.toDF("doc_id", "text"), "doc_id", "text"),
+      numMerges = 8)
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData(docs: _*)
+    val src = ms.toDF.toDF("doc_id", "text")
+    val gq = src.select(col("doc_id") +:
+        graft.ops.TextAnalysis.gopherSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val bq = graft.ops.Bpe.encode(src, "doc_id", "text", merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    gq.awaitTermination(60000); bq.awaitTermination(60000)
+    val gopherBatch = docs.toDF("doc_id", "text").select(col("doc_id") +:
+        graft.ops.TextAnalysis.gopherSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(_.toSeq).toSet
+    assert(spark.table("gopher_stream").collect().map(_.toSeq).toSet === gopherBatch)
+    val bpeBatch = graft.ops.Bpe.encode(
+        docs.toDF("doc_id", "text"), "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toSet
+    assert(spark.table("bpe_stream").as[(Long, Seq[String])].collect().toSet === bpeBatch)
+    assert(bpeBatch.nonEmpty && gopherBatch.nonEmpty)
+  }
+
   test("streaming LM scoring equals the batch scorer (static pair-table LM)") {
     import org.apache.spark.sql.functions.lit
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
