@@ -162,6 +162,12 @@ object OracleOpsQueries {
   def textBpeWordHist(s: SparkSession, d: String): DataFrame =
     graft.ops.Bpe.wordHistogram(Tables.documents(s, d), "doc_id", "text")
 
+  /** Dataset-card rollup gate ([[graft.ops.CorpusReport.report]]): one
+    * row per (lang, source) stratum — volume, global-exact-dup counts,
+    * fixed-point quality mass. */
+  def corpusReport(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusReport.report(Tables.documents(s, d), "doc_id", "text")
+
   def textBoilerplateNgrams(s: SparkSession, d: String): DataFrame =
     Dedup.boilerplateShingles(Tables.documents(s, d), "doc_id", "text",
       n = 3, minDf = 4L)
@@ -896,6 +902,7 @@ object OracleOpsQueries {
     "text_c4" -> (textC4 _),
     "text_gopher" -> (textGopher _),
     "text_bpe_word_hist" -> (textBpeWordHist _),
+    "corpus_report" -> (corpusReport _),
     "dataset_split" -> (datasetSplit _),
     "corpus_shard" -> (corpusShard _),
     "corpus_pack" -> (corpusPack _),
@@ -1720,6 +1727,37 @@ object OracleOpsQueries {
         |  CAST(rule_word_count * rule_mean_word_len * rule_symbol_ratio * rule_bullet_lines
         |       * rule_ellipsis_lines * rule_alpha_words * rule_stopwords AS INT) AS gopher_pass
         |FROM r""".stripMargin,
+    "corpus_report" ->
+      s"""WITH b0 AS (
+         |  SELECT doc_id, lang, source, text,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+         |  FROM documents),
+         |qf AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars2,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM b0),
+         |ql AS (
+         |  SELECT doc_id, lang, source, n_tokens, n_chars2, fp,
+         |    CAST(floor((${qualityExprSql("n_tokens", "n_stopwords", "n_punct", "n_chars2")}) * 1000000.0) AS BIGINT) AS q
+         |  FROM qf),
+         |dd AS (
+         |  SELECT *, CASE WHEN doc_id != MIN(doc_id) OVER (PARTITION BY fp)
+         |    THEN 1 ELSE 0 END AS is_dup
+         |  FROM ql)
+         |SELECT lang, source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars2) AS BIGINT) AS n_chars,
+         |  CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac,
+         |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens,
+         |  CAST(SUM(q) AS BIGINT) AS sum_quality_micro,
+         |  CAST(SUM(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_quality
+         |FROM dd GROUP BY lang, source""".stripMargin,
     "text_bpe_word_hist" ->
       s"""WITH $toksCte
          |SELECT t2.word, CAST(count(*) AS BIGINT) AS n

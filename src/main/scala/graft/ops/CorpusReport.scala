@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The dataset-card rollup a corpus run ends with: one row per stratum
+  * (language × source) with volume, duplication, and quality mass — the
+  * numbers a data-governance review asks for before a corpus ships, and
+  * the denominators every mixing/curation decision starts from.
+  *
+  * Shape at 100 TB: one scan computes every per-doc signal (tokens,
+  * chars, quality, fingerprint — all scan-side column algebra), one
+  * window shuffle marks exact-dup docs corpus-WIDE (duplication is a
+  * global property — a per-stratum count of globally-duplicated docs,
+  * not per-stratum dedup), and one partial-aggregated shuffle rolls up
+  * to strata. Output rows = |languages| × |sources| — trivially small.
+  *
+  * The quality mean crosses the engine boundary as an exact BIGINT sum
+  * of micro-unit scores (⌊quality·10⁶⌋ — order-independent integer
+  * arithmetic, unlike a double sum) divided once at the end — the same
+  * fixed-point portability trick as the LM scores, so the gate compares
+  * bit-exactly. */
+object CorpusReport {
+
+  def report(df: DataFrame, id: String, text: String,
+             strata: Seq[String] = Seq("lang", "source")): DataFrame = {
+    val quality: Column = TextAnalysis.qualityColumns(col(text))
+      .collectFirst { case ("quality", c) => c }.get
+    val base = graft.operators.Scale.balanceToCores(df)
+      .select(strata.map(col) ++ Seq(
+        col(id),
+        TextAnalysis.tokenCount(col(text)).cast("long").as("__nt"),
+        length(col(text)).cast("long").as("__nc"),
+        floor(quality * lit(1000000.0)).cast("long").as("__q"),
+        TextAnalysis.fingerprint(col(text)).as("__fp")): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    val flagged = base
+      .withColumn("__is_dup", (col(id) =!= min(col(id)).over(w)).cast("long"))
+    flagged.groupBy(strata.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"),
+        sum(col("__is_dup")).as("n_dup_docs"),
+        sum(col("__q")).cast("long").as("sum_quality_micro"))
+      .select(strata.map(col) ++ Seq(
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_chars"),
+        col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_frac"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"),
+        col("sum_quality_micro"),
+        (col("sum_quality_micro").cast("double") /
+          (col("n_docs").cast("double") * lit(1000000.0)))
+          .as("mean_quality")): _*)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the BPE pipeline (the encode pass is not an oracle
+  * query, so `graft.Bench` never times it): measures wordHistogram+train
+  * and the corpus encode pass on a documents dir — run against the
+  * gen_scale_corpus sf1/sf10 corpora for the COVERAGE.md scaling table.
+  * `sbt "Test/runMain graft.BpeScaleProbe /tmp/graft_sf1"` */
+object BpeScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    def timed[A](what: String)(f: => A): A = {
+      // min of two passes, same convention as Bench
+      val t0 = System.nanoTime(); val r0 = f; val d0 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); f; val d1 = (System.nanoTime() - t1) / 1e9
+      println(f"$what: ${math.min(d0, d1)}%.2f s (passes $d0%.2f / $d1%.2f)")
+      r0
+    }
+    val merges = timed("hist+train(256 merges)") {
+      graft.ops.Bpe.train(
+        graft.ops.Bpe.wordHistogram(docs, "doc_id", "text"), numMerges = 256)
+    }
+    println(s"merges learned: ${merges.size}")
+    val n = timed("encode corpus (sum subwords)") {
+      graft.ops.Bpe.encode(docs, "doc_id", "text", merges)
+        .agg(sum(size(col("bpe_tokens")))).collect()(0).getLong(0)
+    }
+    println(s"total subwords: $n")
+    spark.stop()
+  }
+}

@@ -1279,6 +1279,27 @@ class OpsSpec extends SparkSpec {
     assert(pairs === Set((0L, 100L)))
   }
 
+  test("corpus report reconciles with the corpus and the exact-dedup op") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rep = graft.ops.CorpusReport.report(docs, "doc_id", "text").collect()
+    assert(rep.nonEmpty)
+    // strata tile the corpus exactly
+    assert(rep.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // dup mass matches the standalone exact-dedup op, globally
+    val dupTotal = graft.ops.Dedup.exact(docs, "doc_id", "text")
+      .agg(sum(col("is_dup"))).collect()(0).getLong(0)
+    assert(rep.map(_.getAs[Long]("n_dup_docs")).sum === dupTotal)
+    rep.foreach { r =>
+      val (nd, nt) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))
+      assert(nd > 0 && nt > 0)
+      assert(r.getAs[Double]("mean_tokens") === nt.toDouble / nd)
+      val mq = r.getAs[Double]("mean_quality")
+      assert(mq >= 0.0 && mq <= 1.0)
+      val df = r.getAs[Double]("dup_frac")
+      assert(df >= 0.0 && df <= 1.0)
+    }
+  }
+
   test("hard-negative mining: negatives cross labels, triplet positives share them") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val labels = emb.select(col("vec_id"), col("label"))
