@@ -61,10 +61,18 @@ object Chunking {
     // shuffle-free at production split counts; on few-splits inputs
     // (single-row-group files) balanceToCores pays one narrow shuffle so
     // the explode runs as wide as the cores (streaming passes through)
+    // The zero-token filter runs AFTER the explode, on the computed
+    // `n_tok` (an empty doc yields its one placeholder chunk with
+    // n_tok = 0, dropped here; every chunk of a non-empty doc has
+    // n_tok ≥ 1 because the last window reaches the final token). A
+    // pre-explode `filter(size(tokens) > 0)` gets pushed into the scan
+    // and re-runs the tokenizer per row — invisible for the whitespace
+    // split, but a measured ~2× of the whole pass in the costlier CJK
+    // regex mode. Post-explode the predicate references only computed
+    // attributes, so the tokenizer runs exactly once per row.
     graft.operators.Scale.balanceToCores(df)
       .select(col(id), TextAnalysis.tokens(col(text), tokenMode).as("__t"))
       .withColumn("__n", size(col("__t")).cast("long"))
-      .filter(col("__n") > 0)
       .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1L)))
       .select(col(id), col("chunk_id"),
         (col("chunk_id") * stride).as("start_tok"),
@@ -74,5 +82,6 @@ object Chunking {
           slice(col("__t"), (col("chunk_id") * stride + 1L).cast("int"),
             lit(chunkTokens)),
           " ").as("chunk_text"))
+      .filter(col("n_tok") > 0)
   }
 }

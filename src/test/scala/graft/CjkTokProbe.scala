@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Micro-probe: where does the CJK-mode chunking constant go?
+  * `sbt "Test/runMain graft.CjkTokProbe /tmp/graft_sf1"` */
+object CjkTokProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    def timed(what: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r0 = f; val d0 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); f; val d1 = (System.nanoTime() - t1) / 1e9
+      println(f"$what: ${math.min(d0, d1)}%.2f s -> $r0")
+    }
+    import graft.ops.TextAnalysis
+    timed("ws tokens count") {
+      docs.select(sum(size(TextAnalysis.tokens(col("text"))))).collect()(0).getLong(0)
+    }
+    timed("cjk tokens count") {
+      docs.select(sum(size(TextAnalysis.tokensCjk(col("text"))))).collect()(0).getLong(0)
+    }
+    // swapped alternation: run branch first (classes are disjoint, so
+    // order cannot change the match set)
+    val swapped = s"[^\\s${TextAnalysis.cjkClass}]+|[${TextAnalysis.cjkClass}]"
+    timed("cjk tokens count (run-branch-first)") {
+      docs.select(sum(size(regexp_extract_all(col("text"), lit(swapped), lit(0)))))
+        .collect()(0).getLong(0)
+    }
+    timed("chunk ws") {
+      graft.ops.Chunking.chunkByTokens(docs, "doc_id", "text", 16, 12).count()
+    }
+    timed("chunk cjk") {
+      graft.ops.Chunking.chunkByTokens(docs, "doc_id", "text", 16, 12,
+        tokenMode = TextAnalysis.TokenMode.Cjk).count()
+    }
+    spark.stop()
+  }
+}
