@@ -35,6 +35,14 @@ object CjkTokProbe {
       docs.select(sum(size(regexp_extract_all(col("text"), lit(swapped), lit(0)))))
         .collect()(0).getLong(0)
     }
+    // replace-then-split: pad every CJK codepoint with spaces, then the
+    // cheap whitespace split — same token stream by construction
+    val padded = regexp_replace(col("text"),
+      s"([${TextAnalysis.cjkClass}])", " $$1 ")
+    timed("cjk tokens count (pad+split)") {
+      docs.select(sum(size(filter(split(trim(padded), "\\s+"),
+        t => length(t) > 0)))).collect()(0).getLong(0)
+    }
     timed("chunk ws") {
       graft.ops.Chunking.chunkByTokens(docs, "doc_id", "text", 16, 12).count()
     }
