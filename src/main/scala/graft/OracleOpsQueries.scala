@@ -337,6 +337,25 @@ object OracleOpsQueries {
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
 
+  /** Composed gopher-filter → dataset-card gate: plant required
+    * stopwords on every 13th doc (the raw synthetic corpus fails the
+    * stopword rule everywhere, so an unplanted filter would keep zero
+    * docs — vacuous), keep only `gopher_pass` docs, and roll the kept
+    * set up with [[graft.ops.CorpusReport.report]]. The oracle chains
+    * the SAME rule CTEs as `text_gopher` into the SAME report CTEs as
+    * `corpus_report`, so a green row proves the composition, not just
+    * the stages ([[corpusCleanE2e]]'s treatment applied to the
+    * audit path). */
+  def corpusGopherReport(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 13 === 0, lit(" to be of and that")).otherwise(lit("")))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), planted.as("text"))
+    val pass = TextAnalysis.gopherSignals(col("text"))
+      .collectFirst { case ("gopher_pass", c) => c }.get
+    graft.ops.CorpusReport.report(base.filter(pass === 1), "doc_id", "text")
+  }
+
   def textC4(s: SparkSession, d: String): DataFrame = {
     val planted = concat(col("text"),
       when(col("doc_id") % 7 === 0, lit(" lorem ipsum dolor")).otherwise(lit("")),
@@ -903,6 +922,7 @@ object OracleOpsQueries {
     "text_gopher" -> (textGopher _),
     "text_bpe_word_hist" -> (textBpeWordHist _),
     "corpus_report" -> (corpusReport _),
+    "corpus_gopher_report" -> (corpusGopherReport _),
     "dataset_split" -> (datasetSplit _),
     "corpus_shard" -> (corpusShard _),
     "corpus_pack" -> (corpusPack _),
@@ -1273,6 +1293,103 @@ object OracleOpsQueries {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
        |  FROM s)
        |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 3""".stripMargin
+
+  /** Full-plant CTE of the standalone gopher gate — exposes
+    * `p(doc_id, pt)` with every rule trigger planted (see [[textGopher]]). */
+  private val gopherPlantFullCte: String =
+    """p AS (
+      |  SELECT doc_id, text ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- first bullet item' || chr(10) || '- second bullet item' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 9 = 0 THEN repeat(chr(10) || '- filler bullet', 17) ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'this trailing line just stops...' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN ' ## ## ... ## ##' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN ' 101 202 303 404 505 606 707 808 909 111' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 13 = 0 THEN ' to be of and that' ELSE '' END) AS pt
+      |  FROM documents)""".stripMargin
+
+  /** Mirror of [[graft.ops.TextAnalysis.gopherSignals]] over a relation
+    * `p(doc_id, pt)` — CTE chain `u/m/sg/r`; `r` carries every raw
+    * signal plus the seven 0/1 rule flags. Shared by the standalone
+    * gate (full plants) and the gopher-filtered report composition
+    * (stopword plant only). */
+  private val gopherRulesCtes: String =
+    """u AS (
+      |  SELECT doc_id, pt,
+      |    list_filter(regexp_split_to_array(trim(pt), '\s+'), x -> len(x) > 0) AS toks,
+      |    list_filter(list_transform(regexp_split_to_array(pt, '\n'), x -> trim(x)),
+      |                x -> len(x) > 0) AS lns
+      |  FROM p),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CASE WHEN len(toks) > 0
+      |      THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+      |      ELSE 0.0 END AS mean_word_len,
+      |    CAST(len(regexp_extract_all(pt, '#')) + len(regexp_extract_all(pt, '\.\.\.')) AS BIGINT) AS n_symbols,
+      |    CAST(len(lns) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(lns, l -> starts_with(l, '\u2022') OR starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS n_bullet,
+      |    CAST(len(list_filter(lns, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      |                         w -> list_contains(toks, w))) AS BIGINT) AS n_required_stopwords
+      |  FROM u),
+      |sg AS (
+      |  SELECT doc_id, n_words, mean_word_len,
+      |    CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS symbol_word_ratio,
+      |    n_lines,
+      |    CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_line_frac,
+      |    CASE WHEN n_lines > 0 THEN CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_line_frac,
+      |    CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
+      |    n_required_stopwords
+      |  FROM m),
+      |r AS (
+      |  SELECT *,
+      |    CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS rule_word_count,
+      |    CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS rule_mean_word_len,
+      |    CASE WHEN symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END AS rule_symbol_ratio,
+      |    CASE WHEN bullet_line_frac <= 0.9 THEN 1 ELSE 0 END AS rule_bullet_lines,
+      |    CASE WHEN ellipsis_line_frac <= 0.3 THEN 1 ELSE 0 END AS rule_ellipsis_lines,
+      |    CASE WHEN alpha_word_frac >= 0.8 THEN 1 ELSE 0 END AS rule_alpha_words,
+      |    CASE WHEN n_required_stopwords >= 2 THEN 1 ELSE 0 END AS rule_stopwords
+      |  FROM sg)""".stripMargin
+
+  /** Mirror of [[graft.ops.CorpusReport.report]] over any
+    * (doc_id, lang, source, text) relation — CTE chain `b0r…ddr`, final
+    * select in [[reportSelect]]. Factored so the standalone gate and the
+    * gopher-filtered composition share one source of truth. */
+  private def reportCtesFrom(rel: String): String =
+    s"""b0r AS (
+       |  SELECT doc_id, lang, source, text,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM $rel),
+       |qfr AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars2,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM b0r),
+       |qlr AS (
+       |  SELECT doc_id, lang, source, n_tokens, n_chars2, fp,
+       |    CAST(floor((${qualityExprSql("n_tokens", "n_stopwords", "n_punct", "n_chars2")}) * 1000000.0) AS BIGINT) AS q
+       |  FROM qfr),
+       |ddr AS (
+       |  SELECT *, CASE WHEN doc_id != MIN(doc_id) OVER (PARTITION BY fp)
+       |    THEN 1 ELSE 0 END AS is_dup
+       |  FROM qlr)""".stripMargin
+
+  private val reportSelect: String =
+    """SELECT lang, source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars2) AS BIGINT) AS n_chars,
+      |  CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+      |  CAST(SUM(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac,
+      |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens,
+      |  CAST(SUM(q) AS BIGINT) AS sum_quality_micro,
+      |  CAST(SUM(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_quality
+      |FROM ddr GROUP BY lang, source""".stripMargin
 
   /** Labeled-embedding CTE + mirrors of the mining ops: cosine via the
     * same left-fold as [[embCte]]'s consumers, rank via the same
@@ -1667,54 +1784,8 @@ object OracleOpsQueries {
         |    AS alpha_token_frac
         |FROM m""".stripMargin,
     "text_gopher" ->
-      """WITH p AS (
-        |  SELECT doc_id, text ||
-        |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- first bullet item' || chr(10) || '- second bullet item' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 9 = 0 THEN repeat(chr(10) || '- filler bullet', 17) ELSE '' END) ||
-        |    (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'this trailing line just stops...' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 7 = 0 THEN ' ## ## ... ## ##' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 11 = 0 THEN ' 101 202 303 404 505 606 707 808 909 111' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 13 = 0 THEN ' to be of and that' ELSE '' END) AS pt
-        |  FROM documents),
-        |u AS (
-        |  SELECT doc_id, pt,
-        |    list_filter(regexp_split_to_array(trim(pt), '\s+'), x -> len(x) > 0) AS toks,
-        |    list_filter(list_transform(regexp_split_to_array(pt, '\n'), x -> trim(x)),
-        |                x -> len(x) > 0) AS lns
-        |  FROM p),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    CASE WHEN len(toks) > 0
-        |      THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-        |      ELSE 0.0 END AS mean_word_len,
-        |    CAST(len(regexp_extract_all(pt, '#')) + len(regexp_extract_all(pt, '\.\.\.')) AS BIGINT) AS n_symbols,
-        |    CAST(len(lns) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(lns, l -> starts_with(l, '•') OR starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS n_bullet,
-        |    CAST(len(list_filter(lns, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis,
-        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-        |                         w -> list_contains(toks, w))) AS BIGINT) AS n_required_stopwords
-        |  FROM u),
-        |sg AS (
-        |  SELECT doc_id, n_words, mean_word_len,
-        |    CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS symbol_word_ratio,
-        |    n_lines,
-        |    CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_line_frac,
-        |    CASE WHEN n_lines > 0 THEN CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_line_frac,
-        |    CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
-        |    n_required_stopwords
-        |  FROM m),
-        |r AS (
-        |  SELECT *,
-        |    CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS rule_word_count,
-        |    CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS rule_mean_word_len,
-        |    CASE WHEN symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END AS rule_symbol_ratio,
-        |    CASE WHEN bullet_line_frac <= 0.9 THEN 1 ELSE 0 END AS rule_bullet_lines,
-        |    CASE WHEN ellipsis_line_frac <= 0.3 THEN 1 ELSE 0 END AS rule_ellipsis_lines,
-        |    CASE WHEN alpha_word_frac >= 0.8 THEN 1 ELSE 0 END AS rule_alpha_words,
-        |    CASE WHEN n_required_stopwords >= 2 THEN 1 ELSE 0 END AS rule_stopwords
-        |  FROM sg)
+      s"""WITH $gopherPlantFullCte,
+        |$gopherRulesCtes
         |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, n_lines,
         |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_required_stopwords,
         |  CAST(rule_word_count AS INT) AS rule_word_count,
@@ -1727,37 +1798,20 @@ object OracleOpsQueries {
         |  CAST(rule_word_count * rule_mean_word_len * rule_symbol_ratio * rule_bullet_lines
         |       * rule_ellipsis_lines * rule_alpha_words * rule_stopwords AS INT) AS gopher_pass
         |FROM r""".stripMargin,
-    "corpus_report" ->
-      s"""WITH b0 AS (
-         |  SELECT doc_id, lang, source, text,
-         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
-         |  FROM documents),
-         |qf AS (
-         |  SELECT doc_id, lang, source,
-         |    CAST(len(t) AS BIGINT) AS n_tokens,
-         |    CAST(length(text) AS BIGINT) AS n_chars2,
-         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
-         |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords,
-         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-         |  FROM b0),
-         |ql AS (
-         |  SELECT doc_id, lang, source, n_tokens, n_chars2, fp,
-         |    CAST(floor((${qualityExprSql("n_tokens", "n_stopwords", "n_punct", "n_chars2")}) * 1000000.0) AS BIGINT) AS q
-         |  FROM qf),
-         |dd AS (
-         |  SELECT *, CASE WHEN doc_id != MIN(doc_id) OVER (PARTITION BY fp)
-         |    THEN 1 ELSE 0 END AS is_dup
-         |  FROM ql)
-         |SELECT lang, source,
-         |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(n_chars2) AS BIGINT) AS n_chars,
-         |  CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
-         |  CAST(SUM(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac,
-         |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens,
-         |  CAST(SUM(q) AS BIGINT) AS sum_quality_micro,
-         |  CAST(SUM(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_quality
-         |FROM dd GROUP BY lang, source""".stripMargin,
+    "corpus_gopher_report" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    text || (CASE WHEN doc_id % 13 = 0 THEN ' to be of and that' ELSE '' END) AS pt
+        |  FROM documents),
+        |$gopherRulesCtes,
+        |kept AS (
+        |  SELECT d.doc_id, d.lang, d.source, p.pt AS text
+        |  FROM r JOIN p USING (doc_id) JOIN documents d USING (doc_id)
+        |  WHERE rule_word_count * rule_mean_word_len * rule_symbol_ratio * rule_bullet_lines
+        |        * rule_ellipsis_lines * rule_alpha_words * rule_stopwords = 1),
+        |${reportCtesFrom("kept")}
+        |$reportSelect""".stripMargin,
+    "corpus_report" -> s"WITH ${reportCtesFrom("documents")}\n$reportSelect",
     "text_bpe_word_hist" ->
       s"""WITH $toksCte
          |SELECT t2.word, CAST(count(*) AS BIGINT) AS n
