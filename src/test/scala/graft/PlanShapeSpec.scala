@@ -93,6 +93,39 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text_gopher is a shuffle-free scan-side projection") {
+    val df = SparkEntry.queries("text_gopher")(spark, sf)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"text_gopher must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("corpus_report: one fp window shuffle + one strata rollup, nothing else") {
+    val p = plan("corpus_report")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles === 2,
+      s"expected exactly 2 hash shuffles (fingerprint window, strata agg):\n$p")
+    // the rollup partial-aggregates before its exchange
+    assert(p.lastIndexOf("HashAggregate") > p.indexOf("Exchange"), p)
+  }
+
+  test("text_bpe_word_hist: one shuffle, partial-aggregated map side") {
+    val p = plan("text_bpe_word_hist")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles === 1, s"expected the single word-count shuffle:\n$p")
+    assert(p.lastIndexOf("HashAggregate") > p.indexOf("Exchange hashpartitioning"),
+      "expected a partial HashAggregate below the Exchange:\n" + p)
+  }
+
+  test("sim_hard_negatives broadcasts the query side and heaps map-side, no sort-merge join") {
+    val p = plan("sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dedup_substring runs the window pipeline once: 2 scans, 2 shuffles") {
     // regression guard for the 5-scan formulation: an agg + join-back dup
     // flag plans the aggregate as a broadcast whose subtree re-runs the
