@@ -168,6 +168,23 @@ object OracleOpsQueries {
   def corpusReport(s: SparkSession, d: String): DataFrame =
     graft.ops.CorpusReport.report(Tables.documents(s, d), "doc_id", "text")
 
+  /** Composed multimodal dedup gate: real image decode → pHash → banded
+    * Hamming pairs → connected components, the full image-dedup pass a
+    * training pipeline runs (the text pipeline's minhash → components
+    * chain, lifted to media). The oracle chains the pinned-hash band
+    * join of `dedup_image_phash` into the recursive-CTE labeling of
+    * `dedup_components`, so a green row proves the composition. */
+  def dedupMediaComponents(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 40)
+    val media = graft.ops.Multimodal.syntheticImages(s, ids, "doc_id")
+    val pairs = Dedup.phashPairs(
+        graft.ops.Multimodal.phashTable(s, media), "doc_id", "phash",
+        maxHamming = 4)
+      .select(col("id1"), col("id2"))
+    Dedup.connectedComponents(ids, "doc_id", pairs)
+  }
+
   def textBoilerplateNgrams(s: SparkSession, d: String): DataFrame =
     Dedup.boilerplateShingles(Tables.documents(s, d), "doc_id", "text",
       n = 3, minDf = 4L)
@@ -950,6 +967,7 @@ object OracleOpsQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_image_phash" -> (dedupImagePhash _),
     "dedup_audio_fingerprint" -> (dedupAudioFingerprint _),
+    "dedup_media_components" -> (dedupMediaComponents _),
     "dedup_substring" -> (dedupSubstring _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_budget_mix" -> (corpusBudgetMix _),
@@ -2325,6 +2343,30 @@ object OracleOpsQueries {
          |    ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id)
          |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(h1, h2)) <= 4""".stripMargin,
+    "dedup_media_components" ->
+      s"""WITH RECURSIVE ph(cls, h) AS (VALUES ${phashGolden.zipWithIndex
+                .map { case (h, i) => s"($i, ${h})" }.mkString(", ")}),
+         |hv AS (
+         |  SELECT doc_id, CAST(h AS BIGINT) AS h
+         |  FROM documents JOIN ph ON doc_id % 8 = cls
+         |  WHERE doc_id < 40),
+         |b AS (
+         |  SELECT doc_id, h, band, (h >> (band * 16)) & 65535 AS key
+         |  FROM hv, (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |mh AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+         |  FROM b a JOIN b b2
+         |    ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.h, b2.h)) <= 4),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM mh
+         |  UNION ALL
+         |  SELECT id2, id1 FROM mh),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM hv
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin,
     "dedup_audio_fingerprint" ->
       s"""WITH ph(cls, h) AS (VALUES ${audioFpGolden.zipWithIndex
                 .map { case (h, i) => s"($i, ${h})" }.mkString(", ")}),

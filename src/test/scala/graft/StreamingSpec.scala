@@ -244,6 +244,40 @@ class StreamingSpec extends SparkSpec {
     assert(bpeBatch.nonEmpty && gopherBatch.nonEmpty)
   }
 
+  test("streaming media fingerprints equal the batch tables (stateless decode)") {
+    // phashTable / audioFingerprintTable are partition-local decodes with
+    // no shuffle — the same transform must run unchanged on a stream of
+    // media rows (the shape of a live crawl's dedup front-end).
+    import graft.ops.Multimodal
+    val rows = (0L until 16L).map { i =>
+      if (i % 2 == 0)
+        Multimodal.MediaRow(i, "image/png",
+          Multimodal.syntheticImageBytes((i % 8).toInt, ((i / 8) % 5).toInt))
+      else
+        Multimodal.MediaRow(i, "audio/wav",
+          Multimodal.syntheticWavBytes((i % 8).toInt, ((i / 8) % 5).toInt))
+    }
+    val ms = MemoryStream[Multimodal.MediaRow](spark)
+    ms.addData(rows: _*)
+    val src = ms.toDF
+    val pq = Multimodal.phashTable(spark, src)
+      .writeStream.format("memory").queryName("phash_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val aq = Multimodal.audioFingerprintTable(spark, src)
+      .writeStream.format("memory").queryName("afp_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    pq.awaitTermination(60000); aq.awaitTermination(60000)
+    val batchDf = rows.toDF()
+    val phBatch = Multimodal.phashTable(spark, batchDf)
+      .as[(Long, Long)].collect().toSet
+    val afBatch = Multimodal.audioFingerprintTable(spark, batchDf)
+      .as[(Long, Long)].collect().toSet
+    assert(spark.table("phash_stream").as[(Long, Long)].collect().toSet === phBatch)
+    assert(spark.table("afp_stream").as[(Long, Long)].collect().toSet === afBatch)
+    // each stream decoded only its own modality, and nothing was lost
+    assert(phBatch.size === 8 && afBatch.size === 8)
+  }
+
   test("streaming LM scoring equals the batch scorer (static pair-table LM)") {
     import org.apache.spark.sql.functions.lit
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
