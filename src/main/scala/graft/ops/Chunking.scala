@@ -50,14 +50,6 @@ object Chunking {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(stride > 0 && stride <= chunkTokens,
       s"stride must be in [1, chunkTokens], got $stride")
-    // ⌈(n − chunkTokens) / stride⌉ + 1 via integer arithmetic:
-    // (n − chunkTokens + stride − 1) DIV stride + 1 (n > chunkTokens ⇒
-    // the numerator is positive, so floor-div == truncation here and the
-    // DuckDB mirror's `//` agrees).
-    val nChunks =
-      when(col("__n") <= chunkTokens, lit(1L))
-        .otherwise(
-          expr(s"(__n - $chunkTokens + $stride - 1) DIV $stride") + lit(1L))
     // shuffle-free at production split counts; on few-splits inputs
     // (single-row-group files) balanceToCores pays one narrow shuffle so
     // the explode runs as wide as the cores (streaming passes through)
@@ -70,8 +62,29 @@ object Chunking {
     // split, but a measured ~2× of the whole pass in the costlier CJK
     // regex mode. Post-explode the predicate references only computed
     // attributes, so the tokenizer runs exactly once per row.
-    graft.operators.Scale.balanceToCores(df)
-      .select(col(id), TextAnalysis.tokens(col(text), tokenMode).as("__t"))
+    chunkTokenArray(
+      graft.operators.Scale.balanceToCores(df)
+        .select(col(id), TextAnalysis.tokens(col(text), tokenMode).as("__t")),
+      id, "__t", chunkTokens, stride)
+  }
+
+  /** Window an ALREADY-TOKENIZED frame — the core behind
+    * [[chunkByTokens]], exposed so any tokenizer's output chunks the
+    * same way: feed it [[Bpe.encode]]'s `bpe_tokens` column and the
+    * windows are real subword context windows (what a pretraining
+    * pipeline actually packs), not whitespace approximations. Same
+    * convention, same zero-shuffle shape, same output schema (the
+    * window's tokens re-joined with single spaces). */
+  def chunkTokenArray(df: DataFrame, id: String, tokens: String,
+                      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    val nChunks =
+      when(col("__n") <= chunkTokens, lit(1L))
+        .otherwise(
+          expr(s"(__n - $chunkTokens + $stride - 1) DIV $stride") + lit(1L))
+    df.select(col(id), col(tokens).as("__t"))
       .withColumn("__n", size(col("__t")).cast("long"))
       .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1L)))
       .select(col(id), col("chunk_id"),

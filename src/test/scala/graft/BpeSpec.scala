@@ -56,6 +56,34 @@ class BpeSpec extends SparkSpec {
     assert(capped.map(m => (m.left, m.right)) === Seq(("a", "b</w>")))
   }
 
+  test("chunking over BPE tokens windows the subword stream exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val merges = Bpe.train(
+      Bpe.wordHistogram(docs, "doc_id", "text"), numMerges = 32)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+    val chunks = graft.ops.Chunking.chunkTokenArray(
+        enc, "doc_id", "bpe_tokens", chunkTokens = 8, stride = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val ref = enc.as[(Long, Seq[String])].collect().toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = ref(id)
+      val sorted = cs.sortBy(_._2)
+      // every chunk is the exact subword window; ids are dense from 0
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, k, start, n, text) =>
+        assert(start === k * 6)
+        assert(text === toks.slice(start.toInt, start.toInt + n.toInt).mkString(" "))
+      }
+      // full coverage: the last chunk reaches the final subword
+      val last = sorted.last
+      assert(last._3 + last._4 === toks.length.toLong)
+    }
+    // every non-empty doc chunked
+    assert(chunks.map(_._1).toSet === ref.filter(_._2.nonEmpty).keySet)
+  }
+
   test("distributed encode and fertility match a local reference on real docs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = Bpe.train(
