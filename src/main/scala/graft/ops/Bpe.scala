@@ -172,6 +172,52 @@ object Bpe {
     }.toDF(id, "bpe_tokens")
   }
 
+  /** The id space of a trained tokenizer: base symbols (every single-char
+    * symbol occurring in the corpus, including the marker-suffixed
+    * word-final variants) in lexicographic order from id 0, then one id
+    * per merge at `nBase + rank` — the deterministic vocab.json analogue.
+    * Base symbols are computed DISTRIBUTED (explode → distinct — the
+    * result is alphabet-sized, so the collect is bounded by the script
+    * inventory, not the corpus). */
+  def vocabTable(hist: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val chars = hist.select(col("word").cast("string")).as[String]
+      .flatMap { w =>
+        if (w.isEmpty) Iterator.empty
+        else w.init.map(_.toString).iterator ++
+          Iterator(w.last.toString + EndOfWord)
+      }
+      .distinct().collect().sorted
+    val base = chars.zipWithIndex.map { case (s, i) => (i, s) }
+    val merged = merges.map(m => (chars.length + m.rank, m.left + m.right))
+    (base ++ merged).toSeq.toDF("token_id", "token")
+  }
+
+  /** Distributed integer-id encoding: [[encode]] then a closure-broadcast
+    * token→id lookup; subwords outside the vocabulary (characters never
+    * seen in training) map to `oovId`. Output (id, token_ids) is what
+    * sequence packing and shard writing consume. */
+  def encodeIds(df: DataFrame, id: String, text: String, merges: Seq[Merge],
+                vocab: Map[String, Int], oovId: Int = -1,
+                mode: TextAnalysis.TokenMode = TextAnalysis.TokenMode.Whitespace): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val tokenized = df.select(col(id).cast("long"),
+      TextAnalysis.tokens(col(text), mode))
+    tokenized.as[(Long, Seq[String])].mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+      it.map { case (docId, words) =>
+        val out = words.iterator.flatMap(w =>
+          memo.getOrElseUpdate(w,
+            encodeWord(w, ranks).map(t => vocab.getOrElse(t, oovId)))).toSeq
+        (docId, out)
+      }
+    }.toDF(id, "token_ids")
+  }
+
   /** Per-document subword statistics under a trained tokenizer — the
     * fertility audit (subwords per word) run before committing a vocab:
     * high fertility on a language means the tokenizer under-serves it. */

@@ -56,6 +56,36 @@ class BpeSpec extends SparkSpec {
     assert(capped.map(m => (m.left, m.right)) === Seq(("a", "b</w>")))
   }
 
+  test("vocab ids: deterministic layout, lossless round trip, OOV fallback") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(80)
+    val hist = Bpe.wordHistogram(docs, "doc_id", "text")
+    val merges = Bpe.train(hist, numMerges = 32)
+    val vocabRows = Bpe.vocabTable(hist, merges)
+      .as[(Int, String)].collect().sortBy(_._1)
+    // dense ids from 0; base block lexicographic; merges appended by rank
+    assert(vocabRows.map(_._1).toSeq === vocabRows.indices)
+    val nBase = vocabRows.length - merges.length
+    assert(vocabRows.take(nBase).map(_._2).toSeq ===
+      vocabRows.take(nBase).map(_._2).sorted.toSeq)
+    merges.foreach(m =>
+      assert(vocabRows(nBase + m.rank)._2 === m.left + m.right))
+    val vocab = vocabRows.map { case (i, t) => t -> i }.toMap
+    // ids invert to exactly the string encode
+    val ids = Bpe.encodeIds(docs, "doc_id", "text", merges, vocab)
+      .as[(Long, Seq[Int])].collect().toMap
+    val strs = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    val inv = vocabRows.map { case (i, t) => i -> t }.toMap
+    strs.foreach { case (docId, toks) =>
+      assert(ids(docId).map(inv) === toks, s"doc $docId")
+    }
+    // a character never seen in training maps to the OOV id
+    val alien = Seq((999L, "zzüq")).toDF("doc_id", "text")
+    val aIds = Bpe.encodeIds(alien, "doc_id", "text", merges, vocab, oovId = -7)
+      .as[(Long, Seq[Int])].collect().head._2
+    assert(aIds.contains(-7))
+  }
+
   test("chunking over BPE tokens windows the subword stream exactly") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val merges = Bpe.train(
