@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CorpusPipeline, Splits}
+import graft.ops.{Bpe, CorpusPipeline, Splits}
 
 /** The one-command corpus pipeline — the training-data counterpart of
   * [[Pipeline]] (which drives the reference's profile workflow): read a
@@ -28,12 +28,19 @@ import graft.ops.{CorpusPipeline, Splits}
 object CorpusMain {
 
   case class CorpusSummary(outDir: String, nIn: Long, nKept: Long,
-                           nShards: Int, splits: Map[String, Long])
+                           nShards: Int, splits: Map[String, Long],
+                           vocabSize: Long = 0L, nMerges: Int = 0)
 
+  /** `bpeMerges > 0` additionally trains a BPE tokenizer on the cleaned
+    * TRAIN split (never val/test — the tokenizer is a trained artifact,
+    * so it obeys the same leakage discipline as the model) and writes
+    * `tokenizer/{merges,vocab}` plus per-document `token_ids` for the
+    * whole kept corpus — the artifacts a pretraining job consumes. */
   def run(spark: SparkSession, in: DataFrame, outDir: String,
           nShards: Int = 64, minQuality: Double = 0.0,
           lang: Option[String] = None,
-          maxDupSpanFrac: Option[Double] = Some(0.95)): CorpusSummary = {
+          maxDupSpanFrac: Option[Double] = Some(0.95),
+          bpeMerges: Int = 0): CorpusSummary = {
     import org.apache.spark.sql.graftbridge.Bridge
     val stages = CorpusPipeline.clean(spark, in, "doc_id", "text",
       minQuality = minQuality, lang = lang, maxDupSpanFrac = maxDupSpanFrac,
@@ -54,7 +61,35 @@ object CorpusMain {
       stats.coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
       val splitCounts = sharded.groupBy(col("split")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      CorpusSummary(outDir, in.count(), splitCounts.values.sum, nShards, splitCounts)
+      val (vocabSize, nMerges) =
+        if (bpeMerges <= 0) (0L, 0)
+        else {
+          val trainText = sharded.filter(col("split") === "train")
+            .select(col("doc_id"), col("redacted").as("text"))
+          val hist = Bpe.wordHistogram(trainText, "doc_id", "text")
+            .localCheckpoint(true) // consumed by train AND vocabTable
+          val merges = Bpe.train(hist, bpeMerges)
+          Bpe.mergesTable(spark, merges).coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/tokenizer/merges")
+          val vocabDf = Bpe.vocabTable(hist, merges)
+          vocabDf.coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/tokenizer/vocab")
+          val vocab = vocabDf.collect()
+            .map(r => r.getString(1) -> r.getInt(0)).toMap
+          // merges trained, vocab written and collected — the histogram
+          // checkpoint has no consumers left
+          Bridge.backingRdds(hist).foreach(_.unpersist(blocking = false))
+          Bpe.encodeIds(
+              sharded.select(col("doc_id"), col("redacted").as("text")),
+              "doc_id", "text", merges, vocab)
+            .join(sharded.select(col("doc_id"), col("split"), col("shard")),
+              Seq("doc_id"))
+            .write.mode("overwrite").partitionBy("split", "shard")
+            .parquet(s"$outDir/token_ids")
+          (vocab.size.toLong, merges.size)
+        }
+      CorpusSummary(outDir, in.count(), splitCounts.values.sum, nShards,
+        splitCounts, vocabSize, nMerges)
     } finally {
       // every output action is done — free the stage checkpoints instead
       // of leaking them into the caller's session until GC (the leak
@@ -65,8 +100,10 @@ object CorpusMain {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: CorpusMain <inParquet> <outDir>")
-    val Array(in, outDir) = args
+    require(args.length == 2 || args.length == 3,
+      "usage: CorpusMain <inParquet> <outDir> [bpeMerges]")
+    val (in, outDir) = (args(0), args(1))
+    val bpeMerges = if (args.length == 3) args(2).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -77,8 +114,9 @@ object CorpusMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val s = run(spark, spark.read.parquet(in), outDir)
+      val s = run(spark, spark.read.parquet(in), outDir, bpeMerges = bpeMerges)
       println(s"CORPUS in=${s.nIn} kept=${s.nKept} shards=${s.nShards} " +
+        (if (s.nMerges > 0) s"merges=${s.nMerges} vocab=${s.vocabSize} " else "") +
         s.splits.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
     } finally spark.stop()
   }

@@ -94,6 +94,30 @@ class PipelineSpec extends SparkSpec {
       .head().getLong(0) === s.nKept)
   }
 
+  test("CorpusMain with bpeMerges writes tokenizer artifacts and decodable token ids") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus_bpe").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val s = CorpusMain.run(spark, docs, out, nShards = 4, bpeMerges = 24)
+    assert(s.nMerges === 24 && s.vocabSize > 24)
+    val merges = spark.read.parquet(s"$out/tokenizer/merges")
+    assert(merges.count() === 24)
+    val vocab = spark.read.parquet(s"$out/tokenizer/vocab")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(vocab.size.toLong === s.vocabSize)
+    // token ids cover the whole kept corpus, partitioned like the shards,
+    // and every id resolves in the vocab (the tokenizer trained on the
+    // train split, but the base-char block covers the shared alphabet)
+    val ids = spark.read.parquet(s"$out/token_ids")
+    assert(ids.count() === s.nKept)
+    val trainDir = new java.io.File(s"$out/token_ids/split=train")
+    assert(trainDir.isDirectory && trainDir.list().exists(_.startsWith("shard=")))
+    val allIds = ids.select(org.apache.spark.sql.functions.explode(col("token_ids")))
+      .distinct().collect().map(_.getInt(0))
+    assert(allIds.forall(i => i == -1 || vocab.contains(i)))
+    assert(allIds.exists(_ >= 0))
+  }
+
   test("Pipeline tags are isolated: a second tag's run does not leak into the first") {
     val out = java.nio.file.Files.createTempDirectory("graft_pipeline_out2").toString
     val first = Pipeline.run(spark, "tagA", dumpDir, out, elbowKs = Seq(1, 2), finalK = 2)
