@@ -796,6 +796,45 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** Video near-dup pairs over a per-frame perceptual-hash table
+    * ([[Multimodal.videoFrameHashTable]]): two videos are near-dups when
+    * they share at least `minCommonFrames` DISTINCT frame hashes — the
+    * shingle-overlap pattern ([[ngramContamination]]) lifted to video,
+    * where a frame hash plays the shingle's role. Candidate generation is
+    * an equi-join on the hash (never all-pairs); `maxVideosPerHash` is
+    * the same hot-key valve as the shingle-df cap (a black/intro frame
+    * shared by everything would otherwise pair everything — capped pairs
+    * ⊆ uncapped, OpsSpec-checked). Emits (id1, id2, common_frames,
+    * jaccard) with jaccard over distinct frame-hash sets. */
+  def videoPairs(frameHashes: DataFrame, id: String, hash: String,
+                 minCommonFrames: Int = 2,
+                 maxVideosPerHash: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
+    val h0 = frameHashes.select(col(id), col(hash).as("__h")).distinct()
+    val counts = h0.groupBy(col(id))
+      .agg(count(lit(1)).as("__nf"))
+    val h = maxVideosPerHash match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("__h"))
+        h0.withColumn("__hs", count(lit(1)).over(w))
+          .filter(col("__hs") <= cap)
+          .select(col(id), col("__h"))
+      case None => h0
+    }
+    val common = h.toDF("id1", "__h")
+      .join(h.toDF("id2", "__h"), Seq("__h"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("common_frames"))
+      .filter(col("common_frames") >= minCommonFrames)
+    common
+      .join(counts.toDF("id1", "__n1"), Seq("id1"))
+      .join(counts.toDF("id2", "__n2"), Seq("id2"))
+      .select(col("id1"), col("id2"), col("common_frames"),
+        (col("common_frames").cast("double") /
+          (col("__n1") + col("__n2") - col("common_frames")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Image near-dup pairs over a precomputed 64-bit perceptual-hash table
     * ([[Multimodal.phashTable]]) — the standard image-dedup pass of a
     * multimodal training pipeline, banded exactly like [[simhashPairs]]:

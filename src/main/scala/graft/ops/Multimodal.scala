@@ -516,6 +516,36 @@ object Multimodal {
         }
     }
 
+  /** Per-frame perceptual hashes for an MJPEG payload: (frame_idx,
+    * [[pHash64]]) per decodable frame — the signature table behind video
+    * near-dup ([[Dedup.videoPairs]]). Same sample-table walk and
+    * skip-don't-fail frame contract as [[mjpegFrames]]. */
+  def mjpegFrameHashes(row: MediaRow): Option[Seq[(Int, Long)]] =
+    mp4SampleTable(row).collect {
+      case (codec, _, _, samples) if MjpegCodecs(codec) =>
+        samples.zipWithIndex.flatMap { case ((off, sz), i) =>
+          if (off >= 0 && sz > 0 && off + sz <= row.content.length && off + sz <= Int.MaxValue)
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+                java.util.Arrays.copyOfRange(row.content, off.toInt, (off + sz).toInt)))
+              if (img == null) None else Some(i -> pHash64(img))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          else None
+        }
+    }
+
+  /** Frame-hash pass over video payloads: (doc_id, frame_idx, phash) per
+    * decodable MJPEG frame — partition-local, no shuffle; feeds
+    * [[Dedup.videoPairs]]. */
+  def videoFrameHashTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind").startsWith("video/"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap(r => mjpegFrameHashes(r).getOrElse(Seq.empty)
+        .map { case (i, h) => (r.doc_id, i, h) }))
+      .toDF("doc_id", "frame_idx", "phash")
+  }
+
   /** Frame-content pass over video payloads: one row per decodable MJPEG
     * frame, same partition-local no-shuffle shape as [[decode]]. Non-MJPEG
     * video rows contribute nothing here (their header metadata still

@@ -30,8 +30,7 @@ object MjpegFixtureGen {
     baos.toByteArray
   }
 
-  def build(): Array[Byte] = {
-    val frames = Seq(64, 128, 192).map(solidJpeg)
+  def build(frames: Seq[Array[Byte]] = Seq(64, 128, 192).map(solidJpeg)): Array[Byte] = {
     val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
     val mdat = box("mdat", frames.reduce(_ ++ _))
     val dataStart = ftyp.length + 8L // mdat body offset in the file
@@ -48,9 +47,10 @@ object MjpegFixtureGen {
       be32(16L << 16) ++ be32(16L << 16)) // 16×16 in 16.16 fixed point
     val stsd = box("stsd", be32(0) ++ be32(1) ++
       box("jpeg", Array.fill[Byte](8)(0))) // minimal sample entry: fourcc is all the walk reads
-    val stts = box("stts", be32(0) ++ be32(1) ++ be32(3) ++ be32(100))
-    val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(3) ++ be32(1))
-    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(3) ++
+    val n = frames.length.toLong
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(n) ++ be32(100))
+    val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(n) ++ be32(1))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(n) ++
       frames.flatMap(f => be32(f.length.toLong)).toArray)
     val stco = box("stco", be32(0) ++ be32(1) ++ be32(dataStart))
     val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)

@@ -1371,6 +1371,42 @@ class OpsSpec extends SparkSpec {
     assert(pairs === Set((0L, 100L)))
   }
 
+  test("video near-dup: shared MJPEG frame hashes pair overlapping videos only") {
+    // patterned JPEG frames (re-encodes of the pHash image fixtures, so
+    // distinct frames sit far apart in Hamming space); videos A and B
+    // share two exact frames, C is disjoint
+    def jpegOf(cls: Int): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.syntheticImageBytes(cls, 0)))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val f = (0 until 6).map(jpegOf)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video/mp4", MjpegFixtureGen.build(Seq(f(0), f(1), f(2)))),
+      Multimodal.MediaRow(2L, "video/mp4", MjpegFixtureGen.build(Seq(f(0), f(1), f(3)))),
+      Multimodal.MediaRow(3L, "video/mp4", MjpegFixtureGen.build(Seq(f(4), f(5))))
+    ).toDF()
+    val hashes = Multimodal.videoFrameHashTable(spark, media)
+    // every frame of every video decoded and hashed
+    assert(hashes.count() === 8)
+    val pairs = Dedup.videoPairs(hashes, "doc_id", "phash", minCommonFrames = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L))._1 === 2L)        // exactly the two shared frames
+    assert(pairs((1L, 2L))._2 === 2.0 / 4.0) // |A∩B| / |A∪B|
+    // minCommonFrames = 1 must not invent cross pairs with video 3
+    val loose = Dedup.videoPairs(hashes, "doc_id", "phash", minCommonFrames = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === Set((1L, 2L)))
+    // the hot-frame valve: a cap of 1 suppresses the shared-frame pairs
+    val capped = Dedup.videoPairs(hashes, "doc_id", "phash",
+      minCommonFrames = 1, maxVideosPerHash = Some(1))
+      .collect()
+    assert(capped.isEmpty)
+  }
+
   test("cjk tokenizer: per-codepoint on CJK, identical to whitespace split elsewhere") {
     // CJK-free corpus: the codepoint-class mode IS the whitespace split —
     // a mixed corpus can adopt it corpus-wide without perturbing results
