@@ -879,6 +879,20 @@ object OracleOpsQueries {
     graft.ops.Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, planes = 4)
 
+  /** Composed embedding-dedup gate: LSH-bucketed cosine pairs →
+    * connected components — the embedding analogue of the minhash →
+    * components text chain and the pHash → components media chain
+    * (`dedup_media_components`); the oracle chains the cosine-pair CTEs
+    * into the recursive-CTE labeling. Same threshold/planes as
+    * `sim_cosine_pairs`, so the pair set is the already-gated one. */
+  def simEmbeddingComponents(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pairs = graft.ops.Similarity.cosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.3, planes = 4)
+      .select(col("id1"), col("id2"))
+    Dedup.connectedComponents(emb.select(col("vec_id")), "vec_id", pairs)
+  }
+
   def mmMeta(s: SparkSession, d: String): DataFrame = {
     val media = graft.ops.Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
     media.select(
@@ -910,6 +924,7 @@ object OracleOpsQueries {
     "sim_lsh_multiprobe" -> (simLshMultiprobe _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "sim_cosine_pairs" -> (simCosinePairs _),
+    "sim_embedding_components" -> (simEmbeddingComponents _),
     "sim_project" -> (simProject _),
     "sim_projected_topk" -> (simProjectedTopK _),
     "mm_meta" -> (mmMeta _),
@@ -1687,6 +1702,23 @@ object OracleOpsQueries {
          |  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
          |FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3""".stripMargin,
+    "sim_embedding_components" ->
+      s"""WITH RECURSIVE $bucketsCte,
+         |bv AS (SELECT e.vec_id, e.v, bk.bucket, sqrt(${dotSql("v", "v")}) AS nrm
+         |       FROM e JOIN bk ON e.vec_id = bk.vec_id),
+         |cp AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM cp
+         |  UNION ALL
+         |  SELECT id2, id1 FROM cp),
+         |reach(id, comp) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e2.src, r.comp FROM edges e2 JOIN reach r ON e2.dst = r.id)
+         |SELECT id AS vec_id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, 'text/fake' AS kind,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,
