@@ -241,6 +241,21 @@ object OracleOpsQueries {
       train = Some(docs.filter(col("lang") === "en")))
   }
 
+  /** CCNet head/middle/tail cut per language, cross-scored against the
+    * en-trained LM ([[textLmBigramCross]]'s exact regime — the real
+    * CCNet setup). Non-English strata surface OOV-flattened scores, en
+    * gets a genuinely graded distribution, and every stratum exercises
+    * all three labels at sf0.01 — non-vacuous on both the scoring and
+    * the mass-cut sides. The oracle computes the cut with DuckDB's OWN
+    * single global window (SUM OVER score DESC, id), so the two-phase
+    * bin decomposition is checked against the engine-native monolithic
+    * definition, exactly like [[textQualityQnormExact]]. */
+  def textLmBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.perplexityBuckets(docs, "doc_id", "text", col("lang"),
+      train = Some(docs.filter(col("lang") === "en")))
+  }
+
   /** DSIR importance weight against the `lang = 'en'` target domain: the
     * en-trained LM is the numerator regime (same training slice as
     * [[textLmBigramCross]]), the whole-corpus self-trained LM the
@@ -941,6 +956,7 @@ object OracleOpsQueries {
     "text_lm_bigram" -> (textLmBigram _),
     "text_lm_trigram" -> (textLmTrigram _),
     "text_lm_bigram_cross" -> (textLmBigramCross _),
+    "text_lm_buckets" -> (textLmBuckets _),
     "text_dsir_weight" -> (textDsirWeight _),
     "text_classify_unigram" -> (textClassifyUnigram _),
     "corpus_classifier_budget" -> (corpusClassifierBudget _),
@@ -1940,6 +1956,30 @@ object OracleOpsQueries {
     "text_lm_trigram" -> lmNgramSql(3, trainJoin = ""),
     "text_lm_bigram_cross" ->
       lmNgramSql(2, trainJoin = "JOIN documents d USING (doc_id) WHERE d.lang = 'en'"),
+    // CCNet head/middle/tail: the en-trained LM chain feeds a single
+    // GLOBAL per-stratum mass window (score DESC, id tiebreak) — the
+    // monolithic definition the Spark two-phase bin decomposition must
+    // reproduce bit-exactly, cut thresholds in pure BIGINT.
+    "text_lm_buckets" ->
+      s"""WITH ${lmNgramCtes(2, "JOIN documents d USING (doc_id) WHERE d.lang = 'en'")},
+         |sc AS (
+         |  SELECT dd.doc_id, dd.lang AS stratum,
+         |    CASE WHEN COALESCE(agg.n_bigrams, 0) > 0
+         |      THEN (CAST(agg.sum_score AS DOUBLE) / CAST(agg.n_bigrams AS DOUBLE)) / 10000.0
+         |      ELSE 0.0 END AS score,
+         |    CAST(len(tk.t) AS BIGINT) AS n_tokens
+         |  FROM documents dd JOIN toks tk USING (doc_id) LEFT JOIN agg USING (doc_id)),
+         |cm AS (
+         |  SELECT doc_id, stratum, score, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY stratum) AS BIGINT) AS total_weight
+         |  FROM sc)
+         |SELECT doc_id, stratum, score, n_tokens, cum_before, total_weight,
+         |  CASE WHEN cum_before * 1000 < total_weight * 333 THEN 'head'
+         |       WHEN cum_before * 1000 < total_weight * 666 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM cm""".stripMargin,
     "text_classify_unigram" ->
       s"""WITH $classifierCtes
          |SELECT d.doc_id,

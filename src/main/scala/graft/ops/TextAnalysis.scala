@@ -834,6 +834,116 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("qnorm"))
   }
 
+  /** Per-stratum cumulative-MASS bucketing — the CCNet "head/middle/
+    * tail" partition (Wenzek '19 §4.3) generalized to any (score,
+    * weight): within each stratum, rank documents best-score-first and
+    * label the first `headPermille`‰ of total WEIGHT `head`, the next
+    * `middlePermille`‰ `middle`, the rest `tail`. CCNet cuts by corpus
+    * mass — not document count — so each slice carries comparable token
+    * volume regardless of how scores distribute; a doc-count tercile
+    * would let a few giant documents swamp the head slice.
+    *
+    * A document's slice is decided by the weight STRICTLY BEFORE it in
+    * (score DESC, id ASC) order: `cum_before · 1000 < total ·
+    * headPermille` ⇒ head, `· 1000 < total · (headPermille +
+    * middlePermille)` ⇒ middle, else tail — exact BIGINT comparisons
+    * (no float boundary jitter), deterministic under score ties via the
+    * id tiebreak. An all-zero-weight stratum labels everything tail
+    * (0 < 0 is false), deterministically.
+    *
+    * Scale shape: the same two-phase scaffold as
+    * [[quantileNormalizeScoresExact]] — NEVER a monolithic per-stratum
+    * sort. Scores bin into `nBuckets` score buckets; one map-side-
+    * combined (stratum, bin) weight aggregate; two windows over that
+    * tiny (strata × nBuckets)-row frame give each bin's
+    * strictly-higher-bins weight offset and the stratum total;
+    * broadcast-join back; within-(stratum, bin) windows — parallelism
+    * strata × nBuckets — complete the exact global prefix. Equal scores
+    * cannot straddle bins, so bin offset + in-bin exclusive prefix
+    * equals the global exclusive prefix in (score DESC, id) order
+    * EXACTLY, which is what the DuckDB mirror's single global window
+    * computes.
+    *
+    * Contract: score non-NULL/non-NaN in [0, 1] (fail-fast, like the
+    * whole qnorm family); weight a non-NULL, non-negative integer
+    * (fail-fast — one negative weight would silently poison every
+    * cumulative sum after it). Overflow: cum_before · 1000 needs
+    * cum_before < 9.2·10¹⁵ — at one unit per token, ~450× a 100 TB
+    * corpus. Returns (id, stratum, score, weight, cum_before,
+    * total_weight, bucket). */
+  def massQuantileBuckets(df: DataFrame, id: String, stratum: Column,
+                          score: Column, weight: Column,
+                          headPermille: Int = 333, middlePermille: Int = 333,
+                          nBuckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(headPermille >= 0 && middlePermille >= 0 &&
+      headPermille + middlePermille <= 1000,
+      s"permille cuts must be non-negative with sum <= 1000, got " +
+        s"$headPermille + $middlePermille")
+    val checkedW = when(weight.isNull || weight.cast("long") < 0L,
+      raise_error(lit("massQuantileBuckets: weight column contains " +
+        "NULL/negative — a corrupted weight would poison every " +
+        "cumulative sum after it")))
+      .otherwise(weight.cast("long"))
+    val base = df.select(col(id), stratum.as("stratum"),
+        checkedScore(score, "massQuantileBuckets").as("score"),
+        checkedW.as("weight"))
+      .withColumn("__b", floor(col("score") * nBuckets).cast("long"))
+    val wb = Window.partitionBy(col("__s")).orderBy(col("__b2").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ws = Window.partitionBy(col("__s"))
+    val offsets = base.groupBy(col("stratum").as("__s"), col("__b").as("__b2"))
+      .agg(sum(col("weight")).as("__w"))
+      .withColumn("__off", coalesce(sum(col("__w")).over(wb), lit(0L)))
+      .withColumn("__tot", sum(col("__w")).over(ws))
+      .select(col("__s"), col("__b2"), col("__off"), col("__tot"))
+    val ww = Window.partitionBy(col("stratum"), col("__b"))
+      .orderBy(col("score").desc, col(id).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut1 = lit(headPermille.toLong)
+    val cut2 = lit((headPermille + middlePermille).toLong)
+    base.join(broadcast(offsets),
+        col("stratum") <=> col("__s") && col("__b") === col("__b2"))
+      .withColumn("cum_before",
+        col("__off") + coalesce(sum(col("weight")).over(ww), lit(0L)))
+      .select(col(id), col("stratum"), col("score"), col("weight"),
+        col("cum_before"), col("__tot").as("total_weight"),
+        when(col("cum_before") * 1000L < col("__tot") * cut1, lit("head"))
+          .when(col("cum_before") * 1000L < col("__tot") * cut2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** CCNet head/middle/tail over LM quality (Wenzek '19): score every
+    * document with the [[lmBigramScore]] LM (self-trained, or
+    * reference-trained via `train` — the real CCNet setup), then cut
+    * each stratum into head (most-target-like) / middle / tail slices
+    * of approximately equal TOKEN mass via [[massQuantileBuckets]].
+    * Pretraining recipes keep head+middle or reweight the slices; the
+    * tail is where gibberish and boilerplate concentrate. Score =
+    * lm_score / scale ∈ [0, 1] (higher = more target-like — the
+    * monotone inverse of perplexity, per [[lmBigramScore]]'s fixed-point
+    * rationale); weight = whitespace token count, the same token mass
+    * every budget op uses. Cost on top of the LM pipeline: one
+    * scan-side tokenize plus the scaffold's tiny-frame windows.
+    * Returns (id, stratum, score, n_tokens, cum_before, total_weight,
+    * bucket). */
+  def perplexityBuckets(df: DataFrame, id: String, text: String,
+                        stratum: Column, train: Option[DataFrame] = None,
+                        scale: Long = 10000L, n: Int = 2,
+                        headPermille: Int = 333,
+                        middlePermille: Int = 333): DataFrame = {
+    val scored = lmBigramScore(df, id, text, train, scale, n)
+      .select(col(id), col("lm_score"))
+    val base = df.select(col(id), stratum.as("__stratum"),
+        tokenCount(col(text)).cast("long").as("__w"))
+      .join(scored, Seq(id))
+    massQuantileBuckets(base, id, col("__stratum"),
+        col("lm_score") / scale.toDouble, col("__w"),
+        headPermille, middlePermille)
+      .withColumnRenamed("weight", "n_tokens")
+  }
+
   /** Binary unigram class-affinity scorer — the engine's portable
     * analogue of the fastText-style quality/domain classifier every major
     * pipeline runs (CCNet, GPT-3's WebText-vs-crawl filter, Llama's

@@ -1442,4 +1442,57 @@ class OpsSpec extends SparkSpec {
       chunkTokens = 16, stride = 12)
     assert(wsChunks.count() === 1L) // the degradation the mode closes
   }
+
+  test("massQuantileBuckets: tercile labels, tie determinism, zero-mass stratum, fail-fast") {
+    // stratum 0: equal thirds by mass -> one doc per slice, boundary docs
+    // land via the strict `cum_before * 1000 < total * cut` comparison
+    // (cum 3 of 9: 3000 < 2997 is FALSE -> middle, not head)
+    val df = Seq(
+      (1L, 0L, 0.9, 3L), (2L, 0L, 0.8, 3L), (3L, 0L, 0.7, 3L),
+      // stratum 1: all-tied scores -> id ASC decides the cut order
+      (10L, 1L, 0.5, 4L), (11L, 1L, 0.5, 4L), (12L, 1L, 0.5, 4L),
+      // stratum 2: zero total mass -> everything tail (0 < 0 is false)
+      (20L, 2L, 0.9, 0L), (21L, 2L, 0.1, 0L)
+    ).toDF("doc_id", "grp", "sc", "w")
+    val out = TextAnalysis.massQuantileBuckets(
+        df, "doc_id", col("grp"), col("sc"), col("w"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getString(6))).toMap
+    assert(out === Map(
+      1L -> (0L, "head"), 2L -> (3L, "middle"), 3L -> (6L, "tail"),
+      10L -> (0L, "head"), 11L -> (4L, "middle"), 12L -> (8L, "tail"),
+      20L -> (0L, "tail"), 21L -> (0L, "tail")))
+    // a negative weight must fail loudly, never silently poison cumsums
+    val neg = Seq((1L, 0L, 0.5, 1L), (2L, 0L, 0.4, -1L)).toDF("doc_id", "grp", "sc", "w")
+    val ex = intercept[Exception] {
+      TextAnalysis.massQuantileBuckets(
+        neg, "doc_id", col("grp"), col("sc"), col("w")).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("weight column contains NULL/negative")),
+      chain.mkString(" | "))
+  }
+
+  test("massQuantileBuckets: two-phase bin decomposition equals the monolithic global window") {
+    import org.apache.spark.sql.expressions.Window
+    // 2 strata x 300 rows, scores spread over ~19 of the 20 bins and
+    // weights 1..7, so bin offsets, in-bin prefixes, and ties all engage
+    val df = (1L to 600L)
+      .map(i => (i, i % 2, (i % 19) / 19.0, (i % 7) + 1))
+      .toDF("doc_id", "grp", "sc", "w")
+    val got = TextAnalysis.massQuantileBuckets(
+        df, "doc_id", col("grp"), col("sc"), col("w"))
+      .select("doc_id", "cum_before", "total_weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wGlobal = Window.partitionBy(col("grp"))
+      .orderBy(col("sc").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .withColumn("cum_before", coalesce(sum(col("w")).over(wGlobal), lit(0L)))
+      .withColumn("total_weight",
+        sum(col("w")).over(Window.partitionBy(col("grp"))))
+      .select("doc_id", "cum_before", "total_weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
 }

@@ -14,7 +14,13 @@ workload). Length distribution, language mix, and doc count all scale
 10x, which is what the five scale-critical ops key on.
 
 Usage: python3 tools/gen_scale_corpus.py [outdir] [copies]
-       (defaults /tmp/graft_sf1, 10; copies=100 gives an sf10-equivalent)
+       (defaults /tmp/graft_sf1, 10; copies=100 gives an sf10-equivalent,
+        copies=1000 an sf100-equivalent)
+
+Formulated as src CROSS JOIN range(copies) rather than a per-copy UNION
+ALL: provably the same rows (the CASE mirrors the old k=0 branch exactly,
+and regexp_replace salts per-k exactly as before), but immune to DuckDB's
+1000-term expression-depth limit and much faster to plan at high copies.
 """
 import sys
 
@@ -28,20 +34,22 @@ out = (sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1") + "/documents.par
 import os
 os.makedirs(os.path.dirname(out), exist_ok=True)
 
-parts = []
-for k in range(COPIES):
-    if k == 0:
-        parts.append(f"SELECT doc_id, text, lang, source, n_chars FROM src")
-    else:
-        parts.append(
-            f"SELECT doc_id + {k * ROWS_PER_COPY} AS doc_id, salted AS text, "
-            f"lang, source, CAST(len(salted) AS BIGINT) AS n_chars "
-            f"FROM (SELECT *, regexp_replace(text, '(\\S+)', '\\1_c{k}', 'g') AS salted "
-            f"      FROM src)")
-union = " UNION ALL ".join(parts)
+q = f"""
+SELECT doc_id + k * {ROWS_PER_COPY} AS doc_id,
+       salted AS text,
+       lang, source,
+       CASE WHEN k = 0 THEN n_chars ELSE CAST(len(salted) AS BIGINT) END AS n_chars
+FROM (
+  SELECT src.*, t.k,
+         CASE WHEN t.k = 0 THEN src.text
+              ELSE regexp_replace(src.text, '(\\S+)', '\\1_c' || t.k, 'g')
+         END AS salted
+  FROM src CROSS JOIN (SELECT CAST(range AS BIGINT) AS k FROM range({COPIES})) t
+)
+"""
 
 con = duckdb.connect()
 con.sql(f"CREATE VIEW src AS SELECT * FROM '{SRC}'")
-con.sql(f"COPY ({union}) TO '{out}' (FORMAT PARQUET)")
+con.sql(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
 n = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
 print(f"wrote {out}: {n} docs")
