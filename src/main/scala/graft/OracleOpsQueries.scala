@@ -800,6 +800,14 @@ object OracleOpsQueries {
   def dedupSubstring(s: SparkSession, d: String): DataFrame =
     Dedup.substringSpans(Tables.documents(s, d), "doc_id", "text", w = 5)
 
+  /** Span REMOVAL at the same w = 5 — the doc-rewrite face of
+    * [[dedupSubstring]]: identical window rule, smallest-doc_id keeper,
+    * surviving-token rebuild. The sf0.01 corpus carries real cross-doc
+    * 5-token runs (exact re-crawl dups + shared boilerplate), so both
+    * the keeper-keeps-all and the non-keeper-removes branches fire. */
+  def dedupSubstringRemove(s: SparkSession, d: String): DataFrame =
+    Dedup.substringRemove(Tables.documents(s, d), "doc_id", "text", w = 5)
+
   /** Exact 10-per-stratum deterministic sample, stratified by length
     * centile bucket (min(len/100, 9)) — the eval-slice construction path. */
   def sampleStratified(s: SparkSession, d: String): DataFrame = {
@@ -1000,6 +1008,7 @@ object OracleOpsQueries {
     "dedup_audio_fingerprint" -> (dedupAudioFingerprint _),
     "dedup_media_components" -> (dedupMediaComponents _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_remove" -> (dedupSubstringRemove _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_budget_mix" -> (corpusBudgetMix _),
     "corpus_quality_budget" -> (corpusQualityBudget _),
@@ -2493,6 +2502,46 @@ object OracleOpsQueries {
          |    THEN CAST(COALESCE(cv.dup_tokens, 0) AS DOUBLE) / CAST(wl.n_tokens AS DOUBLE)
          |    ELSE 0.0 END AS dup_token_frac
          |FROM wl LEFT JOIN cnt USING (doc_id) LEFT JOIN cv USING (doc_id)""".stripMargin,
+    // span REMOVAL: same w=5 window chain; keeper = min doc_id per window
+    // content; a non-keeper occurrence marks its w covered positions;
+    // surviving tokens rebuild in position order (string_agg ORDER BY)
+    "dedup_substring_remove" ->
+      s"""WITH $toksCte,
+         |wl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 5
+         |      THEN list_transform(generate_series(1, len(t) - 4),
+         |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+         |      ELSE [] END AS ws
+         |  FROM toks),
+         |wp AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+         |      i -> struct_pack(pos := i - 1, win := ws[i]))) AS u
+         |  FROM wl),
+         |wh AS (SELECT doc_id, u.pos AS pos, ${h60("u.win")} AS h FROM wp),
+         |kp AS (SELECT h, min(doc_id) AS keeper FROM wh GROUP BY h),
+         |rm AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT w2.doc_id, unnest(generate_series(w2.pos, w2.pos + 4)) AS p
+         |    FROM wh w2 JOIN kp USING (h) WHERE w2.doc_id <> kp.keeper)),
+         |tp AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+         |      i -> struct_pack(p := i - 1, tok := t[i]))) AS u
+         |  FROM toks),
+         |tpp AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tp),
+         |keep AS (
+         |  SELECT tpp.doc_id, tpp.p, tpp.tok
+         |  FROM tpp LEFT JOIN rm ON tpp.doc_id = rm.doc_id AND tpp.p = rm.p
+         |  WHERE rm.p IS NULL),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+         |  FROM keep GROUP BY doc_id)
+         |SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+         |  COALESCE(agg.kept_tokens, 0) AS kept_tokens,
+         |  CAST(len(toks.t) AS BIGINT) - COALESCE(agg.kept_tokens, 0) AS removed_tokens,
+         |  COALESCE(agg.text_clean, '') AS text_clean
+         |FROM toks LEFT JOIN agg USING (doc_id)""".stripMargin,
     "sample_stratified" ->
       s"""WITH s AS (
          |  SELECT doc_id,

@@ -386,6 +386,66 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_token_frac"))
   }
 
+  /** The REMOVAL face of [[substringSpans]] — the transform Lee et al.
+    * ACL'22 actually train on (delete all but ONE occurrence of each
+    * duplicated substring, then retrain): rebuild each document's text
+    * with its removable duplicated spans cut out. A length-`w` window is
+    * duplicated when its content occurs in ≥ 2 distinct documents
+    * ([[substringSpans]]'s rule); the KEEPER of a window content — the
+    * smallest doc_id containing it, a deterministic engine-portable
+    * stand-in for "first occurrence in corpus order" — keeps every
+    * occurrence, every other document removes the tokens its occurrences
+    * cover (union over removable windows; overlapping spans removed
+    * once). A non-keeper occurrence implies ≥ 2 distinct docs by itself,
+    * so no separate dup flag is needed. Output text is the space-join of
+    * the SURVIVING tokens — a token-level transform, whitespace
+    * normalized exactly as every tokenizing consumer (chunking, BPE, the
+    * dedup family itself) already sees it.
+    *
+    * Shape at scale: the window pipeline runs ONCE (same two full-data
+    * shuffles as [[substringSpans]]); removable occurrences explode to w
+    * position rows each (w a small constant) and reduce by (id, pos);
+    * the rebuild is one anti join + one per-doc sort-aggregate over
+    * surviving positions. Never pairwise — this is why span-level
+    * rewrite runs at full corpus scale while pair generation stays
+    * reserved for candidate subsets.
+    * Returns (id, n_tokens, kept_tokens, removed_tokens, text_clean). */
+  def substringRemove(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
+    require(w >= 1, "window length must be >= 1")
+    val t = col("__tokens")
+    val winArr = when(size(t) >= w,
+      transform(sequence(lit(1), size(t) - (w - 1)), i =>
+        concat_ws(" ", (0 until w).map(k => element_at(t, i + k)): _*)))
+      .otherwise(array())
+    val toks = graft.operators.Scale.balanceToCores(df)
+      .select(col(id), tokens(col(text)).as("__tokens"))
+    val wins = toks
+      .select(col(id), posexplode(winArr).as(Seq("pos", "win")))
+      .select(col(id), col("pos"), hash60(col("win")).as("h"))
+      .repartition(col("h"))
+    val wh = Window.partitionBy(col("h"))
+    val removable = wins
+      .withColumn("__keeper", min(col(id)).over(wh))
+      .filter(col(id) =!= col("__keeper"))
+    val removedPos = removable
+      .select(col(id), explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("__p"))
+      .distinct()
+    val positions = toks
+      .select(col(id), posexplode(col("__tokens")).as(Seq("__p", "__tok")))
+    val kept = positions.join(removedPos, Seq(id, "__p"), "left_anti")
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("text_clean"))
+    df.select(col(id), tokenCount(col(text)).cast("long").as("n_tokens"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** MinHash parameters: k universal-hash permutations
     * h_i(x) = (a_i * (hash60(x) mod P) + b_i) mod P over the prime P. */
   val MinhashP = 1000000007L

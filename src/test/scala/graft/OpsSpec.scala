@@ -1443,6 +1443,22 @@ class OpsSpec extends SparkSpec {
     assert(wsChunks.count() === 1L) // the degradation the mode closes
   }
 
+  test("substringRemove: keeper keeps all, non-keeper cuts span union, untouched docs round-trip") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // keeper of the shared "a b c"/"b c d" runs
+      (2L, "x a b c d y"),   // overlapping removable spans 1-3 and 2-4 -> union 1-4
+      (3L, "q r s"),         // shorter than w: no windows, text unchanged
+      (4L, "")               // empty doc: 0 tokens, empty clean text
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringRemove(df, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) === ((6L, 6L, 0L, "a b c d e f")))
+    assert(out(2L) === ((6L, 2L, 4L, "x y")))
+    assert(out(3L) === ((3L, 3L, 0L, "q r s")))
+    assert(out(4L) === ((0L, 0L, 0L, "")))
+  }
+
   test("massQuantileBuckets: tercile labels, tie determinism, zero-mass stratum, fail-fast") {
     // stratum 0: equal thirds by mass -> one doc per slice, boundary docs
     // land via the strict `cum_before * 1000 < total * cut` comparison
