@@ -349,4 +349,33 @@ class PlanShapeSpec extends SparkSpec {
       assert(p.contains("*("), s"$q has no WholeStageCodegen span:\n$p")
     }
   }
+
+  test("text_lm_buckets: mass cut stays inside (stratum, __b) windows, offsets broadcast back") {
+    // massQuantileBuckets on the two-phase scaffold: the full-data
+    // cumulative-mass window must partition by (stratum, __b) — a
+    // bare-stratum window over raw rows would be the monolithic
+    // per-stratum sort the decomposition avoids — and the tiny offsets
+    // frame must return as a broadcast, never a shuffled join
+    val p = plan("text_lm_buckets")
+    assert("windowspecdefinition\\(stratum#\\d+, __b#".r.findFirstIn(p).nonEmpty,
+      s"full-data mass window must partition by (stratum, __b):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition exchange anywhere in the plan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the offsets frame must come back as a broadcast:\n$p")
+  }
+
+  test("dedup_substring_remove runs the window pipeline once and rebuilds via anti join") {
+    // the rewrite shares substringSpans' once-only window discipline:
+    // windows + token-position + token-count scans (3 total — the
+    // rebuild genuinely needs positions), no extra re-derivations; the
+    // removal set reaches the rebuild as an anti join, and nothing is
+    // pairwise (no cartesian/nested-loop anywhere)
+    val p = plan("dedup_substring_remove")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 3, s"expected 3 scans (windows, positions, counts):\n$p")
+    assert(p.contains("LeftAnti"), s"surviving tokens must come from an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nothing pairwise in the rewrite:\n$p")
+  }
 }
