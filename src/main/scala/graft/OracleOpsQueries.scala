@@ -410,6 +410,19 @@ object OracleOpsQueries {
     graft.ops.Splits.assignShards(
       Tables.documents(s, d).select(col("doc_id")), "doc_id", nShards = 16)
 
+  /** Token-mass-balanced shard layout per language: ~2000 tokens per
+    * shard file at sf0.01 gives en ~6 shards and the small languages 2-3
+    * each, so multi-shard strata, boundary overshoot, and the exclusive-
+    * prefix convention all engage (non-vacuous). The oracle computes the
+    * cut with DuckDB's single global per-stratum mass window — monolithic
+    * definition vs the two-phase decomposition, as with the qnorm/bucket
+    * gates. */
+  def corpusShardMass(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.ops.Splits.assignShardsByMass(docs, "doc_id", col("lang"),
+      TextAnalysis.tokenCount(col("text")), massPerShard = 2000L)
+  }
+
   /** Sequence packing under the HARD gate: the full per-document layout
     * (pack id, position, oversize flag) against a DuckDB recursive-CTE
     * mirror of the same first-fit walk. 16 buckets over 500 sf0.01 docs
@@ -981,6 +994,7 @@ object OracleOpsQueries {
     "corpus_gopher_report" -> (corpusGopherReport _),
     "dataset_split" -> (datasetSplit _),
     "corpus_shard" -> (corpusShard _),
+    "corpus_shard_mass" -> (corpusShardMass _),
     "corpus_pack" -> (corpusPack _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_agg" -> (dedupExactAgg _),
@@ -2082,6 +2096,23 @@ object OracleOpsQueries {
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) - 1
          |    AS BIGINT) AS pos
          |FROM b""".stripMargin,
+    // mass-balanced shards: one global per-stratum mass window in salted
+    // hash order; shard = exclusive prefix // massPerShard, pure BIGINT
+    "corpus_shard_mass" ->
+      s"""WITH $toksCte,
+         |b AS (
+         |  SELECT tk.doc_id, d.lang AS stratum,
+         |    CAST(len(tk.t) AS BIGINT) AS weight,
+         |    ${h60("'shard_' || CAST(tk.doc_id AS VARCHAR)")} AS rk
+         |  FROM toks tk JOIN documents d USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, stratum, weight,
+         |    CAST(COALESCE(SUM(weight) OVER (PARTITION BY stratum ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM b)
+         |SELECT doc_id, stratum, weight, cum_before,
+         |  cum_before // 2000 AS shard
+         |FROM c""".stripMargin,
     // the first-fit walk is sequential WITHIN a bucket, so the mirror is a
     // recursive CTE stepping one row per iteration per bucket (DuckDB
     // advances every bucket's frontier each round — depth = largest

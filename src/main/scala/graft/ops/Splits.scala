@@ -186,6 +186,55 @@ object Splits {
       .drop("__rk")
   }
 
+  /** Mass-balanced shard layout — [[assignShards]] balances document
+    * COUNT per shard; this balances cumulative WEIGHT (token mass), the
+    * thing that actually sizes training shard files: a count-balanced
+    * shard of long documents is a file several times larger than one of
+    * short documents, and downstream loaders want ~equal-sized pieces.
+    * Documents take a deterministic pseudo-random order within their
+    * stratum (salted 60-bit id hash, id tiebreak — the same order
+    * discipline as [[assignShards]]) and `shard = cum_before div
+    * massPerShard` walks that order, cutting a new shard every
+    * `massPerShard` weight units. The document whose exclusive prefix
+    * lands in shard s belongs WHOLLY to s even if it overshoots the
+    * boundary ([[tokenBudgetSample]]'s convention — never splits a
+    * document; each shard overshoots by at most one document, and a
+    * document heavier than massPerShard leaves the shard indexes it
+    * spans empty rather than splitting).
+    *
+    * Shape: [[stratifiedSample]]'s two-phase scaffold verbatim — phase 1
+    * sums weight per (stratum, top-bits hash bucket); a tiny running sum
+    * over the strata × buckets frame gives bucket offsets; phase 2 joins
+    * them back and completes the exact prefix inside (stratum, bucket)
+    * windows. ONE full-data shuffle keyed (stratum, bucket), never one
+    * sort task per stratum. Weight must be a non-negative integer
+    * (fail-fast — the same poisoned-cumsum hazard as
+    * [[graft.ops.TextAnalysis.massQuantileBuckets]]).
+    * Returns (id, stratum, weight, cum_before, shard). */
+  def assignShardsByMass(df: DataFrame, id: String, stratum: Column,
+                         weight: Column, massPerShard: Long,
+                         salt: String = "shard",
+                         nHistBuckets: Int = DefaultHistBuckets): DataFrame = {
+    require(massPerShard > 0, s"massPerShard must be positive, got $massPerShard")
+    val checkedW = when(weight.isNull || weight.cast("long") < 0L,
+      raise_error(lit("assignShardsByMass: weight column contains " +
+        "NULL/negative — a corrupted weight would poison every shard " +
+        "boundary after it")))
+      .otherwise(weight.cast("long"))
+    val base0 = df.select(col(id), stratum.as("stratum"), checkedW.as("__w"))
+    val joined = twoPhaseOffsets(base0, id, salt, nHistBuckets,
+      Seq(sum(col("__w")).as("__t")), identity)
+    val ww = Window.partitionBy(col("stratum"), col("__b"))
+      .orderBy(col("__rk"), col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    joined
+      .withColumn("cum_before",
+        col("__off") + coalesce(sum(col("__w")).over(ww), lit(0L)))
+      .withColumn("shard", expr(s"cum_before DIV ${massPerShard}L"))
+      .select(col(id), col("stratum"), col("__w").as("weight"),
+        col("cum_before"), col("shard"))
+  }
+
   /** Token-budget corpus mix (the Pile/Dolma mixture-construction pass):
     * within each stratum (domain/source/language), order documents by the
     * salted id hash and keep the prefix whose cumulative token count stays

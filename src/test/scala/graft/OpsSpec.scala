@@ -1443,6 +1443,35 @@ class OpsSpec extends SparkSpec {
     assert(wsChunks.count() === 1L) // the degradation the mode closes
   }
 
+  test("assignShardsByMass: two-phase prefix equals monolithic window, shard = prefix div mass") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, i % 3, i % 11)).toDF("doc_id", "grp", "w")
+    val got = graft.ops.Splits.assignShardsByMass(
+        df, "doc_id", col("grp"), col("w"), massPerShard = 40L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    // shard arithmetic holds row by row
+    assert(got.forall { case (_, cum, shard) => shard === cum / 40L })
+    // the two-phase exclusive prefix equals the monolithic per-stratum window
+    val rk = TextAnalysis.hash60(
+      concat_ws("_", lit("shard"), col("doc_id").cast("string")))
+    val wMono = Window.partitionBy(col("grp")).orderBy(rk, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .withColumn("cum", coalesce(sum(col("w").cast("long")).over(wMono), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.map { case (id2, cum, _) => id2 -> cum }.toMap === want)
+    // a negative weight must fail loudly, never silently shift boundaries
+    val neg = Seq((1L, 0L, 5L), (2L, 0L, -1L)).toDF("doc_id", "grp", "w")
+    val ex = intercept[Exception] {
+      graft.ops.Splits.assignShardsByMass(
+        neg, "doc_id", col("grp"), col("w"), massPerShard = 10L).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("weight column contains NULL/negative")),
+      chain.mkString(" | "))
+  }
+
   test("substringRemove: keeper keeps all, non-keeper cuts span union, untouched docs round-trip") {
     val df = Seq(
       (1L, "a b c d e f"),   // keeper of the shared "a b c"/"b c d" runs
