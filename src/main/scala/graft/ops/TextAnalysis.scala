@@ -944,6 +944,31 @@ object TextAnalysis {
       .withColumnRenamed("weight", "n_tokens")
   }
 
+  /** The persistable threshold artifact of [[massQuantileBuckets]] —
+    * the [[scoreCdfTable]]/[[lmPairTable]] pattern for the CCNet cut:
+    * per stratum, `head_cut` = the lowest score the batch labeled head,
+    * `middle_cut` = the lowest score labeled head-or-middle. Batch-build
+    * on a training corpus, persist, then label any later batch or
+    * stream ([[graft.streaming.Streams.massBucketStream]]) by threshold
+    * compare — train-once/label-forever. With distinct scores inside a
+    * stratum the thresholds reproduce the batch labels EXACTLY (labels
+    * are monotone in (score DESC, id) order, so each label class is a
+    * score-prefix); a boundary TIE the batch splits by id tiebreak
+    * cannot be split by a stateless threshold — both tied docs get the
+    * better label. A stratum with no head (or no head/middle) docs
+    * carries NULL for that cut, which the labeler's null-skipping
+    * comparisons turn into the lower label — the batch behavior.
+    * Returns (stratum, head_cut, middle_cut): a strata-sized frame. */
+  def massCutTable(df: DataFrame, id: String, stratum: Column,
+                   score: Column, weight: Column,
+                   headPermille: Int = 333, middlePermille: Int = 333,
+                   nBuckets: Int = 20): DataFrame =
+    massQuantileBuckets(df, id, stratum, score, weight,
+        headPermille, middlePermille, nBuckets)
+      .groupBy(col("stratum")).agg(
+        min(when(col("bucket") === "head", col("score"))).as("head_cut"),
+        min(when(col("bucket") =!= "tail", col("score"))).as("middle_cut"))
+
   /** Binary unigram class-affinity scorer — the engine's portable
     * analogue of the fastText-style quality/domain classifier every major
     * pipeline runs (CCNet, GPT-3's WebText-vs-crawl filter, Llama's

@@ -217,6 +217,41 @@ object Streams {
         (col("cum_below").cast("double") / col("total").cast("double")).as("qnorm"))
   }
 
+  /** Label an unbounded stream head/middle/tail against a PERSISTED
+    * per-stratum cut table
+    * ([[graft.ops.TextAnalysis.massCutTable]]) — the streaming face of
+    * the CCNet mass cut, train-once/label-forever like [[lmScoreStream]]
+    * and [[qnormScoreStream]]. Stateless: one stream-static broadcast
+    * join on stratum plus threshold compares, so it runs identically on
+    * a batch frame.
+    *
+    * Semantics vs batch ([[graft.ops.TextAnalysis.massQuantileBuckets]]):
+    * identical labels whenever scores are distinct within a stratum (see
+    * [[graft.ops.TextAnalysis.massCutTable]] — each label class is a
+    * score-prefix); a boundary tie gets the better label for all tied
+    * docs. A stratum ABSENT from the cut table labels NULL — visible,
+    * never silently tail'd; a present stratum with NULL cuts (no head /
+    * no middle docs in training) falls through to the lower label, the
+    * batch behavior. */
+  def massBucketStream(docs: DataFrame, cuts: DataFrame, idCol: String,
+                       stratum: String, score: String): DataFrame = {
+    val checked = when(col(score).isNull || isnan(col(score).cast("double")),
+      raise_error(lit("massBucketStream: score column contains NULL/NaN — " +
+        "filter or coalesce to a sentinel before labeling")))
+      .otherwise(col(score).cast("double"))
+    docs.select(col(idCol), col(stratum).as("stratum"), checked.as("score"))
+      // project the cut table to exactly its three columns (a persisted
+      // table may carry partition columns), as the CDF/LM joins do
+      .join(cuts.select(col("stratum").as("__s"),
+          col("head_cut"), col("middle_cut")),
+        col("stratum") <=> col("__s"), "left")
+      .select(col(idCol), col("stratum"), col("score"),
+        when(col("__s").isNull, lit(null).cast("string"))
+          .when(col("score") >= col("head_cut"), lit("head"))
+          .when(col("score") >= col("middle_cut"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** One micro-batch of a user's events folded into the open-session
     * state — shared by BOTH sessionize variants so their semantics cannot
     * diverge. Events sort within the batch; across batches an out-of-order

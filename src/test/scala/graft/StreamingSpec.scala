@@ -561,6 +561,42 @@ class StreamingSpec extends SparkSpec {
     assert(got(999999L) === None)
   }
 
+  test("streaming mass-bucket labeling against a persisted cut table matches the batch cut") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // tie-free scores (doc_id * 37 mod 1000 is injective below 1000 ids),
+    // so the threshold labeler must reproduce the batch labels EXACTLY
+    val scored = docs.select(col("doc_id"), col("lang"),
+      (((col("doc_id") * 37) % 1000).cast("double") / 1000.0).as("score"),
+      col("n_chars"))
+    val batch = graft.ops.TextAnalysis
+      .massQuantileBuckets(scored, "doc_id", col("lang"),
+        col("score"), col("n_chars"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(batch.values.toSet === Set("head", "middle", "tail")) // non-vacuous
+    // persist the cut table like a train job would, reload, label a
+    // stream of the same docs — plus one row in a stratum never trained
+    val dir = Files.createTempDirectory("graft-cuts")
+    graft.ops.TextAnalysis.massCutTable(scored, "doc_id", col("lang"),
+        col("score"), col("n_chars"))
+      .write.mode("overwrite").parquet(dir.resolve("cuts").toString)
+    val cuts = spark.read.parquet(dir.resolve("cuts").toString)
+    val ms = MemoryStream[(Long, String, Double)](spark)
+    ms.addData(scored.select("doc_id", "lang", "score")
+      .as[(Long, String, Double)].collect().toSeq :+ ((999999L, "zz", 0.5)))
+    val qy = Streams.massBucketStream(
+        ms.toDF.toDF("doc_id", "lang", "score"), cuts, "doc_id", "lang", "score")
+      .writeStream.format("memory").queryName("mass_bucket_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    qy.awaitTermination(60000)
+    val got = spark.sql("SELECT doc_id, bucket FROM mass_bucket_stream")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got.view.filterKeys(_ != 999999L).toMap ===
+      batch.view.mapValues(Option(_)).toMap)
+    // a stratum absent from the cut table: a VISIBLE null, never silently tail'd
+    assert(got(999999L) === None)
+  }
+
   test("sessionize groups events by idle gap") {
     val events = Seq(
       Streams.SessionEvent(1L, 1000L, "a"),
