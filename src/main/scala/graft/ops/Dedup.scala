@@ -620,15 +620,61 @@ object Dedup {
                               n: Int = 3, k: Int = 8, bands: Int = 4,
                               threshold: Double = 0.5,
                               maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
+    val (pc, bc) = minhashIndexTables(corpus, id, text, n, k, bands, maxBandBucketSize)
+    incrementalMinhashPairsAgainst(batch, pc, bc, id, text, n, k, bands,
+      threshold, maxBandBucketSize)
+  }
+
+  /** The persistable MinHash corpus index that makes
+    * [[incrementalMinhashPairs]]'s production claim concrete: `perDoc` —
+    * the (id, m0..m{k-1}, n_sh, hs) signature + verification payload —
+    * and `buckets` — the (id, band, key) banded bucket table, already
+    * hot-bucket-capped. Write both to parquet (bucket `buckets` by
+    * (band, key) and `perDoc` by id via
+    * [[graft.operators.Scale.writeBucketed]] so the increment join and
+    * the verification join find co-located sides), reload, and feed
+    * [[incrementalMinhashPairsAgainst]]: each increment then shuffles
+    * ONLY the batch — the 100 TB corpus is never re-shingled or
+    * re-signed. The train-once/score-many pattern of [[lmPairTable]] /
+    * scoreCdfTable, applied to dedup. */
+  def minhashIndexTables(corpus: DataFrame, id: String, text: String,
+                         n: Int = 3, k: Int = 8, bands: Int = 4,
+                         maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize)
+      : (DataFrame, DataFrame) = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val pc = minhashPerDoc(corpus, id, text, n, k)
+    (pc, bandBuckets(pc, id, k, bands, maxBandBucketSize))
+  }
+
+  /** [[incrementalMinhashPairs]] against a PRE-BUILT (typically
+    * parquet-reloaded) corpus index from [[minhashIndexTables]] — the
+    * inline variant delegates here, so the two cannot diverge. The
+    * batch's (n, k, bands) MUST match the parameters the index was built
+    * with: k is re-derivable from the payload schema, but a different
+    * shingle order n changes the hash universe SILENTLY — persist the
+    * parameters next to the index and assert them on load. The corpus
+    * bucket table arrives already capped (build-time), so the cap here
+    * bounds only the batch side — the same per-side semantics the inline
+    * variant documents. */
+  def incrementalMinhashPairsAgainst(batch: DataFrame,
+                                     corpusPerDoc: DataFrame,
+                                     corpusBuckets: DataFrame,
+                                     id: String, text: String,
+                                     n: Int = 3, k: Int = 8, bands: Int = 4,
+                                     threshold: Double = 0.5,
+                                     maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val pb = minhashPerDoc(batch, id, text, n, k)
-    val pc = minhashPerDoc(corpus, id, text, n, k)
+    // project the reloaded tables to exactly the expected columns (a
+    // persisted table may carry partition columns), as the LM/CDF joins do
     val cand = bandBuckets(pb, id, k, bands, maxBandBucketSize).toDF("id1", "band", "key")
-      .join(bandBuckets(pc, id, k, bands, maxBandBucketSize).toDF("id2", "band", "key"),
+      .join(corpusBuckets.select(col(id), col("band"), col("key"))
+          .toDF("id2", "band", "key"),
         Seq("band", "key"))
       .filter(col("id1") =!= col("id2"))
       .select("id1", "id2").distinct()
-    verifyJaccard(cand, pb, id, threshold, rightPerDoc = Some(pc))
+    verifyJaccard(cand, pb, id, threshold,
+      rightPerDoc = Some(corpusPerDoc))
   }
 
   /** Near-dup clustering: connected components over an undirected pair

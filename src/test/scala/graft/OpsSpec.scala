@@ -1005,6 +1005,33 @@ class OpsSpec extends SparkSpec {
     assert(inc.nonEmpty, "gate must be non-vacuous")
   }
 
+  test("incrementalMinhashPairsAgainst: a parquet round-tripped index equals the inline corpus side") {
+    val a = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog today"),
+      (13L, "completely unrelated text about spark planning here now"),
+      (15L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val b = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog yesterday"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (6L, "nothing like anything else in either side at all"))
+      .toDF("doc_id", "text")
+    val inline = Dedup.incrementalMinhashPairs(a, b, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // persist the index like a corpus build would, reload, run the increment
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-index")
+    val (perDoc, buckets) = Dedup.minhashIndexTables(b, "doc_id", "text")
+    perDoc.write.mode("overwrite").parquet(dir.resolve("per_doc").toString)
+    buckets.write.mode("overwrite").parquet(dir.resolve("buckets").toString)
+    val loaded = Dedup.incrementalMinhashPairsAgainst(a,
+        spark.read.parquet(dir.resolve("per_doc").toString),
+        spark.read.parquet(dir.resolve("buckets").toString),
+        "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(loaded === inline)
+    assert(loaded.nonEmpty, "equivalence must be non-vacuous")
+  }
+
   test("ngramContamination: shuffled-semi path (broadcastEval=false) equals broadcast path") {
     // the huge-eval-corpus escape hatch must be a pure plan change
     val train = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "aa bb cc"))
