@@ -45,11 +45,16 @@ object CorpusPipeline {
     * keep every language); `maxDupSpanFrac` additionally drops documents
     * whose cross-doc duplicated-span coverage ([[Dedup.substringSpans]]
     * with `spanWindow` tokens) exceeds the fraction — `None` (default)
-    * skips the pass and its two shuffles entirely. */
+    * skips the pass and its two shuffles entirely; `lmTailPermille`
+    * additionally runs the CCNet tail cut
+    * ([[TextAnalysis.perplexityBuckets]]) over the survivors — self-train
+    * the bigram LM and drop the per-language bottom `p`‰ of TOKEN mass —
+    * `None` (default) skips the LM pipeline entirely. */
   def clean(spark: SparkSession, docs: DataFrame, id: String, text: String,
             minQuality: Double = 0.3, lang: Option[String] = Some("en"),
             trainPermille: Int = 900, valPermille: Int = 50,
             maxDupSpanFrac: Option[Double] = None, spanWindow: Int = 5,
+            lmTailPermille: Option[Int] = None,
             persistStages: Boolean = false): Stages = {
     // persistStages: the cleaned / exact-deduped frames are consumed by
     // SEVERAL downstream subtrees (near-dup pair generation, component ids,
@@ -106,8 +111,21 @@ object CorpusPipeline {
       langFiltered.join(ok, Seq(id), "left_semi")
     }
 
+    // optional CCNet tail cut: self-train the bigram LM on the surviving
+    // docs and drop each language's worst `p`‰ of token mass — head
+    // permille 1000−p with an empty middle makes `tail` exactly that
+    // slice, so keeping non-tail is the head cut. Runs over clean_text
+    // BEFORE redaction (redaction placeholders would pollute the LM).
+    val lmFiltered = lmTailPermille.fold(filtered) { p =>
+      require(p >= 0 && p <= 1000, s"lmTailPermille must be in [0, 1000], got $p")
+      val keep = TextAnalysis.perplexityBuckets(filtered, id, "clean_text",
+          col("lang"), headPermille = 1000 - p, middlePermille = 0)
+        .filter(col("bucket") =!= "tail").select(col(id))
+      filtered.join(keep, Seq(id), "left_semi")
+    }
+
     // 5. redact, then split deterministically
-    val redacted = filtered.select(
+    val redacted = lmFiltered.select(
       (col(id) +: col("quality") +: col("lang") +:
         TextAnalysis.redactColumns(col("clean_text")).map { case (n, c) => c.as(n) }): _*)
     val corpus = Splits.assignSplit(redacted, id,

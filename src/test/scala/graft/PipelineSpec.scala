@@ -129,4 +129,31 @@ class PipelineSpec extends SparkSpec {
     assert(q.count() === 12)
     assert(q.filter(col("tag") === "tagA").count() === 6)
   }
+
+  test("clean's optional LM tail cut drops exactly the per-lang tail mass") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = graft.ops.CorpusPipeline.clean(spark, docs, "doc_id", "text",
+      lang = None)
+    val cut = graft.ops.CorpusPipeline.clean(spark, docs, "doc_id", "text",
+      lang = None, lmTailPermille = Some(300))
+    val baseIds = base.corpus.select("doc_id").as[Long].collect().toSet
+    val cutIds = cut.corpus.select("doc_id").as[Long].collect().toSet
+    // reference: rebuild the pre-redact gate from the exposed nearDeduped
+    // stage (same quality filter, no lang gate) and cut its tail directly
+    val quality = graft.ops.TextAnalysis.qualityColumns(col("clean_text"))
+      .toMap.apply("quality")
+    val filteredRef = base.nearDeduped
+      .withColumn("quality", quality)
+      .withColumn("lang", graft.ops.TextAnalysis.langId(col("clean_text")))
+      .filter(col("quality") >= 0.3)
+    val keepRef = graft.ops.TextAnalysis.perplexityBuckets(
+        filteredRef, "doc_id", "clean_text", col("lang"),
+        headPermille = 700, middlePermille = 0)
+      .filter(col("bucket") =!= "tail")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cutIds === keepRef)
+    assert(cutIds.subsetOf(baseIds), "the cut only ever removes documents")
+    assert(cutIds.size < baseIds.size, "the tail cut must be non-vacuous")
+  }
 }
