@@ -365,6 +365,21 @@ class PlanShapeSpec extends SparkSpec {
       s"the offsets frame must come back as a broadcast:\n$p")
   }
 
+  test("corpus_shard_mass: full-data prefix windows on (stratum, __b), offsets broadcast back") {
+    // assignShardsByMass on the two-phase scaffold: same discipline as the
+    // samplers — one full-data exchange keyed (stratum, bucket), the tiny
+    // offsets frame broadcast, no single-partition collapse anywhere
+    val p = plan("corpus_shard_mass")
+    assert("windowspecdefinition\\(stratum#\\d+, __b#".r.findFirstIn(p).nonEmpty,
+      s"full-data prefix window must partition by (stratum, __b):\n$p")
+    assert("hashpartitioning\\(stratum#\\d+, __b#".r.findFirstIn(p).nonEmpty,
+      s"the full-data exchange must key on (stratum, __b):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition exchange anywhere in the plan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the offsets frame must come back as a broadcast:\n$p")
+  }
+
   test("dedup_substring_remove runs the window pipeline once and rebuilds via anti join") {
     // the rewrite shares substringSpans' once-only window discipline:
     // windows + token-position + token-count scans (3 total — the
