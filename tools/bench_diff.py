@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression report from bench_history artifacts.
+
+Usage: python3 tools/bench_diff.py <old.json> <new.json> [threshold]
+
+Joins the per-query maps of two graft.Bench artifacts (e.g.
+bench_history/r7.json vs bench_history/latest.json), prints per-query
+ratios sorted worst-first, and a summary over the common set. Negative
+timings (thrown/timed-out queries) are reported separately, never
+folded into ratios. Exit code 1 if any common query regressed beyond
+the threshold (default 1.3x) — usable as a cheap CI tripwire.
+"""
+import json
+import signal
+import sys
+
+# behave like a normal unix filter when piped into head
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+
+if len(sys.argv) < 3:
+    sys.exit(__doc__)
+old_path, new_path = sys.argv[1], sys.argv[2]
+threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+
+old = json.load(open(old_path))["queries"]
+new = json.load(open(new_path))["queries"]
+
+common = sorted(set(old) & set(new))
+bad_old = {q for q in old if old[q] <= 0}
+bad_new = {q for q in new if new[q] <= 0}
+rows = [(new[q] / old[q], old[q], new[q], q)
+        for q in common if q not in bad_old and q not in bad_new]
+rows.sort(reverse=True)
+
+print(f"common queries: {len(common)}  "
+      f"(old only: {len(set(old) - set(new))}, new only: {len(set(new) - set(old))})")
+if bad_old or bad_new:
+    print(f"FAILED queries — old: {sorted(bad_old)} new: {sorted(bad_new)}")
+print(f"{'ratio':>7}  {'old_s':>8}  {'new_s':>8}  query")
+for r, o, n, q in rows:
+    flag = "  <-- regression" if r > threshold else ""
+    print(f"{r:7.2f}  {o:8.3f}  {n:8.3f}  {q}{flag}")
+
+tot_old = sum(o for _, o, _, _ in rows)
+tot_new = sum(n for _, _, n, _ in rows)
+print(f"\ncommon-set total: {tot_old:.1f}s -> {tot_new:.1f}s "
+      f"(ratio {tot_new / tot_old:.2f})")
+regressions = [q for r, _, _, q in rows if r > threshold]
+if regressions:
+    print(f"{len(regressions)} queries regressed beyond {threshold}x: {regressions}")
+    sys.exit(1)
