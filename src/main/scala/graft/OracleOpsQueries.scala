@@ -85,6 +85,64 @@ object OracleOpsQueries {
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
 
+
+  /** The synthetic documents contain no markup, so the HTML-extraction
+    * gate WRAPS each text in a deterministic page (mirrored in the
+    * oracle): head with a style block and a doc_id-parameterized script,
+    * a comment, a heading, the text as the body paragraph, every 4th doc
+    * an <a href> link with an `&amp;` entity, every 6th an entity-heavy
+    * list — so every removal stage (script, style, comment, tag, each
+    * entity) and both counters actually fire. */
+  private def plantedHtml = concat(
+    lit("<html><head><title>T</title><style type=\"text/css\">p{color:red}</style><script>var n="),
+    col("doc_id").cast("string"),
+    lit(";track(n);</script></head><body><!-- nav --><h1>Doc "),
+    col("doc_id").cast("string"), lit("</h1><p>"), col("text"), lit("</p>"),
+    when(col("doc_id") % 4 === 0, concat(
+      lit("<a href=\"https://example.com/d/"), col("doc_id").cast("string"),
+      lit("\">more &amp; stuff</a>"))).otherwise(lit("")),
+    when(col("doc_id") % 6 === 0,
+      lit("<ul><li>R&amp;D</li><li>&lt;b&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</li></ul>"))
+      .otherwise(lit("")),
+    lit("</body></html>"))
+
+  def textHtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val cols = htmlExtractColumns(plantedHtml).map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
+  /** Mojibake literal for a given FIXED char: variant 0 is the cp1252
+    * re-decode, variant 1 the Latin-1 one (where both exist) — indexes
+    * into [[TextAnalysis.mojibakeFixes]] by target so gate and oracle
+    * plant byte-identical sequences straight from the repair table. */
+  private def mojiOf(fixed: String, variant: Int = 0): String =
+    TextAnalysis.mojibakeFixes.filter(_._2 == fixed).apply(variant)._1
+  private lazy val mjApo = mojiOf("\u2019")
+  private lazy val mjEacute = mojiOf("\u00e9")
+  private lazy val mjLdq = mojiOf("\u201c", 1)
+  private lazy val mjRdq = mojiOf("\u201d", 1)
+  private lazy val mjEll = mojiOf("\u2026", 1)
+  private lazy val mjEnd = mojiOf("\u2013", 1)
+  private lazy val mjNbsp = mojiOf(" ")
+
+  /** The synthetic documents are clean ASCII, so the encoding-repair gate
+    * PLANTS deterministic mojibake (mirrored byte-for-byte in the oracle
+    * via the same [[TextAnalysis.mojibakeFixes]] constants): every 3rd
+    * doc a cp1252 apostrophe sequence, every 7th the accent family, every
+    * 11th the Latin-1 (C1-control) quote/dash/ellipsis family plus the
+    * stray-nbsp case — both re-decode variants and the counter fire. */
+  private def plantedMoji = concat(col("text"),
+    when(col("doc_id") % 3 === 0, lit(s" don${mjApo}t stop")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      lit(s" caf$mjEacute r${mjEacute}sum$mjEacute")).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      lit(s" ${mjLdq}q$mjRdq$mjEll $mjEnd x${mjNbsp}y")).otherwise(lit("")))
+
+  def textFixEncoding(s: SparkSession, d: String): DataFrame = {
+    val cols = fixEncodingColumns(plantedMoji).map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
@@ -971,6 +1029,8 @@ object OracleOpsQueries {
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
     "text_redact" -> (textRedact _),
+    "text_html_extract" -> (textHtmlExtract _),
+    "text_fix_encoding" -> (textFixEncoding _),
     "text_repetition" -> (textRepetition _),
     "text_rare_tokens" -> (textRareTokens _),
     "text_nfc" -> (textNfc _),
@@ -1839,6 +1899,53 @@ object OracleOpsQueries {
          |  regexp_replace(t1, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g') AS redacted,
          |  CAST(length(regexp_replace(t1, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
          |FROM r1""".stripMargin,
+    "text_html_extract" -> {
+      val planted =
+        """'<html><head><title>T</title><style type="text/css">p{color:red}</style><script>var n='
+          | || CAST(doc_id AS VARCHAR) || ';track(n);</script></head><body><!-- nav --><h1>Doc '
+          | || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'
+          | || CASE WHEN doc_id % 4 = 0 THEN '<a href="https://example.com/d/' || CAST(doc_id AS VARCHAR) || '">more &amp; stuff</a>' ELSE '' END
+          | || CASE WHEN doc_id % 6 = 0 THEN '<ul><li>R&amp;D</li><li>&lt;b&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</li></ul>' ELSE '' END
+          | || '</body></html>'""".stripMargin.replace("\n", "")
+      val entityChain = TextAnalysis.htmlEntities.foldLeft("t2") {
+        case (acc, (ent, ch)) => s"replace($acc, '$ent', '${ch.replace("'", "''")}')"
+      }
+      s"""WITH s AS (SELECT doc_id, $planted AS t FROM documents),
+         |b AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.scriptBlockRegex}'))
+         |     + len(regexp_extract_all(t, '${TextAnalysis.styleBlockRegex}'))
+         |     + len(regexp_extract_all(t, '${TextAnalysis.commentBlockRegex}')) AS BIGINT) AS n_blocks,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${TextAnalysis.scriptBlockRegex}', ' ', 'g'),
+         |    '${TextAnalysis.styleBlockRegex}', ' ', 'g'),
+         |    '${TextAnalysis.commentBlockRegex}', ' ', 'g') AS t1
+         |  FROM s),
+         |c AS (SELECT doc_id, n_blocks,
+         |  CAST(len(regexp_extract_all(t1, '${TextAnalysis.linkTagRegex}')) AS BIGINT) AS n_links,
+         |  CAST(len(regexp_extract_all(t1, '${TextAnalysis.anyTagRegex}')) AS BIGINT) AS n_tags,
+         |  regexp_replace(t1, '${TextAnalysis.anyTagRegex}', ' ', 'g') AS t2
+         |  FROM b),
+         |d AS (SELECT doc_id, n_blocks, n_links, n_tags,
+         |  trim(regexp_replace($entityChain, '\\s+', ' ', 'g')) AS extracted FROM c)
+         |SELECT doc_id, n_blocks, n_links, n_tags, extracted,
+         |  CAST(length(extracted) AS BIGINT) AS extracted_len FROM d""".stripMargin
+    },
+    "text_fix_encoding" -> {
+      val planted =
+        s"""text || CASE WHEN doc_id % 3 = 0 THEN ' don${mjApo}t stop' ELSE '' END
+           | || CASE WHEN doc_id % 7 = 0 THEN ' caf$mjEacute r${mjEacute}sum$mjEacute' ELSE '' END
+           | || CASE WHEN doc_id % 11 = 0 THEN ' ${mjLdq}q$mjRdq$mjEll $mjEnd x${mjNbsp}y' ELSE '' END""".stripMargin.replace("\n", "")
+      val chain = TextAnalysis.mojibakeFixes.foldLeft("t") {
+        case (acc, (moji, good)) => s"replace($acc, '$moji', '$good')"
+      }
+      s"""WITH s AS (SELECT doc_id, $planted AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.mojibakeRegex}')) AS BIGINT) AS n_mojibake,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.mojibakeRegex}')) > 0 AS INTEGER) AS is_mojibake,
+         |  $chain AS fixed,
+         |  CAST(length($chain) AS BIGINT) AS fixed_len
+         |FROM s""".stripMargin
+    },
     "text_c4" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -1066,4 +1066,116 @@ object TextAnalysis {
         ((col("sum_score_target") + 1L).cast("double") /
           (col("sum_score_raw") + 1L).cast("double")).as("dsir_weight"))
   }
+
+  // ------------------------------------------------------- markup extraction
+
+  /** HTML → text extraction regexes (the trafilatura-style pre-clean a web
+    * corpus runs before any quality/dedup pass). All RE2-compatible — inline
+    * `(?is)` flags, lazy `.*?`, plain char classes, no lookaround — so the
+    * DuckDB oracle applies IDENTICAL patterns. Script/style bodies and
+    * comments are deleted wholesale (their content is not prose); an
+    * UNTERMINATED block keeps its text (the lazy match needs the closing
+    * tag) and only loses its angle-bracket tags — a documented, consistent
+    * degradation in both engines. */
+  val scriptBlockRegex = "(?is)<script[^>]*>.*?</script>"
+  val styleBlockRegex = "(?is)<style[^>]*>.*?</style>"
+  val commentBlockRegex = "(?s)<!--.*?-->"
+  val anyTagRegex = "<[^>]*>"
+  val linkTagRegex = "(?i)<a[\\s>]"
+
+  /** The HTML entities decoded after tag-strip, applied in list order;
+    * `&amp;` is deliberately LAST so `&amp;lt;` decodes to the literal
+    * text `&lt;` (standard single-pass entity semantics), never to `<`. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Markup extraction pass: drop script/style/comment blocks, strip the
+    * remaining tags to spaces, decode the common entities, collapse
+    * whitespace. Counts (blocks, links, tags) are taken at the stage where
+    * each is well-defined: links and tags AFTER block removal, so a link
+    * inside a deleted script body is not counted. Pure scan-side column
+    * algebra — extracting 100 TB of crawl HTML is one projection, no
+    * shuffle, fully inside whole-stage codegen. */
+  def htmlExtractColumns(html: Column): Seq[(String, Column)] = {
+    val nBlocks = (regexp_count(html, lit(scriptBlockRegex)) +
+      regexp_count(html, lit(styleBlockRegex)) +
+      regexp_count(html, lit(commentBlockRegex))).cast("long")
+    val noBlocks = regexp_replace(
+      regexp_replace(regexp_replace(html, scriptBlockRegex, " "),
+        styleBlockRegex, " "),
+      commentBlockRegex, " ")
+    val nLinks = regexp_count(noBlocks, lit(linkTagRegex)).cast("long")
+    val nTags = regexp_count(noBlocks, lit(anyTagRegex)).cast("long")
+    val noTags = regexp_replace(noBlocks, anyTagRegex, " ")
+    val decoded = htmlEntities.foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    val extracted = trim(regexp_replace(decoded, "\\s+", " "))
+    Seq("n_blocks" -> nBlocks, "n_links" -> nLinks, "n_tags" -> nTags,
+      "extracted" -> extracted,
+      "extracted_len" -> length(extracted).cast("long"))
+  }
+
+  // -------------------------------------------------------- encoding repair
+
+  /** Mojibake repair table (the ftfy-lite pass a crawled corpus runs
+    * before fingerprinting): UTF-8 bytes that were decoded as
+    * Latin-1/Windows-1252 and re-encoded, fixed by literal replacement.
+    * Three-byte punctuation sequences first (disjoint from the two-byte
+    * accents — "â" is U+00E2, "Ã" is U+00C3, so order across groups is
+    * immaterial, but the table order is FIXED and mirrored verbatim in the
+    * oracle). Single-pass: doubly-encoded text (Ã¢â‚¬â„¢) needs two
+    * applications and is out of scope, as in ftfy's default pass. */
+  val mojibakeFixes: Seq[(String, String)] = Seq(
+    // -- UTF-8 punctuation bytes E2 80 xx re-decoded as cp1252 ("\u00e2\u20ac..."):
+    "\u00e2\u20ac\u2122" -> "\u2019", // a-circumflex euro TM  -> right single quote
+    "\u00e2\u20ac\u02dc" -> "\u2018", // a-circumflex euro ~   -> left single quote
+    "\u00e2\u20ac\u0153" -> "\u201c", // a-circumflex euro oe  -> left double quote
+    "\u00e2\u20ac\u009d" -> "\u201d", // a-circumflex euro 9D  -> right double quote
+    "\u00e2\u20ac\u201c" -> "\u2013", // a-circumflex euro ldq -> en dash
+    "\u00e2\u20ac\u201d" -> "\u2014", // a-circumflex euro rdq -> em dash
+    "\u00e2\u20ac\u00a6" -> "\u2026", // a-circumflex euro brokenbar -> ellipsis
+    // -- the same bytes re-decoded as Latin-1 (C1 controls survive):
+    "\u00e2\u0080\u0099" -> "\u2019",
+    "\u00e2\u0080\u0098" -> "\u2018",
+    "\u00e2\u0080\u009c" -> "\u201c",
+    "\u00e2\u0080\u009d" -> "\u201d",
+    "\u00e2\u0080\u0093" -> "\u2013",
+    "\u00e2\u0080\u0094" -> "\u2014",
+    "\u00e2\u0080\u00a6" -> "\u2026",
+    // -- UTF-8 accents C3 xx re-decoded (identical under Latin-1/cp1252):
+    "\u00c3\u00a9" -> "\u00e9", // e-acute
+    "\u00c3\u00a8" -> "\u00e8", // e-grave
+    "\u00c3\u00a1" -> "\u00e1", // a-acute
+    "\u00c3\u00b3" -> "\u00f3", // o-acute
+    "\u00c3\u00bc" -> "\u00fc", // u-umlaut
+    "\u00c3\u00b1" -> "\u00f1", // n-tilde
+    "\u00c3\u00a7" -> "\u00e7", // c-cedilla
+    "\u00c3\u00a4" -> "\u00e4", // a-umlaut
+    "\u00c3\u00b6" -> "\u00f6", // o-umlaut
+    "\u00c3\u00a0" -> "\u00e0", // a-grave
+    "\u00c2\u00a0" -> " ")       // stray A-circumflex + nbsp -> plain space
+
+  /** Alternation matching any mojibake sequence — none of the literals
+    * contain regex metacharacters, so the joined pattern is RE2-safe and
+    * byte-identical across engines. */
+  val mojibakeRegex: String = mojibakeFixes.map(_._1).mkString("|")
+
+  /** Encoding-repair pass: count the mojibake occurrences (BEFORE any
+    * replacement — fixes can overlap textually only across disjoint
+    * sequences, so the alternation count equals the replacement count),
+    * then apply [[mojibakeFixes]] in table order. Scan-side, shuffle-free,
+    * codegen'd — the standard place for this pass is the very first
+    * projection after ingest, before fingerprints or quality signals see
+    * the corrupted bytes. */
+  def fixEncodingColumns(text: Column): Seq[(String, Column)] = {
+    val nMoji = regexp_count(text, lit(mojibakeRegex)).cast("long")
+    val fixed = mojibakeFixes.foldLeft(text) {
+      case (c, (moji, good)) => replace(c, lit(moji), lit(good))
+    }
+    Seq("n_mojibake" -> nMoji,
+      "is_mojibake" -> (nMoji > 0L).cast("int"),
+      "fixed" -> fixed, "fixed_len" -> length(fixed).cast("long"))
+  }
 }

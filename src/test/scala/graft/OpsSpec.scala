@@ -746,6 +746,46 @@ class OpsSpec extends SparkSpec {
     assert(out(2)._4 === "edge 999999 06 <NUM> end")
   }
 
+  test("html extraction strips blocks/tags, decodes entities, keeps unterminated-block text") {
+    val rows = Seq(
+      (1L, "<html><head><style>b{}</style><script src=\"x\">var a=1;</script></head>" +
+        "<body><!-- c --><h1>T</h1><p>Hello <b>world</b></p>" +
+        "<a href=\"u\">link &amp; more</a></body></html>"),
+      (2L, "x &amp;lt; y &nbsp;&#39;q&#39;"), // &amp; decoded LAST: &amp;lt; -> literal &lt;
+      (3L, "<script>leak() </p>text"),        // unterminated block: tags go, text stays
+      (4L, "just plain text")
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id") +:
+        TextAnalysis.htmlExtractColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String, Long)].collect()
+    assert(out(0)._2 === 3L && out(0)._3 === 1L && out(0)._4 === 14L)
+    assert(out(0)._5 === "T Hello world link & more")
+    assert(out(1)._5 === "x &lt; y 'q'")
+    assert(out(2)._2 === 0L && out(2)._5 === "leak() text")
+    assert(out(3)._4 === 0L && out(3)._5 === "just plain text")
+    assert(out(3)._6 === "just plain text".length.toLong)
+  }
+
+  test("encoding repair fixes cp1252 AND latin-1 mojibake, counts before replacing") {
+    val rows = Seq(
+      (1L, "don\u00e2\u20ac\u2122t stop"),       // cp1252 apostrophe
+      (2L, "don\u00e2\u0080\u0099t stop"),       // latin-1 apostrophe
+      (3L, "caf\u00c3\u00a9 ma\u00c3\u00b1ana"), // accents
+      (4L, "clean ascii text"),
+      (5L, "x\u00c2\u00a0y \u00e2\u0080\u00a6 end") // stray nbsp + ellipsis
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id") +:
+        TextAnalysis.fixEncodingColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+      .as[(Long, Long, Int, String, Long)].collect()
+    assert(out(0)._2 === 1L && out(0)._4 === "don\u2019t stop")
+    assert(out(1)._2 === 1L && out(1)._4 === "don\u2019t stop")
+    assert(out(2)._2 === 2L && out(2)._4 === "caf\u00e9 ma\u00f1ana")
+    assert(out(3)._2 === 0L && out(3)._3 === 0 && out(3)._4 === "clean ascii text")
+    assert(out(4)._2 === 2L && out(4)._4 === "x y \u2026 end" && out(4)._3 === 1)
+  }
+
   test("hash split is deterministic, partition-invariant, and near the asked proportions") {
     val ids = (0L until 2000L).toDF("id")
     val a = graft.ops.Splits.assignSplit(ids, "id")
