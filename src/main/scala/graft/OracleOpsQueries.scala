@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, TextAnalysis}
@@ -93,11 +93,15 @@ object OracleOpsQueries {
     * an <a href> link with an `&amp;` entity, every 6th an entity-heavy
     * list — so every removal stage (script, style, comment, tag, each
     * entity) and both counters actually fire. */
-  private def plantedHtml = concat(
+  private def plantedHtml = plantedHtmlAround(col("text"))
+
+  /** The deterministic page wrap, parameterized over the paragraph body so
+    * the composed pre-clean gate can nest the mojibake plant inside it. */
+  private def plantedHtmlAround(inner: Column) = concat(
     lit("<html><head><title>T</title><style type=\"text/css\">p{color:red}</style><script>var n="),
     col("doc_id").cast("string"),
     lit(";track(n);</script></head><body><!-- nav --><h1>Doc "),
-    col("doc_id").cast("string"), lit("</h1><p>"), col("text"), lit("</p>"),
+    col("doc_id").cast("string"), lit("</h1><p>"), inner, lit("</p>"),
     when(col("doc_id") % 4 === 0, concat(
       lit("<a href=\"https://example.com/d/"), col("doc_id").cast("string"),
       lit("\">more &amp; stuff</a>"))).otherwise(lit("")),
@@ -141,6 +145,20 @@ object OracleOpsQueries {
   def textFixEncoding(s: SparkSession, d: String): DataFrame = {
     val cols = fixEncodingColumns(plantedMoji).map { case (n, c) => c.as(n) }
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
+  /** Composed stage-0 pre-clean as CorpusPipeline.clean runs it on raw
+    * crawl: mojibake-planted text nested inside the planted page, markup
+    * extraction, then encoding repair, gated through the established
+    * token-count and fingerprint mirrors — one oracle proving the two
+    * scan-side passes compose (and stay byte-deterministic) end to end. */
+  def corpusPreclean(s: SparkSession, d: String): DataFrame = {
+    val web = plantedHtmlAround(plantedMoji)
+    val extracted = htmlExtractColumns(web).toMap.apply("extracted")
+    val fixed = fixEncodingColumns(extracted).toMap.apply("fixed")
+    Tables.documents(s, d).select(col("doc_id"),
+      tokenCount(fixed).cast("long").as("n_tokens"),
+      fingerprint(fixed).as("fp"))
   }
 
   def textRepetition(s: SparkSession, d: String): DataFrame =
@@ -1031,6 +1049,7 @@ object OracleOpsQueries {
     "text_redact" -> (textRedact _),
     "text_html_extract" -> (textHtmlExtract _),
     "text_fix_encoding" -> (textFixEncoding _),
+    "corpus_preclean" -> (corpusPreclean _),
     "text_repetition" -> (textRepetition _),
     "text_rare_tokens" -> (textRareTokens _),
     "text_nfc" -> (textNfc _),
@@ -1945,6 +1964,39 @@ object OracleOpsQueries {
          |  $chain AS fixed,
          |  CAST(length($chain) AS BIGINT) AS fixed_len
          |FROM s""".stripMargin
+    },
+    "corpus_preclean" -> {
+      val mojiInner =
+        s"""(text || CASE WHEN doc_id % 3 = 0 THEN ' don${mjApo}t stop' ELSE '' END
+           | || CASE WHEN doc_id % 7 = 0 THEN ' caf$mjEacute r${mjEacute}sum$mjEacute' ELSE '' END
+           | || CASE WHEN doc_id % 11 = 0 THEN ' ${mjLdq}q$mjRdq$mjEll $mjEnd x${mjNbsp}y' ELSE '' END)""".stripMargin.replace("\n", "")
+      val planted =
+        s"""'<html><head><title>T</title><style type="text/css">p{color:red}</style><script>var n='
+           | || CAST(doc_id AS VARCHAR) || ';track(n);</script></head><body><!-- nav --><h1>Doc '
+           | || CAST(doc_id AS VARCHAR) || '</h1><p>' || $mojiInner || '</p>'
+           | || CASE WHEN doc_id % 4 = 0 THEN '<a href="https://example.com/d/' || CAST(doc_id AS VARCHAR) || '">more &amp; stuff</a>' ELSE '' END
+           | || CASE WHEN doc_id % 6 = 0 THEN '<ul><li>R&amp;D</li><li>&lt;b&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</li></ul>' ELSE '' END
+           | || '</body></html>'""".stripMargin.replace("\n", "")
+      val entityChain = TextAnalysis.htmlEntities.foldLeft("t2") {
+        case (acc, (ent, ch)) => s"replace($acc, '$ent', '${ch.replace("'", "''")}')"
+      }
+      val mojiChain = TextAnalysis.mojibakeFixes.foldLeft("extracted") {
+        case (acc, (moji, good)) => s"replace($acc, '$moji', '$good')"
+      }
+      s"""WITH s AS (SELECT doc_id, $planted AS t FROM documents),
+         |b AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${TextAnalysis.scriptBlockRegex}', ' ', 'g'),
+         |    '${TextAnalysis.styleBlockRegex}', ' ', 'g'),
+         |    '${TextAnalysis.commentBlockRegex}', ' ', 'g') AS t1
+         |  FROM s),
+         |c AS (SELECT doc_id, regexp_replace(t1, '${TextAnalysis.anyTagRegex}', ' ', 'g') AS t2 FROM b),
+         |d AS (SELECT doc_id, trim(regexp_replace($entityChain, '\\s+', ' ', 'g')) AS extracted FROM c),
+         |f AS (SELECT doc_id, $mojiChain AS fixed FROM d)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(trim(fixed), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         |  md5(regexp_replace(trim(lower(fixed)), '\\s+', ' ', 'g')) AS fp
+         |FROM f""".stripMargin
     },
     "text_c4" ->
       """WITH p AS (

@@ -49,12 +49,23 @@ object CorpusPipeline {
     * additionally runs the CCNet tail cut
     * ([[TextAnalysis.perplexityBuckets]]) over the survivors — self-train
     * the bigram LM and drop the per-language bottom `p`‰ of TOKEN mass —
-    * `None` (default) skips the LM pipeline entirely. */
+    * `None` (default) skips the LM pipeline entirely.
+    *
+    * `htmlExtract`/`fixEncoding` enable the stage-0 pre-clean for corpora
+    * arriving as raw crawl: markup extraction
+    * ([[TextAnalysis.htmlExtractColumns]]) then mojibake repair
+    * ([[TextAnalysis.fixEncodingColumns]]) — that order because the repair
+    * belongs on the EXTRACTED prose (entity decode can itself surface
+    * mojibake bytes that were HTML-escaped in the source). Both are
+    * scan-side projections, so enabling them adds zero shuffles — the
+    * rewritten text simply flows into paragraph dedup as stage 1's
+    * input. */
   def clean(spark: SparkSession, docs: DataFrame, id: String, text: String,
             minQuality: Double = 0.3, lang: Option[String] = Some("en"),
             trainPermille: Int = 900, valPermille: Int = 50,
             maxDupSpanFrac: Option[Double] = None, spanWindow: Int = 5,
             lmTailPermille: Option[Int] = None,
+            htmlExtract: Boolean = false, fixEncoding: Boolean = false,
             persistStages: Boolean = false): Stages = {
     // persistStages: the cleaned / exact-deduped frames are consumed by
     // SEVERAL downstream subtrees (near-dup pair generation, component ids,
@@ -75,9 +86,17 @@ object CorpusPipeline {
     def stage(df: DataFrame): DataFrame =
       if (persistStages) df.localCheckpoint(true) else df
 
+    // 0. optional pre-clean: markup extraction, then encoding repair, as a
+    // single in-place rewrite of the text column (pure projection — no
+    // shuffle, and stage 1's scan absorbs it into the same codegen span)
+    val pre0 = if (!htmlExtract) docs else docs.withColumn(text,
+      TextAnalysis.htmlExtractColumns(col(text)).toMap.apply("extracted"))
+    val preCleaned = if (!fixEncoding) pre0 else pre0.withColumn(text,
+      TextAnalysis.fixEncodingColumns(col(text)).toMap.apply("fixed"))
+
     // 1. paragraph dedup: global first-occurrence keeps one copy of every
     // repeated paragraph; reconstruct cleaned text
-    val cleaned = stage(Dedup.paragraphDedup(docs, id, text)
+    val cleaned = stage(Dedup.paragraphDedup(preCleaned, id, text)
       .select(col(id), col("clean_text")))
 
     // 2. exact dedup on cleaned text: keep the canonical (min-id) doc

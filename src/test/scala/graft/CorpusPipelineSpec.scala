@@ -55,6 +55,35 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(gatedS.corpus.select("doc_id").as[Long].collect().toSet === Set(3L))
   }
 
+  test("stage-0 pre-clean equals cleaning manually extracted+repaired text") {
+    // raw crawl shape: markup around the prose, mojibake inside it
+    val raw = Seq(
+      (1L, "<html><body><p>alpha don\u00e2\u20ac\u2122t beta gamma delta epsilon</p>" +
+        "<script>var x=1;</script></body></html>"),
+      (2L, "<p>caf\u00c3\u00a9 words one two three four five</p><!-- c -->"),
+      (3L, "plain clean text with several tokens present here")
+    ).toDF("doc_id", "text")
+    val manual = raw.withColumn("text",
+      graft.ops.TextAnalysis.fixEncodingColumns(
+        graft.ops.TextAnalysis.htmlExtractColumns(col("text")).toMap.apply("extracted"))
+        .toMap.apply("fixed"))
+
+    val viaFlags = CorpusPipeline.clean(spark, raw, "doc_id", "text",
+      minQuality = 0.0, lang = None, htmlExtract = true, fixEncoding = true)
+    val viaManual = CorpusPipeline.clean(spark, manual, "doc_id", "text",
+      minQuality = 0.0, lang = None)
+    val a = viaFlags.corpus.select("doc_id", "redacted").as[(Long, String)].collect().toSet
+    val b = viaManual.corpus.select("doc_id", "redacted").as[(Long, String)].collect().toSet
+    assert(a === b)
+    assert(a.map(_._1) === Set(1L, 2L, 3L))
+    // the pre-clean actually happened: no tags, no mojibake in the output
+    a.foreach { case (_, t) =>
+      assert(!t.contains("<p>") && !t.contains("\u00e2\u20ac") && !t.contains("\u00c3\u00a9"), t)
+    }
+    assert(a.exists(_._2.contains("don\u2019t")))
+    assert(a.exists(_._2.contains("caf\u00e9")))
+  }
+
   test("mixByLang applies per-language token budgets as an allowlist") {
     val corpus = (1L to 6L).map(i => (i, "en", "one two three four")) ++
       (7L to 9L).map(i => (i, "de", "eins zwei drei vier")) ++
