@@ -244,6 +244,30 @@ class StreamingSpec extends SparkSpec {
     assert(bpeBatch.nonEmpty && gopherBatch.nonEmpty)
   }
 
+  test("streaming pre-clean (html extract + encoding repair) equals batch (stateless)") {
+    // Stage-0 pre-clean is pure column algebra, so the same projection
+    // must run unchanged on an unbounded stream — crawl firehoses get
+    // extracted and repaired record-by-record with zero state.
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "<html><body><p>alpha don\u00e2\u20ac\u2122t beta</p><script>x()</script></body></html>"),
+      (2L, "<p>caf\u00c3\u00a9 two</p><!-- c --> tail &amp; more"),
+      (3L, "plain clean text"))
+    def pre(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      graft.ops.TextAnalysis.fixEncodingColumns(
+        graft.ops.TextAnalysis.htmlExtractColumns(col("text")).toMap.apply("extracted"))
+        .toMap.apply("fixed").as("clean"))
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData(docs: _*)
+    val q = pre(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("preclean_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val batch = pre(docs.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    assert(spark.table("preclean_stream").collect().map(_.toSeq).toSet === batch)
+    assert(batch.exists(_.exists(v => v == "alpha don\u2019t beta")))
+  }
+
   test("streaming media fingerprints equal the batch tables (stateless decode)") {
     // phashTable / audioFingerprintTable are partition-local decodes with
     // no shuffle — the same transform must run unchanged on a stream of
