@@ -102,6 +102,23 @@ class PlanShapeSpec extends SparkSpec {
       s"text_gopher must not shuffle:\n${df.queryExecution.executedPlan}")
   }
 
+  test("html extract, encoding repair, and their composition are shuffle-free projections") {
+    Seq("text_html_extract", "text_fix_encoding", "corpus_preclean").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"$q must not shuffle:\n${df.queryExecution.executedPlan}")
+      // the whole pass stays inside one codegen span over the scan
+      val codegen = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(codegen.nonEmpty,
+        s"$q fell out of whole-stage codegen:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("corpus_report: one fp window shuffle + one strata rollup, nothing else") {
     val p = plan("corpus_report")
     val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
