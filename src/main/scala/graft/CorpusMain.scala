@@ -29,18 +29,29 @@ object CorpusMain {
 
   case class CorpusSummary(outDir: String, nIn: Long, nKept: Long,
                            nShards: Int, splits: Map[String, Long],
-                           vocabSize: Long = 0L, nMerges: Int = 0)
+                           vocabSize: Long = 0L, nMerges: Int = 0,
+                           nPacks: Long = 0L)
 
   /** `bpeMerges > 0` additionally trains a BPE tokenizer on the cleaned
     * TRAIN split (never val/test — the tokenizer is a trained artifact,
     * so it obeys the same leakage discipline as the model) and writes
     * `tokenizer/{merges,vocab}` plus per-document `token_ids` for the
-    * whole kept corpus — the artifacts a pretraining job consumes. */
+    * whole kept corpus — the artifacts a pretraining job consumes.
+    *
+    * `packTokens > 0` (requires `bpeMerges > 0`) additionally lays the
+    * TRAIN split's encoded documents into fixed-capacity context windows
+    * via [[graft.ops.Packing.packSequences]] on the REAL subword counts
+    * (`size(token_ids)` — the whitespace proxy under-counts by the
+    * tokenizer's fertility) and writes `packs/` with one
+    * (doc_id, pack_id, pack_pos, oversize) row per document — the last
+    * artifact between a cleaned corpus and a training shard. */
   def run(spark: SparkSession, in: DataFrame, outDir: String,
           nShards: Int = 64, minQuality: Double = 0.0,
           lang: Option[String] = None,
           maxDupSpanFrac: Option[Double] = Some(0.95),
-          bpeMerges: Int = 0): CorpusSummary = {
+          bpeMerges: Int = 0, packTokens: Int = 0): CorpusSummary = {
+    require(packTokens <= 0 || bpeMerges > 0,
+      "packTokens needs bpeMerges > 0: packs are laid out over token_ids")
     import org.apache.spark.sql.graftbridge.Bridge
     val stages = CorpusPipeline.clean(spark, in, "doc_id", "text",
       minQuality = minQuality, lang = lang, maxDupSpanFrac = maxDupSpanFrac,
@@ -88,8 +99,24 @@ object CorpusMain {
             .parquet(s"$outDir/token_ids")
           (vocab.size.toLong, merges.size)
         }
+      val nPacks =
+        if (packTokens <= 0) 0L
+        else {
+          // re-read the just-written ids instead of re-encoding: the pack
+          // walk keys on (doc_id, subword count) only, and the parquet
+          // round-trip makes the pack layout a pure function of the
+          // committed artifact — not of a recomputation that could drift
+          val trainIds = spark.read.parquet(s"$outDir/token_ids")
+            .filter(col("split") === "train")
+            .select(col("doc_id"), size(col("token_ids")).as("n_subwords"))
+          val packed = graft.ops.Packing.packSequences(
+            spark, trainIds, "doc_id", "n_subwords", packTokens)
+          packed.write.mode("overwrite").parquet(s"$outDir/packs")
+          spark.read.parquet(s"$outDir/packs")
+            .select(col("pack_id")).distinct().count()
+        }
       CorpusSummary(outDir, in.count(), splitCounts.values.sum, nShards,
-        splitCounts, vocabSize, nMerges)
+        splitCounts, vocabSize, nMerges, nPacks)
     } finally {
       // every output action is done — free the stage checkpoints instead
       // of leaking them into the caller's session until GC (the leak

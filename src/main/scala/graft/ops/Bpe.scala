@@ -218,6 +218,33 @@ object Bpe {
     }.toDF(id, "token_ids")
   }
 
+  /** Inverse of [[encodeIds]]: token ids → text. The `</w>` end-of-word
+    * markers make decoding exact — subword strings concatenate, the
+    * markers split the stream back into words, words join on single
+    * spaces — so `decodeIds(encodeIds(t)) == tokens(t).mkString(" ")`
+    * whenever every character of `t` was seen at training time (the
+    * round-trip audit a tokenizer must pass before a corpus is committed
+    * to ids). Ids outside the vocabulary (the `oovId` of a lossy encode)
+    * render as U+FFFD so corruption is visible, never silent. Same
+    * distributed shape as encode: broadcast reverse vocab in the closure,
+    * one partition-local pass, zero shuffles. */
+  def decodeIds(df: DataFrame, id: String, idsCol: String,
+                vocab: Map[String, Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rev: Map[Int, String] = vocab.map(_.swap)
+    df.select(col(id).cast("long"), col(idsCol))
+      .as[(Long, Seq[Int])].mapPartitions { it =>
+        it.map { case (docId, ids) =>
+          val sb = new StringBuilder
+          ids.foreach(i => sb.append(rev.getOrElse(i, "�")))
+          val text = sb.toString.split(EndOfWord, -1)
+            .filter(_.nonEmpty).mkString(" ")
+          (docId, text)
+        }
+      }.toDF(id, "decoded")
+  }
+
   /** Per-document subword statistics under a trained tokenizer — the
     * fertility audit (subwords per word) run before committing a vocab:
     * high fertility on a language means the tokenizer under-serves it. */

@@ -86,6 +86,28 @@ class BpeSpec extends SparkSpec {
     assert(aIds.contains(-7))
   }
 
+  test("decodeIds inverts encodeIds exactly on the training corpus, marks OOV visibly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(50)
+    val hist = Bpe.wordHistogram(docs, "doc_id", "text")
+    val merges = Bpe.train(hist, numMerges = 32)
+    val vocab = Bpe.vocabTable(hist, merges)
+      .collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    val encoded = Bpe.encodeIds(docs, "doc_id", "text", merges, vocab)
+    val decoded = Bpe.decodeIds(encoded, "doc_id", "token_ids", vocab)
+    // exact round trip: decoded text == whitespace-normalized original
+    val expect = docs.select(col("doc_id"),
+        concat_ws(" ", graft.ops.TextAnalysis.tokens(col("text"))).as("decoded"))
+      .as[(Long, String)].collect().toMap
+    val got = decoded.as[(Long, String)].collect().toMap
+    assert(got === expect)
+    // an id outside the vocab renders as U+FFFD, never vanishes
+    val bad = Seq((1L, Seq(vocab.values.max + 1000))).toDF("doc_id", "token_ids")
+    val badOut = Bpe.decodeIds(bad, "doc_id", "token_ids", vocab)
+      .as[(Long, String)].collect().head._2
+    assert(badOut === "\ufffd")
+  }
+
   test("chunking over BPE tokens windows the subword stream exactly") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val merges = Bpe.train(

@@ -118,6 +118,29 @@ class PipelineSpec extends SparkSpec {
     assert(allIds.exists(_ >= 0))
   }
 
+  test("CorpusMain with packTokens lays the train split into bounded context windows") {
+    import org.apache.spark.sql.functions.{col, size, sum, max}
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus_pack").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val s = CorpusMain.run(spark, docs, out, nShards = 4, bpeMerges = 16,
+      packTokens = 256)
+    assert(s.nPacks > 0)
+    val packs = spark.read.parquet(s"$out/packs")
+    val trainIds = spark.read.parquet(s"$out/token_ids")
+      .filter(col("split") === "train")
+    // every train doc packed exactly once, with its REAL subword count
+    assert(packs.count() === trainIds.count())
+    val counts = trainIds.select(col("doc_id"),
+      size(col("token_ids")).cast("long").as("n"))
+    assert(packs.join(counts, "doc_id")
+      .filter(col("n_subwords") =!= col("n")).count() === 0)
+    // no pack overfills its window unless it holds a single oversize doc
+    val fills = packs.groupBy("pack_id")
+      .agg(sum(col("n_subwords")).as("fill"), max(col("oversize").cast("int")).as("o"))
+    assert(fills.filter(col("fill") > 256 && col("o") === 0).count() === 0)
+    assert(s.nPacks === packs.select("pack_id").distinct().count())
+  }
+
   test("Pipeline tags are isolated: a second tag's run does not leak into the first") {
     val out = java.nio.file.Files.createTempDirectory("graft_pipeline_out2").toString
     val first = Pipeline.run(spark, "tagA", dumpDir, out, elbowKs = Seq(1, 2), finalK = 2)
