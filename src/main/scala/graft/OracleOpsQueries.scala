@@ -161,6 +161,15 @@ object OracleOpsQueries {
       fingerprint(fixed).as("fp"))
   }
 
+  /** Per-source cap over the documents table: each source keeps its 25
+    * longest documents (n_chars, ties toward the smaller doc_id) — the
+    * domain-cap curation rule, gated against DuckDB's window formulation
+    * (the heap and the window MUST keep identical rows; the op exists so
+    * production never pays the window's full per-key sort). */
+  def corpusDomainCap(s: SparkSession, d: String): DataFrame =
+    graft.ops.Splits.capPerKey(Tables.documents(s, d), "doc_id",
+      col("source"), col("n_chars").cast("double"), 25)
+
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
@@ -1050,6 +1059,7 @@ object OracleOpsQueries {
     "text_html_extract" -> (textHtmlExtract _),
     "text_fix_encoding" -> (textFixEncoding _),
     "corpus_preclean" -> (corpusPreclean _),
+    "corpus_domain_cap" -> (corpusDomainCap _),
     "text_repetition" -> (textRepetition _),
     "text_rare_tokens" -> (textRareTokens _),
     "text_nfc" -> (textNfc _),
@@ -1918,6 +1928,14 @@ object OracleOpsQueries {
          |  regexp_replace(t1, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g') AS redacted,
          |  CAST(length(regexp_replace(t1, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
          |FROM r1""".stripMargin,
+    "corpus_domain_cap" ->
+      """WITH r AS (
+        |  SELECT source AS key, doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT key, CAST(rk AS BIGINT) AS rank, score, doc_id
+        |FROM r WHERE rk <= 25""".stripMargin,
     "text_html_extract" -> {
       val planted =
         """'<html><head><title>T</title><style type="text/css">p{color:red}</style><script>var n='

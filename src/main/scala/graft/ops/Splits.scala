@@ -157,6 +157,27 @@ object Splits {
       .select(col(id), col("stratum"), col("rank"))
   }
 
+  /** Per-key cap — the "no domain dominates" curation rule (RefinedWeb /
+    * Dolma cap any single source's share of the corpus): keep each key's
+    * top `k` rows by score (ties toward the smaller id — a total order,
+    * so the kept set is deterministic and engine-independent). Built on
+    * the bounded-heap [[graft.functions.TopKAgg]], so the shuffle carries
+    * at most k rows per key — never a per-key window sort of the fact
+    * table. Returns (key, rank, score, id), rank in [1, k], best first;
+    * callers keep full rows with a left-semi join on the id. Score goes
+    * through Double (the heap's ordering domain) — fine for lengths,
+    * quality signals, and counts; see [[stratifiedSample]] for why exact
+    * 60-bit-hash ordering cannot ride this path. */
+  def capPerKey(df: DataFrame, id: String, key: Column, score: Column,
+                k: Int): DataFrame =
+    df.select(key.as("key"), score.cast("double").as("__score"),
+        col(id).cast("long").as("__id"))
+      .groupBy("key")
+      .agg(graft.functions.TopKAgg.top_k(col("__score"), col("__id"), k).as("top"))
+      .select(col("key"), posexplode(col("top")))
+      .select(col("key"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").as("score"), col("col.id").as(id))
+
   /** Deterministic training-shard assignment — the write step of a corpus
     * pipeline: shard = salted hash bucket in [0, nShards), pos = the row's
     * dense rank inside its shard ordered by a second salted hash (ties

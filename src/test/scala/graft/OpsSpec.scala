@@ -786,6 +786,20 @@ class OpsSpec extends SparkSpec {
     assert(out(4)._2 === 2L && out(4)._4 === "x y \u2026 end" && out(4)._3 === 1)
   }
 
+  test("capPerKey keeps each key's top-k by score with deterministic ties") {
+    val rows = Seq(
+      (1L, "a", 5.0), (2L, "a", 5.0), (3L, "a", 7.0), (4L, "a", 1.0),
+      (5L, "b", 2.0), (6L, "b", 3.0)).toDF("id", "src", "score")
+    val kept = graft.ops.Splits.capPerKey(rows, "id", col("src"), col("score"), 2)
+    // a: 7.0 -> id 3 rank 1, then the 5.0 tie breaks to the smaller id 1;
+    // b has only two rows, both kept in score order
+    val got = kept.select("key", "rank", "id").as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", 1L, 3L), ("a", 2L, 1L), ("b", 1L, 6L), ("b", 2L, 5L)))
+    // the documented keep-full-rows pattern: left-semi on the id
+    val full = rows.join(kept.select("id"), Seq("id"), "left_semi")
+    assert(full.count() === 4)
+  }
+
   test("hash split is deterministic, partition-invariant, and near the asked proportions") {
     val ids = (0L until 2000L).toDF("id")
     val a = graft.ops.Splits.assignSplit(ids, "id")
