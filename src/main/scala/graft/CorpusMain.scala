@@ -127,10 +127,11 @@ object CorpusMain {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || args.length == 3,
-      "usage: CorpusMain <inParquet> <outDir> [bpeMerges]")
+    require(args.length >= 2 && args.length <= 4,
+      "usage: CorpusMain <inParquet> <outDir> [bpeMerges] [packTokens]")
     val (in, outDir) = (args(0), args(1))
-    val bpeMerges = if (args.length == 3) args(2).toInt else 0
+    val bpeMerges = if (args.length >= 3) args(2).toInt else 0
+    val packTokens = if (args.length >= 4) args(3).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -141,9 +142,11 @@ object CorpusMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val s = run(spark, spark.read.parquet(in), outDir, bpeMerges = bpeMerges)
+      val s = run(spark, spark.read.parquet(in), outDir, bpeMerges = bpeMerges,
+        packTokens = packTokens)
       println(s"CORPUS in=${s.nIn} kept=${s.nKept} shards=${s.nShards} " +
         (if (s.nMerges > 0) s"merges=${s.nMerges} vocab=${s.vocabSize} " else "") +
+        (if (s.nPacks > 0) s"packs=${s.nPacks} " else "") +
         s.splits.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
     } finally spark.stop()
   }
