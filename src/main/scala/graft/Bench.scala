@@ -13,12 +13,53 @@ object Bench {
       name -> (if (oks.size == ts.size) oks.min else ts.filterNot(_ > 0).head)
     }
 
+  /** Parquet split size that keeps the SCAN stage ~2 waves wide on `cores`
+    * tasks regardless of input size (spec'd in UnitsSpec). Spark packs
+    * input into ~`totalBytes / maxPartitionBytes` FilePartitions, so a
+    * single 646 MB file under the 128 MB default is FIVE tasks on 32
+    * cores — the starvation the round-8 sf100 dry run observed (multiple
+    * files don't help: small files are PACKED together up to the same
+    * byte budget). Sizing the split to `total / (2·cores)`, clamped to
+    * [4 MB, 128 MB], makes the scan stage core-wide for any local SF
+    * while degenerating to exactly Spark's default at production scale
+    * (totalBytes ≫ 2·cores·128 MB clamps high), so nothing is tuned away
+    * from the 100 TB shape. */
+  def adaptiveMaxPartitionBytes(totalBytes: Long, cores: Int): Long = {
+    val target = totalBytes / math.max(1L, 2L * cores)
+    math.min(128L << 20, math.max(4L << 20, target))
+  }
+
+  /** Sum of regular-file sizes under `dir` (recursive) — the scan volume
+    * the session will actually read; 0 if the dir is missing. */
+  def inputBytes(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return 0L
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
+  /** 1-minute loadavg, or -1 when /proc is unavailable — recorded in the
+    * bench artifact so a uniformly-inflated round is provably machine
+    * load, not a code regression (round 8's 103 s driver pass vs 62 s
+    * local run of the same binary had to be argued from spread alone). */
+  def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadBefore = loadAvg1m()
+    // scan-width valve: see adaptiveMaxPartitionBytes — env overridable
+    val maxSplit = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES").map(_.toLong)
+      .getOrElse(adaptiveMaxPartitionBytes(inputBytes(sfDir), cpus.toInt))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", maxSplit)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -122,6 +163,13 @@ object Bench {
     // per-query marker above but must not shrink the headline number
     val total = results.collect { case (_, v) if v > 0 => v }.sum
     val failed = results.count(_._2 <= 0)
+    // load guard (VERDICT r8 item 5): loadavg before/after plus the raw
+    // per-pass totals let bench_diff.py tell "machine was loaded" apart
+    // from "code regressed" — a loaded round shows high load and a wide
+    // pass-to-pass spread, a regression shows neither
+    val loadAfter = loadAvg1m()
+    val passTotals = passes.map(_.values.filter(_ > 0).sum)
+      .map(v => f"$v%.3f").mkString("[", ",", "]")
     // The per-query map (one line per run, ~3 KB for 78 queries) goes on an
     // EARLIER line; the LAST stdout line is a short summary so a bounded
     // tail-capture always gets an intact JSON object (round 4's single
@@ -129,7 +177,7 @@ object Bench {
     // keeps the headline keys only; per-query timings live in the
     // "per_query" line above it and in SPARK_GRAFT_BENCH_OUT (if set).
     val full =
-      s"""{"metric":"per_query","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","value":$total,"unit":"sec","failed":$failed,"load_before":$loadBefore,"load_after":$loadAfter,"pass_totals":$passTotals,"max_partition_bytes":$maxSplit,"queries":$qs,"sf":"$sfDir"}"""
     // durable per-query artifact: regression analysis must not depend on
     // the driver's bounded stdout tail-capture surviving (round 4's map
     // was truncated mid-line)

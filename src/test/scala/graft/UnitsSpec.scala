@@ -101,4 +101,18 @@ class UnitsSpec extends AnyFunSuite {
       "c" -> -0.7, // threw in pass 2: same, marker from the failing pass
       "d" -> -0.4))// threw in both: first marker
   }
+
+  test("adaptive scan split: core-wide at local SFs, Spark default at scale") {
+    // the round-8 sf100 starvation case: one 646 MB input on 32 cores was
+    // 5 tasks under the 128 MB default; the adaptive split makes it ~64
+    val split = Bench.adaptiveMaxPartitionBytes(646L << 20, 32)
+    assert(split === (646L << 20) / 64)
+    assert((646L << 20) / split >= 60)
+    // tiny local SF clamps low, never below 4 MB
+    assert(Bench.adaptiveMaxPartitionBytes(3L << 20, 32) === 4L << 20)
+    // production scale clamps to exactly Spark's 128 MB default — the
+    // valve must not tune the 100 TB plan away from the stock shape
+    assert(Bench.adaptiveMaxPartitionBytes(100L << 40, 1000) === 128L << 20)
+    assert(Bench.adaptiveMaxPartitionBytes(0L, 32) === 4L << 20)
+  }
 }

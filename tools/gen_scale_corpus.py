@@ -50,6 +50,12 @@ FROM (
 
 con = duckdb.connect()
 con.sql(f"CREATE VIEW src AS SELECT * FROM '{SRC}'")
-con.sql(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
-n = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+# FILE_SIZE_BYTES makes `out` a DIRECTORY of ~64 MB part files instead of
+# one monolith — the round-8 sf100 dry run showed a single 646 MB file
+# starving the scan stage (~5 splits on 32 cores). Spark reads the
+# directory transparently; many medium files is also what 100 TB inputs
+# actually look like. Row CONTENT is unchanged (same deterministic
+# transformation), only the physical layout differs.
+con.sql(f"COPY ({q}) TO '{out}' (FORMAT PARQUET, FILE_SIZE_BYTES '64MB')")
+n = con.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
 print(f"wrote {out}: {n} docs")
