@@ -109,11 +109,17 @@ object CorpusMain {
           val trainIds = spark.read.parquet(s"$outDir/token_ids")
             .filter(col("split") === "train")
             .select(col("doc_id"), size(col("token_ids")).as("n_subwords"))
+          // checkpoint shared by the write and the distinct-count below:
+          // the pack walk runs ONCE, and the count never re-reads the
+          // just-written artifact (an extra full parquet read at corpus
+          // scale for a number already in memory)
           val packed = graft.ops.Packing.packSequences(
             spark, trainIds, "doc_id", "n_subwords", packTokens)
+            .localCheckpoint(true)
           packed.write.mode("overwrite").parquet(s"$outDir/packs")
-          spark.read.parquet(s"$outDir/packs")
-            .select(col("pack_id")).distinct().count()
+          val n = packed.select(col("pack_id")).distinct().count()
+          Bridge.backingRdds(packed).foreach(_.unpersist(blocking = false))
+          n
         }
       CorpusSummary(outDir, in.count(), splitCounts.values.sum, nShards,
         splitCounts, vocabSize, nMerges, nPacks)

@@ -167,11 +167,26 @@ object Splits {
     * callers keep full rows with a left-semi join on the id. Score goes
     * through Double (the heap's ordering domain) — fine for lengths,
     * quality signals, and counts; see [[stratifiedSample]] for why exact
-    * 60-bit-hash ordering cannot ride this path. */
+    * 60-bit-hash ordering cannot ride this path.
+    *
+    * Preconditions, enforced loudly: `id` must cast to long and `score`
+    * must be non-NULL. The bounded heap SKIPS null inputs (TopKAgg.update
+    * ignores them), where the window-rank formulation this op documents
+    * itself against RANKS them — a non-numeric id or nullable score
+    * column would silently break the "heap and window keep identical
+    * rows" contract, so fail at the first bad row instead. */
   def capPerKey(df: DataFrame, id: String, key: Column, score: Column,
                 k: Int): DataFrame =
-    df.select(key.as("key"), score.cast("double").as("__score"),
-        col(id).cast("long").as("__id"))
+    df.select(key.as("key"),
+        when(score.cast("double").isNull, raise_error(lit(
+          "capPerKey: score is NULL or does not cast to double — the " +
+          "heap would silently drop the row where the window formulation " +
+          "ranks it; filter or coalesce scores first"))).otherwise(
+          score.cast("double")).as("__score"),
+        when(col(id).cast("long").isNull, raise_error(lit(
+          "capPerKey: id does not cast to long — the heap would " +
+          "silently drop the row; supply a numeric id"))).otherwise(
+          col(id).cast("long")).as("__id"))
       .groupBy("key")
       .agg(graft.functions.TopKAgg.top_k(col("__score"), col("__id"), k).as("top"))
       .select(col("key"), posexplode(col("top")))

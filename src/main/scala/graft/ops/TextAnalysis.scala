@@ -1162,10 +1162,16 @@ object TextAnalysis {
     * byte-identical across engines. */
   val mojibakeRegex: String = mojibakeFixes.map(_._1).mkString("|")
 
-  /** Encoding-repair pass: count the mojibake occurrences (BEFORE any
-    * replacement — fixes can overlap textually only across disjoint
-    * sequences, so the alternation count equals the replacement count),
-    * then apply [[mojibakeFixes]] in table order. Scan-side, shuffle-free,
+  /** Encoding-repair pass: count the mojibake occurrences with one
+    * alternation scan BEFORE any replacement, then apply
+    * [[mojibakeFixes]] in table order. The count is the PRE-REPAIR
+    * occurrence count, which can slightly under-count total rewrites: a
+    * fix's OUTPUT may complete a later table entry — e.g. a literal
+    * U+00E2 U+20AC abutting a left-double-quote sequence yields
+    * U+00E2 U+20AC U+201C after that replace, which the later en-dash
+    * entry then also rewrites. Such cascades are rare, and both engines
+    * share the same replacement chain, so the signal stays
+    * engine-consistent even when it under-counts. Scan-side, shuffle-free,
     * codegen'd — the standard place for this pass is the very first
     * projection after ingest, before fingerprints or quality signals see
     * the corrupted bytes. */

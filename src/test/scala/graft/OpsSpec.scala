@@ -798,6 +798,22 @@ class OpsSpec extends SparkSpec {
     // the documented keep-full-rows pattern: left-semi on the id
     val full = rows.join(kept.select("id"), Seq("id"), "left_semi")
     assert(full.count() === 4)
+    // precondition is enforced LOUDLY (ADVICE r8): a NULL score or a
+    // non-castable id would be silently dropped by the bounded heap where
+    // the documented window formulation ranks it — must throw, not drop
+    val nullScore = Seq((1L, "a", Some(5.0)), (2L, "a", None))
+      .toDF("id", "src", "score")
+    val e1 = intercept[Exception](
+      graft.ops.Splits.capPerKey(nullScore, "id", col("src"), col("score"), 2)
+        .collect())
+    assert(e1.getMessage.contains("capPerKey") ||
+      Option(e1.getCause).exists(_.getMessage.contains("capPerKey")))
+    val badId = Seq(("doc-x", "a", 5.0), ("7", "a", 6.0)).toDF("id", "src", "score")
+    val e2 = intercept[Exception](
+      graft.ops.Splits.capPerKey(badId, "id", col("src"), col("score"), 2)
+        .collect())
+    assert(e2.getMessage.contains("capPerKey") ||
+      Option(e2.getCause).exists(_.getMessage.contains("capPerKey")))
   }
 
   test("hash split is deterministic, partition-invariant, and near the asked proportions") {
