@@ -54,6 +54,36 @@ object OracleOpsQueries {
       "doc_id", "text", chunkTokens = 16, stride = 12,
       tokenMode = TextAnalysis.TokenMode.Cjk)
 
+  /** SEA-planted text shared by the Unseg-mode gates: every 4th doc
+    * gains a Thai clause (with combining vowel/tone marks), every 7th a
+    * Khmer + Myanmar + Lao clause (including the Khmer coeng U+17D2 and
+    * Myanmar medial signs) — plus, on every 9th doc, the SAME Japanese
+    * clause [[plantedCjk]] plants, so the gate also proves Unseg ⊇ Cjk
+    * on shared codepoints. UTF-8 literals embedded identically in the
+    * oracle SQL. */
+  private def plantedSea = concat(col("text"),
+    when(col("doc_id") % 4 === 0, lit(" ภาษาไทยทดสอบ")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit(" ភាសាខ្មែរ မြန်မာစာ ພາສາລາວ")).otherwise(lit("")),
+    when(col("doc_id") % 9 === 0, lit(" データ処理")).otherwise(lit("")))
+
+  /** Whitespace vs widened codepoint-class token counts on planted-SEA
+    * text — the Thai-document-is-one-token degradation (VERDICT r8 gap
+    * 2) made visible as a counted difference, exactly as
+    * [[textTokensCjk]] does for CJK. */
+  def textTokensSea(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      tokenCount(plantedSea).cast("long").as("n_tokens_ws"),
+      size(TextAnalysis.tokensUnseg(plantedSea)).cast("long").as("n_tokens_unseg"),
+      regexp_count(plantedSea, lit(s"[${TextAnalysis.seaClass}]")).cast("long").as("n_sea_chars"))
+
+  /** Token-window chunking in Unseg mode over the SEA-planted corpus —
+    * [[corpusChunkCjk]]'s geometry with the widened class. */
+  def corpusChunkSea(s: SparkSession, d: String): DataFrame =
+    graft.ops.Chunking.chunkByTokens(
+      Tables.documents(s, d).select(col("doc_id"), plantedSea.as("text")),
+      "doc_id", "text", chunkTokens = 16, stride = 12,
+      tokenMode = TextAnalysis.TokenMode.Unseg)
+
   def textQuality(s: SparkSession, d: String): DataFrame = {
     val cols = qualityColumns(col("text")).map { case (n, c) => c.as(n) }
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
@@ -1052,6 +1082,8 @@ object OracleOpsQueries {
     "text_tokens" -> (textTokens _),
     "text_tokens_cjk" -> (textTokensCjk _),
     "corpus_chunk_cjk" -> (corpusChunkCjk _),
+    "text_tokens_sea" -> (textTokensSea _),
+    "corpus_chunk_sea" -> (corpusChunkSea _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1141,6 +1173,16 @@ object OracleOpsQueries {
     """pl AS (
       |  SELECT doc_id,
       |    text || (CASE WHEN doc_id % 5 = 0 THEN ' 机器学习提高数据质量' ELSE '' END) ||
+      |      (CASE WHEN doc_id % 9 = 0 THEN ' データ処理' ELSE '' END) AS text
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB mirror of [[plantedSea]] — exposes `pl(doc_id, text)`. Same
+    * no-leading-`||` constraint as [[cjkPlantSql]]. */
+  private val seaPlantSql =
+    """pl AS (
+      |  SELECT doc_id,
+      |    text || (CASE WHEN doc_id % 4 = 0 THEN ' ภาษาไทยทดสอบ' ELSE '' END) ||
+      |      (CASE WHEN doc_id % 7 = 0 THEN ' ភាសាខ្មែរ မြန်မာစာ ພາສາລາວ' ELSE '' END) ||
       |      (CASE WHEN doc_id % 9 = 0 THEN ' データ処理' ELSE '' END) AS text
       |  FROM documents)""".stripMargin
 
@@ -1869,6 +1911,30 @@ object OracleOpsQueries {
     "corpus_chunk_cjk" ->
       s"""WITH $cjkPlantSql,
          |toks AS (SELECT doc_id, regexp_extract_all(text, '$cjkTokenRegex') AS t FROM pl),
+         |k AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |    CASE WHEN len(t) <= 16 THEN CAST(1 AS BIGINT)
+         |         ELSE (CAST(len(t) AS BIGINT) - 16 + 11) // 12 + 1 END AS nk
+         |  FROM toks WHERE len(t) > 0),
+         |e AS (
+         |  SELECT doc_id, t, n,
+         |    unnest(generate_series(0, nk - 1)) AS chunk_id
+         |  FROM k)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(chunk_id * 12 AS BIGINT) AS start_tok,
+         |  CAST(least(16, n - chunk_id * 12) AS BIGINT) AS n_tok,
+         |  array_to_string(list_slice(t, chunk_id * 12 + 1, chunk_id * 12 + 16), ' ') AS chunk_text
+         |FROM e""".stripMargin,
+    "text_tokens_sea" ->
+      s"""WITH $seaPlantSql
+         |SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens_ws,
+         |  CAST(len(regexp_extract_all(text, '$unsegTokenRegex')) AS BIGINT) AS n_tokens_unseg,
+         |  CAST(len(regexp_extract_all(text, '[$seaClass]')) AS BIGINT) AS n_sea_chars
+         |FROM pl""".stripMargin,
+    "corpus_chunk_sea" ->
+      s"""WITH $seaPlantSql,
+         |toks AS (SELECT doc_id, regexp_extract_all(text, '$unsegTokenRegex') AS t FROM pl),
          |k AS (
          |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
          |    CASE WHEN len(t) <= 16 THEN CAST(1 AS BIGINT)

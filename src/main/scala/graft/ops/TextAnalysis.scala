@@ -40,6 +40,14 @@ object TextAnalysis {
       * no segmenter is available (identical to Whitespace on text with
       * no CJK codepoints). */
     case object Cjk extends TokenMode
+    /** [[Cjk]] widened to every unsegmented script in [[unsegClass]]:
+      * CJK plus Thai, Lao, Myanmar, and Khmer. Before this mode a Thai
+      * document was ONE whitespace token — the same silent degradation
+      * of chunking, LM scoring, and token budgets that [[Cjk]] closed
+      * for Chinese/Japanese (VERDICT r8 gap 2). Identical to [[Cjk]] on
+      * text with no SEA codepoints, and to [[Whitespace]] on text with
+      * no unsegmented-script codepoints at all (both property-spec'd). */
+    case object Unseg extends TokenMode
   }
 
   /** Unsegmented-script codepoint ranges treated as single-char tokens:
@@ -70,9 +78,38 @@ object TextAnalysis {
     filter(split(trim(regexp_replace(c, s"([$cjkClass])", " $1 ")), "\\s+"),
       t => length(t) > 0)
 
+  /** Southeast-Asian unsegmented-script codepoint ranges: Thai + Lao
+    * (0E00–0EFF — two adjacent Unicode blocks, one range), Myanmar
+    * (1000–109F), Khmer (1780–17FF). Combining vowel/tone marks inside
+    * these blocks become their own single-codepoint tokens — the same
+    * honest per-codepoint approximation [[cjkClass]] applies to kana,
+    * chosen over grapheme clustering because it is RE2-expressible and
+    * therefore byte-identical in the DuckDB oracle. */
+  val seaClass = "\\x{0E00}-\\x{0EFF}\\x{1000}-\\x{109F}\\x{1780}-\\x{17FF}"
+
+  /** Every unsegmented-script codepoint treated as a single-char token:
+    * [[cjkClass]] ∪ [[seaClass]]. */
+  val unsegClass = cjkClass + seaClass
+
+  /** One unsegmented-script codepoint OR one maximal run of other
+    * non-space chars — the [[cjkTokenRegex]] shape over the widened
+    * class; the oracle matches this directly. */
+  val unsegTokenRegex = s"[$unsegClass]|[^\\s$unsegClass]+"
+
+  /** [[tokensCjk]] over the widened class — same pad-then-split
+    * formulation (pad every unsegmented-script codepoint with spaces,
+    * then the plain whitespace split), provably the token stream of
+    * matching [[unsegTokenRegex]] directly, for the same reason as the
+    * CJK proof: padding isolates exactly the single-char branch's
+    * matches and never splits a run of other non-space chars. */
+  def tokensUnseg(c: Column): Column =
+    filter(split(trim(regexp_replace(c, s"([$unsegClass])", " $1 ")), "\\s+"),
+      t => length(t) > 0)
+
   def tokens(c: Column, mode: TokenMode): Column = mode match {
     case TokenMode.Whitespace => tokens(c)
     case TokenMode.Cjk => tokensCjk(c)
+    case TokenMode.Unseg => tokensUnseg(c)
   }
 
   /** BPE-ish subword proxy: letter runs, digit runs, single symbols.

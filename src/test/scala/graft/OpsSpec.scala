@@ -1540,6 +1540,53 @@ class OpsSpec extends SparkSpec {
     assert(wsChunks.count() === 1L) // the degradation the mode closes
   }
 
+  test("unseg tokenizer: per-codepoint on SEA scripts, backward-identical elsewhere") {
+    // SEA-free corpus: Unseg IS Cjk (and, transitively via the cjk spec
+    // above, IS the whitespace split on CJK-free text) — corpora can
+    // adopt the widest mode without perturbing segmented-script results
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+        TextAnalysis.tokensCjk(col("text")).as("cjk"),
+        TextAnalysis.tokensUnseg(col("text")).as("un"))
+      .filter(not(col("cjk") <=> col("un"))).count()
+    assert(diff === 0L)
+    // one token per codepoint across all four SEA scripts; combining
+    // marks (Thai sara/tone, Khmer coeng, Myanmar medials) are their own
+    // codepoints and thus their own tokens — the documented approximation
+    val mixed = Seq(
+      (1L, "ไทย"),                    // 3 Thai codepoints
+      (2L, "ไทย and text"),           // mixed Thai + latin runs
+      (3L, "ខ្មែរ"),                   // Khmer with coeng U+17D2 = 5 codepoints
+      (4L, "မြန်မာ"),                  // Myanmar with medials = 6 codepoints
+      (5L, "ລາວ"),                    // 3 Lao codepoints
+      (6L, "机器ไทย mixed")           // CJK + SEA in one doc
+    ).toDF("doc_id", "text")
+    val got = mixed.select(col("doc_id"), TextAnalysis.tokensUnseg(col("text")))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("ไ", "ท", "ย"))
+    assert(got(2L) === Seq("ไ", "ท", "ย", "and", "text"))
+    assert(got(3L).length === "ខ្មែរ".codePointCount(0, "ខ្មែរ".length))
+    assert(got(4L).length === "မြန်မာ".codePointCount(0, "မြန်မာ".length))
+    assert(got(5L) === Seq("ລ", "າ", "ວ"))
+    assert(got(6L) === Seq("机", "器", "ไ", "ท", "ย", "mixed"))
+    // pad-then-split ≡ direct alternation match (the formulation the
+    // DuckDB oracle runs) on planted SEA + CJK + latin text
+    val direct = mixed.select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(TextAnalysis.unsegTokenRegex), lit(0)))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got === direct)
+    // a Thai doc is ONE whitespace token but windows correctly in Unseg
+    val long = Seq((9L, "กขคงจฉชซ" * 4)).toDF("doc_id", "text") // 32 codepoints
+    val chunks = graft.ops.Chunking.chunkByTokens(long, "doc_id", "text",
+        chunkTokens = 16, stride = 12,
+        tokenMode = TextAnalysis.TokenMode.Unseg)
+      .orderBy("chunk_id").collect()
+    assert(chunks.length === 3)
+    assert(chunks.map(_.getAs[Long]("n_tok")).toSeq === Seq(16L, 16L, 8L))
+    assert(graft.ops.Chunking.chunkByTokens(long, "doc_id", "text",
+      chunkTokens = 16, stride = 12).count() === 1L)
+  }
+
   test("assignShardsByMass: two-phase prefix equals monolithic window, shard = prefix div mass") {
     import org.apache.spark.sql.expressions.Window
     val df = (1L to 500L).map(i => (i, i % 3, i % 11)).toDF("doc_id", "grp", "w")
