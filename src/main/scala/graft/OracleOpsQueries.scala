@@ -200,6 +200,37 @@ object OracleOpsQueries {
     graft.ops.Splits.capPerKey(Tables.documents(s, d), "doc_id",
       col("source"), col("n_chars").cast("double"), 25)
 
+  /** Planted URLs exercising every branch of the registered-domain
+    * extractor: country second-level suffix (co.uk, com.au with a port,
+    * ne.jp bare-host), plain TLD with query/userinfo/fragment noise,
+    * scheme+host case folding (case 5 must merge with case 3's key),
+    * a depth-3 private suffix (each blogspot subdomain is its OWN
+    * registered domain per the PSL), and a single-label host. */
+  private def plantedUrl: Column = {
+    val m = col("doc_id") % 8
+    when(m === 0, concat(lit("https://news.example.co.uk/p/"), col("doc_id")))
+      .when(m === 1, lit("http://example.com/x?q=1"))
+      .when(m === 2, lit("https://sub.shop.example.com.au:8080/item"))
+      .when(m === 3, lit("https://user@files.example.org/z#frag"))
+      .when(m === 4, lit("cdn.example.ne.jp/q"))
+      .when(m === 5, lit("HTTPS://WWW.FILES.EXAMPLE.ORG/PATH"))
+      .when(m === 6, concat(lit("https://blog"), col("doc_id") % 3,
+        lit(".blogspot.co.uk/post")))
+      .otherwise(lit("http://localhost:9090/health"))
+  }
+
+  /** [[corpusDomainCap]] keyed on the EXTRACTED registered domain of a
+    * planted URL column instead of a pre-cleaned source label — the form
+    * a real crawl corpus needs (VERDICT r8 item 6): the cap key must be
+    * the publisher, not the raw host, or `a.example.co.uk` and
+    * `b.example.co.uk` dodge a shared cap. */
+  def corpusDomainCapRegistered(s: SparkSession, d: String): DataFrame =
+    graft.ops.Splits.capPerKey(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        plantedUrl.as("url")),
+      "doc_id", graft.ops.Domains.registeredDomain(col("url")),
+      col("n_chars").cast("double"), 25)
+
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
@@ -1092,6 +1123,7 @@ object OracleOpsQueries {
     "text_fix_encoding" -> (textFixEncoding _),
     "corpus_preclean" -> (corpusPreclean _),
     "corpus_domain_cap" -> (corpusDomainCap _),
+    "corpus_domain_cap_registered" -> (corpusDomainCapRegistered _),
     "text_repetition" -> (textRepetition _),
     "text_rare_tokens" -> (textRareTokens _),
     "text_nfc" -> (textNfc _),
@@ -1175,6 +1207,13 @@ object OracleOpsQueries {
       |    text || (CASE WHEN doc_id % 5 = 0 THEN ' 机器学习提高数据质量' ELSE '' END) ||
       |      (CASE WHEN doc_id % 9 = 0 THEN ' データ処理' ELSE '' END) AS text
       |  FROM documents)""".stripMargin
+
+  /** [[graft.ops.Domains.defaultSuffixes]] as a DuckDB list literal —
+    * the ONE suffix table both engines consult, so adding an entry can
+    * never desynchronize the gate. */
+  private val suffixListSql: String =
+    graft.ops.Domains.defaultSuffixes.map(s => s"'$s'")
+      .mkString("[", ", ", "]")
 
   /** DuckDB mirror of [[plantedSea]] — exposes `pl(doc_id, text)`. Same
     * no-leading-`||` constraint as [[cjkPlantSql]]. */
@@ -2002,6 +2041,45 @@ object OracleOpsQueries {
         |  FROM documents)
         |SELECT key, CAST(rk AS BIGINT) AS rank, score, doc_id
         |FROM r WHERE rk <= 25""".stripMargin,
+    "corpus_domain_cap_registered" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE doc_id % 8
+         |      WHEN 0 THEN 'https://news.example.co.uk/p/' || doc_id
+         |      WHEN 1 THEN 'http://example.com/x?q=1'
+         |      WHEN 2 THEN 'https://sub.shop.example.com.au:8080/item'
+         |      WHEN 3 THEN 'https://user@files.example.org/z#frag'
+         |      WHEN 4 THEN 'cdn.example.ne.jp/q'
+         |      WHEN 5 THEN 'HTTPS://WWW.FILES.EXAMPLE.ORG/PATH'
+         |      WHEN 6 THEN 'https://blog' || (doc_id % 3) || '.blogspot.co.uk/post'
+         |      ELSE 'http://localhost:9090/health' END AS url
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id, n_chars,
+         |    regexp_extract(lower(trim(url)), '${graft.ops.Domains.hostRegex}', 1) AS host
+         |  FROM u),
+         |sp AS (
+         |  SELECT doc_id, n_chars, host, string_split(host, '.') AS ls,
+         |    len(string_split(host, '.')) AS n
+         |  FROM l),
+         |kk AS (
+         |  SELECT doc_id, n_chars, host, ls, n,
+         |    CASE WHEN n > 3 AND list_contains($suffixListSql, array_to_string(list_slice(ls, -3, -1), '.')) THEN 3
+         |         WHEN n > 2 AND list_contains($suffixListSql, array_to_string(list_slice(ls, -2, -1), '.')) THEN 2
+         |         ELSE 1 END AS k
+         |  FROM sp),
+         |rd AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN n <= 1 THEN host
+         |         ELSE array_to_string(list_slice(ls, -(k+1), -1), '.') END AS key
+         |  FROM kk),
+         |r AS (
+         |  SELECT key, doc_id, CAST(n_chars AS DOUBLE) AS score,
+         |    row_number() OVER (PARTITION BY key
+         |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |  FROM rd)
+         |SELECT key, CAST(rk AS BIGINT) AS rank, score, doc_id
+         |FROM r WHERE rk <= 25""".stripMargin,
     "text_html_extract" -> {
       val planted =
         """'<html><head><title>T</title><style type="text/css">p{color:red}</style><script>var n='

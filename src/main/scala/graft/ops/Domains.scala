@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Registered-domain extraction for per-domain curation rules
+  * (VERDICT r8 item 6): a RefinedWeb/Dolma-style cap is only as good as
+  * its key, and a real corpus keys on the REGISTERED domain — the label
+  * directly under the public suffix — never the raw URL or host:
+  * `a.blog.example.co.uk` and `example.co.uk` are the same publisher,
+  * while a naive "last two labels" key would call them `co.uk` and lump
+  * every British site into one domain.
+  *
+  * Algorithm (the Public Suffix List convention, publicsuffix.org): find
+  * the LONGEST suffix of the host's dot-labels that is a public suffix;
+  * the registered domain is that suffix plus one more label. Any
+  * unmatched TLD falls back to the implicit `*` rule (the last label is
+  * the suffix), so single-label TLDs never need listing and the shipped
+  * table only carries MULTI-label suffixes.
+  *
+  * Implementation is pure column algebra — split, slice, and membership
+  * against a LITERAL array — rather than an explode + broadcast-join:
+  * the multi-label suffix set is a few hundred entries at most, so the
+  * whole lookup codegens into the scan-side projection with zero
+  * shuffles and zero per-row join machinery; at 100 TB the extraction
+  * costs exactly one projection. Every step is RE2-expressible, so the
+  * DuckDB oracle applies the identical chain.
+  *
+  * Shipped table: a curated subset of the PSL's most common multi-label
+  * suffixes (ICANN country second-levels plus a few high-volume private
+  * suffixes like `blogspot.co.uk` / `github.io`). Wildcard (`*.ck`) and
+  * exception (`!www.ck`) rules are NOT modeled; corpora needing the full
+  * list pass their own `suffixes` seq — the expression shape is
+  * unchanged. */
+object Domains {
+
+  /** Multi-label public suffixes (subset; see scaladoc). Single-label
+    * TLDs are covered by the implicit fallback and never listed. */
+  val defaultSuffixes: Seq[String] = Seq(
+    // UK
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "me.uk",
+    // Japan
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    // Australia
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    // Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    // China
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    // India
+    "co.in", "net.in", "org.in", "ac.in", "gov.in", "edu.in",
+    // Korea
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr",
+    // Mexico / Argentina / Turkey
+    "com.mx", "org.mx", "net.mx", "com.ar", "org.ar", "net.ar",
+    "com.tr", "org.tr", "net.tr", "edu.tr", "gov.tr",
+    // Taiwan / Hong Kong / Singapore
+    "com.tw", "org.tw", "net.tw", "edu.tw",
+    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk",
+    "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg",
+    // New Zealand / South Africa
+    "co.nz", "org.nz", "net.nz", "ac.nz", "govt.nz",
+    "co.za", "org.za", "net.za", "ac.za", "gov.za",
+    // Indonesia / Malaysia / Philippines / Vietnam / Thailand
+    "co.id", "or.id", "ac.id", "go.id", "web.id",
+    "com.my", "org.my", "net.my", "gov.my",
+    "com.ph", "org.ph", "net.ph",
+    "com.vn", "org.vn", "net.vn", "edu.vn", "gov.vn",
+    "co.th", "or.th", "ac.th", "go.th", "in.th",
+    // Ukraine / Poland / Israel
+    "com.ua", "org.ua", "net.ua", "gov.ua",
+    "com.pl", "org.pl", "net.pl", "edu.pl",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il",
+    // Egypt / Saudi / Pakistan / Bangladesh / Nigeria / Kenya
+    "com.eg", "org.eg", "com.sa", "org.sa", "edu.sa",
+    "com.pk", "org.pk", "edu.pk", "gov.pk", "com.bd",
+    "com.ng", "org.ng", "gov.ng", "co.ke", "or.ke", "ac.ke", "go.ke",
+    // High-volume private suffixes (PSL private section)
+    "github.io", "gitlab.io", "blogspot.com", "appspot.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "web.app",
+    "wordpress.com", "tumblr.com", "cloudfront.net", "amazonaws.com",
+    // depth-3 private entries — exercise the longest-match rule
+    "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
+    "blogspot.co.nz", "blogspot.in")
+
+  /** Lower-cased host extracted from a URL or bare host string: strips
+    * scheme (`https://`), userinfo (`user@`), port, path, query, and
+    * fragment. Anchored find — both engines' regexp_extract return the
+    * first match, and the `^` keeps them byte-identical. */
+  def host(url: Column): Column =
+    regexp_extract(lower(trim(url)), hostRegex, 1)
+
+  /** The host regex, shared verbatim with the DuckDB mirror (RE2-safe:
+    * non-capturing groups only, no lookaround). */
+  val hostRegex: String =
+    "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)"
+
+  /** Registered domain of a URL/host column under the PSL longest-match
+    * rule (see object scaladoc). Suffix depth ≤ 3 labels is matched —
+    * the deepest entries in the shipped table; a custom `suffixes` list
+    * with deeper entries raises no error but matches at depth ≤ 3.
+    * Single-label hosts (e.g. `localhost`) pass through unchanged. */
+  def registeredDomain(url: Column,
+                       suffixes: Seq[String] = defaultSuffixes): Column = {
+    val h = host(url)
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    val suf = typedlit(suffixes)
+    // longest-match: deepest candidate suffix that appears in the table,
+    // requiring at least one label LEFT OF the suffix to register under
+    def cand(k: Int) = concat_ws(".", slice(labels, -k, k))
+    val k = when(n > lit(3) && array_contains(suf, cand(3)), lit(3))
+      .when(n > lit(2) && array_contains(suf, cand(2)), lit(2))
+      .otherwise(lit(1)) // implicit * rule: the TLD itself
+    when(n <= lit(1), h)
+      .otherwise(concat_ws(".", slice(labels, -(k + lit(1)), k + lit(1))))
+  }
+}

@@ -1540,6 +1540,38 @@ class OpsSpec extends SparkSpec {
     assert(wsChunks.count() === 1L) // the degradation the mode closes
   }
 
+  test("registered domain: PSL longest-match over host extraction") {
+    import graft.ops.Domains
+    val urls = Seq(
+      (1L, "https://news.example.co.uk/p/1"),        // country 2nd-level
+      (2L, "http://example.com/x?q=1"),              // plain TLD
+      (3L, "https://sub.shop.example.com.au:8080/i"),// port + deep subdomain
+      (4L, "https://user@files.example.org/z#frag"), // userinfo + fragment
+      (5L, "cdn.example.ne.jp/q"),                   // bare host, no scheme
+      (6L, "HTTPS://WWW.FILES.EXAMPLE.ORG/PATH"),    // case folding
+      (7L, "https://alpha.blogspot.co.uk/post"),     // depth-3 private suffix
+      (8L, "http://localhost:9090/health"),          // single-label host
+      (9L, "https://deep.a.b.example.co.uk/")        // registered ignores depth
+    ).toDF("id", "url")
+    val got = urls.select(col("id"), Domains.registeredDomain(col("url")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "example.co.uk")
+    assert(got(2L) === "example.com")
+    assert(got(3L) === "example.com.au")
+    assert(got(4L) === "example.org")
+    assert(got(5L) === "example.ne.jp")
+    assert(got(6L) === "example.org") // merges with id 4 after folding
+    assert(got(7L) === "alpha.blogspot.co.uk") // each blogspot sub is its own
+    assert(got(8L) === "localhost")
+    assert(got(9L) === "example.co.uk")
+    // custom suffix table: the caller's list wins (full-PSL path)
+    val custom = urls.select(col("id"),
+        Domains.registeredDomain(col("url"), Seq("co.uk")))
+      .as[(Long, String)].collect().toMap
+    assert(custom(1L) === "example.co.uk")
+    assert(custom(3L) === "com.au") // com.au absent from the custom table
+  }
+
   test("unseg tokenizer: per-codepoint on SEA scripts, backward-identical elsewhere") {
     // SEA-free corpus: Unseg IS Cjk (and, transitively via the cjk spec
     // above, IS the whitespace split on CJK-free text) — corpora can
