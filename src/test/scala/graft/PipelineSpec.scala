@@ -139,6 +139,19 @@ class PipelineSpec extends SparkSpec {
       .agg(sum(col("n_subwords")).as("fill"), max(col("oversize").cast("int")).as("o"))
     assert(fills.filter(col("fill") > 256 && col("o") === 0).count() === 0)
     assert(s.nPacks === packs.select("pack_id").distinct().count())
+    // interop artifact: the emitted merges.txt/vocab.json reload into a
+    // tokenizer that re-encodes the corpus to the SAME ids the pipeline
+    // committed — the trained tokenizer is usable without this engine
+    val (m2, v2) = graft.ops.Bpe.readTokenizer(spark, s"$out/tokenizer")
+    assert(m2.size === 16 && v2.nonEmpty)
+    val reEnc = graft.ops.Bpe.encodeIds(
+      spark.read.parquet(s"$out/corpus").select(col("doc_id"),
+        col("redacted").as("text")),
+      "doc_id", "text", m2, v2)
+    val committed = spark.read.parquet(s"$out/token_ids")
+      .select(col("doc_id"), col("token_ids").as("want"))
+    assert(reEnc.join(committed, "doc_id")
+      .filter(not(col("token_ids") <=> col("want"))).count() === 0)
   }
 
   test("Pipeline tags are isolated: a second tag's run does not leak into the first") {
