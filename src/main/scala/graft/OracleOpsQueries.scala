@@ -833,6 +833,22 @@ object OracleOpsQueries {
     Dedup.incrementalExact(batch, base, "doc_id", "text")
   }
 
+  /** The Bloom-prefiltered increment against the same planted batch —
+    * MUST be bit-identical to [[dedupIncrementalExact]] (same oracle
+    * SQL): the filter only routes rows around the confirm join, never
+    * changes the outcome. Both planted outcomes exercise both paths —
+    * re-crawls survive the probe and confirm, suffixed docs mostly
+    * short-circuit as definite-new. */
+  def dedupIncrementalExactBloom(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    val batch = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(col("text"), lit(" fresh suffix")).as("text")))
+    Dedup.incrementalExactBloom(batch, base, "doc_id", "text")
+  }
+
   /** Incremental MinHash near-dup: batch = odd ids vs corpus = even ids —
     * 12 of the 25 sf0.01 near-dup pairs cross parity, so the gate is
     * non-vacuous without planting. */
@@ -1167,6 +1183,7 @@ object OracleOpsQueries {
     "shingle_df_histogram" -> (shingleDfHistogram _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
+    "dedup_incremental_exact_bloom" -> (dedupIncrementalExactBloom _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "sim_sem_dedup" -> (semDedup _),
     "sim_centroid_dist" -> (simCentroidDist _),
@@ -2614,6 +2631,27 @@ object OracleOpsQueries {
         |    AS clean_text
         |FROM px""".stripMargin,
     "dedup_incremental_exact" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text || ' fresh suffix' AS text
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |bf AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM batch),
+        |cf AS (
+        |  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |    MIN(doc_id) AS corpus_dup_of
+        |  FROM documents GROUP BY 1)
+        |SELECT bf.doc_id, bf.fp,
+        |  MIN(bf.doc_id) OVER (PARTITION BY bf.fp) AS batch_canonical_id,
+        |  cf.corpus_dup_of,
+        |  CAST(cf.corpus_dup_of IS NULL
+        |       AND bf.doc_id = MIN(bf.doc_id) OVER (PARTITION BY bf.fp) AS INT) AS keep
+        |FROM bf LEFT JOIN cf ON bf.fp = cf.fp""".stripMargin,
+    // the Bloom-prefiltered variant must produce bit-identical rows, so
+    // it binds to the SAME oracle text as the exact-join formulation
+    "dedup_incremental_exact_bloom" ->
       """WITH batch AS (
         |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL

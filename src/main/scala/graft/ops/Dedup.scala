@@ -591,6 +591,52 @@ object Dedup {
         col("corpus_dup_of"), col("keep"))
   }
 
+  /** [[incrementalExact]] with a Bloom PREFILTER on the batch side — the
+    * rare-overlap production case (most of a daily increment is NEW
+    * content): the corpus fingerprint index is summarized as a [[Bloom]]
+    * bit array, every batch row probes it scan-side (codegen'd column
+    * algebra, zero shuffle), and only the probe SURVIVORS take the exact
+    * fp join; definite-new rows bypass the join entirely with a null
+    * corpus_dup_of. Bloom false positives are eliminated by the exact
+    * confirm join, so the output is bit-identical to [[incrementalExact]]
+    * (gated on the same oracle SQL; the union branches cannot disagree —
+    * a filter-rejected row provably has no index match).
+    *
+    * Same persistence caveat as the plain variant, sharpened: production
+    * keeps the fp index AND its built filter words next to it (the words
+    * array is ~2 bytes/distinct fp — driver-holdable far beyond 10^10
+    * docs at default sizing), so an increment re-shuffles only the probe
+    * survivors ≈ true re-crawls + ~0.6% FPR of the batch — not the whole
+    * batch, and never the corpus. Built here inline (count + build = two
+    * index-side aggregates) for the self-contained form, exactly like
+    * [[ngramContaminationBloom]]. */
+  def incrementalExactBloom(batch: DataFrame, corpus: DataFrame,
+                            id: String, text: String,
+                            bitsPerElem: Int = 16, k: Int = 3): DataFrame = {
+    val bf = batch.select(col(id), fingerprint(col(text)).as("fp"))
+    val cf = corpus.select(col(id), fingerprint(col(text)).as("fp"))
+      .groupBy(col("fp")).agg(min(col(id)).as("corpus_dup_of"))
+    val ch = cf.select(xxhash64(col("fp")).as("h"))
+    val bitsLog2 = Bloom.bitsLog2For(ch.count(), bitsPerElem)
+    val words = Bloom.build(ch, "h", bitsLog2, k)
+    val w = Window.partitionBy(col("fp"))
+    val flagged = bf
+      .withColumn("batch_canonical_id", min(col(id)).over(w))
+      .withColumn("__maybe",
+        Bloom.mightContain(xxhash64(col("fp")), words, bitsLog2, k))
+    val confirmed = flagged.filter(col("__maybe"))
+      .join(cf.select(col("fp"), col("corpus_dup_of")), Seq("fp"), "left")
+    val definiteNew = flagged.filter(!col("__maybe"))
+      .withColumn("corpus_dup_of",
+        lit(null).cast(cf.schema("corpus_dup_of").dataType))
+    confirmed.unionByName(definiteNew)
+      .withColumn("keep",
+        (col("corpus_dup_of").isNull && (col(id) === col("batch_canonical_id")))
+          .cast("int"))
+      .select(col(id), col("fp"), col("batch_canonical_id"),
+        col("corpus_dup_of"), col("keep"))
+  }
+
   /** Incremental MinHash+LSH near-dup: candidate pairs are (batch doc,
     * corpus doc) sharing a band bucket — the batch never self-pairs and
     * the corpus never re-pairs against itself, so an increment costs

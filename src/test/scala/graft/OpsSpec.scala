@@ -1023,6 +1023,33 @@ class OpsSpec extends SparkSpec {
     assert(out(13L) === ((13L, None, 1)))
   }
 
+  test("incrementalExactBloom: bit-identical to the exact join, probe is scan-side") {
+    val rnd = new scala.util.Random(41)
+    val texts = Vector("alpha beta", "gamma delta", "epsilon", "zeta eta",
+      "theta", "iota kappa", "lambda", "mu nu xi")
+    def pick() = texts(rnd.nextInt(texts.size))
+    val corpus = (1L to 12L).map(i => i -> pick()).toDF("doc_id", "text")
+    val batch = ((100L to 115L).map(i => i -> pick()) ++
+      Seq(200L -> "definitely unseen content", 201L -> "another fresh doc"))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)), r.getInt(4))).toSet
+    val bloom = Dedup.incrementalExactBloom(batch, corpus, "doc_id", "text")
+    assert(key(bloom) ===
+      key(Dedup.incrementalExact(batch, corpus, "doc_id", "text")))
+    // plan shape: the Bloom probe is a scan-side Filter (xxhash64 over the
+    // fp), and the definite-new branch reaches the Union WITHOUT a join —
+    // exactly one join in the whole plan, under the probe-survivor side
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), plan)
+    assert(plan.contains("Union"), plan)
+    val nJoins = bloom.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.size
+    assert(nJoins === 1, plan)
+  }
+
   test("incrementalExact matches a sequential reference on random corpora") {
     val rnd = new scala.util.Random(23)
     (0 until 3).foreach { trial =>
