@@ -1038,16 +1038,28 @@ class OpsSpec extends SparkSpec {
     val bloom = Dedup.incrementalExactBloom(batch, corpus, "doc_id", "text")
     assert(key(bloom) ===
       key(Dedup.incrementalExact(batch, corpus, "doc_id", "text")))
-    // plan shape: the Bloom probe is a scan-side Filter (xxhash64 over the
-    // fp), and the definite-new branch reaches the Union WITHOUT a join —
-    // exactly one join in the whole plan, under the probe-survivor side
-    val plan = bloom.queryExecution.executedPlan.toString
-    assert(plan.contains("xxhash64"), plan)
-    assert(plan.contains("Union"), plan)
-    val nJoins = bloom.queryExecution.executedPlan.collect {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
-    }.size
-    assert(nJoins === 1, plan)
+    // plan shape on PARQUET-backed inputs (local Seq relations won't do:
+    // Catalyst pushes the probe filter through Repartition and evaluates
+    // it eagerly inside the LocalRelation, leaving nothing to assert on):
+    // the Bloom probe is a Filter over xxhash64, and the definite-new
+    // branch reaches the Union WITHOUT a join — exactly one join in the
+    // whole plan, on the probe-survivor side only
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      val pBatch = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      val bloomP = Dedup.incrementalExactBloom(pBatch, base, "doc_id", "text")
+      val plan = bloomP.queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(planStr.contains("xxhash64"), planStr) // the probe survived
+      assert(planStr.contains("Union"), planStr)
+      val nJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.size
+      assert(nJoins === 1, planStr)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("incrementalExact matches a sequential reference on random corpora") {
