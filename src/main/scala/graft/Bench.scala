@@ -129,7 +129,13 @@ object Bench {
           if (t.isAlive)
             System.err.println(s"[bench] $name worker still draining after cancel — subsequent timings may be inflated")
           false
-        case _: Throwable => false
+        case t: Throwable =>
+          // a swallowed failure is undiagnosable from the artifact alone
+          // (round 9 lost a flaky text_bpe_word_hist throw this way) —
+          // keep the negative-timing contract but say WHAT threw
+          System.err.println(s"[bench] $name threw: " +
+            Option(t.getCause).getOrElse(t))
+          false
       }
     }
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {

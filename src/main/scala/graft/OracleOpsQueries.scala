@@ -95,6 +95,34 @@ object OracleOpsQueries {
       .select((col("doc_id") +: scores) :+ langId(col("text")).as("lang_pred"): _*)
   }
 
+  /** Pure-script texts planted per doc_id residue (REPLACING the doc —
+    * stopword evidence must not compete with the script evidence under
+    * test), one per script language, plus the raw text on the remainder
+    * so the stopword path stays exercised. The kana/ideograph mix in the
+    * Japanese clause pins the ja-vs-zh disambiguation (kana count must
+    * beat the shared-ideograph count). */
+  private def plantedScriptText: Column = {
+    val m = col("doc_id") % 7
+    when(m === 0, lit("ภาษาไทยทดสอบระบบ"))
+      .when(m === 1, lit("ພາສາລາວທົດສອບ"))
+      .when(m === 2, lit("မြန်မာစာစမ်းသပ်"))
+      .when(m === 3, lit("ភាសាខ្មែរសាកល្បង"))
+      .when(m === 4, lit("データ処理の流れ"))
+      .when(m === 5, lit("机器学习提高质量"))
+      .otherwise(col("text"))
+  }
+
+  /** Script-aware language ID over the planted-script corpus — the
+    * detector [[textLangId]]'s stopword heuristic cannot provide: a Thai
+    * document scored 0 everywhere and silently tied to "de". */
+  def textLangIdScript(s: SparkSession, d: String): DataFrame = {
+    val t = plantedScriptText
+    val scores = TextAnalysis.langScoresScript(t).map { case (n, c) => c.as(n) }
+    Tables.documents(s, d)
+      .select((col("doc_id") +: scores) :+
+        TextAnalysis.langIdScript(t).as("lang_pred"): _*)
+  }
+
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
@@ -1133,6 +1161,7 @@ object OracleOpsQueries {
     "corpus_chunk_sea" -> (corpusChunkSea _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
+    "text_langid_script" -> (textLangIdScript _),
     "text_fingerprint" -> (textFingerprint _),
     "text_redact" -> (textRedact _),
     "text_html_extract" -> (textHtmlExtract _),
@@ -1382,8 +1411,11 @@ object OracleOpsQueries {
 
   /** Argmax-with-alphabetical-tie-break CASE over score_* columns —
     * the exact mirror of [[TextAnalysis.langId]]. */
-  private val langCaseSql: String = {
-    val langs = (langMarkers.map(_._1) :+ "zh").sorted
+  /** Argmax CASE over score_<lang> columns — the SQL twin of
+    * [[TextAnalysis.argmaxLang]], parameterized so the stopword-only and
+    * script-aware gates share one generator. */
+  private def langCaseSqlOver(langs0: Seq[String]): String = {
+    val langs = langs0.sorted
     val branches = langs.init.map { l =>
       val conds = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
@@ -1392,6 +1424,23 @@ object OracleOpsQueries {
        |    $branches
        |    ELSE '${langs.last}' END""".stripMargin
   }
+
+  private val langCaseSql: String =
+    langCaseSqlOver(langMarkers.map(_._1) :+ "zh")
+
+  /** Score expressions + argmax for the script-aware detector, generated
+    * from [[TextAnalysis.scriptClasses]] so a class-range tweak cannot
+    * desynchronize the gate. */
+  private val scriptLangs: Seq[String] =
+    langMarkers.map(_._1) ++ TextAnalysis.scriptClasses.map(_._1)
+  private val scriptScoreExprsSql: String =
+    (langMarkers.map { case (l, ms) => s"${langScoreSql(ms)} AS score_$l" } ++
+      TextAnalysis.scriptClasses.map { case (l, cls) =>
+        s"CAST(len(regexp_extract_all(text, '[$cls]')) AS BIGINT) AS score_$l" })
+      .mkString(",\n    ")
+  private val scriptCaseSql: String = langCaseSqlOver(scriptLangs)
+  private val scriptScoreCastsSql: String = scriptLangs.sorted
+    .map(l => s"CAST(score_$l AS BIGINT) AS score_$l").mkString(", ")
 
   private val simhashSumsSql = (0 until Dedup.SimhashBits)
     .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -2027,6 +2076,25 @@ object OracleOpsQueries {
          |SELECT doc_id, CAST(score_de AS BIGINT) AS score_de, CAST(score_en AS BIGINT) AS score_en,
          |  CAST(score_es AS BIGINT) AS score_es, CAST(score_fr AS BIGINT) AS score_fr, score_zh,
          |  $langCaseSql AS lang_pred
+         |FROM scored""".stripMargin,
+    "text_langid_script" ->
+      s"""WITH pl AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 7
+         |      WHEN 0 THEN 'ภาษาไทยทดสอบระบบ'
+         |      WHEN 1 THEN 'ພາສາລາວທົດສອບ'
+         |      WHEN 2 THEN 'မြန်မာစာစမ်းသပ်'
+         |      WHEN 3 THEN 'ភាសាខ្មែរសាកល្បង'
+         |      WHEN 4 THEN 'データ処理の流れ'
+         |      WHEN 5 THEN '机器学习提高质量'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id,
+         |    $scriptScoreExprsSql
+         |  FROM pl)
+         |SELECT doc_id, $scriptScoreCastsSql,
+         |  $scriptCaseSql AS lang_pred
          |FROM scored""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -313,11 +313,13 @@ object TextAnalysis {
     } :+ ("score_zh" -> cjkCount(text).cast("long"))
   }
 
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
+  /** Deterministic argmax over (score_<lang>, column) pairs: alphabetical
+    * order is the tie-break order, each branch beating all later ones —
+    * shared by [[langId]] and [[langIdScript]] so the two classifiers
+    * cannot diverge in tie semantics. */
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
     val langs = scores.map(_._1.stripPrefix("score_"))
     val byName = scores.toMap
-    // alphabetical order = tie-break order; each branch wins all later ones
     val branches = langs.sorted.map { l =>
       val mine = byName(s"score_$l")
       val cond = langs.sorted.filter(_ != l)
@@ -328,6 +330,41 @@ object TextAnalysis {
       case ((cond, v), acc) => when(cond, v).otherwise(acc)
     }
   }
+
+  def langId(text: Column): Column = argmaxLang(langScores(text))
+
+  /** Script codepoint classes for languages whose writing system alone
+    * identifies them — the detector the SEA tokenizer work exposed as
+    * missing: under [[langId]] a Thai document scores 0 on every
+    * stopword list and silently ties to "de". Kana identifies Japanese
+    * against Chinese (shared ideographs score zh for both; kana is
+    * ja-only). RE2-compatible classes, oracle-mirrored verbatim. */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "ja" -> "\\x{3040}-\\x{30FF}",
+    "km" -> "\\x{1780}-\\x{17FF}",
+    "lo" -> "\\x{0E80}-\\x{0EFF}",
+    "my" -> "\\x{1000}-\\x{109F}",
+    "th" -> "\\x{0E00}-\\x{0E7F}",
+    "zh" -> "\\x{4E00}-\\x{9FFF}")
+
+  /** [[langScores]] widened with per-script codepoint counts: the
+    * stopword languages keep their token-hit scores, script languages
+    * score one per codepoint of their class. A mixed document is judged
+    * by whichever evidence dominates — the honest heuristic at the
+    * corpus-triage tier; anything finer needs a trained model. */
+  def langScoresScript(text: Column): Seq[(String, Column)] = {
+    val t = tokens(lower(text))
+    langMarkers.map { case (lang, markers) =>
+      s"score_$lang" ->
+        size(filter(t, x => x.isin(markers.map(m => m: Any): _*))).cast("long")
+    } ++ scriptClasses.map { case (lang, cls) =>
+      s"score_$lang" -> regexp_count(text, lit(s"[$cls]")).cast("long")
+    }
+  }
+
+  /** Script-aware language ID over [[langScoresScript]] — same argmax,
+    * same alphabetical tie-break as [[langId]]. */
+  def langIdScript(text: Column): Column = argmaxLang(langScoresScript(text))
 
   // ------------------------------------------------------------- redaction
 

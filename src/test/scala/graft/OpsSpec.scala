@@ -1579,6 +1579,29 @@ class OpsSpec extends SparkSpec {
     assert(wsChunks.count() === 1L) // the degradation the mode closes
   }
 
+  test("script langid: each script resolves to its language, kana beats shared ideographs") {
+    val docs = Seq(
+      (1L, "ภาษาไทยทดสอบระบบ"),      // Thai
+      (2L, "ພາສາລາວທົດສອບ"),         // Lao
+      (3L, "မြန်မာစာစမ်းသပ်"),        // Myanmar
+      (4L, "ភាសាខ្មែរសាកល្បង"),       // Khmer
+      (5L, "データ処理の流れ"),         // Japanese: kana count > ideograph count
+      (6L, "机器学习提高质量"),         // Chinese: ideographs only
+      (7L, "the cat sat on the mat with the hat") // stopword path intact
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.langIdScript(col("text"))).as[(Long, String)]
+      .collect().toMap
+    assert(got === Map(1L -> "th", 2L -> "lo", 3L -> "my", 4L -> "km",
+      5L -> "ja", 6L -> "zh", 7L -> "en"))
+    // the old stopword-only detector mislabels every script doc as the
+    // all-zero alphabetical tie ("de") — the failure this closes
+    val old = docs.filter(col("doc_id") <= 6)
+      .select(TextAnalysis.langId(col("text")))
+      .as[String].collect().toSet
+    assert(old === Set("de", "zh")) // zh only via the old cjk counter
+  }
+
   test("registered domain: PSL longest-match over host extraction") {
     import graft.ops.Domains
     val urls = Seq(
