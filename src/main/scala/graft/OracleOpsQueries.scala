@@ -247,6 +247,25 @@ object OracleOpsQueries {
       .otherwise(lit("http://localhost:9090/health"))
   }
 
+  /** URL-level exact dedup over canonicalized URLs: three planted
+    * variants of the same page per id-triple — https + WWW + :443 +
+    * trailing slash + two utm params; http + userinfo + one utm param;
+    * bare host + :80 + fragment — must collapse to ONE canonical row
+    * with the smallest doc_id as keeper. Every normalization branch of
+    * [[graft.ops.Domains.canonicalUrl]] fires. */
+  def dedupUrlCanonical(s: SparkSession, d: String): DataFrame = {
+    val m = col("doc_id") % 3
+    val page = expr("doc_id DIV 3")
+    val url = when(m === 0, concat(lit("https://WWW.Example.com:443/page/"),
+        page, lit("/?utm_source=x&utm_campaign=y")))
+      .when(m === 1, concat(lit("http://user@www.example.com/page/"),
+        page, lit("?utm_medium=z")))
+      .otherwise(concat(lit("www.example.com:80/page/"), page, lit("#frag")))
+    graft.ops.Domains.urlDedup(
+      Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+      "doc_id", col("url"))
+  }
+
   /** [[corpusDomainCap]] keyed on the EXTRACTED registered domain of a
     * planted URL column instead of a pre-cleaned source label — the form
     * a real crawl corpus needs (VERDICT r8 item 6): the cap key must be
@@ -1169,6 +1188,7 @@ object OracleOpsQueries {
     "corpus_preclean" -> (corpusPreclean _),
     "corpus_domain_cap" -> (corpusDomainCap _),
     "corpus_domain_cap_registered" -> (corpusDomainCapRegistered _),
+    "dedup_url_canonical" -> (dedupUrlCanonical _),
     "text_repetition" -> (textRepetition _),
     "text_rare_tokens" -> (textRareTokens _),
     "text_nfc" -> (textNfc _),
@@ -2126,6 +2146,33 @@ object OracleOpsQueries {
         |  FROM documents)
         |SELECT key, CAST(rk AS BIGINT) AS rank, score, doc_id
         |FROM r WHERE rk <= 25""".stripMargin,
+    "dedup_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'https://WWW.Example.com:443/page/' || (doc_id // 3) || '/?utm_source=x&utm_campaign=y'
+        |      WHEN 1 THEN 'http://user@www.example.com/page/' || (doc_id // 3) || '?utm_medium=z'
+        |      ELSE 'www.example.com:80/page/' || (doc_id // 3) || '#frag' END AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM u),
+        |c AS (
+        |  SELECT doc_id,
+        |    'http://' ||
+        |    regexp_replace(lower(regexp_extract(nofrag, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#][^/?#]*)', 1)), ':(80|443)$', '') ||
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(nofrag, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?[^/?#]+', ''),
+        |              '([?&])utm_[A-Za-z]+=[^&]*', '\1', 'g'),
+        |            '\?&+', '?', 'g'),
+        |          '&&+', '&', 'g'),
+        |        '[?&]$', ''),
+        |      '/$', '') AS canon_url
+        |  FROM nf)
+        |SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM c GROUP BY canon_url""".stripMargin,
     "corpus_domain_cap_registered" ->
       s"""WITH u AS (
          |  SELECT doc_id, n_chars,

@@ -105,14 +105,67 @@ object Domains {
     val h = host(url)
     val labels = split(h, "\\.")
     val n = size(labels)
-    val suf = typedlit(suffixes)
     // longest-match: deepest candidate suffix that appears in the table,
-    // requiring at least one label LEFT OF the suffix to register under
+    // requiring at least one label LEFT OF the suffix to register under.
+    // Membership via isin: past ~10 values Catalyst compiles it to InSet
+    // (one static hash-set probe per candidate), so even the FULL ~9k-row
+    // public suffix list rides this same scan-side shape — a ~200 KB
+    // closure constant beats a broadcast join + per-id re-aggregation at
+    // any corpus scale
     def cand(k: Int) = concat_ws(".", slice(labels, -k, k))
-    val k = when(n > lit(3) && array_contains(suf, cand(3)), lit(3))
-      .when(n > lit(2) && array_contains(suf, cand(2)), lit(2))
+    def inTable(c: Column) = c.isin(suffixes.map(s => s: Any): _*)
+    val k = when(n > lit(3) && inTable(cand(3)), lit(3))
+      .when(n > lit(2) && inTable(cand(2)), lit(2))
       .otherwise(lit(1)) // implicit * rule: the TLD itself
     when(n <= lit(1), h)
       .otherwise(concat_ws(".", slice(labels, -(k + lit(1)), k + lit(1))))
   }
+
+  /** URL canonicalization for URL-level exact dedup — the stage a crawl
+    * pipeline runs BEFORE content dedup (RefinedWeb §3.1 dedups on the
+    * normalized URL first; a re-crawled page must collapse without
+    * hashing its body). Normalizations, each a deliberate same-page
+    * judgment call, documented so callers can disagree:
+    *   - fragment dropped (never sent to the server);
+    *   - scheme folded to `http://` and added when missing (http/https
+    *     serve the same document in any modern crawl);
+    *   - userinfo dropped, host case-folded, default ports 80/443
+    *     dropped (other ports are DIFFERENT origins and survive);
+    *   - `utm_*` tracking params dropped with separator repair;
+    *   - one trailing slash dropped (`/a/` == `/a`; root `/` == empty).
+    * Pure regex column algebra (every pattern RE2-compatible, mirrored
+    * verbatim in the DuckDB oracle) — canonicalizing 100 TB of URLs is
+    * one scan-side projection; the dedup after it is one exact groupBy
+    * on the canonical string. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    // [[hostRegex]] with case-tolerant classes: extraction runs on the
+    // UN-lowered input (the path must keep its case), the host is folded
+    // after
+    val hostPort = regexp_extract(noFrag,
+      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#][^/?#]*)", 1)
+    val h = regexp_replace(lower(hostPort), ":(80|443)$", "")
+    // the remainder after scheme/userinfo/hostPort: "/path?query" or ""
+    val pathQ = regexp_replace(noFrag,
+      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?[^/?#]+", "")
+    val noUtm = regexp_replace(pathQ, "([?&])utm_[A-Za-z]+=[^&]*", "$1")
+    // separator repair: collapse "?&"/"&&" runs left by the cut, then a
+    // dangling trailing "?" or "&"
+    val tidied = regexp_replace(
+      regexp_replace(noUtm, "\\?&+", "?"),
+      "&&+", "&")
+    val noTail = regexp_replace(tidied, "[?&]$", "")
+    val noSlash = regexp_replace(noTail, "/$", "")
+    concat(lit("http://"), h, noSlash)
+  }
+
+  /** URL-level exact dedup over [[canonicalUrl]]: one row per canonical
+    * URL with the smallest id as keeper and the duplicate count — the
+    * crawl-frontier collapse that runs before any content fingerprint.
+    * One groupBy shuffle on the canonical string. */
+  def urlDedup(df: org.apache.spark.sql.DataFrame, id: String,
+               url: Column): org.apache.spark.sql.DataFrame =
+    df.select(col(id), canonicalUrl(url).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 }

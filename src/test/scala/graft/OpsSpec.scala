@@ -1634,6 +1634,34 @@ class OpsSpec extends SparkSpec {
     assert(custom(3L) === "com.au") // com.au absent from the custom table
   }
 
+  test("canonical url: same-page variants collapse, different origins survive") {
+    import graft.ops.Domains
+    val urls = Seq(
+      (1L, "https://WWW.Example.com:443/page/7/?utm_source=x&utm_campaign=y"),
+      (2L, "http://user@www.example.com/page/7?utm_medium=z"),
+      (3L, "www.example.com:80/page/7#frag"),
+      (4L, "https://www.example.com/page/8"),       // different page
+      (5L, "https://www.example.com:8443/page/7"),  // non-default port survives
+      (6L, "https://www.example.com/p?a=1&utm_b=2&c=3"), // mid-query utm
+      (7L, "https://www.example.com/p?a=1&c=3")     // same page as 6
+    ).toDF("id", "url")
+    val got = urls.select(col("id"), Domains.canonicalUrl(col("url")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "http://www.example.com/page/7")
+    assert(got(2L) === "http://www.example.com/page/7")
+    assert(got(3L) === "http://www.example.com/page/7")
+    assert(got(4L) === "http://www.example.com/page/8")
+    assert(got(5L) === "http://www.example.com:8443/page/7")
+    assert(got(6L) === "http://www.example.com/p?a=1&c=3")
+    assert(got(6L) === got(7L))
+    // the dedup keeps the smallest id per canonical group
+    val dd = Domains.urlDedup(urls, "id", col("url"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(dd("http://www.example.com/page/7") === ((1L, 3L)))
+    assert(dd("http://www.example.com/page/8") === ((4L, 1L)))
+    assert(dd("http://www.example.com/p?a=1&c=3") === ((6L, 2L)))
+  }
+
   test("unseg tokenizer: per-codepoint on SEA scripts, backward-identical elsewhere") {
     // SEA-free corpus: Unseg IS Cjk (and, transitively via the cjk spec
     // above, IS the whitespace split on CJK-free text) — corpora can
