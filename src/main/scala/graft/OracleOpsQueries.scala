@@ -143,6 +143,23 @@ object OracleOpsQueries {
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
 
+  /** Full-PII redaction gate: plants both phone forms (+CC-dashed and
+    * parenthesized-area), a per-doc IPv4, an email, and a long reference
+    * number in one line, so every stage of the email → IP → phone →
+    * long-number chain fires and the stage ORDER is observable (the
+    * email eats its digits before the catch-all sees them). */
+  def textRedactPii(s: SparkSession, d: String): DataFrame = {
+    val synth = concat(
+      substring(col("text"), 1, 40),
+      lit(" call +1-555-123-4567 or (212) 555-0000 node 10.0."),
+      (col("doc_id") % 250).cast("string"), lit(".7 mail u"),
+      (col("doc_id") % 100).cast("string"),
+      lit("@mail.example.com ref "),
+      (col("doc_id") + 1234567890L).cast("string"))
+    val cols = TextAnalysis.redactPiiColumns(synth).map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
 
   /** The synthetic documents contain no markup, so the HTML-extraction
     * gate WRAPS each text in a deterministic page (mirrored in the
@@ -1183,6 +1200,7 @@ object OracleOpsQueries {
     "text_langid_script" -> (textLangIdScript _),
     "text_fingerprint" -> (textFingerprint _),
     "text_redact" -> (textRedact _),
+    "text_redact_pii" -> (textRedactPii _),
     "text_html_extract" -> (textHtmlExtract _),
     "text_fix_encoding" -> (textFixEncoding _),
     "corpus_preclean" -> (corpusPreclean _),
@@ -2138,6 +2156,33 @@ object OracleOpsQueries {
          |  regexp_replace(t1, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g') AS redacted,
          |  CAST(length(regexp_replace(t1, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
          |FROM r1""".stripMargin,
+    "text_redact_pii" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) || ' call +1-555-123-4567 or (212) 555-0000 node 10.0.'
+         |      || CAST(doc_id % 250 AS VARCHAR) || '.7 mail u' || CAST(doc_id % 100 AS VARCHAR)
+         |      || '@mail.example.com ref ' || CAST(doc_id + 1234567890 AS VARCHAR) AS t
+         |  FROM documents),
+         |r1 AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '${TextAnalysis.emailRegex}')) AS BIGINT) AS n_emails,
+         |    regexp_replace(t, '${TextAnalysis.emailRegex}', '<EMAIL>', 'g') AS t1
+         |  FROM s),
+         |r2 AS (
+         |  SELECT doc_id, n_emails,
+         |    CAST(len(regexp_extract_all(t1, '${TextAnalysis.ipv4Regex}')) AS BIGINT) AS n_ips,
+         |    regexp_replace(t1, '${TextAnalysis.ipv4Regex}', '<IP>', 'g') AS t2
+         |  FROM r1),
+         |r3 AS (
+         |  SELECT doc_id, n_emails, n_ips,
+         |    CAST(len(regexp_extract_all(t2, '${TextAnalysis.phoneRegex}')) AS BIGINT) AS n_phones,
+         |    regexp_replace(t2, '${TextAnalysis.phoneRegex}', '<PHONE>', 'g') AS t3
+         |  FROM r2)
+         |SELECT doc_id, n_emails, n_ips, n_phones,
+         |  CAST(len(regexp_extract_all(t3, '${TextAnalysis.longNumberRegex}')) AS BIGINT) AS n_long_numbers,
+         |  regexp_replace(t3, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g') AS redacted,
+         |  CAST(length(regexp_replace(t3, '${TextAnalysis.longNumberRegex}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+         |FROM r3""".stripMargin,
     "corpus_domain_cap" ->
       """WITH r AS (
         |  SELECT source AS key, doc_id, CAST(n_chars AS DOUBLE) AS score,

@@ -388,6 +388,36 @@ object TextAnalysis {
       "redacted" -> red, "redacted_len" -> length(red).cast("long"))
   }
 
+  /** IPv4 literal (word-bounded so version strings like 1.2.3.4.5 don't
+    * half-match) and phone numbers with separators (optional +CC and
+    * area parens; a bare 10-digit run is NOT a phone — it falls through
+    * to the long-number catch-all). RE2-compatible: no lookaround, `\b`
+    * is supported by both engines. */
+  val ipv4Regex = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  val phoneRegex =
+    "(\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** [[redactColumns]] widened to the full Dolma-style PII set: email →
+    * IPv4 → phone → long-number, each stage counted on and applied to
+    * the PREVIOUS stage's output so no span is double-redacted (emails
+    * eat their digits first; the long-number catch-all runs last so it
+    * only sees digit runs no earlier pattern claimed). Kept separate
+    * from [[redactColumns]] so the existing gates stay bit-stable;
+    * same zero-shuffle scan-side shape. */
+  def redactPiiColumns(text: Column): Seq[(String, Column)] = {
+    val nEmails = regexp_count(text, lit(emailRegex)).cast("long")
+    val s1 = regexp_replace(text, emailRegex, "<EMAIL>")
+    val nIps = regexp_count(s1, lit(ipv4Regex)).cast("long")
+    val s2 = regexp_replace(s1, ipv4Regex, "<IP>")
+    val nPhones = regexp_count(s2, lit(phoneRegex)).cast("long")
+    val s3 = regexp_replace(s2, phoneRegex, "<PHONE>")
+    val nNums = regexp_count(s3, lit(longNumberRegex)).cast("long")
+    val red = regexp_replace(s3, longNumberRegex, "<NUM>")
+    Seq("n_emails" -> nEmails, "n_ips" -> nIps, "n_phones" -> nPhones,
+      "n_long_numbers" -> nNums,
+      "redacted" -> red, "redacted_len" -> length(red).cast("long"))
+  }
+
   // ------------------------------------------------------------ repetition
 
   /** Word-2-gram array for a token-array column — shared by BOTH

