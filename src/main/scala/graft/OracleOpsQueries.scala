@@ -620,6 +620,17 @@ object OracleOpsQueries {
     graft.ops.Splits.assignShards(
       Tables.documents(s, d).select(col("doc_id")), "doc_id", nShards = 16)
 
+  /** Shard layout + manifest composed: the count/volume/checksum rows a
+    * training run commits next to its shard files. Order-invariance is
+    * what the gate proves — Spark aggregates in partition order, DuckDB
+    * in scan order, and the xor checksum must agree bit-exactly. */
+  def corpusShardManifest(s: SparkSession, d: String): DataFrame = {
+    val sharded = graft.ops.Splits.assignShards(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", nShards = 16)
+    graft.ops.Splits.shardManifest(sharded, "doc_id", col("text"))
+  }
+
   /** Token-mass-balanced shard layout per language: ~2000 tokens per
     * shard file at sf0.01 gives en ~6 shards and the small languages 2-3
     * each, so multi-shard strata, boundary overshoot, and the exclusive-
@@ -1230,6 +1241,7 @@ object OracleOpsQueries {
     "corpus_gopher_report" -> (corpusGopherReport _),
     "dataset_split" -> (datasetSplit _),
     "corpus_shard" -> (corpusShard _),
+    "corpus_shard_manifest" -> (corpusShardManifest _),
     "corpus_shard_mass" -> (corpusShardMass _),
     "corpus_pack" -> (corpusPack _),
     "dedup_exact" -> (dedupExact _),
@@ -2594,6 +2606,17 @@ object OracleOpsQueries {
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) - 1
          |    AS BIGINT) AS pos
          |FROM b""".stripMargin,
+    // manifest over the same shard assignment: the xor checksum must be
+    // identical whatever order each engine feeds rows to the aggregate
+    "corpus_shard_manifest" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |    ${h60("'shard_' || CAST(doc_id AS VARCHAR)")} % 16 AS shard
+         |  FROM documents)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         |  bit_xor(${h60("CAST(doc_id AS VARCHAR) || '|' || text")}) AS checksum
+         |FROM b GROUP BY shard""".stripMargin,
     // mass-balanced shards: one global per-stratum mass window in salted
     // hash order; shard = exclusive prefix // massPerShard, pure BIGINT
     "corpus_shard_mass" ->

@@ -193,6 +193,27 @@ object Splits {
       .select(col("key"), (col("pos") + 1).cast("long").as("rank"),
         col("col.score").as("score"), col("col.id").as(id))
 
+  /** Per-shard manifest — the reproducibility artifact a training run
+    * pins next to its shard files: document count, character volume, and
+    * an ORDER-INVARIANT content checksum per shard (xor of per-row
+    * 60-bit hashes over `id|text`, so any physical row order — and any
+    * partitioning — yields the same manifest; hashing the (id, text)
+    * PAIR means two identical documents under different ids cannot
+    * cancel out of the xor). Re-running the manifest over re-read shard
+    * files and diffing against the committed one detects corruption,
+    * truncation, or nondeterministic re-materialization in one
+    * aggregate. One groupBy shuffle of (shard, 8-byte hash) rows at any
+    * corpus size. */
+  def shardManifest(sharded: DataFrame, id: String, text: Column): DataFrame =
+    sharded.select(col("shard"),
+        length(text).cast("long").as("__len"),
+        TextAnalysis.hash60(
+          concat_ws("|", col(id).cast("string"), text)).as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("n_chars"),
+        expr("bit_xor(__h)").as("checksum"))
+
   /** Deterministic training-shard assignment — the write step of a corpus
     * pipeline: shard = salted hash bucket in [0, nShards), pos = the row's
     * dense rank inside its shard ordered by a second salted hash (ties

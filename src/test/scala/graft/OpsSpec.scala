@@ -1634,6 +1634,30 @@ class OpsSpec extends SparkSpec {
     assert(custom(3L) === "com.au") // com.au absent from the custom table
   }
 
+  test("shard manifest: partition- and order-invariant, detects any content drift") {
+    import graft.ops.Splits
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Splits.shardManifest(Splits.assignShards(df, "doc_id", 8), "doc_id",
+          col("text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val a = manifest(docs)
+    val b = manifest(docs.repartition(13).sortWithinPartitions(desc("doc_id")))
+    assert(a === b) // physical layout can never change the manifest
+    assert(a.size === 8 && a.values.map(_._1).sum === docs.count())
+    // one flipped character in one document flips exactly that shard's
+    // checksum and nothing else
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 1L, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    val t = manifest(tampered)
+    val changed = a.keySet.filter(s => a(s) != t(s))
+    assert(changed.size === 1)
+    assert(a(changed.head)._3 !== t(changed.head)._3)
+  }
+
   test("pii redaction: email -> ip -> phone -> number stage order, bare digits are NUM") {
     val docs = Seq(
       (1L, "call +1-555-123-4567 or (212) 555-0000 from 10.0.3.7 mail a@b.co ref 123456789"),
