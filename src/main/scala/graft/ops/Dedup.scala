@@ -609,7 +609,13 @@ object Dedup {
     * survivors ≈ true re-crawls + ~0.6% FPR of the batch — not the whole
     * batch, and never the corpus. Built here inline (count + build = two
     * index-side aggregates) for the self-contained form, exactly like
-    * [[ngramContaminationBloom]]. */
+    * [[ngramContaminationBloom]].
+    *
+    * Cost note: the two union branches each re-evaluate the batch-side
+    * fingerprint projection and canonical-id window (Catalyst recomputes
+    * shared subtrees across a Union). The batch is small by definition —
+    * an increment — but a caller whose batch frame is itself expensive
+    * to compute should `localCheckpoint` it first. */
   def incrementalExactBloom(batch: DataFrame, corpus: DataFrame,
                             id: String, text: String,
                             bitsPerElem: Int = 16, k: Int = 3): DataFrame = {

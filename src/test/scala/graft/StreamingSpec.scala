@@ -268,6 +268,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_.exists(v => v == "alpha don\u2019t beta")))
   }
 
+  test("streaming pii redaction and url canonicalization equal batch (stateless)") {
+    // both new round-9 passes are scan-side column algebra: a crawl
+    // firehose gets its URLs canonicalized and its PII cut record by
+    // record with zero state; combined with
+    // dropDuplicatesWithinWatermark on canon_url this IS streaming
+    // URL dedup
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "https://WWW.Example.com:443/p/1/?utm_source=x",
+        "call +1-555-123-4567 from 10.0.3.7 mail a@b.co"),
+      (2L, "http://user@www.example.com/p/1", "ref 123456789 only"),
+      (3L, "www.other.org:8080/q#f", "clean"))
+    def pass(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      graft.ops.Domains.canonicalUrl(col("url")).as("canon_url"),
+      graft.ops.TextAnalysis.redactPiiColumns(col("text"))
+        .toMap.apply("redacted").as("redacted"))
+    val ms = MemoryStream[(Long, String, String)](spark)
+    ms.addData(docs: _*)
+    val q = pass(ms.toDF.toDF("doc_id", "url", "text"))
+      .writeStream.format("memory").queryName("pii_url_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val batch = pass(docs.toDF("doc_id", "url", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(spark.table("pii_url_stream").collect().map(_.toSeq).toSet === batch)
+    // the same-page variants collapsed to one canonical, PII was cut
+    assert(batch.count(_(1) == "http://www.example.com/p/1") === 2)
+    assert(batch.exists(_(2) == "call <PHONE> from <IP> mail <EMAIL>"))
+  }
+
   test("streaming media fingerprints equal the batch tables (stateless decode)") {
     // phashTable / audioFingerprintTable are partition-local decodes with
     // no shuffle — the same transform must run unchanged on a stream of
