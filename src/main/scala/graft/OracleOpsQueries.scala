@@ -76,6 +76,14 @@ object OracleOpsQueries {
       size(TextAnalysis.tokensUnseg(plantedSea)).cast("long").as("n_tokens_unseg"),
       regexp_count(plantedSea, lit(s"[${TextAnalysis.seaClass}]")).cast("long").as("n_sea_chars"))
 
+  /** Sentence-aligned chunking at a 32-token target — windows never cut
+    * a sentence; the DuckDB mirror computes the same exclusive-prefix
+    * DIV walk with an explode + mass window, proving the scan-side
+    * array-algebra decomposition against the monolithic formulation. */
+  def corpusChunkSentences(s: SparkSession, d: String): DataFrame =
+    graft.ops.Chunking.chunkBySentences(
+      Tables.documents(s, d), "doc_id", "text", targetTokens = 32)
+
   /** Token-window chunking in Unseg mode over the SEA-planted corpus —
     * [[corpusChunkCjk]]'s geometry with the widened class. */
   def corpusChunkSea(s: SparkSession, d: String): DataFrame =
@@ -1206,6 +1214,7 @@ object OracleOpsQueries {
     "corpus_chunk_cjk" -> (corpusChunkCjk _),
     "text_tokens_sea" -> (textTokensSea _),
     "corpus_chunk_sea" -> (corpusChunkSea _),
+    "corpus_chunk_sentences" -> (corpusChunkSentences _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_langid_script" -> (textLangIdScript _),
@@ -2080,6 +2089,28 @@ object OracleOpsQueries {
          |  CAST(least(16, n - chunk_id * 12) AS BIGINT) AS n_tok,
          |  array_to_string(list_slice(t, chunk_id * 12 + 1, chunk_id * 12 + 16), ' ') AS chunk_text
          |FROM e""".stripMargin,
+    "corpus_chunk_sentences" ->
+      """WITH ps AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '\.\s+'), x -> trim(x)),
+        |      x -> len(x) > 0) AS us
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(us) AS u, unnest(range(len(us))) AS pos FROM ps),
+        |n AS (
+        |  SELECT doc_id, u, pos,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(u), '\s+'), x -> len(x) > 0)) AS BIGINT) AS nt
+        |  FROM e),
+        |c AS (
+        |  SELECT doc_id, u, pos, nt,
+        |    COALESCE(SUM(nt) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM n),
+        |k AS (SELECT doc_id, u, pos, nt, cumb // 32 AS chunk_id FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  COUNT(*) AS n_units, CAST(SUM(nt) AS BIGINT) AS n_tok,
+        |  string_agg(u, '. ' ORDER BY pos) AS chunk_text
+        |FROM k GROUP BY doc_id, chunk_id""".stripMargin,
     "text_tokens_sea" ->
       s"""WITH $seaPlantSql
          |SELECT doc_id,

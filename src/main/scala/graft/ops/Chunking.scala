@@ -97,4 +97,63 @@ object Chunking {
           " ").as("chunk_text"))
       .filter(col("n_tok") > 0)
   }
+
+  /** Sentence-ALIGNED chunking — the boundary-respecting variant a RAG /
+    * pretraining chunker actually wants: windows never cut a sentence in
+    * half. Documents split into the same sentence-ish units as
+    * [[Dedup.paragraphDedup]] (`". "` split, empties trimmed), each unit
+    * belongs WHOLLY to the chunk its exclusive token prefix lands in
+    * (`chunk = cum_before DIV targetTokens` — the boundary-overshoot
+    * convention of [[Splits.tokenBudgetSample]]: a chunk overshoots the
+    * target by at most one unit, and a unit longer than the whole target
+    * sits alone, leaving the chunk indexes it spans empty rather than
+    * splitting). Chunk text is the units re-joined with `". "` (the
+    * separator the split consumed — the same reconstruction
+    * [[Dedup.paragraphDedup]] documents).
+    *
+    * Shape: pure scan-side array algebra — NO explode-then-window, no
+    * shuffle at all; the per-doc prefix sums are an O(units²)
+    * `transform` + `slice` (the same in-row quadratic
+    * [[Dedup.paragraphDedupInDoc]] accepts: units are bounded by doc
+    * length, and one in-memory pass per row beats a corpus-wide
+    * explode + window shuffle at any scale). Output
+    * (id, chunk_id, n_units, n_tok, chunk_text). */
+  def chunkBySentences(df: DataFrame, id: String, text: String,
+                       targetTokens: Int,
+                       tokenMode: TextAnalysis.TokenMode =
+                         TextAnalysis.TokenMode.Whitespace): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    val t = targetTokens.toLong
+    val units = filter(
+      transform(split(col(text), "\\.\\s+"), u => trim(u)),
+      u => length(u) > 0)
+    val base = graft.operators.Scale.balanceToCores(df)
+      .select(col(id), units.as("__u"))
+      .withColumn("__n",
+        transform(col("__u"),
+          u => size(TextAnalysis.tokens(u, tokenMode)).cast("long")))
+      // exclusive prefix sums: slice(ns, 1, i) is the first i elements
+      // (empty at i = 0), aggregate folds them — O(units²) per row
+      .withColumn("__cum",
+        transform(col("__n"), (_, i) =>
+          aggregate(slice(col("__n"), lit(1), i), lit(0L), (a, x) => a + x)))
+      .withColumn("__k",
+        transform(col("__cum"), c => ((c - pmod(c, lit(t))) / t).cast("long")))
+    // one struct per DISTINCT chunk id, assembled in-row from the unit /
+    // count / chunk-id arrays (outer columns are visible inside HOFs)
+    val chunks = transform(array_distinct(col("__k")), cid =>
+      struct(
+        cid.as("chunk_id"),
+        size(filter(col("__k"), k => k === cid)).cast("long").as("n_units"),
+        aggregate(zip_with(col("__n"), col("__k"),
+            (n, k) => when(k === cid, n).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x).as("n_tok"),
+        array_join(
+          zip_with(col("__u"), col("__k"),
+            (u, k) => when(k === cid, u).otherwise(lit(null))),
+          ". ").as("chunk_text")))
+    base.select(col(id), explode(chunks).as("__c"))
+      .select(col(id), col("__c.chunk_id"), col("__c.n_units"),
+        col("__c.n_tok"), col("__c.chunk_text"))
+  }
 }

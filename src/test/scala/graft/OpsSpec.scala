@@ -1634,6 +1634,36 @@ class OpsSpec extends SparkSpec {
     assert(custom(3L) === "com.au") // com.au absent from the custom table
   }
 
+  test("sentence chunking: boundaries never split a unit, overshoot and oversize conventions hold") {
+    import graft.ops.Chunking
+    val docs = Seq(
+      // units of 3/3/3 tokens, target 5: chunk 0 = units 1+2 (cum 0,3),
+      // chunk 1 = unit 3 (cum 6 -> 6 div 5 = 1) — overshoot by one unit
+      (1L, "one two three. four five six. seven eight nine"),
+      // an 11-token unit with target 5 sits ALONE in chunk 0 and the
+      // next unit starts at cum 11 -> chunk 2: index 1 is skipped
+      (2L, "a b c d e f g h i j k. tail words here"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = Chunking.chunkBySentences(docs, "doc_id", "text", targetTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got((1L, 0L)) === ((2L, 6L, "one two three. four five six")))
+    assert(got((1L, 1L)) === ((1L, 3L, "seven eight nine")))
+    assert(got((2L, 0L)) === ((1L, 11L, "a b c d e f g h i j k")))
+    assert(got((2L, 2L)) === ((1L, 3L, "tail words here")))
+    assert(!got.contains((2L, 1L))) // the span the oversize unit covers
+    assert(!got.exists(_._1._1 == 3L)) // empty doc yields no chunks
+    // zero-shuffle plan: the whole pass is in-row array algebra
+    val plan = Chunking.chunkBySentences(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text", 32)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, plan.toString)
+  }
+
   test("shard manifest: partition- and order-invariant, detects any content drift") {
     import graft.ops.Splits
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -102,6 +102,47 @@ class PlanShapeSpec extends SparkSpec {
       s"text_gopher must not shuffle:\n${df.queryExecution.executedPlan}")
   }
 
+  test("sea tokens, script langid, and pii redaction are shuffle-free scan-side projections") {
+    // round-9 scan-side passes: per-codepoint SEA tokenization counts,
+    // the script-aware language detector, and the widened PII chain all
+    // cost exactly one projection at 100 TB
+    Seq("text_tokens_sea", "text_langid_script", "text_redact_pii").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"$q must not shuffle:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("registered-domain extraction is scan-side; url dedup and manifest shuffle exactly once") {
+    // the PSL lookup is pure column algebra (InSet membership), so the
+    // cap's only exchanges are the ones capPerKey itself needs; URL
+    // dedup is ONE groupBy on the canonical string; the shard manifest
+    // is ONE groupBy on the shard id (the window inside assignShards is
+    // pruned away because the manifest never reads pos)
+    val dd = SparkEntry.queries("dedup_url_canonical")(spark, sf)
+    val ddEx = dd.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ddEx.size <= 1,
+      s"url dedup must shuffle at most once:\n${dd.queryExecution.executedPlan}")
+    val mf = SparkEntry.queries("corpus_shard_manifest")(spark, sf)
+    val mfEx = mf.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(mfEx.size <= 2, // partial/final agg pair collapses to one exchange
+      s"manifest must stay a single aggregation:\n${mf.queryExecution.executedPlan}")
+    // no join anywhere in either plan — the lookup table never became one
+    Seq(dd, mf).foreach { df =>
+      val joins = df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.isEmpty, df.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("html extract, encoding repair, and their composition are shuffle-free projections") {
     Seq("text_html_extract", "text_fix_encoding", "corpus_preclean").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
