@@ -459,6 +459,17 @@ object OracleOpsQueries {
       train = Some(docs.filter(col("lang") === "en")))
   }
 
+  /** Stupid-backoff trigram score in the cross regime (en-trained, all
+    * docs scored) — the only regime where the ladder actually descends:
+    * en docs score through the trigram tier, non-en docs fall through
+    * bigram/unigram tiers to true OOV, so every branch and every tier
+    * counter is gate-covered. */
+  def textLmBackoff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.stupidBackoffScore(docs, "doc_id", "text",
+      train = Some(docs.filter(col("lang") === "en")))
+  }
+
   /** CCNet head/middle/tail cut per language, cross-scored against the
     * en-trained LM ([[textLmBigramCross]]'s exact regime — the real
     * CCNet setup). Non-English strata surface OOV-flattened scores, en
@@ -1233,6 +1244,7 @@ object OracleOpsQueries {
     "text_lm_bigram" -> (textLmBigram _),
     "text_lm_trigram" -> (textLmTrigram _),
     "text_lm_bigram_cross" -> (textLmBigramCross _),
+    "text_lm_backoff" -> (textLmBackoff _),
     "text_lm_buckets" -> (textLmBuckets _),
     "text_dsir_weight" -> (textDsirWeight _),
     "text_classify_unigram" -> (textClassifyUnigram _),
@@ -2520,6 +2532,88 @@ object OracleOpsQueries {
     "text_lm_trigram" -> lmNgramSql(3, trainJoin = ""),
     "text_lm_bigram_cross" ->
       lmNgramSql(2, trainJoin = "JOIN documents d USING (doc_id) WHERE d.lang = 'en'"),
+    // stupid backoff: the en-trained trigram/bigram/unigram ladder with
+    // exact-integer 0.4 = 2/5 tiers; tokens contain no spaces, so the
+    // regex extractions recover the same backoff keys Spark's
+    // substring_index does
+    "text_lm_backoff" ->
+      s"""WITH $toksCte,
+         |ttoks AS (
+         |  SELECT toks.doc_id, t FROM toks JOIN documents d USING (doc_id)
+         |  WHERE d.lang = 'en'),
+         |g3l AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 3
+         |    THEN list_transform(generate_series(1, len(t)-2),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |    ELSE [] END AS l
+         |  FROM ttoks),
+         |g3 AS (SELECT unnest(l) AS s FROM g3l),
+         |p3 AS (SELECT ${h60("regexp_replace(s, ' [^ ]+$', '')")} AS h13,
+         |         ${h60("s")} AS h123, CAST(count(*) AS BIGINT) AS c3
+         |       FROM g3 GROUP BY 1, 2),
+         |l3 AS (SELECT h13, h123, c3,
+         |         CAST(SUM(c3) OVER (PARTITION BY h13) AS BIGINT) AS d3 FROM p3),
+         |g2l AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 2
+         |    THEN list_transform(generate_series(1, len(t)-1),
+         |           i -> t[i] || ' ' || t[i+1])
+         |    ELSE [] END AS l
+         |  FROM ttoks),
+         |g2 AS (SELECT unnest(l) AS s FROM g2l),
+         |p2 AS (SELECT ${h60("regexp_replace(s, ' [^ ]+$', '')")} AS h12p,
+         |         ${h60("s")} AS h12f, CAST(count(*) AS BIGINT) AS c2
+         |       FROM g2 GROUP BY 1, 2),
+         |l2 AS (SELECT h12p, h12f, c2,
+         |         CAST(SUM(c2) OVER (PARTITION BY h12p) AS BIGINT) AS d2 FROM p2),
+         |uw AS (SELECT unnest(t) AS w FROM ttoks),
+         |u AS (SELECT ${h60("w")} AS h, CAST(count(*) AS BIGINT) AS c
+         |      FROM uw GROUP BY 1),
+         |un AS (SELECT h, c, CAST(SUM(c) OVER () AS BIGINT) AS n_total FROM u),
+         |o3l AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 3
+         |    THEN list_transform(generate_series(1, len(t)-2),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |    ELSE [] END AS l
+         |  FROM toks),
+         |o3 AS (SELECT doc_id, unnest(l) AS s FROM o3l),
+         |ok AS (
+         |  SELECT doc_id,
+         |    ${h60("regexp_replace(s, ' [^ ]+$', '')")} AS h1_3,
+         |    ${h60("s")} AS h12_3,
+         |    ${h60("regexp_extract(s, '([^ ]+) [^ ]+$', 1)")} AS h1_2,
+         |    ${h60("regexp_extract(s, '[^ ]+ [^ ]+$')")} AS h12_2,
+         |    ${h60("regexp_extract(s, '[^ ]+$')")} AS h_1
+         |  FROM o3),
+         |sc AS (
+         |  SELECT ok.doc_id,
+         |    CASE WHEN l3.c3 IS NOT NULL THEN (l3.c3 * 10000) // l3.d3
+         |         WHEN l2.c2 IS NOT NULL THEN (l2.c2 * 10000 * 2) // (l2.d2 * 5)
+         |         WHEN un.c IS NOT NULL THEN (un.c * 10000 * 4) // (un.n_total * 25)
+         |         ELSE 0 END AS s,
+         |    CASE WHEN l3.c3 IS NULL AND l2.c2 IS NOT NULL THEN 1 ELSE 0 END AS bbi,
+         |    CASE WHEN l3.c3 IS NULL AND l2.c2 IS NULL AND un.c IS NOT NULL THEN 1 ELSE 0 END AS bun,
+         |    CASE WHEN l3.c3 IS NULL AND l2.c2 IS NULL AND un.c IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM ok
+         |  LEFT JOIN l3 ON ok.h1_3 = l3.h13 AND ok.h12_3 = l3.h123
+         |  LEFT JOIN l2 ON ok.h1_2 = l2.h12p AND ok.h12_2 = l2.h12f
+         |  LEFT JOIN un ON ok.h_1 = un.h),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(bbi) AS BIGINT) AS n_backoff_bi,
+         |    CAST(SUM(bun) AS BIGINT) AS n_backoff_uni,
+         |    CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |    CAST(SUM(s) AS BIGINT) AS sum_score
+         |  FROM sc GROUP BY doc_id)
+         |SELECT docs.doc_id,
+         |  COALESCE(agg.n_grams, 0) AS n_grams,
+         |  COALESCE(agg.n_backoff_bi, 0) AS n_backoff_bi,
+         |  COALESCE(agg.n_backoff_uni, 0) AS n_backoff_uni,
+         |  COALESCE(agg.n_oov, 0) AS n_oov,
+         |  COALESCE(agg.sum_score, 0) AS sum_score,
+         |  CASE WHEN COALESCE(agg.n_grams, 0) > 0
+         |    THEN CAST(agg.sum_score AS DOUBLE) / CAST(agg.n_grams AS DOUBLE)
+         |    ELSE 0.0 END AS sb_score
+         |FROM documents docs LEFT JOIN agg USING (doc_id)""".stripMargin,
     // CCNet head/middle/tail: the en-trained LM chain feeds a single
     // GLOBAL per-stratum mass window (score DESC, id tiebreak) — the
     // monolithic definition the Spark two-phase bin decomposition must

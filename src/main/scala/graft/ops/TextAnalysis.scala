@@ -793,6 +793,110 @@ object TextAnalysis {
       .select(col(id) +: lmDocColumns: _*)
   }
 
+  /** Unigram count table with the grand total attached — the lowest rung
+    * of the [[stupidBackoffScore]] ladder. The unpartitioned window runs
+    * over the ALREADY-REDUCED vocabulary-sized table (the same
+    * single-scan argument as [[lmPairTable]]'s h1 marginal), never the
+    * corpus. */
+  def lmUnigramTable(train: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.operators.Scale.balanceToCores(train)
+      .select(explode(tokens(col(text))).as("__w"))
+      .select(hash60(col("__w")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .withColumn("n_total", sum(col("c")).over(Window.partitionBy()))
+  }
+
+  /** Stupid-backoff trigram score (Brants et al., "Large Language Models
+    * in Machine Translation", EMNLP'07 §4 — THE web-scale LM recipe:
+    * no discounting, no normalization, just count ratios with a fixed
+    * 0.4 back-off factor, which is exactly what makes it embarrassingly
+    * distributable):
+    *
+    *   S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)          if the trigram is seen
+    *                 = 0.4  · c(w2w3)/c(w2)       else if the bigram is
+    *                 = 0.4² · c(w3)/N             else if the word is
+    *                 = 0                          else (true OOV)
+    *
+    * In exact fixed point: 0.4 = 2/5 and 0.4² = 4/25, so each tier is an
+    * integer `(count · scale · num) div (denom · den)` — bit-identical
+    * across engines, no float, no log (the same monotone-ranking
+    * argument as [[lmBigramScore]]). Returns (id, n_grams,
+    * n_backoff_bi, n_backoff_uni, n_oov, sum_score, sb_score) — the
+    * tier counters make the back-off mass auditable per document
+    * (a doc scoring mostly through the unigram tier is fluent-word
+    * salad; CCNet-style filters threshold on exactly that).
+    *
+    * Shape at scale: three train passes build the trigram/bigram/unigram
+    * tables (each ONE map-side-combined count aggregation, all three
+    * persistable + [[lmPairTableMerge]]-mergeable); scoring is one
+    * scan-side trigram explode carrying FIVE 60-bit hashes per position,
+    * then three successive hash joins against vocabulary-sized tables
+    * and one groupBy(doc). Self-scoring never backs off by construction
+    * (every scored trigram is in its own train set) — the regime that
+    * exercises the ladder is cross-scoring against a reference LM. */
+  def stupidBackoffScore(df: DataFrame, id: String, text: String,
+                         train: Option[DataFrame] = None,
+                         scale: Long = 10000L): DataFrame = {
+    val tr = train.getOrElse(df)
+    val tri = lmPairTable(tr, id, text, n = 3)
+      .select(col("h1").as("h1_3"), col("h12").as("h12_3"),
+        col("c12").as("c3"), col("c1").as("d3"))
+    val bi = lmPairTable(tr, id, text, n = 2)
+      .select(col("h1").as("h1_2"), col("h12").as("h12_2"),
+        col("c12").as("c2"), col("c1").as("d2"))
+    val uni = lmUnigramTable(tr, id, text)
+      .select(col("h").as("h_1"), col("c").as("cu"), col("n_total"))
+    val t = tokens(col(text))
+    val gs = when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2))))
+      .otherwise(array())
+    // tokens cannot contain whitespace, so substring_index recovers every
+    // backoff key from the one gram string (same trick as ngramOccurrences)
+    val occ = graft.operators.Scale.balanceToCores(df)
+      .select(col(id), explode(gs).as("__g"))
+      .select(col(id),
+        hash60(substring_index(col("__g"), " ", 2)).as("h1_3"),
+        hash60(col("__g")).as("h12_3"),
+        hash60(substring_index(substring_index(col("__g"), " ", -2), " ", 1)).as("h1_2"),
+        hash60(substring_index(col("__g"), " ", -2)).as("h12_2"),
+        hash60(substring_index(col("__g"), " ", -1)).as("h_1"))
+    val score =
+      when(col("c3").isNotNull, expr(s"(c3 * ${scale}L) div d3"))
+        .when(col("c2").isNotNull, expr(s"(c2 * ${scale}L * 2) div (d2 * 5)"))
+        .when(col("cu").isNotNull, expr(s"(cu * ${scale}L * 4) div (n_total * 25)"))
+        .otherwise(lit(0L))
+    val scored = occ
+      .join(tri, Seq("h1_3", "h12_3"), "left")
+      .join(bi, Seq("h1_2", "h12_2"), "left")
+      .join(uni, Seq("h_1"), "left")
+      .select(col(id), score.as("s"),
+        (col("c3").isNull && col("c2").isNotNull).cast("long").as("bbi"),
+        (col("c3").isNull && col("c2").isNull && col("cu").isNotNull)
+          .cast("long").as("bun"),
+        (col("c3").isNull && col("c2").isNull && col("cu").isNull)
+          .cast("long").as("oov"))
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("bbi")).as("n_backoff_bi"),
+        sum(col("bun")).as("n_backoff_uni"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("s")).as("sum_score"))
+    df.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_backoff_bi"), lit(0L)).as("n_backoff_bi"),
+        coalesce(col("n_backoff_uni"), lit(0L)).as("n_backoff_uni"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("sum_score"), lit(0L)).as("sum_score"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          coalesce(col("sum_score"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"))
+          .otherwise(0.0).as("sb_score"))
+  }
+
   /** Per-stratum quantile normalization of the quality score — the
     * cross-domain calibration step of multi-source curation: a raw
     * quality of 0.6 means different things in web crawl vs reference

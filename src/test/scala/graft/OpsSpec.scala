@@ -1634,6 +1634,38 @@ class OpsSpec extends SparkSpec {
     assert(custom(3L) === "com.au") // com.au absent from the custom table
   }
 
+  test("stupid backoff: every tier hand-verified, self-scoring never backs off") {
+    // train: "a b c" + "a b d" → trigram c(a b c)=1, d(a b)=2;
+    // bigram c(b c)=1, c(b)=2 ... unigram N = 6
+    val train = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // score doc: "a b c"  → seen trigram: (1*10000) div 2   = 5000
+    //            "x b c"  → unseen tri, bigram (b c): c=1, c(b)=2
+    //                       → (1*10000*2) div (2*5) = 2000
+    //            "x y c"  → unseen tri+bi, unigram c: c=1, N=6
+    //                       → (1*10000*4) div (6*25) = 266
+    //            "x y z"  → true OOV → 0
+    val score = Seq((10L, "a b c"), (11L, "x b c"), (12L, "x y c"),
+      (13L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffScore(score, "doc_id", "text",
+        train = Some(train))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(10L) === ((1L, 0L, 0L, 0L, 5000L)))
+    assert(got(11L) === ((1L, 1L, 0L, 0L, 2000L)))
+    assert(got(12L) === ((1L, 0L, 1L, 0L, 266L)))
+    assert(got(13L) === ((1L, 0L, 0L, 1L, 0L)))
+    // self-scoring: every scored trigram is in its own train set, so the
+    // ladder never descends and OOV is structurally impossible
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val self = TextAnalysis.stupidBackoffScore(docs, "doc_id", "text")
+      .agg(sum(col("n_backoff_bi")), sum(col("n_backoff_uni")),
+        sum(col("n_oov")), sum(col("n_grams")))
+      .collect()(0)
+    assert(self.getLong(0) === 0L && self.getLong(1) === 0L && self.getLong(2) === 0L)
+    assert(self.getLong(3) > 0L)
+  }
+
   test("sentence chunking: boundaries never split a unit, overshoot and oversize conventions hold") {
     import graft.ops.Chunking
     val docs = Seq(
