@@ -151,6 +151,24 @@ object OracleOpsQueries {
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
 
+  /** Code-fence extraction gate: every 6th doc is wrapped as
+    * markdown-ish text with a tagged python fence BEFORE the prose and
+    * an untagged fence after — multi-fence, tag-and-no-tag, and the
+    * lazy-body no-merge property are all observable in the counters.
+    * The gate emits scalar summaries (the array columns stay API-side;
+    * the driver's compare is scalar-shaped). */
+  def textCodeFences(s: SparkSession, d: String): DataFrame = {
+    val planted = when(col("doc_id") % 6 === 0,
+      concat(lit("```python\nprint('hi')\nx = 1\n``` mid "), col("text"),
+        lit(" ```\nplain()\n```"))).otherwise(col("text"))
+    val cols = TextAnalysis.codeFenceColumns(planted).toMap
+    Tables.documents(s, d).select(col("doc_id"),
+      cols("n_fences").as("n_fences"),
+      array_join(cols("fence_langs"), ",").as("fence_langs"),
+      cols("code_chars").as("code_chars"),
+      cols("prose_len").as("prose_len"))
+  }
+
   /** Full-PII redaction gate: plants both phone forms (+CC-dashed and
     * parenthesized-area), a per-doc IPv4, an email, and a long reference
     * number in one line, so every stage of the email → IP → phone →
@@ -1232,6 +1250,7 @@ object OracleOpsQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_redact" -> (textRedact _),
     "text_redact_pii" -> (textRedactPii _),
+    "text_code_fences" -> (textCodeFences _),
     "text_html_extract" -> (textHtmlExtract _),
     "text_fix_encoding" -> (textFixEncoding _),
     "corpus_preclean" -> (corpusPreclean _),
@@ -2246,6 +2265,21 @@ object OracleOpsQueries {
         |  FROM documents)
         |SELECT key, CAST(rk AS BIGINT) AS rank, score, doc_id
         |FROM r WHERE rk <= 25""".stripMargin,
+    "text_code_fences" ->
+      s"""WITH pl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 6 = 0
+         |      THEN '```python' || chr(10) || 'print(''hi'')' || chr(10) || 'x = 1' || chr(10)
+         |        || '``` mid ' || text || ' ```' || chr(10) || 'plain()' || chr(10) || '```'
+         |      ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.codeFenceRegex}', 2)) AS BIGINT) AS n_fences,
+         |  COALESCE(array_to_string(regexp_extract_all(text, '${TextAnalysis.codeFenceRegex}', 1), ','), '') AS fence_langs,
+         |  CAST(COALESCE(list_aggregate(list_transform(
+         |    regexp_extract_all(text, '${TextAnalysis.codeFenceRegex}', 2), x -> len(x)), 'sum'), 0) AS BIGINT) AS code_chars,
+         |  CAST(length(regexp_replace(text, '${TextAnalysis.codeFenceRegex}', ' ', 'g')) AS BIGINT) AS prose_len
+         |FROM pl""".stripMargin,
     "dedup_url_canonical" ->
       """WITH u AS (
         |  SELECT doc_id,

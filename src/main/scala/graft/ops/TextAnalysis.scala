@@ -388,6 +388,35 @@ object TextAnalysis {
       "redacted" -> red, "redacted_len" -> length(red).cast("long"))
   }
 
+  /** Fenced code block: ``` + optional language tag + newline + lazy
+    * body + closing ```. `(?s)` makes `.` cross newlines; the lazy body
+    * stops at the FIRST closing fence, so adjacent blocks never merge.
+    * RE2-compatible (non-greedy and inline flags are core RE2) and
+    * Java-identical, so the DuckDB oracle applies the same pattern. */
+  val codeFenceRegex = "(?s)```([A-Za-z0-9+#-]*)\\n(.*?)```"
+
+  /** Code-corpus extraction signals over markdown-ish text: fence count,
+    * per-fence language tags and bodies (arrays, aligned by position),
+    * total fenced chars, and the text with fences REMOVED (the prose
+    * remainder — what a text-quality pass should score, since code
+    * inside prose wrecks stopword/punctuation ratios). Scan-side column
+    * algebra, zero shuffles: building a code corpus from 100 TB of
+    * crawled markdown is one projection + an explode over the per-doc
+    * fence arrays. */
+  def codeFenceColumns(text: Column): Seq[(String, Column)] = {
+    val langs = regexp_extract_all(text, lit(codeFenceRegex), lit(1))
+    val bodies = regexp_extract_all(text, lit(codeFenceRegex), lit(2))
+    val stripped = regexp_replace(text, codeFenceRegex, " ")
+    Seq(
+      "n_fences" -> size(bodies).cast("long"),
+      "fence_langs" -> langs,
+      "fence_bodies" -> bodies,
+      "code_chars" -> coalesce(
+        aggregate(bodies, lit(0L), (a, b) => a + length(b)), lit(0L)),
+      "prose" -> stripped,
+      "prose_len" -> length(stripped).cast("long"))
+  }
+
   /** IPv4 literal (word-bounded so version strings like 1.2.3.4.5 don't
     * half-match) and phone numbers with separators (optional +CC and
     * area parens; a bare 10-digit run is NOT a phone — it falls through

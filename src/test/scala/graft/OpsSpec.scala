@@ -1634,6 +1634,34 @@ class OpsSpec extends SparkSpec {
     assert(custom(3L) === "com.au") // com.au absent from the custom table
   }
 
+  test("code fences: lazy bodies never merge, tags align, prose remainder is clean") {
+    val docs = Seq(
+      (1L, "intro ```python\nprint(1)\n``` middle ```\nplain\n``` outro"),
+      (2L, "no code here"),
+      (3L, "```c\nint x;\n```"),
+      (4L, "unterminated ```python\nopen(")
+    ).toDF("doc_id", "text")
+    val cols = TextAnalysis.codeFenceColumns(col("text")).toMap
+    val got = docs.select(col("doc_id"), cols("n_fences"),
+        cols("fence_langs"), cols("fence_bodies"), cols("prose"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[String](2), r.getSeq[String](3), r.getString(4))))
+      .toMap
+    // two fences, bodies distinct — the lazy .*? stopped at the FIRST
+    // closing fence instead of swallowing " middle " into one block
+    assert(got(1L) === ((2L, Seq("python", ""), Seq("print(1)\n", "plain\n"),
+      "intro   middle   outro")))
+    assert(got(2L) === ((0L, Seq(), Seq(), "no code here")))
+    assert(got(3L) === ((1L, Seq("c"), Seq("int x;\n"), " ")))
+    // an unterminated fence is NOT a match — left in the prose visibly
+    assert(got(4L)._1 === 0L)
+    assert(got(4L)._4.contains("```python"))
+    // the documented code-corpus construction: explode the body array
+    val code = docs.select(col("doc_id"),
+        posexplode(cols("fence_bodies")).as(Seq("i", "body")))
+    assert(code.count() === 3)
+  }
+
   test("stupid backoff: every tier hand-verified, self-scoring never backs off") {
     // train: "a b c" + "a b d" → trigram c(a b c)=1, d(a b)=2;
     // bigram c(b c)=1, c(b)=2 ... unigram N = 6
