@@ -321,6 +321,26 @@ object OracleOpsQueries {
       "doc_id", graft.ops.Domains.registeredDomain(col("url")),
       col("n_chars").cast("double"), 25)
 
+  /** The crawl FRONT composed in pipeline order: canonical-URL dedup
+    * collapses re-crawled pages first (one survivor per canonical URL,
+    * smallest id), THEN the registered-domain cap bounds any publisher's
+    * share of what survived — the RefinedWeb stage ordering, where
+    * capping before URL dedup would let a heavily re-crawled page burn
+    * its domain's whole budget on copies of itself. The planted-URL
+    * classes exercise both stages: the constant-URL classes collapse to
+    * one survivor each, the per-doc-page class survives wholesale and
+    * then hits the cap. */
+  def corpusCrawlFront(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), plantedUrl.as("url"))
+    val keepers = graft.ops.Domains.urlDedup(docs, "doc_id", col("url"))
+      .select(col("keep_id").as("doc_id"))
+    val survivors = docs.join(keepers, Seq("doc_id"), "left_semi")
+    graft.ops.Splits.capPerKey(survivors, "doc_id",
+      graft.ops.Domains.registeredDomain(col("url")),
+      col("n_chars").cast("double"), 10)
+  }
+
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
@@ -1257,6 +1277,7 @@ object OracleOpsQueries {
     "corpus_domain_cap" -> (corpusDomainCap _),
     "corpus_domain_cap_registered" -> (corpusDomainCapRegistered _),
     "dedup_url_canonical" -> (dedupUrlCanonical _),
+    "corpus_crawl_front" -> (corpusCrawlFront _),
     "text_repetition" -> (textRepetition _),
     "text_rare_tokens" -> (textRareTokens _),
     "text_nfc" -> (textNfc _),
@@ -1350,6 +1371,52 @@ object OracleOpsQueries {
   private val suffixListSql: String =
     graft.ops.Domains.defaultSuffixes.map(s => s"'$s'")
       .mkString("[", ", ", "]")
+
+  /** CTE chain computing the registered domain of `urlCol` over any
+    * relation carrying it — the [[graft.ops.Domains.registeredDomain]]
+    * mirror, exposed as `rd(…, key)`; shared by the standalone cap gate
+    * and the composed crawl-front gate. `SELECT *` keeps the caller's
+    * payload columns flowing. */
+  private def registeredDomainSqlCtes(fromRel: String, urlCol: String): String =
+    s"""rdl AS (
+       |  SELECT *, regexp_extract(lower(trim($urlCol)), '${graft.ops.Domains.hostRegex}', 1) AS host
+       |  FROM $fromRel),
+       |rdsp AS (
+       |  SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+       |  FROM rdl),
+       |rdk AS (
+       |  SELECT *,
+       |    CASE WHEN n > 3 AND list_contains($suffixListSql, array_to_string(list_slice(ls, -3, -1), '.')) THEN 3
+       |         WHEN n > 2 AND list_contains($suffixListSql, array_to_string(list_slice(ls, -2, -1), '.')) THEN 2
+       |         ELSE 1 END AS k
+       |  FROM rdsp),
+       |rd AS (
+       |  SELECT *,
+       |    CASE WHEN n <= 1 THEN host
+       |         ELSE array_to_string(list_slice(ls, -(k+1), -1), '.') END AS key
+       |  FROM rdk)""".stripMargin
+
+  /** CTE computing [[graft.ops.Domains.canonicalUrl]] of `url` over any
+    * relation — exposed as `cn(…, canon_url)`; shared by the URL-dedup
+    * gate and the composed crawl-front gate. */
+  private def canonicalUrlSqlCtes(fromRel: String): String =
+    s"""cnf AS (SELECT *, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM $fromRel),
+       |cn AS (
+       |  SELECT *,
+       |    'http://' ||
+       |    regexp_replace(lower(regexp_extract(nofrag, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#][^/?#]*)', 1)), ':(80|443)$$', '') ||
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              regexp_replace(nofrag, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?[^/?#]+', ''),
+       |              '([?&])utm_[A-Za-z]+=[^&]*', '\\1', 'g'),
+       |            '\\?&+', '?', 'g'),
+       |          '&&+', '&', 'g'),
+       |        '[?&]$$', ''),
+       |      '/$$', '') AS canon_url
+       |  FROM cnf)""".stripMargin
 
   /** DuckDB mirror of [[plantedSea]] — exposes `pl(doc_id, text)`. Same
     * no-leading-`||` constraint as [[cjkPlantSql]]. */
@@ -2307,6 +2374,32 @@ object OracleOpsQueries {
         |  FROM nf)
         |SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM c GROUP BY canon_url""".stripMargin,
+    "corpus_crawl_front" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE doc_id % 8
+         |      WHEN 0 THEN 'https://news.example.co.uk/p/' || doc_id
+         |      WHEN 1 THEN 'http://example.com/x?q=1'
+         |      WHEN 2 THEN 'https://sub.shop.example.com.au:8080/item'
+         |      WHEN 3 THEN 'https://user@files.example.org/z#frag'
+         |      WHEN 4 THEN 'cdn.example.ne.jp/q'
+         |      WHEN 5 THEN 'HTTPS://WWW.FILES.EXAMPLE.ORG/PATH'
+         |      WHEN 6 THEN 'https://blog' || (doc_id % 3) || '.blogspot.co.uk/post'
+         |      ELSE 'http://localhost:9090/health' END AS url
+         |  FROM documents),
+         |${canonicalUrlSqlCtes("u")},
+         |kp AS (SELECT canon_url, MIN(doc_id) AS keep_id FROM cn GROUP BY canon_url),
+         |sv AS (
+         |  SELECT cn.doc_id, cn.n_chars, cn.url
+         |  FROM cn JOIN kp ON cn.doc_id = kp.keep_id),
+         |${registeredDomainSqlCtes("sv", "url")},
+         |r AS (
+         |  SELECT key, doc_id, CAST(n_chars AS DOUBLE) AS score,
+         |    row_number() OVER (PARTITION BY key
+         |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |  FROM rd)
+         |SELECT key, CAST(rk AS BIGINT) AS rank, score, doc_id
+         |FROM r WHERE rk <= 10""".stripMargin,
     "corpus_domain_cap_registered" ->
       s"""WITH u AS (
          |  SELECT doc_id, n_chars,
