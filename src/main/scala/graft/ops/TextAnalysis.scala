@@ -823,17 +823,28 @@ object TextAnalysis {
   }
 
   /** Unigram count table with the grand total attached — the lowest rung
-    * of the [[stupidBackoffScore]] ladder. The unpartitioned window runs
-    * over the ALREADY-REDUCED vocabulary-sized table (the same
-    * single-scan argument as [[lmPairTable]]'s h1 marginal), never the
-    * corpus. */
+    * of the [[stupidBackoffScore]] ladder.
+    *
+    * The total is a map-side-combined aggregate of the reduced counts
+    * joined back on a constant key (the count exchange is reused, not
+    * recomputed — identical subtree), NOT an unpartitioned window: a
+    * window with no partition funnels the ENTIRE vocabulary table
+    * through one task, and vocabulary is not always small — the salted
+    * scale corpus grows it linearly with the data, and the first
+    * formulation of this function measured SUPERLINEAR (exp 1.13/decade,
+    * 827 s at 5M docs) on exactly that single-task sort before this
+    * shape replaced it. Unpartitioned windows are only ever safe over
+    * frames bounded by construction (the strata × 20 CDF frames); a
+    * vocabulary is not one. */
   def lmUnigramTable(train: DataFrame, id: String, text: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.operators.Scale.balanceToCores(train)
+    val counts = graft.operators.Scale.balanceToCores(train)
       .select(explode(tokens(col(text))).as("__w"))
       .select(hash60(col("__w")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .withColumn("n_total", sum(col("c")).over(Window.partitionBy()))
+    val total = counts.groupBy(lit(1).as("__k"))
+      .agg(sum(col("c")).as("n_total"))
+    counts.withColumn("__k", lit(1))
+      .join(broadcast(total), Seq("__k")).drop("__k")
   }
 
   /** Stupid-backoff trigram score (Brants et al., "Large Language Models

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for [[graft.ops.TextAnalysis.stupidBackoffScore]] — the
+  * one new round-9 op whose bench row is NOT a real measurement:
+  * `graft.Bench` drives queries with `count()`, and the scorer's output
+  * is a LEFT join back to the id spine on the groupBy keys, which
+  * Spark's left-join elimination (unique right keys, only left columns
+  * needed) prunes to a metadata count. This probe forces the full
+  * pipeline by aggregating the SCORE columns, in the cross regime (en
+  * train slice) so the backoff ladder actually descends. Same
+  * min-of-two-passes protocol as the Bench.
+  *
+  * Usage: Test/runMain graft.BackoffScaleProbe <sfDir> [cpus]
+  */
+object BackoffScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = args.lift(1).getOrElse("32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes",
+        Bench.adaptiveMaxPartitionBytes(Bench.inputBytes(dir), cpus.toInt))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, dir)
+    def run(): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r = graft.ops.TextAnalysis.stupidBackoffScore(
+          docs, "doc_id", "text",
+          train = Some(docs.filter(col("lang") === "en")))
+        .agg(sum(col("sum_score")), sum(col("n_grams")),
+          sum(col("n_backoff_bi")), sum(col("n_oov")), count(lit(1)))
+        .collect()(0)
+      ((System.nanoTime() - t0) / 1e9, r.getLong(4))
+    }
+    run() // warmup
+    val (t1, n) = run()
+    val (t2, _) = run()
+    println(f"""{"metric":"backoff_probe","sec":${math.min(t1, t2)}%.3f,"docs":$n,"sf":"$dir"}""")
+    spark.stop()
+  }
+}
