@@ -173,7 +173,13 @@ object OracleOpsQueries {
     * parenthesized-area), a per-doc IPv4, an email, and a long reference
     * number in one line, so every stage of the email → IP → phone →
     * long-number chain fires and the stage ORDER is observable (the
-    * email eats its digits before the catch-all sees them). */
+    * email eats its digits before the catch-all sees them). Also plants
+    * the VERDICT-r9 false-positive traps: an out-of-range quad
+    * (`999.999.999.999` — must survive, octets are range-checked), an
+    * 11-digit separated run (`1234-567-8901` — must survive, the phone
+    * pattern is `\b`-anchored), and a 5-octet version string
+    * (`1.2.3.4.5` — documented envelope: its leading 4 valid octets
+    * redact to `<IP>.5`). */
   def textRedactPii(s: SparkSession, d: String): DataFrame = {
     val synth = concat(
       substring(col("text"), 1, 40),
@@ -181,7 +187,8 @@ object OracleOpsQueries {
       (col("doc_id") % 250).cast("string"), lit(".7 mail u"),
       (col("doc_id") % 100).cast("string"),
       lit("@mail.example.com ref "),
-      (col("doc_id") + 1234567890L).cast("string"))
+      (col("doc_id") + 1234567890L).cast("string"),
+      lit(" ver 1.2.3.4.5 bad 999.999.999.999 run 1234-567-8901"))
     val cols = TextAnalysis.redactPiiColumns(synth).map { case (n, c) => c.as(n) }
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
@@ -290,20 +297,24 @@ object OracleOpsQueries {
       .otherwise(lit("http://localhost:9090/health"))
   }
 
-  /** URL-level exact dedup over canonicalized URLs: three planted
-    * variants of the same page per id-triple — https + WWW + :443 +
-    * trailing slash + two utm params; http + userinfo + one utm param;
-    * bare host + :80 + fragment — must collapse to ONE canonical row
-    * with the smallest doc_id as keeper. Every normalization branch of
+  /** URL-level exact dedup over canonicalized URLs: four planted
+    * variants per id-quad — https + WWW + :443 + trailing slash + two
+    * utm params; http + userinfo + one utm param; bare host + :80 +
+    * fragment; pathless host + `@` in the QUERY (the ADVICE-r9 trap: the
+    * userinfo regex must not cross `?`, or `x@y.com` in a query string
+    * mis-extracts host `y.com`). The first three collapse to ONE
+    * canonical row with the smallest doc_id as keeper; the fourth keeps
+    * its query and stays distinct. Every normalization branch of
     * [[graft.ops.Domains.canonicalUrl]] fires. */
   def dedupUrlCanonical(s: SparkSession, d: String): DataFrame = {
-    val m = col("doc_id") % 3
+    val m = col("doc_id") % 4
     val page = expr("doc_id DIV 3")
     val url = when(m === 0, concat(lit("https://WWW.Example.com:443/page/"),
         page, lit("/?utm_source=x&utm_campaign=y")))
       .when(m === 1, concat(lit("http://user@www.example.com/page/"),
         page, lit("?utm_medium=z")))
-      .otherwise(concat(lit("www.example.com:80/page/"), page, lit("#frag")))
+      .when(m === 2, concat(lit("www.example.com:80/page/"), page, lit("#frag")))
+      .otherwise(concat(lit("www.example.com/page/"), page, lit("?contact=x@y.com")))
     graft.ops.Domains.urlDedup(
       Tables.documents(s, d).select(col("doc_id"), url.as("url")),
       "doc_id", col("url"))
@@ -1404,13 +1415,13 @@ object OracleOpsQueries {
        |cn AS (
        |  SELECT *,
        |    'http://' ||
-       |    regexp_replace(lower(regexp_extract(nofrag, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#][^/?#]*)', 1)), ':(80|443)$$', '') ||
+       |    regexp_replace(lower(regexp_extract(nofrag, '${graft.ops.Domains.canonicalHostPortRegex}', 1)), ':(80|443)$$', '') ||
        |    regexp_replace(
        |      regexp_replace(
        |        regexp_replace(
        |          regexp_replace(
        |            regexp_replace(
-       |              regexp_replace(nofrag, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?[^/?#]+', ''),
+       |              regexp_replace(nofrag, '${graft.ops.Domains.canonicalPrefixRegex}', ''),
        |              '([?&])utm_[A-Za-z]+=[^&]*', '\\1', 'g'),
        |            '\\?&+', '?', 'g'),
        |          '&&+', '&', 'g'),
@@ -2302,7 +2313,8 @@ object OracleOpsQueries {
          |  SELECT doc_id,
          |    substr(text, 1, 40) || ' call +1-555-123-4567 or (212) 555-0000 node 10.0.'
          |      || CAST(doc_id % 250 AS VARCHAR) || '.7 mail u' || CAST(doc_id % 100 AS VARCHAR)
-         |      || '@mail.example.com ref ' || CAST(doc_id + 1234567890 AS VARCHAR) AS t
+         |      || '@mail.example.com ref ' || CAST(doc_id + 1234567890 AS VARCHAR)
+         |      || ' ver 1.2.3.4.5 bad 999.999.999.999 run 1234-567-8901' AS t
          |  FROM documents),
          |r1 AS (
          |  SELECT doc_id,
@@ -2348,32 +2360,33 @@ object OracleOpsQueries {
          |  CAST(length(regexp_replace(text, '${TextAnalysis.codeFenceRegex}', ' ', 'g')) AS BIGINT) AS prose_len
          |FROM pl""".stripMargin,
     "dedup_url_canonical" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 3
-        |      WHEN 0 THEN 'https://WWW.Example.com:443/page/' || (doc_id // 3) || '/?utm_source=x&utm_campaign=y'
-        |      WHEN 1 THEN 'http://user@www.example.com/page/' || (doc_id // 3) || '?utm_medium=z'
-        |      ELSE 'www.example.com:80/page/' || (doc_id // 3) || '#frag' END AS url
-        |  FROM documents),
-        |nf AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM u),
-        |c AS (
-        |  SELECT doc_id,
-        |    'http://' ||
-        |    regexp_replace(lower(regexp_extract(nofrag, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#][^/?#]*)', 1)), ':(80|443)$', '') ||
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(
-        |            regexp_replace(
-        |              regexp_replace(nofrag, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?[^/?#]+', ''),
-        |              '([?&])utm_[A-Za-z]+=[^&]*', '\1', 'g'),
-        |            '\?&+', '?', 'g'),
-        |          '&&+', '&', 'g'),
-        |        '[?&]$', ''),
-        |      '/$', '') AS canon_url
-        |  FROM nf)
-        |SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-        |FROM c GROUP BY canon_url""".stripMargin,
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 4
+         |      WHEN 0 THEN 'https://WWW.Example.com:443/page/' || (doc_id // 3) || '/?utm_source=x&utm_campaign=y'
+         |      WHEN 1 THEN 'http://user@www.example.com/page/' || (doc_id // 3) || '?utm_medium=z'
+         |      WHEN 2 THEN 'www.example.com:80/page/' || (doc_id // 3) || '#frag'
+         |      ELSE 'www.example.com/page/' || (doc_id // 3) || '?contact=x@y.com' END AS url
+         |  FROM documents),
+         |nf AS (SELECT doc_id, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM u),
+         |c AS (
+         |  SELECT doc_id,
+         |    'http://' ||
+         |    regexp_replace(lower(regexp_extract(nofrag, '${graft.ops.Domains.canonicalHostPortRegex}', 1)), ':(80|443)$$', '') ||
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(
+         |              regexp_replace(nofrag, '${graft.ops.Domains.canonicalPrefixRegex}', ''),
+         |              '([?&])utm_[A-Za-z]+=[^&]*', '\\1', 'g'),
+         |            '\\?&+', '?', 'g'),
+         |          '&&+', '&', 'g'),
+         |        '[?&]$$', ''),
+         |      '/$$', '') AS canon_url
+         |  FROM nf)
+         |SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         |FROM c GROUP BY canon_url""".stripMargin,
     "corpus_crawl_front" ->
       s"""WITH u AS (
          |  SELECT doc_id, n_chars,

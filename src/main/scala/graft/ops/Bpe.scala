@@ -282,13 +282,16 @@ object Bpe {
     * line order. Rejects malformed lines loudly — a silently skipped
     * merge would change every downstream encoding. */
   def parseMergesTxt(text: String): Seq[Merge] =
-    text.linesIterator
-      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
-      .zipWithIndex.map { case (l, i) =>
+    text.linesIterator.zipWithIndex
+      // index BEFORE filtering so a malformed-line error carries the true
+      // 1-based FILE line number, not the comment/blank-filtered ordinal
+      // (ADVICE r9: extra comments or blanks made the report drift)
+      .filterNot { case (l, _) => l.startsWith("#") || l.trim.isEmpty }
+      .zipWithIndex.map { case ((l, lineIdx), rank) =>
         l.split(" ") match {
-          case Array(a, b) => Merge(i, a, b)
+          case Array(a, b) => Merge(rank, a, b)
           case _ => throw new IllegalArgumentException(
-            s"merges.txt line ${i + 2}: expected 'left right', got '$l'")
+            s"merges.txt line ${lineIdx + 1}: expected 'left right', got '$l'")
         }
       }.toSeq
 

@@ -604,10 +604,15 @@ object Dedup {
     *
     * Same persistence caveat as the plain variant, sharpened: production
     * keeps the fp index AND its built filter words next to it (the words
-    * array is ~2 bytes/distinct fp — driver-holdable far beyond 10^10
-    * docs at default sizing), so an increment re-shuffles only the probe
-    * survivors ≈ true re-crawls + ~0.6% FPR of the batch — not the whole
-    * batch, and never the corpus. Built here inline (count + build = two
+    * array is ~2 bytes/distinct fp), so an increment re-shuffles only the
+    * probe survivors ≈ true re-crawls + the filter's FPR of the batch —
+    * not the whole batch, and never the corpus. Sizing envelope: the
+    * quoted ~0.6% FPR (16 bits/elem, k=3) holds while
+    * [[Bloom.bitsLog2For]] can grant the full 16 bits/elem, i.e. up to
+    * ~10^9 distinct corpus fingerprints at its 2^34-bit (2 GiB) cap;
+    * beyond that the cap shrinks bits-per-element and the FPR climbs, so
+    * past ~10^9 fingerprints shard the filter (partition the fp space,
+    * one filter per shard) rather than growing one bit array. Built here inline (count + build = two
     * index-side aggregates) for the self-contained form, exactly like
     * [[ngramContaminationBloom]].
     *

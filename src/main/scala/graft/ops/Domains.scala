@@ -91,9 +91,27 @@ object Domains {
     regexp_extract(lower(trim(url)), hostRegex, 1)
 
   /** The host regex, shared verbatim with the DuckDB mirror (RE2-safe:
-    * non-capturing groups only, no lookaround). */
+    * non-capturing groups only, no lookaround). The userinfo class
+    * excludes `/ ? # @` so it can never cross into the query or
+    * fragment: a pathless URL with `@` in its query
+    * (`example.com?contact=x@y.com`) must extract host `example.com`,
+    * not `y.com` (ADVICE r9). */
   val hostRegex: String =
-    "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)"
+    "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)"
+
+  /** [[hostRegex]] with case-tolerant classes for [[canonicalUrl]]:
+    * extraction runs on the UN-lowered input (the path must keep its
+    * case) and captures host AND port; the host is folded after. Shared
+    * verbatim with the DuckDB mirrors (single source — the userinfo
+    * class bug was once duplicated across four literals). */
+  val canonicalHostPortRegex: String =
+    "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#][^/?#]*)"
+
+  /** The scheme/userinfo/hostPort PREFIX of a URL — what [[canonicalUrl]]
+    * strips to isolate "/path?query". Same classes as
+    * [[canonicalHostPortRegex]], no capture. */
+  val canonicalPrefixRegex: String =
+    "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?[^/?#]+"
 
   /** Registered domain of a URL/host column under the PSL longest-match
     * rule (see object scaladoc). Suffix depth ≤ 3 labels is matched —
@@ -139,15 +157,10 @@ object Domains {
     * on the canonical string. */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(trim(url), "#.*$", "")
-    // [[hostRegex]] with case-tolerant classes: extraction runs on the
-    // UN-lowered input (the path must keep its case), the host is folded
-    // after
-    val hostPort = regexp_extract(noFrag,
-      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#][^/?#]*)", 1)
+    val hostPort = regexp_extract(noFrag, canonicalHostPortRegex, 1)
     val h = regexp_replace(lower(hostPort), ":(80|443)$", "")
     // the remainder after scheme/userinfo/hostPort: "/path?query" or ""
-    val pathQ = regexp_replace(noFrag,
-      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?[^/?#]+", "")
+    val pathQ = regexp_replace(noFrag, canonicalPrefixRegex, "")
     val noUtm = regexp_replace(pathQ, "([?&])utm_[A-Za-z]+=[^&]*", "$1")
     // separator repair: collapse "?&"/"&&" runs left by the cut, then a
     // dangling trailing "?" or "&"

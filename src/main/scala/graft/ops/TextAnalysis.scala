@@ -417,14 +417,28 @@ object TextAnalysis {
       "prose_len" -> length(stripped).cast("long"))
   }
 
-  /** IPv4 literal (word-bounded so version strings like 1.2.3.4.5 don't
-    * half-match) and phone numbers with separators (optional +CC and
-    * area parens; a bare 10-digit run is NOT a phone — it falls through
-    * to the long-number catch-all). RE2-compatible: no lookaround, `\b`
-    * is supported by both engines. */
-  val ipv4Regex = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  /** IPv4 literal with RANGE-CHECKED octets (0–255: `999.999.999.999`
+    * is a serial number, not an address) and `\b` anchors on both ends.
+    * Known, accepted envelope: `\b` holds between a digit and `.`, so a
+    * 5+-octet version string like `1.2.3.4.5` gets its leading 4 valid
+    * octets matched and redacts to `<IP>.5` — preventing that needs
+    * lookahead, which RE2 (the DuckDB oracle engine) lacks; the behavior
+    * is engine-consistent and spec-pinned. Leading-zero octets (`01`)
+    * are rejected by the octet alternation, same as inet parsers. */
+  val ipv4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+  val ipv4Regex = s"\\b$ipv4Octet(\\.$ipv4Octet){3}\\b"
+
+  /** Phone numbers with separators (optional +CC and area parens).
+    * `\b` before the first area-code digit and after the last digit
+    * anchors the match to a digit-run boundary: an 11+-digit separated
+    * run (`1234-567-8901`) can no longer half-match its tail, and a
+    * trailing extra digit (`555-123-45678`) kills the match instead of
+    * truncating it. The anchor sits INSIDE the optional `(` (a word
+    * boundary exists between `(` and a digit but not between space and
+    * `(`). A bare 10-digit run is NOT a phone — it falls through to the
+    * long-number catch-all. RE2-compatible: no lookaround. */
   val phoneRegex =
-    "(\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+    "(\\+?[0-9]{1,2}[-. ])?\\(?\\b[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
 
   /** [[redactColumns]] widened to the full Dolma-style PII set: email →
     * IPv4 → phone → long-number, each stage counted on and applied to

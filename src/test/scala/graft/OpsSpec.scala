@@ -1752,8 +1752,13 @@ class OpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "call +1-555-123-4567 or (212) 555-0000 from 10.0.3.7 mail a@b.co ref 123456789"),
       (2L, "bare 5551234567 is a number, not a phone"),  // no separators
-      (3L, "version 1.2.3.4.5 is not an ip"),            // 5 octets: \b guards
-      (4L, "clean text with nothing to redact")
+      (3L, "version 1.2.3.4.5 is not an ip"),            // 5 octets
+      (4L, "clean text with nothing to redact"),
+      // VERDICT r9 false-positive traps: out-of-range octets, an
+      // 11-digit separated run, a trailing-extra-digit phone, and a
+      // leading-zero octet must ALL survive redaction untouched
+      (5L, "serial 999.999.999.999 and 256.1.1.1 and 01.2.3.4 stay"),
+      (6L, "run 1234-567-8901 and 555-123-45678 stay")
     ).toDF("doc_id", "text")
     val out = docs.select(col("doc_id") +:
         TextAnalysis.redactPiiColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
@@ -1762,11 +1767,15 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) === ((1L, 1L, 2L, 1L,
       "call <PHONE> or <PHONE> from <IP> mail <EMAIL> ref <NUM>")))
     assert(out(2L) === ((0L, 0L, 0L, 1L, "bare <NUM> is a number, not a phone")))
-    // 1.2.3.4.5: the leading 4 octets sit flush against ".5", so the
-    // trailing \b holds and the IP pattern matches the prefix — but the
-    // full 5-octet string must never be consumed as one IP
-    assert(out(3L)._5.contains(".5") || out(3L)._2 <= 1L)
+    // 1.2.3.4.5: the documented envelope — the leading 4 valid octets
+    // sit flush against ".5", the trailing \b holds between digit and
+    // '.', and the prefix redacts; the ".5" remainder survives
+    assert(out(3L) === ((0L, 1L, 0L, 0L, "version <IP>.5 is not an ip")))
     assert(out(4L) === ((0L, 0L, 0L, 0L, "clean text with nothing to redact")))
+    assert(out(5L) === ((0L, 0L, 0L, 0L,
+      "serial 999.999.999.999 and 256.1.1.1 and 01.2.3.4 stay")))
+    assert(out(6L) === ((0L, 0L, 0L, 0L,
+      "run 1234-567-8901 and 555-123-45678 stay")))
   }
 
   test("canonical url: same-page variants collapse, different origins survive") {
@@ -1778,7 +1787,10 @@ class OpsSpec extends SparkSpec {
       (4L, "https://www.example.com/page/8"),       // different page
       (5L, "https://www.example.com:8443/page/7"),  // non-default port survives
       (6L, "https://www.example.com/p?a=1&utm_b=2&c=3"), // mid-query utm
-      (7L, "https://www.example.com/p?a=1&c=3")     // same page as 6
+      (7L, "https://www.example.com/p?a=1&c=3"),    // same page as 6
+      // ADVICE r9: pathless URL with @ in the QUERY — the userinfo
+      // class must not cross '?', or the host mis-extracts as y.com
+      (8L, "example.com?contact=x@y.com")
     ).toDF("id", "url")
     val got = urls.select(col("id"), Domains.canonicalUrl(col("url")))
       .as[(Long, String)].collect().toMap
@@ -1789,6 +1801,11 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) === "http://www.example.com:8443/page/7")
     assert(got(6L) === "http://www.example.com/p?a=1&c=3")
     assert(got(6L) === got(7L))
+    assert(got(8L) === "http://example.com?contact=x@y.com")
+    // and the registered-domain key sees example.com, not y.com
+    val rd = urls.filter(col("id") === 8L)
+      .select(Domains.registeredDomain(col("url"))).as[String].head()
+    assert(rd === "example.com")
     // the dedup keeps the smallest id per canonical group
     val dd = Domains.urlDedup(urls, "id", col("url"))
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
