@@ -332,6 +332,40 @@ object OracleOpsQueries {
       "doc_id", graft.ops.Domains.registeredDomain(col("url")),
       col("n_chars").cast("double"), 25)
 
+  /** Planted URLs for the FULL-PSL extractor: the canonical wildcard
+    * (`*.ck` — every `aN.foo.bar.ck` keys to `foo.bar.ck`) and exception
+    * (`!www.ck` — both `www.ck` itself and hosts under it key to
+    * `www.ck`) cases, the Japanese designated-city pair
+    * (`!city.kawasaki.jp` vs `*.kawasaki.jp` — the latter makes each
+    * `xN.foo.kawasaki.jp` its OWN registered domain), plus an exact-rule
+    * host, an implicit-`*` host, and a single-label host, so every
+    * branch of [[graft.ops.Domains.registeredDomainPsl]] fires. */
+  private def plantedPslUrl: Column = {
+    val m = col("doc_id") % 8
+    when(m === 0, concat(lit("https://a"), col("doc_id") % 5,
+        lit(".foo.bar.ck/p/"), col("doc_id")))
+      .when(m === 1, lit("http://www.ck/"))
+      .when(m === 2, lit("https://deep.x.www.ck/q"))
+      .when(m === 3, concat(lit("https://b"), col("doc_id") % 4,
+        lit(".city.kawasaki.jp/p")))
+      .when(m === 4, concat(lit("https://a.x"), col("doc_id") % 3,
+        lit(".foo.kawasaki.jp/")))
+      .when(m === 5, concat(lit("https://news.example.co.uk/p/"), col("doc_id")))
+      .when(m === 6, lit("http://plain.example.com/x"))
+      .otherwise(lit("http://localhost:9090/health"))
+  }
+
+  /** [[corpusDomainCapRegistered]] under FULL Public Suffix List
+    * semantics (VERDICT r9 item 3): wildcard and exception rules applied
+    * at rule-derived depth; the cap key is
+    * [[graft.ops.Domains.registeredDomainPsl]]. */
+  def corpusDomainCapPsl(s: SparkSession, d: String): DataFrame =
+    graft.ops.Splits.capPerKey(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        plantedPslUrl.as("url")),
+      "doc_id", graft.ops.Domains.registeredDomainPsl(col("url")),
+      col("n_chars").cast("double"), 25)
+
   /** The crawl FRONT composed in pipeline order: canonical-URL dedup
     * collapses re-crawled pages first (one survivor per canonical URL,
     * smallest id), THEN the registered-domain cap bounds any publisher's
@@ -1287,6 +1321,7 @@ object OracleOpsQueries {
     "corpus_preclean" -> (corpusPreclean _),
     "corpus_domain_cap" -> (corpusDomainCap _),
     "corpus_domain_cap_registered" -> (corpusDomainCapRegistered _),
+    "corpus_domain_cap_psl" -> (corpusDomainCapPsl _),
     "dedup_url_canonical" -> (dedupUrlCanonical _),
     "corpus_crawl_front" -> (corpusCrawlFront _),
     "text_repetition" -> (textRepetition _),
@@ -1406,6 +1441,57 @@ object OracleOpsQueries {
        |    CASE WHEN n <= 1 THEN host
        |         ELSE array_to_string(list_slice(ls, -(k+1), -1), '.') END AS key
        |  FROM rdk)""".stripMargin
+
+  /** CTE chain computing [[graft.ops.Domains.registeredDomainPsl]] —
+    * FULL Public Suffix List semantics (exceptions override, wildcards
+    * extend one label below their base, depth derived from the rules) —
+    * over `fromRel`, exposed as `rd(…, key)`. GENERATED from
+    * [[graft.ops.Domains.defaultPsl]], the one rule set both engines
+    * consult, so a rule edit can never desynchronize the gate. */
+  private def registeredDomainPslSqlCtes(fromRel: String,
+                                         urlCol: String): String = {
+    val rules = graft.ops.Domains.defaultPsl
+    def sqlList(s: Seq[String]) =
+      s.map(x => s"'$x'").mkString("[", ", ", "]")
+    def cand(k: Int) = s"array_to_string(list_slice(ls, -$k, -1), '.')"
+    def depth(s: String) = s.count(_ == '.') + 1
+    val exactByDepth = rules.exact.groupBy(depth)
+    val wildByDepth = rules.wildcards.groupBy(depth)
+    val maxK = ((rules.exact.map(depth) ++
+      rules.wildcards.map(depth(_) + 1)) :+ 1).max
+    val kCases = (maxK to 2 by -1).flatMap { kk =>
+      val conds =
+        exactByDepth.get(kk).map(ex =>
+          s"list_contains(${sqlList(ex)}, ${cand(kk)})").toSeq ++
+        wildByDepth.get(kk - 1).map(wc =>
+          s"list_contains(${sqlList(wc)}, ${cand(kk - 1)})").toSeq
+      if (conds.isEmpty) None
+      else Some(s"WHEN n > $kk AND (${conds.mkString(" OR ")}) THEN $kk")
+    }.mkString("\n         ")
+    val excCases = rules.exceptions.groupBy(depth).toSeq.sortBy(-_._1)
+      .map { case (e, rs) =>
+        s"WHEN n >= $e AND list_contains(${sqlList(rs)}, ${cand(e)}) THEN ${cand(e)}"
+      }.mkString("\n         ")
+    s"""rdl AS (
+       |  SELECT *, regexp_extract(lower(trim($urlCol)), '${graft.ops.Domains.hostRegex}', 1) AS host
+       |  FROM $fromRel),
+       |rdsp AS (
+       |  SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+       |  FROM rdl),
+       |rdk AS (
+       |  SELECT *,
+       |    CASE $kCases
+       |         ELSE 1 END AS k,
+       |    CASE $excCases
+       |         ELSE NULL END AS exc
+       |  FROM rdsp),
+       |rd AS (
+       |  SELECT *,
+       |    COALESCE(exc,
+       |      CASE WHEN n <= 1 THEN host
+       |           ELSE array_to_string(list_slice(ls, -(k+1), -1), '.') END) AS key
+       |  FROM rdk)""".stripMargin
+  }
 
   /** CTE computing [[graft.ops.Domains.canonicalUrl]] of `url` over any
     * relation — exposed as `cn(…, canon_url)`; shared by the URL-dedup
@@ -2445,6 +2531,27 @@ object OracleOpsQueries {
          |    CASE WHEN n <= 1 THEN host
          |         ELSE array_to_string(list_slice(ls, -(k+1), -1), '.') END AS key
          |  FROM kk),
+         |r AS (
+         |  SELECT key, doc_id, CAST(n_chars AS DOUBLE) AS score,
+         |    row_number() OVER (PARTITION BY key
+         |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |  FROM rd)
+         |SELECT key, CAST(rk AS BIGINT) AS rank, score, doc_id
+         |FROM r WHERE rk <= 25""".stripMargin,
+    "corpus_domain_cap_psl" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE doc_id % 8
+         |      WHEN 0 THEN 'https://a' || (doc_id % 5) || '.foo.bar.ck/p/' || doc_id
+         |      WHEN 1 THEN 'http://www.ck/'
+         |      WHEN 2 THEN 'https://deep.x.www.ck/q'
+         |      WHEN 3 THEN 'https://b' || (doc_id % 4) || '.city.kawasaki.jp/p'
+         |      WHEN 4 THEN 'https://a.x' || (doc_id % 3) || '.foo.kawasaki.jp/'
+         |      WHEN 5 THEN 'https://news.example.co.uk/p/' || doc_id
+         |      WHEN 6 THEN 'http://plain.example.com/x'
+         |      ELSE 'http://localhost:9090/health' END AS url
+         |  FROM documents),
+         |${registeredDomainPslSqlCtes("u", "url")},
          |r AS (
          |  SELECT key, doc_id, CAST(n_chars AS DOUBLE) AS score,
          |    row_number() OVER (PARTITION BY key

@@ -76,6 +76,30 @@ object Probe {
       println(s"ROLLING_HASH distinct=$rh of 100000")
       spark.stop(); return
     }
+    if (args.headOption.contains("chunklinear")) {
+      // evidence for the VERDICT-r9-item-4 rewrite: per-row time of
+      // sentence chunking must scale ~linearly in unit count (the old
+      // slice-and-fold was quadratic — 4× units = ~16× time). Not a
+      // gate (wall-clock on a shared box); printed for the record.
+      import org.apache.spark.sql.functions._
+      import graft.ops.Chunking
+      def time(u: Int): Double = {
+        val unit = (1 to 8).map(i => s"tok$i").mkString(" ")
+        val text = Seq.fill(u)(unit).mkString(". ")
+        val df = spark.range(0, 64, 1, 4)
+          .select(col("id").as("doc_id"), lit(text).as("text"))
+        val t0 = System.nanoTime()
+        Chunking.chunkBySentences(df, "doc_id", "text", targetTokens = 64)
+          .agg(count(lit(1)), sum(col("n_tok"))).collect(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }
+      time(500): Unit // JIT + codegen warmup
+      val t1 = time(2000)
+      val t2 = time(8000)
+      println(f"CHUNK_LINEAR units=2000 t=$t1%.2fs units=8000 t=$t2%.2fs " +
+        f"ratio=${t2 / t1}%.2f (linear ~4, quadratic ~16)")
+      spark.stop(); return
+    }
     if (args.headOption.contains("stream")) {
       // drive the streaming ingest path: watch dir -> parquet sink
       val Array(_, inDir, outDir) = args

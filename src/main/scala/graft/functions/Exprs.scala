@@ -161,6 +161,42 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Exclusive prefix sums over ARRAY<BIGINT>, with the grand total
+  * appended: input `[x0, x1, …, x(n-1)]` → output of n+1 elements
+  * `[0, x0, x0+x1, …, Σx]`, so `out[i]` (0-based) is the sum of the
+  * first i inputs and a consumer reads any RANGE sum `[a, b)` as
+  * `out[b] - out[a]` in O(1). Exists because the HOF formulation
+  * (`transform(xs, (_, i) => aggregate(slice(xs, 1, i), …))`) is
+  * O(n²) per row — a book-length document (10⁵ sentences) turns one
+  * task into 10¹⁰ in-row ops (VERDICT r9 item 4); this is one codegen'd
+  * O(n) loop. A null element yields NULL (same contract as
+  * [[DotProduct]]): a silent skip would shift every boundary after it. */
+case class PrefixSums(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    VecOps.prefixSums(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("psums")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.VecOps.prefixSums($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): PrefixSums = copy(c)
+  override def prettyName: String = "prefix_sums"
+}
+
 object VecOps {
   /** Boxed null on length mismatch or (when `checkNulls`) a null element —
     * the exact semantics of the HOF form and the DuckDB mirror (see
@@ -183,6 +219,23 @@ object VecOps {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     java.lang.Double.valueOf(acc)
   }
+
+  /** One O(n) pass for [[PrefixSums]]; null (whole result) on a null
+    * element. */
+  def prefixSums(a: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n + 1)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      acc += a.getLong(i)
+      out(i + 1) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Column-level API. */
@@ -201,4 +254,6 @@ object F {
     Bridge.column(RollingHash(Bridge.expression(c)))
   def nfc_normalize(c: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(c)))
+  def prefix_sums(c: Column): Column =
+    Bridge.column(PrefixSums(Bridge.expression(c)))
 }

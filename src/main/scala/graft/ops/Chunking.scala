@@ -112,11 +112,16 @@ object Chunking {
     * [[Dedup.paragraphDedup]] documents).
     *
     * Shape: pure scan-side array algebra — NO explode-then-window, no
-    * shuffle at all; the per-doc prefix sums are an O(units²)
-    * `transform` + `slice` (the same in-row quadratic
-    * [[Dedup.paragraphDedupInDoc]] accepts: units are bounded by doc
-    * length, and one in-memory pass per row beats a corpus-wide
-    * explode + window shuffle at any scale). Output
+    * shuffle at all — and LINEAR in-row (VERDICT r9 item 4; the first
+    * formulation was an O(units²) slice-and-fold that turned a
+    * book-length document into 10¹⁰ in-row ops in one task): the per-doc
+    * exclusive prefix sums are one codegen'd pass
+    * ([[graft.functions.PrefixSums]]), and because a unit's chunk id
+    * `⌊cum/target⌋` is MONOTONE over the unit order, each chunk is a
+    * contiguous RUN — so the assembly finds the run boundaries (one
+    * linear filter), reads each run's token total as an O(1) prefix-sum
+    * difference, and slices each unit exactly once. Total in-row work is
+    * O(units + output chars). Output
     * (id, chunk_id, n_units, n_tok, chunk_text). */
   def chunkBySentences(df: DataFrame, id: String, text: String,
                        targetTokens: Int,
@@ -132,27 +137,37 @@ object Chunking {
       .withColumn("__n",
         transform(col("__u"),
           u => size(TextAnalysis.tokens(u, tokenMode)).cast("long")))
-      // exclusive prefix sums: slice(ns, 1, i) is the first i elements
-      // (empty at i = 0), aggregate folds them — O(units²) per row
-      .withColumn("__cum",
-        transform(col("__n"), (_, i) =>
-          aggregate(slice(col("__n"), lit(1), i), lit(0L), (a, x) => a + x)))
+      // exclusive prefix sums with the total appended (n+1 elements):
+      // __cum[i] (1-based element i) = sum of the first i-1 unit counts
+      .withColumn("__cum", graft.functions.F.prefix_sums(col("__n")))
       .withColumn("__k",
-        transform(col("__cum"), c => ((c - pmod(c, lit(t))) / t).cast("long")))
-    // one struct per DISTINCT chunk id, assembled in-row from the unit /
-    // count / chunk-id arrays (outer columns are visible inside HOFs)
-    val chunks = transform(array_distinct(col("__k")), cid =>
+        transform(col("__n"), (_, i) =>
+          ((element_at(col("__cum"), i + 1) -
+            pmod(element_at(col("__cum"), i + 1), lit(t))) / t).cast("long")))
+    val n = size(col("__u"))
+    // 1-based start index of each chunk run: position 1, plus every
+    // position whose chunk id differs from its predecessor (guarded
+    // sequence: sequence(1, 0) would DESCEND, not be empty). MATERIALIZED
+    // as a column: referenced as an expression inside the per-chunk
+    // lambda below, the whole O(units) filter would be re-inlined and
+    // re-evaluated per chunk — measured ratio 14 (quadratic) instead of
+    // 4 (linear) on the 4× probe before this withColumn.
+    val withStarts = base.withColumn("__starts", filter(
+      when(n >= 1, sequence(lit(1), n)).otherwise(array().cast("array<int>")),
+      i => (i === 1) ||
+        (element_at(col("__k"), i) =!= element_at(col("__k"), i - 1))))
+    val sCount = size(col("__starts"))
+    val chunks = transform(col("__starts"), (a, j) => {
+      // exclusive end of run j: the next run's start, or n+1 for the last
+      def b = when(j === sCount - 1, n + 1)
+        .otherwise(element_at(col("__starts"), j + 2))
       struct(
-        cid.as("chunk_id"),
-        size(filter(col("__k"), k => k === cid)).cast("long").as("n_units"),
-        aggregate(zip_with(col("__n"), col("__k"),
-            (n, k) => when(k === cid, n).otherwise(lit(0L))),
-          lit(0L), (a, x) => a + x).as("n_tok"),
-        array_join(
-          zip_with(col("__u"), col("__k"),
-            (u, k) => when(k === cid, u).otherwise(lit(null))),
-          ". ").as("chunk_text")))
-    base.select(col(id), explode(chunks).as("__c"))
+        element_at(col("__k"), a).as("chunk_id"),
+        (b - a).cast("long").as("n_units"),
+        (element_at(col("__cum"), b) - element_at(col("__cum"), a)).as("n_tok"),
+        array_join(slice(col("__u"), a, b - a), ". ").as("chunk_text"))
+    })
+    withStarts.select(col(id), explode(chunks).as("__c"))
       .select(col(id), col("__c.chunk_id"), col("__c.n_units"),
         col("__c.n_tok"), col("__c.chunk_text"))
   }

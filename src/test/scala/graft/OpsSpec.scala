@@ -1724,6 +1724,58 @@ class OpsSpec extends SparkSpec {
     assert(exchanges.isEmpty, plan.toString)
   }
 
+  test("sentence chunking: linear run-boundary formulation matches the quadratic reference") {
+    import graft.ops.Chunking
+    // randomized docs (fixed seed): repeated words, repeated units, unit
+    // token counts straddling the target, zero-unit docs — compared
+    // against a plain-Scala transcription of the ORIGINAL O(units²)
+    // per-distinct-chunk-id semantics (VERDICT r9 item 4 equivalence pin)
+    val rnd = new scala.util.Random(42)
+    val t = 7
+    val rows = (1L to 80L).map { i =>
+      val nUnits = rnd.nextInt(13)
+      val text = Seq.fill(nUnits)(
+        Seq.fill(1 + rnd.nextInt(11))("w" + rnd.nextInt(4)).mkString(" ")
+      ).mkString(". ")
+      (i, text)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val got = Chunking.chunkBySentences(docs, "doc_id", "text", targetTokens = t)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    val exp = rows.flatMap { case (id, text) =>
+      val units = text.split("\\.\\s+").map(_.trim).filter(_.nonEmpty)
+      val ns = units.map(u => u.split("\\s+").count(_.nonEmpty).toLong)
+      val cum = ns.scanLeft(0L)(_ + _)
+      val ks = units.indices.map(i => cum(i) / t)
+      ks.distinct.map { k =>
+        val idx = units.indices.filter(i => ks(i) == k)
+        (id, k, idx.size.toLong, idx.map(ns).sum, idx.map(units).mkString(". "))
+      }
+    }.toSet
+    assert(got === exp)
+  }
+
+  test("in-doc paragraph dedup: array_distinct matches the first-occurrence reference") {
+    // same pin for the other r9-item-4 rewrite: Spark's array_distinct
+    // keeps first-occurrence order, exactly the old
+    // array_position(ps, p) = i+1 kept-set test
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 80L).map { i =>
+      val n = rnd.nextInt(10)
+      val text = Seq.fill(n)("p" + rnd.nextInt(4) + " q" + rnd.nextInt(3)).mkString(". ")
+      (i, text)
+    }
+    val got = Dedup.paragraphDedupInDoc(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    rows.foreach { case (id, text) =>
+      val ps = text.split("\\.\\s+").map(_.trim).filter(_.nonEmpty)
+      val kept = ps.distinct // Scala distinct = first-occurrence order
+      assert(got(id) === ((ps.length.toLong, kept.length.toLong, kept.mkString(". "))))
+    }
+  }
+
   test("shard manifest: partition- and order-invariant, detects any content drift") {
     import graft.ops.Splits
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
@@ -1812,6 +1864,55 @@ class OpsSpec extends SparkSpec {
     assert(dd("http://www.example.com/page/7") === ((1L, 3L)))
     assert(dd("http://www.example.com/page/8") === ((4L, 1L)))
     assert(dd("http://www.example.com/p?a=1&c=3") === ((6L, 2L)))
+  }
+
+  test("psl rules: parser handles comments/wildcards/exceptions; matcher applies full semantics") {
+    import graft.ops.Domains
+    // the publicsuffix.org documentation's own example block
+    val rules = Domains.parsePsl(
+      """// ck : https://example (comment)
+        |ck
+        |*.ck
+        |!www.ck
+        |
+        |co.uk
+        |blogspot.co.uk
+        |*.kawasaki.jp
+        |!city.kawasaki.jp
+        |""".stripMargin)
+    assert(rules.exact === Seq("ck", "co.uk", "blogspot.co.uk"))
+    assert(rules.wildcards === Seq("ck", "kawasaki.jp"))
+    assert(rules.exceptions === Seq("www.ck", "city.kawasaki.jp"))
+    val hosts = Seq(
+      (1L, "https://a.foo.bar.ck/p"),        // *.ck: bar.ck is a public suffix
+      (2L, "http://www.ck/"),                // !www.ck: registers as itself
+      (3L, "https://deep.x.www.ck/q"),       // exception matches as a suffix
+      (4L, "http://foo.ck"),                 // IS a public suffix: falls to TLD rule
+      (5L, "https://a.x.foo.kawasaki.jp/"),  // *.kawasaki.jp at depth 3
+      (6L, "https://b.city.kawasaki.jp/p"),  // exception beats the wildcard
+      (7L, "https://sub.blog.blogspot.co.uk/post"), // exact depth-3 rule
+      (8L, "http://plain.example.com/x"),    // implicit * fallback
+      (9L, "http://localhost:9090/")         // single label passes through
+    ).toDF("id", "url")
+    val got = hosts.select(col("id"),
+        Domains.registeredDomainPsl(col("url"), rules).as("rd"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "foo.bar.ck")
+    assert(got(2L) === "www.ck")
+    assert(got(3L) === "www.ck")
+    assert(got(4L) === "foo.ck")
+    assert(got(5L) === "x.foo.kawasaki.jp")
+    assert(got(6L) === "city.kawasaki.jp")
+    assert(got(7L) === "blog.blogspot.co.uk")
+    assert(got(8L) === "example.com")
+    assert(got(9L) === "localhost")
+    // scan-side: membership is InSet column algebra, never a join/shuffle
+    val plan = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(Domains.registeredDomainPsl(concat(lit("https://h"),
+        col("doc_id"), lit(".example.co.uk/p"))).as("rd"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      "PSL extraction must be scan-side:\n" + plan)
   }
 
   test("unseg tokenizer: per-codepoint on SEA scripts, backward-identical elsewhere") {
