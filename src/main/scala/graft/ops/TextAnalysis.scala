@@ -901,6 +901,20 @@ object TextAnalysis {
         col("c12").as("c2"), col("c1").as("d2"))
     val uni = lmUnigramTable(tr, id, text)
       .select(col("h").as("h_1"), col("c").as("cu"), col("n_total"))
+    stupidBackoffScoreTables(df, id, text, tri, bi, uni, scale)
+  }
+
+  /** [[stupidBackoffScore]] against PREBUILT backoff tables — the
+    * train-once/score-many face of the trigram ladder, and the scoring
+    * half of the count-artifact interop (VERDICT r9 item 8): tables come
+    * from this engine's trainers, from persisted parquet, or from
+    * [[backoffTablesFromCounts]] over a reference LM's standard n-gram
+    * count files. Expected schemas: tri (h1_3, h12_3, c3, d3),
+    * bi (h1_2, h12_2, c2, d2), uni (h_1, cu, n_total). */
+  def stupidBackoffScoreTables(df: DataFrame, id: String, text: String,
+                               tri: DataFrame, bi: DataFrame,
+                               uni: DataFrame,
+                               scale: Long = 10000L): DataFrame = {
     val t = tokens(col(text))
     val gs = when(size(t) >= 3,
       transform(sequence(lit(1), size(t) - 2), i =>
@@ -949,6 +963,87 @@ object TextAnalysis {
           coalesce(col("sum_score"), lit(0L)).cast("double") /
             col("n_grams").cast("double"))
           .otherwise(0.0).as("sb_score"))
+  }
+
+  // ------------------------------------------- LM count-artifact interop
+
+  /** WORD-keyed n-gram count table (gram, c) — the portable form of the
+    * LM train pass (VERDICT r9 item 8): the engine-private
+    * [[lmPairTable]]/[[lmUnigramTable]] artifacts key on 60-bit hashes,
+    * which nothing outside this engine can consume or produce; this is
+    * the `w1 … wn<TAB>count` convention of SRILM's `ngram-count -write`
+    * output, round-trippable through [[lmCountsTsv]]. One
+    * map-side-combined count aggregate, same scale shape as the hash
+    * tables (the key is a string instead of a long — pay that only on
+    * the export path). Tokens cannot contain whitespace, so the
+    * space-joined gram string is unambiguous. */
+  def lmNgramCounts(train: DataFrame, id: String, text: String,
+                    n: Int): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val t = tokens(col(text))
+    val gs = if (n == 1) t
+      else when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
+        .otherwise(array())
+    graft.operators.Scale.balanceToCores(train)
+      .select(explode(gs).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+  }
+
+  /** `counts.tsv` content: one `gram<TAB>count` line per n-gram, sorted
+    * by gram for byte-stable output (the SRILM count-file line format;
+    * no header — a consumer `cut -f`s it directly). */
+  def lmCountsTsv(counts: Seq[(String, Long)]): String =
+    counts.sortBy(_._1).map { case (g, c) => s"$g\t$c" }
+      .mkString("", "\n", "\n")
+
+  /** Inverse of [[lmCountsTsv]]. Rejects malformed lines loudly with the
+    * true 1-based file line number — a silently skipped count would
+    * shift every backoff denominator built from the file. */
+  def parseLmCountsTsv(text: String): Seq[(String, Long)] =
+    text.linesIterator.zipWithIndex
+      .filterNot { case (l, _) => l.isEmpty }
+      .map { case (l, i) =>
+        l.split("\t") match {
+          case Array(g, c) if c.nonEmpty && c.forall(_.isDigit) =>
+            (g, c.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"counts.tsv line ${i + 1}: expected 'gram<TAB>count', got '$l'")
+        }
+      }.toSeq
+
+  /** Hash-keyed backoff tables rebuilt from WORD-keyed count frames
+    * (each `(gram, c)`, e.g. re-read [[lmNgramCounts]] exports or a
+    * reference LM's standard count files) — the consuming half of the
+    * interop: feed the result straight to [[stupidBackoffScoreTables]].
+    * Each level's conditioning denominator is the sum of its OWN counts
+    * over the shared (n−1)-word prefix — exactly how [[lmPairTable]]
+    * derives `c1` from `c12` — so the rebuilt tables are bit-identical
+    * to training in-engine on the same corpus (spec-pinned), including
+    * under 60-bit hash collisions (counts re-aggregate on the hash keys
+    * after hashing). Index-sized jobs: two windows and one broadcast
+    * total over vocabulary-sized frames, the corpus is never touched. */
+  def backoffTablesFromCounts(tri: DataFrame, bi: DataFrame,
+                              uni: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    def pairT(counts: DataFrame, n: Int, hc: String, hg: String,
+              cN: String, dN: String): DataFrame =
+      counts.select(
+          hash60(substring_index(col("gram"), " ", n - 1)).as(hc),
+          hash60(col("gram")).as(hg), col("c"))
+        .groupBy(col(hc), col(hg)).agg(sum(col("c")).as(cN))
+        .withColumn(dN, sum(col(cN)).over(Window.partitionBy(col(hc))))
+    val triT = pairT(tri, 3, "h1_3", "h12_3", "c3", "d3")
+    val biT = pairT(bi, 2, "h1_2", "h12_2", "c2", "d2")
+    val uniC = uni.select(hash60(col("gram")).as("h_1"), col("c"))
+      .groupBy(col("h_1")).agg(sum(col("c")).as("cu"))
+    val total = uniC.groupBy(lit(1).as("__k"))
+      .agg(sum(col("cu")).as("n_total"))
+    val uniT = uniC.withColumn("__k", lit(1))
+      .join(broadcast(total), Seq("__k")).drop("__k")
+    (triT, biT, uniT)
   }
 
   /** Per-stratum quantile normalization of the quality score — the

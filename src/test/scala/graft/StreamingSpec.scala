@@ -179,6 +179,116 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 2) // {brand new content, entirely novel words}
   }
 
+  test("streaming url dedup keeps the batch op's canonical-url set") {
+    import org.apache.spark.sql.functions.col
+    val t0 = 1700000000000L
+    val rows = Seq(
+      (1L, "https://WWW.Example.com:443/page/7/?utm_source=x"),
+      (2L, "http://user@www.example.com/page/7"),   // same page as 1
+      (3L, "www.example.com:80/page/7#frag"),        // same page again
+      (4L, "https://www.example.com/page/8"),        // distinct page
+      (5L, "https://other.example.org/q"))           // distinct origin
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    ms.addData(rows.zipWithIndex.map { case ((i, u), j) =>
+      (i, u, new java.sql.Timestamp(t0 + j * 1000)) }: _*)
+    val q = Streams.urlDedupStream(
+        ms.toDF.toDF("doc_id", "url", "event_time"), "url")
+      .writeStream.format("memory").queryName("url_dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT canon_url FROM url_dedup_stream")
+      .as[String].collect().toSeq
+    // one survivor per canonical URL (first arrival; batch keeps min id —
+    // the CANONICAL SET is the invariant both share)
+    assert(streamed.size === streamed.distinct.size)
+    val batchSet = graft.ops.Domains.urlDedup(
+        rows.toDF("doc_id", "url"), "doc_id", col("url"))
+      .select("canon_url").as[String].collect().toSet
+    assert(streamed.toSet === batchSet)
+    assert(batchSet.size === 3)
+  }
+
+  test("streaming domain cap: one micro-batch reproduces capPerKey; budget persists across batches") {
+    import org.apache.spark.sql.functions.col
+    // 6 docs on example.co.uk (registered: example.co.uk), 2 on
+    // example.com, 1 single-label host; cap 3
+    def url(i: Long): String = i match {
+      case i if i <= 6 => s"https://h$i.sub.example.co.uk/p/$i"
+      case 7 | 8       => "http://www.example.com/q"
+      case _           => "http://localhost/z"
+    }
+    val rows = (1L to 9L).map(i => (i, url(i), 100.0 - i))
+    val ms = MemoryStream[(Long, String, Double)](spark)
+    val q = Streams.domainCapStream(
+        ms.toDF.toDF("doc_id", "url", "score"), "doc_id", "url", "score", 3)
+      .writeStream.format("memory").queryName("cap_stream")
+      .outputMode("append").start()
+    ms.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT domain, id FROM cap_stream")
+      .as[(String, Long)].collect().toSet
+    // single micro-batch == the batch cap exactly (score desc, id asc)
+    val batch = graft.ops.Splits.capPerKey(
+        rows.toDF("doc_id", "url", "score"), "doc_id",
+        graft.ops.Domains.registeredDomain(col("url")), col("score"), 3)
+      .select(col("key"), col("doc_id")).as[(String, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.count(_._1 == "example.co.uk") === 3)
+    // a SECOND micro-batch against the same running query's state: the
+    // domain's budget is already spent, so even a 999-scored re-offer is
+    // refused — while a fresh domain admits normally
+    ms.addData((20L, url(1L), 999.0), (21L, "http://fresh.example.net/a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.sql("SELECT domain, id FROM cap_stream")
+      .as[(String, Long)].collect().toSet
+    assert(!all.contains(("example.co.uk", 20L)))
+    assert(all.count(_._1 == "example.co.uk") === 3)
+    assert(all.contains(("example.net", 21L)))
+  }
+
+  test("streaming crawl front composition equals the batch stage order") {
+    import org.apache.spark.sql.functions.col
+    // stage 1 (url dedup) survivors piped into stage 2 (domain cap) —
+    // the two-job topology the op scaladoc documents; compared against
+    // the batch composition urlDedup -> capPerKey on the same data
+    val t0 = 1700000000000L
+    val rows = Seq(
+      (1L, "https://a.example.co.uk/p/1", 10.0),
+      (2L, "https://A.EXAMPLE.co.uk/p/1?utm_x=1", 20.0), // dup of 1
+      (3L, "https://b.example.co.uk/p/2", 30.0),
+      (4L, "https://c.example.co.uk/p/3", 40.0),
+      (5L, "https://d.example.co.uk/p/4", 50.0),
+      (6L, "http://plain.example.com/x", 60.0))
+    val ms = MemoryStream[(Long, String, Double, java.sql.Timestamp)](spark)
+    ms.addData(rows.zipWithIndex.map { case ((i, u, s), j) =>
+      (i, u, s, new java.sql.Timestamp(t0 + j * 1000)) }: _*)
+    val q = Streams.urlDedupStream(
+        ms.toDF.toDF("doc_id", "url", "score", "event_time"), "url")
+      .writeStream.format("memory").queryName("front_stage1")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val survivors = spark.sql("SELECT doc_id, url, score FROM front_stage1")
+    // stage 2 runs the SAME op on the survivor frame (batch-compatible)
+    val admitted = Streams.domainCapStream(
+        survivors, "doc_id", "url", "score", 2)
+      .as[(String, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // batch reference: urlDedup keepers -> capPerKey, same k
+    val keep = graft.ops.Domains.urlDedup(
+        rows.map(r => (r._1, r._2)).toDF("doc_id", "url"), "doc_id", col("url"))
+      .select(col("keep_id").as("doc_id"))
+    val kept = rows.map(r => (r._1, r._2, r._3)).toDF("doc_id", "url", "score")
+      .join(keep, "doc_id")
+    val batchAdmitted = graft.ops.Splits.capPerKey(kept, "doc_id",
+        graft.ops.Domains.registeredDomain(col("url")), col("score"), 2)
+      .select(col("key"), col("doc_id")).as[(String, Long)].collect().toSet
+    // the url-dup pair (1,2) collapses with DIFFERENT survivors (stream:
+    // first arrival = 1; batch: min id = 1 — same here by construction),
+    // so the admitted sets must agree exactly
+    assert(admitted === batchAdmitted)
+    assert(admitted.count(_._1 == "example.co.uk") === 2)
+  }
+
   test("streaming chunking equals batch chunking (stateless scan-side op)") {
     // Chunking is pure column algebra (no aggregation, no state), so the
     // SAME DataFrame transform must run unchanged on an unbounded stream —

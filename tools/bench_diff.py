@@ -65,8 +65,24 @@ if rows:
             pt = art.get("pass_totals")
             if pt and min(pt) > 0:
                 spread = f", pass spread {max(pt) / min(pt):.2f}x"
+            waits = art.get("load_waits")
+            waited = f", waited {waits}x30s for load" if waits else ""
             print(f"{label}: loadavg {art['load_before']} -> "
-                  f"{art['load_after']}{spread}")
+                  f"{art['load_after']}{spread}{waited}")
+            if art["load_before"] > 2.0:
+                print(f"NOTE: {label} run started at loadavg "
+                      f"{art['load_before']} (> 2.0) — its timings are "
+                      f"inflated; prefer a min-of-two re-run on a quiet "
+                      f"box before reading per-query ratios")
+    # the drive mode changed in round 10 (.count() -> hash_agg): ratios
+    # across drive modes measure the drive change, not the queries
+    drives = (old_art.get("drive", "count"), new_art.get("drive", "count"))
+    if drives[0] != drives[1]:
+        print(f"NOTE: drive mode differs (old={drives[0]}, "
+              f"new={drives[1]}) — the forcing aggregate does strictly "
+              f"more work than .count() (projection-only and "
+              f"join-eliminated queries now measure real work), so "
+              f"cross-drive ratios are NOT code regressions")
     if median > 1.15 and inflated > 0.8:
         print(f"NOTE: uniform inflation (median ratio {median:.2f}, "
               f"{inflated:.0%} of queries >1.1x) — signature of machine "
