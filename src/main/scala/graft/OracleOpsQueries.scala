@@ -386,6 +386,84 @@ object OracleOpsQueries {
       col("n_chars").cast("double"), 10)
   }
 
+  /** URL-filter gate: one planted class per screen — a blocklisted
+    * registered domain behind a rotating subdomain (the block must key
+    * on `evil.co.uk`, so `aN.evil.co.uk` cannot dodge it), a keyword in
+    * the path and one in the HOST (the screen reads the whole URL), a
+    * too-deep path, a too-long query (maxLen 96 so the plant fires),
+    * a PSL-exception host, and two clean classes. First-hit-wins order
+    * (domain → keyword → length → depth) is observable: the blocked
+    * domain class would also pass every later screen. */
+  def corpusUrlFilter(s: SparkSession, d: String): DataFrame = {
+    val m = col("doc_id") % 8
+    val url = when(m === 0, concat(lit("https://a"), col("doc_id") % 5,
+        lit(".evil.co.uk/p/"), col("doc_id")))
+      .when(m === 1, concat(lit("https://fun.example.com/casino/slots?id="),
+        col("doc_id")))
+      .when(m === 2, lit("http://ok.example.org/a/b/c/d/e/f/g/h"))
+      .when(m === 3, concat(lit("https://ok.example.com/p?q="), lit("x" * 90)))
+      .when(m === 4, concat(lit("https://news.example.co.uk/p/"), col("doc_id")))
+      .when(m === 5, concat(lit("http://b"), col("doc_id") % 7,
+        lit(".city.kawasaki.jp/x")))
+      .when(m === 6, lit("https://sub.gambling-news.example.com/x"))
+      .otherwise(lit("http://localhost/health"))
+    val cols = graft.ops.Domains
+      .urlFilterColumns(url, maxLen = 96, maxPathDepth = 6)
+      .map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
+  /** Snapshot-diff gate: pages keyed by `doc_id DIV 2` (two docs per
+    * page — the per-side min-id collapse is observable), page-level
+    * presence filters so every status fires: pages ≡0 (mod 7) are
+    * missing from the previous crawl (`added`), ≡0 (mod 5) from the
+    * current (`removed`), and the current fingerprint flips on docs
+    * ≡0 (mod 3) (`changed` — the keeper doc of page p is 2p on both
+    * sides, so the flip is deterministic); everything else
+    * `unchanged`. */
+  def corpusSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val page = expr("doc_id DIV 2")
+    val url = concat(lit("https://site.example.com/p/"), page)
+    val prev = docs.filter(page % 7 =!= 0)
+      .select(col("doc_id"), url.as("url"), md5(col("text")).as("fp"))
+    val curr = docs.filter(page % 5 =!= 0)
+      .select(col("doc_id"), url.as("url"),
+        md5(when(col("doc_id") % 3 === 0, concat(col("text"), lit("v2")))
+          .otherwise(col("text"))).as("fp"))
+    graft.ops.Domains.snapshotDiff(prev, curr, "doc_id", "url", "fp")
+  }
+
+  /** Eval-side contamination report over the same 1-in-29 eval split as
+    * [[dedupContamination]] — the two directions share their shingle
+    * machinery, so gating both on one split keeps any drift visible. */
+  def dedupContaminationReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.evalContaminationReport(
+      docs.filter(col("doc_id") % 29 =!= 0),
+      docs.filter(col("doc_id") % 29 === 0), "doc_id", "text", n = 3,
+      threshold = 0.5)
+  }
+
+  /** Invisible-char gate: plants the zero-width family on every 4th
+    * doc, an RLO…PDF bidi pair on every 9th (has_bidi must fire), and
+    * soft-hyphen + BOM on every 13th — every class member of
+    * [[TextAnalysis.invisibleCharClass]] group is exercised and the
+    * cleaned text is emitted whole so a stripping regression cannot
+    * hide in the counters. */
+  def textStripInvisible(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        lit(" zero\u200Bwidth\u200Cjoin\u200D")).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        lit(" see \u202Eexe.gpn\u202C now")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit(" co\u00ADoperate\uFEFF")).otherwise(lit("")))
+    val cols = TextAnalysis.invisibleColumns(planted)
+      .map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
@@ -1324,6 +1402,10 @@ object OracleOpsQueries {
     "corpus_domain_cap_psl" -> (corpusDomainCapPsl _),
     "dedup_url_canonical" -> (dedupUrlCanonical _),
     "corpus_crawl_front" -> (corpusCrawlFront _),
+    "corpus_url_filter" -> (corpusUrlFilter _),
+    "corpus_snapshot_diff" -> (corpusSnapshotDiff _),
+    "dedup_contamination_report" -> (dedupContaminationReport _),
+    "text_strip_invisible" -> (textStripInvisible _),
     "text_repetition" -> (textRepetition _),
     "text_rare_tokens" -> (textRareTokens _),
     "text_nfc" -> (textNfc _),
@@ -1494,11 +1576,12 @@ object OracleOpsQueries {
   }
 
   /** CTE computing [[graft.ops.Domains.canonicalUrl]] of `url` over any
-    * relation — exposed as `cn(…, canon_url)`; shared by the URL-dedup
-    * gate and the composed crawl-front gate. */
-  private def canonicalUrlSqlCtes(fromRel: String): String =
-    s"""cnf AS (SELECT *, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM $fromRel),
-       |cn AS (
+    * relation — exposed as `cn$sfx(…, canon_url)`; shared by the
+    * URL-dedup gate, the composed crawl-front gate, and (twice, with
+    * distinct suffixes) the snapshot-diff gate. */
+  private def canonicalUrlSqlCtes(fromRel: String, sfx: String = ""): String =
+    s"""cnf$sfx AS (SELECT *, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM $fromRel),
+       |cn$sfx AS (
        |  SELECT *,
        |    'http://' ||
        |    regexp_replace(lower(regexp_extract(nofrag, '${graft.ops.Domains.canonicalHostPortRegex}', 1)), ':(80|443)$$', '') ||
@@ -1513,7 +1596,7 @@ object OracleOpsQueries {
        |          '&&+', '&', 'g'),
        |        '[?&]$$', ''),
        |      '/$$', '') AS canon_url
-       |  FROM cnf)""".stripMargin
+       |  FROM cnf$sfx)""".stripMargin
 
   /** DuckDB mirror of [[plantedSea]] — exposes `pl(doc_id, text)`. Same
     * no-leading-`||` constraint as [[cjkPlantSql]]. */
@@ -2499,6 +2582,86 @@ object OracleOpsQueries {
          |  FROM rd)
          |SELECT key, CAST(rk AS BIGINT) AS rank, score, doc_id
          |FROM r WHERE rk <= 10""".stripMargin,
+    "corpus_url_filter" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 8
+         |      WHEN 0 THEN 'https://a' || (doc_id % 5) || '.evil.co.uk/p/' || doc_id
+         |      WHEN 1 THEN 'https://fun.example.com/casino/slots?id=' || doc_id
+         |      WHEN 2 THEN 'http://ok.example.org/a/b/c/d/e/f/g/h'
+         |      WHEN 3 THEN 'https://ok.example.com/p?q=' || repeat('x', 90)
+         |      WHEN 4 THEN 'https://news.example.co.uk/p/' || doc_id
+         |      WHEN 5 THEN 'http://b' || (doc_id % 7) || '.city.kawasaki.jp/x'
+         |      WHEN 6 THEN 'https://sub.gambling-news.example.com/x'
+         |      ELSE 'http://localhost/health' END AS url
+         |  FROM documents),
+         |${registeredDomainPslSqlCtes("u", "url")},
+         |pf AS (
+         |  SELECT doc_id, key AS reg_domain, trim(url) AS tu,
+         |    regexp_replace(regexp_replace(trim(url),
+         |      '${graft.ops.Domains.canonicalPrefixRegex}', ''),
+         |      '[?#].*$$', '') AS path
+         |  FROM rd),
+         |pg AS (
+         |  SELECT doc_id, reg_domain,
+         |    CASE WHEN length(path) = 0 THEN 0
+         |         ELSE len(string_split(path, '/')) - 1 END AS path_depth,
+         |    CASE WHEN list_contains(${graft.ops.Domains.defaultBlockedDomains
+                      .map(s => s"'$s'").mkString("[", ", ", "]")}, reg_domain)
+         |           THEN 'blocked_domain'
+         |         WHEN regexp_matches(lower(tu), '${graft.ops.Domains.defaultUrlKeywordRegex}')
+         |           THEN 'blocked_keyword'
+         |         WHEN length(tu) > 96 THEN 'url_too_long'
+         |         WHEN (CASE WHEN length(path) = 0 THEN 0
+         |               ELSE len(string_split(path, '/')) - 1 END) > 6
+         |           THEN 'path_too_deep'
+         |         ELSE '' END AS drop_reason
+         |  FROM pf)
+         |SELECT doc_id, reg_domain, CAST(path_depth AS BIGINT) AS path_depth,
+         |  drop_reason, CAST(drop_reason = '' AS INT) AS keep
+         |FROM pg""".stripMargin,
+    "corpus_snapshot_diff" ->
+      s"""WITH pv AS (
+         |  SELECT doc_id,
+         |    'https://site.example.com/p/' || (doc_id // 2) AS url,
+         |    md5(text) AS fp
+         |  FROM documents WHERE (doc_id // 2) % 7 != 0),
+         |cr AS (
+         |  SELECT doc_id,
+         |    'https://site.example.com/p/' || (doc_id // 2) AS url,
+         |    md5(text || CASE WHEN doc_id % 3 = 0 THEN 'v2' ELSE '' END) AS fp
+         |  FROM documents WHERE (doc_id // 2) % 5 != 0),
+         |${canonicalUrlSqlCtes("pv", "p")},
+         |${canonicalUrlSqlCtes("cr", "c")},
+         |pa AS (SELECT canon_url, min(doc_id) AS prev_id,
+         |         arg_min(fp, doc_id) AS prev_fp FROM cnp GROUP BY canon_url),
+         |ca AS (SELECT canon_url, min(doc_id) AS curr_id,
+         |         arg_min(fp, doc_id) AS curr_fp FROM cnc GROUP BY canon_url)
+         |SELECT COALESCE(pa.canon_url, ca.canon_url) AS canon_url,
+         |  CASE WHEN pa.canon_url IS NULL THEN 'added'
+         |       WHEN ca.canon_url IS NULL THEN 'removed'
+         |       WHEN prev_fp != curr_fp THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  COALESCE(prev_id, -1) AS prev_id,
+         |  COALESCE(curr_id, -1) AS curr_id
+         |FROM pa FULL OUTER JOIN ca ON pa.canon_url = ca.canon_url""".stripMargin,
+    "text_strip_invisible" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN ' zero' || chr(8203) || 'width' || chr(8204) || 'join' || chr(8205) ELSE '' END) ||
+         |    (CASE WHEN doc_id % 9 = 0 THEN ' see ' || chr(8238) || 'exe.gpn' || chr(8236) || ' now' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 13 = 0 THEN ' co' || chr(173) || 'operate' || chr(65279) ELSE '' END) AS pt
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, pt,
+         |    regexp_replace(pt, '${TextAnalysis.invisibleCharClass}', '', 'g') AS cleaned
+         |  FROM p)
+         |SELECT doc_id,
+         |  CAST(length(pt) - length(cleaned) AS BIGINT) AS n_invisible,
+         |  CAST(regexp_matches(pt, '${TextAnalysis.bidiCharClass}') AS INT) AS has_bidi,
+         |  cleaned,
+         |  CAST(length(cleaned) AS BIGINT) AS clean_len
+         |FROM c""".stripMargin,
     "corpus_domain_cap_registered" ->
       s"""WITH u AS (
          |  SELECT doc_id, n_chars,
@@ -3240,6 +3403,20 @@ object OracleOpsQueries {
     "dedup_contamination" -> contaminationSql,
     "dedup_contamination_shuffled" -> contaminationSql,
     "dedup_contamination_bloom" -> contaminationSql,
+    "dedup_contamination_report" ->
+      s"""WITH $shinglesCte,
+         |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+         |ev AS (SELECT doc_id, h FROM shh WHERE doc_id % 29 = 0),
+         |tr AS (SELECT DISTINCT h FROM shh WHERE doc_id % 29 != 0),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM ev GROUP BY doc_id),
+         |ov AS (SELECT ev.doc_id, count(*) AS n_hit
+         |       FROM ev JOIN tr ON ev.h = tr.h GROUP BY ev.doc_id)
+         |SELECT c.doc_id, c.n_sh, COALESCE(o.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(o.n_hit, 0) AS DOUBLE) / CAST(c.n_sh AS DOUBLE)
+         |    AS hit_frac,
+         |  CAST(CAST(COALESCE(o.n_hit, 0) AS DOUBLE) / CAST(c.n_sh AS DOUBLE)
+         |    >= 0.5 AS INT) AS is_contaminated
+         |FROM cnt c LEFT JOIN ov o ON c.doc_id = o.doc_id""".stripMargin,
     // bucketCap mirrors the Scala default (self-join cap semantics match
     // 1:1 here, unlike the per-side incremental case above)
     "dedup_cluster_sizes" ->

@@ -264,6 +264,40 @@ object Dedup {
     contaminationFlags(trainSh, id, overlap)
   }
 
+  /** Per-EVAL-item contamination report — the opposite direction of
+    * [[ngramContamination]]: that op flags TRAIN docs for removal; this
+    * one reports, for each EVAL document, what fraction of its distinct
+    * n-grams occur anywhere in the train corpus — the number a model
+    * card actually publishes per benchmark (the GPT-3 appendix-C
+    * convention: an eval item is "dirty" past an overlap threshold).
+    * Columns: (id, n_sh, n_hit, hit_frac, is_contaminated) with
+    * is_contaminated = hit_frac ≥ `threshold`.
+    *
+    * Shape at scale — the train side is never shuffled: the eval
+    * shingle set (small: a benchmark suite) broadcasts, the train
+    * shingle stream is probed map-side and only the SURVIVORS (≤ eval
+    * set size, regardless of train size) pass through a distinct; that
+    * hit set broadcasts back onto the per-eval-doc shingles. Total
+    * shuffle traffic = two eval-sized exchanges; the 100 TB train
+    * corpus contributes one scan. */
+  def evalContaminationReport(train: DataFrame, eval: DataFrame,
+                              id: String, text: String, n: Int,
+                              threshold: Double = 0.5): DataFrame = {
+    val evalSh = hashedShingles(eval, id, text, n)
+    val evalSet = evalSh.select(col("h")).distinct()
+    val hits = hashedShingles(train, id, text, n).select(col("h"))
+      .join(broadcast(evalSet), Seq("h"), "left_semi").distinct()
+    val perDoc = evalSh
+      .join(broadcast(hits.withColumn("__hit", lit(1))), Seq("h"), "left")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+    perDoc.select(col(id), col("n_sh"), col("n_hit"),
+      (col("n_hit").cast("double") / col("n_sh").cast("double"))
+        .as("hit_frac"),
+      (col("n_hit").cast("double") / col("n_sh").cast("double") >=
+        lit(threshold)).cast("int").as("is_contaminated"))
+  }
+
   /** Paragraph-level exact dedup with in-place cleaning (the C4/Dolma
     * pattern): split each document into sentence-ish units, keep only the
     * globally-FIRST occurrence of each unit (ordered by doc id, then

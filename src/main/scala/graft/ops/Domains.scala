@@ -273,4 +273,110 @@ object Domains {
     df.select(col(id), canonicalUrl(url).as("canon_url"))
       .groupBy(col("canon_url"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Starter blocklists for [[urlFilterColumns]] — deliberately tiny:
+    * a production crawl loads its own lists (the UT1/Blacklists-style
+    * category files run to hundreds of thousands of domains) through the
+    * same parameters; the shipped defaults exist so the op is runnable
+    * and its gate non-vacuous, not as curation advice. Domains are
+    * REGISTERED domains (the PSL key) — blocking `evil.co.uk` must catch
+    * every host under it, which is exactly what keying the membership
+    * test on [[registeredDomainPsl]] provides. */
+  val defaultBlockedDomains: Seq[String] = Seq(
+    "evil.co.uk", "spamfarm.com", "linkmill.net", "clonewiki.org")
+
+  /** Keyword screen over the WHOLE lowered URL (host + path + query) —
+    * the RefinedWeb §3.1 "URL filtering … word list" convention is plain
+    * substring containment, so the alternation is unanchored; a word
+    * that appears anywhere in the URL flags it. RE2-safe (no
+    * lookaround), shared verbatim with the DuckDB mirror. */
+  val defaultUrlKeywordRegex: String =
+    "(?:casino|gambling|betting|viagra|warez|phishing|malware|clickbait)"
+
+  /** URL-level filtering — the stage a crawl runs BEFORE fetching or
+    * cleaning content (RefinedWeb §3.1: URL dedup, then URL blocklists;
+    * a page rejected here never costs a byte of download or a cycle of
+    * text cleaning). Four screens, first hit wins:
+    *   - `blocked_domain`: registered domain ([[registeredDomainPsl]] —
+    *     subdomains cannot dodge the block) in the blocklist;
+    *   - `blocked_keyword`: [[defaultUrlKeywordRegex]]-style alternation
+    *     anywhere in the lowered URL;
+    *   - `url_too_long` / `path_too_deep`: crawler-trap heuristics
+    *     (calendar pages, session-id explosions, mirror loops).
+    * Output: the registered domain, the path depth, the first-match
+    * `drop_reason` (empty string = clean) and a 0/1 `keep`.
+    *
+    * 100 TB shape: every screen is scan-side column algebra — the
+    * domain test is the same InSet literal-membership probe as the
+    * registered-domain extractor (a full UT1-sized list is a few MB of
+    * closure constant, still no join), the keyword screen one RE2 scan,
+    * the trap heuristics pure string arithmetic. Zero shuffles, zero
+    * joins (plan-asserted); filtering a frontier is one projection. */
+  def urlFilterColumns(url: Column,
+                       blockedDomains: Seq[String] = defaultBlockedDomains,
+                       keywordRegex: String = defaultUrlKeywordRegex,
+                       maxLen: Int = 2048, maxPathDepth: Int = 12,
+                       rules: PslRules = defaultPsl): Seq[(String, Column)] = {
+    val reg = registeredDomainPsl(url, rules)
+    // path = the remainder after scheme/userinfo/hostPort, query/fragment
+    // cut; depth counts its '/'-separated segments ("" → 0, "/a/b" → 2)
+    val pathQ = regexp_replace(trim(url), canonicalPrefixRegex, "")
+    val path = regexp_replace(pathQ, "[?#].*$", "")
+    val depth = when(length(path) === 0, lit(0))
+      .otherwise(size(split(path, "/")) - 1)
+    val bDomain =
+      if (blockedDomains.isEmpty) lit(false)
+      else reg.isin(blockedDomains.map(s => s: Any): _*)
+    val bKeyword = lower(trim(url)).rlike(keywordRegex)
+    val bLen = length(trim(url)) > lit(maxLen)
+    val bDepth = depth > lit(maxPathDepth)
+    val reason = when(bDomain, lit("blocked_domain"))
+      .when(bKeyword, lit("blocked_keyword"))
+      .when(bLen, lit("url_too_long"))
+      .when(bDepth, lit("path_too_deep"))
+      .otherwise(lit(""))
+    Seq(
+      "reg_domain" -> reg,
+      "path_depth" -> depth.cast("long"),
+      "drop_reason" -> reason,
+      "keep" -> (reason === lit("")).cast("int"))
+  }
+
+  /** Crawl snapshot diff — what changed between two crawls of the same
+    * frontier, keyed on the canonical URL: `added` (only in the current
+    * snapshot), `removed` (only in the previous), `changed` (present in
+    * both, content fingerprint differs), `unchanged`. This is the op a
+    * continuous-crawl pipeline runs every cycle to build its
+    * re-processing queue — only `added`+`changed` rows flow on to
+    * cleaning and dedup, so the diff's output size (not the snapshot
+    * size) bounds the downstream work.
+    *
+    * Each snapshot is first collapsed to one row per canonical URL
+    * (smallest id wins, that id's fingerprint rides along — the same
+    * keeper convention as [[urlDedup]]), then the two sides meet in ONE
+    * full-outer join. Shape at scale: one groupBy shuffle per side, and
+    * both aggregates come out hash-partitioned on `canon_url`, so the
+    * join adds NO third exchange — at 100 TB the whole diff is two
+    * passes and a co-partitioned merge. Missing-side ids surface as -1
+    * (never null: the diff feeds joins and sinks where a null key is a
+    * footgun). */
+  def snapshotDiff(prev: org.apache.spark.sql.DataFrame,
+                   curr: org.apache.spark.sql.DataFrame, id: String,
+                   urlCol: String, fpCol: String): org.apache.spark.sql.DataFrame = {
+    def collapse(df: org.apache.spark.sql.DataFrame, pfx: String) =
+      df.select(canonicalUrl(col(urlCol)).as("canon_url"),
+          col(id), col(fpCol))
+        .groupBy(col("canon_url"))
+        .agg(min(col(id)).as(s"${pfx}_id"),
+          min_by(col(fpCol), col(id)).as(s"${pfx}_fp"))
+    collapse(prev, "prev").join(collapse(curr, "curr"),
+        Seq("canon_url"), "full_outer")
+      .select(col("canon_url"),
+        when(col("prev_id").isNull, lit("added"))
+          .when(col("curr_id").isNull, lit("removed"))
+          .when(col("prev_fp") =!= col("curr_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("prev_id"), lit(-1L)).as("prev_id"),
+        coalesce(col("curr_id"), lit(-1L)).as("curr_id"))
+  }
 }

@@ -461,6 +461,43 @@ object TextAnalysis {
       "redacted" -> red, "redacted_len" -> length(red).cast("long"))
   }
 
+  // ---------------------------------------------------- invisible chars
+
+  /** Invisible format-control characters that survive naive text
+    * cleaning: soft hyphen, the zero-width family (ZWSP/ZWNJ/ZWJ, LRM/
+    * RLM), the explicit bidi embedding/override controls and isolates,
+    * word joiner, and the BOM-as-ZWNBSP. All BMP code points, so both
+    * engines' `length` (code points) agree on the counts. RE2- and
+    * java.util.regex-compatible (`\x{…}` inside a class), shared
+    * verbatim with the DuckDB mirror. */
+  val invisibleCharClass: String =
+    "[\\x{00AD}\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}\\x{2060}\\x{2066}-\\x{2069}\\x{FEFF}]"
+
+  /** The DIRECTIONAL subset of [[invisibleCharClass]] — the characters
+    * a Trojan-Source-style display attack needs (Boucher & Anderson,
+    * USENIX Sec '22: RLO/LRO/isolates reorder what a reviewer sees).
+    * Flagged separately because a bidi control in source-code or
+    * URL-bearing text is a security signal, not mere noise. */
+  val bidiCharClass: String =
+    "[\\x{200E}\\x{200F}\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]"
+
+  /** Invisible-character hygiene: count-and-strip the
+    * [[invisibleCharClass]] and flag the [[bidiCharClass]] — the
+    * pre-tokenization pass that keeps zero-width junk from splitting
+    * BPE merges (a ZWSP inside a word silently doubles its token cost)
+    * and surfaces bidi-control docs for review. Scan-side column
+    * algebra, zero shuffles (plan-asserted): cleaning 100 TB is one
+    * projection. Counts are computed as length deltas, not regex match
+    * counts, so consecutive controls cost one pass. */
+  def invisibleColumns(text: Column): Seq[(String, Column)] = {
+    val cleaned = regexp_replace(text, invisibleCharClass, "")
+    Seq(
+      "n_invisible" -> (length(text) - length(cleaned)).cast("long"),
+      "has_bidi" -> (regexp_count(text, lit(bidiCharClass)) > 0).cast("int"),
+      "cleaned" -> cleaned,
+      "clean_len" -> length(cleaned).cast("long"))
+  }
+
   // ------------------------------------------------------------ repetition
 
   /** Word-2-gram array for a token-array column — shared by BOTH

@@ -2107,4 +2107,97 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === want)
   }
+
+  test("urlFilterColumns: each screen fires, subdomains can't dodge a domain block, first hit wins") {
+    val urls = Seq(
+      (1L, "https://deep.sub.evil.co.uk/fine/path"), // blocked registered domain
+      (2L, "https://ok.example.com/casino/slots"), // keyword in path
+      (3L, "https://x.evil.co.uk/casino"), // domain AND keyword -> domain reported
+      (4L, "http://ok.example.org/a/b/c/d/e/f/g/h"), // depth 8 > 6
+      (5L, "https://ok.example.com/p?q=" + ("x" * 90)), // too long
+      (6L, "https://news.example.co.uk/p/1"), // clean
+      (7L, "http://localhost/health") // single-label, clean
+    ).toDF("doc_id", "url")
+    val cols = graft.ops.Domains
+      .urlFilterColumns(col("url"), maxLen = 96, maxPathDepth = 6)
+      .map { case (n, c) => c.as(n) }
+    val got = urls.select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(3), r.getInt(4), r.getString(1)))).toMap
+    assert(got(1L) === (("blocked_domain", 0, "evil.co.uk")))
+    assert(got(2L) === (("blocked_keyword", 0, "example.com")))
+    assert(got(3L)._1 === "blocked_domain") // first-hit-wins order
+    assert(got(4L) === (("path_too_deep", 0, "example.org")))
+    assert(got(5L)._1 === "url_too_long")
+    assert(got(6L) === (("", 1, "example.co.uk")))
+    assert(got(7L) === (("", 1, "localhost")))
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged, canonical collapse, min-id keeper") {
+    val prev = Seq(
+      (10L, "https://Site.com:443/a/", "f1"), // dup pair: min id 10 keeps f1
+      (11L, "http://site.com/a?utm_source=z", "f1x"),
+      (20L, "http://site.com/gone", "f2"), // only in prev -> removed
+      (30L, "http://site.com/same", "f3"),
+      (40L, "http://site.com/edit", "f4")
+    ).toDF("doc_id", "url", "fp")
+    val curr = Seq(
+      (12L, "https://site.com/a", "f1"), // same fp as prev keeper -> unchanged
+      (31L, "http://site.com/same", "f3"), // unchanged
+      (41L, "http://site.com/edit", "f4CHANGED"), // changed
+      (50L, "http://site.com/new", "f5") // only in curr -> added
+    ).toDF("doc_id", "url", "fp")
+    val got = graft.ops.Domains
+      .snapshotDiff(prev, curr, "doc_id", "url", "fp")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("http://site.com/a") === (("unchanged", 10L, 12L)))
+    assert(got("http://site.com/gone") === (("removed", 20L, -1L)))
+    assert(got("http://site.com/same") === (("unchanged", 30L, 31L)))
+    assert(got("http://site.com/edit") === (("changed", 40L, 41L)))
+    assert(got("http://site.com/new") === (("added", -1L, 50L)))
+    assert(got.size === 5)
+  }
+
+  test("invisibleColumns: counts and strips the zero-width family, flags bidi controls") {
+    val df = Seq(
+      (1L, "plain text"),
+      (2L, "a\u200Bb\u200Cc\u200Dd\u2060e\uFEFFf\u00ADg"), // 6 invisibles, no bidi
+      (3L, "see \u202Eexe.gpn\u202C now"), // RLO+PDF: 2 invisibles, bidi
+      (4L, "lrm\u200E rlm\u200F iso\u2066x\u2069") // marks + isolates: bidi
+    ).toDF("doc_id", "text")
+    val cols = TextAnalysis.invisibleColumns(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val got = df.select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L) === ((0L, 0, "plain text")))
+    assert(got(2L) === ((6L, 0, "abcdefg")))
+    assert(got(3L) === ((2L, 1, "see exe.gpn now")))
+    assert(got(4L) === ((4L, 1, "lrm rlm isox")))
+  }
+
+  test("evalContaminationReport: per-eval-item overlap fractions against the train corpus") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"), // shingles: {abg, bgd}
+      (2L, "epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta"), // both shingles in train -> 1.0
+      (101L, "alpha beta gamma nu xi"), // 1 of 3 in train -> 1/3, below 0.5
+      (102L, "iota kappa lambda mu"), // none -> 0.0
+      (103L, "one two") // < 3 tokens: no shingles, absent from report
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .evalContaminationReport(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got(100L) === ((2L, 2L, 1.0, 1)))
+    assert(got(101L)._1 === 3L)
+    assert(got(101L)._2 === 1L)
+    assert(got(101L)._4 === 0)
+    assert(got(102L) === ((2L, 0L, 0.0, 0)))
+    assert(!got.contains(103L))
+    assert(got.size === 3)
+  }
 }

@@ -116,6 +116,50 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("url filter and invisible-strip are shuffle-free, join-free scan-side projections") {
+    // the blocklist is InSet column algebra and every other screen is
+    // string arithmetic — filtering a 100 TB frontier must stay one
+    // projection, so neither a join nor an exchange may ever appear
+    Seq("corpus_url_filter", "text_strip_invisible").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"$q must not shuffle:\n${df.queryExecution.executedPlan}")
+      val joins = df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.isEmpty,
+        s"$q must not join:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("snapshot diff shuffles once per side and the join reuses that partitioning") {
+    // each snapshot collapses through ONE groupBy on canon_url; both agg
+    // outputs come out hash-partitioned on the join key, so the full
+    // outer join must add no third exchange — at 100 TB the diff is two
+    // passes and a co-partitioned merge. String-counted because the
+    // node-collect can't see through AdaptiveSparkPlan's inner plan.
+    val p = plan("corpus_snapshot_diff")
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nShuffles == 2,
+      s"expected exactly the two per-side agg shuffles, got $nShuffles:\n$p")
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("eval contamination report never shuffles the train shingle stream through a join") {
+    // the eval set broadcasts; train shingles are probed map-side and
+    // only the survivors (bounded by the eval set, not the corpus) pass
+    // through a distinct — so every JOIN in the plan must be broadcast;
+    // a sort-merge or shuffled-hash join would mean the raw train
+    // stream is being exchanged on the shingle hash
+    val p = plan("dedup_contamination_report")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"train side must never meet a shuffle join:\n$p")
+  }
+
   test("registered-domain extraction is scan-side; url dedup and manifest shuffle exactly once") {
     // the PSL lookup is pure column algebra (InSet membership), so the
     // cap's only exchanges are the ones capPerKey itself needs; URL
