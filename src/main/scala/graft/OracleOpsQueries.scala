@@ -386,6 +386,52 @@ object OracleOpsQueries {
       col("n_chars").cast("double"), 10)
   }
 
+  /** The COMPLETE crawl front in RefinedWeb §3.1 stage order: URL
+    * filtering first (the cheapest screen, and a page rejected here
+    * must never reach dedup state or eat domain-cap budget), then
+    * canonical-URL dedup, then the registered-domain cap. The planted
+    * classes prove the ordering: two per-doc blocked classes
+    * (`aN.evil.co.uk`, a casino path) would each dominate a domain's
+    * cap if filtering ran after capping — instead they vanish first,
+    * the constant-URL classes collapse to one survivor each, and the
+    * per-doc clean class hits the cap. The registered domain is
+    * extracted ONCE ([[graft.ops.Domains.urlFilterColumns]] emits it)
+    * and reused as the cap key — at 100 TB the PSL lookup is paid one
+    * time, scan-side. */
+  def corpusCrawlFrontFiltered(s: SparkSession, d: String): DataFrame = {
+    val m = col("doc_id") % 10
+    val url = when(m === 0, concat(lit("https://news.example.co.uk/p/"), col("doc_id")))
+      .when(m === 1, lit("http://example.com/x?q=1"))
+      .when(m === 2, lit("https://sub.shop.example.com.au:8080/item"))
+      .when(m === 3, lit("https://user@files.example.org/z#frag"))
+      .when(m === 4, lit("cdn.example.ne.jp/q"))
+      .when(m === 5, lit("HTTPS://WWW.FILES.EXAMPLE.ORG/PATH"))
+      .when(m === 6, concat(lit("https://blog"), col("doc_id") % 3,
+        lit(".blogspot.co.uk/post")))
+      .when(m === 7, concat(lit("https://a"), col("doc_id") % 5,
+        lit(".evil.co.uk/p/"), col("doc_id")))
+      .when(m === 8, concat(lit("https://fun.example.com/casino/"), col("doc_id")))
+      .otherwise(lit("http://localhost:9090/health"))
+    val fcols = graft.ops.Domains.urlFilterColumns(col("url")).toMap
+    val kept = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), url.as("url"))
+      .withColumn("reg_domain", fcols("reg_domain"))
+      .withColumn("keep", fcols("keep"))
+      .filter(col("keep") === 1).drop("keep")
+    val keepers = graft.ops.Domains.urlDedup(kept, "doc_id", col("url"))
+      .select(col("keep_id").as("doc_id"))
+    val survivors = kept.join(keepers, Seq("doc_id"), "left_semi")
+    graft.ops.Splits.capPerKey(survivors, "doc_id", col("reg_domain"),
+      col("n_chars").cast("double"), 10)
+  }
+
+  /** Salient-terms gate: runs straight on the raw documents — the
+    * synthetic corpus draws from a shared vocabulary with varied df, so
+    * tf, df, the rational score, and the per-doc rank cut are all
+    * non-vacuous without plants. */
+  def textSalientTerms(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.salientTerms(Tables.documents(s, d), "doc_id", "text", k = 5)
+
   /** URL-filter gate: one planted class per screen — a blocklisted
     * registered domain behind a rotating subdomain (the block must key
     * on `evil.co.uk`, so `aN.evil.co.uk` cannot dodge it), a keyword in
@@ -1403,9 +1449,11 @@ object OracleOpsQueries {
     "dedup_url_canonical" -> (dedupUrlCanonical _),
     "corpus_crawl_front" -> (corpusCrawlFront _),
     "corpus_url_filter" -> (corpusUrlFilter _),
+    "corpus_crawl_front_filtered" -> (corpusCrawlFrontFiltered _),
     "corpus_snapshot_diff" -> (corpusSnapshotDiff _),
     "dedup_contamination_report" -> (dedupContaminationReport _),
     "text_strip_invisible" -> (textStripInvisible _),
+    "text_salient_terms" -> (textSalientTerms _),
     "text_repetition" -> (textRepetition _),
     "text_rare_tokens" -> (textRareTokens _),
     "text_nfc" -> (textNfc _),
@@ -2620,6 +2668,49 @@ object OracleOpsQueries {
          |SELECT doc_id, reg_domain, CAST(path_depth AS BIGINT) AS path_depth,
          |  drop_reason, CAST(drop_reason = '' AS INT) AS keep
          |FROM pg""".stripMargin,
+    "corpus_crawl_front_filtered" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE doc_id % 10
+         |      WHEN 0 THEN 'https://news.example.co.uk/p/' || doc_id
+         |      WHEN 1 THEN 'http://example.com/x?q=1'
+         |      WHEN 2 THEN 'https://sub.shop.example.com.au:8080/item'
+         |      WHEN 3 THEN 'https://user@files.example.org/z#frag'
+         |      WHEN 4 THEN 'cdn.example.ne.jp/q'
+         |      WHEN 5 THEN 'HTTPS://WWW.FILES.EXAMPLE.ORG/PATH'
+         |      WHEN 6 THEN 'https://blog' || (doc_id % 3) || '.blogspot.co.uk/post'
+         |      WHEN 7 THEN 'https://a' || (doc_id % 5) || '.evil.co.uk/p/' || doc_id
+         |      WHEN 8 THEN 'https://fun.example.com/casino/' || doc_id
+         |      ELSE 'http://localhost:9090/health' END AS url
+         |  FROM documents),
+         |${registeredDomainPslSqlCtes("u", "url")},
+         |fp0 AS (
+         |  SELECT doc_id, n_chars, url, key AS reg_domain,
+         |    regexp_replace(regexp_replace(trim(url),
+         |      '${graft.ops.Domains.canonicalPrefixRegex}', ''),
+         |      '[?#].*$$', '') AS path
+         |  FROM rd),
+         |kept AS (
+         |  SELECT doc_id, n_chars, url, reg_domain
+         |  FROM fp0
+         |  WHERE NOT list_contains(${graft.ops.Domains.defaultBlockedDomains
+                      .map(s => s"'$s'").mkString("[", ", ", "]")}, reg_domain)
+         |    AND NOT regexp_matches(lower(trim(url)), '${graft.ops.Domains.defaultUrlKeywordRegex}')
+         |    AND length(trim(url)) <= 2048
+         |    AND (CASE WHEN length(path) = 0 THEN 0
+         |         ELSE len(string_split(path, '/')) - 1 END) <= 12),
+         |${canonicalUrlSqlCtes("kept")},
+         |kp AS (SELECT canon_url, MIN(doc_id) AS keep_id FROM cn GROUP BY canon_url),
+         |sv AS (
+         |  SELECT cn.doc_id, cn.n_chars, cn.reg_domain
+         |  FROM cn JOIN kp ON cn.doc_id = kp.keep_id),
+         |r AS (
+         |  SELECT reg_domain AS key, doc_id, CAST(n_chars AS DOUBLE) AS score,
+         |    row_number() OVER (PARTITION BY reg_domain
+         |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |  FROM sv)
+         |SELECT key, CAST(rk AS BIGINT) AS rank, score, doc_id
+         |FROM r WHERE rk <= 10""".stripMargin,
     "corpus_snapshot_diff" ->
       s"""WITH pv AS (
          |  SELECT doc_id,
@@ -2645,6 +2736,26 @@ object OracleOpsQueries {
          |  COALESCE(prev_id, -1) AS prev_id,
          |  COALESCE(curr_id, -1) AS curr_id
          |FROM pa FULL OUTER JOIN ca ON pa.canon_url = ca.canon_url""".stripMargin,
+    "text_salient_terms" ->
+      s"""WITH lt AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS t
+         |  FROM documents),
+         |tfx AS (
+         |  SELECT doc_id, tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM lt)
+         |  GROUP BY doc_id, tok),
+         |dfx AS (SELECT term, count(*) AS df FROM tfx GROUP BY term),
+         |sc AS (
+         |  SELECT tfx.doc_id, tfx.term, tfx.tf, dfx.df,
+         |    CAST(tfx.tf AS DOUBLE) / CAST(dfx.df + 1 AS DOUBLE) AS score
+         |  FROM tfx JOIN dfx USING (term)),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term ASC) AS rank
+         |  FROM sc)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+         |FROM r WHERE rank <= 5""".stripMargin,
     "text_strip_invisible" ->
       s"""WITH p AS (
          |  SELECT doc_id, text ||

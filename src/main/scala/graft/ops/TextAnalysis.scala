@@ -461,6 +461,43 @@ object TextAnalysis {
       "redacted" -> red, "redacted_len" -> length(red).cast("long"))
   }
 
+  // ----------------------------------------------------- salient terms
+
+  /** Per-document salient-term extraction (keyword mining for corpus
+    * exploration and topic-aware sampling): the top-`k` case-folded
+    * tokens per document ranked by `tf / (df + 1)` — term frequency
+    * damped by corpus document frequency, the rank-equivalent core of
+    * tf-idf for a FIXED corpus (idf's `log(N/df)` is a monotone
+    * transform of `1/(df+1)` at constant N, and N cancels inside a
+    * per-document ranking). The rational form is deliberate: both
+    * engines compute integer-ratio doubles, which IEEE division makes
+    * bit-identical, where a `ln` would drift in the last ulp between
+    * libm implementations and break the hash-exact oracle.
+    *
+    * Shape at scale: one (doc, term) count shuffle with map-side
+    * partial aggregation, one term-keyed df aggregate (vocabulary-
+    * sized), a term-keyed equi-join, and a window PARTITIONED BY the
+    * document id (per-partition heap bounded by document length —
+    * never a global sort). Ties break toward the lexicographically
+    * smaller term, so the output is fully deterministic. */
+  def salientTerms(df: DataFrame, id: String, text: String,
+                   k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.operators.Scale.balanceToCores(df)
+      .select(col(id), explode(tokens(lower(col(text)))).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTab = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = toks.join(dfTab, Seq("term"))
+      .withColumn("score",
+        col("tf").cast("double") / (col("df") + lit(1L)).cast("double"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(id), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   // ---------------------------------------------------- invisible chars
 
   /** Invisible format-control characters that survive naive text

@@ -2177,6 +2177,28 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) === ((4L, 1, "lrm rlm isox")))
   }
 
+  test("salientTerms: tf/(df+1) ranking, case folding, deterministic tie-break") {
+    val df = Seq(
+      (1L, "Apple banana APPLE"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry date date")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.salientTerms(df, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // df: apple 2, banana 2, cherry 2, date 1
+    assert(got((1L, 1L)) === (("apple", 2L, 2L, 2.0 / 3.0)))
+    assert(got((1L, 2L)) === (("banana", 1L, 2L, 1.0 / 3.0)))
+    // doc 2 ties at 1/3: lexicographic term order breaks it
+    assert(got((2L, 1L))._1 === "banana")
+    assert(got((2L, 2L))._1 === "cherry")
+    assert(got((3L, 1L)) === (("date", 2L, 1L, 1.0)))
+    assert(got((3L, 2L))._1 === "apple")
+    assert(got.size === 6)
+  }
+
   test("evalContaminationReport: per-eval-item overlap fractions against the train corpus") {
     val train = Seq(
       (1L, "alpha beta gamma delta"), // shingles: {abg, bgd}

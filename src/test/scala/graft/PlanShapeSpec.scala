@@ -135,6 +135,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("filtered crawl front screens URLs scan-side, below every exchange") {
+    // RefinedWeb stage order only pays off if the URL filter costs no
+    // shuffle of its own: the keyword/blocklist screens must sit in the
+    // scan-side projection BELOW every exchange (plan strings print
+    // top-down, so scan-side work has the LARGEST index)
+    val p = plan("corpus_crawl_front_filtered")
+    // 'gambling' appears only in the keyword-screen regex. The scale
+    // property: EVERY scan of the documents table is screened directly
+    // — a screen Filter sits between each FileScan and anything above
+    // it, with no Exchange in between (the screen rides the scan and
+    // never costs a shuffle of its own). Catalyst also re-inlines the
+    // screen expression into upper nodes; those copies are harmless
+    // and not asserted on.
+    val scans = "FileScan".r.findAllMatchIn(p).map(_.start).toList
+    assert(scans.nonEmpty, p)
+    scans.foreach { s =>
+      val g = p.lastIndexOf("gambling", s)
+      assert(g >= 0, s"scan at $s is unscreened:\n$p")
+      assert(!p.substring(g, s).contains("Exchange"),
+        s"screen above scan at $s is fed by a shuffle:\n$p")
+    }
+  }
+
+  test("salient terms ranks inside per-document windows, never one global sort") {
+    val p = plan("text_salient_terms")
+    assert(p.contains("row_number"), p)
+    // a Window with an empty partition spec would print 'Window [...], [score' -
+    // the partitionBy(doc_id) must be present wherever the window runs
+    assert(!p.contains("WindowExec: No Partition Defined"), p)
+    assert("Window \\[.*doc_id".r.findFirstIn(p).isDefined
+        || p.contains("windowpartitionby"), // codegen'd form fallback
+      s"window must partition by doc_id:\n$p")
+  }
+
   test("snapshot diff shuffles once per side and the join reuses that partitioning") {
     // each snapshot collapses through ONE groupBy on canon_url; both agg
     // outputs come out hash-partitioned on the join key, so the full
