@@ -883,6 +883,18 @@ object OracleOpsQueries {
       maxTokens = 96, buckets = 16)
   }
 
+  /** Concat-and-cut gate: 32-token examples over the ~52-token sf0.01
+    * docs, so nearly every document crosses an example boundary and
+    * nearly every example holds pieces of two documents — the split
+    * arithmetic (pos / doc_start / len) is exercised on both sides of
+    * every cut, not just at whole-document alignment. The DuckDB mirror
+    * computes the SAME global stream with one naive ordered window —
+    * the two-phase bucketed prefix must agree with a global sort
+    * exactly, which is the point of the gate. */
+  def corpusConcatCut(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.concatCut(Tables.documents(s, d), "doc_id",
+      TextAnalysis.tokenCount(col("text")), seqLen = 32, salt = "cut")
+
   /** Token-budget mixture construction: per length-centile stratum, keep
     * the salted-hash-ordered document prefix until that stratum's budget is
     * exhausted (boundary doc kept, see
@@ -1481,6 +1493,7 @@ object OracleOpsQueries {
     "corpus_shard_manifest" -> (corpusShardManifest _),
     "corpus_shard_mass" -> (corpusShardMass _),
     "corpus_pack" -> (corpusPack _),
+    "corpus_concat_cut" -> (corpusConcatCut _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_agg" -> (dedupExactAgg _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -3315,6 +3328,29 @@ object OracleOpsQueries {
          |SELECT doc_id, n_tokens, bkt * 1099511627776 + pack_idx AS pack_id,
          |  pack_pos, oversize
          |FROM walk""".stripMargin,
+    // the naive formulation: ONE global ordered window computes every
+    // document's exact stream offset — the two-phase bucketed prefix in
+    // the engine must reproduce it bit-for-bit
+    "corpus_concat_cut" ->
+      s"""WITH $toksCte,
+         |s AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+         |    ${h60("'cut_' || CAST(doc_id AS VARCHAR)")} AS rk
+         |  FROM toks WHERE len(t) > 0),
+         |p AS (
+         |  SELECT doc_id, n,
+         |    CAST(COALESCE(SUM(n) OVER (ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s0
+         |  FROM s),
+         |e AS (
+         |  SELECT doc_id, n, s0,
+         |    unnest(range(s0 // 32, (s0 + n - 1) // 32 + 1)) AS example_id
+         |  FROM p)
+         |SELECT example_id, doc_id,
+         |  GREATEST(s0, example_id * 32) - example_id * 32 AS pos,
+         |  GREATEST(example_id * 32 - s0, CAST(0 AS BIGINT)) AS doc_start,
+         |  LEAST(s0 + n, (example_id + 1) * 32) - GREATEST(s0, example_id * 32) AS len
+         |FROM e""".stripMargin,
     "dedup_exact" -> dedupExactSql,
     // identical semantics, different physical shape — same oracle
     "dedup_exact_agg" -> dedupExactSql,

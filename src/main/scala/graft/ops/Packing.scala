@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sequence packing: assign documents to fixed-capacity context windows
@@ -81,6 +81,64 @@ object Packing {
         }
       }
       .toDF(id, nTokens, "pack_id", "pack_pos", "oversize")
+  }
+
+  /** Concatenate-and-cut example construction — the OTHER standard way
+    * to turn a cleaned corpus into fixed-length training examples
+    * (GPT-style data prep): lay every document end to end in a
+    * deterministic shuffled order and cut the resulting token stream
+    * into consecutive `seqLen`-token examples, documents crossing
+    * example boundaries freely. Where [[packSequences]] keeps each
+    * document whole inside a capacity-bounded pack (wasting the
+    * per-pack tail), concat-and-cut wastes NOTHING — only the final
+    * example can be short — at the price of split documents; trainers
+    * pick per recipe, so the engine ships both.
+    *
+    * The order is ((hash60(salt_id), id)) — a reproducible global
+    * shuffle, so examples mix documents instead of replaying crawl
+    * order. Each document's global token offset is an EXACT global
+    * prefix sum computed by [[Splits.globalPrefix]]'s two-phase
+    * scaffold: a tiny per-bucket mass histogram plus windows inside
+    * (bucket) only — no global sort, no unpartitioned window, one
+    * full-data shuffle at any corpus size. The cut itself is then pure
+    * row-local arithmetic: a document starting at `s` with `n` tokens
+    * overlaps examples `s div L .. (s+n-1) div L`, exploded via
+    * `sequence` (array length ≤ n/L + 1, bounded by the document's own
+    * token count).
+    *
+    * Zero-token documents are dropped (they occupy no stream
+    * positions); `measure` nulls/negatives fail loudly (see
+    * [[Splits.globalPrefix]]). Output: one row per (example, document)
+    * overlap — (example_id, id, pos, doc_start, len): the piece covers
+    * example positions [pos, pos+len) with document tokens
+    * [doc_start, doc_start+len). Examples are 0-indexed; every example
+    * except the last is exactly `seqLen` tokens when the pieces are
+    * reassembled. */
+  def concatCut(docs: DataFrame, id: String, nTokens: Column, seqLen: Int,
+                salt: String = "cut"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val L = lit(seqLen.toLong)
+    // drop ONLY exact zeros (null-safe): a plain `__m > 0` would silently
+    // swallow NULL and negative counts that the globalPrefix contract
+    // promises to fail loudly on
+    val g = Splits.globalPrefix(
+      docs.select(col(id), nTokens.cast("long").as("__m"))
+        .filter(!(col("__m") <=> lit(0L))),
+      id, col("__m"), salt)
+    // BIGINT div: floor division on longs end to end — double division
+    // would silently lose exactness past 2^53 stream positions
+    val firstEx = expr(s"__start DIV ${seqLen}L")
+    val lastEx = expr(s"(__start + __n - 1) DIV ${seqLen}L")
+    val exStart = col("example_id") * L
+    g.select(col(id), col("__n"), col("__start"),
+        explode(sequence(firstEx, lastEx)).as("example_id"))
+      .select(
+        col("example_id"),
+        col(id),
+        (greatest(col("__start"), exStart) - exStart).as("pos"),
+        greatest(exStart - col("__start"), lit(0L)).as("doc_start"),
+        (least(col("__start") + col("__n"), exStart + L) -
+          greatest(col("__start"), exStart)).as("len"))
   }
 
   /** Per-pack summary: documents, token fill, waste vs capacity. */

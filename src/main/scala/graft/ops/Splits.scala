@@ -110,6 +110,53 @@ object Splits {
       col("stratum") <=> col("__s2") && col("__b") === col("__b2"))
   }
 
+  /** EXACT global exclusive prefix sum of `measure` in deterministic
+    * salted-hash order — the primitive behind global-address assignment
+    * (fixed-length example cutting in [[Packing.concatCut]]): every row
+    * gets `__start` = the sum of `measure` over all rows strictly before
+    * it in ((hash60(salt_id), id)) order, without a global sort and
+    * without an unpartitioned window over the DATA. Same two-phase
+    * scaffold as [[stratifiedSample]] degenerated to ONE stratum: a tiny
+    * per-bucket mass histogram locates each top-bits bucket's starting
+    * offset, and the full data windows only inside its own (stratum,
+    * bucket) — parallelism is [[DefaultHistBuckets]], never 1. The one
+    * serial step is the histogram's own running sum: with a constant
+    * stratum Catalyst folds the partition key away and that window runs
+    * in one task — over at most `nHistBuckets` rows by construction,
+    * the sanctioned bounded-frame case of the no-unpartitioned-windows
+    * rule (see [[TextAnalysis.lmUnigramTable]]'s scaladoc for the rule). Because the order
+    * key is a salted hash, the induced sequence is ALSO a reproducible
+    * global shuffle of the corpus (the training-order convention of
+    * [[assignShards]], here with exact global positions).
+    *
+    * Contract, enforced loudly: `measure` must cast to a NON-NULL,
+    * NON-NEGATIVE long — a null would vanish from the histogram but
+    * rank in the window (splitting the two phases' views of the data),
+    * and a negative mass breaks prefix monotonicity.
+    *
+    * Returns the input columns + `__n` (the cast measure) + `__start`,
+    * clustered on the scaffold's (stratum, bucket) key. */
+  private[ops] def globalPrefix(df: DataFrame, id: String, measure: Column,
+                                salt: String,
+                                nHistBuckets: Int = DefaultHistBuckets): DataFrame = {
+    val guarded = when(measure.cast("long").isNull || measure.cast("long") < 0,
+      raise_error(lit("globalPrefix: measure is NULL, negative, or does " +
+        "not cast to long — the histogram and the window would disagree " +
+        "about the row; filter or coalesce measures first")))
+      .otherwise(measure.cast("long"))
+    val ww = Window.partitionBy(col("stratum"), col("__b"))
+      .orderBy(col("__rk"), col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    twoPhaseOffsets(
+        df.withColumn("stratum", lit("")).withColumn("__n", guarded),
+        id, salt, nHistBuckets,
+        measures = Seq(sum(col("__n")).as("__t")),
+        prune = identity)
+      .withColumn("__start",
+        col("__off") + coalesce(sum(col("__n")).over(ww), lit(0L)))
+      .drop("stratum", "__rk", "__b", "__s2", "__b2", "__off")
+  }
+
   /** Exact k-per-stratum deterministic sample: rank rows inside each
     * stratum by the salted 60-bit id hash (ties impossible — (hash, id) is
     * a total order) and keep the first k. Unlike [[sampleByHash]] this

@@ -2199,6 +2199,61 @@ class OpsSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("concatCut: pieces tile every example exactly and cover every document in order") {
+    val docs = Seq((1L, 7L), (2L, 3L), (3L, 13L), (4L, 0L), (5L, 5L),
+      (6L, 9L), (7L, 1L)).toDF("doc_id", "n")
+    val out = graft.ops.Packing.concatCut(docs, "doc_id", col("n"), seqLen = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = 7L + 3 + 13 + 5 + 9 + 1 // 38 tokens -> examples 0..4, last holds 6
+    val maxEx = out.map(_._1).max
+    assert(maxEx === (total - 1) / 8)
+    val byEx = out.groupBy(_._1)
+    assert(byEx.keySet === (0L to maxEx).toSet) // example ids are dense
+    byEx.foreach { case (ex, ps) =>
+      val expected = if (ex == maxEx) total - maxEx * 8 else 8L
+      assert(ps.map(_._5).sum === expected, s"example $ex fill")
+      val sorted = ps.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"example $ex must start at pos 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 === b._3, s"gap in example $ex")
+        case _ =>
+      }
+    }
+    val byDoc = out.groupBy(_._2)
+    assert(!byDoc.contains(4L)) // zero-token doc occupies no stream position
+    Seq(1L -> 7L, 2L -> 3L, 3L -> 13L, 5L -> 5L, 6L -> 9L, 7L -> 1L).foreach {
+      case (d, n) =>
+        val ps = byDoc(d).sortBy(_._4)
+        assert(ps.head._4 === 0L, s"doc $d must start at doc_start 0")
+        assert(ps.map(_._5).sum === n, s"doc $d token coverage")
+        ps.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._4 + a._5 === b._4, s"gap inside doc $d")
+            assert(b._1 === a._1 + 1, s"doc $d pieces must sit in consecutive examples")
+          case _ =>
+        }
+    }
+    assert(byDoc(3L).size >= 2) // a 13-token doc cannot fit one 8-token example
+  }
+
+  test("concatCut: NULL or negative token counts fail loudly, zeros are dropped") {
+    val bad = Seq((1L, 5L), (2L, -1L)).toDF("doc_id", "n")
+    val e = intercept[Exception] {
+      graft.ops.Packing.concatCut(bad, "doc_id", col("n"), seqLen = 4).collect()
+    }
+    assert(e.toString.contains("globalPrefix") ||
+      Option(e.getCause).exists(_.toString.contains("globalPrefix")) ||
+      e.toString.contains("USER_RAISED_EXCEPTION"))
+    val nul = Seq((1L, Some(5L)), (2L, None)).toDF("doc_id", "n")
+    val e2 = intercept[Exception] {
+      graft.ops.Packing.concatCut(nul, "doc_id", col("n"), seqLen = 4).collect()
+    }
+    assert(e2.toString.contains("globalPrefix") ||
+      Option(e2.getCause).exists(_.toString.contains("globalPrefix")) ||
+      e2.toString.contains("USER_RAISED_EXCEPTION"))
+  }
+
   test("evalContaminationReport: per-eval-item overlap fractions against the train corpus") {
     val train = Seq(
       (1L, "alpha beta gamma delta"), // shingles: {abg, bgd}

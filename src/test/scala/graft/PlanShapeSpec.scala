@@ -169,6 +169,31 @@ class PlanShapeSpec extends SparkSpec {
       s"window must partition by doc_id:\n$p")
   }
 
+  test("corpus_concat_cut: one full-data shuffle, bucket-partitioned window, broadcast offsets") {
+    // the exact-global-prefix scaffold: the FULL data shuffles once (on
+    // the histogram bucket) and windows inside its bucket; the second
+    // hash shuffle is the tiny per-bucket mass histogram's partial-agg
+    // exchange; the bucket offsets come back as a broadcast. The one
+    // SinglePartition exchange must be fed by the HISTOGRAM aggregate
+    // (<= 4096 rows by construction), never by raw data.
+    val p = plan("corpus_concat_cut")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 2, s"1 full-data + 1 histogram shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"bucket offsets must broadcast back to the big side:\n$p")
+    // the full-data window partitions by __b (a windowspecdefinition with
+    // __b as PARTITION key is '(__b#NNL,' — the histogram's own ordered
+    // window prints '__b#NNL ASC' instead)
+    assert("windowspecdefinition\\(__b#\\d+L,".r.findFirstIn(p).nonEmpty,
+      s"full-data prefix window must partition by the bucket:\n$p")
+    val sp = p.indexOf("Exchange SinglePartition")
+    assert(sp >= 0, p)
+    val aggBelow = p.indexOf("HashAggregate", sp)
+    val scanBelow = p.indexOf("Scan parquet", sp)
+    assert(aggBelow >= 0 && (scanBelow < 0 || aggBelow < scanBelow),
+      s"the single-partition exchange must be fed by the histogram aggregate:\n$p")
+  }
+
   test("snapshot diff shuffles once per side and the join reuses that partitioning") {
     // each snapshot collapses through ONE groupBy on canon_url; both agg
     // outputs come out hash-partitioned on the join key, so the full
