@@ -1335,6 +1335,21 @@ object OracleOpsQueries {
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
   }
 
+  /** Bitext-mining gate: the label space stands in for two languages —
+    * sources = label < 5, targets = label >= 5 (disjoint ~half/half id
+    * sets), k = 4 neighborhood, ratio-margin threshold 1.0. The DuckDB
+    * mirror brute-forces every pair with one naive all-pairs CTE and
+    * reproduces the margin's float arithmetic with the SAME ordered fold
+    * the engine's bounded heap emits (cos desc, id asc), so the division
+    * chain matches bit-for-bit. */
+  def simBitextMargin(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.ops.Similarity.bitextMargin(
+      emb.filter(col("label") < 5), "vec_id", "embedding",
+      emb.filter(col("label") >= 5), "vec_id", "embedding",
+      k = 4, threshold = 1.0)
+  }
+
   /** Hard-negative mining gate: queries = vec_id < 5, k = 3 hardest
     * out-of-class negatives each ([[graft.ops.Similarity.hardNegatives]]).
     * The embeddings fixture carries a `label` column, so "positive" =
@@ -1427,6 +1442,7 @@ object OracleOpsQueries {
     "sim_quantize_int8" -> (simQuantizeInt8 _),
     "sim_bruteforce_topk" -> (simBruteForce _),
     "sim_knn_join" -> (simKnnJoin _),
+    "sim_bitext_margin" -> (simBitextMargin _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "sim_mining_triplets" -> (simMiningTriplets _),
     "sim_knn_join_shuffled" -> (simKnnJoinShuffled _),
@@ -2323,6 +2339,45 @@ object OracleOpsQueries {
          |FROM e, q WHERE vec_id != 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "sim_knn_join" -> knnJoinSql,
+    // the naive formulation: every (src, tgt) cosine in one all-pairs
+    // CTE, both neighborhoods by global window rank. The ordered folds
+    // (list_prepend 0.0 + left-reduce over (cos DESC, id)) reproduce the
+    // engine's bounded-heap summation bit-for-bit.
+    "sim_bitext_margin" ->
+      s"""WITH $embLabeledCte,
+         |su AS (SELECT vec_id AS src_id, v AS sv FROM el WHERE label < 5),
+         |tu AS (SELECT vec_id AS tgt_id, v AS tv FROM el WHERE label >= 5),
+         |p AS (SELECT src_id, tgt_id, ${cosSql("sv", "tv")} AS cos FROM su, tu),
+         |fr AS (
+         |  SELECT src_id, tgt_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
+         |  FROM p),
+         |br AS (
+         |  SELECT src_id, tgt_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r
+         |  FROM p),
+         |af AS (
+         |  SELECT src_id,
+         |    list_reduce(list_prepend(0.0, list(cos ORDER BY cos DESC, tgt_id)),
+         |      (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS avg_f
+         |  FROM fr WHERE r <= 4 GROUP BY src_id),
+         |ab AS (
+         |  SELECT tgt_id,
+         |    list_reduce(list_prepend(0.0, list(cos ORDER BY cos DESC, src_id)),
+         |      (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS avg_b
+         |  FROM br WHERE r <= 4 GROUP BY tgt_id),
+         |m AS (
+         |  SELECT c.src_id, c.tgt_id, c.cos,
+         |    c.cos / ((af.avg_f + ab.avg_b) / 2.0) AS margin
+         |  FROM (SELECT src_id, tgt_id, cos FROM fr WHERE r <= 4) c
+         |  JOIN af ON c.src_id = af.src_id
+         |  JOIN ab ON c.tgt_id = ab.tgt_id),
+         |best AS (
+         |  SELECT src_id, tgt_id, cos, margin,
+         |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rr
+         |  FROM m)
+         |SELECT src_id, tgt_id, cos, margin FROM best
+         |WHERE rr = 1 AND margin > 1.0""".stripMargin,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_mining_triplets" -> miningTripletsSql,
     // the shuffled hatch answers the SAME question — one shared oracle

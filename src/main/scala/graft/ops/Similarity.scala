@@ -677,4 +677,76 @@ object Similarity {
     * KMeans-clustered production variant of [[semDedupPinned]]. */
   def semDedupIndexed(index: IvfIndex, threshold: Double): DataFrame =
     semDedupAssigned(index.corpus, index.id, threshold)
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based Parallel
+    * Corpus Mining with Multilingual Sentence Embeddings", ACL 2019 — the
+    * CCMatrix/LASER mining criterion): for each SOURCE sentence embedding,
+    * find the TARGET whose cosine similarity stands out most against both
+    * sides' kNN neighborhoods. Raw cosine mines pairs in dense "hubness"
+    * regions where everything looks similar; the ratio margin
+    *
+    *   margin(x, y) = cos(x, y) / ((avgF(x) + avgB(y)) / 2)
+    *
+    * — where avgF(x) is the mean cosine of x's k nearest targets and
+    * avgB(y) the mean over y's k nearest sources — normalizes that away
+    * (the paper's `ratio` variant, its best performer). Output: each
+    * source's best target by (margin desc, target id) with margin above
+    * `threshold` (1.0 = "better than the neighborhood average"), columns
+    * (src_id, tgt_id, cos, margin).
+    *
+    * Scale shape: the all-pairs cosine set is never materialized as a
+    * broadcast — the target side is hash-bucketed on its id and the
+    * source side replicated per bucket through a SHUFFLE_HASH equi-join,
+    * exactly the [[knnJoinShuffled]] distribution (replication cost
+    * |src| × `buckets` rows, spread by the shuffle). Both neighborhood
+    * lists are bounded-heap [[graft.functions.TopKAgg]] aggregates
+    * (map-side combined, k entries per key through the shuffle — never a
+    * per-key sort), and the margin join touches only |src| × k candidate
+    * rows against two id-keyed average tables. The pairs lineage feeds
+    * two aggregations, so it is evaluated twice; at 100 TB a caller
+    * mining a frontier pins `pairs` to storage once instead — both
+    * passes are embarrassingly parallel either way. Sources and targets
+    * must be disjoint id spaces (two languages' sentence sets); no
+    * self-exclusion is applied. */
+  def bitextMargin(src: DataFrame, sid: String, svec: String,
+                   tgt: DataFrame, tid: String, tvec: String,
+                   k: Int, threshold: Double, buckets: Int = 32): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val s = src.select(col(sid).as("src_id"), asDouble(col(svec)).as("sv"))
+      .withColumn("sn", norm(col("sv")))
+      // replicate each source row to every target bucket (see scaladoc)
+      .withColumn("__bkt", explode(sequence(lit(0), lit(buckets - 1))))
+    val t = tgt.select(col(tid).as("tgt_id"), asDouble(col(tvec)).as("tv"))
+      .withColumn("tn", norm(col("tv")))
+      .withColumn("__bkt", pmod(hash(col("tgt_id")), lit(buckets)))
+    val pairs = t.hint("SHUFFLE_HASH").join(s, "__bkt")
+      .select(col("src_id"), col("tgt_id"),
+        when(col("sn") * col("tn") =!= 0.0,
+          dot(col("sv"), col("tv")) / (col("sn") * col("tn"))).as("cos"))
+    // TopKAgg skips null scores, so zero-norm rows simply have no
+    // neighborhood (and mine nothing) instead of poisoning averages
+    val fwd = pairs.groupBy(col("src_id"))
+      .agg(graft.functions.TopKAgg.top_k(col("cos"), col("tgt_id"), k).as("top"))
+    val bwd = pairs.groupBy(col("tgt_id"))
+      .agg(graft.functions.TopKAgg.top_k(col("cos"), col("src_id"), k).as("top"))
+    // mean over the heap's array IN ITS RANK ORDER (best first, ties to
+    // the smaller id) — a fixed summation order, so the DuckDB oracle can
+    // reproduce the float sum bit-for-bit with the same ordered fold
+    def knnAvg(top: Column): Column =
+      aggregate(top, lit(0.0), (acc, x) => acc + x.getField("score")) /
+        size(top).cast("double")
+    val avgF = fwd.select(col("src_id"), knnAvg(col("top")).as("avg_f"))
+    val avgB = bwd.select(col("tgt_id"), knnAvg(col("top")).as("avg_b"))
+    val cand = fwd.select(col("src_id"), explode(col("top")).as("c"))
+      .select(col("src_id"), col("c.id").as("tgt_id"), col("c.score").as("cos"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id"))
+    cand.join(avgF, "src_id").join(avgB, "tgt_id")
+      .withColumn("margin",
+        col("cos") / ((col("avg_f") + col("avg_b")) / lit(2.0)))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1 && col("margin") > threshold)
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"))
+  }
 }

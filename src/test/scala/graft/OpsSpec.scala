@@ -1476,6 +1476,85 @@ class OpsSpec extends SparkSpec {
     assert(t0.nonEmpty && t0.head.getLong(1) === bestSame._1)
   }
 
+  test("bitextMargin: matches a local brute force of the ratio-margin criterion exactly") {
+    // deterministic pseudo-random source/target sets (disjoint id spaces)
+    def vec(seed: Long, dim: Int): Seq[Float] =
+      (0 until dim).map { j =>
+        val h = graft.ops.Similarity.hash60Local(s"bx_${seed}_$j")
+        ((h % 2001L) - 1000L).toFloat / 1000.0f
+      }
+    val dim = 4
+    val srcRows = (0L until 8L).map(i => (i, vec(i, dim)))
+    val tgtRows = (100L until 112L).map(i => (i, vec(i, dim)))
+    val src = srcRows.toDF("vec_id", "embedding")
+    val tgt = tgtRows.toDF("vec_id", "embedding")
+    val k = 3
+    val threshold = 1.15 // splits the fixture: 5 of 8 sources survive
+    val got = graft.ops.Similarity.bitextMargin(
+        src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+        k = k, threshold = threshold)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    // local brute force replicating the engine's float arithmetic: dot is
+    // a sequential fold from 0.0 (VecOps.dot), the kNN average folds the
+    // heap's (cos desc, id asc) order from 0.0, margin = cos/((f+b)/2)
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cosOf(a: Seq[Float], b: Seq[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def topAvg(cands: Seq[(Long, Double)]): Double = {
+      val top = cands.sortBy { case (id, c) => (-c, id) }.take(k)
+      var acc = 0.0
+      top.foreach { case (_, c) => acc += c }
+      acc / top.size.toDouble
+    }
+    val avgF = srcRows.map { case (si, sv) =>
+      si -> topAvg(tgtRows.map { case (ti, tv) => (ti, cosOf(sv, tv)) }) }.toMap
+    val avgB = tgtRows.map { case (ti, tv) =>
+      ti -> topAvg(srcRows.map { case (si, sv) => (si, cosOf(sv, tv)) }) }.toMap
+    val expected = srcRows.flatMap { case (si, sv) =>
+      val cands = tgtRows.map { case (ti, tv) => (ti, cosOf(sv, tv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+        .map { case (ti, c) => (ti, c, c / ((avgF(si) + avgB(ti)) / 2.0)) }
+      val best = cands.minBy { case (ti, _, m) => (-m, ti) }
+      if (best._3 > threshold) Some((si, best._1, best._2, best._3)) else None
+    }.toSet
+    assert(expected.nonEmpty, "vacuous fixture: nothing survives the threshold")
+    assert(expected.size < srcRows.size, "vacuous fixture: threshold filters nothing")
+    assert(got === expected)
+  }
+
+  test("bitextMargin: hubness demotion — a backward-crowded target loses to the niche match") {
+    // s1's raw-cosine best target is t1, but t1 sits in a crowded
+    // backward neighborhood (high avgB) while t4 is s1's uniquely good
+    // match — the ratio margin must pick t4 (the criterion's entire
+    // point; vectors found by search, verified by the local formula)
+    val src = Seq(
+      (1L, Seq(-0.282f, 0.768f, 0.915f)),
+      (2L, Seq(-0.698f, -0.648f, -0.536f)),
+      (3L, Seq(-0.533f, -0.03f, 0.178f)),
+      (4L, Seq(-0.475f, -0.992f, -0.162f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (11L, Seq(-0.261f, 0.133f, 0.906f)), // raw-cos best for s1
+      (12L, Seq(0.381f, 0.031f, 0.235f)),
+      (13L, Seq(0.352f, -0.892f, 0.799f)),
+      (14L, Seq(0.56f, 0.749f, 0.596f))).toDF("vec_id", "embedding")
+    val mined = graft.ops.Similarity.bitextMargin(
+        src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+        k = 2, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // raw argmax sanity: cos(s1, t11) really is the raw best
+    val raw = graft.ops.Similarity.knnJoin(tgt, "vec_id", "embedding",
+        src.filter(col("vec_id") === 1L), "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw(1L) === 11L, "fixture drift: raw-cos best for s1 must be t11")
+    assert(mined(1L) === 14L, "margin must demote the crowded t11 for s1")
+  }
+
   test("audio fingerprint: pinned goldens, re-encode invariance, banded join pairs same class only") {
     // golden pin: the oracle's VALUES table must track the REAL
     // RIFF-parse + energy-contour pipeline — drift in either goes red here

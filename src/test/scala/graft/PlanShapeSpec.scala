@@ -51,6 +51,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastExchange"), p)
   }
 
+  test("sim_bitext_margin: pairs through a shuffle join, heaps map-side combined, no cartesian") {
+    val p = plan("sim_bitext_margin")
+    // the all-pairs cosine set distributes via the bucket-replicated
+    // SHUFFLE_HASH join (knnJoinShuffled's shape) — never a cartesian or
+    // a nested-loop broadcast of a full embedding side
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // both neighborhood heaps are TypedImperativeAggregates with a
+    // map-side partial: k entries per key cross the shuffle, not the pairs
+    assert("partial_top_k".r.findAllIn(p).length >= 2,
+      s"both TopKAgg aggregations must have map-side partials:\n$p")
+    // the per-source argmax window partitions by src_id (never global)
+    assert(!p.contains("windowspecdefinition()"), p)
+  }
+
   test("knnJoinAuto flips broadcast → shuffled with the threshold config") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
