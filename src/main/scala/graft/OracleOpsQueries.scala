@@ -895,6 +895,44 @@ object OracleOpsQueries {
     graft.ops.Packing.concatCut(Tables.documents(s, d), "doc_id",
       TextAnalysis.tokenCount(col("text")), seqLen = 32, salt = "cut")
 
+  /** Curriculum gate: exact global token offsets in ascending quality
+    * order, 4 equal-token phases, over the full sf0.01 corpus. The DuckDB
+    * mirror computes the SAME stream with one naive global ordered window
+    * — the score-bucketed two-phase prefix must agree exactly, including
+    * the clamped phase of zero-token rows sorting at the stream's end. */
+  def corpusCurriculum(s: SparkSession, d: String): DataFrame = {
+    val quality = qualityColumns(col("text"))
+      .collectFirst { case ("quality", c) => c }.get
+    graft.ops.Splits.curriculumOrder(Tables.documents(s, d), "doc_id",
+      score = quality, measure = TextAnalysis.tokenCount(col("text")),
+      phases = 4)
+  }
+
+  /** Slice-overlap gate: the 20×19/2 source-pair matrix of distinct
+    * 3-gram shingle intersections over the sf0.01 corpus — template-heavy
+    * sources share plenty of shingles, so intersections, Jaccard, and
+    * both containments are non-trivial, and the left join keeps any
+    * zero-overlap pair visible as an explicit zeros row. */
+  def corpusOverlapMatrix(s: SparkSession, d: String): DataFrame =
+    // narrow checkpoint: the matrix reads the (slice, shingle) sets four
+    // times — pin the vocabulary-sized frame so the corpus
+    // tokenize+shingle scan runs once, not four times (the op's scaladoc
+    // prescribes exactly this)
+    graft.ops.Dedup.sliceOverlapFromSets(
+      graft.ops.Dedup.sliceShingleSets(
+        Tables.documents(s, d), "text", slice = "source", n = 3)
+        .localCheckpoint(true))
+
+  /** Lexical-diversity gate: per-source type/token and distinct-2-gram
+    * ratios plus the top-10 token-mass share. 20 sources at sf0.01, each
+    * with its own template mix, so ratios genuinely differ per stratum;
+    * the DuckDB mirror ranks the head by (count desc, token) where the
+    * engine's heap breaks ties by token HASH — legal because tied counts
+    * contribute identical MASS (the gate compares sums, not membership). */
+  def corpusDiversity(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusReport.diversityReport(
+      Tables.documents(s, d), "doc_id", "text", stratum = "source", topK = 10)
+
   /** Token-budget mixture construction: per length-centile stratum, keep
     * the salted-hash-ordered document prefix until that stratum's budget is
     * exhausted (boundary doc kept, see
@@ -1510,6 +1548,9 @@ object OracleOpsQueries {
     "corpus_shard_mass" -> (corpusShardMass _),
     "corpus_pack" -> (corpusPack _),
     "corpus_concat_cut" -> (corpusConcatCut _),
+    "corpus_diversity" -> (corpusDiversity _),
+    "corpus_overlap_matrix" -> (corpusOverlapMatrix _),
+    "corpus_curriculum" -> (corpusCurriculum _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_agg" -> (dedupExactAgg _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -3383,6 +3424,107 @@ object OracleOpsQueries {
          |SELECT doc_id, n_tokens, bkt * 1099511627776 + pack_idx AS pack_id,
          |  pack_pos, oversize
          |FROM walk""".stripMargin,
+    // the naive formulation: ONE global window ordered by (quality,
+    // doc_id) computes every stream offset; the engine's score-bucketed
+    // two-phase prefix must reproduce it exactly, clamp included
+    "corpus_curriculum" ->
+      s"""WITH $toksCte,
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars2,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+         |  FROM toks),
+         |q AS (
+         |  SELECT doc_id, n_tokens AS n,
+         |    ${qualityExprSql("n_tokens", "n_stopwords", "n_punct", "n_chars2")} AS score
+         |  FROM feat),
+         |p AS (
+         |  SELECT doc_id, score, n,
+         |    CAST(COALESCE(SUM(n) OVER (ORDER BY score, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start,
+         |    CAST(SUM(n) OVER () AS BIGINT) AS total
+         |  FROM q)
+         |SELECT doc_id, score, n, start,
+         |  CASE WHEN total > 0 THEN LEAST((start * 4) // total, 3)
+         |    ELSE 0 END AS phase
+         |FROM p""".stripMargin,
+    // distinct (slice, shingle) sets intersected by a naive self-join;
+    // all-pairs frame from the totals so zero-overlap pairs still report
+    "corpus_overlap_matrix" ->
+      s"""WITH $shinglesCte,
+         |ss AS (
+         |  SELECT DISTINCT d.source AS slice, s.shingle
+         |  FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+         |tot AS (SELECT slice, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY slice),
+         |inter AS (
+         |  SELECT a.slice AS slice_a, b.slice AS slice_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.slice < b.slice
+         |  GROUP BY a.slice, b.slice),
+         |pairs AS (
+         |  SELECT ta.slice AS slice_a, tb.slice AS slice_b, ta.n AS n_a, tb.n AS n_b
+         |  FROM tot ta JOIN tot tb ON ta.slice < tb.slice)
+         |SELECT p.slice_a, p.slice_b, p.n_a, p.n_b,
+         |  COALESCE(i.n_shared, 0) AS n_shared,
+         |  CAST(COALESCE(i.n_shared, 0) AS DOUBLE) /
+         |    CAST(p.n_a + p.n_b - COALESCE(i.n_shared, 0) AS DOUBLE) AS jaccard,
+         |  CAST(COALESCE(i.n_shared, 0) AS DOUBLE) / CAST(p.n_a AS DOUBLE) AS containment_a,
+         |  CAST(COALESCE(i.n_shared, 0) AS DOUBLE) / CAST(p.n_b AS DOUBLE) AS containment_b
+         |FROM pairs p
+         |LEFT JOIN inter i ON p.slice_a = i.slice_a AND p.slice_b = i.slice_b""".stripMargin,
+    // tokens and 2-grams unioned into one tagged unit stream, exactly the
+    // engine's single-shuffle layout; the head mass ranks by
+    // (count desc, token) where the engine's heap ranks by token hash —
+    // tied counts carry identical mass, so the sums agree exactly
+    "corpus_diversity" ->
+      """WITH tk AS (
+        |  SELECT source, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT source, 0 AS lvl, unnest(t) AS u FROM tk
+        |  UNION ALL
+        |  SELECT source, 1 AS lvl, unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(generate_series(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i + 1])
+        |    ELSE [] END) AS u
+        |  FROM tk),
+        |uc AS (SELECT source, lvl, u, CAST(count(*) AS BIGINT) AS c
+        |  FROM u GROUP BY source, lvl, u),
+        |topm AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS topk_token_mass FROM (
+        |    SELECT source, c,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, u) AS r
+        |    FROM uc WHERE lvl = 0) WHERE r <= 10 GROUP BY source),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(COALESCE(SUM(CASE WHEN lvl = 0 THEN c END), 0) AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(SUM(CASE WHEN lvl = 0 THEN 1 END), 0) AS BIGINT) AS n_token_types,
+        |    CAST(COALESCE(SUM(CASE WHEN lvl = 1 THEN c END), 0) AS BIGINT) AS n_2grams,
+        |    CAST(COALESCE(SUM(CASE WHEN lvl = 1 THEN 1 END), 0) AS BIGINT) AS n_2gram_types
+        |  FROM uc GROUP BY source),
+        |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source)
+        |SELECT d.source, d.n_docs,
+        |  COALESCE(agg.n_tokens, 0) AS n_tokens,
+        |  COALESCE(agg.n_token_types, 0) AS n_token_types,
+        |  CASE WHEN COALESCE(agg.n_tokens, 0) > 0
+        |    THEN CAST(agg.n_token_types AS DOUBLE) / CAST(agg.n_tokens AS DOUBLE)
+        |    ELSE 0.0 END AS type_token_ratio,
+        |  COALESCE(agg.n_2grams, 0) AS n_2grams,
+        |  COALESCE(agg.n_2gram_types, 0) AS n_2gram_types,
+        |  CASE WHEN COALESCE(agg.n_2grams, 0) > 0
+        |    THEN CAST(agg.n_2gram_types AS DOUBLE) / CAST(agg.n_2grams AS DOUBLE)
+        |    ELSE 0.0 END AS distinct_2gram_frac,
+        |  COALESCE(topm.topk_token_mass, 0) AS topk_token_mass,
+        |  CASE WHEN COALESCE(agg.n_tokens, 0) > 0
+        |    THEN CAST(topm.topk_token_mass AS DOUBLE) / CAST(agg.n_tokens AS DOUBLE)
+        |    ELSE 0.0 END AS topk_token_frac
+        |FROM d
+        |LEFT JOIN agg ON d.source = agg.source
+        |LEFT JOIN topm ON d.source = topm.source""".stripMargin,
     // the naive formulation: ONE global ordered window computes every
     // document's exact stream offset — the two-phase bucketed prefix in
     // the engine must reproduce it bit-for-bit

@@ -57,4 +57,73 @@ object CorpusReport {
           (col("n_docs").cast("double") * lit(1000000.0)))
           .as("mean_quality")): _*)
   }
+
+  /** Corpus-level lexical-diversity report, one row per stratum: total
+    * vs DISTINCT token and word-2-gram mass (type/token ratios — the
+    * corpus-wide counterpart of [[TextAnalysis.repetitionSignals]]'s
+    * per-document ratios) plus the mass share of the `topK` most
+    * frequent tokens (a Zipf-head concentration signal). Low distinct
+    * fractions or a fat head flag template-generated or boilerplate-heavy
+    * slices that per-document signals miss — the cross-doc repetition
+    * only a corpus-level count can see. Columns: n_docs, n_tokens,
+    * n_token_types, type_token_ratio, n_2grams, n_2gram_types,
+    * distinct_2gram_frac, topk_token_mass, topk_token_frac.
+    *
+    * Shape at 100 TB: tokens and 2-grams explode tagged into ONE
+    * (stratum, level, unit) count — a single full-data shuffle with
+    * map-side combine, output vocabulary-sized — then a stratum rollup
+    * whose top-k head is a bounded-heap [[graft.functions.TopKAgg]]
+    * (never a per-stratum sort of the vocabulary — the
+    * unpartitioned-window-over-vocabulary trap). The top-k MASS is
+    * tie-invariant even though WHICH token ties in at the boundary is
+    * not: equal counts contribute equal mass, so the heap's hash-keyed
+    * tie-break cannot change the sum and the DuckDB mirror's
+    * string-ordered rank agrees exactly. Doc counts come from a separate
+    * scan-side aggregate so zero-token strata still report. */
+  def diversityReport(df: DataFrame, id: String, text: String,
+                      stratum: String = "source", topK: Int = 10): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val toks = TextAnalysis.tokens(col(text))
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val units = df.select(col(stratum),
+        explode(concat(
+          transform(toks, t => struct(lit(0).as("lvl"), t.as("u"))),
+          transform(grams, g => struct(lit(1).as("lvl"), g.as("u"))))).as("x"))
+      .select(col(stratum), col("x.lvl").as("lvl"), col("x.u").as("u"))
+    val uc = units.groupBy(col(stratum), col("lvl"), col("u"))
+      .agg(count(lit(1)).as("c"))
+    val isTok = col("lvl") === 0
+    val isGram = col("lvl") === 1
+    val head = graft.functions.TopKAgg.top_k(
+      when(isTok, col("c").cast("double")), TextAnalysis.hash60(col("u")), topK)
+    val byStratum = uc.groupBy(col(stratum)).agg(
+      coalesce(sum(when(isTok, col("c"))), lit(0L)).as("n_tokens"),
+      count(when(isTok, lit(1))).as("n_token_types"),
+      coalesce(sum(when(isGram, col("c"))), lit(0L)).as("n_2grams"),
+      count(when(isGram, lit(1))).as("n_2gram_types"),
+      // counts are exact as doubles (far below 2^53), so the long cast
+      // back out of the heap loses nothing
+      aggregate(head, lit(0L),
+        (acc, x) => acc + x.getField("score").cast("long")).as("topk_token_mass"))
+    val docs = df.groupBy(col(stratum)).agg(count(lit(1)).as("n_docs"))
+    docs.join(byStratum, Seq(stratum), "left")
+      .select(col(stratum), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_token_types"), lit(0L)).as("n_token_types"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          col("n_token_types").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("type_token_ratio"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("n_2gram_types"), lit(0L)).as("n_2gram_types"),
+        when(coalesce(col("n_2grams"), lit(0L)) > 0,
+          col("n_2gram_types").cast("double") / col("n_2grams").cast("double"))
+          .otherwise(lit(0.0)).as("distinct_2gram_frac"),
+        coalesce(col("topk_token_mass"), lit(0L)).as("topk_token_mass"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          col("topk_token_mass").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("topk_token_frac"))
+  }
 }

@@ -1076,4 +1076,74 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
   }
+
+  /** Pairwise n-gram overlap matrix between corpus SLICES (sources,
+    * snapshots, dataset versions): for every slice pair, the distinct
+    * shingle sets' intersection size, Jaccard, and both directional
+    * containments — the dataset-to-dataset counterpart of the per-document
+    * dedup ops, answering "how much of corpus B is already in corpus A"
+    * before a merge, and the published cross-dataset-contamination audit
+    * shape (containment is what matters when one slice is much smaller).
+    * Pairs that share nothing still report (zeros) — absence of a row and
+    * zero overlap must not be confounded.
+    *
+    * Shape at 100 TB: the full data collapses to distinct
+    * (slice, shingle) rows — everything after operates on the shingle
+    * VOCABULARY, never the corpus. This convenience composition leaves
+    * the collapse in the lineage (recomputed per consumer); at scale use
+    * [[sliceShingleSets]] + [[sliceOverlapFromSets]] with the narrow set
+    * pinned, so the corpus scan runs once. The equi-self-join fans each shingle
+    * out to at most |slices|² rows by construction (each slice
+    * contributes a shingle at most once), so there is no hot-key valve to
+    * tune; the totals and the all-pairs frame are |slices|-sized and
+    * broadcast. A slice whose documents yield no shingles at all (every
+    * doc shorter than n tokens) has an empty shingle set and drops out of
+    * the matrix entirely — visible to the caller as the missing slice
+    * label, not as a misleading zero-Jaccard row. */
+  def sliceOverlapMatrix(df: DataFrame, id: String, text: String,
+                         slice: String, n: Int = 3): DataFrame =
+    sliceOverlapFromSets(sliceShingleSets(df, text, slice, n))
+
+  /** The distinct (slice, shingle) sets feeding [[sliceOverlapFromSets]]:
+    * the corpus collapses once to its per-slice shingle VOCABULARY. Split
+    * out because the matrix consumes this frame four times (two totals
+    * sides, two self-join sides) — at scale, compute it once and pin the
+    * narrow result (`.localCheckpoint(true)` or a parquet write) before
+    * handing it over, the same tokenize-once-replay-narrow pattern as the
+    * budget-mix gates. */
+  def sliceShingleSets(df: DataFrame, text: String, slice: String,
+                       n: Int): DataFrame = {
+    val t = col("__tokens")
+    val sh = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
+    ).otherwise(array())
+    // same materialize-tokens-first rule as [[shingles]] (inlining the
+    // split into the lambda re-tokenizes per element — measured 40×)
+    graft.operators.Scale.balanceToCores(df)
+      .select(col(slice).as("slice"), tokens(col(text)).as("__tokens"))
+      .select(col("slice"), explode(array_distinct(sh)).as("shingle"))
+      .distinct()
+  }
+
+  /** The matrix over precomputed [[sliceShingleSets]] output. */
+  def sliceOverlapFromSets(ss: DataFrame): DataFrame = {
+    val tot = ss.groupBy(col("slice")).agg(count(lit(1)).as("n"))
+    val inter = ss.toDF("slice_a", "shingle")
+      .join(ss.toDF("slice_b", "shingle"), Seq("shingle"))
+      .filter(col("slice_a") < col("slice_b"))
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val pairs = broadcast(tot.toDF("slice_a", "n_a"))
+      .join(broadcast(tot.toDF("slice_b", "n_b")),
+        col("slice_a") < col("slice_b"))
+    val shared = coalesce(col("n_shared"), lit(0L))
+    pairs.join(inter, Seq("slice_a", "slice_b"), "left")
+      .select(col("slice_a"), col("slice_b"), col("n_a"), col("n_b"),
+        shared.as("n_shared"),
+        (shared.cast("double") /
+          (col("n_a") + col("n_b") - shared).cast("double")).as("jaccard"),
+        (shared.cast("double") / col("n_a").cast("double")).as("containment_a"),
+        (shared.cast("double") / col("n_b").cast("double")).as("containment_b"))
+  }
 }

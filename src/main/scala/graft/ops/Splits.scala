@@ -157,6 +157,70 @@ object Splits {
       .drop("stratum", "__rk", "__b", "__s2", "__b2", "__off")
   }
 
+  /** Curriculum ordering: exact global training-stream positions in
+    * ASCENDING score order (the standard quality curriculum / data-anneal
+    * layout — weakest data first, best data last, so the final tokens a
+    * model sees are the highest-quality ones), plus the equal-mass phase
+    * index a trainer switches hyperparameters on. Every row gets
+    * `start` = the exact sum of `measure` over all strictly-lower-ordered
+    * rows, `phase` = ⌊start · phases / total⌋ (clamped to phases-1 for
+    * zero-measure rows that sort at the very end) — deterministic,
+    * replayable, and resumable from any token offset.
+    *
+    * Same two-phase scaffold as [[globalPrefix]] but ordered by the SCORE
+    * instead of the salted hash: the histogram bucket is
+    * ⌊score · nHistBuckets⌋ (monotone in score, so bucket order IS score
+    * order), the tiny per-bucket mass histogram locates each bucket's
+    * exclusive offset, and the full data windows only inside its own
+    * bucket — one full-data shuffle, no global sort, parallelism
+    * `nHistBuckets` at any corpus size. The grand total (for the phase
+    * boundaries) is ONE scan-side aggregate broadcast back. NOTE the
+    * bucketing contract this inherits: `score` must lie in [0, 1]
+    * (quality scores, calibrated qnorm outputs) — enforced loudly, like
+    * the `measure` null/negative guard (see [[globalPrefix]]).
+    *
+    * Output: input id + (score, n, start, phase), clustered on the
+    * scaffold's bucket key. Ties in score order break by id, so equal
+    * scores still yield one exact deterministic stream. */
+  def curriculumOrder(df: DataFrame, id: String, score: Column,
+                      measure: Column, phases: Int,
+                      nHistBuckets: Int = DefaultHistBuckets): DataFrame = {
+    require(phases > 0, s"phases must be positive, got $phases")
+    val qGuarded = when(score.isNull || score < 0.0 || score > 1.0,
+      raise_error(lit("curriculumOrder: score is NULL or outside [0, 1] " +
+        "— the histogram bucket would disagree with the window order; " +
+        "calibrate or clamp scores first")))
+      .otherwise(score)
+    val nGuarded = when(measure.cast("long").isNull || measure.cast("long") < 0,
+      raise_error(lit("curriculumOrder: measure is NULL, negative, or does " +
+        "not cast to long — the histogram and the window would disagree " +
+        "about the row; filter or coalesce measures first")))
+      .otherwise(measure.cast("long"))
+    val base = df
+      .withColumn("stratum", lit(""))
+      .withColumn("__q", qGuarded)
+      .withColumn("__n", nGuarded)
+      .withColumn("__b",
+        least(floor(col("__q") * lit(nHistBuckets.toDouble)).cast("long"),
+          lit(nHistBuckets - 1L)))
+    val ww = Window.partitionBy(col("stratum"), col("__b"))
+      .orderBy(col("__q"), col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = df.select(nGuarded.as("__n"))
+      .agg(sum(col("__n")).as("__total"))
+    offsetsJoin(base, measures = Seq(sum(col("__n")).as("__t")),
+        prune = identity)
+      .withColumn("start",
+        col("__off") + coalesce(sum(col("__n")).over(ww), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col(id), col("__q").as("score"), col("__n").as("n"),
+        col("start"),
+        when(col("__total") > 0,
+          least(expr(s"(start * ${phases}L) DIV __total"),
+            lit(phases - 1L)))
+          .otherwise(lit(0L)).as("phase"))
+  }
+
   /** Exact k-per-stratum deterministic sample: rank rows inside each
     * stratum by the salted 60-bit id hash (ties impossible — (hash, id) is
     * a total order) and keep the first k. Unlike [[sampleByHash]] this

@@ -1476,6 +1476,89 @@ class OpsSpec extends SparkSpec {
     assert(t0.nonEmpty && t0.head.getLong(1) === bestSame._1)
   }
 
+  test("curriculumOrder: exact score-ordered stream offsets, tie by id, clamped end phase") {
+    val docs = Seq(
+      (1L, 0.5, 10L), (2L, 0.1, 4L), (3L, 0.5, 6L), // 1 and 3 tie on score
+      (4L, 1.0, 0L),                                // zero tokens at the very end
+      (5L, 0.9, 8L)).toDF("doc_id", "q", "n")
+    val got = graft.ops.Splits.curriculumOrder(docs, "doc_id",
+        score = col("q"), measure = col("n"), phases = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // order: d2(.1,4) d1(.5,10) d3(.5,6) d5(.9,8) d4(1.0,0); total 28
+    assert(got(2L) === ((0L, 0L)))
+    assert(got(1L) === ((4L, 0L)))   // 16/28 -> phase 0
+    assert(got(3L) === ((14L, 2L)))  // 56/28 -> phase 2
+    assert(got(5L) === ((20L, 2L)))  // 80/28 -> phase 2
+    assert(got(4L) === ((28L, 3L)))  // start == total -> clamped to last phase
+  }
+
+  test("curriculumOrder: out-of-range scores and NULL measures fail loudly") {
+    def boom(df: org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception] {
+        graft.ops.Splits.curriculumOrder(df, "doc_id",
+          score = col("q"), measure = col("n"), phases = 2).collect()
+      }
+      assert(e.toString.contains("curriculumOrder") ||
+        Option(e.getCause).exists(_.toString.contains("curriculumOrder")) ||
+        e.toString.contains("USER_RAISED_EXCEPTION"))
+    }
+    boom(Seq((1L, 1.5, 3L)).toDF("doc_id", "q", "n"))  // score > 1
+    boom(Seq((1L, -0.1, 3L)).toDF("doc_id", "q", "n")) // score < 0
+    boom(Seq((1L, Some(0.5), None: Option[Long]))
+      .toDF("doc_id", "q", "n"))                       // NULL measure
+  }
+
+  test("sliceOverlapMatrix: hand-computed intersections, explicit zero rows, shingle-less slice drops out") {
+    val docs = Seq(
+      (1L, "p q r s", "X"), // shingles {p q r, q r s}
+      (2L, "q r s t", "Y"), // shingles {q r s, r s t} — shares one with X
+      (3L, "u v w", "Z"),   // shingle {u v w} — disjoint from both
+      (4L, "a b", "W")      // too short for a 3-gram: W must vanish
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.Dedup
+      .sliceOverlapMatrix(docs, "doc_id", "text", slice = "source", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))
+      .toMap
+    assert(got.keySet === Set(("X", "Y"), ("X", "Z"), ("Y", "Z")))
+    assert(got(("X", "Y")) === ((2L, 2L, 1L, 1.0 / 3.0, 0.5, 0.5)))
+    // zero-overlap pairs are explicit rows, not silent absences
+    assert(got(("X", "Z")) === ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
+    assert(got(("Y", "Z")) === ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("diversityReport: hand-computed strata, tie-invariant head mass, empty stratum reports zeros") {
+    val docs = Seq(
+      (1L, "a a b", "A"),
+      (2L, "a a c", "A"),
+      (3L, "", "B") // zero-token stratum must still get a row
+    ).toDF("doc_id", "text", "source")
+    val rows = graft.ops.CorpusReport
+      .diversityReport(docs, "doc_id", "text", stratum = "source", topK = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("A")
+    assert(a.getAs[Long]("n_docs") === 2L)
+    assert(a.getAs[Long]("n_tokens") === 6L) // a×4, b, c
+    assert(a.getAs[Long]("n_token_types") === 3L)
+    assert(a.getAs[Double]("type_token_ratio") === 0.5)
+    assert(a.getAs[Long]("n_2grams") === 4L) // "a a"×2, "a b", "a c"
+    assert(a.getAs[Long]("n_2gram_types") === 3L)
+    assert(a.getAs[Double]("distinct_2gram_frac") === 0.75)
+    // top-2 head: a(4) + either of the b/c tie(1) — mass 5 regardless
+    assert(a.getAs[Long]("topk_token_mass") === 5L)
+    assert(a.getAs[Double]("topk_token_frac") === 5.0 / 6.0)
+    val b = rows("B")
+    assert(b.getAs[Long]("n_docs") === 1L)
+    assert(b.getAs[Long]("n_tokens") === 0L)
+    assert(b.getAs[Long]("n_token_types") === 0L)
+    assert(b.getAs[Double]("type_token_ratio") === 0.0)
+    assert(b.getAs[Long]("topk_token_mass") === 0L)
+    assert(b.getAs[Double]("topk_token_frac") === 0.0)
+  }
+
   test("bitextMargin: matches a local brute force of the ratio-margin criterion exactly") {
     // deterministic pseudo-random source/target sets (disjoint id spaces)
     def vec(seed: Long, dim: Int): Seq[Float] =

@@ -67,6 +67,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition()"), p)
   }
 
+  test("corpus_diversity: one unit shuffle + two stratum rollups, bounded-heap head, no vocab sort") {
+    val p = plan("corpus_diversity")
+    // (stratum, lvl, unit) count, stratum rollup, scan-side doc count —
+    // and nothing else touching the exploded unit stream
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 3, s"expected exactly 3 hash shuffles:\n$p")
+    // the Zipf head is the bounded heap with a map-side partial — never a
+    // per-stratum sort or window over the vocabulary
+    assert(p.contains("partial_top_k"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    // column pruning: the documents scan must read only (text, stratum)
+    assert("ReadSchema: struct<text:string,source:string>".r.findFirstIn(p).nonEmpty ||
+      "ReadSchema: struct<source:string>".r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("corpus_curriculum: score-bucketed prefix — one full-data shuffle, no global sort") {
+    // same scaffold contract as corpus_concat_cut, ordered by score: the
+    // full data shuffles once onto its score bucket and windows inside
+    // it; the single-partition exchange is fed by the tiny histogram (or
+    // the one-row total), never by raw data
+    val p = plan("corpus_curriculum")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 2, s"1 full-data + 1 histogram shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+    assert("windowspecdefinition\\(__b#\\d+L,".r.findFirstIn(p).nonEmpty,
+      s"full-data prefix window must partition by the score bucket:\n$p")
+    var idx = p.indexOf("Exchange SinglePartition")
+    assert(idx >= 0, p)
+    while (idx >= 0) {
+      val aggBelow = p.indexOf("HashAggregate", idx)
+      val scanBelow = p.indexOf("Scan parquet", idx)
+      assert(aggBelow >= 0 && (scanBelow < 0 || aggBelow < scanBelow),
+        s"a single-partition exchange must be fed by an aggregate:\n$p")
+      idx = p.indexOf("Exchange SinglePartition", idx + 1)
+    }
+  }
+
   test("knnJoinAuto flips broadcast → shuffled with the threshold config") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
