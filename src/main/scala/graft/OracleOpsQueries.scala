@@ -923,6 +923,24 @@ object OracleOpsQueries {
         Tables.documents(s, d), "text", slice = "source", n = 3)
         .localCheckpoint(true))
 
+  /** Fertility gate: subwords-per-word and chars-per-subword per
+    * language. The fixture's non-en docs are ASCII templates (every
+    * whitespace word is one letter run — fertility exactly 1.0
+    * everywhere), so the gate PLANTS script per stratum, the same
+    * move as the CJK-token plants: zh docs gain an ideograph clause
+    * (one ws word → many single-symbol subwords) and de docs a
+    * digit/punctuation price tag — three distinct fertility levels,
+    * identically planted in the DuckDB mirror. */
+  def corpusFertility(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusReport.tokenizerFertility(
+      Tables.documents(s, d).select(col("lang"),
+        concat(col("text"),
+          when(col("lang") === "zh", lit(" 机器学习提高数据质量"))
+            .otherwise(lit("")),
+          when(col("lang") === "de", lit(" preis: 42,90 (neu)"))
+            .otherwise(lit(""))).as("text")),
+      "text", stratum = "lang")
+
   /** Lexical-diversity gate: per-source type/token and distinct-2-gram
     * ratios plus the top-10 token-mass share. 20 sources at sf0.01, each
     * with its own template mix, so ratios genuinely differ per stratum;
@@ -1388,6 +1406,19 @@ object OracleOpsQueries {
       k = 4, threshold = 1.0)
   }
 
+  /** The LSH-bucketed miner on the same split — planes = 2 keeps every
+    * bucket populated on both sides at sf0.01 (4 buckets over ~250 rows
+    * each), so in-bucket neighborhoods and the bucket-restricted margins
+    * genuinely differ from the exact miner's. Same shared oracle
+    * arithmetic, bucket restriction mirrored via the seeded-plane CTE. */
+  def simBitextMarginLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.ops.Similarity.bitextMarginLsh(
+      emb.filter(col("label") < 5), "vec_id", "embedding",
+      emb.filter(col("label") >= 5), "vec_id", "embedding",
+      k = 4, threshold = 1.0, planes = 2)
+  }
+
   /** Hard-negative mining gate: queries = vec_id < 5, k = 3 hardest
     * out-of-class negatives each ([[graft.ops.Similarity.hardNegatives]]).
     * The embeddings fixture carries a `label` column, so "positive" =
@@ -1481,6 +1512,7 @@ object OracleOpsQueries {
     "sim_bruteforce_topk" -> (simBruteForce _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_bitext_margin" -> (simBitextMargin _),
+    "sim_bitext_margin_lsh" -> (simBitextMarginLsh _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "sim_mining_triplets" -> (simMiningTriplets _),
     "sim_knn_join_shuffled" -> (simKnnJoinShuffled _),
@@ -1551,6 +1583,7 @@ object OracleOpsQueries {
     "corpus_diversity" -> (corpusDiversity _),
     "corpus_overlap_matrix" -> (corpusOverlapMatrix _),
     "corpus_curriculum" -> (corpusCurriculum _),
+    "corpus_fertility" -> (corpusFertility _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_agg" -> (dedupExactAgg _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -2045,6 +2078,43 @@ object OracleOpsQueries {
 
   /** One text for BOTH kNN variants (broadcast and shuffled) — a single
     * binding makes oracle divergence between the two plans impossible. */
+  /** The margin pipeline's SQL tail over a pairs CTE `p(src_id, tgt_id,
+    * cos)` — both bitext oracles (all-pairs and LSH-bucketed) share it,
+    * exactly as the engine variants share [[graft.ops.Similarity]]'s
+    * `marginFromPairs`, so the two gates cannot drift apart. k = 4,
+    * threshold = 1.0. */
+  private val bitextMarginTailSql: String =
+    """fr AS (
+      |  SELECT src_id, tgt_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
+      |  FROM p),
+      |br AS (
+      |  SELECT src_id, tgt_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r
+      |  FROM p),
+      |af AS (
+      |  SELECT src_id,
+      |    list_reduce(list_prepend(0.0, list(cos ORDER BY cos DESC, tgt_id)),
+      |      (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS avg_f
+      |  FROM fr WHERE r <= 4 GROUP BY src_id),
+      |ab AS (
+      |  SELECT tgt_id,
+      |    list_reduce(list_prepend(0.0, list(cos ORDER BY cos DESC, src_id)),
+      |      (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS avg_b
+      |  FROM br WHERE r <= 4 GROUP BY tgt_id),
+      |m AS (
+      |  SELECT c.src_id, c.tgt_id, c.cos,
+      |    c.cos / ((af.avg_f + ab.avg_b) / 2.0) AS margin
+      |  FROM (SELECT src_id, tgt_id, cos FROM fr WHERE r <= 4) c
+      |  JOIN af ON c.src_id = af.src_id
+      |  JOIN ab ON c.tgt_id = ab.tgt_id),
+      |best AS (
+      |  SELECT src_id, tgt_id, cos, margin,
+      |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rr
+      |  FROM m)
+      |SELECT src_id, tgt_id, cos, margin FROM best
+      |WHERE rr = 1 AND margin > 1.0""".stripMargin
+
   private lazy val knnJoinSql =
     s"""WITH $embCte,
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
@@ -2389,36 +2459,29 @@ object OracleOpsQueries {
          |su AS (SELECT vec_id AS src_id, v AS sv FROM el WHERE label < 5),
          |tu AS (SELECT vec_id AS tgt_id, v AS tv FROM el WHERE label >= 5),
          |p AS (SELECT src_id, tgt_id, ${cosSql("sv", "tv")} AS cos FROM su, tu),
-         |fr AS (
-         |  SELECT src_id, tgt_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
-         |  FROM p),
-         |br AS (
-         |  SELECT src_id, tgt_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r
-         |  FROM p),
-         |af AS (
-         |  SELECT src_id,
-         |    list_reduce(list_prepend(0.0, list(cos ORDER BY cos DESC, tgt_id)),
-         |      (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS avg_f
-         |  FROM fr WHERE r <= 4 GROUP BY src_id),
-         |ab AS (
-         |  SELECT tgt_id,
-         |    list_reduce(list_prepend(0.0, list(cos ORDER BY cos DESC, src_id)),
-         |      (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS avg_b
-         |  FROM br WHERE r <= 4 GROUP BY tgt_id),
-         |m AS (
-         |  SELECT c.src_id, c.tgt_id, c.cos,
-         |    c.cos / ((af.avg_f + ab.avg_b) / 2.0) AS margin
-         |  FROM (SELECT src_id, tgt_id, cos FROM fr WHERE r <= 4) c
-         |  JOIN af ON c.src_id = af.src_id
-         |  JOIN ab ON c.tgt_id = ab.tgt_id),
-         |best AS (
-         |  SELECT src_id, tgt_id, cos, margin,
-         |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rr
-         |  FROM m)
-         |SELECT src_id, tgt_id, cos, margin FROM best
-         |WHERE rr = 1 AND margin > 1.0""".stripMargin,
+         |$bitextMarginTailSql""".stripMargin,
+    // the bucket-restricted variant: candidate pairs (and hence both
+    // neighborhood lists) come only from same-LSH-bucket rows, using the
+    // SAME seeded planes as the engine (p < 2 of the shared plane CTE)
+    "sim_bitext_margin_lsh" ->
+      s"""WITH $planesCte,
+         |$embLabeledCte,
+         |bits AS (
+         |  SELECT el.vec_id, pl.p,
+         |    CASE WHEN ${dotSql("v", "rv")} >= 0.0
+         |      THEN CAST(1 AS BIGINT) << pl.p ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM el, planes pl WHERE pl.p < 2),
+         |bk AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+         |su AS (
+         |  SELECT el.vec_id AS src_id, el.v AS sv, bk.bucket
+         |  FROM el JOIN bk ON el.vec_id = bk.vec_id WHERE el.label < 5),
+         |tu AS (
+         |  SELECT el.vec_id AS tgt_id, el.v AS tv, bk.bucket
+         |  FROM el JOIN bk ON el.vec_id = bk.vec_id WHERE el.label >= 5),
+         |p AS (
+         |  SELECT src_id, tgt_id, ${cosSql("sv", "tv")} AS cos
+         |  FROM su JOIN tu ON su.bucket = tu.bucket),
+         |$bitextMarginTailSql""".stripMargin,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_mining_triplets" -> miningTripletsSql,
     // the shuffled hatch answers the SAME question — one shared oracle
@@ -3424,6 +3487,33 @@ object OracleOpsQueries {
          |SELECT doc_id, n_tokens, bkt * 1099511627776 + pack_idx AS pack_id,
          |  pack_pos, oversize
          |FROM walk""".stripMargin,
+    "corpus_fertility" ->
+      s"""WITH pf AS (
+         |  SELECT lang,
+         |    text || (CASE WHEN lang = 'zh' THEN ' 机器学习提高数据质量' ELSE '' END)
+         |         || (CASE WHEN lang = 'de' THEN ' preis: 42,90 (neu)' ELSE '' END) AS text
+         |  FROM documents),
+         |f AS (
+         |  SELECT lang,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> len(x) > 0)) AS BIGINT) AS nw,
+         |    CAST(len(regexp_extract_all(text, '$bpeTokenRegex')) AS BIGINT) AS nb,
+         |    CAST(length(text) AS BIGINT) AS nc
+         |  FROM pf),
+         |a AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(nw) AS BIGINT) AS n_words,
+         |    CAST(SUM(nb) AS BIGINT) AS n_subwords,
+         |    CAST(SUM(nc) AS BIGINT) AS n_chars
+         |  FROM f GROUP BY lang)
+         |SELECT lang, n_docs, n_words, n_subwords, n_chars,
+         |  CASE WHEN n_words > 0
+         |    THEN CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    ELSE 0.0 END AS fertility,
+         |  CASE WHEN n_subwords > 0
+         |    THEN CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE)
+         |    ELSE 0.0 END AS chars_per_subword
+         |FROM a""".stripMargin,
     // the naive formulation: ONE global window ordered by (quality,
     // doc_id) computes every stream offset; the engine's score-bucketed
     // two-phase prefix must reproduce it exactly, clamp included

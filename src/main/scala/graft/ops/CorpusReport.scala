@@ -126,4 +126,35 @@ object CorpusReport {
           col("topk_token_mass").cast("double") / col("n_tokens").cast("double"))
           .otherwise(lit(0.0)).as("topk_token_frac"))
   }
+
+  /** Tokenizer-fertility report, one row per stratum (conventionally the
+    * language): subword-per-word fertility and chars-per-subword — the
+    * standard check that a tokenizer doesn't tax some languages with
+    * far more subwords per word than others (fertility in the SentencePiece
+    * / multilingual-NMT sense), which silently skews both the effective
+    * token budget per language and per-token training cost. Subwords are
+    * the engine's BPE-ish proxy ([[TextAnalysis.bpeTokenRegex]]: letter
+    * runs, digit runs, single symbols), words are whitespace tokens.
+    * Ratios divide exact BIGINT corpus sums (IEEE-deterministic), zeros
+    * guarded. Pure scan-side column algebra plus one strata rollup —
+    * output rows = |strata|. */
+  def tokenizerFertility(df: DataFrame, text: String,
+                         stratum: String = "lang"): DataFrame =
+    df.select(col(stratum),
+        TextAnalysis.tokenCount(col(text)).cast("long").as("__nw"),
+        TextAnalysis.bpeTokenCount(col(text)).cast("long").as("__nb"),
+        length(col(text)).cast("long").as("__nc"))
+      .groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_words"),
+        sum(col("__nb")).as("n_subwords"),
+        sum(col("__nc")).as("n_chars"))
+      .select(col(stratum), col("n_docs"), col("n_words"),
+        col("n_subwords"), col("n_chars"),
+        when(col("n_words") > 0,
+          col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("fertility"),
+        when(col("n_subwords") > 0,
+          col("n_chars").cast("double") / col("n_subwords").cast("double"))
+          .otherwise(lit(0.0)).as("chars_per_subword"))
 }

@@ -724,6 +724,46 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"),
         when(col("sn") * col("tn") =!= 0.0,
           dot(col("sv"), col("tv")) / (col("sn") * col("tn"))).as("cos"))
+    marginFromPairs(pairs, k, threshold)
+  }
+
+  /** LSH-bucketed [[bitextMargin]] — the sub-all-pairs scale path: both
+    * sides hash to their random-hyperplane bucket ([[lshBucket]], the
+    * same seeded planes as [[lshTopK]]) and candidates, neighborhood
+    * lists, and margins all restrict to same-bucket pairs. Work drops
+    * from |src|·|tgt| to Σ_b |src_b|·|tgt_b| (~|src|·|tgt|/2^planes at
+    * uniform spread) at the usual LSH recall trade ([[lshTopK]]'s
+    * measured recall table). Size `planes` so 2^planes comfortably
+    * exceeds the cluster's shuffle parallelism — the bucket is the join
+    * key, so too few planes concentrates work AND degrades the
+    * neighborhood normalization (margins computed against in-bucket
+    * neighborhoods only). A source whose bucket holds no targets mines
+    * nothing — exactly the FAISS-sharded behavior of the published
+    * pipelines. */
+  def bitextMarginLsh(src: DataFrame, sid: String, svec: String,
+                      tgt: DataFrame, tid: String, tvec: String,
+                      k: Int, threshold: Double,
+                      planes: Int = 8, dim: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(planes > 0 && planes < 63, s"planes must be in [1, 62], got $planes")
+    val s = src.select(col(sid).as("src_id"), asDouble(col(svec)).as("sv"))
+      .withColumn("sn", norm(col("sv")))
+      .withColumn("__bkt", lshBucket(col("sv"), planes, dim))
+    val t = tgt.select(col(tid).as("tgt_id"), asDouble(col(tvec)).as("tv"))
+      .withColumn("tn", norm(col("tv")))
+      .withColumn("__bkt", lshBucket(col("tv"), planes, dim))
+    val pairs = t.hint("SHUFFLE_HASH").join(s, "__bkt")
+      .select(col("src_id"), col("tgt_id"),
+        when(col("sn") * col("tn") =!= 0.0,
+          dot(col("sv"), col("tv")) / (col("sn") * col("tn"))).as("cos"))
+    marginFromPairs(pairs, k, threshold)
+  }
+
+  /** The shared margin pipeline over a scored candidate-pair stream:
+    * kNN-average normalization, forward best-match selection, threshold.
+    * Extracted so the exact and LSH-bucketed miners cannot drift. */
+  private def marginFromPairs(pairs: DataFrame, k: Int,
+                              threshold: Double): DataFrame = {
     // TopKAgg skips null scores, so zero-norm rows simply have no
     // neighborhood (and mine nothing) instead of poisoning averages
     val fwd = pairs.groupBy(col("src_id"))

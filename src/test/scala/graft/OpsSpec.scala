@@ -1476,6 +1476,26 @@ class OpsSpec extends SparkSpec {
     assert(t0.nonEmpty && t0.head.getLong(1) === bestSame._1)
   }
 
+  test("tokenizerFertility: hand-computed strata, zero-token stratum guarded") {
+    val docs = Seq(
+      ("en", "hello world"),   // 2 words, 2 subwords, 11 chars
+      ("zh", "你好 世界x"),     // 2 words, 5 subwords (4 symbols + 1 run), 6 chars
+      ("de", "")               // nothing: ratios must guard to 0.0
+    ).toDF("lang", "text")
+    val rows = graft.ops.CorpusReport.tokenizerFertility(docs, "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("en").getAs[Long]("n_words") === 2L)
+    assert(rows("en").getAs[Long]("n_subwords") === 2L)
+    assert(rows("en").getAs[Double]("fertility") === 1.0)
+    assert(rows("en").getAs[Double]("chars_per_subword") === 5.5)
+    assert(rows("zh").getAs[Long]("n_subwords") === 5L)
+    assert(rows("zh").getAs[Double]("fertility") === 2.5)
+    assert(rows("zh").getAs[Double]("chars_per_subword") === 1.2)
+    assert(rows("de").getAs[Long]("n_words") === 0L)
+    assert(rows("de").getAs[Double]("fertility") === 0.0)
+    assert(rows("de").getAs[Double]("chars_per_subword") === 0.0)
+  }
+
   test("curriculumOrder: exact score-ordered stream offsets, tie by id, clamped end phase") {
     val docs = Seq(
       (1L, 0.5, 10L), (2L, 0.1, 4L), (3L, 0.5, 6L), // 1 and 3 tie on score
@@ -1609,6 +1629,23 @@ class OpsSpec extends SparkSpec {
     assert(expected.nonEmpty, "vacuous fixture: nothing survives the threshold")
     assert(expected.size < srcRows.size, "vacuous fixture: threshold filters nothing")
     assert(got === expected)
+  }
+
+  test("bitextMarginLsh: every mined pair shares its LSH bucket") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val mined = graft.ops.Similarity.bitextMarginLsh(
+        emb.filter(col("label") < 5), "vec_id", "embedding",
+        emb.filter(col("label") >= 5), "vec_id", "embedding",
+        k = 3, threshold = 0.0, planes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mined.nonEmpty)
+    val buckets = emb.select(col("vec_id"),
+        graft.ops.Similarity.lshBucket(col("embedding"), planes = 2, dim = 64))
+      .as[(Long, Long)].collect().toMap
+    mined.foreach { case (s, t) =>
+      assert(buckets(s) === buckets(t),
+        s"mined pair ($s, $t) crosses buckets ${buckets(s)} vs ${buckets(t)}")
+    }
   }
 
   test("bitextMargin: hubness demotion — a backward-crowded target loses to the niche match") {
