@@ -895,6 +895,29 @@ object OracleOpsQueries {
     graft.ops.Packing.concatCut(Tables.documents(s, d), "doc_id",
       TextAnalysis.tokenCount(col("text")), seqLen = 32, salt = "cut")
 
+  /** Separator-aware concat-and-cut: one EOD position reserved after
+    * every document. With 32-token examples over ~52-token docs nearly
+    * every example holds a separator gap, so the padded-footprint vs
+    * real-interval arithmetic is exercised on almost every row — and the
+    * sep = 0 gate above stays byte-identical to before, proving the
+    * parameter is a pure extension. */
+  def corpusConcatCutSep(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.concatCut(Tables.documents(s, d), "doc_id",
+      TextAnalysis.tokenCount(col("text")), seqLen = 32, salt = "cut",
+      sepTokens = 1)
+
+  /** Curriculum-ordered example cutting: the anneal stream materialized
+    * as 32-token examples, quality ascending with one EOD gap per doc —
+    * the composition of the two exact-prefix scaffolds (score-ordered
+    * offsets, then the shared cut arithmetic), mirrored naively. */
+  def corpusCurriculumCut(s: SparkSession, d: String): DataFrame = {
+    val quality = qualityColumns(col("text"))
+      .collectFirst { case ("quality", c) => c }.get
+    graft.ops.Packing.curriculumCut(Tables.documents(s, d), "doc_id",
+      score = quality, nTokens = TextAnalysis.tokenCount(col("text")),
+      seqLen = 32, sepTokens = 1)
+  }
+
   /** Curriculum gate: exact global token offsets in ascending quality
     * order, 4 equal-token phases, over the full sf0.01 corpus. The DuckDB
     * mirror computes the SAME stream with one naive global ordered window
@@ -940,6 +963,16 @@ object OracleOpsQueries {
           when(col("lang") === "de", lit(" preis: 42,90 (neu)"))
             .otherwise(lit(""))).as("text")),
       "text", stratum = "lang")
+
+  /** The HLL sketch path of the diversity report. Approximate type
+    * counts have no bit-exact DuckDB mirror, so this query is
+    * deliberately ABSENT from [[sql]] — the driver records the weaker
+    * rows-only check (the documented contract for non-SQL-expressible
+    * ops) and the spec gates it against the exact report within rsd
+    * tolerance. Registered here so the bench drives its scale shape. */
+  def corpusDiversitySketch(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusReport.diversityReportSketch(
+      Tables.documents(s, d), "doc_id", "text", stratum = "source")
 
   /** Lexical-diversity gate: per-source type/token and distinct-2-gram
     * ratios plus the top-10 token-mass share. 20 sources at sf0.01, each
@@ -1581,8 +1614,11 @@ object OracleOpsQueries {
     "corpus_pack" -> (corpusPack _),
     "corpus_concat_cut" -> (corpusConcatCut _),
     "corpus_diversity" -> (corpusDiversity _),
+    "corpus_diversity_sketch" -> (corpusDiversitySketch _),
     "corpus_overlap_matrix" -> (corpusOverlapMatrix _),
     "corpus_curriculum" -> (corpusCurriculum _),
+    "corpus_concat_cut_sep" -> (corpusConcatCutSep _),
+    "corpus_curriculum_cut" -> (corpusCurriculumCut _),
     "corpus_fertility" -> (corpusFertility _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_agg" -> (dedupExactAgg _),
@@ -3629,6 +3665,57 @@ object OracleOpsQueries {
          |    CAST(COALESCE(SUM(n) OVER (ORDER BY rk, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s0
          |  FROM s),
+         |e AS (
+         |  SELECT doc_id, n, s0,
+         |    unnest(range(s0 // 32, (s0 + n - 1) // 32 + 1)) AS example_id
+         |  FROM p)
+         |SELECT example_id, doc_id,
+         |  GREATEST(s0, example_id * 32) - example_id * 32 AS pos,
+         |  GREATEST(example_id * 32 - s0, CAST(0 AS BIGINT)) AS doc_start,
+         |  LEAST(s0 + n, (example_id + 1) * 32) - GREATEST(s0, example_id * 32) AS len
+         |FROM e""".stripMargin,
+    // padded footprint in the prefix, real interval in the cut — the
+    // mirror's s0 sums (n + 1) while the overlap arithmetic uses n
+    "corpus_concat_cut_sep" ->
+      s"""WITH $toksCte,
+         |s AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+         |    ${h60("'cut_' || CAST(doc_id AS VARCHAR)")} AS rk
+         |  FROM toks WHERE len(t) > 0),
+         |p AS (
+         |  SELECT doc_id, n,
+         |    CAST(COALESCE(SUM(n + 1) OVER (ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s0
+         |  FROM s),
+         |e AS (
+         |  SELECT doc_id, n, s0,
+         |    unnest(range(s0 // 32, (s0 + n - 1) // 32 + 1)) AS example_id
+         |  FROM p)
+         |SELECT example_id, doc_id,
+         |  GREATEST(s0, example_id * 32) - example_id * 32 AS pos,
+         |  GREATEST(example_id * 32 - s0, CAST(0 AS BIGINT)) AS doc_start,
+         |  LEAST(s0 + n, (example_id + 1) * 32) - GREATEST(s0, example_id * 32) AS len
+         |FROM e""".stripMargin,
+    // the curriculum stream (quality asc, doc_id tiebreak) cut with the
+    // same padded-footprint arithmetic
+    "corpus_curriculum_cut" ->
+      s"""WITH $toksCte,
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars2,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+         |  FROM toks WHERE len(t) > 0),
+         |q AS (
+         |  SELECT doc_id, n_tokens AS n,
+         |    ${qualityExprSql("n_tokens", "n_stopwords", "n_punct", "n_chars2")} AS score
+         |  FROM feat),
+         |p AS (
+         |  SELECT doc_id, n,
+         |    CAST(COALESCE(SUM(n + 1) OVER (ORDER BY score, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s0
+         |  FROM q),
          |e AS (
          |  SELECT doc_id, n, s0,
          |    unnest(range(s0 // 32, (s0 + n - 1) // 32 + 1)) AS example_id

@@ -127,6 +127,57 @@ object CorpusReport {
           .otherwise(lit(0.0)).as("topk_token_frac"))
   }
 
+  /** The sketch-based scale path for [[diversityReport]]: type counts via
+    * HyperLogLog++ (`approx_count_distinct`, default rsd 5%) instead of
+    * an exact (stratum, unit) count. The exact report's one full-data
+    * shuffle carries the DISTINCT unit stream — on an adversarial
+    * vocabulary (every token unique) that is corpus-sized with no
+    * map-side reduction, measured as the heaviest query in the sf100
+    * suite. Here the units never shuffle at all: HLL buffers absorb them
+    * map-side and only |strata| sketch buffers cross the wire, so cost is
+    * one scan at ANY vocabulary shape. The trade: type counts are ±rsd
+    * approximate and the exact Zipf-head mass is dropped (a head sketch
+    * would need a count-min layer; run the exact report on a sample when
+    * the head matters). Totals (docs, tokens, 2-grams) stay exact —
+    * they are plain sums. Spec-gated against the exact report within
+    * rsd tolerance (approximate output has no bit-exact DuckDB mirror). */
+  def diversityReportSketch(df: DataFrame, id: String, text: String,
+                            stratum: String = "source",
+                            rsd: Double = 0.05): DataFrame = {
+    val toks = TextAnalysis.tokens(col(text))
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val units = df.select(col(stratum),
+        explode(concat(
+          transform(toks, t => struct(lit(0).as("lvl"), t.as("u"))),
+          transform(grams, g => struct(lit(1).as("lvl"), g.as("u"))))).as("x"))
+      .select(col(stratum), col("x.lvl").as("lvl"), col("x.u").as("u"))
+    val isTok = col("lvl") === 0
+    val isGram = col("lvl") === 1
+    val agg = units.groupBy(col(stratum)).agg(
+      coalesce(sum(when(isTok, 1L)), lit(0L)).as("n_tokens"),
+      approx_count_distinct(when(isTok, col("u")), rsd).as("n_token_types_approx"),
+      coalesce(sum(when(isGram, 1L)), lit(0L)).as("n_2grams"),
+      approx_count_distinct(when(isGram, col("u")), rsd).as("n_2gram_types_approx"))
+    val docs = df.groupBy(col(stratum)).agg(count(lit(1)).as("n_docs"))
+    docs.join(agg, Seq(stratum), "left")
+      .select(col(stratum), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_token_types_approx"), lit(0L)).as("n_token_types_approx"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          col("n_token_types_approx").cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("type_token_ratio_approx"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("n_2gram_types_approx"), lit(0L)).as("n_2gram_types_approx"),
+        when(coalesce(col("n_2grams"), lit(0L)) > 0,
+          col("n_2gram_types_approx").cast("double") /
+            col("n_2grams").cast("double"))
+          .otherwise(lit(0.0)).as("distinct_2gram_frac_approx"))
+  }
+
   /** Tokenizer-fertility report, one row per stratum (conventionally the
     * language): subword-per-word fertility and chars-per-subword — the
     * standard check that a tokenizer doesn't tax some languages with

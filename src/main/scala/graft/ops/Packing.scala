@@ -106,38 +106,96 @@ object Packing {
     * `sequence` (array length ≤ n/L + 1, bounded by the document's own
     * token count).
     *
-    * Zero-token documents are dropped (they occupy no stream
-    * positions); `measure` nulls/negatives fail loudly (see
-    * [[Splits.globalPrefix]]). Output: one row per (example, document)
-    * overlap — (example_id, id, pos, doc_start, len): the piece covers
-    * example positions [pos, pos+len) with document tokens
-    * [doc_start, doc_start+len). Examples are 0-indexed; every example
-    * except the last is exactly `seqLen` tokens when the pieces are
-    * reassembled. */
+    * Zero-token documents are dropped (they occupy no stream positions);
+    * NULL/negative counts fail loudly. Output: one row per
+    * (example, document) overlap — (example_id, id, pos, doc_start, len):
+    * the piece covers example positions [pos, pos+len) with document
+    * tokens [doc_start, doc_start+len). Examples are 0-indexed; with
+    * `sepTokens` = 0 every example except the last is exactly `seqLen`
+    * tokens when the pieces are reassembled.
+    *
+    * `sepTokens` > 0 reserves that many stream positions AFTER each
+    * document (the end-of-document token convention): footprints pad by
+    * `sepTokens`, pieces still cover only real tokens, and the uncovered
+    * positions in each example are exactly where the trainer writes its
+    * EOD token(s) — per example, covered + separator positions = seqLen
+    * (except the final example). */
   def concatCut(docs: DataFrame, id: String, nTokens: Column, seqLen: Int,
-                salt: String = "cut"): DataFrame = {
+                salt: String = "cut", sepTokens: Int = 0): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val L = lit(seqLen.toLong)
+    require(sepTokens >= 0, "sepTokens must be non-negative")
     // drop ONLY exact zeros (null-safe): a plain `__m > 0` would silently
-    // swallow NULL and negative counts that the globalPrefix contract
-    // promises to fail loudly on
-    val g = Splits.globalPrefix(
-      docs.select(col(id), nTokens.cast("long").as("__m"))
-        .filter(!(col("__m") <=> lit(0L))),
-      id, col("__m"), salt)
-    // BIGINT div: floor division on longs end to end — double division
-    // would silently lose exactness past 2^53 stream positions
+    // swallow NULL and negative counts that the contract promises to fail
+    // loudly on. The guard runs on the RAW count — with a separator the
+    // padded footprint of a (contract-violating) negative count could
+    // read non-negative and slip through globalPrefix's own guard.
+    val guarded = when(col("__m0").isNull || col("__m0") < 0,
+      raise_error(lit("concatCut: token count is NULL, negative, or does " +
+        "not cast to long — filter or coalesce counts first")))
+      .otherwise(col("__m0"))
+    val base = docs.select(col(id), nTokens.cast("long").as("__m0"))
+      .filter(!(col("__m0") <=> lit(0L)))
+      .select(col(id), guarded.as("__m"))
+    // the stream footprint is (tokens + separator); the cut below places
+    // only the REAL token interval [__start, __start + __m), so pieces
+    // never cover separator positions — the trainer writes its EOD
+    // token(s) into the per-document gap the layout leaves open
+    val g = Splits.globalPrefix(base, id,
+      col("__m") + lit(sepTokens.toLong), salt)
+    cutPieces(g.withColumnRenamed("__m", "__len"), id, seqLen)
+  }
+
+  /** Fixed-length examples in CURRICULUM order: [[Splits.curriculumOrder]]'s
+    * exact ascending-score stream (weakest data first, best last) cut into
+    * `seqLen`-token examples — the materialized form a data-anneal recipe
+    * actually trains on, with the same piece schema and scale shape as
+    * [[concatCut]] (the score-bucketed prefix replaces the hash-ordered
+    * one; zero-token documents drop before ordering because they occupy
+    * no stream positions). */
+  def curriculumCut(docs: DataFrame, id: String, score: Column,
+                    nTokens: Column, seqLen: Int,
+                    sepTokens: Int = 0): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(sepTokens >= 0, "sepTokens must be non-negative")
+    val guarded = when(col("__m0").isNull || col("__m0") < 0,
+      raise_error(lit("curriculumCut: token count is NULL, negative, or " +
+        "does not cast to long — filter or coalesce counts first")))
+      .otherwise(col("__m0"))
+    // narrow to (id, score, count) BEFORE the ordering shuffle — the
+    // pieces need nothing else, so the full-data exchange ships ~24
+    // bytes/row instead of the document text
+    val base = docs.select(col(id), score.as("__q0"),
+        nTokens.cast("long").as("__m0"))
+      .filter(!(col("__m0") <=> lit(0L)))
+      .select(col(id), col("__q0"), guarded.as("__m"))
+    val g = Splits.curriculumOrder(base, id, col("__q0"),
+        col("__m") + lit(sepTokens.toLong), phases = 1)
+      // the ordered measure `n` is the padded footprint; the real token
+      // interval is its separator-free prefix
+      .withColumn("__len", col("n") - lit(sepTokens.toLong))
+      .withColumnRenamed("start", "__start")
+    cutPieces(g, id, seqLen)
+  }
+
+  /** The shared cut: a document whose REAL tokens occupy stream interval
+    * [__start, __start + __len) overlaps examples `__start div L ..
+    * (__start + __len - 1) div L` — row-local BIGINT arithmetic (floor
+    * division on longs end to end: double division would silently lose
+    * exactness past 2^53 stream positions), exploded via `sequence`
+    * (array length bounded by the document's own token count / L + 1). */
+  private def cutPieces(g: DataFrame, id: String, seqLen: Int): DataFrame = {
+    val L = lit(seqLen.toLong)
     val firstEx = expr(s"__start DIV ${seqLen}L")
-    val lastEx = expr(s"(__start + __n - 1) DIV ${seqLen}L")
+    val lastEx = expr(s"(__start + __len - 1) DIV ${seqLen}L")
     val exStart = col("example_id") * L
-    g.select(col(id), col("__n"), col("__start"),
+    g.select(col(id), col("__len"), col("__start"),
         explode(sequence(firstEx, lastEx)).as("example_id"))
       .select(
         col("example_id"),
         col(id),
         (greatest(col("__start"), exStart) - exStart).as("pos"),
         greatest(exStart - col("__start"), lit(0L)).as("doc_start"),
-        (least(col("__start") + col("__n"), exStart + L) -
+        (least(col("__start") + col("__len"), exStart + L) -
           greatest(col("__start"), exStart)).as("len"))
   }
 

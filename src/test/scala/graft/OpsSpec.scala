@@ -1476,6 +1476,41 @@ class OpsSpec extends SparkSpec {
     assert(t0.nonEmpty && t0.head.getLong(1) === bestSame._1)
   }
 
+  test("diversityReportSketch: exact totals, types within HLL tolerance, no unit-stream shuffle") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = graft.ops.CorpusReport
+      .diversityReport(docs, "doc_id", "text", stratum = "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sk = graft.ops.CorpusReport
+      .diversityReportSketch(docs, "doc_id", "text", stratum = "lang")
+    val approx = sk.collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      // the plain sums must be EXACT — only type counts are sketched
+      assert(a.getAs[Long]("n_docs") === e.getAs[Long]("n_docs"))
+      assert(a.getAs[Long]("n_tokens") === e.getAs[Long]("n_tokens"))
+      assert(a.getAs[Long]("n_2grams") === e.getAs[Long]("n_2grams"))
+      def within(approxV: Long, exactV: Long): Boolean =
+        math.abs(approxV - exactV) <= math.max(3, (exactV * 0.15).toLong)
+      assert(within(a.getAs[Long]("n_token_types_approx"),
+        e.getAs[Long]("n_token_types")), s"$k token types")
+      assert(within(a.getAs[Long]("n_2gram_types_approx"),
+        e.getAs[Long]("n_2gram_types")), s"$k 2gram types")
+    }
+    // the scale property: units are absorbed into HLL buffers map-side —
+    // only stratum-keyed exchanges remain (rollup + doc count), never an
+    // exchange carrying the exploded unit stream
+    // AQE's toString prints final + initial plan; count within the final
+    val pFull = sk.queryExecution.executedPlan.toString
+    val p = pFull.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2, p)
+    assert(!"Exchange hashpartitioning\\([^)]*u#".r.findFirstIn(p).isDefined,
+      s"no exchange may partition on the unit column:\n$p")
+    assert(p.contains("partial_approx_count_distinct"),
+      s"HLL buffers must be map-side partials:\n$p")
+  }
+
   test("tokenizerFertility: hand-computed strata, zero-token stratum guarded") {
     val docs = Seq(
       ("en", "hello world"),   // 2 words, 2 subwords, 11 chars
@@ -2434,6 +2469,70 @@ class OpsSpec extends SparkSpec {
         }
     }
     assert(byDoc(3L).size >= 2) // a 13-token doc cannot fit one 8-token example
+  }
+
+  test("concatCut with sepTokens: pieces match a local padded-footprint simulation exactly") {
+    val sep = 1; val L = 8
+    val ns = Seq(1L -> 7L, 2L -> 3L, 3L -> 13L, 5L -> 5L, 6L -> 9L, 7L -> 1L)
+    val docs = (ns ++ Seq(4L -> 0L)).toDF("doc_id", "n")
+    val got = graft.ops.Packing.concatCut(docs, "doc_id", col("n"),
+        seqLen = L, salt = "cut", sepTokens = sep)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // local simulation: salted-hash order, padded footprints, real cut
+    val ordered = ns.sortBy { case (id, _) =>
+      (graft.ops.Similarity.hash60Local(s"cut_$id"), id) }
+    var s0 = 0L
+    val expected = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    ordered.foreach { case (id, n) =>
+      var ex = s0 / L
+      while (ex <= (s0 + n - 1) / L) {
+        val pos = math.max(s0, ex * L) - ex * L
+        val ds = math.max(ex * L - s0, 0L)
+        val len = math.min(s0 + n, (ex + 1) * L) - math.max(s0, ex * L)
+        expected += ((ex, id, pos, ds, len))
+        ex += 1
+      }
+      s0 += n + sep // footprint pads by the separator
+    }
+    assert(got === expected.toSet)
+    // the per-example invariant: covered + separator positions = L for
+    // every full example (gaps are exactly where EOD tokens go)
+    val total = ns.map(_._2 + sep).sum
+    val fills = got.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    fills.foreach { case (ex, fill) =>
+      if (ex < (total - 1) / L) assert(fill <= L && fill >= L - ns.size * sep,
+        s"example $ex fill $fill out of range")
+    }
+  }
+
+  test("curriculumCut: pieces match a local score-ordered simulation exactly") {
+    val sep = 1; val L = 8
+    val rows = Seq((1L, 0.5, 7L), (2L, 0.1, 3L), (3L, 0.5, 13L), // 1/3 tie on score
+      (4L, 1.0, 0L), (5L, 0.9, 5L))
+    val docs = rows.toDF("doc_id", "q", "n")
+    val got = graft.ops.Packing.curriculumCut(docs, "doc_id",
+        score = col("q"), nTokens = col("n"), seqLen = L, sepTokens = sep)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val ordered = rows.filter(_._3 > 0L).sortBy { case (id, q, _) => (q, id) }
+    var s0 = 0L
+    val expected = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    ordered.foreach { case (id, _, n) =>
+      var ex = s0 / L
+      while (ex <= (s0 + n - 1) / L) {
+        val pos = math.max(s0, ex * L) - ex * L
+        val ds = math.max(ex * L - s0, 0L)
+        val len = math.min(s0 + n, (ex + 1) * L) - math.max(s0, ex * L)
+        expected += ((ex, id, pos, ds, len))
+        ex += 1
+      }
+      s0 += n + sep
+    }
+    assert(expected.nonEmpty)
+    assert(got === expected.toSet)
   }
 
   test("concatCut: NULL or negative token counts fail loudly, zeros are dropped") {

@@ -104,6 +104,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("corpus_curriculum_cut: the composed prefix+cut keeps the one-full-data-shuffle shape") {
+    // composition must not add data-sized exchanges: same contract as
+    // corpus_curriculum (full data onto its score bucket + the tiny
+    // histogram), with the cut as pure row-local arithmetic on top
+    val p = plan("corpus_curriculum_cut")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 2, s"1 full-data + 1 histogram shuffle:\n$p")
+    assert("windowspecdefinition\\(__b#\\d+L,".r.findFirstIn(p).nonEmpty,
+      s"prefix window must partition by the score bucket:\n$p")
+    var idx = p.indexOf("Exchange SinglePartition")
+    assert(idx >= 0, p)
+    while (idx >= 0) {
+      val aggBelow = p.indexOf("HashAggregate", idx)
+      val scanBelow = p.indexOf("Scan parquet", idx)
+      assert(aggBelow >= 0 && (scanBelow < 0 || aggBelow < scanBelow),
+        s"a single-partition exchange must be fed by an aggregate:\n$p")
+      idx = p.indexOf("Exchange SinglePartition", idx + 1)
+    }
+  }
+
   test("knnJoinAuto flips broadcast → shuffled with the threshold config") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
