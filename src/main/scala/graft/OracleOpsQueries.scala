@@ -480,6 +480,27 @@ object OracleOpsQueries {
     graft.ops.Domains.snapshotDiff(prev, curr, "doc_id", "url", "fp")
   }
 
+  /** Domain-rank gate ([[graft.ops.Domains.domainRank]]) over a
+    * deterministic synthetic link graph: 199 `siteN` domains, each doc
+    * contributing two outlinks from its home domain (`doc_id % 199`) to
+    * hash-derived targets — both engines synthesize the identical edge
+    * list, self-loops dropped, weights = link multiplicity. Five power
+    * iterations in exact integer fixed point (scale 1e9, damping 85%),
+    * so the BIGINT ranks hash-match bit-for-bit; the spread of final
+    * ranks is non-vacuous because the hash-derived in-degrees vary. */
+  def corpusDomainRank(s: SparkSession, d: String): DataFrame = {
+    def site(c: Column) = concat(lit("site"), c.cast("string"))
+    val src = site(col("doc_id") % 199)
+    def tgt(salt: String) = site(TextAnalysis.hash60(
+      concat(col("doc_id").cast("string"), lit(salt))) % 199)
+    val docs = Tables.documents(s, d)
+    val e0 = docs.select(src.as("src"), tgt("_l1").as("dst"))
+      .unionByName(docs.select(src.as("src"), tgt("_l2").as("dst")))
+    val edges = e0.filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    graft.ops.Domains.domainRank(edges, iters = 5)
+  }
+
   /** Eval-side contamination report over the same 1-in-29 eval split as
     * [[dedupContamination]] — the two directions share their shingle
     * machinery, so gating both on one split keeps any drift visible. */
@@ -803,6 +824,29 @@ object OracleOpsQueries {
       when(col("doc_id") % 13 === 0, lit(" to be of and that")).otherwise(lit("")))
     val cols = TextAnalysis.gopherSignals(planted).map { case (n, c) => c.as(n) }
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
+  /** Filter-ablation accounting over the SAME fully-planted text and
+    * rule set as `text_gopher` ([[TextAnalysis.filterAblationReport]]):
+    * per rule, how many docs it rejects and how many it alone rejects.
+    * The full plants make every rule fire somewhere, so no report row is
+    * vacuously zero; the oracle chains the `text_gopher` rule CTEs into
+    * a 7-way UNION ALL over one aggregate row. */
+  def textFilterReport(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit("\n- first bullet item\n- second bullet item")).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        lit("\n- filler bullet" * 17)).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("\nthis trailing line just stops...")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" ## ## ... ## ##")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit(" 101 202 303 404 505 606 707 808 909 111")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" to be of and that")).otherwise(lit("")))
+    val rules = TextAnalysis.gopherSignals(planted)
+      .filter { case (nm, _) => nm.startsWith("rule_") }
+    TextAnalysis.filterAblationReport(Tables.documents(s, d), rules)
   }
 
   /** Composed gopher-filter → dataset-card gate: plant required
@@ -1353,6 +1397,20 @@ object OracleOpsQueries {
       docs.filter(col("doc_id") % 29 === 0), "doc_id", "text", n = 3)
   }
 
+  /** FUZZY decontamination over the same 1-in-29 eval split: train docs
+    * MinHash-matched against the eval suite with the dedup_minhash_lsh
+    * parameters (n=3, k=8, bands=4, tau=0.5). Non-vacuous at sf0.01: the
+    * synthetic corpus's natural near-dup pairs straddle the mod-29
+    * boundary, so some train docs verify against an eval doc (OpsSpec
+    * asserts both flag values occur). The oracle mirrors the full
+    * signature -> band-bucket -> exact-Jaccard chain. */
+  def dedupContaminationFuzzy(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.fuzzyContamination(
+      docs.filter(col("doc_id") % 29 =!= 0),
+      docs.filter(col("doc_id") % 29 === 0), "doc_id", "text")
+  }
+
   /** SemDeDup over the embeddings table with pinned centroids (vec_id < 8
     * as the 8 cluster centers — same oracle-mirroring trick as
     * sim_ivf_topk): a vector is a semantic duplicate if some smaller
@@ -1582,7 +1640,10 @@ object OracleOpsQueries {
     "corpus_url_filter" -> (corpusUrlFilter _),
     "corpus_crawl_front_filtered" -> (corpusCrawlFrontFiltered _),
     "corpus_snapshot_diff" -> (corpusSnapshotDiff _),
+    "corpus_domain_rank" -> (corpusDomainRank _),
     "dedup_contamination_report" -> (dedupContaminationReport _),
+    "dedup_contamination_fuzzy" -> (dedupContaminationFuzzy _),
+    "text_filter_report" -> (textFilterReport _),
     "text_strip_invisible" -> (textStripInvisible _),
     "text_salient_terms" -> (textSalientTerms _),
     "text_repetition" -> (textRepetition _),
@@ -2438,7 +2499,134 @@ object OracleOpsQueries {
        |       ELSE 'test' END AS split
        |FROM r1""".stripMargin
 
+  /** Mirror of [[graft.ops.Domains.domainRank]] over the synthetic
+    * 199-domain link graph of [[corpusDomainRank]] — five UNROLLED power
+    * iterations (it1..it5), each the integer-exact contribution join +
+    * dst aggregate. `//` is DuckDB floor division; every operand is
+    * non-negative, so it agrees with Spark's truncating `DIV`. */
+  private lazy val domainRankSql: String = {
+    val t1 = h60("CAST(doc_id AS VARCHAR) || '_l1'")
+    val t2 = h60("CAST(doc_id AS VARCHAR) || '_l2'")
+    def iter(i: Int): String =
+      s"""it$i AS (
+         |  SELECT nd.domain,
+         |    CAST(p.base + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes nd CROSS JOIN params p
+         |  LEFT JOIN (
+         |    SELECT e.dst AS domain,
+         |      SUM((r.rank // e.ow) * e.w + ((r.rank % e.ow) * e.w) // e.ow) AS in_sum
+         |    FROM ew e JOIN it${i - 1} r ON r.domain = e.src
+         |    GROUP BY e.dst) s USING (domain))""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT 'site' || CAST(doc_id % 199 AS VARCHAR) AS src,
+       |         'site' || CAST($t1 % 199 AS VARCHAR) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'site' || CAST(doc_id % 199 AS VARCHAR) AS src,
+       |         'site' || CAST($t2 % 199 AS VARCHAR) AS dst
+       |  FROM documents),
+       |e1 AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |       FROM e0 WHERE src != dst GROUP BY src, dst),
+       |ow0 AS (SELECT src, SUM(w) AS ow FROM e1 GROUP BY src),
+       |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e1 e JOIN ow0 o ON o.src = e.src),
+       |nodes AS (SELECT DISTINCT domain FROM (
+       |  SELECT src AS domain FROM e1 UNION ALL SELECT dst AS domain FROM e1)),
+       |params AS (SELECT CAST(1000000000 // count(*) AS BIGINT) AS r0,
+       |                  CAST(150000000 // count(*) AS BIGINT) AS base
+       |           FROM nodes),
+       |it0 AS (SELECT nd.domain, p.r0 AS rank FROM nodes nd CROSS JOIN params p),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT domain, rank FROM it5""".stripMargin
+  }
+
+  /** Mirror of [[textFilterReport]]: the `text_gopher` plant + rule CTEs
+    * feed one aggregate row (2 sums per rule + totals), unrolled into a
+    * 7-way UNION ALL — one row per rule, exactly the engine's explode. */
+  private lazy val textFilterReportSql: String = {
+    val rules = Seq("rule_word_count", "rule_mean_word_len",
+      "rule_symbol_ratio", "rule_bullet_lines", "rule_ellipsis_lines",
+      "rule_alpha_words", "rule_stopwords")
+    val nfail = rules.map(r => s"(1 - $r)").mkString(" + ")
+    val fails = rules.map(r =>
+      s"""CAST(SUM(1 - $r) AS BIGINT) AS f_$r,
+         |    CAST(SUM(CASE WHEN $r = 0 AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s_$r""".stripMargin)
+      .mkString(",\n    ")
+    val rows = rules.map(r =>
+      s"""SELECT '$r' AS rule, f_$r AS n_fail,
+         |  CAST(f_$r AS DOUBLE) / CAST(n_docs AS DOUBLE) AS fail_frac,
+         |  s_$r AS n_sole_fail,
+         |  CAST(s_$r AS DOUBLE) / CAST(n_docs AS DOUBLE) AS sole_fail_frac,
+         |  n_docs, n_keep FROM a""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH $gopherPlantFullCte,
+       |$gopherRulesCtes,
+       |e AS (SELECT *, $nfail AS nfail FROM r),
+       |a AS (SELECT
+       |    $fails,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN nfail = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |  FROM e)
+       |$rows""".stripMargin
+  }
+
+  /** Mirror of [[dedupContaminationFuzzy]]: one signature CTE over ALL
+    * docs, band rows split train/eval on the mod-29 boundary, eval side
+    * capped exactly as [[Dedup.DefaultMaxBandBucketSize]], then the same
+    * candidate → exact-Jaccard → per-train-doc rollup chain as the
+    * engine. */
+  private lazy val contaminationFuzzySql: String = {
+    val p = Dedup.MinhashP
+    val sigCols = (0 until 8).map(i =>
+      s"MIN(((h % $p) * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $p) AS m$i")
+      .mkString(",\n    ")
+    def bandRows(cond: String) = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS key FROM sig WHERE $cond")
+      .mkString("\n  UNION ALL\n  ")
+    val cap = Dedup.DefaultMaxBandBucketSize.get
+    s"""WITH $shinglesCte,
+       |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM shh GROUP BY doc_id),
+       |evb0 AS (
+       |  ${bandRows("doc_id % 29 = 0")}),
+       |evb AS (
+       |  SELECT doc_id, band, key FROM (
+       |    SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bs
+       |    FROM evb0) WHERE bs <= $cap),
+       |trb AS (
+       |  ${bandRows("doc_id % 29 != 0")}),
+       |cand AS (
+       |  SELECT DISTINCT t.doc_id AS id1, e.doc_id AS id2
+       |  FROM trb t JOIN evb e ON t.band = e.band AND t.key = e.key),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+       |com AS (
+       |  SELECT c.id1, c.id2, count(*) AS common
+       |  FROM cand c
+       |  JOIN shh s1 ON s1.doc_id = c.id1
+       |  JOIN shh s2 ON s2.doc_id = c.id2 AND s1.h = s2.h
+       |  GROUP BY c.id1, c.id2),
+       |ver AS (
+       |  SELECT com.id1, com.id2,
+       |    CAST(common AS DOUBLE) / CAST(c1.n + c2.n - common AS DOUBLE) AS j
+       |  FROM com
+       |  JOIN cnt c1 ON c1.doc_id = com.id1
+       |  JOIN cnt c2 ON c2.doc_id = com.id2
+       |  WHERE CAST(common AS DOUBLE) / CAST(c1.n + c2.n - common AS DOUBLE) >= 0.5),
+       |per AS (SELECT id1, CAST(count(*) AS BIGINT) AS n_matches,
+       |               MAX(j) AS max_jaccard FROM ver GROUP BY id1)
+       |SELECT c.doc_id, c.n AS n_sh,
+       |  COALESCE(p2.n_matches, 0) AS n_matches,
+       |  COALESCE(p2.max_jaccard, 0.0) AS max_jaccard,
+       |  CAST(COALESCE(p2.n_matches, 0) > 0 AS INT) AS is_contaminated
+       |FROM cnt c LEFT JOIN per p2 ON p2.id1 = c.doc_id
+       |WHERE c.doc_id % 29 != 0""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "corpus_domain_rank" -> domainRankSql,
+    "text_filter_report" -> textFilterReportSql,
+    "dedup_contamination_fuzzy" -> contaminationFuzzySql,
     "corpus_clean_e2e" -> corpusCleanE2eSql,
     "sim_quantize_int8" ->
       s"""WITH $embCte,

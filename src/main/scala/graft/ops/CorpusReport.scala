@@ -88,7 +88,12 @@ object CorpusReport {
       transform(sequence(lit(1), size(toks) - 1), i =>
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val units = df.select(col(stratum),
+    // few-splits valve: the tokenize+explode below runs scan-side, and a
+    // hyper-compressed corpus (dictionary-encoded duplicate text packs
+    // 500k docs into one 4 MB file) starves it to the row-group count —
+    // measured 10+ min single-task at 500k docs before this line
+    val units = graft.operators.Scale.balanceToCores(df)
+      .select(col(stratum),
         explode(concat(
           transform(toks, t => struct(lit(0).as("lvl"), t.as("u"))),
           transform(grams, g => struct(lit(1).as("lvl"), g.as("u"))))).as("x"))
@@ -149,7 +154,10 @@ object CorpusReport {
       transform(sequence(lit(1), size(toks) - 1), i =>
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val units = df.select(col(stratum),
+    // same few-splits valve as [[diversityReport]] — the HLL buffers
+    // absorb units map-side, which is exactly where starvation bites
+    val units = graft.operators.Scale.balanceToCores(df)
+      .select(col(stratum),
         explode(concat(
           transform(toks, t => struct(lit(0).as("lvl"), t.as("u"))),
           transform(grams, g => struct(lit(1).as("lvl"), g.as("u"))))).as("x"))

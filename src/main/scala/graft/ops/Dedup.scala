@@ -298,6 +298,52 @@ object Dedup {
         lit(threshold)).cast("int").as("is_contaminated"))
   }
 
+  /** FUZZY eval-set decontamination — MinHash near-duplicate matching of
+    * TRAIN documents against the eval suite, the pass frontier pipelines
+    * run alongside exact n-gram decontamination ([[ngramContamination]]):
+    * a benchmark item lightly paraphrased into a train document shares
+    * few exact 13-gram-style shingles but still minhashes into the same
+    * LSH band buckets, and the exact-Jaccard confirm then scores the true
+    * overlap. Same (n, k, bands, threshold) machinery as
+    * [[minhashLshPairs]] — a train doc is flagged iff it verifies at
+    * `jaccard >= threshold` against at least one eval doc.
+    *
+    * Output one row per train doc (that has >= 1 shingle, the
+    * contamination-family convention): (id, n_sh, n_matches, max_jaccard,
+    * is_contaminated) where n_matches counts matched EVAL docs.
+    *
+    * Shape at scale — the train side is NEVER shuffled for candidate
+    * generation: eval band buckets (a benchmark suite — bands x |eval|
+    * rows) are capped and BROADCAST, train band keys are probed map-side
+    * in the scan projection, and only the candidate sliver (bounded by
+    * |eval| x cap, independent of train size) flows into the confirm
+    * join. The one train-sized exchange is [[minhashPerDoc]]'s signature
+    * groupBy, shared with the spine via ReuseExchange. The eval-side
+    * bucket cap guards against a degenerate eval item (an all-boilerplate
+    * prompt) bucketing with half the corpus. */
+  def fuzzyContamination(train: DataFrame, eval: DataFrame, id: String,
+                         text: String, n: Int = 3, k: Int = 8,
+                         bands: Int = 4, threshold: Double = 0.5,
+                         maxEvalBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val pt = minhashPerDoc(train, id, text, n, k)
+    val pe = minhashPerDoc(eval, id, text, n, k)
+    val cand = bandKeyRows(pt, id, k, bands).toDF("id1", "band", "key")
+      .join(broadcast(bandBuckets(pe, id, k, bands, maxEvalBucketSize)
+        .toDF("id2", "band", "key")), Seq("band", "key"))
+      .select("id1", "id2").distinct()
+    val per = verifyJaccard(cand, pt, id, threshold, rightPerDoc = Some(pe))
+      .groupBy(col("id1")).agg(count(lit(1)).as("n_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+    pt.select(col(id), col("n_sh"))
+      .join(per.withColumnRenamed("id1", id), Seq(id), "left")
+      .select(col(id), col("n_sh"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) > 0L).cast("int")
+          .as("is_contaminated"))
+  }
+
   /** Paragraph-level exact dedup with in-place cleaning (the C4/Dolma
     * pattern): split each document into sentence-ish units, keep only the
     * globally-FIRST occurrence of each unit (ordered by doc id, then
@@ -558,14 +604,7 @@ object Dedup {
     * exchange, same trick as the ngram doc-frequency cap. */
   private def bandBuckets(perDoc: DataFrame, id: String, k: Int, bands: Int,
                           maxBandBucketSize: Option[Int]): DataFrame = {
-    val rows = k / bands
-    val bandCols = (0 until bands).map { bIdx =>
-      val key = concat_ws("_",
-        (0 until rows).map(r => col(s"m${bIdx * rows + r}")): _*)
-      struct(lit(bIdx).as("band"), key.as("key"))
-    }
-    val buckets0 = perDoc.select(col(id), explode(array(bandCols: _*)).as("b"))
-      .select(col(id), col("b.band").as("band"), col("b.key").as("key"))
+    val buckets0 = bandKeyRows(perDoc, id, k, bands)
       .repartition(col("band"), col("key"))
     maxBandBucketSize match {
       case Some(cap) =>
@@ -574,6 +613,23 @@ object Dedup {
           .filter(col("__bs") <= cap).select(col(id), col("band"), col("key"))
       case None => buckets0
     }
+  }
+
+  /** Raw (id, band, key) band rows from a [[minhashPerDoc]] frame — no
+    * repartition, no cap: the scan-side half of a band probe whose OTHER
+    * side is broadcast (see [[fuzzyContamination]]), where the
+    * [[bandBuckets]] repartition would be a pure-overhead shuffle of the
+    * big side. */
+  private def bandKeyRows(perDoc: DataFrame, id: String, k: Int,
+                          bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { bIdx =>
+      val key = concat_ws("_",
+        (0 until rows).map(r => col(s"m${bIdx * rows + r}")): _*)
+      struct(lit(bIdx).as("band"), key.as("key"))
+    }
+    perDoc.select(col(id), explode(array(bandCols: _*)).as("b"))
+      .select(col(id), col("b.band").as("band"), col("b.key").as("key"))
   }
 
   /** Exact Jaccard verification of candidate pairs against the per-doc

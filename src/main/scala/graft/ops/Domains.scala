@@ -379,4 +379,68 @@ object Domains {
         coalesce(col("prev_id"), lit(-1L)).as("prev_id"),
         coalesce(col("curr_id"), lit(-1L)).as("curr_id"))
   }
+
+  /** Domain-centrality rank over the crawl's domain link graph —
+    * PageRank (Page et al., "The PageRank Citation Ranking", 1999) in
+    * EXACT INTEGER FIXED POINT, the crawl-frontier prioritization signal:
+    * Common Crawl publishes exactly such domain-level ranks to order its
+    * fetch frontier, and a curation pipeline uses them both to prioritize
+    * fetching and as a quality prior. `edges` is the weighted domain
+    * graph (src, dst, w); returns (domain, rank) after `iters` power
+    * iterations with rank mass scaled to `scale` (a fixed-point integer,
+    * not a float).
+    *
+    * Exactness (the same discipline as the fixed-point n-gram LMs): every
+    * step is integer arithmetic — per-edge contribution
+    * `(rank DIV ow)*w + ((rank MOD ow)*w) DIV ow` (the overflow-safe
+    * split of [[Splits.sqrtTemperatureBudgets]]: no intermediate exceeds
+    * max(ow)*max(w), so the op is safe while the heaviest domain's
+    * out-weight squared stays under 2^63 — normalize edge weights past
+    * ~3e9), damped as `base + (dampingPct * in_sum) DIV 100`. Long sums
+    * are associative-exact, so the result is independent of partitioning
+    * and bit-identical across engines — no float summation-order drift.
+    * Floor loss and dangling-node leakage (a dst-only domain's mass is
+    * not redistributed) are part of the pinned semantics, identical in
+    * the oracle mirror.
+    *
+    * Shape at scale: the classic Pregel formulation — each iteration
+    * joins the node-sized rank table to the edge table on src (one
+    * shuffle of edges, or a broadcast when the rank table is small),
+    * aggregates contributions by dst (second shuffle), and rebuilds the
+    * rank table. O(iters) rounds over edge-sized data, never anything
+    * quadratic; per-iteration localCheckpoint truncates lineage exactly
+    * as [[Dedup.connectedComponents]] does, so the plan stays shallow at
+    * any iteration count. */
+  def domainRank(edges: org.apache.spark.sql.DataFrame, iters: Int = 5,
+                 scale: Long = 1000000000L,
+                 dampingPct: Int = 85): org.apache.spark.sql.DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val ew = edges.join(outw, Seq("src")).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("domain"))
+      .unionByName(edges.select(col("dst").as("domain")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    val r0 = scale / n
+    val base = ((100L - dampingPct) * scale / 100L) / n
+    var ranks = nodes.withColumn("rank", lit(r0)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(ranks.withColumnRenamed("domain", "src"), Seq("src"))
+        .select(col("dst"),
+          expr("(rank DIV ow) * w + ((rank % ow) * w) DIV ow").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      val prev = ranks
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "domain"), Seq("domain"), "left")
+        .select(col("domain"),
+          (lit(base) +
+            expr(s"$dampingPct * coalesce(in_sum, 0L) DIV 100")).as("rank"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    ranks
+  }
 }

@@ -263,6 +263,54 @@ object TextAnalysis {
         rEllipsis && rAlpha && rStop).cast("int"))
   }
 
+  /** Filter-ablation accounting — the report a pipeline runs BEFORE
+    * committing a rule set at 100 TB: for each 0/1 pass-flag column
+    * (e.g. the seven [[gopherSignals]] rules), how many documents the
+    * rule rejects (`n_fail`), and how many it is the SOLE rejector of
+    * (`n_sole_fail` — the documents you would win back by relaxing just
+    * that rule; a rule with large n_fail but near-zero n_sole_fail is
+    * redundant with the rest of the set). Every row also carries the
+    * corpus totals (n_docs, n_keep) so fractions and the overall keep
+    * rate read off one result.
+    *
+    * Shape at scale: ONE scan projecting the flag columns, one
+    * map-side-combined aggregate to a single driver-sized row (2 sums
+    * per rule + 2 totals), then a rules-sized explode of that row —
+    * auditing a rule set over 100 TB costs exactly one pass and one
+    * scalar exchange, and adding rules adds columns, not passes. */
+  def filterAblationReport(df: org.apache.spark.sql.DataFrame,
+                           flags: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
+    require(flags.nonEmpty, "filterAblationReport needs at least one flag")
+    // the flag expressions (tokenize/regex-heavy rule signals) evaluate
+    // scan-side in the partial aggregate — same few-splits valve as the
+    // other scan-stage-heavy ops
+    val flagged = graft.operators.Scale.balanceToCores(df)
+      .select(flags.map { case (nm, c) => c.cast("int").as(nm) }: _*)
+      .withColumn("__nfail",
+        flags.map { case (nm, _) => lit(1) - col(nm) }.reduce(_ + _))
+    val aggs = flags.flatMap { case (nm, _) => Seq(
+      sum((lit(1) - col(nm)).cast("long")).as(s"__f_$nm"),
+      sum(when(col(nm) === 0 && col("__nfail") === 1, 1L).otherwise(0L))
+        .as(s"__s_$nm"))
+    } ++ Seq(count(lit(1)).as("__n"),
+      sum(when(col("__nfail") === 0, 1L).otherwise(0L)).as("__k"))
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val ruleRows = flags.map { case (nm, _) =>
+      struct(lit(nm).as("rule"), col(s"__f_$nm").as("n_fail"),
+        col(s"__s_$nm").as("n_sole_fail"))
+    }
+    one.select(explode(array(ruleRows: _*)).as("r"),
+        col("__n").as("n_docs"), col("__k").as("n_keep"))
+      .select(col("r.rule").as("rule"),
+        col("r.n_fail").as("n_fail"),
+        (col("r.n_fail").cast("double") / col("n_docs").cast("double"))
+          .as("fail_frac"),
+        col("r.n_sole_fail").as("n_sole_fail"),
+        (col("r.n_sole_fail").cast("double") / col("n_docs").cast("double"))
+          .as("sole_fail_frac"),
+        col("n_docs"), col("n_keep"))
+  }
+
   /** zlib compression ratio (deflated bytes / raw bytes): the classic
     * repetition-quality signal from large-corpus filters — boilerplate and
     * highly repetitive documents compress far below natural prose. Runs as

@@ -2575,4 +2575,72 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains(103L))
     assert(got.size === 3)
   }
+
+  test("fuzzyContamination flags the train near-copy of an eval item, not unrelated docs") {
+    // doc 20 is a light paraphrase of eval 200 (one token changed at the
+    // end -> most 3-shingles and all 8 minhashes of the shared prefix
+    // agree); doc 21 shares nothing. Exact n-gram decon would also catch
+    // this pair, but the assertion pins the MinHash path's output shape.
+    val train = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (21L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (200L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyContamination(train, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got(20L)._1 === 8L)       // 10 tokens -> 8 distinct 3-shingles
+    assert(got(20L)._2 === 1L)       // matched the one eval doc
+    // overlap = 7 shared shingles of 8+8 -> jaccard 7/9
+    assert(math.abs(got(20L)._3 - 7.0 / 9.0) < 1e-12)
+    assert(got(20L)._4 === 1)
+    assert(got(21L) === ((8L, 0L, 0.0, 0)))
+    assert(got.size === 2)           // eval docs never appear in the output
+  }
+
+  test("filterAblationReport: per-rule fail and sole-fail accounting") {
+    // flags: a=pass-all row, b fails only r1, c fails r1+r2, d fails only r2
+    val df = Seq(
+      (1L, 1, 1), // clean
+      (2L, 0, 1), // sole fail of r1
+      (3L, 0, 0), // fails both -> sole-fail of neither
+      (4L, 1, 0)  // sole fail of r2
+    ).toDF("doc_id", "r1", "r2")
+    val got = TextAnalysis.filterAblationReport(df,
+        Seq("r1" -> col("r1"), "r2" -> col("r2")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got("r1") === ((2L, 0.5, 1L, 0.25, 4L, 1L)))
+    assert(got("r2") === ((2L, 0.5, 1L, 0.25, 4L, 1L)))
+    assert(got.size === 2)
+  }
+
+  test("domainRank matches an exact sequential fixed-point reference") {
+    // a -> b (w2), b -> a, a -> c; c dangling (its mass leaks, pinned)
+    val edges = Seq(("a", "b", 2L), ("b", "a", 1L), ("a", "c", 1L))
+      .toDF("src", "dst", "w")
+    val iters = 5
+    val got = graft.ops.Domains.domainRank(edges.repartition(4), iters = iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // sequential reference in the same integer arithmetic
+    val scale = 1000000000L
+    val n = 3L
+    val base = (15L * scale / 100L) / n
+    var rank = Map("a" -> scale / n, "b" -> scale / n, "c" -> scale / n)
+    val es = Seq(("a", "b", 2L, 3L), ("a", "c", 1L, 3L), ("b", "a", 1L, 1L))
+    (1 to iters).foreach { _ =>
+      val in = es.groupBy(_._2).map { case (dst, g) =>
+        dst -> g.map { case (s, _, w, ow) =>
+          (rank(s) / ow) * w + ((rank(s) % ow) * w) / ow }.sum
+      }
+      rank = rank.keys.map(d => d -> (base + 85L * in.getOrElse(d, 0L) / 100L)).toMap
+    }
+    assert(got === rank)
+    // the hub (a, fed by b's whole mass) must outrank the dangling leaf
+    assert(got("a") > got("c"))
+  }
 }
