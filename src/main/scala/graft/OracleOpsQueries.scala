@@ -795,6 +795,53 @@ object OracleOpsQueries {
       when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L)))
   }
 
+  /** The fixed-point classifier score + ground-truth label for the AUC
+    * audit gate: the [[textClassifyUnigram]] setup scores every doc,
+    * the positive-affinity share
+    * `(score_pos · 10⁴) DIV (score_pos + score_neg + 1)` — an exact
+    * BIGINT in [0, 10⁴) — is the predicted score, and the TRUE label is
+    * `lang = 'en'` (the class the slice-trained filter was fit to
+    * recognize, known exactly for the synthetic corpus). Non-vacuous:
+    * positives rank above negatives without being separable (AUC
+    * strictly between 0.5 and 1 at sf0.01), so the midrank machinery
+    * gates real structure. */
+  private def classifierScoreLabel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val labeled = docs.filter(col("doc_id") % 3 === 0)
+    val cls = TextAnalysis.unigramClassify(docs, "doc_id", "text",
+      trainPos = labeled.filter(col("lang") === "en"),
+      trainNeg = labeled.filter(col("lang") =!= "en"))
+    cls.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(
+        expr("(score_pos * 10000L) DIV (score_pos + score_neg + 1L)")
+          .as("__sfp"),
+        (col("lang") === "en").cast("int").as("__y"))
+  }
+
+  /** Reliability-diagram gate ([[TextAnalysis.calibrationReport]]): is
+    * the heuristic quality signal calibrated as a predictor of the `en`
+    * label? The quality double is an exact rational of integer token
+    * stats (bit-identical cross-engine, the qnorm gates' precedent), so
+    * `floor(quality · 10⁴)` is a deterministic fixed-point score that
+    * genuinely SPREADS over [0, 1] — unlike the linear classifier's
+    * shares, which concentrate near 0.5 (that concentration is itself
+    * real, but it would leave this gate exercising two bins). */
+  def textQualityCalibration(s: SparkSession, d: String): DataFrame = {
+    val quality = qualityColumns(col("text")).toMap.apply("quality")
+    val scored = Tables.documents(s, d).select(
+      floor(quality * 10000).cast("long").as("__sfp"),
+      (col("lang") === "en").cast("int").as("__y"))
+    TextAnalysis.calibrationReport(scored, col("__sfp"), col("__y"),
+      scaleDenom = 10000L, nBins = 20)
+  }
+
+  /** Exact rank-sum AUC gate ([[TextAnalysis.aucReport]]) over the same
+    * score/label — the oracle recomputes the midrank formula from its
+    * own window, so the bounded-domain decomposition is cross-checked. */
+  def textClassifierAuc(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.aucReport(classifierScoreLabel(s, d),
+      col("__sfp"), col("__y"), scaleDenom = 10000L)
+
   /** C4 cleaning-rule signals. Like `text_redact`, the boilerplate flags
     * and the short-unit rule would be vacuous on the synthetic corpus (no
     * "lorem ipsum"/braces, no short sentences), so the gate plants
@@ -1656,6 +1703,8 @@ object OracleOpsQueries {
     "text_lm_buckets" -> (textLmBuckets _),
     "text_dsir_weight" -> (textDsirWeight _),
     "text_classify_unigram" -> (textClassifyUnigram _),
+    "text_quality_calibration" -> (textQualityCalibration _),
+    "text_classifier_auc" -> (textClassifierAuc _),
     "corpus_classifier_budget" -> (corpusClassifierBudget _),
     "text_quality_qnorm" -> (textQualityQnorm _),
     "text_quality_qnorm_exact" -> (textQualityQnormExact _),
@@ -1896,6 +1945,17 @@ object OracleOpsQueries {
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        |    CAST(SUM(sp) AS BIGINT) AS score_pos, CAST(SUM(sn) AS BIGINT) AS score_neg
        |  FROM scc GROUP BY doc_id)""".stripMargin
+
+  /** Mirror of [[classifierScoreLabel]] — the fixed-point
+    * positive-affinity score + en-label CTE for the AUC audit oracle.
+    * Docs absent from `aggc` (zero tokens) coalesce to score 0,
+    * exactly the engine's left-join fill. */
+  private val classifierScoreLabelSql: String =
+    s"""sc AS (
+       |  SELECT (COALESCE(aggc.score_pos, 0) * 10000)
+       |      // (COALESCE(aggc.score_pos, 0) + COALESCE(aggc.score_neg, 0) + 1) AS s,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents d LEFT JOIN aggc USING (doc_id))""".stripMargin
 
   /** The descending-score token-budget window + kept-set select shared by
     * every curation oracle (`corpus_quality_budget`, `corpus_lm_budget`)
@@ -3563,6 +3623,51 @@ object OracleOpsQueries {
          |  COALESCE(aggc.score_neg, 0) AS score_neg,
          |  CAST(COALESCE(aggc.score_pos, 0) >= COALESCE(aggc.score_neg, 0) AS INT) AS pred
          |FROM documents d LEFT JOIN aggc USING (doc_id)""".stripMargin,
+    "text_quality_calibration" ->
+      s"""WITH $toksCte,
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars2,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+         |  FROM toks),
+         |sc AS (
+         |  SELECT CAST(floor(${qualityExprSql("f.n_tokens", "f.n_stopwords", "f.n_punct", "f.n_chars2")} * 10000) AS BIGINT) AS s,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM feat f JOIN documents d USING (doc_id)),
+         |agg2 AS (
+         |  SELECT LEAST((s * 20) // 10000, CAST(19 AS BIGINT)) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS n_pos,
+         |    CAST(SUM(s) AS BIGINT) AS sum_s
+         |  FROM sc GROUP BY 1)
+         |SELECT bin, n, n_pos,
+         |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+         |  CAST(sum_s AS DOUBLE) / CAST(n * 10000 AS DOUBLE) AS mean_score,
+         |  ABS(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+         |    - CAST(sum_s AS DOUBLE) / CAST(n * 10000 AS DOUBLE)) AS abs_gap
+         |FROM agg2""".stripMargin,
+    "text_classifier_auc" ->
+      s"""WITH $classifierCtes,
+         |$classifierScoreLabelSql,
+         |g AS (SELECT s, CAST(count(*) AS BIGINT) AS n_s,
+         |             CAST(SUM(y) AS BIGINT) AS p_s FROM sc GROUP BY s),
+         |c AS (
+         |  SELECT s, n_s, p_s,
+         |    CAST(COALESCE(SUM(n_s) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_s
+         |  FROM g),
+         |a AS (
+         |  SELECT CAST(SUM(p_s) AS BIGINT) AS n_pos,
+         |    CAST(SUM(n_s) - SUM(p_s) AS BIGINT) AS n_neg,
+         |    CAST(SUM(p_s * (2 * c_s + n_s + 1)) AS BIGINT) AS r2_pos
+         |  FROM c)
+         |SELECT n_pos, n_neg, r2_pos,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |    THEN CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+         |      / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+         |FROM a""".stripMargin,
     "text_quality_qnorm" ->
       s"""WITH $toksCte,
          |feat AS (

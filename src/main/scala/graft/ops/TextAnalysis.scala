@@ -1546,6 +1546,104 @@ object TextAnalysis {
           (col("sum_score_raw") + 1L).cast("double")).as("dsir_weight"))
   }
 
+  // ------------------------------------------------------- classifier audit
+
+  /** Calibration (reliability-diagram) report for a trained quality
+    * classifier — the audit a pipeline runs before trusting a filter's
+    * scores as sampling weights (Guo et al. ICML'17 framing): bin the
+    * predicted score into `nBins` equal-width bins, and per bin report
+    * how many documents landed there, how many were truly positive, the
+    * observed positive rate, the mean predicted score, and the
+    * |observed − predicted| calibration gap. A well-calibrated filter
+    * has small gaps; a filter whose high-score bins are no purer than
+    * its middle bins is ranking, not estimating, and must not be used
+    * as a probability.
+    *
+    * Exactness: `scoreFp` is a FIXED-POINT BigInt score in
+    * [0, scaleDenom] (e.g. the classifier's positive-affinity share
+    * ×10⁴) — per-bin sums are exact BIGINTs, and every double in the
+    * output is a single correctly-rounded ratio of exact integers, so
+    * the report is bit-identical cross-engine (no float accumulation).
+    * Out-of-range / null scores fail fast rather than silently binning.
+    *
+    * Shape at scale: ONE scan + one map-side-combined aggregate to an
+    * nBins-row frame — auditing calibration over 100 TB costs one pass,
+    * and the result is driver-sized. Returns one row per NON-EMPTY bin:
+    * (bin, n, n_pos, frac_pos, mean_score, abs_gap). */
+  def calibrationReport(df: DataFrame, scoreFp: Column, label: Column,
+                        scaleDenom: Long, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(scaleDenom > 0, s"scaleDenom must be positive, got $scaleDenom")
+    val s = when(scoreFp.isNull || scoreFp < 0L || scoreFp > scaleDenom,
+      raise_error(lit(s"calibrationReport: score out of [0, $scaleDenom]")))
+      .otherwise(scoreFp).cast("long")
+    val bin = least(expr(s"__s * $nBins DIV ${scaleDenom}L"),
+      lit(nBins - 1L)).cast("long")
+    df.select(s.as("__s"), label.cast("long").as("__y"))
+      .select(bin.as("bin"), col("__s"), col("__y"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(col("__s")).as("__sum_s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("frac_pos"),
+        (col("__sum_s").cast("double") /
+          (col("n") * lit(scaleDenom)).cast("double")).as("mean_score"),
+        abs(col("n_pos").cast("double") / col("n").cast("double") -
+          col("__sum_s").cast("double") /
+            (col("n") * lit(scaleDenom)).cast("double")).as("abs_gap"))
+  }
+
+  /** EXACT ROC-AUC of a scored binary filter via the Mann-Whitney
+    * rank-sum identity, with midrank tie handling — the single-number
+    * companion to [[calibrationReport]] (AUC measures ranking quality,
+    * calibration measures probability quality; a curation filter needs
+    * the first to order documents and the second to mix them).
+    *
+    * Never sorts the corpus: scores are fixed-point integers in
+    * [0, scaleDenom], so the DISTINCT-SCORE table is bounded by
+    * scaleDenom+1 rows regardless of corpus size — the one ordered
+    * window runs over that provably tiny table (same bounded-domain
+    * argument as the score-CDF tables), after a single map-side-combined
+    * groupBy of the corpus. With per-score counts n_s, positives p_s,
+    * and exclusive cumulative count c_s, twice the positive rank-sum is
+    * `R2 = Σ p_s·(2·c_s + n_s + 1)` (each tied group's midrank is
+    * c_s + (n_s+1)/2), and
+    * `AUC = (R2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg)` — every term an
+    * exact BIGINT (safe while n_docs·n_pos < 2⁶², i.e. far past any
+    * single-corpus audit), the final AUC one correctly-rounded division.
+    * Degenerate corpora (no positives or no negatives) return NULL auc
+    * rather than an arbitrary 0.5. Returns ONE row:
+    * (n_pos, n_neg, r2_pos, auc). */
+  def aucReport(df: DataFrame, scoreFp: Column, label: Column,
+                scaleDenom: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(scaleDenom > 0, s"scaleDenom must be positive, got $scaleDenom")
+    val s = when(scoreFp.isNull || scoreFp < 0L || scoreFp > scaleDenom,
+      raise_error(lit(s"aucReport: score out of [0, $scaleDenom]")))
+      .otherwise(scoreFp).cast("long")
+    val g = df.select(s.as("__s"), label.cast("long").as("__y"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("n_s"),
+        sum(col("__y")).as("p_s"))
+    // ≤ scaleDenom+1 rows: the unpartitioned window is over a
+    // score-domain-sized table, never the corpus
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("c_s", coalesce(sum(col("n_s")).over(w), lit(0L)))
+    val a = c.agg(
+      sum(col("p_s")).as("n_pos"),
+      (sum(col("n_s")) - sum(col("p_s"))).as("n_neg"),
+      sum(col("p_s") * (lit(2L) * col("c_s") + col("n_s") + lit(1L)))
+        .as("r2_pos"))
+    a.select(col("n_pos"), col("n_neg"), col("r2_pos"),
+      when(col("n_pos") > 0L && col("n_neg") > 0L,
+        (col("r2_pos") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+        .as("auc"))
+  }
+
   // ------------------------------------------------------- markup extraction
 
   /** HTML → text extraction regexes (the trafilatura-style pre-clean a web

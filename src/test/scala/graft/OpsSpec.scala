@@ -2643,4 +2643,52 @@ class OpsSpec extends SparkSpec {
     // the hub (a, fed by b's whole mass) must outrank the dangling leaf
     assert(got("a") > got("c"))
   }
+
+  test("calibrationReport bins, counts, and exact-ratio gaps") {
+    // scale 100, 4 bins: [0,25) [25,50) [50,75) [75,100]; 100 clamps to 3
+    val df = Seq((10L, 0), (10L, 1), (30L, 1), (80L, 1), (100L, 1), (60L, 0))
+      .toDF("s", "y")
+    val got = TextAnalysis.calibrationReport(df, col("s"), col("y"),
+        scaleDenom = 100L, nBins = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got(0L) === ((2L, 1L, 0.5, 0.1, 0.4)))
+    assert(got(1L) === ((1L, 1L, 1.0, 0.3, 0.7)))
+    assert(got(2L) === ((1L, 0L, 0.0, 0.6, 0.6)))
+    assert(got(3L) === ((2L, 2L, 1.0, 0.9, 1.0 - 0.9)))
+    assert(got.size === 4)
+  }
+
+  test("calibrationReport fails fast on an out-of-range score") {
+    val df = Seq((101L, 0)).toDF("s", "y")
+    val e = intercept[Exception] {
+      TextAnalysis.calibrationReport(df, col("s"), col("y"),
+        scaleDenom = 100L, nBins = 4).collect()
+    }
+    assert(e.getMessage.contains("calibrationReport") ||
+      Option(e.getCause).exists(_.getMessage.contains("calibrationReport")))
+  }
+
+  test("aucReport matches the pairwise definition with midrank ties") {
+    // pos scores {2,3}, neg scores {1,3}: pairs won 2.5 of 4 -> 0.625
+    val df = Seq((1L, 0), (2L, 1), (3L, 1), (3L, 0)).toDF("s", "y")
+    val r = TextAnalysis.aucReport(df, col("s"), col("y"), scaleDenom = 10L)
+      .collect().head
+    assert(r.getLong(0) === 2L)   // n_pos
+    assert(r.getLong(1) === 2L)   // n_neg
+    assert(r.getLong(2) === 11L)  // R2 = 1*(2*1+1+1) + 1*(2*2+2+1)
+    assert(r.getDouble(3) === 0.625)
+    // degenerate: single-class corpus has no ranking to measure
+    val deg = TextAnalysis.aucReport(Seq((5L, 1), (7L, 1)).toDF("s", "y"),
+      col("s"), col("y"), scaleDenom = 10L).collect().head
+    assert(deg.isNullAt(3))
+  }
+
+  test("aucReport is 1.0 on a perfectly separated corpus") {
+    val df = Seq((9L, 1), (8L, 1), (2L, 0), (1L, 0)).toDF("s", "y")
+    val r = TextAnalysis.aucReport(df, col("s"), col("y"), scaleDenom = 10L)
+      .collect().head
+    assert(r.getDouble(3) === 1.0)
+  }
 }
