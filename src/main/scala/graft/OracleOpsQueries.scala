@@ -698,6 +698,32 @@ object OracleOpsQueries {
       train = Some(docs.filter(col("lang") === "en")))
   }
 
+  /** Count-pruned stupid backoff — KenLM-style singleton pruning
+    * (Heafield WMT'11 §4 convention: drop low-count n-grams, keep all
+    * unigrams) composed from the shipped interop APIs: train WORD-keyed
+    * count frames ([[TextAnalysis.lmNgramCounts]]), `filter(c >= 2)` the
+    * trigram/bigram levels, rebuild hash-keyed tables
+    * ([[TextAnalysis.backoffTablesFromCounts]] — denominators re-derive
+    * from the SURVIVING counts), score with
+    * [[TextAnalysis.stupidBackoffScoreTables]]. At 100 TB this is the
+    * artifact-size lever: singleton trigrams are typically >half the
+    * table and carry near-zero scoring mass; pruning shrinks the two
+    * big hash-join build sides without touching the corpus pass.
+    * Non-vacuous: at sf0.01 singleton en trigrams exist, so pruned docs
+    * genuinely descend tiers (n_backoff_bi/uni differ from
+    * `text_lm_backoff`'s). */
+  def textLmBackoffPruned(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val en = docs.filter(col("lang") === "en")
+    val tri = TextAnalysis.lmNgramCounts(en, "doc_id", "text", 3)
+      .filter(col("c") >= 2L)
+    val bi = TextAnalysis.lmNgramCounts(en, "doc_id", "text", 2)
+      .filter(col("c") >= 2L)
+    val uni = TextAnalysis.lmNgramCounts(en, "doc_id", "text", 1)
+    val (t3, t2, t1) = TextAnalysis.backoffTablesFromCounts(tri, bi, uni)
+    TextAnalysis.stupidBackoffScoreTables(docs, "doc_id", "text", t3, t2, t1)
+  }
+
   /** CCNet head/middle/tail cut per language, cross-scored against the
     * en-trained LM ([[textLmBigramCross]]'s exact regime — the real
     * CCNet setup). Non-English strata surface OOV-flattened scores, en
@@ -1700,6 +1726,7 @@ object OracleOpsQueries {
     "text_lm_trigram" -> (textLmTrigram _),
     "text_lm_bigram_cross" -> (textLmBigramCross _),
     "text_lm_backoff" -> (textLmBackoff _),
+    "text_lm_backoff_pruned" -> (textLmBackoffPruned _),
     "text_lm_buckets" -> (textLmBuckets _),
     "text_dsir_weight" -> (textDsirWeight _),
     "text_classify_unigram" -> (textClassifyUnigram _),
@@ -1945,6 +1972,95 @@ object OracleOpsQueries {
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        |    CAST(SUM(sp) AS BIGINT) AS score_pos, CAST(SUM(sn) AS BIGINT) AS score_neg
        |  FROM scc GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB mirror of the stupid-backoff trigram scorer (en-trained
+    * ladder, exact-integer 0.4 = 2/5 tiers; tokens contain no spaces,
+    * so the regex extractions recover the same backoff keys Spark's
+    * substring_index does). `prune3`/`prune2` are optional HAVING
+    * clauses applied to the trigram/bigram COUNT CTEs before each
+    * level's conditioning denominator derives — "" for the full
+    * tables, "HAVING count(*) >= k" for the KenLM-style count-pruned
+    * variant (the engine prunes the count frames, then rebuilds
+    * denominators from what survives; the oracle must prune at the
+    * same point or d3/d2 would still include pruned mass). */
+  private def backoffScoreSql(prune3: String, prune2: String): String =
+    s"""WITH $toksCte,
+       |ttoks AS (
+         |  SELECT toks.doc_id, t FROM toks JOIN documents d USING (doc_id)
+         |  WHERE d.lang = 'en'),
+         |g3l AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 3
+         |    THEN list_transform(generate_series(1, len(t)-2),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |    ELSE [] END AS l
+         |  FROM ttoks),
+         |g3 AS (SELECT unnest(l) AS s FROM g3l),
+         |p3 AS (SELECT ${h60("regexp_replace(s, ' [^ ]+$', '')")} AS h13,
+         |         ${h60("s")} AS h123, CAST(count(*) AS BIGINT) AS c3
+         |       FROM g3 GROUP BY 1, 2 $prune3),
+         |l3 AS (SELECT h13, h123, c3,
+         |         CAST(SUM(c3) OVER (PARTITION BY h13) AS BIGINT) AS d3 FROM p3),
+         |g2l AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 2
+         |    THEN list_transform(generate_series(1, len(t)-1),
+         |           i -> t[i] || ' ' || t[i+1])
+         |    ELSE [] END AS l
+         |  FROM ttoks),
+         |g2 AS (SELECT unnest(l) AS s FROM g2l),
+         |p2 AS (SELECT ${h60("regexp_replace(s, ' [^ ]+$', '')")} AS h12p,
+         |         ${h60("s")} AS h12f, CAST(count(*) AS BIGINT) AS c2
+         |       FROM g2 GROUP BY 1, 2 $prune2),
+         |l2 AS (SELECT h12p, h12f, c2,
+         |         CAST(SUM(c2) OVER (PARTITION BY h12p) AS BIGINT) AS d2 FROM p2),
+         |uw AS (SELECT unnest(t) AS w FROM ttoks),
+         |u AS (SELECT ${h60("w")} AS h, CAST(count(*) AS BIGINT) AS c
+         |      FROM uw GROUP BY 1),
+         |un AS (SELECT h, c, CAST(SUM(c) OVER () AS BIGINT) AS n_total FROM u),
+         |o3l AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 3
+         |    THEN list_transform(generate_series(1, len(t)-2),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |    ELSE [] END AS l
+         |  FROM toks),
+         |o3 AS (SELECT doc_id, unnest(l) AS s FROM o3l),
+         |ok AS (
+         |  SELECT doc_id,
+         |    ${h60("regexp_replace(s, ' [^ ]+$', '')")} AS h1_3,
+         |    ${h60("s")} AS h12_3,
+         |    ${h60("regexp_extract(s, '([^ ]+) [^ ]+$', 1)")} AS h1_2,
+         |    ${h60("regexp_extract(s, '[^ ]+ [^ ]+$')")} AS h12_2,
+         |    ${h60("regexp_extract(s, '[^ ]+$')")} AS h_1
+         |  FROM o3),
+         |sc AS (
+         |  SELECT ok.doc_id,
+         |    CASE WHEN l3.c3 IS NOT NULL THEN (l3.c3 * 10000) // l3.d3
+         |         WHEN l2.c2 IS NOT NULL THEN (l2.c2 * 10000 * 2) // (l2.d2 * 5)
+         |         WHEN un.c IS NOT NULL THEN (un.c * 10000 * 4) // (un.n_total * 25)
+         |         ELSE 0 END AS s,
+         |    CASE WHEN l3.c3 IS NULL AND l2.c2 IS NOT NULL THEN 1 ELSE 0 END AS bbi,
+         |    CASE WHEN l3.c3 IS NULL AND l2.c2 IS NULL AND un.c IS NOT NULL THEN 1 ELSE 0 END AS bun,
+         |    CASE WHEN l3.c3 IS NULL AND l2.c2 IS NULL AND un.c IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM ok
+         |  LEFT JOIN l3 ON ok.h1_3 = l3.h13 AND ok.h12_3 = l3.h123
+         |  LEFT JOIN l2 ON ok.h1_2 = l2.h12p AND ok.h12_2 = l2.h12f
+         |  LEFT JOIN un ON ok.h_1 = un.h),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(bbi) AS BIGINT) AS n_backoff_bi,
+         |    CAST(SUM(bun) AS BIGINT) AS n_backoff_uni,
+         |    CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |    CAST(SUM(s) AS BIGINT) AS sum_score
+         |  FROM sc GROUP BY doc_id)
+         |SELECT docs.doc_id,
+         |  COALESCE(agg.n_grams, 0) AS n_grams,
+         |  COALESCE(agg.n_backoff_bi, 0) AS n_backoff_bi,
+         |  COALESCE(agg.n_backoff_uni, 0) AS n_backoff_uni,
+         |  COALESCE(agg.n_oov, 0) AS n_oov,
+         |  COALESCE(agg.sum_score, 0) AS sum_score,
+         |  CASE WHEN COALESCE(agg.n_grams, 0) > 0
+         |    THEN CAST(agg.sum_score AS DOUBLE) / CAST(agg.n_grams AS DOUBLE)
+         |    ELSE 0.0 END AS sb_score
+         |FROM documents docs LEFT JOIN agg USING (doc_id)""".stripMargin
 
   /** Mirror of [[classifierScoreLabel]] — the fixed-point
     * positive-affinity score + en-label CTE for the AUC audit oracle.
@@ -3513,84 +3629,12 @@ object OracleOpsQueries {
     // exact-integer 0.4 = 2/5 tiers; tokens contain no spaces, so the
     // regex extractions recover the same backoff keys Spark's
     // substring_index does
-    "text_lm_backoff" ->
-      s"""WITH $toksCte,
-         |ttoks AS (
-         |  SELECT toks.doc_id, t FROM toks JOIN documents d USING (doc_id)
-         |  WHERE d.lang = 'en'),
-         |g3l AS (
-         |  SELECT doc_id, CASE WHEN len(t) >= 3
-         |    THEN list_transform(generate_series(1, len(t)-2),
-         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-         |    ELSE [] END AS l
-         |  FROM ttoks),
-         |g3 AS (SELECT unnest(l) AS s FROM g3l),
-         |p3 AS (SELECT ${h60("regexp_replace(s, ' [^ ]+$', '')")} AS h13,
-         |         ${h60("s")} AS h123, CAST(count(*) AS BIGINT) AS c3
-         |       FROM g3 GROUP BY 1, 2),
-         |l3 AS (SELECT h13, h123, c3,
-         |         CAST(SUM(c3) OVER (PARTITION BY h13) AS BIGINT) AS d3 FROM p3),
-         |g2l AS (
-         |  SELECT doc_id, CASE WHEN len(t) >= 2
-         |    THEN list_transform(generate_series(1, len(t)-1),
-         |           i -> t[i] || ' ' || t[i+1])
-         |    ELSE [] END AS l
-         |  FROM ttoks),
-         |g2 AS (SELECT unnest(l) AS s FROM g2l),
-         |p2 AS (SELECT ${h60("regexp_replace(s, ' [^ ]+$', '')")} AS h12p,
-         |         ${h60("s")} AS h12f, CAST(count(*) AS BIGINT) AS c2
-         |       FROM g2 GROUP BY 1, 2),
-         |l2 AS (SELECT h12p, h12f, c2,
-         |         CAST(SUM(c2) OVER (PARTITION BY h12p) AS BIGINT) AS d2 FROM p2),
-         |uw AS (SELECT unnest(t) AS w FROM ttoks),
-         |u AS (SELECT ${h60("w")} AS h, CAST(count(*) AS BIGINT) AS c
-         |      FROM uw GROUP BY 1),
-         |un AS (SELECT h, c, CAST(SUM(c) OVER () AS BIGINT) AS n_total FROM u),
-         |o3l AS (
-         |  SELECT doc_id, CASE WHEN len(t) >= 3
-         |    THEN list_transform(generate_series(1, len(t)-2),
-         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-         |    ELSE [] END AS l
-         |  FROM toks),
-         |o3 AS (SELECT doc_id, unnest(l) AS s FROM o3l),
-         |ok AS (
-         |  SELECT doc_id,
-         |    ${h60("regexp_replace(s, ' [^ ]+$', '')")} AS h1_3,
-         |    ${h60("s")} AS h12_3,
-         |    ${h60("regexp_extract(s, '([^ ]+) [^ ]+$', 1)")} AS h1_2,
-         |    ${h60("regexp_extract(s, '[^ ]+ [^ ]+$')")} AS h12_2,
-         |    ${h60("regexp_extract(s, '[^ ]+$')")} AS h_1
-         |  FROM o3),
-         |sc AS (
-         |  SELECT ok.doc_id,
-         |    CASE WHEN l3.c3 IS NOT NULL THEN (l3.c3 * 10000) // l3.d3
-         |         WHEN l2.c2 IS NOT NULL THEN (l2.c2 * 10000 * 2) // (l2.d2 * 5)
-         |         WHEN un.c IS NOT NULL THEN (un.c * 10000 * 4) // (un.n_total * 25)
-         |         ELSE 0 END AS s,
-         |    CASE WHEN l3.c3 IS NULL AND l2.c2 IS NOT NULL THEN 1 ELSE 0 END AS bbi,
-         |    CASE WHEN l3.c3 IS NULL AND l2.c2 IS NULL AND un.c IS NOT NULL THEN 1 ELSE 0 END AS bun,
-         |    CASE WHEN l3.c3 IS NULL AND l2.c2 IS NULL AND un.c IS NULL THEN 1 ELSE 0 END AS oov
-         |  FROM ok
-         |  LEFT JOIN l3 ON ok.h1_3 = l3.h13 AND ok.h12_3 = l3.h123
-         |  LEFT JOIN l2 ON ok.h1_2 = l2.h12p AND ok.h12_2 = l2.h12f
-         |  LEFT JOIN un ON ok.h_1 = un.h),
-         |agg AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         |    CAST(SUM(bbi) AS BIGINT) AS n_backoff_bi,
-         |    CAST(SUM(bun) AS BIGINT) AS n_backoff_uni,
-         |    CAST(SUM(oov) AS BIGINT) AS n_oov,
-         |    CAST(SUM(s) AS BIGINT) AS sum_score
-         |  FROM sc GROUP BY doc_id)
-         |SELECT docs.doc_id,
-         |  COALESCE(agg.n_grams, 0) AS n_grams,
-         |  COALESCE(agg.n_backoff_bi, 0) AS n_backoff_bi,
-         |  COALESCE(agg.n_backoff_uni, 0) AS n_backoff_uni,
-         |  COALESCE(agg.n_oov, 0) AS n_oov,
-         |  COALESCE(agg.sum_score, 0) AS sum_score,
-         |  CASE WHEN COALESCE(agg.n_grams, 0) > 0
-         |    THEN CAST(agg.sum_score AS DOUBLE) / CAST(agg.n_grams AS DOUBLE)
-         |    ELSE 0.0 END AS sb_score
-         |FROM documents docs LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "text_lm_backoff" -> backoffScoreSql("", ""),
+    // count-pruned variant: trigram/bigram tables drop singleton counts
+    // BEFORE denominators derive, exactly the engine's filter-then-
+    // rebuild order — pruned grams genuinely descend the ladder
+    "text_lm_backoff_pruned" ->
+      backoffScoreSql("HAVING count(*) >= 2", "HAVING count(*) >= 2"),
     // CCNet head/middle/tail: the en-trained LM chain feeds a single
     // GLOBAL per-stratum mass window (score DESC, id tiebreak) — the
     // monolithic definition the Spark two-phase bin decomposition must

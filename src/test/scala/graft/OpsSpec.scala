@@ -2644,6 +2644,35 @@ class OpsSpec extends SparkSpec {
     assert(got("a") > got("c"))
   }
 
+  test("count-pruned backoff tables descend the ladder where full tables score trigram-tier") {
+    // train: "x y z" occurs once (pruned at minCount 2), "a b c" twice
+    // (survives); bigrams of "x y z" also singletons -> pruned -> the
+    // scoring doc's "x y z" gram must fall through to the UNIGRAM tier
+    // under pruning but score trigram-tier unpruned.
+    val train = Seq((1L, "a b c a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val score = Seq((10L, "x y z"), (11L, "a b c")).toDF("doc_id", "text")
+    def tables(prune: Boolean) = {
+      def counts(n: Int) = {
+        val c = TextAnalysis.lmNgramCounts(train, "doc_id", "text", n)
+        if (prune && n >= 2) c.filter(col("c") >= 2L) else c
+      }
+      TextAnalysis.backoffTablesFromCounts(counts(3), counts(2), counts(1))
+    }
+    def run(prune: Boolean) = {
+      val (t3, t2, t1) = tables(prune)
+      TextAnalysis.stupidBackoffScoreTables(score, "doc_id", "text", t3, t2, t1)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // (n_backoff_bi, n_backoff_uni, n_oov)
+    }
+    val full = run(prune = false)
+    val pruned = run(prune = true)
+    assert(full(10L) === ((0L, 0L, 0L)))    // trigram tier
+    assert(pruned(10L) === ((0L, 1L, 0L)))  // fell through to unigrams
+    assert(full(11L) === pruned(11L))       // surviving gram unchanged
+    assert(pruned(11L) === ((0L, 0L, 0L)))
+  }
+
   test("calibrationReport bins, counts, and exact-ratio gaps") {
     // scale 100, 4 bins: [0,25) [25,50) [50,75) [75,100]; 100 clamps to 3
     val df = Seq((10L, 0), (10L, 1), (30L, 1), (80L, 1), (100L, 1), (60L, 0))
