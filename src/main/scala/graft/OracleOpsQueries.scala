@@ -501,6 +501,35 @@ object OracleOpsQueries {
     graft.ops.Domains.domainRank(edges, iters = 5)
   }
 
+  /** Centrality-as-quality-prior composition — the Common-Crawl-style
+    * use of [[corpusDomainRank]]'s output: per home domain, the corpus
+    * stats a frontier scheduler reads (doc count, token mass) joined
+    * with the domain's link-graph rank, and a `keep` flag marking
+    * ABOVE-MEAN centrality (`rank · n_domains >= Σ ranks`, exact
+    * BIGINTs — no float mean, no arbitrary absolute threshold that
+    * would break across corpus sizes). Shape at scale: the rank table
+    * is domain-sized; the per-domain aggregate is one groupBy of a
+    * two-column projection; the totals row broadcasts. Non-vacuous:
+    * hash-derived in-degrees spread ranks, so both keep values occur. */
+  def corpusDomainPrior(s: SparkSession, d: String): DataFrame = {
+    val rank = corpusDomainRank(s, d)
+    val per = Tables.documents(s, d)
+      .select(concat(lit("site"), (col("doc_id") % 199).cast("string"))
+          .as("domain"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__t"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("sum_tokens"))
+    val tot = rank.agg(sum(col("rank")).as("__total"),
+      count(lit(1)).as("__n"))
+    rank.join(per, Seq("domain"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("domain"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"),
+        col("rank"),
+        (col("rank") * col("__n") >= col("__total")).cast("int").as("keep"))
+  }
+
   /** Eval-side contamination report over the same 1-in-29 eval split as
     * [[dedupContamination]] — the two directions share their shingle
     * machinery, so gating both on one split keeps any drift visible. */
@@ -1714,6 +1743,7 @@ object OracleOpsQueries {
     "corpus_crawl_front_filtered" -> (corpusCrawlFrontFiltered _),
     "corpus_snapshot_diff" -> (corpusSnapshotDiff _),
     "corpus_domain_rank" -> (corpusDomainRank _),
+    "corpus_domain_prior" -> (corpusDomainPrior _),
     "dedup_contamination_report" -> (dedupContaminationReport _),
     "dedup_contamination_fuzzy" -> (dedupContaminationFuzzy _),
     "text_filter_report" -> (textFilterReport _),
@@ -2801,6 +2831,22 @@ object OracleOpsQueries {
 
   val sql: Map[String, String] = Map(
     "corpus_domain_rank" -> domainRankSql,
+    "corpus_domain_prior" ->
+      s"""WITH $toksCte,
+         |r AS ($domainRankSql),
+         |per AS (
+         |  SELECT 'site' || CAST(doc_id % 199 AS VARCHAR) AS domain,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(t)) AS BIGINT) AS sum_tokens
+         |  FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(rank) AS BIGINT) AS total,
+         |               CAST(count(*) AS BIGINT) AS n FROM r)
+         |SELECT r.domain,
+         |  COALESCE(per.n_docs, 0) AS n_docs,
+         |  COALESCE(per.sum_tokens, 0) AS sum_tokens,
+         |  r.rank,
+         |  CAST(r.rank * tot.n >= tot.total AS INT) AS keep
+         |FROM r LEFT JOIN per USING (domain), tot""".stripMargin,
     "text_filter_report" -> textFilterReportSql,
     "dedup_contamination_fuzzy" -> contaminationFuzzySql,
     "corpus_clean_e2e" -> corpusCleanE2eSql,
