@@ -1215,6 +1215,71 @@ object OracleOpsQueries {
       col("__nt"), col("budget"), salt = "tepoch", maxEpochs = 2)
   }
 
+  /** UniMax water-filling budgets over the sf0.01 language totals
+    * (en 11757, de 3549, es 3958, fr 3758, zh 4143; caps = 2T sorted:
+    * de 7098, fr 7516, es 7916, zh 8286, en 23514). B = 36000 makes
+    * every branch fire: f(de) = 7098·5 = 35490 ≤ B caps de at its 2-epoch
+    * ceiling; f(fr) = 7516·4 + 7098 = 37162 > B leaves the other four at
+    * the water level R = 28902 over nu = 4 → base 7225 with remainder 2,
+    * so fr/es get 7226 and zh/en 7225 (the remainder hand-off is
+    * exercised, not just the even split). */
+  def corpusUnimax(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .localCheckpoint(true)
+    graft.ops.Splits.unimaxBudgets(docs, col("lang"), col("__nt"),
+      totalBudget = 36000L, maxEpochs = 2)
+  }
+
+  /** The published UniMax SAMPLER: water-filled budgets feeding
+    * epoch-capped repetition with the SAME maxEpochs — capped strata
+    * replay their full corpus exactly maxEpochs times, uncapped strata
+    * trim at the water level. Against the corpus_unimax budgets: de
+    * (budget 7098 = 2T) keeps both epochs whole with the cap binding,
+    * en (7225 < T) trims inside epoch 0, fr/es/zh (between T and 2T)
+    * trim inside epoch 1 — every composition branch fires. */
+  def corpusUnimaxEpochs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .localCheckpoint(true)
+    val budgets = graft.ops.Splits.unimaxBudgets(docs, col("lang"),
+      col("__nt"), totalBudget = 36000L, maxEpochs = 2)
+    val joined = docs.join(broadcast(
+        budgets.select(col("stratum").as("__s4"), col("budget"))),
+      col("lang") === col("__s4"))
+    graft.ops.Splits.epochUpsample(joined, "doc_id", col("lang"),
+      col("__nt"), col("budget"), salt = "umax", maxEpochs = 2)
+  }
+
+  /** RRF fusion of the quality ratio and the raw token count — two
+    * signals on deliberately different scales (a [0,1] double and an
+    * unbounded BIGINT), which is exactly the case rank fusion exists
+    * for. Buckets: floor(q·64) for quality, n DIV 8 clamped at 32 for
+    * tokens (the clamp exercises merged top buckets; token-count ties
+    * are plentiful at sf0.01, so shared competition ranks fire). */
+  def textRankFusion(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality")
+    val docs = Tables.documents(s, d).select(col("doc_id"), q.as("__q"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .localCheckpoint(true)
+    TextAnalysis.rankFusion(docs, "doc_id", Seq(
+      ("quality", col("__q"), floor(col("__q") * 64).cast("long")),
+      ("tokens", col("__nt"), least(expr("__nt DIV 8"), lit(32L)))))
+  }
+
+  /** Length-bucketed batching audit: 16-token buckets clamped at bucket 3
+    * (sf0.01 docs run ~20–90 tokens, so buckets 0–3 all populate AND the
+    * clamp genuinely merges the tail), batches of 8 — short final
+    * batches occur in every bucket, so the pad-only-real-rows convention
+    * is exercised. */
+  def corpusLengthBatches(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .localCheckpoint(true)
+    graft.ops.Splits.lengthBatchReport(docs, "doc_id", col("__nt"),
+      batchSize = 8, bucketWidth = 16, maxBucket = 3)
+  }
+
   /** Quality-ordered token-budget curation: per language, keep the
     * highest-quality docs until the language's token budget (en gets
     * 5000 tokens, every other language 2000 — both budgets bind at
@@ -1823,6 +1888,10 @@ object OracleOpsQueries {
     "corpus_mix_temperature" -> (corpusMixTemperature _),
     "corpus_upsample_epochs" -> (corpusUpsampleEpochs _),
     "corpus_temperature_epochs" -> (corpusTemperatureEpochs _),
+    "corpus_unimax" -> (corpusUnimax _),
+    "corpus_unimax_epochs" -> (corpusUnimaxEpochs _),
+    "corpus_length_batches" -> (corpusLengthBatches _),
+    "text_rank_fusion" -> (textRankFusion _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -4698,6 +4767,132 @@ object OracleOpsQueries {
          |SELECT doc_id, stratum, CAST(epoch AS BIGINT) AS epoch, n_tokens,
          |  CAST(epoch * T + cum_before + n_tokens AS BIGINT) AS cum_tokens
          |FROM e WHERE epoch * T + cum_before < budget""".stripMargin,
+    "corpus_unimax" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang AS stratum,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT stratum, CAST(SUM(n_tokens) AS BIGINT) AS T FROM tok GROUP BY stratum),
+         |caps AS (SELECT stratum, T AS n_tokens_total, CAST(2 * T AS BIGINT) AS cap FROM tot),
+         |ord AS (
+         |  SELECT stratum, n_tokens_total, cap,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cap, stratum) AS BIGINT) AS j,
+         |    CAST(SUM(cap) OVER (ORDER BY cap, stratum
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS P,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |  FROM caps),
+         |flg AS (
+         |  SELECT *, (cap * (n - j + 1) + (P - cap) <= 36000) AS capped FROM ord),
+         |agg AS (
+         |  SELECT *,
+         |    CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS m,
+         |    CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS BIGINT) AS Pm
+         |  FROM flg)
+         |SELECT stratum, n_tokens_total, cap,
+         |  CAST(CASE WHEN capped THEN cap
+         |       ELSE (36000 - Pm) // (n - m)
+         |            + (CASE WHEN j - m <= (36000 - Pm) % (n - m) THEN 1 ELSE 0 END)
+         |       END AS BIGINT) AS budget
+         |FROM agg""".stripMargin,
+    "corpus_unimax_epochs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang AS stratum,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT stratum, CAST(SUM(n_tokens) AS BIGINT) AS T FROM tok GROUP BY stratum),
+         |caps AS (SELECT stratum, CAST(2 * T AS BIGINT) AS cap FROM tot),
+         |ord AS (
+         |  SELECT stratum, cap,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cap, stratum) AS BIGINT) AS j,
+         |    CAST(SUM(cap) OVER (ORDER BY cap, stratum
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS P,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |  FROM caps),
+         |flg AS (
+         |  SELECT *, (cap * (n - j + 1) + (P - cap) <= 36000) AS capped FROM ord),
+         |agg AS (
+         |  SELECT *,
+         |    CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS m,
+         |    CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS BIGINT) AS Pm
+         |  FROM flg),
+         |bud AS (
+         |  SELECT stratum,
+         |    CAST(CASE WHEN capped THEN cap
+         |         ELSE (36000 - Pm) // (n - m)
+         |              + (CASE WHEN j - m <= (36000 - Pm) % (n - m) THEN 1 ELSE 0 END)
+         |         END AS BIGINT) AS budget
+         |  FROM agg),
+         |base AS (
+         |  SELECT tok.doc_id, tok.stratum, tok.n_tokens, bud.budget,
+         |    ${h60("'umax_' || CAST(tok.doc_id AS VARCHAR)")} AS rk
+         |  FROM tok JOIN bud USING (stratum)),
+         |c AS (
+         |  SELECT doc_id, stratum, n_tokens, budget,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM base),
+         |j AS (
+         |  SELECT c.doc_id, c.stratum, c.n_tokens, c.budget, c.cum_before, tot.T
+         |  FROM c JOIN tot USING (stratum)
+         |  WHERE c.budget > 0 AND tot.T > 0),
+         |e AS (
+         |  SELECT doc_id, stratum, n_tokens, budget, cum_before, T,
+         |    unnest(generate_series(0, least((budget + T - 1) // T, 2) - 1)) AS epoch
+         |  FROM j)
+         |SELECT doc_id, stratum, CAST(epoch AS BIGINT) AS epoch, n_tokens,
+         |  CAST(epoch * T + cum_before + n_tokens AS BIGINT) AS cum_tokens
+         |FROM e WHERE epoch * T + cum_before < budget""".stripMargin,
+    "corpus_length_batches" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, n_tokens,
+         |    least(n_tokens // 16, 3) AS len_bucket,
+         |    ${h60("'lenbatch_' || CAST(doc_id AS VARCHAR)")} AS rk
+         |  FROM tok),
+         |p AS (
+         |  SELECT doc_id, n_tokens, len_bucket,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY len_bucket ORDER BY rk, doc_id) AS BIGINT) AS pos
+         |  FROM b),
+         |bt AS (
+         |  SELECT len_bucket, (pos - 1) // 8 AS batch,
+         |    CAST(COUNT(*) AS BIGINT) AS nrows, MAX(n_tokens) AS mx, SUM(n_tokens) AS sm
+         |  FROM p GROUP BY 1, 2)
+         |SELECT len_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_batches,
+         |  CAST(SUM(nrows) AS BIGINT) AS n_docs,
+         |  CAST(SUM(sm) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(mx * nrows) AS BIGINT) AS n_padded,
+         |  CAST(SUM(mx * nrows) - SUM(sm) AS BIGINT) AS waste_tokens,
+         |  CAST(CASE WHEN SUM(mx * nrows) > 0
+         |       THEN ((SUM(mx * nrows) - SUM(sm)) * 1000) // SUM(mx * nrows)
+         |       ELSE 0 END AS BIGINT) AS waste_permille
+         |FROM bt GROUP BY len_bucket""".stripMargin,
+    "text_rank_fusion" ->
+      s"""WITH $toksCte,
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars2,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+         |  FROM toks),
+         |s AS (
+         |  SELECT doc_id,
+         |    ${qualityExprSql("n_tokens", "n_stopwords", "n_punct", "n_chars2")} AS q,
+         |    n_tokens
+         |  FROM feat),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(RANK() OVER (ORDER BY q DESC) AS BIGINT) AS rank_quality,
+         |    CAST(RANK() OVER (ORDER BY n_tokens DESC) AS BIGINT) AS rank_tokens
+         |  FROM s)
+         |SELECT doc_id, rank_quality, rank_tokens,
+         |  CAST(1000000000000 // (60 + rank_quality)
+         |     + 1000000000000 // (60 + rank_tokens) AS BIGINT) AS rrf_score
+         |FROM r""".stripMargin,
     "corpus_quality_budget" ->
       s"""WITH $toksCte,
          |feat AS (

@@ -609,4 +609,141 @@ object Splits {
       .select(col(id), col("stratum"), col("score"), col("n_tokens"),
         (col("__cum_before") + col("n_tokens")).as("cum_tokens"))
   }
+
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): split `totalBudget` tokens across strata
+    * as uniformly as possible subject to the per-stratum repetition cap
+    * `cap_i = maxEpochs · T_i` — each stratum gets `min(cap_i, L)` where
+    * the water level L is the equal share that exactly exhausts the
+    * budget. Unlike √-temperature ([[sqrtTemperatureBudgets]]), no
+    * stratum is ever asked to repeat more than `maxEpochs` epochs, and
+    * head strata don't crowd out the tail.
+    *
+    * EXACT INTEGER water-filling, so the DuckDB oracle hash-matches
+    * bit-for-bit: sort strata by (cap, stratum) ascending with 1-based
+    * index j, exclusive prefix sum P_{j−1}; stratum j is capped iff
+    * `cap_j·(n−j+1) + P_{j−1} ≤ B` (the condition is monotone in j —
+    * `f(j+1) − f(j) = (n−j)(cap_{j+1} − cap_j) ≥ 0` — so the capped set
+    * is a prefix of the sort order). The remaining budget
+    * `R = B − Σ_{capped} cap` splits over the nu uncapped strata as
+    * `R DIV nu`, with the `R mod nu` remainder units handed to the first
+    * uncapped strata in sort order — Σ budgets = min(B, Σ cap) exactly.
+    * The level is consistent by construction: `f(m+1) > B` implies
+    * `cap_{m+1} ≥ R DIV nu + 1`, so no uncapped budget exceeds its cap.
+    * The otherwise-branch divisions never see nu = 0 (nu = 0 means every
+    * stratum is capped, and CASE evaluates lazily per row), so the ANSI
+    * divide-by-zero path is unreachable.
+    *
+    * Overflow envelope: `cap_j·(n−j+1)` needs `maxEpochs·T_max·n < 2^63`
+    * — at 100 TB (T ~ 10^14 tokens) with 10^4 strata and 16 epochs that
+    * is ~10^19... out of range, so the guard REJECTS inputs where
+    * `maxEpochs·Σ T·n` could overflow rather than silently wrapping
+    * (checked against Σcap·n, the true bound on every intermediate).
+    * Tie order on (cap, stratum) is UTF-8 binary in both engines —
+    * identical for the ASCII strata a corpus uses.
+    *
+    * Scale shape: one map-side-combined aggregate down to strata rows,
+    * then windows over that TINY frame only — the same sanctioned
+    * bounded-frame single task as [[sqrtTemperatureBudgets]]; the corpus
+    * itself is never reshuffled. Returns (stratum, n_tokens_total, cap,
+    * budget); join back broadcast and feed [[epochUpsample]] — UniMax's
+    * own semantics is epoch-capped repetition, so that composition IS
+    * the published sampler. */
+  def unimaxBudgets(df: DataFrame, stratum: Column, nTokens: Column,
+                    totalBudget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be ≥ 0, got $totalBudget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy(col("cap"), col("stratum"))
+    val tot = df.select(stratum.as("stratum"), nTokens.cast("long").as("__nt"))
+      .groupBy(col("stratum")).agg(sum(col("__nt")).as("n_tokens_total"))
+      .withColumn("cap", col("n_tokens_total") * lit(maxEpochs.toLong))
+    val ranked = tot
+      .withColumn("__j", row_number().over(wOrd))
+      .withColumn("__P", sum(col("cap")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      // overflow guard: every intermediate is ≤ Σcap·n; fail loudly past it
+      .withColumn("__ok", when(
+        max(col("cap")).over(wAll) >
+          expr(s"${Long.MaxValue}L DIV greatest(__n, 1L)"),
+        raise_error(lit("unimaxBudgets: maxEpochs·T_max·n would overflow " +
+          "BIGINT — shard the strata or lower maxEpochs"))).otherwise(lit(true)))
+    val flagged = ranked.withColumn("__capped",
+      col("__ok") && // guard FIRST: && is lazy left-to-right, so the loud
+        // raise_error fires before the multiply can hit ANSI overflow
+        col("cap") * (col("__n") - col("__j") + 1L) +
+          (col("__P") - col("cap")) <= lit(totalBudget))
+    flagged
+      .withColumn("__m", sum(when(col("__capped"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("__Pm", sum(when(col("__capped"), col("cap"))
+        .otherwise(lit(0L))).over(wAll))
+      .withColumn("__nu", col("__n") - col("__m"))
+      .withColumn("__R", lit(totalBudget) - col("__Pm"))
+      .select(col("stratum"), col("n_tokens_total"), col("cap"),
+        when(col("__capped"), col("cap")).otherwise(
+          expr("__R DIV __nu") +
+            when(col("__j") - col("__m") <= expr("__R % __nu"), 1L)
+              .otherwise(0L)).as("budget"))
+  }
+
+  /** Length-bucketed batching with a padding-waste report — the dynamic
+    * batching audit run before fixing a bucketing scheme: documents are
+    * grouped into length buckets of `bucketWidth` tokens, batches of
+    * `batchSize` form inside each bucket in reproducible salted-hash
+    * order, every row in a batch pads to the batch max, and the report
+    * says per bucket how many tokens that padding wastes. (Batching by
+    * similar length is the standard padding-waste mitigation — see e.g.
+    * the bucketing iterators in fairseq/tensor2tensor; this measures
+    * exactly what it saves.)
+    *
+    * Exactness: the in-bucket order is (hash60(salt_id), id) — the
+    * engine computes each row's 1-based position with the
+    * [[tokenBudgetSample]] two-phase scaffold (measure = 1, so the
+    * offset IS a row number) while the oracle uses a monolithic
+    * ROW_NUMBER; `batch = (pos−1) DIV batchSize`, then pure integer
+    * aggregates. `waste_permille` is a floor division of two BIGINTs.
+    * Padding convention: a short final batch pads only its real rows
+    * (no phantom rows to `batchSize`).
+    *
+    * Scale shape: phase 1 is a map-side-combined (bucket × hash-bucket)
+    * count histogram; phase 2 is ONE full-data shuffle keyed
+    * (bucket, hash-bucket) and a per-cell window — parallelism
+    * buckets × [[DefaultHistBuckets]], never one task per length
+    * bucket; then two map-side-combined aggregates collapse batches →
+    * buckets. The report output is buckets-sized. */
+  def lengthBatchReport(df: DataFrame, id: String, nTokens: Column,
+                        batchSize: Int, bucketWidth: Int = 16,
+                        maxBucket: Int = 64, salt: String = "lenbatch",
+                        nHistBuckets: Int = DefaultHistBuckets): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val ww = Window.partitionBy(col("stratum"), col("__b"))
+      .orderBy(col("__rk"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(col(id), nTokens.cast("long").as("__nt1"))
+      .select(col(id),
+        least(expr(s"__nt1 DIV ${bucketWidth}L"), lit(maxBucket.toLong))
+          .as("stratum"),
+        col("__nt1").as("n_tokens"))
+    twoPhaseOffsets(base, id, salt, nHistBuckets,
+        measures = Seq(count(lit(1)).as("__t")), prune = identity)
+      .withColumn("__pos", col("__off") + sum(lit(1L)).over(ww))
+      .withColumn("__batch", expr(s"(__pos - 1L) DIV ${batchSize}L"))
+      .groupBy(col("stratum"), col("__batch"))
+      .agg(count(lit(1)).as("__rows"), max(col("n_tokens")).as("__max"),
+        sum(col("n_tokens")).as("__sum"))
+      .groupBy(col("stratum")).agg(
+        count(lit(1)).as("n_batches"),
+        sum(col("__rows")).as("n_docs"),
+        sum(col("__sum")).as("n_tokens"),
+        sum(col("__max") * col("__rows")).as("n_padded"))
+      .select(col("stratum").as("len_bucket"), col("n_batches"),
+        col("n_docs"), col("n_tokens"), col("n_padded"),
+        (col("n_padded") - col("n_tokens")).as("waste_tokens"),
+        when(col("n_padded") > 0,
+          expr("((n_padded - n_tokens) * 1000L) DIV n_padded"))
+          .otherwise(lit(0L)).as("waste_permille"))
+  }
 }

@@ -1313,6 +1313,67 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("qnorm"))
   }
 
+  /** Reciprocal-rank fusion of several quality signals (Cormack,
+    * Clarke & Büttcher, SIGIR 2009): each document's fused score is
+    * `Σ_i ⌊scale / (k + rank_i)⌋` over its COMPETITION rank (SQL
+    * `RANK()` — ties share the tie group's first rank, so no arbitrary
+    * tie-break leaks into the fusion) under each signal, descending.
+    * RRF is the standard way to combine heterogeneous curation signals
+    * (a [0,1] quality ratio, a token count, a classifier score) without
+    * calibrating their scales — only ranks matter. The contribution is
+    * a FLOOR DIVISION of BIGINTs (`scale = 10^12` keeps twelve
+    * significant digits), so the fused score is exact cross-engine —
+    * no float rank arithmetic.
+    *
+    * Each signal supplies `(name, score, bucket)` where `bucket` must be
+    * MONOTONE NON-DECREASING in `score` (equal scores ⇒ equal buckets;
+    * clamping the top is fine — it only merges high buckets). Exact
+    * global rank WITHOUT a global sort, per signal: a map-side-combined
+    * per-bucket count collapses to a buckets-sized frame, a window over
+    * THAT frame (descending bucket) gives each bucket's
+    * strictly-higher-rows offset, the offsets broadcast-join back, and
+    * `rank()` runs only within (bucket) partitions ordered score DESC —
+    * global rank = offset + in-bucket rank, exact because ties cannot
+    * straddle buckets. Parallelism = buckets per signal; the signals'
+    * rank frames then join on id (hash joins keyed id — n_signals − 1
+    * shuffles of (id, rank) pairs, never of the documents).
+    *
+    * NULL scores fail loudly ([[quantileNormalizeScoresExact]]'s
+    * contract — a NULL would rank nondeterministically and silently
+    * skew the fusion). Returns (id, rank_<name>..., rrf_score). */
+  def rankFusion(df: DataFrame, id: String,
+                 signals: Seq[(String, Column, Column)],
+                 k: Int = 60, scale: Long = 1000000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(signals.nonEmpty, "rankFusion needs at least one signal")
+    require(k >= 0, s"k must be ≥ 0, got $k")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val ranked = signals.map { case (name, score, bucket) =>
+      val checked = when(score.isNull,
+        raise_error(lit(s"rankFusion: signal '$name' contains NULLs — " +
+          "filter or coalesce to a sentinel before fusing")))
+        .otherwise(score)
+      val base = df.select(col(id), checked.as("__sc"),
+        bucket.cast("long").as("__b"))
+      val wb = Window.orderBy(col("__b2").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("__b").as("__b2"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__off", coalesce(sum(col("__n")).over(wb), lit(0L)))
+        .select(col("__b2"), col("__off"))
+      val ww = Window.partitionBy(col("__b")).orderBy(col("__sc").desc)
+      base.join(broadcast(offsets), col("__b") === col("__b2"))
+        .select(col(id),
+          (col("__off") + rank().over(ww)).as(s"rank_$name"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(id)))
+    val rrf = signals.map { case (name, _, _) =>
+      expr(s"${scale}L DIV (${k}L + rank_$name)")
+    }.reduce(_ + _)
+    joined.select(col(id) +: signals.map { case (name, _, _) =>
+      col(s"rank_$name") } :+ rrf.as("rrf_score"): _*)
+  }
+
   /** Per-stratum cumulative-MASS bucketing — the CCNet "head/middle/
     * tail" partition (Wenzek '19 §4.3) generalized to any (score,
     * weight): within each stratum, rank documents best-score-first and

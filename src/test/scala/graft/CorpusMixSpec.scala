@@ -200,4 +200,134 @@ class CorpusMixSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSet
     assert(epoch0 === tbs)
   }
+
+  /** Sequential reference for UniMax water-filling: greedy equal split
+    * with caps, remainder to the lowest-cap uncapped strata first. */
+  private def unimaxRef(caps: Map[String, Long], b: Long): Map[String, Long] = {
+    val ordered = caps.toSeq.sortBy { case (s, c) => (c, s) }
+    var remaining = b
+    var left = ordered.size.toLong
+    val out = scala.collection.mutable.Map[String, Long]()
+    val uncapped = scala.collection.mutable.ArrayBuffer[String]()
+    // strata whose equal share exceeds their cap take the cap, in cap order;
+    // the rest split what remains at the first-uncapped water level
+    var level = -1L
+    ordered.foreach { case (s, c) =>
+      if (level < 0 && c * left <= remaining) {
+        out(s) = c; remaining -= c; left -= 1
+      } else {
+        if (level < 0) level = remaining / left
+        out(s) = level; uncapped += s // remainder assigned below
+      }
+    }
+    val rem = remaining - level.max(0L) * uncapped.size
+    uncapped.take(rem.toInt).foreach(s => out(s) = level + 1)
+    out.toMap
+  }
+
+  test("unimax budgets: exact water-filling with caps, remainder, and edge budgets") {
+    val df = Seq(
+      ("a", 10L), ("a", 20L),  // T=30, cap(2)=60
+      ("b", 5L),               // T=5,  cap=10
+      ("c", 100L),             // T=100, cap=200
+      ("d", 41L))              // T=41, cap=82
+      .toDF("dom", "nt")
+    val caps = Map("a" -> 60L, "b" -> 10L, "c" -> 200L, "d" -> 82L)
+    for (b <- Seq(0L, 7L, 50L, 151L, 200L, 352L, 353L, 1000L)) {
+      val got = Splits.unimaxBudgets(df, col("dom"), col("nt"),
+          totalBudget = b, maxEpochs = 2)
+        .select(col("stratum"), col("budget")).as[(String, Long)]
+        .collect().toMap
+      val want = unimaxRef(caps, b)
+      assert(got === want, s"budget B=$b")
+      assert(got.values.sum === math.min(b, caps.values.sum), s"conservation B=$b")
+      caps.foreach { case (s, c) => assert(got(s) <= c, s"cap respected B=$b $s") }
+    }
+    // cap column is maxEpochs·T and totals are exact
+    val full = Splits.unimaxBudgets(df, col("dom"), col("nt"), 100L, maxEpochs = 3)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(full("a") === ("a", 30L, 90L, full("a")._4))
+    // uniform-fairness: with B=200 over caps(2) the small strata cap out
+    // (b=10, a=60) and c/d split the rest within one unit of each other
+    val g200 = Splits.unimaxBudgets(df, col("dom"), col("nt"), 200L, 2)
+      .select(col("stratum"), col("budget")).as[(String, Long)].collect().toMap
+    assert(g200("b") === 10L && g200("a") === 60L)
+    assert(g200("c") === 65L && g200("d") === 65L)
+  }
+
+  test("rank fusion: competition ranks survive bucket clamping, ties share, rrf is exact") {
+    // scores with ties, and a bucket that CLAMPS (merges the top range)
+    val rows = Seq(
+      (1L, 0.90, 40L), (2L, 0.90, 40L), // quality tie AND token tie
+      (3L, 0.75, 100L),                 // clamped token bucket
+      (4L, 0.30, 12L),
+      (5L, 0.10, 40L), (6L, 0.95, 7L))
+      .toDF("doc_id", "q", "nt")
+    val got = TextAnalysis.rankFusion(rows, "doc_id", Seq(
+        ("q", col("q"), floor(col("q") * 4).cast("long")),
+        ("nt", col("nt"), least(expr("nt DIV 16"), lit(2L)))))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    def compRank[T](xs: Seq[(Long, T)])(implicit o: Ordering[T]): Map[Long, Long] =
+      xs.map { case (id, v) =>
+        id -> (xs.count { case (_, w) => o.gt(w, v) } + 1L)
+      }.toMap
+    val qr = compRank(Seq(1L -> 0.90, 2L -> 0.90, 3L -> 0.75, 4L -> 0.30,
+      5L -> 0.10, 6L -> 0.95))
+    val tr = compRank(Seq(1L -> 40L, 2L -> 40L, 3L -> 100L, 4L -> 12L,
+      5L -> 40L, 6L -> 7L))
+    got.foreach { case (id, (_, rq, rt, rrf)) =>
+      assert(rq === qr(id), s"quality rank doc $id")
+      assert(rt === tr(id), s"token rank doc $id")
+      assert(rrf === 1000000000000L / (60 + rq) + 1000000000000L / (60 + rt))
+    }
+    // ties share: docs 1 and 2 have identical ranks under BOTH signals
+    assert(got(1L)._2 === got(2L)._2 && got(1L)._3 === got(2L)._3)
+    // a null score fails loudly, not silently
+    val withNull = Seq((1L, Some(0.5)), (2L, None)).toDF("doc_id", "q")
+    val ex = intercept[Exception] {
+      TextAnalysis.rankFusion(withNull, "doc_id",
+        Seq(("q", col("q"), floor(coalesce(col("q"), lit(0.0)) * 4).cast("long")))).collect()
+    }
+    assert(ex.getMessage.contains("rankFusion") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rankFusion")))
+  }
+
+  test("length batch report: conservation, batch arithmetic, zero-waste degenerations") {
+    val corpus = (1 to 37).map { i =>
+      (i.toLong, Seq.fill(3 + (i % 29))("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val nt = TextAnalysis.tokenCount(col("text"))
+    val rep = Splits.lengthBatchReport(corpus, "doc_id", nt,
+        batchSize = 4, bucketWidth = 8, maxBucket = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // every doc lands in exactly one bucket; token mass is conserved
+    val lens = (1 to 37).map(i => 3L + (i % 29))
+    val byBucket = lens.groupBy(l => math.min(l / 8, 2L))
+    assert(rep.keySet === byBucket.keySet)
+    byBucket.foreach { case (bk, ls) =>
+      val (_, nBatches, nDocs, nTok, nPad, waste, permille) = rep(bk)
+      assert(nDocs === ls.size.toLong)
+      assert(nTok === ls.sum)
+      assert(nBatches === (ls.size + 3) / 4)
+      assert(nPad >= nTok && waste === nPad - nTok)
+      assert(permille === (if (nPad > 0) waste * 1000 / nPad else 0L))
+      // padded mass can never exceed every-row-pads-to-bucket-max
+      assert(nPad <= ls.size.toLong * ls.max)
+    }
+
+    // batchSize=1: nothing pads, waste is identically zero
+    Splits.lengthBatchReport(corpus, "doc_id", nt, batchSize = 1,
+        bucketWidth = 8, maxBucket = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .foreach { r => assert(r._5 === r._4 && r._6 === 0L && r._7 === 0L) }
+
+    // uniform lengths: padding to batch max is a no-op at any batch size
+    val uniform = (1 to 10).map(i => (i.toLong, "a b c d e")).toDF("doc_id", "text")
+    Splits.lengthBatchReport(uniform, "doc_id", nt, batchSize = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .foreach { r => assert(r._6 === 0L) }
+  }
 }
