@@ -509,6 +509,50 @@ object TextAnalysis {
       "redacted" -> red, "redacted_len" -> length(red).cast("long"))
   }
 
+  // ------------------------------------------------- secret scanning
+
+  /** Credential-secret patterns — the secret-scanning pass pretraining
+    * pipelines run over code-bearing crawls (the Dolma toolkit ships
+    * one; GitHub's secret-scanning patterns are the public reference
+    * point). All RE2-compatible (no lookaround) so the DuckDB oracle
+    * mirrors them verbatim. Envelope notes: the AWS pattern anchors
+    * both ends with `\b`, so a 17th key character kills the match
+    * rather than truncating it; the hex-token floor is 32 (MD5-sized)
+    * — short commit-ish prefixes stay; the assignment pattern requires
+    * a QUOTED value of ≥ 8 non-quote non-space chars, so prose like
+    * `password: hunter2` (unquoted, short) stays. */
+  val awsKeyRegex = "\\bAKIA[0-9A-Z]{16}\\b"
+  val pemKeyRegex = "-----BEGIN [A-Z ]{0,30}PRIVATE KEY-----"
+  val jwtRegex =
+    "\\beyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\b"
+  val secretAssignRegex =
+    "(?i)\\b(api[_-]?key|secret|token|passwd|password)\\s*[=:]\\s*[\"'][^\"'\\s]{8,}[\"']"
+  val hexTokenRegex = "\\b[0-9a-f]{32,}\\b"
+
+  /** Staged secret redaction, same chain discipline as
+    * [[redactPiiColumns]] (each stage counts on and rewrites the
+    * previous stage's output, so no span is double-redacted): PEM
+    * header → AWS key → JWT → quoted assignment → long hex. JWT runs
+    * BEFORE the assignment pattern on purpose — `token="eyJ…"` redacts
+    * the JWT itself first and the leftover `token="<JWT>"` is too
+    * short to re-fire the assignment stage, so the count attributes to
+    * the sharper pattern. Zero shuffles: pure scan-side column algebra. */
+  def redactSecretColumns(text: Column): Seq[(String, Column)] = {
+    val nPem = regexp_count(text, lit(pemKeyRegex)).cast("long")
+    val s1 = regexp_replace(text, pemKeyRegex, "<PRIVATE_KEY>")
+    val nAws = regexp_count(s1, lit(awsKeyRegex)).cast("long")
+    val s2 = regexp_replace(s1, awsKeyRegex, "<AWS_KEY>")
+    val nJwt = regexp_count(s2, lit(jwtRegex)).cast("long")
+    val s3 = regexp_replace(s2, jwtRegex, "<JWT>")
+    val nAssign = regexp_count(s3, lit(secretAssignRegex)).cast("long")
+    val s4 = regexp_replace(s3, secretAssignRegex, "<SECRET>")
+    val nHex = regexp_count(s4, lit(hexTokenRegex)).cast("long")
+    val red = regexp_replace(s4, hexTokenRegex, "<HEX_TOKEN>")
+    Seq("n_pem" -> nPem, "n_aws_keys" -> nAws, "n_jwts" -> nJwt,
+      "n_assignments" -> nAssign, "n_hex_tokens" -> nHex,
+      "redacted" -> red, "redacted_len" -> length(red).cast("long"))
+  }
+
   // ----------------------------------------------------- salient terms
 
   /** Per-document salient-term extraction (keyword mining for corpus
