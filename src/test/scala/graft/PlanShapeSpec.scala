@@ -627,4 +627,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"nothing pairwise in the rewrite:\n$p")
   }
+
+  test("corpus_unimax: one strata aggregate shuffle; water-filling windows see only strata rows") {
+    val p = plan("corpus_unimax")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1,
+      s"the corpus shuffles ONCE (the per-stratum total aggregate):\n$p")
+    assert("hashpartitioning\\(stratum#".r.findFirstIn(p).nonEmpty,
+      s"that exchange must key on stratum:\n$p")
+    // the ranking/prefix windows run on the strata-sized frame — a
+    // sanctioned bounded single partition ABOVE the aggregate, never on
+    // the full data
+    val sp = p.indexOf("Exchange SinglePartition")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert(sp >= 0 && sp < agg,
+      s"single-partition windows must sit above the strata aggregate:\n$p")
+  }
+
+  test("text_rank_fusion: per-signal bucket histograms + in-bucket rank windows, offsets broadcast") {
+    val p = plan("text_rank_fusion")
+    // per signal: one bucket-count aggregate + one in-bucket window
+    // exchange over the full data; the two rank frames then join on id —
+    // NO global sort anywhere, offsets come back as broadcasts
+    assert("windowspecdefinition\\(__b#".r.findFirstIn(p).nonEmpty,
+      s"ranks must compute inside per-bucket windows:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"bucket offsets must broadcast back to the big side:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global range sort in rank fusion:\n$p")
+  }
+
+  test("text_redact_secrets is a shuffle-free scan-side projection") {
+    val p = plan("text_redact_secrets")
+    assert(!p.contains("Exchange"), s"secret scanning must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"secret scanning must not join:\n$p")
+  }
+
+  test("corpus_length_batches: two-phase positions, batch/bucket rollups partial-aggregated") {
+    val p = plan("corpus_length_batches")
+    // full data shuffles on (stratum, __b) for positions, then the batch
+    // and bucket rollups re-key; every aggregate partial-aggregates below
+    // its exchange, and the offsets broadcast
+    assert("hashpartitioning\\(stratum#\\d+L?, __b#".r.findFirstIn(p).nonEmpty,
+      s"positions must compute under a (stratum, bucket) exchange:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"histogram offsets must broadcast back:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort in batch formation:\n$p")
+  }
 }
