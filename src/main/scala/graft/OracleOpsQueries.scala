@@ -1277,6 +1277,25 @@ object OracleOpsQueries {
       col("__nt"), col("budget"), salt = "umax", maxEpochs = 2)
   }
 
+  /** Heaps-curve gate: prefixes spanning well below to well above the
+    * sf0.01 corpus (~26k tokens), so interior points, the saturated
+    * tail (vocab_size = full vocabulary), and the sub-100-token head
+    * all appear. */
+  def corpusVocabGrowth(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusReport.vocabGrowth(Tables.documents(s, d), "doc_id",
+      "text", Seq(100L, 400L, 1600L, 6400L, 25600L, 102400L))
+
+  /** Novelty gate: held = every 10th doc. The synthetic corpus repeats
+    * sentence templates across docs, so held-out trigrams are largely
+    * SEEN (novelty well below 1000‰) while doc-specific tokens keep
+    * n_novel > 0 — both sides of the join contract fire. */
+  def corpusNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.ngramNovelty(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+  }
+
   /** RRF fusion of the quality ratio and the raw token count — two
     * signals on deliberately different scales (a [0,1] double and an
     * unbounded BIGINT), which is exactly the case rank fusion exists
@@ -1919,6 +1938,8 @@ object OracleOpsQueries {
     "corpus_length_batches" -> (corpusLengthBatches _),
     "text_rank_fusion" -> (textRankFusion _),
     "text_redact_secrets" -> (textRedactSecrets _),
+    "corpus_vocab_growth" -> (corpusVocabGrowth _),
+    "corpus_ngram_novelty" -> (corpusNgramNovelty _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -3302,6 +3323,39 @@ object OracleOpsQueries {
          |  regexp_replace(t4, '${TextAnalysis.hexTokenRegex}', '<HEX_TOKEN>', 'g') AS redacted,
          |  CAST(length(regexp_replace(t4, '${TextAnalysis.hexTokenRegex}', '<HEX_TOKEN>', 'g')) AS BIGINT) AS redacted_len
          |FROM r4""".stripMargin,
+    "corpus_vocab_growth" ->
+      s"""WITH $toksCte,
+         |base AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS nt,
+         |    ${h60("'vgrow_' || CAST(doc_id AS VARCHAR)")} AS rk
+         |  FROM toks),
+         |c AS (
+         |  SELECT doc_id, t,
+         |    CAST(COALESCE(SUM(nt) OVER (ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |  FROM base),
+         |occ AS (
+         |  SELECT doc_id, start, t,
+         |    unnest(generate_series(1, CAST(len(t) AS BIGINT))) AS i
+         |  FROM c),
+         |pos AS (SELECT ${h60("t[i]")} AS h, start + i AS p FROM occ),
+         |fst AS (SELECT h, MIN(p) AS f FROM pos GROUP BY h),
+         |thr AS (SELECT unnest([100, 400, 1600, 6400, 25600, 102400]) AS prefix_tokens)
+         |SELECT CAST(prefix_tokens AS BIGINT) AS prefix_tokens,
+         |  CAST(SUM(CASE WHEN f <= prefix_tokens THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size
+         |FROM fst, thr GROUP BY prefix_tokens""".stripMargin,
+    "corpus_ngram_novelty" ->
+      s"""WITH $shinglesCte,
+         |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+         |tr AS (SELECT DISTINCT h FROM shh WHERE doc_id % 10 != 0),
+         |hd AS (SELECT DISTINCT h FROM shh WHERE doc_id % 10 = 0),
+         |j AS (SELECT hd.h, tr.h AS th FROM hd LEFT JOIN tr ON hd.h = tr.h)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_held_distinct,
+         |  CAST(SUM(CASE WHEN th IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(CASE WHEN COUNT(*) > 0
+         |       THEN (SUM(CASE WHEN th IS NULL THEN 1 ELSE 0 END) * 1000) // COUNT(*)
+         |       ELSE 0 END AS BIGINT) AS novelty_permille
+         |FROM j""".stripMargin,
     "corpus_domain_cap" ->
       """WITH r AS (
         |  SELECT source AS key, doc_id, CAST(n_chars AS DOUBLE) AS score,

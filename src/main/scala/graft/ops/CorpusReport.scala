@@ -216,4 +216,44 @@ object CorpusReport {
         when(col("n_subwords") > 0,
           col("n_chars").cast("double") / col("n_subwords").cast("double"))
           .otherwise(lit(0.0)).as("chars_per_subword"))
+
+  /** Vocabulary-growth (Heaps-law) curve: distinct word types seen
+    * within the first P tokens of the corpus stream, for each requested
+    * prefix size — the tokenizer-budgeting evidence (how fast does the
+    * type inventory grow, where does it flatten) and the
+    * dataset-diversity check that a corpus card plots. The stream order
+    * is the reproducible salted-hash shuffle every stream op here uses
+    * ([[graft.ops.Splits.assignShards]] convention), so the curve is a
+    * property of the CORPUS, not of file layout or task scheduling.
+    *
+    * A type counts toward prefix P iff its FIRST occurrence position is
+    * ≤ P — so the whole curve needs exactly one first-occurrence table:
+    * exact global token positions from the two-phase prefix scaffold
+    * ([[graft.ops.Splits.globalPrefix]] — one full-data shuffle, no
+    * global sort), a min-position aggregate per token hash (map-side
+    * combined, vocabulary-sized result), then a thresholds × vocab
+    * explode of THAT small frame rolls up the curve. Positions are
+    * 1-based BIGINTs; tokens key on [[TextAnalysis.hash60]] so the
+    * vocabulary frame ships 8-byte longs, and the DuckDB oracle hashes
+    * identically. Returns (prefix_tokens, vocab_size). */
+  def vocabGrowth(df: DataFrame, id: String, text: String,
+                  prefixes: Seq[Long], salt: String = "vgrow"): DataFrame = {
+    require(prefixes.nonEmpty, "vocabGrowth needs at least one prefix size")
+    require(prefixes.forall(_ > 0), s"prefix sizes must be positive: $prefixes")
+    val pref = graft.ops.Splits.globalPrefix(
+      df.select(col(id), col(text)), id,
+      TextAnalysis.tokenCount(col(text)), salt)
+    val first = pref
+      .select(col("__start"),
+        posexplode(TextAnalysis.tokens(col(text))).as(Seq("__i", "__tok")))
+      .select(TextAnalysis.hash60(col("__tok")).as("h"),
+        (col("__start") + col("__i") + lit(1L)).as("__pos"))
+      .groupBy(col("h")).agg(min(col("__pos")).as("__first"))
+    first
+      .select(col("__first"),
+        explode(lit(prefixes.toArray)).as("prefix_tokens"))
+      .groupBy(col("prefix_tokens"))
+      .agg(sum(when(col("__first") <= col("prefix_tokens"), 1L)
+        .otherwise(0L)).as("vocab_size"))
+  }
 }

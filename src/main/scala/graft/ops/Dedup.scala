@@ -102,6 +102,35 @@ object Dedup {
       .select(col(id), explode(array_distinct(sh)).as("shingle"))
   }
 
+  /** Held-out n-gram novelty — the dataset-card "% novel n-grams"
+    * number (the memorization-risk proxy GPT-2/GPT-3 style cards
+    * report): of the held-out split's DISTINCT n-gram shingles, how
+    * many never occur in the train split. Low novelty means the
+    * held-out set mostly re-states training text and its eval numbers
+    * measure recall, not generalization.
+    *
+    * Shape at scale: both sides collapse to vocabulary-sized distinct
+    * hashed-shingle frames (one map-side-combined aggregate each, 8-byte
+    * keys only — [[hashedShingles]]); the left join between them keys on
+    * the same hash both sides are already partitioned by, so it adds no
+    * third exchange; the final count is a single map-side-combined row.
+    * The corpus text never shuffles. Returns one row
+    * (n_held_distinct, n_novel, novelty_permille) — the permille an
+    * exact BIGINT floor division. */
+  def ngramNovelty(train: DataFrame, held: DataFrame, id: String,
+                   text: String, n: Int = 3): DataFrame = {
+    val tr = hashedShingles(train, id, text, n).select(col("h")).distinct()
+      .withColumn("__seen", lit(1))
+    val hd = hashedShingles(held, id, text, n).select(col("h")).distinct()
+    hd.join(tr, Seq("h"), "left")
+      .agg(count(lit(1)).as("n_held_distinct"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("n_held_distinct"), col("n_novel"),
+        when(col("n_held_distinct") > 0,
+          expr("(n_novel * 1000L) DIV n_held_distinct"))
+          .otherwise(lit(0L)).as("novelty_permille"))
+  }
+
   /** Corpus-wide boilerplate shingle mining: the distinct-per-doc n-gram
     * shingles whose document frequency is ≥ `minDf` — the actual STRINGS
     * (unlike [[hashedShingles]]' longs), because the point is a human- or

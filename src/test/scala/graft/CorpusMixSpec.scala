@@ -255,6 +255,48 @@ class CorpusMixSpec extends SparkSpec {
     assert(g200("c") === 65L && g200("d") === 65L)
   }
 
+  test("vocab growth: exact single-doc curve, corpus-level monotone saturation") {
+    import graft.ops.CorpusReport
+    // one doc => stream order is trivial and the curve is hand-checkable
+    val one = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val curve = CorpusReport.vocabGrowth(one, "doc_id", "text",
+        Seq(1L, 2L, 3L, 4L, 100L))
+      .as[(Long, Long)].collect().toMap
+    assert(curve === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 100L -> 3L))
+
+    // multi-doc: the curve is monotone non-decreasing and saturates at
+    // the true distinct-type count once the prefix covers the corpus
+    val multi = docs.select(col("doc_id"), col("text"))
+    val c2 = CorpusReport.vocabGrowth(multi, "doc_id", "text",
+        Seq(5L, 20L, 40L, 10000L))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(c2.map(_._2).sliding(2).forall(w => w(0) <= w(1)), c2.mkString(","))
+    val totalTypes = multi
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(countDistinct(col("t"))).as[Long].head()
+    assert(c2.last._2 === totalTypes)
+    assert(c2.head._2 >= 1L && c2.head._2 <= 5L)
+  }
+
+  test("ngram novelty: hand-checked split, all-seen and all-novel degenerations") {
+    import graft.ops.Dedup
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val held = Seq((2L, "a b c x y z")).toDF("doc_id", "text")
+    // held trigrams: {a b c, b c x, c x y, x y z}; train has {a b c,
+    // b c d, c d e} => 3 of 4 novel
+    val r = Dedup.ngramNovelty(train, held, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].head()
+    assert(r === ((4L, 3L, 750L)))
+    // identical corpora: nothing novel; disjoint: everything novel
+    val same = Dedup.ngramNovelty(train, train, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].head()
+    assert(same === ((3L, 0L, 0L)))
+    val disj = Dedup.ngramNovelty(train,
+      Seq((3L, "p q r s")).toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].head()
+    assert(disj === ((2L, 2L, 1000L)))
+  }
+
   test("rank fusion: competition ranks survive bucket clamping, ties share, rrf is exact") {
     // scores with ties, and a bucket that CLAMPS (merges the top range)
     val rows = Seq(
