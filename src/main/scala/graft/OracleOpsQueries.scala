@@ -1277,6 +1277,14 @@ object OracleOpsQueries {
       col("__nt"), col("budget"), salt = "umax", maxEpochs = 2)
   }
 
+  /** FIM gate at the paper's 50% rate: ~half the sf0.01 docs transform;
+    * hash-derived cuts over ~20–90-token docs land empty prefixes,
+    * middles, and suffixes as well as interior splits, so every segment
+    * shape appears. */
+  def corpusFim(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.fimExamples(Tables.documents(s, d), "doc_id", "text",
+      fimPermille = 500)
+
   /** Heaps-curve gate: prefixes spanning well below to well above the
     * sf0.01 corpus (~26k tokens), so interior points, the saturated
     * tail (vocab_size = full vocabulary), and the sub-100-token head
@@ -1940,6 +1948,7 @@ object OracleOpsQueries {
     "text_redact_secrets" -> (textRedactSecrets _),
     "corpus_vocab_growth" -> (corpusVocabGrowth _),
     "corpus_ngram_novelty" -> (corpusNgramNovelty _),
+    "corpus_fim" -> (corpusFim _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -3356,6 +3365,33 @@ object OracleOpsQueries {
          |       THEN (SUM(CASE WHEN th IS NULL THEN 1 ELSE 0 END) * 1000) // COUNT(*)
          |       ELSE 0 END AS BIGINT) AS novelty_permille
          |FROM j""".stripMargin,
+    "corpus_fim" ->
+      s"""WITH $toksCte,
+         |k AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |    (${h60("'fim_r_' || CAST(doc_id AS VARCHAR)")} % 1000) < 500 AS isfim
+         |  FROM toks),
+         |c AS (
+         |  SELECT doc_id, t, n, isfim,
+         |    CASE WHEN isfim
+         |      THEN ${h60("'fim_a_' || CAST(doc_id AS VARCHAR)")} % (n + 1)
+         |      ELSE 0 END AS c1
+         |  FROM k),
+         |c2t AS (
+         |  SELECT doc_id, t, n, isfim, c1,
+         |    CASE WHEN isfim
+         |      THEN c1 + ${h60("'fim_b_' || CAST(doc_id AS VARCHAR)")} % (n - c1 + 1)
+         |      ELSE 0 END AS c2
+         |  FROM c)
+         |SELECT doc_id, n AS n_tokens, CAST(c1 AS BIGINT) AS c1,
+         |  CAST(c2 AS BIGINT) AS c2,
+         |  CASE WHEN isfim THEN 'fim' ELSE 'plain' END AS mode,
+         |  CASE WHEN isfim THEN
+         |    '<PRE>' || COALESCE(array_to_string(t[1:CAST(c1 AS BIGINT)], ' '), '')
+         |      || '<SUF>' || COALESCE(array_to_string(t[CAST(c2 + 1 AS BIGINT):CAST(n AS BIGINT)], ' '), '')
+         |      || '<MID>' || COALESCE(array_to_string(t[CAST(c1 + 1 AS BIGINT):CAST(c2 AS BIGINT)], ' '), '')
+         |  ELSE COALESCE(array_to_string(t, ' '), '') END AS example
+         |FROM c2t""".stripMargin,
     "corpus_domain_cap" ->
       """WITH r AS (
         |  SELECT source AS key, doc_id, CAST(n_chars AS DOUBLE) AS score,

@@ -208,4 +208,53 @@ object Packing {
       .withColumn("waste_tokens",
         when(col("has_oversize") === 1, lit(0L))
           .otherwise(lit(maxTokens.toLong) - col("fill_tokens")))
+
+  /** Fill-in-the-middle example construction (Bavarian et al. 2022,
+    * arXiv:2207.14255 — "FIM"): split each document's token stream at
+    * two deterministic cut points and emit the PSM layout
+    * `<PRE>prefix<SUF>suffix<MID>middle`, teaching a causal model to
+    * infill. `fimPermille` of documents transform (the paper's
+    * ~50–90% FIM rate); the rest pass through verbatim (`mode =
+    * 'plain'`) — the mix is the published recipe, and which documents
+    * transform is a pure hash of (salt, id), so the dataset is
+    * reproducible and the oracle recomputes it bit-for-bit.
+    *
+    * Cuts: `c1 = h(salt,a,id) mod (n+1)`, `c2 = c1 + h(salt,b,id) mod
+    * (n−c1+1)` — both ends inclusive of the empty-segment cases, so
+    * empty prefixes/middles/suffixes all occur (the model must learn
+    * them; the gate corpus exercises each). Sentinels are literal
+    * pseudo-tokens here — a real run maps them to reserved vocab ids
+    * downstream.
+    *
+    * Scale shape: ONE scan-side projection — tokens materialize once,
+    * the three slices are row-local array ops, no shuffle, no join.
+    * Returns (id, n_tokens, c1, c2, mode, example). */
+  def fimExamples(df: DataFrame, id: String, text: String,
+                  fimPermille: Int = 500, salt: String = "fim"): DataFrame = {
+    require(fimPermille >= 0 && fimPermille <= 1000,
+      s"fimPermille must be in [0, 1000], got $fimPermille")
+    def h(tag: String) = TextAnalysis.hash60(
+      concat_ws("_", lit(salt), lit(tag), col(id).cast("string")))
+    val t = col("__t")
+    df.select(col(id), TextAnalysis.tokens(col(text)).as("__t"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("__fim", h("r") % 1000 < fimPermille)
+      .withColumn("c1", when(col("__fim"), h("a") % (col("n_tokens") + 1L))
+        .otherwise(lit(0L)))
+      .withColumn("c2", when(col("__fim"),
+          col("c1") + h("b") % (col("n_tokens") - col("c1") + 1L))
+        .otherwise(lit(0L)))
+      .select(col(id), col("n_tokens"), col("c1"), col("c2"),
+        when(col("__fim"), lit("fim")).otherwise(lit("plain")).as("mode"),
+        when(col("__fim"), concat(
+            lit("<PRE>"), concat_ws(" ",
+              slice(t, lit(1), col("c1").cast("int"))),
+            lit("<SUF>"), concat_ws(" ",
+              slice(t, (col("c2") + 1L).cast("int"),
+                (col("n_tokens") - col("c2")).cast("int"))),
+            lit("<MID>"), concat_ws(" ",
+              slice(t, (col("c1") + 1L).cast("int"),
+                (col("c2") - col("c1")).cast("int")))))
+          .otherwise(concat_ws(" ", t)).as("example"))
+  }
 }

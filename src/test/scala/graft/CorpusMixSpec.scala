@@ -255,6 +255,45 @@ class CorpusMixSpec extends SparkSpec {
     assert(g200("c") === 65L && g200("d") === 65L)
   }
 
+  test("fim examples: PSM segments reconstruct the document, plain rows pass through") {
+    import graft.ops.Packing
+    val corpus = (1 to 60).map { i =>
+      (i.toLong, Seq.tabulate(2 + i % 9)(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Packing.fimExamples(corpus, "doc_id", "text", fimPermille = 500)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    assert(out.length === 60)
+    val texts = corpus.as[(Long, String)].collect().toMap
+    val psm = "<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+    out.foreach { case (id, n, c1, c2, mode, ex) =>
+      assert(n === texts(id).split(" ").length.toLong)
+      if (mode == "plain") {
+        assert(c1 === 0L && c2 === 0L && ex === texts(id))
+      } else {
+        assert(0L <= c1 && c1 <= c2 && c2 <= n, s"cuts ordered for doc $id")
+        ex match {
+          case psm(pre, suf, mid) =>
+            // prefix ++ middle ++ suffix is the original token stream
+            val rebuilt = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+            assert(rebuilt === texts(id), s"reconstruction for doc $id")
+            assert(pre.split(" ").count(_.nonEmpty).toLong === c1)
+            assert(mid.split(" ").count(_.nonEmpty).toLong === c2 - c1)
+          case _ => fail(s"doc $id: PSM layout missing: $ex")
+        }
+      }
+    }
+    // both modes occur at the 50% rate, and some fim doc has a non-empty
+    // middle (the transform is non-vacuous)
+    val modes = out.groupBy(_._5).view.mapValues(_.length).toMap
+    assert(modes.getOrElse("fim", 0) > 10 && modes.getOrElse("plain", 0) > 10)
+    assert(out.exists(r => r._5 == "fim" && r._4 > r._3))
+    // permille 0 / 1000 degenerate to all-plain / all-fim
+    assert(Packing.fimExamples(corpus, "doc_id", "text", 0)
+      .filter(col("mode") === "fim").count() === 0L)
+    assert(Packing.fimExamples(corpus, "doc_id", "text", 1000)
+      .filter(col("mode") === "plain").count() === 0L)
+  }
+
   test("vocab growth: exact single-doc curve, corpus-level monotone saturation") {
     import graft.ops.CorpusReport
     // one doc => stream order is trivial and the curve is hand-checkable
