@@ -1285,6 +1285,14 @@ object OracleOpsQueries {
     graft.ops.Packing.fimExamples(Tables.documents(s, d), "doc_id", "text",
       fimPermille = 500)
 
+  /** Span-corruption gate at the paper's 15% rate with span length 3:
+    * over the sf0.01 docs every shape occurs — multi-span documents,
+    * adjacent-block merges, tail-shortened spans, and fully unmasked
+    * docs (inputs = text, targets = the bare terminal sentinel). */
+  def corpusSpanCorruption(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.spanCorruption(Tables.documents(s, d), "doc_id",
+      "text", noisePermille = 150, spanLen = 3)
+
   /** Heaps-curve gate: prefixes spanning well below to well above the
     * sf0.01 corpus (~26k tokens), so interior points, the saturated
     * tail (vocab_size = full vocabulary), and the sub-100-token head
@@ -1949,6 +1957,7 @@ object OracleOpsQueries {
     "corpus_vocab_growth" -> (corpusVocabGrowth _),
     "corpus_ngram_novelty" -> (corpusNgramNovelty _),
     "corpus_fim" -> (corpusFim _),
+    "corpus_span_corruption" -> (corpusSpanCorruption _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -3392,6 +3401,42 @@ object OracleOpsQueries {
          |      || '<MID>' || COALESCE(array_to_string(t[CAST(c1 + 1 AS BIGINT):CAST(c2 AS BIGINT)], ' '), '')
          |  ELSE COALESCE(array_to_string(t, ' '), '') END AS example
          |FROM c2t""".stripMargin,
+    "corpus_span_corruption" ->
+      s"""WITH $toksCte,
+         |k AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks),
+         |occ AS (
+         |  SELECT doc_id, t, n,
+         |    unnest(generate_series(1, CAST(n AS BIGINT))) AS i
+         |  FROM k),
+         |o3 AS (
+         |  SELECT doc_id, i, t[i] AS tok,
+         |    (${h60("'t5_' || CAST(doc_id AS VARCHAR) || '_' || CAST((i - 1) // 3 AS VARCHAR)")} % 1000) < 150 AS m
+         |  FROM occ),
+         |o4 AS (
+         |  SELECT *, m AND NOT COALESCE(LAG(m) OVER (PARTITION BY doc_id ORDER BY i), false) AS s
+         |  FROM o3),
+         |o5 AS (
+         |  SELECT *,
+         |    SUM(CASE WHEN s THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i) - 1 AS kk
+         |  FROM o4),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+         |    CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+         |    string_agg(CASE WHEN NOT m THEN tok
+         |               WHEN s THEN '<X' || CAST(kk AS VARCHAR) || '>' END,
+         |               ' ' ORDER BY i) AS inp,
+         |    string_agg(CASE WHEN s THEN '<X' || CAST(kk AS VARCHAR) || '> ' || tok
+         |               WHEN m THEN tok END, ' ' ORDER BY i) AS tg
+         |  FROM o5 GROUP BY doc_id)
+         |SELECT k.doc_id, k.n AS n_tokens,
+         |  CAST(COALESCE(a.ns, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(a.nm, 0) AS BIGINT) AS n_masked,
+         |  COALESCE(a.inp, '') AS inputs,
+         |  CASE WHEN a.tg IS NULL OR a.tg = ''
+         |       THEN '<X' || CAST(COALESCE(a.ns, 0) AS VARCHAR) || '>'
+         |       ELSE a.tg || ' <X' || CAST(a.ns AS VARCHAR) || '>' END AS targets
+         |FROM k LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "corpus_domain_cap" ->
       """WITH r AS (
         |  SELECT source AS key, doc_id, CAST(n_chars AS DOUBLE) AS score,

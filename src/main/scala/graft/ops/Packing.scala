@@ -209,6 +209,74 @@ object Packing {
         when(col("has_oversize") === 1, lit(0L))
           .otherwise(lit(maxTokens.toLong) - col("fill_tokens")))
 
+  /** T5-style span corruption (Raffel et al., JMLR 2020 §3.1.4): mask
+    * ~`noisePermille`‰ of each document's tokens in spans of
+    * `spanLen`, replace each span with a numbered sentinel in the
+    * inputs, and emit the masked spans behind their sentinels (plus the
+    * terminal sentinel) as the targets — the denoising-objective data
+    * prep. The randomness is a pure hash of (salt, doc, block): token
+    * position i belongs to block ⌊(i−1)/spanLen⌋ and the whole block
+    * masks iff its hash clears the noise threshold, so spans are
+    * spanLen long (longer when adjacent blocks both mask, shorter at
+    * the document tail), the corruption RATE is exact in expectation,
+    * and the oracle regenerates the dataset bit-for-bit — no RNG state
+    * to ship.
+    *
+    * Sentinels: `<X0>`, `<X1>`, … in span order within the document;
+    * targets end with the terminal `<Xn_spans>` (the T5 convention an
+    * unmasked or empty document reduces to: inputs = text, targets =
+    * `<X0>`). Literal pseudo-tokens, like [[fimExamples]]'s.
+    *
+    * Scale shape: positions explode to rows, ONE full-data exchange
+    * keyed on the doc id serves the lag/running-count windows AND the
+    * rebuild aggregate (same partitioning, no second shuffle); order
+    * inside the rebuilt strings comes from sorting each document's own
+    * collected (position, piece) array, never from a global sort. The
+    * (id, n_tokens) join back restores token-less documents. Returns
+    * (id, n_tokens, n_spans, n_masked, inputs, targets). */
+  def spanCorruption(df: DataFrame, id: String, text: String,
+                     noisePermille: Int = 150, spanLen: Int = 3,
+                     salt: String = "t5"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(noisePermille >= 0 && noisePermille <= 1000,
+      s"noisePermille must be in [0, 1000], got $noisePermille")
+    require(spanLen > 0, s"spanLen must be positive, got $spanLen")
+    val base = df.select(col(id), TextAnalysis.tokens(col(text)).as("__t"))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+    val w = Window.partitionBy(col(id)).orderBy(col("__i"))
+    val occ = base
+      .select(col(id), posexplode(col("__t")).as(Seq("__i0", "__tok")))
+      .withColumn("__i", col("__i0") + 1L)
+      .withColumn("__m", TextAnalysis.hash60(concat_ws("_", lit(salt),
+          col(id).cast("string"),
+          expr(s"(__i - 1L) DIV ${spanLen}L").cast("string"))) % 1000
+        < noisePermille)
+      .withColumn("__start", col("__m") && !lag(col("__m"), 1, false).over(w))
+      .withColumn("__k",
+        sum(when(col("__start"), 1L).otherwise(0L)).over(w) - 1L)
+    val inPiece = when(!col("__m"), col("__tok"))
+      .when(col("__start"), concat(lit("<X"), col("__k"), lit(">")))
+    val tgtPiece = when(col("__start"),
+        concat(lit("<X"), col("__k"), lit("> "), col("__tok")))
+      .when(col("__m"), col("__tok"))
+    def ordered(piece: Column) = concat_ws(" ",
+      transform(array_sort(collect_list(when(piece.isNotNull,
+        struct(col("__i").as("i"), piece.as("p"))))), s => s.getField("p")))
+    val agg = occ.groupBy(col(id)).agg(
+      sum(when(col("__start"), 1L).otherwise(0L)).as("__ns"),
+      sum(when(col("__m"), 1L).otherwise(0L)).as("__nm"),
+      ordered(inPiece).as("__in"), ordered(tgtPiece).as("__tg"))
+    base.select(col(id), col("n_tokens")).join(agg, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("__ns"), lit(0L)).as("n_spans"),
+        coalesce(col("__nm"), lit(0L)).as("n_masked"),
+        coalesce(col("__in"), lit("")).as("inputs"),
+        when(coalesce(col("__tg"), lit("")) === "",
+          concat(lit("<X"), coalesce(col("__ns"), lit(0L)), lit(">")))
+          .otherwise(concat(col("__tg"), lit(" <X"), col("__ns"), lit(">")))
+          .as("targets"))
+  }
+
   /** Fill-in-the-middle example construction (Bavarian et al. 2022,
     * arXiv:2207.14255 — "FIM"): split each document's token stream at
     * two deterministic cut points and emit the PSM layout

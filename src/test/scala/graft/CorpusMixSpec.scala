@@ -255,6 +255,49 @@ class CorpusMixSpec extends SparkSpec {
     assert(g200("c") === 65L && g200("d") === 65L)
   }
 
+  test("span corruption: splicing targets back into inputs reconstructs every document") {
+    import graft.ops.Packing
+    val corpus = ((1 to 50).map { i =>
+      (i.toLong, Seq.tabulate(1 + i % 17)(j => s"w${i}_$j").mkString(" "))
+    } :+ (99L, "")).toDF("doc_id", "text")
+    val out = Packing.spanCorruption(corpus, "doc_id", "text",
+        noisePermille = 300, spanLen = 3)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    assert(out.length === 51)
+    val texts = corpus.as[(Long, String)].collect().toMap
+    out.foreach { case (id, n, ns, nm, inputs, targets) =>
+      // targets parse as <X0> span0 <X1> span1 ... <Xns>
+      val sentinelSplit = targets.split("<X\\d+>", -1).map(_.trim)
+      assert(sentinelSplit.head === "", s"targets must start with a sentinel: $targets")
+      val spans = sentinelSplit.tail.dropRight(1)
+      assert(spans.length.toLong === ns, s"doc $id span count")
+      assert(sentinelSplit.last === "", s"targets must end with the terminal sentinel")
+      assert(spans.map(_.split(" ").count(_.nonEmpty)).sum.toLong === nm)
+      assert(spans.forall(_.nonEmpty), s"doc $id: no empty spans")
+      // replace <Xk> in inputs by span k => the original text
+      var rebuilt = inputs
+      spans.zipWithIndex.foreach { case (sp, k) =>
+        rebuilt = rebuilt.replace(s"<X$k>", sp)
+      }
+      assert(rebuilt === texts(id), s"doc $id reconstruction")
+      assert(nm <= n && ns <= nm)
+    }
+    // degenerations: 0 => untouched; 1000 => one whole-document span
+    Packing.spanCorruption(corpus, "doc_id", "text", 0, 3)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+      .foreach { case (id, _, ns, nm, inputs, targets) =>
+        assert(ns === 0L && nm === 0L && inputs === texts(id) && targets === "<X0>")
+      }
+    Packing.spanCorruption(corpus, "doc_id", "text", 1000, 3)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+      .foreach { case (id, n, ns, nm, inputs, targets) =>
+        if (n > 0) {
+          assert(ns === 1L && nm === n && inputs === "<X0>")
+          assert(targets === s"<X0> ${texts(id)} <X1>")
+        } else assert(ns === 0L && inputs === "" && targets === "<X0>")
+      }
+  }
+
   test("fim examples: PSM segments reconstruct the document, plain rows pass through") {
     import graft.ops.Packing
     val corpus = (1 to 60).map { i =>
