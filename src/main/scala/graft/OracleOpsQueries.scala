@@ -1285,6 +1285,13 @@ object OracleOpsQueries {
     graft.ops.Packing.fimExamples(Tables.documents(s, d), "doc_id", "text",
       fimPermille = 500)
 
+  /** Contrastive-crop gate at 60% crop length: sf0.01 docs are 20–90
+    * tokens, so overlapping AND disjoint pairs both occur and the min-1
+    * floor fires on the shortest docs. */
+  def corpusCropPairs(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.cropPairs(Tables.documents(s, d), "doc_id", "text",
+      cropPermille = 600)
+
   /** Span-corruption gate at the paper's 15% rate with span length 3:
     * over the sf0.01 docs every shape occurs — multi-span documents,
     * adjacent-block merges, tail-shortened spans, and fully unmasked
@@ -1958,6 +1965,7 @@ object OracleOpsQueries {
     "corpus_ngram_novelty" -> (corpusNgramNovelty _),
     "corpus_fim" -> (corpusFim _),
     "corpus_span_corruption" -> (corpusSpanCorruption _),
+    "corpus_crop_pairs" -> (corpusCropPairs _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -3437,6 +3445,26 @@ object OracleOpsQueries {
          |       THEN '<X' || CAST(COALESCE(a.ns, 0) AS VARCHAR) || '>'
          |       ELSE a.tg || ' <X' || CAST(a.ns AS VARCHAR) || '>' END AS targets
          |FROM k LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "corpus_crop_pairs" ->
+      s"""WITH $toksCte,
+         |k AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks
+         |  WHERE len(t) > 0),
+         |c AS (
+         |  SELECT doc_id, t, n,
+         |    greatest((n * 600) // 1000, 1) AS cl
+         |  FROM k),
+         |st AS (
+         |  SELECT doc_id, t, n, cl,
+         |    ${h60("'crop_a_' || CAST(doc_id AS VARCHAR)")} % (n - cl + 1) AS sa,
+         |    ${h60("'crop_b_' || CAST(doc_id AS VARCHAR)")} % (n - cl + 1) AS sb
+         |  FROM c)
+         |SELECT doc_id, n AS n_tokens, CAST(cl AS BIGINT) AS crop_len,
+         |  CAST(sa AS BIGINT) AS start_a, CAST(sb AS BIGINT) AS start_b,
+         |  CAST(greatest(0, least(sa, sb) + cl - greatest(sa, sb)) AS BIGINT) AS overlap_tokens,
+         |  COALESCE(array_to_string(t[CAST(sa + 1 AS BIGINT):CAST(sa + cl AS BIGINT)], ' '), '') AS crop_a,
+         |  COALESCE(array_to_string(t[CAST(sb + 1 AS BIGINT):CAST(sb + cl AS BIGINT)], ' '), '') AS crop_b
+         |FROM st""".stripMargin,
     "corpus_domain_cap" ->
       """WITH r AS (
         |  SELECT source AS key, doc_id, CAST(n_chars AS DOUBLE) AS score,

@@ -209,6 +209,47 @@ object Packing {
         when(col("has_oversize") === 1, lit(0L))
           .otherwise(lit(maxTokens.toLong) - col("fill_tokens")))
 
+  /** Independent-cropping contrastive pairs (Izacard et al. 2022,
+    * "Contriever", §3: two independent random crops of one document
+    * form a positive pair for unsupervised dense-retriever training).
+    * Crop length is `cropPermille`‰ of the document (floor, min 1
+    * token); the two start offsets are independent hashes of
+    * (salt, a|b, id), so the dataset is reproducible and the oracle
+    * regenerates it exactly. `overlap_tokens` (the span intersection,
+    * exact integers) is emitted because the crop-overlap distribution
+    * is the knob that trades false positives against task difficulty —
+    * the audit a retriever team actually reads before training.
+    *
+    * Token-less documents are dropped (no crop exists; the oracle
+    * mirrors the filter). One scan-side projection: tokens materialize
+    * once, both crops are row-local slices, no shuffle. Returns
+    * (id, n_tokens, crop_len, start_a, start_b, overlap_tokens,
+    * crop_a, crop_b) — starts 0-based. */
+  def cropPairs(df: DataFrame, id: String, text: String,
+                cropPermille: Int = 600, salt: String = "crop"): DataFrame = {
+    require(cropPermille > 0 && cropPermille <= 1000,
+      s"cropPermille must be in (0, 1000], got $cropPermille")
+    def h(tag: String) = TextAnalysis.hash60(
+      concat_ws("_", lit(salt), lit(tag), col(id).cast("string")))
+    val t = col("__t")
+    df.select(col(id), TextAnalysis.tokens(col(text)).as("__t"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("crop_len",
+        greatest(expr(s"(n_tokens * ${cropPermille}L) DIV 1000L"), lit(1L)))
+      .withColumn("start_a", h("a") % (col("n_tokens") - col("crop_len") + 1L))
+      .withColumn("start_b", h("b") % (col("n_tokens") - col("crop_len") + 1L))
+      .select(col(id), col("n_tokens"), col("crop_len"),
+        col("start_a"), col("start_b"),
+        greatest(lit(0L),
+          least(col("start_a"), col("start_b")) + col("crop_len") -
+            greatest(col("start_a"), col("start_b"))).as("overlap_tokens"),
+        concat_ws(" ", slice(t, (col("start_a") + 1L).cast("int"),
+          col("crop_len").cast("int"))).as("crop_a"),
+        concat_ws(" ", slice(t, (col("start_b") + 1L).cast("int"),
+          col("crop_len").cast("int"))).as("crop_b"))
+  }
+
   /** T5-style span corruption (Raffel et al., JMLR 2020 §3.1.4): mask
     * ~`noisePermille`‰ of each document's tokens in spans of
     * `spanLen`, replace each span with a numbered sentinel in the

@@ -255,6 +255,31 @@ class CorpusMixSpec extends SparkSpec {
     assert(g200("c") === 65L && g200("d") === 65L)
   }
 
+  test("crop pairs: both crops are true slices, overlap arithmetic exact, empty docs dropped") {
+    import graft.ops.Packing
+    val corpus = ((1 to 40).map { i =>
+      (i.toLong, Seq.tabulate(1 + i % 13)(j => s"w${i}_$j").mkString(" "))
+    } :+ (99L, "")).toDF("doc_id", "text")
+    val out = Packing.cropPairs(corpus, "doc_id", "text", cropPermille = 600)
+      .as[(Long, Long, Long, Long, Long, Long, String, String)].collect()
+    assert(out.length === 40, "the token-less doc must be dropped")
+    val toks = corpus.as[(Long, String)].collect().toMap
+      .view.mapValues(_.split(" ").filter(_.nonEmpty).toSeq).toMap
+    out.foreach { case (id, n, cl, sa, sb, ov, ca, cb) =>
+      val ts = toks(id)
+      assert(n === ts.length.toLong)
+      assert(cl === math.max(n * 600 / 1000, 1L))
+      assert(sa >= 0 && sa + cl <= n && sb >= 0 && sb + cl <= n)
+      assert(ca === ts.slice(sa.toInt, (sa + cl).toInt).mkString(" "))
+      assert(cb === ts.slice(sb.toInt, (sb + cl).toInt).mkString(" "))
+      assert(ov === math.max(0L, math.min(sa, sb) + cl - math.max(sa, sb)))
+    }
+    // the distribution knob is non-vacuous: overlapping pairs occur, and
+    // single-token docs get the min-1 crop
+    assert(out.exists(_._6 > 0))
+    assert(out.filter(_._2 === 1L).forall(r => r._3 === 1L && r._6 === 1L))
+  }
+
   test("span corruption: splicing targets back into inputs reconstructs every document") {
     import graft.ops.Packing
     val corpus = ((1 to 50).map { i =>
