@@ -628,6 +628,29 @@ class PlanShapeSpec extends SparkSpec {
       s"nothing pairwise in the rewrite:\n$p")
   }
 
+  test("fim and crop-pair construction are shuffle-free scan-side projections") {
+    Seq("corpus_fim", "corpus_crop_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
+  test("corpus_span_corruption: one doc-keyed exchange serves windows and rebuild; base joins on it") {
+    val p = plan("corpus_span_corruption")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    // the exploded positions shuffle ONCE on doc_id (windows + the
+    // rebuild aggregate share it); the (id, n_tokens) restore side
+    // broadcasts at gate SF (a second doc-keyed shuffle at scale) —
+    // nothing else may exchange
+    assert(shuffles >= 1 && shuffles <= 2,
+      s"expected only the doc-keyed shuffle(s):\n$p")
+    assert("windowspecdefinition\\(doc_id#".r.findFirstIn(p).nonEmpty,
+      s"windows must partition by the doc id:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort in span corruption:\n$p")
+  }
+
   test("corpus_unimax: one strata aggregate shuffle; water-filling windows see only strata rows") {
     val p = plan("corpus_unimax")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
