@@ -1285,6 +1285,32 @@ object OracleOpsQueries {
     graft.ops.Packing.fimExamples(Tables.documents(s, d), "doc_id", "text",
       fimPermille = 500)
 
+  /** Rank-fusion-scored curation, composed end to end: fuse the quality
+    * ratio and token count by RRF ([[textRankFusion]]'s exact setup),
+    * normalize the fused BIGINT to [0, 1] with ONE IEEE division by the
+    * maximum possible fusion (2·⌊scale/(k+1)⌋ — both operands exactly
+    * representable, so the double is bit-identical cross-engine), and
+    * keep the best docs per language under a token budget. Gates the
+    * COMPOSITION: fused ties (same ranks under both signals) break by
+    * doc id inside the curation window in BOTH engines. */
+  def corpusRrfBudget(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        q.as("__q"), TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .localCheckpoint(true)
+    val fused = TextAnalysis.rankFusion(docs, "doc_id", Seq(
+      ("quality", col("__q"), floor(col("__q") * 64).cast("long")),
+      ("tokens", col("__nt"), least(expr("__nt DIV 8"), lit(32L)))))
+    val maxRrf = 2.0 * (1000000000000L / 61L).toDouble
+    val scored = docs
+      .join(fused.select(col("doc_id"), col("rrf_score")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        (col("rrf_score").cast("double") / lit(maxRrf)).as("__s"), col("__nt"))
+    graft.ops.Splits.qualityBudgetSample(scored, "doc_id", col("lang"),
+      col("__s"), col("__nt"),
+      when(col("lang") === "en", lit(5000L)).otherwise(lit(2000L)))
+  }
+
   /** Contrastive-crop gate at 60% crop length: sf0.01 docs are 20–90
     * tokens, so overlapping AND disjoint pairs both occur and the min-1
     * floor fires on the shortest docs. */
@@ -1966,6 +1992,7 @@ object OracleOpsQueries {
     "corpus_fim" -> (corpusFim _),
     "corpus_span_corruption" -> (corpusSpanCorruption _),
     "corpus_crop_pairs" -> (corpusCropPairs _),
+    "corpus_rrf_budget" -> (corpusRrfBudget _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -5118,6 +5145,33 @@ object OracleOpsQueries {
          |  CAST(1000000000000 // (60 + rank_quality)
          |     + 1000000000000 // (60 + rank_tokens) AS BIGINT) AS rrf_score
          |FROM r""".stripMargin,
+    "corpus_rrf_budget" ->
+      s"""WITH $toksCte,
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars2,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+         |  FROM toks),
+         |s0 AS (
+         |  SELECT doc_id,
+         |    ${qualityExprSql("n_tokens", "n_stopwords", "n_punct", "n_chars2")} AS q,
+         |    n_tokens
+         |  FROM feat),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(RANK() OVER (ORDER BY q DESC) AS BIGINT) AS rq,
+         |    CAST(RANK() OVER (ORDER BY n_tokens DESC) AS BIGINT) AS rt
+         |  FROM s0),
+         |s AS (
+         |  SELECT r.doc_id, d.lang AS stratum,
+         |    CAST(1000000000000 // (60 + rq) + 1000000000000 // (60 + rt) AS DOUBLE)
+         |      / CAST((1000000000000 // 61) * 2 AS DOUBLE) AS score,
+         |    r.n_tokens,
+         |    CASE WHEN d.lang = 'en' THEN 5000 ELSE 2000 END AS budget
+         |  FROM r JOIN documents d USING (doc_id)),
+         |${budgetCurationSql("s")}""".stripMargin,
     "corpus_quality_budget" ->
       s"""WITH $toksCte,
          |feat AS (
