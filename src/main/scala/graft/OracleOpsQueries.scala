@@ -1464,6 +1464,24 @@ object OracleOpsQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, threshold = 0.5)
 
+  /** Containment gate with planted quote-and-extend docs: every 17th doc
+    * appends the NEXT doc's full text (mirrored LEFT self-join), so
+    * (k, k+1) pairs exist with containment = 1 but Jaccard ≈ 0.5 —
+    * exactly the asymmetric short-in-long case the Jaccard gate's 0.5
+    * threshold misses and this op exists to catch. Cap-free at this SF,
+    * same reasoning as [[dedupNgramJaccard]]. */
+  def dedupNgramContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val nxt = docs.select(col("doc_id").as("__src"), col("text").as("__t2"))
+    val planted = docs.join(broadcast(nxt),
+        col("doc_id") + 1 === col("__src") && col("doc_id") % 17 === 0, "left")
+      .select(col("doc_id"),
+        when(col("__t2").isNotNull, concat(col("text"), lit(" "), col("__t2")))
+          .otherwise(col("text")).as("text"))
+    Dedup.ngramContainmentPairs(planted, "doc_id", "text",
+      n = 3, threshold = 0.75)
+  }
+
   /** The hot-shingle skew valve — the thing that makes ngram dedup survive
     * 100× data — gated on its own: shingles present in > 3 docs are dropped
     * before pairing. Denominators stay UNfiltered (see
@@ -1949,6 +1967,7 @@ object OracleOpsQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_agg" -> (dedupExactAgg _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_ngram_containment" -> (dedupNgramContainment _),
     "dedup_ngram_capped" -> (dedupNgramCapped _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_capped" -> (dedupMinhashCapped _),
@@ -4444,6 +4463,25 @@ object OracleOpsQueries {
          |  CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) AS jaccard
          |FROM pairs p JOIN cnt c1 ON p.id1 = c1.doc_id JOIN cnt c2 ON p.id2 = c2.doc_id
          |WHERE CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_ngram_containment" ->
+      s"""WITH pl AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d2.doc_id IS NOT NULL THEN d.text || ' ' || d2.text
+         |         ELSE d.text END AS text
+         |  FROM documents d
+         |  LEFT JOIN documents d2
+         |    ON d.doc_id + 1 = d2.doc_id AND d.doc_id % 17 = 0),
+         |${shinglesCteFrom("pl")},
+         |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.id1, p.id2, p.common, c1.n AS n1, c2.n AS n2,
+         |  CAST(p.common AS DOUBLE) / CAST(least(c1.n, c2.n) AS DOUBLE) AS containment
+         |FROM pairs p JOIN cnt c1 ON p.id1 = c1.doc_id JOIN cnt c2 ON p.id2 = c2.doc_id
+         |WHERE CAST(p.common AS DOUBLE) / CAST(least(c1.n, c2.n) AS DOUBLE) >= 0.75""".stripMargin,
     "dedup_ngram_capped" ->
       s"""WITH $shinglesCte,
          |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),

@@ -217,6 +217,27 @@ object Dedup {
       .select(col("id1"), col("id2"), col("common"), col("n1"), col("n2"), col("jaccard"))
   }
 
+  /** N-gram CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) ≥
+    * `threshold` — the asymmetric complement of [[ngramJaccardPairs]]:
+    * a short document embedded whole in a long one has containment ≈ 1
+    * while its Jaccard is only ≈ |A|/|B| (arbitrarily small), so
+    * quote-and-extend near-dups survive a Jaccard-only pass. Identical
+    * pipeline and caps (one shingle shuffle shared across both join
+    * sides, hot-shingle df cap on by default) — only the score formula
+    * differs, and min(n1, n2) keeps it exact-rational so the IEEE
+    * division is bit-identical to the oracle's. */
+  def ngramContainmentPairs(df: DataFrame, id: String, text: String, n: Int,
+                            threshold: Double,
+                            maxShingleDocFreq: Option[Int] =
+                              Dedup.DefaultMaxShingleDocFreq): DataFrame =
+    ngramJaccardPairs(df, id, text, n, threshold = 0.0, maxShingleDocFreq)
+      .withColumn("containment",
+        col("common").cast("double") /
+          least(col("n1"), col("n2")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("common"), col("n1"), col("n2"),
+        col("containment"))
+
   /** Benchmark decontamination: flag training documents whose n-grams
     * overlap an evaluation set (the GPT-3 appendix-C / PaLM 13-gram pass,
     * over the same word shingles as [[ngramJaccardPairs]]). Returns one row
