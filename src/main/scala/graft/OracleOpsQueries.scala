@@ -1285,6 +1285,18 @@ object OracleOpsQueries {
     graft.ops.Packing.fimExamples(Tables.documents(s, d), "doc_id", "text",
       fimPermille = 500)
 
+  /** Mixed-language gate: every 6th doc gets a German-stopword sentence
+    * appended (mirrored), so genuinely code-switched documents exist and
+    * the mixed flag, majority share, and tie-break all fire against the
+    * organically noisy short-paragraph predictions. */
+  def textLangIdMixed(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 6 === 0,
+          lit(". der die das und nicht von das mit der und"))
+        .otherwise(lit(""))).as("text"))
+    TextAnalysis.langIdMixed(planted, "doc_id", "text")
+  }
+
   /** Rank-fusion-scored curation, composed end to end: fuse the quality
     * ratio and token count by RRF ([[textRankFusion]]'s exact setup),
     * normalize the fused BIGINT to [0, 1] with ONE IEEE division by the
@@ -2012,6 +2024,7 @@ object OracleOpsQueries {
     "corpus_span_corruption" -> (corpusSpanCorruption _),
     "corpus_crop_pairs" -> (corpusCropPairs _),
     "corpus_rrf_budget" -> (corpusRrfBudget _),
+    "text_langid_mixed" -> (textLangIdMixed _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -3291,6 +3304,32 @@ object OracleOpsQueries {
          |  CAST(score_es AS BIGINT) AS score_es, CAST(score_fr AS BIGINT) AS score_fr, score_zh,
          |  $langCaseSql AS lang_pred
          |FROM scored""".stripMargin,
+    "text_langid_mixed" ->
+      s"""WITH pl0 AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 6 = 0
+         |      THEN '. der die das und nicht von das mit der und' ELSE '' END AS text
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\.\\s+')) AS p
+         |  FROM pl0),
+         |pf AS (SELECT doc_id, p AS text FROM px WHERE len(trim(p)) > 0),
+         |scored AS (
+         |  SELECT doc_id,
+         |    $langScoreExprsSql
+         |  FROM pf),
+         |lp AS (SELECT doc_id, $langCaseSql AS pl FROM scored),
+         |c AS (SELECT doc_id, pl, CAST(count(*) AS BIGINT) AS cnt FROM lp GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, pl ASC) AS rn,
+         |    CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS np,
+         |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS nl
+         |  FROM c)
+         |SELECT doc_id, np AS n_paras, nl AS n_langs, pl AS majority_lang,
+         |  CAST((cnt * 1000) // np AS BIGINT) AS majority_permille,
+         |  CAST(CASE WHEN nl > 1 THEN 1 ELSE 0 END AS INT) AS is_mixed
+         |FROM r WHERE rn = 1""".stripMargin,
     "text_langid_script" ->
       s"""WITH pl AS (
          |  SELECT doc_id,

@@ -381,6 +381,38 @@ object TextAnalysis {
 
   def langId(text: Column): Column = argmaxLang(langScores(text))
 
+  /** Mixed-language document detection: run [[langId]] per PARAGRAPH
+    * (the `\\.\\s+` split convention of the paragraph-dedup family) and
+    * roll up how language-consistent each document is — paragraph
+    * count, distinct predicted languages, the majority language and its
+    * exact permille share, and a 0/1 mixed flag. Code-switching and
+    * boilerplate-in-another-language are document-level filters a
+    * monolithic per-doc langid cannot express: a 60/40 en/de document
+    * argmaxes to "en" and sails through a `lang = 'en'` filter.
+    *
+    * Majority tie-break is deterministic cross-engine: min over
+    * (−count, lang) structs = highest count, then lexicographically
+    * smallest language. Documents with no non-empty paragraph produce
+    * no row (mirrored). Scale shape: scan-side scores + TWO
+    * map-side-combined aggregates — (id, lang) counts then the id
+    * rollup; rows entering the second shuffle are bounded by
+    * docs × |languages|. */
+  def langIdMixed(df: DataFrame, id: String, text: String): DataFrame = {
+    val paras = df
+      .select(col(id), explode(split(col(text), "\\.\\s+")).as("__para"))
+      .filter(length(trim(col("__para"))) > 0)
+      .select(col(id), langId(col("__para")).as("__pl"))
+    paras.groupBy(col(id), col("__pl")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(id)).agg(
+        sum(col("__cnt")).as("n_paras"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("__cnt")).as("nc"), col("__pl").as("pl"))).as("__top"))
+      .select(col(id), col("n_paras"), col("n_langs"),
+        col("__top").getField("pl").as("majority_lang"),
+        expr("((-__top.nc) * 1000) DIV n_paras").as("majority_permille"),
+        (col("n_langs") > 1).cast("int").as("is_mixed"))
+  }
+
   /** Script codepoint classes for languages whose writing system alone
     * identifies them — the detector the SEA tokenizer work exposed as
     * missing: under [[langId]] a Thai document scores 0 on every
