@@ -1285,6 +1285,24 @@ object OracleOpsQueries {
     graft.ops.Packing.fimExamples(Tables.documents(s, d), "doc_id", "text",
       fimPermille = 500)
 
+  /** Drift gate: snapshots = a HASH split of the same corpus (doc-id
+    * parity correlates perfectly with source in the fixture layout and
+    * would make every stratum one-sided), with source 'src3' excluded
+    * from the OLD snapshot so the appearing-source alert case exists
+    * alongside ordinary two-sided drift rows. */
+  def corpusQualityDrift(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality")
+    val half = TextAnalysis.hash60(
+      concat(lit("snap_"), col("doc_id").cast("string"))) % 2
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), q.as("__q"), half.as("__h"))
+      .localCheckpoint(true)
+    graft.ops.CorpusReport.qualityDrift(
+      docs.filter(col("__h") === 0 && col("source") =!= "src3"),
+      docs.filter(col("__h") === 1),
+      col("source"), col("__q"))
+  }
+
   /** Mixed-language gate: every 6th doc gets a German-stopword sentence
     * appended (mirrored), so genuinely code-switched documents exist and
     * the mixed flag, majority share, and tie-break all fire against the
@@ -2025,6 +2043,7 @@ object OracleOpsQueries {
     "corpus_crop_pairs" -> (corpusCropPairs _),
     "corpus_rrf_budget" -> (corpusRrfBudget _),
     "text_langid_mixed" -> (textLangIdMixed _),
+    "corpus_quality_drift" -> (corpusQualityDrift _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -3304,6 +3323,37 @@ object OracleOpsQueries {
          |  CAST(score_es AS BIGINT) AS score_es, CAST(score_fr AS BIGINT) AS score_fr, score_zh,
          |  $langCaseSql AS lang_pred
          |FROM scored""".stripMargin,
+    "corpus_quality_drift" ->
+      s"""WITH $toksCte,
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars2,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+         |  FROM toks),
+         |s0 AS (
+         |  SELECT f.doc_id, d.source,
+         |    CAST(floor(${qualityExprSql("f.n_tokens", "f.n_stopwords", "f.n_punct", "f.n_chars2")} * 1000000.0) AS BIGINT) AS q
+         |  FROM feat f JOIN documents d USING (doc_id)),
+         |s1 AS (
+         |  SELECT *, ${h60("'snap_' || CAST(doc_id AS VARCHAR)")} % 2 AS h
+         |  FROM s0),
+         |a AS (
+         |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs_old,
+         |    CAST(SUM(q) AS BIGINT) AS s_old
+         |  FROM s1 WHERE h = 0 AND source != 'src3' GROUP BY 1),
+         |b AS (
+         |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs_new,
+         |    CAST(SUM(q) AS BIGINT) AS s_new
+         |  FROM s1 WHERE h = 1 GROUP BY 1)
+         |SELECT stratum,
+         |  CAST(COALESCE(n_docs_old, 0) AS BIGINT) AS n_docs_old,
+         |  CAST(COALESCE(n_docs_new, 0) AS BIGINT) AS n_docs_new,
+         |  CAST(COALESCE(s_old // n_docs_old, 0) AS BIGINT) AS mean_q_old_fp,
+         |  CAST(COALESCE(s_new // n_docs_new, 0) AS BIGINT) AS mean_q_new_fp,
+         |  CAST(COALESCE(s_new // n_docs_new, 0) - COALESCE(s_old // n_docs_old, 0) AS BIGINT) AS delta_fp
+         |FROM a FULL OUTER JOIN b USING (stratum)""".stripMargin,
     "text_langid_mixed" ->
       s"""WITH pl0 AS (
          |  SELECT doc_id,

@@ -217,6 +217,34 @@ object CorpusReport {
           col("n_chars").cast("double") / col("n_subwords").cast("double"))
           .otherwise(lit(0.0)).as("chars_per_subword"))
 
+  /** Quality drift between two corpus snapshots — the monitoring query
+    * a continuously-crawling pipeline alerts on: per stratum, document
+    * counts and EXACT fixed-point mean quality (floor(q·10⁶) summed as
+    * BIGINT, integer-divided by the count — the [[report]] portability
+    * trick) for the old and new snapshots side by side, plus the signed
+    * mean delta. A stratum present in only one snapshot still appears
+    * (full-outer join; the absent side reads 0 docs / 0 mean), because
+    * appearing/vanishing sources are exactly what drift monitoring must
+    * surface. Scale shape: each snapshot collapses scan-side to a
+    * strata-sized aggregate; the join touches only those two small
+    * frames. Returns (stratum, n_docs_old, n_docs_new, mean_q_old_fp,
+    * mean_q_new_fp, delta_fp). */
+  def qualityDrift(oldDf: DataFrame, newDf: DataFrame, stratum: Column,
+                   quality: Column): DataFrame = {
+    def agg(df: DataFrame, tag: String) = df
+      .select(stratum.as("stratum"),
+        floor(quality * lit(1000000.0)).cast("long").as("__q"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as(s"n_docs_$tag"), sum(col("__q")).as(s"__s_$tag"))
+    agg(oldDf, "old").join(agg(newDf, "new"), Seq("stratum"), "full_outer")
+      .select(col("stratum"),
+        coalesce(col("n_docs_old"), lit(0L)).as("n_docs_old"),
+        coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"),
+        coalesce(expr("__s_old DIV n_docs_old"), lit(0L)).as("mean_q_old_fp"),
+        coalesce(expr("__s_new DIV n_docs_new"), lit(0L)).as("mean_q_new_fp"))
+      .withColumn("delta_fp", col("mean_q_new_fp") - col("mean_q_old_fp"))
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: distinct word types seen
     * within the first P tokens of the corpus stream, for each requested
     * prefix size — the tokenizer-budgeting evidence (how fast does the
