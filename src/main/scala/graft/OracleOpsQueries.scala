@@ -1545,6 +1545,25 @@ object OracleOpsQueries {
     Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
   }
 
+  /** Leakage-free dataset split: the split hash keys on the near-dup
+    * COMPONENT, not the document id, so every near-duplicate cluster
+    * lands whole on one side — assigning by doc id leaks paraphrases of
+    * training documents into test (exactly what `split_leakage`
+    * measures; this op is the fix). Composition of the shipped stages:
+    * MinHash pairs → min-label components → hash split of the
+    * component label. Shape at scale: the components pass is the
+    * measured sublinear one (sf100 exp 0.61); the split itself is a
+    * scan-side projection of its output. */
+  def datasetSplitLeakFree(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("id1", "id2")
+    Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+      .select(col("doc_id"), col("component"),
+        graft.ops.Splits.hashBucket(col("component"), "split").as("bucket"))
+      .withColumn("split", graft.ops.Splits.splitLabel(col("bucket")))
+  }
+
   /** Same pair graph through star contraction (Kiveris SoCC'14) — the
     * O(log n)-round high-diameter scale path, gated on the SAME oracle as
     * the min-label propagation variant. */
@@ -2044,6 +2063,7 @@ object OracleOpsQueries {
     "corpus_rrf_budget" -> (corpusRrfBudget _),
     "text_langid_mixed" -> (textLangIdMixed _),
     "corpus_quality_drift" -> (corpusQualityDrift _),
+    "dataset_split_leakfree" -> (datasetSplitLeakFree _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -4612,6 +4632,31 @@ object OracleOpsQueries {
          |  UNION
          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin,
+    "dataset_split_leakfree" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |mh AS (
+         |  SELECT m.id1, m.id2
+         |  FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
+         |  WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM mh
+         |  UNION ALL
+         |  SELECT id2, id1 FROM mh),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |lab AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+         |b AS (
+         |  SELECT doc_id, component,
+         |    ${h60("'split_' || CAST(component AS VARCHAR)")} % 1000 AS bucket
+         |  FROM lab)
+         |SELECT doc_id, CAST(component AS BIGINT) AS component,
+         |  CAST(bucket AS BIGINT) AS bucket,
+         |  CASE WHEN bucket < 900 THEN 'train'
+         |       WHEN bucket < 950 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
     // star contraction computes the identical labeling — same oracle
     "dedup_components_star" ->
       s"""WITH RECURSIVE ${minhashCtes()},
