@@ -1285,6 +1285,21 @@ object OracleOpsQueries {
     graft.ops.Packing.fimExamples(Tables.documents(s, d), "doc_id", "text",
       fimPermille = 500)
 
+  /** Utilization gate over the sf0.01 language totals (en 11757,
+    * de 3549, es 3958, fr 3758, zh 4143): en 6000 truncates
+    * (utilization ≈ 1000, coverage < 1000), de 9000 under-fills
+    * (coverage = 1000, utilization < 1000), fr/es 4000 keep whole,
+    * zh 4000 truncates — every report branch populated. */
+  def corpusBudgetReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .localCheckpoint(true)
+    val budget = when(col("lang") === "en", 6000L)
+      .when(col("lang") === "de", 9000L).otherwise(4000L)
+    graft.ops.CorpusReport.budgetReport(docs, "doc_id", col("lang"),
+      col("__nt"), budget, salt = "breport")
+  }
+
   /** Drift gate: snapshots = a HASH split of the same corpus (doc-id
     * parity correlates perfectly with source in the fixture layout and
     * would make every stratum one-sided), with source 'src3' excluded
@@ -2064,6 +2079,7 @@ object OracleOpsQueries {
     "text_langid_mixed" -> (textLangIdMixed _),
     "corpus_quality_drift" -> (corpusQualityDrift _),
     "dataset_split_leakfree" -> (datasetSplitLeakFree _),
+    "corpus_budget_report" -> (corpusBudgetReport _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
 
   // ----------------------------------------------------------------- oracle
@@ -3343,6 +3359,38 @@ object OracleOpsQueries {
          |  CAST(score_es AS BIGINT) AS score_es, CAST(score_fr AS BIGINT) AS score_fr, score_zh,
          |  $langCaseSql AS lang_pred
          |FROM scored""".stripMargin,
+    "corpus_budget_report" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang AS stratum,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         |    CAST(CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 9000
+         |         ELSE 4000 END AS BIGINT) AS budget,
+         |    ${h60("'breport_' || CAST(doc_id AS VARCHAR)")} AS rk
+         |  FROM documents),
+         |tot AS (
+         |  SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(MAX(budget) AS BIGINT) AS budget
+         |  FROM tok GROUP BY 1),
+         |c AS (
+         |  SELECT doc_id, stratum, n_tokens, budget,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM tok),
+         |k AS (
+         |  SELECT stratum, CAST(count(*) AS BIGINT) AS kept_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+         |  FROM c WHERE cum_before < budget GROUP BY 1)
+         |SELECT t.stratum, t.n_docs, t.n_tokens, t.budget,
+         |  CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+         |  CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  CAST(CASE WHEN t.budget > 0
+         |       THEN (COALESCE(k.kept_tokens, 0) * 1000) // t.budget
+         |       ELSE 0 END AS BIGINT) AS utilization_permille,
+         |  CAST(CASE WHEN t.n_tokens > 0
+         |       THEN (COALESCE(k.kept_tokens, 0) * 1000) // t.n_tokens
+         |       ELSE 0 END AS BIGINT) AS coverage_permille
+         |FROM tot t LEFT JOIN k USING (stratum)""".stripMargin,
     "corpus_quality_drift" ->
       s"""WITH $toksCte,
          |feat AS (

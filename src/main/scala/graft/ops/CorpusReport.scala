@@ -217,6 +217,42 @@ object CorpusReport {
           col("n_chars").cast("double") / col("n_subwords").cast("double"))
           .otherwise(lit(0.0)).as("chars_per_subword"))
 
+  /** Budget-utilization report — the readout after a
+    * [[graft.ops.Splits.tokenBudgetSample]] mix run: per stratum, the
+    * corpus totals, the kept docs/tokens under the budget, utilization
+    * (kept tokens as a permille of BUDGET — how much of the allocation
+    * the stratum could actually fill) and coverage (kept tokens as a
+    * permille of the CORPUS — how much of the stratum survived). A
+    * stratum smaller than its budget shows utilization < 1000 with
+    * coverage = 1000 (the signal to hand its surplus elsewhere or
+    * up-sample epochs); a truncated stratum shows the reverse. All
+    * ratios exact BIGINT floor divisions. Scale shape: the sampler's
+    * own two-phase pass plus two strata-sized aggregates and a
+    * broadcast-sized join. */
+  def budgetReport(df: DataFrame, id: String, stratum: Column,
+                   nTokens: Column, budgetTokens: Column,
+                   salt: String = "mix"): DataFrame = {
+    val base = df.select(col(id), stratum.as("stratum"),
+      nTokens.cast("long").as("__nt"), budgetTokens.cast("long").as("__b"))
+    val totals = base.groupBy(col("stratum")).agg(
+      count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+      max(col("__b")).as("budget"))
+    val kept = graft.ops.Splits.tokenBudgetSample(base, id, col("stratum"),
+        col("__nt"), col("__b"), salt)
+      .groupBy(col("stratum")).agg(
+        count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+    totals.join(kept, Seq("stratum"), "left")
+      .select(col("stratum"), col("n_docs"), col("n_tokens"), col("budget"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .withColumn("utilization_permille",
+        when(col("budget") > 0,
+          expr("(kept_tokens * 1000L) DIV budget")).otherwise(lit(0L)))
+      .withColumn("coverage_permille",
+        when(col("n_tokens") > 0,
+          expr("(kept_tokens * 1000L) DIV n_tokens")).otherwise(lit(0L)))
+  }
+
   /** Quality drift between two corpus snapshots — the monitoring query
     * a continuously-crawling pipeline alerts on: per stratum, document
     * counts and EXACT fixed-point mean quality (floor(q·10⁶) summed as
