@@ -1941,7 +1941,160 @@ object OracleOpsQueries {
         aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long") * x.cast("long")).as("q_l2"),
         size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
 
+  // ------------------------------------------------------------- round 11
+
+  /** Readability gate over the raw corpus — Flesch/Kincaid/TTR in exact
+    * integer fixed point, so every score column hash-matches. */
+  def textReadability(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.readability(Tables.documents(s, d), "doc_id", "text")
+
+  /** Markdown planted on every 4th doc (heading + list + blockquote +
+    * table prefix, link + code-span suffix); every 6th doc additionally
+    * gains a starred list line, so `-` and `*` bullets both fire. The
+    * remainder keeps raw text — the negative class (is_markdown = 0)
+    * stays populated. Literals shared byte-identically with the mirror
+    * (E'' escape strings on the DuckDB side). */
+  private def plantedMarkdownText: Column = {
+    val prefix = lit("# Title\n\n- item one\n- item two\n\n> quoted\n\n| a | b |\n| 1 | 2 |\n\n")
+    val suffix = lit(" [see docs](https://example.com/docs) and `x = 1`")
+    val starred = when(col("doc_id") % 6 === 0, lit("\n* starred item\n"))
+      .otherwise(lit(""))
+    when(col("doc_id") % 4 === 0,
+      concat(prefix, col("text"), suffix, starred))
+      .otherwise(col("text"))
+  }
+
+  def textMarkdown(s: SparkSession, d: String): DataFrame = {
+    val cols = TextAnalysis.markdownColumns(plantedMarkdownText)
+      .map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
+  /** Anchor tags planted for the outlink gates: every 3rd doc links to a
+    * hash-derived `siteN.com` target, every 2nd to a second one, and
+    * every 5th carries an href-FREE `<a name=...>` decoy the extractor
+    * must skip. Target derivation mirrors [[corpusDomainRank]]'s
+    * convention (h60 of doc_id + salt, mod 199) so the extracted graph
+    * has the same shape the synthetic-edge gate already measures. */
+  private def plantedAnchorText: Column = {
+    def tgt(salt: String) = (TextAnalysis.hash60(
+      concat(col("doc_id").cast("string"), lit(salt))) % 199).cast("string")
+    concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" <a href=\"https://site"), tgt("_a1"),
+          lit(".com/a\">ref one</a>"))).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" <a href=\"https://site"), tgt("_a2"),
+          lit(".com/b\">ref two</a>"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit(" <a name=\"x\">not a link</a>")).otherwise(lit("")))
+  }
+
+  /** Outlink extraction gate: (doc_id, href, anchor, dst_host) rows from
+    * the planted corpus — position-aligned pairs, decoys skipped. */
+  def textOutlinks(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.outlinks(
+      Tables.documents(s, d).select(col("doc_id"),
+        plantedAnchorText.as("text")),
+      "doc_id", "text")
+      .withColumn("dst_host", graft.ops.Domains.host(col("href")))
+
+  /** Composition gate: anchors EXTRACTED from text ([[textOutlinks]])
+    * feed the same exact-fixed-point PageRank the synthetic-edge gate
+    * measures — the end-to-end crawl-graph chain (regex extraction →
+    * host parse → edge aggregation → 5 power iterations). Source domain
+    * = the doc's home domain under the [[corpusDomainRank]] convention;
+    * target = first host label of the extracted href. */
+  def corpusLinkRank(s: SparkSession, d: String): DataFrame = {
+    val links = textOutlinks(s, d)
+    val edges = links
+      .select(concat(lit("site"), (col("doc_id") % 199).cast("string")).as("src"),
+        element_at(split(col("dst_host"), "\\."), 1).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    graft.ops.Domains.domainRank(edges, iters = 5)
+  }
+
+  /** Soft-dedup gate over a corpus with PLANTED duplicate clusters
+    * (every 9th doc's text collapses to one of 5 shared boilerplate
+    * variants — ~11 copies each at sf0.01), so the down-weighting
+    * branch is populated: planted docs carry weight ≈ 1000/11 while
+    * the unique remainder keeps 1000. */
+  def dedupSoftWeights(s: SparkSession, d: String): DataFrame = {
+    val planted = when(col("doc_id") % 9 === 0,
+      concat(lit("duplicate boilerplate page variant "),
+        (col("doc_id") % 5).cast("string"))).otherwise(col("text"))
+    graft.ops.Dedup.softWeights(
+      Tables.documents(s, d).select(col("doc_id"), planted.as("text")),
+      "doc_id", "text")
+  }
+
+  /** OOV-rate gate: vocabulary (count ≥ 2) trained on the even-doc_id
+    * half, applied to the odd half. The fixture halves share their full
+    * word pool, so the gate PLANTS all three vocabulary classes: novel
+    * per-doc tokens on apply docs (always OOV), a train HAPAX planted
+    * once (doc 42) that apply docs also carry (OOV — the minCount
+    * filter must drop it), and a frequent train word (every 10th train
+    * doc) those same apply docs carry (in-vocab). */
+  def corpusOovRate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val trainPlanted = concat(col("text"),
+      when(col("doc_id") === 42, lit(" hapaxword")).otherwise(lit("")),
+      when(col("doc_id") % 10 === 0, lit(" freqword")).otherwise(lit("")))
+    val applyPlanted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" nw"), col("doc_id").cast("string"), lit("x nw"),
+          col("doc_id").cast("string"), lit("y"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 5, lit(" hapaxword freqword"))
+        .otherwise(lit("")))
+    TextAnalysis.oovRate(
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), trainPlanted.as("text")),
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), applyPlanted.as("text")),
+      "doc_id", "text", minCount = 2L)
+  }
+
+  /** Wilson-bound domain quality gate over 47 synthetic home domains
+    * (~10 docs each at sf0.01): exact integer inequality, both sides
+    * emitted. p0 = 3/5 sits inside the fixture's per-domain spread, so
+    * the gate splits 30 keep / 17 drop at sf0.01 — and the bound's
+    * evidence-sensitivity is itself exercised: a 9/10 domain FAILS
+    * while a 10/11 domain passes. */
+  def corpusDomainQualityCi(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusReport.domainQualityGate(
+      Tables.documents(s, d),
+      concat(lit("site"), (col("doc_id") % 47).cast("string")),
+      "text", qCutFp = 5000L, p0Num = 3L, p0Den = 5L)
+
+  /** Matryoshka audit gate: recall@10 of 8-dim-prefix retrieval vs the
+    * full 64-dim ground truth, 8 query vectors. */
+  def simMatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.ops.Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 10, prefixDims = 8)
+  }
+
+  /** MMR gate: diversified top-3 from a relevance top-10 pool, λ = 0.7,
+    * same 5-query set as the kNN gates. */
+  def simMmrTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.ops.Similarity.mmrTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, poolSize = 10, lambda = 0.7)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_matryoshka_recall" -> (simMatryoshkaRecall _),
+    "sim_mmr_topk" -> (simMmrTopK _),
+    "text_readability" -> (textReadability _),
+    "text_markdown" -> (textMarkdown _),
+    "text_outlinks" -> (textOutlinks _),
+    "corpus_link_rank" -> (corpusLinkRank _),
+    "dedup_soft_weights" -> (dedupSoftWeights _),
+    "corpus_oov_rate" -> (corpusOovRate _),
+    "corpus_domain_quality_ci" -> (corpusDomainQualityCi _),
     "sim_quantize_int8" -> (simQuantizeInt8 _),
     "sim_bruteforce_topk" -> (simBruteForce _),
     "sim_knn_join" -> (simKnnJoin _),
@@ -2967,9 +3120,11 @@ object OracleOpsQueries {
     * iterations (it1..it5), each the integer-exact contribution join +
     * dst aggregate. `//` is DuckDB floor division; every operand is
     * non-negative, so it agrees with Spark's truncating `DIV`. */
-  private lazy val domainRankSql: String = {
-    val t1 = h60("CAST(doc_id AS VARCHAR) || '_l1'")
-    val t2 = h60("CAST(doc_id AS VARCHAR) || '_l2'")
+  /** The power-iteration SQL chain of [[graft.ops.Domains.domainRank]]
+    * over ANY `e0(src, dst)` multiset CTE — shared by the synthetic-graph
+    * gate (`corpus_domain_rank`) and the anchor-extraction composition
+    * (`corpus_link_rank`), so both mirrors iterate identically. */
+  private def rankSqlOverEdges(e0Sql: String): String = {
     def iter(i: Int): String =
       s"""it$i AS (
          |  SELECT nd.domain,
@@ -2980,14 +3135,7 @@ object OracleOpsQueries {
          |      SUM((r.rank // e.ow) * e.w + ((r.rank % e.ow) * e.w) // e.ow) AS in_sum
          |    FROM ew e JOIN it${i - 1} r ON r.domain = e.src
          |    GROUP BY e.dst) s USING (domain))""".stripMargin
-    s"""WITH e0 AS (
-       |  SELECT 'site' || CAST(doc_id % 199 AS VARCHAR) AS src,
-       |         'site' || CAST($t1 % 199 AS VARCHAR) AS dst
-       |  FROM documents
-       |  UNION ALL
-       |  SELECT 'site' || CAST(doc_id % 199 AS VARCHAR) AS src,
-       |         'site' || CAST($t2 % 199 AS VARCHAR) AS dst
-       |  FROM documents),
+    s"""WITH $e0Sql,
        |e1 AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
        |       FROM e0 WHERE src != dst GROUP BY src, dst),
        |ow0 AS (SELECT src, SUM(w) AS ow FROM e1 GROUP BY src),
@@ -3000,6 +3148,20 @@ object OracleOpsQueries {
        |it0 AS (SELECT nd.domain, p.r0 AS rank FROM nodes nd CROSS JOIN params p),
        |${(1 to 5).map(iter).mkString(",\n")}
        |SELECT domain, rank FROM it5""".stripMargin
+  }
+
+  private lazy val domainRankSql: String = {
+    val t1 = h60("CAST(doc_id AS VARCHAR) || '_l1'")
+    val t2 = h60("CAST(doc_id AS VARCHAR) || '_l2'")
+    rankSqlOverEdges(
+      s"""e0 AS (
+         |  SELECT 'site' || CAST(doc_id % 199 AS VARCHAR) AS src,
+         |         'site' || CAST($t1 % 199 AS VARCHAR) AS dst
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'site' || CAST(doc_id % 199 AS VARCHAR) AS src,
+         |         'site' || CAST($t2 % 199 AS VARCHAR) AS dst
+         |  FROM documents)""".stripMargin)
   }
 
   /** Mirror of [[textFilterReport]]: the `text_gopher` plant + rule CTEs
@@ -3086,7 +3248,262 @@ object OracleOpsQueries {
        |WHERE c.doc_id % 29 != 0""".stripMargin
   }
 
+  // ------------------------------------------------------ round-11 mirrors
+
+  /** Mirror of [[plantedAnchorText]] — exposes `pl(doc_id, pt)`. */
+  private lazy val anchorPlantSql: String = {
+    val t1 = h60("CAST(doc_id AS VARCHAR) || '_a1'")
+    val t2 = h60("CAST(doc_id AS VARCHAR) || '_a2'")
+    s"""pl AS (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN ' <a href="https://site' ||
+       |       CAST($t1 % 199 AS VARCHAR) || '.com/a">ref one</a>' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 2 = 0 THEN ' <a href="https://site' ||
+       |       CAST($t2 % 199 AS VARCHAR) || '.com/b">ref two</a>' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN ' <a name="x">not a link</a>'
+       |     ELSE '' END) AS pt
+       |  FROM documents)""".stripMargin
+  }
+
+  private val anchorRegexSql = """<a href="([^"]*)"[^>]*>([^<]*)</a>"""
+
+  private lazy val textReadabilitySql =
+    s"""WITH u AS (
+       |  SELECT doc_id, text,
+       |    list_filter(list_transform(regexp_split_to_array(text, '\\.\\s+'),
+       |      x -> trim(x)), x -> len(x) > 0) AS units,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> len(x) > 0) AS t,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      x -> len(x) > 0) AS tl
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    greatest(CAST(len(units) AS BIGINT), 1) AS n_sentences,
+       |    greatest(CAST(len(t) AS BIGINT), 1) AS n_words,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) +
+       |      len(list_filter(tl, x -> NOT regexp_matches(x, '[aeiouy]')))
+       |      AS BIGINT) AS n_syllables,
+       |    CAST(len(list_distinct(tl)) AS BIGINT) AS n_types
+       |  FROM u)
+       |SELECT doc_id, n_sentences, n_words, n_syllables, n_types,
+       |  CAST(206835 - (1015 * n_words) // n_sentences
+       |    - (84600 * n_syllables) // n_words AS BIGINT) AS fre_milli,
+       |  CAST((390 * n_words) // n_sentences
+       |    + (11800 * n_syllables) // n_words - 15590 AS BIGINT) AS fkgl_milli,
+       |  CAST((1000 * n_types) // n_words AS BIGINT) AS ttr_permille
+       |FROM c""".stripMargin
+
+  private lazy val textMarkdownSql =
+    s"""WITH pl AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN
+       |      E'# Title\\n\\n- item one\\n- item two\\n\\n> quoted\\n\\n| a | b |\\n| 1 | 2 |\\n\\n'
+       |      || text || ' [see docs](https://example.com/docs) and `x = 1`' ||
+       |      (CASE WHEN doc_id % 6 = 0 THEN E'\\n* starred item\\n' ELSE '' END)
+       |    ELSE text END AS pt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(pt, '(?m)^#{1,6} ')) AS BIGINT) AS n_headings,
+       |  CAST(len(regexp_extract_all(pt, '(?m)^[ \\t]*[-*+] ')) AS BIGINT) AS n_list_items,
+       |  CAST(len(regexp_extract_all(pt, '(?m)^\\|.*\\|[ \\t]*$$')) AS BIGINT) AS n_table_rows,
+       |  CAST(len(regexp_extract_all(pt, '(?m)^> ')) AS BIGINT) AS n_blockquotes,
+       |  CAST(len(regexp_extract_all(pt, '\\[[^\\]]*\\]\\([^)]*\\)')) AS BIGINT) AS n_links,
+       |  CAST(len(regexp_extract_all(pt, '`[^`]+`')) AS BIGINT) AS n_code_spans,
+       |  CAST(len(regexp_extract_all(pt, '(?m)^#{1,6} ')) +
+       |       len(regexp_extract_all(pt, '(?m)^[ \\t]*[-*+] ')) +
+       |       len(regexp_extract_all(pt, '(?m)^\\|.*\\|[ \\t]*$$')) +
+       |       len(regexp_extract_all(pt, '(?m)^> ')) > 0 AS INT) AS is_markdown
+       |FROM pl""".stripMargin
+
+  private lazy val textOutlinksSql =
+    s"""WITH $anchorPlantSql,
+       |x AS (SELECT doc_id,
+       |    regexp_extract_all(pt, '$anchorRegexSql', 1) AS hs,
+       |    regexp_extract_all(pt, '$anchorRegexSql', 2) AS an
+       |  FROM pl),
+       |u AS (SELECT doc_id, unnest(generate_series(1, len(hs))) AS i, hs, an
+       |      FROM x WHERE len(hs) > 0)
+       |SELECT doc_id, hs[i] AS href, an[i] AS anchor,
+       |  regexp_extract(lower(trim(hs[i])), '${graft.ops.Domains.hostRegex}', 1) AS dst_host
+       |FROM u""".stripMargin
+
+  private lazy val corpusLinkRankSql = rankSqlOverEdges(
+    s"""$anchorPlantSql,
+       |x AS (SELECT doc_id,
+       |    regexp_extract_all(pt, '$anchorRegexSql', 1) AS hs
+       |  FROM pl),
+       |u AS (SELECT doc_id, unnest(hs) AS href FROM x WHERE len(hs) > 0),
+       |e0 AS (
+       |  SELECT 'site' || CAST(doc_id % 199 AS VARCHAR) AS src,
+       |    split_part(regexp_extract(lower(trim(href)),
+       |      '${graft.ops.Domains.hostRegex}', 1), '.', 1) AS dst
+       |  FROM u)""".stripMargin)
+
+  private lazy val dedupSoftWeightsSql =
+    """WITH pl AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN
+      |      'duplicate boilerplate page variant ' || CAST(doc_id % 5 AS VARCHAR)
+      |    ELSE text END AS text
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM pl),
+      |g AS (SELECT doc_id, fp,
+      |  MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+      |  COUNT(*) OVER (PARTITION BY fp) AS group_size FROM f)
+      |SELECT doc_id, fp, canonical_id, group_size,
+      |  CAST(1000 // group_size AS BIGINT) AS weight_permille,
+      |  CAST(doc_id = canonical_id AS INT) AS hard_keep
+      |FROM g""".stripMargin
+
+  private lazy val corpusOovRateSql = {
+    val tokArr =
+      """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
+    s"""WITH trp AS (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id = 42 THEN ' hapaxword' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 10 = 0 THEN ' freqword' ELSE '' END) AS text
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |app AS (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN ' nw' || CAST(doc_id AS VARCHAR) ||
+       |       'x nw' || CAST(doc_id AS VARCHAR) || 'y' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 11 = 5 THEN ' hapaxword freqword' ELSE '' END) AS text
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |tr AS (
+       |  SELECT unnest($tokArr) AS tok FROM trp),
+       |v AS (SELECT h FROM (
+       |  SELECT ${h60("tok")} AS h, count(*) AS c FROM tr GROUP BY 1)
+       |  WHERE c >= 2),
+       |ap AS (
+       |  SELECT doc_id, ${h60("tok")} AS h FROM (
+       |    SELECT doc_id, unnest($tokArr) AS tok
+       |    FROM app)),
+       |j AS (
+       |  SELECT ap.doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN v.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+       |  FROM ap LEFT JOIN v ON ap.h = v.h GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(j.n, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(j.oov, 0) AS BIGINT) AS n_oov,
+       |  CAST((1000 * COALESCE(j.oov, 0)) // greatest(COALESCE(j.n, 0), 1)
+       |    AS BIGINT) AS oov_permille
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+       |LEFT JOIN j USING (doc_id)""".stripMargin
+  }
+
+  private lazy val corpusDomainQualityCiSql =
+    s"""WITH $toksCte,
+       |feat AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars2,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+       |  FROM toks),
+       |q AS (SELECT doc_id,
+       |  CAST(floor((${qualityExprSql("n_tokens", "n_stopwords", "n_punct", "n_chars2")}) * 10000) AS BIGINT) AS qfp
+       |  FROM feat),
+       |a AS (SELECT 'site' || CAST(doc_id % 47 AS VARCHAR) AS domain,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN qfp >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+       |  FROM q GROUP BY 1)
+       |SELECT domain, n_docs, n_high,
+       |  CAST(5 * (n_high + 2) - 3 * (n_docs + 4) AS BIGINT) AS margin_a,
+       |  CAST((5 * (n_high + 2) - 3 * (n_docs + 4)) *
+       |       (5 * (n_high + 2) - 3 * (n_docs + 4)) * n_docs AS BIGINT) AS lhs,
+       |  CAST(25 * (4 * n_high * (n_docs - n_high) + 4 * n_docs) AS BIGINT) AS rhs,
+       |  CAST(5 * (n_high + 2) - 3 * (n_docs + 4) >= 0 AND
+       |       (5 * (n_high + 2) - 3 * (n_docs + 4)) *
+       |       (5 * (n_high + 2) - 3 * (n_docs + 4)) * n_docs >=
+       |       25 * (4 * n_high * (n_docs - n_high) + 4 * n_docs) AS INT) AS keep
+       |FROM a""".stripMargin
+
+  private lazy val simMatryoshkaRecallSql =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |sf AS (
+       |  SELECT q.query_id, e.vec_id, ${cosSql("v", "qv")} AS cos
+       |  FROM e, q WHERE e.vec_id != q.query_id),
+       |fl AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM sf) WHERE rn <= 10),
+       |sp AS (
+       |  SELECT q.query_id, e.vec_id, ${cosSqlN("v", "qv", 8)} AS cos
+       |  FROM e, q WHERE e.vec_id != q.query_id),
+       |pr AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM sp) WHERE rn <= 10),
+       |nf AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_full FROM fl GROUP BY 1),
+       |ov AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |       FROM fl f JOIN pr p ON p.query_id = f.query_id AND p.vec_id = f.vec_id
+       |       GROUP BY 1)
+       |SELECT nf.query_id, nf.n_full,
+       |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST((1000 * COALESCE(ov.n_overlap, 0)) // nf.n_full AS BIGINT) AS recall_permille
+       |FROM nf LEFT JOIN ov USING (query_id)""".stripMargin
+
+  private lazy val simMmrTopKSql =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |s AS (
+       |  SELECT q.query_id, e.vec_id, ${cosSql("v", "qv")} AS cos
+       |  FROM e, q WHERE e.vec_id != q.query_id),
+       |pool AS (SELECT query_id, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM s) WHERE rn <= 10),
+       |pv AS (SELECT p.query_id, p.vec_id, e.v FROM pool p JOIN e USING (vec_id)),
+       |sims AS (
+       |  SELECT a.query_id, a.vec_id AS cand, b.vec_id AS other,
+       |    ${cosSql("a.v", "b.v")} AS sim
+       |  FROM pv a JOIN pv b ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
+       |s1 AS (SELECT query_id, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM pool) WHERE rn = 1),
+       |m2 AS (SELECT si.query_id, si.cand, MAX(si.sim) AS msim
+       |       FROM sims si JOIN s1 ON s1.query_id = si.query_id AND s1.vec_id = si.other
+       |       GROUP BY 1, 2),
+       |c2 AS (SELECT p.query_id, p.vec_id,
+       |         0.7 * p.cos - 0.3 * m.msim AS mmr
+       |       FROM pool p JOIN m2 m ON m.query_id = p.query_id AND m.cand = p.vec_id),
+       |s2 AS (SELECT query_id, vec_id, mmr FROM (
+       |  SELECT query_id, vec_id, mmr,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id) AS rn
+       |  FROM c2) WHERE rn = 1),
+       |sel12 AS (SELECT query_id, vec_id FROM s1
+       |          UNION ALL SELECT query_id, vec_id FROM s2),
+       |m3 AS (SELECT si.query_id, si.cand, MAX(si.sim) AS msim
+       |       FROM sims si JOIN sel12 t ON t.query_id = si.query_id AND t.vec_id = si.other
+       |       GROUP BY 1, 2),
+       |c3 AS (SELECT p.query_id, p.vec_id,
+       |         0.7 * p.cos - 0.3 * m.msim AS mmr
+       |       FROM pool p JOIN m3 m ON m.query_id = p.query_id AND m.cand = p.vec_id
+       |       LEFT JOIN sel12 x ON x.query_id = p.query_id AND x.vec_id = p.vec_id
+       |       WHERE x.vec_id IS NULL),
+       |s3 AS (SELECT query_id, vec_id, mmr FROM (
+       |  SELECT query_id, vec_id, mmr,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id) AS rn
+       |  FROM c3) WHERE rn = 1)
+       |SELECT query_id, vec_id AS sel_id, CAST(1 AS INT) AS sel_rank, cos AS sel_score FROM s1
+       |UNION ALL
+       |SELECT query_id, vec_id AS sel_id, CAST(2 AS INT) AS sel_rank, mmr AS sel_score FROM s2
+       |UNION ALL
+       |SELECT query_id, vec_id AS sel_id, CAST(3 AS INT) AS sel_rank, mmr AS sel_score FROM s3""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "sim_matryoshka_recall" -> simMatryoshkaRecallSql,
+    "sim_mmr_topk" -> simMmrTopKSql,
+    "text_readability" -> textReadabilitySql,
+    "text_markdown" -> textMarkdownSql,
+    "text_outlinks" -> textOutlinksSql,
+    "corpus_link_rank" -> corpusLinkRankSql,
+    "dedup_soft_weights" -> dedupSoftWeightsSql,
+    "corpus_oov_rate" -> corpusOovRateSql,
+    "corpus_domain_quality_ci" -> corpusDomainQualityCiSql,
     "corpus_domain_rank" -> domainRankSql,
     "corpus_domain_prior" ->
       s"""WITH $toksCte,

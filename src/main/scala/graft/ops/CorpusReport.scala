@@ -320,4 +320,55 @@ object CorpusReport {
       .agg(sum(when(col("__first") <= col("prefix_tokens"), 1L)
         .otherwise(0L)).as("vocab_size"))
   }
+
+  /** Per-domain quality gate with a Wilson-score lower CONFIDENCE bound
+    * instead of the raw high-quality share — the fix for the
+    * small-domain trap: a domain with 2/2 high-quality docs has share
+    * 1.0 but no evidence; a domain with 450/1000 has share 0.45 backed
+    * by a thousand observations. Gating on the Wilson lower bound
+    * (Wilson JASA 1927; the interval Brown et al. Stat.Sci.'01
+    * recommend over Wald) admits only domains whose quality is
+    * STATISTICALLY demonstrably above `p0`.
+    *
+    * The bound itself needs a square root, so instead of computing it in
+    * floats the gate evaluates the EQUIVALENT integer inequality
+    * exactly: with z² = 4 (z ≈ 2, ~97.7% one-sided), the Wilson
+    * condition `lower ≥ p0` for p0 = p0Num/p0Den algebraically
+    * rearranges to
+    *   A = p0Den·(x+2) − p0Num·(n+4) ≥ 0   AND
+    *   A² · n ≥ p0Den² · (4·x·(n−x) + 4·n)
+    * — all BIGINT arithmetic on (n = docs, x = high-quality docs), no
+    * sqrt, no floats, bit-exact across engines. Both inequality sides
+    * are emitted so the margin is inspectable. High-quality = the
+    * engine-wide fixed-point quality score ⌊q·10⁴⌋ ≥ qCutFp.
+    *
+    * Shape at scale: one scan computes (domain, is_high) per doc, one
+    * partial-aggregated groupBy rolls up to domains, the inequality is a
+    * domain-table projection. Overflow-safe for n up to ~10⁹ docs per
+    * domain with p0Den ≤ 100 (A ≤ 100·n → A²·n ≤ 10⁴·10²⁷ ... so cap
+    * p0Den·n below 2³¹ per domain; web domains under a cap pass easily
+    * and the require guards the contract). */
+  def domainQualityGate(df: DataFrame, domain: Column, text: String,
+                        qCutFp: Long = 5000L,
+                        p0Num: Long = 3L, p0Den: Long = 10L): DataFrame = {
+    require(p0Den > 0 && p0Num >= 0 && p0Num <= p0Den,
+      s"p0 must be a fraction in [0,1]: $p0Num/$p0Den")
+    val qualityFp = floor(TextAnalysis.qualityColumns(col(text))
+      .collectFirst { case ("quality", c) => c }.get * 10000).cast("long")
+    graft.operators.Scale.balanceToCores(df)
+      .select(domain.as("domain"),
+        (qualityFp >= qCutFp).cast("long").as("__hi"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__hi")).as("n_high"))
+      .withColumn("margin_a",
+        lit(p0Den) * (col("n_high") + lit(2L)) -
+          lit(p0Num) * (col("n_docs") + lit(4L)))
+      .withColumn("lhs", col("margin_a") * col("margin_a") * col("n_docs"))
+      .withColumn("rhs",
+        lit(p0Den * p0Den) *
+          (lit(4L) * col("n_high") * (col("n_docs") - col("n_high")) +
+            lit(4L) * col("n_docs")))
+      .withColumn("keep",
+        (col("margin_a") >= 0L && col("lhs") >= col("rhs")).cast("int"))
+  }
 }

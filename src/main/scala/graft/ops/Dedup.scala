@@ -84,6 +84,25 @@ object Dedup {
       .select(col(id), col("fp"), col("canonical_id"), col("group_size"), col("is_dup"))
   }
 
+  /** Soft deduplication: keep EVERY copy but down-weight duplicated
+    * content so each distinct text contributes one document's worth of
+    * sampling mass — `weight_permille = 1000 DIV group_size` on top of
+    * [[exact]]'s fingerprint groups. The reweighting alternative to hard
+    * removal (SoftDeDup-style, cf. He et al. ACL'24): dropping duplicates
+    * discards the evidence that text was independently published many
+    * times, while full weight lets a boilerplate page dominate the
+    * sampler; per-group-uniform mass keeps the corpus distribution equal
+    * to the deduplicated one IN EXPECTATION without deleting rows.
+    * `hard_keep` carries what [[exact]] would have kept, so one output
+    * serves both policies and the Σweight ≈ n_distinct invariant is
+    * checkable downstream. Same single fingerprint shuffle as [[exact]];
+    * the weight is a scan-side epilogue. */
+  def softWeights(df: DataFrame, id: String, text: String): DataFrame =
+    exact(df, id, text)
+      .withColumn("weight_permille", expr("1000 DIV group_size"))
+      .withColumn("hard_keep", (lit(1) - col("is_dup")).cast("int"))
+      .drop("is_dup")
+
   /** Distinct word n-gram shingles per document: (id, shingle).
     * Tokenization is materialized into its own projection first — inlining
     * `tokens(text)` into the shingle lambda would re-run the split per

@@ -789,4 +789,107 @@ object Similarity {
       .filter(col("__r") === 1 && col("margin") > threshold)
       .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"))
   }
+
+  /** Matryoshka truncation audit (Kusupati et al. NeurIPS'22, MRL):
+    * recall@k of top-k retrieval run on the first `prefixDims`
+    * dimensions against the full-dimension ground truth — the
+    * measurement that decides whether an index can store truncated
+    * vectors (4–8× memory/IO savings at serving time) for a given
+    * embedding column. Per query: ground-truth list size, overlap
+    * count, and recall in exact integer permille.
+    *
+    * Both retrieval passes are [[knnJoin]] (bounded-heap top-k, k rows
+    * per query through each shuffle); the prefix pass feeds slice()d
+    * copies through the same operator, so the audit inherits knnJoin's
+    * scale shape twice plus two query-sized joins — nothing here grows
+    * with the corpus beyond the two scans. */
+  def matryoshkaRecall(emb: DataFrame, id: String, vec: String,
+                       queries: DataFrame, qid: String, qvec: String,
+                       k: Int, prefixDims: Int): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    def truncated(df: DataFrame, i: String, v: String) =
+      df.select(col(i), slice(asDouble(col(v)), 1, prefixDims).as(v))
+    val full = knnJoin(emb, id, vec, queries, qid, qvec, k)
+      .select(col("query_id"), col(id))
+    val pre = knnJoin(truncated(emb, id, vec), id, vec,
+        truncated(queries, qid, qvec), qid, qvec, k)
+      .select(col("query_id"), col(id))
+    val nFull = full.groupBy(col("query_id")).agg(count(lit(1)).as("n_full"))
+    val nOv = full.join(pre, Seq("query_id", id))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    nFull.join(nOv, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_full"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_permille",
+        expr("(1000 * n_overlap) DIV n_full"))
+  }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * SIGIR'98): greedily pick `k` results from the relevance top-`poolSize`
+    * so each next pick maximizes `λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)` —
+    * the redundancy-penalized selection that keeps a near-dup-heavy
+    * candidate pool from filling the whole result list with one cluster.
+    *
+    * Shape at scale: ONE corpus-sized pass ([[knnJoin]]) reduces each
+    * query to a `poolSize` candidate pool; everything after — the
+    * pool×pool similarity table (`poolSize²` rows per query) and the
+    * k−1 greedy rounds (each an anti-join + max-aggregate + argmax
+    * window, all keyed on query_id) — is arithmetic on query-sized
+    * frames, so corpus growth only touches the first pass. The greedy
+    * loop is inherently sequential in k; k is small by construction
+    * (a result page). For large k, localCheckpoint the pool first —
+    * each round's plan otherwise re-derives it. Selection order is
+    * total (score desc, id asc) so results are deterministic;
+    * `sel_score` carries the objective value at selection time (pure
+    * cos for rank 1, the MMR value after). */
+  def mmrTopK(emb: DataFrame, id: String, vec: String,
+              queries: DataFrame, qid: String, qvec: String,
+              k: Int, poolSize: Int, lambda: Double = 0.7,
+              penalty: Double = 0.3): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1: $k, $poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    // `penalty` is an explicit weight rather than a computed 1−λ: the
+    // binary subtraction 1.0−0.7 rounds to 0.30000000000000004, while a
+    // reference engine parsing the DECIMAL literal 0.3 (DuckDB folds
+    // (1.0−0.7) exactly in decimal) lands on 0.29999999999999999 — a
+    // one-ulp MMR disagreement that can flip tie-adjacent selections.
+    // Passing both weights as literals keeps every engine on the same
+    // doubles. (Found by the oracle gate, round 11.)
+    require(penalty >= 0.0 && penalty <= 1.0, s"penalty in [0,1]: $penalty")
+    val pool = knnJoin(emb, id, vec, queries, qid, qvec, poolSize)
+      .select(col("query_id"), col(id), col("cos"))
+    val pv = pool.join(emb.select(col(id), asDouble(col(vec)).as("__v")), Seq(id))
+      .select(col("query_id"), col(id), col("__v"))
+    val sims = pv.select(col("query_id"), col(id).as("cand"), col("__v").as("__va"))
+      .join(pv.select(col("query_id"), col(id).as("other"), col("__v").as("__vb")),
+        Seq("query_id"))
+      .filter(col("cand") =!= col("other"))
+      .select(col("query_id"), col("cand"), col("other"),
+        cosine(col("__va"), col("__vb")).as("sim"))
+    val w1 = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col(id))
+    var selected = pool.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col(id).as("sel_id"),
+        lit(1).as("sel_rank"), col("cos").as("sel_score"))
+    for (t <- 2 to k) {
+      val remaining = pool.join(
+        selected.select(col("query_id"), col("sel_id").as(id)),
+        Seq("query_id", id), "left_anti")
+      val ms = sims.join(
+          selected.select(col("query_id"), col("sel_id").as("other")),
+          Seq("query_id", "other"))
+        .groupBy(col("query_id"), col("cand").as(id))
+        .agg(max(col("sim")).as("__msim"))
+      val wT = Window.partitionBy(col("query_id")).orderBy(desc("__mmr"), col(id))
+      val next = remaining.join(ms, Seq("query_id", id))
+        .withColumn("__mmr",
+          lit(lambda) * col("cos") - lit(penalty) * col("__msim"))
+        .withColumn("__rn", row_number().over(wT))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col(id).as("sel_id"),
+          lit(t).as("sel_rank"), col("__mmr").as("sel_score"))
+      selected = selected.unionByName(next)
+    }
+    selected
+  }
 }

@@ -1898,4 +1898,148 @@ object TextAnalysis {
       "is_mojibake" -> (nMoji > 0L).cast("int"),
       "fixed" -> fixed, "fixed_len" -> length(fixed).cast("long"))
   }
+
+  // ----------------------------------------------------------- readability
+
+  /** Syllable-count heuristic for English-ish text: one syllable per
+    * vowel GROUP (`[aeiouy]+` run), with a floor of one syllable per
+    * word for vowel-free tokens ("tl;dr", digits, acronyms). The
+    * standard dictionary-free approximation — Flesch's own tooling used
+    * the same vowel-run rule; exact hyphenation needs a pronouncing
+    * dictionary this engine deliberately does not ship. Vowel groups
+    * never span whitespace, so one corpus-wide `regexp_count` plus a
+    * vowel-free-token count replaces any per-word loop. */
+  def syllableCount(text: Column): Column = {
+    val t = tokens(lower(text))
+    (regexp_count(lower(text), lit("[aeiouy]+")) +
+      size(filter(t, x => !x.rlike("[aeiouy]")))).cast("long")
+  }
+
+  /** Readability + lexical-diversity signals (Flesch '48 reading ease,
+    * Kincaid '75 grade level, type-token ratio) — the document-level
+    * fluency tier of a quality stack, cheap enough to run corpus-wide
+    * where a model-based scorer is reserved for survivors.
+    *
+    * All scores are EXACT integer fixed point (millis for the Flesch
+    * pair, permille for TTR) built from four counts, with `DIV` floor
+    * division mirrored by DuckDB `//` — no float division, so the gate
+    * hash-matches bit-for-bit. Both Flesch formulas keep their published
+    * coefficients scaled ×1000 (206.835 → 206835 millis); operands are
+    * non-negative so Spark's `DIV` (toward zero) and DuckDB's `//`
+    * (floor) agree. Sentence units use the engine-wide `". "` split
+    * convention ([[c4Signals]], `Dedup.paragraphDedup`). Two chained
+    * scan-side projections, zero shuffles, zero UDFs — at 100 TB the
+    * whole scorer fuses into one WholeStageCodegen span over the scan. */
+  def readability(df: DataFrame, id: String, text: String): DataFrame = {
+    val units = filter(
+      transform(split(col(text), "\\.\\s+"), u => trim(u)),
+      u => length(u) > 0)
+    val t = tokens(col(text))
+    df.select(col(id),
+        greatest(size(units).cast("long"), lit(1L)).as("n_sentences"),
+        greatest(size(t).cast("long"), lit(1L)).as("n_words"),
+        syllableCount(col(text)).as("n_syllables"),
+        size(array_distinct(transform(t, x => lower(x)))).cast("long")
+          .as("n_types"))
+      .withColumn("fre_milli",
+        lit(206835L) - expr("(1015 * n_words) DIV n_sentences") -
+          expr("(84600 * n_syllables) DIV n_words"))
+      .withColumn("fkgl_milli",
+        expr("(390 * n_words) DIV n_sentences") +
+          expr("(11800 * n_syllables) DIV n_words") - lit(15590L))
+      .withColumn("ttr_permille", expr("(1000 * n_types) DIV n_words"))
+  }
+
+  // ------------------------------------------------- markdown structure
+
+  /** Markdown structural-density signals: ATX headings, list items,
+    * table rows, blockquote lines, inline links, inline code spans.
+    * The structure tier of a code/docs-corpus router — markdown-heavy
+    * documents go to a docs pipeline (fence extraction, [[codeFences]]),
+    * structure-free prose goes to the text pipeline — and the negative
+    * signal matters too: crawled navigation pages are link-dense but
+    * heading-free. All RE2-safe multiline (`(?m)`) counts shared
+    * verbatim with the oracle; scan-side, shuffle-free, UDF-free. */
+  def markdownColumns(text: Column): Seq[(String, Column)] = {
+    val counts = Seq(
+      "n_headings" -> "(?m)^#{1,6} ",
+      "n_list_items" -> "(?m)^[ \\t]*[-*+] ",
+      "n_table_rows" -> "(?m)^\\|.*\\|[ \\t]*$",
+      "n_blockquotes" -> "(?m)^> ",
+      "n_links" -> "\\[[^\\]]*\\]\\([^)]*\\)",
+      "n_code_spans" -> "`[^`]+`").map { case (n, re) =>
+      n -> regexp_count(text, lit(re)).cast("long")
+    }
+    val structural = counts.take(4).map(_._2).reduce(_ + _)
+    counts :+ ("is_markdown" -> (structural > 0L).cast("int"))
+  }
+
+  // ------------------------------------------------------------ outlinks
+
+  /** Anchor-tag pattern: href value (group 1) and anchor text (group 2).
+    * Attribute order `href` first, double quotes — the normalized form
+    * the planted-corpus gate and real-world extraction both accept; a
+    * production crawler feeds pre-normalized WARC-extracted HTML. */
+  val anchorRegex: String = "<a href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  /** Outlink extraction: every `<a href>` in the text yields one
+    * (position-aligned) (href, anchor_text) pair — the edge-emitting
+    * half of a crawl link graph. Two `regexp_extract_all` passes share
+    * one pattern, and `arrays_zip` keeps href/anchor aligned by match
+    * position. Scan-side projection + a per-doc explode — the explode
+    * multiplies rows, not bytes read, so the pass stays one scan at any
+    * corpus size; the graph aggregation downstream ([[Domains.domainRank]])
+    * is the only shuffle in the chain. */
+  def outlinks(df: DataFrame, id: String, text: String): DataFrame = {
+    val pairs = arrays_zip(
+      regexp_extract_all(col(text), lit(anchorRegex), lit(1)).as("href"),
+      regexp_extract_all(col(text), lit(anchorRegex), lit(2)).as("anchor"))
+    df.select(col(id), explode(pairs).as("__l"))
+      .select(col(id), col("__l.href").as("href"),
+        col("__l.anchor").as("anchor"))
+  }
+
+  // ------------------------------------------------------------ OOV rate
+
+  /** Out-of-vocabulary rate of an apply corpus against a vocabulary
+    * TRAINED on another corpus (case-folded words with count ≥
+    * `minCount`) — the domain-shift probe run before reusing a
+    * tokenizer or an n-gram scorer on a new snapshot: a per-doc
+    * `oov_permille` distribution that suddenly fattens means the new
+    * data speaks a vocabulary the artifacts were not fitted to.
+    *
+    * Words cross the shuffle as [[hash60]] longs, never strings (the
+    * [[graft.ops.CorpusReport.vocabGrowth]] convention). Shape at
+    * scale: one partial-aggregated groupBy builds the vocabulary
+    * (vocabulary-sized result), the apply side explodes to (doc, hash)
+    * and takes ONE hash join against it — vocabulary tables for real
+    * corpora are ~10⁷ rows / 80 MB of longs, so Spark's own size
+    * estimate usually broadcasts; when it doesn't, the equi-join
+    * shuffles the small table, never the corpus twice — then one
+    * groupBy(doc) rolls up. Zero-token docs survive via the final left
+    * join from the doc spine (oov of nothing = 0). */
+  def oovRate(train: DataFrame, applyTo: DataFrame, id: String,
+              text: String, minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val vocab = graft.operators.Scale.balanceToCores(train)
+      .select(explode(tokens(lower(col(text)))).as("__tok"))
+      .groupBy(hash60(col("__tok")).as("h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("h"), lit(1).as("__in"))
+    val perDoc = graft.operators.Scale.balanceToCores(applyTo)
+      .select(col(id), explode(tokens(lower(col(text)))).as("__tok"))
+      .select(col(id), hash60(col("__tok")).as("h"))
+      .join(vocab, Seq("h"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("__oov"))
+    applyTo.select(col(id))
+      .join(perDoc, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        coalesce(col("__oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_permille",
+        expr("(1000 * n_oov) DIV greatest(n_tokens, 1)"))
+  }
 }

@@ -686,6 +686,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"secret scanning must not join:\n$p")
   }
 
+  test("readability, markdown stats, and outlink extraction are shuffle-free scan-side passes") {
+    // round-11 scan-side signals: integer fixed-point readability, the
+    // markdown structure counters, and the anchor-pair explode each cost
+    // one projection at 100 TB — no exchange may ever appear
+    Seq("text_readability", "text_markdown", "text_outlinks").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"$q must not shuffle:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("dedup_soft_weights shuffles exactly once; domain CI gate partial-aggregates") {
+    // soft weights ride exact's single fingerprint window shuffle — the
+    // weight epilogue must not add an exchange
+    val pw = plan("dedup_soft_weights")
+    assert("Exchange hashpartitioning".r.findAllIn(pw).length === 1, pw)
+    // the Wilson gate is one partial-aggregated rollup to domain rows;
+    // the integer inequality is a projection on the tiny result
+    val pc = plan("corpus_domain_quality_ci")
+    assert("Exchange hashpartitioning".r.findAllIn(pc).length === 1, pc)
+    val ex = pc.indexOf("Exchange hashpartitioning")
+    assert(pc.indexOf("HashAggregate", ex) >= 0,
+      s"domain rollup must partial-aggregate below its exchange:\n$pc")
+  }
+
+  test("corpus_oov_rate broadcasts the vocabulary, never shuffles the corpus onto it") {
+    // the vocabulary table is vocabulary-sized (longs), so the apply-side
+    // membership join must be a broadcast — re-shuffling the exploded
+    // corpus against it would be the 100 TB bottleneck; the two hash
+    // exchanges are the vocab count and the per-doc rollup
+    val p = plan("corpus_oov_rate")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("corpus_length_batches: two-phase positions, batch/bucket rollups partial-aggregated") {
     val p = plan("corpus_length_batches")
     // full data shuffles on (stratum, __b) for positions, then the batch
