@@ -2085,7 +2085,81 @@ object OracleOpsQueries {
       k = 3, poolSize = 10, lambda = 0.7)
   }
 
+  /** SFT render gate: chat-template rendering + loss-mask spans. The
+    * fixture docs are single sentence units, so dialogue structure is
+    * PLANTED: every 3rd doc gains five units (6 total → n_turns = 3,
+    * no remainder), every 3rd+1 two units (3 total → n_turns = 1 AND
+    * the trailing-unit drop fires), the rest stay single-unit
+    * (n_turns = 0 — the degenerate class). `mask_exact` must hold for
+    * every doc (spec-pinned on crafted docs, value-compared here). */
+  def corpusSftRender(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit(". How do I reset it. Use the settings panel. Where is that. Under the gear icon. One more thing"))
+        .when(col("doc_id") % 3 === 1,
+          lit(". Single question here. And the single answer"))
+        .otherwise(lit("")))
+    graft.ops.Packing.sftRenderChat(
+      Tables.documents(s, d).select(col("doc_id"), planted.as("text")),
+      "doc_id", "text")
+  }
+
+  /** Template-line gate: a shared cookie-banner first unit planted on
+    * every 2nd doc and a rights footer on every 3rd, 10 home domains
+    * (~50 docs each at sf0.01) — both positions clear the minDocs = 5
+    * popularity bar inside every domain; unplanted docs keep flag 0. */
+  def corpusTemplateLines(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(
+      when(col("doc_id") % 2 === 0, lit("Cookie notice please accept. "))
+        .otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 3 === 0, lit(". All rights reserved"))
+        .otherwise(lit("")))
+    graft.ops.TextAnalysis.templateLines(
+      Tables.documents(s, d).select(col("doc_id"), planted.as("text")),
+      "doc_id", "text",
+      concat(lit("site"), (col("doc_id") % 10).cast("string")),
+      minDocs = 5L)
+  }
+
+  /** Langid-margin gate over the raw corpus: top-vs-runner-up stopword
+    * score margin + the confidence flag at margin ≥ 3. */
+  def textLangIdMargin(s: SparkSession, d: String): DataFrame = {
+    val cols = TextAnalysis.langIdMarginColumns(col("text"), minMargin = 3L)
+      .map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
+  /** Anchor plant for the anchor-text gate: every doc links once to one
+    * of 23 hub hosts with a doc-residue anchor text, every 4th adds a
+    * second "read more" link — so hosts accumulate competing anchors
+    * and the modal pick plus its (count desc, anchor asc) tie-break do
+    * real work. */
+  private def plantedAnchorVaried: Column = {
+    def tgt(salt: String) = (TextAnalysis.hash60(
+      concat(col("doc_id").cast("string"), lit(salt))) % 23).cast("string")
+    val anchor = when(col("doc_id") % 3 === 0, lit("download page"))
+      .when(col("doc_id") % 3 === 1, lit("read more"))
+      .otherwise(lit("home"))
+    concat(col("text"),
+      lit(" <a href=\"https://hub"), tgt("_v1"), lit(".org/x\">"), anchor,
+      lit("</a>"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" <a href=\"https://hub"), tgt("_v2"),
+          lit(".org/y\">read more</a>"))).otherwise(lit("")))
+  }
+
+  def corpusAnchorText(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.anchorText(
+      Tables.documents(s, d).select(col("doc_id"),
+        plantedAnchorVaried.as("text")),
+      "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_sft_render" -> (corpusSftRender _),
+    "corpus_template_lines" -> (corpusTemplateLines _),
+    "text_langid_margin" -> (textLangIdMargin _),
+    "corpus_anchor_text" -> (corpusAnchorText _),
     "sim_matryoshka_recall" -> (simMatryoshkaRecall _),
     "sim_mmr_topk" -> (simMmrTopK _),
     "text_readability" -> (textReadability _),
@@ -3494,7 +3568,143 @@ object OracleOpsQueries {
        |UNION ALL
        |SELECT query_id, vec_id AS sel_id, CAST(3 AS INT) AS sel_rank, mmr AS sel_score FROM s3""".stripMargin
 
+  private lazy val corpusSftRenderSql =
+    s"""WITH pl AS (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN '. How do I reset it. Use the settings panel. Where is that. Under the gear icon. One more thing'
+       |          WHEN doc_id % 3 = 1 THEN '. Single question here. And the single answer'
+       |          ELSE '' END) AS text
+       |  FROM documents),
+       |u0 AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(regexp_split_to_array(text, '\\.\\s+'),
+       |      x -> trim(x)), x -> len(x) > 0) AS u
+       |  FROM pl),
+       |b AS (SELECT doc_id, u, CAST(len(u) // 2 AS BIGINT) AS m FROM u0),
+       |r AS (SELECT doc_id, u, m,
+       |  CASE WHEN m >= 1 THEN array_to_string(list_transform(generate_series(1, m),
+       |    k -> '<|user|>' || chr(10) || u[CAST(2*k-1 AS INT)] || chr(10) ||
+       |         '<|assistant|>' || chr(10) || u[CAST(2*k AS INT)] || chr(10)), '')
+       |  ELSE '' END AS rendered,
+       |  CASE WHEN m >= 1 THEN list_transform(generate_series(1, m), k ->
+       |    (CASE WHEN k = 1 THEN 0 ELSE
+       |       list_reduce(list_transform(generate_series(1, k - 1), j ->
+       |         25 + len(u[CAST(2*j-1 AS INT)]) + len(u[CAST(2*j AS INT)])),
+       |         (x, y) -> x + y) END) + len(u[CAST(2*k-1 AS INT)]) + 25)
+       |  ELSE CAST([] AS BIGINT[]) END AS starts,
+       |  CASE WHEN m >= 1 THEN list_transform(generate_series(1, m), k ->
+       |    CAST(len(u[CAST(2*k AS INT)]) AS BIGINT))
+       |  ELSE CAST([] AS BIGINT[]) END AS alens
+       |  FROM b)
+       |SELECT doc_id,
+       |  m AS n_turns,
+       |  CAST(len(rendered) AS BIGINT) AS rendered_len,
+       |  CAST(CASE WHEN m >= 1 THEN list_reduce(alens, (x, y) -> x + y)
+       |       ELSE 0 END AS BIGINT) AS mask_chars,
+       |  CAST(CASE WHEN m >= 1 THEN list_reduce(
+       |      list_transform(generate_series(1, m), k ->
+       |        starts[CAST(k AS INT)] * 1009 + alens[CAST(k AS INT)] * 31),
+       |      (x, y) -> x + y) ELSE 0 END AS BIGINT) AS span_checksum,
+       |  CAST(
+       |    (CASE WHEN m >= 1 THEN array_to_string(list_transform(
+       |       generate_series(1, m), k ->
+       |       substr(rendered, CAST(starts[CAST(k AS INT)] AS BIGINT),
+       |         CAST(alens[CAST(k AS INT)] AS BIGINT))), '') ELSE '' END) =
+       |    (CASE WHEN m >= 1 THEN array_to_string(list_transform(
+       |       generate_series(1, m), k -> u[CAST(2*k AS INT)]), '')
+       |     ELSE '' END) AS INT) AS mask_exact,
+       |  rendered
+       |FROM r""".stripMargin
+
+  private lazy val corpusTemplateLinesSql =
+    """WITH pl AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'Cookie notice please accept. ' ELSE '' END)
+      |    || text ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '. All rights reserved' ELSE '' END) AS text
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, 'site' || CAST(doc_id % 10 AS VARCHAR) AS domain,
+      |    list_filter(list_transform(regexp_split_to_array(text, '\.\s+'),
+      |      x -> trim(x)), x -> len(x) > 0) AS us
+      |  FROM pl),
+      |b AS (SELECT doc_id, domain, CAST(len(us) AS BIGINT) AS n_units,
+      |        us[1] AS fst, us[-1] AS lst FROM u),
+      |h AS (SELECT domain, fst FROM b WHERE fst IS NOT NULL
+      |      GROUP BY 1, 2 HAVING count(*) >= 5),
+      |f AS (SELECT domain, lst FROM b WHERE lst IS NOT NULL
+      |      GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT b.doc_id, b.domain, b.n_units,
+      |  CAST(h.fst IS NOT NULL AS INT) AS is_header_template,
+      |  CAST(f.lst IS NOT NULL AS INT) AS is_footer_template,
+      |  greatest(b.n_units - CAST(h.fst IS NOT NULL AS BIGINT)
+      |    - (CASE WHEN b.n_units > 1 THEN CAST(f.lst IS NOT NULL AS BIGINT)
+      |       ELSE 0 END), 0) AS n_units_clean
+      |FROM b
+      |LEFT JOIN h ON h.domain = b.domain AND h.fst = b.fst
+      |LEFT JOIN f ON f.domain = b.domain AND f.lst = b.lst""".stripMargin
+
+  private lazy val textLangIdMarginSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    $langScoreExprsSql
+       |  FROM documents),
+       |s2 AS (SELECT doc_id,
+       |  list_sort([CAST(score_de AS BIGINT), CAST(score_en AS BIGINT),
+       |             CAST(score_es AS BIGINT), CAST(score_fr AS BIGINT),
+       |             CAST(score_zh AS BIGINT)], 'DESC') AS srt,
+       |  $langCaseSql AS lang_pred
+       |  FROM scored)
+       |SELECT doc_id, lang_pred,
+       |  srt[1] AS top_score, srt[2] AS second_score,
+       |  srt[1] - srt[2] AS margin,
+       |  CAST(srt[1] - srt[2] >= 3 AS INT) AS confident
+       |FROM s2""".stripMargin
+
+  /** Mirror of [[plantedAnchorVaried]] — exposes `plv(doc_id, pt)`. */
+  private lazy val anchorVariedPlantSql = {
+    val t1 = h60("CAST(doc_id AS VARCHAR) || '_v1'")
+    val t2 = h60("CAST(doc_id AS VARCHAR) || '_v2'")
+    s"""plv AS (
+       |  SELECT doc_id, text ||
+       |    ' <a href="https://hub' || CAST($t1 % 23 AS VARCHAR) || '.org/x">' ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'download page'
+       |          WHEN doc_id % 3 = 1 THEN 'read more' ELSE 'home' END) ||
+       |    '</a>' ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN ' <a href="https://hub' ||
+       |       CAST($t2 % 23 AS VARCHAR) || '.org/y">read more</a>' ELSE '' END)
+       |    AS pt
+       |  FROM documents)""".stripMargin
+  }
+
+  private lazy val corpusAnchorTextSql =
+    s"""WITH $anchorVariedPlantSql,
+       |x AS (SELECT doc_id,
+       |    regexp_extract_all(pt, '$anchorRegexSql', 1) AS hs,
+       |    regexp_extract_all(pt, '$anchorRegexSql', 2) AS an
+       |  FROM plv),
+       |l AS (SELECT doc_id, unnest(generate_series(1, len(hs))) AS i, hs, an
+       |      FROM x WHERE len(hs) > 0),
+       |pa AS (
+       |  SELECT regexp_extract(lower(trim(hs[i])),
+       |      '${graft.ops.Domains.hostRegex}', 1) AS dst_host,
+       |    an[i] AS anchor, CAST(count(*) AS BIGINT) AS c
+       |  FROM l GROUP BY 1, 2),
+       |rk AS (SELECT dst_host, anchor, c,
+       |    ROW_NUMBER() OVER (PARTITION BY dst_host ORDER BY c DESC, anchor) AS rn,
+       |    SUM(c) OVER (PARTITION BY dst_host) AS n_links,
+       |    COUNT(*) OVER (PARTITION BY dst_host) AS n_anchors
+       |  FROM pa)
+       |SELECT dst_host, CAST(n_links AS BIGINT) AS n_links,
+       |  CAST(n_anchors AS BIGINT) AS n_anchors,
+       |  anchor AS top_anchor, c AS top_count
+       |FROM rk WHERE rn = 1""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "corpus_sft_render" -> corpusSftRenderSql,
+    "corpus_template_lines" -> corpusTemplateLinesSql,
+    "text_langid_margin" -> textLangIdMarginSql,
+    "corpus_anchor_text" -> corpusAnchorTextSql,
     "sim_matryoshka_recall" -> simMatryoshkaRecallSql,
     "sim_mmr_topk" -> simMmrTopKSql,
     "text_readability" -> textReadabilitySql,

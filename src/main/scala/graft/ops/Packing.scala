@@ -366,4 +366,64 @@ object Packing {
                 (col("c2") - col("c1")).cast("int")))))
           .otherwise(concat_ws(" ", t)).as("example"))
   }
+
+  /** SFT chat-template rendering with LOSS-MASK spans: documents become
+    * alternating user/assistant turns (consecutive sentence units pair
+    * up; a trailing unit with no reply is dropped), rendered with the
+    * `<|user|>`/`<|assistant|>` header convention, and the operator
+    * emits the character spans of the ASSISTANT segments — the mask an
+    * SFT trainer applies so loss is computed only on responses, plus
+    * the audit columns that prove the spans are right.
+    *
+    * Span arithmetic is EXACT, not search-based: the per-turn block is
+    * `"<|user|>\n" u "\n<|assistant|>\n" a "\n"` (9 + |u| + 15 + |a| + 1
+    * chars), so assistant k starts at `cum_k + |u_k| + 25` (1-based),
+    * where cum_k is the exclusive prefix sum of block lengths — one
+    * codegen'd [[graft.functions.PrefixSums]] pass, linear in turns
+    * (the VERDICT-r9 rule: no O(n²) slice-and-fold in a row). The gate
+    * carries `mask_exact`: substring-extracting every emitted span from
+    * the rendered string must reproduce the assistant concatenation
+    * byte-for-byte, and `span_checksum` (Σ start·1009 + len·31) pins the
+    * span VALUES across engines without shipping a struct array.
+    * Scan-side column algebra, zero shuffles, zero UDFs. */
+  def sftRenderChat(df: DataFrame, id: String, text: String): DataFrame = {
+    val units = filter(
+      transform(split(col(text), "\\.\\s+"), u => trim(u)),
+      u => length(u) > 0)
+    def u(k: Column) = element_at(col("__u"), (k * 2 - 1).cast("int"))
+    def a(k: Column) = element_at(col("__u"), (k * 2).cast("int"))
+    graft.operators.Scale.balanceToCores(df)
+      .select(col(id), units.as("__u"))
+      .withColumn("__m", expr("size(__u) DIV 2").cast("long"))
+      .withColumn("__ks",
+        when(col("__m") >= 1L, sequence(lit(1L), col("__m")))
+          .otherwise(array().cast("array<bigint>")))
+      .withColumn("__bl", transform(col("__ks"),
+        k => lit(25L) + length(u(k)).cast("long") + length(a(k)).cast("long")))
+      .withColumn("__cum", graft.functions.F.prefix_sums(col("__bl")))
+      .withColumn("rendered", concat_ws("", transform(col("__ks"), k =>
+        concat(lit("<|user|>\n"), u(k), lit("\n<|assistant|>\n"), a(k),
+          lit("\n")))))
+      .withColumn("__starts", transform(col("__ks"), (k, i) =>
+        element_at(col("__cum"), i + 1) + length(u(k)).cast("long") + lit(25L)))
+      .withColumn("__alens", transform(col("__ks"),
+        k => length(a(k)).cast("long")))
+      .withColumn("__extracted", concat_ws("", transform(col("__ks"), (_, i) =>
+        col("rendered").substr(element_at(col("__starts"), i + 1),
+          element_at(col("__alens"), i + 1)))))
+      .withColumn("__expected",
+        concat_ws("", transform(col("__ks"), k => a(k))))
+      .select(col(id),
+        col("__m").as("n_turns"),
+        length(col("rendered")).cast("long").as("rendered_len"),
+        aggregate(col("__alens"), lit(0L), (acc, x) => acc + x)
+          .as("mask_chars"),
+        aggregate(transform(col("__ks"), (_, i) =>
+            element_at(col("__starts"), i + 1) * lit(1009L) +
+              element_at(col("__alens"), i + 1) * lit(31L)),
+          lit(0L), (acc, x) => acc + x).as("span_checksum"),
+        (col("__extracted") === col("__expected")).cast("int")
+          .as("mask_exact"),
+        col("rendered"))
+  }
 }

@@ -1999,6 +1999,120 @@ object TextAnalysis {
         col("__l.anchor").as("anchor"))
   }
 
+  /** Anchor-text aggregation per link-target host: the "anchor text as
+    * weak labels" table (how the web DESCRIBES each destination) that
+    * retrieval-training pipelines mine for query–document pairs, and
+    * crawl schedulers read as a popularity/topic prior. Per target:
+    * total in-links, distinct anchor texts, and the modal anchor under
+    * a total (count desc, anchor asc) order.
+    *
+    * Shape at scale: the [[outlinks]] explode feeds one partial-
+    * aggregated groupBy on (host, anchor) — the only full-data shuffle —
+    * then the host rollup runs on the (much smaller) distinct-anchor
+    * table; the modal anchor is an unordered struct-min aggregate
+    * ((−count, anchor) — the keep-best trick), never a per-host sort. */
+  def anchorText(df: DataFrame, id: String, text: String): DataFrame = {
+    val perAnchor = outlinks(df, id, text)
+      .select(graft.ops.Domains.host(col("href")).as("dst_host"),
+        col("anchor"))
+      .groupBy(col("dst_host"), col("anchor"))
+      .agg(count(lit(1)).as("__c"))
+    perAnchor
+      .groupBy(col("dst_host"))
+      .agg(sum(col("__c")).as("n_links"),
+        count(lit(1)).as("n_anchors"),
+        min(struct((-col("__c")).as("nc"), col("anchor").as("a")))
+          .as("__top"))
+      .select(col("dst_host"), col("n_links"), col("n_anchors"),
+        col("__top.a").as("top_anchor"),
+        (-col("__top.nc")).as("top_count"))
+  }
+
+  // ----------------------------------------------------- template lines
+
+  /** Domain-scoped template-line detection: a first/last sentence unit
+    * shared by ≥ `minDocs` documents OF THE SAME DOMAIN is boilerplate
+    * (cookie banners, footers, navigation stubs) — the CCNet-flavored
+    * popularity rule applied at the position where crawl templates
+    * actually live, and scoped per domain so a common English opener in
+    * one domain cannot poison another. Output per doc: unit count,
+    * header/footer template flags, and the unit count after dropping
+    * flagged positions.
+    *
+    * Shape at scale: one scan projects (domain, first, last); two
+    * partial-aggregated groupBys build the header/footer template
+    * tables (rows = distinct (domain, unit) pairs ABOVE the threshold —
+    * tiny by construction, templates are popular); the flag joins are
+    * left joins against those small tables (broadcast at any realistic
+    * scale). The corpus never shuffles on its text. */
+  def templateLines(df: DataFrame, id: String, text: String,
+                    domain: Column, minDocs: Long = 5L): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val units = filter(
+      transform(split(col(text), "\\.\\s+"), u => trim(u)),
+      u => length(u) > 0)
+    val base = graft.operators.Scale.balanceToCores(df)
+      .select(col(id), domain.as("__dom"), units.as("__u"))
+      .withColumn("__n", size(col("__u")).cast("long"))
+      // try_: a zero-unit doc must yield null endpoints, not an
+      // ANSI out-of-bounds error
+      .withColumn("__first", try_element_at(col("__u"), lit(1)))
+      .withColumn("__last", try_element_at(col("__u"), lit(-1)))
+    def popular(unit: String, out: String) = base
+      .filter(col(unit).isNotNull)
+      .groupBy(col("__dom").as(s"${out}dom"), col(unit).as(out))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minDocs)
+      .select(col(s"${out}dom"), col(out), lit(1).as(s"${out}_hit"))
+    val headers = popular("__first", "__h")
+    val footers = popular("__last", "__f")
+    base
+      .join(headers, col("__dom") === col("__hdom") &&
+        col("__first") === col("__h"), "left")
+      .drop("__hdom", "__h")
+      .join(footers, col("__dom") === col("__fdom") &&
+        col("__last") === col("__f"), "left")
+      .drop("__fdom", "__f")
+      .select(col(id), col("__dom").as("domain"),
+        col("__n").as("n_units"),
+        coalesce(col("__h_hit"), lit(0)).as("is_header_template"),
+        coalesce(col("__f_hit"), lit(0)).as("is_footer_template"))
+      // a single-unit doc whose unit is both header- and footer-popular
+      // drops to zero, not below
+      .withColumn("n_units_clean",
+        greatest(col("n_units") -
+          col("is_header_template").cast("long") -
+          when(col("n_units") > 1L,
+            col("is_footer_template").cast("long")).otherwise(lit(0L)),
+          lit(0L)))
+  }
+
+  // ------------------------------------------------------ langid margin
+
+  /** Language-ID confidence margin: top stopword/script score minus the
+    * runner-up, plus a `confident` flag at `minMargin` — the routing
+    * tier a production pipeline puts in front of langid (low-margin
+    * docs go to a heavier model or a mixed-language path instead of
+    * being silently mislabeled; the fastText-style confidence
+    * threshold). Scan-side: the score columns land in one array,
+    * `array_sort` descending takes the top two — O(|languages|) per
+    * doc, no shuffle. */
+  def langIdMarginColumns(text: Column,
+                          minMargin: Long = 3L): Seq[(String, Column)] = {
+    val scores = langScores(text)
+    val sorted = array_sort(
+      array(scores.map(_._2): _*),
+      (l, r) => when(l > r, -1).when(l < r, 1).otherwise(0))
+    Seq(
+      "lang_pred" -> argmaxLang(scores),
+      "top_score" -> element_at(sorted, 1),
+      "second_score" -> element_at(sorted, 2),
+      "margin" -> (element_at(sorted, 1) - element_at(sorted, 2)),
+      "confident" ->
+        (element_at(sorted, 1) - element_at(sorted, 2) >= minMargin)
+          .cast("int"))
+  }
+
   // ------------------------------------------------------------ OOV rate
 
   /** Out-of-vocabulary rate of an apply corpus against a vocabulary

@@ -714,6 +714,34 @@ class PlanShapeSpec extends SparkSpec {
       s"domain rollup must partial-aggregate below its exchange:\n$pc")
   }
 
+  test("sft rendering and langid margin are shuffle-free scan-side passes") {
+    // chat-template rendering + span arithmetic (PrefixSums codegen) and
+    // the score-array margin are both one projection at 100 TB
+    Seq("corpus_sft_render", "text_langid_margin").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"$q must not shuffle:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("template lines broadcast their popularity tables; anchor rollup partial-aggregates") {
+    // the corpus never shuffles on its text: two popularity groupBys are
+    // the only hash exchanges, and the flag joins broadcast the (tiny)
+    // above-threshold template tables back onto the scan
+    val pt = plan("corpus_template_lines")
+    assert("Exchange hashpartitioning".r.findAllIn(pt).length === 2, pt)
+    assert(pt.contains("BroadcastHashJoin"), pt)
+    assert(!pt.contains("SortMergeJoin") && !pt.contains("CartesianProduct"), pt)
+    // anchor-text: (host, anchor) aggregate + host rollup, both
+    // partial-aggregated; the modal anchor is a struct-min, no sort
+    val pa = plan("corpus_anchor_text")
+    assert("Exchange hashpartitioning".r.findAllIn(pa).length === 2, pa)
+    assert(!pa.contains("Exchange rangepartitioning"), pa)
+  }
+
   test("corpus_oov_rate broadcasts the vocabulary, never shuffles the corpus onto it") {
     // the vocabulary table is vocabulary-sized (longs), so the apply-side
     // membership join must be a broadcast — re-shuffling the exploded

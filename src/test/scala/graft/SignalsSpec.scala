@@ -189,4 +189,81 @@ class SignalsSpec extends SparkSpec {
       .collect().map(r => r.getLong(1))
     assert(pure.toSeq === Seq(1L, 2L))
   }
+
+  test("sftRenderChat: exact span arithmetic, trailing unit dropped, empties safe") {
+    val df = Seq(
+      (1L, "Hi there. Hello back. How are you. Fine thanks"),
+      (2L, "One. Two. Three"), // odd units: "Three" has no reply -> dropped
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Packing.sftRenderChat(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getInt(5), r.getString(6))).toMap
+    val (t1, len1, mask1, ck1, ex1, rendered1) = out(1L)
+    assert((t1, len1, mask1, ex1) === ((2L, 90L, 21L, 1)))
+    // hand-computed spans: assistant 1 at [33, 10], assistant 2 at [79, 11]
+    assert(ck1 === 33L * 1009 + 10L * 31 + 79L * 1009 + 11L * 31)
+    assert(rendered1.substring(32, 42) === "Hello back")
+    assert(rendered1.substring(78, 89) === "Fine thanks")
+    assert(rendered1 ===
+      "<|user|>\nHi there\n<|assistant|>\nHello back\n" +
+        "<|user|>\nHow are you\n<|assistant|>\nFine thanks\n")
+    val (t2, _, mask2, _, ex2, rendered2) = out(2L)
+    assert((t2, mask2, ex2) === ((1L, 3L, 1)))
+    assert(!rendered2.contains("Three"))
+    assert(out(3L) === ((0L, 0L, 0L, 0L, 1, "")))
+  }
+
+  test("templateLines: domain-scoped popularity flags; single-unit doc never goes negative") {
+    val header = "Cookie banner"
+    val docs = (1L to 6L).map(i => (i, "a", s"$header. Body text $i. Footer $i")) ++
+      Seq((7L, "a", s"Unique opener. Body. $header"),   // header string at FOOTER position, footer not popular
+        (8L, "b", s"$header. Other domain body"),        // domain b: only 1 occurrence -> below minDocs
+        (9L, "a", header))                               // single unit, header-popular
+    val df = docs.toDF("doc_id", "dom", "text")
+    val out = graft.ops.TextAnalysis.templateLines(
+        df, "doc_id", "text", col("dom"), minDocs = 5L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5))).toMap
+    (1L to 6L).foreach { i =>
+      assert(out(i) === ((3L, 1, 0, 2L)), s"doc $i") // header dropped only
+    }
+    assert(out(7L) === ((3L, 0, 0, 3L))) // footer "Cookie banner" count in domain a = 2 (<5)
+    assert(out(8L) === ((2L, 0, 0, 2L))) // domain b: below threshold
+    // doc 9: its only unit is both first and last; header is popular
+    // (count 7+ in domain a at first position incl. this doc); footer
+    // position counts doc 9's unit once + doc 7's once -> not popular.
+    // n_units_clean = 1 - 1 = 0, and the single-unit guard keeps >= 0
+    assert(out(9L) === ((1L, 1, 0, 0L)))
+  }
+
+  test("langIdMarginColumns: margin separates confident from ambiguous docs") {
+    val cols = graft.ops.TextAnalysis.langIdMarginColumns(col("text"), minMargin = 3L)
+      .map { case (n, c) => c.as(n) }
+    val out = Seq(
+      (1L, "the of and to in is was for on with"), // en 10, rest 0
+      (2L, "el the"),                              // en 1, es 1 -> margin 0
+      (3L, "la de")                                // es 2, fr 1 -> margin 1
+    ).toDF("doc_id", "text")
+      .select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(out(1L) === (("en", 10L, 0L, 10L, 1)))
+    assert(out(2L) === (("en", 1L, 1L, 0L, 0)))   // alphabetical tie-break
+    assert(out(3L) === (("es", 2L, 1L, 1L, 0)))
+  }
+
+  test("anchorText: modal anchor by count with lexicographic tie-break") {
+    val df = Seq(
+      (1L, "<a href=\"https://x.com/1\">alpha</a> <a href=\"https://x.com/2\">beta</a>"),
+      (2L, "<a href=\"https://x.com/3\">beta</a>"),
+      (3L, "<a href=\"https://y.org/1\">gamma</a> <a href=\"https://y.org/2\">delta</a>")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.anchorText(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(out("x.com") === ((3L, 2L, "beta", 2L)))   // beta 2 > alpha 1
+    assert(out("y.org") === ((2L, 2L, "delta", 1L)))  // tie 1-1 -> lexicographic
+  }
 }

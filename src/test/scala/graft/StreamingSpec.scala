@@ -440,6 +440,38 @@ class StreamingSpec extends SparkSpec {
       v != null && v.toString.contains("<AWS_KEY>"))))
   }
 
+  test("streaming PII redaction composed with SFT rendering equals batch (stateless)") {
+    // round-11 SFT-ingest chain: redact BEFORE rendering so no raw PII
+    // survives into any emitted training example; both stages are pure
+    // projections (the span arithmetic included), so the streaming face
+    // is the batch op applied to the micro-batch verbatim
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "Contact me at joe@example.com please. Sure will do. Thanks a lot. You bet"),
+      (2L, "Call 555-123-4567 now. Acknowledged"),
+      (3L, "nothing sensitive. nothing at all"))
+    def pass(df: org.apache.spark.sql.DataFrame) = {
+      val red = graft.ops.TextAnalysis.redactPiiColumns(col("text")).toMap
+      graft.ops.Packing.sftRenderChat(
+        df.select(col("doc_id"), red("redacted").as("text")),
+        "doc_id", "text")
+    }
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData(docs: _*)
+    val q = pass(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_sft_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val batch = pass(docs.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    assert(spark.table("pii_sft_stream").collect().map(_.toSeq).toSet === batch)
+    // composition order proven: the rendered examples carry the
+    // placeholder, never the raw address, and every span stayed exact
+    val rendered = batch.map(_.last.toString)
+    assert(!rendered.exists(_.contains("joe@example.com")))
+    assert(rendered.exists(_.contains("<EMAIL>")))
+    assert(batch.forall(r => r(5) == 1)) // mask_exact
+  }
+
   test("streaming media fingerprints equal the batch tables (stateless decode)") {
     // phashTable / audioFingerprintTable are partition-local decodes with
     // no shuffle — the same transform must run unchanged on a stream of
