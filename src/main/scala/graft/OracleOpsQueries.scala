@@ -2155,7 +2155,91 @@ object OracleOpsQueries {
         plantedAnchorVaried.as("text")),
       "doc_id", "text")
 
+  /** Homoglyph spoof variants shared by the homoglyph gates: one Latin
+    * base + three Cyrillic-substituted spellings (U+043E о, U+0435 е,
+    * U+0430 а / U+0441 с) — visually identical, fingerprint-distinct
+    * until normalization folds them. The SAME Scala constants are
+    * interpolated into the DuckDB mirrors, so the two engines plant
+    * byte-identical corpora. */
+  private val homoglyphVariants = Seq(
+    "free movie downloads click here now",
+    "free mоvie dоwnlоads click here nоw",
+    "frее moviе downloads click hеrе now",
+    "free movie downloаds сliсk here now")
+
+  private def plantedHomoglyphText: Column = {
+    val v = (col("doc_id") / 7).cast("long") % 4
+    when(col("doc_id") % 7 === 0,
+      when(v === 0, lit(homoglyphVariants(0)))
+        .when(v === 1, lit(homoglyphVariants(1)))
+        .when(v === 2, lit(homoglyphVariants(2)))
+        .otherwise(lit(homoglyphVariants(3))))
+      .otherwise(col("text"))
+  }
+
+  /** Homoglyph-signal gate: confusable counts, spoof flag, normalized
+    * text over the planted corpus. */
+  def textHomoglyph(s: SparkSession, d: String): DataFrame = {
+    val cols = TextAnalysis.homoglyphColumns(plantedHomoglyphText)
+      .map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
+  /** Homoglyph-dedup gate: exact dedup on the RAW fingerprint splits the
+    * planted spoof cluster into 4 spelling groups; dedup on the
+    * NORMALIZED fingerprint folds them into one — `caught` marks rows
+    * the raw pass would have missed. ONE scan computes both
+    * fingerprints; the raw and normalized group sizes come from two
+    * windows over that projection (two hash shuffles, NO join — a
+    * join-of-two-exact-passes would rescan the corpus and broadcast a
+    * full-data side). */
+  def dedupHomoglyph(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), plantedHomoglyphText.as("text"))
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("__fr"),
+        TextAnalysis.fingerprint(
+          TextAnalysis.homoglyphNormalize(col("text"))).as("__fn"))
+    val wr = Window.partitionBy(col("__fr"))
+    val wn = Window.partitionBy(col("__fn"))
+    docs
+      .withColumn("raw_group_size", count(lit(1)).over(wr))
+      .withColumn("canonical_id", min(col("doc_id")).over(wn))
+      .withColumn("norm_group_size", count(lit(1)).over(wn))
+      .select(col("doc_id"), col("raw_group_size"), col("canonical_id"),
+        col("norm_group_size"),
+        (col("norm_group_size") > col("raw_group_size")).cast("int")
+          .as("caught"))
+  }
+
+  /** Bitext-URL gate: every doc publishes at
+    * `https://<lang>.dsite<doc_id%13>.com/p/<doc_id%11>` (the lang
+    * column as the host's language label) — 143 (domain, path) keys over
+    * the corpus, so keys collide across languages and the sieve emits
+    * real candidate pairs while same-language collisions are provably
+    * dropped. */
+  def corpusBitextUrls(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"), col("lang"), lit(".dsite"),
+      (col("doc_id") % 13).cast("string"), lit(".com/p/"),
+      (col("doc_id") % 11).cast("string"))
+    graft.ops.Domains.bitextUrlCandidates(
+      Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+      "doc_id", col("url"))
+  }
+
+  /** Pack-forecast gate over the raw token counts at three window
+    * sizes — 32 (most docs oversize), 64 (split), 128 (none). */
+  def corpusPackForecast(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.packForecast(
+      Tables.documents(s, d),
+      TextAnalysis.tokenCount(col("text")), Seq(32, 64, 128))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_homoglyph" -> (textHomoglyph _),
+    "dedup_homoglyph" -> (dedupHomoglyph _),
+    "corpus_bitext_urls" -> (corpusBitextUrls _),
+    "corpus_pack_forecast" -> (corpusPackForecast _),
     "corpus_sft_render" -> (corpusSftRender _),
     "corpus_template_lines" -> (corpusTemplateLines _),
     "text_langid_margin" -> (textLangIdMargin _),
@@ -3700,7 +3784,99 @@ object OracleOpsQueries {
        |  anchor AS top_anchor, c AS top_count
        |FROM rk WHERE rn = 1""".stripMargin
 
+  /** Mirror of [[plantedHomoglyphText]] — exposes `pl(doc_id, pt)`. */
+  private lazy val homoglyphPlantSql =
+    s"""pl AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN
+       |      (CASE (doc_id // 7) % 4
+       |         WHEN 0 THEN '${homoglyphVariants(0)}'
+       |         WHEN 1 THEN '${homoglyphVariants(1)}'
+       |         WHEN 2 THEN '${homoglyphVariants(2)}'
+       |         ELSE '${homoglyphVariants(3)}' END)
+       |    ELSE text END AS pt
+       |  FROM documents)""".stripMargin
+
+  private lazy val textHomoglyphSql = {
+    val from = TextAnalysis.homoglyphFrom
+    val to = TextAnalysis.homoglyphTo
+    s"""WITH $homoglyphPlantSql
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(pt, '[$from]')) AS BIGINT) AS n_confusables,
+       |  CAST(len(regexp_extract_all(pt, '[$from]')) > 0
+       |       AND len(regexp_extract_all(pt, '[a-zA-Z]')) > 0 AS INT) AS is_spoofed,
+       |  translate(pt, '$from', '$to') AS normalized
+       |FROM pl""".stripMargin
+  }
+
+  private lazy val dedupHomoglyphSql = {
+    val from = TextAnalysis.homoglyphFrom
+    val to = TextAnalysis.homoglyphTo
+    s"""WITH $homoglyphPlantSql,
+       |fr AS (
+       |  SELECT doc_id, md5(regexp_replace(trim(lower(pt)), '\\s+', ' ', 'g')) AS fp
+       |  FROM pl),
+       |gr AS (SELECT doc_id,
+       |  COUNT(*) OVER (PARTITION BY fp) AS raw_group_size FROM fr),
+       |fn AS (
+       |  SELECT doc_id, md5(regexp_replace(trim(lower(translate(pt, '$from', '$to'))),
+       |    '\\s+', ' ', 'g')) AS fp
+       |  FROM pl),
+       |gn AS (SELECT doc_id,
+       |  MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       |  COUNT(*) OVER (PARTITION BY fp) AS norm_group_size FROM fn)
+       |SELECT gr.doc_id, gr.raw_group_size, gn.canonical_id, gn.norm_group_size,
+       |  CAST(gn.norm_group_size > gr.raw_group_size AS INT) AS caught
+       |FROM gr JOIN gn USING (doc_id)""".stripMargin
+  }
+
+  private lazy val corpusBitextUrlsSql =
+    s"""WITH uv AS (
+       |  SELECT doc_id, 'https://' || lang || '.dsite' ||
+       |    CAST(doc_id % 13 AS VARCHAR) || '.com/p/' ||
+       |    CAST(doc_id % 11 AS VARCHAR) AS url
+       |  FROM documents),
+       |${registeredDomainSqlCtes("uv", "url")},
+       |b AS (
+       |  SELECT doc_id, key AS domain,
+       |    regexp_replace(regexp_replace(trim(url),
+       |      '${graft.ops.Domains.canonicalPrefixRegex}', ''), '[?#].*$$', '') AS path,
+       |    ls[1] AS lang
+       |  FROM rd),
+       |cap AS (SELECT * FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain, path ORDER BY doc_id) AS rn
+       |  FROM b) WHERE rn <= 8)
+       |SELECT a.doc_id AS id1, c.doc_id AS id2, a.domain, a.path,
+       |  a.lang AS lang1, c.lang AS lang2
+       |FROM cap a JOIN cap c ON a.domain = c.domain AND a.path = c.path
+       |  AND a.doc_id < c.doc_id AND a.lang != c.lang""".stripMargin
+
+  private lazy val corpusPackForecastSql =
+    s"""WITH t AS (
+       |  SELECT CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |    x -> len(x) > 0)) AS BIGINT) AS tk
+       |  FROM documents),
+       |x AS (SELECT tk, unnest([32, 64, 128]) AS seq_len FROM t),
+       |a AS (SELECT seq_len,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(tk) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(CASE WHEN tk > seq_len THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+       |    CAST(SUM(CASE WHEN tk > seq_len THEN tk ELSE 0 END) AS BIGINT) AS tokens_oversize
+       |  FROM x GROUP BY 1)
+       |SELECT seq_len, n_docs, total_tokens, n_oversize, tokens_oversize,
+       |  total_tokens - tokens_oversize AS packable_tokens,
+       |  (total_tokens - tokens_oversize + seq_len - 1) // seq_len + n_oversize AS min_packs,
+       |  CAST(CASE WHEN total_tokens - tokens_oversize > 0 THEN
+       |    (1000 * ((((total_tokens - tokens_oversize + seq_len - 1) // seq_len) * seq_len)
+       |      - (total_tokens - tokens_oversize)))
+       |    // (((total_tokens - tokens_oversize + seq_len - 1) // seq_len) * seq_len)
+       |  ELSE 0 END AS BIGINT) AS waste_floor_permille
+       |FROM a""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "text_homoglyph" -> textHomoglyphSql,
+    "dedup_homoglyph" -> dedupHomoglyphSql,
+    "corpus_bitext_urls" -> corpusBitextUrlsSql,
+    "corpus_pack_forecast" -> corpusPackForecastSql,
     "corpus_sft_render" -> corpusSftRenderSql,
     "corpus_template_lines" -> corpusTemplateLinesSql,
     "text_langid_margin" -> textLangIdMarginSql,

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Registered-domain extraction for per-domain curation rules
@@ -442,5 +443,46 @@ object Domains {
       prev.unpersist()
     }
     ranks
+  }
+
+  /** Cross-lingual bitext candidates from URL structure — the
+    * ParaCrawl/CCMatrix first stage: multilingual sites publish the
+    * same page under language-labelled hosts (`en.docs.example.com/guide`
+    * ↔ `fr.docs.example.com/guide`), so pairing documents that share
+    * (registered domain, path) while their host LANGUAGE LABELS differ
+    * yields aligned-document candidates for bitext mining — the cheap
+    * URL-structure sieve run before any embedding scorer
+    * ([[graft.ops.Similarity]]'s margin pass takes the survivors).
+    *
+    * The language label is the host's first label (the convention the
+    * sieve targets; sites using path-prefix locales need a different
+    * key extractor, same shape). Output: (id1 < id2, domain, path,
+    * lang1, lang2), lang1 ≠ lang2.
+    *
+    * Shape at scale: one scan projects the key, a per-key cap
+    * (`maxPerKey`, the hot-bucket valve every pair op here carries)
+    * bounds the self-join fan-out — a URL key shared by thousands of
+    * docs is a crawler artifact, not a translation set — then ONE
+    * equi-join on (domain, path) meets candidates; no cartesian, no
+    * global sort. */
+  def bitextUrlCandidates(df: DataFrame, id: String, url: Column,
+                          maxPerKey: Int = 8): DataFrame = {
+    require(maxPerKey >= 2, s"maxPerKey must be >= 2, got $maxPerKey")
+    val h = host(url)
+    val pathQ = regexp_replace(trim(url), canonicalPrefixRegex, "")
+    val path = regexp_replace(pathQ, "[?#].*$", "")
+    val base = graft.operators.Scale.balanceToCores(df)
+      .select(col(id), registeredDomain(url).as("domain"), path.as("path"),
+        element_at(split(h, "\\."), 1).as("lang"))
+    val w = Window.partitionBy(col("domain"), col("path")).orderBy(col(id))
+    val capped = base.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerKey).drop("__rn")
+    capped.select(col(id).as("id1"), col("domain"), col("path"),
+        col("lang").as("lang1"))
+      .join(capped.select(col(id).as("id2"), col("domain"), col("path"),
+        col("lang").as("lang2")), Seq("domain", "path"))
+      .filter(col("id1") < col("id2") && col("lang1") =!= col("lang2"))
+      .select(col("id1"), col("id2"), col("domain"), col("path"),
+        col("lang1"), col("lang2"))
   }
 }

@@ -367,6 +367,46 @@ object Packing {
           .otherwise(concat_ws(" ", t)).as("example"))
   }
 
+  /** Context-length planning table: for each candidate sequence length,
+    * the packing-feasibility numbers a training run is budgeted from —
+    * doc/token volume, oversize spill (docs longer than the window, which
+    * first-fit gives a lonely pack each), the bin-packing LOWER BOUND on
+    * pack count (⌈packable/L⌉ + oversize), and the waste floor that
+    * bound already concedes, in permille of the non-oversize slot space.
+    * Greedy packers ([[packSequences]]) land between this floor and
+    * floor + one partial pack per bucket, so the table brackets the real
+    * cost of every L before any pack run happens.
+    *
+    * All-integer arithmetic (exact cross-engine); ONE scan of the token
+    * counts exploded over |seqLens| rows, one partial-aggregated
+    * groupBy — the output is |seqLens| rows. */
+  def packForecast(df: DataFrame, nTokens: Column,
+                   seqLens: Seq[Int]): DataFrame = {
+    require(seqLens.nonEmpty, "packForecast needs at least one seqLen")
+    require(seqLens.forall(_ > 0), s"seqLens must be positive: $seqLens")
+    graft.operators.Scale.balanceToCores(df)
+      .select(nTokens.cast("long").as("__t"))
+      .select(col("__t"), explode(lit(seqLens.toArray)).as("seq_len"))
+      .groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("total_tokens"),
+        sum(when(col("__t") > col("seq_len"), 1L).otherwise(0L))
+          .as("n_oversize"),
+        sum(when(col("__t") > col("seq_len"), col("__t")).otherwise(0L))
+          .as("tokens_oversize"))
+      .withColumn("packable_tokens",
+        col("total_tokens") - col("tokens_oversize"))
+      .withColumn("min_packs",
+        expr("(packable_tokens + seq_len - 1) DIV seq_len") +
+          col("n_oversize"))
+      .withColumn("waste_floor_permille",
+        expr("""CASE WHEN packable_tokens > 0 THEN
+                 (1000 * ((((packable_tokens + seq_len - 1) DIV seq_len) * seq_len)
+                   - packable_tokens))
+                 DIV (((packable_tokens + seq_len - 1) DIV seq_len) * seq_len)
+               ELSE 0 END"""))
+  }
+
   /** SFT chat-template rendering with LOSS-MASK spans: documents become
     * alternating user/assistant turns (consecutive sentence units pair
     * up; a trailing unit with no reply is dropped), rendered with the

@@ -2028,6 +2028,43 @@ object TextAnalysis {
         (-col("__top.nc")).as("top_count"))
   }
 
+  // --------------------------------------------------------- homoglyphs
+
+  /** Curated homoglyph table (Unicode TR39 confusables, the high-traffic
+    * subset): Cyrillic and Greek letters visually identical to Latin in
+    * most fonts — the substitution trick spam uses to slip past exact
+    * dedup and keyword filters ("mоvie" with U+043E is a different
+    * fingerprint from "movie"). `from`/`to` are positionally aligned
+    * single codepoints, so one `translate` pass normalizes a document —
+    * identical semantics in any engine with Postgres-style translate.
+    * Deliberately NOT full TR39 (thousands of entries; ligatures and
+    * multi-char folds need a replace chain, not translate) — this table
+    * covers the Latin-lookalike letters that matter for dedup evasion. */
+  val homoglyphFrom: String =
+    "аеорсхуіѕј" + // cyr a e o p c x y i s j
+      "АВЕКМНОРСТХ" + // cyr A B E K M H O P C T X
+      "οΑΒΕΖΗΙΚΜΝΟΡΤΥΧ" // gr o A B E Z H I K M N O P T Y X
+  val homoglyphTo: String =
+    "aeopcxyisj" + "ABEKMHOPCTX" + "oABEZHIKMNOPTYX"
+
+  /** Latin-normalized text: every table homoglyph folded to its Latin
+    * twin. Run BEFORE fingerprinting when the corpus is adversarial. */
+  def homoglyphNormalize(text: Column): Column =
+    translate(text, homoglyphFrom, homoglyphTo)
+
+  /** Homoglyph signals: confusable count, the normalized text, and a
+    * spoof flag (confusables present in otherwise Latin-scripted text —
+    * a genuinely Cyrillic document is NOT spoofed, so the flag requires
+    * ASCII letters alongside the lookalikes). Scan-side, shuffle-free. */
+  def homoglyphColumns(text: Column): Seq[(String, Column)] = {
+    val n = regexp_count(text, lit(s"[$homoglyphFrom]")).cast("long")
+    Seq(
+      "n_confusables" -> n,
+      "is_spoofed" ->
+        (n > 0L && regexp_count(text, lit("[a-zA-Z]")) > 0).cast("int"),
+      "normalized" -> homoglyphNormalize(text))
+  }
+
   // ----------------------------------------------------- template lines
 
   /** Domain-scoped template-line detection: a first/last sentence unit

@@ -742,6 +742,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pa.contains("Exchange rangepartitioning"), pa)
   }
 
+  test("homoglyph signals scan-side; homoglyph dedup is two windows, no join") {
+    val ph = plan("text_homoglyph")
+    assert(!ph.contains("Exchange"), s"homoglyph signals must not shuffle:\n$ph")
+    // one scan computes both fingerprints; raw + normalized group sizes
+    // are two fp-window shuffles — a join of two exact passes would
+    // broadcast a full-data side
+    val pd = plan("dedup_homoglyph")
+    assert("Exchange hashpartitioning".r.findAllIn(pd).length === 2, pd)
+    assert(!pd.contains("Join"), s"no join in the two-window shape:\n$pd")
+    assert("Scan parquet".r.findAllIn(pd).length === 1,
+      s"one corpus scan serves both fingerprints:\n$pd")
+  }
+
+  test("bitext URL sieve: capped key window + one equi-join; pack forecast partial-aggregates") {
+    val pb = plan("corpus_bitext_urls")
+    assert("Exchange hashpartitioning".r.findAllIn(pb).length === 2, pb)
+    assert(!pb.contains("CartesianProduct") && !pb.contains("Exchange rangepartitioning"), pb)
+    val pf = plan("corpus_pack_forecast")
+    assert("Exchange hashpartitioning".r.findAllIn(pf).length === 1, pf)
+    val ex = pf.indexOf("Exchange hashpartitioning")
+    assert(pf.indexOf("HashAggregate", ex) >= 0,
+      s"forecast rollup must partial-aggregate below its exchange:\n$pf")
+  }
+
   test("corpus_oov_rate broadcasts the vocabulary, never shuffles the corpus onto it") {
     // the vocabulary table is vocabulary-sized (longs), so the apply-side
     // membership join must be a broadcast — re-shuffling the exploded

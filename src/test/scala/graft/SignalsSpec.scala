@@ -254,6 +254,57 @@ class SignalsSpec extends SparkSpec {
     assert(out(3L) === (("es", 2L, 1L, 1L, 0)))
   }
 
+  test("homoglyph: normalization folds confusables; pure-Cyrillic text is not spoofed") {
+    import graft.ops.TextAnalysis
+    val spoofed = "free mоvie dоwnlоads nоw"   // Cyrillic о ×4
+    val cyrillic = "привет мир"                 // genuinely Cyrillic, no Latin
+    val cols = TextAnalysis.homoglyphColumns(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val out = Seq((1L, spoofed), (2L, cyrillic), (3L, "plain latin"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) === ((4L, 1, "free movie downloads now")))
+    // р and е in "привет мир" ARE table confusables, but with zero Latin
+    // letters alongside them the spoof flag must stay down
+    assert(out(2L)._2 === 0)
+    assert(out(3L) === ((0L, 0, "plain latin")))
+    // fingerprint equality after normalization: the dedup-evasion pair folds
+    val fp = Seq((1L, spoofed), (2L, "free movie downloads now"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(
+        TextAnalysis.homoglyphNormalize(col("text"))).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    assert(fp.size === 1)
+  }
+
+  test("bitextUrlCandidates: cross-lang same-path pairs; same-lang and cross-path dropped") {
+    val df = Seq(
+      (1L, "https://en.site.co.uk/guide/one"),
+      (2L, "https://fr.site.co.uk/guide/one"),   // pair with 1
+      (3L, "https://en.other.com/guide/one"),    // different registered domain
+      (4L, "https://en.site.co.uk/guide/two"),   // different path
+      (5L, "https://en.site.co.uk/guide/one")    // same lang as 1 -> dropped
+    ).toDF("doc_id", "url")
+    val out = graft.ops.Domains.bitextUrlCandidates(df, "doc_id", col("url"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(4), r.getString(5)))
+    // the multi-label suffix must key on site.co.uk, not co.uk
+    assert(out.toSeq === Seq((1L, 2L, "site.co.uk", "en", "fr"),
+      (2L, 5L, "site.co.uk", "fr", "en")))
+  }
+
+  test("packForecast: hand-computed oversize split, pack floor, and waste") {
+    val df = Seq((1L, 10L), (2L, 3L)).toDF("doc_id", "tk")
+    val out = graft.ops.Packing.packForecast(df, col("tk"), Seq(8))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // seq_len 8: doc 1 oversize (10 > 8); packable 3 -> 1 pack + 1
+    // oversize pack; waste floor = (8-3)/8 = 625 permille
+    assert(out.toSeq === Seq((8, 2L, 13L, 1L, 10L, 3L, 2L, 625L)))
+  }
+
   test("anchorText: modal anchor by count with lexicographic tie-break") {
     val df = Seq(
       (1L, "<a href=\"https://x.com/1\">alpha</a> <a href=\"https://x.com/2\">beta</a>"),
