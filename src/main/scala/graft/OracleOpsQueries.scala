@@ -2235,7 +2235,107 @@ object OracleOpsQueries {
       Tables.documents(s, d),
       TextAnalysis.tokenCount(col("text")), Seq(32, 64, 128))
 
+  /** Winnow gate plant: every 10th doc becomes an 8-token shared span
+    * (≥ w + k − 1 = 7, so the SIGMOD'03 guarantee forces a shared
+    * print) plus one of three distinct tails. */
+  private def plantedWinnowText: Column = {
+    val tail = when(col("doc_id") % 3 === 0, lit("one two"))
+      .when(col("doc_id") % 3 === 1, lit("three four"))
+      .otherwise(lit("five six"))
+    when(col("doc_id") % 10 === 1,
+      concat(lit("alpha beta gamma delta epsilon zeta eta theta "), tail))
+      .otherwise(col("text"))
+  }
+
+  def dedupWinnow(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.winnowPairs(
+      Tables.documents(s, d).select(col("doc_id"),
+        plantedWinnowText.as("text")),
+      "doc_id", "text", k = 4, w = 4)
+
+  /** Digit-fold gate plant: every 8th doc is the same order-confirmation
+    * template with doc-unique numbers — raw fingerprints all distinct,
+    * folded fingerprints identical. */
+  private def plantedDigitText: Column =
+    when(col("doc_id") % 8 === 0,
+      concat(lit("Order "), (col("doc_id") * 7919 % 100000).cast("string"),
+        lit(" shipped on 2024-0"), ((col("doc_id") % 9) + 1).cast("string"),
+        lit("-17 total "), (col("doc_id") % 997).cast("string"),
+        lit(" dollars")))
+      .otherwise(col("text"))
+
+  /** Digit-fold dedup gate — same one-scan two-window shape as
+    * [[dedupHomoglyph]]: raw vs digit-folded fingerprint group sizes. */
+  def dedupDigitFold(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), plantedDigitText.as("text"))
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("__fr"),
+        TextAnalysis.fingerprint(TextAnalysis.digitFold(col("text")))
+          .as("__ff"))
+    val wr = Window.partitionBy(col("__fr"))
+    val wf = Window.partitionBy(col("__ff"))
+    docs
+      .withColumn("raw_group_size", count(lit(1)).over(wr))
+      .withColumn("canonical_id", min(col("doc_id")).over(wf))
+      .withColumn("fold_group_size", count(lit(1)).over(wf))
+      .select(col("doc_id"), col("raw_group_size"), col("canonical_id"),
+        col("fold_group_size"),
+        (col("fold_group_size") > col("raw_group_size")).cast("int")
+          .as("caught"))
+  }
+
+  /** Edit-verify gate plant: every 9th doc is one of four near-identical
+    * spellings of the same sentence (swap/drop/double single characters)
+    * — LSH candidates survive the Levenshtein threshold across variants,
+    * while unplanted docs must not pair. ASCII by construction (the
+    * engine counts codepoints, the oracle bytes). */
+  private val editVariants = Seq(
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "teh quick brown fox jumps over the lazy dog again and again today",
+    "the quik brown fox jumps over the lazy dog again and again today",
+    "the quicck brown fox jumps over the lazy dog again and again today")
+
+  private def plantedEditText: Column = {
+    val v = (col("doc_id") / 9).cast("long") % 4
+    when(col("doc_id") % 9 === 0,
+      when(v === 0, lit(editVariants(0)))
+        .when(v === 1, lit(editVariants(1)))
+        .when(v === 2, lit(editVariants(2)))
+        .otherwise(lit(editVariants(3))))
+      .otherwise(col("text"))
+  }
+
+  def dedupEditVerify(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.editVerifiedPairs(
+      Tables.documents(s, d).select(col("doc_id"),
+        plantedEditText.as("text")),
+      "doc_id", "text", maxDist = 6L)
+
+  /** Freshness gate plant: every 5th doc carries a 2021 archive stamp,
+    * every 7th a year-varying update stamp (2020–2024; on doc_ids
+    * divisible by both, the later date must win), the rest stay
+    * undated. */
+  private def plantedFreshnessText: Column =
+    concat(col("text"),
+      when(col("doc_id") % 5 === 0, lit(" archived 2021-12-31"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" updated 202"), (col("doc_id") % 5).cast("string"),
+          lit("-06-15"))).otherwise(lit("")))
+
+  def corpusFreshness(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusReport.freshnessHistogram(
+      Tables.documents(s, d).select(col("doc_id"),
+        plantedFreshnessText.as("text")),
+      "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnow" -> (dedupWinnow _),
+    "dedup_digit_fold" -> (dedupDigitFold _),
+    "dedup_edit_verify" -> (dedupEditVerify _),
+    "corpus_freshness" -> (corpusFreshness _),
     "text_homoglyph" -> (textHomoglyph _),
     "dedup_homoglyph" -> (dedupHomoglyph _),
     "corpus_bitext_urls" -> (corpusBitextUrls _),
@@ -3872,7 +3972,105 @@ object OracleOpsQueries {
        |  ELSE 0 END AS BIGINT) AS waste_floor_permille
        |FROM a""".stripMargin
 
+  private lazy val dedupWinnowSql = {
+    val gram = h60("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]")
+    s"""WITH plw AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN
+       |      'alpha beta gamma delta epsilon zeta eta theta ' ||
+       |      (CASE doc_id % 3 WHEN 0 THEN 'one two'
+       |        WHEN 1 THEN 'three four' ELSE 'five six' END)
+       |    ELSE text END AS text
+       |  FROM documents),
+       |tk AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM plw),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(t) >= 4 THEN
+       |    list_transform(generate_series(1, len(t) - 3), i -> $gram)
+       |  ELSE CAST([] AS BIGINT[]) END AS g
+       |  FROM tk),
+       |mn AS (SELECT doc_id,
+       |  CASE WHEN len(g) >= 4 THEN
+       |    list_transform(generate_series(1, len(g) - 3), j -> list_min(list_slice(g, j, j + 3)))
+       |  WHEN len(g) >= 1 THEN [list_min(g)]
+       |  ELSE CAST([] AS BIGINT[]) END AS mins
+       |  FROM g),
+       |pr AS (SELECT DISTINCT doc_id, p FROM (
+       |  SELECT doc_id, unnest(mins) AS p FROM mn)),
+       |cap AS (SELECT doc_id, p FROM (
+       |  SELECT doc_id, p, count(*) OVER (PARTITION BY p) AS pc FROM pr)
+       |  WHERE pc <= 1024)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(count(*) AS BIGINT) AS n_shared_prints
+       |FROM cap a JOIN cap b ON a.p = b.p AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  private lazy val dedupDigitFoldSql =
+    """WITH pld AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 8 = 0 THEN
+      |      'Order ' || CAST(doc_id * 7919 % 100000 AS VARCHAR) ||
+      |      ' shipped on 2024-0' || CAST((doc_id % 9) + 1 AS VARCHAR) ||
+      |      '-17 total ' || CAST(doc_id % 997 AS VARCHAR) || ' dollars'
+      |    ELSE text END AS pt
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, md5(regexp_replace(trim(lower(pt)), '\s+', ' ', 'g')) AS fp
+      |  FROM pld),
+      |gr AS (SELECT doc_id,
+      |  COUNT(*) OVER (PARTITION BY fp) AS raw_group_size FROM fr),
+      |ff AS (
+      |  SELECT doc_id, md5(regexp_replace(trim(lower(
+      |    regexp_replace(pt, '\d+', '0', 'g'))), '\s+', ' ', 'g')) AS fp
+      |  FROM pld),
+      |gf AS (SELECT doc_id,
+      |  MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+      |  COUNT(*) OVER (PARTITION BY fp) AS fold_group_size FROM ff)
+      |SELECT gr.doc_id, gr.raw_group_size, gf.canonical_id, gf.fold_group_size,
+      |  CAST(gf.fold_group_size > gr.raw_group_size AS INT) AS caught
+      |FROM gr JOIN gf USING (doc_id)""".stripMargin
+
+  private lazy val dedupEditVerifySql =
+    s"""WITH pl AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN
+       |      (CASE (doc_id // 9) % 4
+       |         WHEN 0 THEN '${editVariants(0)}'
+       |         WHEN 1 THEN '${editVariants(1)}'
+       |         WHEN 2 THEN '${editVariants(2)}'
+       |         ELSE '${editVariants(3)}' END)
+       |    ELSE text END AS text
+       |  FROM documents),
+       |${minhashCtesFrom("pl")}
+       |SELECT c.id1, c.id2,
+       |  CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS dist
+       |FROM cand c
+       |JOIN pl t1 ON t1.doc_id = c.id1
+       |JOIN pl t2 ON t2.doc_id = c.id2
+       |WHERE levenshtein(t1.text, t2.text) <= 6""".stripMargin
+
+  private lazy val corpusFreshnessSql =
+    s"""WITH plf AS (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN ' archived 2021-12-31' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN ' updated 202' ||
+       |       CAST(doc_id % 5 AS VARCHAR) || '-06-15' ELSE '' END) AS text
+       |  FROM documents),
+       |d AS (SELECT
+       |    CASE WHEN list_max(ms) IS NULL THEN 'undated'
+       |         ELSE substr(list_max(ms), 1, 7) END AS month
+       |  FROM (SELECT regexp_extract_all(text,
+       |    '${TextAnalysis.isoDateRegex}', 0) AS ms FROM plf)),
+       |h AS (SELECT month, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM h)
+       |SELECT month, n_docs,
+       |  CAST((1000 * n_docs) // t.total AS BIGINT) AS share_permille
+       |FROM h, t""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "dedup_winnow" -> dedupWinnowSql,
+    "dedup_digit_fold" -> dedupDigitFoldSql,
+    "dedup_edit_verify" -> dedupEditVerifySql,
+    "corpus_freshness" -> corpusFreshnessSql,
     "text_homoglyph" -> textHomoglyphSql,
     "dedup_homoglyph" -> dedupHomoglyphSql,
     "corpus_bitext_urls" -> corpusBitextUrlsSql,

@@ -321,6 +321,33 @@ object CorpusReport {
         .otherwise(0L)).as("vocab_size"))
   }
 
+  /** Corpus freshness histogram: each document's LATEST in-text ISO date
+    * (lexicographic max of the `yyyy-MM-dd` matches — chronological for
+    * ISO strings) rolled up by month, with exact-permille share — the
+    * staleness panel of a dataset card (how much of the corpus was last
+    * touched when), the evidence behind re-crawl scheduling and
+    * time-cutoff filtering. Documents with no parseable date land in the
+    * explicit `undated` bucket rather than vanishing.
+    *
+    * Shape at scale: one scan extracts + maxes the per-doc dates, one
+    * partial-aggregated groupBy rolls up to months (output rows =
+    * distinct months), and the total for the share re-broadcasts from a
+    * single-row aggregate — no sort, no second corpus pass. */
+  def freshnessHistogram(df: DataFrame, id: String, text: String): DataFrame = {
+    val dates = regexp_extract_all(col(text),
+      lit(TextAnalysis.isoDateRegex), lit(0))
+    val latest = array_max(dates)
+    val month = when(latest.isNull, lit("undated"))
+      .otherwise(substring(latest, 1, 7))
+    val hist = graft.operators.Scale.balanceToCores(df)
+      .select(month.as("month"))
+      .groupBy(col("month")).agg(count(lit(1)).as("n_docs"))
+    val tot = hist.agg(sum(col("n_docs")).as("__total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("month"), col("n_docs"),
+        expr("(1000 * n_docs) DIV __total").as("share_permille"))
+  }
+
   /** Per-domain quality gate with a Wilson-score lower CONFIDENCE bound
     * instead of the raw high-quality share — the fix for the
     * small-domain trap: a domain with 2/2 high-quality docs has share

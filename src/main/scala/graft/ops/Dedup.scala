@@ -701,6 +701,108 @@ object Dedup {
       .select(col(id), col("b.band").as("band"), col("b.key").as("key"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every positional k-gram, then
+    * keep the MINIMUM hash of each w-window of consecutive gram hashes.
+    * The guarantee the sketch is used for: any shared run of at least
+    * w + k − 1 tokens between two documents contributes at least one
+    * IDENTICAL selected fingerprint to both — so local plagiarism/quote
+    * overlap is caught by an equi-join on prints, with sketch size ~2/(w+1)
+    * of the gram count instead of every gram. (The paper's rightmost-
+    * position tie rule is moot here: ties between 60-bit hashes are
+    * ~2⁻⁶⁰; value-min alone keeps both engines identical.)
+    *
+    * Output: (id, print) — distinct selected fingerprints per document.
+    * In-row cost is O(grams · w) from the sliding `array_min(slice(...))`
+    * (w is a small constant; the windows could share a deque-min but the
+    * constant-factor slice keeps the whole pass one codegen'd projection). */
+  def winnowPrints(df: DataFrame, id: String, text: String,
+                   k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1: $k, $w")
+    val base = graft.operators.Scale.balanceToCores(df)
+      .select(col(id), TextAnalysis.tokens(col(text)).as("__t"))
+      .withColumn("__g",
+        when(size(col("__t")) >= k,
+          transform(sequence(lit(1), size(col("__t")) - (k - 1)), i =>
+            TextAnalysis.hash60(concat_ws(" ",
+              (0 until k).map(o => element_at(col("__t"), i + o)): _*))))
+          .otherwise(array().cast("array<bigint>")))
+      .withColumn("__mins",
+        when(size(col("__g")) >= w,
+          transform(sequence(lit(1), size(col("__g")) - (w - 1)), j =>
+            array_min(slice(col("__g"), j, lit(w)))))
+          // shorter than one window: the whole doc is one window —
+          // otherwise a doc of w+k-2 tokens would have NO sketch at all
+          .when(size(col("__g")) >= 1, array(array_min(col("__g"))))
+          .otherwise(array().cast("array<bigint>")))
+    base.select(col(id), explode(array_distinct(col("__mins"))).as("print"))
+  }
+
+  /** Pair detection over [[winnowPrints]]: documents sharing any selected
+    * fingerprint, with the shared-print count as match strength. Same
+    * scale shape as the LSH band join — one equi-join on the print, a
+    * hot-print cap (mass-duplicated boilerplate fills a print's bucket
+    * exactly like an LSH band bucket), partial-aggregated pair rollup. */
+  def winnowPairs(df: DataFrame, id: String, text: String,
+                  k: Int = 4, w: Int = 4,
+                  maxPrintDocs: Option[Int] = Some(1024)): DataFrame = {
+    val prints0 = winnowPrints(df, id, text, k, w)
+      .repartition(col("print"))
+    val prints = maxPrintDocs match {
+      case Some(cap) =>
+        val win = Window.partitionBy(col("print"))
+        prints0.withColumn("__pc", count(lit(1)).over(win))
+          .filter(col("__pc") <= cap).select(col(id), col("print"))
+      case None => prints0
+    }
+    // SHUFFLE_HASH pins the self-join to the print partitioning both
+    // sides already have, so ReuseExchange materializes the sketch
+    // pipeline ONCE — the planner's size estimate would otherwise
+    // broadcast one side and recompute it end-to-end (and the prints
+    // table is corpus-sized, so a broadcast is wrong at any real SF)
+    prints.toDF("id1", "print").hint("SHUFFLE_HASH")
+      .join(prints.toDF("id2", "print"), Seq("print"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared_prints"))
+  }
+
+  /** LSH candidates verified by EDIT DISTANCE instead of Jaccard — the
+    * precision pass for near-identical variants (typo farms, template
+    * fills, OCR noise) where shingle Jaccard under-discriminates:
+    * candidates come from the same banded-minhash equi-join as
+    * [[minhashLshPairs]] (capped buckets, never all-pairs), then each
+    * candidate pair joins back to its two texts and survives iff
+    * `levenshtein(t1, t2) <= maxDist`.
+    *
+    * Cost model at scale: Levenshtein is O(|t1|·|t2|) PER CANDIDATE —
+    * affordable precisely because the LSH stage bounds candidates;
+    * never run it all-pairs. Engine-portability caveat: Spark computes
+    * codepoint-level distance while some reference engines (DuckDB)
+    * count bytes, so distances over non-ASCII text differ — thresholds
+    * near the boundary should be validated on the target engine (the
+    * gate plants ASCII). */
+  def editVerifiedPairs(df: DataFrame, id: String, text: String,
+                        n: Int = 3, k: Int = 8, bands: Int = 4,
+                        maxDist: Long = 8L,
+                        maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val perDoc = minhashPerDoc(df, id, text, n, k)
+    val buckets = bandBuckets(perDoc, id, k, bands, maxBandBucketSize)
+    val cand = buckets.toDF("id1", "band", "key")
+      .join(buckets.toDF("id2", "band", "key"), Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val texts = df.select(col(id), col(text))
+    cand
+      .join(texts.toDF("id1", "__t1"), "id1")
+      .join(texts.toDF("id2", "__t2"), "id2")
+      .withColumn("dist", levenshtein(col("__t1"), col("__t2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
   /** Exact Jaccard verification of candidate pairs against the per-doc
     * hash sets (distinct per doc): set intersection is O(|A|+|B|) per
     * pair — no re-explode, no second shuffle of the full shingle table.

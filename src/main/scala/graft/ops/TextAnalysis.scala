@@ -2028,6 +2028,27 @@ object TextAnalysis {
         (-col("__top.nc")).as("top_count"))
   }
 
+  // ---------------------------------------------------------- digit fold
+
+  /** Digit-run folding (every `\d+` run → a single `0`): the CCNet-style
+    * fingerprint normalization (Wenzek et al. '19 fold digits before
+    * hashing) that makes exact dedup catch documents differing only in
+    * numbers — timestamps, view counters, order ids, prices — which are
+    * the single most common mutation between re-crawls of the same page.
+    * Run it (like [[homoglyphNormalize]]) between cleanup and
+    * fingerprinting; one regexp pass, scan-side. */
+  def digitFold(text: Column): Column =
+    regexp_replace(text, "\\d+", "0")
+
+  // ----------------------------------------------------------- freshness
+
+  /** ISO `yyyy-MM-dd` date pattern (1900–2049, calendar-shaped months
+    * and days, word-bounded) — RE2-safe, shared verbatim with the
+    * oracle. Lexicographic order on matches IS chronological order,
+    * which [[graft.ops.CorpusReport.freshnessHistogram]] exploits. */
+  val isoDateRegex: String =
+    "\\b(20[0-4][0-9]|19[0-9][0-9])-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])\\b"
+
   // --------------------------------------------------------- homoglyphs
 
   /** Curated homoglyph table (Unicode TR39 confusables, the high-traffic

@@ -766,6 +766,32 @@ class PlanShapeSpec extends SparkSpec {
       s"forecast rollup must partial-aggregate below its exchange:\n$pf")
   }
 
+  test("winnow pairs never broadcast the corpus-sized print table; digit fold is two windows") {
+    // the print self-join is SHUFFLE_HASH-pinned: a broadcast side here
+    // would materialize (and recompute) the whole sketch pipeline per
+    // executor — wrong at any real SF (identical shuffle stages dedupe
+    // at runtime under AQE stage reuse)
+    val pw = plan("dedup_winnow")
+    assert(!pw.contains("BroadcastExchange"), pw)
+    assert(!pw.contains("CartesianProduct") && !pw.contains("Exchange rangepartitioning"), pw)
+    val ex = pw.indexOf("Exchange hashpartitioning")
+    assert(pw.indexOf("HashAggregate", ex) >= 0,
+      s"pair rollup must partial-aggregate:\n$pw")
+    // digit fold shares the homoglyph gate's one-scan two-window shape
+    val pd = plan("dedup_digit_fold")
+    assert("Exchange hashpartitioning".r.findAllIn(pd).length === 2, pd)
+    assert("Scan parquet".r.findAllIn(pd).length === 1, pd)
+  }
+
+  test("edit-verify and freshness avoid cartesians and global sorts") {
+    val pe = plan("dedup_edit_verify")
+    assert(!pe.contains("CartesianProduct") && !pe.contains("Exchange rangepartitioning"), pe)
+    val pf = plan("corpus_freshness")
+    assert(!pf.contains("Exchange rangepartitioning"), pf)
+    // the share total re-broadcasts from a single-row aggregate
+    assert(pf.contains("BroadcastExchange") || pf.contains("Exchange SinglePartition"), pf)
+  }
+
   test("corpus_oov_rate broadcasts the vocabulary, never shuffles the corpus onto it") {
     // the vocabulary table is vocabulary-sized (longs), so the apply-side
     // membership join must be a broadcast — re-shuffling the exploded

@@ -305,6 +305,69 @@ class SignalsSpec extends SparkSpec {
     assert(out.toSeq === Seq((8, 2L, 13L, 1L, 10L, 3L, 2L, 625L)))
   }
 
+  test("winnowPairs: shared runs >= w+k-1 tokens are guaranteed caught; short docs sketch") {
+    import graft.ops.Dedup
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7 tokens = w+k-1
+    val df = Seq(
+      (1L, s"$shared one two three"),
+      (2L, s"zero $shared nine ten"),   // same run at a different offset
+      (3L, "totally different words here with nothing in common at all"),
+      (4L, "tiny doc"),                 // shorter than one gram: no sketch
+      (5L, "five token doc right here") // >= k grams but < w windows: one window
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"SIGMOD'03 guarantee violated: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // the short-doc fallback emits exactly one print for doc 5
+    val prints = Dedup.winnowPrints(df, "doc_id", "text", k = 4, w = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(prints(5L) === 1)
+    assert(!prints.contains(4L))
+  }
+
+  test("editVerifiedPairs: typo variants pair under the threshold, distances exact") {
+    import graft.ops.Dedup
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "teh quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "an entirely different document about completely other things")
+    ).toDF("doc_id", "text")
+    val out = Dedup.editVerifiedPairs(df, "doc_id", "text", maxDist = 6L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.get((1L, 2L)) === Some(2L)) // "the" -> "teh" = one transposition = 2 edits
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("digitFold folds number runs so re-crawl mutations share a fingerprint") {
+    import graft.ops.TextAnalysis
+    val fp = Seq(
+      (1L, "Order 12345 shipped 2024-03-17 total 99"),
+      (2L, "Order 777 shipped 2021-11-02 total 40000"),
+      (3L, "Order pending shipped never total unknown")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(TextAnalysis.digitFold(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("freshnessHistogram: latest date wins, undated bucket explicit, shares exact") {
+    val df = Seq(
+      (1L, "posted 2021-01-05 updated 2023-07-19"), // latest 2023-07
+      (2L, "archived 2023-07-01"),
+      (3L, "no dates at all"),
+      (4L, "bad dates 2023-13-01 and 2023-00-10 and 123-45-67") // all invalid
+    ).toDF("doc_id", "text")
+    val out = graft.ops.CorpusReport.freshnessHistogram(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(
+      "2023-07" -> ((2L, 500L)),
+      "undated" -> ((2L, 500L))))
+  }
+
   test("anchorText: modal anchor by count with lexicographic tie-break") {
     val df = Seq(
       (1L, "<a href=\"https://x.com/1\">alpha</a> <a href=\"https://x.com/2\">beta</a>"),
