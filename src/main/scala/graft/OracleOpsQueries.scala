@@ -2331,7 +2331,44 @@ object OracleOpsQueries {
         plantedFreshnessText.as("text")),
       "doc_id", "text")
 
+  /** Bitext-verification gate: the URL sieve's candidate pairs
+    * ([[corpusBitextUrls]]'s plant) screened against planted texts —
+    * every 4th doc carries a ` ref 42` numeral, so number-multiset
+    * mismatches occur exactly when one pair side is a multiple of 4 and
+    * the other is not; the fixture's length spread splits the ratio
+    * screen. */
+  def corpusBitextVerify(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"), col("lang"), lit(".dsite"),
+      (col("doc_id") % 13).cast("string"), lit(".com/p/"),
+      (col("doc_id") % 11).cast("string"))
+    val texts = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" ref 42")).otherwise(lit("")))
+        .as("text"))
+    val pairs = graft.ops.Domains.bitextUrlCandidates(
+      Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+      "doc_id", col("url"))
+    graft.ops.Domains.bitextVerify(pairs, texts, "doc_id", "text")
+  }
+
+  /** Moore–Lewis gate: in-domain = the `lang = 'en'` slice; non-English
+    * documents are OOV under the in-domain LM and score negative deltas,
+    * English documents positive — both keep branches populated. */
+  def corpusMooreLewis(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.mooreLewisSelect(Tables.documents(s, d), "doc_id", "text",
+      inDomain = col("lang") === "en")
+
+  /** Hamilton-apportionment gate: a 100-doc eval budget across the five
+    * language strata — floors sum to 98, so exactly two largest
+    * remainders round up. */
+  def corpusEvalQuota(s: SparkSession, d: String): DataFrame =
+    graft.ops.Splits.largestRemainderQuota(
+      Tables.documents(s, d), col("lang"), budget = 100L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_bitext_verify" -> (corpusBitextVerify _),
+    "corpus_moore_lewis" -> (corpusMooreLewis _),
+    "corpus_eval_quota" -> (corpusEvalQuota _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_digit_fold" -> (dedupDigitFold _),
     "dedup_edit_verify" -> (dedupEditVerify _),
@@ -4066,7 +4103,88 @@ object OracleOpsQueries {
        |  CAST((1000 * n_docs) // t.total AS BIGINT) AS share_permille
        |FROM h, t""".stripMargin
 
+  private lazy val corpusBitextVerifySql =
+    s"""WITH uv AS (
+       |  SELECT doc_id, 'https://' || lang || '.dsite' ||
+       |    CAST(doc_id % 13 AS VARCHAR) || '.com/p/' ||
+       |    CAST(doc_id % 11 AS VARCHAR) AS url
+       |  FROM documents),
+       |${registeredDomainSqlCtes("uv", "url")},
+       |b AS (
+       |  SELECT doc_id, key AS domain,
+       |    regexp_replace(regexp_replace(trim(url),
+       |      '${graft.ops.Domains.canonicalPrefixRegex}', ''), '[?#].*$$', '') AS path,
+       |    ls[1] AS lang
+       |  FROM rd),
+       |cap AS (SELECT * FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain, path ORDER BY doc_id) AS rn
+       |  FROM b) WHERE rn <= 8),
+       |prs AS (
+       |  SELECT a.doc_id AS id1, c.doc_id AS id2
+       |  FROM cap a JOIN cap c ON a.domain = c.domain AND a.path = c.path
+       |    AND a.doc_id < c.doc_id AND a.lang != c.lang),
+       |plt AS (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN ' ref 42' ELSE '' END) AS text
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> len(x) > 0)) AS BIGINT) AS n,
+       |    list_sort(regexp_extract_all(text, '\\d+', 0)) AS nums
+       |  FROM plt)
+       |SELECT p.id1, p.id2, s1.n AS n1, s2.n AS n2,
+       |  CAST((1000 * least(s1.n, s2.n)) //
+       |       greatest(greatest(s1.n, s2.n), 1) AS BIGINT) AS len_ratio_permille,
+       |  CAST(s1.nums = s2.nums AS INT) AS numbers_match,
+       |  CAST((1000 * least(s1.n, s2.n)) //
+       |       greatest(greatest(s1.n, s2.n), 1) >= 500
+       |       AND s1.nums = s2.nums AS INT) AS keep
+       |FROM prs p
+       |JOIN sig s1 ON s1.doc_id = p.id1
+       |JOIN sig s2 ON s2.doc_id = p.id2""".stripMargin
+
+  private lazy val corpusMooreLewisSql =
+    s"""WITH $toksCte,
+       |${lmChainCtes(2, "JOIN documents d USING (doc_id) WHERE d.lang = 'en'", "i")},
+       |${lmChainCtes(2, "", "g")}
+       |SELECT docs.doc_id,
+       |  COALESCE(ai.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(ai.sum_score, 0) AS score_in_fp,
+       |  COALESCE(ag.sum_score, 0) AS score_gen_fp,
+       |  CAST(((COALESCE(ai.sum_score, 0) - COALESCE(ag.sum_score, 0)
+       |      + 10000 * COALESCE(ai.n_bigrams, 0))
+       |    // greatest(COALESCE(ai.n_bigrams, 0), 1)) - 10000 AS BIGINT) AS delta_fp,
+       |  CAST(((COALESCE(ai.sum_score, 0) - COALESCE(ag.sum_score, 0)
+       |      + 10000 * COALESCE(ai.n_bigrams, 0))
+       |    // greatest(COALESCE(ai.n_bigrams, 0), 1)) - 10000 >= 0 AS INT) AS keep
+       |FROM documents docs
+       |LEFT JOIN aggi ai USING (doc_id)
+       |LEFT JOIN aggg ag USING (doc_id)""".stripMargin
+
+  private lazy val corpusEvalQuotaSql =
+    """WITH per AS (
+      |  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM per),
+      |b AS (SELECT stratum, n_docs,
+      |    (100 * n_docs) // t.n AS floor_quota,
+      |    (100 * n_docs) % t.n AS remainder_num
+      |  FROM per, t),
+      |r AS (SELECT *,
+      |    ROW_NUMBER() OVER (ORDER BY remainder_num DESC, stratum) AS rk,
+      |    SUM(floor_quota) OVER () AS fs
+      |  FROM b)
+      |SELECT stratum, n_docs,
+      |  CAST(floor_quota AS BIGINT) AS floor_quota,
+      |  CAST(remainder_num AS BIGINT) AS remainder_num,
+      |  CAST(floor_quota + (CASE WHEN rk <= 100 - fs THEN 1 ELSE 0 END) AS BIGINT) AS quota
+      |FROM r""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "corpus_bitext_verify" -> corpusBitextVerifySql,
+    "corpus_moore_lewis" -> corpusMooreLewisSql,
+    "corpus_eval_quota" -> corpusEvalQuotaSql,
     "dedup_winnow" -> dedupWinnowSql,
     "dedup_digit_fold" -> dedupDigitFoldSql,
     "dedup_edit_verify" -> dedupEditVerifySql,

@@ -465,6 +465,43 @@ object Domains {
     * docs is a crawler artifact, not a translation set — then ONE
     * equi-join on (domain, path) meets candidates; no cartesian, no
     * global sort. */
+  /** Verification stage for [[bitextUrlCandidates]] — the cheap
+    * consistency screens classic bitext cleaning applies before any
+    * model-based scorer: (a) symmetric token-length ratio inside
+    * [minRatioPermille, 1000] (translations differ in length, but not
+    * by 3×), and (b) the embedded NUMBERS must agree as sorted
+    * multisets (dates, prices, section numbers survive translation
+    * verbatim — a mismatch is the strongest cheap signal the pages are
+    * NOT parallel). Emits both signals plus the composed `keep`, so a
+    * pipeline can tune either screen independently.
+    *
+    * Shape at scale: the doc-signal projection is one scan; the pair
+    * table (already capped by the sieve) takes two id-equi-joins
+    * against it — candidates are sieve-bounded, so the joins are
+    * candidate-sized, never corpus². */
+  def bitextVerify(pairs: DataFrame, docs: DataFrame, id: String,
+                   text: String,
+                   minRatioPermille: Long = 500L): DataFrame = {
+    require(minRatioPermille >= 0 && minRatioPermille <= 1000,
+      s"minRatioPermille in [0,1000]: $minRatioPermille")
+    val sig = docs.select(col(id),
+      TextAnalysis.tokenCount(col(text)).cast("long").as("n"),
+      sort_array(regexp_extract_all(col(text), lit("\\d+"), lit(0)))
+        .as("nums"))
+    pairs.select(col("id1"), col("id2"))
+      .join(sig.toDF("id1", "n1", "__nums1"), "id1")
+      .join(sig.toDF("id2", "n2", "__nums2"), "id2")
+      .withColumn("len_ratio_permille",
+        expr("(1000 * least(n1, n2)) DIV greatest(greatest(n1, n2), 1)"))
+      .withColumn("numbers_match",
+        (col("__nums1") === col("__nums2")).cast("int"))
+      .withColumn("keep",
+        (col("len_ratio_permille") >= minRatioPermille &&
+          col("numbers_match") === 1).cast("int"))
+      .select(col("id1"), col("id2"), col("n1"), col("n2"),
+        col("len_ratio_permille"), col("numbers_match"), col("keep"))
+  }
+
   def bitextUrlCandidates(df: DataFrame, id: String, url: Column,
                           maxPerKey: Int = 8): DataFrame = {
     require(maxPerKey >= 2, s"maxPerKey must be >= 2, got $maxPerKey")

@@ -746,4 +746,43 @@ object Splits {
           expr("((n_padded - n_tokens) * 1000L) DIV n_padded"))
           .otherwise(lit(0L)).as("waste_permille"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an evaluation/sample
+    * budget across strata: every stratum gets ⌊budget·nᵢ/N⌋, then the
+    * leftover seats go to the largest remainders (ties to the
+    * alphabetically-first stratum) — the EXACT proportional allocation
+    * whose quotas always sum to the budget, unlike independent rounding
+    * (which drifts) or per-stratum rate sampling (which only matches in
+    * expectation). All-BIGINT arithmetic; Σ quota = budget is a spec
+    * invariant. Caller contract: budget ≤ N if quotas must be
+    * satisfiable by distinct rows (Hamilton happily apportions a budget
+    * larger than a stratum's population).
+    *
+    * Shape at scale: one partial-aggregated groupBy to strata counts;
+    * everything after (the remainder rank and the floor-sum) runs on
+    * the strata-sized frame — the one place an unpartitioned window is
+    * legitimate, because the frame is bounded by construction. */
+  def largestRemainderQuota(df: DataFrame, stratum: Column,
+                            budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val per = graft.operators.Scale.balanceToCores(df)
+      .select(stratum.as("stratum"))
+      .groupBy(col("stratum")).agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("__n"))
+    val base = per.crossJoin(broadcast(tot))
+      .withColumn("floor_quota", expr(s"($budget * n_docs) DIV __n"))
+      .withColumn("remainder_num", expr(s"($budget * n_docs) % __n"))
+    val wAll = Window.orderBy(col("remainder_num").desc, col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy(col("remainder_num").desc, col("stratum"))
+    base
+      .withColumn("__rank", row_number().over(wRank))
+      .withColumn("__floor_sum", sum(col("floor_quota")).over(wAll))
+      .withColumn("quota",
+        col("floor_quota") +
+          when(col("__rank") <= lit(budget) - col("__floor_sum"), 1L)
+            .otherwise(0L))
+      .select(col("stratum"), col("n_docs"), col("floor_quota"),
+        col("remainder_num"), col("quota"))
+  }
 }

@@ -1034,6 +1034,43 @@ object TextAnalysis {
       .select(col(id) +: lmDocColumns: _*)
   }
 
+  /** Moore–Lewis data selection (Moore & Lewis ACL'10): score every
+    * document under an IN-DOMAIN LM and a GENERAL LM trained on the
+    * whole corpus; the per-n-gram score difference ranks how much more
+    * in-domain-like than average a document is, and `keep` admits
+    * documents above `minDeltaFp`. The cheap domain-targeted selection
+    * tier (DSIR's ancestor) — both LMs are the engine's exact-fixed-
+    * point pair tables, so the delta is a BIGINT and the gate
+    * hash-matches.
+    *
+    * Shape at scale: two [[lmPairTable]] training aggregates (the
+    * in-domain one over the filtered slice), two [[lmScoreAgainst]]
+    * passes sharing the corpus n-gram explode shape, one id-join of the
+    * two per-doc score rows. Train-once/score-many callers should
+    * persist both tables and call [[lmScoreAgainst]] directly. */
+  def mooreLewisSelect(df: DataFrame, id: String, text: String,
+                       inDomain: Column, scale: Long = 10000L,
+                       n: Int = 2, minDeltaFp: Long = 0L): DataFrame = {
+    val inLm = lmPairTable(df.filter(inDomain), id, text, n)
+    val genLm = lmPairTable(df, id, text, n)
+    val si = lmScoreAgainst(df, id, text, inLm, scale, n)
+      .select(col(id), col("n_bigrams"),
+        col("sum_score").as("score_in_fp"))
+    val sg = lmScoreAgainst(df, id, text, genLm, scale, n)
+      .select(col(id), col("sum_score").as("score_gen_fp"))
+    si.join(sg, Seq(id))
+      .withColumn("delta_fp",
+        // per-n-gram normalized difference; n_bigrams is shared by both
+        // scores (same tokenization), so one denominator serves. The
+        // numerator can be negative: floor division in BOTH engines
+        // (Spark DIV truncates toward zero) only agrees for
+        // non-negative operands, so shift by the scale bound first —
+        // |per-gram score| <= scale — and shift back
+        expr(s"((score_in_fp - score_gen_fp + $scale * n_bigrams)" +
+          s" DIV greatest(n_bigrams, 1)) - $scale"))
+      .withColumn("keep", (col("delta_fp") >= minDeltaFp).cast("int"))
+  }
+
   /** Unigram count table with the grand total attached — the lowest rung
     * of the [[stupidBackoffScore]] ladder.
     *
