@@ -13,6 +13,31 @@ object Bench {
       name -> (if (oks.size == ts.size) oks.min else ts.filterNot(_ > 0).head)
     }
 
+  /** Whether a timed pass ran on a quiet machine (spec'd in UnitsSpec).
+    * `loadStart` is the 1-minute loadavg sampled as the pass began —
+    * external load present BEFORE any bench work, so it binds at the
+    * same `maxLoad` threshold as the pre-run drain gate. `loadEnd` is
+    * sampled as the pass ended and unavoidably includes the bench's OWN
+    * steady-state contribution (the r10 clean run measured 1.79 after
+    * its final pass on an idle box), so it binds at the looser
+    * `afterMax`: r11's mid-run contamination read 7.52 there while
+    * clean runs stay well under 3. A pass with an unreadable loadavg
+    * (-1, no /proc) is treated as clean — no evidence is not evidence
+    * of contamination, and the artifact records the -1 either way. */
+  def passIsClean(loadStart: Double, loadEnd: Double,
+                  maxLoad: Double, afterMax: Double): Boolean =
+    loadStart <= maxLoad && loadEnd <= afterMax
+
+  /** Contamination verdict for a whole run (spec'd in UnitsSpec): the
+    * per-query numbers are min-of-passes, so ONE clean pass is enough
+    * for the minimum to be a quiet-box measurement — the artifact is
+    * contaminated only when EVERY pass ran loaded (r11's failure mode:
+    * load climbed after the pre-run gate and stayed up through both
+    * passes, so min-of-two could not save it). */
+  def runContaminated(passLoads: Seq[(Double, Double)],
+                      maxLoad: Double, afterMax: Double): Boolean =
+    !passLoads.exists { case (s, e) => passIsClean(s, e, maxLoad, afterMax) }
+
   /** Parquet split size that keeps the SCAN stage ~2 waves wide on `cores`
     * tasks regardless of input size (spec'd in UnitsSpec). Spark packs
     * input into ~`totalBytes / maxPartitionBytes` FilePartitions, so a
@@ -104,8 +129,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional subset filter for debugging: SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = only.fold(SparkEntry.queries)(names =>
-      SparkEntry.queries.view.filterKeys(names).toMap)
+    val selected = only.fold(SparkEntry.benchQueries)(names =>
+      SparkEntry.benchQueries.view.filterKeys(names).toMap)
       .toSeq.sortBy(_._1) // deterministic execution order
     // Untimed warmup pass: JIT + codegen compilation + parquet footer/IO
     // caches otherwise land entirely on whichever query runs first
@@ -197,7 +222,37 @@ object Bench {
     // additive: the fastest observation is always the closest to the
     // unloaded truth, and a second full pass already doubles bench
     // wall-clock.
-    val passes = Seq(timedPass().toMap, timedPass().toMap)
+    //
+    // Mid-run contamination defense (VERDICT r11 item 1): the pre-run
+    // drain gate only sees load BEFORE the run — r11's machine got loaded
+    // mid-run and STAYED loaded through both passes (load_after 7.52;
+    // judge re-runs showed 8× inflation on individual rows), so min-of-two
+    // laundered nothing and the artifact was silently unusable. Now each
+    // pass records its own (loadStart, loadEnd); if NO pass ran clean the
+    // bench spends one recovery pass (after a bounded drain wait), and if
+    // that one is dirty too the artifact is stamped "contaminated": true
+    // so tools/bench_diff.py refuses a silent comparison.
+    val afterMax =
+      sys.env.get("SPARK_GRAFT_MAX_LOAD_AFTER").map(_.toDouble).getOrElse(3.0)
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def measuredPass(): Map[String, Double] = {
+      val s = loadAvg1m()
+      val p = timedPass().toMap
+      passLoads += ((s, loadAvg1m()))
+      p
+    }
+    val passesBuf = scala.collection.mutable.ArrayBuffer(measuredPass(), measuredPass())
+    if (runContaminated(passLoads.toSeq, maxLoad, afterMax)) {
+      System.err.println(f"[bench] both passes ran loaded (${passLoads.map { case (s, e) => f"$s%.2f->$e%.2f" }.mkString(", ")}) — draining, then one recovery pass")
+      var waits = 0
+      while (loadAvg1m() > maxLoad && waits < 6) { Thread.sleep(30000); waits += 1 }
+      loadWaits += waits
+      passesBuf += measuredPass()
+    }
+    val contaminated = runContaminated(passLoads.toSeq, maxLoad, afterMax)
+    if (contaminated)
+      System.err.println("[bench] every pass ran loaded — artifact stamped contaminated; timings are upper bounds, not a regression gate")
+    val passes = passesBuf.toSeq
     val results = aggregatePasses(selected.map(_._1), passes)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -212,6 +267,8 @@ object Bench {
     val loadAfter = loadAvg1m()
     val passTotals = passes.map(_.values.filter(_ > 0).sum)
       .map(v => f"$v%.3f").mkString("[", ",", "]")
+    val passLoadsJson = passLoads
+      .map { case (s, e) => f"[$s%.2f,$e%.2f]" }.mkString("[", ",", "]")
     // The per-query map (one line per run, ~3 KB for 78 queries) goes on an
     // EARLIER line; the LAST stdout line is a short summary so a bounded
     // tail-capture always gets an intact JSON object (round 4's single
@@ -219,7 +276,7 @@ object Bench {
     // keeps the headline keys only; per-query timings live in the
     // "per_query" line above it and in SPARK_GRAFT_BENCH_OUT (if set).
     val full =
-      s"""{"metric":"per_query","value":$total,"unit":"sec","failed":$failed,"drive":"hash_agg","load_before":$loadBefore,"load_after":$loadAfter,"load_waits":$loadWaits,"pass_totals":$passTotals,"max_partition_bytes":$maxSplit,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","value":$total,"unit":"sec","failed":$failed,"drive":"hash_agg","load_before":$loadBefore,"load_after":$loadAfter,"load_waits":$loadWaits,"pass_totals":$passTotals,"pass_loads":$passLoadsJson,"contaminated":$contaminated,"max_partition_bytes":$maxSplit,"queries":$qs,"sf":"$sfDir"}"""
     // durable per-query artifact: regression analysis must not depend on
     // the driver's bounded stdout tail-capture surviving (round 4's map
     // was truncated mid-line)
@@ -238,7 +295,7 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => () } // artifact is best-effort, never fails the bench
     }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n":${results.size},"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

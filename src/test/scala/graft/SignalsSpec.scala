@@ -116,7 +116,7 @@ class SignalsSpec extends SparkSpec {
     val out = CorpusReport.domainQualityGate(
         df, col("domain"), "text", qCutFp = 5000L, p0Num = 3L, p0Den = 5L)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getInt(6))).toMap
+        (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
     val z2 = 4.0
     val p0 = 0.6
     cases.foreach { case (n, x) =>
@@ -133,6 +133,35 @@ class SignalsSpec extends SparkSpec {
     // evidence-sensitivity: unanimous-but-tiny fails, big-majority passes
     assert(out("d3_3")._3 === 0)
     assert(out("d40_40")._3 === 1)
+  }
+
+  test("wilsonGate: decimal inequality exact past the int64 wrap (ADVICE r11)") {
+    // A²·n wraps int64 past ~450k docs/domain at p0Den=10; the decimal
+    // path must agree with BigInt-exact arithmetic through 10⁹ docs —
+    // including just-above/just-below-p0 shares where the wrapped long
+    // arithmetic flipped verdicts.
+    val cases: Seq[(Long, Long)] = Seq(
+      (500000L, 160000L), (500000L, 140000L),          // ±p0 at the wrap
+      (1000000L, 301000L), (1000000L, 299000L),
+      (50000000L, 15010000L), (50000000L, 14990000L),
+      (1000000000L, 300030000L), (1000000000L, 299970000L),
+      (1000000000L, 0L), (1000000000L, 1000000000L),
+      (3L, 3L), (40L, 40L))                            // small regime unchanged
+    val counts = cases.zipWithIndex
+      .map { case ((n, x), i) => (f"d$i%02d", n, x) }
+      .toDF("domain", "n_docs", "n_high")
+    val out = CorpusReport.wilsonGate(counts, p0Num = 3L, p0Den = 10L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getInt(4))).toMap
+    cases.zipWithIndex.foreach { case ((n, x), i) =>
+      val nB = BigInt(n); val xB = BigInt(x)
+      val a = 10 * (xB + 2) - 3 * (nB + 4)
+      val expectKeep =
+        a >= 0 && a * a * nB >= 100 * (4 * xB * (nB - xB) + 4 * nB)
+      val (marginA, keep) = out(f"d$i%02d")
+      assert(BigInt(marginA) === a, s"margin_a n=$n x=$x")
+      assert((keep == 1) === expectKeep, s"keep n=$n x=$x")
+    }
   }
 
   test("matryoshkaRecall: prefix-dim retrieval recall vs full-dim truth") {
@@ -361,7 +390,7 @@ class SignalsSpec extends SparkSpec {
       (3L, "no dates at all"),
       (4L, "bad dates 2023-13-01 and 2023-00-10 and 123-45-67") // all invalid
     ).toDF("doc_id", "text")
-    val out = graft.ops.CorpusReport.freshnessHistogram(df, "doc_id", "text")
+    val out = graft.ops.CorpusReport.freshnessHistogram(df, "text")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out === Map(
       "2023-07" -> ((2L, 500L)),

@@ -17,15 +17,36 @@ import sys
 # behave like a normal unix filter when piped into head
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
-if len(sys.argv) < 3:
+force = "--force" in sys.argv
+args = [a for a in sys.argv[1:] if a != "--force"]
+if len(args) < 2:
     sys.exit(__doc__)
-old_path, new_path = sys.argv[1], sys.argv[2]
-threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+old_path, new_path = args[0], args[1]
+threshold = float(args[2]) if len(args) > 2 else 1.3
 
 old_art = json.load(open(old_path))
 new_art = json.load(open(new_path))
 old = old_art["queries"]
 new = new_art["queries"]
+
+# A contaminated artifact (every timed pass ran under external load —
+# graft.Bench stamps this when no pass had a quiet (loadStart, loadEnd))
+# is an upper bound, not a measurement: r11's artifact recorded 19.51 s
+# for a query a quiet re-run finished in 2.35 s. Refuse the silent
+# comparison; --force (with exit 3) lets a human look anyway.
+for label, art, path in (("old", old_art, old_path), ("new", new_art, new_path)):
+    if art.get("contaminated"):
+        print(f"REFUSED: {label} artifact {path} is stamped contaminated "
+              f"(pass_loads={art.get('pass_loads')}) — its timings are "
+              f"load-inflated upper bounds, not a regression gate. "
+              f"Re-run graft.Bench on a quiet box; pass --force to "
+              f"compare anyway (exit 3).")
+        if not force:
+            sys.exit(2)
+if force and (old_art.get("contaminated") or new_art.get("contaminated")):
+    EXIT_FORCED = True
+else:
+    EXIT_FORCED = False
 
 common = sorted(set(old) & set(new))
 bad_old = {q for q in old if old[q] <= 0}
@@ -92,4 +113,6 @@ if rows:
 
 if regressions:
     print(f"{len(regressions)} queries regressed beyond {threshold}x: {regressions}")
-    sys.exit(1)
+    sys.exit(3 if EXIT_FORCED else 1)
+if EXIT_FORCED:
+    sys.exit(3)
