@@ -2752,4 +2752,114 @@ class OpsSpec extends SparkSpec {
       .collect().head
     assert(r.getDouble(3) === 1.0)
   }
+
+  test("largestRemainderQuota: sum-to-budget invariant and alphabetical tie-break") {
+    // strata with deliberately awkward proportions (floors drift without
+    // the remainder pass) + an exact-tie pair to pin the tie-break
+    val strata = Map("a" -> 7L, "b" -> 7L, "c" -> 5L, "d" -> 3L, "e" -> 1L)
+    val rows = strata.toSeq.flatMap { case (s, n) => (0L until n).map(_ => s) }
+    val df = rows.toDF("stratum")
+    // reference Hamilton apportionment on BigInt, ties alphabetical
+    def hamilton(budget: Long): Map[String, Long] = {
+      val n = strata.values.sum
+      val floors = strata.view.mapValues(c => budget * c / n).toMap
+      val rem = budget - floors.values.sum
+      val order = strata.keys.toSeq
+        .sortBy(s => (-(budget * strata(s) % n), s))
+      floors ++ order.take(rem.toInt).map(s => s -> (floors(s) + 1L))
+    }
+    // sweep budgets across every regime the scaladoc promises:
+    // 0, < strata count, awkward, = N, > N (Hamilton happily apportions
+    // a budget larger than the population — quotas still sum exactly)
+    Seq(0L, 1L, 2L, 7L, 11L, 23L, 46L, 100L).foreach { budget =>
+      val out = graft.ops.Splits
+        .largestRemainderQuota(df, col("stratum"), budget)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+        .toMap
+      assert(out.keySet === strata.keySet, s"budget=$budget")
+      out.foreach { case (s, (nd, fl, _)) =>
+        assert(nd === strata(s), s"budget=$budget stratum=$s n_docs")
+        assert(fl === budget * strata(s) / 23L, s"budget=$budget stratum=$s floor")
+      }
+      val quotas = out.view.mapValues(_._3).toMap
+      assert(quotas.values.sum === budget,
+        s"sum(quota) != budget at budget=$budget: $quotas")
+      assert(quotas === hamilton(budget), s"budget=$budget")
+    }
+    // the a/b tie: identical counts -> identical remainders; when only
+    // one seat is left it must go to 'a' (alphabetically first)
+    val tied = graft.ops.Splits
+      .largestRemainderQuota(df, col("stratum"), 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(tied("a") === 1L && tied("b") === 1L,
+      s"budget=2 should seat the two largest (tied) remainders a,b: $tied")
+  }
+
+  test("mooreLewisSelect: delta is FLOOR division on negative scores; keep thresholds") {
+    // in-domain = 'tech' rows; the held-out fiction rows share no bigrams
+    // with the tech LM, so their in-domain score is all-OOV (0) and the
+    // delta goes negative — the regime where truncate-toward-zero and
+    // floor disagree and the shift-before-DIV trick is load-bearing.
+    // 'dragon' heads exactly 3 general-LM bigram occurrences, so
+    // (dragon, ate) scores ⌊10000/3⌋ = 3333 and doc 4's delta numerator
+    // is odd: floorDiv(-13333, 2) = -6667 where DIV would say -6666.
+    val df = Seq(
+      (1L, "compile the kernel module", 1),
+      (2L, "link the kernel module", 1),
+      (3L, "test the kernel module", 1),
+      (4L, "dragon ate knight", 0),
+      (5L, "dragon flew home", 0),
+      (6L, "dragon sleeps now", 0),
+      (7L, "compile the kernel module", 0) // verbatim in-domain, held out
+    ).toDF("doc_id", "text", "indom")
+    val out = graft.ops.TextAnalysis.mooreLewisSelect(
+        df, "doc_id", "text", inDomain = col("indom") === 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      .toMap
+    assert(out.keySet === (1L to 7L).toSet)
+    out.foreach { case (id, (nBigrams, scoreIn, scoreGen, delta, keep)) =>
+      assert(nBigrams > 0, s"doc $id")
+      // the emitted delta must be EXACT floor((in-gen)/n) — floorDiv, not
+      // the quotient a bare DIV would produce on a negative numerator
+      assert(delta === Math.floorDiv(scoreIn - scoreGen, nBigrams),
+        s"doc $id: delta_fp not floor division")
+      assert((keep == 1) === (delta >= 0L), s"doc $id keep")
+    }
+    // the floor-vs-truncate case is actually exercised: doc 4 scores
+    // si=0, sg=3333+10000, n=2 -> delta floorDiv(-13333,2) = -6667
+    assert(out(4L) === ((2L, 0L, 13333L, -6667L, 0)))
+    // every fiction doc is dropped; the held-out verbatim tech sentence
+    // scores identically under both LMs (delta 0) and is kept
+    Seq(4L, 5L, 6L).foreach(id => assert(out(id)._5 === 0, s"doc $id"))
+    assert(out(7L)._4 === 0L && out(7L)._5 === 1)
+  }
+
+  test("bitextVerify: number multisets compare sorted, digit mutations fail, ratio screens") {
+    val docs = Seq(
+      (1L, "meeting on 2024-03-01 room 42 floor 3"),
+      (2L, "salle 42 etage 3 reunion 01 03 2024"),       // same numbers, reordered
+      (3L, "meeting on 2024-03-01 room 43 floor 3"),     // one digit mutated
+      (4L, "short 42"),                                  // length-ratio victim
+      (5L, "42 yes")                                     // within ratio of 4
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 1L), (4L, 5L))
+      .toDF("id1", "id2")
+    val out = graft.ops.Domains.bitextVerify(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getInt(5), r.getInt(6))).toMap
+    // reordered numbers ARE a match (sorted multiset), lengths 7/8 pass
+    assert(out((1L, 2L)) === ((875L, 1, 1)))
+    // a single mutated digit must fail the multiset screen
+    assert(out((1L, 3L))._2 === 0)
+    assert(out((1L, 3L))._3 === 0)
+    // 2 vs 7 tokens: ratio 285 < 500 fails even though numbers match... no:
+    // doc 4 carries {42}, doc 1 {2024,03,01,42,3} -> numbers differ too;
+    // the ratio column alone is what this pair pins
+    assert(out((4L, 1L))._1 === 285L)
+    assert(out((4L, 1L))._3 === 0)
+    // same-number short pair: ratio 1000, multiset {42} == {42} -> keep
+    assert(out((4L, 5L)) === ((1000L, 1, 1)))
+  }
 }

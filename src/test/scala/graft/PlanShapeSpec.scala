@@ -815,4 +815,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"),
       s"no global sort in batch formation:\n$p")
   }
+
+  test("eval quota rolls up to strata before its bounded global window") {
+    // the ONLY corpus-sized movement is the partial-aggregated strata
+    // rollup (its exchange prints twice pre-execution: the grand-total
+    // aggregate shares the identical subtree and AQE reuses it at
+    // runtime); the unpartitioned row_number window — legitimate here,
+    // the frame is |strata| rows by construction — runs after a
+    // SinglePartition exchange of that tiny frame, never a range sort
+    val p = plan("corpus_eval_quota")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2, p)
+    assert(p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert("Window ".r.findAllIn(p).length === 1, p)
+    // column pruning: the budget needs the stratum column and NOTHING else
+    assert(p.contains("ReadSchema: struct<lang:string>"), p)
+  }
+
+  test("moore-lewis is two trains + two scores, no cartesian, LM tables join hashed") {
+    // 2 lmPairTable trains + 2 lmScoreAgainst n-gram explodes + the
+    // id-spine join re-scan: six scans, six partial-aggregated count
+    // exchanges — a persisted-LM deployment drops the trains, but the
+    // inline gate must never silently grow a seventh pass or a
+    // corpus×corpus product
+    val p = plan("corpus_moore_lewis")
+    assert("FileScan parquet".r.findAllIn(p).length === 6, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 6, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("bitext verify joins stay candidate-sized: no cartesian, capped sieve windows") {
+    // the two doc-signal joins hang off the sieve's capped pair table —
+    // candidate-sized by the per-key cap (the two Windows ARE the cap,
+    // partitioned by (domain, path), never unpartitioned)
+    val p = plan("corpus_bitext_verify")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert("Window ".r.findAllIn(p).length === 2, p)
+    assert("hashpartitioning\\(domain#".r.findFirstIn(p).nonEmpty,
+      s"the per-key cap must window under a (domain, path) exchange:\n$p")
+  }
 }

@@ -324,6 +324,32 @@ class SignalsSpec extends SparkSpec {
       (2L, 5L, "site.co.uk", "fr", "en")))
   }
 
+  test("bitextUrlCandidates: path locales pair across conventions, www never poses as a language") {
+    val df = Seq(
+      (1L, "https://en.site.com/a.html"),        // host-label convention
+      (2L, "https://site.com/fr/a.html"),        // path convention, same page
+      (3L, "https://site.com/pt-br/a.html"),     // region subtag locale
+      (4L, "https://www.site.com/a.html"),       // ADVICE r11: www is NOT a language
+      (5L, "https://cdn.site.com/a.html"),       // stoplisted host label
+      (6L, "https://site.com/blog/a.html"),      // non-locale path segment
+      (7L, "https://my.com/fr/a.html"),          // 2-label host whose NAME is locale-shaped
+      (8L, "https://my.com/de/a.html")           //   -> path lang still mines; pairs with 7
+    ).toDF("doc_id", "url")
+    val out = graft.ops.Domains.bitextUrlCandidates(df, "doc_id", col("url"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5))).toSet
+    assert(out === Set(
+      // the language-stripped path key meets host- and path-labelled
+      // variants of the same page ACROSS conventions
+      (1L, 2L, "site.com", "/a.html", "en", "fr"),
+      (1L, 3L, "site.com", "/a.html", "en", "pt-br"),
+      (2L, 3L, "site.com", "/a.html", "fr", "pt-br"),
+      (7L, 8L, "my.com", "/a.html", "fr", "de")))
+    // docs 4/5/6 carry no language: excluded BEFORE the pair join, so a
+    // www mirror can never fabricate a cross-lingual candidate
+    assert(!out.exists(p => Set(p._1, p._2).intersect(Set(4L, 5L, 6L)).nonEmpty))
+  }
+
   test("packForecast: hand-computed oversize split, pack floor, and waste") {
     val df = Seq((1L, 10L), (2L, 3L)).toDF("doc_id", "tk")
     val out = graft.ops.Packing.packForecast(df, col("tk"), Seq(8))

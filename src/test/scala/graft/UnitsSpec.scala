@@ -102,6 +102,26 @@ class UnitsSpec extends AnyFunSuite {
       "d" -> -0.4))// threw in both: first marker
   }
 
+  test("bench contamination verdict: one quiet pass clears the run, all-loaded stamps it") {
+    val maxLoad = 2.0; val afterMax = 3.0
+    // quiet pass: start under the external-load threshold, end under the
+    // looser bound that allows the bench's own steady-state contribution
+    assert(Bench.passIsClean(1.3, 1.8, maxLoad, afterMax))
+    assert(Bench.passIsClean(1.9, 2.9, maxLoad, afterMax))
+    // loaded at the start — the pre-run gate's own threshold binds
+    assert(!Bench.passIsClean(2.5, 1.0, maxLoad, afterMax))
+    // load climbed mid-pass past what the bench itself produces (r11: 7.52)
+    assert(!Bench.passIsClean(1.4, 7.5, maxLoad, afterMax))
+    // unreadable loadavg (-1) must not read as contamination
+    assert(Bench.passIsClean(-1.0, -1.0, maxLoad, afterMax))
+    // min-of-passes semantics: ONE quiet pass means the minimum is a
+    // quiet measurement — not contaminated; zero quiet passes is r11's
+    // laundering failure and must stamp the artifact
+    assert(!Bench.runContaminated(Seq((1.3, 7.5), (1.2, 1.8)), maxLoad, afterMax))
+    assert(Bench.runContaminated(Seq((1.3, 7.5), (4.0, 6.0)), maxLoad, afterMax))
+    assert(Bench.runContaminated(Seq((2.1, 1.0)), maxLoad, afterMax))
+  }
+
   test("adaptive scan split: core-wide at local SFs, Spark default at scale") {
     // the round-8 sf100 starvation case: one 646 MB input on 32 cores was
     // 5 tasks under the 128 MB default; the adaptive split makes it ~64
