@@ -13,20 +13,54 @@ object Bench {
       name -> (if (oks.size == ts.size) oks.min else ts.filterNot(_ > 0).head)
     }
 
-  /** Whether a timed pass ran on a quiet machine (spec'd in UnitsSpec).
-    * `loadStart` is the 1-minute loadavg sampled as the pass began —
-    * external load present BEFORE any bench work, so it binds at the
-    * same `maxLoad` threshold as the pre-run drain gate. `loadEnd` is
-    * sampled as the pass ended and unavoidably includes the bench's OWN
-    * steady-state contribution (the r10 clean run measured 1.79 after
-    * its final pass on an idle box), so it binds at the looser
-    * `afterMax`: r11's mid-run contamination read 7.52 there while
-    * clean runs stay well under 3. A pass with an unreadable loadavg
-    * (-1, no /proc) is treated as clean — no evidence is not evidence
-    * of contamination, and the artifact records the -1 either way. */
-  def passIsClean(loadStart: Double, loadEnd: Double,
-                  maxLoad: Double, afterMax: Double): Boolean =
-    loadStart <= maxLoad && loadEnd <= afterMax
+  /** (busy, total) jiffies from /proc/stat's aggregate cpu line, or
+    * (-1, -1) when unreadable. busy = everything except idle+iowait. */
+  def procStatJiffies(): (Long, Long) =
+    try {
+      val f = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal [guest...]
+      val v = f.drop(1).take(8).map(_.toLong)
+      val total = v.sum
+      (total - v(3) - v(4), total)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+
+  /** This JVM's own consumed jiffies (utime+stime over all threads)
+    * from /proc/self/stat, or -1 when unreadable. */
+  def selfJiffies(): Long =
+    try {
+      // field 2 is "(comm)" which may contain spaces — split after ')'
+      val s = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/self/stat"))
+      val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+      // rest(0) is field 3 (state); utime/stime are fields 14/15
+      rest(11).toLong + rest(12).toLong
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** Fraction of the machine's CPU time consumed by processes OTHER
+    * than this JVM between two (procStat, self) samples — the
+    * contamination signal that loadavg is not (spec'd in UnitsSpec).
+    * Loadavg counts the bench's OWN 32 worker threads: a full-suite
+    * pass on an IDLE box reads loadavg 8-11 at the heavy queries, so
+    * any loadavg threshold either misfires on self-load or misses real
+    * contamination (this round's first guard stamped an idle-box run
+    * contaminated). External CPU share is self-load-blind: on an idle
+    * box it stays ~0 no matter how hard the bench runs, and r11-style
+    * co-tenants show up as exactly the fraction of machine CPU they
+    * burn. Returns -1 (no verdict) when either sample was unreadable
+    * or time did not advance. */
+  def externalCpuFrac(busy0: Long, total0: Long, self0: Long,
+                      busy1: Long, total1: Long, self1: Long): Double =
+    if (busy0 < 0 || busy1 < 0 || self0 < 0 || self1 < 0 || total1 <= total0) -1.0
+    else math.max(0L, (busy1 - busy0) - (self1 - self0)).toDouble /
+      (total1 - total0)
+
+  /** Whether a timed pass ran on a quiet machine: other processes took
+    * at most `extMax` of the machine's CPU time (default 0.10). An
+    * unreadable sample (-1) is treated as clean — no evidence is not
+    * evidence of contamination, and the artifact records the -1. */
+  def passIsClean(extFrac: Double, extMax: Double): Boolean =
+    extFrac < 0 || extFrac <= extMax
 
   /** Contamination verdict for a whole run (spec'd in UnitsSpec): the
     * per-query numbers are min-of-passes, so ONE clean pass is enough
@@ -34,9 +68,8 @@ object Bench {
     * contaminated only when EVERY pass ran loaded (r11's failure mode:
     * load climbed after the pre-run gate and stayed up through both
     * passes, so min-of-two could not save it). */
-  def runContaminated(passLoads: Seq[(Double, Double)],
-                      maxLoad: Double, afterMax: Double): Boolean =
-    !passLoads.exists { case (s, e) => passIsClean(s, e, maxLoad, afterMax) }
+  def runContaminated(passExtFracs: Seq[Double], extMax: Double): Boolean =
+    !passExtFracs.exists(passIsClean(_, extMax))
 
   /** Parquet split size that keeps the SCAN stage ~2 waves wide on `cores`
     * tasks regardless of input size (spec'd in UnitsSpec). Spark packs
@@ -228,30 +261,37 @@ object Bench {
     // mid-run and STAYED loaded through both passes (load_after 7.52;
     // judge re-runs showed 8× inflation on individual rows), so min-of-two
     // laundered nothing and the artifact was silently unusable. Now each
-    // pass records its own (loadStart, loadEnd); if NO pass ran clean the
-    // bench spends one recovery pass (after a bounded drain wait), and if
-    // that one is dirty too the artifact is stamped "contaminated": true
-    // so tools/bench_diff.py refuses a silent comparison.
-    val afterMax =
-      sys.env.get("SPARK_GRAFT_MAX_LOAD_AFTER").map(_.toDouble).getOrElse(3.0)
+    // pass records the EXTERNAL CPU share it ran under (other processes'
+    // jiffies / machine jiffies — loadavg is useless here, it counts the
+    // bench's own 32 worker threads; see externalCpuFrac); if NO pass ran
+    // clean the bench spends one recovery pass (after a bounded drain
+    // wait), and if that one is dirty too the artifact is stamped
+    // "contaminated": true so tools/bench_diff.py refuses a silent
+    // comparison.
+    val extMax =
+      sys.env.get("SPARK_GRAFT_MAX_EXT_CPU").map(_.toDouble).getOrElse(0.10)
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val passExt = scala.collection.mutable.ArrayBuffer.empty[Double]
     def measuredPass(): Map[String, Double] = {
-      val s = loadAvg1m()
+      val l0 = loadAvg1m()
+      val (b0, t0) = procStatJiffies(); val s0 = selfJiffies()
       val p = timedPass().toMap
-      passLoads += ((s, loadAvg1m()))
+      val (b1, t1) = procStatJiffies(); val s1 = selfJiffies()
+      passLoads += ((l0, loadAvg1m()))
+      passExt += externalCpuFrac(b0, t0, s0, b1, t1, s1)
       p
     }
     val passesBuf = scala.collection.mutable.ArrayBuffer(measuredPass(), measuredPass())
-    if (runContaminated(passLoads.toSeq, maxLoad, afterMax)) {
-      System.err.println(f"[bench] both passes ran loaded (${passLoads.map { case (s, e) => f"$s%.2f->$e%.2f" }.mkString(", ")}) — draining, then one recovery pass")
+    if (runContaminated(passExt.toSeq, extMax)) {
+      System.err.println(f"[bench] both passes ran under external load (ext cpu ${passExt.map(f => f"$f%.3f").mkString(", ")}) — draining, then one recovery pass")
       var waits = 0
       while (loadAvg1m() > maxLoad && waits < 6) { Thread.sleep(30000); waits += 1 }
       loadWaits += waits
       passesBuf += measuredPass()
     }
-    val contaminated = runContaminated(passLoads.toSeq, maxLoad, afterMax)
+    val contaminated = runContaminated(passExt.toSeq, extMax)
     if (contaminated)
-      System.err.println("[bench] every pass ran loaded — artifact stamped contaminated; timings are upper bounds, not a regression gate")
+      System.err.println("[bench] every pass ran under external load — artifact stamped contaminated; timings are upper bounds, not a regression gate")
     val passes = passesBuf.toSeq
     val results = aggregatePasses(selected.map(_._1), passes)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -269,6 +309,7 @@ object Bench {
       .map(v => f"$v%.3f").mkString("[", ",", "]")
     val passLoadsJson = passLoads
       .map { case (s, e) => f"[$s%.2f,$e%.2f]" }.mkString("[", ",", "]")
+    val passExtJson = passExt.map(f => f"$f%.4f").mkString("[", ",", "]")
     // The per-query map (one line per run, ~3 KB for 78 queries) goes on an
     // EARLIER line; the LAST stdout line is a short summary so a bounded
     // tail-capture always gets an intact JSON object (round 4's single
@@ -276,7 +317,7 @@ object Bench {
     // keeps the headline keys only; per-query timings live in the
     // "per_query" line above it and in SPARK_GRAFT_BENCH_OUT (if set).
     val full =
-      s"""{"metric":"per_query","value":$total,"unit":"sec","failed":$failed,"drive":"hash_agg","load_before":$loadBefore,"load_after":$loadAfter,"load_waits":$loadWaits,"pass_totals":$passTotals,"pass_loads":$passLoadsJson,"contaminated":$contaminated,"max_partition_bytes":$maxSplit,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","value":$total,"unit":"sec","failed":$failed,"drive":"hash_agg","load_before":$loadBefore,"load_after":$loadAfter,"load_waits":$loadWaits,"pass_totals":$passTotals,"pass_loads":$passLoadsJson,"pass_ext_cpu":$passExtJson,"contaminated":$contaminated,"max_partition_bytes":$maxSplit,"queries":$qs,"sf":"$sfDir"}"""
     // durable per-query artifact: regression analysis must not depend on
     // the driver's bounded stdout tail-capture surviving (round 4's map
     // was truncated mid-line)

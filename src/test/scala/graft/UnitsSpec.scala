@@ -102,24 +102,37 @@ class UnitsSpec extends AnyFunSuite {
       "d" -> -0.4))// threw in both: first marker
   }
 
-  test("bench contamination verdict: one quiet pass clears the run, all-loaded stamps it") {
-    val maxLoad = 2.0; val afterMax = 3.0
-    // quiet pass: start under the external-load threshold, end under the
-    // looser bound that allows the bench's own steady-state contribution
-    assert(Bench.passIsClean(1.3, 1.8, maxLoad, afterMax))
-    assert(Bench.passIsClean(1.9, 2.9, maxLoad, afterMax))
-    // loaded at the start — the pre-run gate's own threshold binds
-    assert(!Bench.passIsClean(2.5, 1.0, maxLoad, afterMax))
-    // load climbed mid-pass past what the bench itself produces (r11: 7.52)
-    assert(!Bench.passIsClean(1.4, 7.5, maxLoad, afterMax))
-    // unreadable loadavg (-1) must not read as contamination
-    assert(Bench.passIsClean(-1.0, -1.0, maxLoad, afterMax))
+  test("bench contamination verdict: external-CPU share, blind to the bench's own load") {
+    // jiffy bookkeeping: 32 cores for 100s at HZ=100 -> 320000 total.
+    // Bench consumed 200000, other processes 60000 (busy 260000):
+    // external share = 60000/320000 = 0.1875 -> dirty at the 0.10 default
+    val dirty = Bench.externalCpuFrac(1000000L, 2000000L, 500000L,
+      1260000L, 2320000L, 700000L)
+    assert(math.abs(dirty - 0.1875) < 1e-12)
+    assert(!Bench.passIsClean(dirty, 0.10))
+    // idle box, bench flat out: busy delta == self delta -> external 0,
+    // CLEAN no matter what loadavg says (the bench's own 32 worker
+    // threads read as loadavg 8-11 — the first guard misfired on that)
+    val clean = Bench.externalCpuFrac(1000000L, 2000000L, 500000L,
+      1200000L, 2320000L, 700000L)
+    assert(clean === 0.0 && Bench.passIsClean(clean, 0.10))
+    // sampling jitter can make self delta exceed busy delta — clamp to 0
+    assert(Bench.externalCpuFrac(0L, 0L, 0L, 100L, 3200L, 150L) === 0.0)
+    // unreadable /proc (-1 samples) or frozen clock -> no verdict (-1),
+    // which must read as clean: no evidence is not contamination
+    assert(Bench.externalCpuFrac(-1L, -1L, 100L, 200L, 300L, 150L) === -1.0)
+    assert(Bench.externalCpuFrac(100L, 300L, 10L, 110L, 300L, 20L) === -1.0)
+    assert(Bench.passIsClean(-1.0, 0.10))
     // min-of-passes semantics: ONE quiet pass means the minimum is a
     // quiet measurement — not contaminated; zero quiet passes is r11's
     // laundering failure and must stamp the artifact
-    assert(!Bench.runContaminated(Seq((1.3, 7.5), (1.2, 1.8)), maxLoad, afterMax))
-    assert(Bench.runContaminated(Seq((1.3, 7.5), (4.0, 6.0)), maxLoad, afterMax))
-    assert(Bench.runContaminated(Seq((2.1, 1.0)), maxLoad, afterMax))
+    assert(!Bench.runContaminated(Seq(0.35, 0.02), 0.10))
+    assert(Bench.runContaminated(Seq(0.35, 0.22), 0.10))
+    assert(!Bench.runContaminated(Seq(0.35, -1.0), 0.10))
+    // live probe: the counters exist and move forward on this platform
+    val (b0, t0) = Bench.procStatJiffies()
+    val s0 = Bench.selfJiffies()
+    if (b0 >= 0) { assert(t0 >= b0 && s0 >= 0) }
   }
 
   test("adaptive scan split: core-wide at local SFs, Spark default at scale") {

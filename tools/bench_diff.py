@@ -30,14 +30,15 @@ old = old_art["queries"]
 new = new_art["queries"]
 
 # A contaminated artifact (every timed pass ran under external load —
-# graft.Bench stamps this when no pass had a quiet (loadStart, loadEnd))
-# is an upper bound, not a measurement: r11's artifact recorded 19.51 s
-# for a query a quiet re-run finished in 2.35 s. Refuse the silent
-# comparison; --force (with exit 3) lets a human look anyway.
+# graft.Bench stamps this when no pass's external-CPU share stayed under
+# the threshold) is an upper bound, not a measurement: r11's artifact
+# recorded 19.51 s for a query a quiet re-run finished in 2.35 s. Refuse
+# the silent comparison; --force (with exit 3) lets a human look anyway.
 for label, art, path in (("old", old_art, old_path), ("new", new_art, new_path)):
     if art.get("contaminated"):
         print(f"REFUSED: {label} artifact {path} is stamped contaminated "
-              f"(pass_loads={art.get('pass_loads')}) — its timings are "
+              f"(pass_ext_cpu={art.get('pass_ext_cpu')}, "
+              f"pass_loads={art.get('pass_loads')}) — its timings are "
               f"load-inflated upper bounds, not a regression gate. "
               f"Re-run graft.Bench on a quiet box; pass --force to "
               f"compare anyway (exit 3).")

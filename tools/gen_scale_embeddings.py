@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Generate an N-times-scaled embeddings table for local scale benching
+(VERDICT r11 item 6: the sim_* scale legs need a bigger corpus side).
+Deterministic — a pure transformation of the driver's seed-42 sf0.1
+table, no RNG:
+
+  copy 0:    sf0.1 embeddings verbatim (vec_id unchanged)
+  copy k>0:  vec_id + k*2000; dim 0 gets +k*1e-3 added
+
+The dim-0 nudge keeps cross-copy vectors from being bit-identical (an
+all-ties top-k would let a bounded heap short-circuit unrealistically)
+while leaving norms and the overall cosine geometry essentially
+unchanged — this corpus is for TIMING probes, not recall measurement.
+Labels carry over unchanged (copies reuse the label distribution).
+
+Usage: python3 tools/gen_scale_embeddings.py [outdir] [copies]
+       (defaults /tmp/graft_emb10, 10; 2000 rows/copy)
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1/embeddings.parquet"
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+ROWS_PER_COPY = 2000
+
+out = (sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_emb10") + "/embeddings.parquet"
+os.makedirs(os.path.dirname(out), exist_ok=True)
+
+q = f"""
+SELECT vec_id + k * {ROWS_PER_COPY} AS vec_id,
+       CASE WHEN k = 0 THEN embedding
+            ELSE list_prepend(CAST(embedding[1] + k * 0.001 AS FLOAT),
+                              embedding[2:])
+       END AS embedding,
+       label
+FROM read_parquet('{SRC}')
+CROSS JOIN (SELECT CAST(range AS BIGINT) AS k FROM range({COPIES})) t
+"""
+duckdb.sql(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
+n = duckdb.sql(f"SELECT count(*), max(vec_id) FROM read_parquet('{out}')").fetchall()
+print(f"wrote {out}: rows={n[0][0]} max_vec_id={n[0][1]}")
