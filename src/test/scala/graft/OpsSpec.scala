@@ -2836,6 +2836,108 @@ class OpsSpec extends SparkSpec {
     assert(out(7L)._4 === 0L && out(7L)._5 === 1)
   }
 
+  test("prioritySample: matches a BigInt DLT reference; small strata keep all; bad weight throws") {
+    import graft.ops.{Splits, TextAnalysis}
+    // local reference for the engine's exact fixed-point priorities
+    def u(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"psample$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) + 1L
+    }
+    // stratum a: 6 rows, k=2 -> tau = 3rd rank; b: 2 rows <= k -> exact
+    // case, no threshold; heavy: one astronomic weight -> rank 0, must
+    // always be sampled
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 250L),
+      ("a", 4L, 17L), ("a", 5L, 999L), ("a", 6L, 3L),
+      ("b", 7L, 50L), ("b", 8L, 1L),
+      ("heavy", 9L, 1L << 61), ("heavy", 10L, 2L), ("heavy", 11L, 5L))
+    val df = rows.toDF("stratum", "doc_id", "w")
+    val out = Splits.prioritySample(df, "doc_id", col("w"), col("stratum"),
+        k = 2).collect()
+      .map(r => r.getLong(1) -> (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getInt(4), if (r.isNullAt(5)) -1L else r.getLong(5), r.getLong(6)))
+      .toMap
+    // reference: per stratum sort by (u div w, id), take 2, tau = 3rd
+    rows.groupBy(_._1).foreach { case (s, g) =>
+      val ranked = g.map { case (_, id, w) => (u(id) / w, id, w) }.sorted
+      val tau = if (ranked.size > 2) ranked(2)._1 else -1L
+      ranked.take(2).zipWithIndex.foreach { case ((r, id, w), i) =>
+        val expEst =
+          if (tau < 0) w
+          else math.max(w, (1L << 60) / math.max(tau, 1L))
+        assert(out(id) === ((s, w, r, i + 1, tau, expEst)), s"stratum $s id $id")
+      }
+      g.map(_._2).filterNot(ranked.take(2).map(_._2).contains)
+        .foreach(id => assert(!out.contains(id), s"unsampled id $id"))
+    }
+    // the astronomic weight ranks 0 and is always drawn
+    assert(out.contains(9L) && out(9L)._3 === 0L)
+    // non-positive weight fails loudly, never silently mis-ranks
+    val bad = intercept[Exception] {
+      Splits.prioritySample(Seq(("a", 1L, 0L)).toDF("stratum", "doc_id", "w"),
+        "doc_id", col("w"), col("stratum"), k = 1).collect()
+    }
+    assert(bad.getMessage.contains("prioritySample") ||
+      Option(bad.getCause).exists(_.getMessage.contains("prioritySample")))
+  }
+
+  test("preferencePairs: margin screen, widest-margin cap, candidate cap") {
+    import graft.ops.Packing
+    val df = Seq(
+      // prompt 1: scores 90/80/50/10 -> 5 margin-eligible pairs, cap 3
+      (1L, 101L, 90L), (1L, 102L, 80L), (1L, 103L, 50L), (1L, 104L, 10L),
+      // prompt 2: only a near-tie -> margin screen drops everything
+      (2L, 201L, 60L), (2L, 202L, 55L)
+    ).toDF("p", "c", "s")
+    val out = Packing.preferencePairs(df, "p", "c", col("s"),
+        minMarginFp = 15L, maxPairsPerPrompt = 3, maxCandsPerPrompt = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getInt(6))).sortBy(_._5)
+    // ranks by (margin desc, chosen, rejected): 80, 70, then the 40-40
+    // tie ((101,103) vs (103,104)) resolved toward the smaller chosen id
+    assert(out.toSeq === Seq(
+      (1L, 101L, 104L, 80L, 1),
+      (1L, 102L, 104L, 70L, 2),
+      (1L, 101L, 103L, 40L, 3)))
+    // candidate cap: with maxCands = 2 only the top-2 scores pair at all
+    // (prompt 2's near-tie clears the loosened 5-point margin here)
+    val capped = Packing.preferencePairs(df, "p", "c", col("s"),
+        minMarginFp = 5L, maxPairsPerPrompt = 8, maxCandsPerPrompt = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(capped === Set((101L, 102L), (201L, 202L)))
+  }
+
+  test("threadPaths: exact paths and leaf flags; depth bound, orphans, cycles excluded") {
+    import graft.ops.Packing
+    val df = Seq(
+      (10L, -1L), (11L, 10L), (12L, 10L), (13L, 12L), // tree
+      (20L, -1L),                                     // singleton root
+      (30L, 99L),                                     // orphan parent
+      (40L, 41L), (41L, 40L)                          // 2-cycle
+    ).toDF("mid", "parent")
+    val out = Packing.threadPaths(df, "mid",
+        when(col("parent") < 0, lit(null)).otherwise(col("parent")),
+        maxDepth = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getString(3), r.getInt(4))).toMap
+    assert(out === Map(
+      10L -> ((10L, 1, "10", 0)),
+      11L -> ((10L, 2, "10>11", 1)),
+      12L -> ((10L, 2, "10>12", 0)),
+      13L -> ((10L, 3, "10>12>13", 1)),
+      20L -> ((20L, 1, "20", 1))))
+    // the depth bound truncates the output but leaf flags still come
+    // from the FULL parent table: 12 keeps is_leaf = 0 at maxDepth 2
+    val cut = Packing.threadPaths(df, "mid",
+        when(col("parent") < 0, lit(null)).otherwise(col("parent")),
+        maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(cut.keySet === Set(10L, 11L, 12L, 20L))
+    assert(cut(12L) === 0)
+  }
+
   test("bitextVerify: number multisets compare sorted, digit mutations fail, ratio screens") {
     val docs = Seq(
       (1L, "meeting on 2024-03-01 room 42 floor 3"),

@@ -845,6 +845,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("priority sample cuts via the bit-length histogram, never a corpus sort") {
+    // phase 1 partial-aggregates the ≤61-bucket histogram; the strata-
+    // sized cut broadcasts back; phase 2's rank window sees candidates
+    // only — no range partitioning (global sort) anywhere, no cartesian
+    val p = plan("corpus_priority_sample")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), s"cut table must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 3, p)
+    val ex = p.indexOf("Exchange hashpartitioning")
+    assert(p.indexOf("HashAggregate", ex) >= 0,
+      s"bucket histogram must partial-aggregate below its exchange:\n$p")
+  }
+
+  test("preference pairs window under the prompt key; ligature fold is scan-side") {
+    val pp = plan("corpus_preference_pairs")
+    assert(!pp.contains("CartesianProduct"), pp)
+    assert(!pp.contains("Exchange rangepartitioning"), pp)
+    // both the candidate cap and the pair cap window under prompt_id
+    assert("hashpartitioning\\(prompt_id#".r.findAllIn(pp).nonEmpty, pp)
+    // the multi-char fold chain stays one codegen'd projection
+    val ph = plan("text_homoglyph_full")
+    val exchanges = SparkEntry.queries("text_homoglyph_full")(spark, sf)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.isEmpty, s"ligature fold must not shuffle:\n$ph")
+    assert(ph.contains("*("), s"fold chain must stay in whole-stage codegen:\n$ph")
+  }
+
+  test("thread paths: frontier joins over checkpointed rounds, no cartesian") {
+    // the O(depth) loop leaves localCheckpoint'd RDD scans in the final
+    // plan — each round was ONE join of the parent table against the
+    // frontier; the leaf-flag join broadcasts the distinct-parents side
+    val p = plan("corpus_thread_paths")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("Scan ExistingRDD"), s"rounds must be checkpointed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("bitext verify joins stay candidate-sized: no cartesian, capped sieve windows") {
     // the two doc-signal joins hang off the sieve's capped pair table —
     // candidate-sized by the per-key cap (the two Windows ARE the cap,

@@ -308,6 +308,33 @@ class SignalsSpec extends SparkSpec {
     assert(fp.size === 1)
   }
 
+  test("homoglyphNormalizeFull: ligatures fold to multi-char ASCII, both layers counted") {
+    val df = Seq(
+      (1L, "an eﬃcient ﬁne oﬀer preﬆo deal"),   // U+FB03/FB01/FB00/FB06
+      (2L, "рау with cyrillic pay lookalikes"),    // 1:1 layer only
+      (3L, "plain ascii text"),
+      (4L, "ĳsberg ǌegov")                         // digraph codepoints
+    ).toDF("doc_id", "text")
+    val cols = TextAnalysis.homoglyphFullColumns(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val out = df.select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L) === ((0L, 4L, 1, "an efficient fine offer presto deal")))
+    assert(out(2L)._1 === 3L)
+    assert(out(2L)._2 === 0L)
+    assert(out(2L)._3 === 1)
+    assert(out(3L) === ((0L, 0L, 0, "plain ascii text")))
+    assert(out(4L) === ((0L, 2L, 1, "ijsberg njegov")))
+    // the fold makes ligature spoofs collide with the ASCII spelling
+    val fp = Seq((1L, "an eﬃcient oﬀer"), (2L, "an efficient offer"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(
+        TextAnalysis.homoglyphNormalizeFull(col("text"))).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    assert(fp.size === 1)
+  }
+
   test("bitextUrlCandidates: cross-lang same-path pairs; same-lang and cross-path dropped") {
     val df = Seq(
       (1L, "https://en.site.co.uk/guide/one"),

@@ -102,6 +102,18 @@ class UnitsSpec extends AnyFunSuite {
       "d" -> -0.4))// threw in both: first marker
   }
 
+  test("bench warmup merge: smaller warmup wins green rows only") {
+    val results = Seq("a" -> 5.0, "b" -> 2.0, "c" -> -1.5, "d" -> 3.0)
+    val warmup = Map("a" -> 3.5, "b" -> 4.0, "c" -> 1.0, "d" -> -2.0)
+    assert(Bench.mergeWarmup(results, warmup) === Seq(
+      "a" -> 3.5,  // long-JVM degradation: pre-debt warmup is the true min
+      "b" -> 2.0,  // normal case: warmup slower (cold JIT), passes win
+      "c" -> -1.5, // red row: a lucky warmup must not launder the failure
+      "d" -> 3.0)) // warmup flake: must not poison the green passes
+    // no warmup recorded (SPARK_GRAFT_NO_WARMUP): results unchanged
+    assert(Bench.mergeWarmup(results, Map.empty) === results)
+  }
+
   test("bench contamination verdict: external-CPU share, blind to the bench's own load") {
     // jiffy bookkeeping: 32 cores for 100s at HZ=100 -> 320000 total.
     // Bench consumed 200000, other processes 60000 (busy 260000):
