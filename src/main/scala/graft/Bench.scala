@@ -108,6 +108,22 @@ object Bench {
     math.min(128L << 20, math.max(4L << 20, target))
   }
 
+  /** AQE initial shuffle-partition count sized to the input (spec'd in
+    * UnitsSpec): clamp(8 · totalBytes / 64 MB, cores, 4096). Fixed
+    * shuffle.partitions = cores spills at big local SFs — the sf100
+    * winnow probe moved 500M-row print shuffles through 32 partitions
+    * (~15M rows each) and measured decade exponent 1.37; at 800 initial
+    * partitions the same probe ran 23% faster (exp 1.25, residual =
+    * single-box shuffle bandwidth). The 8× headroom covers exploded
+    * intermediates (n-gram/print tables run ~10× the input bytes); AQE
+    * coalesces small shuffles back down to ~cores, so light queries are
+    * unaffected, and at sf0.1 the clamp floors at `cores` — identical
+    * behavior to the fixed setting the committed artifacts used. */
+  def adaptiveInitialPartitions(totalBytes: Long, cores: Int): Int = {
+    val target = 8L * totalBytes / (64L << 20)
+    math.min(4096L, math.max(cores.toLong, target)).toInt
+  }
+
   /** Sum of regular-file sizes under `dir` (recursive) — the scan volume
     * the session will actually read; 0 if the dir is missing. */
   def inputBytes(dir: String): Long = {
@@ -171,6 +187,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", maxSplit)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.get("SPARK_GRAFT_INIT_PARTS").map(_.toInt)
+          .getOrElse(adaptiveInitialPartitions(inputBytes(sfDir), cpus.toInt)))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

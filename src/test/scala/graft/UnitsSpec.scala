@@ -147,6 +147,16 @@ class UnitsSpec extends AnyFunSuite {
     if (b0 >= 0) { assert(t0 >= b0 && s0 >= 0) }
   }
 
+  test("adaptive initial shuffle partitions: cores at local SFs, byte-sized at scale") {
+    // sf0.1 (~66 MB): floors at cores — committed artifacts unchanged
+    assert(Bench.adaptiveInitialPartitions(66L << 20, 32) === 32)
+    // sf100 (~6.4 GB): 8x headroom for exploded intermediates -> ~800
+    assert(Bench.adaptiveInitialPartitions(6400L << 20, 32) === 800)
+    // absurd input clamps at 4096 — AQE coalesces, never splits up
+    assert(Bench.adaptiveInitialPartitions(1L << 50, 32) === 4096)
+    assert(Bench.adaptiveInitialPartitions(0L, 32) === 32)
+  }
+
   test("adaptive scan split: core-wide at local SFs, Spark default at scale") {
     // the round-8 sf100 starvation case: one 646 MB input on 32 cores was
     // 5 tasks under the 128 MB default; the adaptive split makes it ~64

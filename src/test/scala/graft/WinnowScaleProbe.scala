@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe separating [[graft.ops.Dedup.winnowPairs]]' organic cost
+  * from the oracle gate's plant: the gate rewrites 10% of the corpus to
+  * THREE shared texts, so at 5M docs ~500k rows share a handful of
+  * prints and the hot-print cap window serializes — a plant artifact,
+  * not the organic near-dup profile. Usage:
+  * Test/runMain graft.WinnowScaleProbe <sfDir> [cpus] */
+object WinnowScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = args.lift(1).getOrElse("32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes",
+        Bench.adaptiveMaxPartitionBytes(Bench.inputBytes(dir), cpus.toInt))
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, dir)
+    def run(): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.winnowPairs(docs, "doc_id", "text", k = 4, w = 4)
+        .agg(count(lit(1))).collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    run() // warmup
+    val t = math.min(run(), run())
+    println(f"""{"metric":"winnow_organic","sec":$t%.3f,"sf":"$dir"}""")
+    spark.stop()
+  }
+}
