@@ -2430,6 +2430,27 @@ object OracleOpsQueries {
       "doc_id", col("parent"), maxDepth = 3)
   }
 
+  /** Memorization-risk gate: planted dup clusters (every 11th doc is
+    * one of THREE shared texts → ~15-doc clusters; the sf0.01 fixture
+    * has no organic exact dups) × a per-language epoch plan (zh
+    * undersampled at 0.8 epochs, de upsampled at 3.0) — exposure =
+    * cluster_size · epochs_permille, flagged above 10 expected
+    * sightings: planted docs land at 12k–45k permille (flagged),
+    * singletons at ≤ 3k (clean) — both branches live. */
+  def corpusMemorizationRisk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val epochs = Seq(("en", 1200L), ("fr", 2500L), ("de", 3000L),
+      ("es", 1800L), ("zh", 800L)).toDF("stratum", "epochs_permille")
+    val planted = when(col("doc_id") % 11 === 0,
+      concat(lit("memorize me variant "), (col("doc_id") % 3).cast("string")))
+      .otherwise(col("text"))
+    graft.ops.CorpusReport.memorizationExposure(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        planted.as("text")),
+      "doc_id", "text", col("lang"), epochs,
+      maxExposurePermille = 10000L)
+  }
+
   /** Ligature-fold gate: every 6th doc carries U+FB00-family ligature
     * spellings ("eﬃcient ﬁne oﬀer") that the 1:1 translate table
     * cannot fold; the full normalizer must emit the ASCII spelling and
@@ -2450,6 +2471,7 @@ object OracleOpsQueries {
     "corpus_priority_sample" -> (corpusPrioritySample _),
     "corpus_preference_pairs" -> (corpusPreferencePairs _),
     "corpus_thread_paths" -> (corpusThreadPaths _),
+    "corpus_memorization_risk" -> (corpusMemorizationRisk _),
     "text_homoglyph_full" -> (textHomoglyphFull _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_digit_fold" -> (dedupDigitFold _),
@@ -4343,6 +4365,27 @@ object OracleOpsQueries {
        |  rejected_score_fp, margin_fp, CAST(rn2 AS INT) AS pair_rank
        |FROM rr WHERE rn2 <= 4""".stripMargin
 
+  private lazy val corpusMemorizationRiskSql =
+    s"""WITH ep(stratum, epochs_permille) AS (VALUES
+       |  ('en', CAST(1200 AS BIGINT)), ('fr', 2500), ('de', 3000),
+       |  ('es', 1800), ('zh', 800)),
+       |pl AS (
+       |  SELECT doc_id, lang, CASE WHEN doc_id % 11 = 0
+       |    THEN 'memorize me variant ' || CAST(doc_id % 3 AS VARCHAR)
+       |    ELSE text END AS text
+       |  FROM documents),
+       |fp AS (
+       |  SELECT doc_id, lang AS stratum,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM pl),
+       |g AS (SELECT doc_id, stratum,
+       |  CAST(COUNT(*) OVER (PARTITION BY f) AS BIGINT) AS group_size
+       |  FROM fp)
+       |SELECT g.doc_id, g.stratum, g.group_size, ep.epochs_permille,
+       |  g.group_size * ep.epochs_permille AS exposure_permille,
+       |  CAST(g.group_size * ep.epochs_permille > 10000 AS INT) AS flagged
+       |FROM g JOIN ep ON g.stratum = ep.stratum""".stripMargin
+
   private lazy val corpusThreadPathsSql =
     s"""WITH RECURSIVE p AS (
        |  SELECT doc_id, CASE WHEN doc_id % 16 = 0 THEN NULL
@@ -4401,6 +4444,7 @@ object OracleOpsQueries {
     "corpus_priority_sample" -> corpusPrioritySampleSql,
     "corpus_preference_pairs" -> corpusPreferencePairsSql,
     "corpus_thread_paths" -> corpusThreadPathsSql,
+    "corpus_memorization_risk" -> corpusMemorizationRiskSql,
     "text_homoglyph_full" -> textHomoglyphFullSql,
     "corpus_bitext_verify" -> corpusBitextVerifySql,
     "corpus_moore_lewis" -> corpusMooreLewisSql,

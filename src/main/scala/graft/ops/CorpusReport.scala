@@ -394,6 +394,46 @@ object CorpusReport {
       p0Num, p0Den)
   }
 
+  /** Memorization-exposure report (Carlini et al. "Quantifying
+    * Memorization Across Neural Language Models" '22; Kandpal et al.
+    * "Deduplicating Training Data Mitigates Privacy Risks" '22:
+    * verbatim memorization scales with how often the model SEES a
+    * string — duplication × training epochs): per document, its exact
+    * duplicate-cluster size, its stratum's planned epoch count (the
+    * mixture's upsampling plan, a small `(stratum, epochs_permille)`
+    * table — [[graft.ops.Splits]]' epoch mixers produce exactly this
+    * shape), and the expected exposure
+    * `cluster_size · epochs_permille` in exact permille fixed point;
+    * `flagged` marks documents whose content the training run would
+    * show the model more than `maxExposurePermille`/1000 times —
+    * dedup-or-downweight candidates BEFORE training burns them in.
+    *
+    * Shape at scale: one scan projects (id, stratum, fingerprint);
+    * cluster sizes ride ONE fingerprint window shuffle (dedup_exact's
+    * shape — fingerprints are md5 longs-ish strings, never the text);
+    * the epochs table is strata-sized and broadcasts. */
+  def memorizationExposure(df: DataFrame, id: String, text: String,
+                           stratum: Column, epochs: DataFrame,
+                           maxExposurePermille: Long = 10000L): DataFrame = {
+    require(maxExposurePermille > 0,
+      s"maxExposurePermille must be > 0, got $maxExposurePermille")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp"))
+    graft.operators.Scale.balanceToCores(df)
+      .select(col(id), stratum.as("stratum"),
+        TextAnalysis.fingerprint(col(text)).as("__fp"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .join(broadcast(epochs.select(col("stratum"),
+        col("epochs_permille").cast("long").as("epochs_permille"))),
+        Seq("stratum"))
+      .select(col(id), col("stratum"), col("group_size"),
+        col("epochs_permille"),
+        (col("group_size") * col("epochs_permille"))
+          .as("exposure_permille"),
+        (col("group_size") * col("epochs_permille") > maxExposurePermille)
+          .cast("int").as("flagged"))
+  }
+
   /** The Wilson-bound verdict of [[domainQualityGate]] on a pre-built
     * counts table `(domain, n_docs, n_high)` — factored out so audits
     * that already hold per-domain counts (or a spec planting the

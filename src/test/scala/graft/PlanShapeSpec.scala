@@ -875,6 +875,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(ph.contains("*("), s"fold chain must stay in whole-stage codegen:\n$ph")
   }
 
+  test("memorization risk rides one fingerprint shuffle; epochs broadcast") {
+    // dedup_exact's single fp window shuffle + a strata-sized broadcast
+    // join — the corpus text never shuffles, only md5 fingerprints
+    val p = plan("corpus_memorization_risk")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    assert(p.contains("BroadcastExchange"), s"epochs table must broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("thread paths: frontier joins over checkpointed rounds, no cartesian") {
     // the O(depth) loop leaves localCheckpoint'd RDD scans in the final
     // plan — each round was ONE join of the parent table against the

@@ -308,6 +308,29 @@ class SignalsSpec extends SparkSpec {
     assert(fp.size === 1)
   }
 
+  test("memorizationExposure: cluster x epochs exact, clusters global, epochs per stratum") {
+    val docs = Seq(
+      (1L, "en", "dup one"), (2L, "en", "dup one"),
+      (3L, "de", "dup one"),              // same cluster ACROSS strata
+      (4L, "de", "unique text here"),
+      (5L, "zh", "DUP   ONE")             // fingerprint-normalized into the cluster
+    ).toDF("doc_id", "lang", "text")
+    val epochs = Seq(("en", 1200L), ("de", 3000L), ("zh", 800L))
+      .toDF("stratum", "epochs_permille")
+    val out = graft.ops.CorpusReport.memorizationExposure(
+        docs, "doc_id", "text", col("lang"), epochs,
+        maxExposurePermille = 4000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    // the cluster is size 4 (case/whitespace fold catches doc 5, strata
+    // don't partition it) but each doc pays ITS OWN stratum's epochs
+    assert(out(1L) === ((4L, 1200L, 4800L, 1)))
+    assert(out(2L) === ((4L, 1200L, 4800L, 1)))
+    assert(out(3L) === ((4L, 3000L, 12000L, 1)))
+    assert(out(5L) === ((4L, 800L, 3200L, 0))) // undersampled: same dup, safe
+    assert(out(4L) === ((1L, 3000L, 3000L, 0)))
+  }
+
   test("homoglyphNormalizeFull: ligatures fold to multi-char ASCII, both layers counted") {
     val df = Seq(
       (1L, "an eﬃcient ﬁne oﬀer preﬆo deal"),   // U+FB03/FB01/FB00/FB06
