@@ -2414,6 +2414,28 @@ object OracleOpsQueries {
       minMarginFp = 500L, maxPairsPerPrompt = 4, maxCandsPerPrompt = 8)
   }
 
+  /** DPO-render gate: the preference-pair table (same construction as
+    * [[corpusPreferencePairs]]) joined to synthetic prompt texts and
+    * the raw documents as responses, rendered with exact loss-mask
+    * spans on both sides — mask_exact must hold for every pair. */
+  def corpusDpoRender(s: SparkSession, d: String): DataFrame = {
+    val quality = TextAnalysis.qualityColumns(col("text"))
+      .collectFirst { case ("quality", c) => c }.get
+    val pairs = graft.ops.Packing.preferencePairs(
+      Tables.documents(s, d)
+        .select((col("doc_id") % 40).as("prompt_id"), col("doc_id"),
+          floor(quality * 10000).cast("long").as("score_fp")),
+      "prompt_id", "doc_id", col("score_fp"),
+      minMarginFp = 500L, maxPairsPerPrompt = 4, maxCandsPerPrompt = 8)
+    val prompts = Tables.documents(s, d)
+      .select((col("doc_id") % 40).as("prompt_id")).distinct()
+      .select(col("prompt_id"),
+        concat(lit("please summarize topic "),
+          col("prompt_id").cast("string")).as("prompt"))
+    graft.ops.Packing.dpoRender(pairs, prompts,
+      Tables.documents(s, d), "doc_id", "text")
+  }
+
   /** Thread-path gate: 16-message binary trees per doc_id block
     * (pos 0 roots, parent of pos p is pos (p−1)/2 — depth ≤ 5), cut at
     * maxDepth = 3 so the bound itself is exercised: depth-4/5 nodes are
@@ -2472,6 +2494,7 @@ object OracleOpsQueries {
     "corpus_preference_pairs" -> (corpusPreferencePairs _),
     "corpus_thread_paths" -> (corpusThreadPaths _),
     "corpus_memorization_risk" -> (corpusMemorizationRisk _),
+    "corpus_dpo_render" -> (corpusDpoRender _),
     "text_homoglyph_full" -> (textHomoglyphFull _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_digit_fold" -> (dedupDigitFold _),
@@ -4336,8 +4359,12 @@ object OracleOpsQueries {
        |FROM rk LEFT JOIN t ON rk.stratum = t.stratum
        |WHERE rk.rk <= 20""".stripMargin
 
-  private lazy val corpusPreferencePairsSql =
-    s"""WITH $toksCte,
+  /** The preference-pair CTE chain (quality scores → candidate cap →
+    * margin-screened pairs → rank cap), shared by the pair gate and the
+    * DPO-render gate so the two mirrors cannot drift. Exposes `rr`
+    * (… rn2) — select `rn2 <= 4` for the capped pair table. */
+  private lazy val preferencePairCtes =
+    s"""$toksCte,
        |feat AS (
        |  SELECT doc_id,
        |    CAST(len(t) AS BIGINT) AS n_tokens,
@@ -4360,10 +4387,38 @@ object OracleOpsQueries {
        |  WHERE a.score_fp - b.score_fp >= 500),
        |rr AS (SELECT *, ROW_NUMBER() OVER (
        |    PARTITION BY prompt_id ORDER BY margin_fp DESC, chosen_id, rejected_id) AS rn2
-       |  FROM pr)
+       |  FROM pr)""".stripMargin
+
+  private lazy val corpusPreferencePairsSql =
+    s"""WITH $preferencePairCtes
        |SELECT prompt_id, chosen_id, rejected_id, chosen_score_fp,
        |  rejected_score_fp, margin_fp, CAST(rn2 AS INT) AS pair_rank
        |FROM rr WHERE rn2 <= 4""".stripMargin
+
+  private lazy val corpusDpoRenderSql = {
+    // template piece lengths: '<|user|>\n' = 9, '\n<|assistant|>\n' = 15
+    def side(s: String, t: String) =
+      s"""'<|user|>' || chr(10) || prompt || chr(10) || '<|assistant|>' || chr(10) || $t || chr(10) AS ${s}_rendered,
+         |  CAST(9 + length(prompt) + 15 + 1 AS BIGINT) AS ${s}_mask_start,
+         |  CAST(length($t) AS BIGINT) AS ${s}_mask_len,
+         |  CAST(substr('<|user|>' || chr(10) || prompt || chr(10) || '<|assistant|>' || chr(10) || $t || chr(10),
+         |    CAST(9 + length(prompt) + 15 + 1 AS INT), length($t)) = $t AS INT) AS ${s}_mask_exact""".stripMargin
+    s"""WITH $preferencePairCtes,
+       |pp AS (SELECT prompt_id, chosen_id, rejected_id FROM rr WHERE rn2 <= 4),
+       |pt AS (SELECT prompt_id,
+       |  'please summarize topic ' || CAST(prompt_id AS VARCHAR) AS prompt
+       |  FROM (SELECT DISTINCT doc_id % 40 AS prompt_id FROM documents)),
+       |j AS (
+       |  SELECT pp.prompt_id, pp.chosen_id, pp.rejected_id, pt.prompt,
+       |    dc.text AS ctext, dr.text AS rtext
+       |  FROM pp JOIN pt ON pp.prompt_id = pt.prompt_id
+       |  JOIN documents dc ON pp.chosen_id = dc.doc_id
+       |  JOIN documents dr ON pp.rejected_id = dr.doc_id)
+       |SELECT prompt_id, chosen_id, rejected_id,
+       |  ${side("chosen", "ctext")},
+       |  ${side("rejected", "rtext")}
+       |FROM j""".stripMargin
+  }
 
   private lazy val corpusMemorizationRiskSql =
     s"""WITH ep(stratum, epochs_permille) AS (VALUES
@@ -4445,6 +4500,7 @@ object OracleOpsQueries {
     "corpus_preference_pairs" -> corpusPreferencePairsSql,
     "corpus_thread_paths" -> corpusThreadPathsSql,
     "corpus_memorization_risk" -> corpusMemorizationRiskSql,
+    "corpus_dpo_render" -> corpusDpoRenderSql,
     "text_homoglyph_full" -> textHomoglyphFullSql,
     "corpus_bitext_verify" -> corpusBitextVerifySql,
     "corpus_moore_lewis" -> corpusMooreLewisSql,

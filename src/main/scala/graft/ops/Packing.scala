@@ -468,6 +468,50 @@ object Packing {
         col("rendered"))
   }
 
+  /** DPO/RLHF example rendering: a [[preferencePairs]] table joined to
+    * its prompt and response texts and rendered into the engine's chat
+    * template (`<|user|>\nPROMPT\n<|assistant|>\nRESPONSE\n`, the
+    * [[sftRenderChat]] convention) for BOTH sides of each pair, with
+    * EXACT loss-mask spans over the response region — the direct-
+    * preference-optimization input format, where the loss reads only
+    * assistant characters. Span arithmetic is pure column algebra
+    * (mask_start = template prefix + prompt length; mask_len = response
+    * length) and each side carries a `mask_exact` audit column proving
+    * `substr(rendered, start, len) == response` — the same
+    * self-checking discipline as the SFT renderer, so a template edit
+    * that desynchronizes spans fails the gate, not the training run.
+    *
+    * Shape at scale: the prompt table is prompt-count-sized
+    * (broadcastable); the two response joins are pair-table-sized id
+    * equi-joins; rendering is scan-side concat — no shuffle beyond the
+    * joins, nothing corpus². */
+  def dpoRender(pairs: DataFrame, prompts: DataFrame,
+                docs: DataFrame, id: String, text: String): DataFrame = {
+    val sides = Seq("chosen", "rejected")
+    val resp = docs.select(col(id), col(text))
+    val joined = pairs
+      .select(col("prompt_id"), col("chosen_id"), col("rejected_id"))
+      .join(broadcast(prompts.select(col("prompt_id"),
+        col("prompt").cast("string").as("__prompt"))), Seq("prompt_id"))
+      .join(resp.toDF("chosen_id", "__chosen"), Seq("chosen_id"))
+      .join(resp.toDF("rejected_id", "__rejected"), Seq("rejected_id"))
+    val pre = lit("<|user|>\n")
+    val mid = lit("\n<|assistant|>\n")
+    def render(r: Column) = concat(pre, col("__prompt"), mid, r, lit("\n"))
+    def start = (length(pre) + length(col("__prompt")) +
+      length(mid) + 1L).cast("long") // 1-based substr position
+    val cols = sides.flatMap { s =>
+      val r = col(s"__$s")
+      Seq(render(r).as(s"${s}_rendered"),
+        start.as(s"${s}_mask_start"),
+        length(r).cast("long").as(s"${s}_mask_len"),
+        (render(r).substr(start.cast("int"), length(r)) === r)
+          .cast("int").as(s"${s}_mask_exact"))
+    }
+    joined.select(Seq(col("prompt_id"), col("chosen_id"),
+      col("rejected_id")) ++ cols: _*)
+  }
+
   /** Reward-model preference pairs from scored candidates (the
     * InstructGPT / RLHF data-prep step): per prompt, every (chosen,
     * rejected) candidate pair whose fixed-point score margin is at

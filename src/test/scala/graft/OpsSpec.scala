@@ -2909,6 +2909,29 @@ class OpsSpec extends SparkSpec {
     assert(capped === Set((101L, 102L), (201L, 202L)))
   }
 
+  test("dpoRender: exact spans on both sides, template-marker responses can't confuse them") {
+    import graft.ops.Packing
+    val pairs = Seq((7L, 1L, 2L)).toDF("prompt_id", "chosen_id", "rejected_id")
+    val prompts = Seq((7L, "pick a pet")).toDF("prompt_id", "prompt")
+    // the rejected response CONTAINS the template markers — spans are
+    // arithmetic, not search, so the mask must still land exactly
+    val docs = Seq((1L, "cats are great"),
+      (2L, "<|assistant|>\ndogs")).toDF("doc_id", "text")
+    val r = Packing.dpoRender(pairs, prompts, docs, "doc_id", "text")
+      .collect().head
+    val m = r.getValuesMap[Any](r.schema.fieldNames)
+    assert(m("chosen_rendered") ===
+      "<|user|>\npick a pet\n<|assistant|>\ncats are great\n")
+    assert(m("chosen_mask_start") === 35L) // 9 + 10 + 15 + 1
+    assert(m("chosen_mask_len") === 14L)
+    assert(m("chosen_mask_exact") === 1)
+    assert(m("rejected_rendered") ===
+      "<|user|>\npick a pet\n<|assistant|>\n<|assistant|>\ndogs\n")
+    assert(m("rejected_mask_start") === 35L)
+    assert(m("rejected_mask_len") === 18L)
+    assert(m("rejected_mask_exact") === 1)
+  }
+
   test("threadPaths: exact paths and leaf flags; depth bound, orphans, cycles excluded") {
     import graft.ops.Packing
     val df = Seq(

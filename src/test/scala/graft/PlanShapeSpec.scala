@@ -875,6 +875,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(ph.contains("*("), s"fold chain must stay in whole-stage codegen:\n$ph")
   }
 
+  test("dpo render: pair-sized joins, prompts broadcast, no cartesian") {
+    val p = plan("corpus_dpo_render")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastExchange"), s"prompt table must broadcast:\n$p")
+  }
+
   test("memorization risk rides one fingerprint shuffle; epochs broadcast") {
     // dedup_exact's single fp window shuffle + a strata-sized broadcast
     // join — the corpus text never shuffles, only md5 fingerprints
