@@ -357,6 +357,17 @@ object Bench {
       mergeWarmup(aggregatePasses(selected.map(_._1), passes), warmupTimes)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Methodology stamp + raw warmup timings (ADVICE r12): the headline
+    // per-query numbers are min(warmup, passes...) since r12, so artifacts
+    // produced under the old min-of-passes-only method are NOT directly
+    // comparable (the new method can only lower numbers). bench_method=2
+    // names this scheme; tools/bench_diff.py warns on a cross-method
+    // comparison. The warmup map makes every warmup-won row auditable:
+    // a row where queries[q] == warmup[q] < min(passes) took its time
+    // from the pre-degradation warmup run.
+    val warmupJson = warmupTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — a thrown query keeps its negative
     // per-query marker above but must not shrink the headline number
     val total = results.collect { case (_, v) if v > 0 => v }.sum
@@ -378,7 +389,7 @@ object Bench {
     // keeps the headline keys only; per-query timings live in the
     // "per_query" line above it and in SPARK_GRAFT_BENCH_OUT (if set).
     val full =
-      s"""{"metric":"per_query","value":$total,"unit":"sec","failed":$failed,"drive":"hash_agg","load_before":$loadBefore,"load_after":$loadAfter,"load_waits":$loadWaits,"pass_totals":$passTotals,"pass_loads":$passLoadsJson,"pass_ext_cpu":$passExtJson,"contaminated":$contaminated,"max_partition_bytes":$maxSplit,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","value":$total,"unit":"sec","failed":$failed,"drive":"hash_agg","bench_method":2,"load_before":$loadBefore,"load_after":$loadAfter,"load_waits":$loadWaits,"pass_totals":$passTotals,"pass_loads":$passLoadsJson,"pass_ext_cpu":$passExtJson,"contaminated":$contaminated,"max_partition_bytes":$maxSplit,"queries":$qs,"warmup":$warmupJson,"sf":"$sfDir"}"""
     // durable per-query artifact: regression analysis must not depend on
     // the driver's bounded stdout tail-capture surviving (round 4's map
     // was truncated mid-line)

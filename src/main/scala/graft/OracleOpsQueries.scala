@@ -2237,12 +2237,19 @@ object OracleOpsQueries {
     * (`xsite{k}.com/{lang}/p/{j}`) — the shared (domain,
     * language-stripped path) key must pair them ACROSS conventions —
     * and every 17th doc is a `www.` host that previously posed as a
-    * language and must now be excluded from the candidate set. */
+    * language and must now be excluded from the candidate set. Every
+    * 19th doc publishes path-labelled URLs on `abc.co.uk` (ADVICE r12):
+    * the registrable label of a multi-label public suffix is itself
+    * locale-shaped, so the old constant ≥3-label guard read `abc` as the
+    * host language (blinding the pair to its real path locale); the
+    * subdomain-exists guard must leave these keyed by PATH language. */
   def corpusBitextUrls(s: SparkSession, d: String): DataFrame = {
     val k = (col("doc_id") % 13).cast("string")
     val j = (col("doc_id") % 11).cast("string")
     val url = when(col("doc_id") % 17 === 0,
         concat(lit("https://www.xsite"), k, lit(".com/p/"), j))
+      .when(col("doc_id") % 19 === 0,
+        concat(lit("https://abc.co.uk/"), col("lang"), lit("/p/"), j))
       .when(col("doc_id") % 2 === 0,
         concat(lit("https://"), col("lang"), lit(".xsite"), k,
           lit(".com/p/"), j))
@@ -2436,6 +2443,27 @@ object OracleOpsQueries {
       Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Multi-turn DPO gate (VERDICT r12 item 5 — the composed
+    * threadPaths × preferencePairs × chat-render shape): the
+    * corpusThreadPaths 16-node binary trees as conversations, message
+    * text `msg <id>` (deterministic, so the mirror needs no text join),
+    * scores `(id·7919) % 10000`. Even-depth nodes are assistant
+    * candidates; sibling pairs under pos 0 give 1-turn examples, under
+    * pos 3–6 two-turn examples — so the multi-turn span arithmetic and
+    * the per-turn mask_exact audit are both exercised, and every margin
+    * is a distinct nonzero value (7919 ⊥ 10000). */
+  def corpusDpoMultiturn(s: SparkSession, d: String): DataFrame = {
+    val pos = col("doc_id") % 16
+    val parent = when(pos === 0, lit(null).cast("long"))
+      .otherwise(col("doc_id") - pos + expr("(doc_id % 16 - 1) DIV 2"))
+    val msgs = Tables.documents(s, d).select(col("doc_id"),
+      parent.as("parent"),
+      concat(lit("msg "), col("doc_id").cast("string")).as("mtext"),
+      (col("doc_id") * 7919 % 10000).as("score_fp"))
+    graft.ops.Packing.multiTurnDpo(msgs, "doc_id", col("parent"), "mtext",
+      col("score_fp"), maxDepth = 5)
+  }
+
   /** Thread-path gate: 16-message binary trees per doc_id block
     * (pos 0 roots, parent of pos p is pos (p−1)/2 — depth ≤ 5), cut at
     * maxDepth = 3 so the bound itself is exercised: depth-4/5 nodes are
@@ -2452,17 +2480,41 @@ object OracleOpsQueries {
       "doc_id", col("parent"), maxDepth = 3)
   }
 
+  /** Thread-audit gate (VERDICT r12 item 6): the corpusThreadPaths tree
+    * with TWO planted defect classes — in every 5k+2 block pos 1's
+    * parent points at a missing id (its 8-node subtree becomes an
+    * orphan chain), in every 5k+3 block pos 1 and pos 2 point at each
+    * other (a 2-cycle; 15 of the block's 16 nodes become
+    * cycle-attached) — so all four audit reasons are non-zero at
+    * maxDepth = 3 and `rows_in` partitions exactly. */
+  def corpusThreadAudit(s: SparkSession, d: String): DataFrame = {
+    val pos = col("doc_id") % 16
+    val blockStart = col("doc_id") - pos
+    val b5 = expr("(doc_id DIV 16) % 5")
+    val parent = when(pos === 0, lit(null).cast("long"))
+      .when(b5 === 2 && pos === 1, col("doc_id") + 1000000L)
+      .when(b5 === 3 && pos === 1, blockStart + 2)
+      .when(b5 === 3 && pos === 2, blockStart + 1)
+      .otherwise(blockStart + expr("(doc_id % 16 - 1) DIV 2"))
+    graft.ops.Packing.threadPathsAudit(
+      Tables.documents(s, d).select(col("doc_id"), parent.as("parent")),
+      "doc_id", col("parent"), maxDepth = 3)
+  }
+
   /** Memorization-risk gate: planted dup clusters (every 11th doc is
     * one of THREE shared texts → ~15-doc clusters; the sf0.01 fixture
-    * has no organic exact dups) × a per-language epoch plan (zh
-    * undersampled at 0.8 epochs, de upsampled at 3.0) — exposure =
-    * cluster_size · epochs_permille, flagged above 10 expected
-    * sightings: planted docs land at 12k–45k permille (flagged),
-    * singletons at ≤ 3k (clean) — both branches live. */
+    * has no organic exact dups) × a per-language epoch plan (fr/de
+    * upsampled, en/es near 1) — exposure = cluster_size ·
+    * epochs_permille, flagged above 10 expected sightings: planted docs
+    * land at 12k–45k permille (flagged), singletons at ≤ 3k (clean).
+    * `zh` is deliberately ABSENT from the plan (ADVICE r12): its docs
+    * must still appear — stratum_planned = 0, the 1000-permille default
+    * — and its planted dups must still flag; the old inner join dropped
+    * the whole stratum from the risk report. */
   def corpusMemorizationRisk(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val epochs = Seq(("en", 1200L), ("fr", 2500L), ("de", 3000L),
-      ("es", 1800L), ("zh", 800L)).toDF("stratum", "epochs_permille")
+      ("es", 1800L)).toDF("stratum", "epochs_permille")
     val planted = when(col("doc_id") % 11 === 0,
       concat(lit("memorize me variant "), (col("doc_id") % 3).cast("string")))
       .otherwise(col("text"))
@@ -2471,6 +2523,52 @@ object OracleOpsQueries {
         planted.as("text")),
       "doc_id", "text", col("lang"), epochs,
       maxExposurePermille = 10000L)
+  }
+
+  /** NEAR-dup memorization-risk gate (VERDICT r12 item 3 — Kandpal
+    * '22's actual near-duplicate result): every 11th doc becomes one of
+    * THREE shared 18-token passages with a DOC-UNIQUE tail token, so
+    * exact fingerprints see ~46 singletons while shingle Jaccard inside
+    * a variant class is 15/17 ≈ 0.88 — the minhash-LSH → connected
+    * components chain (the dedup_components machinery) clusters them and
+    * the exposure product flags what the exact report misses. Epoch plan
+    * shares the exact gate's shape: zh deliberately unplanned
+    * (stratum_planned = 0, 1000-permille default — its planted dups must
+    * STILL flag). */
+  def corpusMemorizationRiskFuzzy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val epochs = Seq(("en", 1200L), ("fr", 2500L), ("de", 3000L),
+      ("es", 1800L)).toDF("stratum", "epochs_permille")
+    val planted = when(col("doc_id") % 11 === 0,
+      concat(lit("memorize me shared passage the quick brown fox jumps "
+        + "over the lazy dog variant "),
+        (col("doc_id") % 3).cast("string"),
+        lit(" unique token u"), col("doc_id").cast("string")))
+      .otherwise(col("text"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      planted.as("text"))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("id1", "id2")
+    val comps = Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+      pairs)
+    graft.ops.CorpusReport.memorizationExposureNearDup(docs, "doc_id",
+      col("lang"), epochs, comps, maxExposurePermille = 10000L)
+  }
+
+  /** Data-driven TR39 gate (VERDICT r12 item 7): every 7th doc carries
+    * LONG-TAIL confusables the curated table misses — Komi ԁ, roman ⅲ
+    * (multi-char target), fullwidth ｆｒｅｅ, Armenian ո, script ℓ,
+    * izhitsa ѵ, long-s ſ — which only the snapshot-generated fold chain
+    * (TextAnalysis.confusablesSnapshot → confusablesFold) normalizes.
+    * The SQL mirror is generated from the SAME parsed snapshot. */
+  def textHomoglyphTr39(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        lit(" ԁоwnloаd ⅲ ｆｒｅｅ ոote ℓink ѵery ſoft"))
+        .otherwise(lit("")))
+    val cols = TextAnalysis.homoglyphTr39Columns(planted)
+      .map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
 
   /** Ligature-fold gate: every 6th doc carries U+FB00-family ligature
@@ -2493,9 +2591,13 @@ object OracleOpsQueries {
     "corpus_priority_sample" -> (corpusPrioritySample _),
     "corpus_preference_pairs" -> (corpusPreferencePairs _),
     "corpus_thread_paths" -> (corpusThreadPaths _),
+    "corpus_thread_audit" -> (corpusThreadAudit _),
+    "corpus_dpo_multiturn" -> (corpusDpoMultiturn _),
     "corpus_memorization_risk" -> (corpusMemorizationRisk _),
+    "corpus_memorization_risk_fuzzy" -> (corpusMemorizationRiskFuzzy _),
     "corpus_dpo_render" -> (corpusDpoRender _),
     "text_homoglyph_full" -> (textHomoglyphFull _),
+    "text_homoglyph_tr39" -> (textHomoglyphTr39 _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_digit_fold" -> (dedupDigitFold _),
     "dedup_edit_verify" -> (dedupEditVerify _),
@@ -4118,18 +4220,24 @@ object OracleOpsQueries {
        |uv AS (
        |  SELECT doc_id, CASE
        |    WHEN doc_id % 17 = 0 THEN 'https://www.xsite' || k || '.com/p/' || j
+       |    WHEN doc_id % 19 = 0 THEN 'https://abc.co.uk/' || lang || '/p/' || j
        |    WHEN doc_id % 2 = 0 THEN 'https://' || lang || '.xsite' || k || '.com/p/' || j
        |    ELSE 'https://xsite' || k || '.com/' || lang || '/p/' || j END AS url
        |  FROM u0),
        |${registeredDomainSqlCtes("uv", "url")},
        |b0 AS (
-       |  SELECT doc_id, key AS domain, ls, n,
+       |  SELECT doc_id, key AS domain, ls, n, k,
        |    regexp_replace(regexp_replace(trim(url),
        |      '${graft.ops.Domains.canonicalPrefixRegex}', ''), '[?#].*$$', '') AS rawpath
        |  FROM rd),
        |b1 AS (
+       |  -- hostlang only when a true subdomain exists left of the
+       |  -- registrable name: n > k+1 labels (k+1 = registered-domain
+       |  -- depth) — mirrors the engine's labels(host) >
+       |  -- labels(registeredDomain) guard (ADVICE r12: a constant >=3
+       |  -- made bbc-in-bbc.co.uk a "language")
        |  SELECT doc_id, domain, rawpath,
-       |    CASE WHEN n >= 3 THEN ${localeSqlCase("ls[1]")} END AS hostlang,
+       |    CASE WHEN n > k + 1 THEN ${localeSqlCase("ls[1]")} END AS hostlang,
        |    ${localeSqlCase("regexp_extract(rawpath, '^/([^/]+)', 1)")} AS pathlang
        |  FROM b0),
        |b AS (
@@ -4423,7 +4531,7 @@ object OracleOpsQueries {
   private lazy val corpusMemorizationRiskSql =
     s"""WITH ep(stratum, epochs_permille) AS (VALUES
        |  ('en', CAST(1200 AS BIGINT)), ('fr', 2500), ('de', 3000),
-       |  ('es', 1800), ('zh', 800)),
+       |  ('es', 1800)),
        |pl AS (
        |  SELECT doc_id, lang, CASE WHEN doc_id % 11 = 0
        |    THEN 'memorize me variant ' || CAST(doc_id % 3 AS VARCHAR)
@@ -4436,10 +4544,53 @@ object OracleOpsQueries {
        |g AS (SELECT doc_id, stratum,
        |  CAST(COUNT(*) OVER (PARTITION BY f) AS BIGINT) AS group_size
        |  FROM fp)
-       |SELECT g.doc_id, g.stratum, g.group_size, ep.epochs_permille,
-       |  g.group_size * ep.epochs_permille AS exposure_permille,
-       |  CAST(g.group_size * ep.epochs_permille > 10000 AS INT) AS flagged
-       |FROM g JOIN ep ON g.stratum = ep.stratum""".stripMargin
+       |-- LEFT join (ADVICE r12): unplanned strata stay in the report at
+       |-- the 1000-permille default, marked stratum_planned = 0
+       |SELECT g.doc_id, g.stratum, g.group_size,
+       |  coalesce(ep.epochs_permille, 1000) AS epochs_permille,
+       |  CAST(ep.stratum IS NOT NULL AS INT) AS stratum_planned,
+       |  g.group_size * coalesce(ep.epochs_permille, 1000) AS exposure_permille,
+       |  CAST(g.group_size * coalesce(ep.epochs_permille, 1000) > 10000 AS INT) AS flagged
+       |FROM g LEFT JOIN ep ON g.stratum = ep.stratum""".stripMargin
+
+  /** The near-dup variant chains the dedup_components recursive-CTE
+    * labeling (over the SAME minhash CTE stack, pointed at the planted
+    * relation) into the exposure tail — a green row proves the
+    * composition LSH pairs → components → cluster-size × epochs. */
+  private lazy val corpusMemorizationRiskFuzzySql =
+    s"""WITH RECURSIVE ep(stratum, epochs_permille) AS (VALUES
+       |  ('en', CAST(1200 AS BIGINT)), ('fr', 2500), ('de', 3000),
+       |  ('es', 1800)),
+       |pl AS (
+       |  SELECT doc_id, lang, CASE WHEN doc_id % 11 = 0
+       |    THEN 'memorize me shared passage the quick brown fox jumps over the lazy dog variant '
+       |      || CAST(doc_id % 3 AS VARCHAR) || ' unique token u' || CAST(doc_id AS VARCHAR)
+       |    ELSE text END AS text
+       |  FROM documents),
+       |${minhashCtesFrom("pl")},
+       |mh AS (
+       |  SELECT m.id1, m.id2
+       |  FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
+       |  WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM mh
+       |  UNION ALL
+       |  SELECT id2, id1 FROM mh),
+       |reach(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM pl
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       |lab AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+       |g AS (
+       |  SELECT p.doc_id, p.lang AS stratum,
+       |    CAST(COUNT(*) OVER (PARTITION BY l.component) AS BIGINT) AS group_size
+       |  FROM pl p JOIN lab l USING (doc_id))
+       |SELECT g.doc_id, g.stratum, g.group_size,
+       |  coalesce(ep.epochs_permille, 1000) AS epochs_permille,
+       |  CAST(ep.stratum IS NOT NULL AS INT) AS stratum_planned,
+       |  g.group_size * coalesce(ep.epochs_permille, 1000) AS exposure_permille,
+       |  CAST(g.group_size * coalesce(ep.epochs_permille, 1000) > 10000 AS INT) AS flagged
+       |FROM g LEFT JOIN ep ON g.stratum = ep.stratum""".stripMargin
 
   private lazy val corpusThreadPathsSql =
     s"""WITH RECURSIVE p AS (
@@ -4458,6 +4609,131 @@ object OracleOpsQueries {
        |SELECT paths.doc_id, paths.root_id, paths.depth, paths.path,
        |  CAST(ch.parent IS NULL AS INT) AS is_leaf
        |FROM paths LEFT JOIN ch ON paths.doc_id = ch.parent""".stripMargin
+
+  /** Recursive mirrors of BOTH audit walks: root-reach with depth (the
+    * recursion cannot loop — a frontier can never enter a cycle) and
+    * orphan-reach seeded from missing-parent rows; cycle = remainder. */
+  private lazy val corpusThreadAuditSql =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT doc_id, CASE
+       |    WHEN doc_id % 16 = 0 THEN NULL
+       |    WHEN (doc_id // 16) % 5 = 2 AND doc_id % 16 = 1 THEN doc_id + 1000000
+       |    WHEN (doc_id // 16) % 5 = 3 AND doc_id % 16 = 1 THEN (doc_id - doc_id % 16) + 2
+       |    WHEN (doc_id // 16) % 5 = 3 AND doc_id % 16 = 2 THEN (doc_id - doc_id % 16) + 1
+       |    ELSE (doc_id - doc_id % 16) + (doc_id % 16 - 1) // 2 END AS parent
+       |  FROM documents),
+       |r(id, depth) AS (
+       |  SELECT doc_id, 1 FROM p WHERE parent IS NULL
+       |  UNION ALL
+       |  SELECT c.doc_id, r.depth + 1 FROM p c JOIN r ON c.parent = r.id),
+       |o(id) AS (
+       |  SELECT doc_id FROM p WHERE parent IS NOT NULL AND parent >= 0
+       |    AND parent NOT IN (SELECT doc_id FROM p)
+       |  UNION ALL
+       |  SELECT c.doc_id FROM p c JOIN o ON c.parent = o.id),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM p) AS rows_in,
+       |  (SELECT count(*) FROM p WHERE parent IS NULL) AS roots,
+       |  (SELECT count(*) FROM r WHERE depth <= 3) AS reached,
+       |  (SELECT count(*) FROM r WHERE depth > 3) AS depth_cut,
+       |  (SELECT count(*) FROM o) AS orphan_chain)
+       |SELECT 'rows_in' AS reason, CAST(rows_in AS BIGINT) AS n FROM m
+       |UNION ALL SELECT 'roots', roots FROM m
+       |UNION ALL SELECT 'reached', reached FROM m
+       |UNION ALL SELECT 'depth_cut', depth_cut FROM m
+       |UNION ALL SELECT 'orphan_chain', orphan_chain FROM m
+       |UNION ALL SELECT 'cycle',
+       |  rows_in - reached - depth_cut - orphan_chain FROM m
+       |UNION ALL SELECT 'audit_truncated', 0 FROM m""".stripMargin
+
+  /** Mirror of the composed multi-turn DPO chain. The plant's texts are
+    * a pure function of the id (`msg <id>`), so the mirror rebuilds
+    * prefix units straight from the path string — no text join — while
+    * the ENGINE does the generic id→text join; both sides render in a
+    * LONG (pair, side) frame pivoted back at the end so the span
+    * formulas are written once. */
+  private lazy val corpusDpoMultiturnSql = {
+    def pivot(c: String) =
+      s"""MAX(CASE WHEN side = 'chosen' THEN $c END) AS chosen_$c,
+         |  MAX(CASE WHEN side = 'rejected' THEN $c END) AS rejected_$c""".stripMargin
+    s"""WITH RECURSIVE p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 16 = 0 THEN NULL
+       |      ELSE (doc_id - doc_id % 16) + (doc_id % 16 - 1) // 2 END AS parent,
+       |    (doc_id * 7919) % 10000 AS score_fp
+       |  FROM documents),
+       |paths(doc_id, depth, path) AS (
+       |  SELECT doc_id, 1, CAST(doc_id AS VARCHAR) FROM p WHERE parent IS NULL
+       |  UNION ALL
+       |  SELECT c.doc_id, paths.depth + 1,
+       |    paths.path || '>' || CAST(c.doc_id AS VARCHAR)
+       |  FROM p c JOIN paths ON c.parent = paths.doc_id
+       |  WHERE paths.depth < 5),
+       |cand AS (
+       |  SELECT p.doc_id AS cid, p.parent AS prompt_id, p.score_fp
+       |  FROM paths pa JOIN p ON pa.doc_id = p.doc_id
+       |  WHERE pa.depth % 2 = 0),
+       |cap AS (SELECT * FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY prompt_id
+       |    ORDER BY score_fp DESC, cid) AS rn
+       |  FROM cand) WHERE rn <= 64),
+       |prs AS (SELECT * FROM (
+       |  SELECT a.prompt_id, a.cid AS chosen_id, b.cid AS rejected_id,
+       |    a.score_fp - b.score_fp AS margin_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY a.prompt_id
+       |      ORDER BY a.score_fp - b.score_fp DESC, a.cid, b.cid) AS pair_rank
+       |  FROM cap a JOIN cap b ON a.prompt_id = b.prompt_id
+       |  WHERE a.score_fp - b.score_fp >= 1) WHERE pair_rank <= 8),
+       |pu AS (
+       |  SELECT pa.doc_id AS prompt_id,
+       |    list_transform(string_split(pa.path, '>'), x -> 'msg ' || x) AS pref
+       |  FROM paths pa JOIN (SELECT DISTINCT prompt_id FROM prs) q
+       |    ON pa.doc_id = q.prompt_id),
+       |sides AS (
+       |  SELECT prompt_id, chosen_id, rejected_id, margin_fp, 'chosen' AS side,
+       |    list_concat(pref, ['msg ' || CAST(chosen_id AS VARCHAR)]) AS u
+       |  FROM prs JOIN pu USING (prompt_id)
+       |  UNION ALL
+       |  SELECT prompt_id, chosen_id, rejected_id, margin_fp, 'rejected',
+       |    list_concat(pref, ['msg ' || CAST(rejected_id AS VARCHAR)])
+       |  FROM prs JOIN pu USING (prompt_id)),
+       |bs AS (SELECT *, CAST(len(u) // 2 AS BIGINT) AS m FROM sides),
+       |r AS (SELECT *,
+       |  array_to_string(list_transform(generate_series(1, m),
+       |    k -> '<|user|>' || chr(10) || u[CAST(2*k-1 AS INT)] || chr(10) ||
+       |         '<|assistant|>' || chr(10) || u[CAST(2*k AS INT)] || chr(10)), '') AS rendered,
+       |  list_transform(generate_series(1, m), k ->
+       |    (CASE WHEN k = 1 THEN 0 ELSE
+       |      list_reduce(list_transform(generate_series(1, k - 1), j ->
+       |        25 + len(u[CAST(2*j-1 AS INT)]) + len(u[CAST(2*j AS INT)])),
+       |        (x, y) -> x + y) END) + len(u[CAST(2*k-1 AS INT)]) + 25) AS starts,
+       |  list_transform(generate_series(1, m), k ->
+       |    CAST(len(u[CAST(2*k AS INT)]) AS BIGINT)) AS alens
+       |  FROM bs),
+       |f AS (SELECT prompt_id, chosen_id, rejected_id, margin_fp, side, m,
+       |  rendered,
+       |  CAST(len(rendered) AS BIGINT) AS rendered_len,
+       |  CAST(list_reduce(list_transform(generate_series(1, m), k ->
+       |    starts[CAST(k AS INT)] * 1009 + alens[CAST(k AS INT)] * 31),
+       |    (x, y) -> x + y) AS BIGINT) AS span_checksum,
+       |  CAST(array_to_string(list_transform(generate_series(1, m), k ->
+       |      substr(rendered, CAST(starts[CAST(k AS INT)] AS BIGINT),
+       |        CAST(alens[CAST(k AS INT)] AS BIGINT))), '') =
+       |    array_to_string(list_transform(generate_series(1, m),
+       |      k -> u[CAST(2*k AS INT)]), '') AS INT) AS mask_exact,
+       |  CAST(starts[CAST(m AS INT)] AS BIGINT) AS final_mask_start,
+       |  CAST(alens[CAST(m AS INT)] AS BIGINT) AS final_mask_len
+       |  FROM r)
+       |SELECT prompt_id, chosen_id, rejected_id, margin_fp,
+       |  CAST(MAX(m) AS BIGINT) AS n_turns,
+       |  ${pivot("rendered")},
+       |  ${pivot("rendered_len")},
+       |  ${pivot("span_checksum")},
+       |  ${pivot("mask_exact")},
+       |  ${pivot("final_mask_start")},
+       |  ${pivot("final_mask_len")}
+       |FROM f GROUP BY 1, 2, 3, 4""".stripMargin
+  }
 
   private lazy val textHomoglyphFullSql = {
     val from = TextAnalysis.homoglyphFrom
@@ -4484,6 +4760,33 @@ object OracleOpsQueries {
        |FROM pl""".stripMargin
   }
 
+  /** GENERATED from TextAnalysis.confusablesSnapshot — the one parsed
+    * table both engines consult (same partition into a translate layer
+    * and a replace chain, same order), so a snapshot edit can never
+    * desynchronize the gate. */
+  private lazy val textHomoglyphTr39Sql = {
+    val entries = TextAnalysis.confusablesSnapshot
+    val (one, multi) = entries.partition {
+      case (f, t) => f.length == 1 && t.length == 1
+    }
+    val from = one.map(_._1).mkString
+    val to = one.map(_._2).mkString
+    val srcClass = entries.map(_._1).filter(_.length == 1).mkString
+    val chain = multi.foldLeft(s"translate(pt, '$from', '$to')") {
+      case (acc, (f, t)) => s"replace($acc, '$f', '$t')"
+    }
+    s"""WITH pl AS (
+       |  SELECT doc_id, text || (CASE WHEN doc_id % 7 = 0
+       |    THEN ' ԁоwnloаd ⅲ ｆｒｅｅ ոote ℓink ѵery ſoft' ELSE '' END) AS pt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(pt, '[$srcClass]')) AS BIGINT) AS n_confusables,
+       |  CAST(len(regexp_extract_all(pt, '[$srcClass]')) > 0
+       |       AND len(regexp_extract_all(pt, '[a-zA-Z]')) > 0 AS INT) AS is_spoofed,
+       |  $chain AS normalized
+       |FROM pl""".stripMargin
+  }
+
   private lazy val corpusDiversitySketchExactSql =
     s"""WITH tk AS (
        |  SELECT source,
@@ -4499,9 +4802,13 @@ object OracleOpsQueries {
     "corpus_priority_sample" -> corpusPrioritySampleSql,
     "corpus_preference_pairs" -> corpusPreferencePairsSql,
     "corpus_thread_paths" -> corpusThreadPathsSql,
+    "corpus_thread_audit" -> corpusThreadAuditSql,
+    "corpus_dpo_multiturn" -> corpusDpoMultiturnSql,
     "corpus_memorization_risk" -> corpusMemorizationRiskSql,
+    "corpus_memorization_risk_fuzzy" -> corpusMemorizationRiskFuzzySql,
     "corpus_dpo_render" -> corpusDpoRenderSql,
     "text_homoglyph_full" -> textHomoglyphFullSql,
+    "text_homoglyph_tr39" -> textHomoglyphTr39Sql,
     "corpus_bitext_verify" -> corpusBitextVerifySql,
     "corpus_moore_lewis" -> corpusMooreLewisSql,
     "corpus_eval_quota" -> corpusEvalQuotaSql,

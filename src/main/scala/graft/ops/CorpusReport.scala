@@ -411,23 +411,82 @@ object CorpusReport {
     * Shape at scale: one scan projects (id, stratum, fingerprint);
     * cluster sizes ride ONE fingerprint window shuffle (dedup_exact's
     * shape — fingerprints are md5 longs-ish strings, never the text);
-    * the epochs table is strata-sized and broadcasts. */
+    * the epochs table is strata-sized and broadcasts — LEFT-broadcast
+    * (ADVICE r12): a stratum absent from the plan must not silently
+    * vanish from the risk report (heavily-duplicated docs in an
+    * unplanned stratum are exactly what the report exists to flag), so
+    * unmatched strata take `defaultEpochsPermille` (1000 = one epoch —
+    * the conservative "it will be seen at least once per pass" floor)
+    * and are marked `stratum_planned = 0` so the audit is visible. */
   def memorizationExposure(df: DataFrame, id: String, text: String,
                            stratum: Column, epochs: DataFrame,
-                           maxExposurePermille: Long = 10000L): DataFrame = {
+                           maxExposurePermille: Long = 10000L,
+                           defaultEpochsPermille: Long = 1000L): DataFrame = {
     require(maxExposurePermille > 0,
       s"maxExposurePermille must be > 0, got $maxExposurePermille")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__fp"))
-    graft.operators.Scale.balanceToCores(df)
-      .select(col(id), stratum.as("stratum"),
-        TextAnalysis.fingerprint(col(text)).as("__fp"))
-      .withColumn("group_size", count(lit(1)).over(w))
+    exposureTail(
+      graft.operators.Scale.balanceToCores(df)
+        .select(col(id), stratum.as("stratum"),
+          TextAnalysis.fingerprint(col(text)).as("__fp"))
+        .withColumn("group_size", count(lit(1)).over(w)),
+      id, epochs, maxExposurePermille, defaultEpochsPermille)
+  }
+
+  /** NEAR-duplicate-aware memorization exposure (VERDICT r12 item 3):
+    * [[memorizationExposure]] counts exact-duplicate clusters, but its
+    * cited basis (Kandpal et al. '22) measures the effect over NEAR
+    * duplicates — template fills, boilerplate variants, light paraphrase
+    * — which are the bigger real-world exposure driver. This variant
+    * takes a component labeling (id, component) — in practice
+    * [[graft.ops.Dedup.connectedComponents]] over
+    * [[graft.ops.Dedup.minhashLshPairs]], the repo's banded-LSH
+    * near-dup cluster machinery — and charges each document its whole
+    * NEAR-dup cluster size instead of its exact-fingerprint group.
+    *
+    * Shape at scale: the labeling arrives from LSH + components (one
+    * banded pass + an O(diameter) label loop — never all-pairs; sf100
+    * decade 0.61 measured on dedup_components); this function adds one
+    * id-equi-join of the (id, stratum) projection against the labeling,
+    * one component window for cluster sizes, and the strata-sized
+    * left-broadcast epochs join shared with the exact variant. */
+  def memorizationExposureNearDup(df: DataFrame, id: String,
+                                  stratum: Column, epochs: DataFrame,
+                                  components: DataFrame,
+                                  maxExposurePermille: Long = 10000L,
+                                  defaultEpochsPermille: Long = 1000L): DataFrame = {
+    require(maxExposurePermille > 0,
+      s"maxExposurePermille must be > 0, got $maxExposurePermille")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+    exposureTail(
+      df.select(col(id), stratum.as("stratum"))
+        .join(components.select(col(id), col("component")), Seq(id))
+        .withColumn("group_size", count(lit(1)).over(w)),
+      id, epochs, maxExposurePermille, defaultEpochsPermille)
+  }
+
+  /** Shared exposure tail over a frame carrying (id, stratum,
+    * group_size): LEFT-broadcast the strata-sized epochs plan (ADVICE
+    * r12 — an unplanned stratum must stay in the report at
+    * `defaultEpochsPermille`, visibly `stratum_planned = 0`, instead of
+    * silently vanishing), then the exposure product and flag. */
+  private def exposureTail(sized: DataFrame, id: String, epochs: DataFrame,
+                           maxExposurePermille: Long,
+                           defaultEpochsPermille: Long): DataFrame = {
+    require(defaultEpochsPermille > 0,
+      s"defaultEpochsPermille must be > 0, got $defaultEpochsPermille")
+    sized
       .join(broadcast(epochs.select(col("stratum"),
-        col("epochs_permille").cast("long").as("epochs_permille"))),
-        Seq("stratum"))
+        col("epochs_permille").cast("long").as("__ep"))),
+        Seq("stratum"), "left")
+      .withColumn("stratum_planned",
+        col("__ep").isNotNull.cast("int"))
+      .withColumn("epochs_permille",
+        coalesce(col("__ep"), lit(defaultEpochsPermille)))
       .select(col(id), col("stratum"), col("group_size"),
-        col("epochs_permille"),
+        col("epochs_permille"), col("stratum_planned"),
         (col("group_size") * col("epochs_permille"))
           .as("exposure_permille"),
         (col("group_size") * col("epochs_permille") > maxExposurePermille)

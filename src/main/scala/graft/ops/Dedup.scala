@@ -742,17 +742,47 @@ object Dedup {
     * fingerprint, with the shared-print count as match strength. Same
     * scale shape as the LSH band join — one equi-join on the print, a
     * hot-print cap (mass-duplicated boilerplate fills a print's bucket
-    * exactly like an LSH band bucket), partial-aggregated pair rollup. */
+    * exactly like an LSH band bucket), partial-aggregated pair rollup.
+    *
+    * The whole pipeline is SORT-FREE by design (r13, from the r12 sf100
+    * probe): the hot-print cap is a hash-aggregated per-print count
+    * joined back on the print partitioning the frame already has —
+    * never a `Window.partitionBy(print)`, whose WindowExec must SORT
+    * the entire corpus-sized print table per partition (an O(n log n)
+    * external sort at sf100 was the measured superlinear term; the
+    * (doc, print) rows are already doc-distinct scan-side via
+    * [[winnowPrints]]' array_distinct, so row REDUCTION before the
+    * shuffle was already maximal — the sort was the remaining
+    * super-linear stage). Every join is SHUFFLE_HASH-pinned to that one
+    * partitioning: a sort-merge join would re-introduce the sort, a
+    * broadcast would materialize (and recompute) the sketch pipeline
+    * per executor. One exchange in, one partial-aggregated pair rollup
+    * out. */
   def winnowPairs(df: DataFrame, id: String, text: String,
                   k: Int = 4, w: Int = 4,
                   maxPrintDocs: Option[Int] = Some(1024)): DataFrame = {
+    // The explicit not-null filter and the count over the ID column (not
+    // count(1)) keep ALL consumers of this frame — the cap count and both
+    // self-join sides — byte-identical below their exchange: otherwise
+    // column pruning drops the id from the count branch and the join
+    // sides gain an IsNotNull pushdown the count branch lacks, the
+    // subplans stop canonicalizing equal, AQE stage reuse cannot collapse
+    // them, and the tokenize+hash sketch pipeline runs 2–4× (measured on
+    // the r13 reshape; the spec locks the canonical equality). At runtime
+    // ONE shuffle materializes; the other consumers re-read its output.
     val prints0 = winnowPrints(df, id, text, k, w)
+      .filter(col(id).isNotNull && col("print").isNotNull)
       .repartition(col("print"))
     val prints = maxPrintDocs match {
       case Some(cap) =>
-        val win = Window.partitionBy(col("print"))
-        prints0.withColumn("__pc", count(lit(1)).over(win))
-          .filter(col("__pc") <= cap).select(col(id), col("print"))
+        // per-print doc count rides the existing print partitioning
+        // (HashAggregate, no new exchange, no sort); the survivors-only
+        // print list hash-joins back on the same partitioning
+        val ok = prints0.groupBy(col("print"))
+          .agg(count(col(id)).as("__pc"))
+          .filter(col("__pc") <= cap).select(col("print"))
+        prints0.join(ok.hint("SHUFFLE_HASH"), Seq("print"))
+          .select(col(id), col("print"))
       case None => prints0
     }
     // SHUFFLE_HASH pins the self-join to the print partitioning both

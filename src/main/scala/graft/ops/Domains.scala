@@ -536,9 +536,16 @@ object Domains {
     val h = host(url)
     val pathQ = regexp_replace(trim(url), canonicalPrefixRegex, "")
     val rawPath = regexp_replace(pathQ, "[?#].*$", "")
-    // ≥3 host labels: `en.site.com`, never a 2-label site whose NAME is
-    // locale-shaped (`my.com`); the registered domain still keys the pair
-    val hostLang = when(size(split(h, "\\.")) >= 3,
+    // a host label is a language candidate only when an actual SUBDOMAIN
+    // exists left of the registrable name — more host labels than the
+    // registered domain has. A constant >=3 check breaks both ways on
+    // multi-label public suffixes (ADVICE r12): `bbc.co.uk` has 3 labels
+    // but `bbc` IS the registrable label (treating it as a language both
+    // mislabels the doc and, because hostLang wins over pathLang, blinds
+    // the pair to its real path locale), while `my.com` stays excluded
+    // exactly as before
+    val hostLang = when(
+      size(split(h, "\\.")) > size(split(registeredDomain(url), "\\.")),
       localeOrNull(element_at(split(h, "\\."), 1)))
     val pathLang = localeOrNull(regexp_extract(rawPath, "^/([^/]+)", 1))
     val lang = coalesce(hostLang, pathLang)

@@ -512,6 +512,32 @@ object Packing {
       col("rejected_id")) ++ cols: _*)
   }
 
+  /** Pure per-prompt reference of [[preferencePairs]]' semantics over one
+    * prompt's candidate list — the SINGLE implementation the streaming
+    * face ([[graft.streaming.Streams.preferencePairsStream]]) folds its
+    * state through, so batch and incremental results cannot diverge:
+    * cap candidates to the top `maxCandsPerPrompt` by (score desc, id),
+    * form every ordered pair with margin ≥ `minMarginFp`, rank by
+    * (margin desc, chosen, rejected), keep `maxPairsPerPrompt`. Output
+    * tuples: (chosen_id, rejected_id, chosen_score, rejected_score,
+    * margin, pair_rank). */
+  def preferencePairsLocal(cands: Seq[(Long, Long)], minMarginFp: Long = 1L,
+                           maxPairsPerPrompt: Int = 8,
+                           maxCandsPerPrompt: Int = 64)
+      : Seq[(Long, Long, Long, Long, Long, Int)] = {
+    val capped = cands.sortBy { case (id, s) => (-s, id) }
+      .take(maxCandsPerPrompt)
+    val pairs = for {
+      (cid, cs) <- capped
+      (rid, rs) <- capped
+      if cs - rs >= minMarginFp
+    } yield (cid, rid, cs, rs, cs - rs)
+    pairs.sortBy { case (c, r, _, _, m) => (-m, c, r) }
+      .take(maxPairsPerPrompt)
+      .zipWithIndex
+      .map { case ((c, r, cs, rs, m), i) => (c, r, cs, rs, m, i + 1) }
+  }
+
   /** Reward-model preference pairs from scored candidates (the
     * InstructGPT / RLHF data-prep step): per prompt, every (chosen,
     * rejected) candidate pair whose fixed-point score margin is at
@@ -605,5 +631,199 @@ object Packing {
     acc.join(parents.withColumn("__hasChild", lit(1)), Seq("node"), "left")
       .select(col("node").as(id), col("root_id"), col("depth"), col("path"),
         col("__hasChild").isNull.cast("int").as("is_leaf"))
+  }
+
+  /** Reachability audit for [[threadPaths]] (VERDICT r12 item 6):
+    * threadPaths drops orphans, cycle members, and nodes deeper than
+    * `maxDepth` SILENTLY by construction — invisible to a pipeline
+    * operator at 100 TB. This companion makes the truncation observable:
+    * one row per reason with its node count, partitioning the input
+    * exactly (`rows_in = reached + depth_cut + orphan_chain + cycle`
+    * whenever `audit_truncated = 0`):
+    *
+    *   - `rows_in` / `roots`: input size and root count.
+    *   - `reached`: nodes threadPaths emits (root-reachable, depth ≤
+    *     maxDepth; includes the roots).
+    *   - `depth_cut`: root-reachable but deeper than maxDepth — raise
+    *     maxDepth to recover them.
+    *   - `orphan_chain`: nodes whose ancestor chain ends at a parent id
+    *     absent from the table (the orphan itself and everything under
+    *     it) — an ingest gap.
+    *   - `cycle`: nodes whose ancestor chain never terminates (cycle
+    *     members and everything hanging off them) — corrupt pointers.
+    *   - `audit_truncated`: 1 iff a walk was still live at `auditRounds`
+    *     (then `cycle` is an upper bound; raise auditRounds).
+    *
+    * A node's parent pointer is unique, so each frontier walk visits a
+    * node at most once and needs no dedup; cycle membership needs no
+    * walk at all — cycles are exactly what NEITHER the root walk NOR the
+    * orphan walk reaches (a frontier can never enter a cycle: every
+    * cycle member's parent is inside the cycle). Per-round driver
+    * aggregates are O(1)-row convergence probes (the
+    * [[graft.ops.Dedup.connectedComponents]] discipline); the report
+    * itself is seven numbers. */
+  def threadPathsAudit(msgs: DataFrame, id: String, parent: Column,
+                       maxDepth: Int = 16,
+                       auditRounds: Int = 1024): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    require(auditRounds >= maxDepth,
+      s"auditRounds ($auditRounds) must be >= maxDepth ($maxDepth)")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = msgs.sparkSession
+    val base = graft.operators.Scale.balanceToCores(msgs)
+      .select(col(id).cast("long").as("__id"), parent.cast("long").as("__p"))
+      .localCheckpoint(true)
+    val rowsIn = base.count()
+    // (nodes within `bound` hops of seed, nodes beyond, walk truncated?)
+    def walk(seed: DataFrame, bound: Int): (Long, Long, Boolean) = {
+      var frontier = seed.localCheckpoint(true)
+      var within = frontier.count()
+      var beyond = 0L
+      var d = 1
+      var live = within > 0
+      while (live && d < auditRounds) {
+        val next = base.join(frontier, base("__p") === frontier("node"))
+          .select(col("__id").as("node")).localCheckpoint(true)
+        Bridge.backingRdds(frontier).foreach(_.unpersist(blocking = false))
+        frontier = next
+        d += 1
+        val c = frontier.count()
+        if (d <= bound) within += c else beyond += c
+        live = c > 0
+      }
+      Bridge.backingRdds(frontier).foreach(_.unpersist(blocking = false))
+      (within, beyond, live)
+    }
+    val roots = base.filter(col("__p").isNull || col("__p") < 0)
+      .select(col("__id").as("node"))
+    val nRoots = roots.count()
+    val (reached, depthCut, trunc1) = walk(roots, maxDepth)
+    // direct orphans: a non-root parent pointer with no matching row
+    val orphans = base.filter(col("__p").isNotNull && col("__p") >= 0)
+      .join(base.select(col("__id").as("__p")), Seq("__p"), "left_anti")
+      .select(col("__id").as("node"))
+    val (orphanChain, _, trunc2) = walk(orphans, auditRounds)
+    Bridge.backingRdds(base).foreach(_.unpersist(blocking = false))
+    val truncated = trunc1 || trunc2
+    val cycle = rowsIn - reached - depthCut - orphanChain
+    import spark.implicits._
+    Seq(
+      ("rows_in", rowsIn), ("roots", nRoots), ("reached", reached),
+      ("depth_cut", depthCut), ("orphan_chain", orphanChain),
+      ("cycle", cycle), ("audit_truncated", if (truncated) 1L else 0L)
+    ).toDF("reason", "n")
+  }
+
+  /** Multi-turn DPO pairs — the OpenAssistant ranking shape (VERDICT
+    * r12 item 5), composing the repo's three conversation ops: sibling
+    * ASSISTANT nodes under the same parent share the identical
+    * root-to-parent prompt prefix, so ranking them by score
+    * ([[preferencePairs]] over prompt_id = parent) and rendering each
+    * pair's full conversation ([[threadPaths]] prefix + the side's
+    * final turn, in the [[sftRenderChat]] chat template with its exact
+    * span arithmetic) yields multi-turn preference examples with
+    * per-turn loss masks on EVERY assistant turn.
+    *
+    * Role convention: depth parity — roots (depth 1) are user turns,
+    * even depths assistant; candidates are the even-depth nodes, so a
+    * candidate's prefix is a proper (user, assistant)* · user chain and
+    * prefix + final response is a well-formed chat. Each side carries
+    * the renderer's whole-conversation audit (`mask_exact`: every
+    * emitted span substring-extracts back to its assistant text
+    * byte-for-byte; `span_checksum` pins span VALUES cross-engine) plus
+    * the final turn's (start, len) — the span DPO loss actually reads.
+    *
+    * Shape at scale: the pair table is [[preferencePairs]]-capped
+    * (hot-prompt valve first, maxCands² bound); the prefix render
+    * happens ONCE PER PROMPT, not per pair (distinct prompt ids →
+    * path explode → text join → re-assemble, all prompt-count-sized);
+    * the two response joins and the prefix join are pair-sized id
+    * equi-joins; span math is scan-side column algebra. No cartesian,
+    * nothing corpus². */
+  def multiTurnDpo(msgs: DataFrame, id: String, parent: Column,
+                   text: String, scoreFp: Column, maxDepth: Int = 16,
+                   minMarginFp: Long = 1L, maxPairsPerPrompt: Int = 8,
+                   maxCandsPerPrompt: Int = 64): DataFrame = {
+    val paths = threadPaths(msgs, id, parent, maxDepth)
+    val cands = paths.filter(col("depth") % 2 === 0)
+      .select(col(id).as("__cid"))
+      .join(msgs.select(col(id).cast("long").as("__cid"),
+        parent.cast("long").as("__prompt"), scoreFp.as("__score")), Seq("__cid"))
+    val pairs = preferencePairs(cands, "__prompt", "__cid", col("__score"),
+      minMarginFp, maxPairsPerPrompt, maxCandsPerPrompt)
+    // prefix units rendered once per PROMPT: path ids → texts → ordered array
+    val prefixUnits = pairs.select(col("prompt_id")).distinct()
+      .join(paths.select(col(id).cast("long").as("prompt_id"), col("path")),
+        Seq("prompt_id"))
+      .select(col("prompt_id"),
+        posexplode(split(col("path"), ">")).as(Seq("__pos", "__node")))
+      .select(col("prompt_id"), col("__pos"),
+        col("__node").cast("long").as("__node"))
+      .join(msgs.select(col(id).cast("long").as("__node"),
+        col(text).cast("string").as("__t")), Seq("__node"))
+      .groupBy(col("prompt_id"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__t")))),
+        s => s.getField("__t")).as("__prefix"))
+    val resp = msgs.select(col(id).cast("long").as("__rid"),
+      col(text).cast("string").as("__rt"))
+    val joined = pairs
+      .join(prefixUnits, Seq("prompt_id"))
+      .join(resp.toDF("chosen_id", "__ct"), Seq("chosen_id"))
+      .join(resp.toDF("rejected_id", "__rjt"), Seq("rejected_id"))
+    val sideCols = Seq(("chosen", "__ct"), ("rejected", "__rjt")).flatMap {
+      case (side, tcol) =>
+        val r = chatRender(concat(col("__prefix"), array(col(tcol))))
+        Seq(r("rendered").as(s"${side}_rendered"),
+          r("rendered_len").as(s"${side}_rendered_len"),
+          r("span_checksum").as(s"${side}_span_checksum"),
+          r("mask_exact").as(s"${side}_mask_exact"),
+          r("final_start").as(s"${side}_final_mask_start"),
+          r("final_len").as(s"${side}_final_mask_len"))
+    }
+    joined.select(Seq(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+      col("margin_fp"),
+      expr("CAST((size(__prefix) + 1) DIV 2 AS BIGINT)").as("n_turns"))
+      ++ sideCols: _*)
+  }
+
+  /** [[sftRenderChat]]'s span machinery over an explicit unit array —
+    * units alternate user, assistant (even length): the per-turn block
+    * is `<|user|>\nU\n<|assistant|>\nA\n`, assistant k's span starts at
+    * prefix-sum + |u_k| + 25 (1-based). Returns the named render
+    * columns as pure column algebra (Catalyst CSEs the shared
+    * subtrees); `final_start`/`final_len` are the LAST assistant span —
+    * the one a DPO loss reads. */
+  private[ops] def chatRender(units: Column): Map[String, Column] = {
+    def u(k: Column) = element_at(units, (k * 2 - 1).cast("int"))
+    def a(k: Column) = element_at(units, (k * 2).cast("int"))
+    val m = (size(units) / 2).cast("long")
+    val ks = when(m >= 1L, sequence(lit(1L), m))
+      .otherwise(array().cast("array<bigint>"))
+    val bl = transform(ks,
+      k => lit(25L) + length(u(k)).cast("long") + length(a(k)).cast("long"))
+    val cum = graft.functions.F.prefix_sums(bl)
+    val rendered = concat_ws("", transform(ks, k =>
+      concat(lit("<|user|>\n"), u(k), lit("\n<|assistant|>\n"), a(k),
+        lit("\n"))))
+    val starts = transform(ks, (k, i) =>
+      element_at(cum, i + 1) + length(u(k)).cast("long") + lit(25L))
+    val alens = transform(ks, k => length(a(k)).cast("long"))
+    val extracted = concat_ws("", transform(ks, (_, i) =>
+      rendered.substr(element_at(starts, i + 1), element_at(alens, i + 1))))
+    val expected = concat_ws("", transform(ks, k => a(k)))
+    Map(
+      "n_turns" -> m,
+      "rendered" -> rendered,
+      "rendered_len" -> length(rendered).cast("long"),
+      "mask_chars" -> aggregate(alens, lit(0L), (acc, x) => acc + x),
+      "span_checksum" -> aggregate(transform(ks, (_, i) =>
+          element_at(starts, i + 1) * lit(1009L) +
+            element_at(alens, i + 1) * lit(31L)),
+        lit(0L), (acc, x) => acc + x),
+      "mask_exact" -> (extracted === expected).cast("int"),
+      "final_start" -> when(m >= 1L, element_at(starts, m.cast("int")))
+        .otherwise(lit(0L)),
+      "final_len" -> when(m >= 1L, element_at(alens, m.cast("int")))
+        .otherwise(lit(0L)))
   }
 }

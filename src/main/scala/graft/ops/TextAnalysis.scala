@@ -2162,6 +2162,85 @@ object TextAnalysis {
       "normalized" -> homoglyphNormalizeFull(text))
   }
 
+  /** Parse Unicode TR39 `confusables.txt` text (VERDICT r12 item 7 —
+    * the [[graft.ops.Domains.parsePsl]] precedent applied to the
+    * confusables table): each data line is
+    * `srcHex+ ; tgtHex+ ; type # comment`, hex fields space-separated
+    * codepoint sequences; `#` comments and blank lines are skipped.
+    * Returns (source, target) STRING pairs in file order — the full
+    * published file from unicode.org parses through this unchanged; the
+    * committed snapshot (`graft/confusables_snapshot.txt`, regenerated
+    * by tools/gen_confusables_snapshot.py) is its ASCII-target subset
+    * in the same format. */
+  def parseConfusables(text: String): Seq[(String, String)] =
+    text.linesIterator
+      .map(l => l.indexOf('#') match {
+        case -1 => l
+        case i  => l.substring(0, i)
+      })
+      .map(_.trim).filter(_.nonEmpty)
+      .flatMap { l =>
+        val f = l.split(";").map(_.trim)
+        if (f.length < 2 || f(0).isEmpty || f(1).isEmpty) None
+        else {
+          def seq(s: String) = s.split("\\s+")
+            .map(h => new String(Character.toChars(Integer.parseInt(h, 16))))
+            .mkString
+          Some(seq(f(0)) -> seq(f(1)))
+        }
+      }.toSeq
+
+  /** The committed TR39-format snapshot, parsed once: ~180
+    * single-codepoint sources with ASCII targets (Cyrillic/Greek/
+    * Armenian lookalikes, roman-numeral and letterlike forms,
+    * ligatures/digraphs, fullwidth forms) — a strict superset of the
+    * curated [[homoglyphFrom]]/[[homoglyphLigatures]] tables. */
+  lazy val confusablesSnapshot: Seq[(String, String)] = {
+    val in = getClass.getClassLoader
+      .getResourceAsStream("graft/confusables_snapshot.txt")
+    require(in != null, "graft/confusables_snapshot.txt missing from classpath")
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val entries = parseConfusables(text)
+    require(entries.nonEmpty, "confusables snapshot parsed to zero entries")
+    entries
+  }
+
+  /** Fold chain GENERATED from a parsed confusables table: all 1-char →
+    * 1-char entries compile into ONE `translate` pass, the multi-char
+    * targets into a bounded `replace` chain — the same two-layer shape
+    * as the curated fold, but data-driven, so loading the full
+    * unicode.org file changes the data, not the code. Sources are
+    * distinct codepoints with ASCII-only targets (targets are never
+    * sources), so chain order cannot change the result. */
+  def confusablesFold(text: Column,
+                      entries: Seq[(String, String)]): Column = {
+    val (one, multi) = entries.partition {
+      case (f, t) => f.length == 1 && t.length == 1
+    }
+    val base = if (one.isEmpty) text
+      else translate(text, one.map(_._1).mkString, one.map(_._2).mkString)
+    multi.foldLeft(base) {
+      case (acc, (f, t)) => replace(acc, lit(f), lit(t))
+    }
+  }
+
+  /** Homoglyph signals over the DATA-DRIVEN snapshot table: confusable
+    * count (single regex class over the 1-char sources + alternation
+    * over the multi-char ones), spoof flag, folded text. Scan-side,
+    * shuffle-free — the ~180-entry chain is still one codegen'd
+    * projection. */
+  def homoglyphTr39Columns(text: Column): Seq[(String, Column)] = {
+    val entries = confusablesSnapshot
+    val srcClass = entries.map(_._1).filter(_.length == 1).mkString
+    val n = regexp_count(text, lit(s"[$srcClass]")).cast("long")
+    Seq(
+      "n_confusables" -> n,
+      "is_spoofed" ->
+        (n > 0L && regexp_count(text, lit("[a-zA-Z]")) > 0).cast("int"),
+      "normalized" -> confusablesFold(text, entries))
+  }
+
   // ----------------------------------------------------- template lines
 
   /** Domain-scoped template-line detection: a first/last sentence unit

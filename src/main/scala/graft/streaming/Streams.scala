@@ -409,6 +409,61 @@ object Streams {
       }
   }
 
+  /** One scored candidate for a prompt, arriving on a stream (the live
+    * generation loop's output). */
+  case class CandEvent(prompt_id: Long, cand_id: Long, score_fp: Long)
+  /** Bounded per-prompt state: the top-`maxCands` candidates seen so far
+    * by (score desc, id) — top-k is mergeable, so incremental truncation
+    * is EXACT against the batch cap, not an approximation. */
+  case class CandState(cands: Seq[(Long, Long)])
+  case class PrefPairOut(prompt_id: Long, chosen_id: Long, rejected_id: Long,
+                         chosen_score_fp: Long, rejected_score_fp: Long,
+                         margin_fp: Long, pair_rank: Int)
+
+  /** Streaming face of [[graft.ops.Packing.preferencePairs]] (VERDICT
+    * r12 item 8): candidates for a prompt arrive incrementally; when the
+    * prompt goes idle for `idleFlush` (its generation round is over) the
+    * prompt's FINAL pair set is emitted once — the sessionize
+    * processing-time-flush discipline. The pair semantics are
+    * [[graft.ops.Packing.preferencePairsLocal]], the same pure function
+    * the batch op's oracle checks, applied to state that is itself exact
+    * (the cap keeps the top-k by (score desc, id), and top-k merges
+    * losslessly across micro-batches) — so stream ≡ batch whenever every
+    * candidate arrives before the flush. Per-prompt state is
+    * maxCands-bounded; pairs are computed once per prompt at flush, not
+    * per batch. */
+  def preferencePairsStream(spark: SparkSession, cands: Dataset[CandEvent],
+                            minMarginFp: Long = 1L,
+                            maxPairsPerPrompt: Int = 8,
+                            maxCandsPerPrompt: Int = 64,
+                            idleFlush: String = "30 seconds")
+      : Dataset[PrefPairOut] = {
+    import spark.implicits._
+    cands.groupByKey(_.prompt_id)
+      .flatMapGroupsWithState[CandState, PrefPairOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (promptId: Long, rows: Iterator[CandEvent], state: GroupState[CandState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toSeq.flatMap { st =>
+              graft.ops.Packing.preferencePairsLocal(st.cands,
+                minMarginFp, maxPairsPerPrompt, maxCandsPerPrompt)
+            }.map { case (c, r, cs, rs, m, rank) =>
+              PrefPairOut(promptId, c, r, cs, rs, m, rank)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val merged = (state.getOption.map(_.cands).getOrElse(Seq.empty) ++
+              rows.map(e => (e.cand_id, e.score_fp)))
+              .sortBy { case (id, s) => (-s, id) }
+              .take(maxCandsPerPrompt)
+            state.update(CandState(merged))
+            state.setTimeoutDuration(idleFlush)
+            Iterator.empty
+          }
+      }
+  }
+
   def sessionize(spark: SparkSession, events: Dataset[SessionEvent],
                  gapNs: Long, idleFlush: String = "30 seconds"): Dataset[SessionOut] = {
     import spark.implicits._

@@ -2961,6 +2961,83 @@ class OpsSpec extends SparkSpec {
     assert(cut(12L) === 0)
   }
 
+  test("threadPathsAudit: reasons partition the input exactly (VERDICT r12 item 6)") {
+    import graft.ops.Packing
+    // the same defect classes threadPaths drops silently, all planted:
+    // a clean tree with a node past maxDepth, an orphan with a child,
+    // a 2-cycle with a descendant chain of 2
+    val df = Seq(
+      (10L, -1L), (11L, 10L), (12L, 11L), (13L, 12L), // chain: 13 is depth 4
+      (20L, -1L),                                     // singleton root
+      (30L, 99L), (31L, 30L),                         // orphan + child
+      (40L, 41L), (41L, 40L), (42L, 41L), (43L, 42L)  // 2-cycle + 2 hangers
+    ).toDF("mid", "parent")
+    val parent = when(col("parent") < 0, lit(null)).otherwise(col("parent"))
+    val audit = Packing.threadPathsAudit(df, "mid", parent, maxDepth = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit === Map(
+      "rows_in" -> 11L, "roots" -> 2L,
+      "reached" -> 4L,        // 10,11,12,20 within depth 3
+      "depth_cut" -> 1L,      // 13 at depth 4
+      "orphan_chain" -> 2L,   // 30 and its child 31
+      "cycle" -> 4L,          // 40,41 members + 42,43 hanging off them
+      "audit_truncated" -> 0L))
+    // partition identity: every input row is accounted for exactly once
+    assert(audit("reached") + audit("depth_cut") + audit("orphan_chain") +
+      audit("cycle") === audit("rows_in"))
+    // and the reached count is exactly what threadPaths emits
+    val emitted = Packing.threadPaths(df, "mid", parent, maxDepth = 3).count()
+    assert(emitted === audit("reached"))
+  }
+
+  test("multiTurnDpo: sibling assistants pair, prefix renders once, spans exact per turn") {
+    import graft.ops.Packing
+    // one root conversation: u(1) -> a(2), a(3) -> u(4 under a2) -> a(5), a(6)
+    // depth parity: 1 user, 2/3 assistant siblings under the root prompt,
+    // 4 user under 2, 5/6 assistant siblings under 4 (a TWO-turn prompt)
+    val msgs = Seq(
+      (1L, -1L, "hi", 0L),
+      (2L, 1L, "hello", 90L), (3L, 1L, "yo", 40L),
+      (4L, 2L, "help me", 0L),
+      (5L, 4L, "sure thing", 70L), (6L, 4L, "no", 60L)
+    ).toDF("mid", "parent", "mtext", "score_fp")
+    val out = Packing.multiTurnDpo(msgs, "mid",
+        when(col("parent") < 0, lit(null)).otherwise(col("parent")),
+        "mtext", col("score_fp"), maxDepth = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r)
+      .toMap
+    assert(out.keySet === Set((1L, 2L, 3L), (4L, 5L, 6L)))
+    val p1 = out((1L, 2L, 3L))
+    assert(p1.getAs[Long]("margin_fp") === 50L)
+    assert(p1.getAs[Long]("n_turns") === 1L)
+    assert(p1.getAs[String]("chosen_rendered") ===
+      "<|user|>\nhi\n<|assistant|>\nhello\n")
+    assert(p1.getAs[String]("rejected_rendered") ===
+      "<|user|>\nhi\n<|assistant|>\nyo\n")
+    // final span: 1-based start after "<|user|>\nhi\n<|assistant|>\n"
+    // = len(u) + 25 + 1 + cum(0) - 1 + 1 = 2 + 25 = 27
+    assert(p1.getAs[Long]("chosen_final_mask_start") === 27L)
+    assert(p1.getAs[Long]("chosen_final_mask_len") === 5L)
+    val p2 = out((4L, 5L, 6L))
+    assert(p2.getAs[Long]("n_turns") === 2L)
+    // the prefix is the CHOSEN branch root->4 (u=hi, a=hello, u=help me)
+    assert(p2.getAs[String]("chosen_rendered") ===
+      "<|user|>\nhi\n<|assistant|>\nhello\n" +
+        "<|user|>\nhelp me\n<|assistant|>\nsure thing\n")
+    assert(p2.getAs[String]("rejected_rendered") ===
+      "<|user|>\nhi\n<|assistant|>\nhello\n" +
+        "<|user|>\nhelp me\n<|assistant|>\nno\n")
+    // per-turn mask audit held on every side of every pair
+    out.values.foreach { r =>
+      assert(r.getAs[Int]("chosen_mask_exact") === 1)
+      assert(r.getAs[Int]("rejected_mask_exact") === 1)
+    }
+    // second turn span: block1 = 25+2+5 = 32 chars, block2 user = help me
+    // -> start = 32 + 7 + 25 = 64 (1-based)
+    assert(p2.getAs[Long]("chosen_final_mask_start") === 64L)
+    assert(p2.getAs[Long]("chosen_final_mask_len") === 10L)
+  }
+
   test("bitextVerify: number multisets compare sorted, digit mutations fail, ratio screens") {
     val docs = Seq(
       (1L, "meeting on 2024-03-01 room 42 floor 3"),

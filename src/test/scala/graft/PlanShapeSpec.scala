@@ -777,6 +777,30 @@ class PlanShapeSpec extends SparkSpec {
     val ex = pw.indexOf("Exchange hashpartitioning")
     assert(pw.indexOf("HashAggregate", ex) >= 0,
       s"pair rollup must partial-aggregate:\n$pw")
+    // SORT-FREE whole-pipeline lock (r13): the hot-print cap is a
+    // hash-aggregated count joined back SHUFFLE_HASH on the print
+    // partitioning the checkpointed sketch table already carries — the
+    // old Window cap's per-partition SORT of the corpus-sized print
+    // table was the measured superlinear term at sf100; a sort-merge
+    // join would re-introduce it
+    assert(!pw.contains("Sort "), s"winnow must stay sort-free:\n$pw")
+    assert(!pw.contains("SortMergeJoin"), pw)
+    assert(!pw.contains("Window"), s"the cap must not be a Window:\n$pw")
+    assert("ShuffledHashJoin".r.findAllIn(pw).length === 3,
+      s"one cap join per side + the self-join, all pinned to the print partitioning:\n$pw")
+    // every print exchange must canonicalize EQUAL, or AQE stage reuse
+    // cannot collapse them and the sketch pipeline materializes 2–4×
+    // (the static plan prints one exchange per consumer; runtime runs
+    // exactly one when — and only when — they canonicalize equal)
+    val dfw = SparkEntry.queries("dedup_winnow")(spark, sf)
+    val printExchanges = dfw.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("print") => e
+    }
+    assert(printExchanges.size === 4, s"4 consumers of the sketch table:\n$pw")
+    assert(printExchanges.forall(_.sameResult(printExchanges.head)),
+      "print exchanges must canonicalize equal for AQE stage reuse:\n" +
+        printExchanges.map(_.canonicalized.toString).mkString("\n---\n"))
     // digit fold shares the homoglyph gate's one-scan two-window shape
     val pd = plan("dedup_digit_fold")
     assert("Exchange hashpartitioning".r.findAllIn(pd).length === 2, pd)
@@ -889,6 +913,38 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
     assert(p.contains("BroadcastExchange"), s"epochs table must broadcast:\n$p")
     assert(!p.contains("Exchange rangepartitioning"), p)
+    // ADVICE r12: the epochs join is a LEFT broadcast — an unplanned
+    // stratum must stay in the report, not silently vanish
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"epochs must LEFT-broadcast-join:\n$p")
+  }
+
+  test("near-dup memorization risk: banded LSH + label loop, no all-pairs, epochs left-broadcast") {
+    // VERDICT r12 item 3: cluster sizes come from minhash-LSH connected
+    // components — the banded equi-join bounds candidates (never
+    // corpus²) and the label loop leaves checkpointed RDD scans; the
+    // exposure tail is the same left-broadcast epochs join as the exact
+    // variant
+    val p = plan("corpus_memorization_risk_fuzzy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("Scan ExistingRDD"),
+      s"components rounds must be checkpointed:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"epochs must LEFT-broadcast-join:\n$p")
+  }
+
+  test("multi-turn DPO: pair-sized joins only, no cartesian, no global sort") {
+    // VERDICT r12 item 5: the composed threadPaths × preferencePairs ×
+    // chat-render chain — candidate capping and pair ranking are
+    // prompt-keyed windows (hash exchanges), the prefix render and the
+    // response joins are pair-sized equi-joins; nothing corpus², no
+    // range partitioning anywhere
+    val p = plan("corpus_dpo_multiturn")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("Scan ExistingRDD"),
+      s"threadPaths rounds must be checkpointed:\n$p")
   }
 
   test("thread paths: frontier joins over checkpointed rounds, no cartesian") {

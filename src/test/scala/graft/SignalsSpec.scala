@@ -313,22 +313,97 @@ class SignalsSpec extends SparkSpec {
       (1L, "en", "dup one"), (2L, "en", "dup one"),
       (3L, "de", "dup one"),              // same cluster ACROSS strata
       (4L, "de", "unique text here"),
-      (5L, "zh", "DUP   ONE")             // fingerprint-normalized into the cluster
+      (5L, "zh", "DUP   ONE"),            // fingerprint-normalized into the cluster
+      (6L, "ko", "dup one")               // stratum ABSENT from the plan
     ).toDF("doc_id", "lang", "text")
-    val epochs = Seq(("en", 1200L), ("de", 3000L), ("zh", 800L))
+    val epochs = Seq(("en", 1200L), ("de", 3000L), ("zh", 700L))
       .toDF("stratum", "epochs_permille")
     val out = graft.ops.CorpusReport.memorizationExposure(
         docs, "doc_id", "text", col("lang"), epochs,
         maxExposurePermille = 4000L)
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
-    // the cluster is size 4 (case/whitespace fold catches doc 5, strata
+        (r.getLong(2), r.getLong(3), r.getInt(4), r.getLong(5), r.getInt(6)))
+      .toMap
+    // the cluster is size 5 (case/whitespace fold catches doc 5, strata
     // don't partition it) but each doc pays ITS OWN stratum's epochs
-    assert(out(1L) === ((4L, 1200L, 4800L, 1)))
-    assert(out(2L) === ((4L, 1200L, 4800L, 1)))
-    assert(out(3L) === ((4L, 3000L, 12000L, 1)))
-    assert(out(5L) === ((4L, 800L, 3200L, 0))) // undersampled: same dup, safe
-    assert(out(4L) === ((1L, 3000L, 3000L, 0)))
+    assert(out(1L) === ((5L, 1200L, 1, 6000L, 1)))
+    assert(out(2L) === ((5L, 1200L, 1, 6000L, 1)))
+    assert(out(3L) === ((5L, 3000L, 1, 15000L, 1)))
+    assert(out(5L) === ((5L, 700L, 1, 3500L, 0))) // undersampled: same dup, safe
+    assert(out(4L) === ((1L, 3000L, 1, 3000L, 0)))
+    // unplanned stratum (ADVICE r12): NOT dropped — carries the
+    // 1000-permille default, is visibly unplanned, and its dup still flags
+    assert(out(6L) === ((5L, 1000L, 0, 5000L, 1)))
+    assert(out.size === 6)
+  }
+
+  test("parseConfusables: TR39 format — comments, blanks, multi-codepoint hex, whitespace") {
+    val text =
+      """# header comment
+        |
+        |0441 ;	0063 ;	MA	# ( с → c ) CYRILLIC SMALL LETTER ES
+        |FB03 ;	0066 0066 0069 ;	MA	# ( ﬃ → ffi ) LATIN SMALL LIGATURE FFI
+        |   2113  ;  006C  ;  MA  # extra whitespace tolerated
+        |0458;006A;MA# no whitespace at all
+        |""".stripMargin
+    val parsed = TextAnalysis.parseConfusables(text)
+    assert(parsed === Seq("с" -> "c", "ﬃ" -> "ffi", "ℓ" -> "l", "ј" -> "j"))
+    // the committed snapshot parses non-empty with ASCII-only targets and
+    // distinct single-codepoint sources (the fold-chain preconditions)
+    val snap = TextAnalysis.confusablesSnapshot
+    assert(snap.size > 150)
+    assert(snap.forall { case (_, t) => t.forall(_ < 128) })
+    assert(snap.map(_._1).distinct.size === snap.size)
+    assert(snap.forall { case (f, _) => f.codePointCount(0, f.length) == 1 })
+    // strict superset of BOTH curated layers — the long tail is real
+    val curated = TextAnalysis.homoglyphFrom.map(_.toString).toSet ++
+      TextAnalysis.homoglyphLigatures.map(_._1).toSet
+    assert(curated.subsetOf(snap.map(_._1).toSet))
+    assert(snap.size > curated.size + 50)
+  }
+
+  test("confusablesFold: long-tail confusables the curated table misses fold to ASCII") {
+    val df = Seq(
+      (1L, "ԁоwnloаd ⅲ ｆｒｅｅ ոote ℓink ѵery"), // none in the curated tables
+      (2L, "plain ascii"),
+      (3L, "Ⅻ κατά ꜱ")                          // roman 12, greek kappa stays ASCII'd
+    ).toDF("doc_id", "text")
+    val cols = TextAnalysis.homoglyphTr39Columns(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val out = df.select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) === ((11L, 1, "download iii free note link very")))
+    assert(out(2L) === ((0L, 0, "plain ascii")))
+    // Ⅻ is one codepoint with a 3-char target; κ folds 1:1
+    assert(out(3L)._3.startsWith("XII k"))
+    // curated normalizer does NOT catch the long tail — the gate is non-vacuous
+    val curatedOut = df.filter(col("doc_id") === 1L)
+      .select(TextAnalysis.homoglyphNormalizeFull(col("text")).as("n"))
+      .collect().head.getString(0)
+    assert(curatedOut !== "download iii free note link very")
+  }
+
+  test("memorizationExposureNearDup: cluster sizes come from the component labeling") {
+    val docs = Seq(
+      (1L, "en"), (2L, "en"), (3L, "de"), (4L, "ko"), (5L, "de")
+    ).toDF("doc_id", "lang")
+    // a labeling the way connectedComponents emits it: 1,2,4 one near-dup
+    // cluster (no exact dup needed), 3 and 5 singletons
+    val comps = Seq((1L, 1L), (2L, 1L), (4L, 1L), (3L, 3L), (5L, 5L))
+      .toDF("doc_id", "component")
+    val epochs = Seq(("en", 2000L), ("de", 3000L)).toDF("stratum", "epochs_permille")
+    val out = graft.ops.CorpusReport.memorizationExposureNearDup(
+        docs, "doc_id", col("lang"), epochs, comps,
+        maxExposurePermille = 4000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4), r.getLong(5), r.getInt(6)))
+      .toMap
+    assert(out(1L) === ((3L, 2000L, 1, 6000L, 1)))
+    assert(out(2L) === ((3L, 2000L, 1, 6000L, 1)))
+    assert(out(4L) === ((3L, 1000L, 0, 3000L, 0))) // unplanned ko: default, visible
+    assert(out(3L) === ((1L, 3000L, 1, 3000L, 0)))
+    assert(out(5L) === ((1L, 3000L, 1, 3000L, 0)))
   }
 
   test("homoglyphNormalizeFull: ligatures fold to multi-char ASCII, both layers counted") {

@@ -825,6 +825,90 @@ class StreamingSpec extends SparkSpec {
     assert(got(999999L) === None)
   }
 
+  test("streaming preference pairs equal batch, including cross-batch candidate arrival") {
+    // VERDICT r12 item 8: candidates for a prompt arrive over TWO
+    // micro-batches (the top-k state merge must be exact — a later,
+    // higher-scored candidate evicts an earlier one from the cap); the
+    // idle flush emits each prompt's FINAL pair set once, and it must
+    // equal Packing.preferencePairs run over the union in batch.
+    import org.apache.spark.sql.functions.col
+    val batch1 = Seq(
+      Streams.CandEvent(1L, 11L, 9000L), Streams.CandEvent(1L, 12L, 5000L),
+      Streams.CandEvent(1L, 13L, 5000L), // score tie: id breaks it
+      Streams.CandEvent(2L, 21L, 7000L))
+    val batch2 = Seq(
+      Streams.CandEvent(1L, 14L, 8000L), // arrives late, outranks 12/13
+      Streams.CandEvent(2L, 22L, 7000L), // exact tie: margin 0, no pair
+      Streams.CandEvent(3L, 31L, 4000L)) // singleton prompt: no pair
+    val all = batch1 ++ batch2
+    val ms = MemoryStream[Streams.CandEvent](spark)
+    ms.addData(batch1: _*)
+    val q = Streams.preferencePairsStream(spark, ms.toDS(),
+        maxCandsPerPrompt = 3, idleFlush = "2 seconds")
+      .writeStream.format("memory").queryName("pref_pairs_stream")
+      .outputMode("append")
+      .start()
+    val got = try {
+      // processAllAvailable() hangs under ProcessingTimeTimeout (see the
+      // event-time sessionize spec) — wait for batch 1 via progress, so
+      // batch 2 really lands in a LATER micro-batch and exercises the
+      // cross-batch state merge
+      val d0 = System.currentTimeMillis() + 30000
+      while (q.recentProgress.map(_.numInputRows).sum < batch1.size &&
+             System.currentTimeMillis() < d0)
+        Thread.sleep(200)
+      ms.addData(batch2: _*)
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.sql("SELECT 1 FROM pref_pairs_stream").count() < 3 &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      spark.table("pref_pairs_stream").collect().map(_.toSeq).toSet
+    } finally q.stop()
+    val batch = graft.ops.Packing.preferencePairs(
+        all.toDF("prompt_id", "cand_id", "score_fp"),
+        "prompt_id", "cand_id", col("score_fp"), maxCandsPerPrompt = 3)
+      .select("prompt_id", "chosen_id", "rejected_id", "chosen_score_fp",
+        "rejected_score_fp", "margin_fp", "pair_rank")
+      .collect().map(_.toSeq).toSet
+    assert(got === batch)
+    // the cap actually fired across batches: prompt 1 kept {11,14,12} and
+    // 13 (tie loser on id) is absent from every emitted pair
+    assert(!got.exists(r => r(1) == 13L || r(2) == 13L))
+    assert(got.exists(r => r(0) == 1L && r(2) == 14L)) // late arrival ranked
+  }
+
+  test("streaming DPO rendering over a pair stream equals batch (stream-static joins)") {
+    // dpoRender's pair table is the STREAMING side (preference pairs come
+    // off the live ranking loop); prompts and responses are static tables
+    // — stream-static inner equi-joins plus scan-side span arithmetic, so
+    // the streaming face is the batch op applied verbatim
+    val pairs = Seq(
+      (100L, 1L, 2L), (100L, 3L, 2L), (200L, 4L, 5L))
+      .map { case (p, c, r) => (p, c, r) }
+    val prompts = Seq((100L, "how do i exit vim"), (200L, "what is graft"))
+      .toDF("prompt_id", "prompt")
+    val docs = Seq((1L, "press escape then :wq"), (2L, "unplug it"),
+      (3L, "use :q!"), (4L, "a spark library"), (5L, "no idea"))
+      .toDF("doc_id", "text")
+    def pass(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Packing.dpoRender(df, prompts, docs, "doc_id", "text")
+    val ms = MemoryStream[(Long, Long, Long)](spark)
+    ms.addData(pairs: _*)
+    val q = pass(ms.toDF.toDF("prompt_id", "chosen_id", "rejected_id"))
+      .writeStream.format("memory").queryName("dpo_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val batch = pass(pairs.toDF("prompt_id", "chosen_id", "rejected_id"))
+      .collect().map(_.toSeq).toSet
+    assert(spark.table("dpo_stream").collect().map(_.toSeq).toSet === batch)
+    assert(batch.size === 3)
+    // spans stayed exact through the streaming path too
+    val streamed = spark.table("dpo_stream")
+      .select("chosen_mask_exact", "rejected_mask_exact")
+      .collect().flatMap(_.toSeq)
+    assert(streamed.forall(_ == 1))
+  }
+
   test("sessionize groups events by idle gap") {
     val events = Seq(
       Streams.SessionEvent(1L, 1000L, "a"),

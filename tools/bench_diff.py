@@ -96,6 +96,18 @@ if rows:
                       f"{art['load_before']} (> 2.0) — its timings are "
                       f"inflated; prefer a min-of-two re-run on a quiet "
                       f"box before reading per-query ratios")
+    # the bench methodology changed in round 12: method 2 folds the timed
+    # warmup into each green row's min (plus optional pass rest and a
+    # recovery pass), so vs a method-1 artifact the new method can ONLY
+    # lower numbers — a cross-method ratio is one-sided by construction
+    methods = (old_art.get("bench_method", 1), new_art.get("bench_method", 1))
+    if methods[0] != methods[1]:
+        print(f"NOTE: bench methodology differs (old=v{methods[0]}, "
+              f"new=v{methods[1]}) — v2 takes min(warmup, passes) per "
+              f"green row while v1 is min-of-passes only, so cross-method "
+              f"ratios are systematically one-sided (v2 can only look "
+              f"faster); treat improvements here as method artifacts "
+              f"unless confirmed by a same-method re-run")
     # the drive mode changed in round 10 (.count() -> hash_agg): ratios
     # across drive modes measure the drive change, not the queries
     drives = (old_art.get("drive", "count"), new_art.get("drive", "count"))

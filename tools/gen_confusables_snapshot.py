@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Regenerate src/main/resources/graft/confusables_snapshot.txt — a
+hand-curated snapshot of Latin-foldable entries in the Unicode TR39
+confusables.txt FILE FORMAT (hex source ; hex target ; type # comment).
+
+This is NOT the complete published confusables.txt (thousands of
+entries, most of which do not fold to ASCII); it is the ASCII-target
+subset that matters for dedup-evasion folding, written in the exact
+published format so the full file from unicode.org drops in unchanged
+through the same parser (TextAnalysis.parseConfusables — the
+Domains.parsePsl precedent). Regenerating from this script keeps the
+hex fields, the rendered glyphs in comments, and the Unicode names
+mutually consistent by construction.
+"""
+import unicodedata
+
+# (source codepoint, ascii target) — single-codepoint sources, ASCII targets
+ENTRIES = []
+
+def cp(hexstr, target):
+    ENTRIES.append((int(hexstr, 16), target))
+
+# --- Cyrillic lowercase lookalikes (the curated core + the long tail)
+for h, t in [("0430", "a"), ("0435", "e"), ("043E", "o"), ("0440", "p"),
+             ("0441", "c"), ("0445", "x"), ("0443", "y"), ("0456", "i"),
+             ("0455", "s"), ("0458", "j"), ("0501", "d"), ("051B", "q"),
+             ("051D", "w"), ("0475", "v"), ("04BB", "h"), ("0461", "w"),
+             ("04CF", "l")]:
+    cp(h, t)
+# --- Cyrillic uppercase
+for h, t in [("0410", "A"), ("0412", "B"), ("0415", "E"), ("041A", "K"),
+             ("041C", "M"), ("041D", "H"), ("041E", "O"), ("0420", "P"),
+             ("0421", "C"), ("0422", "T"), ("0425", "X"), ("0405", "S"),
+             ("0406", "I"), ("0408", "J"), ("051A", "Q"), ("051C", "W"),
+             ("04C0", "I")]:
+    cp(h, t)
+# --- Greek
+for h, t in [("03B1", "a"), ("03BF", "o"), ("03BD", "v"), ("03B9", "i"),
+             ("03BA", "k"), ("03C1", "p"), ("03C5", "u"), ("03C7", "x"),
+             ("03C9", "w"), ("03B3", "y"),
+             ("0391", "A"), ("0392", "B"), ("0395", "E"), ("0396", "Z"),
+             ("0397", "H"), ("0399", "I"), ("039A", "K"), ("039C", "M"),
+             ("039D", "N"), ("039F", "O"), ("03A1", "P"), ("03A4", "T"),
+             ("03A5", "Y"), ("03A7", "X")]:
+    cp(h, t)
+# --- Armenian
+for h, t in [("0578", "n"), ("0585", "o"), ("057D", "u"), ("0570", "h"),
+             ("0575", "j")]:
+    cp(h, t)
+# --- Latin long tail: dotless i, long s
+cp("0131", "i")
+cp("017F", "f")
+# --- Roman numeral forms (incl. multi-char targets)
+for h, t in [("2160", "I"), ("2164", "V"), ("2169", "X"), ("216C", "L"),
+             ("216D", "C"), ("216E", "D"), ("216F", "M"),
+             ("2170", "i"), ("2174", "v"), ("2179", "x"), ("217C", "l"),
+             ("217D", "c"), ("217E", "d"), ("217F", "m"),
+             ("2161", "II"), ("2162", "III"), ("2163", "IV"),
+             ("2165", "VI"), ("2166", "VII"), ("2167", "VIII"),
+             ("2168", "IX"), ("216A", "XI"), ("216B", "XII"),
+             ("2171", "ii"), ("2172", "iii"), ("2173", "iv"),
+             ("2175", "vi"), ("2176", "vii"), ("2177", "viii"),
+             ("2178", "ix"), ("217A", "xi"), ("217B", "xii")]:
+    cp(h, t)
+# --- Letterlike symbols
+for h, t in [("2113", "l"), ("212F", "e"), ("210A", "g"), ("2134", "o"),
+             ("212A", "K")]:
+    cp(h, t)
+# --- Latin ligatures / digraph codepoints (multi-char targets)
+for h, t in [("FB00", "ff"), ("FB01", "fi"), ("FB02", "fl"),
+             ("FB03", "ffi"), ("FB04", "ffl"), ("FB05", "ft"),
+             ("FB06", "st"),
+             ("0133", "ij"), ("0132", "IJ"), ("01C9", "lj"), ("01C8", "Lj"),
+             ("01CC", "nj"), ("01CB", "Nj"), ("01C6", "dz"), ("01C5", "Dz")]:
+    cp(h, t)
+# --- Fullwidth forms (a-z, A-Z, 0-9)
+for i in range(26):
+    cp(format(0xFF41 + i, "04X"), chr(ord("a") + i))
+    cp(format(0xFF21 + i, "04X"), chr(ord("A") + i))
+for i in range(10):
+    cp(format(0xFF10 + i, "04X"), str(i))
+
+seen = set()
+lines = [
+    "# confusables_snapshot.txt — Latin-foldable confusable mappings in the",
+    "# Unicode TR39 confusables.txt file format (source ; target ; type).",
+    "# Hand-curated ASCII-target SNAPSHOT, not the complete published list:",
+    "# regenerate with tools/gen_confusables_snapshot.py; the full",
+    "# confusables.txt from unicode.org parses through the same loader.",
+    "#",
+]
+for src, tgt in ENTRIES:
+    assert src not in seen, f"duplicate source U+{src:04X}"
+    seen.add(src)
+    assert all(ord(c) < 128 for c in tgt), tgt
+    tgt_hex = " ".join(f"{ord(c):04X}" for c in tgt)
+    name = unicodedata.name(chr(src))
+    lines.append(
+        f"{src:04X} ;\t{tgt_hex} ;\tMA\t# ( {chr(src)} → {tgt} ) {name}")
+
+out = "src/main/resources/graft/confusables_snapshot.txt"
+import os
+os.makedirs(os.path.dirname(out), exist_ok=True)
+with open(out, "w", encoding="utf-8") as f:
+    f.write("\n".join(lines) + "\n")
+print(f"wrote {out}: {len(ENTRIES)} entries")
