@@ -197,6 +197,138 @@ case class PrefixSums(child: Expression) extends UnaryExpression {
   override def prettyName: String = "prefix_sums"
 }
 
+/** Single-pass codepoint→string fold over a confusable table — the engine
+  * side of [[graft.ops.TextAnalysis.confusablesFold]]. Semantics: walk the
+  * input left to right, replace every codepoint found in the table by its
+  * target string, copy everything else through. When every source is a
+  * distinct single codepoint and no target contains a source (the TR39
+  * snapshot's invariants, spec-checked), this equals the two-layer
+  * `translate` + `replace`-chain formulation the DuckDB mirror runs — but
+  * it reads the document ONCE instead of 1 + |multi-char entries| times.
+  * The chain re-scans and re-allocates the full document per `replace`
+  * (33 passes for the committed snapshot), the measured dominant term of
+  * text_homoglyph_tr39 at sf10 (92.9 s, bench_history/r13_sf10_newops).
+  * When every source is non-ASCII (`asciiTransparent`), a byte scan proves
+  * a pure-ASCII document unchanged and returns the input buffer with zero
+  * decode or allocation — the common case in a mostly-English corpus. */
+case class MapTranslate(child: Expression, pairs: Seq[(String, String)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  @transient private lazy val table = CpOps.table(pairs)
+  private lazy val asciiT = CpOps.asciiTransparent(pairs)
+  override def nullSafeEval(input: Any): Any =
+    CpOps.mapTranslate(input.asInstanceOf[UTF8String], table, asciiT)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cpmap", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CpOps.mapTranslate($c, $ref, $asciiT)")
+  }
+  override protected def withNewChildInternal(c: Expression): MapTranslate =
+    copy(child = c)
+  override def prettyName: String = "map_translate"
+}
+
+/** Count of codepoints present in a confusable table's source set — equal
+  * by construction to `regexp_count(text, '[<sources>]')` (the shape the
+  * DuckDB mirror keeps) but a single non-regex pass with the same
+  * pure-ASCII byte-scan fast path as [[MapTranslate]]; the 179-char regex
+  * class was the other corpus-sized scan in text_homoglyph_tr39. */
+case class MapCount(child: Expression, pairs: Seq[(String, String)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  @transient private lazy val table = CpOps.table(pairs)
+  private lazy val asciiT = CpOps.asciiTransparent(pairs)
+  override def nullSafeEval(input: Any): Any =
+    CpOps.mapCount(input.asInstanceOf[UTF8String], table, asciiT)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cpmap", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CpOps.mapCount($c, $ref, $asciiT)")
+  }
+  override protected def withNewChildInternal(c: Expression): MapCount =
+    copy(child = c)
+  override def prettyName: String = "map_count"
+}
+
+/** Static helpers for [[MapTranslate]]/[[MapCount]] — called from generated
+  * code (Scala object methods compile to static forwarders, the
+  * [[Units]]/[[VecOps]] precedent). */
+object CpOps {
+  /** Codepoint table from (source, target) pairs; every source must be
+    * exactly one codepoint (supplementary-plane sources are one codepoint
+    * at UTF-16 length 2 and are accepted). */
+  def table(pairs: Seq[(String, String)]): java.util.HashMap[Integer, String] = {
+    val m = new java.util.HashMap[Integer, String](pairs.size * 2)
+    pairs.foreach { case (f, t) =>
+      require(f.codePointCount(0, f.length) == 1,
+        s"map_translate source must be one codepoint, got '$f'")
+      m.put(f.codePointAt(0), t)
+    }
+    m
+  }
+
+  /** True when no source is ASCII — enables the pure-ASCII byte-scan fast
+    * path (a document with no byte ≥ 0x80 provably contains no source). */
+  def asciiTransparent(pairs: Seq[(String, String)]): Boolean =
+    pairs.forall(_._1.codePointAt(0) >= 128)
+
+  private def pureAscii(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) < 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** One pass; returns the INPUT buffer when nothing matched (zero alloc). */
+  def mapTranslate(s: UTF8String, m: java.util.HashMap[Integer, String],
+                   asciiTransparent: Boolean): UTF8String = {
+    if (asciiTransparent && pureAscii(s)) return s
+    val str = s.toString
+    val n = str.length
+    var j = 0
+    var sb: java.lang.StringBuilder = null
+    while (j < n) {
+      val cp = str.codePointAt(j)
+      val t =
+        if (asciiTransparent && cp < 128) null
+        else m.get(Integer.valueOf(cp))
+      if (t != null) {
+        if (sb == null) {
+          // first hit: copy the untouched prefix, then switch to building
+          sb = new java.lang.StringBuilder(n + 16)
+          sb.append(str, 0, j)
+        }
+        sb.append(t)
+      } else if (sb != null) sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    if (sb == null) s else UTF8String.fromString(sb.toString)
+  }
+
+  def mapCount(s: UTF8String, m: java.util.HashMap[Integer, String],
+               asciiTransparent: Boolean): Long = {
+    if (asciiTransparent && pureAscii(s)) return 0L
+    val str = s.toString
+    val n = str.length
+    var j = 0
+    var c = 0L
+    while (j < n) {
+      val cp = str.codePointAt(j)
+      if (!(asciiTransparent && cp < 128) &&
+          m.containsKey(Integer.valueOf(cp))) c += 1
+      j += Character.charCount(cp)
+    }
+    c
+  }
+}
+
 object VecOps {
   /** Boxed null on length mismatch or (when `checkNulls`) a null element —
     * the exact semantics of the HOF form and the DuckDB mirror (see
@@ -256,4 +388,8 @@ object F {
     Bridge.column(NfcNormalize(Bridge.expression(c)))
   def prefix_sums(c: Column): Column =
     Bridge.column(PrefixSums(Bridge.expression(c)))
+  def map_translate(c: Column, pairs: Seq[(String, String)]): Column =
+    Bridge.column(MapTranslate(Bridge.expression(c), pairs))
+  def map_count(c: Column, pairs: Seq[(String, String)]): Column =
+    Bridge.column(MapCount(Bridge.expression(c), pairs))
 }

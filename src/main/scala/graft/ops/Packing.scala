@@ -751,8 +751,24 @@ object Packing {
         parent.cast("long").as("__prompt"), scoreFp.as("__score")), Seq("__cid"))
     val pairs = preferencePairs(cands, "__prompt", "__cid", col("__score"),
       minMarginFp, maxPairsPerPrompt, maxCandsPerPrompt)
-    // prefix units rendered once per PROMPT: path ids → texts → ordered array
-    val prefixUnits = pairs.select(col("prompt_id")).distinct()
+    // prefix units rendered once per PROMPT WITH PAIRS, not per candidate
+    val prefixUnits = prefixUnitsFor(
+      pairs.select(col("prompt_id")).distinct(), paths, msgs, id, text)
+    multiTurnDpoRender(pairs, prefixUnits, msgs, id, text)
+  }
+
+  /** Prompt-prefix unit arrays for a set of prompt ids: each prompt's
+    * root-to-prompt path ids explode to positions, join the message text,
+    * and re-assemble in path order — prompt-count-sized throughout
+    * (path explode, text join, one groupBy). Factored from
+    * [[multiTurnDpo]] so the streaming face can precompute it over ALL
+    * prompt nodes as a STATIC table (a streaming pairs side cannot feed
+    * the groupBy, and must not: stream-static joins keep the render
+    * append-mode-legal). */
+  private[graft] def prefixUnitsFor(promptIds: DataFrame, paths: DataFrame,
+                                    msgs: DataFrame, id: String,
+                                    text: String): DataFrame =
+    promptIds
       .join(paths.select(col(id).cast("long").as("prompt_id"), col("path")),
         Seq("prompt_id"))
       .select(col("prompt_id"),
@@ -764,6 +780,17 @@ object Packing {
       .groupBy(col("prompt_id"))
       .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__t")))),
         s => s.getField("__t")).as("__prefix"))
+
+  /** The render stage of [[multiTurnDpo]]: pair-sized id equi-joins
+    * (prefix, chosen text, rejected text) + [[chatRender]] span algebra.
+    * `pairs` needs (prompt_id, chosen_id, rejected_id, margin_fp) and may
+    * be a STREAMING DataFrame — every join here is against a static side
+    * and the span math is scan-side, so the plan is append-mode-legal
+    * as-is ([[graft.streaming.Streams.multiTurnDpoStream]]). */
+  private[graft] def multiTurnDpoRender(pairs: DataFrame,
+                                        prefixUnits: DataFrame,
+                                        msgs: DataFrame, id: String,
+                                        text: String): DataFrame = {
     val resp = msgs.select(col(id).cast("long").as("__rid"),
       col(text).cast("string").as("__rt"))
     val joined = pairs

@@ -2115,11 +2115,16 @@ object TextAnalysis {
     * a genuinely Cyrillic document is NOT spoofed, so the flag requires
     * ASCII letters alongside the lookalikes). Scan-side, shuffle-free. */
   def homoglyphColumns(text: Column): Seq[(String, Column)] = {
-    val n = regexp_count(text, lit(s"[$homoglyphFrom]")).cast("long")
+    // fused non-regex count (value-equal to regexp_count over the class;
+    // the DuckDB mirror keeps the regex form), rlike early-exit letter test
+    val n = graft.functions.F.map_count(text,
+      homoglyphFrom.zip(homoglyphTo).map {
+        case (f, t) => (f.toString, t.toString)
+      })
     Seq(
       "n_confusables" -> n,
       "is_spoofed" ->
-        (n > 0L && regexp_count(text, lit("[a-zA-Z]")) > 0).cast("int"),
+        (n > 0L && text.rlike("[a-zA-Z]")).cast("int"),
       "normalized" -> homoglyphNormalize(text))
   }
 
@@ -2138,27 +2143,39 @@ object TextAnalysis {
     "ĳ" -> "ij", "Ĳ" -> "IJ", "ǉ" -> "lj", "ǈ" -> "Lj", "ǋ" -> "nj",
     "ǌ" -> "nj", "ǆ" -> "dz", "ǅ" -> "Dz")
 
-  /** [[homoglyphNormalize]] plus the multi-char ligature folds — a
-    * bounded chain of codegen'd `replace` calls (~15), still one
-    * scan-side projection. */
+  /** Both curated layers as one (source, target) table — the same
+    * invariants as the TR39 snapshot (distinct single-codepoint
+    * non-ASCII sources, ASCII targets), so the fused single-pass fold
+    * applies verbatim. */
+  private lazy val homoglyphFullEntries: Seq[(String, String)] =
+    homoglyphFrom.zip(homoglyphTo).map {
+      case (f, t) => (f.toString, t.toString)
+    } ++ homoglyphLigatures
+
+  /** [[homoglyphNormalize]] plus the multi-char ligature folds — since
+    * round 13 ONE fused pass ([[confusablesFold]] over the combined
+    * curated table; the earlier translate + ~15-`replace` chain re-read
+    * the document per ligature entry and is equal by the same
+    * targets-are-never-sources argument the TR39 fold spec asserts). */
   def homoglyphNormalizeFull(text: Column): Column =
-    homoglyphLigatures.foldLeft(homoglyphNormalize(text)) {
-      case (acc, (from, to)) => replace(acc, lit(from), lit(to))
-    }
+    confusablesFold(text, homoglyphFullEntries)
 
   /** [[homoglyphColumns]] extended with the ligature layer: ligature
     * count, combined confusable count, spoof flag over BOTH tables,
     * and the fully-normalized text. */
   def homoglyphFullColumns(text: Column): Seq[(String, Column)] = {
-    val lig = homoglyphLigatures.map(_._1).mkString
-    val n1 = regexp_count(text, lit(s"[$homoglyphFrom]")).cast("long")
-    val nLig = regexp_count(text, lit(s"[$lig]")).cast("long")
+    // fused non-regex counts (value-equal to the regexp_count-over-class
+    // form the DuckDB mirror keeps), rlike early-exit for the letter test
+    val n1 = graft.functions.F.map_count(text,
+      homoglyphFrom.zip(homoglyphTo).map {
+        case (f, t) => (f.toString, t.toString)
+      })
+    val nLig = graft.functions.F.map_count(text, homoglyphLigatures)
     Seq(
       "n_confusables" -> n1,
       "n_ligatures" -> nLig,
       "is_spoofed" ->
-        ((n1 + nLig) > 0L && regexp_count(text, lit("[a-zA-Z]")) > 0)
-          .cast("int"),
+        ((n1 + nLig) > 0L && text.rlike("[a-zA-Z]")).cast("int"),
       "normalized" -> homoglyphNormalizeFull(text))
   }
 
@@ -2206,15 +2223,17 @@ object TextAnalysis {
     entries
   }
 
-  /** Fold chain GENERATED from a parsed confusables table: all 1-char →
-    * 1-char entries compile into ONE `translate` pass, the multi-char
-    * targets into a bounded `replace` chain — the same two-layer shape
-    * as the curated fold, but data-driven, so loading the full
-    * unicode.org file changes the data, not the code. Sources are
-    * distinct codepoints with ASCII-only targets (targets are never
-    * sources), so chain order cannot change the result. */
-  def confusablesFold(text: Column,
-                      entries: Seq[(String, String)]): Column = {
+  /** Reference fold chain GENERATED from a parsed confusables table: all
+    * 1-char → 1-char entries compile into ONE `translate` pass, the
+    * multi-char targets into a bounded `replace` chain. This is the shape
+    * the DuckDB mirror is generated in and the executable spec of
+    * [[confusablesFold]]'s semantics — kept because the equality "one
+    * fused pass ≡ translate + replace chain" is a theorem ONLY under the
+    * snapshot's invariants (distinct single-codepoint sources, ASCII-only
+    * targets, so targets are never sources and order cannot matter), and
+    * the spec asserts it on real data rather than trusting the argument. */
+  def confusablesFoldChain(text: Column,
+                           entries: Seq[(String, String)]): Column = {
     val (one, multi) = entries.partition {
       case (f, t) => f.length == 1 && t.length == 1
     }
@@ -2225,19 +2244,44 @@ object TextAnalysis {
     }
   }
 
+  /** Fold GENERATED from a parsed confusables table — data-driven, so
+    * loading the full unicode.org file changes the data, not the code.
+    * Every single-codepoint source folds in ONE codegen'd pass
+    * ([[graft.functions.MapTranslate]]; the replace chain it replaces
+    * re-scanned the document once per multi-char entry — 33 extra
+    * corpus-sized passes for the committed snapshot, the measured
+    * dominant term of text_homoglyph_tr39 at sf10); multi-codepoint
+    * sources (present in the full TR39 file, not the snapshot) stay a
+    * `replace` chain on top. Equal to [[confusablesFoldChain]] under the
+    * snapshot invariants (spec-asserted on the documents table). */
+  def confusablesFold(text: Column,
+                      entries: Seq[(String, String)]): Column = {
+    val (single, multi) = entries.partition {
+      case (f, _) => f.codePointCount(0, f.length) == 1
+    }
+    val base = if (single.isEmpty) text
+      else graft.functions.F.map_translate(text, single)
+    multi.foldLeft(base) {
+      case (acc, (f, t)) => replace(acc, lit(f), lit(t))
+    }
+  }
+
   /** Homoglyph signals over the DATA-DRIVEN snapshot table: confusable
-    * count (single regex class over the 1-char sources + alternation
-    * over the multi-char ones), spoof flag, folded text. Scan-side,
-    * shuffle-free — the ~180-entry chain is still one codegen'd
-    * projection. */
+    * count, spoof flag, folded text. Scan-side, shuffle-free, and every
+    * corpus-sized scan is a single fused pass: the count is
+    * [[graft.functions.MapCount]] (value-equal to `regexp_count` over the
+    * source class — the shape the DuckDB mirror keeps — without the
+    * 179-char regex), the spoof letter test is `rlike` (first-match
+    * early-exit; the count≥1 form scanned to the end), and the fold is
+    * the one-pass [[confusablesFold]]. */
   def homoglyphTr39Columns(text: Column): Seq[(String, Column)] = {
     val entries = confusablesSnapshot
-    val srcClass = entries.map(_._1).filter(_.length == 1).mkString
-    val n = regexp_count(text, lit(s"[$srcClass]")).cast("long")
+    val n = graft.functions.F.map_count(
+      text, entries.filter(_._1.length == 1))
     Seq(
       "n_confusables" -> n,
       "is_spoofed" ->
-        (n > 0L && regexp_count(text, lit("[a-zA-Z]")) > 0).cast("int"),
+        (n > 0L && text.rlike("[a-zA-Z]")).cast("int"),
       "normalized" -> confusablesFold(text, entries))
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -462,6 +462,39 @@ object Streams {
             Iterator.empty
           }
       }
+  }
+
+  /** Streaming face of [[graft.ops.Packing.multiTurnDpo]] — the composed
+    * chain with the SAME leg-by-leg guarantees each piece already proved:
+    * scored candidates arrive as [[CandEvent]]s (prompt_id = the parent
+    * node), [[preferencePairsStream]] holds each prompt's exact top-k and
+    * flushes its final pair set on idle, and the render is
+    * [[graft.ops.Packing.multiTurnDpoRender]] applied verbatim —
+    * stream-static id equi-joins against the static thread table's
+    * prefix-unit and response tables plus scan-side span algebra, all
+    * append-mode-legal. The one shape difference from batch: prefix units
+    * precompute over ALL prompt-parity path nodes (a static,
+    * prompt-count-sized table) instead of only prompts with pairs,
+    * because the streaming side cannot feed the groupBy — the pair join
+    * filters to the same rows, so stream ≡ batch whenever every candidate
+    * arrives before its prompt's flush (spec: cross-batch arrival,
+    * cap eviction, span audit). */
+  def multiTurnDpoStream(spark: SparkSession, msgs: DataFrame,
+                         id: String, parent: Column, text: String,
+                         cands: Dataset[CandEvent],
+                         maxDepth: Int = 16, minMarginFp: Long = 1L,
+                         maxPairsPerPrompt: Int = 8,
+                         maxCandsPerPrompt: Int = 64,
+                         idleFlush: String = "30 seconds"): DataFrame = {
+    val paths = graft.ops.Packing.threadPaths(msgs, id, parent, maxDepth)
+    // prompts are the odd-depth nodes (candidates sit at even depth)
+    val prompts = paths.filter(col("depth") % 2 === 1)
+      .select(col(id).cast("long").as("prompt_id"))
+    val prefixUnits = graft.ops.Packing.prefixUnitsFor(
+      prompts, paths, msgs, id, text)
+    val pairs = preferencePairsStream(spark, cands, minMarginFp,
+      maxPairsPerPrompt, maxCandsPerPrompt, idleFlush).toDF()
+    graft.ops.Packing.multiTurnDpoRender(pairs, prefixUnits, msgs, id, text)
   }
 
   def sessionize(spark: SparkSession, events: Dataset[SessionEvent],

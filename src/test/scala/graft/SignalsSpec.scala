@@ -384,6 +384,49 @@ class SignalsSpec extends SparkSpec {
     assert(curatedOut !== "download iii free note link very")
   }
 
+  test("map_translate/map_count: fused pass ≡ translate+replace chain on adversarial data") {
+    val entries = TextAnalysis.confusablesSnapshot
+    val allSrc = entries.map(_._1).mkString(" ")
+    // deterministic pseudo-corpus: sources at start/end, adjacent runs,
+    // interleaved with ASCII, supplementary non-sources (𝐀 U+1D400),
+    // combining marks, pure ASCII, empty, null
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> allSrc,                                // every source, spaced
+      2L -> entries.map(_._1).mkString,            // every source, adjacent
+      3L -> ("ⅲ starts and ends ⅲ"),
+      4L -> "plain ascii only",
+      5L -> "",
+      6L -> "𝐀 math bold A is not a source 𝐀",
+      7L -> "é combining acute then ℓ then ﬁ",
+      8L -> null
+    ) ++ (9L to 40L).map { i =>
+      // rotate source substrings through ASCII filler at varying offsets
+      val src = entries((i * 7 % entries.size).toInt)._1
+      i -> (("x" * (i % 11).toInt) + src + " middle " + src + ("y" * (i % 5).toInt))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val srcClass = entries.map(_._1).filter(_.length == 1).mkString
+    val got = df.select(col("doc_id"),
+        graft.functions.F.map_translate(col("text"), entries).as("fold"),
+        graft.functions.F.map_count(
+          col("text"), entries.filter(_._1.length == 1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val want = df.select(col("doc_id"),
+        TextAnalysis.confusablesFoldChain(col("text"), entries).as("fold"),
+        regexp_count(col("text"), lit(s"[$srcClass]")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got === want)
+    // null propagates, ASCII fast path returns the very input buffer
+    assert(got(8L)._1 === null && got(8L)._2 === -1L)
+    val in = org.apache.spark.unsafe.types.UTF8String.fromString("pure ascii")
+    val table = graft.functions.CpOps.table(entries)
+    assert(graft.functions.CpOps.mapTranslate(in, table, true) eq in)
+    // interpreted path (nullSafeEval) agrees with the codegen'd DataFrame run
+    val folded = graft.functions.CpOps.mapTranslate(
+      org.apache.spark.unsafe.types.UTF8String.fromString(rows(1)._2), table, true)
+    assert(folded.toString === want(2L)._1)
+  }
+
   test("memorizationExposureNearDup: cluster sizes come from the component labeling") {
     val docs = Seq(
       (1L, "en"), (2L, "en"), (3L, "de"), (4L, "ko"), (5L, "de")

@@ -909,6 +909,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_ == 1))
   }
 
+  test("streaming multi-turn DPO equals batch, cross-batch arrival and cap eviction") {
+    // the COMPOSED chain (preferencePairsStream -> stream-static prefix/
+    // response joins -> chatRender): the OpsSpec tree fixture, candidate
+    // scores arriving over TWO micro-batches so the top-k state merge and
+    // the idle flush both fire before the render
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val msgs = Seq(
+      (1L, -1L, "hi", 0L),
+      (2L, 1L, "hello", 90L), (3L, 1L, "yo", 40L),
+      (4L, 2L, "help me", 0L),
+      (5L, 4L, "sure thing", 70L), (6L, 4L, "no", 60L)
+    ).toDF("mid", "parent", "mtext", "score_fp")
+    val parent = when(col("parent") < 0, lit(null)).otherwise(col("parent"))
+    // candidate events = the even-depth nodes with their scores, keyed by
+    // the parent prompt — split so prompt 4's better answer arrives LATE
+    val batch1 = Seq(Streams.CandEvent(1L, 2L, 90L),
+      Streams.CandEvent(1L, 3L, 40L), Streams.CandEvent(4L, 6L, 60L))
+    val batch2 = Seq(Streams.CandEvent(4L, 5L, 70L))
+    val ms = MemoryStream[Streams.CandEvent](spark)
+    ms.addData(batch1: _*)
+    val q = Streams.multiTurnDpoStream(spark, msgs, "mid", parent, "mtext",
+        ms.toDS(), maxDepth = 5, idleFlush = "2 seconds")
+      .writeStream.format("memory").queryName("mtdpo_stream")
+      .outputMode("append")
+      .start()
+    val got = try {
+      val d0 = System.currentTimeMillis() + 30000
+      while (q.recentProgress.map(_.numInputRows).sum < batch1.size &&
+             System.currentTimeMillis() < d0)
+        Thread.sleep(200)
+      ms.addData(batch2: _*)
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.sql("SELECT 1 FROM mtdpo_stream").count() < 2 &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      spark.table("mtdpo_stream").collect().map(_.toSeq).toSet
+    } finally q.stop()
+    val batch = graft.ops.Packing.multiTurnDpo(msgs, "mid", parent,
+        "mtext", col("score_fp"), maxDepth = 5)
+      .collect().map(_.toSeq).toSet
+    assert(got === batch)
+    assert(got.size === 2)
+    // the late arrival won its pair: (4, chosen=5, rejected=6)
+    assert(got.exists(r => r(0) == 4L && r(1) == 5L && r(2) == 6L))
+    // spans stayed exact through the streaming path on both sides
+    val audits = spark.table("mtdpo_stream")
+      .select("chosen_mask_exact", "rejected_mask_exact")
+      .collect().flatMap(_.toSeq)
+    assert(audits.nonEmpty && audits.forall(_ == 1))
+  }
+
   test("sessionize groups events by idle gap") {
     val events = Seq(
       Streams.SessionEvent(1L, 1000L, "a"),
