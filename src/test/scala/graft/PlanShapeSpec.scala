@@ -899,6 +899,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(ph.contains("*("), s"fold chain must stay in whole-stage codegen:\n$ph")
   }
 
+  test("confusable folds stay one fused pass: no replace chain, no regex count") {
+    // the round-13 MapTranslate/MapCount fuse: the TR39 and full-curated
+    // fold queries must carry NO per-entry replace chain (33 corpus-sized
+    // re-reads) and NO regexp_count over the source class — the exact
+    // regression this lock exists to catch, because a chain quietly
+    // reintroduced through confusablesFold would still be oracle-green
+    // (value-equal) while re-inflating the scan 30x at sf10
+    for (q <- Seq("text_homoglyph_tr39", "text_homoglyph_full",
+        "text_homoglyph")) {
+      val p = plan(q)
+      assert(p.contains("map_translate") || p.contains("map_count"),
+        s"$q must use the fused expressions:\n$p")
+      assert(!p.contains("replace("), s"$q must not carry a replace chain:\n$p")
+      assert(!p.contains("regexp_count"),
+        s"$q must not scan a regex class:\n$p")
+      assert(p.contains("*("), s"$q fold must stay in whole-stage codegen:\n$p")
+    }
+  }
+
   test("dpo render: pair-sized joins, prompts broadcast, no cartesian") {
     val p = plan("corpus_dpo_render")
     assert(!p.contains("CartesianProduct"), p)
