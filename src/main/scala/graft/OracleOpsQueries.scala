@@ -1018,6 +1018,51 @@ object OracleOpsQueries {
     graft.ops.Splits.assignShards(
       Tables.documents(s, d).select(col("doc_id")), "doc_id", nShards = 16)
 
+  /** Coherence-ordered packing gate (Shi et al. In-Context Pretraining,
+    * ICLR'24): pinned centroids (vec_id < 8) assign clusters exactly as
+    * sim_centroid_dist, token counts join from the documents table
+    * (vec_id = doc_id on the synthetic tables), and first-fit packs walk
+    * each cluster in (sqdist, id) order — so both the assignment
+    * arithmetic AND the sequential walk are mirrored, cluster-scoped. */
+  def corpusPackCoherent(s: SparkSession, d: String): DataFrame = {
+    val asn = graft.ops.Similarity.centroidDistPinned(
+        Tables.embeddings(s, d), "vec_id", "embedding", nLists = 8)
+      .select(col("vec_id").as("doc_id"), col("list_id").cast("long"),
+        col("sqdist"))
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    graft.ops.Packing.packCoherent(s, asn.join(toks, "doc_id"),
+      "doc_id", "n_tokens", maxTokens = 96)
+  }
+
+  /** Coherence-audit gate: the SAME doc set packed two ways — coherent
+    * (cluster-proximity order) and hash (packSequences' reproducible
+    * shuffled order) — each audited for within-pack pairwise cosine
+    * mass. Fixed-point sums make the comparison bit-exact; the spec
+    * separately asserts coherent > hash per pair on the clustered
+    * synthetic embeddings (the audit VALUE, not just its arithmetic). */
+  def corpusPackCoherenceAudit(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val asn = graft.ops.Similarity.centroidDistPinned(
+        emb, "vec_id", "embedding", nLists = 8)
+      .select(col("vec_id").as("doc_id"), col("list_id").cast("long"),
+        col("sqdist"))
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    val joined = asn.join(toks, "doc_id")
+    val coherent = graft.ops.Packing.packCoherent(s, joined,
+      "doc_id", "n_tokens", maxTokens = 96)
+    val hashed = graft.ops.Packing.packSequences(s,
+      joined.select(col("doc_id"), col("n_tokens")),
+      "doc_id", "n_tokens", maxTokens = 96, buckets = 16)
+    graft.ops.Packing.packCoherenceAudit(
+        coherent, "doc_id", emb, "vec_id", "embedding", "coherent")
+      .unionAll(graft.ops.Packing.packCoherenceAudit(
+        hashed, "doc_id", emb, "vec_id", "embedding", "hash"))
+  }
+
   /** Shard layout + manifest composed: the count/volume/checksum rows a
     * training run commits next to its shard files. Order-invariance is
     * what the gate proves — Spark aggregates in partition order, DuckDB
@@ -2694,6 +2739,8 @@ object OracleOpsQueries {
     "corpus_gopher_report" -> (corpusGopherReport _),
     "dataset_split" -> (datasetSplit _),
     "corpus_shard" -> (corpusShard _),
+    "corpus_pack_coherent" -> (corpusPackCoherent _),
+    "corpus_pack_coherence_audit" -> (corpusPackCoherenceAudit _),
     "corpus_shard_manifest" -> (corpusShardManifest _),
     "corpus_shard_mass" -> (corpusShardMass _),
     "corpus_pack" -> (corpusPack _),
@@ -4787,6 +4834,50 @@ object OracleOpsQueries {
        |FROM pl""".stripMargin
   }
 
+  /** Coherent-packing mirror, factored so the coherence AUDIT can embed
+    * the identical layout as a derived table. */
+  private lazy val corpusPackCoherentSql =
+    s"""WITH RECURSIVE $toksCte,
+       |$embCte,
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |dd AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_reduce(list_transform(generate_series(1, 64),
+       |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y) AS dist
+       |  FROM e, cents c),
+       |asn AS (
+       |  SELECT vec_id, CAST(cid AS BIGINT) AS list_id, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dd) WHERE rn = 1),
+       |d AS (
+       |  SELECT a.vec_id AS doc_id, a.list_id, a.dist,
+       |    CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY a.list_id ORDER BY a.dist, a.vec_id) AS rn
+       |  FROM asn a JOIN toks tk ON tk.doc_id = a.vec_id),
+       |walk AS (
+       |  SELECT list_id, doc_id, dist, n_tokens, rn,
+       |    CAST(0 AS BIGINT) AS pack_idx,
+       |    CAST(CASE WHEN n_tokens > 96 THEN -1 ELSE n_tokens END AS BIGINT) AS fill,
+       |    n_tokens > 96 AS oversize,
+       |    CAST(0 AS BIGINT) AS pack_pos
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.list_id, d.doc_id, d.dist, d.n_tokens, d.rn,
+       |    CASE WHEN d.n_tokens > 96 OR w.fill < 0 OR w.fill + d.n_tokens > 96
+       |         THEN w.pack_idx + 1 ELSE w.pack_idx END,
+       |    CAST(CASE WHEN d.n_tokens > 96 THEN -1
+       |         WHEN w.fill < 0 OR w.fill + d.n_tokens > 96 THEN d.n_tokens
+       |         ELSE w.fill + d.n_tokens END AS BIGINT),
+       |    d.n_tokens > 96,
+       |    CASE WHEN d.n_tokens > 96 OR w.fill < 0 OR w.fill + d.n_tokens > 96
+       |         THEN CAST(0 AS BIGINT) ELSE w.fill END
+       |  FROM walk w JOIN d ON d.list_id = w.list_id AND d.rn = w.rn + 1)
+       |SELECT doc_id, list_id, dist AS sqdist, n_tokens,
+       |  CAST(list_id * 1099511627776 + pack_idx AS BIGINT) AS pack_id,
+       |  pack_pos, oversize
+       |FROM walk""".stripMargin
+
   private lazy val corpusDiversitySketchExactSql =
     s"""WITH tk AS (
        |  SELECT source,
@@ -6149,6 +6240,67 @@ object OracleOpsQueries {
          |SELECT doc_id, n_tokens, bkt * 1099511627776 + pack_idx AS pack_id,
          |  pack_pos, oversize
          |FROM walk""".stripMargin,
+    // coherent packing: sim_centroid_dist's pinned assignment + the
+    // corpus_pack recursive walk, PARTITIONED BY CLUSTER in (dist, id)
+    // order — depth = largest cluster (~80 rows at sf0.01/8 lists)
+    "corpus_pack_coherent" -> corpusPackCoherentSql,
+    // both layouts rebuilt in one statement: the coherent walk embeds as
+    // a derived table (its inner WITH shadows the outer CTEs — identical
+    // definitions), the hash walk is the corpus_pack state machine over
+    // the SAME doc set (filtered to embedding ids), and the pair/cosine
+    // audit is fixed-point so the sums are order-independent
+    "corpus_pack_coherence_audit" ->
+      s"""WITH RECURSIVE $toksCte,
+         |$embCte,
+         |hb AS (
+         |  SELECT doc_id, n_tokens, bkt,
+         |    ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY doc_id) AS rn
+         |  FROM (SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+         |          ${h60("'pack_' || CAST(tk.doc_id AS VARCHAR)")} % 16 AS bkt
+         |        FROM toks tk JOIN e ON e.vec_id = tk.doc_id) z),
+         |hwalk AS (
+         |  SELECT bkt, doc_id, n_tokens, rn,
+         |    CAST(0 AS BIGINT) AS pack_idx,
+         |    CAST(CASE WHEN n_tokens > 96 THEN -1 ELSE n_tokens END AS BIGINT) AS fill,
+         |    CAST(0 AS BIGINT) AS pack_pos
+         |  FROM hb WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.bkt, d.doc_id, d.n_tokens, d.rn,
+         |    CASE WHEN d.n_tokens > 96 OR w.fill < 0 OR w.fill + d.n_tokens > 96
+         |         THEN w.pack_idx + 1 ELSE w.pack_idx END,
+         |    CAST(CASE WHEN d.n_tokens > 96 THEN -1
+         |         WHEN w.fill < 0 OR w.fill + d.n_tokens > 96 THEN d.n_tokens
+         |         ELSE w.fill + d.n_tokens END AS BIGINT),
+         |    CASE WHEN d.n_tokens > 96 OR w.fill < 0 OR w.fill + d.n_tokens > 96
+         |         THEN CAST(0 AS BIGINT) ELSE w.fill END
+         |  FROM hwalk w JOIN hb d ON d.bkt = w.bkt AND d.rn = w.rn + 1),
+         |lay AS (
+         |  SELECT 'coherent' AS layout, doc_id, pack_id
+         |  FROM ($corpusPackCoherentSql) cq
+         |  UNION ALL
+         |  SELECT 'hash', doc_id,
+         |    CAST(bkt * 1099511627776 + pack_idx AS BIGINT) AS pack_id
+         |  FROM hwalk),
+         |sz AS (SELECT layout, pack_id, COUNT(*) AS sz FROM lay GROUP BY 1, 2),
+         |pk AS (
+         |  SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_packs,
+         |    CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_packs
+         |  FROM sz GROUP BY 1),
+         |pr AS (
+         |  SELECT l1.layout, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(COALESCE(SUM(CAST(floor(1000000 * ${dotSql("e1.v", "e2.v")}
+         |      / (sqrt(${dotSql("e1.v", "e1.v")}) * sqrt(${dotSql("e2.v", "e2.v")})))
+         |      AS BIGINT)), 0) AS BIGINT) AS sum_cos_fp
+         |  FROM lay l1
+         |  JOIN lay l2 ON l1.layout = l2.layout AND l1.pack_id = l2.pack_id
+         |    AND l1.doc_id < l2.doc_id
+         |  JOIN e e1 ON e1.vec_id = l1.doc_id
+         |  JOIN e e2 ON e2.vec_id = l2.doc_id
+         |  GROUP BY 1)
+         |SELECT p.layout, p.n_packs, p.n_multi_packs,
+         |  COALESCE(r.n_pairs, 0) AS n_pairs,
+         |  COALESCE(r.sum_cos_fp, 0) AS sum_cos_fp
+         |FROM pk p LEFT JOIN pr r USING (layout)""".stripMargin,
     "corpus_fertility" ->
       s"""WITH pf AS (
          |  SELECT lang,

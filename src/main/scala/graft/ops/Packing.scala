@@ -84,6 +84,115 @@ object Packing {
       .toDF(id, nTokens, "pack_id", "pack_pos", "oversize")
   }
 
+  /** Coherence-ordered packing (Shi et al., "In-Context Pretraining:
+    * Language Modeling Beyond Document Boundaries", ICLR 2024): related
+    * documents should share a context window, so packs are built WITHIN
+    * an embedding cluster, in centroid-proximity order, instead of
+    * [[packSequences]]'s hash-shuffled order. The paper's
+    * traveling-salesman document path does not distribute (a global
+    * greedy chain over a kNN graph is one sequential walk over the
+    * corpus); the scalable surrogate keeps its effect — neighbors in
+    * the pack order are semantically close — by ordering each coarse
+    * cluster's documents by (sqdist to centroid, id) and running the
+    * SAME first-fit greedy state machine as [[packSequences]], state
+    * reset on the cluster boundary, so no pack ever mixes clusters.
+    *
+    * Input: `assigned` = (id, list_id, sqdist, nTokens) — the id/
+    * list_id/sqdist triple is exactly what
+    * [[Similarity.centroidDistPinned]] emits (the oracle gate pins
+    * centroids the sim_centroid_dist way; production swaps in
+    * `ivfBuild`'s KMeans assignment, everything downstream identical).
+    * Output: (id, list_id, sqdist, nTokens, pack_id, pack_pos,
+    * oversize); pack_id = list_id · 2⁴⁰ + local index, globally unique.
+    *
+    * Shape at scale: the assignment is scan-side column algebra plus a
+    * broadcast centroid join (see centroidDistPinned); this op adds ONE
+    * shuffle on list_id, a within-partition sort, and a linear walk.
+    * Several clusters land on each task (state resets on the boundary),
+    * so parallelism is `spark.sql.shuffle.partitions`, not nLists —
+    * same balance argument as packSequences' bucket walk. Determinism:
+    * sqdist is a fixed-order left-fold over the vector (bit-exact
+    * cross-engine — sim_centroid_dist hash-gates the same doubles), and
+    * the (sqdist, id) sort breaks ties by id, so the layout is a pure
+    * function of the data. */
+  def packCoherent(spark: SparkSession, assigned: DataFrame, id: String,
+                   nTokens: String, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    import spark.implicits._
+    assigned
+      .select(col(id).cast("long"), col(nTokens).cast("long"),
+        col("list_id").cast("long"), col("sqdist").cast("double"))
+      .repartition(col("list_id"))
+      .sortWithinPartitions(col("list_id"), col("sqdist"), col(id))
+      .as[(Long, Long, Long, Double)]
+      .mapPartitions { it =>
+        var curList = -1L
+        var packIdx = -1L
+        var fill = -1L
+        it.map { case (docId, n, list, sqd) =>
+          if (n < 0) throw new IllegalArgumentException(
+            s"packCoherent requires n_tokens >= 0, got $n for id $docId")
+          if (list != curList) { curList = list; packIdx = -1L; fill = -1L }
+          val oversize = n > maxTokens
+          if (oversize || fill < 0 || fill + n > maxTokens) {
+            packIdx += 1
+            fill = 0L
+          }
+          val pos = fill
+          fill = if (oversize) -1L else fill + n
+          (docId, list, sqd, n, list * MaxPacksPerBucket + packIdx, pos,
+            oversize)
+        }
+      }
+      .toDF(id, "list_id", "sqdist", nTokens, "pack_id", "pack_pos",
+        "oversize")
+  }
+
+  /** Coherence audit for a pack layout: how semantically related are the
+    * documents that ended up sharing a context window? One row per
+    * layout label: pack count, multi-doc pack count, within-pack pair
+    * count, and the Σ of fixed-point pairwise cosines
+    * (floor(10⁶·cos), summed as BIGINT — integral so the total is
+    * order-independent and bit-exact cross-engine, the repo's standard
+    * move for auditable aggregates over doubles). Run it on
+    * [[packCoherent]]'s layout next to [[packSequences]]'s hash layout
+    * and the difference IS the measured benefit of coherent packing
+    * (spec asserts coherent > hash on clustered fixtures).
+    *
+    * Shape at scale: the pair join is per-pack (pack sizes are bounded
+    * by maxTokens / min-doc-tokens, a constant a length-filtered corpus
+    * controls), so the self-join fans out O(packSize) per document,
+    * never corpus². One shuffle on pack_id; the final agg is one row
+    * per layout. */
+  def packCoherenceAudit(packed: DataFrame, id: String, emb: DataFrame,
+                         embId: String, vec: String,
+                         layout: String): DataFrame = {
+    val e = emb.select(col(embId).cast("long").as("__eid"),
+      Similarity.asDouble(col(vec)).as("__v"))
+    val base = packed.select(col(id).cast("long").as("__did"),
+        col("pack_id"))
+      .join(e, col("__did") === col("__eid"))
+      .select(col("__did"), col("pack_id"), col("__v"),
+        Similarity.norm(col("__v")).as("__n"))
+    val pairs = base.toDF("id1", "pack_id", "v1", "n1")
+      .join(base.toDF("id2", "pack_id", "v2", "n2"), Seq("pack_id"))
+      .filter(col("id1") < col("id2"))
+      .select(col("pack_id"),
+        floor(lit(1000000.0) * Similarity.dot(col("v1"), col("v2")) /
+          (col("n1") * col("n2"))).cast("long").as("cos_fp"))
+    val packStats = packed.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("__sz"))
+    packStats.agg(
+        lit(layout).as("layout"),
+        count(lit(1)).as("n_packs"),
+        sum((col("__sz") > 1L).cast("long")).as("n_multi_packs"))
+      .crossJoin(pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("cos_fp")), lit(0L)).as("sum_cos_fp")))
+      .select("layout", "n_packs", "n_multi_packs", "n_pairs",
+        "sum_cos_fp")
+  }
+
   /** Concatenate-and-cut example construction — the OTHER standard way
     * to turn a cleaned corpus into fixed-length training examples
     * (GPT-style data prep): lay every document end to end in a

@@ -891,6 +891,81 @@ class OpsSpec extends SparkSpec {
     assert(!byId(1L).getAs[Boolean]("oversize") && !byId(3L).getAs[Boolean]("oversize"))
   }
 
+  test("coherent packing: clusters never mix, proximity order walks, oversize isolates") {
+    import graft.ops.Packing
+    // hand-assigned (id, list_id, sqdist, n_tokens): cluster 0 packs in
+    // sqdist order (1,2 | 3); cluster 1 exercises oversize-first, an
+    // exact fit, and a trailing single token; 7/8 tie on sqdist -> id order
+    val assigned = Seq(
+      (3L, 0L, 0.3, 40L), (1L, 0L, 0.1, 40L), (2L, 0L, 0.2, 40L),
+      (4L, 1L, 0.05, 200L), (5L, 1L, 0.1, 96L), (6L, 1L, 0.2, 1L),
+      (8L, 2L, 0.5, 48L), (7L, 2L, 0.5, 48L)
+    ).toDF("doc_id", "list_id", "sqdist", "n_tokens")
+    val out = Packing.packCoherent(spark, assigned, "doc_id", "n_tokens",
+      maxTokens = 96)
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    def pk(i: Long) = (byId(i).getLong(4), byId(i).getLong(5),
+      byId(i).getBoolean(6))
+    val b = Packing.MaxPacksPerBucket
+    // cluster 0: 1 and 2 share pack 0 (fill 40+40 <= 96), 3 spills to pack 1
+    assert(pk(1L) === ((0L, 0L, false)))
+    assert(pk(2L) === ((0L, 40L, false)))
+    assert(pk(3L) === ((1L, 0L, false)))
+    // cluster 1: oversize closes immediately, exact fit fills, then new pack
+    assert(pk(4L) === ((b + 0L, 0L, true)))
+    assert(pk(5L) === ((b + 1L, 0L, false)))
+    assert(pk(6L) === ((b + 2L, 0L, false)))
+    // sqdist tie breaks by id: 7 before 8, sharing one pack
+    assert(pk(7L) === ((2 * b, 0L, false)))
+    assert(pk(8L) === ((2 * b, 48L, false)))
+    // no pack ever mixes clusters (pack_id encodes the cluster)
+    val mix = out.select(col("pack_id"), col("list_id")).distinct()
+      .groupBy("pack_id").count().filter(col("count") > 1).count()
+    assert(mix === 0L)
+    // layout is a pure function of the data, not the physical partitioning
+    val again = Packing.packCoherent(spark, assigned.repartition(13),
+        "doc_id", "n_tokens", maxTokens = 96)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).toSet
+    assert(again === byId.values.map(r =>
+      (r.getLong(0), r.getLong(4), r.getLong(5))).toSet)
+    // negative token counts fail loudly, not silently corrupt the walk
+    val bad = Seq((1L, 0L, 0.1, -5L)).toDF("doc_id", "list_id", "sqdist", "n_tokens")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Packing.packCoherent(spark, bad, "doc_id", "n_tokens", 96).collect()
+    }
+    assert(ex.getMessage.contains("n_tokens") ||
+      Option(ex.getCause).exists(_.getMessage.contains("n_tokens")))
+  }
+
+  test("pack coherence audit: fixed-point cosine mass separates layouts exactly") {
+    import graft.ops.Packing
+    // two tight clusters; layout A packs within clusters, layout B across
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.1, 0.9))
+    ).toDF("vec_id", "embedding")
+    def audit(pairs: Seq[(Long, Long)], name: String) =
+      Packing.packCoherenceAudit(
+        pairs.toDF("doc_id", "pack_id"), "doc_id",
+        emb, "vec_id", "embedding", name).collect().head
+    val a = audit(Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L)), "within")
+    val b = audit(Seq((1L, 10L), (3L, 10L), (2L, 20L), (4L, 20L)), "across")
+    assert(a.getString(0) === "within" && a.getLong(1) === 2L &&
+      a.getLong(2) === 2L && a.getLong(3) === 2L)
+    // cos((1,0),(0.9,0.1)) = cos((0,1),(0.1,0.9)) = 0.9/sqrt(0.82)
+    // -> floor(1e6 * 0.99388373...) = 993883, twice
+    assert(a.getLong(4) === 2L * 993883L)
+    // across-cluster: cos((1,0),(0,1)) = 0; cos((0.9,0.1),(0.1,0.9))
+    // = 0.18/0.82 -> fp 219512
+    assert(b.getLong(4) === 0L + 219512L)
+    assert(a.getLong(4) > b.getLong(4))
+    // singleton packs contribute packs but no pairs; zero-pair layouts
+    // report 0 mass, not null
+    val s = audit(Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)), "single")
+    assert(s.getLong(1) === 4L && s.getLong(2) === 0L &&
+      s.getLong(3) === 0L && s.getLong(4) === 0L)
+  }
+
   test("resize downsamples payloads deterministically and composes with decode") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val resized = Multimodal.resize(spark, media, targetBytes = 16)

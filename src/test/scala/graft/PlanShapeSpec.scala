@@ -899,6 +899,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(ph.contains("*("), s"fold chain must stay in whole-stage codegen:\n$ph")
   }
 
+  test("coherent packing: one cluster shuffle, broadcast centroids, no global sort") {
+    // In-Context-Pretraining packing must stay: scan-side assignment +
+    // broadcast centroid join + ONE hashpartitioning on list_id + a
+    // within-partition sort — a global sort (rangepartitioning) or a
+    // second corpus shuffle is the regression this lock catches
+    val p = plan("corpus_pack_coherent")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"coherent packing must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"),
+      s"centroid table must broadcast:\n$p")
+    assert("hashpartitioning\\(list_id#".r.findAllIn(p).nonEmpty,
+      s"the walk must shuffle on list_id:\n$p")
+  }
+
   test("confusable folds stay one fused pass: no replace chain, no regex count") {
     // the round-13 MapTranslate/MapCount fuse: the TR39 and full-curated
     // fold queries must carry NO per-entry replace chain (33 corpus-sized
