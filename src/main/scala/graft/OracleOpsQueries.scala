@@ -923,6 +923,17 @@ object OracleOpsQueries {
     TextAnalysis.aucReport(classifierScoreLabel(s, d),
       col("__sfp"), col("__y"), scaleDenom = 10000L)
 
+  /** Threshold-sweep gate ([[TextAnalysis.prCurve]]) over the same
+    * score/label: 21 cutoffs at 500-fp steps, exact confusion counts
+    * and fixed-point precision/recall/F1 — the table the AUC gate's
+    * single number cannot replace when an operator must pick the actual
+    * filter cutoff. Degenerate top thresholds (no predictions) exercise
+    * the precision-convention branch on the real corpus. */
+  def textClassifierPr(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.prCurve(classifierScoreLabel(s, d),
+      col("__sfp"), col("__y"),
+      thresholds = (0L to 10000L by 500L).toSeq, scaleDenom = 10000L)
+
   /** C4 cleaning-rule signals. Like `text_redact`, the boilerplate flags
     * and the short-unit rule would be vacuous on the synthetic corpus (no
     * "lorem ipsum"/braces, no short sentences), so the gate plants
@@ -2725,6 +2736,7 @@ object OracleOpsQueries {
     "text_classify_unigram" -> (textClassifyUnigram _),
     "text_quality_calibration" -> (textQualityCalibration _),
     "text_classifier_auc" -> (textClassifierAuc _),
+    "text_classifier_pr" -> (textClassifierPr _),
     "corpus_classifier_budget" -> (corpusClassifierBudget _),
     "text_quality_qnorm" -> (textQualityQnorm _),
     "text_quality_qnorm_exact" -> (textQualityQnormExact _),
@@ -6072,6 +6084,37 @@ object OracleOpsQueries {
          |  ABS(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
          |    - CAST(sum_s AS DOUBLE) / CAST(n * 10000 AS DOUBLE)) AS abs_gap
          |FROM agg2""".stripMargin,
+    // threshold sweep over the same score/label: per-score counts first
+    // (bounded by the 1e4 score domain), then the 21-row threshold list
+    // joins that tiny table — never a per-threshold corpus rescan.
+    // CTE names prefixed prw_ to stay disjoint from classifierCtes'.
+    "text_classifier_pr" ->
+      s"""WITH $classifierCtes,
+         |$classifierScoreLabelSql,
+         |prw_g AS (SELECT s, CAST(count(*) AS BIGINT) AS n_s,
+         |                 CAST(SUM(y) AS BIGINT) AS p_s FROM sc GROUP BY s),
+         |prw_t AS (SELECT CAST(COALESCE(SUM(n_s), 0) AS BIGINT) AS n_all,
+         |                 CAST(COALESCE(SUM(p_s), 0) AS BIGINT) AS p_all FROM prw_g),
+         |prw_th AS (SELECT CAST(range * 500 AS BIGINT) AS threshold_fp FROM range(21)),
+         |prw_cm AS (
+         |  SELECT t.threshold_fp,
+         |    CAST(COALESCE(SUM(CASE WHEN g.s >= t.threshold_fp THEN g.p_s END), 0) AS BIGINT) AS tp,
+         |    CAST(COALESCE(SUM(CASE WHEN g.s >= t.threshold_fp THEN g.n_s - g.p_s END), 0) AS BIGINT) AS fp
+         |  FROM prw_th t LEFT JOIN prw_g g ON TRUE GROUP BY 1),
+         |prw_x AS (
+         |  SELECT c.threshold_fp, c.tp, c.fp,
+         |    CAST(o.p_all - c.tp AS BIGINT) AS fn,
+         |    CAST(o.n_all - o.p_all - c.fp AS BIGINT) AS tn,
+         |    CAST(CASE WHEN c.tp + c.fp = 0 THEN 1000000
+         |         ELSE (c.tp * 1000000) // (c.tp + c.fp) END AS BIGINT) AS precision_fp,
+         |    CAST(CASE WHEN o.p_all = 0 THEN 0
+         |         ELSE (c.tp * 1000000) // o.p_all END AS BIGINT) AS recall_fp
+         |  FROM prw_cm c, prw_t o)
+         |SELECT threshold_fp, tp, fp, fn, tn, precision_fp, recall_fp,
+         |  CAST(CASE WHEN precision_fp + recall_fp = 0 THEN 0
+         |       ELSE (2 * precision_fp * recall_fp)
+         |            // (precision_fp + recall_fp) END AS BIGINT) AS f1_fp
+         |FROM prw_x""".stripMargin,
     "text_classifier_auc" ->
       s"""WITH $classifierCtes,
          |$classifierScoreLabelSql,

@@ -1818,6 +1818,56 @@ object TextAnalysis {
         .as("auc"))
   }
 
+  /** Operating-characteristic sweep of a scored binary filter: one row
+    * per candidate threshold t — predict positive iff score ≥ t — with
+    * EXACT integer confusion counts (tp, fp, fn, tn) and fixed-point
+    * precision / recall / F1 (·10⁶, integer division, cross-engine
+    * bit-exact). This is the table a pipeline reads to CHOOSE its
+    * quality-filter cutoff: [[aucReport]] says whether the ranking is
+    * any good, this says what each concrete cutoff costs in kept-junk
+    * (precision) vs lost-gold (recall). Conventions at the degenerate
+    * ends, mirrored in the oracle: a threshold above every score
+    * predicts nothing — precision 10⁶ by convention (no predictions, no
+    * false ones), recall 0; F1 is 0 whenever precision + recall is 0.
+    *
+    * Never rescans the corpus per threshold: ONE map-side-combined
+    * groupBy collapses the corpus to per-score (count, positives) rows —
+    * bounded by scaleDenom+1, the [[aucReport]] bounded-domain argument
+    * — and the sweep is a broadcast non-equi join of the threshold list
+    * against that provably tiny table. */
+  def prCurve(df: DataFrame, scoreFp: Column, label: Column,
+              thresholds: Seq[Long], scaleDenom: Long): DataFrame = {
+    require(scaleDenom > 0, s"scaleDenom must be positive, got $scaleDenom")
+    require(thresholds.nonEmpty, "prCurve needs at least one threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = when(scoreFp.isNull || scoreFp < 0L || scoreFp > scaleDenom,
+      raise_error(lit(s"prCurve: score out of [0, $scaleDenom]")))
+      .otherwise(scoreFp).cast("long")
+    val g = df.select(s.as("__s"), label.cast("long").as("__y"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("n_s"),
+        sum(col("__y")).as("p_s"))
+    val tot = g.agg(coalesce(sum(col("n_s")), lit(0L)).as("n_all"),
+      coalesce(sum(col("p_s")), lit(0L)).as("p_all"))
+    val th = broadcast(thresholds.toDF("threshold_fp"))
+    val cm = th.join(g, col("__s") >= col("threshold_fp"), "left")
+      .groupBy(col("threshold_fp"))
+      .agg(coalesce(sum(col("p_s")), lit(0L)).as("tp"),
+        coalesce(sum(col("n_s") - col("p_s")), lit(0L)).as("fp"))
+    cm.crossJoin(tot) // 1-row totals × threshold-count rows
+      .select(col("threshold_fp"), col("tp"), col("fp"),
+        (col("p_all") - col("tp")).as("fn"),
+        (col("n_all") - col("p_all") - col("fp")).as("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 1000000 " +
+          "ELSE (tp * 1000000) DIV (tp + fp) END").as("precision_fp"),
+        expr("CASE WHEN p_all = 0 THEN 0 " +
+          "ELSE (tp * 1000000) DIV p_all END").as("recall_fp"))
+      .withColumn("f1_fp",
+        expr("CASE WHEN precision_fp + recall_fp = 0 THEN 0 " +
+          "ELSE (2 * precision_fp * recall_fp) " +
+          "DIV (precision_fp + recall_fp) END"))
+  }
+
   // ------------------------------------------------------- markup extraction
 
   /** HTML → text extraction regexes (the trafilatura-style pre-clean a web

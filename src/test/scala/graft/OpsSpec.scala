@@ -937,6 +937,30 @@ class OpsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("n_tokens")))
   }
 
+  test("prCurve: exact confusion counts and fp precision/recall/F1 per threshold") {
+    import graft.ops.TextAnalysis
+    val scored = Seq((9000L, 1), (7000L, 0), (5000L, 1), (1000L, 0))
+      .toDF("sfp", "y")
+    val out = TextAnalysis.prCurve(scored, col("sfp"), col("y"),
+        thresholds = Seq(0L, 6000L, 9500L), scaleDenom = 10000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // t=0: everything predicted positive
+    assert(out(0L) === ((2L, 2L, 0L, 0L, 500000L, 1000000L, 666666L)))
+    // t=6000: {9000, 7000} predicted -> tp=1 fp=1 fn=1 tn=1
+    assert(out(6000L) === ((1L, 1L, 1L, 1L, 500000L, 500000L, 500000L)))
+    // t=9500: nothing predicted -> precision 1e6 by convention, F1 0
+    assert(out(9500L) === ((0L, 0L, 2L, 2L, 1000000L, 0L, 0L)))
+    // out-of-range scores fail loudly (the aucReport contract)
+    val ex = intercept[Exception] {
+      TextAnalysis.prCurve(Seq((10001L, 1)).toDF("sfp", "y"),
+        col("sfp"), col("y"), Seq(0L), 10000L).collect()
+    }
+    assert(ex.getMessage.contains("out of") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out of")))
+  }
+
   test("pack coherence audit: fixed-point cosine mass separates layouts exactly") {
     import graft.ops.Packing
     // two tight clusters; layout A packs within clusters, layout B across
