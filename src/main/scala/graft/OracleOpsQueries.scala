@@ -2341,6 +2341,34 @@ object OracleOpsQueries {
         plantedWinnowText.as("text")),
       "doc_id", "text", k = 4, w = 4)
 
+  /** Exact-substring gate plant (Lee et al. ACL'22 shapes): every 7th
+    * doc carries one shared boilerplate sentence between doc-unique
+    * bracket text (cross-doc duplication — the common case); every 13th
+    * doc repeats a sentence twice WITHIN itself (the suffix-array
+    * criterion counts within-doc occurrences too, and the two windows
+    * merge into one whole-doc span). Branch order matters for doc_ids
+    * satisfying both residues — the SQL mirror keeps the same CASE
+    * order. */
+  private def plantedSubstrText: Column =
+    when(col("doc_id") % 7 === 2,
+      concat(lit("doc "), col("doc_id").cast("string"), lit(" begins here "),
+        lit("terms of service apply to all users of this website without exception "),
+        lit("unique tail "), (col("doc_id") * 31 % 1000).cast("string")))
+      .when(col("doc_id") % 13 === 3,
+        concat(lit("intro "), col("doc_id").cast("string"), lit(" "),
+          lit("the quick brown fox jumps over the lazy dog again "),
+          lit("the quick brown fox jumps over the lazy dog again "),
+          lit("outro "), (col("doc_id") * 17 % 1000).cast("string")))
+      .otherwise(col("text"))
+
+  /** Exact duplicated-substring spans over the planted corpus — the
+    * per-doc trim/report list with maximal duplicated token spans. */
+  def dedupSubstrSpans(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.substrDupSpans(
+      Tables.documents(s, d).select(col("doc_id"),
+        plantedSubstrText.as("text")),
+      "doc_id", "text", k = 8)
+
   /** Digit-fold gate plant: every 8th doc is the same order-confirmation
     * template with doc-unique numbers — raw fingerprints all distinct,
     * folded fingerprints identical. */
@@ -2655,6 +2683,7 @@ object OracleOpsQueries {
     "text_homoglyph_full" -> (textHomoglyphFull _),
     "text_homoglyph_tr39" -> (textHomoglyphTr39 _),
     "dedup_winnow" -> (dedupWinnow _),
+    "dedup_substr_spans" -> (dedupSubstrSpans _),
     "dedup_digit_fold" -> (dedupDigitFold _),
     "dedup_edit_verify" -> (dedupEditVerify _),
     "corpus_freshness" -> (corpusFreshness _),
@@ -4370,6 +4399,58 @@ object OracleOpsQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  private lazy val dedupSubstrSpansSql = {
+    val gram8 = h60((0 until 8).map {
+      case 0 => "t[i]"
+      case o => s"t[i+$o]"
+    }.mkString(" || ' ' || "))
+    s"""WITH plss AS (
+       |  SELECT doc_id, CASE
+       |    WHEN doc_id % 7 = 2 THEN
+       |      'doc ' || CAST(doc_id AS VARCHAR) || ' begins here ' ||
+       |      'terms of service apply to all users of this website without exception ' ||
+       |      'unique tail ' || CAST(doc_id * 31 % 1000 AS VARCHAR)
+       |    WHEN doc_id % 13 = 3 THEN
+       |      'intro ' || CAST(doc_id AS VARCHAR) || ' ' ||
+       |      'the quick brown fox jumps over the lazy dog again ' ||
+       |      'the quick brown fox jumps over the lazy dog again ' ||
+       |      'outro ' || CAST(doc_id * 17 % 1000 AS VARCHAR)
+       |    ELSE text END AS text
+       |  FROM documents),
+       |tkss AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM plss),
+       |phss AS (SELECT doc_id, u.p AS pos, u.h AS h FROM (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(t) - 7),
+       |      i -> {'p': i, 'h': $gram8})) AS u
+       |  FROM tkss WHERE len(t) >= 8)),
+       |dupss AS (SELECT h FROM phss GROUP BY h HAVING count(*) >= 2),
+       |dpss AS (SELECT doc_id, pos FROM phss JOIN dupss USING (h)),
+       |brss AS (SELECT doc_id, pos,
+       |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+       |       THEN 1 ELSE 0 END AS brk FROM dpss),
+       |isss AS (SELECT doc_id, pos, sum(brk) OVER (
+       |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM brss),
+       |spss AS (SELECT doc_id, isl,
+       |    CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+       |  FROM isss GROUP BY 1, 2),
+       |pdss AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+       |    CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+       |  FROM spss GROUP BY 1),
+       |ttss AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS total_tokens FROM tkss)
+       |SELECT t.doc_id,
+       |  CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       |  CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  t.total_tokens,
+       |  CAST(CASE WHEN t.total_tokens > 0
+       |    THEN (1000 * COALESCE(p.dup_tokens, 0)) // t.total_tokens
+       |    ELSE 0 END AS BIGINT) AS dup_permille
+       |FROM ttss t LEFT JOIN pdss p USING (doc_id)""".stripMargin
+  }
+
   private lazy val dedupDigitFoldSql =
     """WITH pld AS (
       |  SELECT doc_id, CASE WHEN doc_id % 8 = 0 THEN
@@ -4916,6 +4997,7 @@ object OracleOpsQueries {
     "corpus_moore_lewis" -> corpusMooreLewisSql,
     "corpus_eval_quota" -> corpusEvalQuotaSql,
     "dedup_winnow" -> dedupWinnowSql,
+    "dedup_substr_spans" -> dedupSubstrSpansSql,
     "dedup_digit_fold" -> dedupDigitFoldSql,
     "dedup_edit_verify" -> dedupEditVerifySql,
     "corpus_freshness" -> corpusFreshnessSql,

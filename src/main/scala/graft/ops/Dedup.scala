@@ -1395,6 +1395,124 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact duplicated-substring spans (Lee, Ippolito, Nystrom, Zhang,
+    * Eck, Callison-Burch & Carlini, "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22 — the ExactSubstr pass): per
+    * document, the maximal token spans whose every k-token window occurs
+    * at least `minCount` times in the WHOLE corpus. This is the paper's
+    * suffix-array "substring appears more than once in the
+    * concatenation" criterion at window granularity — within-doc repeats
+    * count toward `minCount` exactly as the suffix array would — and any
+    * duplicated run of >= k tokens is caught with exact token bounds
+    * (the paper's production threshold is a 50-token span; k is the
+    * window length here).
+    *
+    * Relation to [[substringSpans]] (both are this paper's pass; they
+    * answer different questions and differ on two load-bearing axes):
+    *  - CRITERION. [[substringSpans]] flags a window duplicated when it
+    *    occurs in >= 2 DISTINCT documents; this operator counts TOTAL
+    *    occurrences (`minCount`, default 2) — the actual suffix-array
+    *    criterion, under which a document repeating its own boilerplate
+    *    is flagged too (the gate plants exactly that case and
+    *    [[substringSpans]] provably keeps it clean).
+    *  - OUTPUT. [[substringSpans]] reports coverage statistics; this
+    *    reports the MAXIMAL-SPAN list itself (span count + exact token
+    *    bounds arithmetic), i.e. the cut list `substringRemove`-style
+    *    consumers act on.
+    *  - SHAPE. [[substringSpans]] attaches the dup flag with a
+    *    `Window.partitionBy(h)` — one compute pass but a per-partition
+    *    SORT of the corpus-sized gram table, the exact stage the r13
+    *    winnow sf100 probe measured superlinear (sort buffers compete
+    *    with shuffle memory and spill). This operator is SORT-FREE on
+    *    the gram table: the duplicated-gram set is its own
+    *    map-side-combined aggregation pass (shuffles (h, partial count)
+    *    rows — bounded by distinct grams per input partition, tiny next
+    *    to the gram table) SHUFFLE_HASH-joined back against the
+    *    full-width gram shuffle. The deliberate price is a SECOND
+    *    tokenize+hash scan of the corpus for the count branch (forcing
+    *    the two branches byte-identical for AQE exchange reuse is not
+    *    possible here: `count(struct)` canonicalizes to `count(1)` and
+    *    column pruning then rightly strips the count branch to h-only —
+    *    the failure mode [[substringSpans]]'s scaladoc records); an
+    *    extra columnar scan is linear compute that a cluster scales
+    *    horizontally, where the sort it replaces pressures exactly the
+    *    memory the shuffle needs.
+    *
+    * Unlike LSH/winnow there is NO pair join anywhere — duplicated-ness
+    * is a property of the gram, not of a doc pair — so there is no
+    * fan-out to cap and the pass is work-linear in corpus tokens at any
+    * skew (a billion-fold-duplicated boilerplate gram is still one
+    * count row). The gaps-and-islands merge windows only over each
+    * doc's own duplicated positions (bounded by doc length, never a
+    * corpus-wide frame): windows overlapping or touching
+    * (next start <= prev start + k) merge, so each reported span's
+    * coverage is exactly contiguous and
+    * `span_tokens = max_pos - min_pos + k`.
+    *
+    * Output: one row PER INPUT DOCUMENT (no-dup docs kept at zero — the
+    * trim/report list a pipeline consumes must name every doc):
+    * (id, n_dup_spans, dup_tokens, total_tokens, dup_permille) with
+    * dup_permille as fixed-point integer division, bit-exact
+    * cross-engine. */
+  def substrDupSpans(df: DataFrame, id: String, text: String,
+                     k: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(minCount >= 2L, s"minCount must be >= 2: $minCount")
+    val base = graft.operators.Scale.balanceToCores(df)
+      .select(col(id), tokens(col(text)).as("__t"))
+    val grams = base
+      .select(col(id), explode(
+        when(size(col("__t")) >= k,
+          transform(sequence(lit(1), size(col("__t")) - (k - 1)), i =>
+            struct(i.as("pos"),
+              hash60(concat_ws(" ",
+                (0 until k).map(o => element_at(col("__t"), i + o)): _*))
+                .as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:bigint>>")))
+        .as("g"))
+      .filter(col(id).isNotNull)
+      .select(col(id), col("g.pos").as("pos"), col("g.h").as("h"))
+    // NO repartition before this groupBy: the ENSURE_REQUIREMENTS
+    // exchange it inserts keeps the partial aggregate BELOW the shuffle
+    // (map-side combine), so this branch ships (h, count) partials —
+    // an explicit repartition(h) here was measured to hoist both
+    // aggregates above the exchange and ship every gram occurrence
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select(col("h"))
+    // join side takes the one full-width gram shuffle; the dup set
+    // arrives already h-partitioned from its aggregation, so the
+    // SHUFFLE_HASH pin adds no exchange — and a broadcast would be
+    // wrong at any real SF (the duplicated set is corpus-scale in the
+    // boilerplate-heavy worst case)
+    val dupPos = grams.repartition(col("h"))
+      .join(dup.hint("SHUFFLE_HASH"), Seq("h"))
+      .select(col(id), col("pos"))
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + k, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("__isl", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(id), col("__isl"))
+      .agg((max(col("pos")) - min(col("pos")) + k).cast("bigint")
+        .as("span_tokens"))
+    val perDoc = spans.groupBy(col(id))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+    base.select(col(id), size(col("__t")).cast("bigint").as("total_tokens"))
+      .join(perDoc, Seq(id), "left")
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_permille",
+        when(col("total_tokens") > 0,
+          expr("(1000 * dup_tokens) div total_tokens"))
+          .otherwise(lit(0L)))
+      .select(col(id), col("n_dup_spans"), col("dup_tokens"),
+        col("total_tokens"), col("dup_permille"))
+  }
+
   /** The matrix over precomputed [[sliceShingleSets]] output. */
   def sliceOverlapFromSets(ss: DataFrame): DataFrame = {
     val tot = ss.groupBy(col("slice")).agg(count(lit(1)).as("n"))

@@ -807,6 +807,35 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(pd).length === 1, pd)
   }
 
+  test("substr spans: sort-free gram table, map-side-combined count branch, no pairs") {
+    val p = plan("dedup_substr_spans")
+    // never pairwise, never a global sort
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // the dup-set join is SHUFFLE_HASH-pinned on the gram partitioning (a
+    // broadcast would be wrong: the duplicated set is corpus-scale in the
+    // boilerplate-heavy worst case), and it is the ONLY shuffled join
+    assert("ShuffledHashJoin".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the count branch must partial-aggregate BELOW its exchange (map-side
+    // combine ships (h, count) partials, not every gram occurrence — an
+    // explicit repartition before the groupBy was measured to hoist both
+    // aggregates above the shuffle and lose the combine)
+    // (lastIndexOf on both: the per-doc rollup also prints a
+    // partial_count near the top — the DEEPEST partial_count is the gram
+    // count branch, and the deepest h-exchange is its shuffle)
+    val lastGramEx = p.lastIndexOf("Exchange hashpartitioning(h#")
+    val partial = p.lastIndexOf("partial_count")
+    assert(lastGramEx >= 0 && partial > lastGramEx,
+      s"count branch lost its map-side combine:\n$p")
+    // every sort is the per-doc islands window (doc-partitioned, bounded
+    // by doc length) — the corpus-sized GRAM table is never sorted (the
+    // r13 winnow lesson: that sort was the superlinear stage at sf100)
+    p.linesIterator.filter(_.contains("Sort [")).foreach { l =>
+      assert(l.contains("doc_id"), s"non-doc-partitioned sort crept in: $l\n$p")
+    }
+  }
+
   test("edit-verify and freshness avoid cartesians and global sorts") {
     val pe = plan("dedup_edit_verify")
     assert(!pe.contains("CartesianProduct") && !pe.contains("Exchange rangepartitioning"), pe)

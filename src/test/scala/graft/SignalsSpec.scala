@@ -550,6 +550,40 @@ class SignalsSpec extends SparkSpec {
     assert(!prints.contains(4L))
   }
 
+  test("substrDupSpans: suffix-array criterion (within-doc repeats count), exact span merge") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),     // shares "c d e f" with doc 2
+      (2L, "x y c d e f z w q r"),
+      (3L, "p q r s p q r s"),         // WITHIN-doc repeat: pos 1 and 5 grams
+                                       // equal, touching (5 <= 1+4) -> ONE
+                                       // whole-doc span of 8
+      (4L, "completely unique words that appear nowhere else at all"),
+      (5L, "m n o p gap1 u v w x"),    // two runs shared with doc 6,
+      (6L, "m n o p gap2 u v w x"),    // separated by a non-shared token ->
+                                       // junction grams differ -> TWO spans
+      (7L, "one two three")            // shorter than one gram
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDupSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size === 7, "every input doc must appear in the report")
+    assert(out(1L) === ((1L, 4L, 10L, 400L)))  // one 4-token span
+    assert(out(2L) === ((1L, 4L, 10L, 400L)))
+    assert(out(3L) === ((1L, 8L, 8L, 1000L)))  // substringSpans' >=2-distinct-
+                                               // docs rule would MISS this doc
+    assert(out(4L) === ((0L, 0L, 9L, 0L)))
+    assert(out(5L) === ((2L, 8L, 9L, 888L)))   // floor(8*1000/9)
+    assert(out(6L) === ((2L, 8L, 9L, 888L)))
+    assert(out(7L) === ((0L, 0L, 3L, 0L)))
+    // the distinct-docs criterion difference, pinned: substringSpans on the
+    // same corpus reports doc 3 clean (its repeat is within one document)
+    val cov = Dedup.substringSpans(df, "doc_id", "text", w = 4)
+      .filter(col("doc_id") === 3L).collect().head
+    assert(cov.getAs[Long]("n_dup_windows") === 0L,
+      "substringSpans' >=2-distinct-docs rule should keep doc 3 clean; " +
+        "if this ever changes, substrDupSpans' scaladoc contrast is stale")
+  }
+
   test("editVerifiedPairs: typo variants pair under the threshold, distances exact") {
     import graft.ops.Dedup
     val df = Seq(
