@@ -2668,7 +2668,71 @@ object OracleOpsQueries {
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
 
+  /** Shared candidate construction for the leaderboard/best-of-n gates:
+    * quality scores as rewards, prompts as 20-doc blocks (`doc_id DIV
+    * 20`) so each prompt's candidate pool spans all 20 `source`s and
+    * pairwise games are cross-source. */
+  private def prefCands(s: SparkSession, d: String): DataFrame = {
+    val quality = TextAnalysis.qualityColumns(col("text"))
+      .collectFirst { case ("quality", c) => c }.get
+    Tables.documents(s, d)
+      .select(expr("doc_id DIV 20").as("prompt_id"), col("doc_id"),
+        floor(quality * 10000).cast("long").as("score_fp"))
+  }
+
+  /** The game table of the leaderboard gates: [[prefCands]] through
+    * [[graft.ops.Packing.preferencePairs]], each side labeled with its
+    * document's REAL `source` column (two pair-sized equi-joins — never
+    * the generator's doc_id arithmetic). */
+  private def prefGames(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.ops.Packing.preferencePairs(
+      prefCands(s, d), "prompt_id", "doc_id", col("score_fp"),
+      minMarginFp = 500L, maxPairsPerPrompt = 4, maxCandsPerPrompt = 8)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("__cid"),
+          col("source").as("winner_src")),
+        col("chosen_id") === col("__cid")).drop("__cid")
+      .join(src.select(col("doc_id").as("__rid"),
+          col("source").as("loser_src")),
+        col("rejected_id") === col("__rid")).drop("__rid")
+  }
+
+  /** Win-rate leaderboard gate: 20 sources, ~cross-source games from the
+    * block-prompt pairs; Wilson beats-coin-flip verdicts exercised both
+    * ways at the sf0.01 per-source game counts. */
+  def corpusPrefWinrate(s: SparkSession, d: String): DataFrame =
+    graft.ops.Preference.winRate(prefGames(s, d),
+      col("winner_src"), col("loser_src"))
+
+  /** Bradley–Terry gate: 12 integer MM iterations over the same game
+    * table; the mirror unrolls the identical arithmetic as CTEs, so a
+    * single off-by-one in any iteration hash-mismatches. */
+  def corpusPrefBt(s: SparkSession, d: String): DataFrame =
+    graft.ops.Preference.bradleyTerry(prefGames(s, d),
+      col("winner_src"), col("loser_src"))
+
+  /** Verbosity-bias gate: margin-bucketed chosen-longer rates over the
+    * block-prompt pairs with real document lengths on both sides. */
+  def corpusPrefLengthBias(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.ops.Packing.preferencePairs(
+      prefCands(s, d), "prompt_id", "doc_id", col("score_fp"),
+      minMarginFp = 500L, maxPairsPerPrompt = 4, maxCandsPerPrompt = 8)
+    graft.ops.Preference.lengthBias(pairs, Tables.documents(s, d),
+      "doc_id", "text")
+  }
+
+  /** Best-of-n gate: top-2 per 20-candidate prompt block with the full
+    * audit columns (pool size, gap-to-best, margin-to-next). */
+  def corpusBestOfN(s: SparkSession, d: String): DataFrame =
+    graft.ops.Preference.bestOfN(prefCands(s, d),
+      "prompt_id", "doc_id", col("score_fp"), n = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pref_winrate" -> (corpusPrefWinrate _),
+    "corpus_pref_bt" -> (corpusPrefBt _),
+    "corpus_pref_length_bias" -> (corpusPrefLengthBias _),
+    "corpus_best_of_n" -> (corpusBestOfN _),
     "corpus_bitext_verify" -> (corpusBitextVerify _),
     "corpus_moore_lewis" -> (corpusMooreLewis _),
     "corpus_eval_quota" -> (corpusEvalQuota _),
@@ -4611,7 +4675,12 @@ object OracleOpsQueries {
     * margin-screened pairs → rank cap), shared by the pair gate and the
     * DPO-render gate so the two mirrors cannot drift. Exposes `rr`
     * (… rn2) — select `rn2 <= 4` for the capped pair table. */
-  private lazy val preferencePairCtes =
+  /** The preference-pair CTE stack parameterized by the prompt-grouping
+    * expression: `doc_id % 40` for the original pair/DPO gates;
+    * `doc_id // 20` for the leaderboard gates (a 20-doc block spans all
+    * 20 sources, so every game is cross-source). Exposes toks/feat/q/
+    * cap/pr/rr. */
+  private def prefPairCtesBy(promptSql: String) =
     s"""$toksCte,
        |feat AS (
        |  SELECT doc_id,
@@ -4620,7 +4689,7 @@ object OracleOpsQueries {
        |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
        |    CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
        |  FROM toks),
-       |q AS (SELECT doc_id % 40 AS prompt_id, doc_id,
+       |q AS (SELECT $promptSql AS prompt_id, doc_id,
        |  CAST(floor((${qualityExprSql("n_tokens", "n_stopwords", "n_punct", "n_chars2")}) * 10000) AS BIGINT) AS score_fp
        |  FROM feat),
        |cap AS (SELECT * FROM (
@@ -4636,6 +4705,22 @@ object OracleOpsQueries {
        |rr AS (SELECT *, ROW_NUMBER() OVER (
        |    PARTITION BY prompt_id ORDER BY margin_fp DESC, chosen_id, rejected_id) AS rn2
        |  FROM pr)""".stripMargin
+
+  private lazy val preferencePairCtes = prefPairCtesBy("doc_id % 40")
+
+  /** The leaderboard gates' game table: block prompts (doc_id // 20),
+    * pairs labeled with each side's REAL `source` column (never the
+    * generator's doc_id arithmetic), same-source games dropped.
+    * Exposes `gm(prompt_id, …, winner_src, loser_src)`. */
+  private lazy val prefGamesCtes =
+    s"""${prefPairCtesBy("doc_id // 20")},
+       |gm AS (
+       |  SELECT rr.prompt_id, rr.chosen_id, rr.rejected_id, rr.margin_fp,
+       |    dc.source AS winner_src, dr.source AS loser_src
+       |  FROM rr
+       |  JOIN documents dc ON rr.chosen_id = dc.doc_id
+       |  JOIN documents dr ON rr.rejected_id = dr.doc_id
+       |  WHERE rr.rn2 <= 4 AND dc.source <> dr.source)""".stripMargin
 
   private lazy val corpusPreferencePairsSql =
     s"""WITH $preferencePairCtes
@@ -4667,6 +4752,105 @@ object OracleOpsQueries {
        |  ${side("rejected", "rtext")}
        |FROM j""".stripMargin
   }
+
+  private lazy val corpusPrefWinrateSql =
+    s"""WITH $prefGamesCtes,
+       |sides AS (SELECT winner_src AS source, 1 AS win FROM gm
+       |  UNION ALL SELECT loser_src AS source, 0 AS win FROM gm),
+       |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_games,
+       |  CAST(SUM(win) AS BIGINT) AS n_wins FROM sides GROUP BY 1),
+       |w AS (SELECT *, 2 * (n_wins + 2) - 1 * (n_games + 4) AS margin_a
+       |  FROM c)
+       |SELECT source, n_games, n_wins,
+       |  (1000 * n_wins) // n_games AS win_rate_permille, margin_a,
+       |  CAST(margin_a >= 0 AND margin_a * margin_a * n_games >=
+       |    4 * (4 * n_wins * (n_games - n_wins) + 4 * n_games)
+       |    AS INT) AS beats_p0,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY (1000 * n_wins) // n_games DESC,
+       |    n_games DESC, source) AS INT) AS rank
+       |FROM w""".stripMargin
+
+  /** Unrolled integer MM iterations (Hunter '04) — the exact arithmetic
+    * of [[graft.ops.Preference.bradleyTerryLocal]], one CTE triple per
+    * iteration, scale 10⁴. */
+  private lazy val corpusPrefBtSql = {
+    val S = 10000L
+    val S2 = S * S
+    val iters = (1 to 12).map { k =>
+      val prev = s"bt${k - 1}"
+      s"""d$k AS MATERIALIZED (SELECT nn.i,
+         |  CAST(SUM((nn.nij * $S2) // greatest(pi.p + pj.p, 1)) AS BIGINT) AS denom
+         |  FROM nn JOIN $prev pi ON nn.i = pi.i JOIN $prev pj ON nn.j = pj.i
+         |  GROUP BY nn.i),
+         |r$k AS MATERIALIZED (SELECT d.i,
+         |  (coalesce(wi.wins, 0) * $S2) // greatest(d.denom, 1) AS praw
+         |  FROM d$k d LEFT JOIN wi ON d.i = wi.i),
+         |bt$k AS MATERIALIZED (SELECT r.i,
+         |  (r.praw * (SELECT n FROM ns)) //
+         |    greatest((SELECT CAST(SUM(praw) AS BIGINT) FROM r$k) // $S, 1) AS p
+         |  FROM r$k r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $prefGamesCtes,
+       |mtx AS MATERIALIZED (SELECT winner_src AS i, loser_src AS j,
+       |  CAST(COUNT(*) AS BIGINT) AS w FROM gm GROUP BY 1, 2),
+       |nn AS MATERIALIZED (SELECT i, j, CAST(SUM(w) AS BIGINT) AS nij FROM (
+       |  SELECT i, j, w FROM mtx UNION ALL SELECT j AS i, i AS j, w FROM mtx)
+       |  GROUP BY 1, 2),
+       |wi AS MATERIALIZED (SELECT i, CAST(SUM(w) AS BIGINT) AS wins
+       |  FROM mtx GROUP BY 1),
+       |srcs AS MATERIALIZED (SELECT DISTINCT i FROM nn),
+       |ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM srcs),
+       |bt0 AS (SELECT i, CAST($S AS BIGINT) AS p FROM srcs),
+       |$iters,
+       |ng AS (SELECT i, CAST(SUM(nij) AS BIGINT) AS g FROM nn GROUP BY 1)
+       |SELECT bt12.i AS source, bt12.p AS strength_fp,
+       |  ng.g AS n_games, coalesce(wi.wins, 0) AS n_wins,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY bt12.p DESC, bt12.i) AS INT) AS rank
+       |FROM bt12 JOIN ng ON bt12.i = ng.i
+       |LEFT JOIN wi ON bt12.i = wi.i""".stripMargin
+  }
+
+  private lazy val corpusPrefLengthBiasSql =
+    s"""WITH ${prefPairCtesBy("doc_id // 20")},
+       |pp AS (SELECT * FROM rr WHERE rn2 <= 4),
+       |ln AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+       |  FROM documents),
+       |j AS (SELECT pp.margin_fp, lc.len - lr.len AS delta
+       |  FROM pp JOIN ln lc ON pp.chosen_id = lc.doc_id
+       |  JOIN ln lr ON pp.rejected_id = lr.doc_id),
+       |c AS (SELECT CAST(least(margin_fp // 500, 4) AS BIGINT) AS margin_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_longer,
+       |  CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+       |  CAST(SUM(delta) AS BIGINT) AS sum_delta_chars
+       |  FROM j GROUP BY 1),
+       |wg AS (SELECT *, n_pairs - n_ties AS nd,
+       |  2 * (n_chosen_longer + 2) - 1 * (n_pairs - n_ties + 4) AS margin_a
+       |  FROM c)
+       |SELECT margin_bucket, n_pairs, n_chosen_longer, n_ties,
+       |  sum_delta_chars,
+       |  CASE WHEN nd > 0 THEN (1000 * n_chosen_longer) // nd
+       |    ELSE 0 END AS chosen_longer_permille,
+       |  CAST(margin_a >= 0 AND margin_a * margin_a * nd >=
+       |    4 * (4 * n_chosen_longer * (nd - n_chosen_longer) + 4 * nd)
+       |    AND nd > 0 AS INT) AS longer_than_chance
+       |FROM wg""".stripMargin
+
+  private lazy val corpusBestOfNSql =
+    s"""WITH ${prefPairCtesBy("doc_id // 20")},
+       |w AS (SELECT prompt_id, doc_id AS cand_id, score_fp,
+       |  ROW_NUMBER() OVER (PARTITION BY prompt_id
+       |    ORDER BY score_fp DESC, doc_id) AS rnk,
+       |  CAST(COUNT(*) OVER (PARTITION BY prompt_id) AS BIGINT) AS n_cands,
+       |  MAX(score_fp) OVER (PARTITION BY prompt_id) AS best_score_fp,
+       |  LEAD(score_fp) OVER (PARTITION BY prompt_id
+       |    ORDER BY score_fp DESC, doc_id) AS next_fp
+       |  FROM q)
+       |SELECT prompt_id, cand_id, score_fp, CAST(rnk AS INT) AS rank,
+       |  n_cands, best_score_fp,
+       |  best_score_fp - score_fp AS gap_to_best,
+       |  CAST(coalesce(score_fp - next_fp, -1) AS BIGINT) AS margin_to_next
+       |FROM w WHERE rnk <= 2""".stripMargin
 
   private lazy val corpusMemorizationRiskSql =
     s"""WITH ep(stratum, epochs_permille) AS (VALUES
@@ -4984,6 +5168,10 @@ object OracleOpsQueries {
   val sql: Map[String, String] = Map(
     "corpus_diversity_sketch_exact" -> corpusDiversitySketchExactSql,
     "corpus_priority_sample" -> corpusPrioritySampleSql,
+    "corpus_pref_winrate" -> corpusPrefWinrateSql,
+    "corpus_pref_bt" -> corpusPrefBtSql,
+    "corpus_pref_length_bias" -> corpusPrefLengthBiasSql,
+    "corpus_best_of_n" -> corpusBestOfNSql,
     "corpus_preference_pairs" -> corpusPreferencePairsSql,
     "corpus_thread_paths" -> corpusThreadPathsSql,
     "corpus_thread_audit" -> corpusThreadAuditSql,

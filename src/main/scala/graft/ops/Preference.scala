@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Preference-data analytics for RLHF/DPO pipelines: per-source
+  * win-rates, Bradley–Terry strength ranking (the Chatbot-Arena shape),
+  * verbosity-bias audits, and best-of-n rejection sampling.
+  *
+  * All rates are exact integer fixed point (permille or `scale` units)
+  * so the DuckDB oracle reproduces every row bit-for-bit; confidence
+  * verdicts reuse the cross-multiplied Wilson algebra of
+  * [[CorpusReport.wilsonGate]] (no floating sqrt anywhere).
+  *
+  * Shape at scale: the games/pairs tables are PAIR-sized (bounded by
+  * [[Packing.preferencePairs]]' per-prompt caps upstream); every
+  * aggregate here rolls pairs up to a SOURCES- or BUCKETS-sized frame
+  * with one map-side-combined groupBy, so 100 TB of comparisons costs
+  * one shuffle of pair rows and all downstream algebra runs on a table
+  * the size of the model roster.
+  */
+object Preference {
+
+  /** Per-source win-rate from pairwise preference outcomes (the
+    * leaderboard primitive of LLM eval — e.g. Chatbot Arena, Chiang et
+    * al. '24; AlpacaEval): each input row is one decided comparison
+    * labeled with the WINNER's and LOSER's source (model, data mix,
+    * checkpoint…). Self-games (winner == loser) carry no ranking signal
+    * and are dropped. Output, one row per source:
+    * `n_games`, `n_wins`, exact `win_rate_permille`
+    * (= 1000·wins DIV games), the [[CorpusReport.wilsonGate]] verdict
+    * `beats_p0` that the TRUE win probability exceeds p0 (default 1/2 —
+    * "better than a coin flip at ~97.7% one-sided confidence", the
+    * z²=4 Wilson bound, exact cross-multiplied integers), and `rank` by
+    * (win_rate desc, n_games desc, source).
+    *
+    * Shape at scale: the winner/loser union doubles the pair-sized
+    * input, ONE map-side-combined groupBy collapses it to the roster;
+    * the rank window is unpartitioned but runs on the roster-sized
+    * frame (the [[Splits.evalQuota]] documented-legitimate pattern). */
+  def winRate(games: DataFrame, winner: Column, loser: Column,
+              p0Num: Long = 1L, p0Den: Long = 2L): DataFrame = {
+    val g = graft.operators.Scale.balanceToCores(games)
+      .select(winner.as("__w"), loser.as("__l"))
+      .filter(col("__w") =!= col("__l"))
+    val sides = g.select(col("__w").as("source"), lit(1L).as("__win"))
+      .unionAll(g.select(col("__l").as("source"), lit(0L).as("__win")))
+    val counts = sides.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_games"), sum(col("__win")).as("n_wins"))
+    val wr = Window.orderBy(col("win_rate_permille").desc,
+      col("n_games").desc, col("source"))
+    CorpusReport.wilsonGate(
+        counts.withColumnRenamed("n_games", "n_docs")
+          .withColumnRenamed("n_wins", "n_high"), p0Num, p0Den)
+      .select(col("source"), col("n_docs").as("n_games"),
+        col("n_high").as("n_wins"),
+        expr("(1000 * n_high) DIV n_docs").as("win_rate_permille"),
+        col("margin_a"), col("keep").as("beats_p0"))
+      .withColumn("rank", row_number().over(wr))
+  }
+
+  /** Verbosity-bias audit for preference pairs (Singhal et al. '23 "A
+    * Long Way to Go: Investigating Length Correlations in RLHF"; the
+    * classic reward-hacking failure where "chosen" responses are merely
+    * LONGER): pairs are bucketed by preference margin
+    * (`least(margin_fp DIV bucketFp, maxBucket)`) and each bucket
+    * reports how often the chosen side is the longer one — if the rate
+    * stays high even at low margins, length is leaking into the reward.
+    * Columns per bucket: `n_pairs`, `n_chosen_longer`, `n_ties`
+    * (equal lengths), exact `chosen_longer_permille` over DECIDED
+    * (non-tie) pairs, `sum_delta_chars` (Σ len(chosen) − len(rejected),
+    * exact — emitted as a sum, not a mean, so no signed-division
+    * semantics cross engines), and `longer_than_chance`, the
+    * [[CorpusReport.wilsonGate]] verdict vs p0 = 1/2 on decided pairs
+    * (0 on an all-tie bucket — the vacuous-truth guard).
+    *
+    * Shape at scale: the length table is a (id, length) corpus
+    * projection; both joins are pair-sized hashed equi-joins; ONE
+    * map-side-combined groupBy lands on the ≤ maxBucket+1 frame. */
+  def lengthBias(pairs: DataFrame, docs: DataFrame, id: String,
+                 text: String, bucketFp: Long = 500L,
+                 maxBucket: Long = 4L): DataFrame = {
+    require(bucketFp >= 1 && maxBucket >= 0,
+      s"bucketFp must be >= 1 and maxBucket >= 0: $bucketFp, $maxBucket")
+    val lens = graft.operators.Scale.balanceToCores(docs)
+      .select(col(id).as("__id"), length(col(text)).cast("long").as("__len"))
+    val joined = pairs
+      .join(lens.select(col("__id"), col("__len").as("__clen")),
+        pairs("chosen_id") === col("__id")).drop("__id")
+      .join(lens.select(col("__id"), col("__len").as("__rlen")),
+        pairs("rejected_id") === col("__id")).drop("__id")
+      .withColumn("__delta", col("__clen") - col("__rlen"))
+      .withColumn("margin_bucket",
+        least(expr(s"margin_fp DIV ${bucketFp}L"), lit(maxBucket)))
+    val counts = joined.groupBy(col("margin_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__delta") > 0L, 1L).otherwise(0L))
+          .as("n_chosen_longer"),
+        sum(when(col("__delta") === 0L, 1L).otherwise(0L)).as("n_ties"),
+        sum(col("__delta")).as("sum_delta_chars"))
+    CorpusReport.wilsonGate(
+        counts.withColumn("n_docs", col("n_pairs") - col("n_ties"))
+          .withColumn("n_high", col("n_chosen_longer")), 1L, 2L)
+      .select(col("margin_bucket"), col("n_pairs"), col("n_chosen_longer"),
+        col("n_ties"), col("sum_delta_chars"),
+        expr("""CASE WHEN n_pairs - n_ties > 0
+                THEN (1000 * n_chosen_longer) DIV (n_pairs - n_ties)
+                ELSE 0 END""").as("chosen_longer_permille"),
+        (col("keep") === 1 && col("n_pairs") - col("n_ties") > 0L)
+          .cast("int").as("longer_than_chance"))
+  }
+
+  /** Best-of-n rejection sampling (Llama 2, Touvron et al. '23 §3.2.2;
+    * RAFT, Dong et al. '23): per prompt, keep the top `n` candidates by
+    * reward with the deterministic (score desc, cand_id) tie-break, and
+    * emit the audit columns an SFT-distillation run reads: `n_cands`
+    * (pool size the winner beat), `best_score_fp`, `gap_to_best`
+    * (0 for rank 1), and `margin_to_next` — the score gap to the NEXT
+    * candidate in the full ranking (−1 when none), whose rank-n value
+    * is the acceptance threshold the rejected pool fell under.
+    *
+    * Shape at scale: exactly one prompt-partitioned window shuffle; the
+    * four window functions (row_number, count, max, lead) share the one
+    * sort — the [[Packing.preferencePairs]] cap shape. */
+  def bestOfN(cands: DataFrame, promptId: String, candId: String,
+              scoreFp: Column, n: Int = 1): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val wo = Window.partitionBy(col("prompt_id"))
+      .orderBy(col("score_fp").desc, col("cand_id"))
+    val wp = Window.partitionBy(col("prompt_id"))
+    graft.operators.Scale.balanceToCores(cands)
+      .select(col(promptId).as("prompt_id"), col(candId).as("cand_id"),
+        scoreFp.cast("long").as("score_fp"))
+      .withColumn("rank", row_number().over(wo))
+      .withColumn("n_cands", count(lit(1)).over(wp))
+      .withColumn("best_score_fp", max(col("score_fp")).over(wp))
+      .withColumn("gap_to_best", col("best_score_fp") - col("score_fp"))
+      .withColumn("margin_to_next",
+        coalesce(col("score_fp") - lead(col("score_fp"), 1).over(wo),
+          lit(-1L)))
+      .filter(col("rank") <= n)
+  }
+
+  /** Pure-Scala reference of [[bradleyTerry]]'s integer MM iteration —
+    * the exact arithmetic both the driver loop and the DuckDB mirror
+    * implement, factored out so specs can pin it on hand matrices.
+    * Input: the aggregated game matrix as (winner, loser, count) rows
+    * (self-games already excluded — counts, not expanded games, so a
+    * 100 TB pair table arrives as ≤ roster² rows); returns
+    * (source, strength_fp, n_games, n_wins) sorted by
+    * (strength desc, source).
+    *
+    * The update is Hunter '04's MM algorithm for the Bradley–Terry '52
+    * model, in non-negative integer fixed point (`scale` units, default
+    * 10⁴) so it is bit-reproducible across engines:
+    * {{{
+    *   t_ij   = (n_ij · scale²) DIV max(p_i + p_j, 1)
+    *   p'_i   = (W_i · scale²)  DIV max(Σ_j t_ij, 1)
+    *   p''_i  = (p'_i · nSrc)   DIV max((Σ p') DIV scale, 1)   // Σp'' ≈ nSrc·scale
+    * }}}
+    * Every operand is non-negative, so truncating division (Scala `/`,
+    * DuckDB `//`) agrees. Overflow bound (documented, loud in DuckDB
+    * whose BIGINT multiply raises): with scale = 10⁴ the chain fits
+    * i64 up to ~9·10¹⁰ games per source pair and roster ≤ 64 — the
+    * normalization keeps p ≤ nSrc·scale, so t ≥ n_ij·scale/(2·nSrc)
+    * and p'·nSrc stays under 2⁶³ for W ≤ 9·10¹⁰. */
+  def bradleyTerryLocal(matrix: Seq[(String, String, Long)],
+                        iters: Int = 12, scale: Long = 10000L)
+      : Seq[(String, Long, Long, Long)] = {
+    require(iters >= 1 && scale >= 10,
+      s"iters must be >= 1 and scale >= 10: $iters, $scale")
+    require(matrix.forall(_._3 >= 0), "negative game count")
+    val srcs = matrix.flatMap { case (w, l, _) => Seq(w, l) }.distinct.sorted
+    val nij = matrix.flatMap { case (w, l, n) => Seq(((w, l), n), ((l, w), n)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wins = matrix.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    var p = srcs.map(s => s -> scale).toMap
+    for (_ <- 1 to iters) {
+      val praw = srcs.map { i =>
+        val denom = srcs.filter(_ != i).map { j =>
+          nij.getOrElse((i, j), 0L) * scale * scale /
+            math.max(p(i) + p(j), 1L)
+        }.sum
+        i -> wins.getOrElse(i, 0L) * scale * scale / math.max(denom, 1L)
+      }.toMap
+      val total = praw.values.sum
+      p = srcs.map(i =>
+        i -> praw(i) * srcs.size / math.max(total / scale, 1L)).toMap
+    }
+    srcs.map { i =>
+      val g = srcs.filter(_ != i).map(j => nij.getOrElse((i, j), 0L)).sum
+      (i, p(i), g, wins.getOrElse(i, 0L))
+    }.sortBy { case (s, fp, _, _) => (-fp, s) }
+  }
+
+  /** Bradley–Terry strength ranking over pairwise preference outcomes
+    * (Bradley & Terry '52; Hunter's MM algorithm AoS '04) — the model
+    * behind Chatbot-Arena-style leaderboards, where raw win-rate is
+    * biased by WHO each source happened to play and BT strengths are
+    * not. `iters` fixed MM updates in exact integer arithmetic (see
+    * [[bradleyTerryLocal]] for the update and the overflow bound), so
+    * the result is deterministic and the DuckDB mirror (the same
+    * iterations unrolled as CTEs) matches bit-for-bit. Output, one row
+    * per source: `strength_fp` (`scale` units, Σ ≈ nSrc·scale),
+    * `n_games`, `n_wins`, and `rank` by (strength desc, source).
+    *
+    * Shape at scale: the corpus-sized work is ONE map-side-combined
+    * groupBy from pair rows to the (winner, loser, count) matrix —
+    * ≤ maxSources² rows, hard-`require`d — which is then a sanctioned
+    * small side (the [[Similarity]] pinned-centroid precedent): the
+    * driver iterates the roster-sized MM loop and returns a
+    * roster-sized frame. 100 TB of games never touches the loop. */
+  def bradleyTerry(games: DataFrame, winner: Column, loser: Column,
+                   iters: Int = 12, scale: Long = 10000L,
+                   maxSources: Int = 64): DataFrame = {
+    require(maxSources >= 2, s"maxSources must be >= 2, got $maxSources")
+    val m = graft.operators.Scale.balanceToCores(games)
+      .select(winner.as("__w"), loser.as("__l"))
+      .filter(col("__w") =!= col("__l"))
+      .groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nSrc = m.flatMap(t => Seq(t._1, t._2)).distinct.size
+    require(nSrc <= maxSources,
+      s"bradleyTerry: $nSrc sources exceeds maxSources=$maxSources — " +
+        "the MM loop is roster-sized by contract; raise maxSources " +
+        "deliberately or pre-bucket the roster")
+    val spark = games.sparkSession
+    import spark.implicits._
+    val wr = Window.orderBy(col("strength_fp").desc, col("source"))
+    bradleyTerryLocal(m.toSeq, iters, scale)
+      .toDF("source", "strength_fp", "n_games", "n_wins")
+      .withColumn("rank", row_number().over(wr))
+  }
+}

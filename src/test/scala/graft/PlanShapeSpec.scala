@@ -1032,4 +1032,28 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(domain#".r.findFirstIn(p).nonEmpty,
       s"the per-key cap must window under a (domain, path) exchange:\n$p")
   }
+
+  test("best-of-n pays exactly one shuffle: all four window functions share the prompt exchange") {
+    val p = plan("corpus_best_of_n")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"bestOfN must share one prompt-partitioned exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("win-rate leaderboard: pair-sized hash joins and a map-side-combined roster rollup, no cartesian") {
+    val p = plan("corpus_pref_winrate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    // the sides->counts rollup partial-aggregates below its exchange
+    assert(p.lastIndexOf("HashAggregate") > p.indexOf("Exchange"),
+      s"expected a partial aggregate below an exchange:\n$p")
+  }
+
+  test("length-bias audit: equi-joins only, bucket rollup combined map-side") {
+    val p = plan("corpus_pref_length_bias")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }

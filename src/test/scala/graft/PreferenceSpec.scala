@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Preference
+
+/** Specs for the preference-data analytics suite: win-rate leaderboard,
+  * Bradley–Terry strengths (integer MM), verbosity-bias audit, and
+  * best-of-n rejection sampling. */
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winRate: counts, exact permille, self-game drop, Wilson verdict, rank") {
+    // A beats B 3x and C 1x; B and C split; one self-game (must drop)
+    val games = Seq(("A", "B"), ("A", "B"), ("A", "B"), ("A", "C"),
+      ("B", "C"), ("C", "B"), ("C", "C")).toDF("w", "l")
+    val out = Preference.winRate(games, col("w"), col("l")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(5), r.getInt(6))))
+      .toMap
+    // A: 4/4 wins. Wilson z²=4 at p̂=1, n=4 sits EXACTLY on the bound:
+    // margin_a = 2·6−8 = 4 ≥ 0 and 16·4 = 64 ≥ 4·(0+16) = 64 → beats_p0
+    assert(out("A") === ((4L, 4L, 1000L, 1, 1)))
+    // B: 1/5 (margin_a = −3 → fails); C: 1/3 (margin_a = −1 → fails)
+    assert(out("B") === ((5L, 1L, 200L, 0, 3)))
+    assert(out("C") === ((3L, 1L, 333L, 0, 2)))
+  }
+
+  test("lengthBias: margin buckets, tie guard, bucket cap, Wilson verdict") {
+    // doc k has text of length k
+    val docs = (1 to 60).map(k => (k.toLong, "x" * k)).toDF("id", "txt")
+    def pair(c: Long, r: Long, m: Long) = (c, r, m)
+    val pairs = (
+      // bucket 1 (margin 600): 20 chosen-longer pairs -> verdict fires
+      (1 to 20).map(k => pair(40L + k % 20, k.toLong, 600L)) ++
+      // bucket 2 (margin 1100): one chosen-SHORTER pair
+      Seq(pair(1L, 50L, 1100L)) ++
+      // bucket 4 via the cap (margin 9999 DIV 500 = 19 -> 4): one tie
+      Seq(pair(30L, 30L, 9999L))
+    ).toDF("chosen_id", "rejected_id", "margin_fp")
+    val out = Preference.lengthBias(pairs, docs, "id", "txt").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L))
+    val (n1, long1, tie1, _, pm1, v1) = out(1L)
+    assert((n1, long1, tie1, pm1, v1) === ((20L, 20L, 0L, 1000L, 1)))
+    // chosen shorter: delta = 1 - 50 = -49
+    assert(out(2L) === ((1L, 0L, 0L, -49L, 0L, 0)))
+    // the all-tie bucket: decided = 0 -> rate 0, verdict 0 (vacuous guard)
+    assert(out(4L) === ((1L, 0L, 1L, 0L, 0L, 0)))
+  }
+
+  test("bestOfN: rank tie-break, pool audit, margin_to_next sentinel") {
+    val cands = Seq(
+      (1L, 101L, 100L), (1L, 103L, 90L), (1L, 102L, 90L), (1L, 104L, 10L),
+      (2L, 201L, 55L)
+    ).toDF("p", "c", "s")
+    val out = Preference.bestOfN(cands, "p", "c", col("s"), n = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // rank 1: gap 0, next is the 90-tie winner (102 by id) at margin 10
+    assert(out((1L, 101L)) === ((100L, 1, 4L, 100L, 0L, 10L)))
+    // rank 2 goes to the SMALLER id of the 90-tie; next is 103 at margin 0
+    assert(out((1L, 102L)) === ((90L, 2, 4L, 100L, 10L, 0L)))
+    assert(!out.contains((1L, 103L)) && !out.contains((1L, 104L)))
+    // singleton pool: margin_to_next sentinel -1
+    assert(out((2L, 201L)) === ((55L, 1, 1L, 55L, 0L, -1L)))
+  }
+
+  test("bradleyTerryLocal: 2-source odds ratio, zero-win collapse, count semantics") {
+    // A beats B 3:1 -> BT odds 3:1 -> strengths 15000:5000 at scale 10^4
+    val two = Preference.bradleyTerryLocal(Seq(("A", "B", 3L), ("B", "A", 1L)))
+    assert(two === Seq(("A", 15000L, 4L, 3L), ("B", 5000L, 4L, 1L)))
+    // counts aggregate == unit rows
+    val units = Preference.bradleyTerryLocal(
+      Seq(("A", "B", 1L), ("A", "B", 1L), ("A", "B", 1L), ("B", "A", 1L)))
+    assert(units === two)
+    // a never-winning source collapses to 0; the winner takes the mass
+    val zw = Preference.bradleyTerryLocal(Seq(("A", "B", 2L)))
+    assert(zw === Seq(("A", 20000L, 2L, 2L), ("B", 0L, 2L, 0L)))
+    // transitive chain ranks A > B > C
+    val tri = Preference.bradleyTerryLocal(
+      Seq(("A", "B", 2L), ("B", "A", 1L), ("B", "C", 2L), ("C", "B", 1L)))
+    assert(tri.map(_._1) === Seq("A", "B", "C"))
+    assert(tri(0)._2 > tri(1)._2 && tri(1)._2 > tri(2)._2)
+  }
+
+  test("bradleyTerry: DataFrame matches local reference; roster cap is loud") {
+    val games = Seq(("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"),
+      ("B", "C"), ("A", "A")).toDF("w", "l") // self-game must drop
+    val out = Preference.bradleyTerry(games, col("w"), col("l")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    val local = Preference.bradleyTerryLocal(
+      Seq(("A", "B", 3L), ("B", "A", 1L), ("B", "C", 1L)))
+    assert(out.toSeq === local.zipWithIndex.map { case ((s, p, g, w), i) =>
+      (s, p, g, w, i + 1) })
+    val err = intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(games, col("w"), col("l"), maxSources = 2)
+    }
+    assert(err.getMessage.contains("maxSources"))
+  }
+}
