@@ -2668,6 +2668,33 @@ object OracleOpsQueries {
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
 
+  /** Code-stats gate: the word-soup documents carry no newlines, so the
+    * gate PLANTS code-shaped content — every 9th doc a multi-line
+    * snippet with all five comment-opener classes; every 12th an
+    * auto-generated marker; every 15th a 64-char base64 blob; every
+    * 18th a 64-char hex blob; every 21st a 1200-char line (the
+    * max-line screen). Docs planted with the snippet and nothing else
+    * come out keep = 1 (their avg line length drops under the screen),
+    * so the verdict is exercised both ways. */
+  def textCodeStats(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 9 === 0,
+        lit("\nline one\n# py comment\n  // c comment\n-- sql comment\nreturn 42"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 12 === 0,
+        lit("\nThis file is Auto-Generated. DO NOT EDIT."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 15 === 0,
+        lit("\n" + "QUJDREVGR0hJSktM" * 4)).otherwise(lit("")),
+      when(col("doc_id") % 18 === 0,
+        lit("\n" + "0123456789abcdef" * 4)).otherwise(lit("")),
+      when(col("doc_id") % 21 === 0,
+        lit("\n" + "z" * 1200)).otherwise(lit("")))
+    val cols = TextAnalysis.codeStatsColumns(planted)
+      .map { case (n, c) => c.as(n) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+  }
+
   /** Shared candidate construction for the leaderboard/best-of-n gates:
     * quality scores as rewards, prompts as 20-doc blocks (`doc_id DIV
     * 20`) so each prompt's candidate pool spans all 20 `source`s and
@@ -2729,6 +2756,7 @@ object OracleOpsQueries {
       "prompt_id", "doc_id", col("score_fp"), n = 2)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_stats" -> (textCodeStats _),
     "corpus_pref_winrate" -> (corpusPrefWinrate _),
     "corpus_pref_bt" -> (corpusPrefBt _),
     "corpus_pref_length_bias" -> (corpusPrefLengthBias _),
@@ -4753,6 +4781,45 @@ object OracleOpsQueries {
        |FROM j""".stripMargin
   }
 
+  private lazy val textCodeStatsSql =
+    s"""WITH pl AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'line one' || chr(10) ||
+       |    '# py comment' || chr(10) || '  // c comment' || chr(10) ||
+       |    '-- sql comment' || chr(10) || 'return 42' ELSE '' END ||
+       |  CASE WHEN doc_id % 12 = 0 THEN chr(10) ||
+       |    'This file is Auto-Generated. DO NOT EDIT.' ELSE '' END ||
+       |  CASE WHEN doc_id % 15 = 0 THEN chr(10) ||
+       |    repeat('QUJDREVGR0hJSktM', 4) ELSE '' END ||
+       |  CASE WHEN doc_id % 18 = 0 THEN chr(10) ||
+       |    repeat('0123456789abcdef', 4) ELSE '' END ||
+       |  CASE WHEN doc_id % 21 = 0 THEN chr(10) ||
+       |    repeat('z', 1200) ELSE '' END AS text
+       |  FROM documents),
+       |ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS l FROM pl),
+       |st AS (SELECT doc_id,
+       |  CAST(len(l) AS BIGINT) AS n_lines,
+       |  CAST(coalesce(list_max(list_transform(l, x -> length(x))), 0) AS BIGINT) AS max_line_len,
+       |  CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) AS sum_line,
+       |  CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(list_filter(l, x -> regexp_matches(x, '^\\s*(//|#|--|/\\*|\\*)'))) AS BIGINT) AS n_comment,
+       |  CAST(contains(lower(text), 'auto-generated')
+       |    OR contains(lower(text), 'autogenerated')
+       |    OR contains(lower(text), 'generated by')
+       |    OR contains(lower(text), 'do not edit') AS INT) AS autogen,
+       |  CAST(regexp_matches(text, '[A-Za-z0-9+/=]{64,}') AS INT) AS has_base64_blob,
+       |  CAST(regexp_matches(text, '(?i)[0-9a-f]{64,}') AS INT) AS has_hex_blob
+       |  FROM ls)
+       |SELECT doc_id, n_lines, max_line_len,
+       |  sum_line // n_lines AS avg_line_len,
+       |  (n_alnum * 1000) // greatest(n_chars, 1) AS alnum_permille,
+       |  (n_comment * 1000) // n_lines AS comment_permille,
+       |  autogen, has_base64_blob, has_hex_blob,
+       |  CAST(max_line_len <= 1000 AND sum_line // n_lines <= 100
+       |    AND (n_alnum * 1000) // greatest(n_chars, 1) >= 250
+       |    AND autogen = 0 AS INT) AS keep
+       |FROM st""".stripMargin
+
   private lazy val corpusPrefWinrateSql =
     s"""WITH $prefGamesCtes,
        |sides AS (SELECT winner_src AS source, 1 AS win FROM gm
@@ -5168,6 +5235,7 @@ object OracleOpsQueries {
   val sql: Map[String, String] = Map(
     "corpus_diversity_sketch_exact" -> corpusDiversitySketchExactSql,
     "corpus_priority_sample" -> corpusPrioritySampleSql,
+    "text_code_stats" -> textCodeStatsSql,
     "corpus_pref_winrate" -> corpusPrefWinrateSql,
     "corpus_pref_bt" -> corpusPrefBtSql,
     "corpus_pref_length_bias" -> corpusPrefLengthBiasSql,

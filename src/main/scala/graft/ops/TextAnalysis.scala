@@ -180,6 +180,60 @@ object TextAnalysis {
         when(nTok > 0, nAlpha.cast("double") / nTok.cast("double")).otherwise(lit(0.0)))
   }
 
+  /** Code-corpus quality signals (the BigCode/The-Stack filter family —
+    * Kocetkov et al. "The Stack" '22 §4; Li et al. "StarCoder" '23 §3:
+    * line-length screens, alphanumeric fraction, auto-generated-file
+    * detection, encoded-data blobs): per document —
+    * `n_lines` / `max_line_len` / `avg_line_len` (exact integer, sum DIV
+    * lines), `alnum_permille` (alphanumeric chars per 1000),
+    * `comment_permille` (lines whose first non-space chars open a
+    * comment: slash-slash, hash, dash-dash, slash-star, star), `autogen` (the
+    * "auto-generated / do not edit" marker class), `has_base64_blob` /
+    * `has_hex_blob` (a ≥64-char run of base64 / hex alphabet — minified
+    * or embedded-binary content), and the conjunction `keep` with the
+    * StarCoder-ish defaults (max line ≤ 1000, avg line ≤ 100, alnum ≥
+    * 25%, not autogenerated). Per-rule flags stay exposed: at 100 TB you
+    * audit WHICH screen rejects how much before filtering. Pure
+    * scan-side column algebra — zero shuffles, zero UDFs. */
+  def codeStatsColumns(text: Column): Seq[(String, Column)] = {
+    // exact 64-bit integer division on anonymous columns (non-negative
+    // operands, so it matches DuckDB's // with no double round-trip)
+    def idiv(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+      Bridge.column(IntegralDivide(
+        Bridge.expression(a.cast("long")), Bridge.expression(b.cast("long"))))
+    }
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast("long")
+    val maxLine = coalesce(
+      array_max(transform(lines, l => length(l).cast("long"))), lit(0L))
+    val sumLine = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    val avgLine = idiv(sumLine, nLines) // n_lines >= 1: split of "" is [""]
+    val alnum = idiv(length(regexp_replace(text, "[^A-Za-z0-9]", "")) * 1000L,
+      greatest(length(text), lit(1)))
+    val comment = size(filter(lines,
+      l => l.rlike("^\\s*(//|#|--|/\\*|\\*)"))).cast("long")
+    val commentPermille = idiv(comment * 1000L, nLines)
+    val lowered = lower(text)
+    val autogen = (contains(lowered, lit("auto-generated")) ||
+      contains(lowered, lit("autogenerated")) ||
+      contains(lowered, lit("generated by")) ||
+      contains(lowered, lit("do not edit"))).cast("int")
+    Seq(
+      "n_lines" -> nLines,
+      "max_line_len" -> maxLine,
+      "avg_line_len" -> avgLine,
+      "alnum_permille" -> alnum,
+      "comment_permille" -> commentPermille,
+      "autogen" -> autogen,
+      "has_base64_blob" ->
+        text.rlike("[A-Za-z0-9+/=]{64,}").cast("int"),
+      "has_hex_blob" -> text.rlike("(?i)[0-9a-f]{64,}").cast("int"),
+      "keep" -> (maxLine <= 1000L && avgLine <= 100L && alnum >= 250L &&
+        autogen === 0).cast("int"))
+  }
+
   /** The required-stopword list of the Gopher quality rules (Rae et al.,
     * "Scaling Language Models: Methods, Analysis & Insights from Training
     * Gopher", 2021, §A1.1): a document must contain at least

@@ -3163,4 +3163,34 @@ class OpsSpec extends SparkSpec {
     // same-number short pair: ratio 1000, multiset {42} == {42} -> keep
     assert(out((4L, 5L)) === ((1000L, 1, 1)))
   }
+
+  test("codeStatsColumns: line screens, comment openers, blobs, autogen, keep") {
+    import graft.ops.TextAnalysis
+    val rows = Seq(
+      (1L, "def f(x):\n    # add one\n    return x + 1"),
+      (2L, ""),
+      (3L, "x" * 1200),
+      (4L, "short\nGenerated by tool vX"),
+      (5L, "ok line\n// c\n-- sql\n" + "/" + "* block\n * cont\n.. text"),
+      (6L, "data: " + "0A1b2C3d4E5f6789" * 4)
+    ).toDF("id", "txt")
+    val out = rows.select(col("id") +:
+        TextAnalysis.codeStatsColumns(col("txt")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9))))
+      .toMap
+    // 3 lines, max 16, avg 38 DIV 3 = 12, 19 alnum of 40 chars, 1 comment
+    assert(out(1L) === ((3L, 16L, 12L, 475L, 333L, 0, 0, 0, 1)))
+    // empty text: one zero-length line, alnum screen rejects
+    assert(out(2L) === ((1L, 0L, 0L, 0L, 0L, 0, 0, 0, 0)))
+    // 1200-char line: max-line screen rejects; the x-run IS a base64-ish blob
+    assert(out(3L) === ((1L, 1200L, 1200L, 1000L, 0L, 0, 1, 0, 0)))
+    // 'Generated by' marker: autogen rejects regardless of other signals
+    assert(out(4L) === ((2L, 20L, 12L, 846L, 0L, 1, 0, 0, 0)))
+    // four comment-opener classes fire (//, --, /*, leading *); keep holds
+    assert(out(5L) === ((6L, 8L, 6L, 522L, 666L, 0, 0, 0, 1)))
+    // 64-char hex run is ALSO a base64-alphabet run — both flags fire
+    assert(out(6L) === ((1L, 70L, 70L, 971L, 0L, 0, 1, 1, 1)))
+  }
 }
