@@ -2668,6 +2668,24 @@ object OracleOpsQueries {
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
 
+  /** Heavy-hitters gate: the capacity-64 Misra–Gries summary
+    * ([[graft.functions.MisraGriesAgg]]) over the whitespace token
+    * stream, exploded to (item, n) rows. The corpus vocabulary (31) is
+    * under the capacity, so the sketch runs in its never-decrement
+    * EXACT regime and the DuckDB mirror is plain exact counts — the
+    * bit-exact half of the contract. The eviction regime is
+    * legitimately arrival-order-dependent, so its guarantees
+    * (presence above N/(k+1), lower-bound counts) are property-spec'd
+    * in MisraGriesSpec instead. */
+  def textHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+    toks.agg(graft.functions.MisraGriesAgg.heavy_hitters(col("tok"), 64)
+        .as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("n"))
+  }
+
   /** Code-stats gate: the word-soup documents carry no newlines, so the
     * gate PLANTS code-shaped content — every 9th doc a multi-line
     * snippet with all five comment-opener classes; every 12th an
@@ -2757,6 +2775,7 @@ object OracleOpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_code_stats" -> (textCodeStats _),
+    "text_heavy_hitters" -> (textHeavyHitters _),
     "corpus_pref_winrate" -> (corpusPrefWinrate _),
     "corpus_pref_bt" -> (corpusPrefBt _),
     "corpus_pref_length_bias" -> (corpusPrefLengthBias _),
@@ -4781,6 +4800,11 @@ object OracleOpsQueries {
        |FROM j""".stripMargin
   }
 
+  private lazy val textHeavyHittersSql =
+    s"""WITH $toksCte,
+       |u AS (SELECT unnest(t) AS item FROM toks)
+       |SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1""".stripMargin
+
   private lazy val textCodeStatsSql =
     s"""WITH pl AS (SELECT doc_id, text ||
        |  CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'line one' || chr(10) ||
@@ -5236,6 +5260,7 @@ object OracleOpsQueries {
     "corpus_diversity_sketch_exact" -> corpusDiversitySketchExactSql,
     "corpus_priority_sample" -> corpusPrioritySampleSql,
     "text_code_stats" -> textCodeStatsSql,
+    "text_heavy_hitters" -> textHeavyHittersSql,
     "corpus_pref_winrate" -> corpusPrefWinrateSql,
     "corpus_pref_bt" -> corpusPrefBtSql,
     "corpus_pref_length_bias" -> corpusPrefLengthBiasSql,

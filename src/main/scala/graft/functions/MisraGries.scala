@@ -1,0 +1,143 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries frequent-items summary as a `TypedImperativeAggregate`
+  * (Misra & Gries "Finding repeated elements" '82; merge rule from
+  * Agarwal et al. "Mergeable Summaries" PODS'12 §3.1).
+  *
+  * The scale story: exact token counting at 100 TB shuffles the full
+  * (token, count) table — fine when the vocabulary is bounded, ruinous
+  * on open vocabularies (URLs, n-grams, user ids). This summary keeps at
+  * most `k` counters per partial, combines MAP-SIDE like any algebraic
+  * aggregate, and ships k rows per partition through the shuffle,
+  * with the classic guarantees over a stream of N items:
+  *
+  *  - every item with true frequency f > N/(k+1) is PRESENT in the output;
+  *  - each reported count c satisfies f − N/(k+1) ≤ c ≤ f (a LOWER bound).
+  *
+  * Merge is Agarwal'12: pointwise-sum the two counter sets, and if more
+  * than k counters survive, subtract the (k+1)-th largest count from all
+  * and drop the non-positive — the union keeps the same error bound.
+  *
+  * Determinism contract: when the true distinct-item count is ≤ k the
+  * summary never decrements, so it equals the EXACT counts regardless of
+  * partitioning (the regime the oracle gates bit-exactly). Above k, the
+  * surviving counter set legitimately depends on arrival order — the
+  * guarantees above are what's contracted (property-spec'd), not the
+  * byte image.
+  *
+  * Output: `array<struct<item string, count bigint>>`, sorted by
+  * (count desc, item asc) — deterministic given the counter set.
+  */
+case class MisraGriesAgg(
+    item: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(k > 0, "heavy_hitters requires k > 0")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    item.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a STRING item, got $t")
+    }
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  /** The classic MG step: increment if tracked, insert if room, else
+    * decrement every counter (dropping zeros) — O(k) only on overflow. */
+  private def offer(buf: mutable.HashMap[String, Long], s: String): Unit = {
+    buf.get(s) match {
+      case Some(c) => buf.update(s, c + 1L)
+      case None if buf.size < k => buf.update(s, 1L)
+      case None =>
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.mapValuesInPlace((_, c) => c - 1L)
+        buf.foreach { case (key, c) => if (c <= 0L) dead += key }
+        dead.foreach(buf.remove)
+    }
+  }
+
+  override def update(buf: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = item.eval(input)
+    if (v != null) offer(buf, v.toString)
+    buf
+  }
+
+  override def merge(a: mutable.HashMap[String, Long],
+                     b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (s, c) => a.update(s, a.getOrElse(s, 0L) + c) }
+    if (a.size > k) {
+      // subtract the (k+1)-th largest count from every counter
+      val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      a.mapValuesInPlace((_, c) => c - cut)
+      a.foreach { case (key, c) => if (c <= 0L) dead += key }
+      dead.foreach(a.remove)
+    }
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val sorted = buf.toArray.sortBy { case (s, c) => (-c, s) }
+    new GenericArrayData(sorted.map { case (s, c) =>
+      InternalRow(UTF8String.fromString(s), c) })
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(item)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MisraGriesAgg =
+    copy(item = c(0))
+  override def withNewMutableAggBufferOffset(offset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "heavy_hitters"
+}
+
+object MisraGriesAgg {
+  /** Column API: the k-counter Misra–Gries summary of `item` per group,
+    * `array<struct<item string, count bigint>>` sorted (count desc, item). */
+  def heavy_hitters(item: Column, k: Int): Column =
+    Bridge.column(MisraGriesAgg(Bridge.expression(item), k)
+      .toAggregateExpression())
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.MisraGriesAgg.heavy_hitters
+
+/** Property specs for the Misra–Gries frequent-items aggregate: the
+  * exact regime (distinct ≤ k — partitioning-independent, what the
+  * oracle gates) and the eviction regime's classic guarantees
+  * (presence above N/(k+1), lower-bound counts), which hold for EVERY
+  * arrival order even though the byte image doesn't. */
+class MisraGriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def summarize(items: Seq[String], k: Int, parts: Int): Map[String, Long] =
+    items.toDF("s").repartition(parts)
+      .agg(heavy_hitters(col("s"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("exact regime: distinct <= k reproduces exact counts under any partitioning") {
+    val items = Seq.tabulate(300)(i => s"w${i % 7}")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(summarize(items, k = 8, parts = 1) === truth)
+    assert(summarize(items, k = 8, parts = 7) === truth)
+    // capacity exactly the vocabulary still never decrements
+    assert(summarize(items, k = 7, parts = 5) === truth)
+  }
+
+  test("eviction regime: heavy items present, counts are lower bounds within N/(k+1)") {
+    // one hot item (60 of N=100), 20 distinct fillers x2 each
+    val items = Seq.fill(60)("hot") ++
+      (1 to 20).flatMap(i => Seq(s"f$i", s"f$i"))
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.size
+    val k = 4
+    for (parts <- Seq(1, 5)) {
+      val mg = summarize(items, k, parts)
+      assert(mg.size <= k, s"at most k counters survive: $mg")
+      // guarantee 1: every item with f > N/(k+1) = 20 is present
+      assert(mg.contains("hot"), s"heavy item must survive: $mg")
+      // guarantee 2: each count is a lower bound within N/(k+1)
+      mg.foreach { case (s, c) =>
+        assert(c <= truth(s), s"$s overcounted: $c > ${truth(s)}")
+        assert(c >= truth(s) - n / (k + 1),
+          s"$s undercounted past the bound: $c < ${truth(s)} - ${n / (k + 1)}")
+      }
+    }
+  }
+
+  test("nulls are skipped; empty input yields an empty summary") {
+    val df = Seq[Option[String]](Some("a"), None, Some("a"), None)
+      .toDF("s")
+    val out = df.agg(heavy_hitters(col("s"), 4).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 2L))
+    val empty = spark.emptyDataset[String].toDF("s")
+      .agg(heavy_hitters(col("s"), 4).as("hh"))
+      .select(size(col("hh"))).collect().head.getInt(0)
+    assert(empty === 0)
+  }
+}

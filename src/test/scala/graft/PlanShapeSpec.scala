@@ -1033,6 +1033,17 @@ class PlanShapeSpec extends SparkSpec {
       s"the per-key cap must window under a (domain, path) exchange:\n$p")
   }
 
+  test("heavy hitters combines map-side: k counters per partition through the exchange") {
+    val p = plan("text_heavy_hitters")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
+    // (below the exchange) is what bounds the shuffle to k counters/partition
+    assert(p.contains("ObjectHashAggregate"), p)
+    val exchange = p.indexOf("Exchange")
+    assert(exchange >= 0 && p.lastIndexOf("ObjectHashAggregate") > exchange,
+      s"expected a partial ObjectHashAggregate below the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("best-of-n pays exactly one shuffle: all four window functions share the prompt exchange") {
     val p = plan("corpus_best_of_n")
     assert(!p.contains("CartesianProduct"), p)
