@@ -2713,6 +2713,21 @@ object OracleOpsQueries {
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
 
+  /** Judge-agreement gate: two cheap binary judges of document quality —
+    * the composite quality score at the 0.5 cut vs the bare length
+    * screen (≥ 40 tokens) — per language stratum. The judges CORRELATE
+    * (length feeds the quality score) without agreeing, so po/pe/kappa
+    * land strictly inside (0, 1000) and the chance-correction actually
+    * bites; 5 strata exercise distinct confusion tables. */
+  def corpusJudgeAgreement(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.qualityColumns(col("text")).toMap
+    graft.ops.Preference.judgeAgreement(
+      Tables.documents(s, d),
+      floor(q("quality") * 10000).cast("long") >= 5000L,
+      q("n_tokens") >= 40L,
+      col("lang"))
+  }
+
   /** Shared candidate construction for the leaderboard/best-of-n gates:
     * quality scores as rewards, prompts as 20-doc blocks (`doc_id DIV
     * 20`) so each prompt's candidate pool spans all 20 `source`s and
@@ -2776,6 +2791,7 @@ object OracleOpsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_code_stats" -> (textCodeStats _),
     "text_heavy_hitters" -> (textHeavyHitters _),
+    "corpus_judge_agreement" -> (corpusJudgeAgreement _),
     "corpus_pref_winrate" -> (corpusPrefWinrate _),
     "corpus_pref_bt" -> (corpusPrefBt _),
     "corpus_pref_length_bias" -> (corpusPrefLengthBias _),
@@ -4800,6 +4816,35 @@ object OracleOpsQueries {
        |FROM j""".stripMargin
   }
 
+  private lazy val corpusJudgeAgreementSql =
+    s"""WITH $toksCte,
+       |ft AS (SELECT toks.doc_id, d.lang,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(length(toks.text) AS BIGINT) AS n_chars2,
+       |  CAST(len(regexp_extract_all(toks.text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+       |  CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+       |  FROM toks JOIN documents d ON toks.doc_id = d.doc_id),
+       |j AS (SELECT lang AS stratum,
+       |  CAST(CAST(floor((${qualityExprSql("n_tokens", "n_stopwords", "n_punct", "n_chars2")}) * 10000) AS BIGINT) >= 5000 AS INT) AS a,
+       |  CAST(n_tokens >= 40 AS INT) AS b
+       |  FROM ft),
+       |c AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |  CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |  CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |  CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM j GROUP BY 1),
+       |p AS (SELECT stratum, n, n11, n10, n01, n00,
+       |  ((n11 + n00) * 1000) // n AS po_permille,
+       |  ((1000 * (n11 + n10)) // n) * (n11 + n01) // n
+       |    + ((1000 * (n00 + n01)) // n) * (n00 + n10) // n AS pe_permille
+       |  FROM c)
+       |SELECT stratum, n, n11, n10, n01, n00, po_permille, pe_permille,
+       |  CASE WHEN pe_permille < 1000
+       |    THEN (1000 * (po_permille - pe_permille)) // (1000 - pe_permille)
+       |    ELSE 0 END AS kappa_permille
+       |FROM p""".stripMargin
+
   private lazy val textHeavyHittersSql =
     s"""WITH $toksCte,
        |u AS (SELECT unnest(t) AS item FROM toks)
@@ -5261,6 +5306,7 @@ object OracleOpsQueries {
     "corpus_priority_sample" -> corpusPrioritySampleSql,
     "text_code_stats" -> textCodeStatsSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
+    "corpus_judge_agreement" -> corpusJudgeAgreementSql,
     "corpus_pref_winrate" -> corpusPrefWinrateSql,
     "corpus_pref_bt" -> corpusPrefBtSql,
     "corpus_pref_length_bias" -> corpusPrefLengthBiasSql,

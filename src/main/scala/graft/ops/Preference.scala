@@ -142,6 +142,48 @@ object Preference {
       .filter(col("rank") <= n)
   }
 
+  /** Inter-judge agreement report (Cohen's kappa, Cohen '60 — the
+    * standard annotator-reliability statistic preference/eval pipelines
+    * audit before trusting labels): two binary judges over the same
+    * documents (human vs model, two reward models, a heuristic vs a
+    * classifier), rolled up per stratum into the 2×2 confusion table
+    * plus exact-permille observed agreement `po`, chance agreement `pe`,
+    * and `kappa_permille = 1000·(po−pe) DIV (1000−pe)` (0 when pe
+    * saturates at 1000 — the degenerate all-one-cell table). `pe` uses
+    * the overflow-safe stepped form
+    * `(1000·a1 DIV n)·b1 DIV n + (1000·a0 DIV n)·b0 DIV n` — quantized
+    * to ≤ ~2 permille below the rational value but defined identically
+    * in the DuckDB mirror, and safe at ANY stratum size (the naive
+    * `1000·(a1·b1+a0·b0) DIV n²` overflows i64 past ~68 M docs/stratum).
+    * Negative kappa (disagreement worse than chance) divides truncating
+    * toward zero in BOTH engines (Spark DIV ≡ DuckDB //).
+    *
+    * Shape at scale: judges are scan-side predicates; ONE
+    * map-side-combined groupBy lands on the strata-sized frame. */
+  def judgeAgreement(df: DataFrame, judgeA: Column, judgeB: Column,
+                     stratum: Column): DataFrame =
+    graft.operators.Scale.balanceToCores(df)
+      .select(stratum.as("stratum"),
+        judgeA.cast("int").as("__a"), judgeB.cast("int").as("__b"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") === 1 && col("__b") === 1, 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("__a") === 1 && col("__b") === 0, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("__a") === 0 && col("__b") === 1, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col("__a") === 0 && col("__b") === 0, 1L).otherwise(0L))
+          .as("n00"))
+      .withColumn("po_permille", expr("((n11 + n00) * 1000) DIV n"))
+      .withColumn("pe_permille", expr(
+        """((1000 * (n11 + n10)) DIV n) * (n11 + n01) DIV n
+           + ((1000 * (n00 + n01)) DIV n) * (n00 + n10) DIV n"""))
+      .withColumn("kappa_permille", expr(
+        """CASE WHEN pe_permille < 1000
+           THEN (1000 * (po_permille - pe_permille)) DIV (1000 - pe_permille)
+           ELSE 0 END"""))
+
   /** Pure-Scala reference of [[bradleyTerry]]'s integer MM iteration —
     * the exact arithmetic both the driver loop and the DuckDB mirror
     * implement, factored out so specs can pin it on hand matrices.

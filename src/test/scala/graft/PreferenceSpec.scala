@@ -85,6 +85,26 @@ class PreferenceSpec extends SparkSpec {
     assert(tri(0)._2 > tri(1)._2 && tri(1)._2 > tri(2)._2)
   }
 
+  test("judgeAgreement: kappa on hand confusion tables, degenerate and negative cases") {
+    // s1: balanced 4/1/1/4 -> po 800, pe 500, kappa 600
+    // s2: all-agree-positive -> pe saturates at 1000 -> kappa 0 (guard)
+    // s3: perfect disagreement -> po 0, pe 500, kappa -1000
+    val rows =
+      (Seq.fill(4)(("s1", 1, 1)) ++ Seq(("s1", 1, 0), ("s1", 0, 1)) ++
+        Seq.fill(4)(("s1", 0, 0)) ++
+        Seq.fill(6)(("s2", 1, 1)) ++
+        Seq.fill(5)(("s3", 1, 0)) ++ Seq.fill(5)(("s3", 0, 1)))
+        .toDF("st", "a", "b")
+    val out = graft.ops.Preference.judgeAgreement(rows,
+        col("a") === 1, col("b") === 1, col("st"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(out("s1") === ((10L, 4L, 1L, 1L, 4L, 800L, 500L, 600L)))
+    assert(out("s2") === ((6L, 6L, 0L, 0L, 0L, 1000L, 1000L, 0L)))
+    assert(out("s3") === ((10L, 0L, 5L, 5L, 0L, 0L, 500L, -1000L)))
+  }
+
   test("bradleyTerry: DataFrame matches local reference; roster cap is loud") {
     val games = Seq(("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"),
       ("B", "C"), ("A", "A")).toDF("w", "l") // self-game must drop
