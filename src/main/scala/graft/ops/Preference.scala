@@ -40,14 +40,34 @@ object Preference {
     * the rank window is unpartitioned but runs on the roster-sized
     * frame (the [[Splits.evalQuota]] documented-legitimate pattern). */
   def winRate(games: DataFrame, winner: Column, loser: Column,
-              p0Num: Long = 1L, p0Den: Long = 2L): DataFrame = {
-    val g = graft.operators.Scale.balanceToCores(games)
-      .select(winner.as("__w"), loser.as("__l"))
-      .filter(col("__w") =!= col("__l"))
-    val sides = g.select(col("__w").as("source"), lit(1L).as("__win"))
-      .unionAll(g.select(col("__l").as("source"), lit(0L).as("__win")))
-    val counts = sides.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_games"), sum(col("__win")).as("n_wins"))
+              p0Num: Long = 1L, p0Den: Long = 2L): DataFrame =
+    winRateFromCounts(
+      winCounts(graft.operators.Scale.balanceToCores(games), winner, loser),
+      p0Num, p0Den)
+
+  /** The (source, n_games, n_wins) rollup [[winRate]] and its streaming
+    * face ([[graft.streaming.Streams.winRateCountsStream]]) share:
+    * self-games dropped, each game exploded into a winner row and a
+    * loser row (explode, not self-union — a streaming frame can't union
+    * itself), ONE map-side-combined groupBy to the roster. Runs on a
+    * streaming frame unchanged (update/complete mode — the running
+    * leaderboard shape). */
+  def winCounts(games: DataFrame, winner: Column, loser: Column): DataFrame =
+    games.filter(winner =!= loser)
+      .select(explode(array(
+        struct(winner.cast("string").as("source"), lit(1L).as("win")),
+        struct(loser.cast("string").as("source"), lit(0L).as("win"))))
+        .as("e"))
+      .groupBy(col("e.source").as("source"))
+      .agg(count(lit(1)).as("n_games"), sum(col("e.win")).as("n_wins"))
+
+  /** The Wilson + rate + rank tail of [[winRate]] over a pre-built
+    * (source, n_games, n_wins) frame — factored out so the streaming
+    * leaderboard applies it to each counts snapshot (roster-sized;
+    * the unpartitioned rank window is the documented-legitimate
+    * [[Splits]] eval-quota pattern). */
+  def winRateFromCounts(counts: DataFrame,
+                        p0Num: Long = 1L, p0Den: Long = 2L): DataFrame = {
     val wr = Window.orderBy(col("win_rate_permille").desc,
       col("n_games").desc, col("source"))
     CorpusReport.wilsonGate(
@@ -123,6 +143,29 @@ object Preference {
     * Shape at scale: exactly one prompt-partitioned window shuffle; the
     * four window functions (row_number, count, max, lead) share the one
     * sort — the [[Packing.preferencePairs]] cap shape. */
+  /** Pure per-prompt reference of [[bestOfN]]'s semantics — the SAME
+    * ranking, tie-break and audit arithmetic, applied to a candidate
+    * list; the streaming face holds exactly `top` (the best n+1, which
+    * merges losslessly across micro-batches) plus the seen-count and
+    * calls this at flush. `top` must be the true top-(n+1) of the
+    * `nSeen` candidates; margin_to_next for rank r reads the (r+1)-th
+    * score, which the n+1 window always contains, and the pool-end
+    * sentinel −1 fires exactly when rank r is the last of nSeen.
+    * Returns (cand_id, score_fp, rank, n_cands, best, gap, margin). */
+  def bestOfNLocal(top: Seq[(Long, Long)], nSeen: Long, n: Int)
+      : Seq[(Long, Long, Int, Long, Long, Long, Long)] = {
+    require(n >= 1 && top.size.toLong == math.min(nSeen, (n + 1).toLong),
+      s"top must be the true top-min(nSeen, n+1): n=$n nSeen=$nSeen " +
+        s"|top|=${top.size}")
+    val sorted = top.sortBy { case (id, s) => (-s, id) }
+    val best = sorted.headOption.map(_._2).getOrElse(0L)
+    sorted.take(n).zipWithIndex.map { case ((id, s), i) =>
+      val next =
+        if (i + 1 < sorted.size) s - sorted(i + 1)._2 else -1L
+      (id, s, i + 1, nSeen, best, best - s, next)
+    }
+  }
+
   def bestOfN(cands: DataFrame, promptId: String, candId: String,
               scoreFp: Column, n: Int = 1): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")

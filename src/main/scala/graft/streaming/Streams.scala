@@ -464,6 +464,63 @@ object Streams {
       }
   }
 
+  /** Streaming face of [[graft.ops.Preference.winRate]]'s counts rollup —
+    * the RUNNING leaderboard: games stream in, the per-source
+    * (n_games, n_wins) aggregate updates incrementally (update/complete
+    * mode; it is [[graft.ops.Preference.winCounts]] applied verbatim, so
+    * stream ≡ batch by shared code), and each snapshot feeds the
+    * roster-sized Wilson + rank tail
+    * ([[graft.ops.Preference.winRateFromCounts]]) downstream. */
+  def winRateCountsStream(games: DataFrame, winner: Column,
+                          loser: Column): DataFrame =
+    graft.ops.Preference.winCounts(games, winner, loser)
+
+  case class BestOfNOut(prompt_id: Long, cand_id: Long, score_fp: Long,
+                        rank: Int, n_cands: Long, best_score_fp: Long,
+                        gap_to_best: Long, margin_to_next: Long)
+  /** Per-prompt best-of-n state: the true top-(n+1) by (score desc, id)
+    * — n+1, not n, because rank n's margin_to_next reads the (n+1)-th
+    * score — plus the full seen-count for the pool-size audit. Top-k
+    * merges losslessly across micro-batches, so the flush is exact. */
+  case class BestOfNState(nSeen: Long, top: Seq[(Long, Long)])
+
+  /** Streaming face of [[graft.ops.Preference.bestOfN]] (rejection
+    * sampling over a live generation loop): candidates arrive
+    * incrementally; when a prompt goes idle for `idleFlush` its FINAL
+    * top-n rows are emitted once with the same audit columns as batch —
+    * the [[preferencePairsStream]] discipline, with
+    * [[graft.ops.Preference.bestOfNLocal]] (the batch semantics' pure
+    * reference) applied to state that is itself exact. Per-prompt state
+    * is (n+1)-bounded regardless of pool size. */
+  def bestOfNStream(spark: SparkSession, cands: Dataset[CandEvent],
+                    n: Int = 1, idleFlush: String = "30 seconds")
+      : Dataset[BestOfNOut] = {
+    import spark.implicits._
+    cands.groupByKey(_.prompt_id)
+      .flatMapGroupsWithState[BestOfNState, BestOfNOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (promptId: Long, rows: Iterator[CandEvent], state: GroupState[BestOfNState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toSeq.flatMap { st =>
+              graft.ops.Preference.bestOfNLocal(st.top, st.nSeen, n)
+            }.map { case (id, s, rank, nc, best, gap, margin) =>
+              BestOfNOut(promptId, id, s, rank, nc, best, gap, margin)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val incoming = rows.map(e => (e.cand_id, e.score_fp)).toSeq
+            val st = state.getOption.getOrElse(BestOfNState(0L, Seq.empty))
+            val top = (st.top ++ incoming)
+              .sortBy { case (id, s) => (-s, id) }
+              .take(n + 1)
+            state.update(BestOfNState(st.nSeen + incoming.size, top))
+            state.setTimeoutDuration(idleFlush)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming face of [[graft.ops.Packing.multiTurnDpo]] — the composed
     * chain with the SAME leg-by-leg guarantees each piece already proved:
     * scored candidates arrive as [[CandEvent]]s (prompt_id = the parent

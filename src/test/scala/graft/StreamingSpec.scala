@@ -986,4 +986,72 @@ class StreamingSpec extends SparkSpec {
     // user 1's first session (2 events) closed when the gap appeared
     assert(closed.contains((1L, 2)))
   }
+
+  test("streaming win-rate leaderboard equals batch across micro-batches") {
+    // the counts rollup is winCounts applied verbatim (shared code); the
+    // equivalence to prove is the INCREMENTAL aggregation: games split
+    // over two micro-batches, the complete-mode snapshot after both must
+    // feed the Wilson+rank tail to the same leaderboard as one batch run
+    val batch1 = Seq(("A", "B"), ("A", "B"), ("B", "C"))
+    val batch2 = Seq(("A", "B"), ("A", "C"), ("C", "B"), ("C", "C"))
+    val all = batch1 ++ batch2
+    val ms = MemoryStream[(String, String)](spark)
+    ms.addData(batch1: _*)
+    val q = Streams.winRateCountsStream(
+        ms.toDF.toDF("w", "l"), col("w"), col("l"))
+      .writeStream.format("memory").queryName("winrate_stream")
+      .outputMode("complete").start()
+    val got = try {
+      q.processAllAvailable()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      graft.ops.Preference.winRateFromCounts(spark.table("winrate_stream"))
+        .collect().map(_.toSeq).toSet
+    } finally q.stop()
+    val batch = graft.ops.Preference.winRate(
+        all.toDF("w", "l"), col("w"), col("l"))
+      .collect().map(_.toSeq).toSet
+    assert(got === batch && batch.size === 3)
+  }
+
+  test("streaming best-of-n equals batch, cross-batch arrival and (n+1)-cap eviction") {
+    val batch1 = Seq(
+      Streams.CandEvent(1L, 11L, 9000L), Streams.CandEvent(1L, 12L, 5000L),
+      Streams.CandEvent(1L, 13L, 5000L), // tie: id breaks toward 12
+      Streams.CandEvent(2L, 21L, 7000L)) // singleton: margin sentinel -1
+    val batch2 = Seq(
+      Streams.CandEvent(1L, 14L, 8000L), // late arrival: evicts 13 from n+1
+      Streams.CandEvent(1L, 15L, 1000L), // below the window: only n_cands sees it
+      Streams.CandEvent(3L, 31L, 4000L))
+    val all = batch1 ++ batch2
+    val ms = MemoryStream[Streams.CandEvent](spark)
+    ms.addData(batch1: _*)
+    val q = Streams.bestOfNStream(spark, ms.toDS(), n = 2,
+        idleFlush = "2 seconds")
+      .writeStream.format("memory").queryName("best_of_n_stream")
+      .outputMode("append").start()
+    val got = try {
+      val d0 = System.currentTimeMillis() + 30000
+      while (q.recentProgress.map(_.numInputRows).sum < batch1.size &&
+             System.currentTimeMillis() < d0)
+        Thread.sleep(200)
+      ms.addData(batch2: _*)
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.sql("SELECT DISTINCT prompt_id FROM best_of_n_stream")
+               .count() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      spark.table("best_of_n_stream").collect().map(_.toSeq).toSet
+    } finally q.stop()
+    val batch = graft.ops.Preference.bestOfN(
+        all.toDF("prompt_id", "cand_id", "score_fp"),
+        "prompt_id", "cand_id", col("score_fp"), n = 2)
+      .select("prompt_id", "cand_id", "score_fp", "rank", "n_cands",
+        "best_score_fp", "gap_to_best", "margin_to_next")
+      .collect().map(_.toSeq).toSet
+    assert(got === batch)
+    // prompt 1 kept (11, 14); 12/13/15 rejected but counted in the pool
+    assert(got.exists(r => r(0) == 1L && r(1) == 14L && r(4) == 5L))
+    // rank 2's margin_to_next reads the (n+1)-th score: 8000 - 5000
+    assert(got.exists(r => r(0) == 1L && r(1) == 14L && r(7) == 3000L))
+  }
 }
