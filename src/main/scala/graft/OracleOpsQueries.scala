@@ -1958,6 +1958,15 @@ object OracleOpsQueries {
     graft.ops.Similarity.ivfTopKPinned(Tables.embeddings(s, d), "vec_id", "embedding",
       queryId = 0L, k = 10, nLists = 8, nProbe = 2)
 
+  /** PQ/ADC gate: 8 subspaces × 8 pinned codewords over the 64-dim
+    * embeddings — encode, the query's ADC tables, and the scan are all
+    * mirrored bit-exactly (every distance a left fold in slice order,
+    * the 8 ADC terms summed in subspace order — never a float GROUP BY
+    * reorder). */
+  def simPqAdc(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.pqTopKPinned(Tables.embeddings(s, d), "vec_id",
+      "embedding", queryId = 0L, k = 10, m = 8, nCodes = 8)
+
   /** Random-projection dimensionality reduction (64 → 4) with the same
     * md5-seeded planes as the LSH bucketer; bit-exact dot products. */
   def simProject(s: SparkSession, d: String): DataFrame =
@@ -2843,6 +2852,7 @@ object OracleOpsQueries {
     "sim_lsh_topk" -> (simLshTopK _),
     "sim_lsh_multiprobe" -> (simLshMultiprobe _),
     "sim_ivf_topk" -> (simIvfTopK _),
+    "sim_pq_adc" -> (simPqAdc _),
     "sim_cosine_pairs" -> (simCosinePairs _),
     "sim_embedding_components" -> (simEmbeddingComponents _),
     "sim_project" -> (simProject _),
@@ -5487,6 +5497,26 @@ object OracleOpsQueries {
          |FROM asn a JOIN probe p ON a.list_id = p.cid, q
          |WHERE a.vec_id != 0
          |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
+    "sim_pq_adc" ->
+      s"""WITH $embCte,
+         |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |d AS (SELECT e.vec_id, ss.s, c.cid,
+         |  list_reduce(list_transform(generate_series(1, 8),
+         |    i -> (e.v[ss.s * 8 + i] - c.cv[ss.s * 8 + i])
+         |       * (e.v[ss.s * 8 + i] - c.cv[ss.s * 8 + i])), (x, y) -> x + y) AS dist
+         |  FROM e, cb c, ss),
+         |enc AS (SELECT vec_id, s, cid AS code FROM (
+         |  SELECT vec_id, s, cid, row_number() OVER (
+         |    PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM d)
+         |  WHERE rn = 1),
+         |qt AS (SELECT s, cid, dist FROM d WHERE vec_id = 0),
+         |a AS (SELECT enc.vec_id,
+         |  list_reduce(list(qt.dist ORDER BY enc.s), (x, y) -> x + y) AS adist
+         |  FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.cid
+         |  WHERE enc.vec_id != 0
+         |  GROUP BY enc.vec_id)
+         |SELECT vec_id, adist FROM a ORDER BY adist, vec_id LIMIT 10""".stripMargin,
     "sim_cosine_pairs" ->
       s"""WITH $bucketsCte,
          |bv AS (SELECT e.vec_id, e.v, bk.bucket, sqrt(${dotSql("v", "v")}) AS nrm

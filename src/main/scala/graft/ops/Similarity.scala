@@ -511,6 +511,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization ANN with asymmetric-distance scoring (Jégou,
+    * Douze & Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI'11): vectors split into `m` subspaces of dim/m dims; each
+    * subvector is ENCODED as the index of its nearest sub-codeword, so a
+    * 64-dim float vector compresses to m=8 single-byte codes (32× at
+    * rest and on the wire — the storage lever for 100 TB embedding
+    * corpora, complementary to [[ivfTopKPinned]]'s scan pruning); the
+    * query is NOT encoded — ADC looks each code up in a per-subspace
+    * table of ||q_s − c_{s,j}||² and sums, which is why recall beats
+    * symmetric code-to-code distance at equal bytes (the paper's §III).
+    *
+    * Determinism/gating: codebooks are PINNED to the subvectors of the
+    * `nCodes` smallest ids (the [[ivfTopKPinned]] trick), so encode, the
+    * ADC tables and the scan are all DuckDB-mirrorable bit-exactly: every
+    * distance is a left fold in slice order (0.0 + e₁ ≡ e₁, matching
+    * list_reduce's first-element init), per-subspace argmin takes the min
+    * (dist, code) struct, and the m ADC terms sum in subspace order
+    * (never a float GROUP BY — aggregate reorder would unpin the bits).
+    * K-means codebooks drop in where recall matters; this variant gates
+    * the machinery.
+    *
+    * Shape at scale: codebooks and the query's ADC tables are driver-side
+    * literals over a sanctioned nCodes-row collect; encode + ADC are pure
+    * scan-side column algebra; the top-k order-by-limit ships k rows per
+    * partition (TakeOrderedAndProject). Zero shuffles before the top-k. */
+  def pqTopKPinned(emb: DataFrame, id: String, vec: String, queryId: Long,
+                   k: Int, m: Int = 8, nCodes: Int = 8,
+                   dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim must split evenly into m subspaces: dim=$dim m=$m")
+    val subDim = dim / m
+    val e = emb.select(col(id), asDouble(col(vec)).as("v"))
+    val cents: Array[Seq[Double]] = e.filter(col(id) < nCodes)
+      .orderBy(col(id)).collect().map(_.getSeq[Double](1))
+    require(cents.length == nCodes,
+      s"pqTopKPinned pins codebooks to ids < $nCodes but found only " +
+        s"${cents.length} such ids — the id space must contain 0..${nCodes - 1}")
+    val qv = e.filter(col(id) === queryId).head().getSeq[Double](1)
+    def subSeq(x: Seq[Double], s: Int): Seq[Double] =
+      x.slice(s * subDim, (s + 1) * subDim)
+    def sqdistTo(sub: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(sub, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x)
+    // per-subspace encode: min (dist, code) struct over the codebook
+    val coded = e.select(col(id) +: col("v") +: (0 until m).map { s =>
+      val sub = slice(col("v"), s * subDim + 1, subDim)
+      array_min(array(cents.zipWithIndex.map { case (cw, j) =>
+        struct(sqdistTo(sub, subSeq(cw, s)).as("d"), lit(j).as("i"))
+      }.toSeq: _*)).getField("i").as(s"__c$s")
+    }: _*)
+    // ADC tables: ||q_s − c_{s,j}||², driver-side in the same fold order
+    def sqdLocal(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val dtab: Array[Array[Double]] = Array.tabulate(m, nCodes) { (s, j) =>
+      sqdLocal(subSeq(qv, s), subSeq(cents(j), s))
+    }
+    val adist = (0 until m).map { s =>
+      element_at(array(dtab(s).map(lit).toSeq: _*), col(s"__c$s") + 1)
+    }.reduce(_ + _)
+    coded.filter(col(id) =!= queryId)
+      .select(col(id), adist.as("adist"))
+      .orderBy(asc("adist"), col(id))
+      .limit(k)
+  }
+
   /** Int8 symmetric quantization of an embedding column: per-vector scale =
     * max(|x|)/127, elements rounded to [-127,127]. 4× smaller at rest and on
     * the wire — the storage/shuffle lever for 100 TB embedding corpora;
