@@ -2722,6 +2722,25 @@ object OracleOpsQueries {
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
 
+  /** Ranker-RBO gate: the composite-quality top-10 against the bare
+    * length top-10 — correlated rankers (length feeds quality), so the
+    * per-depth overlap climbs without saturating and the geometric
+    * weighting is exercised at every depth. The ten-row rank windows
+    * run AFTER TakeOrdered limits (never a corpus-wide sort). */
+  def corpusRankerRbo(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qc = TextAnalysis.qualityColumns(col("text")).toMap
+    val scored = Tables.documents(s, d).select(col("doc_id"),
+      floor(qc("quality") * 10000).cast("long").as("score_fp"),
+      qc("n_tokens").as("n_toks"))
+    def top(byCol: String) =
+      scored.orderBy(col(byCol).desc, col("doc_id")).limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col(byCol).desc, col("doc_id"))))
+    graft.ops.Preference.rankerRbo(
+      top("score_fp"), top("n_toks"), "doc_id", "rnk", k = 10)
+  }
+
   /** Judge-agreement gate: two cheap binary judges of document quality —
     * the composite quality score at the 0.5 cut vs the bare length
     * screen (≥ 40 tokens) — per language stratum. The judges CORRELATE
@@ -2801,6 +2820,7 @@ object OracleOpsQueries {
     "text_code_stats" -> (textCodeStats _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "corpus_judge_agreement" -> (corpusJudgeAgreement _),
+    "corpus_ranker_rbo" -> (corpusRankerRbo _),
     "corpus_pref_winrate" -> (corpusPrefWinrate _),
     "corpus_pref_bt" -> (corpusPrefBt _),
     "corpus_pref_length_bias" -> (corpusPrefLengthBias _),
@@ -4826,6 +4846,43 @@ object OracleOpsQueries {
        |FROM j""".stripMargin
   }
 
+  private lazy val corpusRankerRboSql = {
+    val weights = graft.ops.Preference.rboWeightsPpm(10, 9L, 10L)
+    val wValues = weights.zipWithIndex.map { case (w, i) =>
+      if (i == 0) s"(CAST(${i + 1} AS BIGINT), CAST($w AS BIGINT))"
+      else s"(${i + 1}, $w)"
+    }.mkString(", ")
+    s"""WITH $toksCte,
+       |ftr AS (SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_toks,
+       |  CAST(length(text) AS BIGINT) AS n_chars2,
+       |  CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS BIGINT) AS n_punct,
+       |  CAST(len(list_filter(t, x -> list_contains($stopwordsSqlList, x))) AS BIGINT) AS n_stopwords
+       |  FROM toks),
+       |sc AS (SELECT doc_id,
+       |  CAST(floor((${qualityExprSql("n_toks", "n_stopwords", "n_punct", "n_chars2")}) * 10000) AS BIGINT) AS score_fp,
+       |  n_toks FROM ftr),
+       |ra AS (SELECT doc_id, row_number() OVER (
+       |    ORDER BY score_fp DESC, doc_id) AS rnk
+       |  FROM sc ORDER BY score_fp DESC, doc_id LIMIT 10),
+       |rb AS (SELECT doc_id, row_number() OVER (
+       |    ORDER BY n_toks DESC, doc_id) AS rnk
+       |  FROM sc ORDER BY n_toks DESC, doc_id LIMIT 10),
+       |jn AS (SELECT greatest(ra.rnk, rb.rnk) AS m
+       |  FROM ra JOIN rb USING (doc_id)),
+       |dd AS (SELECT unnest(generate_series(1, 10)) AS depth),
+       |ov AS (SELECT dd.depth, CAST(COUNT(jn.m) AS BIGINT) AS overlap
+       |  FROM dd LEFT JOIN jn ON jn.m <= dd.depth GROUP BY 1),
+       |w(depth, weight_ppm) AS (VALUES $wValues),
+       |tt AS (SELECT ov.depth, overlap,
+       |  (1000 * overlap) // ov.depth AS agreement_permille, w.weight_ppm,
+       |  (w.weight_ppm * overlap) // ov.depth AS term
+       |  FROM ov JOIN w ON ov.depth = w.depth)
+       |SELECT depth, overlap, agreement_permille, weight_ppm,
+       |  CAST(SUM(term) OVER (ORDER BY depth) AS BIGINT) AS rbo_cum_ppm
+       |FROM tt""".stripMargin
+  }
+
   private lazy val corpusJudgeAgreementSql =
     s"""WITH $toksCte,
        |ft AS (SELECT toks.doc_id, d.lang,
@@ -5317,6 +5374,7 @@ object OracleOpsQueries {
     "text_code_stats" -> textCodeStatsSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "corpus_judge_agreement" -> corpusJudgeAgreementSql,
+    "corpus_ranker_rbo" -> corpusRankerRboSql,
     "corpus_pref_winrate" -> corpusPrefWinrateSql,
     "corpus_pref_bt" -> corpusPrefBtSql,
     "corpus_pref_length_bias" -> corpusPrefLengthBiasSql,

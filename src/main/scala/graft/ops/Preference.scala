@@ -185,6 +185,56 @@ object Preference {
       .filter(col("rank") <= n)
   }
 
+  /** Rank-biased overlap between two top-k rankings (Webber, Moffat &
+    * Zobel, "A Similarity Measure for Indefinite Rankings", TOIS'10) —
+    * the top-weighted ranker-agreement measure eval pipelines use where
+    * Kendall/Spearman over-weight the tail: how much do two quality
+    * scorers agree about what the BEST documents are? Output, one row
+    * per depth d = 1..k: `overlap` (|top-d(A) ∩ top-d(B)|), exact
+    * `agreement_permille` (= 1000·overlap DIV d), the geometric RBO
+    * weight `weight_ppm` (= 10⁶·(1−p)·p^(d−1), p = pNum/pDen, computed
+    * exactly in BigInt at build time and embedded as literals — no
+    * float pow, no overflow at any k), and the running `rbo_cum_ppm`
+    * (Σ weight·overlap DIV d — the RBO@d prefix, → RBO as d → ∞).
+    *
+    * Shape at scale: the rankings arrive top-k-sized (TakeOrdered /
+    * TopKAgg upstream); everything here is k-sized — one item
+    * equi-join, a k×k depth expansion, a k-row window. The corpus never
+    * enters. */
+  def rankerRbo(a: DataFrame, b: DataFrame, item: String, rank: String,
+                k: Int, pNum: Long = 9L, pDen: Long = 10L): DataFrame = {
+    require(k >= 1 && pNum >= 1 && pNum < pDen,
+      s"need k >= 1 and 0 < p < 1: k=$k p=$pNum/$pDen")
+    val weights = rboWeightsPpm(k, pNum, pDen)
+    val ja = a.select(col(item).as("__i"), col(rank).cast("long").as("__ra"))
+      .filter(col("__ra") <= k)
+    val jb = b.select(col(item).as("__i"), col(rank).cast("long").as("__rb"))
+      .filter(col("__rb") <= k)
+    val joined = ja.join(jb, "__i")
+      .select(greatest(col("__ra"), col("__rb")).as("__m"))
+    val depths = a.sparkSession.range(1, k + 1)
+      .select(col("id").as("depth"))
+    val wmap = map(weights.zipWithIndex.flatMap { case (w, i) =>
+      Seq(lit(i + 1L), lit(w)) }: _*)
+    depths.join(joined, col("__m") <= col("depth"), "left")
+      .groupBy(col("depth")).agg(count(col("__m")).as("overlap"))
+      .withColumn("agreement_permille", expr("(1000 * overlap) DIV depth"))
+      .withColumn("weight_ppm", element_at(wmap, col("depth")))
+      .withColumn("__term", expr("(weight_ppm * overlap) DIV depth"))
+      .withColumn("rbo_cum_ppm",
+        sum(col("__term")).over(Window.orderBy(col("depth"))))
+      .drop("__term")
+  }
+
+  /** The exact ppm RBO weights 10⁶·(1−p)·p^(d−1) for d = 1..k, BigInt
+    * throughout so any k is safe; shared with the oracle-SQL generator
+    * so both engines read the SAME literals. */
+  def rboWeightsPpm(k: Int, pNum: Long, pDen: Long): Seq[Long] =
+    (1 to k).map { d =>
+      (BigInt(1000000) * BigInt(pDen - pNum) * BigInt(pNum).pow(d - 1) /
+        BigInt(pDen).pow(d)).toLong
+    }
+
   /** Inter-judge agreement report (Cohen's kappa, Cohen '60 — the
     * standard annotator-reliability statistic preference/eval pipelines
     * audit before trusting labels): two binary judges over the same

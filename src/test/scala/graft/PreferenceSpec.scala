@@ -85,6 +85,34 @@ class PreferenceSpec extends SparkSpec {
     assert(tri(0)._2 > tri(1)._2 && tri(1)._2 > tri(2)._2)
   }
 
+  test("rankerRbo: identical, disjoint and partial rankings; exact BigInt weights") {
+    import graft.ops.Preference
+    def ranks(items: Seq[Long]) =
+      items.zipWithIndex.map { case (it, i) => (it, i + 1) }.toDF("it", "r")
+    def run(a: Seq[Long], b: Seq[Long], k: Int) =
+      Preference.rankerRbo(ranks(a), ranks(b), "it", "r", k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // identical rankings: agreement 1000 everywhere, rbo = weight prefix sums
+    val same = run(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3)
+    assert(same(1L) === ((1L, 1000L, 100000L, 100000L)))
+    assert(same(2L) === ((2L, 1000L, 90000L, 190000L)))
+    assert(same(3L) === ((3L, 1000L, 81000L, 271000L)))
+    // disjoint rankings: zero at every depth
+    val disj = run(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), 3)
+    assert((1L to 3L).forall(d => disj(d)._1 === 0L && disj(d)._4 === 0L))
+    // partial: A=[1,2,3] B=[2,1,4] -> overlaps 0,2,2
+    val part = run(Seq(1L, 2L, 3L), Seq(2L, 1L, 4L), 3)
+    assert(part(1L) === ((0L, 0L, 100000L, 0L)))
+    assert(part(2L) === ((2L, 1000L, 90000L, 90000L)))
+    assert(part(3L) === ((2L, 666L, 81000L, 144000L)))
+    // BigInt weights stay exact and monotone at depths where a naive
+    // i64 10^6 * 9^(d-1) blows up (d > 20)
+    val w40 = Preference.rboWeightsPpm(40, 9L, 10L)
+    assert(w40.head === 100000L && w40.forall(_ >= 0L))
+    assert(w40.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("judgeAgreement: kappa on hand confusion tables, degenerate and negative cases") {
     // s1: balanced 4/1/1/4 -> po 800, pe 500, kappa 600
     // s2: all-agree-positive -> pe saturates at 1000 -> kappa 0 (guard)
