@@ -2800,6 +2800,22 @@ object OracleOpsQueries {
     graft.ops.Preference.bradleyTerry(prefGames(s, d),
       col("winner_src"), col("loser_src"))
 
+  /** Composed RLHF-analytics gate (see [[corpusRlhfE2eSql]]): win-rate ⨝
+    * Bradley–Terry over ONE shared game table, per-source rows carrying
+    * both rankers' verdicts. */
+  def corpusRlhfE2e(s: SparkSession, d: String): DataFrame = {
+    val games = prefGames(s, d)
+    val wr = graft.ops.Preference.winRate(games,
+        col("winner_src"), col("loser_src"))
+      .select(col("source"), col("n_games"), col("n_wins"),
+        col("win_rate_permille"), col("beats_p0"),
+        col("rank").as("wr_rank"))
+    val bt = graft.ops.Preference.bradleyTerry(games,
+        col("winner_src"), col("loser_src"))
+      .select(col("source"), col("strength_fp"), col("rank").as("bt_rank"))
+    wr.join(bt, Seq("source"))
+  }
+
   /** Verbosity-bias gate: margin-bucketed chosen-longer rates over the
     * block-prompt pairs with real document lengths on both sides. */
   def corpusPrefLengthBias(s: SparkSession, d: String): DataFrame = {
@@ -2824,6 +2840,7 @@ object OracleOpsQueries {
     "corpus_pref_winrate" -> (corpusPrefWinrate _),
     "corpus_pref_bt" -> (corpusPrefBt _),
     "corpus_pref_length_bias" -> (corpusPrefLengthBias _),
+    "corpus_rlhf_e2e" -> (corpusRlhfE2e _),
     "corpus_best_of_n" -> (corpusBestOfN _),
     "corpus_bitext_verify" -> (corpusBitextVerify _),
     "corpus_moore_lewis" -> (corpusMooreLewis _),
@@ -4956,27 +4973,38 @@ object OracleOpsQueries {
        |    AND autogen = 0 AS INT) AS keep
        |FROM st""".stripMargin
 
-  private lazy val corpusPrefWinrateSql =
-    s"""WITH $prefGamesCtes,
-       |sides AS (SELECT winner_src AS source, 1 AS win FROM gm
+  /** The win-rate tail CTEs over `gm` (shared by the standalone gate and
+    * the composed RLHF e2e): exposes `w(source, n_games, n_wins,
+    * margin_a)`. */
+  private val winrateTailCtes =
+    s"""sides AS (SELECT winner_src AS source, 1 AS win FROM gm
        |  UNION ALL SELECT loser_src AS source, 0 AS win FROM gm),
        |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_games,
        |  CAST(SUM(win) AS BIGINT) AS n_wins FROM sides GROUP BY 1),
        |w AS (SELECT *, 2 * (n_wins + 2) - 1 * (n_games + 4) AS margin_a
-       |  FROM c)
-       |SELECT source, n_games, n_wins,
+       |  FROM c)""".stripMargin
+  private val winrateSelectCols =
+    s"""source, n_games, n_wins,
        |  (1000 * n_wins) // n_games AS win_rate_permille, margin_a,
        |  CAST(margin_a >= 0 AND margin_a * margin_a * n_games >=
        |    4 * (4 * n_wins * (n_games - n_wins) + 4 * n_games)
        |    AS INT) AS beats_p0,
        |  CAST(ROW_NUMBER() OVER (ORDER BY (1000 * n_wins) // n_games DESC,
-       |    n_games DESC, source) AS INT) AS rank
+       |    n_games DESC, source) AS INT) AS rank""".stripMargin
+
+  private lazy val corpusPrefWinrateSql =
+    s"""WITH $prefGamesCtes,
+       |$winrateTailCtes
+       |SELECT $winrateSelectCols
        |FROM w""".stripMargin
 
-  /** Unrolled integer MM iterations (Hunter '04) — the exact arithmetic
-    * of [[graft.ops.Preference.bradleyTerryLocal]], one CTE triple per
-    * iteration, scale 10⁴. */
-  private lazy val corpusPrefBtSql = {
+  /** Unrolled integer MM iterations (Hunter '04) over `gm` — the exact
+    * arithmetic of [[graft.ops.Preference.bradleyTerryLocal]], one
+    * MATERIALIZED CTE triple per iteration (plain CTEs inline the
+    * double bt-reference EXPONENTIALLY — 2¹² re-expansions), scale 10⁴.
+    * Exposes `bt12(i, p)`, `ng(i, g)`, `wi(i, wins)` — shared by the
+    * standalone gate and the composed RLHF e2e. */
+  private lazy val btCtes = {
     val S = 10000L
     val S2 = S * S
     val iters = (1 to 12).map { k =>
@@ -4993,8 +5021,7 @@ object OracleOpsQueries {
          |    greatest((SELECT CAST(SUM(praw) AS BIGINT) FROM r$k) // $S, 1) AS p
          |  FROM r$k r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $prefGamesCtes,
-       |mtx AS MATERIALIZED (SELECT winner_src AS i, loser_src AS j,
+    s"""mtx AS MATERIALIZED (SELECT winner_src AS i, loser_src AS j,
        |  CAST(COUNT(*) AS BIGINT) AS w FROM gm GROUP BY 1, 2),
        |nn AS MATERIALIZED (SELECT i, j, CAST(SUM(w) AS BIGINT) AS nij FROM (
        |  SELECT i, j, w FROM mtx UNION ALL SELECT j AS i, i AS j, w FROM mtx)
@@ -5005,13 +5032,36 @@ object OracleOpsQueries {
        |ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM srcs),
        |bt0 AS (SELECT i, CAST($S AS BIGINT) AS p FROM srcs),
        |$iters,
-       |ng AS (SELECT i, CAST(SUM(nij) AS BIGINT) AS g FROM nn GROUP BY 1)
+       |ng AS (SELECT i, CAST(SUM(nij) AS BIGINT) AS g FROM nn GROUP BY 1)""".stripMargin
+  }
+
+  private lazy val corpusPrefBtSql =
+    s"""WITH $prefGamesCtes,
+       |$btCtes
        |SELECT bt12.i AS source, bt12.p AS strength_fp,
        |  ng.g AS n_games, coalesce(wi.wins, 0) AS n_wins,
        |  CAST(ROW_NUMBER() OVER (ORDER BY bt12.p DESC, bt12.i) AS INT) AS rank
        |FROM bt12 JOIN ng ON bt12.i = ng.i
        |LEFT JOIN wi ON bt12.i = wi.i""".stripMargin
-  }
+
+  /** The composed RLHF-analytics chain in ONE gate (the preference-side
+    * analog of corpus_clean_e2e): candidates → capped pairs →
+    * source-labeled games → win-rate leaderboard ⨝ Bradley–Terry
+    * strengths, one row per source. A green row proves the pieces
+    * COMPOSE — the pair cap feeding both tails, the same game table
+    * driving both rankers, the roster join aligning their ranks. */
+  private lazy val corpusRlhfE2eSql =
+    s"""WITH $prefGamesCtes,
+       |$winrateTailCtes,
+       |$btCtes,
+       |wr AS (SELECT $winrateSelectCols
+       |  FROM w)
+       |SELECT wr.source, wr.n_games, wr.n_wins, wr.win_rate_permille,
+       |  wr.beats_p0, wr.rank AS wr_rank,
+       |  bt12.p AS strength_fp,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY bt12.p DESC, bt12.i) AS INT)
+       |    AS bt_rank
+       |FROM wr JOIN bt12 ON wr.source = bt12.i""".stripMargin
 
   private lazy val corpusPrefLengthBiasSql =
     s"""WITH ${prefPairCtesBy("doc_id // 20")},
@@ -5378,6 +5428,7 @@ object OracleOpsQueries {
     "corpus_pref_winrate" -> corpusPrefWinrateSql,
     "corpus_pref_bt" -> corpusPrefBtSql,
     "corpus_pref_length_bias" -> corpusPrefLengthBiasSql,
+    "corpus_rlhf_e2e" -> corpusRlhfE2eSql,
     "corpus_best_of_n" -> corpusBestOfNSql,
     "corpus_preference_pairs" -> corpusPreferencePairsSql,
     "corpus_thread_paths" -> corpusThreadPathsSql,
