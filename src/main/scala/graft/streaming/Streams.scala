@@ -475,6 +475,16 @@ object Streams {
                           loser: Column): DataFrame =
     graft.ops.Preference.winCounts(games, winner, loser)
 
+  /** Streaming face of [[graft.ops.Preference.judgeAgreement]] — the
+    * running annotator-reliability monitor: judged documents stream in,
+    * the per-stratum confusion table aggregates incrementally
+    * (update/complete mode) and the po/pe/kappa tail is scan-side
+    * projection over the agg, so this is the batch op applied VERBATIM
+    * (balanceToCores passes streaming frames through untouched). */
+  def judgeAgreementStream(docs: DataFrame, judgeA: Column, judgeB: Column,
+                           stratum: Column): DataFrame =
+    graft.ops.Preference.judgeAgreement(docs, judgeA, judgeB, stratum)
+
   case class BestOfNOut(prompt_id: Long, cand_id: Long, score_fp: Long,
                         rank: Int, n_cands: Long, best_score_fp: Long,
                         gap_to_best: Long, margin_to_next: Long)

@@ -1033,6 +1033,38 @@ class PlanShapeSpec extends SparkSpec {
       s"the per-key cap must window under a (domain, path) exchange:\n$p")
   }
 
+  test("code stats is pure scan-side: a parquet scan and no exchange at all") {
+    val p = plan("text_code_stats")
+    assert(p.contains("Scan parquet"), p)
+    assert(!p.contains("Exchange"), s"codeStatsColumns must stay scan-side:\n$p")
+  }
+
+  test("ranker RBO: rankings arrive TakeOrdered-bounded, no corpus-wide sort or window") {
+    val p = plan("corpus_ranker_rbo")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length === 2,
+      s"both rankings must be TakeOrdered top-k, never a full sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // the depth expansion joins two k-row broadcast sides — the
+    // non-equi BroadcastNestedLoop here is k x k by construction
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("PQ ADC: zero shuffles before the top-k; codebooks are literals, not joins") {
+    val p = plan("sim_pq_adc")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"encode+ADC must be scan-side column algebra:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
+  test("judge agreement partial-aggregates the confusion counts below the exchange") {
+    val p = plan("corpus_judge_agreement")
+    val exchange = p.indexOf("Exchange")
+    assert(exchange >= 0 && p.lastIndexOf("HashAggregate") > exchange,
+      s"expected a partial HashAggregate below the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("heavy hitters combines map-side: k counters per partition through the exchange") {
     val p = plan("text_heavy_hitters")
     // TypedImperativeAggregate plans as ObjectHashAggregate; the partial

@@ -1014,6 +1014,30 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch && batch.size === 3)
   }
 
+  test("streaming judge agreement equals batch: kappa over incremental confusion tables") {
+    val batch1 = Seq(("s1", 1, 1), ("s1", 1, 0), ("s1", 0, 0), ("s2", 1, 1))
+    val batch2 = Seq(("s1", 1, 1), ("s1", 0, 1), ("s2", 0, 0), ("s2", 0, 0))
+    val all = batch1 ++ batch2
+    val ms = MemoryStream[(String, Int, Int)](spark)
+    ms.addData(batch1: _*)
+    val q = Streams.judgeAgreementStream(
+        ms.toDF.toDF("st", "a", "b"),
+        col("a") === 1, col("b") === 1, col("st"))
+      .writeStream.format("memory").queryName("kappa_stream")
+      .outputMode("complete").start()
+    val got = try {
+      q.processAllAvailable()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      spark.table("kappa_stream").collect().map(_.toSeq).toSet
+    } finally q.stop()
+    val batch = graft.ops.Preference.judgeAgreement(
+        all.toDF("st", "a", "b"),
+        col("a") === 1, col("b") === 1, col("st"))
+      .collect().map(_.toSeq).toSet
+    assert(got === batch && batch.size === 2)
+  }
+
   test("streaming best-of-n equals batch, cross-batch arrival and (n+1)-cap eviction") {
     val batch1 = Seq(
       Streams.CandEvent(1L, 11L, 9000L), Streams.CandEvent(1L, 12L, 5000L),
