@@ -370,6 +370,29 @@ object VecOps {
   }
 }
 
+/** One-pass code-stats scanner (see [[Units.codeLineStats]] for the
+  * semantics contract): `array<bigint>` of [n_lines, max_line_len,
+  * sum_line_len, n_alnum, n_comment_lines, has_base64_blob,
+  * has_hex_blob] in ONE walk over the backing UTF-8 bytes — no decode,
+  * no intermediate line array, codegen'd so the projection stays inside
+  * whole-stage codegen. Both paths route through the same static. */
+case class CodeLineStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Units.codeLineStats(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Units.codeLineStats($c.getBytes())")
+  override protected def withNewChildInternal(c: Expression): CodeLineStats =
+    copy(c)
+  override def prettyName: String = "code_line_stats"
+}
+
 /** Column-level API. */
 object F {
   def dot_product(a: Column, b: Column): Column =
@@ -392,4 +415,6 @@ object F {
     Bridge.column(MapTranslate(Bridge.expression(c), pairs))
   def map_count(c: Column, pairs: Seq[(String, String)]): Column =
     Bridge.column(MapCount(Bridge.expression(c), pairs))
+  def code_line_stats(c: Column): Column =
+    Bridge.column(CodeLineStats(Bridge.expression(c)))
 }

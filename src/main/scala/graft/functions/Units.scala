@@ -79,4 +79,69 @@ object Units {
     * [[graft.functions.NfcNormalize]] route through here. */
   def nfc(s: String): String =
     java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
+  /** One-pass code-stats scanner over UTF-8 bytes — both execution paths
+    * of [[graft.functions.CodeLineStats]] route through here. Replaces
+    * the split + two transforms + aggregate + per-line rlike +
+    * regexp_replace + two blob rlikes chain (≈8 passes over the text)
+    * with ONE byte walk; semantics are pinned to the column-algebra
+    * originals the DuckDB mirror reproduces:
+    *  - lines split on 0x0A keeping trailing empties (split limit −1):
+    *    n_lines = #newlines + 1;
+    *  - line lengths in CODE POINTS (count non-continuation bytes —
+    *    UTF8String.numChars' rule, = DuckDB length());
+    *  - alnum counts ASCII [A-Za-z0-9] bytes (multi-byte chars never
+    *    match — their bytes have the high bit set, same as the regex);
+    *  - comment lines: skip Java-\s leading bytes (space \t \x0B \f \r;
+    *    \n can't occur inside a line), then a //, #, --, slash-star or
+    *    star prefix — the `^\s*(//|#|--|/\*|\*)` state machine;
+    *  - blob flags: a ≥64-byte run of [A-Za-z0-9+/=] (base64) or
+    *    (?i)[0-9a-f] (hex); neither class contains \n or \r or any
+    *    multi-byte lead/continuation byte, so resets mirror the regex.
+    * Returns [n_lines, max_line_len, sum_line_len, n_alnum,
+    * n_comment_lines, has_base64_blob, has_hex_blob]. */
+  def codeLineStats(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    var nLines = 1L; var maxLine = 0L; var sumLine = 0L
+    var alnum = 0L; var comments = 0L; var b64 = 0L; var hex = 0L
+    var lineLen = 0L; var b64run = 0L; var hexRun = 0L
+    var st = 0; var first: Byte = 0; var commentThis = false
+    def endLine(): Unit = {
+      if (lineLen > maxLine) maxLine = lineLen
+      sumLine += lineLen
+      if (commentThis) comments += 1
+      lineLen = 0; st = 0; commentThis = false
+    }
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == '\n') { nLines += 1; endLine(); b64run = 0; hexRun = 0 }
+      else {
+        if ((b & 0xC0) != 0x80) lineLen += 1
+        val isAl = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+          (b >= '0' && b <= '9')
+        if (isAl) alnum += 1
+        if (isAl || b == '+' || b == '/' || b == '=') {
+          b64run += 1; if (b64run >= 64) b64 = 1L
+        } else b64run = 0
+        if ((b >= '0' && b <= '9') || (b >= 'a' && b <= 'f') ||
+            (b >= 'A' && b <= 'F')) {
+          hexRun += 1; if (hexRun >= 64) hex = 1L
+        } else hexRun = 0
+        if (st == 0) {
+          if (b == ' ' || b == '\t' || b == 0x0B || b == '\f' || b == '\r') ()
+          else if (b == '#' || b == '*') { commentThis = true; st = 2 }
+          else if (b == '/' || b == '-') { first = b; st = 1 }
+          else st = 2
+        } else if (st == 1) {
+          if ((first == '/' && (b == '/' || b == '*')) ||
+              (first == '-' && b == '-')) commentThis = true
+          st = 2
+        }
+      }
+      i += 1
+    }
+    endLine()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(nLines, maxLine, sumLine, alnum, comments, b64, hex))
+  }
 }

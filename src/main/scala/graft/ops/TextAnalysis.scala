@@ -204,17 +204,21 @@ object TextAnalysis {
       Bridge.column(IntegralDivide(
         Bridge.expression(a.cast("long")), Bridge.expression(b.cast("long"))))
     }
-    val lines = split(text, "\n", -1)
-    val nLines = size(lines).cast("long")
-    val maxLine = coalesce(
-      array_max(transform(lines, l => length(l).cast("long"))), lit(0L))
-    val sumLine = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    // ONE byte walk for line stats, alnum, comment lines and blob runs
+    // (graft.functions.Units.codeLineStats pins the semantics to the
+    // original split/rlike/regexp_replace column algebra the DuckDB
+    // mirror still computes); whole-stage codegen's subexpression
+    // elimination evaluates the scan once per row across these picks.
+    val st = graft.functions.F.code_line_stats(text)
+    val nLines = element_at(st, 1)
+    val maxLine = element_at(st, 2)
+    val sumLine = element_at(st, 3)
     val avgLine = idiv(sumLine, nLines) // n_lines >= 1: split of "" is [""]
-    val alnum = idiv(length(regexp_replace(text, "[^A-Za-z0-9]", "")) * 1000L,
-      greatest(length(text), lit(1)))
-    val comment = size(filter(lines,
-      l => l.rlike("^\\s*(//|#|--|/\\*|\\*)"))).cast("long")
-    val commentPermille = idiv(comment * 1000L, nLines)
+    // char length reconstructs exactly: Σ line lengths + (n_lines − 1)
+    // newlines — no second pass over the text
+    val charLen = sumLine + nLines - 1L
+    val alnum = idiv(element_at(st, 4) * 1000L, greatest(charLen, lit(1L)))
+    val commentPermille = idiv(element_at(st, 5) * 1000L, nLines)
     val lowered = lower(text)
     val autogen = (contains(lowered, lit("auto-generated")) ||
       contains(lowered, lit("autogenerated")) ||
@@ -227,9 +231,8 @@ object TextAnalysis {
       "alnum_permille" -> alnum,
       "comment_permille" -> commentPermille,
       "autogen" -> autogen,
-      "has_base64_blob" ->
-        text.rlike("[A-Za-z0-9+/=]{64,}").cast("int"),
-      "has_hex_blob" -> text.rlike("(?i)[0-9a-f]{64,}").cast("int"),
+      "has_base64_blob" -> element_at(st, 6).cast("int"),
+      "has_hex_blob" -> element_at(st, 7).cast("int"),
       "keep" -> (maxLine <= 1000L && avgLine <= 100L && alnum >= 250L &&
         autogen === 0).cast("int"))
   }
