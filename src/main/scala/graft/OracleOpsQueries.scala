@@ -2722,6 +2722,27 @@ object OracleOpsQueries {
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
 
+  /** Implicit-preference mining gate (Joachims KDD'02): click beats
+    * viewed-never-clicked per user over the events table, item ids from
+    * the props JSON, caps 4/4/8 so the valves bind on active users. */
+  def corpusImplicitPrefs(s: SparkSession, d: String): DataFrame =
+    graft.ops.Preference.implicitPrefPairs(Tables.events(s, d),
+      col("user_id"), get_json_object(col("props"), "$.k").cast("long"),
+      col("event_type") === "click", col("event_type") === "view",
+      maxPosPerUser = 4, maxNegPerUser = 4, maxPairsPerUser = 8)
+
+  /** The composed implicit-feedback chain: event log → Joachims pairs →
+    * Bradley–Terry ITEM leaderboard (100-item roster, maxSources raised
+    * deliberately — the roster² matrix is still 10⁴ rows). */
+  def corpusImplicitBt(s: SparkSession, d: String): DataFrame = {
+    val pairs = corpusImplicitPrefs(s, d)
+    graft.ops.Preference.bradleyTerry(
+      pairs.select(
+        concat(lit("i"), col("chosen_item").cast("string")).as("w"),
+        concat(lit("i"), col("rejected_item").cast("string")).as("l")),
+      col("w"), col("l"), maxSources = 128)
+  }
+
   /** Ranker-RBO gate: the composite-quality top-10 against the bare
     * length top-10 — correlated rankers (length feeds quality), so the
     * per-depth overlap climbs without saturating and the geometric
@@ -2837,6 +2858,8 @@ object OracleOpsQueries {
     "text_heavy_hitters" -> (textHeavyHitters _),
     "corpus_judge_agreement" -> (corpusJudgeAgreement _),
     "corpus_ranker_rbo" -> (corpusRankerRbo _),
+    "corpus_implicit_prefs" -> (corpusImplicitPrefs _),
+    "corpus_implicit_bt" -> (corpusImplicitBt _),
     "corpus_pref_winrate" -> (corpusPrefWinrate _),
     "corpus_pref_bt" -> (corpusPrefBt _),
     "corpus_pref_length_bias" -> (corpusPrefLengthBias _),
@@ -4863,6 +4886,51 @@ object OracleOpsQueries {
        |FROM j""".stripMargin
   }
 
+  /** The implicit-pair CTE stack over `events` — exposes
+    * `ipr(user_id, chosen_item, rejected_item, pair_rank)` (pre-cap
+    * rank; the gates filter). Shared by the standalone pair gate and
+    * the composed BT leaderboard. */
+  private val implicitPrefCtes =
+    s"""iev AS (SELECT user_id,
+       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+       |  CAST(event_type = 'click' AS INT) AS p,
+       |  CAST(event_type = 'view' AS INT) AS n
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |iui AS (SELECT user_id, item, MAX(p) AS pos, MAX(n) AS neg
+       |  FROM iev GROUP BY 1, 2),
+       |ipos AS (SELECT user_id, item AS chosen_item FROM (
+       |  SELECT user_id, item,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY item) AS r
+       |  FROM iui WHERE pos = 1) WHERE r <= 4),
+       |ineg AS (SELECT user_id, item AS rejected_item FROM (
+       |  SELECT user_id, item,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY item) AS r
+       |  FROM iui WHERE neg = 1 AND pos = 0) WHERE r <= 4),
+       |ipr AS (SELECT ipos.user_id, chosen_item, rejected_item,
+       |  row_number() OVER (PARTITION BY ipos.user_id
+       |    ORDER BY chosen_item, rejected_item) AS pair_rank
+       |  FROM ipos JOIN ineg ON ipos.user_id = ineg.user_id)""".stripMargin
+
+  private lazy val corpusImplicitPrefsSql =
+    s"""WITH $implicitPrefCtes
+       |SELECT user_id, chosen_item, rejected_item,
+       |  CAST(pair_rank AS INT) AS pair_rank
+       |FROM ipr WHERE pair_rank <= 8""".stripMargin
+
+  private lazy val corpusImplicitBtSql =
+    s"""WITH $implicitPrefCtes,
+       |gm AS (SELECT
+       |  'i' || CAST(chosen_item AS VARCHAR) AS winner_src,
+       |  'i' || CAST(rejected_item AS VARCHAR) AS loser_src
+       |  FROM ipr WHERE pair_rank <= 8),
+       |$btCtes
+       |SELECT bt12.i AS source, bt12.p AS strength_fp,
+       |  ng.g AS n_games, coalesce(wi.wins, 0) AS n_wins,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY bt12.p DESC, bt12.i) AS INT) AS rank
+       |FROM bt12 JOIN ng ON bt12.i = ng.i
+       |LEFT JOIN wi ON bt12.i = wi.i""".stripMargin
+
   private lazy val corpusRankerRboSql = {
     val weights = graft.ops.Preference.rboWeightsPpm(10, 9L, 10L)
     val wValues = weights.zipWithIndex.map { case (w, i) =>
@@ -5425,6 +5493,8 @@ object OracleOpsQueries {
     "text_heavy_hitters" -> textHeavyHittersSql,
     "corpus_judge_agreement" -> corpusJudgeAgreementSql,
     "corpus_ranker_rbo" -> corpusRankerRboSql,
+    "corpus_implicit_prefs" -> corpusImplicitPrefsSql,
+    "corpus_implicit_bt" -> corpusImplicitBtSql,
     "corpus_pref_winrate" -> corpusPrefWinrateSql,
     "corpus_pref_bt" -> corpusPrefBtSql,
     "corpus_pref_length_bias" -> corpusPrefLengthBiasSql,

@@ -185,6 +185,50 @@ object Preference {
       .filter(col("rank") <= n)
   }
 
+  /** Implicit pairwise preferences from interaction logs (Joachims,
+    * "Optimizing Search Engines using Clickthrough Data", KDD'02: a
+    * clicked item beats an item the same user saw but never clicked) —
+    * how preference data is MINED when no explicit judgments exist.
+    * Per user: the positive set (any positive event on the item) × the
+    * negative set (a negative-signal event and NO positive one), both
+    * capped per user with the deterministic by-item tie-break, pairs
+    * capped again — so the per-user fan-out is ≤ maxPos·maxNeg by
+    * construction (the [[Packing.preferencePairs]] hot-key valve).
+    * Output: (user_id, chosen_item, rejected_item, pair_rank) — feeds
+    * [[winRate]] / [[bradleyTerry]] for item leaderboards.
+    *
+    * Shape at scale: ONE map-side-combined (user, item) rollup marks
+    * each pair clicked/viewed (no distinct + anti-join — the rollup IS
+    * both); the caps are user-partitioned windows; the pair join is
+    * cap-bounded. Null items are dropped (no silent null-key bucket). */
+  def implicitPrefPairs(events: DataFrame, user: Column, item: Column,
+                        isPos: Column, isNeg: Column,
+                        maxPosPerUser: Int = 8, maxNegPerUser: Int = 8,
+                        maxPairsPerUser: Int = 16): DataFrame = {
+    require(maxPosPerUser >= 1 && maxNegPerUser >= 1 && maxPairsPerUser >= 1,
+      s"caps must be >= 1: $maxPosPerUser, $maxNegPerUser, $maxPairsPerUser")
+    val ui = graft.operators.Scale.balanceToCores(events)
+      .select(user.as("user_id"), item.as("item"),
+        isPos.cast("int").as("__p"), isNeg.cast("int").as("__n"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("item"))
+      .agg(max(col("__p")).as("__pos"), max(col("__n")).as("__neg"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("item"))
+    val pos = ui.filter(col("__pos") === 1)
+      .withColumn("__r", row_number().over(wu))
+      .filter(col("__r") <= maxPosPerUser)
+      .select(col("user_id"), col("item").as("chosen_item"))
+    val neg = ui.filter(col("__neg") === 1 && col("__pos") === 0)
+      .withColumn("__r", row_number().over(wu))
+      .filter(col("__r") <= maxNegPerUser)
+      .select(col("user_id"), col("item").as("rejected_item"))
+    val wp = Window.partitionBy(col("user_id"))
+      .orderBy(col("chosen_item"), col("rejected_item"))
+    pos.join(neg, Seq("user_id"))
+      .withColumn("pair_rank", row_number().over(wp))
+      .filter(col("pair_rank") <= maxPairsPerUser)
+  }
+
   /** Rank-biased overlap between two top-k rankings (Webber, Moffat &
     * Zobel, "A Similarity Measure for Indefinite Rankings", TOIS'10) —
     * the top-weighted ranker-agreement measure eval pipelines use where

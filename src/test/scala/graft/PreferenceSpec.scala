@@ -85,6 +85,36 @@ class PreferenceSpec extends SparkSpec {
     assert(tri(0)._2 > tri(1)._2 && tri(1)._2 > tri(2)._2)
   }
 
+  test("implicitPrefPairs: clicked beats viewed-never-clicked, caps and exclusions") {
+    import graft.ops.Preference
+    val ev = Seq(
+      // user 1: clicks a(1),b(2); views c(3),d(4); ALSO views a -> a stays chosen-only
+      (1L, 1L, "click"), (1L, 2L, "click"), (1L, 1L, "view"),
+      (1L, 3L, "view"), (1L, 4L, "view"),
+      // user 2: views only -> no pairs; user 3: clicks only -> no pairs
+      (2L, 5L, "view"), (3L, 6L, "click"),
+      // user 4: enough items that the caps bind (clicks 10..12, views 20..22)
+      (4L, 10L, "click"), (4L, 11L, "click"), (4L, 12L, "click"),
+      (4L, 20L, "view"), (4L, 21L, "view"), (4L, 22L, "view")
+    ).toDF("u", "it", "t")
+    def mine(maxPos: Int, maxNeg: Int, maxPairs: Int) =
+      Preference.implicitPrefPairs(ev, col("u"), col("it"),
+          col("t") === "click", col("t") === "view",
+          maxPos, maxNeg, maxPairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = mine(8, 8, 16)
+    // user 1: {1,2} x {3,4}; viewed-AND-clicked item 1 is never rejected
+    assert(all.filter(_._1 == 1L) === Set(
+      (1L, 1L, 3L), (1L, 1L, 4L), (1L, 2L, 3L), (1L, 2L, 4L)))
+    assert(!all.exists(t => t._1 == 2L || t._1 == 3L))
+    assert(all.count(_._1 == 4L) === 9)
+    // caps: pos 2 x neg 2 -> 4 pairs for user 4; pair cap cuts to 3 by
+    // the (chosen, rejected) order
+    val capped = mine(2, 2, 3)
+    assert(capped.filter(_._1 == 4L) === Set(
+      (4L, 10L, 20L), (4L, 10L, 21L), (4L, 11L, 20L)))
+  }
+
   test("rankerRbo: identical, disjoint and partial rankings; exact BigInt weights") {
     import graft.ops.Preference
     def ranks(items: Seq[Long]) =
