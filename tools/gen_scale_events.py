@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Generate an N-times-scaled events table for local scale benching of
+the event-log operators (implicit preferences, sessionize, sweep-line).
+Deterministic — a pure transformation of the driver's seed-42 sf0.01
+table, no RNG:
+
+  copy 0:    sf0.01 events verbatim
+  copy k>0:  event_id + k*10000, user_id + k*150, ts + k seconds
+
+User ids are offset per copy so the per-user structure (and therefore
+the implicit-pair count) scales LINEARLY with the corpus — no
+artificial cross-copy mega-users that would fake a superlinear
+workload. Items (props.k) are left unchanged: the item roster stays
+fixed at 100 while games scale, which is exactly the leaderboard
+regime (roster-sized state, corpus-sized evidence).
+
+Usage: python3 tools/gen_scale_events.py [outdir] [copies]
+       (defaults /tmp/graft_ev10, 10; 10k rows/copy)
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.01/events.parquet"
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_ev10"
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+con.execute(f"""
+COPY (
+  SELECT e.event_id + c.k * 10000 AS event_id,
+         e.ts + to_seconds(c.k) AS ts,
+         e.user_id + c.k * 150 AS user_id,
+         e.event_type, e.value, e.props
+  FROM (SELECT * FROM '{SRC}') e
+  CROSS JOIN (SELECT unnest(range({COPIES})) AS k) c
+) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+""")
+n = con.execute(f"SELECT COUNT(*), COUNT(DISTINCT user_id) FROM '{OUT}/events.parquet'").fetchone()
+print(f"wrote {OUT}/events.parquet: rows={n[0]} users={n[1]}")
