@@ -2722,6 +2722,25 @@ object OracleOpsQueries {
     Tables.documents(s, d).select(col("doc_id") +: cols: _*)
   }
 
+  /** Code-normalized dedup gate: every 11th doc is REPLACED by the same
+    * three-line snippet whose only difference is a per-doc comment line
+    * — raw texts are all distinct, normalized texts collide into one
+    * group (the license-header/comment-churn dedup case); everything
+    * else normalizes to its collapsed-space soup and keeps group size
+    * from the corpus's organic exact-dup structure. */
+  def dedupCodeNormalized(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planted = when(col("doc_id") % 11 === 0,
+      concat(lit("x = 1\n  # comment "), col("doc_id").cast("string"),
+        lit("\nreturn x"))).otherwise(col("text"))
+    val w = Window.partitionBy(col("norm_fp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(TextAnalysis.codeNormalize(planted)).as("norm_fp"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", (col("group_size") > 1L).cast("int"))
+  }
+
   /** Implicit-preference mining gate (Joachims KDD'02): click beats
     * viewed-never-clicked per user over the events table, item ids from
     * the props JSON, caps 4/4/8 so the valves bind on active users. */
@@ -2859,6 +2878,7 @@ object OracleOpsQueries {
     "corpus_judge_agreement" -> (corpusJudgeAgreement _),
     "corpus_ranker_rbo" -> (corpusRankerRbo _),
     "corpus_implicit_prefs" -> (corpusImplicitPrefs _),
+    "dedup_code_normalized" -> (dedupCodeNormalized _),
     "corpus_implicit_bt" -> (corpusImplicitBt _),
     "corpus_pref_winrate" -> (corpusPrefWinrate _),
     "corpus_pref_bt" -> (corpusPrefBt _),
@@ -4886,6 +4906,24 @@ object OracleOpsQueries {
        |FROM j""".stripMargin
   }
 
+  private lazy val dedupCodeNormalizedSql =
+    s"""WITH pl AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 11 = 0 THEN 'x = 1' || chr(10) ||
+       |    '  # comment ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       |    'return x' ELSE text END AS text
+       |  FROM documents),
+       |nrm AS (SELECT doc_id, md5(array_to_string(list_filter(
+       |  list_transform(
+       |    list_filter(string_split(text, chr(10)),
+       |      l -> NOT regexp_matches(l, '^\\s*(//|#|--|/\\*|\\*)')),
+       |    l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
+       |  l -> length(l) > 0), chr(10))) AS norm_fp
+       |  FROM pl)
+       |SELECT doc_id, norm_fp,
+       |  CAST(COUNT(*) OVER (PARTITION BY norm_fp) AS BIGINT) AS group_size,
+       |  CAST(COUNT(*) OVER (PARTITION BY norm_fp) > 1 AS INT) AS is_dup
+       |FROM nrm""".stripMargin
+
   /** The implicit-pair CTE stack over `events` — exposes
     * `ipr(user_id, chosen_item, rejected_item, pair_rank)` (pre-cap
     * rank; the gates filter). Shared by the standalone pair gate and
@@ -5494,6 +5532,7 @@ object OracleOpsQueries {
     "corpus_judge_agreement" -> corpusJudgeAgreementSql,
     "corpus_ranker_rbo" -> corpusRankerRboSql,
     "corpus_implicit_prefs" -> corpusImplicitPrefsSql,
+    "dedup_code_normalized" -> dedupCodeNormalizedSql,
     "corpus_implicit_bt" -> corpusImplicitBtSql,
     "corpus_pref_winrate" -> corpusPrefWinrateSql,
     "corpus_pref_bt" -> corpusPrefBtSql,

@@ -237,6 +237,21 @@ object TextAnalysis {
         autogen === 0).cast("int"))
   }
 
+  /** Comment-insensitive code normalization (the form code corpora
+    * dedup on — The Stack '22 dedups near-identical files that differ
+    * only in comments/whitespace; license-header churn is the classic
+    * case): drop comment lines (the [[codeStatsColumns]] opener
+    * predicate), collapse space/tab runs, trim, drop empty lines,
+    * rejoin. Feed the result to a fingerprint for exact-dup grouping —
+    * two files with identical logic and different comments collide.
+    * Pure scan-side column algebra. */
+  def codeNormalize(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    val kept = filter(lines, l => !l.rlike("^\\s*(//|#|--|/\\*|\\*)"))
+    val norm = transform(kept, l => trim(regexp_replace(l, "[ \\t]+", " ")))
+    array_join(filter(norm, l => length(l) > 0), "\n")
+  }
+
   /** The required-stopword list of the Gopher quality rules (Rae et al.,
     * "Scaling Language Models: Methods, Analysis & Insights from Training
     * Gopher", 2021, §A1.1): a document must contain at least

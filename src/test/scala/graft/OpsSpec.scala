@@ -3164,6 +3164,24 @@ class OpsSpec extends SparkSpec {
     assert(out((4L, 5L)) === ((1000L, 1, 1)))
   }
 
+  test("codeNormalize: comment lines dropped, whitespace collapsed, logic preserved") {
+    import graft.ops.TextAnalysis
+    val rows = Seq(
+      (1L, "x = 1\n// MIT license\nreturn   x"),
+      (2L, "x = 1\n# (c) someone else\t2024\nreturn\tx"),   // same logic
+      (3L, "x = 2\n// MIT license\nreturn   x"),            // different logic
+      (4L, "  x = 1  \n\n\nreturn x\n")                     // empty-line churn
+    ).toDF("id", "txt")
+    val out = rows.select(col("id"),
+        TextAnalysis.codeNormalize(col("txt")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "x = 1\nreturn x")
+    assert(out(2L) === out(1L)) // comment/whitespace churn collides
+    assert(out(3L) === "x = 2\nreturn x")
+    assert(out(3L) !== out(1L)) // logic change does not
+    assert(out(4L) === out(1L)) // leading/trailing/empty-line churn too
+  }
+
   test("codeStatsColumns: line screens, comment openers, blobs, autogen, keep") {
     import graft.ops.TextAnalysis
     val rows = Seq(
