@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] on the 128 GiB box: 8g forces GC churn on the heavy
   // dedup/similarity plans; 48g keeps the bench compute-bound
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // The bench marathon JIT-compiles ~680 query executions' worth of
+  // WholeStageCodegen classes; the JDK 17 default 240 MB code cache can
+  // fill mid-suite, silently disabling the JIT compiler (a uniform ~2×
+  // long-JVM slowdown — one named candidate for the r13 in-suite bench
+  // inflation). 512 MB removes the ceiling; Bench's jvm_per_query
+  // code_mb evidence records actual occupancy per query.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -147,6 +147,21 @@ class UnitsSpec extends AnyFunSuite {
     if (b0 >= 0) { assert(t0 >= b0 && s0 >= 0) }
   }
 
+  test("bench JVM evidence probes: GC/heap/code-cache/metaspace readable and sane") {
+    // the r14 per-query evidence fields (jvm_per_query / pass_jvm) are
+    // only useful if these reads are live on this platform: cumulative
+    // GC time is monotone non-negative, the heap and the JIT code heap
+    // are non-empty in any running JVM, and an unknown pool sums to 0
+    // rather than throwing (the artifact must never fail on a JVM whose
+    // pool names differ)
+    val g = Bench.gcMillis()
+    assert(g >= 0 && Bench.gcMillis() >= g)
+    assert(Bench.heapUsedMb() > 0)
+    assert(Bench.poolUsedMb("CodeHeap") + Bench.poolUsedMb("Code Cache") > 0)
+    assert(Bench.poolUsedMb("Metaspace") > 0)
+    assert(Bench.poolUsedMb("no-such-pool-name") === 0)
+  }
+
   test("adaptive initial shuffle partitions: cores at local SFs, byte-sized at scale") {
     // sf0.1 (~66 MB): floors at cores — committed artifacts unchanged
     assert(Bench.adaptiveInitialPartitions(66L << 20, 32) === 32)
