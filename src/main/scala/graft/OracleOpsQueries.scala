@@ -1967,6 +1967,14 @@ object OracleOpsQueries {
     graft.ops.Similarity.pqTopKPinned(Tables.embeddings(s, d), "vec_id",
       "embedding", queryId = 0L, k = 10, m = 8, nCodes = 8)
 
+  /** IVF-PQ composition gate (VERDICT r13 item 6): coarse centroids
+    * pinned to ids 0..7, residual-PQ codebooks to the disjoint ids
+    * 8..15, query probes 2 of 8 lists, ADC-scores only those. */
+  def simIvfPqTopK(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.ivfPqTopKPinned(Tables.embeddings(s, d), "vec_id",
+      "embedding", queryId = 0L, k = 10, nLists = 8, nProbe = 2,
+      m = 8, nCodes = 8)
+
   /** Random-projection dimensionality reduction (64 → 4) with the same
     * md5-seeded planes as the LSH bucketer; bit-exact dot products. */
   def simProject(s: SparkSession, d: String): DataFrame =
@@ -2655,9 +2663,12 @@ object OracleOpsQueries {
     * (TextAnalysis.confusablesSnapshot → confusablesFold) normalizes.
     * The SQL mirror is generated from the SAME parsed snapshot. */
   def textHomoglyphTr39(s: SparkSession, d: String): DataFrame = {
+    // plants every source shape: 1:1 lookalikes, multi-char targets (ⅲ,
+    // the ligature), fullwidth, SEQUENCE sources (ı̇/ȷ̇ — the longest-match
+    // walk path), and NFKC-derived compatibility forms (⒑ → "10.", ᵗʰ)
     val planted = concat(col("text"),
       when(col("doc_id") % 7 === 0,
-        lit(" ԁоwnloаd ⅲ ｆｒｅｅ ոote ℓink ѵery ſoft"))
+        lit(" ԁоwnloаd ⅲ ｆｒｅｅ ոote ℓink ѵery ſoft ı̇ȷ̇dle ⒑ᵗʰ"))
         .otherwise(lit("")))
     val cols = TextAnalysis.homoglyphTr39Columns(planted)
       .map { case (n, c) => c.as(n) }
@@ -2933,6 +2944,7 @@ object OracleOpsQueries {
     "sim_lsh_multiprobe" -> (simLshMultiprobe _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "sim_pq_adc" -> (simPqAdc _),
+    "sim_ivfpq_topk" -> (simIvfPqTopK _),
     "sim_cosine_pairs" -> (simCosinePairs _),
     "sim_embedding_components" -> (simEmbeddingComponents _),
     "sim_project" -> (simProject _),
@@ -4915,7 +4927,7 @@ object OracleOpsQueries {
        |nrm AS (SELECT doc_id, md5(array_to_string(list_filter(
        |  list_transform(
        |    list_filter(string_split(text, chr(10)),
-       |      l -> NOT regexp_matches(l, '^\\s*(//|#|--|/\\*|\\*)')),
+       |      l -> NOT regexp_matches(l, '^[ \\t\\x0B\\f\\r]*(//|#|--|/\\*|\\*)')),
        |    l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
        |  l -> length(l) > 0), chr(10))) AS norm_fp
        |  FROM pl)
@@ -5061,7 +5073,8 @@ object OracleOpsQueries {
        |  CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) AS sum_line,
        |  CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
        |  CAST(length(text) AS BIGINT) AS n_chars,
-       |  CAST(len(list_filter(l, x -> regexp_matches(x, '^\\s*(//|#|--|/\\*|\\*)'))) AS BIGINT) AS n_comment,
+       |  CAST(len(list_filter(l, x -> regexp_matches(x,
+       |    '^[ \\t\\x0B\\f\\r]*(//|#|--|/\\*|\\*)'))) AS BIGINT) AS n_comment,
        |  CAST(contains(lower(text), 'auto-generated')
        |    OR contains(lower(text), 'autogenerated')
        |    OR contains(lower(text), 'generated by')
@@ -5449,25 +5462,43 @@ object OracleOpsQueries {
     * desynchronize the gate. */
   private lazy val textHomoglyphTr39Sql = {
     val entries = TextAnalysis.confusablesSnapshot
-    val (one, multi) = entries.partition {
+    val (one, rest) = entries.partition {
       case (f, t) => f.length == 1 && t.length == 1
     }
     val from = one.map(_._1).mkString
     val to = one.map(_._2).mkString
     val srcClass = entries.map(_._1).filter(_.length == 1).mkString
-    val chain = multi.foldLeft(s"translate(pt, '$from', '$to')") {
-      case (acc, (f, t)) => s"replace($acc, '$f', '$t')"
+    // replace layer FIRST in file order (sequence sources fold before the
+    // translate layer can rewrite their first codepoint), then ONE
+    // translate for the 1:1 entries — the confusablesFoldChain shape.
+    // The ~260 replaces are CHUNKED through stacked CTE layers of 50:
+    // DuckDB's binder rejects expression nesting past 128 frames, so one
+    // flat replace(replace(...)) chain stopped binding at the r14
+    // snapshot size. Each layer rewrites `rpt` and carries the ORIGINAL
+    // `pt` through for the count/spoof columns.
+    val layers = rest.grouped(50).toSeq
+    val layerCtes = layers.zipWithIndex.map { case (grp, li) =>
+      val prev = if (li == 0) "pl" else s"r$li"
+      val src = if (li == 0) "pt" else "rpt"
+      val inner = grp.foldLeft(src) {
+        case (acc, (f, t)) => s"replace($acc, '$f', '$t')"
+      }
+      s"r${li + 1} AS (SELECT doc_id, pt, $inner AS rpt FROM $prev)"
     }
-    s"""WITH pl AS (
-       |  SELECT doc_id, text || (CASE WHEN doc_id % 7 = 0
-       |    THEN ' ԁоwnloаd ⅲ ｆｒｅｅ ոote ℓink ѵery ſoft' ELSE '' END) AS pt
-       |  FROM documents)
+    val last = if (layers.isEmpty) "pl" else s"r${layers.size}"
+    val foldedCol = if (layers.isEmpty) "pt" else "rpt"
+    val ctes = (Seq(
+      s"""pl AS (
+         |  SELECT doc_id, text || (CASE WHEN doc_id % 7 = 0
+         |    THEN ' ԁоwnloаd ⅲ ｆｒｅｅ ոote ℓink ѵery ſoft ı̇ȷ̇dle ⒑ᵗʰ' ELSE '' END) AS pt
+         |  FROM documents)""".stripMargin) ++ layerCtes).mkString(",\n")
+    s"""WITH $ctes
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(pt, '[$srcClass]')) AS BIGINT) AS n_confusables,
        |  CAST(len(regexp_extract_all(pt, '[$srcClass]')) > 0
        |       AND len(regexp_extract_all(pt, '[a-zA-Z]')) > 0 AS INT) AS is_spoofed,
-       |  $chain AS normalized
-       |FROM pl""".stripMargin
+       |  translate($foldedCol, '$from', '$to') AS normalized
+       |FROM $last""".stripMargin
   }
 
   /** Coherent-packing mirror, factored so the coherence AUDIT can embed
@@ -5735,6 +5766,55 @@ object OracleOpsQueries {
          |  WHERE enc.vec_id != 0
          |  GROUP BY enc.vec_id)
          |SELECT vec_id, adist FROM a ORDER BY adist, vec_id LIMIT 10""".stripMargin,
+    "sim_ivfpq_topk" ->
+      s"""WITH $embCte,
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |cb AS (SELECT vec_id - 8 AS j, v AS cw FROM e
+         |       WHERE vec_id >= 8 AND vec_id < 16),
+         |cd AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    list_reduce(list_transform(generate_series(1, 64),
+         |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y) AS dist
+         |  FROM e, cents c),
+         |asn AS (
+         |  SELECT vec_id, v, cid AS list_id FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM cd) WHERE rn = 1),
+         |probe AS (SELECT cid FROM cd WHERE vec_id = 0 ORDER BY dist, cid LIMIT 2),
+         |rs AS (
+         |  SELECT a.vec_id, a.list_id,
+         |    list_transform(generate_series(1, 64), i -> a.v[i] - c.cv[i]) AS rv
+         |  FROM asn a JOIN cents c ON a.list_id = c.cid
+         |  JOIN probe p ON a.list_id = p.cid),
+         |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |ed AS (SELECT rs.vec_id, rs.list_id, ss.s, cb.j,
+         |  list_reduce(list_transform(generate_series(1, 8),
+         |    i -> (rs.rv[ss.s * 8 + i] - cb.cw[ss.s * 8 + i])
+         |       * (rs.rv[ss.s * 8 + i] - cb.cw[ss.s * 8 + i])), (x, y) -> x + y) AS dist
+         |  FROM rs, cb, ss),
+         |enc AS (SELECT vec_id, list_id, s, j AS code FROM (
+         |  SELECT vec_id, list_id, s, j, row_number() OVER (
+         |    PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM ed)
+         |  WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |qr AS (
+         |  SELECT p.cid AS list_id,
+         |    list_transform(generate_series(1, 64), i -> qv[i] - c.cv[i]) AS qrv
+         |  FROM probe p JOIN cents c ON p.cid = c.cid, q),
+         |qt AS (SELECT qr.list_id, ss.s, cb.j,
+         |  list_reduce(list_transform(generate_series(1, 8),
+         |    i -> (qr.qrv[ss.s * 8 + i] - cb.cw[ss.s * 8 + i])
+         |       * (qr.qrv[ss.s * 8 + i] - cb.cw[ss.s * 8 + i])), (x, y) -> x + y) AS dist
+         |  FROM qr, cb, ss),
+         |a AS (SELECT enc.vec_id, enc.list_id,
+         |  list_reduce(list(qt.dist ORDER BY enc.s), (x, y) -> x + y) AS adist
+         |  FROM enc JOIN qt ON enc.list_id = qt.list_id
+         |    AND enc.s = qt.s AND enc.code = qt.j
+         |  WHERE enc.vec_id != 0
+         |  GROUP BY enc.vec_id, enc.list_id)
+         |SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, adist
+         |FROM a ORDER BY adist, vec_id LIMIT 10""".stripMargin,
     "sim_cosine_pairs" ->
       s"""WITH $bucketsCte,
          |bv AS (SELECT e.vec_id, e.v, bk.bucket, sqrt(${dotSql("v", "v")}) AS nrm

@@ -197,32 +197,37 @@ case class PrefixSums(child: Expression) extends UnaryExpression {
   override def prettyName: String = "prefix_sums"
 }
 
-/** Single-pass codepoint→string fold over a confusable table — the engine
+/** Single-pass source→string fold over a confusable table — the engine
   * side of [[graft.ops.TextAnalysis.confusablesFold]]. Semantics: walk the
-  * input left to right, replace every codepoint found in the table by its
-  * target string, copy everything else through. When every source is a
-  * distinct single codepoint and no target contains a source (the TR39
-  * snapshot's invariants, spec-checked), this equals the two-layer
-  * `translate` + `replace`-chain formulation the DuckDB mirror runs — but
-  * it reads the document ONCE instead of 1 + |multi-char entries| times.
-  * The chain re-scans and re-allocates the full document per `replace`
-  * (33 passes for the committed snapshot), the measured dominant term of
-  * text_homoglyph_tr39 at sf10 (92.9 s, bench_history/r13_sf10_newops).
-  * When every source is non-ASCII (`asciiTransparent`), a byte scan proves
-  * a pure-ASCII document unchanged and returns the input buffer with zero
-  * decode or allocation — the common case in a mostly-English corpus. */
+  * input left to right; at each position the longest matching sequence
+  * (multi-codepoint) source wins, else the single-codepoint table, else
+  * copy through — the TR39-skeleton shape, ONE read of the document.
+  * Under the snapshot's generator-enforced invariants (ASCII targets, so
+  * no target contains a source; sequence sources mutually non-overlapping
+  * and longer-before-shorter when one prefixes another; the sequence
+  * layer ordered before the 1:1 layer) this equals the `replace`-chain +
+  * `translate` two-layer formulation the DuckDB mirror runs
+  * (spec-asserted on real data,
+  * [[graft.ops.TextAnalysis.confusablesFoldChain]]). The chain re-scans
+  * and re-allocates the full document per `replace` (33 passes for the
+  * r12 snapshot — the measured dominant term of text_homoglyph_tr39 at
+  * sf10, 92.9 s, bench_history/r13_sf10_newops — and 263 for the r14
+  * snapshot). When every source STARTS non-ASCII (`asciiTransparent`), a
+  * byte scan proves a pure-ASCII document unchanged and returns the input
+  * buffer with zero decode or allocation — the common case in a
+  * mostly-English corpus. */
 case class MapTranslate(child: Expression, pairs: Seq[(String, String)])
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
   override def dataType: DataType = StringType
-  @transient private lazy val table = CpOps.table(pairs)
+  @transient private lazy val table = CpOps.compile(pairs)
   private lazy val asciiT = CpOps.asciiTransparent(pairs)
   override def nullSafeEval(input: Any): Any =
     CpOps.mapTranslate(input.asInstanceOf[UTF8String], table, asciiT)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("cpmap", table, "java.util.HashMap")
+    val ref = ctx.addReferenceObj("cptab", table, "graft.functions.CpTable")
     defineCodeGen(ctx, ev, c => s"graft.functions.CpOps.mapTranslate($c, $ref, $asciiT)")
   }
   override protected def withNewChildInternal(c: Expression): MapTranslate =
@@ -254,13 +259,24 @@ case class MapCount(child: Expression, pairs: Seq[(String, String)])
   override def prettyName: String = "map_count"
 }
 
+/** Compiled confusable table: single-codepoint sources in a hash map,
+  * sequence (multi-codepoint) sources bucketed by first codepoint with
+  * each bucket ordered longest-source-first, so the walk's per-position
+  * match is the longest one. */
+final class CpTable(
+    val singles: java.util.HashMap[Integer, String],
+    val multiByFirst: java.util.HashMap[Integer, Array[Array[String]]])
+  extends Serializable
+
 /** Static helpers for [[MapTranslate]]/[[MapCount]] — called from generated
   * code (Scala object methods compile to static forwarders, the
   * [[Units]]/[[VecOps]] precedent). */
 object CpOps {
   /** Codepoint table from (source, target) pairs; every source must be
     * exactly one codepoint (supplementary-plane sources are one codepoint
-    * at UTF-16 length 2 and are accepted). */
+    * at UTF-16 length 2 and are accepted). [[MapCount]]'s table — counts
+    * are defined over single-codepoint sources only, the class the
+    * mirror's `regexp_count` character class can express. */
   def table(pairs: Seq[(String, String)]): java.util.HashMap[Integer, String] = {
     val m = new java.util.HashMap[Integer, String](pairs.size * 2)
     pairs.foreach { case (f, t) =>
@@ -271,8 +287,36 @@ object CpOps {
     m
   }
 
-  /** True when no source is ASCII — enables the pure-ASCII byte-scan fast
-    * path (a document with no byte ≥ 0x80 provably contains no source). */
+  /** Full table for [[MapTranslate]]: sequence sources accepted. */
+  def compile(pairs: Seq[(String, String)]): CpTable = {
+    val singles = new java.util.HashMap[Integer, String](pairs.size * 2)
+    val multi = new java.util.HashMap[Integer,
+      scala.collection.mutable.ArrayBuffer[Array[String]]]()
+    pairs.foreach { case (f, t) =>
+      require(f.nonEmpty, "map_translate source must be non-empty")
+      if (f.codePointCount(0, f.length) == 1) singles.put(f.codePointAt(0), t)
+      else {
+        val k = Integer.valueOf(f.codePointAt(0))
+        var b = multi.get(k)
+        if (b == null) {
+          b = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+          multi.put(k, b)
+        }
+        b += Array(f, t)
+      }
+    }
+    val out = new java.util.HashMap[Integer, Array[Array[String]]](
+      multi.size * 2)
+    multi.forEach { (k, b) =>
+      out.put(k, b.sortBy(-_(0).length).toArray)
+    }
+    new CpTable(singles, out)
+  }
+
+  /** True when no source STARTS with an ASCII codepoint — enables the
+    * pure-ASCII byte-scan fast path (a document with no byte ≥ 0x80
+    * provably contains no source, since a match must begin with the
+    * source's non-ASCII first codepoint). */
   def asciiTransparent(pairs: Seq[(String, String)]): Boolean =
     pairs.forall(_._1.codePointAt(0) >= 128)
 
@@ -286,8 +330,9 @@ object CpOps {
     true
   }
 
-  /** One pass; returns the INPUT buffer when nothing matched (zero alloc). */
-  def mapTranslate(s: UTF8String, m: java.util.HashMap[Integer, String],
+  /** One pass, longest-match-per-position; returns the INPUT buffer when
+    * nothing matched (zero alloc). */
+  def mapTranslate(s: UTF8String, tab: CpTable,
                    asciiTransparent: Boolean): UTF8String = {
     if (asciiTransparent && pureAscii(s)) return s
     val str = s.toString
@@ -296,9 +341,22 @@ object CpOps {
     var sb: java.lang.StringBuilder = null
     while (j < n) {
       val cp = str.codePointAt(j)
-      val t =
-        if (asciiTransparent && cp < 128) null
-        else m.get(Integer.valueOf(cp))
+      var t: String = null
+      var consumed = Character.charCount(cp)
+      if (!(asciiTransparent && cp < 128)) {
+        val cands =
+          if (tab.multiByFirst.isEmpty) null
+          else tab.multiByFirst.get(Integer.valueOf(cp))
+        if (cands != null) {
+          var i = 0
+          while (i < cands.length && t == null) {
+            val src = cands(i)(0)
+            if (str.startsWith(src, j)) { t = cands(i)(1); consumed = src.length }
+            i += 1
+          }
+        }
+        if (t == null) t = tab.singles.get(Integer.valueOf(cp))
+      }
       if (t != null) {
         if (sb == null) {
           // first hit: copy the untouched prefix, then switch to building
@@ -306,8 +364,8 @@ object CpOps {
           sb.append(str, 0, j)
         }
         sb.append(t)
-      } else if (sb != null) sb.appendCodePoint(cp)
-      j += Character.charCount(cp)
+      } else if (sb != null) sb.append(str, j, j + consumed)
+      j += consumed
     }
     if (sb == null) s else UTF8String.fromString(sb.toString)
   }
@@ -393,6 +451,30 @@ case class CodeLineStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "code_line_stats"
 }
 
+/** One-pass comment-insensitive code normalizer (see [[Units.codeNormalize]]
+  * for the semantics contract): drop comment lines, collapse space/tab
+  * runs, trim, drop empty lines, rejoin — in ONE walk over the backing
+  * UTF-8 bytes with one right-sized output buffer, replacing the
+  * split + rlike + regexp_replace + trim + filter + array_join column
+  * chain that re-scanned and re-allocated every code document ~5 times
+  * (the dedup_code_normalized hot path at corpus scale). Codegen'd; both
+  * paths route through the same static. */
+case class CodeNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Units.codeNormalize(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Units.codeNormalize($c.getBytes())")
+  override protected def withNewChildInternal(c: Expression): CodeNormalize =
+    copy(c)
+  override def prettyName: String = "code_normalize"
+}
+
 /** Column-level API. */
 object F {
   def dot_product(a: Column, b: Column): Column =
@@ -417,4 +499,6 @@ object F {
     Bridge.column(MapCount(Bridge.expression(c), pairs))
   def code_line_stats(c: Column): Column =
     Bridge.column(CodeLineStats(Bridge.expression(c)))
+  def code_normalize(c: Column): Column =
+    Bridge.column(CodeNormalize(Bridge.expression(c)))
 }

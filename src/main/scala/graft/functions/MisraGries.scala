@@ -103,11 +103,19 @@ case class MisraGriesAgg(
       InternalRow(UTF8String.fromString(s), c) })
   }
 
+  // Length-prefixed raw UTF-8, NOT writeUTF (ADVICE r13): modified-UTF-8
+  // caps one string at 65535 bytes and THROWS past it — heavy_hitters is
+  // a public aggregate over arbitrary string columns, so a >64 KB item
+  // (whole-document keys, long URLs) would crash the query at
+  // partial-buffer shuffle time.
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    buf.foreach { case (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -116,7 +124,12 @@ case class MisraGriesAgg(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
-    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+    }
     buf
   }
 

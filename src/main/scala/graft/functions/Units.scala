@@ -144,4 +144,78 @@ object Units {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array(nLines, maxLine, sumLine, alnum, comments, b64, hex))
   }
+
+  /** One-pass comment-insensitive code normalizer over UTF-8 bytes — both
+    * execution paths of [[graft.functions.CodeNormalize]] route through
+    * here. Replaces the split + per-line rlike + regexp_replace + trim +
+    * filter + array_join chain (≈5 allocating passes per document, the
+    * known lever the r13 COVERAGE named for dedup_code_normalized's
+    * exp-1.05) with ONE byte walk; semantics are pinned to the
+    * column-algebra original ([[graft.ops.TextAnalysis.codeNormalizeChain]],
+    * the executable spec) the DuckDB mirror independently reproduces:
+    *  - lines split on 0x0A keeping empties;
+    *  - a line whose leading `[ \t\x0B\f\r]*` run is followed by
+    *    slash-slash, `#`, `--`, slash-star or `*` is dropped (the
+    *    comment-opener class of [[codeLineStats]]; the char class is pinned
+    *    on both engines — ADVICE r13: Java `\s` includes 0x0B, RE2 `\s`
+    *    does not);
+    *  - runs of `[ \t]+` collapse to one space, then leading/trailing
+    *    SPACES (0x20 only — Spark `trim` / DuckDB `trim` semantics)
+    *    are stripped: emission-wise, a space/tab run emits one ' ' only
+    *    when line content was already emitted and more content follows;
+    *  - lines empty after normalization are dropped; survivors join
+    *    with a single 0x0A.
+    * UTF-8 safe byte-wise: every byte the walk inspects is ASCII, and
+    * ASCII values never occur inside multi-byte sequences. Output is
+    * never longer than the input, so one right-sized buffer suffices. */
+  def codeNormalize(bytes: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val out = new Array[Byte](bytes.length)
+    var o = 0
+    var anyLine = false        // a survivor line already in `out`
+    var lineStart = 0          // rewind point (incl. reserved separator)
+    var sepSlot = -1           // reserved '\n' slot, -1 when first line
+    var contentStart = 0       // where this line's bytes begin in `out`
+    var pendingSpace = false   // an uncommitted [ \t]+ run
+    var st = 0; var first: Byte = 0; var isComment = false
+    def beginLine(): Unit = {
+      lineStart = o
+      if (anyLine) { sepSlot = o; o += 1 } else sepSlot = -1
+      contentStart = o
+      pendingSpace = false; st = 0; isComment = false
+    }
+    def endLine(): Unit = {
+      if (!isComment && o > contentStart) {
+        if (sepSlot >= 0) out(sepSlot) = '\n'
+        anyLine = true
+      } else o = lineStart // drop: comment or empty-after-normalize
+    }
+    beginLine()
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == '\n') { endLine(); beginLine() }
+      else {
+        if (st == 0) {
+          if (b == ' ' || b == '\t' || b == 0x0B || b == '\f' || b == '\r') ()
+          else if (b == '#' || b == '*') { isComment = true; st = 2 }
+          else if (b == '/' || b == '-') { first = b; st = 1 }
+          else st = 2
+        } else if (st == 1) {
+          if ((first == '/' && (b == '/' || b == '*')) ||
+              (first == '-' && b == '-')) isComment = true
+          st = 2
+        }
+        if (b == ' ' || b == '\t') pendingSpace = true
+        else {
+          if (pendingSpace && o > contentStart) { out(o) = ' '; o += 1 }
+          pendingSpace = false
+          out(o) = b; o += 1
+        }
+      }
+      i += 1
+    }
+    endLine()
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      java.util.Arrays.copyOf(out, o))
+  }
 }

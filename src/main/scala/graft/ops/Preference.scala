@@ -229,6 +229,25 @@ object Preference {
       .filter(col("pair_rank") <= maxPairsPerUser)
   }
 
+  /** Pure per-user reference of [[implicitPrefPairs]]' semantics, shared
+    * with the streaming face
+    * ([[graft.streaming.Streams.implicitPrefPairsStream]]): positives =
+    * the `maxPos` smallest distinct clicked items, negatives = the
+    * `maxNeg` smallest distinct viewed-never-clicked items, pairs =
+    * their product ordered (chosen, rejected) with 1-based rank, capped
+    * at `maxPairs`. Equal to one user's rows of the batch op by
+    * construction (same caps, same orderings — spec-asserted against
+    * the DataFrame op in StreamingSpec). */
+  def implicitPrefPairsLocal(clicked: Seq[Long], viewed: Seq[Long],
+                             maxPos: Int, maxNeg: Int,
+                             maxPairs: Int): Seq[(Long, Long, Int)] = {
+    val clickedSet = clicked.toSet
+    val pos = clicked.distinct.sorted.take(maxPos)
+    val neg = viewed.distinct.sorted.filterNot(clickedSet).take(maxNeg)
+    pos.flatMap(c => neg.map(r => (c, r))).sorted.take(maxPairs)
+      .zipWithIndex.map { case ((c, r), i) => (c, r, i + 1) }
+  }
+
   /** Rank-biased overlap between two top-k rankings (Webber, Moffat &
     * Zobel, "A Similarity Measure for Indefinite Rankings", TOIS'10) —
     * the top-weighted ranker-agreement measure eval pipelines use where

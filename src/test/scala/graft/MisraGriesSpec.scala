@@ -48,6 +48,24 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("buffer serialization survives >64KB items (no modified-UTF-8 cap)") {
+    // ADVICE r13: writeUTF throws UTFDataFormatException past 65535
+    // encoded bytes; heavy_hitters takes arbitrary string columns, so a
+    // whole-document key must round-trip the partial-buffer shuffle.
+    // 100k chars incl. multi-byte so the UTF-8 length ≠ char length.
+    val big = ("xé𝐀" * 33334).take(100000)
+    val items = Seq.fill(3)(big) ++ Seq("small", "small")
+    // parts > 1 forces serialize/deserialize through the exchange
+    val mg = summarize(items, k = 4, parts = 3)
+    assert(mg === Map(big -> 3L, "small" -> 2L))
+    // direct round trip of the agg buffer statics too
+    val agg = graft.functions.MisraGriesAgg(
+      org.apache.spark.sql.graftbridge.Bridge.expression(col("s")), 4)
+    val buf = agg.createAggregationBuffer()
+    buf.update(big, 7L); buf.update("", 1L)
+    assert(agg.deserialize(agg.serialize(buf)) === buf)
+  }
+
   test("nulls are skipped; empty input yields an empty summary") {
     val df = Seq[Option[String]](Some("a"), None, Some("a"), None)
       .toDF("s")

@@ -348,13 +348,32 @@ class SignalsSpec extends SparkSpec {
         |""".stripMargin
     val parsed = TextAnalysis.parseConfusables(text)
     assert(parsed === Seq("с" -> "c", "ﬃ" -> "ffi", "ℓ" -> "l", "ј" -> "j"))
-    // the committed snapshot parses non-empty with ASCII-only targets and
-    // distinct single-codepoint sources (the fold-chain preconditions)
+    // the committed snapshot parses non-empty with ASCII-only targets,
+    // distinct sources, and the chain-equivalence invariants the fused
+    // longest-match walk's theorem needs (see confusablesFoldChain)
     val snap = TextAnalysis.confusablesSnapshot
-    assert(snap.size > 150)
+    assert(snap.size > 600) // r14: curated core + NFKC-ASCII derivation
     assert(snap.forall { case (_, t) => t.forall(_ < 128) })
     assert(snap.map(_._1).distinct.size === snap.size)
-    assert(snap.forall { case (f, _) => f.codePointCount(0, f.length) == 1 })
+    // every source STARTS non-ASCII (pure-ASCII fast-path soundness)
+    assert(snap.forall { case (f, _) => f.codePointAt(0) >= 128 })
+    val seqs = snap.map(_._1).filter(f => f.codePointCount(0, f.length) > 1)
+    assert(seqs.nonEmpty) // sequence sources present — the walk path is live
+    // sequence sources: mutually non-overlapping (no containment at a
+    // nonzero offset, no suffix-prefix overlap), and when one prefixes
+    // another the longer comes first in file order
+    for (a <- seqs; b <- seqs if a != b) {
+      assert(!b.substring(1).contains(a), s"'$a' inside '$b'")
+      assert(!(1 until math.min(a.length, b.length))
+        .exists(k => b.takeRight(k) == a.take(k)), s"'$a' overlaps '$b'")
+      if (b.startsWith(a))
+        assert(seqs.indexOf(b) < seqs.indexOf(a), s"'$b' must precede its prefix '$a'")
+    }
+    // no single-codepoint source may sit INSIDE a sequence source past
+    // position 0 (the walk would consume it where the chain would not)
+    val singleSrcs = snap.map(_._1)
+      .filter(f => f.codePointCount(0, f.length) == 1).toSet
+    assert(seqs.forall(sq => singleSrcs.forall(s1 => !sq.substring(1).contains(s1))))
     // strict superset of BOTH curated layers — the long tail is real
     val curated = TextAnalysis.homoglyphFrom.map(_.toString).toSet ++
       TextAnalysis.homoglyphLigatures.map(_._1).toSet
@@ -419,12 +438,84 @@ class SignalsSpec extends SparkSpec {
     // null propagates, ASCII fast path returns the very input buffer
     assert(got(8L)._1 === null && got(8L)._2 === -1L)
     val in = org.apache.spark.unsafe.types.UTF8String.fromString("pure ascii")
-    val table = graft.functions.CpOps.table(entries)
+    val table = graft.functions.CpOps.compile(entries)
     assert(graft.functions.CpOps.mapTranslate(in, table, true) eq in)
     // interpreted path (nullSafeEval) agrees with the codegen'd DataFrame run
     val folded = graft.functions.CpOps.mapTranslate(
       org.apache.spark.unsafe.types.UTF8String.fromString(rows(1)._2), table, true)
     assert(folded.toString === want(2L)._1)
+  }
+
+  test("map_translate: longest-match walk on sequence sources ≡ replace-first chain") {
+    // synthetic table exercising every sequence-source shape the snapshot
+    // invariants allow: shared first codepoint with longest-first order,
+    // a sequence whose first codepoint is also a single source, a
+    // supplementary-plane single, multi-char targets
+    val entries: Seq[(String, String)] = Seq(
+      "ı̧̇" -> "I",   // ı + dot + cedilla (3 cps, longest)
+      "ı̇" -> "i",         // ı + dot (prefix of the above)
+      "ȷ̇" -> "j",
+      "ı" -> "i",               // single that prefixes the sequences
+      "е" -> "e",
+      "Ⅳ" -> "IV",              // multi-char target
+      "𝐀" -> "A"          // 𝐀 supplementary single
+    )
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "ı̇ alone and ı bare and ı̧̇ longest",
+      2L -> "ı̇ı̇ adjacent ȷ̇ endı̇",
+      3L -> "mixed еⅣ𝐀 and ascii",
+      4L -> "̇ orphan dot then ı̧ partial",
+      5L -> "pure ascii stays",
+      6L -> ""
+    )
+    val df = rows.toDF("doc_id", "text")
+    def run(c: org.apache.spark.sql.Column): Map[Long, String] =
+      df.select(col("doc_id"), c.as("n")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run(graft.functions.F.map_translate(col("text"), entries))
+    val want = run(TextAnalysis.confusablesFoldChain(col("text"), entries))
+    assert(got === want)
+    assert(got(1L) === "i alone and i bare and I longest")
+    assert(got(2L) === "ii adjacent j endi")
+    assert(got(3L) === "mixed eIVA and ascii")
+    // orphan combining dot passes through; ı before a NON-dot combining
+    // mark folds as the bare single (no sequence match)
+    assert(got(4L) === "̇ orphan dot then i̧ partial")
+  }
+
+  test("code_normalize: one-pass scanner ≡ column-algebra chain on adversarial inputs") {
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "x = 1\n// MIT license\nreturn   x",
+      2L -> "\t\t# lead-tab comment\nx\t=\t1",
+      // vertical tab: in the pinned opener-skip class on BOTH engines
+      // (ADVICE r13), but NOT in the [ \t] collapse class
+      3L -> "# vtab-led comment\nkept vtab line",
+      4L -> "\f# formfeed comment\n\ffoo\r\n-- sql comment\r",
+      5L -> " /* block\n  * cont\n */ tail\nx */ kept",
+      6L -> "x // not a comment line\ny -- nor this",
+      7L -> "- lone dash\n/ lone slash\n-x\n/x",
+      8L -> "   \n\t\n\n",
+      9L -> "  héllo   wörld  \n# c\n𝐀 sup  plane\t𝐀",
+      10L -> "",
+      11L -> null,
+      12L -> "trailing spaces   \nmiddle\f gap\nend\t"
+    ) ++ (13L to 48L).map { i =>
+      val openers = Seq("//", "#", "--", "/*", "*", "")
+      val ws = Seq("", " ", "\t", "", "\f", "\r", " \t")
+      i -> (ws((i % 7).toInt) + openers((i % 6).toInt) + " body " + i +
+        "\n" + ("pad" * (i % 4).toInt) + "\tx  yz ")
+    }
+    val df = rows.toDF("doc_id", "text")
+    def run(c: org.apache.spark.sql.Column): Map[Long, String] =
+      df.select(col("doc_id"), c.as("n")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val got = run(TextAnalysis.codeNormalize(col("text")))
+    val want = run(TextAnalysis.codeNormalizeChain(col("text")))
+    assert(got === want)
+    assert(got(11L) === null && got(10L) === "")
+    // interpreted path (nullSafeEval static) agrees with the codegen'd run
+    assert(graft.functions.Units.codeNormalize(
+      "x = 1\n// c\nreturn  x".getBytes("UTF-8")).toString === "x = 1\nreturn x")
   }
 
   test("memorizationExposureNearDup: cluster sizes come from the component labeling") {

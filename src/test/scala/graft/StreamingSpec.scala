@@ -877,6 +877,62 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(r => r(0) == 1L && r(2) == 14L)) // late arrival ranked
   }
 
+  test("streaming implicit preferences equal batch, incl. cross-batch click-after-view") {
+    // VERDICT r13 item 4: the event log is the one genuinely streaming
+    // input — per-user click/view state assembles across micro-batches
+    // and the idle flush emits each user's FINAL Joachims pairs once.
+    // The adversarial leg: item 3 is VIEWED in batch 1 and CLICKED in
+    // batch 2 — it must move from the negative candidates to the
+    // positives, which a naive viewed-set snapshot per batch would miss.
+    import org.apache.spark.sql.functions.col
+    def ev(u: Long, i: Long, click: Boolean) =
+      Streams.ImplicitEvent(u, i, is_click = click, is_view = !click)
+    val batch1 = Seq(ev(1L, 5L, false), ev(1L, 3L, false), ev(1L, 7L, true),
+      ev(1L, 9L, false), ev(2L, 1L, true), ev(2L, 2L, false))
+    val batch2 = Seq(ev(1L, 3L, true), // click-after-view, crossing batches
+      ev(1L, 1L, false), ev(3L, 4L, false), // view-only user: no pairs
+      ev(2L, 8L, false))
+    val all = batch1 ++ batch2
+    val ms = MemoryStream[Streams.ImplicitEvent](spark)
+    ms.addData(batch1: _*)
+    // 8 s, not the pref-pairs spec's 2 s: query startup on a loaded box
+    // has let the idle flush fire BETWEEN the two addData calls, splitting
+    // u1's state and emitting two partial flushes (observed in r14)
+    val q = Streams.implicitPrefPairsStream(spark, ms.toDS(),
+        maxPosPerUser = 2, maxNegPerUser = 2, maxPairsPerUser = 3,
+        trackPerUser = 4, idleFlush = "8 seconds")
+      .writeStream.format("memory").queryName("implicit_pref_stream")
+      .outputMode("append")
+      .start()
+    val got = try {
+      val d0 = System.currentTimeMillis() + 30000
+      while (q.recentProgress.map(_.numInputRows).sum < batch1.size &&
+             System.currentTimeMillis() < d0)
+        Thread.sleep(200)
+      ms.addData(batch2: _*)
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.sql("SELECT 1 FROM implicit_pref_stream").count() < 5 &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      spark.table("implicit_pref_stream").collect().map(_.toSeq).toSet
+    } finally q.stop()
+    val evDf = all.map(e => (e.user_id, e.item,
+        if (e.is_click) "click" else "view"))
+      .toDF("user_id", "item", "event_type")
+    val batch = graft.ops.Preference.implicitPrefPairs(evDf,
+        col("user_id"), col("item"),
+        col("event_type") === "click", col("event_type") === "view",
+        maxPosPerUser = 2, maxNegPerUser = 2, maxPairsPerUser = 3)
+      .select("user_id", "chosen_item", "rejected_item", "pair_rank")
+      .collect().map(_.toSeq).toSet
+    assert(got === batch)
+    // item 3 really crossed sides: it appears as a CHOSEN item and never
+    // as a rejected one, and the view-only user emitted nothing
+    assert(got.exists(r => r(0) == 1L && r(1) == 3L))
+    assert(!got.exists(r => r(2) == 3L))
+    assert(!got.exists(r => r(0) == 3L))
+  }
+
   test("streaming DPO rendering over a pair stream equals batch (stream-static joins)") {
     // dpoRender's pair table is the STREAMING side (preference pairs come
     // off the live ranking loop); prompts and responses are static tables

@@ -47,9 +47,21 @@ for h, t in [("03B1", "a"), ("03BF", "o"), ("03BD", "v"), ("03B9", "i"),
 for h, t in [("0578", "n"), ("0585", "o"), ("057D", "u"), ("0570", "h"),
              ("0575", "j")]:
     cp(h, t)
-# --- Latin long tail: dotless i, long s
+# --- Latin long tail: dotless i, dotless j, long s
 cp("0131", "i")
+cp("0237", "j")
 cp("017F", "f")
+
+# --- Sequence (multi-codepoint) sources: a dotless base letter plus
+#     COMBINING DOT ABOVE renders exactly as the dotted ASCII letter —
+#     the canonical sequence-source shape of the published TR39 file
+#     (and the shape the fused walk's longest-match path exists for).
+#     First codepoints are non-ASCII, so the pure-ASCII fast path
+#     stays sound.
+SEQ_ENTRIES = [
+    ((0x0131, 0x0307), "i"),  # ı + ̇  → i
+    ((0x0237, 0x0307), "j"),  # ȷ + ̇  → j
+]
 # --- Roman numeral forms (incl. multi-char targets)
 for h, t in [("2160", "I"), ("2164", "V"), ("2169", "X"), ("216C", "L"),
              ("216D", "C"), ("216E", "D"), ("216F", "M"),
@@ -80,15 +92,68 @@ for i in range(26):
 for i in range(10):
     cp(format(0xFF10 + i, "04X"), str(i))
 
+# --- NFKC-ASCII compatibility folds, DERIVED from the local Unicode
+#     character database (public data shipped with the Python runtime,
+#     not copied from confusables.txt): every BMP codepoint whose NFKC
+#     normalization is a non-empty string over a safe ASCII alphabet
+#     and differs from the codepoint itself. This is the
+#     compatibility-form slice of the confusable space (circled,
+#     parenthesized, super/subscript, squared-unit, letterlike forms)
+#     — visually-confusable-by-construction since NFKC is defined as
+#     "formatting distinctions only". Quote/backslash targets are
+#     excluded so generated translate()/replace() SQL never needs
+#     escaping; non-BMP sources are excluded to bound the generated
+#     mirror chain (the engine's fused walk handles them regardless —
+#     spec-covered with synthetic tables).
+SAFE = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+           "0123456789()./+-=:!? ")
+curated_srcs = {s for s, _ in ENTRIES}
+for c in range(0x80, 0x10000):
+    if c in curated_srcs:
+        continue
+    ch = chr(c)
+    if unicodedata.category(ch) in ("Cs", "Co", "Cn"):
+        continue
+    k = unicodedata.normalize("NFKC", ch)
+    if not k or k == ch:
+        continue
+    if all(x in SAFE for x in k):
+        ENTRIES.append((c, k))
+
 seen = set()
 lines = [
     "# confusables_snapshot.txt — Latin-foldable confusable mappings in the",
-    "# Unicode TR39 confusables.txt file format (source ; target ; type).",
-    "# Hand-curated ASCII-target SNAPSHOT, not the complete published list:",
-    "# regenerate with tools/gen_confusables_snapshot.py; the full",
-    "# confusables.txt from unicode.org parses through the same loader.",
+    "# Unicode TR39 confusables.txt file format (source ; target ; type):",
+    "# a hand-curated lookalike core, an NFKC-ASCII compatibility-fold",
+    "# derivation from the local Unicode database, and sequence sources.",
+    "# A SNAPSHOT, not the complete published list: regenerate with",
+    "# tools/gen_confusables_snapshot.py; the full confusables.txt from",
+    "# unicode.org parses through the same loader.",
     "#",
 ]
+# Sequence sources first: the replace layer runs before the translate
+# layer (a single-codepoint fold of the sequence's first codepoint
+# would otherwise consume it), and file order must put a longer source
+# before any source it prefixes so the chain formulation equals the
+# engine's longest-match walk.
+SEQ_ENTRIES.sort(key=lambda e: (e[0][0], -len(e[0])))
+for cps, tgt in SEQ_ENTRIES:
+    assert cps[0] >= 0x80, "sequence source must start non-ASCII"
+    assert all(c in SAFE for c in tgt), tgt
+    src_str = "".join(chr(c) for c in cps)
+    for other, _ in SEQ_ENTRIES:
+        o = "".join(chr(c) for c in other)
+        if o != src_str:
+            # no containment-at-nonzero-offset, no suffix/prefix overlap:
+            # both would make chain order and walk order diverge
+            assert src_str not in o[1:], (src_str, o)
+            assert not any(o[-k:] == src_str[:k]
+                           for k in range(1, min(len(o), len(src_str)))), (src_str, o)
+    src_hex = " ".join(f"{c:04X}" for c in cps)
+    tgt_hex = " ".join(f"{ord(c):04X}" for c in tgt)
+    names = " + ".join(unicodedata.name(chr(c)) for c in cps)
+    lines.append(
+        f"{src_hex} ;\t{tgt_hex} ;\tMA\t# ( {src_str} → {tgt} ) {names}")
 for src, tgt in ENTRIES:
     assert src not in seen, f"duplicate source U+{src:04X}"
     seen.add(src)

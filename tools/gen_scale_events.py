@@ -5,7 +5,8 @@ Deterministic — a pure transformation of the driver's seed-42 sf0.01
 table, no RNG:
 
   copy 0:    sf0.01 events verbatim
-  copy k>0:  event_id + k*10000, user_id + k*150, ts + k seconds
+  copy k>0:  event_id + k*(max(event_id)+1), user_id + k*(max(user_id)+1),
+             ts + k seconds
 
 User ids are offset per copy so the per-user structure (and therefore
 the implicit-pair count) scales LINEARLY with the corpus — no
@@ -28,11 +29,18 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_ev10"
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
+# Per-copy strides derived from the source (ADVICE r13): hardcoded
+# 10000/150 would silently collide copies into cross-copy mega-users if
+# the driver ever regenerates a bigger sf0.01 table, breaking the
+# documented linear-scaling property.
+eid_stride, uid_stride = con.execute(
+    f"SELECT max(event_id) + 1, max(user_id) + 1 FROM '{SRC}'"
+).fetchone()
 con.execute(f"""
 COPY (
-  SELECT e.event_id + c.k * 10000 AS event_id,
+  SELECT e.event_id + c.k * {eid_stride} AS event_id,
          e.ts + to_seconds(c.k) AS ts,
-         e.user_id + c.k * 150 AS user_id,
+         e.user_id + c.k * {uid_stride} AS user_id,
          e.event_type, e.value, e.props
   FROM (SELECT * FROM '{SRC}') e
   CROSS JOIN (SELECT unnest(range({COPIES})) AS k) c
