@@ -2706,6 +2706,23 @@ object OracleOpsQueries {
       .select(col("e.item").as("item"), col("e.count").as("n"))
   }
 
+  /** Typed heavy-hitters gate (VERDICT r13 item 8): Misra–Gries over
+    * BIGINT shingle-hash buckets — hashes, not strings, are the natural
+    * heavy-hitter key at 100 TB (half the shuffle bytes, numeric
+    * ordering). The mod-97 fold keeps the domain under the capacity so
+    * the summary runs in its exact regime (partitioning-independent),
+    * which a plain GROUP BY mirrors; the eviction regime stays
+    * property-spec'd in MisraGriesSpec. */
+  def textHeavyHittersHashed(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.ops.Dedup.hashedShingles(
+      Tables.documents(s, d), "doc_id", "text", 3)
+    sh.select((col("h") % 97L).as("hb"))
+      .agg(graft.functions.MisraGriesAgg.heavy_hitters(col("hb"), 128)
+        .as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("n"))
+  }
+
   /** Code-stats gate: the word-soup documents carry no newlines, so the
     * gate PLANTS code-shaped content — every 9th doc a multi-line
     * snippet with all five comment-opener classes; every 12th an
@@ -2886,6 +2903,7 @@ object OracleOpsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_code_stats" -> (textCodeStats _),
     "text_heavy_hitters" -> (textHeavyHitters _),
+    "text_heavy_hitters_hashed" -> (textHeavyHittersHashed _),
     "corpus_judge_agreement" -> (corpusJudgeAgreement _),
     "corpus_ranker_rbo" -> (corpusRankerRbo _),
     "corpus_implicit_prefs" -> (corpusImplicitPrefs _),
@@ -5052,6 +5070,12 @@ object OracleOpsQueries {
        |u AS (SELECT unnest(t) AS item FROM toks)
        |SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1""".stripMargin
 
+  private lazy val textHeavyHittersHashedSql =
+    s"""WITH $shinglesCte,
+       |shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh)
+       |SELECT h % 97 AS item, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM shh GROUP BY 1""".stripMargin
+
   private lazy val textCodeStatsSql =
     s"""WITH pl AS (SELECT doc_id, text ||
        |  CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'line one' || chr(10) ||
@@ -5560,6 +5584,7 @@ object OracleOpsQueries {
     "corpus_priority_sample" -> corpusPrioritySampleSql,
     "text_code_stats" -> textCodeStatsSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
+    "text_heavy_hitters_hashed" -> textHeavyHittersHashedSql,
     "corpus_judge_agreement" -> corpusJudgeAgreementSql,
     "corpus_ranker_rbo" -> corpusRankerRboSql,
     "corpus_implicit_prefs" -> corpusImplicitPrefsSql,

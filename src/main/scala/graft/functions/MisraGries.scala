@@ -38,7 +38,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * guarantees above are what's contracted (property-spec'd), not the
   * byte image.
   *
-  * Output: `array<struct<item string, count bigint>>`, sorted by
+  * Items may be STRING, BIGINT, or BINARY (VERDICT r13 item 8 — n-gram
+  * HASHES are the natural heavy-hitter key at 100 TB, and forcing them
+  * through strings doubled the shuffle bytes and broke the natural
+  * ordering); binary ordering is unsigned-lexicographic, matching
+  * Spark's BinaryType comparator.
+  *
+  * Output: `array<struct<item <input type>, count bigint>>`, sorted by
   * (count desc, item asc) — deterministic given the counter set.
   */
 case class MisraGriesAgg(
@@ -46,50 +52,89 @@ case class MisraGriesAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[mutable.HashMap[Any, Long]] {
 
   require(k > 0, "heavy_hitters requires k > 0")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     item.dataType match {
-      case StringType =>
+      case StringType | LongType | BinaryType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName expects a STRING item, got $t")
+          s"$prettyName expects a STRING, BIGINT or BINARY item, got $t")
     }
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+  // Buffer keys by input type: String, java.lang.Long, or an immutable
+  // byte wrapper (element-wise equals/hashCode; the raw Array[Byte] has
+  // identity equality and would never dedupe). Binary inputs are COPIED
+  // out of Spark's reused row buffers.
+  private def toKey(v: Any): Any = item.dataType match {
+    case StringType => v.asInstanceOf[UTF8String].toString
+    case LongType => v
+    case BinaryType => scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(v.asInstanceOf[Array[Byte]].clone())
+  }
+
+  // (count desc, item asc); item order per type — binary is
+  // unsigned-lexicographic, Spark's BinaryType comparator
+  private lazy val keyOrd: Ordering[Any] = item.dataType match {
+    case StringType => Ordering.by[Any, String](_.asInstanceOf[String])
+    case LongType => Ordering.by[Any, Long](_.asInstanceOf[Long])
+    case BinaryType => new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = {
+        val x = a.asInstanceOf[scala.collection.immutable.ArraySeq[Byte]]
+        val y = b.asInstanceOf[scala.collection.immutable.ArraySeq[Byte]]
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        java.lang.Integer.compare(x.length, y.length)
+      }
+    }
+  }
+
+  private def keyOut(key: Any): Any = item.dataType match {
+    case StringType => UTF8String.fromString(key.asInstanceOf[String])
+    case LongType => key
+    case BinaryType =>
+      key.asInstanceOf[scala.collection.immutable.ArraySeq[Byte]].toArray
+  }
+
+  override def createAggregationBuffer(): mutable.HashMap[Any, Long] =
     mutable.HashMap.empty
 
   /** The classic MG step: increment if tracked, insert if room, else
     * decrement every counter (dropping zeros) — O(k) only on overflow. */
-  private def offer(buf: mutable.HashMap[String, Long], s: String): Unit = {
+  private def offer(buf: mutable.HashMap[Any, Long], s: Any): Unit = {
     buf.get(s) match {
       case Some(c) => buf.update(s, c + 1L)
       case None if buf.size < k => buf.update(s, 1L)
       case None =>
-        val dead = mutable.ArrayBuffer.empty[String]
+        val dead = mutable.ArrayBuffer.empty[Any]
         buf.mapValuesInPlace((_, c) => c - 1L)
         buf.foreach { case (key, c) => if (c <= 0L) dead += key }
         dead.foreach(buf.remove)
     }
   }
 
-  override def update(buf: mutable.HashMap[String, Long],
-                      input: InternalRow): mutable.HashMap[String, Long] = {
+  override def update(buf: mutable.HashMap[Any, Long],
+                      input: InternalRow): mutable.HashMap[Any, Long] = {
     val v = item.eval(input)
-    if (v != null) offer(buf, v.toString)
+    if (v != null) offer(buf, toKey(v))
     buf
   }
 
-  override def merge(a: mutable.HashMap[String, Long],
-                     b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+  override def merge(a: mutable.HashMap[Any, Long],
+                     b: mutable.HashMap[Any, Long]): mutable.HashMap[Any, Long] = {
     b.foreach { case (s, c) => a.update(s, a.getOrElse(s, 0L) + c) }
     if (a.size > k) {
       // subtract the (k+1)-th largest count from every counter
       val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
+      val dead = mutable.ArrayBuffer.empty[Any]
       a.mapValuesInPlace((_, c) => c - cut)
       a.foreach { case (key, c) => if (c <= 0L) dead += key }
       dead.foreach(a.remove)
@@ -97,10 +142,11 @@ case class MisraGriesAgg(
     a
   }
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any = {
-    val sorted = buf.toArray.sortBy { case (s, c) => (-c, s) }
-    new GenericArrayData(sorted.map { case (s, c) =>
-      InternalRow(UTF8String.fromString(s), c) })
+  override def eval(buf: mutable.HashMap[Any, Long]): Any = {
+    val sorted = buf.toArray
+      .sorted(Ordering.Tuple2(Ordering.Long.reverse, keyOrd)
+        .on[(Any, Long)] { case (s, c) => (c, s) })
+    new GenericArrayData(sorted.map { case (s, c) => InternalRow(keyOut(s), c) })
   }
 
   // Length-prefixed raw UTF-8, NOT writeUTF (ADVICE r13): modified-UTF-8
@@ -108,33 +154,57 @@ case class MisraGriesAgg(
   // a public aggregate over arbitrary string columns, so a >64 KB item
   // (whole-document keys, long URLs) would crash the query at
   // partial-buffer shuffle time.
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: mutable.HashMap[Any, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (s, c) =>
-      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    item.dataType match {
+      case LongType =>
+        buf.foreach { case (s, c) =>
+          out.writeLong(s.asInstanceOf[Long]); out.writeLong(c)
+        }
+      case _ =>
+        buf.foreach { case (s, c) =>
+          val b = s match {
+            case str: String =>
+              str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case w: scala.collection.immutable.ArraySeq[_] =>
+              w.asInstanceOf[scala.collection.immutable.ArraySeq[Byte]].toArray
+          }
+          out.writeInt(b.length); out.write(b); out.writeLong(c)
+        }
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Any, Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
-    (0 until n).foreach { _ =>
-      val b = new Array[Byte](in.readInt())
-      in.readFully(b)
-      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
-        in.readLong())
+    item.dataType match {
+      case LongType =>
+        (0 until n).foreach(_ => buf.update(in.readLong(), in.readLong()))
+      case StringType =>
+        (0 until n).foreach { _ =>
+          val b = new Array[Byte](in.readInt())
+          in.readFully(b)
+          buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+            in.readLong())
+        }
+      case _ =>
+        (0 until n).foreach { _ =>
+          val b = new Array[Byte](in.readInt())
+          in.readFully(b)
+          buf.update(scala.collection.immutable.ArraySeq.unsafeWrapArray(b),
+            in.readLong())
+        }
     }
     buf
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("item", StringType, nullable = false),
+    StructField("item", item.dataType, nullable = false),
     StructField("count", LongType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(item)

@@ -48,6 +48,41 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("typed items: BIGINT and BINARY keys — exact regime, collision, unsigned order") {
+    // VERDICT r13 item 8: hashes are the natural heavy-hitter key at
+    // 100 TB. Long items, exact regime, partitioning-independent:
+    val longs = Seq.tabulate(300)(i => (i % 7).toLong)
+    val truthL = longs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mgL = longs.toDF("x").repartition(5)
+      .agg(heavy_hitters(col("x"), 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mgL === truthL)
+    // Binary items: equal CONTENT must collide (raw arrays have identity
+    // equality), counts survive the partial-buffer shuffle
+    val bins = Seq(Array[Byte](1, 2), Array[Byte](1, 2), Array[Byte](-1))
+    val outB = bins.toDF("b").repartition(2)
+      .agg(heavy_hitters(col("b"), 4).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => (r.getAs[Array[Byte]](0).toSeq, r.getLong(1)))
+    assert(outB.toSet === Set((Seq[Byte](1, 2), 2L), (Seq[Byte](-1), 1L)))
+    assert(outB.head._1 === Seq[Byte](1, 2)) // count desc first
+    // tie ordering is UNSIGNED lexicographic (0x01 before 0xFF), the
+    // BinaryType comparator — a signed compare would invert it
+    val tie = Seq(Array[Byte](-1), Array[Byte](1)).toDF("b")
+      .agg(heavy_hitters(col("b"), 4).as("hh"))
+      .select(explode(col("hh")).as("e")).select(col("e.item"))
+      .collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(tie === Seq(Seq[Byte](1), Seq[Byte](-1)))
+    // unsupported item types fail analysis loudly
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1.5).toDF("d").agg(heavy_hitters(col("d"), 4)).collect()
+    }
+    assert(bad.getMessage.contains("STRING, BIGINT or BINARY"))
+  }
+
   test("buffer serialization survives >64KB items (no modified-UTF-8 cap)") {
     // ADVICE r13: writeUTF throws UTFDataFormatException past 65535
     // encoded bytes; heavy_hitters takes arbitrary string columns, so a
@@ -58,9 +93,12 @@ class MisraGriesSpec extends SparkSpec {
     // parts > 1 forces serialize/deserialize through the exchange
     val mg = summarize(items, k = 4, parts = 3)
     assert(mg === Map(big -> 3L, "small" -> 2L))
-    // direct round trip of the agg buffer statics too
+    // direct round trip of the agg buffer statics too — a TYPED item
+    // expression (serialize/deserialize branch on item.dataType, which
+    // an unresolved column does not carry)
     val agg = graft.functions.MisraGriesAgg(
-      org.apache.spark.sql.graftbridge.Bridge.expression(col("s")), 4)
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "x", org.apache.spark.sql.types.StringType), 4)
     val buf = agg.createAggregationBuffer()
     buf.update(big, 7L); buf.update("", 1L)
     assert(agg.deserialize(agg.serialize(buf)) === buf)
