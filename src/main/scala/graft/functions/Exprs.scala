@@ -387,7 +387,91 @@ object CpOps {
   }
 }
 
+/** `|set(a) ∩ set(b)|` over two ARRAY<BIGINT> columns — the hot inner
+  * loop of every LSH verify join (`size(array_intersect(hs1, hs2))` on
+  * per-doc shingle-hash sets, evaluated once per CANDIDATE PAIR: the
+  * dominant term of dedup_minhash_lsh at sf100). Equal to the
+  * array_intersect form on null-free arrays (duplicates on either side
+  * count once — spec-asserted); one primitive open-addressed probe
+  * table per row instead of a boxed set plus a materialized
+  * intersection array that only gets size()'d and thrown away. NULL
+  * elements are skipped (array_intersect would count a null present in
+  * both sides; the shingle sets this exists for never contain one). */
+case class IntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<BIGINT> args, got $l, $r")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.intersectCount(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.intersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): IntersectCount = copy(left = l, right = r)
+  override def prettyName: String = "intersect_count"
+}
+
 object VecOps {
+  /** See [[graft.functions.IntersectCount]]. Build an open-addressed
+    * primitive table from the SMALLER side (linear probing, power-of-two
+    * capacity ≥ 2n), then probe with the larger; a `counted` mark (not
+    * deletion — a linear-probe delete would break probe chains) makes
+    * duplicates on the probe side count once. */
+  def intersectCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                     b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val (s, g) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = s.numElements()
+    if (n == 0 || g.numElements() == 0) return 0L
+    var cap = 4
+    while (cap < n * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val state = new Array[Byte](cap) // 0 empty, 1 present, 2 counted
+    val mask = cap - 1
+    def mix(k: Long): Int = {
+      val h = k * -7046029254386353131L // Murmur3 fmix constant
+      (((h ^ (h >>> 32)) & mask).toInt)
+    }
+    var i = 0
+    while (i < n) {
+      if (!s.isNullAt(i)) {
+        val k = s.getLong(i)
+        var h = mix(k)
+        var cont = true
+        while (cont) {
+          if (state(h) == 0) { state(h) = 1; keys(h) = k; cont = false }
+          else if (keys(h) == k) cont = false
+          else h = (h + 1) & mask
+        }
+      }
+      i += 1
+    }
+    var c = 0L
+    val m = g.numElements()
+    var j = 0
+    while (j < m) {
+      if (!g.isNullAt(j)) {
+        val k = g.getLong(j)
+        var h = mix(k)
+        var probing = true
+        while (probing) {
+          if (state(h) == 0) probing = false
+          else if (keys(h) == k) {
+            if (state(h) == 1) { state(h) = 2; c += 1 }
+            probing = false
+          } else h = (h + 1) & mask
+        }
+      }
+      j += 1
+    }
+    c
+  }
+
   /** Boxed null on length mismatch or (when `checkNulls`) a null element —
     * the exact semantics of the HOF form and the DuckDB mirror (see
     * [[DotProduct]]); boxing is once per ROW, amortized over the
@@ -501,4 +585,6 @@ object F {
     Bridge.column(CodeLineStats(Bridge.expression(c)))
   def code_normalize(c: Column): Column =
     Bridge.column(CodeNormalize(Bridge.expression(c)))
+  def intersect_count(a: Column, b: Column): Column =
+    Bridge.column(IntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

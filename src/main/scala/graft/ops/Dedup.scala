@@ -882,7 +882,12 @@ object Dedup {
     cand
       .join(docSets.toDF("id1", "n1", "hs1"), "id1")
       .join(rightSets.toDF("id2", "n2", "hs2"), "id2")
-      .withColumn("common", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
+      // |set ∩ set| via the codegen'd primitive probe table —
+      // size(array_intersect(...)) boxed every element AND materialized
+      // the intersection array just to size() it, once per CANDIDATE
+      // PAIR (the dominant term of the sf100 LSH leg); equality on the
+      // null-free shingle-hash sets is spec'd in ExprsSpec
+      .withColumn("common", graft.functions.F.intersect_count(col("hs1"), col("hs2")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -111,6 +111,35 @@ class ExprsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("intersect_count ≡ size(array_intersect) on null-free arrays, both paths") {
+    // deterministic pseudo-random arrays with overlaps, duplicates on
+    // both sides, empties, and asymmetric sizes — the shapes the LSH
+    // verify join feeds it (per-doc shingle-hash sets)
+    val rows: Seq[(Long, Seq[Long], Seq[Long])] = (0L until 64L).map { i =>
+      val a = (0L until (i * 7 % 23)).map(x => (x * 2654435761L + i) % 37)
+      val b = (0L until (i * 11 % 31)).map(x => (x * 40503L + 3 * i) % 37)
+      // plant duplicates: array_intersect counts a value once
+      (i, a ++ a.take((i % 3).toInt), b ++ b.takeRight((i % 4).toInt))
+    } :+ ((100L, Seq.empty[Long], Seq(1L, 2L))) :+
+      ((101L, Seq(5L), Seq.empty[Long]))
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select($"id",
+        F.intersect_count($"a", $"b").as("got"),
+        size(array_intersect($"a", $"b")).cast("long").as("want"))
+      .collect()
+    out.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"row ${r.getLong(0)}: got ${r.getLong(1)} want ${r.getLong(2)}"))
+    // null array propagates; interpreted path agrees with codegen
+    val nr = Seq((1L, None: Option[Seq[Long]], Seq(1L, 2L)))
+      .toDF("id", "a", "b")
+      .select(F.intersect_count($"a", $"b")).collect()
+    assert(nr.head.isNullAt(0))
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    assert(graft.functions.VecOps.intersectCount(
+      new GenericArrayData(Array(1L, 2L, 3L, 2L)),
+      new GenericArrayData(Array(2L, 3L, 3L, 9L))) === 2L)
+  }
+
   test("null propagates") {
     val out = Seq[(java.lang.String, java.lang.Long)](((null, null))).toDF("s", "v")
       .select(F.parse_size($"s"), F.counter_double($"v")).collect()(0)
