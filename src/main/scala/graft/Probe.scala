@@ -20,6 +20,55 @@ object Probe {
                parse_time('795.202us') AS t FROM li GROUP BY 1""").show(false)
       s.stop(); return
     }
+    if (args.headOption.contains("hhprobe")) {
+      // attribution probe for the text_heavy_hitters_hashed scale legs:
+      //   runMain graft.Probe hhprobe <sfDir>
+      // times (min of 2, after one warmup) the explode+hash alone, the
+      // exact groupBy mirror shape, and the heavy_hitters gate shape.
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.files.maxPartitionBytes",
+          Bench.adaptiveMaxPartitionBytes(Bench.inputBytes(dir), 32))
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          Bench.adaptiveInitialPartitions(Bench.inputBytes(dir), 32))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      def sh() = graft.ops.Dedup.hashedShingles(
+        Tables.documents(s, dir), "doc_id", "text", 3)
+      // same-JVM fast-vs-chain hash comparison (era-immune): identical
+      // shingle stream, only the hash formulation differs
+      def shRaw() = graft.ops.Dedup.shingles(
+        Tables.documents(s, dir), "doc_id", "text", 3)
+      val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "hash_fast" -> (() => shRaw()
+          .select(graft.functions.F.hash60(col("shingle")).as("h"))
+          .agg(bit_xor(col("h")))),
+        "hash_chain" -> (() => shRaw()
+          .select(graft.ops.TextAnalysis.hash60Chain(col("shingle")).as("h"))
+          .agg(bit_xor(col("h")))),
+        "hash_fast2" -> (() => shRaw()
+          .select(graft.functions.F.hash60(col("shingle")).as("h"))
+          .agg(bit_xor(col("h")))),
+        "explode_hash_only" -> (() => sh().agg(bit_xor(col("h")))),
+        "exact_groupby" -> (() => sh().select((col("h") % 97L).as("hb"))
+          .groupBy(col("hb")).count()),
+        "heavy_hitters" -> (() => sh().select((col("h") % 97L).as("hb"))
+          .agg(graft.functions.MisraGriesAgg.heavy_hitters(col("hb"), 128))))
+      variants.foreach { case (name, fn) =>
+        val ts = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn().collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"HHPROBE $name warmup=${ts.head}%.2f min2=${ts.tail.min}%.2f")
+      }
+      s.stop(); return
+    }
     if (args.headOption.contains("asof")) {
       import org.apache.spark.sql.functions._
       val s = SparkSession.builder().master("local[8]")

@@ -559,6 +559,54 @@ case class CodeNormalize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "code_normalize"
 }
 
+/** Portable deterministic 60-bit hash — the numeric fast path of
+  * [[graft.ops.TextAnalysis.hash60]]'s contract: the value IS
+  * `conv(substring(md5(x), 1, 15), 16, 10)` (the first 15 hex digits of
+  * the md5 as a base-16 number = the first 8 digest bytes big-endian,
+  * shifted right 4 bits — always non-negative, < 2⁶⁰), but computed
+  * straight from the digest bytes with ZERO string work. The column
+  * chain allocated a 32-char hex string, a 15-char substring, and ran
+  * the generic radix converter per shingle — ~500M times at the sf100
+  * leg, where the hhprobe attribution showed the explode+hash pass IS
+  * the whole query. DuckDB keeps the string form
+  * (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`) — cross-engine
+  * equality is unchanged because the VALUE is unchanged (spec'd against
+  * the chain on adversarial inputs, plus the local mirror). */
+case class Hash60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashOps.hash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.hash60($c)")
+  override protected def withNewChildInternal(c: Expression): Hash60 = copy(c)
+  override def prettyName: String = "hash60"
+}
+
+object HashOps {
+  // MessageDigest instances are stateful and not thread-safe; one per
+  // task thread, reset per call
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5 over the UTF-8 bytes (no decode, no hex
+    * strings): big-endian first 8 digest bytes >>> 4. */
+  def hash60(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val out = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
 /** Column-level API. */
 object F {
   def dot_product(a: Column, b: Column): Column =
@@ -587,4 +635,6 @@ object F {
     Bridge.column(CodeNormalize(Bridge.expression(c)))
   def intersect_count(a: Column, b: Column): Column =
     Bridge.column(IntersectCount(Bridge.expression(a), Bridge.expression(b)))
+  def hash60(c: Column): Column =
+    Bridge.column(Hash60(Bridge.expression(c)))
 }

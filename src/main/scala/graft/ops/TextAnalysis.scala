@@ -15,8 +15,18 @@ object TextAnalysis {
   /** Portable deterministic 60-bit hash: first 15 hex digits of md5.
     * Chosen because md5 is identical across engines (DuckDB:
     * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), making hash-based
-    * operators (minhash/simhash/LSH) oracle-checkable. */
-  def hash60(c: Column): Column =
+    * operators (minhash/simhash/LSH) oracle-checkable. Computed by the
+    * codegen'd digest-bytes expression ([[graft.functions.Hash60]]) —
+    * the string formulation below is the executable spec; values are
+    * identical (ExprsSpec asserts it on adversarial inputs). */
+  def hash60(c: Column): Column = graft.functions.F.hash60(c)
+
+  /** The column-algebra formulation [[hash60]] fused away — kept as the
+    * executable spec and the shape the DuckDB mirrors still compute:
+    * hex md5, first 15 digits, generic radix conversion. Allocates two
+    * strings and runs `conv` per value — the hhprobe attribution showed
+    * this pass IS the whole hashed-heavy-hitters query at sf100. */
+  def hash60Chain(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Whitespace tokens, empties dropped. */
