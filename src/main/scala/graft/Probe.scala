@@ -69,6 +69,41 @@ object Probe {
       }
       s.stop(); return
     }
+    if (args.headOption.contains("bandhist")) {
+      // band-bucket concentration measurement (the r14-named residual of
+      // the LSH sf100 superlinearity): log2-bucketed band-bucket sizes
+      // with their pair fanout Σ bs·(bs−1)/2 — how much of the candidate
+      // join each size class owes, and what the cap is actually cutting.
+      //   runMain graft.Probe bandhist <sfDir>
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.files.maxPartitionBytes",
+          Bench.adaptiveMaxPartitionBytes(Bench.inputBytes(dir), 32))
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          Bench.adaptiveInitialPartitions(Bench.inputBytes(dir), 32))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      val bs = graft.ops.Dedup.bandBucketSizes(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, k = 8, bands = 4)
+      val smeared = Seq(1, 2, 4, 8, 16, 32).foldLeft(col("bs")) {
+        (acc, sh) => acc.bitwiseOR(shiftright(acc, sh))
+      }
+      bs.withColumn("bs_log2", (bit_count(smeared) - 1).cast("long"))
+        .groupBy(col("bs_log2"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("bs")).as("n_rows"),
+          sum(col("bs") * (col("bs") - 1) / 2).cast("long").as("pair_fanout"))
+        .orderBy(col("bs_log2"))
+        .collect().foreach(r => println(
+          s"BANDHIST bs_log2=${r.getLong(0)} buckets=${r.getLong(1)} " +
+            s"rows=${r.getLong(2)} pair_fanout=${r.getLong(3)}"))
+      s.stop(); return
+    }
     if (args.headOption.contains("asof")) {
       import org.apache.spark.sql.functions._
       val s = SparkSession.builder().master("local[8]")

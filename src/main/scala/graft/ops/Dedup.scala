@@ -707,6 +707,19 @@ object Dedup {
     }
   }
 
+  /** Band-bucket sizes (band, key, bs) — the concentration diagnostic
+    * behind the bucket cap: minhash values are MINIMA, so band keys
+    * crowd toward small values as the corpus grows and bucket sizes
+    * (hence the candidate join's Σ bs² fanout) grow faster than the
+    * corpus. `Probe bandhist` rolls this into a log2 histogram with
+    * pair fanout per size class — the measurement to take before
+    * retuning [[DefaultMaxBandBucketSize]]. */
+  def bandBucketSizes(df: DataFrame, id: String, text: String,
+                      n: Int, k: Int, bands: Int): DataFrame =
+    bandKeyRows(minhashPerDoc(df, id, text, n, k), id, k, bands)
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bs"))
+
   /** Raw (id, band, key) band rows from a [[minhashPerDoc]] frame — no
     * repartition, no cap: the scan-side half of a band probe whose OTHER
     * side is broadcast (see [[fuzzyContamination]]), where the

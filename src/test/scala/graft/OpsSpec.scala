@@ -256,6 +256,12 @@ class OpsSpec extends SparkSpec {
     val sc = Dedup.simhashPairs(docs, "doc_id", "text", maxBandBucketSize = Some(2))
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sc === Set((4L, 5L)))
+    // the bandhist diagnostic (Probe bandhist / bandBucketSizes) sees
+    // exactly this structure: identical docs share every band bucket, so
+    // the trio makes four size-3 buckets and the pair four size-2
+    val bs = Dedup.bandBucketSizes(docs, "doc_id", "text", n = 3, k = 8,
+        bands = 4).collect().map(_.getLong(2)).sorted
+    assert(bs.toSeq === Seq(2L, 2L, 2L, 2L, 3L, 3L, 3L, 3L))
   }
 
   test("c4Signals: short-unit rule, boilerplate flags, alpha fraction") {
