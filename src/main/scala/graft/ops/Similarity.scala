@@ -480,13 +480,16 @@ object Similarity {
   def ivfTopKPinned(emb: DataFrame, id: String, vec: String, queryId: Long,
                     k: Int, nLists: Int = 8, nProbe: Int = 2): DataFrame = {
     val e = emb.select(col(id), asDouble(col(vec)).as("v"))
-    val cents: Array[Seq[Double]] = e.filter(col(id) < nLists)
-      .orderBy(col(id)).collect().map(_.getSeq[Double](1))
-    // same sparse-id hazard as semDedupPinned: a short centroid pin would
-    // silently shrink the index instead of failing
-    require(cents.length == nLists,
-      s"ivfTopKPinned pins centroids to ids < $nLists but found only " +
-        s"${cents.length} such ids — the id space must contain 0..${nLists - 1}")
+    val centRows = e.filter(col(id) < nLists).orderBy(col(id)).collect()
+    // ids must be EXACTLY 0..nLists-1, not merely nLists of them (the
+    // ADVICE r13 alignment rule, applied here as in pqTopKPinned):
+    // duplicate or negative ids passing a count check would misalign the
+    // positional centroid index against the mirror, which keys by id
+    val centIds = centRows.map(_.getLong(0)).toSeq
+    require(centIds == (0L until nLists.toLong),
+      s"ivfTopKPinned pins centroids to ids 0..${nLists - 1} but found " +
+        s"ids $centIds — the id space must be exactly that range")
+    val cents: Array[Seq[Double]] = centRows.map(_.getSeq[Double](1))
     def sqdistTo(c: Seq[Double]): Column =
       aggregate(zip_with(col("v"), array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x)
@@ -823,15 +826,18 @@ object Similarity {
     * one collect instead of re-scanning the table. */
   private def pinnedDistStructs(e: DataFrame, id: String,
                                 nLists: Int): (Array[Seq[Double]], Column) = {
-    val cents: Array[Seq[Double]] = e.filter(col(id) < nLists)
-      .orderBy(col(id)).collect().map(_.getSeq[Double](1))
-    // the pin assumes ids 0..nLists-1 exist; with a sparse or non-zero-based
-    // id space the centroid array comes back short and array_min over an
-    // empty/short struct array would SILENTLY return all is_dup = 0 —
-    // fail loudly instead
-    require(cents.length == nLists,
-      s"pinned centroids require ids < $nLists but found only " +
-        s"${cents.length} such ids — the id space must contain 0..${nLists - 1}")
+    val centRows = e.filter(col(id) < nLists).orderBy(col(id)).collect()
+    // the pin assumes ids EXACTLY 0..nLists-1: with a sparse or
+    // non-zero-based id space the centroid array comes back short (and
+    // array_min over a short struct array silently misassigns), and
+    // duplicate/negative ids passing a count-only check would misalign
+    // the positional index against the id-keyed mirror (ADVICE r13) —
+    // fail loudly on the exact range instead
+    val centIds = centRows.map(_.getLong(0)).toSeq
+    require(centIds == (0L until nLists.toLong),
+      s"pinned centroids require ids 0..${nLists - 1} but found " +
+        s"ids $centIds — the id space must be exactly that range")
+    val cents: Array[Seq[Double]] = centRows.map(_.getSeq[Double](1))
     def sqdistTo(c: Seq[Double]): Column =
       aggregate(zip_with(col("v"), array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x)
