@@ -1577,6 +1577,19 @@ object OracleOpsQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, threshold = 0.5)
 
+  /** The PRODUCTION hash path ([[graft.ops.TextAnalysis.hash60xx]] —
+    * codegen'd xxHash64 instead of an md5 digest per shingle, the r14
+    * hhprobe-measured dominant scan cost) gated end-to-end. DuckDB cannot
+    * compute Spark's seed-42 xxHash64, but it doesn't need to: the output
+    * contract (shingle-SET jaccard over pairs) is hash-regime-independent
+    * absent 60-bit collisions, so the mirror joins the raw shingle
+    * STRINGS — a collision, sign bug, or range bug in the xx path would
+    * break row/hash equality. md5-pinned gates stay the hash-VALUE
+    * anchors. */
+  def dedupNgramJaccardXx(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.5, hashFn = graft.ops.TextAnalysis.hash60xx)
+
   /** Containment gate with planted quote-and-extend docs: every 17th doc
     * appends the NEXT doc's full text (mirrored LEFT self-join), so
     * (k, k+1) pairs exist with containment = 1 but Jaccard ≈ 0.5 —
@@ -3043,6 +3056,7 @@ object OracleOpsQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_agg" -> (dedupExactAgg _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_ngram_jaccard_xx" -> (dedupNgramJaccardXx _),
     "dedup_ngram_containment" -> (dedupNgramContainment _),
     "dedup_ngram_capped" -> (dedupNgramCapped _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -7318,6 +7332,20 @@ object OracleOpsQueries {
          |pairs AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
          |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.id1, p.id2, p.common, c1.n AS n1, c2.n AS n2,
+         |  CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) AS jaccard
+         |FROM pairs p JOIN cnt c1 ON p.id1 = c1.doc_id JOIN cnt c2 ON p.id2 = c2.doc_id
+         |WHERE CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) >= 0.5""".stripMargin,
+    // the xx-path gate mirrors with raw shingle STRINGS (no hash at all):
+    // the value contract is hash-regime-independent, which is exactly what
+    // lets DuckDB check a hash it cannot compute
+    "dedup_ngram_jaccard_xx" ->
+      s"""WITH $shinglesCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT p.id1, p.id2, p.common, c1.n AS n1, c2.n AS n2,
          |  CAST(p.common AS DOUBLE) / CAST(c1.n + c2.n - p.common AS DOUBLE) AS jaccard

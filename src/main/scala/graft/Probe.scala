@@ -54,6 +54,12 @@ object Probe {
         "hash_fast2" -> (() => shRaw()
           .select(graft.functions.F.hash60(col("shingle")).as("h"))
           .agg(bit_xor(col("h")))),
+        // the r15 production seam: same shingle stream, xxHash64 instead
+        // of the md5 digest (the md5 pass was hhprobe-measured as the
+        // absolute cost of every hash-keyed family at sf100)
+        "hash_xx" -> (() => shRaw()
+          .select(graft.ops.TextAnalysis.hash60xx(col("shingle")).as("h"))
+          .agg(bit_xor(col("h")))),
         "explode_hash_only" -> (() => sh().agg(bit_xor(col("h")))),
         "exact_groupby" -> (() => sh().select((col("h") % 97L).as("hb"))
           .groupBy(col("hb")).count()),

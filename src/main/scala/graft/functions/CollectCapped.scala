@@ -1,0 +1,171 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Size-capped `collect_list`: the group's items as an array when the
+  * group holds at most `limit` items, NULL once it exceeds the cap.
+  *
+  * The point (ADVICE r14): the LSH hot-bucket valve filters band buckets
+  * on `count <= cap` AFTER `collect_list` has already materialized every
+  * bucket's full member list in the aggregation buffer — so the
+  * mega-buckets the cap exists to drop (band keys are minima and
+  * concentrate as the corpus grows; `Probe bandhist`) pay full per-group
+  * memory exactly when they are largest. This aggregate never stores more
+  * than `limit` items per group: the running count keeps counting, but
+  * item storage stops at the cap, and any group whose true count exceeds
+  * the cap evaluates to NULL — one `isNotNull` filter replaces the
+  * count-and-filter pair, and per-group memory is bounded at
+  * `limit × itemWidth` no matter how hot the key.
+  *
+  * Exactness contract: for groups with count ≤ limit the output array
+  * holds EXACTLY the group's items (every partial stops truncating before
+  * its own count passes the limit, and a merged count ≤ limit implies no
+  * contributing partial ever truncated), so the capped LSH candidate set
+  * is identical to the old count-filtered shape by construction. Array
+  * ORDER is arrival order and therefore partitioning-dependent — callers
+  * must treat the array as a set (the LSH expansion re-`distinct`s pairs).
+  *
+  * Items may be BIGINT, STRING, or BINARY — the same key types (and the
+  * same length-prefixed serialization, never writeUTF) as
+  * [[MisraGriesAgg]].
+  */
+case class CollectCapped(
+    item: Expression,
+    limit: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CollectCapped.Buf] {
+
+  require(limit > 0, "collect_capped requires limit > 0")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    item.dataType match {
+      case StringType | LongType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a STRING, BIGINT or BINARY item, got $t")
+    }
+
+  // Copies values out of Spark's reused row buffers (UTF8String/byte[]
+  // are backed by mutable scratch memory during update()).
+  private def toOwned(v: Any): Any = item.dataType match {
+    case StringType => v.asInstanceOf[UTF8String].clone()
+    case LongType => v
+    case BinaryType => v.asInstanceOf[Array[Byte]].clone()
+  }
+
+  override def createAggregationBuffer(): CollectCapped.Buf =
+    new CollectCapped.Buf(0L, mutable.ArrayBuffer.empty)
+
+  override def update(buf: CollectCapped.Buf, input: InternalRow): CollectCapped.Buf = {
+    val v = item.eval(input)
+    if (v != null) {
+      buf.count += 1L
+      if (buf.items.length < limit) buf.items += toOwned(v)
+    }
+    buf
+  }
+
+  override def merge(a: CollectCapped.Buf, b: CollectCapped.Buf): CollectCapped.Buf = {
+    a.count += b.count
+    var i = 0
+    while (a.items.length < limit && i < b.items.length) {
+      a.items += b.items(i)
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: CollectCapped.Buf): Any = {
+    if (buf.count > limit) null
+    else {
+      // a partial only truncates once its own count passes the limit, so
+      // count ≤ limit guarantees the items are complete
+      assert(buf.items.length == buf.count,
+        s"collect_capped invariant: ${buf.items.length} items for count ${buf.count}")
+      new GenericArrayData(buf.items.toArray)
+    }
+  }
+
+  override def serialize(buf: CollectCapped.Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.count)
+    out.writeInt(buf.items.length)
+    item.dataType match {
+      case LongType =>
+        buf.items.foreach(v => out.writeLong(v.asInstanceOf[Long]))
+      case StringType =>
+        buf.items.foreach { v =>
+          val b = v.asInstanceOf[UTF8String].getBytes
+          out.writeInt(b.length); out.write(b)
+        }
+      case _ =>
+        buf.items.foreach { v =>
+          val b = v.asInstanceOf[Array[Byte]]
+          out.writeInt(b.length); out.write(b)
+        }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CollectCapped.Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    buf.count = in.readLong()
+    val n = in.readInt()
+    item.dataType match {
+      case LongType =>
+        (0 until n).foreach(_ => buf.items += in.readLong())
+      case StringType =>
+        (0 until n).foreach { _ =>
+          val b = new Array[Byte](in.readInt())
+          in.readFully(b)
+          buf.items += UTF8String.fromBytes(b)
+        }
+      case _ =>
+        (0 until n).foreach { _ =>
+          val b = new Array[Byte](in.readInt())
+          in.readFully(b)
+          buf.items += b
+        }
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(item.dataType, containsNull = false)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(item)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CollectCapped =
+    copy(item = c(0))
+  override def withNewMutableAggBufferOffset(offset: Int): CollectCapped =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CollectCapped =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "collect_capped"
+}
+
+object CollectCapped {
+  /** Mutable aggregation state: the true running count plus at most
+    * `limit` stored items (internal representations, owned copies). */
+  final class Buf(var count: Long, val items: mutable.ArrayBuffer[Any])
+
+  /** Column API: the group's items as `array<item type>` when the group
+    * holds ≤ `limit` items, NULL past the cap (storage stops at the cap). */
+  def collect_capped(item: Column, limit: Int): Column =
+    Bridge.column(CollectCapped(Bridge.expression(item), limit)
+      .toAggregateExpression())
+}

@@ -107,47 +107,20 @@ case class MisraGriesAgg(
   override def createAggregationBuffer(): mutable.HashMap[Any, Long] =
     mutable.HashMap.empty
 
-  /** The classic MG step: increment if tracked, insert if room, else
-    * decrement every counter (dropping zeros) — O(k) only on overflow. */
-  private def offer(buf: mutable.HashMap[Any, Long], s: Any): Unit = {
-    buf.get(s) match {
-      case Some(c) => buf.update(s, c + 1L)
-      case None if buf.size < k => buf.update(s, 1L)
-      case None =>
-        val dead = mutable.ArrayBuffer.empty[Any]
-        buf.mapValuesInPlace((_, c) => c - 1L)
-        buf.foreach { case (key, c) => if (c <= 0L) dead += key }
-        dead.foreach(buf.remove)
-    }
-  }
-
   override def update(buf: mutable.HashMap[Any, Long],
                       input: InternalRow): mutable.HashMap[Any, Long] = {
     val v = item.eval(input)
-    if (v != null) offer(buf, toKey(v))
+    if (v != null) MisraGries.offer(buf, k, toKey(v))
     buf
   }
 
   override def merge(a: mutable.HashMap[Any, Long],
-                     b: mutable.HashMap[Any, Long]): mutable.HashMap[Any, Long] = {
-    b.foreach { case (s, c) => a.update(s, a.getOrElse(s, 0L) + c) }
-    if (a.size > k) {
-      // subtract the (k+1)-th largest count from every counter
-      val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      val dead = mutable.ArrayBuffer.empty[Any]
-      a.mapValuesInPlace((_, c) => c - cut)
-      a.foreach { case (key, c) => if (c <= 0L) dead += key }
-      dead.foreach(a.remove)
-    }
-    a
-  }
+                     b: mutable.HashMap[Any, Long]): mutable.HashMap[Any, Long] =
+    MisraGries.merge(a, b, k)
 
-  override def eval(buf: mutable.HashMap[Any, Long]): Any = {
-    val sorted = buf.toArray
-      .sorted(Ordering.Tuple2(Ordering.Long.reverse, keyOrd)
-        .on[(Any, Long)] { case (s, c) => (c, s) })
-    new GenericArrayData(sorted.map { case (s, c) => InternalRow(keyOut(s), c) })
-  }
+  override def eval(buf: mutable.HashMap[Any, Long]): Any =
+    new GenericArrayData(MisraGries.sorted(buf, keyOrd)
+      .map { case (s, c) => InternalRow(keyOut(s), c) })
 
   // Length-prefixed raw UTF-8, NOT writeUTF (ADVICE r13): modified-UTF-8
   // caps one string at 65535 bytes and THROWS past it — heavy_hitters is
@@ -223,4 +196,46 @@ object MisraGriesAgg {
   def heavy_hitters(item: Column, k: Int): Column =
     Bridge.column(MisraGriesAgg(Bridge.expression(item), k)
       .toAggregateExpression())
+}
+
+/** The pure Misra–Gries core shared by the batch aggregate above and the
+  * streaming face ([[graft.streaming.Streams.heavyHittersStream]]'s
+  * per-key state) — ONE implementation of offer/merge/eval order, so the
+  * two can never diverge (the implicitPrefPairsLocal discipline). */
+object MisraGries {
+  /** The classic MG step: increment if tracked, insert if room, else
+    * decrement every counter (dropping zeros) — O(k) only on overflow. */
+  def offer(buf: mutable.HashMap[Any, Long], k: Int, s: Any): Unit = {
+    buf.get(s) match {
+      case Some(c) => buf.update(s, c + 1L)
+      case None if buf.size < k => buf.update(s, 1L)
+      case None =>
+        val dead = mutable.ArrayBuffer.empty[Any]
+        buf.mapValuesInPlace((_, c) => c - 1L)
+        buf.foreach { case (key, c) => if (c <= 0L) dead += key }
+        dead.foreach(buf.remove)
+    }
+  }
+
+  /** Agarwal'12 merge: pointwise sum; if more than k counters survive,
+    * subtract the (k+1)-th largest count from all and drop non-positive. */
+  def merge(a: mutable.HashMap[Any, Long], b: mutable.HashMap[Any, Long],
+            k: Int): mutable.HashMap[Any, Long] = {
+    b.foreach { case (s, c) => a.update(s, a.getOrElse(s, 0L) + c) }
+    if (a.size > k) {
+      val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = mutable.ArrayBuffer.empty[Any]
+      a.mapValuesInPlace((_, c) => c - cut)
+      a.foreach { case (key, c) => if (c <= 0L) dead += key }
+      dead.foreach(a.remove)
+    }
+    a
+  }
+
+  /** Deterministic output order given the counter set: (count desc, item
+    * asc under `keyOrd`). */
+  def sorted(buf: mutable.HashMap[Any, Long],
+             keyOrd: Ordering[Any]): Array[(Any, Long)] =
+    buf.toArray.sorted(Ordering.Tuple2(Ordering.Long.reverse, keyOrd)
+      .on[(Any, Long)] { case (s, c) => (c, s) })
 }

@@ -167,11 +167,14 @@ object Dedup {
   /** Distinct shingles hashed to 60-bit longs: (id, h). All downstream
     * joins/groupBys key on the 8-byte long, not the shingle string — at
     * 100 TB that shrinks the candidate-join shuffle by the full shingle
-    * width and makes key compares branchless. Both engines (Spark + the
-    * DuckDB oracle) hash with the same md5-derived [[TextAnalysis.hash60]],
-    * so collision behavior is identical. */
-  def hashedShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    shingles(df, id, text, n).select(col(id), hash60(col("shingle")).as("h"))
+    * width and makes key compares branchless. The default `hashFn` is the
+    * md5-derived [[TextAnalysis.hash60]] both engines compute (so
+    * hash-VALUE-pinned gates stay oracle-checkable); production pipelines
+    * pass [[TextAnalysis.hash60xx]] — same [0, 2⁶⁰) contract, ~an order
+    * of magnitude cheaper per shingle (the r14 hhprobe attribution). */
+  def hashedShingles(df: DataFrame, id: String, text: String, n: Int,
+                     hashFn: Column => Column = TextAnalysis.hash60): DataFrame =
+    shingles(df, id, text, n).select(col(id), hashFn(col("shingle")).as("h"))
 
   /** N-gram Jaccard near-dup pairs: explode distinct shingles → equi-join on
     * the shingle hash → per-pair common count → |A∩B|/(|A|+|B|-|A∩B|) ≥
@@ -201,14 +204,21 @@ object Dedup {
     * uncapped one — capping only ever drops pairs, never invents them. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                         threshold: Double,
-                        maxShingleDocFreq: Option[Int] = Dedup.DefaultMaxShingleDocFreq): DataFrame = {
+                        maxShingleDocFreq: Option[Int] = Dedup.DefaultMaxShingleDocFreq,
+                        hashFn: Column => Column = TextAnalysis.hash60): DataFrame = {
     // no .cache(): a library function must not leak persisted blocks into
     // the caller's session. The explicit repartition on the join key
     // materializes the expensive scan→tokenize→shingle→md5 chain into ONE
     // shuffle write that ReuseExchange shares across both join sides and
     // the counts aggregate (which re-shuffles the 16-byte (id,h) rows by
     // id instead of re-scanning the documents).
-    val sh = hashedShingles(df, id, text, n).repartition(col("h"))
+    // `hashFn` is the production-hash seam: [[TextAnalysis.hash60xx]]
+    // swaps the md5 digest for the codegen'd xxHash64 (the measured
+    // dominant scan cost) — the VALUE contract (shingle-set jaccard) is
+    // hash-regime-independent absent 60-bit collisions, which is what
+    // lets `dedup_ngram_jaccard_xx` oracle-gate the xx path against a
+    // raw-string DuckDB mirror.
+    val sh = hashedShingles(df, id, text, n, hashFn).repartition(col("h"))
     val shFiltered = maxShingleDocFreq match {
       case Some(cap) =>
         // doc-frequency via a window over the EXISTING hash-partitioning on
@@ -395,13 +405,19 @@ object Dedup {
                          bands: Int = 4, threshold: Double = 0.5,
                          maxEvalBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
-    val pt = minhashPerDoc(train, id, text, n, k)
+    // train side is SLIM (signatures only, map-side-combined shuffle);
+    // the hs payload is re-derived for candidate train docs alone — the
+    // eval side is benchmark-suite-sized and broadcast, so IT keeps the
+    // one-pass hs-carrying aggregate
+    val pt = minhashPerDocSlim(train, id, text, n, k)
     val pe = minhashPerDoc(eval, id, text, n, k)
     val cand = bandKeyRows(pt, id, k, bands).toDF("id1", "band", "key")
       .join(broadcast(bandBuckets(pe, id, k, bands, maxEvalBucketSize)
         .toDF("id2", "band", "key")), Seq("band", "key"))
       .select("id1", "id2").distinct()
-    val per = verifyJaccard(cand, pt, id, threshold, rightPerDoc = Some(pe))
+    val hsTrain = hashSetsFor(train, id, text, n,
+      cand.select(col("id1").as(id)).distinct())
+    val per = verifyJaccard(cand, hsTrain, id, threshold, rightPerDoc = Some(pe))
       .groupBy(col("id1")).agg(count(lit(1)).as("n_matches"),
         max(col("jaccard")).as("max_jaccard"))
     pt.select(col(id), col("n_sh"))
@@ -617,38 +633,54 @@ object Dedup {
     * band bucket → exact Jaccard verification on candidates only.
     *
     * At scale: candidates come from a groupable equi-join on (band_idx,
-    * band_key) — no O(N²); verification joins back to the shingle sets of
-    * the (much smaller) candidate pair set. `maxBandBucketSize` (ON by
-    * default, [[DefaultMaxBandBucketSize]]) drops over-full band buckets
-    * before pairing — the hot-bucket valve for mass-duplicated content;
-    * capped output is a subset of uncapped (see the constant's scaladoc).
-    * Both configurations are oracle-gated: `dedup_minhash_lsh` proves the
-    * default (capped) plan produces uncapped answers on cap-free data,
-    * `dedup_minhash_capped` proves the cap filter itself.
+    * band_key) — no O(N²); verification re-derives shingle-hash sets for
+    * CANDIDATE documents only (see [[candidateHashSets]] — the corpus's
+    * shingle sets never ship through a shuffle). `maxBandBucketSize` (ON
+    * by default, [[DefaultMaxBandBucketSize]]) drops over-full band
+    * buckets before pairing — the hot-bucket valve for mass-duplicated
+    * content; capped output is a subset of uncapped (see the constant's
+    * scaladoc). Both configurations are oracle-gated: `dedup_minhash_lsh`
+    * proves the default (capped) plan produces uncapped answers on
+    * cap-free data, `dedup_minhash_capped` proves the cap filter itself.
     */
   def minhashLshPairs(df: DataFrame, id: String, text: String,
                       n: Int = 3, k: Int = 8, bands: Int = 4,
                       threshold: Double = 0.5,
                       maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
-    val perDoc = minhashPerDoc(df, id, text, n, k)
-    // Candidate generation (VERDICT r13 item 5 — the winnow move tried on
-    // the band table): when a bucket cap exists, ONE groupBy(band, key)
-    // aggregates each bucket's member list and pairs expand IN-ROW
-    // (bounded by the cap), replacing the repartition + window-count +
-    // self-join shape — same single wide shuffle of the band rows, but
-    // no per-partition sort, no join, and the cap is a plain filter on
-    // the aggregated count instead of a window. Candidate SET is
-    // identical by construction (same buckets, same cap predicate, same
-    // id1 < id2 expansion, same distinct). The capless path keeps the
-    // join shape: an unbounded bucket must stream through a join, not
-    // materialize as one array row.
-    val cand = maxBandBucketSize match {
+    val perDoc = minhashPerDocSlim(df, id, text, n, k)
+    val cand = lshCandidates(perDoc, id, k, bands, maxBandBucketSize)
+    verifyJaccard(cand, candidateHashSets(df, id, text, n, cand), id, threshold)
+  }
+
+  /** LSH candidate pairs (id1 < id2, distinct) from a per-doc signature
+    * frame — the ONE candidate generator every LSH family member uses
+    * (VERDICT r14 item 2: `minhashLshPairs` and `editVerifiedPairs` had
+    * forked shapes, one optimized; any lever applied to one silently
+    * missed the other).
+    *
+    * Capped path (VERDICT r13 item 5, hardened per ADVICE r14): ONE
+    * groupBy(band, key) aggregates each bucket's member list with
+    * [[graft.functions.CollectCapped]] — storage stops AT the cap, so the
+    * mega-buckets the cap exists for (band keys are minima and concentrate
+    * as the corpus grows) never materialize their member lists at all; an
+    * over-cap bucket evaluates to NULL and one `isNotNull` filter drops
+    * it. Pairs expand IN-ROW (bounded by the cap): no per-partition sort,
+    * no join — a single wide shuffle of the band rows. Candidate SET is
+    * identical to the old count-filtered collect_list shape by
+    * construction (same buckets, same ≥2/≤cap predicate, same id1 < id2
+    * expansion, same distinct). The capless path keeps the join shape: an
+    * unbounded bucket must stream through a join, not materialize as one
+    * array row.
+    */
+  private[graft] def lshCandidates(perDoc: DataFrame, id: String, k: Int, bands: Int,
+                            maxBandBucketSize: Option[Int]): DataFrame =
+    maxBandBucketSize match {
       case Some(cap) =>
         bandKeyRows(perDoc, id, k, bands)
           .groupBy(col("band"), col("key"))
-          .agg(collect_list(col(id)).as("__ids"), count(lit(1)).as("__bs"))
-          .filter(col("__bs") >= 2 && col("__bs") <= cap)
+          .agg(graft.functions.CollectCapped.collect_capped(col(id), cap).as("__ids"))
+          .filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
           .select(explode(col("__ids")).as("id1"), col("__ids"))
           .select(col("id1"),
             explode(filter(col("__ids"), x => x > col("id1"))).as("id2"))
@@ -660,8 +692,33 @@ object Dedup {
           .filter(col("id1") < col("id2"))
           .select("id1", "id2").distinct()
     }
-    verifyJaccard(cand, perDoc, id, threshold)
-  }
+
+  /** Shingle-hash sets (id, n_sh, hs) re-derived for the documents that
+    * appear in a candidate pair set — the verify-payload shrink (VERDICT
+    * r14 item 1, the suite's one `weak` row). The old shape carried every
+    * document's full hash set through the signature groupBy
+    * (collect_list defeats map-side combine — ALL shingle hashes shuffled)
+    * and then again through the verify join: GB-scale at 5M docs, the
+    * measured sf100 residual. This shape scans the text a second time but
+    * only for candidate documents (a semi-join sliver, linear in the
+    * candidate count — measured exactly linear in corpus size by
+    * `Probe bandhist`), so the signature shuffle collapses to k map-side-
+    * combined mins per doc and the hash sets that DO ship are exactly the
+    * ones verification reads. Exact by construction: same shingles, same
+    * hashes, just derived for fewer documents. */
+  private def candidateHashSets(df: DataFrame, id: String, text: String,
+                                n: Int, cand: DataFrame): DataFrame =
+    hashSetsFor(df, id, text, n,
+      cand.select(col("id1").as(id)).union(cand.select(col("id2").as(id))).distinct())
+
+  /** Shingle-hash sets (id, n_sh, hs) for exactly the documents in `ids`
+    * (a semi-join sliver — AQE sees the ids side's runtime size from its
+    * distinct's exchange and broadcasts it when small). */
+  private def hashSetsFor(df: DataFrame, id: String, text: String,
+                          n: Int, ids: DataFrame): DataFrame =
+    hashedShingles(df.join(ids, Seq(id), "left_semi"), id, text, n)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_sh"), collect_list(col("h")).as("hs"))
 
   /** ONE aggregation pass builds everything per doc: the k minhashes (over
     * h mod P), the shingle count, and the 60-bit shingle-hash set for
@@ -685,6 +742,25 @@ object Dedup {
       min((col("hp") * minhashA(i) + minhashB(i)) % MinhashP).as(s"m$i"))
     hh.groupBy(col(id)).agg(sigAggs.head,
       (sigAggs.tail :+ count(lit(1)).as("n_sh") :+ collect_list(col("h")).as("hs")): _*)
+  }
+
+  /** [[minhashPerDoc]] WITHOUT the hs verification payload: (id,
+    * m0..m{k-1}, n_sh) only. Every aggregate here (k mins + a count) is
+    * algebraic, so map-side partial aggregation collapses each partition's
+    * shingle rows to ONE k-long row per doc before the shuffle — the
+    * signature exchange ships k×8 bytes per (doc, partition) instead of
+    * the document's entire hash set (collect_list has no partial
+    * reduction; carrying hs made this the corpus-sized shuffle the sf100
+    * LSH decade was measured against). Consumers that verify join back to
+    * [[candidateHashSets]]' candidate-only sets instead. */
+  private[graft] def minhashPerDocSlim(df: DataFrame, id: String, text: String,
+                                n: Int, k: Int): DataFrame = {
+    val hh = hashedShingles(df, id, text, n)
+      .withColumn("hp", col("h") % MinhashP)
+    val sigAggs = (0 until k).map(i =>
+      min((col("hp") * minhashA(i) + minhashB(i)) % MinhashP).as(s"m$i"))
+    hh.groupBy(col(id)).agg(sigAggs.head,
+      (sigAggs.tail :+ count(lit(1)).as("n_sh")): _*)
   }
 
   /** Band-key rows (id, band, key) from a [[minhashPerDoc]] frame.
@@ -863,12 +939,11 @@ object Dedup {
                         maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val perDoc = minhashPerDoc(df, id, text, n, k)
-    val buckets = bandBuckets(perDoc, id, k, bands, maxBandBucketSize)
-    val cand = buckets.toDF("id1", "band", "key")
-      .join(buckets.toDF("id2", "band", "key"), Seq("band", "key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    // shares [[lshCandidates]] with minhashLshPairs (VERDICT r14 item 2 —
+    // this op previously ran the old bandBuckets + self-join fork), and
+    // needs no hs payload at all: verification joins back to the TEXTS
+    val perDoc = minhashPerDocSlim(df, id, text, n, k)
+    val cand = lshCandidates(perDoc, id, k, bands, maxBandBucketSize)
     val texts = df.select(col(id), col(text))
     cand
       .join(texts.toDF("id1", "__t1"), "id1")

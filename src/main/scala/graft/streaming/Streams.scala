@@ -551,17 +551,28 @@ object Streams {
     *
     * Exactness bound (stated, not hand-waved): positives are always
     * exact — the final positive set is the `maxPosPerUser` SMALLEST
-    * clicked items and a min-k by item id merges losslessly. Negatives
-    * are viewed-NEVER-clicked, and a later click can remove a viewed
-    * item from the negative set, so the viewed min-k window needs
-    * headroom for evictions-by-click: stream ≡ batch whenever, per
-    * user, the number of distinct CLICKED items among their
-    * `trackPerUser` smallest viewed items is ≤ `trackPerUser −
-    * maxNegPerUser` (with the default 256 vs caps of 8, a user would
-    * need 248+ clicks inside their 256 smallest viewed items to break
-    * it; raise `trackPerUser` where click-density is adversarial).
-    * State per user is ≤ 2·`trackPerUser` longs regardless of event
-    * volume. */
+    * clicked items, min-k eviction only ever drops LARGER ids, and a
+    * min-k by item id merges losslessly. Negatives are
+    * viewed-NEVER-clicked; two mechanisms protect them:
+    * (1) drop-on-click (ADVICE r14): each update removes the user's
+    * clicked-so-far items from the viewed window BEFORE the min-k
+    * truncation, so already-clicked items never occupy window slots and
+    * a clicked item can only resurface as a negative if it is viewed
+    * AGAIN in a later micro-batch after its click has been evicted from
+    * the clicked window; (2) the flush filters viewed against the
+    * clicked state through the same pure
+    * [[graft.ops.Preference.implicitPrefPairsLocal]] the batch oracle
+    * gates. Stream ≡ batch whenever, per user, BOTH hold:
+    * (a) distinct CLICKED items ≤ `trackPerUser` (past that, a
+    * large-id click is evicted and a later re-view of that item can be
+    * emitted as a negative — StreamingSpec pins this divergence case
+    * explicitly), and (b) among the user's `trackPerUser` smallest
+    * viewed-never-clicked items, the number clicked only AFTER being
+    * viewed is ≤ `trackPerUser − maxNegPerUser` (drop-on-click makes
+    * same-or-earlier-batch clicks free; with the default 256 vs caps
+    * of 8, a user needs 248+ later-clicks inside their viewed window
+    * to break it). State per user is ≤ 2·`trackPerUser` longs
+    * regardless of event volume. */
   def implicitPrefPairsStream(spark: SparkSession,
                               events: Dataset[ImplicitEvent],
                               maxPosPerUser: Int = 8, maxNegPerUser: Int = 8,
@@ -589,9 +600,82 @@ object Streams {
             val evs = rows.toSeq
             def mergeMin(cur: Seq[Long], add: Seq[Long]): Seq[Long] =
               (cur ++ add).distinct.sorted.take(trackPerUser)
-            state.update(ImplicitPrefState(
-              mergeMin(st.clicked, evs.filter(_.is_click).map(_.item)),
-              mergeMin(st.viewed, evs.filter(_.is_view).map(_.item))))
+            val batchClicks = evs.filter(_.is_click).map(_.item)
+            val clicked = mergeMin(st.clicked, batchClicks)
+            // drop-on-click BEFORE the min-k truncation: a clicked item is
+            // permanently disqualified as a negative, so holding it in the
+            // viewed window both wastes a slot and (once the clicked
+            // window evicts it) could leak it back out as a negative.
+            // Filter with the UNtruncated clicked-so-far set — a click
+            // evicted in this very update must still drop its views
+            val clickedNow = st.clicked.toSet ++ batchClicks
+            val viewed = ((st.viewed ++ evs.filter(_.is_view).map(_.item))
+              .distinct.filterNot(clickedNow)).sorted.take(trackPerUser)
+            state.update(ImplicitPrefState(clicked, viewed))
+            state.setTimeoutDuration(idleFlush)
+            Iterator.empty
+          }
+      }
+  }
+
+  case class HHEvent(group: Long, item: String)
+  /** Per-group Misra–Gries state: the (item → count) counter map, size
+    * bounded at k by the offer/merge rules themselves. */
+  case class HHState(counters: Map[String, Long])
+  case class HHOut(group: Long, item: String, count: Long)
+
+  /** Streaming heavy hitters (VERDICT r14 item 5): per-group Misra–Gries
+    * summaries over an unbounded item stream — the natural streaming face
+    * for token/event frequency monitoring, where exact counting state
+    * grows with the open vocabulary but an MG summary stays k-bounded
+    * per group forever. Every arriving item passes through the SAME pure
+    * [[graft.functions.MisraGries.offer]] step the batch aggregate's
+    * update runs, and the idle flush emits through the same
+    * (count desc, item asc) eval order — the
+    * [[implicitPrefPairsStream]] discipline: one shared local core, so
+    * stream and batch cannot diverge.
+    *
+    * Determinism contract (same as the batch aggregate's scaladoc): when
+    * a group's true distinct-item count is ≤ k the summary never
+    * decrements and equals the EXACT counts — in that regime the flush
+    * is bit-equal to exploding the batch `heavy_hitters` array
+    * (StreamingSpec gates it, incl. counters assembled across
+    * micro-batches). Above k the surviving counter set legitimately
+    * depends on arrival order; what is contracted are the MG guarantees
+    * (every item with f > N/(k+1) present; reported counts are lower
+    * bounds within N/(k+1)) — property-spec'd, not byte-pinned. One
+    * caveat beyond batch: a streaming group's N is the events seen UP TO
+    * its flush, so guarantee comparisons must use that N.
+    *
+    * State per group is ≤ k counters regardless of stream length. */
+  def heavyHittersStream(spark: SparkSession, events: Dataset[HHEvent],
+                         k: Int = 128, idleFlush: String = "30 seconds")
+      : Dataset[HHOut] = {
+    import spark.implicits._
+    require(k > 0, s"heavyHittersStream requires k > 0: $k")
+    val keyOrd: Ordering[Any] = Ordering.by[Any, String](_.asInstanceOf[String])
+    events.groupByKey(_.group)
+      .flatMapGroupsWithState[HHState, HHOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (group: Long, rows: Iterator[HHEvent], state: GroupState[HHState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toSeq.flatMap { st =>
+              val buf = scala.collection.mutable.HashMap[Any, Long](
+                st.counters.toSeq.map { case (i, c) => (i: Any, c) }: _*)
+              graft.functions.MisraGries.sorted(buf, keyOrd)
+                .map { case (i, c) => HHOut(group, i.asInstanceOf[String], c) }
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val buf = scala.collection.mutable.HashMap[Any, Long](
+              state.getOption.map(_.counters.toSeq
+                .map { case (i, c) => (i: Any, c) }).getOrElse(Nil): _*)
+            rows.foreach { e =>
+              if (e.item != null) graft.functions.MisraGries.offer(buf, k, e.item)
+            }
+            state.update(HHState(buf.map { case (i, c) =>
+              (i.asInstanceOf[String], c) }.toMap))
             state.setTimeoutDuration(idleFlush)
             Iterator.empty
           }

@@ -1,0 +1,113 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.CollectCapped
+
+/** [[graft.functions.CollectCapped]] — the size-capped collect behind the
+  * unified LSH candidate stage (ADVICE r14: over-cap band buckets must
+  * never materialize their member lists). */
+class CollectCappedSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("groups at or under the cap collect exactly; over-cap groups are NULL") {
+    // group a: 3 items (== cap would be 3 later; here cap 4 → kept)
+    // group b: 5 items (> cap 4 → null)
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 10L), ("b", 11L), ("b", 12L), ("b", 13L), ("b", 14L)
+    ).toDF("g", "v")
+    val out = df.groupBy($"g")
+      .agg(CollectCapped.collect_capped($"v", 4).as("ids"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(out("a").map(_.sorted) === Some(Seq(1L, 2L, 3L)))
+    assert(out("b") === None)
+  }
+
+  test("a group of exactly cap items survives (boundary)") {
+    val df = (1 to 7).map(i => ("g", i.toLong)).toDF("g", "v")
+    val kept = df.groupBy($"g").agg(CollectCapped.collect_capped($"v", 7).as("ids"))
+      .collect().head.getSeq[Long](1)
+    assert(kept.sorted === (1L to 7L))
+    val dropped = df.groupBy($"g").agg(CollectCapped.collect_capped($"v", 6).as("ids"))
+      .collect().head.isNullAt(1)
+    assert(dropped)
+  }
+
+  test("matches count-filtered collect_list across many partitionings (merge exactness)") {
+    // 200 groups of sizes 1..40 over an 8-partition shuffle: partial
+    // buffers merge in arbitrary order; any truncation bug shows as a
+    // short array on an under-cap group
+    val rows = for (g <- 0 until 200; i <- 0 until (g % 40 + 1)) yield (g.toLong, g * 1000L + i)
+    val df = rows.toDF("g", "v").repartition(8)
+    val cap = 20
+    val got = df.groupBy($"g").agg(CollectCapped.collect_capped($"v", cap).as("ids"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1)).map(_.sorted)).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> (if (vs.size > cap) None else Some(vs.map(_._2).sorted))
+    }
+    assert(got === want)
+  }
+
+  test("string and binary items round-trip through partial-buffer serialization") {
+    val sdf = Seq(("g", "alpha"), ("g", "beta"), ("g", "γράμμα")).toDF("g", "v")
+      .repartition(3)
+    val s = sdf.groupBy($"g").agg(CollectCapped.collect_capped($"v", 5).as("ids"))
+      .collect().head.getSeq[String](1)
+    assert(s.sorted === Seq("alpha", "beta", "γράμμα"))
+    val bdf = Seq(("g", Array[Byte](1, 2)), ("g", Array[Byte](-1, 127)))
+      .toDF("g", "v").repartition(2)
+    val b = bdf.groupBy($"g").agg(CollectCapped.collect_capped($"v", 5).as("ids"))
+      .collect().head.getSeq[Array[Byte]](1)
+    assert(b.map(_.toSeq).sortBy(_.toString) === Seq(Seq[Byte](-1, 127), Seq[Byte](1, 2)))
+  }
+
+  test("nulls are skipped like collect_list") {
+    val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L)))
+      .toDF("g", "v")
+    val got = df.groupBy($"g").agg(CollectCapped.collect_capped($"v", 5).as("ids"))
+      .collect().head.getSeq[Long](1)
+    assert(got.sorted === Seq(1L, 2L))
+  }
+
+  test("buffer storage stops at the cap even as the count keeps counting") {
+    // direct buffer exercise: 1M offers into a cap-16 buffer must hold
+    // exactly 16 items (the whole point: a mega-bucket costs O(cap), not
+    // O(bucket)) while the count records the truth and eval returns null
+    val agg = CollectCapped(BoundReference(0, LongType, nullable = false), 16)
+    val buf = agg.createAggregationBuffer()
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    (0 until 1000000).foreach { i => row.update(0, i.toLong); agg.update(buf, row) }
+    assert(buf.items.length === 16)
+    assert(buf.count === 1000000L)
+    assert(agg.eval(buf) === null)
+    // serialized partial is cap-bounded too — this is what ships at shuffle
+    assert(agg.serialize(buf).length < 16 * 8 + 64)
+  }
+
+  test("merge of truncated partials stays truncation-consistent") {
+    val agg = CollectCapped(BoundReference(0, LongType, nullable = false), 4)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    def filled(n: Int, base: Long): CollectCapped.Buf = {
+      val b = agg.createAggregationBuffer()
+      (0 until n).foreach { i => row.update(0, base + i); agg.update(b, row) }
+      b
+    }
+    // 2 + 2 = 4 ≤ cap: complete
+    val ok = agg.merge(filled(2, 0L), filled(2, 100L))
+    assert(agg.eval(ok).asInstanceOf[GenericArrayData].toLongArray().sorted
+      === Array(0L, 1L, 100L, 101L))
+    // 3 + 3 = 6 > cap: null after round-tripping through serialization
+    val over = agg.merge(agg.deserialize(agg.serialize(filled(3, 0L))),
+      agg.deserialize(agg.serialize(filled(3, 100L))))
+    assert(agg.eval(over) === null)
+  }
+}

@@ -1099,4 +1099,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("unified capped LSH candidate stage: capped collect, no sort, no join (VERDICT r14 item 2)") {
+    // the candidate generator BOTH minhashLshPairs and editVerifiedPairs
+    // consume: band rows → ONE (band, key) aggregate with the size-capped
+    // collect (over-cap buckets never materialize) → in-row pair
+    // expansion → distinct. Any sort or join here is the old forked shape
+    // creeping back.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val perDoc = graft.ops.Dedup.minhashPerDocSlim(docs, "doc_id", "text", 3, 8)
+    val cand = graft.ops.Dedup.lshCandidates(perDoc, "doc_id", 8, 4, Some(1024))
+    val p = cand.queryExecution.executedPlan.toString
+    assert(p.contains("collect_capped"), p)
+    assert(!p.contains("Sort ["), s"no sort in the candidate stage:\n$p")
+    assert(!p.contains("Join"), s"no join in the candidate stage:\n$p")
+    assert(!p.contains("Window"), s"no window in the candidate stage:\n$p")
+    // both public ops run THIS stage (the fork is dead): the capped
+    // collect shows up in each full plan exactly once
+    Seq("dedup_minhash_lsh", "dedup_edit_verify").foreach { q =>
+      val fp = plan(q)
+      assert("collect_capped".r.findAllIn(fp).nonEmpty,
+        s"$q must run the unified capped candidate stage:\n$fp")
+      assert(!fp.contains("Window"), s"$q: the window-cap fork is dead:\n$fp")
+      assert(!fp.contains("CartesianProduct") && !fp.contains("Exchange rangepartitioning"), fp)
+    }
+  }
+
+  test("LSH verify re-derives hash sets for candidate docs only: slim signature aggregate (VERDICT r14 item 1)") {
+    val p = plan("dedup_minhash_lsh")
+    // the signature groupBy must NOT carry the hs payload: no aggregate
+    // mixes the k signature mins with a collect_list (the old one-pass
+    // shape whose collect defeated map-side combine and shipped every
+    // doc's full hash set) — collect_list lives only in the candidate-doc
+    // re-derivation branch, downstream of the left_semi candidate filter
+    p.linesIterator.filter(_.contains("partial_min")).foreach { l =>
+      assert(!l.contains("collect_list"),
+        s"signature aggregate must not carry the hs payload: $l\n$p")
+    }
+    assert(p.contains("collect_list"), s"the hs re-derivation branch exists:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"hs re-derivation must be candidate-doc-bounded via a semi join:\n$p")
+    // the slim signature aggregate partial-aggregates below its exchange
+    // (k mins + a count — the map-side combine the hs payload defeated)
+    assert(p.lastIndexOf("partial_min") > p.indexOf("Exchange"),
+      s"slim signature aggregate lost its map-side combine:\n$p")
+  }
 }

@@ -933,6 +933,121 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(r => r(0) == 3L))
   }
 
+  test("implicit prefs: drop-on-click keeps clicked-window overflow from leaking negatives (ADVICE r14)") {
+    // trackPerUser 4, FIVE distinct clicks {1,2,3,4,9}: the clicked
+    // window keeps the min-4 {1,2,3,4} and evicts 9 — but 9 is also
+    // viewed, and before drop-on-click the flush emitted it as a
+    // NEGATIVE (clicked-but-evicted leak). With the fix the view of 9
+    // dies at update time against the UNtruncated clicked-so-far set,
+    // so stream ≡ batch even though the clicked set truncated.
+    import org.apache.spark.sql.functions.col
+    def ev(u: Long, i: Long, click: Boolean) =
+      Streams.ImplicitEvent(u, i, is_click = click, is_view = !click)
+    val evs = Seq(ev(1L, 1L, true), ev(1L, 2L, true), ev(1L, 3L, true),
+      ev(1L, 4L, true), ev(1L, 9L, true),
+      ev(1L, 9L, false), ev(1L, 20L, false), ev(1L, 21L, false))
+    val ms = MemoryStream[Streams.ImplicitEvent](spark)
+    ms.addData(evs: _*)
+    val q = Streams.implicitPrefPairsStream(spark, ms.toDS(),
+        maxPosPerUser = 2, maxNegPerUser = 2, maxPairsPerUser = 4,
+        trackPerUser = 4, idleFlush = "2 seconds")
+      .writeStream.format("memory").queryName("implicit_trunc_stream")
+      .outputMode("append").start()
+    val got = try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.sql("SELECT 1 FROM implicit_trunc_stream").count() < 4 &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      spark.table("implicit_trunc_stream").collect().map(_.toSeq).toSet
+    } finally q.stop()
+    val evDf = evs.map(e => (e.user_id, e.item,
+        if (e.is_click) "click" else "view"))
+      .toDF("user_id", "item", "event_type")
+    val batch = graft.ops.Preference.implicitPrefPairs(evDf,
+        col("user_id"), col("item"),
+        col("event_type") === "click", col("event_type") === "view",
+        maxPosPerUser = 2, maxNegPerUser = 2, maxPairsPerUser = 4)
+      .select("user_id", "chosen_item", "rejected_item", "pair_rank")
+      .collect().map(_.toSeq).toSet
+    assert(got === batch)
+    // the leak specifically: 9 (clicked, evicted from the window) must
+    // never surface as a rejected item
+    assert(!got.exists(r => r(2) == 9L))
+    assert(got.exists(r => r(2) == 20L)) // real negatives still emit
+  }
+
+  test("streaming heavy hitters equal batch in the exact regime, incl. cross-batch assembly") {
+    // VERDICT r14 item 5: per-group Misra–Gries state through the SAME
+    // pure offer/eval core the batch aggregate runs. Exact regime: each
+    // group's distinct items ≤ k, so the flush must equal the exploded
+    // batch heavy_hitters array bit-for-bit — including group 1, whose
+    // counters assemble across two micro-batches.
+    import org.apache.spark.sql.functions.{col, explode}
+    val batch1 = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "x"), (2L, "x"))
+    val batch2 = Seq((1L, "c"), (1L, "a"), (2L, "y"))
+    val all = batch1 ++ batch2
+    val ms = MemoryStream[Streams.HHEvent](spark)
+    ms.addData(batch1.map(t => Streams.HHEvent(t._1, t._2)): _*)
+    val q = Streams.heavyHittersStream(spark,
+        ms.toDS(), k = 4, idleFlush = "8 seconds")
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").start()
+    val got = try {
+      val d0 = System.currentTimeMillis() + 30000
+      while (q.recentProgress.map(_.numInputRows).sum < batch1.size &&
+             System.currentTimeMillis() < d0)
+        Thread.sleep(200)
+      ms.addData(batch2.map(t => Streams.HHEvent(t._1, t._2)): _*)
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.sql("SELECT 1 FROM hh_stream").count() < 6 &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      spark.table("hh_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    } finally q.stop()
+    val batch = all.toDF("group", "item")
+      .groupBy(col("group"))
+      .agg(graft.functions.MisraGriesAgg.heavy_hitters(col("item"), 4).as("hh"))
+      .select(col("group"), explode(col("hh")).as("e"))
+      .select(col("group"), col("e.item"), col("e.count"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === batch)
+    assert(got === Set((1L, "a", 3L), (1L, "b", 1L), (1L, "c", 1L),
+      (2L, "x", 2L), (2L, "y", 1L)))
+  }
+
+  test("streaming heavy hitters above k: MG guarantees hold (approximate-regime contract)") {
+    // above k the surviving counter set legitimately depends on arrival
+    // order — contracted are the MG guarantees over the group's stream of
+    // N items: every item with f > N/(k+1) present, and reported counts
+    // in [f − N/(k+1), f]. One group, k=3, N=30: "hot" appears 12× >
+    // 30/4 = 7.5 so it MUST survive 27 distinct one-off items forcing
+    // decrements, with a count in [4.5, 12].
+    val hot = Seq.fill(12)("hot")
+    val noise = (0 until 18).map(i => s"n$i")
+    // interleave so decrements actually hit the hot counter
+    val evs = (hot.grouped(2).toSeq.zipAll(noise.grouped(3).toSeq, Nil, Nil)
+      .flatMap { case (h, n) => h ++ n }).map(Streams.HHEvent(7L, _))
+    val ms = MemoryStream[Streams.HHEvent](spark)
+    ms.addData(evs: _*)
+    val q = Streams.heavyHittersStream(spark,
+        ms.toDS(), k = 3, idleFlush = "2 seconds")
+      .writeStream.format("memory").queryName("hh_stream_approx")
+      .outputMode("append").start()
+    val got = try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.sql("SELECT 1 FROM hh_stream_approx").count() < 1 &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      spark.table("hh_stream_approx").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toMap
+    } finally q.stop()
+    assert(got.size <= 3, s"state must stay k-bounded: $got")
+    assert(got.contains("hot"), s"f=12 > N/(k+1)=7.5 item missing: $got")
+    assert(got("hot") >= 12L - 30L / 4L && got("hot") <= 12L,
+      s"count out of MG bound: ${got("hot")}")
+  }
+
   test("streaming DPO rendering over a pair stream equals batch (stream-static joins)") {
     // dpoRender's pair table is the STREAMING side (preference pairs come
     // off the live ranking loop); prompts and responses are static tables
