@@ -75,6 +75,36 @@ object Probe {
       }
       s.stop(); return
     }
+    if (args.headOption.contains("embcomp")) {
+      // VERDICT r14 item 7: sim_embedding_components moved +31%
+      // driver-to-driver (3.19 → 4.19 s) with no structural change — the
+      // largest unexplained mover below the 1.5× line. Same-JVM repeated
+      // runs (the era-immune protocol): if the warm min sits back near
+      // ~3.2 s the driver delta was box scatter; if it reproduces, next
+      // step is partition counts per checkpointed-loop iteration.
+      //   runMain graft.Probe embcomp <sfDir>
+      val dir = args(1)
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.files.maxPartitionBytes",
+          Bench.adaptiveMaxPartitionBytes(Bench.inputBytes(dir), 32))
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          Bench.adaptiveInitialPartitions(Bench.inputBytes(dir), 32))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      val ts = (0 until 4).map { i =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries("sim_embedding_components")(s, dir).collect(): Unit
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"EMBCOMP run=$i t=$t%.2f")
+        t
+      }
+      println(f"EMBCOMP warm_min=${ts.tail.min}%.2f warmup=${ts.head}%.2f")
+      s.stop(); return
+    }
     if (args.headOption.contains("bandhist")) {
       // band-bucket concentration measurement (the r14-named residual of
       // the LSH sf100 superlinearity): log2-bucketed band-bucket sizes

@@ -405,19 +405,23 @@ object Dedup {
                          bands: Int = 4, threshold: Double = 0.5,
                          maxEvalBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
-    // train side is SLIM (signatures only, map-side-combined shuffle);
-    // the hs payload is re-derived for candidate train docs alone — the
-    // eval side is benchmark-suite-sized and broadcast, so IT keeps the
-    // one-pass hs-carrying aggregate
+    // both sides are SLIM (signatures only, map-side-combined shuffle);
+    // hs payloads are re-derived below for candidate docs alone
     val pt = minhashPerDocSlim(train, id, text, n, k)
-    val pe = minhashPerDoc(eval, id, text, n, k)
+    val pe = minhashPerDocSlim(eval, id, text, n, k)
     val cand = bandKeyRows(pt, id, k, bands).toDF("id1", "band", "key")
       .join(broadcast(bandBuckets(pe, id, k, bands, maxEvalBucketSize)
         .toDF("id2", "band", "key")), Seq("band", "key"))
       .select("id1", "id2").distinct()
+    // BOTH intersection sides re-derive through hashSetsFor so they share
+    // the xx hash regime (intersecting xx train hashes against pe's md5
+    // hashes would be an empty join — the one way the seam can be misused)
     val hsTrain = hashSetsFor(train, id, text, n,
       cand.select(col("id1").as(id)).distinct())
-    val per = verifyJaccard(cand, hsTrain, id, threshold, rightPerDoc = Some(pe))
+    val hsEval = hashSetsFor(eval, id, text, n,
+      cand.select(col("id2").as(id)).distinct())
+    val per = verifyJaccard(cand, hsTrain, id, threshold,
+      rightPerDoc = Some(hsEval))
       .groupBy(col("id1")).agg(count(lit(1)).as("n_matches"),
         max(col("jaccard")).as("max_jaccard"))
     pt.select(col(id), col("n_sh"))
@@ -713,10 +717,22 @@ object Dedup {
 
   /** Shingle-hash sets (id, n_sh, hs) for exactly the documents in `ids`
     * (a semi-join sliver — AQE sees the ids side's runtime size from its
-    * distinct's exchange and broadcasts it when small). */
+    * distinct's exchange and broadcasts it when small).
+    *
+    * Hashes with [[TextAnalysis.hash60xx]], NOT the md5 hash60: these
+    * sets exist only to be INTERSECTED against each other inside one
+    * verify pass, and pairwise jaccard is hash-regime-independent absent
+    * 60-bit collisions (the `dedup_ngram_jaccard_xx` gate's argument), so
+    * the re-derive scan skips the md5 digest — the r15 hhprobe leg
+    * measured xx at 2.29 s vs 2.99 s for the identical sf10 shingle
+    * stream. Signatures stay md5 (the oracle mirrors BANDING with md5
+    * minhashes, so the candidate set must be md5-derived); every hs
+    * consumer of this helper must take BOTH intersection sides from the
+    * same hash regime. */
   private def hashSetsFor(df: DataFrame, id: String, text: String,
                           n: Int, ids: DataFrame): DataFrame =
-    hashedShingles(df.join(ids, Seq(id), "left_semi"), id, text, n)
+    hashedShingles(df.join(ids, Seq(id), "left_semi"), id, text, n,
+      TextAnalysis.hash60xx)
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_sh"), collect_list(col("h")).as("hs"))
 

@@ -483,6 +483,53 @@ class SignalsSpec extends SparkSpec {
     assert(got(4L) === "̇ orphan dot then i̧ partial")
   }
 
+  test("map_translate: longest-match walk on randomly OVERLAPPING sequence sources (property)") {
+    // VERDICT r14 item 6: the chain-equivalence theorem's preconditions
+    // (mutually non-overlapping sequence sources) are generator-ASSERTED
+    // for the committed snapshot, but the walk itself must implement
+    // greedy longest-match-at-each-position on ANY table — including
+    // prefix/suffix-overlapping and containing sources, where the
+    // replace-chain formulation legitimately diverges. Reference: a
+    // 10-line local greedy fold; 150 random (table, input) cases with
+    // deliberately overlapping sources drawn from a tiny alphabet so
+    // overlaps and adjacent matches are dense.
+    def refWalk(input: String, pairs: Seq[(String, String)]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < input.length) {
+        pairs.filter(p => input.startsWith(p._1, i))
+          .sortBy(-_._1.length).headOption match {
+          case Some((s, t)) => sb.append(t); i += s.length
+          case None => sb.append(input.charAt(i)); i += 1
+        }
+      }
+      sb.toString
+    }
+    val rnd = new scala.util.Random(421500)
+    // non-ASCII BMP letters so the ascii-transparent fast path stays
+    // exercised separately; tiny alphabet → dense overlaps
+    val alpha = "αβγд"
+    def randSrc(): String =
+      (0 until (1 + rnd.nextInt(3))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def randInput(): String = (0 until rnd.nextInt(24)).map(_ =>
+      if (rnd.nextInt(5) == 0) ('a' + rnd.nextInt(3)).toChar
+      else alpha(rnd.nextInt(alpha.length))).mkString
+    (0 until 30).foreach { t =>
+      val table = (0 until (2 + rnd.nextInt(5))).map(_ =>
+        randSrc() -> ("abcXY" (rnd.nextInt(5))).toString)
+        .groupBy(_._1).map(_._2.head).toSeq // sources unique, overlaps kept
+      val inputs = (0 until 5).map(i => (i.toLong, randInput()))
+      val got = inputs.toDF("id", "text")
+        .select(col("id"), graft.functions.F.map_translate(col("text"), table).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      inputs.foreach { case (i, input) =>
+        val want = refWalk(input, table)
+        assert(got(i) === want,
+          s"table $t diverged: table=$table input='$input' got='${got(i)}' want='$want'")
+      }
+    }
+  }
+
   test("code_normalize: one-pass scanner ≡ column-algebra chain on adversarial inputs") {
     val rows: Seq[(Long, String)] = Seq(
       1L -> "x = 1\n// MIT license\nreturn   x",

@@ -165,7 +165,62 @@ for src, tgt in ENTRIES:
 
 out = "src/main/resources/graft/confusables_snapshot.txt"
 import os
-os.makedirs(os.path.dirname(out), exist_ok=True)
-with open(out, "w", encoding="utf-8") as f:
-    f.write("\n".join(lines) + "\n")
-print(f"wrote {out}: {len(ENTRIES)} entries")
+
+
+def fetch_full(expect_sha256=None):
+    """Egress-gated upgrade path (VERDICT r14 item 6): replace the
+    derived snapshot with the COMPLETE published confusables.txt the day
+    the environment has network access. Inert offline — any socket
+    failure leaves the committed snapshot untouched and exits non-zero
+    without writing. Verification before writing:
+      1. optional sha256 pin (--expect-sha256; the printed digest of a
+         successful fetch is what gets pinned in the follow-up commit);
+      2. format check: every non-comment line must parse as
+         'hex[ hex...] ; hex[ hex...] ; TYPE' — the exact grammar
+         TextAnalysis.parseConfusables consumes, so a changed upstream
+         format fails HERE, not at engine load.
+    """
+    import hashlib
+    import re
+    import urllib.request
+    url = "https://www.unicode.org/Public/security/latest/confusables.txt"
+    print(f"fetching {url} ...")
+    body = urllib.request.urlopen(url, timeout=60).read()
+    digest = hashlib.sha256(body).hexdigest()
+    print(f"sha256: {digest}")
+    if expect_sha256 and digest != expect_sha256:
+        raise SystemExit(
+            f"checksum mismatch: expected {expect_sha256}, got {digest}")
+    text = body.decode("utf-8-sig")
+    line_re = re.compile(
+        r"^[0-9A-Fa-f]{4,6}( [0-9A-Fa-f]{4,6})*\s*;\s*"
+        r"[0-9A-Fa-f]{4,6}( [0-9A-Fa-f]{4,6})*\s*;\s*\w+")
+    data_lines = [l for l in text.splitlines()
+                  if l.strip() and not l.lstrip().startswith("#")]
+    bad = [l for l in data_lines if not line_re.match(l)]
+    if bad or len(data_lines) < 1000:
+        raise SystemExit(
+            f"upstream format unexpected ({len(data_lines)} data lines, "
+            f"{len(bad)} unparsable; first bad: {bad[:1]}) — not writing")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write(text)
+    print(f"wrote {out}: FULL published file, {len(data_lines)} entries "
+          f"(sha256 {digest} — pin it with --expect-sha256)")
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fetch", action="store_true",
+                    help="fetch the complete published confusables.txt "
+                         "from unicode.org (requires egress; inert offline)")
+    ap.add_argument("--expect-sha256", default=None,
+                    help="pin the fetched file's sha256")
+    args = ap.parse_args()
+    if args.fetch:
+        fetch_full(args.expect_sha256)
+    else:
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {out}: {len(ENTRIES)} entries")
