@@ -396,8 +396,10 @@ object Dedup {
     * rows) are capped and BROADCAST, train band keys are probed map-side
     * in the scan projection, and only the candidate sliver (bounded by
     * |eval| x cap, independent of train size) flows into the confirm
-    * join. The one train-sized exchange is [[minhashPerDoc]]'s signature
-    * groupBy, shared with the spine via ReuseExchange. The eval-side
+    * join. The one train-sized exchange is [[minhashPerDocSlim]]'s
+    * signature groupBy (k map-side-combined mins per doc, no hs
+    * payload — both verify sides re-derive candidate-only hash sets
+    * through [[hashSetsFor]]). The eval-side
     * bucket cap guards against a degenerate eval item (an all-boilerplate
     * prompt) bucketing with half the corpus. */
   def fuzzyContamination(train: DataFrame, eval: DataFrame, id: String,
@@ -808,7 +810,7 @@ object Dedup {
     * retuning [[DefaultMaxBandBucketSize]]. */
   def bandBucketSizes(df: DataFrame, id: String, text: String,
                       n: Int, k: Int, bands: Int): DataFrame =
-    bandKeyRows(minhashPerDoc(df, id, text, n, k), id, k, bands)
+    bandKeyRows(minhashPerDocSlim(df, id, text, n, k), id, k, bands)
       .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bs"))
 

@@ -661,7 +661,10 @@ class StreamingSpec extends SparkSpec {
     val s = 1000000000L // 1 s in ns
     val gapNs = 60 * s
     val ms = MemoryStream[Streams.SessionEvent](spark)
-    val q = Streams.sessionize(spark, ms.toDS(), gapNs = gapNs, idleFlush = "2 seconds")
+    // 20 s cross-batch margin: an idle flush firing between the two
+    // addData calls would emit [300,300] early and split the merge case
+    // into three sessions — same rationale as the implicit-prefs spec
+    val q = Streams.sessionize(spark, ms.toDS(), gapNs = gapNs, idleFlush = "20 seconds")
       .writeStream.format("memory").queryName("sessions_ooo")
       .outputMode("append")
       .start()
@@ -843,8 +846,9 @@ class StreamingSpec extends SparkSpec {
     val all = batch1 ++ batch2
     val ms = MemoryStream[Streams.CandEvent](spark)
     ms.addData(batch1: _*)
+    // 20 s cross-batch margin — same rationale as the implicit-prefs spec
     val q = Streams.preferencePairsStream(spark, ms.toDS(),
-        maxCandsPerPrompt = 3, idleFlush = "2 seconds")
+        maxCandsPerPrompt = 3, idleFlush = "20 seconds")
       .writeStream.format("memory").queryName("pref_pairs_stream")
       .outputMode("append")
       .start()
@@ -895,12 +899,14 @@ class StreamingSpec extends SparkSpec {
     val all = batch1 ++ batch2
     val ms = MemoryStream[Streams.ImplicitEvent](spark)
     ms.addData(batch1: _*)
-    // 8 s, not the pref-pairs spec's 2 s: query startup on a loaded box
-    // has let the idle flush fire BETWEEN the two addData calls, splitting
-    // u1's state and emitting two partial flushes (observed in r14)
+    // 20 s, not the pref-pairs spec's 2 s: on a loaded box the idle flush
+    // has fired BETWEEN the two addData calls, splitting u1's state into
+    // two partial flushes (observed at 2 s in r14 and once at 8 s in a
+    // full-suite r15 run — the timer starts at batch1's PROCESSING, and
+    // batch2's micro-batch can lag behind the detection loop under load)
     val q = Streams.implicitPrefPairsStream(spark, ms.toDS(),
         maxPosPerUser = 2, maxNegPerUser = 2, maxPairsPerUser = 3,
-        trackPerUser = 4, idleFlush = "8 seconds")
+        trackPerUser = 4, idleFlush = "20 seconds")
       .writeStream.format("memory").queryName("implicit_pref_stream")
       .outputMode("append")
       .start()
@@ -988,8 +994,9 @@ class StreamingSpec extends SparkSpec {
     val all = batch1 ++ batch2
     val ms = MemoryStream[Streams.HHEvent](spark)
     ms.addData(batch1.map(t => Streams.HHEvent(t._1, t._2)): _*)
+    // 20 s cross-batch margin — same rationale as the implicit-prefs spec
     val q = Streams.heavyHittersStream(spark,
-        ms.toDS(), k = 4, idleFlush = "8 seconds")
+        ms.toDS(), k = 4, idleFlush = "20 seconds")
       .writeStream.format("memory").queryName("hh_stream")
       .outputMode("append").start()
     val got = try {
@@ -1100,8 +1107,11 @@ class StreamingSpec extends SparkSpec {
     val batch2 = Seq(Streams.CandEvent(4L, 5L, 70L))
     val ms = MemoryStream[Streams.CandEvent](spark)
     ms.addData(batch1: _*)
+    // 20 s cross-batch margin (an early flush of prompt 4's single
+    // candidate would drop the late-arrival pair entirely) — same
+    // rationale as the implicit-prefs spec
     val q = Streams.multiTurnDpoStream(spark, msgs, "mid", parent, "mtext",
-        ms.toDS(), maxDepth = 5, idleFlush = "2 seconds")
+        ms.toDS(), maxDepth = 5, idleFlush = "20 seconds")
       .writeStream.format("memory").queryName("mtdpo_stream")
       .outputMode("append")
       .start()
