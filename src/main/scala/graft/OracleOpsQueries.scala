@@ -1729,6 +1729,18 @@ object OracleOpsQueries {
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
   }
 
+  /** The SLIM-index variant on the same split, gated on the SAME oracle
+    * SQL: candidates are md5-signature-derived either way, and jaccard
+    * is hash-regime-independent, so the payload-free index must produce
+    * byte-identical rows — a regression in the re-derive path (regime
+    * mix, sliver scope, count drift) breaks hash equality here. */
+  def dedupIncrementalMinhashSlim(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalMinhashPairsSlim(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+  }
+
   /** Near-dup cluster-size distribution — the dedup report a corpus run
     * ends with: connected components over the MinHash pair graph, rolled
     * up to (cluster_size, n_clusters, n_docs). Singletons dominate by
@@ -3075,6 +3087,7 @@ object OracleOpsQueries {
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_incremental_exact_bloom" -> (dedupIncrementalExactBloom _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
+    "dedup_incremental_minhash_slim" -> (dedupIncrementalMinhashSlim _),
     "sim_sem_dedup" -> (semDedup _),
     "sim_centroid_dist" -> (simCentroidDist _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -3672,6 +3685,19 @@ object OracleOpsQueries {
        |    AS contaminated_frac,
        |  CAST(COALESCE(o.n_cont, 0) > 0 AS INT) AS is_contaminated
        |FROM cnt c LEFT JOIN ov o ON c.doc_id = o.doc_id""".stripMargin
+
+  /** One mirror for BOTH incremental-minhash variants (payload index and
+    * slim re-derive index) — a single binding makes oracle divergence
+    * between the two plans impossible; bucketCap + capSide mirror the
+    * Scala per-side cap default exactly (see the payload entry's note). */
+  private val incrementalMinhashSql: String =
+    s"""WITH ${minhashCtes(bucketCap = Dedup.DefaultMaxBandBucketSize,
+                           candCond = "a.doc_id % 2 = 1 AND b.doc_id % 2 = 0",
+                           capSide = Some("doc_id % 2"))}
+       |SELECT m.id1, m.id2,
+       |  CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) AS jaccard
+       |FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
+       |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin
 
   /** One text for BOTH kNN variants (broadcast and shuffled) — a single
     * binding makes oracle divergence between the two plans impossible. */
@@ -7568,14 +7594,11 @@ object OracleOpsQueries {
     // band-bucket cap (1024) partitions the size count by batch/corpus side
     // (doc_id parity here), so the gate stays honest even if a hot bucket
     // appears at a larger SF.
-    "dedup_incremental_minhash" ->
-      s"""WITH ${minhashCtes(bucketCap = Dedup.DefaultMaxBandBucketSize,
-                             candCond = "a.doc_id % 2 = 1 AND b.doc_id % 2 = 0",
-                             capSide = Some("doc_id % 2"))}
-         |SELECT m.id1, m.id2,
-         |  CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) AS jaccard
-         |FROM com m JOIN cnt c1 ON m.id1 = c1.doc_id JOIN cnt c2 ON m.id2 = c2.doc_id
-         |WHERE CAST(m.common AS DOUBLE) / CAST(c1.n + c2.n - m.common AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_incremental_minhash" -> incrementalMinhashSql,
+    // the slim-index variant produces byte-identical rows (same
+    // md5-derived candidates; jaccard is hash-regime-independent), so it
+    // gates on the SAME mirror — divergence means the re-derive broke
+    "dedup_incremental_minhash_slim" -> incrementalMinhashSql,
     "dedup_contamination" -> contaminationSql,
     "dedup_contamination_shuffled" -> contaminationSql,
     "dedup_contamination_bloom" -> contaminationSql,

@@ -1142,6 +1142,76 @@ object Dedup {
     (pc, bandBuckets(pc, id, k, bands, maxBandBucketSize))
   }
 
+  /** [[minhashIndexTables]] WITHOUT the per-doc hs verification payload —
+    * the persisted face of the r15 verify-payload shrink. The payload
+    * index stores every document's full shingle-hash set: O(Σ shingles),
+    * essentially a second copy of the corpus at 100 TB. The slim index
+    * stores k minhash mins + a shingle count per doc — O(k·docs), ~a
+    * thousandth of the corpus — and verification re-derives hash sets
+    * for CANDIDATE corpus docs from the corpus TEXT table instead
+    * (see [[incrementalMinhashPairsAgainstSlim]]). perDoc still carries
+    * the signatures so the index can be re-banded (different `bands`)
+    * without re-shingling the corpus. */
+  def minhashIndexTablesSlim(corpus: DataFrame, id: String, text: String,
+                             n: Int = 3, k: Int = 8, bands: Int = 4,
+                             maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize)
+      : (DataFrame, DataFrame) = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val pc = minhashPerDocSlim(corpus, id, text, n, k)
+    (pc, bandBuckets(pc, id, k, bands, maxBandBucketSize))
+  }
+
+  /** [[incrementalMinhashPairsAgainst]] for a SLIM (payload-free) corpus
+    * index: candidates come from the batch's band keys probing the
+    * reloaded bucket table exactly as the payload variant, and
+    * verification re-derives shingle-hash sets for candidate documents
+    * only — batch side from `batch`, corpus side from `corpusText` (the
+    * corpus text table the index was built from; pass the same columns,
+    * id-bucketed so the candidate semi-join prunes instead of scanning).
+    * Both re-derives run through [[hashSetsFor]], so the two intersection
+    * sides share the xx hash regime by construction. Same cap and
+    * id-space semantics as the payload variant; values identical
+    * (same md5-derived candidates, and jaccard is
+    * hash-regime-independent absent 60-bit collisions — the
+    * `dedup_ngram_jaccard_xx` gate's argument), which is why
+    * `dedup_incremental_minhash_slim` gates on the SAME oracle SQL. */
+  def incrementalMinhashPairsAgainstSlim(batch: DataFrame,
+                                         corpusText: DataFrame,
+                                         corpusBuckets: DataFrame,
+                                         id: String, text: String,
+                                         n: Int = 3, k: Int = 8, bands: Int = 4,
+                                         threshold: Double = 0.5,
+                                         maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val pb = minhashPerDocSlim(batch, id, text, n, k)
+    val cand = bandBuckets(pb, id, k, bands, maxBandBucketSize).toDF("id1", "band", "key")
+      .join(corpusBuckets.select(col(id), col("band"), col("key"))
+          .toDF("id2", "band", "key"),
+        Seq("band", "key"))
+      .filter(col("id1") =!= col("id2"))
+      .select("id1", "id2").distinct()
+    val hsBatch = hashSetsFor(batch, id, text, n,
+      cand.select(col("id1").as(id)).distinct())
+    val hsCorpus = hashSetsFor(corpusText, id, text, n,
+      cand.select(col("id2").as(id)).distinct())
+    verifyJaccard(cand, hsBatch, id, threshold, rightPerDoc = Some(hsCorpus))
+  }
+
+  /** Inline convenience over [[minhashIndexTablesSlim]] +
+    * [[incrementalMinhashPairsAgainstSlim]] — builds the slim index and
+    * scores the batch in one call (the gate's entry point; production
+    * persists the index and calls the Against form per increment). */
+  def incrementalMinhashPairsSlim(batch: DataFrame, corpus: DataFrame,
+                                  id: String, text: String,
+                                  n: Int = 3, k: Int = 8, bands: Int = 4,
+                                  threshold: Double = 0.5,
+                                  maxBandBucketSize: Option[Int] = Dedup.DefaultMaxBandBucketSize): DataFrame = {
+    val (_, bc) = minhashIndexTablesSlim(corpus, id, text, n, k, bands,
+      maxBandBucketSize)
+    incrementalMinhashPairsAgainstSlim(batch, corpus, bc, id, text, n, k,
+      bands, threshold, maxBandBucketSize)
+  }
+
   /** [[incrementalMinhashPairs]] against a PRE-BUILT (typically
     * parquet-reloaded) corpus index from [[minhashIndexTables]] — the
     * inline variant delegates here, so the two cannot diverge. The

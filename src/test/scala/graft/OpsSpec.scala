@@ -1294,6 +1294,41 @@ class OpsSpec extends SparkSpec {
     assert(loaded.nonEmpty, "equivalence must be non-vacuous")
   }
 
+  test("incrementalMinhashPairsSlim: payload-free index equals the payload variant, incl. parquet round-trip") {
+    // the r15 verify-payload shrink applied to the PERSISTED index:
+    // candidates are md5-signature-derived in both variants and jaccard
+    // is hash-regime-independent, so rows must be byte-identical even
+    // though the slim path re-derives candidate hash sets (xx regime,
+    // both sides) from the text tables instead of reading stored hs
+    val a = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog today"),
+      (13L, "completely unrelated text about spark planning here now"),
+      (15L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val b = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog yesterday"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (6L, "nothing like anything else in either side at all"))
+      .toDF("doc_id", "text")
+    val payload = Dedup.incrementalMinhashPairs(a, b, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val slim = Dedup.incrementalMinhashPairsSlim(a, b, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(slim === payload)
+    assert(slim.nonEmpty, "equivalence must be non-vacuous")
+    // slim index truly carries no hs column, and survives parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-slim-index")
+    val (perDoc, buckets) = Dedup.minhashIndexTablesSlim(b, "doc_id", "text")
+    assert(!perDoc.columns.contains("hs"),
+      "slim per-doc index must not carry the verification payload")
+    buckets.write.mode("overwrite").parquet(dir.resolve("buckets").toString)
+    val loaded = Dedup.incrementalMinhashPairsAgainstSlim(a, b,
+        spark.read.parquet(dir.resolve("buckets").toString),
+        "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(loaded === payload)
+  }
+
   test("ngramContamination: shuffled-semi path (broadcastEval=false) equals broadcast path") {
     // the huge-eval-corpus escape hatch must be a pure plan change
     val train = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "aa bb cc"))
