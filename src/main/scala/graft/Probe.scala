@@ -105,6 +105,78 @@ object Probe {
       println(f"EMBCOMP warm_min=${ts.tail.min}%.2f warmup=${ts.head}%.2f")
       s.stop(); return
     }
+    if (args.headOption.contains("editprobe")) {
+      // stage attribution for dedup_edit_verify (the top single-op bench
+      // row at sf0.1): times, same-JVM min-of-2 after one warmup, the
+      // signature pass alone, the candidate stage, the candidate→text
+      // join without the distance, and the full op — so the expensive
+      // term is named by measurement, not attribution.
+      //   runMain graft.Probe editprobe <sfDir>
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.files.maxPartitionBytes",
+          Bench.adaptiveMaxPartitionBytes(Bench.inputBytes(dir), 32))
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          Bench.adaptiveInitialPartitions(Bench.inputBytes(dir), 32))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // same plant as OracleOpsQueries.dedupEditVerify
+      val variants = Seq(
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "teh quick brown fox jumps over the lazy dog again and again today",
+        "the quik brown fox jumps over the lazy dog again and again today",
+        "the quicck brown fox jumps over the lazy dog again and again today")
+      val v = (col("doc_id") / 9).cast("long") % 4
+      val planted = when(col("doc_id") % 9 === 0,
+        when(v === 0, lit(variants(0))).when(v === 1, lit(variants(1)))
+          .when(v === 2, lit(variants(2))).otherwise(lit(variants(3))))
+        .otherwise(col("text"))
+      def docs() = Tables.documents(s, dir)
+        .select(col("doc_id"), planted.as("text"))
+      def perDoc() = graft.ops.Dedup.minhashPerDocSlim(docs(), "doc_id", "text", 3, 8)
+      def cand() = graft.ops.Dedup.lshCandidates(perDoc(), "doc_id", 8, 4,
+        graft.ops.Dedup.DefaultMaxBandBucketSize)
+      def textJoin() = {
+        val texts = docs().select(col("doc_id"), col("text"))
+        cand()
+          .join(texts.toDF("id1", "__t1"), "id1")
+          .join(texts.toDF("id2", "__t2"), "id2")
+          .select(col("id1"), col("id2"), length(col("__t1")) + length(col("__t2")))
+      }
+      def full() = graft.ops.Dedup.editVerifiedPairs(docs(), "doc_id", "text", maxDist = 6L)
+      val legs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "perdoc" -> (() => perDoc()),
+        "cand" -> (() => cand()),
+        "textjoin" -> (() => textJoin()),
+        "full" -> (() => full()))
+      legs.foreach { case (name, f) =>
+        val ts = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          Bench.forceHashAgg(f().toDF())
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"EDITPROBE $name warm=${ts.head}%.2f min2=${ts.tail.min}%.2f")
+      }
+      println(s"EDITPROBE n_cand=${cand().count()} " +
+        s"n_out=${full().count()}")
+      if (args.length > 2 && args(2) == "finalplan") {
+        val d = full()
+        Bench.forceHashAgg(d)
+        val fp = d.queryExecution.executedPlan.toString
+        println("EDITPROBE_FINALPLAN reused=" +
+          "ReusedExchange".r.findAllIn(fp).length +
+          " exchanges=" + "Exchange".r.findAllIn(fp).length)
+        println(fp.linesIterator.filter(l =>
+          l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate"))
+          .mkString("\n"))
+      }
+      s.stop(); return
+    }
     if (args.headOption.contains("bandhist")) {
       // band-bucket concentration measurement (the r14-named residual of
       // the LSH sf100 superlinearity): log2-bucketed band-bucket sizes

@@ -946,7 +946,28 @@ object Dedup {
     * returns the EXACT distance whenever it is ≤ threshold, which is
     * precisely the survivor set (a -1 row is a dropped row either
     * way). Still never run it all-pairs — the LSH stage bounds the
-    * candidate count. Engine-portability caveat: Spark computes
+    * candidate count.
+    *
+    * The distance runs ONCE PER DISTINCT TEXT PAIR, not once per
+    * candidate pair (r15; guide §1.2 "don't compute things you throw
+    * away"): the regime where LSH candidate counts blow up at all is
+    * mass-duplicated content — template fills, boilerplate mirrors,
+    * re-crawls — where thousands of docs share a handful of distinct
+    * texts, so every bucket's candidate pairs re-derive the SAME
+    * distance (the sf0.1 gate measures 96,886 candidate pairs over ~260
+    * distinct text pairs; the per-pair distance was 5.2 s of the op's
+    * 6.6 s). Deduping on (t1, t2) collapses that to one call per
+    * distinct pair, joined back to the candidate rows (exact: the
+    * distance is a pure function of the two texts, and the join keys
+    * are the texts themselves, not hashes). Cost when texts are
+    * near-unique: one extra exchange of the candidate text-pair rows
+    * (the distinct) — bounded by the bytes the verify join already
+    * ships — while the win in the duplicated regime is
+    * |candidates| / |distinct text pairs|, exactly the factor bucket
+    * blow-up creates. Equal texts short-circuit to 0 scan-side, so the
+    * dominant same-text mass never reaches the DP at all.
+    *
+    * Engine-portability caveat: Spark computes
     * codepoint-level distance while some reference engines (DuckDB)
     * count bytes, so distances over non-ASCII text differ — thresholds
     * near the boundary should be validated on the target engine (the
@@ -963,14 +984,42 @@ object Dedup {
     val perDoc = minhashPerDocSlim(df, id, text, n, k)
     val cand = lshCandidates(perDoc, id, k, bands, maxBandBucketSize)
     val texts = df.select(col(id), col(text))
-    cand
+    // both consumers (the per-distinct-pair distance and the join back)
+    // ride ONE explicit (t1, t2) exchange, so ReuseExchange materializes
+    // the candidate pipeline once — the winnowPairs trick, including its
+    // caveat: the aggregate must reference id1 AND id2 so column pruning
+    // cannot make the two subplans canonically unequal (a pruned branch
+    // would recompute the whole sketch pipeline end-to-end)
+    val candTexts = cand
       .join(texts.toDF("id1", "__t1"), "id1")
       .join(texts.toDF("id2", "__t2"), "id2")
+      .repartition(col("__t1"), col("__t2"))
+    // one distance per DISTINCT text pair, riding the existing (t1, t2)
+    // partitioning (HashAggregate, no new exchange). Equal texts are
+    // distance 0 without running the DP.
+    val distinctDists = candTexts
+      .groupBy(col("__t1"), col("__t2"))
+      .agg(count(col("id1")).as("__c1"), count(col("id2")).as("__c2"))
       // banded: -1 marks distance > maxDist, and -1 <= maxDist would be
       // TRUE, so the filter must require dist >= 0 as well
       .withColumn("dist",
-        levenshtein(col("__t1"), col("__t2"), maxDist.toInt).cast("long"))
-      .filter(col("dist") >= 0L && col("dist") <= maxDist)
+        when(col("__t1") === col("__t2"), 0L)
+          .otherwise(levenshtein(col("__t1"), col("__t2"), maxDist.toInt).cast("long")))
+      // the predicate references the aggregate output __c1 (> 0 for every
+      // group by construction, so semantics are unchanged) because a
+      // filter on grouping keys alone is pushed BELOW the aggregate by
+      // PushDownPredicates — measured: the pushed levenshtein landed in
+      // the candidate join's condition and ran once per CANDIDATE row
+      // (96,886×) instead of once per distinct pair (~260×), and the
+      // branch-local pushdown also broke the canonical equality the
+      // shared exchange needs for reuse
+      .filter(when(col("__c1") > 0L, col("dist")).otherwise(lit(-1L))
+        .between(0L, maxDist))
+      .select(col("__t1"), col("__t2"), col("dist"))
+    // SHUFFLE_HASH keeps the join on the shared (t1, t2) partitioning —
+    // a broadcast would recompute the candidate pipeline for this branch
+    candTexts
+      .join(distinctDists.hint("SHUFFLE_HASH"), Seq("__t1", "__t2"))
       .select(col("id1"), col("id2"), col("dist"))
   }
 

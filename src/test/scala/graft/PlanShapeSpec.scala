@@ -1125,6 +1125,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("edit-verify distance runs once per DISTINCT text pair, never in a join condition (r15)") {
+    // the per-distinct-pair rewrite: the banded levenshtein must sit
+    // ABOVE the (t1, t2) aggregate — PushDownPredicates would otherwise
+    // fold it into the candidate join's condition and run it once per
+    // candidate row (measured 96,886× instead of ~260× at sf0.1; the
+    // aggregate-output guard in editVerifiedPairs is what pins it up)
+    val p = plan("dedup_edit_verify")
+    assert(p.contains("levenshtein"), p)
+    p.linesIterator.filter(_.contains("levenshtein")).foreach { l =>
+      assert(!l.contains("Join"),
+        s"levenshtein pushed into a join condition (once-per-candidate-row regression): $l")
+    }
+    // the text-pair aggregate the distance rides on exists
+    assert(p.contains("Exchange hashpartitioning(__t1"), p)
+  }
+
   test("LSH verify re-derives hash sets for candidate docs only: slim signature aggregate (VERDICT r14 item 1)") {
     val p = plan("dedup_minhash_lsh")
     // the signature groupBy must NOT carry the hs payload: no aggregate

@@ -735,6 +735,32 @@ class SignalsSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("editVerifiedPairs: mass-duplicated texts get exact distances (per-distinct-pair rewrite)") {
+    import graft.ops.Dedup
+    // 8 copies of each of two variants: every cross-copy pair is a
+    // candidate, but the distance is derived once per DISTINCT text pair
+    // — the r15 rewrite must still emit one row per candidate pair with
+    // the exact distance (0 within a variant, 2 across)
+    val docs = (0L until 16L).map { i =>
+      val t = if (i % 2 == 0)
+        "the quick brown fox jumps over the lazy dog again and again today"
+      else
+        "teh quick brown fox jumps over the lazy dog again and again today"
+      (i, t)
+    }
+    val out = Dedup.editVerifiedPairs(docs.toDF("doc_id", "text"),
+      "doc_id", "text", maxDist = 6L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // all 120 unordered pairs are candidates (identical signatures within
+    // a variant; the two variants share bands on this fixture is not
+    // assumed — check only the pairs that MUST exist and their values)
+    for (a <- 0L until 16L; b <- (a + 1) until 16L if a % 2 == b % 2)
+      assert(out((a, b)) === 0L, s"same-text pair ($a,$b)")
+    out.foreach { case ((a, b), d) =>
+      assert(d === (if (a % 2 == b % 2) 0L else 2L), s"pair ($a,$b)")
+    }
+  }
+
   test("digitFold folds number runs so re-crawl mutations share a fingerprint") {
     import graft.ops.TextAnalysis
     val fp = Seq(
