@@ -166,14 +166,66 @@ object Probe {
         s"n_out=${full().count()}")
       if (args.length > 2 && args(2) == "finalplan") {
         val d = full()
-        Bench.forceHashAgg(d)
+        d.collect(): Unit // finalize THIS dataset's adaptive plan
         val fp = d.queryExecution.executedPlan.toString
         println("EDITPROBE_FINALPLAN reused=" +
           "ReusedExchange".r.findAllIn(fp).length +
           " exchanges=" + "Exchange".r.findAllIn(fp).length)
         println(fp.linesIterator.filter(l =>
-          l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate"))
+          l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate") ||
+            l.contains("QueryStage") || l.contains("AdaptiveSparkPlan"))
           .mkString("\n"))
+      }
+      s.stop(); return
+    }
+    if (args.headOption.contains("lmprobe")) {
+      // hash-share attribution for the LM-backoff family: times the
+      // trigram-occurrence explode with its FIVE per-gram hash60s (the
+      // scoring scan's per-row work) under md5 vs xxhash64, plus the
+      // full text_lm_backoff gate, so the md5 share is measured before
+      // any seam is considered.  runMain graft.Probe lmprobe <sfDir>
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.files.maxPartitionBytes",
+          Bench.adaptiveMaxPartitionBytes(Bench.inputBytes(dir), 32))
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          Bench.adaptiveInitialPartitions(Bench.inputBytes(dir), 32))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      import graft.ops.TextAnalysis
+      def occ(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+        val docs = Tables.documents(s, dir)
+        val t = TextAnalysis.tokens(col("text"))
+        val gs = when(size(t) >= 3,
+          transform(sequence(lit(1), size(t) - 2), i =>
+            concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+              element_at(t, i + 2))))
+          .otherwise(array())
+        graft.operators.Scale.balanceToCores(docs)
+          .select(col("doc_id"), explode(gs).as("__g"))
+          .select(col("doc_id"),
+            h(substring_index(col("__g"), " ", 2)).as("h1_3"),
+            h(col("__g")).as("h12_3"),
+            h(substring_index(substring_index(col("__g"), " ", -2), " ", 1)).as("h1_2"),
+            h(substring_index(col("__g"), " ", -2)).as("h12_2"),
+            h(substring_index(col("__g"), " ", -1)).as("h_1"))
+      }
+      val legs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "occ_md5" -> (() => occ(TextAnalysis.hash60)),
+        "occ_xx" -> (() => occ(TextAnalysis.hash60xx)),
+        "full_backoff" -> (() => SparkEntry.queries("text_lm_backoff")(s, dir)))
+      legs.foreach { case (name, f) =>
+        val ts = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          Bench.forceHashAgg(f().toDF())
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"LMPROBE $name warm=${ts.head}%.2f min2=${ts.tail.min}%.2f")
       }
       s.stop(); return
     }

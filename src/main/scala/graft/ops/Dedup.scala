@@ -989,31 +989,42 @@ object Dedup {
     // the candidate pipeline once — the winnowPairs trick, including its
     // caveat: the aggregate must reference id1 AND id2 so column pruning
     // cannot make the two subplans canonically unequal (a pruned branch
-    // would recompute the whole sketch pipeline end-to-end)
+    // would recompute the whole sketch pipeline end-to-end), and the
+    // not-null filter must be explicit BEFORE the shared exchange (the
+    // join back infers IsNotNull on its keys; without the shared filter
+    // that pushdown lands in the join branch only and the two subplans
+    // stop canonicalizing equal — a no-op semantically: candidate ids
+    // come from perDoc, whose docs tokenized non-null text)
     val candTexts = cand
       .join(texts.toDF("id1", "__t1"), "id1")
       .join(texts.toDF("id2", "__t2"), "id2")
+      .filter(col("__t1").isNotNull && col("__t2").isNotNull)
       .repartition(col("__t1"), col("__t2"))
     // one distance per DISTINCT text pair, riding the existing (t1, t2)
     // partitioning (HashAggregate, no new exchange). Equal texts are
     // distance 0 without running the DP.
     val distinctDists = candTexts
       .groupBy(col("__t1"), col("__t2"))
-      .agg(count(col("id1")).as("__c1"), count(col("id2")).as("__c2"))
+      // min, not count: count(id) over the non-null ids constant-folds to
+      // count(1), which prunes id1/id2 from this branch's projection and
+      // breaks the canonical equality the shared exchange needs (measured:
+      // the two pipeline subtrees materialized separately — a full second
+      // corpus pass)
+      .agg(min(col("id1")).as("__c1"), min(col("id2")).as("__c2"))
       // banded: -1 marks distance > maxDist, and -1 <= maxDist would be
       // TRUE, so the filter must require dist >= 0 as well
       .withColumn("dist",
         when(col("__t1") === col("__t2"), 0L)
           .otherwise(levenshtein(col("__t1"), col("__t2"), maxDist.toInt).cast("long")))
-      // the predicate references the aggregate output __c1 (> 0 for every
-      // group by construction, so semantics are unchanged) because a
-      // filter on grouping keys alone is pushed BELOW the aggregate by
-      // PushDownPredicates — measured: the pushed levenshtein landed in
-      // the candidate join's condition and ran once per CANDIDATE row
-      // (96,886×) instead of once per distinct pair (~260×), and the
-      // branch-local pushdown also broke the canonical equality the
-      // shared exchange needs for reuse
-      .filter(when(col("__c1") > 0L, col("dist")).otherwise(lit(-1L))
+      // the predicate references the aggregate output __c1 (never null:
+      // every group has >= 1 row and ids are non-null, so semantics are
+      // unchanged) because a filter on grouping keys alone is pushed
+      // BELOW the aggregate by PushDownPredicates — measured: the pushed
+      // levenshtein landed in the candidate join's condition and ran once
+      // per CANDIDATE row (96,886×) instead of once per distinct pair
+      // (~260×), and the branch-local pushdown also broke the canonical
+      // equality the shared exchange needs for reuse
+      .filter(when(col("__c1").isNotNull, col("dist")).otherwise(lit(-1L))
         .between(0L, maxDist))
       .select(col("__t1"), col("__t2"), col("dist"))
     // SHUFFLE_HASH keeps the join on the shared (t1, t2) partitioning —

@@ -43,7 +43,23 @@ object TextAnalysis {
     * value contract (`dedup_ngram_jaccard_xx`: the DuckDB mirror joins
     * raw shingle strings; equality holds absent 60-bit collisions).
     * The unsigned shift keeps the value non-negative — a raw xxhash64
-    * long is signed and would break the minhash modular arithmetic. */
+    * long is signed and would break the minhash modular arithmetic.
+    *
+    * NEGATIVE RESULT (r15, measured — do not retry): switching the LM
+    * family's internal join-key hashes (ngramOccurrences, lmUnigramTable,
+    * stupidBackoffScoreTables, backoffTablesFromCounts, unigramClassify,
+    * oovRate, corpusFrequencySignals) from md5-hash60 to this xx path is
+    * value-neutral (229/229 oracle rows still passed) but PERFORMANCE-
+    * neutral too: same-day frozen-binary A/B read 13 lm-family rows
+    * 21.3 → 21.5 s at sf0.1 and text_lm_backoff 54.3 → 54.6 s /
+    * text_dsir_weight 16.7 → 15.8 s at sf10 (r15_lm_md5/xx,
+    * r15_lm10_md5/xx). The bare 5-hash scoring scan IS 27% faster on xx
+    * (lmprobe: 2.01 vs 1.47 s sf0.1), but in the full queries the digest
+    * is diluted by tokenize/explode/joins — unlike the shingle families,
+    * where grams are ~3× denser per token and the md5 share dominates
+    * (the hhprobe result that motivated the seam). Keep md5 here: the
+    * regime-change interop risk (persisted hash-keyed LM tables going
+    * silently empty) buys nothing measurable. */
   def hash60xx(c: Column): Column = shiftrightunsigned(xxhash64(c), 4)
 
   /** Whitespace tokens, empties dropped. */
