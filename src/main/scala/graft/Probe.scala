@@ -105,6 +105,165 @@ object Probe {
       println(f"EMBCOMP warm_min=${ts.tail.min}%.2f warmup=${ts.head}%.2f")
       s.stop(); return
     }
+    if (args.headOption.contains("compprobe")) {
+      // stage attribution for the connected-components family (8 bench
+      // rows re-derive a pair graph then run the label loop): times,
+      // same-JVM min-of-2 after one warmup, the LSH pair derivation
+      // alone, the symmetrized-edge materialization in the CURRENT
+      // union-of-two-pair-plans shape vs a one-pass explode shape, and
+      // the full dedup_components / sim_embedding_components queries —
+      // so the duplicated-pipeline share is measured, not assumed.
+      //   runMain graft.Probe compprobe <sfDir>
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.files.maxPartitionBytes",
+          Bench.adaptiveMaxPartitionBytes(Bench.inputBytes(dir), 32))
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          Bench.adaptiveInitialPartitions(Bench.inputBytes(dir), 32))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      def pairs() = graft.ops.Dedup.minhashLshPairs(
+        Tables.documents(s, dir), "doc_id", "text").select("id1", "id2")
+      def edgesUnion() = {
+        val p = pairs()
+        p.select(col("id1").as("src"), col("id2").as("dst"))
+          .unionByName(p.select(col("id2").as("src"), col("id1").as("dst")))
+      }
+      def edgesExplode() = pairs().select(explode(array(
+          struct(col("id1").as("src"), col("id2").as("dst")),
+          struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // the pre-r15 connectedComponents, inlined verbatim (union-of-two-
+      // selects symmetrization, distinct-seed labels, two-join loop body)
+      // so old-vs-new is a SAME-JVM A/B — box drift between probe runs
+      // was measured at ±30%, bigger than the effect under test
+      def compsOld(ids: org.apache.spark.sql.DataFrame, idCol: String,
+                   p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
+          .unionByName(p.select(col("id2").as("src"), col("id1").as("dst")))
+          .localCheckpoint(true)
+        var labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("comp", col("id").cast("long"))
+          .localCheckpoint(true)
+        def compSum(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(coalesce(sum(col("comp")), lit(0L))).first().getLong(0)
+        var prevSum = compSum(labels)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 50) {
+          val neighMin = edges
+            .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
+            .groupBy(col("src")).agg(min(col("dst_comp")).as("neigh_comp"))
+          val prev = labels
+          labels = labels
+            .join(neighMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+            .select(col("id"),
+              least(col("comp"), coalesce(col("neigh_comp"), col("comp"))).as("comp"))
+            .localCheckpoint(true)
+          org.apache.spark.sql.graftbridge.Bridge.backingRdds(prev).foreach(_.unpersist(blocking = false))
+          val curSum = compSum(labels)
+          converged = curSum == prevSum
+          prevSum = curSum
+          iter += 1
+        }
+        org.apache.spark.sql.graftbridge.Bridge.backingRdds(edges).foreach(_.unpersist(blocking = false))
+        ids.select(col(idCol))
+          .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("comp"), col(idCol).cast("long")).as("component"))
+      }
+      val legs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "pairs" -> (() => pairs()),
+        "edges_union" -> (() => edgesUnion()),
+        "edges_explode" -> (() => edgesExplode()),
+        "comps_old" -> (() => compsOld(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", pairs())),
+        "comps_full" -> (() => SparkEntry.queries("dedup_components")(s, dir)),
+        "comps_star" -> (() => SparkEntry.queries("dedup_components_star")(s, dir)),
+        "embcomp_old" -> (() => {
+          val emb = Tables.embeddings(s, dir)
+          compsOld(emb.select(col("vec_id")), "vec_id",
+            graft.ops.Similarity.cosinePairs(emb, "vec_id", "embedding",
+              threshold = 0.3, planes = 4).select(col("id1"), col("id2")))
+        }),
+        "embcomp_full" -> (() => SparkEntry.queries("sim_embedding_components")(s, dir)))
+      // one full warmup CYCLE over every leg (so no leg eats the whole
+      // JVM's JIT/codegen warmup), then two measured cycles, min taken —
+      // leg order no longer biases the comparison
+      def runLeg(f: () => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        Bench.forceHashAgg(f().toDF())
+        val t = (System.nanoTime() - t0) / 1e9
+        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+        t
+      }
+      val warm = legs.map { case (n, f) => n -> runLeg(f) }.toMap
+      val m1 = legs.map { case (n, f) => n -> runLeg(f) }.toMap
+      val m2 = legs.map { case (n, f) => n -> runLeg(f) }.toMap
+      legs.foreach { case (n, _) =>
+        println(f"COMPPROBE $n warm=${warm(n)}%.2f min2=${math.min(m1(n), m2(n))}%.2f")
+      }
+      s.stop(); return
+    }
+    if (args.headOption.contains("compplan")) {
+      // plan captures for the connectedComponents r15 rewrite: the final
+      // query plan of a loop query is just `ids ⋈ LogicalRDD(labels)`
+      // (the loop executes eagerly), so the evidence lives in the STAGE
+      // plans — edge symmetrization (union-of-two-pair-plans vs one-pass
+      // explode) and one loop iteration (two-join vs join+union+agg).
+      //   runMain graft.Probe compplan <sfDir>
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      def pairs() = graft.ops.Dedup.minhashLshPairs(
+        Tables.documents(s, dir), "doc_id", "text").select("id1", "id2")
+      println("========== components_edges BEFORE (union of two pair plans) ==========")
+      val p1 = pairs()
+      p1.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(p1.select(col("id2").as("src"), col("id1").as("dst")))
+        .explain("formatted")
+      println("========== components_edges AFTER (one-pass explode) ==========")
+      pairs().select(explode(array(
+          struct(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst")),
+          struct(col("id2").cast("long").as("src"), col("id1").cast("long").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+        .explain("formatted")
+      // loop-iteration shapes over checkpointed stand-ins (exactly how the
+      // loop sees them: both sides are LogicalRDDs)
+      val edges = s.range(0, 100).select((col("id") % 37).as("src"), (col("id") % 11).as("dst"))
+        .localCheckpoint(true)
+      val labels = s.range(0, 37).select(col("id"), col("id").as("comp"))
+        .localCheckpoint(true)
+      println("========== components_iter BEFORE (join+groupBy+join) ==========")
+      val neighMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("dst_comp")).as("neigh_comp"))
+      labels
+        .join(neighMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("neigh_comp"), col("comp"))).as("comp"))
+        .explain("formatted")
+      println("========== components_iter AFTER (join + message-union aggregate) ==========")
+      edges
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .select(col("src").as("id"), col("comp"))
+        .unionByName(labels.toDF())
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .explain("formatted")
+      s.stop(); return
+    }
     if (args.headOption.contains("editprobe")) {
       // stage attribution for dedup_edit_verify (the top single-op bench
       // row at sf0.1): times, same-JVM min-of-2 after one warmup, the
