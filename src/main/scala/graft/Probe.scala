@@ -125,6 +125,10 @@ object Probe {
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.ui.retainedExecutions", "4")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        .config("spark.ui.retainedTasks", "500")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       def pairs() = graft.ops.Dedup.minhashLshPairs(
@@ -208,6 +212,101 @@ object Probe {
       val m2 = legs.map { case (n, f) => n -> runLeg(f) }.toMap
       legs.foreach { case (n, _) =>
         println(f"COMPPROBE $n warm=${warm(n)}%.2f min2=${math.min(m1(n), m2(n))}%.2f")
+      }
+      s.stop(); return
+    }
+    if (args.headOption.contains("qprobe")) {
+      // generic same-JVM query timer: one warmup CYCLE over every named
+      // query, then two measured cycles (min reported) — the leg-order
+      // JIT bias and between-run box drift both cancel.
+      //   runMain graft.Probe qprobe <sfDir> <q1,q2,...>
+      val dir = args(1)
+      val names = args(2).split(",").toSeq
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.files.maxPartitionBytes",
+          Bench.adaptiveMaxPartitionBytes(Bench.inputBytes(dir), 32))
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          Bench.adaptiveInitialPartitions(Bench.inputBytes(dir), 32))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.legacy.allowHashOnMapType", "true")
+        // bounded listener retention, same as Bench: the default 1000
+        // retained executions hold full plan strings — megabytes per
+        // query here — and inflate later legs via GC pressure (the r13
+        // in-suite mechanism, reproduced in probe JVMs this round)
+        .config("spark.sql.ui.retainedExecutions", "4")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        .config("spark.ui.retainedTasks", "500")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      def runQ(n: String): Double = {
+        val t0 = System.nanoTime()
+        Bench.forceHashAgg(SparkEntry.benchQueries(n)(s, dir))
+        val t = (System.nanoTime() - t0) / 1e9
+        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+        t
+      }
+      val warm = names.map(n => n -> runQ(n)).toMap
+      val m1 = names.map(n => n -> runQ(n)).toMap
+      val m2 = names.map(n => n -> runQ(n)).toMap
+      names.foreach { n =>
+        println(f"QPROBE $n warm=${warm(n)}%.2f min2=${math.min(m1(n), m2(n))}%.2f")
+      }
+      s.stop(); return
+    }
+    if (args.headOption.contains("lmprune")) {
+      // stage attribution for text_lm_backoff_pruned, which reads ~2.5 s
+      // in-suite but 11-14 s in clean probe JVMs: times each train table,
+      // the rebuilt hash tables, and the full gate.
+      //   runMain graft.Probe lmprune <sfDir>
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.files.maxPartitionBytes",
+          Bench.adaptiveMaxPartitionBytes(Bench.inputBytes(dir), 32))
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          Bench.adaptiveInitialPartitions(Bench.inputBytes(dir), 32))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.ui.retainedExecutions", "4")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        .config("spark.ui.retainedTasks", "500")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      import graft.ops.TextAnalysis
+      def docs() = Tables.documents(s, dir)
+      def en() = docs().filter(col("lang") === "en")
+      def tri() = TextAnalysis.lmNgramCounts(en(), "doc_id", "text", 3).filter(col("c") >= 2L)
+      def bi() = TextAnalysis.lmNgramCounts(en(), "doc_id", "text", 2).filter(col("c") >= 2L)
+      def uni() = TextAnalysis.lmNgramCounts(en(), "doc_id", "text", 1)
+      def tables() = TextAnalysis.backoffTablesFromCounts(tri(), bi(), uni())
+      val legs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "tri_counts" -> (() => tri()),
+        "bi_counts" -> (() => bi()),
+        "uni_counts" -> (() => uni()),
+        "t3_table" -> (() => tables()._1),
+        "score_full" -> (() => SparkEntry.queries("text_lm_backoff_pruned")(s, dir)),
+        "score_unpruned" -> (() => SparkEntry.queries("text_lm_backoff")(s, dir)))
+      def runLeg(f: () => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        Bench.forceHashAgg(f().toDF())
+        val t = (System.nanoTime() - t0) / 1e9
+        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+        t
+      }
+      val warm = legs.map { case (n, f) => n -> runLeg(f) }.toMap
+      val m1 = legs.map { case (n, f) => n -> runLeg(f) }.toMap
+      val m2 = legs.map { case (n, f) => n -> runLeg(f) }.toMap
+      legs.foreach { case (n, _) =>
+        println(f"LMPRUNE $n warm=${warm(n)}%.2f min2=${math.min(m1(n), m2(n))}%.2f")
       }
       s.stop(); return
     }
